@@ -1,38 +1,597 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Queries re-express the reference's operator inventory (SURVEY.md §2)
+over the graft input: a deterministic Common-Crawl-style ``pages``
+table derived from the driver's ``documents`` parquet by pure
+arithmetic (openstreetmap_license_change_spark/sources/pages.py — the
+same derivation ships as a SQL CTE for the DuckDB oracle), plus the
+training-data operators (dedup / similarity / text analysis) and
+TPC-H-shaped checks on lineitem/orders.
+
+Every ``queries()`` entry with SQL-expressible semantics has a
+matching ``oracle_sql()`` entry; the UDF-bound history fold
+(classify_actions) is rows-only and is separately golden-tested in
+tests/ against the reference's behavioral suites.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from openstreetmap_license_change_spark.operators import (
+    dedup,
+    fold,
+    lineage,
+    similarity,
+    spatial,
+    textops,
+)
+from openstreetmap_license_change_spark.sources import pages as pages_src
+
+SF_DEFAULT = "/root/testdata/sf0.001"
+
+
+def _pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pages_src.pages_from_documents(spark, sf_dir)
+
+
+def _pages_flagged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return lineage.with_accept_flags(
+        _pages(spark, sf_dir), pages_src.cs_status(spark)
+    )
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query: geocode pages → cell assignment → acceptance
+    flags → per-cell taint rollup ordered by density (the north-rule
+    spatial-join + tile-assignment pipeline at sf0.001)."""
+    flagged = _pages_flagged(spark, SF_DEFAULT)
+    cells = spatial.assign_cells(flagged)
+    rollup = spatial.tile_rollup(
+        cells.withColumn("tainted", ~F.col("accepted")), taint_col="tainted"
+    )
+    return rollup.orderBy(F.desc("n_pages"), F.col("cell")).limit(100)
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+def q_latest_version(spark, sf_dir):
+    """A3: latest-version snapshot per url (current_* tables)."""
+    pages = _pages(spark, sf_dir)
+    return lineage.latest_version(pages).select(
+        "url",
+        F.col("version").alias("last_version"),
+        F.col("changeset_id").alias("last_changeset"),
+        F.col("visible").alias("last_visible"),
+    )
+
+
+def q_reverse_cumulative_clean(spark, sf_dir):
+    """A8: odbl-clean backward propagation as a window-frame AND."""
+    flagged = _pages_flagged(spark, sf_dir)
+    out = lineage.reverse_cumulative_flag(flagged, "accepted", "clean_from_here")
+    return out.select("url", "version", "accepted", "clean_from_here")
+
+
+def q_candidate_filter(spark, sf_dir):
+    """P1: decliner-touched candidate pre-filter (distinct urls)."""
+    flagged = _pages_flagged(spark, sf_dir)
+    return (
+        lineage.candidate_filter(flagged)
+        .select("url")
+        .distinct()
+    )
+
+
+def q_changeset_accept_join(spark, sf_dir):
+    """J1/J2: pages ⋈ broadcast changeset-status (+adopter self-join),
+    aggregated per changeset for a stable small result."""
+    flagged = _pages_flagged(spark, sf_dir)
+    return flagged.groupBy("changeset_id", "accepted").agg(
+        F.count(F.lit(1)).alias("n_versions"),
+        F.count(F.when(F.col("visible"), 1)).alias("n_visible"),
+    )
+
+
+def q_reverse_reference_join(spark, sf_dir):
+    """J5: reverse-reference join on exploded arrays — orders as 'ways'
+    over part 'nodes'; find orders referencing small parts (deletes)."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    ways = li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_list("l_partkey")).alias("part_nodes")
+    )
+    deletes = part.where(F.col("p_size") < 5).select(
+        F.col("p_partkey").alias("del_part")
+    )
+    exploded = ways.select(
+        "l_orderkey", F.explode("part_nodes").alias("ref_part")
+    )
+    return (
+        exploded.join(F.broadcast(deletes), exploded.ref_part == deletes.del_part)
+        .groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).alias("n_refs"))
+    )
+
+
+def q_pricing_summary(spark, sf_dir):
+    """TPC-H Q1-shaped aggregate pushdown check on lineitem."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def q_cell_assignment(spark, sf_dir):
+    """F14': grid cell + Morton quad-tile per latest page version."""
+    pages = lineage.latest_version(_pages(spark, sf_dir))
+    return spatial.assign_cells(pages).select("url", "lon", "lat", "cell", "tile")
+
+
+def q_tile_rollup(spark, sf_dir):
+    """Raster rollup: per-cell page count + taint density."""
+    flagged = _pages_flagged(spark, sf_dir)
+    cells = spatial.assign_cells(flagged).withColumn(
+        "tainted", ~F.col("accepted")
+    )
+    return spatial.tile_rollup(cells)
+
+
+def q_pip_rect(spark, sf_dir):
+    """J10 (rectangle fast path): broadcast PIP against 4 region rects."""
+    pages = lineage.latest_version(_pages(spark, sf_dir))
+    rects = spark.createDataFrame(
+        [
+            (1, -180.0, -90.0, -60.0, 0.0),
+            (2, -60.0, -90.0, 60.0, 0.0),
+            (3, -180.0, 0.0, 0.0, 90.0),
+            (4, 0.0, 0.0, 180.0, 90.0),
+        ],
+        "polygon_id INT, min_lon DOUBLE, min_lat DOUBLE, max_lon DOUBLE, max_lat DOUBLE",
+    )
+    return spatial.pip_join_rect(pages, rects).groupBy("polygon_id").agg(
+        F.count(F.lit(1)).alias("n_pages"),
+        F.min("url").alias("first_url"),
+    )
+
+
+def q_knn_in_cell(spark, sf_dir):
+    """J11: cell-local kNN — for each tainted page, the 3 nearest
+    accepted pages in the same (coarse) cell."""
+    flagged = _pages_flagged(spark, sf_dir)
+    latest = lineage.latest_version(flagged)
+    cells = spatial.assign_cells(latest, res_deg=30.0)
+    dirty = cells.where(~F.col("accepted"))
+    clean = cells.where(F.col("accepted")).select(
+        F.col("cell"), F.col("url").alias("cand_url"), "lon", "lat"
+    )
+    out = spatial.knn_in_cell(
+        dirty.select("url", "cell", "lon", "lat"), clean, k=3
+    )
+    return out.select(
+        "url", "cand_url", F.col("knn_rank"), F.round("dist2", 6).alias("dist2_r")
+    )
+
+
+def q_dedup_exact(spark, sf_dir):
+    """Exact dedup groups by md5(text)."""
+    docs = pages_src.documents(spark, sf_dir)
+    return dedup.dedup_exact(docs)
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    """3-gram Jaccard near-dup pairs ≥ 0.2."""
+    docs = pages_src.documents(spark, sf_dir)
+    return dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.2)
+
+
+def q_minhash_signatures(spark, sf_dir):
+    """MinHash signatures (16 arithmetic permutations over the
+    query-local token dictionary)."""
+    docs = pages_src.documents(spark, sf_dir)
+    return dedup.minhash_signatures(docs)
+
+
+def q_minhash_lsh_pairs(spark, sf_dir):
+    """MinHash-LSH candidate pairs (4 bands × 4 rows)."""
+    docs = pages_src.documents(spark, sf_dir)
+    return dedup.minhash_lsh_pairs(docs)
+
+
+def q_simhash(spark, sf_dir):
+    """64-bit SimHash fingerprints from the token dictionary."""
+    docs = pages_src.documents(spark, sf_dir)
+    return dedup.simhash64(docs)
+
+
+def q_text_quality(spark, sf_dir):
+    """Quality features: token count, punct ratio, stopword hits."""
+    docs = pages_src.documents(spark, sf_dir)
+    return textops.quality_score(docs).select(
+        "doc_id", "n_tokens", "n_chars_m", "punct_ratio",
+        "stop_hits_en", "quality_keep",
+    )
+
+
+def q_lang_id(spark, sf_dir):
+    """Stopword-vote language id vs the labeled lang column."""
+    docs = pages_src.documents(spark, sf_dir)
+    out = textops.lang_id(docs)
+    return out.groupBy("lang", "lang_pred").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+
+
+def q_ann_cosine_topk(spark, sf_dir):
+    """Brute-force cosine top-10 against the vec_id=0 embedding."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qvec = (
+        emb.where(F.col("vec_id") == 0)
+        .select("embedding")
+        .head()[0]
+    )
+    return similarity.brute_force_topk(
+        emb.where(F.col("vec_id") != 0), [float(x) for x in qvec], k=10
+    )
+
+
+def q_events_sessionize(spark, sf_dir):
+    """Stateful-style sessionization as pure windows: 30-minute gaps
+    split sessions; counts per (user, session)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    epoch = F.col("ts").cast("timestamp").cast("long")
+    gap = epoch - F.lag(epoch).over(w)
+    sess = ev.withColumn(
+        "new_sess", F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    ).withColumn(
+        "session_id",
+        F.sum("new_sess").over(w.rowsBetween(W.unboundedPreceding, W.currentRow)),
+    )
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+    )
+
+
+def q_classify_actions(spark, sf_dir):
+    """A7: the history fold (grouped pandas UDF) over page lineages —
+    non-SQL-expressible; golden-checked against the reference suites in
+    tests/, rows-only here."""
+    flagged = _pages_flagged(spark, sf_dir)
+    hist = fold.pages_histories(flagged)
+    return fold.classify_histories(hist)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "latest_version": q_latest_version,
+        "reverse_cumulative_clean": q_reverse_cumulative_clean,
+        "candidate_filter": q_candidate_filter,
+        "changeset_accept_join": q_changeset_accept_join,
+        "reverse_reference_join": q_reverse_reference_join,
+        "pricing_summary": q_pricing_summary,
+        "cell_assignment": q_cell_assignment,
+        "tile_rollup": q_tile_rollup,
+        "pip_rect": q_pip_rect,
+        "knn_in_cell": q_knn_in_cell,
+        "dedup_exact": q_dedup_exact,
+        "ngram_jaccard": q_ngram_jaccard,
+        "minhash_signatures": q_minhash_signatures,
+        "minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "simhash": q_simhash,
+        "text_quality": q_text_quality,
+        "lang_id": q_lang_id,
+        "ann_cosine_topk": q_ann_cosine_topk,
+        "events_sessionize": q_events_sessionize,
+        "classify_actions": q_classify_actions,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# oracles
+# ---------------------------------------------------------------------------
+
+def _with_pages(body: str) -> str:
+    return pages_src.oracle_prelude() + "\n" + body
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    cell = spatial.grid_cell_sql("lon", "lat")
+    cell30 = spatial.grid_cell_sql("lon", "lat", 30.0)
+    tile = spatial.quad_tile_sql("lon", "lat")
+    mh_aggs = ", ".join(
+        f"MIN((token_id * {a} + {b}) % {dedup.MINHASH_PRIME}) AS mh_{i}"
+        for i, (a, b) in enumerate(dedup.MINHASH_PERMS)
+    )
+    bands = []
+    rows_per_band = len(dedup.MINHASH_PERMS) // dedup.LSH_BANDS
+    for band in range(dedup.LSH_BANDS):
+        cols = " || '|' || ".join(
+            f"CAST(mh_{band * rows_per_band + r} AS VARCHAR)"
+            for r in range(rows_per_band)
+        )
+        bands.append(f"SELECT doc_id, {band} AS band, {cols} AS bucket FROM sig")
+
+    sw = {
+        lang: ", ".join(f"'{w}'" for w in ws)
+        for lang, ws in textops.STOPWORDS.items()
+    }
+
+    return {
+        "latest_version": _with_pages("""
+            SELECT url,
+                   version AS last_version,
+                   changeset_id AS last_changeset,
+                   visible AS last_visible
+            FROM (
+                SELECT p.*,
+                       ROW_NUMBER() OVER (PARTITION BY url ORDER BY version DESC)
+                           AS rn
+                FROM pages p
+            ) t WHERE rn = 1
+        """),
+        "reverse_cumulative_clean": _with_pages("""
+            SELECT p.url, p.version, s.accepted,
+                   MIN(CAST(s.accepted AS INT)) OVER (
+                       PARTITION BY p.url ORDER BY p.version
+                       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING
+                   ) = 1 AS clean_from_here
+            FROM pages p JOIN cs_status s USING (changeset_id)
+        """),
+        "candidate_filter": _with_pages("""
+            SELECT DISTINCT p.url
+            FROM pages p JOIN cs_status s USING (changeset_id)
+            WHERE p.url IN (
+                SELECT url FROM pages p2 JOIN cs_status s2 USING (changeset_id)
+                WHERE NOT s2.accepted
+            )
+        """),
+        "changeset_accept_join": _with_pages("""
+            SELECT p.changeset_id, s.accepted,
+                   COUNT(*) AS n_versions,
+                   COUNT(CASE WHEN p.visible THEN 1 END) AS n_visible
+            FROM pages p JOIN cs_status s USING (changeset_id)
+            GROUP BY p.changeset_id, s.accepted
+        """),
+        "reverse_reference_join": """
+            WITH deletes AS (
+                SELECT p_partkey AS del_part FROM part WHERE p_size < 5
+            )
+            SELECT l.l_orderkey, COUNT(*) AS n_refs
+            FROM lineitem l JOIN deletes d ON l.l_partkey = d.del_part
+            GROUP BY l.l_orderkey
+        """,
+        "pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   ROUND(SUM(l_quantity), 2) AS sum_qty,
+                   ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+                   ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)
+                       AS sum_disc_price,
+                   COUNT(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= DATE '1998-09-02'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "cell_assignment": _with_pages(f"""
+            SELECT url, lon, lat,
+                   {cell} AS cell,
+                   {tile} AS tile
+            FROM (
+                SELECT p.*,
+                       ROW_NUMBER() OVER (PARTITION BY url ORDER BY version DESC)
+                           AS rn
+                FROM pages p
+            ) t WHERE rn = 1
+        """),
+        "tile_rollup": _with_pages(f"""
+            SELECT {cell} AS cell,
+                   COUNT(*) AS n_pages,
+                   SUM(CAST(NOT s.accepted AS INT)) AS n_tainted,
+                   ROUND(AVG(CAST(NOT s.accepted AS INT)), 6) AS taint_density
+            FROM pages p JOIN cs_status s USING (changeset_id)
+            GROUP BY 1
+        """),
+        "pip_rect": _with_pages("""
+            , rects AS (
+                SELECT * FROM (VALUES
+                    (1, -180.0, -90.0, -60.0, 0.0),
+                    (2,  -60.0, -90.0,  60.0, 0.0),
+                    (3, -180.0,   0.0,   0.0, 90.0),
+                    (4,    0.0,   0.0, 180.0, 90.0)
+                ) AS v(polygon_id, min_lon, min_lat, max_lon, max_lat)
+            ),
+            latest AS (
+                SELECT * FROM (
+                    SELECT p.*,
+                           ROW_NUMBER() OVER (PARTITION BY url
+                                              ORDER BY version DESC) AS rn
+                    FROM pages p
+                ) t WHERE rn = 1
+            )
+            SELECT r.polygon_id, COUNT(*) AS n_pages, MIN(l.url) AS first_url
+            FROM latest l JOIN rects r
+              ON l.lon >= r.min_lon AND l.lon < r.max_lon
+             AND l.lat >= r.min_lat AND l.lat < r.max_lat
+            GROUP BY r.polygon_id
+        """),
+        "knn_in_cell": _with_pages(f"""
+            , latest AS (
+                SELECT * FROM (
+                    SELECT p.*, s.accepted,
+                           ROW_NUMBER() OVER (PARTITION BY p.url
+                                              ORDER BY p.version DESC) AS rn
+                    FROM pages p JOIN cs_status s USING (changeset_id)
+                ) t WHERE rn = 1
+            ),
+            cells AS (
+                SELECT url, lon, lat, accepted, {cell30} AS cell FROM latest
+            ),
+            pairs AS (
+                SELECT d.url, c.url AS cand_url,
+                       (d.lon - c.lon) * (d.lon - c.lon)
+                     + (d.lat - c.lat) * (d.lat - c.lat) AS dist2
+                FROM cells d JOIN cells c ON d.cell = c.cell
+                WHERE NOT d.accepted AND c.accepted
+            )
+            SELECT url, cand_url, knn_rank, ROUND(dist2, 6) AS dist2_r
+            FROM (
+                SELECT *, ROW_NUMBER() OVER (PARTITION BY url
+                                             ORDER BY dist2, cand_url)
+                           AS knn_rank
+                FROM pairs
+            ) t WHERE knn_rank <= 3
+        """),
+        "dedup_exact": """
+            SELECT md5(text) AS text_md5,
+                   MIN(doc_id) AS canonical_id,
+                   COUNT(*) AS n_docs
+            FROM documents GROUP BY 1
+        """,
+        "ngram_jaccard": """
+            WITH toks AS (
+                SELECT doc_id,
+                       string_split_regex(lower(text), '\\s+') AS ts
+                FROM documents
+            ),
+            grams AS (
+                SELECT DISTINCT doc_id,
+                       ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS shingle
+                FROM toks,
+                     LATERAL (SELECT UNNEST(range(1, GREATEST(len(ts) - 2, 1) + 1))
+                              AS i) g
+                WHERE len(ts) >= 1 AND ts[i] IS NOT NULL
+                  AND length(COALESCE(ts[i], '') ||
+                             COALESCE(ts[i+1], '') ||
+                             COALESCE(ts[i+2], '')) > 0
+            ),
+            sizes AS (SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY 1),
+            inter AS (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+                FROM grams a JOIN grams b ON a.shingle = b.shingle
+                WHERE a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            )
+            SELECT doc_a, doc_b,
+                   ROUND(CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter), 6)
+                       AS jaccard
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = doc_a
+            JOIN sizes sb ON sb.doc_id = doc_b
+            WHERE CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter) >= 0.2
+        """,
+        "minhash_signatures": f"""
+            WITH toks AS (
+                SELECT DISTINCT doc_id, tok AS token
+                FROM documents,
+                     LATERAL UNNEST(string_split_regex(lower(text), '\\s+'))
+                         AS u(tok)
+                WHERE tok <> ''
+            ),
+            dict AS (
+                SELECT token,
+                       CAST(DENSE_RANK() OVER (ORDER BY token) AS BIGINT)
+                           AS token_id
+                FROM (SELECT DISTINCT token FROM toks)
+            ),
+            joined AS (
+                SELECT t.doc_id, d.token_id FROM toks t JOIN dict d USING (token)
+            )
+            SELECT doc_id, {mh_aggs} FROM joined GROUP BY doc_id
+        """,
+        "text_quality": f"""
+            SELECT doc_id,
+                   CASE WHEN length(trim(text)) = 0 THEN 0
+                        ELSE len(string_split_regex(trim(text), '\\s+')) END
+                       AS n_tokens,
+                   length(text) AS n_chars_m,
+                   ROUND(CAST(length(text)
+                         - length(regexp_replace(text, '[^\\w\\s]', '', 'g'))
+                         AS DOUBLE)
+                         / GREATEST(length(text), 1), 6) AS punct_ratio,
+                   len(list_intersect(
+                       list_distinct(string_split_regex(lower(text), '\\s+')),
+                       [{sw['en']}])) AS stop_hits_en,
+                   (CASE WHEN length(trim(text)) = 0 THEN 0
+                         ELSE len(string_split_regex(trim(text), '\\s+')) END >= 5
+                    AND CAST(length(text)
+                        - length(regexp_replace(text, '[^\\w\\s]', '', 'g'))
+                        AS DOUBLE) / GREATEST(length(text), 1) < 0.3
+                    AND length(text) >= 20) AS quality_keep
+            FROM documents
+        """,
+        "events_sessionize": """
+            WITH gaps AS (
+                SELECT user_id, event_id, value, ts,
+                       CASE WHEN epoch(ts) - LAG(epoch(ts)) OVER w IS NULL
+                              OR epoch(ts) - LAG(epoch(ts)) OVER w > 1800
+                            THEN 1 ELSE 0 END AS new_sess
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ),
+            sess AS (
+                SELECT user_id, value,
+                       SUM(new_sess) OVER (PARTITION BY user_id
+                                           ORDER BY ts, event_id
+                                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                           AND CURRENT ROW) AS session_id
+                FROM gaps
+            )
+            SELECT user_id, session_id,
+                   COUNT(*) AS n_events,
+                   ROUND(SUM(value), 4) AS sum_value
+            FROM sess GROUP BY 1, 2
+        """,
+        "ann_cosine_topk": """
+            WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+            SELECT vec_id,
+                   ROUND(list_cosine_similarity(
+                       CAST(embedding AS DOUBLE[]),
+                       CAST((SELECT qv FROM q) AS DOUBLE[])), 6) AS cos_sim
+            FROM embeddings
+            WHERE vec_id <> 0
+            ORDER BY cos_sim DESC, vec_id
+            LIMIT 10
+        """,
+        "minhash_lsh_pairs": f"""
+            WITH toks AS (
+                SELECT DISTINCT doc_id, tok AS token
+                FROM documents,
+                     LATERAL UNNEST(string_split_regex(lower(text), '\\s+'))
+                         AS u(tok)
+                WHERE tok <> ''
+            ),
+            dict AS (
+                SELECT token,
+                       CAST(DENSE_RANK() OVER (ORDER BY token) AS BIGINT)
+                           AS token_id
+                FROM (SELECT DISTINCT token FROM toks)
+            ),
+            joined AS (
+                SELECT t.doc_id, d.token_id FROM toks t JOIN dict d USING (token)
+            ),
+            sig AS (SELECT doc_id, {mh_aggs} FROM joined GROUP BY doc_id),
+            buckets AS ({" UNION ALL ".join(bands)})
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM buckets a JOIN buckets b
+              ON a.band = b.band AND a.bucket = b.bucket
+            WHERE a.doc_id < b.doc_id
+        """,
+        # lang_id / simhash / knn ties / classify_actions: rows-only
+        # (lang_id vote ties and simhash bit arithmetic are checked by
+        # pytest instead; classify_actions is UDF-bound by design)
+    }

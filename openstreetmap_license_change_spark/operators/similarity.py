@@ -1,0 +1,153 @@
+"""Similarity search over embedding columns (array<float>).
+
+* brute_force_topk — exact cosine top-k against a query vector using
+  native ``zip_with``/``aggregate`` (JVM-side, whole-stage codegen —
+  no Python in the hot path)
+* lsh_bucket_topk  — the scale path: random-hyperplane LSH buckets
+  (sign of dot product with fixed pseudo-random planes) shrink the
+  candidate set before exact re-ranking; planes are derived
+  arithmetically so runs are reproducible
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame, Window as W
+from pyspark.sql import functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0).cast("double"),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0).cast("double"), lambda acc, v: acc + v * v)
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def brute_force_topk(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k: map-side score + single top-k reduction.
+
+    The global top-k is a TakeOrderedAndProject physical op (no full
+    sort); ties broken by id for determinism."""
+    q = F.array(*[F.lit(float(x)).cast("double") for x in query_vec])
+    scored = embeddings.select(
+        id_col,
+        F.round(cosine(F.col(vec_col).cast("array<double>"), q), 6).alias("cos_sim"),
+    )
+    return scored.orderBy(F.desc("cos_sim"), F.col(id_col)).limit(k)
+
+
+def _planes(dim: int, n_planes: int) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes (sin-based hash — no RNG
+    state, reproducible everywhere)."""
+    return [
+        [math.sin(0.7 * p + 1.3 * d + 0.001 * p * d) for d in range(dim)]
+        for p in range(n_planes)
+    ]
+
+
+def lsh_bucket_topk(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF/LSH-style ANN: bucket by sign pattern against fixed
+    hyperplanes, probe only the query's bucket, exact re-rank inside.
+
+    At 100 TB the bucket column is the partition key, so the probe is a
+    partition-pruned scan instead of a full pass."""
+    dim = len(query_vec)
+    planes = _planes(dim, n_planes)
+
+    def bucket_of(vec: Column) -> Column:
+        bits = [
+            (
+                _dot(vec, F.array(*[F.lit(w).cast("double") for w in plane]))
+                > 0
+            ).cast("int")
+            for plane in planes
+        ]
+        out = F.lit(0)
+        for b in bits:
+            out = F.shiftleft(out, 1) | b
+        return out
+
+    q_bucket = 0
+    for plane in planes:
+        q_bucket = (q_bucket << 1) | int(
+            sum(w * x for w, x in zip(plane, query_vec)) > 0
+        )
+
+    vec_d = F.col(vec_col).cast("array<double>")
+    bucketed = embeddings.withColumn("bucket", bucket_of(vec_d))
+    probe = bucketed.where(F.col("bucket") == q_bucket)
+    q = F.array(*[F.lit(float(x)).cast("double") for x in query_vec])
+    scored = probe.select(
+        id_col,
+        F.round(cosine(vec_d, q), 6).alias("cos_sim"),
+    )
+    return scored.orderBy(F.desc("cos_sim"), F.col(id_col)).limit(k)
+
+
+def pairwise_topk_in_bucket(
+    embeddings: DataFrame,
+    n_planes: int = 6,
+    k: int = 3,
+    dim: int = 32,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding near-dup: all-pairs cosine within LSH buckets, top-k
+    neighbours per vector.  Bucket join bounds the quadratic blowup."""
+    planes = _planes(dim, n_planes)
+    vec_d = F.col(vec_col).cast("array<double>")
+
+    def bucket_of(vec: Column) -> Column:
+        out = F.lit(0)
+        for plane in planes:
+            b = (
+                _dot(vec, F.array(*[F.lit(w).cast("double") for w in plane])) > 0
+            ).cast("int")
+            out = F.shiftleft(out, 1) | b
+        return out
+
+    left = embeddings.select(
+        F.col(id_col).alias("id_a"), vec_d.alias("vec_a")
+    ).withColumn("bucket", bucket_of(F.col("vec_a")))
+    right = embeddings.select(
+        F.col(id_col).alias("id_b"), vec_d.alias("vec_b")
+    ).withColumn("bucket", bucket_of(F.col("vec_b")))
+
+    pairs = (
+        left.join(right, "bucket")
+        .where(F.col("id_a") != F.col("id_b"))
+        .withColumn(
+            "cos_sim", F.round(cosine(F.col("vec_a"), F.col("vec_b")), 6)
+        )
+    )
+    w = W.partitionBy("id_a").orderBy(F.desc("cos_sim"), F.col("id_b"))
+    return (
+        pairs.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+        .select("id_a", "id_b", "cos_sim", "rk")
+    )

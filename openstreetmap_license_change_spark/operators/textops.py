@@ -1,0 +1,118 @@
+"""Text-analysis operators: quality scoring, language id, token stats,
+fingerprints.
+
+All native column expressions (regex + length arithmetic) — zero
+Python in the hot path; the same formulas are expressible in ANSI SQL
+for the oracle.  The significance kernel's native normalizations
+(tags.rb:264-318 F1-F4/F8/F9) are exposed as columns here too.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# small stopword lists per language for the n-gram/stopword language-id
+# heuristic; deterministic and tiny (broadcast as literals)
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "for", "with", "was"],
+    "de": ["der", "die", "das", "und", "ist", "von", "mit", "auf", "nicht", "ein"],
+    "fr": ["le", "la", "les", "et", "de", "des", "un", "une", "est", "dans"],
+    "es": ["el", "la", "los", "las", "de", "que", "y", "en", "un", "es"],
+}
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace token count (BPE-ish proxy: words + punct runs)."""
+    t = F.trim(text)
+    return F.when(F.length(t) == 0, F.lit(0)).otherwise(
+        F.size(F.split(t, r"\s+"))
+    )
+
+
+def punct_ratio(text: Column) -> Column:
+    stripped = F.regexp_replace(text, r"[^\w\s]", "")
+    return F.round(
+        (F.length(text) - F.length(stripped))
+        / F.greatest(F.length(text), F.lit(1)),
+        6,
+    )
+
+
+def upper_ratio(text: Column) -> Column:
+    no_upper = F.regexp_replace(text, r"[A-Z]", "")
+    return F.round(
+        (F.length(text) - F.length(no_upper))
+        / F.greatest(F.length(text), F.lit(1)),
+        6,
+    )
+
+
+def stopword_hits(text: Column, lang: str) -> Column:
+    toks = F.split(F.lower(text), r"\s+")
+    words = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+    return F.size(F.array_intersect(F.array_distinct(toks), words))
+
+
+def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Length / punctuation / stopword quality features + a composite
+    keep/drop heuristic for training-data filtering."""
+    t = F.col(text_col)
+    out = (
+        df.withColumn("n_tokens", token_count(t))
+        .withColumn("n_chars_m", F.length(t))
+        .withColumn("punct_ratio", punct_ratio(t))
+        .withColumn("stop_hits_en", stopword_hits(t, "en"))
+    )
+    return out.withColumn(
+        "quality_keep",
+        (F.col("n_tokens") >= 5)
+        & (F.col("punct_ratio") < 0.3)
+        & (F.col("n_chars_m") >= 20),
+    )
+
+
+def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Stopword-vote language id: argmax over per-language hit counts
+    with deterministic preference order on ties."""
+    t = F.col(text_col)
+    scored = df
+    for lang in STOPWORDS:
+        scored = scored.withColumn(f"_hits_{lang}", stopword_hits(t, lang))
+    langs = list(STOPWORDS)
+    # deterministic argmax: best score wins, ties broken by list order
+    best = F.lit(langs[0])
+    best_score = F.col(f"_hits_{langs[0]}")
+    for lang in langs[1:]:
+        cond = F.col(f"_hits_{lang}") > best_score
+        best = F.when(cond, F.lit(lang)).otherwise(best)
+        best_score = F.when(cond, F.col(f"_hits_{lang}")).otherwise(best_score)
+    out = scored.withColumn(
+        "lang_pred", F.when(best_score > 0, best).otherwise(F.lit("und"))
+    )
+    return out.drop(*[f"_hits_{lang}" for lang in langs])
+
+
+def rolling_fingerprint(text: Column, mod: int = 1_000_000_007) -> Column:
+    """Polynomial rolling-hash fingerprint over the first 64 chars:
+    sum(ascii(char_i) * 31^i) mod p — an engine-portable document
+    fingerprint (same formula in the SQL oracle)."""
+    prefix = F.substring(text, 1, 64)
+    chars = F.split(prefix, "")
+    indexed = F.transform(
+        chars, lambda ch, i: F.ascii(ch).cast("bigint") * F.pow(F.lit(31.0), i).cast("bigint")
+    )
+    return (
+        F.aggregate(indexed, F.lit(0).cast("bigint"), lambda acc, v: (acc + v) % mod)
+    ).alias("fingerprint")
+
+
+def significance_normalize(text: Column) -> Column:
+    """Native normalization pipeline of the significance kernel
+    (tags.rb:266-279): case fold, apostrophe strip, ß→ss, punct/space
+    runs → single space."""
+    s = F.lower(text)
+    s = F.regexp_replace(s, "[＇'ʼʹ]", "")
+    s = F.regexp_replace(s, "ß", "ss")
+    s = F.regexp_replace(s, r"[\W_]+", " ")
+    return s
