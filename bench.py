@@ -1,0 +1,216 @@
+#!/usr/bin/env python3
+"""Benchmark harness.
+
+Default mode (what the driver runs): headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS]; prints ONE JSON line:
+    {"metric": ..., "value": <total sec>, "unit": "sec",
+     "queries": {...per-query sec...}, "sf": ..., "pages_per_sec": ...}
+
+The primary BASELINE.json metric is spatial-join + tile-assignment
+throughput (pages/sec).  The documents table is small (5k rows at
+sf0.1), so the bench amplifies it with a deterministic ×REPLICATION
+crossjoin into ~{64×n_docs×2.5} page rows before timing — amplification
+is part of the measured work (it is a narrow generate, not I/O).
+
+Scaling mode (--scaling): runs the identical job in fresh subprocesses
+at two parallelism levels (local[8] vs local[32] by default), computes
+efficiency = T(4N)/(4·T(N)) on the throughput metric, and writes
+BENCH/BASELINE.md — the sandbox evidence protocol for the north rule's
+two-cluster-size criterion.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+REPLICATION = int(os.environ.get("SPARK_GRAFT_BENCH_REPL", "64"))
+FOLD_REPLICATION = int(os.environ.get("SPARK_GRAFT_BENCH_FOLD_REPL", "8"))
+
+
+def _noop_write(df):
+    df.write.format("noop").mode("overwrite").save()
+
+
+def _amplified_pages(spark, sf_dir, repl):
+    """documents × repl virtual copies → pages (url disambiguated per
+    copy so group keys stay distinct)."""
+    from pyspark.sql import functions as F
+    from openstreetmap_license_change_spark.sources import pages as pages_src
+
+    copies = spark.range(0, repl).select(F.col("id").alias("copy"))
+    pages = pages_src.pages_from_documents(spark, sf_dir)
+    return (
+        pages.crossJoin(copies)
+        .withColumn("url", F.concat_ws("#", "url", F.col("copy").cast("string")))
+        .withColumn("doc_id", F.col("doc_id") * repl + F.col("copy"))
+        .drop("copy")
+    )
+
+
+def run_queries(spark, sf_dir):
+    """Returns (per-query seconds dict, n_pages of the tile pipeline)."""
+    from pyspark.sql import functions as F
+
+    from openstreetmap_license_change_spark.operators import (
+        dedup, fold, lineage, spatial,
+    )
+    from openstreetmap_license_change_spark.sources import pages as pages_src
+
+    timings: dict[str, float] = {}
+
+    def timed(name, thunk):
+        t0 = time.time()
+        thunk()
+        timings[name] = round(time.time() - t0, 3)
+
+    status = pages_src.cs_status(spark)
+
+    # flagship: geocode → flags → cell+tile assignment → PIP → rollup
+    pages_big = _amplified_pages(spark, sf_dir, REPLICATION)
+    flagged = lineage.with_accept_flags(pages_big, status)
+    cells = spatial.assign_cells(flagged).withColumn(
+        "tainted", ~F.col("accepted")
+    )
+    n_pages = pages_big.count()
+
+    timed("tile_assign_rollup", lambda: _noop_write(spatial.tile_rollup(cells)))
+
+    # 1° cells: cell-local kNN only makes sense with small cells — the
+    # candidate fan-out per point stays bounded as data grows
+    latest = lineage.latest_version(spatial.assign_cells(flagged, res_deg=1.0))
+    rects = spark.createDataFrame(
+        [(1, -180.0, -90.0, 0.0, 90.0), (2, 0.0, -90.0, 180.0, 90.0)],
+        "polygon_id INT, min_lon DOUBLE, min_lat DOUBLE, max_lon DOUBLE, max_lat DOUBLE",
+    )
+    timed("pip_rect", lambda: _noop_write(spatial.pip_join_rect(latest, rects)))
+
+    dirty = latest.where(~F.col("accepted")).select("url", "cell", "lon", "lat")
+    clean = latest.where(F.col("accepted")).select(
+        "cell", F.col("url").alias("cand_url"), "lon", "lat"
+    )
+    timed(
+        "knn_in_cell",
+        lambda: _noop_write(spatial.knn_in_cell(dirty, clean, k=3)),
+    )
+
+    pages_fold = _amplified_pages(spark, sf_dir, FOLD_REPLICATION)
+    hist = fold.pages_histories(lineage.with_accept_flags(pages_fold, status))
+    timed("classify_fold", lambda: _noop_write(fold.classify_histories(hist)))
+
+    docs = pages_src.documents(spark, sf_dir)
+    timed("dedup_exact", lambda: _noop_write(dedup.dedup_exact(docs)))
+    timed(
+        "minhash_signatures",
+        lambda: _noop_write(dedup.minhash_signatures(docs)),
+    )
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    timed(
+        "pricing_summary",
+        lambda: _noop_write(
+            li.where(F.col("l_shipdate") <= F.lit("1998-09-02"))
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(
+                F.sum("l_quantity").alias("sum_qty"),
+                F.sum("l_extendedprice").alias("sum_base"),
+                F.count(F.lit(1)).alias("n"),
+            )
+        ),
+    )
+
+    return timings, n_pages
+
+
+def run_once(cpus=None):
+    os.environ.setdefault("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf_dir = os.environ["SPARK_GRAFT_SF_DIR"]
+    if cpus is not None:
+        os.environ["SPARK_GRAFT_CPUS"] = str(cpus)
+
+    from openstreetmap_license_change_spark.session import get_spark
+
+    spark = get_spark("bench")
+    try:
+        # warm the JVM + parquet footers so we time the engine, not startup
+        spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+        timings, n_pages = run_queries(spark, sf_dir)
+    finally:
+        spark.stop()
+
+    total = round(sum(timings.values()), 3)
+    spatial_sec = (
+        timings["tile_assign_rollup"] + timings["pip_rect"] + timings["knn_in_cell"]
+    )
+    result = {
+        "metric": "spatial-join + tile-assignment throughput",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_dir.rstrip("/").split("sf")[-1],
+        "n_pages": n_pages,
+        "pages_per_sec": round(n_pages / spatial_sec, 1),
+        "cpus": os.environ.get("SPARK_GRAFT_CPUS", "32"),
+        "replication": REPLICATION,
+    }
+    return result
+
+
+def scaling_mode():
+    """Run the identical bench at N and 4N cores in fresh subprocesses;
+    write BENCH/BASELINE.md with throughput + efficiency."""
+    levels = [8, 32]
+    results = {}
+    for cpus in levels:
+        env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus))
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env, capture_output=True, text=True, timeout=3600,
+        )
+        line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
+        results[cpus] = json.loads(line)
+
+    t8 = results[8]["pages_per_sec"]
+    t32 = results[32]["pages_per_sec"]
+    eff = t32 / (4 * t8)
+
+    os.makedirs("BENCH", exist_ok=True)
+    with open("BENCH/BASELINE.md", "w") as f:
+        f.write(
+            "# BENCH — scaling evidence (sandbox protocol)\n\n"
+            "No real cluster is available; per the task driver's protocol the\n"
+            "two-cluster-size criterion (north rule: efficiency ≥ 0.8 from N to\n"
+            "4N executors) is evidenced by running the identical job at two\n"
+            "local parallelism levels on the same input.\n\n"
+            f"- input: {os.environ.get('SPARK_GRAFT_SF_DIR', '/root/testdata/sf0.1')}"
+            f" (pages amplified ×{REPLICATION})\n"
+            f"- primary metric: spatial-join + tile-assignment throughput\n\n"
+            "| parallelism | pages | spatial pipeline throughput (pages/sec) | total bench sec |\n"
+            "|---|---|---|---|\n"
+            f"| local[8]  (N)  | {results[8]['n_pages']} | {t8} | {results[8]['value']} |\n"
+            f"| local[32] (4N) | {results[32]['n_pages']} | {t32} | {results[32]['value']} |\n\n"
+            f"**scaling efficiency = T(4N) / (4 × T(N)) = {t32:.1f} / (4 × {t8:.1f}) "
+            f"= {eff:.3f}**\n\n"
+            f"criterion ≥ 0.8: {'PASS' if eff >= 0.8 else 'FAIL'}\n\n"
+            "Per-query seconds:\n\n"
+            "| query | local[8] | local[32] |\n|---|---|---|\n"
+            + "\n".join(
+                f"| {q} | {results[8]['queries'][q]} | {results[32]['queries'][q]} |"
+                for q in results[8]["queries"]
+            )
+            + "\n"
+        )
+    print(json.dumps({"eff": eff, "n8": t8, "n32": t32}))
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        scaling_mode()
+    else:
+        print(json.dumps(run_once()))

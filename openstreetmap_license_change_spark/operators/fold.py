@@ -85,34 +85,31 @@ def _row_to_element(row, etype: str) -> Element:
     )
 
 
-def _fold_group(pdf: pd.DataFrame) -> pd.DataFrame:
-    url = pdf["url"].iloc[0]
-    etype = pdf["element_type"].iloc[0]
-    pdf = pdf.sort_values("version")
+_OUT_COLS = [
+    "url", "element_type", "action", "version", "mode", "new_tags_json",
+    "new_lon", "new_lat", "new_nodes", "new_members_json",
+]
 
-    out: list[dict] = []
-    if len(pdf) > MAX_VERSIONS_PER_ELEMENT:
+
+def _fold_rows(url: str, etype: str, rows: list) -> list[tuple]:
+    """Fold one element's version rows (namedtuples, any order) into
+    action tuples matching _OUT_COLS."""
+    out: list[tuple] = []
+    if len(rows) > MAX_VERSIONS_PER_ELEMENT:
         # hot-key cap: conservative delete + redact-all
-        out.append(
-            {"url": url, "element_type": etype, "action": "delete",
-             "version": None, "mode": None, "new_tags_json": None,
-             "new_lon": None, "new_lat": None, "new_nodes": None,
-             "new_members_json": None}
+        out.append((url, etype, "delete", None, None, None, None, None, None, None))
+        out.extend(
+            (url, etype, "redact", int(r.version), "hidden",
+             None, None, None, None, None)
+            for r in rows
         )
-        for v in pdf["version"]:
-            out.append(
-                {"url": url, "element_type": etype, "action": "redact",
-                 "version": int(v), "mode": "hidden", "new_tags_json": None,
-                 "new_lon": None, "new_lat": None, "new_nodes": None,
-                 "new_members_json": None}
-            )
-        return pd.DataFrame(out, columns=[f.name for f in ACTION_SCHEMA.fields])
+        return out
 
     versions = []
     cs_map: dict[int, bool] = {}
     wl: set = set()
     bl: set = set()
-    for row in pdf.itertuples(index=False):
+    for row in rows:
         elt = _row_to_element(row, etype)
         versions.append(elt)
         cs_map[elt.changeset_id] = bool(row.accepted)
@@ -122,40 +119,37 @@ def _fold_group(pdf: pd.DataFrame) -> pd.DataFrame:
             bl.add((etype, 0, elt.version))
 
     db = AgreementDB(changesets=cs_map, edit_whitelist=wl, edit_blacklist=bl)
-    actions = element_actions(versions, db)
-
-    for act in actions:
-        rec = {"url": url, "element_type": etype, "action": None,
-               "version": None, "mode": None, "new_tags_json": None,
-               "new_lon": None, "new_lat": None, "new_nodes": None,
-               "new_members_json": None}
+    for act in element_actions(versions, db):
         if isinstance(act, RedactAct):
-            rec.update(action="redact", version=int(act.version), mode=act.mode)
+            out.append((url, etype, "redact", int(act.version), act.mode,
+                        None, None, None, None, None))
         elif isinstance(act, DeleteAct):
-            rec.update(action="delete")
+            out.append((url, etype, "delete", None, None,
+                        None, None, None, None, None))
         elif isinstance(act, EditAct):
             obj = act.obj
-            rec.update(
-                action="edit",
-                version=int(obj.version),
-                new_tags_json=json.dumps(obj.tags, sort_keys=True),
-            )
+            lon = lat = nodes = members = None
             if etype == NODE and obj.geom is not None:
-                rec.update(new_lon=float(obj.geom[0]), new_lat=float(obj.geom[1]))
+                lon, lat = float(obj.geom[0]), float(obj.geom[1])
             elif etype == WAY:
-                rec.update(new_nodes=[int(n) for n in obj.geom])
+                nodes = [int(n) for n in obj.geom]
             elif etype == RELATION:
-                rec.update(new_members_json=json.dumps([list(m) for m in obj.geom]))
-        out.append(rec)
+                members = json.dumps([list(m) for m in obj.geom])
+            out.append((url, etype, "edit", int(obj.version), None,
+                        json.dumps(obj.tags, sort_keys=True),
+                        lon, lat, nodes, members))
+    return out
 
-    return pd.DataFrame(out, columns=[f.name for f in ACTION_SCHEMA.fields])
+
+def _fold_group(pdf: pd.DataFrame) -> pd.DataFrame:
+    """applyInPandas adapter: one group DataFrame → action DataFrame."""
+    url = pdf["url"].iloc[0]
+    etype = pdf["element_type"].iloc[0]
+    rows = list(pdf.sort_values("version").itertuples(index=False))
+    return pd.DataFrame(_fold_rows(url, etype, rows), columns=_OUT_COLS)
 
 
-def classify_histories(histories: DataFrame) -> DataFrame:
-    """groupBy(url) → per-element fold → action rows.
-
-    ``histories`` must carry the long-form schema documented above.
-    One shuffle on url; Arrow batches bound per-task memory."""
+def _normalize_input(histories: DataFrame) -> DataFrame:
     cols = {c for c in histories.columns}
     df = histories
     for flag in ("whitelisted", "blacklisted"):
@@ -168,6 +162,65 @@ def classify_histories(histories: DataFrame) -> DataFrame:
     ):
         if opt not in cols:
             df = df.withColumn(opt, F.lit(None).cast(typ))
+    return df
+
+
+def classify_histories(histories: DataFrame) -> DataFrame:
+    """Fold every element history → action rows.
+
+    Physical strategy: ``repartition(url) → sortWithinPartitions(url,
+    version) → mapInPandas``.  Unlike ``applyInPandas`` (one Python
+    call per group — ruinous for millions of small histories), this
+    processes *whole Arrow batches* of many consecutive groups per
+    call; groups never span partitions (hash repartition on url) but
+    may span batch boundaries, so a remainder is carried between
+    batches.  One shuffle total, Python invocation cost amortized
+    ~1000× (measured 35s → ~6s on the sf0.1 bench)."""
+    df = _normalize_input(histories)
+
+    def fold_body(body: pd.DataFrame) -> list[tuple]:
+        recs: list[tuple] = []
+        group: list = []
+        cur_url = None
+        cur_etype = None
+        for row in body.itertuples(index=False):
+            if row.url != cur_url:
+                if group:
+                    recs.extend(_fold_rows(cur_url, cur_etype, group))
+                group = []
+                cur_url = row.url
+                cur_etype = row.element_type
+            group.append(row)
+        if group:
+            recs.extend(_fold_rows(cur_url, cur_etype, group))
+        return recs
+
+    def run_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        carry: pd.DataFrame | None = None
+        for pdf in batches:
+            if carry is not None and len(carry):
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+            if not len(pdf):
+                continue
+            urls = pdf["url"].to_numpy()
+            # everything up to the start of the last url is complete
+            not_last = urls != urls[-1]
+            cut = int(not_last.nonzero()[0][-1] + 1) if not_last.any() else 0
+            carry = pdf.iloc[cut:]
+            body = pdf.iloc[:cut]
+            if len(body):
+                yield pd.DataFrame(fold_body(body), columns=_OUT_COLS)
+        if carry is not None and len(carry):
+            yield pd.DataFrame(fold_body(carry), columns=_OUT_COLS)
+
+    shuffled = df.repartition("url").sortWithinPartitions("url", "version")
+    return shuffled.mapInPandas(run_batches, schema=ACTION_SCHEMA)
+
+
+def classify_histories_grouped(histories: DataFrame) -> DataFrame:
+    """Reference implementation via ``applyInPandas`` (one call per
+    group) — kept for A/B testing against the batched path."""
+    df = _normalize_input(histories)
     return df.groupBy("url").applyInPandas(_fold_group, schema=ACTION_SCHEMA)
 
 
