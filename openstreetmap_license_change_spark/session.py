@@ -35,7 +35,19 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
+        .config("spark.local.dir", _local_dir())
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )
+
+
+def _local_dir() -> str:
+    """Shuffle/spill dir: prefer tmpfs — the sandbox host's disk is
+    shared with noisy neighbors; a real cluster would use local NVMe."""
+    shm = "/dev/shm/spark-local"
+    try:
+        os.makedirs(shm, exist_ok=True)
+        return shm
+    except OSError:
+        return "/tmp"
