@@ -1,0 +1,177 @@
+"""Cross-element delete cascade as bounded DataFrame joins (G1/G2).
+
+The reference resolves deletes against referencing objects in three
+type-ordered passes — node deletes edit/delete referencing ways and
+relations, way deletes edit/delete referencing relations, relation
+deletes edit/delete referencing relations — with a snapshot of the
+pending-delete list per pass (change_bot.rb:280-372).  This is *not* a
+general graph algorithm: the reference graph is a DAG by type
+(node→way→relation) plus one relation→relation level, so the cascade
+is a fixed sequence of ≤3 reverse-reference joins (J5: equi-join on
+exploded geometry arrays against the current-state tables).
+
+Spark shape per pass:
+    deletes(etype=t) ⋈ explode(current state refs)  -- one shuffle
+    → groupBy(referrer) collect removed refs        -- same shuffle key
+    → array-filter the referrer geometry, test invalid?
+    → split into cascaded edits / cascaded deletes
+
+State is carried between passes as a DataFrame (the "effective"
+way/relation state = planned edit if any, else current version), so a
+relation that loses a node member in pass 1 and a way member in pass 2
+composes correctly.  All joins key on (element id); reference tables
+are the latest-version snapshots (A3).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# deterministic changeset ordering (O3, change_bot.rb:296-316):
+# edits before deletes; within each, relation → way → node
+_TYPE_RANK = F.when(F.col("etype") == "relation", 0).when(
+    F.col("etype") == "way", 1
+).otherwise(2)
+
+
+def _effective(planned: DataFrame, current: DataFrame, geom_col: str) -> DataFrame:
+    """Planned edit state where one exists, else current version."""
+    cur_only = current.join(
+        planned.select("element_id"), "element_id", "left_anti"
+    ).withColumn("had_plan", F.lit(False))
+    return planned.withColumn("had_plan", F.lit(True)).unionByName(cur_only)
+
+
+def cascade(
+    node_deletes: DataFrame,
+    way_deletes: DataFrame,
+    relation_deletes: DataFrame,
+    way_edits: DataFrame,
+    relation_edits: DataFrame,
+    current_ways: DataFrame,
+    current_relations: DataFrame,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Resolve the cascade. Returns (way_state, relation_state,
+    all_deletes):
+
+    * way_state: element_id, nodes, version, tags_json, is_edit,
+      killed — ways whose node list changed (is_edit) or died (killed)
+    * relation_state: same over members
+    * all_deletes: etype, element_id — original + cascaded
+
+    Inputs: deletes carry element_id; edits carry (element_id, version,
+    tags_json, nodes|members); current_* are latest-version snapshots
+    with the same columns.  Members are structs (mtype, ref, role).
+    """
+    spark = node_deletes.sparkSession
+
+    # ---- pass 1: node deletes → ways --------------------------------
+    ways = _effective(way_edits, current_ways, "nodes")
+    nd = F.broadcast(node_deletes.select(F.col("element_id").alias("del_id")))
+
+    way_hits = (
+        ways.select("element_id", F.explode("nodes").alias("ref"))
+        .join(nd, F.col("ref") == F.col("del_id"), "inner")
+        .groupBy("element_id")
+        .agg(F.collect_set("ref").alias("removed"))
+    )
+    # ways already being deleted are skipped (change_bot.rb:329)
+    way_hits = way_hits.join(
+        way_deletes.select("element_id"), "element_id", "left_anti"
+    )
+    touched_ways = (
+        ways.join(way_hits, "element_id", "inner")
+        .withColumn(
+            "nodes",
+            F.filter(
+                F.col("nodes"),
+                lambda n: ~F.array_contains(F.col("removed"), n),
+            ),
+        )
+        .withColumn("killed", F.size("nodes") < 2)  # osm.rb:132-134
+        .drop("removed")
+    )
+    way_state = touched_ways.withColumn("is_edit", ~F.col("killed"))
+    cascaded_way_deletes = way_state.where("killed").select("element_id")
+    all_way_deletes = way_deletes.select("element_id").unionByName(
+        cascaded_way_deletes
+    ).distinct()
+
+    # ---- passes over relations (node, then way, then relation) -------
+    rels = _effective(relation_edits, current_relations, "members").withColumn(
+        "was_touched", F.lit(False)
+    )
+    rel_deletes_acc = relation_deletes.select("element_id")
+
+    for mtype, dels_thunk in (
+        ("node", lambda: node_deletes.select("element_id")),
+        ("way", lambda: all_way_deletes),
+        ("relation", lambda: rel_deletes_acc),  # snapshot at pass start
+    ):
+        dd = F.broadcast(dels_thunk().select(F.col("element_id").alias("del_id")))
+        hits = (
+            rels.select("element_id", F.explode("members").alias("m"))
+            .where(F.col("m.mtype") == mtype)
+            .join(dd, F.col("m.ref") == F.col("del_id"), "inner")
+            .groupBy("element_id")
+            .agg(F.collect_set("m.ref").alias("removed"))
+            .join(rel_deletes_acc, "element_id", "left_anti")
+        )
+        updated = (
+            rels.join(hits, "element_id", "inner")
+            .withColumn(
+                "members",
+                F.filter(
+                    F.col("members"),
+                    lambda m: ~(
+                        (m["mtype"] == mtype)
+                        & F.array_contains(F.col("removed"), m["ref"])
+                    ),
+                ),
+            )
+            .drop("removed")
+            .withColumn("was_touched", F.lit(True))
+        )
+        rels = updated.unionByName(
+            rels.join(hits.select("element_id"), "element_id", "left_anti")
+        )
+        # relations emptied by this pass become deletes before the next
+        # pass's snapshot (empty relations can't exist,
+        # change_bot.rb:350-359)
+        emptied = rels.where(
+            F.col("was_touched") & (F.size("members") == 0)
+        ).select("element_id")
+        rel_deletes_acc = rel_deletes_acc.unionByName(emptied).distinct()
+        rels = rels.join(emptied, "element_id", "left_anti")
+
+    relation_state = rels.withColumn(
+        "is_edit", F.col("was_touched")
+    ).withColumn("killed", F.lit(False)).drop("was_touched")
+
+    all_deletes = (
+        node_deletes.select("element_id").withColumn("etype", F.lit("node"))
+        .unionByName(all_way_deletes.withColumn("etype", F.lit("way")))
+        .unionByName(rel_deletes_acc.withColumn("etype", F.lit("relation")))
+    )
+    return way_state, relation_state, all_deletes
+
+
+def ordered_changeset(
+    edits: DataFrame, deletes: DataFrame
+) -> DataFrame:
+    """O3 deterministic ordering: edits (relation→way→node) before
+    deletes (relation→way→node), then by element id.  Replaces the
+    reference's pending-list insertion order with a total order."""
+    e = edits.withColumn("action_rank", F.lit(0))
+    d = deletes.withColumn("action_rank", F.lit(1))
+    cols = set(e.columns) | set(d.columns)
+    for c in cols - set(e.columns):
+        e = e.withColumn(c, F.lit(None))
+    for c in cols - set(d.columns):
+        d = d.withColumn(c, F.lit(None))
+    return (
+        e.unionByName(d)
+        .withColumn("type_rank", _TYPE_RANK)
+        .orderBy("action_rank", "type_rank", "element_id")
+    )

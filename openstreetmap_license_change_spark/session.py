@@ -22,7 +22,13 @@ def get_spark(
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     master = master or f"local[{cpus}]"
     if shuffle_partitions is None:
-        shuffle_partitions = int(os.environ.get("SPARK_SHUFFLE_PARTITIONS", "64"))
+        # scale reduce-side parallelism with the cluster size (4 waves
+        # per core), exactly as one would size it per-cluster in prod;
+        # AQE coalesces small partitions back down at runtime
+        default_sp = max(32, int(cpus) * 4) if cpus.isdigit() else 128
+        shuffle_partitions = int(
+            os.environ.get("SPARK_SHUFFLE_PARTITIONS", str(default_sp))
+        )
 
     return (
         SparkSession.builder.appName(app_name)

@@ -1,0 +1,352 @@
+"""Spark-side integration tests: the grouped fold UDF and the cascade
+joins must reproduce the pure-Python core (which itself is golden-tested
+against the reference suites)."""
+
+import json
+
+import pytest
+
+from openstreetmap_license_change_spark.core.history import (
+    AgreementDB,
+    ChangeBot,
+    HistoryStore,
+)
+from openstreetmap_license_change_spark.core.model import (
+    NODE,
+    RELATION,
+    WAY,
+    DeleteAct,
+    EditAct,
+    node,
+    relation,
+    way,
+)
+
+pyspark = pytest.importorskip("pyspark")
+
+
+@pytest.fixture(scope="module")
+def spark():
+    from openstreetmap_license_change_spark.session import get_spark
+
+    s = get_spark("pytest", master="local[4]", shuffle_partitions=8)
+    yield s
+    s.stop()
+
+
+CS = {1: True, 2: True, 3: False}
+
+
+# ---------------------------------------------------------------------------
+# fold UDF vs core
+# ---------------------------------------------------------------------------
+
+def _history_rows(histories):
+    """histories: list of (url, [Element,...]) node histories →
+    long-form fold input rows."""
+    rows = []
+    for url, versions in histories:
+        for v in versions:
+            rows.append(
+                (
+                    url, "node", v.version, v.visible, CS[v.changeset_id],
+                    False, False, json.dumps(v.tags),
+                    float(v.geom[0]), float(v.geom[1]), None, None,
+                )
+            )
+    return rows
+
+
+FOLD_COLS = (
+    "url string, element_type string, version int, visible boolean, "
+    "accepted boolean, whitelisted boolean, blacklisted boolean, "
+    "tags_json string, lon double, lat double, nodes array<bigint>, "
+    "members_json string"
+)
+
+
+def test_fold_matches_core_on_node_scenarios(spark):
+    from openstreetmap_license_change_spark.core.history import element_actions
+    from openstreetmap_license_change_spark.core.model import RedactAct
+    from openstreetmap_license_change_spark.operators import fold
+
+    histories = [
+        ("n1", [node(1, 1, [0, 0], changeset_id=1),
+                node(1, 2, [0, 0], changeset_id=2)]),
+        ("n2", [node(2, 1, [0, 0], changeset_id=3)]),
+        ("n3", [node(3, 1, [0, 0], changeset_id=3, tags={"foo": "bar"}),
+                node(3, 2, [1, 1], changeset_id=1,
+                     tags={"foo": "bar", "fee": "fie"})]),
+        ("n4", [node(4, 1, [0, 0], changeset_id=1, tags={"foo": "bar"}),
+                node(4, 2, [0, 0], changeset_id=3, tags={"foo": "blah"}),
+                node(4, 3, [0, 0], changeset_id=2,
+                     tags={"foo": "blah", "bar": "blah"})]),
+        ("n5", [node(5, 1, [0, 0], changeset_id=1),
+                node(5, 2, [0, 0], changeset_id=3, visible=False),
+                node(5, 3, [2, 2], changeset_id=2, tags={"a": "b"})]),
+    ]
+
+    df = spark.createDataFrame(_history_rows(histories), FOLD_COLS)
+    got = {
+        (r.url, r.action, r.version, r.mode)
+        for r in fold.classify_histories(df).collect()
+    }
+
+    expected = set()
+    db = AgreementDB(changesets=CS)
+    for url, versions in histories:
+        for act in element_actions(versions, db):
+            if isinstance(act, RedactAct):
+                expected.add((url, "redact", act.version, act.mode))
+            elif isinstance(act, DeleteAct):
+                expected.add((url, "delete", None, None))
+            else:
+                expected.add((url, "edit", act.obj.version, None))
+    assert got == expected
+
+
+def test_fold_edit_payload_roundtrip(spark):
+    from openstreetmap_license_change_spark.operators import fold
+
+    histories = [
+        ("e1", [node(1, 1, [0, 0], changeset_id=1, tags={"foo": "bar"}),
+                node(1, 2, [0, 0], changeset_id=3, tags={"foo": "blah"})]),
+    ]
+    df = spark.createDataFrame(_history_rows(histories), FOLD_COLS)
+    rows = fold.classify_histories(df).collect()
+    edits = [r for r in rows if r.action == "edit"]
+    assert len(edits) == 1
+    assert json.loads(edits[0].new_tags_json) == {"foo": "bar"}
+    assert (edits[0].new_lon, edits[0].new_lat) == (0.0, 0.0)
+
+
+# ---------------------------------------------------------------------------
+# cascade joins vs core ChangeBot
+# ---------------------------------------------------------------------------
+
+def _spark_cascade(spark, nodes, ways, relations):
+    """Run the full core fold + Spark cascade over an in-memory world;
+    return ({way edits}, {relation edits}, {deletes})."""
+    from openstreetmap_license_change_spark.operators import cascade as casc
+
+    store = HistoryStore(nodes=nodes, ways=ways, relations=relations)
+    db = AgreementDB(changesets=CS)
+    bot = ChangeBot(store, db)
+    bot.process_all()
+
+    # split the per-element fold output (pre-cascade)
+    nd = [(d.element_id,) for d in bot.pending_deletes if d.etype == NODE]
+    wd = [(d.element_id,) for d in bot.pending_deletes if d.etype == WAY]
+    rd = [(d.element_id,) for d in bot.pending_deletes if d.etype == RELATION]
+    we = [
+        (e.obj.element_id, e.obj.version, json.dumps(e.obj.tags),
+         [int(n) for n in e.obj.geom])
+        for e in bot.pending_edits if e.obj.etype == WAY
+    ]
+    re_ = [
+        (e.obj.element_id, e.obj.version, json.dumps(e.obj.tags),
+         [(m[0], int(m[1]), m[2]) for m in e.obj.geom])
+        for e in bot.pending_edits if e.obj.etype == RELATION
+    ]
+    cw = [
+        (wid, vs[-1].version, json.dumps(vs[-1].tags),
+         [int(n) for n in vs[-1].geom])
+        for wid, vs in (ways or {}).items()
+    ]
+    cr = [
+        (rid, vs[-1].version, json.dumps(vs[-1].tags),
+         [(m[0], int(m[1]), m[2]) for m in vs[-1].geom])
+        for rid, vs in (relations or {}).items()
+    ]
+
+    del_schema = "element_id bigint"
+    way_schema = (
+        "element_id bigint, version int, tags_json string, nodes array<bigint>"
+    )
+    rel_schema = (
+        "element_id bigint, version int, tags_json string, "
+        "members array<struct<mtype:string, ref:bigint, role:string>>"
+    )
+    mk = spark.createDataFrame
+    way_state, rel_state, deletes = casc.cascade(
+        mk(nd or [], del_schema), mk(wd or [], del_schema),
+        mk(rd or [], del_schema),
+        mk(we or [], way_schema), mk(re_ or [], rel_schema),
+        mk(cw or [], way_schema), mk(cr or [], rel_schema),
+    )
+
+    got_deletes = {(r.etype, r.element_id) for r in deletes.collect()}
+    got_way_edits = {
+        (r.element_id, tuple(r.nodes))
+        for r in way_state.where("is_edit").collect()
+        if (("way", r.element_id) not in got_deletes)
+    }
+    got_rel_edits = {
+        (r.element_id, tuple((m.mtype, m.ref, m.role) for m in r.members))
+        for r in rel_state.where("is_edit").collect()
+        if (("relation", r.element_id) not in got_deletes)
+    }
+    # untouched planned edits still count as edits
+    for r in way_state.where("had_plan AND NOT is_edit AND NOT killed").collect():
+        got_way_edits.add((r.element_id, tuple(r.nodes)))
+    for r in rel_state.where("had_plan AND NOT is_edit").collect():
+        got_rel_edits.add(
+            (r.element_id, tuple((m.mtype, m.ref, m.role) for m in r.members))
+        )
+
+    # core oracle
+    expected_changeset = bot.as_changeset()
+    exp_deletes = {
+        (d.etype, d.element_id)
+        for d in expected_changeset if isinstance(d, DeleteAct)
+    }
+    exp_way_edits = {
+        (e.obj.element_id, tuple(e.obj.geom))
+        for e in expected_changeset
+        if isinstance(e, EditAct) and e.obj.etype == WAY
+    }
+    exp_rel_edits = {
+        (e.obj.element_id, tuple(e.obj.geom))
+        for e in expected_changeset
+        if isinstance(e, EditAct) and e.obj.etype == RELATION
+    }
+    assert got_deletes == exp_deletes
+    assert got_way_edits == exp_way_edits
+    assert got_rel_edits == exp_rel_edits
+
+
+def test_cascade_way_deletion(spark):  # test_references.rb:18-42 world
+    _spark_cascade(
+        spark,
+        nodes={
+            1: [node(1, 1, [0, 0], changeset_id=3)],
+            2: [node(2, 1, [1, 1], changeset_id=1)],
+        },
+        ways={1: [way(1, 1, [1, 2], changeset_id=2)]},
+        relations={},
+    )
+
+
+def test_cascade_remove_node_from_way(spark):  # test_references.rb:49-75
+    _spark_cascade(
+        spark,
+        nodes={
+            1: [node(1, 1, [0, 0], changeset_id=3)],
+            2: [node(2, 1, [1, 1], changeset_id=1)],
+            3: [node(3, 1, [1, 1], changeset_id=1)],
+        },
+        ways={1: [way(1, 1, [1, 2, 3], changeset_id=2)]},
+        relations={},
+    )
+
+
+def test_cascade_relation_chain(spark):  # test_references.rb:349-372
+    _spark_cascade(
+        spark,
+        nodes={1: [node(1, 1, [0, 0], changeset_id=3)]},
+        ways={},
+        relations={
+            1: [relation(1, 1, [(NODE, 1, "first")], changeset_id=2)],
+            2: [relation(2, 1, [(RELATION, 1, "first")], changeset_id=2)],
+        },
+    )
+
+
+def test_cascade_mixed_world(spark):  # test_references.rb:315-344
+    _spark_cascade(
+        spark,
+        nodes={
+            1: [node(1, 1, [0, 0], changeset_id=3)],
+            2: [node(2, 1, [1, 1], changeset_id=1)],
+        },
+        ways={1: [way(1, 1, [1, 2], changeset_id=2)]},
+        relations={
+            1: [
+                relation(
+                    1, 1,
+                    [(NODE, 1, "first"), (NODE, 2, "second"), (WAY, 1, "third")],
+                    changeset_id=2,
+                )
+            ]
+        },
+    )
+
+
+def test_cascade_empty_relation(spark):  # test_references.rb:248-273
+    _spark_cascade(
+        spark,
+        nodes={
+            1: [node(1, 1, [0, 0], changeset_id=3)],
+            2: [node(2, 1, [1, 1], changeset_id=3)],
+            3: [node(3, 1, [1, 1], changeset_id=3)],
+        },
+        ways={},
+        relations={
+            1: [
+                relation(
+                    1, 1,
+                    [(NODE, 1, "first"), (NODE, 2, "second"), (NODE, 3, "third")],
+                    changeset_id=2,
+                )
+            ]
+        },
+    )
+
+
+# ---------------------------------------------------------------------------
+# spatial kernels
+# ---------------------------------------------------------------------------
+
+def _py_quad_tile(lon, lat):
+    """Reference Morton interleave in plain Python (mirrors
+    extract_loader.rb:111-131)."""
+    x = max(0, min(65535, int((lon + 180.0) * 65536.0 / 360.0)))
+    y = max(0, min(65535, int((lat + 90.0) * 65536.0 / 180.0)))
+    tile = 0
+    for i in range(16):
+        tile |= ((x >> i) & 1) << (2 * i)
+        tile |= ((y >> i) & 1) << (2 * i + 1)
+    return tile
+
+
+def test_quad_tile_matches_bitwise_reference(spark):
+    from pyspark.sql import functions as F
+
+    from openstreetmap_license_change_spark.operators import spatial
+
+    pts = [
+        (0.0, 0.0), (-179.9999, -89.9999), (179.9999, 89.9999),
+        (13.3777, 52.5162), (-0.1276, 51.5072), (151.2093, -33.8688),
+    ]
+    df = spark.createDataFrame(pts, "lon double, lat double")
+    rows = df.withColumn(
+        "tile", spatial.quad_tile(F.col("lon"), F.col("lat"))
+    ).collect()
+    for r in rows:
+        assert r.tile == _py_quad_tile(r.lon, r.lat), (r.lon, r.lat)
+
+
+def test_pip_polygons_ray_cast(spark):
+    from openstreetmap_license_change_spark.operators import spatial
+
+    # a triangle and a square
+    polys = [
+        (1, [(0.0, 0.0), (10.0, 0.0), (5.0, 10.0), (0.0, 0.0)]),
+        (2, [(20.0, 20.0), (30.0, 20.0), (30.0, 30.0), (20.0, 30.0),
+             (20.0, 20.0)]),
+    ]
+    pts = [
+        (5.0, 2.0, 1),     # inside triangle
+        (25.0, 25.0, 2),   # inside square
+        (15.0, 15.0, None),  # outside both
+        (-50.0, -50.0, None),  # outside union bbox (native prefilter)
+    ]
+    df = spark.createDataFrame(
+        [(lon, lat) for lon, lat, _ in pts], "lon double, lat double"
+    )
+    got = {
+        (r.lon, r.lat): r.polygon_id
+        for r in spatial.pip_join_polygons(df, polys).collect()
+    }
+    for lon, lat, want in pts:
+        assert got[(lon, lat)] == want, (lon, lat)
