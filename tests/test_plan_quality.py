@@ -1,0 +1,116 @@
+"""Physical-plan quality gates: the optimizations we design for must
+actually appear in the plans Catalyst produces.
+
+These tests read `.explain("formatted")` output and assert:
+* filter + projection pushdown reach the parquet scan
+* small dimension joins broadcast (no shuffle on the dim side)
+* the flag-join + window pipeline contains exactly the expected number
+  of exchanges (no accidental extra shuffles)
+* native expressions stay inside WholeStageCodegen
+"""
+
+import os
+
+import pytest
+
+pyspark = pytest.importorskip("pyspark")
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def spark():
+    from openstreetmap_license_change_spark.session import get_spark
+
+    s = get_spark("plan-tests", master="local[4]", shuffle_partitions=8)
+    yield s
+    s.stop()
+
+
+def plan_of(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_parquet_pushdown(spark):
+    from pyspark.sql import functions as F
+
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    q = li.where(F.col("l_shipdate") <= F.lit("1998-09-02")).select(
+        "l_returnflag", "l_quantity"
+    )
+    plan = plan_of(q)
+    assert "PushedFilters: [IsNotNull(l_shipdate)" in plan, plan
+    # column pruning: the scan must read only the 3 referenced columns
+    assert "ReadSchema" in plan
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "l_extendedprice" not in read_schema
+    assert "l_shipdate" in read_schema and "l_quantity" in read_schema
+
+
+def test_flag_join_broadcasts(spark):
+    from openstreetmap_license_change_spark.operators import lineage
+    from openstreetmap_license_change_spark.sources import pages as pages_src
+
+    flagged = lineage.with_accept_flags(
+        pages_src.pages_from_documents(spark, SF_DIR),
+        pages_src.cs_status(spark),
+    )
+    plan = plan_of(flagged)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_latest_version_is_single_shuffle_partial_agg(spark):
+    from openstreetmap_license_change_spark.operators import lineage
+    from openstreetmap_license_change_spark.sources import pages as pages_src
+
+    latest = lineage.latest_version(
+        pages_src.pages_from_documents(spark, SF_DIR).select(
+            "url", "version", "lon", "lat"
+        )
+    )
+    import re
+
+    plan = plan_of(latest)
+    # map-side partial aggregation before the single exchange
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
+    assert "partial_max_by" in plan, plan
+    assert "max_by" in plan
+
+
+def test_tile_rollup_whole_stage_codegen(spark):
+    from pyspark.sql import functions as F
+
+    from openstreetmap_license_change_spark.operators import spatial
+    from openstreetmap_license_change_spark.sources import pages as pages_src
+
+    pages = pages_src.pages_from_documents(spark, SF_DIR)
+    rollup = spatial.tile_rollup(
+        spatial.assign_cells(pages).withColumn("tainted", F.col("visible"))
+    )
+    import re
+
+    plan = plan_of(rollup)
+    # map-side combine then one exchange; all-native expressions
+    assert "partial_count" in plan and "partial_sum" in plan, plan
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
+    # the cell-assignment arithmetic must not introduce a Python UDF
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # column pruning: only doc_id is read from the documents scan
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "text" not in read_schema and "lang" not in read_schema
+
+
+def test_pip_rect_broadcasts_and_prunes(spark):
+    from openstreetmap_license_change_spark.operators import spatial
+    from openstreetmap_license_change_spark.sources import pages as pages_src
+
+    pages = pages_src.pages_from_documents(spark, SF_DIR)
+    rects = spark.createDataFrame(
+        [(1, -180.0, -90.0, 0.0, 90.0)],
+        "polygon_id INT, min_lon DOUBLE, min_lat DOUBLE, max_lon DOUBLE, max_lat DOUBLE",
+    )
+    plan = plan_of(spatial.pip_join_rect(pages, rects))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
