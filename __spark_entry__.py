@@ -591,7 +591,66 @@ def oracle_sql() -> dict[str, str]:
               ON a.band = b.band AND a.bucket = b.bucket
             WHERE a.doc_id < b.doc_id
         """,
-        # lang_id / simhash / knn ties / classify_actions: rows-only
-        # (lang_id vote ties and simhash bit arithmetic are checked by
-        # pytest instead; classify_actions is UDF-bound by design)
+        "lang_id": f"""
+            WITH hits AS (
+                SELECT lang,
+                       len(list_intersect(
+                           list_distinct(string_split_regex(lower(text), '\\s+')),
+                           [{sw['en']}])) AS h_en,
+                       len(list_intersect(
+                           list_distinct(string_split_regex(lower(text), '\\s+')),
+                           [{sw['de']}])) AS h_de,
+                       len(list_intersect(
+                           list_distinct(string_split_regex(lower(text), '\\s+')),
+                           [{sw['fr']}])) AS h_fr,
+                       len(list_intersect(
+                           list_distinct(string_split_regex(lower(text), '\\s+')),
+                           [{sw['es']}])) AS h_es
+                FROM documents
+            ),
+            pred AS (
+                SELECT lang,
+                       CASE WHEN GREATEST(h_en, h_de, h_fr, h_es) = 0 THEN 'und'
+                            WHEN h_es > GREATEST(h_en, h_de, h_fr) THEN 'es'
+                            WHEN h_fr > GREATEST(h_en, h_de) THEN 'fr'
+                            WHEN h_de > h_en THEN 'de'
+                            ELSE 'en' END AS lang_pred
+                FROM hits
+            )
+            SELECT lang, lang_pred, COUNT(*) AS n_docs
+            FROM pred GROUP BY 1, 2
+        """,
+        "simhash": f"""
+            WITH toks AS (
+                SELECT DISTINCT doc_id, tok AS token
+                FROM documents,
+                     LATERAL UNNEST(string_split_regex(lower(text), '\\s+'))
+                         AS u(tok)
+                WHERE tok <> ''
+            ),
+            dict AS (
+                SELECT token,
+                       CAST(DENSE_RANK() OVER (ORDER BY token) AS BIGINT)
+                           AS token_id
+                FROM (SELECT DISTINCT token FROM toks)
+            ),
+            joined AS (
+                SELECT t.doc_id, d.token_id FROM toks t JOIN dict d USING (token)
+            ),
+            bits AS (SELECT UNNEST(range(0, 63)) AS bit),
+            scored AS (
+                SELECT doc_id, bit,
+                       CAST(SUM(((token_id * (bit * 2654435761 + 40503)
+                                  + bit * 97) % {dedup.MINHASH_PRIME}) % 2
+                                * 2 - 1) > 0 AS BIGINT) AS bit_on
+                FROM joined CROSS JOIN bits
+                GROUP BY doc_id, bit
+            )
+            SELECT doc_id,
+                   CAST(SUM(bit_on * CAST(power(2.0, bit) AS BIGINT)) AS BIGINT)
+                       AS simhash
+            FROM scored GROUP BY doc_id
+        """,
+        # knn ties + classify_actions: classify_actions is UDF-bound by
+        # design (golden-tested in tests/ against the reference suites)
     }
