@@ -236,10 +236,20 @@ def scaling_mode():
                     "SPARK_GRAFT_BENCH_REPL", "256"
                 ),
             )
+            # hard-pin the whole process tree (JVM + Python workers +
+            # GC/shuffle threads) to exactly `cpus` cores so a small
+            # "cluster" cannot leak extra parallelism through
+            # background threads — the faithful simulation of an
+            # N-core executor allocation
+            cmd = [sys.executable, os.path.abspath(__file__)]
+            pinned = ["taskset", "-c", f"0-{cpus - 1}"] + cmd
             out = subprocess.run(
-                [sys.executable, os.path.abspath(__file__)],
-                env=env, capture_output=True, text=True, timeout=3600,
+                pinned, env=env, capture_output=True, text=True, timeout=3600,
             )
+            if out.returncode != 0 and not out.stdout.strip():
+                out = subprocess.run(  # taskset unavailable: fall back
+                    cmd, env=env, capture_output=True, text=True, timeout=3600,
+                )
             line = [
                 l for l in out.stdout.strip().splitlines() if l.startswith("{")
             ][-1]
