@@ -268,6 +268,33 @@ def q_events_sessionize(spark, sf_dir):
     )
 
 
+def q_significance_prefilter(spark, sf_dir):
+    """F1-F5 native tier of the significance kernel: normalize
+    consecutive page text versions and compute levenshtein-based
+    triviality, entirely JVM-side (tags.rb:264-295's cheap path)."""
+    from openstreetmap_license_change_spark.functions import significance
+
+    pages = _pages(spark, sf_dir)
+    w = W.partitionBy("url").orderBy("version")
+    pairs = (
+        pages.withColumn("prev_text", F.lag(F.substring("text", 1, 64)).over(w))
+        .withColumn("cur_text", F.substring("text", 1, 64))
+        .where(F.col("prev_text").isNotNull())
+    )
+    o = significance.normalize(F.col("prev_text"))
+    n = significance.normalize(F.col("cur_text"))
+    return pairs.select(
+        "url",
+        "version",
+        F.levenshtein(o, n).alias("lev_dist"),
+        (o == n).alias("norm_equal"),
+        (
+            F.levenshtein(o, n)
+            < F.floor(F.least(F.length(o), F.length(n)) / F.lit(8))
+        ).alias("small_edit"),
+    )
+
+
 def q_classify_actions(spark, sf_dir):
     """A7: the history fold (grouped pandas UDF) over page lineages —
     non-SQL-expressible; golden-checked against the reference suites in
@@ -298,6 +325,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "ann_cosine_topk": q_ann_cosine_topk,
         "events_sessionize": q_events_sessionize,
+        "significance_prefilter": q_significance_prefilter,
         "classify_actions": q_classify_actions,
     }
 
@@ -591,6 +619,33 @@ def oracle_sql() -> dict[str, str]:
               ON a.band = b.band AND a.bucket = b.bucket
             WHERE a.doc_id < b.doc_id
         """,
+        "significance_prefilter": _with_pages("""
+            , pairs AS (
+                SELECT url, version,
+                       LAG(substring(text, 1, 64)) OVER (
+                           PARTITION BY url ORDER BY version) AS prev_text,
+                       substring(text, 1, 64) AS cur_text
+                FROM pages
+            ),
+            norm AS (
+                SELECT url, version,
+                       regexp_replace(regexp_replace(regexp_replace(
+                           lower(prev_text), '[＇''ʼʹ]', '', 'g'),
+                           'ß', 'ss', 'g'),
+                           '[\\W_]+', ' ', 'g') AS o,
+                       regexp_replace(regexp_replace(regexp_replace(
+                           lower(cur_text), '[＇''ʼʹ]', '', 'g'),
+                           'ß', 'ss', 'g'),
+                           '[\\W_]+', ' ', 'g') AS n
+                FROM pairs WHERE prev_text IS NOT NULL
+            )
+            SELECT url, version,
+                   levenshtein(o, n) AS lev_dist,
+                   o = n AS norm_equal,
+                   levenshtein(o, n) <
+                       FLOOR(LEAST(length(o), length(n)) / 8) AS small_edit
+            FROM norm
+        """),
         "lang_id": f"""
             WITH hits AS (
                 SELECT lang,
