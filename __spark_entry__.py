@@ -304,6 +304,61 @@ def q_classify_actions(spark, sf_dir):
     return fold.classify_histories(hist)
 
 
+def q_cascade_deletes(spark, sf_dir):
+    """G1/G2: delete cascade over a derived world — 'ways' are document
+    sources whose node list is their doc_ids; node deletes come from
+    the fold over page lineages.  Iterative-join operator: rows-only
+    here (golden-tested against the single-node oracle in
+    tests/test_spark_integration.py)."""
+    from openstreetmap_license_change_spark.operators import cascade as casc
+
+    flagged = _pages_flagged(spark, sf_dir)
+    actions = fold.classify_histories(fold.pages_histories(flagged))
+    node_deletes = (
+        actions.where(F.col("action") == "delete")
+        .join(
+            flagged.select("url", "doc_id").distinct(), "url", "inner"
+        )
+        .select(F.col("doc_id").alias("element_id"))
+        .distinct()
+    )
+    ways = (
+        pages_src.documents(spark, sf_dir)
+        .groupBy("source")
+        .agg(
+            F.xxhash64(F.min("doc_id")).alias("element_id"),
+            F.lit(1).alias("version"),
+            F.to_json(F.create_map(F.lit("kind"), F.first("source"))).alias(
+                "tags_json"
+            ),
+            F.sort_array(F.collect_list("doc_id")).alias("nodes"),
+        )
+        .drop("source")
+    )
+    empty_del = spark.createDataFrame([], "element_id bigint")
+    empty_way_edits = spark.createDataFrame(
+        [], "element_id bigint, version int, tags_json string, nodes array<bigint>"
+    )
+    empty_rels = spark.createDataFrame(
+        [],
+        "element_id bigint, version int, tags_json string, "
+        "members array<struct<mtype:string, ref:bigint, role:string>>",
+    )
+    way_state, _rel_state, all_deletes = casc.cascade(
+        node_deletes, empty_del, empty_del,
+        empty_way_edits, empty_rels, ways, empty_rels,
+    )
+    edits = way_state.where("is_edit").select(
+        "element_id", F.size("nodes").alias("n_nodes_after")
+    ).withColumn("outcome", F.lit("edit"))
+    dels = all_deletes.where(F.col("etype") == "way").select(
+        "element_id",
+        F.lit(-1).alias("n_nodes_after"),
+        F.lit("delete").alias("outcome"),
+    )
+    return edits.unionByName(dels)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "latest_version": q_latest_version,
@@ -327,6 +382,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessionize": q_events_sessionize,
         "significance_prefilter": q_significance_prefilter,
         "classify_actions": q_classify_actions,
+        "cascade_deletes": q_cascade_deletes,
     }
 
 
