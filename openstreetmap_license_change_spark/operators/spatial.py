@@ -227,12 +227,32 @@ def knn_in_cell(
         "dist2",
         (F.col("lon") - F.col("c_lon")) ** 2 + (F.col("lat") - F.col("c_lat")) ** 2,
     )
-    w = W.partitionBy(point_id).orderBy("dist2", cand_id)
-    return (
-        joined.withColumn("knn_rank", F.row_number().over(w))
-        .where(F.col("knn_rank") <= k)
-        .drop("c_cell", "c_lon", "c_lat")
+    # top-k via collect_list + sort_array instead of a row_number sort
+    # window: a point's candidates all live in one cell partition, so
+    # the partial aggregate completes locally and the shuffle carries
+    # one record per point; the per-partition global sort the window
+    # would need disappears entirely
+    point_cols = [c2 for c2 in points.columns]
+    topk = (
+        joined.groupBy(*point_cols)
+        .agg(
+            F.slice(
+                F.sort_array(
+                    F.collect_list(F.struct("dist2", cand_id))
+                ),
+                1,
+                k,
+            ).alias("_nn")
+        )
+        .select(*point_cols, F.posexplode("_nn").alias("_pos", "_nn1"))
+        .select(
+            *point_cols,
+            F.col(f"_nn1.{cand_id}").alias(cand_id),
+            F.col("_nn1.dist2").alias("dist2"),
+            (F.col("_pos") + 1).alias("knn_rank"),
+        )
     )
+    return topk
 
 
 def tile_rollup(pages_with_cells: DataFrame, taint_col: str = "tainted") -> DataFrame:
