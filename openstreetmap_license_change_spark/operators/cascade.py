@@ -30,9 +30,12 @@ from pyspark.sql import functions as F
 
 # deterministic changeset ordering (O3, change_bot.rb:296-316):
 # edits before deletes; within each, relation → way → node
-_TYPE_RANK = F.when(F.col("etype") == "relation", 0).when(
-    F.col("etype") == "way", 1
-).otherwise(2)
+def _type_rank():
+    return (
+        F.when(F.col("etype") == "relation", 0)
+        .when(F.col("etype") == "way", 1)
+        .otherwise(2)
+    )
 
 
 def _effective(planned: DataFrame, current: DataFrame, geom_col: str) -> DataFrame:
@@ -172,6 +175,6 @@ def ordered_changeset(
         d = d.withColumn(c, F.lit(None))
     return (
         e.unionByName(d)
-        .withColumn("type_rank", _TYPE_RANK)
+        .withColumn("type_rank", _type_rank())
         .orderBy("action_rank", "type_rank", "element_id")
     )
