@@ -262,9 +262,15 @@ def q_events_sessionize(spark, sf_dir):
         "session_id",
         F.sum("new_sess").over(w.rowsBetween(W.unboundedPreceding, W.currentRow)),
     )
+    # sum on a scaled integer: SUM(double) is accumulation-order-
+    # dependent (round-1 hash mismatch); values are ~2-dp so
+    # round(value·10⁴) is far from .5 ties and bit-identical across
+    # engines, the int64 sum is exact, and the final division is one
+    # deterministic IEEE op
+    scaled = F.round(F.col("value") * 10000).cast("bigint")
     return sess.groupBy("user_id", "session_id").agg(
         F.count(F.lit(1)).alias("n_events"),
-        F.round(F.sum("value"), 4).alias("sum_value"),
+        (F.sum(scaled).cast("double") / 10000).alias("sum_value"),
     )
 
 
@@ -416,6 +422,18 @@ def oracle_sql() -> dict[str, str]:
         for lang, ws in textops.STOPWORDS.items()
     }
 
+    # simhash twin: 63 conditional sums then a bit-pack, mirroring
+    # dedup._simhash_bitval / dedup.simhash64 constant-for-constant
+    sim_votes = ", ".join(
+        f"SUM(((token_id * {dedup.SIMHASH_MULTS[j]} + {j * 97})"
+        f" % {dedup.MINHASH_PRIME}) % 2 * 2 - 1) AS v_{j}"
+        for j in range(dedup.SIMHASH_BITS)
+    )
+    sim_pack = " + ".join(
+        f"CAST(v_{j} > 0 AS BIGINT) * {1 << j}"
+        for j in range(dedup.SIMHASH_BITS)
+    )
+
     return {
         "latest_version": _with_pages("""
             SELECT url,
@@ -483,12 +501,16 @@ def oracle_sql() -> dict[str, str]:
             ) t WHERE rn = 1
         """),
         "tile_rollup": _with_pages(f"""
-            SELECT {cell} AS cell,
-                   COUNT(*) AS n_pages,
-                   SUM(CAST(NOT s.accepted AS INT)) AS n_tainted,
-                   ROUND(AVG(CAST(NOT s.accepted AS INT)), 6) AS taint_density
-            FROM pages p JOIN cs_status s USING (changeset_id)
-            GROUP BY 1
+            SELECT cell, n_pages, n_tainted,
+                   ROUND(CAST(n_tainted AS DOUBLE) / n_pages, 6)
+                       AS taint_density
+            FROM (
+                SELECT {cell} AS cell,
+                       COUNT(*) AS n_pages,
+                       SUM(CAST(NOT s.accepted AS INT)) AS n_tainted
+                FROM pages p JOIN cs_status s USING (changeset_id)
+                GROUP BY 1
+            ) t
         """),
         "pip_rect": _with_pages("""
             , rects AS (
@@ -586,14 +608,9 @@ def oracle_sql() -> dict[str, str]:
                          AS u(tok)
                 WHERE tok <> ''
             ),
-            dict AS (
-                SELECT token,
-                       CAST(DENSE_RANK() OVER (ORDER BY token) AS BIGINT)
-                           AS token_id
-                FROM (SELECT DISTINCT token FROM toks)
-            ),
             joined AS (
-                SELECT t.doc_id, d.token_id FROM toks t JOIN dict d USING (token)
+                SELECT doc_id, {dedup.token_hash_sql('token')} AS token_id
+                FROM toks
             )
             SELECT doc_id, {mh_aggs} FROM joined GROUP BY doc_id
         """,
@@ -637,7 +654,8 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT user_id, session_id,
                    COUNT(*) AS n_events,
-                   ROUND(SUM(value), 4) AS sum_value
+                   CAST(SUM(CAST(ROUND(value * 10000) AS BIGINT)) AS DOUBLE)
+                       / 10000 AS sum_value
             FROM sess GROUP BY 1, 2
         """,
         "ann_cosine_topk": """
@@ -659,14 +677,9 @@ def oracle_sql() -> dict[str, str]:
                          AS u(tok)
                 WHERE tok <> ''
             ),
-            dict AS (
-                SELECT token,
-                       CAST(DENSE_RANK() OVER (ORDER BY token) AS BIGINT)
-                           AS token_id
-                FROM (SELECT DISTINCT token FROM toks)
-            ),
             joined AS (
-                SELECT t.doc_id, d.token_id FROM toks t JOIN dict d USING (token)
+                SELECT doc_id, {dedup.token_hash_sql('token')} AS token_id
+                FROM toks
             ),
             sig AS (SELECT doc_id, {mh_aggs} FROM joined GROUP BY doc_id),
             buckets AS ({" UNION ALL ".join(bands)})
@@ -739,28 +752,16 @@ def oracle_sql() -> dict[str, str]:
                          AS u(tok)
                 WHERE tok <> ''
             ),
-            dict AS (
-                SELECT token,
-                       CAST(DENSE_RANK() OVER (ORDER BY token) AS BIGINT)
-                           AS token_id
-                FROM (SELECT DISTINCT token FROM toks)
-            ),
             joined AS (
-                SELECT t.doc_id, d.token_id FROM toks t JOIN dict d USING (token)
+                SELECT doc_id, {dedup.token_hash_sql('token')} AS token_id
+                FROM toks
             ),
-            bits AS (SELECT UNNEST(range(0, 63)) AS bit),
             scored AS (
-                SELECT doc_id, bit,
-                       CAST(SUM(((token_id * (bit * 2654435761 + 40503)
-                                  + bit * 97) % {dedup.MINHASH_PRIME}) % 2
-                                * 2 - 1) > 0 AS BIGINT) AS bit_on
-                FROM joined CROSS JOIN bits
-                GROUP BY doc_id, bit
+                SELECT doc_id, {sim_votes}
+                FROM joined GROUP BY doc_id
             )
-            SELECT doc_id,
-                   CAST(SUM(bit_on * CAST(power(2.0, bit) AS BIGINT)) AS BIGINT)
-                       AS simhash
-            FROM scored GROUP BY doc_id
+            SELECT doc_id, {sim_pack} AS simhash
+            FROM scored
         """,
         # knn ties + classify_actions: classify_actions is UDF-bound by
         # design (golden-tested in tests/ against the reference suites)

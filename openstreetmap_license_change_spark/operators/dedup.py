@@ -9,22 +9,27 @@ Large-scale training-data dedup, Spark-first:
                      candidate join prunes the O(n²) space to pairs
                      sharing ≥1 shingle
 * minhash_lsh      — MinHash signatures from arithmetic (a·x+b) mod p
-                     permutations over a *query-local token dictionary*
-                     (dense_rank over distinct tokens), banded into LSH
-                     buckets; fully SQL-expressible so the DuckDB oracle
-                     can verify the bucket-join pair set
-* simhash64        — 64-bit SimHash from the same token dictionary
+                     permutations over *arithmetic token ids* (31-bit
+                     polynomial rolling hash of the token string — no
+                     dictionary, no shuffle, no global state), banded
+                     into LSH buckets; fully SQL-expressible so the
+                     DuckDB oracle can verify the bucket-join pair set
+* simhash64        — 63-bit SimHash from the same token ids, one
+                     groupBy pass (63 conditional aggregates — no bit
+                     cross join, no extra shuffle)
 
 Scale notes: every operator is groupBy/join-shaped (no driver
-collects); shingle/token explosion is the dominant cost and is done
-once and reused; at 100 TB the shingle join runs bucketed on
-(shingle_hash) with AQE skew splitting for stop-shingles, and the
-band-bucket join replaces the all-pairs join entirely.
+collects); token ids derive locally per row — the round-1 dense_rank
+dictionary was a single-partition global window (a 100-TB
+scale-killer) and is gone.  Shingle/token explosion is the dominant
+cost and is done once and reused; at 100 TB the shingle join runs
+bucketed on (shingle_hash) with AQE skew splitting for stop-shingles,
+and the band-bucket join replaces the all-pairs join entirely.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 # arithmetic MinHash permutation parameters (a, b) mod a 61-bit prime;
@@ -32,6 +37,47 @@ from pyspark.sql import functions as F
 MINHASH_PRIME = 2305843009213693951  # 2^61 - 1
 MINHASH_PERMS = [(2 * i + 3, 7919 * i + 1) for i in range(16)]
 LSH_BANDS = 4  # 16 hashes → 4 bands × 4 rows
+
+# 31-bit polynomial rolling token hash: h = fold(h*B + codepoint) mod M.
+# M is a Mersenne prime < 2^31 so h*B + 0x10FFFF stays far inside int64
+# in both engines (DuckDB raises on int64 overflow — silent wraparound
+# is not an option), and (h * max(a)) for the MinHash perms and
+# (h * m_j) for the SimHash bit multipliers stay < 2^63 too.
+TOKEN_HASH_BASE = 131
+TOKEN_HASH_MOD = 2147483647  # 2^31 - 1
+
+# SimHash per-bit multipliers, reduced mod 2^31-1 at constant-fold time
+# so token_id (< 2^31) times m_j (< 2^31) never overflows int64
+SIMHASH_BITS = 63  # sum(2^0..2^62) = int64 max: packed hash stays signed
+SIMHASH_MULTS = [
+    (j * 2654435761 + 40503) % TOKEN_HASH_MOD for j in range(SIMHASH_BITS)
+]
+
+
+def token_hash(col: Column) -> Column:
+    """Deterministic token id from the token string alone — pure
+    per-row arithmetic (native aggregate over the char array), so the
+    id assignment has NO shuffle and no global state, unlike a
+    dense_rank dictionary.  Collisions (~V²/2³² for vocab V) merge
+    tokens identically in Spark and the oracle; MinHash/SimHash are
+    sketches, so a rare merge shifts estimates negligibly."""
+    return F.aggregate(
+        F.split(col, ""),
+        F.lit(0).cast("long"),
+        lambda acc, c: (acc * TOKEN_HASH_BASE + F.ascii(c)) % TOKEN_HASH_MOD,
+    )
+
+
+def token_hash_sql(expr: str) -> str:
+    """The DuckDB twin of :func:`token_hash` (verified char-for-char:
+    identical values incl. non-ASCII code points)."""
+    return (
+        "list_reduce("
+        f"list_prepend(CAST(0 AS BIGINT), "
+        f"list_transform(string_split({expr}, ''), "
+        "c -> CAST(ord(c) AS BIGINT))), "
+        f"(acc, x) -> (acc * {TOKEN_HASH_BASE} + x) % {TOKEN_HASH_MOD})"
+    )
 
 
 def tokens(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -110,28 +156,23 @@ def ngram_jaccard_pairs(
     )
 
 
-def token_dictionary(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """Dense token ids from a deterministic global ordering (dense_rank
-    over distinct tokens).  Engine-independent — the SQL oracle builds
-    the identical dictionary — unlike murmur/xxhash which differ across
-    engines."""
-    toks = tokens(df, id_col=id_col)
-    dict_df = (
-        toks.select("token")
-        .distinct()
-        .withColumn(
-            "token_id", F.dense_rank().over(W.orderBy("token")).cast("bigint")
-        )
+def token_ids(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(doc, token_id) rows via :func:`token_hash` — derived locally
+    per row, no dictionary join, no window, no shuffle.  Replaces the
+    round-1 dense_rank dictionary whose unpartitioned window moved the
+    whole vocabulary through one task."""
+    return tokens(df, id_col=id_col).withColumn(
+        "token_id", token_hash(F.col("token"))
     )
-    return toks.join(dict_df, "token")
 
 
 def minhash_signatures(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """16 MinHash values per doc: min((a·token_id + b) mod p) per perm.
 
-    Single groupBy after the token join; permutations unroll as columns
-    so the whole signature is one aggregation pass."""
-    t = token_dictionary(df, id_col=id_col)
+    Single groupBy straight off the local token-id derivation;
+    permutations unroll as columns so the whole signature is one
+    aggregation pass — exactly ONE shuffle end to end."""
+    t = token_ids(df, id_col=id_col)
     aggs = [
         F.min((F.col("token_id") * a + b) % MINHASH_PRIME).alias(f"mh_{i}")
         for i, (a, b) in enumerate(MINHASH_PERMS)
@@ -171,30 +212,30 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     )
 
 
+def _simhash_bitval(j: int) -> Column:
+    """±1 vote of bit j for one token: pseudo-random arithmetic
+    ((token_id·m_j + j·97) mod p) & 1, mapped to −1/+1."""
+    expr = (
+        (F.col("token_id") * SIMHASH_MULTS[j] + j * 97) % MINHASH_PRIME
+    ) % 2
+    return expr * 2 - 1
+
+
 def simhash64(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """64-bit SimHash over the token dictionary: bit j of the hash of a
-    token is pseudo-random arithmetic ((token_id·A_j + B_j) mod p) & 1;
-    the document bit is the majority vote.  Expressed as a cross join
-    with a 64-row bit-index table + conditional sum — one shuffle."""
-    t = token_dictionary(df, id_col=id_col)
-    spark = df.sparkSession
-    # 63 bits: sum(2^0..2^62) = int64 max, so the packed hash never
-    # overflows signed 64-bit
-    bits = spark.range(0, 63).select(F.col("id").alias("bit"))
-    scored = (
-        t.crossJoin(F.broadcast(bits))
-        .withColumn(
-            "bitval",
-            ((F.col("token_id") * (F.col("bit") * 2654435761 + 40503)
-              + F.col("bit") * 97) % MINHASH_PRIME) % 2,
+    """63-bit SimHash: bit j of the document hash is the majority vote
+    of its tokens' pseudo-random bit-j values.  The 63 bits unroll as
+    63 conditional sums in ONE groupBy pass — no bit cross join (the
+    round-1 shape amplified the token table 63× and added a second
+    shuffle), so the whole sketch is a single exchange."""
+    t = token_ids(df, id_col=id_col)
+    votes = [
+        F.sum(_simhash_bitval(j)).alias(f"v_{j}") for j in range(SIMHASH_BITS)
+    ]
+    scored = t.groupBy(id_col).agg(*votes)
+    packed = None
+    for j in range(SIMHASH_BITS):
+        term = (F.col(f"v_{j}") > 0).cast("bigint") * F.lit(1 << j).cast(
+            "bigint"
         )
-        .groupBy(id_col, "bit")
-        .agg(
-            (F.sum(F.col("bitval") * 2 - 1) > 0).cast("bigint").alias("bit_on")
-        )
-    )
-    return scored.groupBy(id_col).agg(
-        F.sum(F.col("bit_on") * F.pow(F.lit(2.0), F.col("bit")).cast("bigint"))
-        .cast("bigint")
-        .alias("simhash")
-    )
+        packed = term if packed is None else packed + term
+    return scored.select(id_col, packed.alias("simhash"))

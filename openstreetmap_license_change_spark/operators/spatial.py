@@ -259,10 +259,16 @@ def tile_rollup(pages_with_cells: DataFrame, taint_col: str = "tainted") -> Data
     """Raster rollup: per-cell page count + taint density
     (north-rule raster↔vector rollup; reference analogue: regions
     tracker aggregates, run_regions.rb:26-56)."""
-    return pages_with_cells.groupBy("cell").agg(
+    agg = pages_with_cells.groupBy("cell").agg(
         F.count(F.lit(1)).alias("n_pages"),
         F.sum(F.col(taint_col).cast("int")).alias("n_tainted"),
-        F.round(F.avg(F.col(taint_col).cast("int")), 6).alias("taint_density"),
+    )
+    # density from the two exact integer counts — ONE IEEE division per
+    # group, bit-identical across engines; AVG(double) would depend on
+    # accumulation order (round-1 hash mismatch)
+    return agg.withColumn(
+        "taint_density",
+        F.round(F.col("n_tainted").cast("double") / F.col("n_pages"), 6),
     )
 
 

@@ -127,7 +127,11 @@ def test_fold_edit_payload_roundtrip(spark):
 def _spark_cascade(spark, nodes, ways, relations):
     """Run the full core fold + Spark cascade over an in-memory world;
     return ({way edits}, {relation edits}, {deletes})."""
+    import time
+
     from openstreetmap_license_change_spark.operators import cascade as casc
+
+    _t0 = time.monotonic()
 
     store = HistoryStore(nodes=nodes, ways=ways, relations=relations)
     db = AgreementDB(changesets=CS)
@@ -213,6 +217,9 @@ def _spark_cascade(spark, nodes, ways, relations):
     assert got_deletes == exp_deletes
     assert got_way_edits == exp_way_edits
     assert got_rel_edits == exp_rel_edits
+    # wall-clock budget: a lineage-truncation regression shows up as
+    # combinatorial Catalyst analysis (round-1 hang) — fail, don't hang
+    assert time.monotonic() - _t0 < 90, "cascade exceeded wall-clock budget"
 
 
 def test_cascade_way_deletion(spark):  # test_references.rb:18-42 world
