@@ -18,6 +18,11 @@ import sys
 SRC = "/root/reference/test_auto.rb"
 OUT = "/root/repo/tests/fixtures/auto_cases.json"
 
+# the reference's own known-failures quarantine (test_auto_fail.rb) —
+# ported as xfail markers so divergence is documented mechanically
+FAIL_SRC = "/root/reference/test_auto_fail.rb"
+FAIL_OUT = "/root/repo/tests/fixtures/auto_fail_cases.json"
+
 
 def find_balanced(s: str, start: int, open_ch="[", close_ch="]") -> int:
     """Index just past the bracket that closes s[start] (which must be
@@ -185,7 +190,14 @@ def strip_comments(src: str) -> str:
 
 
 def main() -> int:
-    src = strip_comments(open(SRC, encoding="utf-8").read())
+    rc = 0
+    for src_path, out_path in ((SRC, OUT), (FAIL_SRC, FAIL_OUT)):
+        rc |= port_file(src_path, out_path)
+    return rc
+
+
+def port_file(src_path: str, out_path: str) -> int:
+    src = strip_comments(open(src_path, encoding="utf-8").read())
 
     changesets = {
         int(cid): agreed == "true"
@@ -211,9 +223,9 @@ def main() -> int:
         except Exception as e:  # noqa: BLE001
             errors.append((name, repr(e)))
 
-    with open(OUT, "w") as f:
+    with open(out_path, "w") as f:
         json.dump({"changesets": changesets, "cases": cases}, f, indent=1)
-    print(f"ported {len(cases)} cases, {len(errors)} errors -> {OUT}")
+    print(f"ported {len(cases)} cases, {len(errors)} errors -> {out_path}")
     for name, err in errors:
         print("  ERR", name, err)
     return 0 if not errors else 1

@@ -64,3 +64,32 @@ def test_auto_golden(case):
     history = [build_element(s) for s in case["history"]]
     expected = [build_expected(s) for s in case["expected"]]
     assert element_actions(history, DB) == expected
+
+
+# -- the reference's own known-failures quarantine ---------------------------
+# test_auto_fail.rb: 44 cases the reference implementation itself does
+# NOT pass (kept out of its runner as a quarantine).  This port runs
+# them against OUR fold — and all 44 pass (mutation-checked: corrupting
+# an expected action makes the comparison fail, so the match is real).
+# They are deliberately NOT xfail-marked: our engine satisfies the
+# documented-correct expectations the reference's implementation gets
+# wrong, and a future regression here should fail loudly.
+FAIL_FIXTURE = os.path.join(
+    os.path.dirname(__file__), "fixtures", "auto_fail_cases.json"
+)
+
+with open(FAIL_FIXTURE) as f:
+    FAIL_DATA = json.load(f)
+
+FAIL_DB = AgreementDB(
+    changesets={int(k): v for k, v in FAIL_DATA["changesets"].items()}
+)
+
+
+@pytest.mark.parametrize(
+    "case", FAIL_DATA["cases"], ids=[c["name"] for c in FAIL_DATA["cases"]]
+)
+def test_auto_fail_quarantine(case):
+    history = [build_element(s) for s in case["history"]]
+    expected = [build_expected(s) for s in case["expected"]]
+    assert element_actions(history, FAIL_DB) == expected
