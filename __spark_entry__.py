@@ -310,6 +310,29 @@ def q_classify_actions(spark, sf_dir):
     return fold.classify_histories(hist)
 
 
+def q_classify_actions_nodes(spark, sf_dir):
+    """A7 (nodes-only oracle twin): the REAL fold (same mapInPandas
+    path as q_classify_actions) restricted to node histories whose
+    tags are exactly {'text': ...} (odbl-marked docs excluded).  With
+    text byte-identical per url, the sequential lattice
+    (change_bot.rb:91-105), taint bookkeeping (:136-151), ε-redaction
+    (:156-162) and final edit/delete (:165-189) collapse to
+    window-expressible rules, so the DuckDB oracle can verify the
+    fold's actual output — action, version, mode, new tags/position —
+    at data scale, not just on hand-written goldens."""
+    flagged = _pages_flagged(spark, sf_dir).where(F.col("doc_id") % 23 != 0)
+    hist = fold.pages_histories(flagged)
+    return fold.classify_histories(hist).select(
+        "url",
+        "action",
+        "version",
+        "mode",
+        F.get_json_object("new_tags_json", "$.text").alias("new_text"),
+        "new_lon",
+        "new_lat",
+    )
+
+
 def q_cascade_deletes(spark, sf_dir):
     """G1/G2: delete cascade over a derived world — 'ways' are document
     sources whose node list is their doc_ids; node deletes come from
@@ -388,6 +411,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessionize": q_events_sessionize,
         "significance_prefilter": q_significance_prefilter,
         "classify_actions": q_classify_actions,
+        "classify_actions_nodes": q_classify_actions_nodes,
         "cascade_deletes": q_cascade_deletes,
     }
 
@@ -763,6 +787,113 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, {sim_pack} AS simhash
             FROM scored
         """,
-        # knn ties + classify_actions: classify_actions is UDF-bound by
-        # design (golden-tested in tests/ against the reference suites)
+        # classify_actions (full, all element types) stays rows-only by
+        # design (golden-tested in tests/); the nodes-only restriction
+        # below oracle-verifies the same fold at data scale.
+        #
+        # Derivation (verified MATCH vs the mapInPandas fold at sf0.001
+        # and sf0.01): with tags constant per url, the fold reduces to:
+        # segments split at invisible versions (state reset,
+        # change_bot.rb:77-83); text enters the reconstructed state only
+        # at an *accepted* segment-start; an unaccepted segment-start
+        # taints ('text', T) forever (:136-151); every unaccepted
+        # visible version redacts hidden (position always differs by
+        # ≥1.3e-3 ≫ ε=2e-7); an accepted version redacts visible iff a
+        # taint exists at-or-before it; final state invalid (no accepted
+        # visible version in the last segment) → delete if last version
+        # visible; else edit iff tainted or last version not the last
+        # accepted one (:165-189).
+        "classify_actions_nodes": _with_pages("""
+            , hist AS (
+                SELECT p.url, p.doc_id, p.version, p.visible, s.accepted,
+                       p.lon, p.lat, p.text
+                FROM pages p JOIN cs_status s USING (changeset_id)
+                WHERE p.doc_id % 23 <> 0
+            ),
+            seg AS (
+                SELECT *,
+                       COALESCE(SUM(CASE WHEN NOT visible THEN 1 ELSE 0 END)
+                           OVER (PARTITION BY url ORDER BY version
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND 1 PRECEDING), 0) AS seg_id
+                FROM hist
+            ),
+            vis AS (SELECT * FROM seg WHERE visible),
+            segstart AS (
+                SELECT *,
+                       version = MIN(version) OVER (PARTITION BY url, seg_id)
+                           AS is_seg_start
+                FROM vis
+            ),
+            flags AS (
+                SELECT *,
+                       MAX(CASE WHEN is_seg_start AND NOT accepted
+                                THEN 1 ELSE 0 END)
+                           OVER (PARTITION BY url ORDER BY version)
+                           AS tainted_upto
+                FROM segstart
+            ),
+            redacts AS (
+                SELECT url, 'redact' AS action, version,
+                       CASE WHEN NOT accepted THEN 'hidden'
+                            ELSE 'visible' END AS mode,
+                       CAST(NULL AS VARCHAR) AS new_text,
+                       CAST(NULL AS DOUBLE) AS new_lon,
+                       CAST(NULL AS DOUBLE) AS new_lat
+                FROM flags
+                WHERE (NOT accepted) OR tainted_upto = 1
+            ),
+            summary AS (
+                SELECT url,
+                       MAX(version) AS n,
+                       SUM(CASE WHEN NOT visible THEN 1 ELSE 0 END) AS n_invis,
+                       arg_max(visible, version) AS last_visible,
+                       arg_max(text, version) AS text
+                FROM seg GROUP BY url
+            ),
+            taints AS (
+                SELECT url,
+                       MAX(CASE WHEN is_seg_start AND NOT accepted
+                                THEN 1 ELSE 0 END) AS tainted_any
+                FROM segstart GROUP BY url
+            ),
+            finalacc AS (
+                SELECT v.url,
+                       MAX(v.version) AS last_acc_vis,
+                       arg_max(v.lon, v.version) AS base_lon,
+                       arg_max(v.lat, v.version) AS base_lat
+                FROM vis v JOIN summary su USING (url)
+                WHERE v.accepted AND v.seg_id = su.n_invis
+                GROUP BY v.url
+            ),
+            finals AS (
+                SELECT su.url, su.n, su.last_visible, su.text,
+                       COALESCE(t.tainted_any, 0) AS tainted_any,
+                       fa.last_acc_vis, fa.base_lon, fa.base_lat
+                FROM summary su
+                LEFT JOIN taints t USING (url)
+                LEFT JOIN finalacc fa USING (url)
+            ),
+            deletes AS (
+                SELECT url, 'delete' AS action, CAST(NULL AS INT) AS version,
+                       CAST(NULL AS VARCHAR) AS mode,
+                       CAST(NULL AS VARCHAR) AS new_text,
+                       CAST(NULL AS DOUBLE) AS new_lon,
+                       CAST(NULL AS DOUBLE) AS new_lat
+                FROM finals WHERE last_acc_vis IS NULL AND last_visible
+            ),
+            edits AS (
+                SELECT url, 'edit' AS action, CAST(n AS INT) AS version,
+                       CAST(NULL AS VARCHAR) AS mode,
+                       CASE WHEN tainted_any = 1 THEN NULL
+                            ELSE text END AS new_text,
+                       base_lon AS new_lon, base_lat AS new_lat
+                FROM finals
+                WHERE last_acc_vis IS NOT NULL
+                  AND (tainted_any = 1 OR last_acc_vis <> n)
+            )
+            SELECT * FROM redacts
+            UNION ALL SELECT * FROM deletes
+            UNION ALL SELECT * FROM edits
+        """),
     }
