@@ -333,15 +333,35 @@ def q_classify_actions_nodes(spark, sf_dir):
     )
 
 
+# synthetic cascade world: node ids are doc_ids; ways group 3
+# consecutive docs; one relation per way (node member + way member);
+# one super-relation per lang over its relations.  Id spaces are
+# disjoint by offset so the derivation is pure arithmetic in both
+# engines.  At sf0.01 this exercises every cascade path: way kills
+# AND edits (pass 1), relation deletes AND edits (passes 1-2), and
+# pass-3 relation-member removal in the super-relations.
+CASCADE_WAY_OFF = 1_000_000_000_000
+CASCADE_REL_OFF = 2_000_000_000_000
+CASCADE_SUP_OFF = 3_000_000_000_000
+
+
+def _member(mtype: str, ref):
+    return F.struct(
+        F.lit(mtype).alias("mtype"),
+        ref.cast("bigint").alias("ref"),
+        F.lit("").alias("role"),
+    )
+
+
 def q_cascade_deletes(spark, sf_dir):
-    """G1/G2: delete cascade over a derived world — 'ways' are document
-    sources whose node list is their doc_ids; node deletes come from
-    the fold over page lineages.  Iterative-join operator: rows-only
-    here (golden-tested against the single-node oracle in
-    tests/test_spark_integration.py)."""
+    """G1/G2: the full delete cascade (node→way→relation→relation) as
+    bounded joins over a derived 3-level world.  Node deletes come
+    from the REAL fold (same restriction as classify_actions_nodes);
+    the DuckDB oracle replays the reference's ≤3 passes
+    (change_bot.rb:280-372) as explicit CTE stages."""
     from openstreetmap_license_change_spark.operators import cascade as casc
 
-    flagged = _pages_flagged(spark, sf_dir)
+    flagged = _pages_flagged(spark, sf_dir).where(F.col("doc_id") % 23 != 0)
     actions = fold.classify_histories(fold.pages_histories(flagged))
     node_deletes = (
         actions.where(F.col("action") == "delete")
@@ -351,19 +371,48 @@ def q_cascade_deletes(spark, sf_dir):
         .select(F.col("doc_id").alias("element_id"))
         .distinct()
     )
-    ways = (
-        pages_src.documents(spark, sf_dir)
-        .groupBy("source")
-        .agg(
-            F.xxhash64(F.min("doc_id")).alias("element_id"),
-            F.lit(1).alias("version"),
-            F.to_json(F.create_map(F.lit("kind"), F.first("source"))).alias(
-                "tags_json"
-            ),
-            F.sort_array(F.collect_list("doc_id")).alias("nodes"),
-        )
-        .drop("source")
+    docs = pages_src.documents(spark, sf_dir).where(F.col("doc_id") % 23 != 0)
+    ways = docs.groupBy(F.expr("doc_id DIV 3").alias("g")).agg(
+        F.sort_array(F.collect_list("doc_id")).alias("nodes"),
+        F.min("doc_id").alias("min_doc"),
+        F.min_by("lang", "doc_id").alias("way_lang"),
+    ).select(
+        (F.lit(CASCADE_WAY_OFF) + F.col("g")).alias("element_id"),
+        F.lit(1).alias("version"),
+        F.lit('{"kind": "way"}').alias("tags_json"),
+        "nodes", "g", "min_doc", "way_lang",
     )
+    rels = ways.select(
+        (F.lit(CASCADE_REL_OFF) + F.col("g")).alias("element_id"),
+        F.lit(1).alias("version"),
+        F.lit('{"kind": "rel"}').alias("tags_json"),
+        F.array(
+            _member("node", F.col("min_doc")),
+            _member("way", F.col("element_id")),
+        ).alias("members"),
+        "way_lang",
+    )
+    supers = rels.groupBy("way_lang").agg(
+        F.sort_array(F.collect_list("element_id")).alias("rel_ids"),
+        F.min("element_id").alias("min_rel"),
+    ).select(
+        (F.col("min_rel") - CASCADE_REL_OFF + CASCADE_SUP_OFF).alias(
+            "element_id"
+        ),
+        F.lit(1).alias("version"),
+        F.lit('{"kind": "super"}').alias("tags_json"),
+        F.transform(
+            "rel_ids",
+            lambda r: F.struct(
+                F.lit("relation").alias("mtype"),
+                r.cast("bigint").alias("ref"),
+                F.lit("").alias("role"),
+            ),
+        ).alias("members"),
+    )
+    current_ways = ways.select("element_id", "version", "tags_json", "nodes")
+    current_relations = rels.drop("way_lang").unionByName(supers)
+
     empty_del = spark.createDataFrame([], "element_id bigint")
     empty_way_edits = spark.createDataFrame(
         [], "element_id bigint, version int, tags_json string, nodes array<bigint>"
@@ -373,19 +422,30 @@ def q_cascade_deletes(spark, sf_dir):
         "element_id bigint, version int, tags_json string, "
         "members array<struct<mtype:string, ref:bigint, role:string>>",
     )
-    way_state, _rel_state, all_deletes = casc.cascade(
+    way_state, rel_state, all_deletes = casc.cascade(
         node_deletes, empty_del, empty_del,
-        empty_way_edits, empty_rels, ways, empty_rels,
+        empty_way_edits, empty_rels, current_ways, current_relations,
     )
-    edits = way_state.where("is_edit").select(
-        "element_id", F.size("nodes").alias("n_nodes_after")
-    ).withColumn("outcome", F.lit("edit"))
-    dels = all_deletes.where(F.col("etype") == "way").select(
-        "element_id",
-        F.lit(-1).alias("n_nodes_after"),
-        F.lit("delete").alias("outcome"),
+    return (
+        all_deletes.select(
+            "etype", "element_id", F.lit("delete").alias("outcome"),
+            F.lit(-1).cast("bigint").alias("n_after"),
+        )
+        .unionByName(
+            way_state.where("is_edit").select(
+                F.lit("way").alias("etype"), "element_id",
+                F.lit("edit").alias("outcome"),
+                F.size("nodes").cast("bigint").alias("n_after"),
+            )
+        )
+        .unionByName(
+            rel_state.where("is_edit").select(
+                F.lit("relation").alias("etype"), "element_id",
+                F.lit("edit").alias("outcome"),
+                F.size("members").cast("bigint").alias("n_after"),
+            )
+        )
     )
-    return edits.unionByName(dels)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -895,5 +955,170 @@ def oracle_sql() -> dict[str, str]:
             SELECT * FROM redacts
             UNION ALL SELECT * FROM deletes
             UNION ALL SELECT * FROM edits
+        """),
+        # G1/G2 cascade: the reference's ≤3 bounded passes
+        # (change_bot.rb:280-372) replayed as explicit CTE stages over
+        # the same derived 3-level world.  Node deletes reuse the
+        # nodes-only fold rule (verified equal to the real fold above);
+        # members are kept exploded (one row per member), so removal is
+        # an anti-join and emptiness is a count.
+        "cascade_deletes": _with_pages(f"""
+            , hist AS (
+                SELECT p.url, p.doc_id, p.version, p.visible, s.accepted
+                FROM pages p JOIN cs_status s USING (changeset_id)
+                WHERE p.doc_id % 23 <> 0
+            ),
+            seg AS (
+                SELECT *,
+                       COALESCE(SUM(CASE WHEN NOT visible THEN 1 ELSE 0 END)
+                           OVER (PARTITION BY url ORDER BY version
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND 1 PRECEDING), 0) AS seg_id
+                FROM hist
+            ),
+            summary AS (
+                SELECT url, MAX(doc_id) AS doc_id,
+                       SUM(CASE WHEN NOT visible THEN 1 ELSE 0 END) AS n_invis,
+                       arg_max(visible, version) AS last_visible
+                FROM seg GROUP BY url
+            ),
+            node_del AS (
+                SELECT su.doc_id AS ref
+                FROM summary su
+                WHERE su.last_visible
+                  AND NOT EXISTS (
+                      SELECT 1 FROM seg v
+                      WHERE v.url = su.url AND v.visible AND v.accepted
+                        AND v.seg_id = su.n_invis
+                  )
+            ),
+            docs AS (SELECT * FROM documents WHERE doc_id % 23 <> 0),
+            ways AS (
+                SELECT doc_id // 3 AS g,
+                       {CASCADE_WAY_OFF} + doc_id // 3 AS way_id,
+                       MIN(doc_id) AS min_doc,
+                       arg_min(lang, doc_id) AS way_lang
+                FROM docs GROUP BY 1, 2
+            ),
+            way_nodes AS (
+                SELECT w.way_id, d.doc_id AS ref
+                FROM docs d JOIN ways w ON d.doc_id // 3 = w.g
+            ),
+            way_hit AS (
+                SELECT wn.way_id,
+                       COUNT(*) AS n_total,
+                       SUM(CASE WHEN nd.ref IS NOT NULL THEN 1 ELSE 0 END)
+                           AS n_removed
+                FROM way_nodes wn LEFT JOIN node_del nd ON wn.ref = nd.ref
+                GROUP BY wn.way_id
+            ),
+            way_out AS (
+                SELECT way_id, n_total - n_removed AS n_after,
+                       n_removed > 0 AS touched,
+                       (n_removed > 0 AND n_total - n_removed < 2) AS killed
+                FROM way_hit
+            ),
+            way_del AS (SELECT way_id AS ref FROM way_out WHERE killed),
+            rels AS (
+                SELECT {CASCADE_REL_OFF} + g AS rel_id, way_id, min_doc,
+                       way_lang
+                FROM ways
+            ),
+            supers AS (
+                SELECT {CASCADE_SUP_OFF} + MIN(rel_id) - {CASCADE_REL_OFF}
+                           AS sup_id,
+                       way_lang
+                FROM rels GROUP BY way_lang
+            ),
+            rm0 AS (
+                SELECT rel_id, 'node' AS mtype, min_doc AS ref FROM rels
+                UNION ALL
+                SELECT rel_id, 'way', way_id FROM rels
+                UNION ALL
+                SELECT s.sup_id, 'relation', r.rel_id
+                FROM supers s JOIN rels r USING (way_lang)
+            ),
+            p1_hit AS (
+                SELECT DISTINCT rm.rel_id FROM rm0 rm
+                JOIN node_del d ON rm.mtype = 'node' AND rm.ref = d.ref
+            ),
+            rm1 AS (
+                SELECT rm.* FROM rm0 rm
+                LEFT JOIN node_del d ON rm.mtype = 'node' AND rm.ref = d.ref
+                WHERE d.ref IS NULL
+            ),
+            del1 AS (
+                SELECT h.rel_id FROM p1_hit h
+                WHERE NOT EXISTS (SELECT 1 FROM rm1
+                                  WHERE rm1.rel_id = h.rel_id)
+            ),
+            rm1b AS (
+                SELECT * FROM rm1
+                WHERE rel_id NOT IN (SELECT rel_id FROM del1)
+            ),
+            p2_hit AS (
+                SELECT DISTINCT rm.rel_id FROM rm1b rm
+                JOIN way_del d ON rm.mtype = 'way' AND rm.ref = d.ref
+            ),
+            rm2 AS (
+                SELECT rm.* FROM rm1b rm
+                LEFT JOIN way_del d ON rm.mtype = 'way' AND rm.ref = d.ref
+                WHERE d.ref IS NULL
+            ),
+            del2 AS (
+                SELECT h.rel_id FROM p2_hit h
+                WHERE NOT EXISTS (SELECT 1 FROM rm2
+                                  WHERE rm2.rel_id = h.rel_id)
+            ),
+            rel_del_acc AS (
+                SELECT rel_id FROM del1 UNION SELECT rel_id FROM del2
+            ),
+            rm2b AS (
+                SELECT * FROM rm2
+                WHERE rel_id NOT IN (SELECT rel_id FROM rel_del_acc)
+            ),
+            p3_hit AS (
+                SELECT DISTINCT rm.rel_id FROM rm2b rm
+                JOIN rel_del_acc d
+                  ON rm.mtype = 'relation' AND rm.ref = d.rel_id
+            ),
+            rm3 AS (
+                SELECT rm.* FROM rm2b rm
+                LEFT JOIN rel_del_acc d
+                  ON rm.mtype = 'relation' AND rm.ref = d.rel_id
+                WHERE d.rel_id IS NULL
+            ),
+            del3 AS (
+                SELECT h.rel_id FROM p3_hit h
+                WHERE NOT EXISTS (SELECT 1 FROM rm3
+                                  WHERE rm3.rel_id = h.rel_id)
+            ),
+            rel_del_all AS (
+                SELECT rel_id FROM del1 UNION SELECT rel_id FROM del2
+                UNION SELECT rel_id FROM del3
+            ),
+            rel_touched AS (
+                SELECT rel_id FROM p1_hit UNION SELECT rel_id FROM p2_hit
+                UNION SELECT rel_id FROM p3_hit
+            ),
+            rel_edit AS (
+                SELECT t.rel_id, COUNT(m.ref) AS n_after
+                FROM rel_touched t
+                LEFT JOIN rm3 m USING (rel_id)
+                WHERE t.rel_id NOT IN (SELECT rel_id FROM rel_del_all)
+                GROUP BY t.rel_id
+            )
+            SELECT 'node' AS etype, ref AS element_id,
+                   'delete' AS outcome, CAST(-1 AS BIGINT) AS n_after
+            FROM node_del
+            UNION ALL
+            SELECT 'way', way_id, 'edit', n_after FROM way_out
+            WHERE touched AND NOT killed
+            UNION ALL
+            SELECT 'way', way_id, 'delete', -1 FROM way_out WHERE killed
+            UNION ALL
+            SELECT 'relation', rel_id, 'edit', n_after FROM rel_edit
+            UNION ALL
+            SELECT 'relation', rel_id, 'delete', -1 FROM rel_del_all
         """),
     }
