@@ -249,6 +249,39 @@ def q_ann_cosine_topk(spark, sf_dir):
     )
 
 
+ANN_PLANES = 4  # 16 buckets over 500-2000 vectors: ~30+ per bucket
+
+
+def _query_vec(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qvec = emb.where(F.col("vec_id") == 0).select("embedding").head()[0]
+    return emb, [float(x) for x in qvec]
+
+
+def q_lsh_bucket_topk(spark, sf_dir):
+    """ANN scale path: hyperplane-LSH bucket probe + exact re-rank
+    inside the query's bucket (partition-prunable at 100 TB)."""
+    emb, qvec = _query_vec(spark, sf_dir)
+    return similarity.lsh_bucket_topk(
+        emb.where(F.col("vec_id") != 0), qvec, k=10,
+        n_planes=ANN_PLANES, multiprobe=True,
+    )
+
+
+def q_ann_recall(spark, sf_dir):
+    """Recall@10 of the LSH bucket probe vs the exact brute-force
+    top-10 — the quality metric that justifies the bucketed plan."""
+    emb, qvec = _query_vec(spark, sf_dir)
+    rest = emb.where(F.col("vec_id") != 0)
+    brute = similarity.brute_force_topk(rest, qvec, k=10).select("vec_id")
+    lsh = similarity.lsh_bucket_topk(
+        rest, qvec, k=10, n_planes=ANN_PLANES, multiprobe=True
+    ).select("vec_id")
+    return brute.join(lsh, "vec_id").agg(
+        (F.count(F.lit(1)) / 10.0).alias("recall_at_10")
+    )
+
+
 def q_events_sessionize(spark, sf_dir):
     """Stateful-style sessionization as pure windows: 30-minute gaps
     split sessions; counts per (user, session)."""
@@ -468,6 +501,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_text_quality,
         "lang_id": q_lang_id,
         "ann_cosine_topk": q_ann_cosine_topk,
+        "lsh_bucket_topk": q_lsh_bucket_topk,
+        "ann_recall": q_ann_recall,
         "events_sessionize": q_events_sessionize,
         "significance_prefilter": q_significance_prefilter,
         "classify_actions": q_classify_actions,
@@ -505,6 +540,40 @@ def oracle_sql() -> dict[str, str]:
         lang: ", ".join(f"'{w}'" for w in ws)
         for lang, ws in textops.STOPWORDS.items()
     }
+
+    # hyperplane-LSH twin: the same sin-derived planes as
+    # similarity._planes, dot products via list_dot_product; the query
+    # bucket is computed in-SQL from vec_id=0 so both engines bucket
+    # from identical double arithmetic
+    planes = similarity._planes(64, ANN_PLANES)
+    n_pl = len(planes)
+    bucket_sql = " + ".join(
+        f"(CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), "
+        f"[{', '.join(repr(w) for w in p)}]) > 0 "
+        f"THEN {1 << (n_pl - 1 - i)} ELSE 0 END)"
+        for i, p in enumerate(planes)
+    )
+    masks = ", ".join(f"({m})" for m in [0] + [1 << i for i in range(n_pl)])
+    lsh_prelude = f"""
+            WITH bucketed AS (
+                SELECT vec_id, embedding, {bucket_sql} AS bucket
+                FROM embeddings
+            ),
+            qb AS (SELECT bucket AS b, embedding AS qv FROM bucketed
+                   WHERE vec_id = 0),
+            probe AS (
+                SELECT vec_id,
+                       ROUND(list_cosine_similarity(
+                           CAST(embedding AS DOUBLE[]),
+                           CAST((SELECT qv FROM qb) AS DOUBLE[])), 6)
+                           AS cos_sim
+                FROM bucketed
+                WHERE vec_id <> 0 AND bucket IN (
+                    SELECT xor((SELECT b FROM qb), m.m)
+                    FROM (VALUES {masks}) m(m)
+                )
+            )
+    """
 
     # simhash twin: 63 conditional sums then a bit-pack, mirroring
     # dedup._simhash_bitval / dedup.simhash64 constant-for-constant
@@ -752,6 +821,28 @@ def oracle_sql() -> dict[str, str]:
             WHERE vec_id <> 0
             ORDER BY cos_sim DESC, vec_id
             LIMIT 10
+        """,
+        "lsh_bucket_topk": lsh_prelude + """
+            SELECT vec_id, cos_sim FROM probe
+            ORDER BY cos_sim DESC, vec_id LIMIT 10
+        """,
+        "ann_recall": lsh_prelude + """
+            , lsh AS (
+                SELECT vec_id FROM probe
+                ORDER BY cos_sim DESC, vec_id LIMIT 10
+            ),
+            brute AS (
+                SELECT vec_id FROM (
+                    SELECT vec_id,
+                           ROUND(list_cosine_similarity(
+                               CAST(embedding AS DOUBLE[]),
+                               CAST((SELECT qv FROM qb) AS DOUBLE[])), 6)
+                               AS cos_sim
+                    FROM embeddings WHERE vec_id <> 0
+                ) t ORDER BY cos_sim DESC, vec_id LIMIT 10
+            )
+            SELECT CAST(COUNT(*) AS DOUBLE) / 10.0 AS recall_at_10
+            FROM brute JOIN lsh USING (vec_id)
         """,
         "minhash_lsh_pairs": f"""
             WITH toks AS (

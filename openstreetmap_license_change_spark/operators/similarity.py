@@ -68,14 +68,21 @@ def lsh_bucket_topk(
     query_vec: list[float],
     k: int = 10,
     n_planes: int = 8,
+    multiprobe: bool = False,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
     """IVF/LSH-style ANN: bucket by sign pattern against fixed
-    hyperplanes, probe only the query's bucket, exact re-rank inside.
+    hyperplanes, probe the query's bucket, exact re-rank inside.
+
+    ``multiprobe`` additionally probes every Hamming-distance-1 bucket
+    (each single plane-sign flip) — the standard recall lever: near
+    neighbours that land barely on the other side of one hyperplane are
+    recovered at the cost of n_planes extra bucket reads.
 
     At 100 TB the bucket column is the partition key, so the probe is a
-    partition-pruned scan instead of a full pass."""
+    partition-pruned scan (1 or 1+n_planes partitions) instead of a
+    full pass."""
     dim = len(query_vec)
     planes = _planes(dim, n_planes)
 
@@ -87,9 +94,10 @@ def lsh_bucket_topk(
             ).cast("int")
             for plane in planes
         ]
+        # arithmetic bit-pack (Column `|` is boolean OR in PySpark)
         out = F.lit(0)
         for b in bits:
-            out = F.shiftleft(out, 1) | b
+            out = out * 2 + b
         return out
 
     q_bucket = 0
@@ -98,9 +106,13 @@ def lsh_bucket_topk(
             sum(w * x for w, x in zip(plane, query_vec)) > 0
         )
 
+    probes = [q_bucket]
+    if multiprobe:
+        probes += [q_bucket ^ (1 << i) for i in range(n_planes)]
+
     vec_d = F.col(vec_col).cast("array<double>")
     bucketed = embeddings.withColumn("bucket", bucket_of(vec_d))
-    probe = bucketed.where(F.col("bucket") == q_bucket)
+    probe = bucketed.where(F.col("bucket").isin(probes))
     q = F.array(*[F.lit(float(x)).cast("double") for x in query_vec])
     scored = probe.select(
         id_col,
@@ -128,7 +140,7 @@ def pairwise_topk_in_bucket(
             b = (
                 _dot(vec, F.array(*[F.lit(w).cast("double") for w in plane])) > 0
             ).cast("int")
-            out = F.shiftleft(out, 1) | b
+            out = out * 2 + b
         return out
 
     left = embeddings.select(
