@@ -114,3 +114,37 @@ def test_pip_rect_broadcasts_and_prunes(spark):
     )
     plan = plan_of(spatial.pip_join_rect(pages, rects))
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_cascade_no_forced_broadcast(spark):
+    """The cascade's delete side is output-sized (millions of rows on a
+    real run); the operator must not pin a broadcast hint — join
+    strategy belongs to AQE, which sees actual sizes at runtime."""
+    from openstreetmap_license_change_spark.operators import cascade as casc
+
+    mk = spark.createDataFrame
+    del_s = "element_id bigint"
+    way_s = "element_id bigint, version int, tags_json string, nodes array<bigint>"
+    rel_s = ("element_id bigint, version int, tags_json string, "
+             "members array<struct<mtype:string, ref:bigint, role:string>>")
+    node_deletes = mk([(1,)], del_s)
+    ways = mk([(20, 1, "{}", [1, 2, 3])], way_s)
+
+    # inspect the analyzed logical plan of the first-pass join before
+    # execution: no ResolvedHint / broadcast function anywhere
+    from pyspark.sql import functions as F
+
+    nd = node_deletes.select(F.col("element_id").alias("del_id"))
+    joined = (
+        ways.select("element_id", F.explode("nodes").alias("ref"))
+        .join(nd, F.col("ref") == F.col("del_id"), "inner")
+    )
+    analyzed = joined._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" not in analyzed and "BROADCAST" not in analyzed
+
+    # and the cascade source itself must not hint: the only F.broadcast
+    # calls allowed in operators/ are on genuinely dimension-sized
+    # tables (flags, lists, rects) — not in cascade.py
+    import inspect
+    src = inspect.getsource(casc)
+    assert "F.broadcast" not in src

@@ -1,0 +1,88 @@
+"""J9 (region anti-proximity) + hot-cell salting tests."""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def spark():
+    from openstreetmap_license_change_spark.session import get_spark
+
+    s = get_spark("pytest-sched", master="local[4]", shuffle_partitions=4)
+    yield s
+    s.stop()
+
+
+def test_regions_available_anti_proximity(spark):  # run_bot.rb:41-57
+    from openstreetmap_license_change_spark.operators import spatial
+
+    cands = spark.createDataFrame(
+        [(1, 0.0, 0.0), (2, 1.5, 1.5), (3, 10.0, 10.0), (4, 11.9, 10.0),
+         (5, 12.1, 10.0)],
+        "region_id int, lon double, lat double",
+    )
+    processing = spark.createDataFrame(
+        [(0.5, 0.5), (10.0, 10.0)], "lon double, lat double"
+    )
+    out = spatial.regions_available(cands, processing)
+    got = sorted(r.region_id for r in out.collect())
+    # 1,2 within 2 deg of (0.5,0.5); 3,4 within 2 deg of (10,10);
+    # 5 is 2.1 deg away in lon -> available
+    assert got == [5]
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Broadcast" in plan  # tiny lock table broadcasts
+
+
+def test_salt_hot_cells_splits_and_preserves_totals(spark):
+    from openstreetmap_license_change_spark.operators import spatial
+
+    rows = [(f"u{i}", 7 if i < 900 else i % 5) for i in range(1000)]
+    df = spark.createDataFrame(rows, "url string, cell int")
+    salted = spatial.salt_hot_cells(df, hot_cells=[7], buckets=8)
+
+    # hot cell fans out into up to 8 sub-keys; cold cells unchanged
+    keys = {r.cell_salted for r in salted.select("cell_salted").distinct().collect()}
+    hot_keys = {k for k in keys if k.startswith("7#")}
+    assert 2 <= len(hot_keys) <= 8
+    assert "3" in keys and "7" not in keys
+
+    # two-stage aggregation over the salted key preserves exact totals
+    stage1 = salted.groupBy("cell_salted").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.split(F.col("cell_salted"), "#")[0].alias("cell"),
+    )
+    stage2 = stage1.groupBy("cell").agg(F.sum("n").alias("n"))
+    got = {int(r.cell): r.n for r in stage2.collect()}
+    assert got[7] == 900 and sum(got.values()) == 1000
+
+
+def test_pip_prefiltered_equals_nested_loop(spark):
+    """Cell-prefiltered PIP must select exactly the same (point, rect)
+    pairs as the nested-loop broadcast join, including rect-boundary
+    points, and must plan as a broadcast HASH join on the cell key."""
+    from openstreetmap_license_change_spark.operators import spatial
+
+    pts = spark.createDataFrame(
+        [(f"p{i}", -180.0 + (i * 7.31) % 360.0, -90.0 + (i * 3.17) % 180.0)
+         for i in range(2000)]
+        + [("edge1", 0.0, 0.0), ("edge2", -45.0, 22.5), ("edge3", 179.99, 89.99)],
+        "url string, lon double, lat double",
+    )
+    rects = spark.createDataFrame(
+        [(r * 8 + c + 1, -180.0 + c * 45.0, -90.0 + r * 22.5,
+          -180.0 + (c + 1) * 45.0, -90.0 + (r + 1) * 22.5)
+         for r in range(8) for c in range(8)],
+        "polygon_id INT, min_lon DOUBLE, min_lat DOUBLE, "
+        "max_lon DOUBLE, max_lat DOUBLE",
+    )
+    a = {(r.url, r.polygon_id)
+         for r in spatial.pip_join_rect(pts, rects).collect()}
+    b = {(r.url, r.polygon_id)
+         for r in spatial.pip_join_rect_prefiltered(pts, rects, 7.5).collect()}
+    assert a == b and len(a) == 2003  # every point in exactly one rect
+
+    plan = spatial.pip_join_rect_prefiltered(pts, rects, 7.5)._jdf \
+        .queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
