@@ -1,0 +1,213 @@
+"""osmChange XML sink (S9) — the reference's output document
+(osm_print.rb:35-123) rebuilt as native column expressions.
+
+Each action row renders to one `<modify>`/`<delete>` fragment string
+entirely JVM-side (concat/transform over the geometry arrays, no
+Python), so fragment generation scales with the data; only the
+constant header/footer wrap is driver-side.  Fidelity notes:
+
+* attribute set + order per osm_print.rb:66-75 (id, changeset, user
+  "Redaction bot", uid 0, visible, timestamp 2012-04-01T00:00:00Z,
+  version, then lat/lon for nodes)
+* deletes render the element with ``visible="false"``, the *current*
+  version, no tags/children, and lat/lon 0 for nodes — mirroring
+  ``from_delete`` (osm_print.rb:54-62, position ``[]`` → 0)
+* no tags and no children → self-closing ``/>`` (osm_print.rb:100-104)
+* tag/member/nd child lines mirror XML::Node rendering:
+  ``<tag k=".." v=".."/>`` with &, <, >, " escaped
+* one documented divergence: tag order is sorted by key (the Ruby hash
+  preserves insertion order, which a relational pipeline does not
+  carry); covered in COVERAGE.md divergences
+
+At 100 TB the fragments are written sharded per changeset partition
+(`fragments` is an ordinary DataFrame — point a writer at it); the
+single-document assembly below is the test/golden-parity path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+USERNAME = "Redaction bot"
+UID = 0
+TIMESTAMP = "2012-04-01T00:00:00Z"
+HEADER = '<osmChange version="0.6" generator="Redaction bot">'
+FOOTER = "</osmChange>"
+
+
+def _esc(col: Column) -> Column:
+    """XML attribute-value escaping as libxml renders it (&, <, >, ")."""
+    out = F.replace(col, F.lit("&"), F.lit("&amp;"))
+    out = F.replace(out, F.lit("<"), F.lit("&lt;"))
+    out = F.replace(out, F.lit(">"), F.lit("&gt;"))
+    return F.replace(out, F.lit('"'), F.lit("&quot;"))
+
+
+def _bool(col: Column) -> Column:
+    return F.when(col, F.lit("true")).otherwise(F.lit("false"))
+
+
+def _attrs(changeset_id: int, visible: Column, version: Column) -> Column:
+    return F.concat(
+        F.lit(' id="'), F.col("element_id").cast("string"),
+        F.lit(f'" changeset="{changeset_id}" user="{USERNAME}"'
+              f' uid="{UID}" visible="'),
+        _bool(visible),
+        F.lit(f'" timestamp="{TIMESTAMP}" version="'),
+        version.cast("string"),
+        F.lit('"'),
+    )
+
+
+def _children(etype_lit: str, is_delete: bool) -> Column:
+    """Child lines at indent 3 (6 spaces): <nd>/<member> rows.
+    Deletes carry no children (osm_print.rb:60-62)."""
+    if is_delete:
+        return F.lit("")
+    if etype_lit == "way":
+        return F.concat_ws(
+            "",
+            F.transform(
+                F.coalesce(F.col("nodes"), F.array()),
+                lambda n: F.concat(
+                    F.lit('      <nd ref="'), n.cast("string"), F.lit('"/>\n')
+                ),
+            ),
+        )
+    if etype_lit == "relation":
+        return F.concat_ws(
+            "",
+            F.transform(
+                F.coalesce(
+                    F.col("members"),
+                    F.array().cast(
+                        "array<struct<mtype:string,ref:bigint,role:string>>"
+                    ),
+                ),
+                lambda m: F.concat(
+                    F.lit('      <member type="'), m["mtype"],
+                    F.lit('" ref="'), m["ref"].cast("string"),
+                    F.lit('" role="'), _esc(m["role"]),
+                    F.lit('"/>\n'),
+                ),
+            ),
+        )
+    return F.lit("")
+
+
+def _tag_lines(is_delete: bool) -> Column:
+    if is_delete:
+        return F.lit("")
+    entries = F.array_sort(F.map_entries(F.coalesce(
+        F.col("tags"), F.create_map().cast("map<string,string>")
+    )))
+    return F.concat_ws(
+        "",
+        F.transform(
+            entries,
+            lambda e: F.concat(
+                F.lit('      <tag k="'), _esc(e["key"]),
+                F.lit('" v="'), _esc(e["value"]), F.lit('"/>\n')
+            ),
+        ),
+    )
+
+
+def _element(etype_lit: str, is_delete: bool, changeset_id: int) -> Column:
+    """One rendered element at indent 2 (4 spaces)."""
+    visible = F.lit(False) if is_delete else F.lit(True)
+    attrs = _attrs(changeset_id, visible, F.col("version"))
+    if etype_lit == "node":
+        if is_delete:
+            pos = F.lit(' lat="0" lon="0"')
+        else:
+            pos = F.concat(
+                F.lit(' lat="'), F.col("lat").cast("string"),
+                F.lit('" lon="'), F.col("lon").cast("string"), F.lit('"'),
+            )
+        attrs = F.concat(attrs, pos)
+    body = F.concat(_tag_lines(is_delete), _children(etype_lit, is_delete))
+    open_tag = F.concat(F.lit(f"    <{etype_lit}"), attrs)
+    return F.when(
+        F.length(body) == 0, F.concat(open_tag, F.lit("/>\n"))
+    ).otherwise(
+        F.concat(open_tag, F.lit(">\n"), body, F.lit(f"    </{etype_lit}>\n"))
+    )
+
+
+def osmchange_fragments(actions: DataFrame, changeset_id: int = -1) -> DataFrame:
+    """action rows → (sort keys, fragment string).
+
+    Input columns: etype, element_id, action ('edit'|'delete'),
+    version (current version for deletes), tags map<string,string>,
+    lon/lat (nodes), nodes array<bigint> (ways), members
+    array<struct<mtype,ref,role>> (relations).
+
+    Order matches the reference changeset emission
+    (change_bot.rb:296-319 via ordered_changeset): edits
+    relation→way→node before deletes relation→way→node, id ascending.
+    """
+    cols = set(actions.columns)
+    df = actions
+    for opt, typ in (
+        ("tags", "map<string,string>"), ("lon", "double"), ("lat", "double"),
+        ("nodes", "array<bigint>"),
+        ("members", "array<struct<mtype:string,ref:bigint,role:string>>"),
+    ):
+        if opt not in cols:
+            df = df.withColumn(opt, F.lit(None).cast(typ))
+
+    frag = F.lit(None).cast("string")
+    for etype in ("node", "way", "relation"):
+        for action, wrapper in (("edit", "modify"), ("delete", "delete")):
+            rendered = F.concat(
+                F.lit(f"  <{wrapper}>\n"),
+                _element(etype, action == "delete", changeset_id),
+                F.lit(f"  </{wrapper}>\n"),
+            )
+            frag = F.when(
+                (F.col("etype") == etype) & (F.col("action") == action),
+                rendered,
+            ).otherwise(frag)
+
+    type_rank = (
+        F.when(F.col("etype") == "relation", 0)
+        .when(F.col("etype") == "way", 1)
+        .otherwise(2)
+    )
+    action_rank = F.when(F.col("action") == "edit", 0).otherwise(1)
+    return df.select(
+        action_rank.alias("action_rank"),
+        type_rank.alias("type_rank"),
+        F.col("element_id"),
+        frag.alias("fragment"),
+    )
+
+
+def osmchange_doc(actions: DataFrame, changeset_id: int = -1) -> str:
+    """Assemble ONE osmChange document (test / golden-parity path;
+    driver-side only for the final string concat — fragment rendering
+    already ran distributed)."""
+    frags = (
+        osmchange_fragments(actions, changeset_id)
+        .orderBy("action_rank", "type_rank", "element_id")
+        .select("fragment")
+        .collect()
+    )
+    return HEADER + "\n" + "".join(r.fragment for r in frags) + FOOTER + "\n"
+
+
+def write_osmchange(actions: DataFrame, path: str, changeset_id: int = -1) -> None:
+    """Scale path: fragments written as ordered text shards (header and
+    footer live in sidecar part files, mirroring how multi-file
+    osmChange exports are concatenated downstream)."""
+    spark = actions.sparkSession
+    frags = osmchange_fragments(actions, changeset_id).orderBy(
+        "action_rank", "type_rank", "element_id"
+    )
+    header = spark.createDataFrame([(HEADER,)], "fragment string")
+    footer = spark.createDataFrame([(FOOTER,)], "fragment string")
+    header.select("fragment").write.mode("overwrite").text(f"{path}/_header")
+    frags.select("fragment").write.mode("overwrite").text(f"{path}/body")
+    footer.select("fragment").write.mode("overwrite").text(f"{path}/_footer")
