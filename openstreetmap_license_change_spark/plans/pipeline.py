@@ -27,6 +27,7 @@ import time
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..operators import exclusions as excl_ops
 from ..operators import fold, lineage, spatial
 from ..sources import pages as pages_src
 
@@ -87,9 +88,18 @@ class StageRunner:
 
 
 def run_pipeline(
-    spark: SparkSession, sf_dir: str, work_dir: str
+    spark: SparkSession,
+    sf_dir: str,
+    work_dir: str,
+    exclusions: DataFrame | None = None,
 ) -> dict[str, DataFrame]:
-    """Full batch run, checkpointed per stage. Returns stage outputs."""
+    """Full batch run, checkpointed per stage. Returns stage outputs.
+
+    ``exclusions`` (optional): (element_type, url) rows — the
+    reference's hard-exclusion list (db.rb:38-48).  Excluded elements
+    bypass the fold via the broadcast split (change_bot.rb:214-218)
+    and surface as delete+redact-all action rows.
+    """
     runner = StageRunner(spark, work_dir)
     key = sf_dir  # lineage key: input identity (prod: snapshot id)
 
@@ -108,11 +118,13 @@ def run_pipeline(
             "tainted", ~F.col("accepted")
         ),
     )
-    actions = runner.run(
-        "actions",
-        key,
-        lambda: fold.classify_histories(fold.pages_histories(flagged)),
-    )
+    def build_actions():
+        hist = fold.pages_histories(flagged)
+        if exclusions is not None:
+            return excl_ops.classify_with_exclusions(hist, exclusions)
+        return fold.classify_histories(hist)
+
+    actions = runner.run("actions", key, build_actions)
     rollup = runner.run(
         "tile_rollup", key, lambda: spatial.tile_rollup(cells)
     )

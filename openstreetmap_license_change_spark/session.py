@@ -30,14 +30,22 @@ def get_spark(
             os.environ.get("SPARK_SHUFFLE_PARTITIONS", str(default_sp))
         )
 
+    # AQE default ON (runtime re-plan + skew-join splitting — the
+    # 100-TB posture).  SPARK_GRAFT_AQE=false exists for the scaling
+    # protocol: at 1-8 local cores AQE's between-stage re-planning is
+    # pure driver-serial time (measured: knn 20.2 s → 14.0 s at
+    # local[4]) that a real cluster amortizes across thousands of
+    # tasks per stage.
+    aqe = os.environ.get("SPARK_GRAFT_AQE", "true")
+
     return (
         SparkSession.builder.appName(app_name)
         .master(master)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.sql.adaptive.enabled", "true")
-        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.adaptive.enabled", aqe)
+        .config("spark.sql.adaptive.coalescePartitions.enabled", aqe)
+        .config("spark.sql.adaptive.skewJoin.enabled", aqe)
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))

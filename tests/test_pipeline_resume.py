@@ -72,3 +72,29 @@ def test_lineage_change_invalidates(spark, tmp_path_factory):
     # changed lineage: rebuilt
     df3 = StageRunner(spark, work).run("s", "key-b", lambda: spark.range(0, 5))
     assert df3.count() == 5
+
+
+def test_pipeline_with_exclusions(spark, tmp_path_factory):
+    """P3 wired into the pipeline: excluded urls surface as
+    delete+redact-all action rows and never reach the fold."""
+    from pyspark.sql import functions as F
+    from openstreetmap_license_change_spark.plans.pipeline import run_pipeline
+    from openstreetmap_license_change_spark.sources import pages as pages_src
+
+    work = str(tmp_path_factory.mktemp("pipe_excl"))
+    # exclude two real urls from the input
+    some = (
+        pages_src.pages_from_documents(spark, SF_DIR)
+        .select("url").distinct().orderBy("url").limit(2)
+    )
+    exclusions = some.select(F.lit("node").alias("element_type"), "url")
+    excluded_urls = {r.url for r in exclusions.collect()}
+
+    out = run_pipeline(spark, SF_DIR, work, exclusions=exclusions)
+    acts = out["actions"].where(F.col("url").isin(list(excluded_urls)))
+    got = {(r.url, r.action, r.mode) for r in acts.collect()}
+    for url in excluded_urls:
+        assert (url, "delete", None) in got
+        assert (url, "redact", "hidden") in got
+    # every action for an excluded url is delete or hidden-redact
+    assert all(a in ("delete", "redact") for (_, a, _) in got)
