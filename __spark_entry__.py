@@ -282,6 +282,104 @@ def q_ann_recall(spark, sf_dir):
     )
 
 
+def q_embedding_near_dup(spark, sf_dir):
+    """Embedding-cosine near-dup: all-pairs cosine *within* LSH buckets
+    (bounded quadratic — the 100-TB shape), top-3 neighbours per
+    vector."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return similarity.pairwise_topk_in_bucket(
+        emb, n_planes=ANN_PLANES, k=3, dim=64
+    )
+
+
+def q_pip_rect_prefiltered(spark, sf_dir):
+    """J10b: the same PIP result as `pip_rect` through the
+    cell-prefiltered broadcast equi-join (rects explode into covering
+    cells; exact predicate only on surviving pairs)."""
+    pages = lineage.latest_version(_pages(spark, sf_dir))
+    rects = spark.createDataFrame(
+        [
+            (1, -180.0, -90.0, -60.0, 0.0),
+            (2, -60.0, -90.0, 60.0, 0.0),
+            (3, -180.0, 0.0, 0.0, 90.0),
+            (4, 0.0, 0.0, 180.0, 90.0),
+        ],
+        "polygon_id INT, min_lon DOUBLE, min_lat DOUBLE, max_lon DOUBLE, max_lat DOUBLE",
+    )
+    return (
+        spatial.pip_join_rect_prefiltered(pages, rects, res_deg=30.0)
+        .groupBy("polygon_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_pages"),
+            F.min("url").alias("first_url"),
+        )
+    )
+
+
+def q_regions_available(spark, sf_dir):
+    """J9: region anti-proximity — latest pages not within 25° Chebyshev
+    of any currently-processing region (run_bot.rb:41-57), as a
+    broadcast theta anti-join."""
+    latest = lineage.latest_version(_pages(spark, sf_dir)).select(
+        "url", "lon", "lat"
+    )
+    processing = spark.createDataFrame(
+        [(-120.0, 40.0), (10.0, 50.0), (140.0, -30.0)], "lon double, lat double"
+    )
+    return spatial.regions_available(latest, processing, dist_deg=25.0)
+
+
+def q_doc_fingerprint(spark, sf_dir):
+    """Document fingerprint: polynomial rolling hash (Horner mod p) over
+    the 64-char prefix — pure per-row arithmetic, no dictionary."""
+    docs = pages_src.documents(spark, sf_dir)
+    return docs.select(
+        "doc_id", textops.rolling_fingerprint(F.col("text")).alias("fingerprint")
+    )
+
+
+def q_osmchange_render(spark, sf_dir):
+    """S9 at data scale: latest page versions → node edit/delete action
+    rows → osmChange XML fragments, rendered entirely JVM-side.
+
+    Coordinates are re-derived as quarter-degree values (exact dyadic
+    doubles) so the double→string render is bit-identical across
+    engines; raw-float rendering fidelity is covered by the sink's
+    golden tests."""
+    from openstreetmap_license_change_spark.plans import osmchange
+
+    latest = lineage.latest_version(_pages(spark, sf_dir))
+    actions = latest.select(
+        F.lit("node").alias("etype"),
+        dedup.token_hash(F.col("url")).alias("element_id"),
+        F.when(F.col("visible"), F.lit("edit"))
+        .otherwise(F.lit("delete"))
+        .alias("action"),
+        F.col("version"),
+        F.create_map(F.lit("source"), F.lit("bot")).alias("tags"),
+        ((F.col("changeset_id") % 1441) / 4.0 - 180.0).alias("lon"),
+        ((F.col("uid") % 721) / 4.0 - 90.0).alias("lat"),
+    )
+    return osmchange.osmchange_fragments(actions).select(
+        "action_rank", "type_rank", "element_id", "fragment"
+    )
+
+
+def q_media_decode_stats(spark, sf_dir):
+    """Multimodal decode path end-to-end: deterministic raw-RGB24 media
+    → binary payload → mapInPandas decode + bilinear resize (identity
+    size ⇒ exact) → per-image channel means.  The oracle regenerates
+    the pixel pattern arithmetically — so a payload-byte or decode bug
+    breaks the match."""
+    from openstreetmap_license_change_spark.operators import multimodal
+
+    media = multimodal.synthetic_raw_rgb_media(spark, n=16, w=48, h=32)
+    out = multimodal.resize_images(media, out_w=48, out_h=32)
+    return out.select(
+        "media_id", "width", "height", "mean_r", "mean_g", "mean_b"
+    )
+
+
 def q_events_sessionize(spark, sf_dir):
     """Stateful-style sessionization as pure windows: 30-minute gaps
     split sessions; counts per (user, session)."""
@@ -503,6 +601,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": q_ann_cosine_topk,
         "lsh_bucket_topk": q_lsh_bucket_topk,
         "ann_recall": q_ann_recall,
+        "embedding_near_dup": q_embedding_near_dup,
+        "pip_rect_prefiltered": q_pip_rect_prefiltered,
+        "regions_available": q_regions_available,
+        "doc_fingerprint": q_doc_fingerprint,
+        "osmchange_render": q_osmchange_render,
+        "media_decode_stats": q_media_decode_stats,
         "events_sessionize": q_events_sessionize,
         "significance_prefilter": q_significance_prefilter,
         "classify_actions": q_classify_actions,
@@ -843,6 +947,137 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT CAST(COUNT(*) AS DOUBLE) / 10.0 AS recall_at_10
             FROM brute JOIN lsh USING (vec_id)
+        """,
+        "embedding_near_dup": f"""
+            WITH bucketed AS (
+                SELECT vec_id, embedding, {bucket_sql} AS bucket
+                FROM embeddings
+            ),
+            pairs AS (
+                SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                       ROUND(list_cosine_similarity(
+                           CAST(a.embedding AS DOUBLE[]),
+                           CAST(b.embedding AS DOUBLE[])), 6) AS cos_sim
+                FROM bucketed a JOIN bucketed b
+                  ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+            )
+            SELECT id_a, id_b, cos_sim, rk FROM (
+                SELECT *, ROW_NUMBER() OVER (PARTITION BY id_a
+                                             ORDER BY cos_sim DESC, id_b)
+                           AS rk
+                FROM pairs
+            ) t WHERE rk <= 3
+        """,
+        "pip_rect_prefiltered": _with_pages("""
+            , rects AS (
+                SELECT * FROM (VALUES
+                    (1, -180.0, -90.0, -60.0, 0.0),
+                    (2,  -60.0, -90.0,  60.0, 0.0),
+                    (3, -180.0,   0.0,   0.0, 90.0),
+                    (4,    0.0,   0.0, 180.0, 90.0)
+                ) AS v(polygon_id, min_lon, min_lat, max_lon, max_lat)
+            ),
+            latest AS (
+                SELECT * FROM (
+                    SELECT p.*,
+                           ROW_NUMBER() OVER (PARTITION BY url
+                                              ORDER BY version DESC) AS rn
+                    FROM pages p
+                ) t WHERE rn = 1
+            )
+            SELECT r.polygon_id, COUNT(*) AS n_pages, MIN(l.url) AS first_url
+            FROM latest l JOIN rects r
+              ON l.lon >= r.min_lon AND l.lon < r.max_lon
+             AND l.lat >= r.min_lat AND l.lat < r.max_lat
+            GROUP BY r.polygon_id
+        """),
+        "regions_available": _with_pages("""
+            , latest AS (
+                SELECT * FROM (
+                    SELECT p.*,
+                           ROW_NUMBER() OVER (PARTITION BY url
+                                              ORDER BY version DESC) AS rn
+                    FROM pages p
+                ) t WHERE rn = 1
+            )
+            SELECT l.url, l.lon, l.lat
+            FROM latest l
+            WHERE NOT EXISTS (
+                SELECT 1 FROM (VALUES
+                    (-120.0, 40.0), (10.0, 50.0), (140.0, -30.0)
+                ) pr(plon, plat)
+                WHERE abs(l.lon - pr.plon) < 25.0
+                  AND abs(l.lat - pr.plat) < 25.0
+            )
+        """),
+        "doc_fingerprint": f"""
+            SELECT doc_id,
+                   {textops.rolling_fingerprint_sql('text')} AS fingerprint
+            FROM documents
+        """,
+        "osmchange_render": _with_pages(f"""
+            , latest AS (
+                SELECT * FROM (
+                    SELECT p.*,
+                           ROW_NUMBER() OVER (PARTITION BY url
+                                              ORDER BY version DESC) AS rn
+                    FROM pages p
+                ) t WHERE rn = 1
+            ),
+            act AS (
+                SELECT {dedup.token_hash_sql('url')} AS element_id,
+                       visible, version,
+                       CAST(changeset_id % 1441 AS DOUBLE) / 4.0 - 180.0 AS lon,
+                       CAST(uid % 721 AS DOUBLE) / 4.0 - 90.0 AS lat
+                FROM latest
+            )
+            SELECT CASE WHEN visible THEN 0 ELSE 1 END AS action_rank,
+                   2 AS type_rank,
+                   element_id,
+                   CASE WHEN visible THEN
+                       '  <modify>' || chr(10)
+                       || '    <node id="' || CAST(element_id AS VARCHAR)
+                       || '" changeset="-1" user="Redaction bot" uid="0"'
+                       || ' visible="true"'
+                       || ' timestamp="2012-04-01T00:00:00Z" version="'
+                       || CAST(version AS VARCHAR)
+                       || '" lat="' || CAST(lat AS VARCHAR)
+                       || '" lon="' || CAST(lon AS VARCHAR) || '">' || chr(10)
+                       || '      <tag k="source" v="bot"/>' || chr(10)
+                       || '    </node>' || chr(10)
+                       || '  </modify>' || chr(10)
+                   ELSE
+                       '  <delete>' || chr(10)
+                       || '    <node id="' || CAST(element_id AS VARCHAR)
+                       || '" changeset="-1" user="Redaction bot" uid="0"'
+                       || ' visible="false"'
+                       || ' timestamp="2012-04-01T00:00:00Z" version="'
+                       || CAST(version AS VARCHAR)
+                       || '" lat="0" lon="0"/>' || chr(10)
+                       || '  </delete>' || chr(10)
+                   END AS fragment
+            FROM act
+        """),
+        "media_decode_stats": """
+            WITH imgs AS (SELECT UNNEST(range(0, 16)) AS media_id),
+            pix AS (
+                SELECT i.media_id, c.c AS chan,
+                       (x.x * 3 + y.y * 7 + c.c * 11 + i.media_id * 13) % 256
+                           AS v
+                FROM imgs i,
+                     range(0, 48) x(x),
+                     range(0, 32) y(y),
+                     range(0, 3) c(c)
+            )
+            SELECT media_id,
+                   48 AS width, 32 AS height,
+                   CAST(CAST(SUM(CASE WHEN chan = 0 THEN v END) AS DOUBLE)
+                        / 1536.0 AS REAL) AS mean_r,
+                   CAST(CAST(SUM(CASE WHEN chan = 1 THEN v END) AS DOUBLE)
+                        / 1536.0 AS REAL) AS mean_g,
+                   CAST(CAST(SUM(CASE WHEN chan = 2 THEN v END) AS DOUBLE)
+                        / 1536.0 AS REAL) AS mean_b
+            FROM pix GROUP BY media_id
         """,
         "minhash_lsh_pairs": f"""
             WITH toks AS (

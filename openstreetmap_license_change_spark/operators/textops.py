@@ -93,18 +93,38 @@ def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     return out.drop(*[f"_hits_{lang}" for lang in langs])
 
 
-def rolling_fingerprint(text: Column, mod: int = 1_000_000_007) -> Column:
-    """Polynomial rolling-hash fingerprint over the first 64 chars:
-    sum(ascii(char_i) * 31^i) mod p — an engine-portable document
-    fingerprint (same formula in the SQL oracle)."""
-    prefix = F.substring(text, 1, 64)
+FINGERPRINT_BASE = 31
+FINGERPRINT_MOD = 1_000_000_007
+FINGERPRINT_PREFIX = 64
+
+
+def rolling_fingerprint(text: Column) -> Column:
+    """Polynomial rolling-hash fingerprint over the first 64 chars,
+    Horner form: acc = (acc·31 + codepoint) mod p at every step, so
+    every intermediate stays < p·31 + 0x10FFFF ≪ 2^63 — no float pow,
+    no int64 overflow, identical in the SQL twin below."""
+    prefix = F.substring(text, 1, FINGERPRINT_PREFIX)
     chars = F.split(prefix, "")
-    indexed = F.transform(
-        chars, lambda ch, i: F.ascii(ch).cast("bigint") * F.pow(F.lit(31.0), i).cast("bigint")
+    return F.aggregate(
+        chars,
+        F.lit(0).cast("bigint"),
+        lambda acc, ch: (
+            acc * FINGERPRINT_BASE + F.coalesce(F.ascii(ch), F.lit(0))
+        )
+        % FINGERPRINT_MOD,
     )
+
+
+def rolling_fingerprint_sql(expr: str) -> str:
+    """DuckDB twin of :func:`rolling_fingerprint` (same Horner fold;
+    ``ord`` = codepoint, matching Spark's ``ascii``)."""
     return (
-        F.aggregate(indexed, F.lit(0).cast("bigint"), lambda acc, v: (acc + v) % mod)
-    ).alias("fingerprint")
+        "list_reduce("
+        "list_prepend(CAST(0 AS BIGINT), "
+        f"list_transform(string_split(substring({expr}, 1, "
+        f"{FINGERPRINT_PREFIX}), ''), c -> CAST(ord(c) AS BIGINT))), "
+        f"(acc, x) -> (acc * {FINGERPRINT_BASE} + x) % {FINGERPRINT_MOD})"
+    )
 
 
 def significance_normalize(text: Column) -> Column:
