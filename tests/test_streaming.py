@@ -86,3 +86,64 @@ def test_foreach_batch_classify_accumulates(spark, tmp_path):
     run_stream()
     hist = spark.read.parquet(f"{state}/histories")
     assert hist.groupBy("url").count().agg(F.max("count")).collect()[0][0] == 2
+
+
+def _write_events(spark, path, rows):
+    schema = "user_id bigint, event_id bigint, ts timestamp, value double"
+    spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(path)
+
+
+def test_sessionize_stream_stateful(spark, tmp_path):
+    """applyInPandasWithState sessionizer: intra-batch gaps close
+    sessions immediately; watermark progress times out open sessions."""
+    import datetime as dt
+
+    from openstreetmap_license_change_spark.streaming import sessionize
+
+    def t(mins):
+        return dt.datetime(2024, 1, 1, 0, 0, 0) + dt.timedelta(minutes=mins)
+
+    src = str(tmp_path / "events")
+    # file 1: user 1 has two sessions split by a >30min gap inside the
+    # batch (second closes only by timeout); user 2 one open session
+    _write_events(spark, src, [
+        (1, 1, t(0), 1.5), (1, 2, t(10), 2.0),   # session A: 2 events
+        (1, 3, t(50), 0.25),                     # session B (open)
+        (2, 1, t(5), 4.0),                       # user 2 (open)
+    ])
+    # file 2: far-future event advances the watermark past all file-1
+    # timeouts; file 3 gives the engine a batch in which to fire them
+    _write_events(spark, src, [(9, 1, t(300), 1.0)])
+    _write_events(spark, src, [(9, 2, t(301), 1.0)])
+
+    stream = (
+        spark.readStream.schema(
+            "user_id bigint, event_id bigint, ts timestamp, value double"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = sessionize.sessionize_stream(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sess_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    got = {
+        (r.user_id, r.session_start.minute + r.session_start.hour * 60,
+         r.n_events, r.sum_value)
+        for r in spark.sql("SELECT * FROM sess_test").collect()
+    }
+    # session A closed by the intra-batch gap OR timeout; session B and
+    # user 2's session closed by watermark timeout
+    assert (1, 0, 2, 3.5) in got
+    assert (1, 50, 1, 0.25) in got
+    assert (2, 5, 1, 4.0) in got
+    # user 9's sessions stay open (watermark never passes them)
+    assert not any(u == 9 for (u, _, _, _) in got)
