@@ -115,10 +115,18 @@ def run_queries(spark, sf_dir):
     # prefix.  text/html are dropped from the spatial table (the
     # spatial pipeline never reads them; columnar pruning would skip
     # them on a real table anyway).
-    stage_dir = tempfile.mkdtemp(prefix="bench_pages_", dir="/dev/shm")
-    _amplified_pages(spark, sf_dir, REPLICATION).drop("text").write.mode(
-        "overwrite"
-    ).parquet(f"{stage_dir}/pages")
+    # The staged table is deterministic in (sf_dir, REPLICATION), so the
+    # scaling protocol stages ONCE at full parallelism and every pinned
+    # trial reuses it (SPARK_GRAFT_STAGE_DIR): identical bytes and
+    # layout at every level, and no per-trial serial staging tax.  The
+    # fixed repartition(32) keeps the file layout independent of the
+    # writing session's parallelism.
+    shared = os.environ.get("SPARK_GRAFT_STAGE_DIR")
+    stage_dir = shared or tempfile.mkdtemp(prefix="bench_pages_", dir="/dev/shm")
+    if not os.path.exists(f"{stage_dir}/pages/_SUCCESS"):
+        _amplified_pages(spark, sf_dir, REPLICATION).drop(
+            "text"
+        ).repartition(32).write.mode("overwrite").parquet(f"{stage_dir}/pages")
     pages_big = spark.read.parquet(f"{stage_dir}/pages")
 
     # flagship: geocode → flags → cell+tile assignment → PIP → rollup
@@ -194,7 +202,8 @@ def run_queries(spark, sf_dir):
         ),
     )
 
-    shutil.rmtree(stage_dir, ignore_errors=True)
+    if not shared:
+        shutil.rmtree(stage_dir, ignore_errors=True)
     return timings, n_pages
 
 
@@ -256,6 +265,26 @@ def scaling_mode():
         for x in os.environ.get("SPARK_GRAFT_SCALING_LEVELS", "1,4").split(",")
     ]
     trials = int(os.environ.get("SPARK_GRAFT_BENCH_TRIALS", "3"))
+
+    # stage the shared input table ONCE at full parallelism; every
+    # pinned trial at every level then reads identical bytes (staging
+    # is untimed input prep — see run_queries — so sharing it only
+    # removes a serial per-trial tax, it cannot affect a timed query)
+    import tempfile
+
+    stage_root = tempfile.mkdtemp(prefix="bench_stage_", dir="/dev/shm")
+    stage_env = dict(
+        os.environ,
+        SPARK_GRAFT_CPUS=os.environ.get("SPARK_GRAFT_STAGE_CPUS", "32"),
+        SPARK_GRAFT_STAGE_DIR=stage_root,
+        SPARK_GRAFT_BENCH_REPL=os.environ.get("SPARK_GRAFT_BENCH_REPL", "256"),
+    )
+    subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--stage-only"],
+        env=stage_env, capture_output=True, text=True, timeout=3600,
+    )
+    os.environ["SPARK_GRAFT_STAGE_DIR"] = stage_root
+
     runs: dict[int, list[dict]] = {lv: [] for lv in levels}
     for _ in range(trials):
         for cpus in levels:
@@ -355,11 +384,35 @@ def scaling_mode():
             "~0.9-1.3M pages/sec on the spatial pipeline (bandwidth-capped; see "
             "git history of this file for the measured 8 vs 32 profile).\n"
         )
+    import shutil
+
+    shutil.rmtree(stage_root, ignore_errors=True)
     print(json.dumps({"eff": eff, f"n{lo}": t_lo, f"n{hi}": t_hi}))
 
 
+def stage_only():
+    """Build the shared staged pages table (scaling-protocol setup):
+    runs unpinned at full parallelism; trials then read identical bytes
+    at every level."""
+    os.environ.setdefault("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf_dir = os.environ["SPARK_GRAFT_SF_DIR"]
+    stage_dir = os.environ["SPARK_GRAFT_STAGE_DIR"]
+
+    from openstreetmap_license_change_spark.session import get_spark
+
+    spark = get_spark("bench-stage")
+    try:
+        _amplified_pages(spark, sf_dir, REPLICATION).drop(
+            "text"
+        ).repartition(32).write.mode("overwrite").parquet(f"{stage_dir}/pages")
+    finally:
+        spark.stop()
+
+
 if __name__ == "__main__":
-    if "--scaling" in sys.argv:
+    if "--stage-only" in sys.argv:
+        stage_only()
+    elif "--scaling" in sys.argv:
         scaling_mode()
     else:
         print(json.dumps(run_once()))
