@@ -136,6 +136,67 @@ def q_pricing_summary(spark, sf_dir):
     )
 
 
+def q_shipping_priority(spark, sf_dir):
+    """TPC-H Q3 shape: customer ⨝ orders ⨝ lineitem, revenue top-10.
+    Dim side broadcasts (autoBroadcastJoinThreshold); revenue sums as a
+    scaled int64 so accumulation order can't change the result."""
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    rev = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000
+    ).cast("bigint")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(
+            cust.where(F.col("c_mktsegment") == "BUILDING"),
+            orders.o_custkey == F.col("c_custkey"),
+        )
+        .where(
+            (F.col("o_orderdate") < F.lit("1998-01-01"))
+            & (F.col("l_shipdate") > F.lit("1998-01-01"))
+        )
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg((F.sum(rev).cast("double") / 10000).alias("revenue"))
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+        .select(
+            "l_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_date"),
+            "o_orderpriority",
+            "revenue",
+        )
+    )
+
+
+def q_local_supplier_volume(spark, sf_dir):
+    """TPC-H Q5 shape: 6-table star join (region→nation broadcast dims,
+    fact-side shuffle joins), revenue per nation."""
+    region = spark.read.parquet(f"{sf_dir}/region.parquet")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    supp = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    rev = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000
+    ).cast("bigint")
+    return (
+        li.join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .where(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(nation, F.col("s_nationkey") == nation.n_nationkey)
+        .join(region, nation.n_regionkey == region.r_regionkey)
+        .where(F.col("o_orderdate") < F.lit("1999-01-01"))
+        .groupBy("r_name", "n_name")
+        .agg(
+            (F.sum(rev).cast("double") / 10000).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
 def q_cell_assignment(spark, sf_dir):
     """F14': grid cell + Morton quad-tile per latest page version."""
     pages = lineage.latest_version(_pages(spark, sf_dir))
@@ -587,6 +648,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "changeset_accept_join": q_changeset_accept_join,
         "reverse_reference_join": q_reverse_reference_join,
         "pricing_summary": q_pricing_summary,
+        "shipping_priority": q_shipping_priority,
+        "local_supplier_volume": q_local_supplier_volume,
         "cell_assignment": q_cell_assignment,
         "tile_rollup": q_tile_rollup,
         "pip_rect": q_pip_rect,
@@ -745,6 +808,39 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem
             WHERE l_shipdate <= DATE '1998-09-02'
             GROUP BY l_returnflag, l_linestatus
+        """,
+        "shipping_priority": """
+            SELECT l_orderkey,
+                   strftime(o_orderdate, '%Y-%m-%d') AS o_date,
+                   o_orderpriority,
+                   CAST(SUM(CAST(ROUND(
+                       l_extendedprice * (1 - l_discount) * 10000
+                   ) AS BIGINT)) AS DOUBLE) / 10000 AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            WHERE c_mktsegment = 'BUILDING'
+              AND o_orderdate < TIMESTAMP '1998-01-01'
+              AND l_shipdate > DATE '1998-01-01'
+            GROUP BY l_orderkey, o_orderdate, o_orderpriority
+            ORDER BY revenue DESC, l_orderkey
+            LIMIT 10
+        """,
+        "local_supplier_volume": """
+            SELECT r_name, n_name,
+                   CAST(SUM(CAST(ROUND(
+                       l_extendedprice * (1 - l_discount) * 10000
+                   ) AS BIGINT)) AS DOUBLE) / 10000 AS revenue,
+                   COUNT(*) AS n_items
+            FROM lineitem
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            WHERE c_nationkey = s_nationkey
+              AND o_orderdate < TIMESTAMP '1999-01-01'
+            GROUP BY r_name, n_name
         """,
         "cell_assignment": _with_pages(f"""
             SELECT url, lon, lat,
