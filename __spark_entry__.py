@@ -441,6 +441,17 @@ def q_media_decode_stats(spark, sf_dir):
     )
 
 
+def q_audio_decode_stats(spark, sf_dir):
+    """Audio decode path end-to-end: deterministic PCM16-LE clips →
+    payload bytes → mapInPandas decode → exact integer amplitude stats;
+    the oracle regenerates the waveform arithmetically, so an
+    endianness/width/offset bug in the decode breaks the match."""
+    from openstreetmap_license_change_spark.operators import multimodal
+
+    media = multimodal.synthetic_raw_pcm_media(spark, n=16, n_samples=2000)
+    return multimodal.audio_features(media)
+
+
 def q_events_sessionize(spark, sf_dir):
     """Stateful-style sessionization as pure windows: 30-minute gaps
     split sessions; counts per (user, session)."""
@@ -670,6 +681,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": q_doc_fingerprint,
         "osmchange_render": q_osmchange_render,
         "media_decode_stats": q_media_decode_stats,
+        "audio_decode_stats": q_audio_decode_stats,
         "events_sessionize": q_events_sessionize,
         "significance_prefilter": q_significance_prefilter,
         "classify_actions": q_classify_actions,
@@ -1174,6 +1186,24 @@ def oracle_sql() -> dict[str, str]:
                    CAST(CAST(SUM(CASE WHEN chan = 2 THEN v END) AS DOUBLE)
                         / 1536.0 AS REAL) AS mean_b
             FROM pix GROUP BY media_id
+        """,
+        "audio_decode_stats": """
+            WITH clips AS (SELECT UNNEST(range(0, 16)) AS media_id),
+            samp AS (
+                SELECT c.media_id,
+                       ((i.i * 7 + c.media_id * 13) % 2001) - 1000 AS s,
+                       CASE WHEN i.i > 0 THEN
+                           (((i.i - 1) * 7 + c.media_id * 13) % 2001) - 1000
+                       END AS prev_s
+                FROM clips c, range(0, 2000) i(i)
+            )
+            SELECT media_id,
+                   COUNT(*) AS n_samples,
+                   CAST(SUM(ABS(s)) AS BIGINT) AS sum_abs,
+                   CAST(SUM(s * s) AS BIGINT) AS sum_sq,
+                   CAST(SUM(CASE WHEN prev_s IS NOT NULL AND s * prev_s < 0
+                            THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings
+            FROM samp GROUP BY media_id
         """,
         "minhash_lsh_pairs": f"""
             WITH toks AS (

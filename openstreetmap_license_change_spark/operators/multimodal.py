@@ -258,6 +258,89 @@ def synthetic_raw_rgb_media(spark, n: int = 16, w: int = 48, h: int = 32) -> Dat
     return spark.range(0, n).mapInPandas(gen, schema=MEDIA_SCHEMA)
 
 
+# ---------------------------------------------------------------------------
+# raw-PCM audio path: REAL sample math (int16 LE decode + amplitude /
+# zero-crossing stats) over uncompressed PCM buffers — the audio twin
+# of the raw-RGB image path.  Compressed codecs plug in behind
+# STRICT_DECODE exactly like the image side.
+# ---------------------------------------------------------------------------
+
+AUDIO_FEATURES_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("n_samples", LongType()),
+        StructField("sum_abs", LongType()),
+        StructField("sum_sq", LongType()),
+        StructField("zero_crossings", LongType()),
+    ]
+)
+
+
+def audio_features(media: DataFrame) -> DataFrame:
+    """mapInPandas PCM16-LE decode → amplitude statistics.
+
+    Emits exact integer aggregates (|x| sum, x² sum, sign-flip count):
+    derived metrics (RMS, mean amplitude) are one deterministic
+    division/sqrt away, and integer outputs make the decode path
+    oracle-checkable bit-for-bit (`audio_decode_stats` in the driver
+    contract).  x² of int16 ≤ 2^30, so 2^33 samples fit in the int64
+    accumulator — far beyond any single payload."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            recs = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                x = np.frombuffer(payload or b"", dtype="<i2").astype(np.int64)
+                n = x.size
+                flips = int(((x[:-1] * x[1:]) < 0).sum()) if n > 1 else 0
+                recs.append(
+                    (int(mid), n, int(np.abs(x).sum()), int((x * x).sum()),
+                     flips)
+                )
+            yield pd.DataFrame(
+                recs,
+                columns=[
+                    "media_id", "n_samples", "sum_abs", "sum_sq",
+                    "zero_crossings",
+                ],
+            )
+
+    return (
+        media.where(F.col("media_type") == "audio")
+        .repartition("media_id")
+        .mapInPandas(run, schema=AUDIO_FEATURES_SCHEMA)
+    )
+
+
+def synthetic_raw_pcm_media(
+    spark, n: int = 16, n_samples: int = 2000
+) -> DataFrame:
+    """Deterministic PCM16 clips: sample i of clip id is
+    ((i*7 + id*13) mod 2001) − 1000, little-endian int16 — generated in
+    the same Arrow path the decoder reads."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            recs = []
+            for mid in pdf["id"]:
+                i = np.arange(n_samples, dtype=np.int64)
+                x = ((i * 7 + int(mid) * 13) % 2001 - 1000).astype("<i2")
+                recs.append(
+                    (int(mid), f"media://audio/{mid}", "audio", x.tobytes(),
+                     0, 0, n_samples * 1000 // 8000, "pcm_s16le/raw")
+                )
+            yield pd.DataFrame(
+                recs,
+                columns=[
+                    "media_id", "url", "media_type", "payload",
+                    "meta_width", "meta_height", "meta_duration_ms",
+                    "meta_codec",
+                ],
+            )
+
+    return spark.range(0, n).mapInPandas(gen, schema=MEDIA_SCHEMA)
+
+
 def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Video frame-sampling *plan*: explode sample timestamps natively
     (pure metadata arithmetic — no decode), ready to feed a decoder."""

@@ -88,3 +88,33 @@ def test_metadata_only_query_prunes_payload(spark):
     q = media.groupBy("media_type").agg(F.avg("meta_width").alias("w"))
     plan = q._jdf.queryExecution().executedPlan().toString()
     assert "payload" not in plan
+
+
+def test_audio_features_known_clip(spark):
+    """Decode math on a hand-built PCM16-LE clip: [100, -50, 25, 0, -75]
+    → sum_abs 250, sum_sq 19_350, two sign flips (100→-50, -50→25; 0
+    never flips)."""
+    import struct
+
+    from openstreetmap_license_change_spark.operators import multimodal
+
+    payload = struct.pack("<5h", 100, -50, 25, 0, -75)
+    media = spark.createDataFrame(
+        [(7, "media://a/7", "audio", bytearray(payload), 0, 0, 1, "pcm")],
+        multimodal.MEDIA_SCHEMA,
+    )
+    row = multimodal.audio_features(media).collect()[0]
+    assert (row.media_id, row.n_samples, row.sum_abs, row.sum_sq,
+            row.zero_crossings) == (7, 5, 250, 100*100 + 50*50 + 25*25 + 75*75, 2)
+
+
+def test_audio_features_empty_payload(spark):
+    from openstreetmap_license_change_spark.operators import multimodal
+
+    media = spark.createDataFrame(
+        [(1, "u", "audio", bytearray(b""), 0, 0, 0, "pcm")],
+        multimodal.MEDIA_SCHEMA,
+    )
+    row = multimodal.audio_features(media).collect()[0]
+    assert (row.n_samples, row.sum_abs, row.sum_sq, row.zero_crossings) == (
+        0, 0, 0, 0)
