@@ -343,6 +343,14 @@ def q_ann_recall(spark, sf_dir):
     )
 
 
+def q_ivf_topk(spark, sf_dir):
+    """IVF ANN scale path: nearest-centroid assignment (centroids =
+    vectors 1..16, argmax rounded cosine), 2-centroid probe, exact
+    re-rank — the partition-prunable IVF twin of the LSH bucket."""
+    emb, qvec = _query_vec(spark, sf_dir)
+    return similarity.ivf_topk(emb, qvec, k=10, n_centroids=16, n_probe=2)
+
+
 def q_embedding_near_dup(spark, sf_dir):
     """Embedding-cosine near-dup: all-pairs cosine *within* LSH buckets
     (bounded quadratic — the 100-TB shape), top-3 neighbours per
@@ -675,6 +683,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": q_ann_cosine_topk,
         "lsh_bucket_topk": q_lsh_bucket_topk,
         "ann_recall": q_ann_recall,
+        "ivf_topk": q_ivf_topk,
         "embedding_near_dup": q_embedding_near_dup,
         "pip_rect_prefiltered": q_pip_rect_prefiltered,
         "regions_available": q_regions_available,
@@ -1055,6 +1064,41 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT CAST(COUNT(*) AS DOUBLE) / 10.0 AS recall_at_10
             FROM brute JOIN lsh USING (vec_id)
+        """,
+        "ivf_topk": """
+            WITH cents AS (
+                SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cvec
+                FROM embeddings WHERE vec_id BETWEEN 1 AND 16
+            ),
+            qv AS (SELECT CAST(embedding AS DOUBLE[]) AS v
+                   FROM embeddings WHERE vec_id = 0),
+            assign AS (
+                SELECT e.vec_id, e.embedding, c.cid,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY e.vec_id
+                           ORDER BY ROUND(list_cosine_similarity(
+                               CAST(e.embedding AS DOUBLE[]), c.cvec), 6)
+                               DESC, c.cid
+                       ) AS rk
+                FROM embeddings e, cents c
+                WHERE e.vec_id <> 0
+            ),
+            clustered AS (
+                SELECT vec_id, embedding, cid FROM assign WHERE rk = 1
+            ),
+            qprobe AS (
+                SELECT cid FROM cents, qv
+                ORDER BY ROUND(list_cosine_similarity(cvec, v), 6) DESC, cid
+                LIMIT 2
+            )
+            SELECT vec_id,
+                   ROUND(list_cosine_similarity(
+                       CAST(embedding AS DOUBLE[]),
+                       (SELECT v FROM qv)), 6) AS cos_sim
+            FROM clustered
+            WHERE cid IN (SELECT cid FROM qprobe)
+            ORDER BY cos_sim DESC, vec_id
+            LIMIT 10
         """,
         "embedding_near_dup": f"""
             WITH bucketed AS (

@@ -121,6 +121,74 @@ def lsh_bucket_topk(
     return scored.orderBy(F.desc("cos_sim"), F.col(id_col)).limit(k)
 
 
+def ivf_topk(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-style ANN: assign every vector to its nearest centroid
+    (argmax rounded cosine, lowest-centroid tie-break), probe the
+    ``n_probe`` centroids nearest the query, exact re-rank inside.
+
+    Centroids are the vectors with ids 1..n_centroids — deterministic
+    and oracle-reproducible; production would plug k-means output into
+    the same structure.  The centroid set is driver/broadcast-scale by
+    construction (an IVF codebook always is), so assignment is a
+    map-side expression over literals: no shuffle, no join.  At 100 TB
+    ``cluster`` is the partition key and probing is partition pruning —
+    the IVF twin of the hyperplane-LSH bucket column."""
+    cents = sorted(
+        (
+            (int(r[0]), [float(x) for x in r[1]])
+            for r in embeddings.select(id_col, vec_col)
+            .where(F.col(id_col).between(1, n_centroids))
+            .collect()
+        ),
+        key=lambda t: t[0],
+    )
+    vec_d = F.col(vec_col).cast("array<double>")
+    cos_arr = F.array(
+        *[
+            F.round(
+                cosine(vec_d, F.array(*[F.lit(x).cast("double") for x in cv])),
+                6,
+            )
+            for _, cv in cents
+        ]
+    )
+    clustered = embeddings.where(F.col(id_col) != 0).withColumn(
+        "cluster", F.array_position(cos_arr, F.array_max(cos_arr))
+    )
+
+    def py_cos(a, b):
+        dot = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return round(dot / (na * nb), 6)
+
+    # cluster is the 1-based POSITION in the sorted centroid list;
+    # translate probe choices to positions so non-contiguous centroid
+    # ids stay correct
+    ranked = sorted(
+        range(len(cents)),
+        key=lambda i: (-py_cos(cents[i][1], query_vec), cents[i][0]),
+    )
+    probes = [i + 1 for i in ranked[:n_probe]]
+    q = F.array(*[F.lit(float(x)).cast("double") for x in query_vec])
+    return (
+        clustered.where(F.col("cluster").isin(probes))
+        .select(
+            id_col, F.round(cosine(vec_d, q), 6).alias("cos_sim")
+        )
+        .orderBy(F.desc("cos_sim"), F.col(id_col))
+        .limit(k)
+    )
+
+
 def pairwise_topk_in_bucket(
     embeddings: DataFrame,
     n_planes: int = 6,
