@@ -460,6 +460,19 @@ def q_audio_decode_stats(spark, sf_dir):
     return multimodal.audio_features(media)
 
 
+def q_video_frame_stats(spark, sf_dir):
+    """Video path end-to-end: native frame-sample plan (metadata
+    explode) joined back to multi-frame rawvideo payloads; ONLY the
+    sampled frames are sliced+decoded; exact integer channel sums per
+    sampled frame vs an arithmetic oracle."""
+    from openstreetmap_license_change_spark.operators import multimodal
+
+    media = multimodal.synthetic_raw_video_media(
+        spark, n=8, w=16, h=12, n_frames=24
+    )
+    return multimodal.sampled_frame_stats(media, every_ms=1000)
+
+
 def q_events_sessionize(spark, sf_dir):
     """Stateful-style sessionization as pure windows: 30-minute gaps
     split sessions; counts per (user, session)."""
@@ -691,6 +704,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "osmchange_render": q_osmchange_render,
         "media_decode_stats": q_media_decode_stats,
         "audio_decode_stats": q_audio_decode_stats,
+        "video_frame_stats": q_video_frame_stats,
         "events_sessionize": q_events_sessionize,
         "significance_prefilter": q_significance_prefilter,
         "classify_actions": q_classify_actions,
@@ -1248,6 +1262,25 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(CASE WHEN prev_s IS NOT NULL AND s * prev_s < 0
                             THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings
             FROM samp GROUP BY media_id
+        """,
+        "video_frame_stats": """
+            WITH clips AS (SELECT UNNEST(range(0, 8)) AS media_id),
+            frames AS (
+                SELECT CAST(ms.ms * 8 / 1000 AS INTEGER) AS frame_idx
+                FROM (SELECT UNNEST(range(0, 3000, 1000)) AS ms) ms
+            ),
+            pix AS (
+                SELECT cl.media_id, fr.frame_idx, c.c AS chan,
+                       (x.x * 3 + y.y * 7 + c.c * 11
+                        + cl.media_id * 13 + fr.frame_idx * 17) % 256 AS v
+                FROM clips cl, frames fr,
+                     range(0, 16) x(x), range(0, 12) y(y), range(0, 3) c(c)
+            )
+            SELECT media_id, frame_idx,
+                   CAST(SUM(CASE WHEN chan = 0 THEN v END) AS BIGINT) AS sum_r,
+                   CAST(SUM(CASE WHEN chan = 1 THEN v END) AS BIGINT) AS sum_g,
+                   CAST(SUM(CASE WHEN chan = 2 THEN v END) AS BIGINT) AS sum_b
+            FROM pix GROUP BY media_id, frame_idx
         """,
         "minhash_lsh_pairs": f"""
             WITH toks AS (

@@ -118,3 +118,28 @@ def test_audio_features_empty_payload(spark):
     row = multimodal.audio_features(media).collect()[0]
     assert (row.n_samples, row.sum_abs, row.sum_sq, row.zero_crossings) == (
         0, 0, 0, 0)
+
+
+def test_sampled_frame_stats_slices_correct_frame(spark):
+    """Frame slicing: a 2-frame clip where frame 1 is all-255 and frame
+    0 all-0; sampling both frames must attribute the sums to the right
+    indices (an offset bug would swap or blend them)."""
+    import numpy as np
+
+    from openstreetmap_license_change_spark.operators import multimodal
+
+    w, h = 4, 2
+    f0 = np.zeros((h, w, 3), dtype=np.uint8)
+    f1 = np.full((h, w, 3), 255, dtype=np.uint8)
+    payload = f0.tobytes() + f1.tobytes()
+    # fps=8 → frame 1 is at 125 ms; duration 250 ms
+    media = spark.createDataFrame(
+        [(3, "media://v/3", "video", bytearray(payload), w, h, 250, "raw")],
+        multimodal.MEDIA_SCHEMA,
+    )
+    rows = {
+        r.frame_idx: (r.sum_r, r.sum_g, r.sum_b)
+        for r in multimodal.sampled_frame_stats(media, every_ms=125).collect()
+    }
+    assert rows[0] == (0, 0, 0)
+    assert rows[1] == (255 * w * h, 255 * w * h, 255 * w * h)
