@@ -97,13 +97,22 @@ def run_queries(spark, sf_dir):
 
     timings: dict[str, float] = {}
     warm = os.environ.get("SPARK_GRAFT_BENCH_WARM", "0") == "1"
+    # the host is shared (neighbor interference causes >10x spikes on
+    # identical warm queries — see BENCH/BASELINE.md); the default run
+    # reports the best of 2 executions per query so one spike can't
+    # masquerade as engine cost.  The scaling protocol pins cores and
+    # composes minima across interleaved trials instead (BEST_OF=1).
+    best_of = int(os.environ.get("SPARK_GRAFT_BENCH_BEST_OF", "2"))
 
     def timed(name, thunk):
         if warm:
             thunk()  # unmeasured: codegen + JIT + shuffle-file warmup
-        t0 = time.time()
-        thunk()
-        timings[name] = round(time.time() - t0, 3)
+        vals = []
+        for _ in range(best_of):
+            t0 = time.time()
+            thunk()
+            vals.append(time.time() - t0)
+        timings[name] = round(min(vals), 3)
 
     status = pages_src.cs_status(spark)
 
@@ -292,6 +301,7 @@ def scaling_mode():
                 os.environ,
                 SPARK_GRAFT_CPUS=str(cpus),
                 SPARK_GRAFT_BENCH_WARM="1",
+                SPARK_GRAFT_BENCH_BEST_OF="1",
                 SPARK_GRAFT_BENCH_REPL=os.environ.get(
                     "SPARK_GRAFT_BENCH_REPL", "256"
                 ),
