@@ -185,6 +185,47 @@ def osmchange_fragments(actions: DataFrame, changeset_id: int = -1) -> DataFrame
     )
 
 
+def actions_to_osmchange_input(
+    actions: DataFrame, latest: DataFrame
+) -> DataFrame:
+    """Fold output (operators.fold.ACTION_SCHEMA rows) → sink input.
+
+    Mirrors the reference's changeset emission (change_bot.rb:296-319):
+    edits and deletes print as osmChange; redactions are API calls and
+    are filtered out here.  Deletes carry no version in the action row
+    (the reference fetches the current element at print time,
+    osm_print.rb:54-62), so the current version joins in from
+    ``latest`` (a latest_version snapshot keyed by url).  Numeric
+    element ids derive from the url by the house rolling hash."""
+    from ..operators.dedup import token_hash
+
+    acts = actions.where(F.col("action").isin("edit", "delete"))
+    cur = latest.select("url", F.col("version").alias("_cur_version"))
+    df = acts.join(cur, "url", "left")
+    members = F.transform(
+        F.from_json("new_members_json", "array<array<string>>"),
+        lambda m: F.struct(
+            m[0].alias("mtype"),
+            m[1].cast("bigint").alias("ref"),
+            m[2].alias("role"),
+        ),
+    )
+    return df.select(
+        F.col("element_type").alias("etype"),
+        token_hash(F.col("url")).alias("element_id"),
+        "action",
+        F.when(F.col("action") == "delete", F.col("_cur_version"))
+        .otherwise(F.col("version"))
+        .cast("int")
+        .alias("version"),
+        F.from_json("new_tags_json", "map<string,string>").alias("tags"),
+        F.col("new_lon").alias("lon"),
+        F.col("new_lat").alias("lat"),
+        F.col("new_nodes").alias("nodes"),
+        members.alias("members"),
+    )
+
+
 def osmchange_doc(actions: DataFrame, changeset_id: int = -1) -> str:
     """Assemble ONE osmChange document (test / golden-parity path;
     driver-side only for the final string concat — fragment rendering

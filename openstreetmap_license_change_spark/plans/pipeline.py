@@ -92,6 +92,7 @@ def run_pipeline(
     sf_dir: str,
     work_dir: str,
     exclusions: DataFrame | None = None,
+    osmchange_dir: str | None = None,
 ) -> dict[str, DataFrame]:
     """Full batch run, checkpointed per stage. Returns stage outputs.
 
@@ -140,6 +141,16 @@ def run_pipeline(
             "version",
         ),
     )
+    if osmchange_dir is not None:
+        # S9: the changeset document — edits+deletes as osmChange XML
+        # shards (redactions stay API-side, change_bot.rb:296-319)
+        from . import osmchange as oc
+
+        latest = lineage.latest_version(flagged.select("url", "version"))
+        oc.write_osmchange(
+            oc.actions_to_osmchange_input(actions, latest), osmchange_dir
+        )
+
     return {
         "pages": pages,
         "flagged": flagged,

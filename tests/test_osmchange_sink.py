@@ -87,3 +87,59 @@ def test_osmchange_empty_node_selfcloses(spark):
     )
     doc = osmchange.osmchange_doc(df)
     assert '<node id="1"' in doc and 'lat="0.25" lon="0.5"/>' in doc
+
+
+def test_actions_to_osmchange_input_bridge(spark):
+    """Fold ACTION_SCHEMA rows flow into the sink: redactions drop,
+    delete versions join from the latest snapshot, members/tags parse
+    from their JSON wire form."""
+    from openstreetmap_license_change_spark.operators.fold import ACTION_SCHEMA
+    from openstreetmap_license_change_spark.plans import osmchange
+
+    actions = spark.createDataFrame(
+        [
+            ("a", "node", "edit", 3, None, '{"k": "v"}', 1.5, -2.25,
+             None, None),
+            ("a", "node", "redact", 1, "hidden", None, None, None,
+             None, None),
+            ("b", "way", "delete", None, None, None, None, None,
+             None, None),
+            ("c", "relation", "edit", 2, None, "{}", None, None,
+             None, '[["node", 4, "stop"], ["way", 9, ""]]'),
+        ],
+        ACTION_SCHEMA,
+    )
+    latest = spark.createDataFrame(
+        [("a", 3), ("b", 7), ("c", 2)], "url string, version int"
+    )
+    out = osmchange.actions_to_osmchange_input(actions, latest)
+    rows = {r.etype: r for r in out.collect()}
+    assert set(rows) == {"node", "way", "relation"}  # redact filtered
+    assert rows["way"].action == "delete" and rows["way"].version == 7
+    assert rows["node"].tags == {"k": "v"} and rows["node"].lon == 1.5
+    mem = rows["relation"].members
+    assert [(m.mtype, m.ref, m.role) for m in mem] == [
+        ("node", 4, "stop"), ("way", 9, "")]
+
+    doc = osmchange.osmchange_doc(out)
+    assert '<nd ' not in doc                       # deletes carry no children
+    assert '<member type="node" ref="4" role="stop"/>' in doc
+    assert 'visible="false"' in doc and '<tag k="k" v="v"/>' in doc
+    # emission order: edits relation->way->node before deletes
+    assert doc.index("<modify>") < doc.index("<delete>")
+
+
+def test_pipeline_emits_osmchange_shards(spark, tmp_path):
+    from pyspark.sql import functions as F
+    from openstreetmap_license_change_spark.plans.pipeline import run_pipeline
+
+    oc_dir = str(tmp_path / "osc")
+    run_pipeline(
+        spark, "/root/testdata/sf0.001", str(tmp_path / "work"),
+        osmchange_dir=oc_dir,
+    )
+    body = spark.read.text(f"{oc_dir}/body")
+    n_frag_lines = body.count()
+    assert n_frag_lines > 0
+    header = spark.read.text(f"{oc_dir}/_header").collect()[0].value
+    assert header.startswith("<osmChange")
