@@ -179,6 +179,21 @@ def classify_histories_python(histories: DataFrame) -> DataFrame:
     df = _normalize_input(histories)
 
     def fold_body(body: pd.DataFrame) -> list[tuple]:
+        # vectorized short-circuit: a history whose versions are ALL
+        # accepted with none blacklisted yields no actions (nothing is
+        # tainted, every reconstruction matches, accepted deletes stay
+        # deleted — change_bot.rb:91-105 with every status
+        # acceptor_edit/odbl_clean).  Dropping those urls wholesale in
+        # C-speed pandas keeps the Python OT machinery on the dirty
+        # minority — at production accept rates that is most of the
+        # table skipped.
+        g = body.groupby("url", sort=False)
+        clean = (
+            g["accepted"].transform("all").to_numpy()
+            & ~g["blacklisted"].transform("any").to_numpy()
+        )
+        if clean.any():
+            body = body[~clean]
         recs: list[tuple] = []
         group: list = []
         cur_url = None
