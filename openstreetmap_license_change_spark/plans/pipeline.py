@@ -120,6 +120,13 @@ def run_pipeline(
         ),
     )
     def build_actions():
+        # NOTE: the P1 candidate semi-join (lineage.candidate_filter)
+        # is deliberately NOT applied here: measured on the bench it
+        # adds a second full-side exchange (and re-derivation of the
+        # input) that costs more than it saves, because the fold's
+        # vectorized all-accepted prune already skips clean histories
+        # after its single shuffle — and exclusions must reach the
+        # fold even when their history is clean
         hist = fold.pages_histories(flagged)
         if exclusions is not None:
             return excl_ops.classify_with_exclusions(hist, exclusions)
