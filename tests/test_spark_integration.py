@@ -357,3 +357,38 @@ def test_pip_polygons_ray_cast(spark):
     }
     for lon, lat, want in pts:
         assert got[(lon, lat)] == want, (lon, lat)
+
+
+def test_pip_polygons_prefiltered_equivalence(spark):
+    """Cell-prefiltered polygon PIP returns exactly the sequential-scan
+    result, including first-match precedence on overlap, on a grid of
+    points spanning in/out/edge/bbox-miss cases."""
+    from pyspark.sql import functions as F
+    from openstreetmap_license_change_spark.operators import spatial
+
+    polys = [
+        (7, [(0.0, 0.0), (10.0, 0.0), (5.0, 10.0), (0.0, 0.0)]),      # triangle
+        (3, [(4.0, 1.0), (12.0, 1.0), (12.0, 9.0), (4.0, 9.0),
+             (4.0, 1.0)]),                                            # overlaps it
+        (2, [(20.0, 20.0), (30.0, 20.0), (30.0, 30.0), (20.0, 30.0),
+             (20.0, 20.0)]),
+    ]
+    pts = spark.range(0, 400).select(
+        F.concat(F.lit("p"), F.col("id")).alias("url"),
+        ((F.col("id") % 20) * 2.0 - 4.0).alias("lon"),
+        ((F.col("id") / 20).cast("int") * 2.0 - 4.0).alias("lat"),
+    )
+    seq = {
+        r.url: r.polygon_id
+        for r in spatial.pip_join_polygons(pts, polys).collect()
+    }
+    pre = {
+        r.url: r.polygon_id
+        for r in spatial.pip_join_polygons_prefiltered(
+            pts, polys, res_deg=4.0
+        ).collect()
+    }
+    assert seq == pre
+    assert any(v == 7 for v in seq.values())  # overlap resolved to first
+    assert any(v == 3 for v in seq.values())
+    assert any(v == 2 for v in seq.values())
