@@ -454,6 +454,38 @@ def regions_available(
     return candidates.join(p, near, "left_anti")
 
 
+def detect_hot_cells(
+    df: DataFrame,
+    skew_factor: float = 8.0,
+    key: str = "cell",
+    max_hot: int = 1024,
+) -> list[int]:
+    """Find keys whose row count exceeds ``skew_factor`` × the mean —
+    the operator-level skew detector feeding :func:`salt_hot_cells`
+    (AQE splits skewed JOIN partitions at runtime, but a skewed
+    groupBy/window key needs salting before the shuffle).
+
+    One aggregation pass over (key) — map-side combined, so the shuffle
+    carries one row per distinct key; the hot list itself is bounded
+    (``max_hot``) and driver-sized by construction: at any scale only
+    keys ≥ 8× the mean qualify, and there can be at most n/(8·mean)
+    ≈ distinct/8 of them, with the count cap making the collect safe
+    even on adversarial distributions."""
+    counts = df.groupBy(key).agg(F.count(F.lit(1)).alias("_n"))
+    stats = counts.agg(F.avg("_n").alias("_mean")).collect()[0]
+    mean = float(stats._mean or 0.0)
+    if mean <= 0:
+        return []
+    hot = (
+        counts.where(F.col("_n") > mean * skew_factor)
+        .orderBy(F.desc("_n"))
+        .limit(max_hot)
+        .select(key)
+        .collect()
+    )
+    return [int(r[0]) for r in hot]
+
+
 def salt_hot_cells(
     df: DataFrame, hot_cells: Iterable[int], buckets: int = 8
 ) -> DataFrame:

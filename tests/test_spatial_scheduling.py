@@ -86,3 +86,40 @@ def test_pip_prefiltered_equals_nested_loop(spark):
         .queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_detect_hot_cells_finds_planted_skew(spark):
+    """One planted mega-cell (1000 rows vs ~1/cell elsewhere) is
+    detected; salting it then preserves aggregate totals."""
+    from pyspark.sql import functions as F
+    from openstreetmap_license_change_spark.operators import spatial
+
+    base = spark.range(0, 200).select(
+        F.concat(F.lit("u"), F.col("id")).alias("url"),
+        F.col("id").alias("cell"),
+    )
+    hot = spark.range(0, 1000).select(
+        F.concat(F.lit("h"), F.col("id")).alias("url"),
+        F.lit(777000).alias("cell"),
+    )
+    df = base.unionByName(hot)
+    detected = spatial.detect_hot_cells(df, skew_factor=8.0)
+    assert detected == [777000]
+
+    salted = spatial.salt_hot_cells(df, detected, buckets=8)
+    agg = salted.groupBy("cell_salted").count()
+    # the hot cell split into >1 sub-keys, and no rows were lost
+    n_sub = agg.where(F.col("cell_salted").startswith("777000#")).count()
+    assert 2 <= n_sub <= 8
+    assert agg.agg(F.sum("count")).collect()[0][0] == 1200
+
+
+def test_detect_hot_cells_uniform_returns_empty(spark):
+    from pyspark.sql import functions as F
+    from openstreetmap_license_change_spark.operators import spatial
+
+    df = spark.range(0, 500).select(
+        F.concat(F.lit("u"), F.col("id")).alias("url"),
+        (F.col("id") % 100).alias("cell"),
+    )
+    assert spatial.detect_hot_cells(df, skew_factor=8.0) == []
