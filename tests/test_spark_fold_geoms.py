@@ -126,3 +126,63 @@ def test_streaming_rollup_smoke(spark, tmp_path_factory):
     assert q.lastProgress is not None
     rows = spark.sql("select * from rollup_smoke").collect()
     assert isinstance(rows, list)
+
+
+def test_fold_randomized_differential_vs_core(spark):
+    """120 seeded random node histories (mixed accept/visible/odbl/
+    whitelist/blacklist, incl. fully-accepted ones) through the Spark
+    batched fold must equal the core fold history-by-history — guards
+    the Arrow batching, the carry-across-batches, and the vectorized
+    clean-history prune."""
+    import random
+
+    from openstreetmap_license_change_spark.core.history import (
+        AgreementDB, element_actions,
+    )
+    from openstreetmap_license_change_spark.core.model import Element
+    from openstreetmap_license_change_spark.operators import fold
+
+    rng = random.Random(20260817)
+    rows, expected = [], set()
+    for h in range(120):
+        url = f"n{h}"
+        n_v = rng.randint(1, 6)
+        versions, accepted = [], {}
+        for v in range(1, n_v + 1):
+            acc = rng.random() < 0.5
+            vis = rng.random() > 0.15
+            tags = {}
+            if rng.random() < 0.8:
+                tags["name"] = f"t{rng.randint(0, 3)}"
+            if rng.random() < 0.1:
+                tags["odbl"] = "clean"
+            lon = round(rng.uniform(-10, 10), 4)
+            lat = round(rng.uniform(-10, 10), 4)
+            cs = h * 10 + v
+            accepted[cs] = acc
+            versions.append(
+                Element("node", h, v, changeset_id=cs, visible=vis,
+                        tags=tags if vis else {},
+                        geom=[lon, lat] if vis else None)
+            )
+            rows.append(
+                (url, "node", v, vis, acc, False, False,
+                 json.dumps(tags if vis else {}),
+                 lon if vis else None, lat if vis else None, None, None)
+            )
+        db = AgreementDB(changesets=accepted, edit_whitelist=set(),
+                         edit_blacklist=set())
+        for act in element_actions(versions, db):
+            kind = type(act).__name__
+            if kind == "RedactAct":
+                expected.add((url, "redact", act.version, act.mode))
+            elif kind == "DeleteAct":
+                expected.add((url, "delete", None, None))
+            else:
+                expected.add((url, "edit", act.obj.version, None))
+
+    out = fold.classify_histories(
+        spark.createDataFrame(rows, FOLD_COLS).repartition(7)
+    ).collect()
+    got = {(r.url, r.action, r.version, r.mode) for r in out}
+    assert got == expected
