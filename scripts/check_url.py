@@ -8,7 +8,10 @@ Usage: python scripts/check_url.py --sf-dir /root/testdata/sf0.001 \
 """
 
 import argparse
+import os
 import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main() -> int:

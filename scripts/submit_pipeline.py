@@ -12,14 +12,24 @@ plans/pipeline.py).  Build the wheel with `python -m build --wheel` or
 
 import argparse
 import json
+import os
 import sys
 import time
+
+# allow `python scripts/submit_pipeline.py` straight from a checkout
+# (spark-submit --py-files makes this a no-op)
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
     ap.add_argument("--work-dir", default="/tmp/olcs_pipeline")
+    ap.add_argument(
+        "--osmchange-dir",
+        default=None,
+        help="also emit the osmChange XML document shards here (S9)",
+    )
     args = ap.parse_args()
 
     from openstreetmap_license_change_spark.plans.pipeline import run_pipeline
@@ -27,7 +37,9 @@ def main() -> int:
 
     spark = get_spark("olcs-pipeline")
     t0 = time.time()
-    outputs = run_pipeline(spark, args.sf_dir, args.work_dir)
+    outputs = run_pipeline(
+        spark, args.sf_dir, args.work_dir, osmchange_dir=args.osmchange_dir
+    )
     summary = {
         name: df.count() for name, df in outputs.items()
     }
