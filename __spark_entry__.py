@@ -197,6 +197,28 @@ def q_local_supplier_volume(spark, sf_dir):
     )
 
 
+def q_promo_revenue(spark, sf_dir):
+    """TPC-H Q14 shape: part dim broadcast onto lineitem, promo share
+    of revenue per month — exact via scaled-int sums, one division."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    rev = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000
+    ).cast("bigint")
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .groupBy(F.substring("l_shipdate", 1, 7).alias("ship_month"))
+        .agg(
+            (
+                F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0))
+                .cast("double")
+                / F.sum(rev).cast("double")
+            ).alias("promo_share"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
 def q_cell_assignment(spark, sf_dir):
     """F14': grid cell + Morton quad-tile per latest page version."""
     pages = lineage.latest_version(_pages(spark, sf_dir))
@@ -682,6 +704,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pricing_summary": q_pricing_summary,
         "shipping_priority": q_shipping_priority,
         "local_supplier_volume": q_local_supplier_volume,
+        "promo_revenue": q_promo_revenue,
         "cell_assignment": q_cell_assignment,
         "tile_rollup": q_tile_rollup,
         "pip_rect": q_pip_rect,
@@ -876,6 +899,18 @@ def oracle_sql() -> dict[str, str]:
             WHERE c_nationkey = s_nationkey
               AND o_orderdate < TIMESTAMP '1999-01-01'
             GROUP BY r_name, n_name
+        """,
+        "promo_revenue": """
+            SELECT substring(CAST(l_shipdate AS VARCHAR), 1, 7) AS ship_month,
+                   CAST(SUM(CASE WHEN p_type = 'PROMO' THEN
+                       CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000)
+                            AS BIGINT) ELSE 0 END) AS DOUBLE)
+                   / CAST(SUM(CAST(ROUND(
+                       l_extendedprice * (1 - l_discount) * 10000
+                   ) AS BIGINT)) AS DOUBLE) AS promo_share,
+                   COUNT(*) AS n_items
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            GROUP BY 1
         """,
         "cell_assignment": _with_pages(f"""
             SELECT url, lon, lat,
