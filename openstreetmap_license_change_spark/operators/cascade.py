@@ -120,22 +120,28 @@ def cascade(
         .withColumn("killed", F.size("nodes") < 2)  # osm.rb:132-134
         .drop("removed")
     )
+    # ONE eager materialization here: way_state is read by the killed
+    # filter, the delete union, and the caller — and everything later
+    # derives from it.  all_way_deletes stays lazy (leaf + one union —
+    # bounded depth, no self-reference).
     way_state = _materialize(
         touched_ways.withColumn("is_edit", ~F.col("killed"))
     )
-    all_way_deletes = _materialize(
+    all_way_deletes = (
         way_deletes.select("element_id")
         .unionByName(way_state.where("killed").select("element_id"))
         .distinct()
     )
 
     # ---- passes over relations (node, then way, then relation) -------
-    rels = _materialize(
-        _effective(relation_edits, current_relations, "members").withColumn(
-            "was_touched", F.lit(False)
-        )
+    # rels is the only SELF-referenced accumulator (each pass reads and
+    # redefines it), so it gets exactly one checkpoint per pass below;
+    # rel_deletes_acc re-derives from those checkpoints with bounded
+    # depth (≤3 unions) and stays lazy.
+    rels = _effective(relation_edits, current_relations, "members").withColumn(
+        "was_touched", F.lit(False)
     )
-    rel_deletes_acc = _materialize(relation_deletes.select("element_id"))
+    rel_deletes_acc = relation_deletes.select("element_id")
 
     for mtype, dels_thunk in (
         ("node", lambda: node_deletes.select("element_id")),
@@ -166,21 +172,22 @@ def cascade(
             .drop("removed")
             .withColumn("was_touched", F.lit(True))
         )
-        rels = _materialize(
+        # the pass's ONE checkpoint: cuts the rels self-reference so the
+        # next pass starts from a constant-size leaf plan
+        combined = _materialize(
             updated.unionByName(
                 rels.join(hits.select("element_id"), "element_id", "left_anti")
             )
         )
         # relations emptied by this pass become deletes before the next
         # pass's snapshot (empty relations can't exist,
-        # change_bot.rb:350-359)
-        emptied = rels.where(
+        # change_bot.rb:350-359).  Both derivations read the checkpoint,
+        # so they stay lazy without plan growth.
+        emptied = combined.where(
             F.col("was_touched") & (F.size("members") == 0)
         ).select("element_id")
-        rel_deletes_acc = _materialize(
-            rel_deletes_acc.unionByName(emptied).distinct()
-        )
-        rels = _materialize(rels.join(emptied, "element_id", "left_anti"))
+        rel_deletes_acc = rel_deletes_acc.unionByName(emptied).distinct()
+        rels = combined.join(emptied, "element_id", "left_anti")
 
     relation_state = rels.withColumn(
         "is_edit", F.col("was_touched")
