@@ -420,6 +420,18 @@ def q_regions_available(spark, sf_dir):
     return spatial.regions_available(latest, processing, dist_deg=25.0)
 
 
+def q_token_stats(spark, sf_dir):
+    """Token budgeting: whitespace count vs BPE-ish regex pre-token
+    count (punct/digit runs counted separately) per document."""
+    docs = pages_src.documents(spark, sf_dir)
+    return docs.select(
+        "doc_id",
+        textops.token_count(F.col("text")).alias("n_ws_tokens"),
+        textops.token_count_bpe(F.col("text")).alias("n_bpe_tokens"),
+        F.length("text").alias("n_chars"),
+    )
+
+
 def q_doc_fingerprint(spark, sf_dir):
     """Document fingerprint: polynomial rolling hash (Horner mod p) over
     the 64-char prefix — pure per-row arithmetic, no dictionary."""
@@ -724,6 +736,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pip_rect_prefiltered": q_pip_rect_prefiltered,
         "regions_available": q_regions_available,
         "doc_fingerprint": q_doc_fingerprint,
+        "token_stats": q_token_stats,
         "osmchange_render": q_osmchange_render,
         "media_decode_stats": q_media_decode_stats,
         "audio_decode_stats": q_audio_decode_stats,
@@ -1211,6 +1224,16 @@ def oracle_sql() -> dict[str, str]:
                   AND abs(l.lat - pr.plat) < 25.0
             )
         """),
+        "token_stats": f"""
+            SELECT doc_id,
+                   CASE WHEN length(trim(text)) = 0 THEN 0
+                        ELSE len(string_split_regex(trim(text), '\\s+')) END
+                       AS n_ws_tokens,
+                   len(regexp_extract_all(text,
+                       '{textops.BPE_TOKEN_PATTERN}')) AS n_bpe_tokens,
+                   length(text) AS n_chars
+            FROM documents
+        """,
         "doc_fingerprint": f"""
             SELECT doc_id,
                    {textops.rolling_fingerprint_sql('text')} AS fingerprint

@@ -127,6 +127,20 @@ def rolling_fingerprint_sql(expr: str) -> str:
     )
 
 
+# BPE-ish pre-tokenizer pattern (GPT-2 style, lookahead-free so the
+# same pattern runs on Java regex and RE2/DuckDB): a token is an
+# optionally-space-prefixed letter run, digit run, or punctuation run,
+# else a whitespace run.
+BPE_TOKEN_PATTERN = r" ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+"
+
+
+def token_count_bpe(text: Column) -> Column:
+    """Subword-style token count: number of BPE-ish pre-token matches.
+    A closer proxy for LLM token budgets than whitespace splitting
+    (counts punctuation runs and digit runs separately)."""
+    return F.size(F.regexp_extract_all(text, F.lit(BPE_TOKEN_PATTERN), 0))
+
+
 def significance_normalize(text: Column) -> Column:
     """Native normalization pipeline of the significance kernel
     (tags.rb:266-279): case fold, apostrophe strip, ß→ss, punct/space
