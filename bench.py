@@ -131,6 +131,16 @@ def run_queries(spark, sf_dir):
     # fixed repartition(32) keeps the file layout independent of the
     # writing session's parallelism.
     shared = os.environ.get("SPARK_GRAFT_STAGE_DIR")
+    # a killed bench leaks its RAM-backed stage dir; sweep stale ones
+    # (>1h old) so repeated driver runs can't exhaust /dev/shm
+    import glob
+
+    for stale in glob.glob("/dev/shm/bench_pages_*"):
+        try:
+            if time.time() - os.path.getmtime(stale) > 3600:
+                shutil.rmtree(stale, ignore_errors=True)
+        except OSError:
+            pass
     stage_dir = shared or tempfile.mkdtemp(prefix="bench_pages_", dir="/dev/shm")
     if not os.path.exists(f"{stage_dir}/pages/_SUCCESS"):
         _amplified_pages(spark, sf_dir, REPLICATION).drop(

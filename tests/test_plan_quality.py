@@ -148,3 +148,28 @@ def test_cascade_no_forced_broadcast(spark):
     import inspect
     src = inspect.getsource(casc)
     assert "F.broadcast" not in src
+
+
+def test_ivf_topk_is_exchange_free(spark):
+    """IVF assignment is a map-side expression over the broadcast-scale
+    codebook: no Exchange anywhere, global top-k via TakeOrdered."""
+    import __spark_entry__ as entry
+
+    df = entry.q_ivf_topk(spark, "/root/testdata/sf0.001")
+    plan = plan_of(df)
+    assert "Exchange" not in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_pip_polygons_prefiltered_broadcasts_candidates(spark):
+    from openstreetmap_license_change_spark.operators import spatial
+    from pyspark.sql import functions as F
+
+    pts = spark.range(0, 50).select(
+        F.concat(F.lit("p"), F.col("id")).alias("url"),
+        (F.col("id") % 10 * 1.0).alias("lon"),
+        (F.col("id") % 7 * 1.0).alias("lat"),
+    )
+    polys = [(1, [(0.0, 0.0), (8.0, 0.0), (8.0, 6.0), (0.0, 6.0), (0.0, 0.0)])]
+    plan = plan_of(spatial.pip_join_polygons_prefiltered(pts, polys, res_deg=4.0))
+    assert "BroadcastHashJoin" in plan, plan
