@@ -122,22 +122,66 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.5,
     id_col: str = "doc_id",
+    max_doc_freq: float | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard over pairs sharing ≥1 shingle.
 
     candidate join → per-pair intersection count → |A∪B| = |A|+|B|−|A∩B|.
-    Returns (doc_a, doc_b, jaccard) with doc_a < doc_b."""
+    Returns (doc_a, doc_b, jaccard) with doc_a < doc_b.
+
+    ``max_doc_freq`` is the stop-shingle guard for scale: with it set
+    (fraction of docs), shingles appearing in more than that share of
+    documents are excluded from the CANDIDATE join — the quadratic
+    blowup term — while the Jaccard itself stays exact over the full
+    shingle sets (array_intersect per candidate pair).  Trade, stated:
+    a pair sharing ONLY stop-shingles is not generated; at real
+    thresholds such pairs essentially never clear the bar, and the
+    blowup they cause is the reason shared-shingle joins die at scale.
+    Default None = exact candidates (the oracle-checked path)."""
     sh = shingles(df, n=n, id_col=id_col).cache()
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
 
-    a = sh.select(F.col(id_col).alias("doc_a"), "shingle")
-    b = sh.select(F.col(id_col).alias("doc_b"), "shingle")
-    inter = (
-        a.join(b, "shingle")
-        .where(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
-    )
+    if max_doc_freq is not None:
+        n_docs = df.select(id_col).distinct().count()
+        rare = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .where(F.col("_df") <= int(max_doc_freq * n_docs))
+            .select("shingle")
+        )
+        cand_src = sh.join(rare, "shingle")
+        a_c = cand_src.select(F.col(id_col).alias("doc_a"), "shingle")
+        b_c = cand_src.select(F.col(id_col).alias("doc_b"), "shingle")
+        cands = (
+            a_c.join(b_c, "shingle")
+            .where(F.col("doc_a") < F.col("doc_b"))
+            .select("doc_a", "doc_b")
+            .distinct()
+        )
+        sets = sh.groupBy(id_col).agg(F.collect_set("shingle").alias("_set"))
+        inter = (
+            cands.join(
+                sets.select(F.col(id_col).alias("doc_a"), F.col("_set").alias("_sa")),
+                "doc_a",
+            )
+            .join(
+                sets.select(F.col(id_col).alias("doc_b"), F.col("_set").alias("_sb")),
+                "doc_b",
+            )
+            .withColumn(
+                "n_inter", F.size(F.array_intersect("_sa", "_sb"))
+            )
+            .select("doc_a", "doc_b", "n_inter")
+        )
+    else:
+        a = sh.select(F.col(id_col).alias("doc_a"), "shingle")
+        b = sh.select(F.col(id_col).alias("doc_b"), "shingle")
+        inter = (
+            a.join(b, "shingle")
+            .where(F.col("doc_a") < F.col("doc_b"))
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count(F.lit(1)).alias("n_inter"))
+        )
     sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("n_shingles").alias("na"))
     sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n_shingles").alias("nb"))
     return (

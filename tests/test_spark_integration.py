@@ -392,3 +392,33 @@ def test_pip_polygons_prefiltered_equivalence(spark):
     assert any(v == 7 for v in seq.values())  # overlap resolved to first
     assert any(v == 3 for v in seq.values())
     assert any(v == 2 for v in seq.values())
+
+
+def test_ngram_jaccard_doc_freq_cap(spark):
+    """With a permissive cap (1.0) the capped candidate path returns the
+    exact uncapped result; an aggressive cap returns a subset whose
+    jaccard values are still exact."""
+    from openstreetmap_license_change_spark.operators import dedup
+    from openstreetmap_license_change_spark.sources import pages
+
+    docs = pages.documents(spark, "/root/testdata/sf0.001")
+    base = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.2).collect()
+    }
+    capped_loose = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in dedup.ngram_jaccard_pairs(
+            docs, n=3, threshold=0.2, max_doc_freq=1.0
+        ).collect()
+    }
+    assert capped_loose == base
+    capped_tight = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in dedup.ngram_jaccard_pairs(
+            docs, n=3, threshold=0.2, max_doc_freq=0.02
+        ).collect()
+    }
+    assert set(capped_tight) <= set(base)
+    for pair, j in capped_tight.items():
+        assert j == base[pair]  # jaccard stays exact for generated pairs
