@@ -295,6 +295,14 @@ def q_minhash_lsh_pairs(spark, sf_dir):
     return dedup.minhash_lsh_pairs(docs)
 
 
+def q_minhash_lsh_clusters(spark, sf_dir):
+    """Near-dup cluster ids: connected components over the doc–bucket
+    graph by min-label propagation — the O(n²)-free form of the pair
+    list (the operator a 100-TB dedup keeps)."""
+    docs = pages_src.documents(spark, sf_dir)
+    return dedup.minhash_lsh_clusters(docs)
+
+
 def q_simhash(spark, sf_dir):
     """64-bit SimHash fingerprints from the token dictionary."""
     docs = pages_src.documents(spark, sf_dir)
@@ -725,6 +733,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "minhash_signatures": q_minhash_signatures,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "minhash_lsh_clusters": q_minhash_lsh_clusters,
         "simhash": q_simhash,
         "text_quality": q_text_quality,
         "lang_id": q_lang_id,
@@ -1358,6 +1367,35 @@ def oracle_sql() -> dict[str, str]:
             FROM buckets a JOIN buckets b
               ON a.band = b.band AND a.bucket = b.bucket
             WHERE a.doc_id < b.doc_id
+        """,
+        "minhash_lsh_clusters": f"""
+            WITH RECURSIVE toks AS (
+                SELECT DISTINCT doc_id, tok AS token
+                FROM documents,
+                     LATERAL UNNEST(string_split_regex(lower(text), '\\s+'))
+                         AS u(tok)
+                WHERE tok <> ''
+            ),
+            joined AS (
+                SELECT doc_id, {dedup.token_hash_sql('token')} AS token_id
+                FROM toks
+            ),
+            sig AS (SELECT doc_id, {mh_aggs} FROM joined GROUP BY doc_id),
+            membership AS (
+                SELECT doc_id,
+                       CAST(band AS VARCHAR) || '#' || bucket AS bk
+                FROM ({" UNION ALL ".join(bands)})
+            ),
+            reach(doc_id, label) AS (
+                SELECT doc_id, doc_id FROM documents
+                UNION
+                SELECT m2.doc_id, r.label
+                FROM reach r
+                JOIN membership m1 ON m1.doc_id = r.doc_id
+                JOIN membership m2 ON m2.bk = m1.bk
+            )
+            SELECT doc_id, MIN(label) AS cluster_id
+            FROM reach GROUP BY doc_id
         """,
         "significance_prefilter": _with_pages("""
             , pairs AS (

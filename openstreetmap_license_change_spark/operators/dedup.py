@@ -256,6 +256,84 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     )
 
 
+def _lsh_buckets(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(doc, band#bucket) membership rows — the bipartite doc–bucket
+    graph both the pair join and the cluster propagation run on."""
+    sig = minhash_signatures(df, id_col=id_col)
+    rows_per_band = len(MINHASH_PERMS) // LSH_BANDS
+    bands = []
+    for band in range(LSH_BANDS):
+        cols = [
+            F.col(f"mh_{band * rows_per_band + r}").cast("string")
+            for r in range(rows_per_band)
+        ]
+        bands.append(
+            sig.select(
+                F.col(id_col),
+                F.concat_ws(
+                    "#", F.lit(str(band)), F.concat_ws("|", *cols)
+                ).alias("bk"),
+            )
+        )
+    out = bands[0]
+    for b in bands[1:]:
+        out = out.unionByName(b)
+    return out
+
+
+def minhash_lsh_clusters(
+    df: DataFrame, id_col: str = "doc_id", max_iters: int = 10
+) -> DataFrame:
+    """Near-dup CLUSTER ids: connected components over the doc–bucket
+    bipartite graph, label = min doc_id in the component.
+
+    This is the operator a 100-TB dedup actually needs: the pair list
+    (`minhash_lsh_pairs`) is O(cluster²) on near-duplicate mega-clusters
+    (7.7M pairs from 5k docs measured at sf0.1), while label
+    propagation over bucket MEMBERSHIP is O(docs × bands) per
+    iteration — two map-side-combined aggregations, never a pairwise
+    join.  Each iteration hops two pair-graph edges; near-dup
+    components are star/clique shaped, so convergence is fast and
+    checked (early exit on zero changes).  Lineage is cut per
+    iteration (localCheckpoint — the cascade's staged-commit pattern)
+    because ``labels`` is self-referenced."""
+    membership = _lsh_buckets(df, id_col=id_col)
+    labels = (
+        df.select(id_col).distinct().withColumn("label", F.col(id_col))
+    ).localCheckpoint(eager=True)
+    for _ in range(max_iters):
+        bucket_min = (
+            membership.join(labels, id_col)
+            .groupBy("bk")
+            .agg(F.min("label").alias("bmin"))
+        )
+        doc_min = (
+            membership.join(bucket_min, "bk")
+            .groupBy(id_col)
+            .agg(F.min("bmin").alias("nl"))
+        )
+        updated = (
+            labels.join(doc_min, id_col, "left")
+            .select(
+                id_col,
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nl"), F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            updated.alias("u")
+            .join(labels.alias("l"), id_col)
+            .where(F.col("u.label") != F.col("l.label"))
+            .count()
+        )
+        labels = updated
+        if changed == 0:
+            break
+    return labels.select(id_col, F.col("label").alias("cluster_id"))
+
+
 def _simhash_bitval(j: int) -> Column:
     """±1 vote of bit j for one token: pseudo-random arithmetic
     ((token_id·m_j + j·97) mod p) & 1, mapped to −1/+1."""

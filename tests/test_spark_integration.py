@@ -422,3 +422,36 @@ def test_ngram_jaccard_doc_freq_cap(spark):
     assert set(capped_tight) <= set(base)
     for pair, j in capped_tight.items():
         assert j == base[pair]  # jaccard stays exact for generated pairs
+
+
+def test_lsh_clusters_consistent_with_pairs(spark):
+    """Cluster labels must be exactly the connected components of the
+    LSH pair graph: paired docs share a label; the label is the
+    component min; docs in no pair are singletons."""
+    from openstreetmap_license_change_spark.operators import dedup
+    from openstreetmap_license_change_spark.sources import pages
+
+    docs = pages.documents(spark, "/root/testdata/sf0.001")
+    pairs = [
+        (r.doc_a, r.doc_b)
+        for r in dedup.minhash_lsh_pairs(docs).collect()
+    ]
+    labels = {
+        r.doc_id: r.cluster_id
+        for r in dedup.minhash_lsh_clusters(docs).collect()
+    }
+    # union-find ground truth from the pair list
+    parent = {d: d for d in labels}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    expected = {d: find(d) for d in labels}
+    assert labels == expected
