@@ -515,6 +515,34 @@ def q_video_frame_stats(spark, sf_dir):
     return multimodal.sampled_frame_stats(media, every_ms=1000)
 
 
+def q_events_asof_join(spark, sf_dir):
+    """As-of join (union+window form — one shuffle, no range nested
+    loop): each event picks up the value of the user's most recent
+    "update" event (event_id % 10 == 0) at or before its timestamp.
+    DuckDB's native ASOF JOIN is the oracle."""
+    from openstreetmap_license_change_spark.operators import temporal
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    updates = (
+        ev.where(F.col("event_id") % 10 == 0)
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("update_value"))
+    )
+    left = ev.where(F.col("event_id") % 10 != 0).select(
+        "user_id", "event_id", "ts"
+    )
+    out = temporal.asof_join(
+        left, updates, key="user_id", left_ts="ts", right_ts="ts",
+        value_cols=["update_value"],
+    )
+    return out.select(
+        "user_id", "event_id",
+        F.round(F.coalesce("asof_update_value", F.lit(-1.0)), 4).alias(
+            "last_update_value"
+        ),
+    )
+
+
 def q_events_sessionize(spark, sf_dir):
     """Stateful-style sessionization as pure windows: 30-minute gaps
     split sessions; counts per (user, session)."""
@@ -751,6 +779,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_decode_stats": q_audio_decode_stats,
         "video_frame_stats": q_video_frame_stats,
         "events_sessionize": q_events_sessionize,
+        "events_asof_join": q_events_asof_join,
         "significance_prefilter": q_significance_prefilter,
         "classify_actions": q_classify_actions,
         "classify_actions_nodes": q_classify_actions_nodes,
@@ -1079,6 +1108,23 @@ def oracle_sql() -> dict[str, str]:
                         AS DOUBLE) / GREATEST(length(text), 1) < 0.3
                     AND length(text) >= 20) AS quality_keep
             FROM documents
+        """,
+        "events_asof_join": """
+            WITH updates AS (
+                SELECT user_id, ts, MAX(value) AS update_value
+                FROM events WHERE event_id % 10 = 0
+                GROUP BY user_id, ts
+            ),
+            lhs AS (
+                SELECT user_id, event_id, ts
+                FROM events WHERE event_id % 10 <> 0
+            )
+            SELECT l.user_id, l.event_id,
+                   ROUND(COALESCE(u.update_value, -1.0), 4)
+                       AS last_update_value
+            FROM lhs l
+            ASOF LEFT JOIN updates u
+              ON l.user_id = u.user_id AND l.ts >= u.ts
         """,
         "events_sessionize": """
             WITH gaps AS (

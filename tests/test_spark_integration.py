@@ -455,3 +455,30 @@ def test_lsh_clusters_consistent_with_pairs(spark):
             parent[max(ra, rb)] = min(ra, rb)
     expected = {d: find(d) for d in labels}
     assert labels == expected
+
+
+def test_asof_join_ties_and_missing(spark):
+    """Exact-timestamp ties match (>= convention); rows before any
+    right row get null."""
+    import datetime as dt
+
+    from openstreetmap_license_change_spark.operators import temporal
+
+    def t(m):
+        return dt.datetime(2024, 1, 1, 0, m)
+
+    left = spark.createDataFrame(
+        [(1, 100, t(0)), (1, 101, t(5)), (1, 102, t(10)), (2, 200, t(3))],
+        "user_id bigint, event_id bigint, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(1, t(5), 7.0), (1, t(9), 9.0)],
+        "user_id bigint, ts timestamp, v double",
+    )
+    out = {
+        r.event_id: r.asof_v
+        for r in temporal.asof_join(
+            left, right, "user_id", "ts", "ts", ["v"]
+        ).collect()
+    }
+    assert out == {100: None, 101: 7.0, 102: 9.0, 200: None}
