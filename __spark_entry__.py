@@ -543,6 +543,23 @@ def q_events_asof_join(spark, sf_dir):
     )
 
 
+def q_events_hourly_rollup(spark, sf_dir):
+    """Hypertable-style time-bucket rollup: hourly event counts,
+    distinct users, exact scaled-int value sum.  At scale the hour
+    bucket is the partition key (time-partitioned table), so the
+    rollup is partition-local — one map-side-combined exchange."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    scaled = F.round(F.col("value") * 10000).cast("bigint")
+    return (
+        ev.groupBy(F.date_trunc("hour", "ts").alias("bucket_hour"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            (F.sum(scaled).cast("double") / 10000).alias("sum_value"),
+        )
+    )
+
+
 def q_events_sessionize(spark, sf_dir):
     """Stateful-style sessionization as pure windows: 30-minute gaps
     split sessions; counts per (user, session)."""
@@ -780,6 +797,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "video_frame_stats": q_video_frame_stats,
         "events_sessionize": q_events_sessionize,
         "events_asof_join": q_events_asof_join,
+        "events_hourly_rollup": q_events_hourly_rollup,
         "significance_prefilter": q_significance_prefilter,
         "classify_actions": q_classify_actions,
         "classify_actions_nodes": q_classify_actions_nodes,
@@ -1108,6 +1126,15 @@ def oracle_sql() -> dict[str, str]:
                         AS DOUBLE) / GREATEST(length(text), 1) < 0.3
                     AND length(text) >= 20) AS quality_keep
             FROM documents
+        """,
+        "events_hourly_rollup": """
+            SELECT date_trunc('hour', ts) AS bucket_hour,
+                   COUNT(*) AS n_events,
+                   COUNT(DISTINCT user_id) AS n_users,
+                   CAST(SUM(CAST(ROUND(value * 10000) AS BIGINT)) AS DOUBLE)
+                       / 10000 AS sum_value
+            FROM events
+            GROUP BY 1
         """,
         "events_asof_join": """
             WITH updates AS (
