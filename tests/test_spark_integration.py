@@ -482,3 +482,49 @@ def test_asof_join_ties_and_missing(spark):
         ).collect()
     }
     assert out == {100: None, 101: 7.0, 102: 9.0, 200: None}
+
+
+def test_asof_join_randomized_vs_bruteforce(spark):
+    """300 random left rows × 100 random right rows across 20 keys:
+    the window form must equal the brute-force 'latest right <= ts'
+    scan, including duplicate left timestamps and keys with no right
+    rows at all."""
+    import datetime as dt
+    import random
+
+    from openstreetmap_license_change_spark.operators import temporal
+
+    rng = random.Random(7)
+    base = dt.datetime(2024, 3, 1)
+
+    def t(mins):
+        return base + dt.timedelta(minutes=mins)
+
+    lrows = [
+        (rng.randint(0, 19), i, t(rng.randint(0, 500)))
+        for i in range(300)
+    ]
+    # right rows only for keys 0..14, unique (key, ts)
+    seen = set()
+    rrows = []
+    while len(rrows) < 100:
+        k, m = rng.randint(0, 14), rng.randint(0, 500)
+        if (k, m) not in seen:
+            seen.add((k, m))
+            rrows.append((k, t(m), float(len(rrows))))
+    left = spark.createDataFrame(
+        lrows, "user_id bigint, event_id bigint, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        rrows, "user_id bigint, ts timestamp, v double"
+    )
+    got = {
+        r.event_id: r.asof_v
+        for r in temporal.asof_join(
+            left, right, "user_id", "ts", "ts", ["v"]
+        ).collect()
+    }
+    for k, eid, ts in lrows:
+        cands = [(rts, v) for rk, rts, v in rrows if rk == k and rts <= ts]
+        want = max(cands)[1] if cands else None
+        assert got[eid] == want, (k, eid, ts)
