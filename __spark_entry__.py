@@ -63,7 +63,9 @@ def entry(spark: SparkSession) -> DataFrame:
 def q_latest_version(spark, sf_dir):
     """A3: latest-version snapshot per url (current_* tables)."""
     pages = _pages(spark, sf_dir)
-    return lineage.latest_version(pages).select(
+    return lineage.latest_version(
+        pages, cols=["version", "changeset_id", "visible"]
+    ).select(
         "url",
         F.col("version").alias("last_version"),
         F.col("changeset_id").alias("last_changeset"),
@@ -221,7 +223,7 @@ def q_promo_revenue(spark, sf_dir):
 
 def q_cell_assignment(spark, sf_dir):
     """F14': grid cell + Morton quad-tile per latest page version."""
-    pages = lineage.latest_version(_pages(spark, sf_dir))
+    pages = lineage.latest_version(_pages(spark, sf_dir), cols=["lon", "lat"])
     return spatial.assign_cells(pages).select("url", "lon", "lat", "cell", "tile")
 
 
@@ -236,7 +238,7 @@ def q_tile_rollup(spark, sf_dir):
 
 def q_pip_rect(spark, sf_dir):
     """J10 (rectangle fast path): broadcast PIP against 4 region rects."""
-    pages = lineage.latest_version(_pages(spark, sf_dir))
+    pages = lineage.latest_version(_pages(spark, sf_dir), cols=["lon", "lat"])
     rects = spark.createDataFrame(
         [
             (1, -180.0, -90.0, -60.0, 0.0),
@@ -256,7 +258,7 @@ def q_knn_in_cell(spark, sf_dir):
     """J11: cell-local kNN — for each tainted page, the 3 nearest
     accepted pages in the same (coarse) cell."""
     flagged = _pages_flagged(spark, sf_dir)
-    latest = lineage.latest_version(flagged)
+    latest = lineage.latest_version(flagged, cols=["accepted", "lon", "lat"])
     cells = spatial.assign_cells(latest, res_deg=30.0)
     dirty = cells.where(~F.col("accepted"))
     clean = cells.where(F.col("accepted")).select(
@@ -277,9 +279,26 @@ def q_dedup_exact(spark, sf_dir):
 
 
 def q_ngram_jaccard(spark, sf_dir):
-    """3-gram Jaccard near-dup pairs ≥ 0.2."""
+    """3-gram Jaccard near-dup pairs ≥ 0.2.
+
+    max_doc_freq=1.0 keeps the RESULT exact (every shingle passes the
+    df filter) while exercising the df-capped CODE path — the
+    candidate-join guard the 100-TB story depends on — so the
+    oracle-verified path is the scale-safe one."""
     docs = pages_src.documents(spark, sf_dir)
-    return dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.2)
+    return dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.2, max_doc_freq=1.0)
+
+
+def q_ngram_jaccard_capped(spark, sf_dir):
+    """3-gram Jaccard with a BITING stop-shingle cap (df ≤ 5% of
+    docs): shingles in more than 5% of documents are excluded from the
+    candidate join; Jaccard stays exact over full shingle sets.  The
+    oracle mirrors the exclusion, so the cap's semantics (not just its
+    plumbing) are verified."""
+    docs = pages_src.documents(spark, sf_dir)
+    return dedup.ngram_jaccard_pairs(
+        docs, n=3, threshold=0.2, max_doc_freq=0.05
+    )
 
 
 def q_minhash_signatures(spark, sf_dir):
@@ -395,7 +414,7 @@ def q_pip_rect_prefiltered(spark, sf_dir):
     """J10b: the same PIP result as `pip_rect` through the
     cell-prefiltered broadcast equi-join (rects explode into covering
     cells; exact predicate only on surviving pairs)."""
-    pages = lineage.latest_version(_pages(spark, sf_dir))
+    pages = lineage.latest_version(_pages(spark, sf_dir), cols=["lon", "lat"])
     rects = spark.createDataFrame(
         [
             (1, -180.0, -90.0, -60.0, 0.0),
@@ -419,9 +438,9 @@ def q_regions_available(spark, sf_dir):
     """J9: region anti-proximity — latest pages not within 25° Chebyshev
     of any currently-processing region (run_bot.rb:41-57), as a
     broadcast theta anti-join."""
-    latest = lineage.latest_version(_pages(spark, sf_dir)).select(
-        "url", "lon", "lat"
-    )
+    latest = lineage.latest_version(
+        _pages(spark, sf_dir), cols=["lon", "lat"]
+    ).select("url", "lon", "lat")
     processing = spark.createDataFrame(
         [(-120.0, 40.0), (10.0, 50.0), (140.0, -30.0)], "lon double, lat double"
     )
@@ -459,7 +478,10 @@ def q_osmchange_render(spark, sf_dir):
     golden tests."""
     from openstreetmap_license_change_spark.plans import osmchange
 
-    latest = lineage.latest_version(_pages(spark, sf_dir))
+    latest = lineage.latest_version(
+        _pages(spark, sf_dir),
+        cols=["visible", "version", "changeset_id", "uid"],
+    )
     actions = latest.select(
         F.lit("node").alias("etype"),
         dedup.token_hash(F.col("url")).alias("element_id"),
@@ -776,6 +798,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_in_cell": q_knn_in_cell,
         "dedup_exact": q_dedup_exact,
         "ngram_jaccard": q_ngram_jaccard,
+        "ngram_jaccard_capped": q_ngram_jaccard_capped,
         "minhash_signatures": q_minhash_signatures,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "minhash_lsh_clusters": q_minhash_lsh_clusters,
@@ -999,7 +1022,10 @@ def oracle_sql() -> dict[str, str]:
             FROM (
                 SELECT {cell} AS cell,
                        COUNT(*) AS n_pages,
-                       SUM(CAST(NOT s.accepted AS INT)) AS n_tainted
+                       -- CAST: DuckDB promotes SUM(INTEGER) to HUGEINT,
+                       -- which the driver's type-sensitive hash rejects.
+                       CAST(SUM(CAST(NOT s.accepted AS INT)) AS BIGINT)
+                           AS n_tainted
                 FROM pages p JOIN cs_status s USING (changeset_id)
                 GROUP BY 1
             ) t
@@ -1092,6 +1118,56 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sb ON sb.doc_id = doc_b
             WHERE CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter) >= 0.2
         """,
+        "ngram_jaccard_capped": """
+            WITH toks AS (
+                SELECT doc_id,
+                       string_split_regex(lower(text), '\\s+') AS ts
+                FROM documents
+            ),
+            grams AS (
+                SELECT DISTINCT doc_id,
+                       ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS shingle
+                FROM toks,
+                     LATERAL (SELECT UNNEST(range(1, GREATEST(len(ts) - 2, 1) + 1))
+                              AS i) g
+                WHERE len(ts) >= 1 AND ts[i] IS NOT NULL
+                  AND length(COALESCE(ts[i], '') ||
+                             COALESCE(ts[i+1], '') ||
+                             COALESCE(ts[i+2], '')) > 0
+            ),
+            sizes AS (SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY 1),
+            ndocs AS (SELECT COUNT(DISTINCT doc_id) AS nd FROM documents),
+            -- stop-shingle cap: df > floor(0.05 * n_docs) excluded
+            -- from the CANDIDATE join (matches Python int() truncation)
+            rare AS (
+                SELECT shingle FROM (
+                    SELECT shingle, COUNT(*) AS df FROM grams GROUP BY 1
+                ) d, ndocs
+                WHERE df <= CAST(FLOOR(0.05 * nd) AS BIGINT)
+            ),
+            cands AS (
+                SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                FROM grams a
+                JOIN rare r ON a.shingle = r.shingle
+                JOIN grams b ON a.shingle = b.shingle
+                WHERE a.doc_id < b.doc_id
+            ),
+            inter AS (
+                SELECT c.doc_a, c.doc_b, COUNT(*) AS n_inter
+                FROM cands c
+                JOIN grams a ON a.doc_id = c.doc_a
+                JOIN grams b ON b.doc_id = c.doc_b
+                            AND b.shingle = a.shingle
+                GROUP BY 1, 2
+            )
+            SELECT doc_a, doc_b,
+                   ROUND(CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter), 6)
+                       AS jaccard
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = doc_a
+            JOIN sizes sb ON sb.doc_id = doc_b
+            WHERE CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter) >= 0.2
+        """,
         "minhash_signatures": f"""
             WITH toks AS (
                 SELECT DISTINCT doc_id, tok AS token
@@ -1164,10 +1240,12 @@ def oracle_sql() -> dict[str, str]:
             ),
             sess AS (
                 SELECT user_id, value,
-                       SUM(new_sess) OVER (PARTITION BY user_id
+                       -- CAST: windowed SUM promotes to HUGEINT in DuckDB
+                       CAST(SUM(new_sess) OVER (PARTITION BY user_id
                                            ORDER BY ts, event_id
                                            ROWS BETWEEN UNBOUNDED PRECEDING
-                                           AND CURRENT ROW) AS session_id
+                                           AND CURRENT ROW) AS BIGINT)
+                           AS session_id
                 FROM gaps
             )
             SELECT user_id, session_id,
@@ -1705,13 +1783,17 @@ def oracle_sql() -> dict[str, str]:
             way_hit AS (
                 SELECT wn.way_id,
                        COUNT(*) AS n_total,
-                       SUM(CASE WHEN nd.ref IS NOT NULL THEN 1 ELSE 0 END)
+                       -- CAST: SUM(INTEGER) is HUGEINT in DuckDB; keep the
+                       -- downstream n_total - n_removed arithmetic BIGINT
+                       CAST(SUM(CASE WHEN nd.ref IS NOT NULL
+                                     THEN 1 ELSE 0 END) AS BIGINT)
                            AS n_removed
                 FROM way_nodes wn LEFT JOIN node_del nd ON wn.ref = nd.ref
                 GROUP BY wn.way_id
             ),
             way_out AS (
-                SELECT way_id, n_total - n_removed AS n_after,
+                SELECT way_id,
+                       CAST(n_total - n_removed AS BIGINT) AS n_after,
                        n_removed > 0 AS touched,
                        (n_removed > 0 AND n_total - n_removed < 2) AS killed
                 FROM way_hit
@@ -1800,7 +1882,7 @@ def oracle_sql() -> dict[str, str]:
                 UNION SELECT rel_id FROM p3_hit
             ),
             rel_edit AS (
-                SELECT t.rel_id, COUNT(m.ref) AS n_after
+                SELECT t.rel_id, CAST(COUNT(m.ref) AS BIGINT) AS n_after
                 FROM rel_touched t
                 LEFT JOIN rm3 m USING (rel_id)
                 WHERE t.rel_id NOT IN (SELECT rel_id FROM rel_del_all)

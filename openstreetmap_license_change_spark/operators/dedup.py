@@ -29,8 +29,13 @@ and the band-bucket join replaces the all-pairs join entirely.
 
 from __future__ import annotations
 
+import logging
+import warnings
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+_LOG = logging.getLogger(__name__)
 
 # arithmetic MinHash permutation parameters (a, b) mod a 61-bit prime;
 # values chosen once, shared with the SQL oracle
@@ -331,6 +336,21 @@ def minhash_lsh_clusters(
         labels = updated
         if changed == 0:
             break
+    else:
+        # "no silent caps" (SURVEY §4): a pair-graph component with
+        # diameter > ~2·max_iters would exit here with wrong cluster
+        # ids and, without this signal, no way to know.  Each
+        # iteration hops two edges, so near-dup star/clique components
+        # converge in 2-3 passes — exhaustion means pathological
+        # chain-shaped input or too-low max_iters.
+        msg = (
+            f"minhash_lsh_clusters: label propagation did NOT converge "
+            f"after max_iters={max_iters} ({changed} labels still "
+            f"changing); cluster_ids may split true components. "
+            f"Raise max_iters."
+        )
+        _LOG.warning(msg)
+        warnings.warn(msg, RuntimeWarning, stacklevel=2)
     return labels.select(id_col, F.col("label").alias("cluster_id"))
 
 

@@ -19,10 +19,15 @@ Output action rows:
     version (redact/edit), mode ('visible'|'hidden', redact only),
     new_tags_json, new_lon, new_lat, new_nodes, new_members_json
 
-Skew guard: groups larger than ``MAX_VERSIONS_PER_ELEMENT`` fall back
-to delete+redact-all (the reference special-cases its 720-version
-mega-relation the same way, run_mega_relation.rb:8-47); occurrences are
-counted in the ``fold.capped`` accumulator rather than silently dropped.
+Skew guard: DIRTY groups larger than ``MAX_VERSIONS_PER_ELEMENT`` fall
+back to delete+redact-all (the reference special-cases its 720-version
+mega-relation the same way, run_mega_relation.rb:8-47).  Clean
+(all-accepted, never-blacklisted) histories short-circuit to zero
+actions BEFORE the cap on both A/B paths, so a clean mega-history is
+never conservatively deleted.  Cap occurrences are counted in the
+optional ``capped_acc`` Spark accumulator (pass
+``spark.sparkContext.accumulator(0)`` to either classify entry point)
+rather than silently dropped.
 """
 
 from __future__ import annotations
@@ -91,12 +96,24 @@ _OUT_COLS = [
 ]
 
 
-def _fold_rows(url: str, etype: str, rows: list) -> list[tuple]:
+def _fold_rows(url: str, etype: str, rows: list, capped_acc=None) -> list[tuple]:
     """Fold one element's version rows (namedtuples, any order) into
     action tuples matching _OUT_COLS."""
     out: list[tuple] = []
+    # Clean short-circuit FIRST (mirrors fold_body's vectorized drop):
+    # an all-accepted, never-blacklisted history yields no actions —
+    # including above the hot-key cap, so the grouped and python A/B
+    # paths agree on clean mega-histories (the cap is a skew guard for
+    # DIRTY hot keys, not a taint verdict on clean ones).
+    if all(r.accepted for r in rows) and not any(
+        getattr(r, "blacklisted", False) for r in rows
+    ):
+        return out
     if len(rows) > MAX_VERSIONS_PER_ELEMENT:
-        # hot-key cap: conservative delete + redact-all
+        # hot-key cap: conservative delete + redact-all ("no silent
+        # caps" — occurrences counted when the caller passed an acc)
+        if capped_acc is not None:
+            capped_acc.add(1)
         out.append((url, etype, "delete", None, None, None, None, None, None, None))
         out.extend(
             (url, etype, "redact", int(r.version), "hidden",
@@ -141,12 +158,23 @@ def _fold_rows(url: str, etype: str, rows: list) -> list[tuple]:
     return out
 
 
-def _fold_group(pdf: pd.DataFrame) -> pd.DataFrame:
-    """applyInPandas adapter: one group DataFrame → action DataFrame."""
-    url = pdf["url"].iloc[0]
-    etype = pdf["element_type"].iloc[0]
-    rows = list(pdf.sort_values("version").itertuples(index=False))
-    return pd.DataFrame(_fold_rows(url, etype, rows), columns=_OUT_COLS)
+def _make_fold_group(capped_acc=None):
+    """applyInPandas adapter factory: one group DataFrame → action
+    DataFrame.  A factory (not a module function) so the optional cap
+    accumulator rides the UDF closure to executors."""
+
+    def _fold_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        url = pdf["url"].iloc[0]
+        etype = pdf["element_type"].iloc[0]
+        rows = list(pdf.sort_values("version").itertuples(index=False))
+        return pd.DataFrame(
+            _fold_rows(url, etype, rows, capped_acc), columns=_OUT_COLS
+        )
+
+    return _fold_group
+
+
+_fold_group = _make_fold_group()  # default adapter (no accumulator)
 
 
 def _normalize_input(histories: DataFrame) -> DataFrame:
@@ -165,7 +193,9 @@ def _normalize_input(histories: DataFrame) -> DataFrame:
     return df
 
 
-def classify_histories_python(histories: DataFrame) -> DataFrame:
+def classify_histories_python(
+    histories: DataFrame, capped_acc=None
+) -> DataFrame:
     """Fold every element history → action rows (full Python path).
 
     Physical strategy: ``repartition(url) → sortWithinPartitions(url,
@@ -201,13 +231,15 @@ def classify_histories_python(histories: DataFrame) -> DataFrame:
         for row in body.itertuples(index=False):
             if row.url != cur_url:
                 if group:
-                    recs.extend(_fold_rows(cur_url, cur_etype, group))
+                    recs.extend(
+                        _fold_rows(cur_url, cur_etype, group, capped_acc)
+                    )
                 group = []
                 cur_url = row.url
                 cur_etype = row.element_type
             group.append(row)
         if group:
-            recs.extend(_fold_rows(cur_url, cur_etype, group))
+            recs.extend(_fold_rows(cur_url, cur_etype, group, capped_acc))
         return recs
 
     def run_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -461,11 +493,15 @@ def classify_histories(
     )
 
 
-def classify_histories_grouped(histories: DataFrame) -> DataFrame:
+def classify_histories_grouped(
+    histories: DataFrame, capped_acc=None
+) -> DataFrame:
     """Reference implementation via ``applyInPandas`` (one call per
     group) — kept for A/B testing against the batched path."""
     df = _normalize_input(histories)
-    return df.groupBy("url").applyInPandas(_fold_group, schema=ACTION_SCHEMA)
+    return df.groupBy("url").applyInPandas(
+        _make_fold_group(capped_acc), schema=ACTION_SCHEMA
+    )
 
 
 def pages_histories(pages_flagged: DataFrame) -> DataFrame:

@@ -23,7 +23,9 @@ from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 
 
-def latest_version(pages: DataFrame, key: str = "url") -> DataFrame:
+def latest_version(
+    pages: DataFrame, key: str = "url", cols: list[str] | None = None
+) -> DataFrame:
     """Latest state per element — the `current_*` tables.
 
     Expressed as ``max_by(struct(*), version)`` rather than a
@@ -31,8 +33,22 @@ def latest_version(pages: DataFrame, key: str = "url") -> DataFrame:
     (each input partition reduces to its local winners before the
     shuffle) and skips the per-group sort — at 10^12 rows that is the
     difference between shuffling every version and shuffling ~one row
-    per element per input partition."""
-    others = [c for c in pages.columns if c != key]
+    per element per input partition.
+
+    ``cols`` limits the struct to the named columns (plus ``version``,
+    which max_by always needs): the winner struct rides the shuffle,
+    so a caller that only wants (version, lat, lon) should not pay to
+    shuffle ``text``/``html`` inside it.  Projection happens INSIDE
+    the operator rather than relying on caller discipline — Catalyst
+    cannot prune struct fields out of an aggregate buffer on its own.
+    Default None keeps every column (the full current_* snapshot)."""
+    if cols is None:
+        others = [c for c in pages.columns if c != key]
+    else:
+        others = [c for c in cols if c != key]
+        if "version" not in others:
+            others = ["version", *others]
+        pages = pages.select(key, *others)
     agg = pages.groupBy(key).agg(
         F.max_by(F.struct(*others), F.col("version")).alias("_s")
     )

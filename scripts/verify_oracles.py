@@ -40,6 +40,61 @@ def rowset(cols, rows):
     return sorted(tuple(canon(r[i]) for i in order) for r in rows)
 
 
+# The driver's value hash is TYPE-sensitive (round-2 lesson: DuckDB
+# promotes SUM(INTEGER)/windowed SUM to HUGEINT -> arrow decimal128,
+# which hash-mismatches Spark's int64 even when every value is equal).
+# Map both engines' types to a coarse family and require equality.
+def _spark_type_family(dt) -> str:
+    from pyspark.sql import types as T
+
+    if isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+        return "int"
+    if isinstance(dt, (T.FloatType, T.DoubleType)):
+        return "float"
+    if isinstance(dt, T.DecimalType):
+        return "decimal"
+    if isinstance(dt, T.BooleanType):
+        return "bool"
+    if isinstance(dt, T.StringType):
+        return "str"
+    if isinstance(dt, (T.TimestampType, T.TimestampNTZType, T.DateType)):
+        return "time"
+    if isinstance(dt, T.ArrayType):
+        return f"list<{_spark_type_family(dt.elementType)}>"
+    return dt.simpleString()
+
+
+def _arrow_type_family(at) -> str:
+    import pyarrow as pa
+
+    if pa.types.is_integer(at):
+        return "int"
+    if pa.types.is_floating(at):
+        return "float"
+    if pa.types.is_decimal(at):
+        return "decimal"  # e.g. DuckDB HUGEINT -> decimal128(38,0)
+    if pa.types.is_boolean(at):
+        return "bool"
+    if pa.types.is_string(at) or pa.types.is_large_string(at):
+        return "str"
+    if pa.types.is_temporal(at):
+        return "time"
+    if pa.types.is_list(at) or pa.types.is_large_list(at):
+        return f"list<{_arrow_type_family(at.value_type)}>"
+    return str(at)
+
+
+def type_mismatches(sdf, con, sql):
+    arrow_schema = con.execute(sql).arrow().schema
+    d_fam = {f.name: _arrow_type_family(f.type) for f in arrow_schema}
+    s_fam = {f.name: _spark_type_family(f.dataType) for f in sdf.schema.fields}
+    return [
+        (c, s_fam[c], d_fam[c])
+        for c in sorted(set(s_fam) & set(d_fam))
+        if s_fam[c] != d_fam[c]
+    ]
+
+
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     only = set(sys.argv[2:])
@@ -92,6 +147,11 @@ def main():
             failures.append(name)
             diff = [(a, b) for a, b in zip(rs, rd) if a != b][:3]
             print(f"FAIL  {name}: value mismatch, first diffs: {diff}")
+            continue
+        tm = type_mismatches(sdf, con, oracles[name])
+        if tm:
+            failures.append(name)
+            print(f"FAIL  {name}: type family mismatch (spark vs duckdb): {tm}")
             continue
         print(f"OK    {name}: {len(rs)} rows match [{time.time()-t0:.1f}s]")
 

@@ -80,6 +80,27 @@ def test_latest_version_is_single_shuffle_partial_agg(spark):
     assert "max_by" in plan
 
 
+def test_latest_version_cols_prunes_struct_and_scan(spark):
+    """cols= must keep the wide payload (text) OUT of the max_by
+    aggregate buffer AND off the parquet scan: the winner struct rides
+    the shuffle, so a 3-column request shuffling text would be the
+    full-width-struct regression the operator exists to prevent."""
+    import re
+
+    from openstreetmap_license_change_spark.operators import lineage
+    from openstreetmap_license_change_spark.sources import pages as pages_src
+
+    latest = lineage.latest_version(
+        pages_src.pages_from_documents(spark, SF_DIR),
+        cols=["lon", "lat"],
+    )
+    assert set(latest.columns) == {"url", "version", "lon", "lat"}
+    plan = plan_of(latest)
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
+    assert "partial_max_by" in plan, plan
+    assert "text" not in plan, plan  # pruned from scan and agg buffer
+
+
 def test_tile_rollup_whole_stage_codegen(spark):
     from pyspark.sql import functions as F
 

@@ -528,3 +528,102 @@ def test_asof_join_randomized_vs_bruteforce(spark):
         cands = [(rts, v) for rk, rts, v in rrows if rk == k and rts <= ts]
         want = max(cands)[1] if cands else None
         assert got[eid] == want, (k, eid, ts)
+
+
+# ---------------------------------------------------------------------------
+# "no silent caps": lsh cluster convergence signal + fold hot-key cap
+# ---------------------------------------------------------------------------
+
+def _chain_membership(spark, n):
+    """Hand-built doc–bucket CHAIN: bucket i = {doc i, doc i+1}.  Label
+    propagation moves the component min one chain-hop per iteration, so
+    an n-doc chain needs ~n iterations — the adversarial shape for the
+    max_iters exhaustion signal."""
+    rows = []
+    for i in range(n - 1):
+        rows.append((i, f"b{i}"))
+        rows.append((i + 1, f"b{i}"))
+    return spark.createDataFrame(rows, "doc_id bigint, bk string")
+
+
+def test_lsh_clusters_nonconvergence_warns(spark, monkeypatch):
+    """A pair-graph diameter beyond max_iters must NOT silently return
+    wrong cluster ids — the RuntimeWarning signal fires (SURVEY §4)."""
+    from openstreetmap_license_change_spark.operators import dedup
+
+    n = 30
+    monkeypatch.setattr(
+        dedup, "_lsh_buckets", lambda df, id_col="doc_id": _chain_membership(spark, n)
+    )
+    docs = spark.createDataFrame(
+        [(i, "x") for i in range(n)], "doc_id bigint, text string"
+    )
+    with pytest.warns(RuntimeWarning, match="did NOT converge"):
+        labels = {
+            r.doc_id: r.cluster_id
+            for r in dedup.minhash_lsh_clusters(docs, max_iters=3).collect()
+        }
+    # and the result really is split (docs far down the chain haven't
+    # seen label 0 yet) — the condition the signal exists to expose
+    assert labels[n - 1] != 0
+
+
+def test_lsh_clusters_chain_converges_with_enough_iters(spark, monkeypatch):
+    """Same chain, enough iterations: single component, no warning."""
+    import warnings as _w
+
+    from openstreetmap_license_change_spark.operators import dedup
+
+    n = 12
+    monkeypatch.setattr(
+        dedup, "_lsh_buckets", lambda df, id_col="doc_id": _chain_membership(spark, n)
+    )
+    docs = spark.createDataFrame(
+        [(i, "x") for i in range(n)], "doc_id bigint, text string"
+    )
+    with _w.catch_warnings():
+        _w.simplefilter("error", RuntimeWarning)
+        labels = {
+            r.doc_id: r.cluster_id
+            for r in dedup.minhash_lsh_clusters(docs, max_iters=n + 2).collect()
+        }
+    assert labels == {i: 0 for i in range(n)}
+
+
+def _mega_history_rows(url, n, dirty):
+    """n-version node history; dirty=True rejects the last changeset."""
+    rows = []
+    for v in range(1, n + 1):
+        accepted = not (dirty and v == n)
+        rows.append(
+            (url, "node", v, True, accepted, False, False,
+             "{}", 0.0, 0.0, None, None)
+        )
+    return rows
+
+
+def test_fold_clean_mega_history_consistent_across_paths(spark):
+    """A >MAX_VERSIONS all-accepted history yields NO actions on BOTH
+    A/B paths (the clean short-circuit precedes the hot-key cap), and a
+    dirty mega-history caps to delete+redact-all on both, counted in
+    the capped accumulator."""
+    from openstreetmap_license_change_spark.operators import fold
+
+    n = fold.MAX_VERSIONS_PER_ELEMENT + 50
+    rows = _mega_history_rows("clean_mega", n, dirty=False) + \
+        _mega_history_rows("dirty_mega", n, dirty=True)
+    df = spark.createDataFrame(rows, FOLD_COLS)
+
+    for path in (fold.classify_histories_python, fold.classify_histories_grouped):
+        acc = spark.sparkContext.accumulator(0)
+        got = path(df, capped_acc=acc).collect()
+        by_url = {}
+        for r in got:
+            by_url.setdefault(r.url, []).append(r)
+        assert "clean_mega" not in by_url, path.__name__
+        dirty = by_url["dirty_mega"]
+        assert sum(1 for r in dirty if r.action == "delete") == 1
+        assert sum(1 for r in dirty if r.action == "redact") == n
+        assert all(r.mode == "hidden" for r in dirty if r.action == "redact")
+        # exactly the one dirty group hit the cap; the clean one did not
+        assert acc.value == 1, path.__name__
