@@ -236,6 +236,18 @@ def q_tile_rollup(spark, sf_dir):
     return spatial.tile_rollup(cells)
 
 
+def q_tile_rollup_multires(spark, sf_dir):
+    """Multi-resolution raster rollup (cube over the Morton cell
+    hierarchy, SURVEY §2.4 / north-rule H3-res analogue): taint
+    density per cell at resolutions 5, 7, 9.  One shuffle over the
+    points at the finest level; coarser levels re-aggregate the finest
+    aggregate via cell_parent (exact — Morton-prefix truncation
+    commutes with point assignment)."""
+    flagged = _pages_flagged(spark, sf_dir)
+    pts = flagged.withColumn("tainted", ~F.col("accepted"))
+    return spatial.tile_rollup_multires(pts, resolutions=[5, 7, 9])
+
+
 def q_pip_rect(spark, sf_dir):
     """J10 (rectangle fast path): broadcast PIP against 4 region rects."""
     pages = lineage.latest_version(_pages(spark, sf_dir), cols=["lon", "lat"])
@@ -794,6 +806,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "promo_revenue": q_promo_revenue,
         "cell_assignment": q_cell_assignment,
         "tile_rollup": q_tile_rollup,
+        "tile_rollup_multires": q_tile_rollup_multires,
         "pip_rect": q_pip_rect,
         "knn_in_cell": q_knn_in_cell,
         "dedup_exact": q_dedup_exact,
@@ -1029,6 +1042,26 @@ def oracle_sql() -> dict[str, str]:
                 FROM pages p JOIN cs_status s USING (changeset_id)
                 GROUP BY 1
             ) t
+        """),
+        "tile_rollup_multires": _with_pages(f"""
+            , tainted_pts AS (
+                SELECT p.lon, p.lat,
+                       CASE WHEN s.accepted THEN 0 ELSE 1 END AS t
+                FROM pages p JOIN cs_status s USING (changeset_id)
+            )
+            SELECT res, cell, n_pages, n_tainted,
+                   ROUND(CAST(n_tainted AS DOUBLE) / n_pages, 6)
+                       AS taint_density
+            FROM (
+                {" UNION ALL ".join(
+                    f'''SELECT {r} AS res,
+                           {spatial.hier_cell_sql("lon", "lat", r)} AS cell,
+                           COUNT(*) AS n_pages,
+                           CAST(SUM(t) AS BIGINT) AS n_tainted
+                    FROM tainted_pts GROUP BY 2'''
+                    for r in (5, 7, 9)
+                )}
+            ) lv
         """),
         "pip_rect": _with_pages("""
             , rects AS (

@@ -298,10 +298,21 @@ def scaling_mode():
         SPARK_GRAFT_STAGE_DIR=stage_root,
         SPARK_GRAFT_BENCH_REPL=os.environ.get("SPARK_GRAFT_BENCH_REPL", "256"),
     )
-    subprocess.run(
+    stage_proc = subprocess.run(
         [sys.executable, os.path.abspath(__file__), "--stage-only"],
         env=stage_env, capture_output=True, text=True, timeout=3600,
     )
+    # the scaling protocol depends on every trial reading IDENTICAL
+    # pre-staged bytes; a failed staging would silently re-stage inside
+    # each pinned trial and corrupt the comparison — abort loudly
+    if stage_proc.returncode != 0 or not os.path.exists(
+        os.path.join(stage_root, "pages", "_SUCCESS")
+    ):
+        sys.stderr.write(
+            f"FATAL: staging failed (rc={stage_proc.returncode}); "
+            f"stderr tail:\n{stage_proc.stderr[-2000:]}\n"
+        )
+        sys.exit(2)
     os.environ["SPARK_GRAFT_STAGE_DIR"] = stage_root
 
     runs: dict[int, list[dict]] = {lv: [] for lv in levels}

@@ -62,7 +62,12 @@ def _materialize(df: DataFrame) -> DataFrame:
 
 
 def _effective(planned: DataFrame, current: DataFrame, geom_col: str) -> DataFrame:
-    """Planned edit state where one exists, else current version."""
+    """Planned edit state where one exists, else current version.
+
+    ``had_plan`` is part of the output contract, NOT dead code: state
+    consumers use it to keep planned-but-cascade-untouched edits in
+    the edit set (see the reconciliation consumer in
+    tests/test_spark_integration.py — `had_plan AND NOT is_edit`)."""
     cur_only = current.join(
         planned.select("element_id"), "element_id", "left_anti"
     ).withColumn("had_plan", F.lit(False))

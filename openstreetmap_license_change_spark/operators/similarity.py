@@ -129,10 +129,16 @@ def ivf_topk(
     n_probe: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    exclude_id: int | None = 0,
 ) -> DataFrame:
     """IVF-style ANN: assign every vector to its nearest centroid
     (argmax rounded cosine, lowest-centroid tie-break), probe the
     ``n_probe`` centroids nearest the query, exact re-rank inside.
+
+    ``exclude_id`` drops one id from the search set — default 0, the
+    testdata convention that vec_id 0 is the query vector itself (so a
+    self-match doesn't occupy a top-k slot).  Pass None to search every
+    row (the general-library behavior).
 
     Centroids are the vectors with ids 1..n_centroids — deterministic
     and oracle-reproducible; production would plug k-means output into
@@ -160,7 +166,12 @@ def ivf_topk(
             for _, cv in cents
         ]
     )
-    clustered = embeddings.where(F.col(id_col) != 0).withColumn(
+    searchable = (
+        embeddings
+        if exclude_id is None
+        else embeddings.where(F.col(id_col) != exclude_id)
+    )
+    clustered = searchable.withColumn(
         "cluster", F.array_position(cos_arr, F.array_max(cos_arr))
     )
 

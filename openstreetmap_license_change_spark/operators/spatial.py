@@ -112,6 +112,119 @@ def assign_cells(
 
 
 # ---------------------------------------------------------------------------
+# hierarchical cell ids (H3-res / S2-level analogue on the Morton tree)
+#
+# The Morton quad-tile is NATURALLY hierarchical: the level-L cell of a
+# point is its level-16 tile shifted right 2·(16−L) bits, and a
+# parent's id is any child's id >> 2 — the same parent/child algebra
+# as S2 cell levels and quadkeys.  Cell ids pack the resolution into
+# the high bits (H3-style), so one BIGINT column is self-describing
+# and ids never collide across resolutions; the id is pure integer
+# arithmetic (Spark ⇔ ANSI SQL ⇔ Iceberg partition transform).
+#
+# S2 level-12 / H3 res-7 named by the north rule map onto this scheme
+# as resolutions of the equal-angle tree (no spherical-projection lib
+# in this environment; the hierarchy algebra — parent, children,
+# containment, multi-res rollup — is the part the engine owns, and is
+# projection-agnostic).
+# ---------------------------------------------------------------------------
+
+MAX_TILE_RES = 16          # level-16 Morton = 32 payload bits
+_RES_SHIFT = 36            # resolution tag sits above the payload
+_BASE_MASK = (1 << _RES_SHIFT) - 1
+
+
+def hier_cell(lon: Column, lat: Column, res: int) -> Column:
+    """Hierarchical cell id at ``res`` ∈ [0, 16]: resolution-tagged
+    Morton prefix.  id = res·2³⁶ | (morton₁₆ >> 2·(16−res))."""
+    if not 0 <= res <= MAX_TILE_RES:
+        raise ValueError(f"res must be in [0, {MAX_TILE_RES}], got {res}")
+    base = F.shiftright(quad_tile(lon, lat), 2 * (MAX_TILE_RES - res))
+    return (F.lit(res << _RES_SHIFT) + base).cast("bigint")
+
+
+def hier_cell_sql(lon: str, lat: str, res: int) -> str:
+    """DuckDB twin of :func:`hier_cell` (oracle parity)."""
+    if not 0 <= res <= MAX_TILE_RES:
+        raise ValueError(f"res must be in [0, {MAX_TILE_RES}], got {res}")
+    return (
+        f"CAST({res << _RES_SHIFT} + "
+        f"({quad_tile_sql(lon, lat)} >> {2 * (MAX_TILE_RES - res)}) AS BIGINT)"
+    )
+
+
+def cell_res(cell: Column) -> Column:
+    """Resolution encoded in a hierarchical cell id."""
+    return F.shiftright(cell, _RES_SHIFT).cast("int")
+
+
+def cell_parent(cell: Column, parent_res: int, res: int | None = None) -> Column:
+    """Ancestor of ``cell`` at ``parent_res``.
+
+    With ``res`` given (the common case — a column of uniform
+    resolution, e.g. the finest level of a rollup) the shift is a
+    literal and the whole expression stays in codegen.  Without it the
+    per-row resolution is read from the id (shiftright with a column
+    shift amount)."""
+    base = cell.bitwiseAND(F.lit(_BASE_MASK))
+    if res is not None:
+        if parent_res > res:
+            raise ValueError(f"parent_res {parent_res} > res {res}")
+        pbase = F.shiftright(base, 2 * (res - parent_res))
+    else:
+        delta = (cell_res(cell) - F.lit(parent_res)) * 2
+        pbase = F.call_function("shiftright", base, delta)
+    return (F.lit(parent_res << _RES_SHIFT) + pbase).cast("bigint")
+
+
+def cell_children(cell: Column, res: int | None = None) -> Column:
+    """Array of the 4 direct children (one resolution finer).  Use with
+    ``F.explode``.  ``res`` as in :func:`cell_parent`."""
+    base = cell.bitwiseAND(F.lit(_BASE_MASK))
+    child_res = (
+        F.lit(res + 1) if res is not None else cell_res(cell) + F.lit(1)
+    )
+    tag = child_res.cast("bigint") * F.lit(1 << _RES_SHIFT)
+    return F.array(
+        *[(tag + F.shiftleft(base, 2) + F.lit(i)).cast("bigint") for i in range(4)]
+    )
+
+
+def cell_contains(ancestor: Column, descendant: Column) -> Column:
+    """True iff ``descendant`` lies in ``ancestor``'s subtree (any
+    depth; a cell contains itself).  Prefix test on the Morton path —
+    no geometry evaluated."""
+    ra, rd = cell_res(ancestor), cell_res(descendant)
+    ba = ancestor.bitwiseAND(F.lit(_BASE_MASK))
+    bd = descendant.bitwiseAND(F.lit(_BASE_MASK))
+    delta = (rd - ra) * 2
+    return (rd >= ra) & (F.call_function("shiftright", bd, delta) == ba)
+
+
+def _compact_bits(v: Column) -> Column:
+    """Inverse of :func:`_spread_bits`: gather the even bits of a
+    32-bit interleave back into 16 contiguous bits."""
+    v = v.bitwiseAND(F.lit(0x55555555))
+    v = v.bitwiseOR(F.shiftright(v, 1)).bitwiseAND(F.lit(0x33333333))
+    v = v.bitwiseOR(F.shiftright(v, 2)).bitwiseAND(F.lit(0x0F0F0F0F))
+    v = v.bitwiseOR(F.shiftright(v, 4)).bitwiseAND(F.lit(0x00FF00FF))
+    v = v.bitwiseOR(F.shiftright(v, 8)).bitwiseAND(F.lit(0x0000FFFF))
+    return v
+
+
+def cell_center(cell: Column, res: int) -> tuple[Column, Column]:
+    """(lon, lat) of the cell's center — the raster→vector direction.
+    De-interleaves the Morton prefix and scales back to degrees."""
+    base = cell.bitwiseAND(F.lit(_BASE_MASK))
+    x = _compact_bits(base)  # _compact_bits masks the even bits itself
+    y = _compact_bits(F.shiftright(base, 1))
+    n = float(1 << res) if res > 0 else 1.0
+    lon = (x.cast("double") + 0.5) * F.lit(360.0 / n) - F.lit(180.0)
+    lat = (y.cast("double") + 0.5) * F.lit(180.0 / n) - F.lit(90.0)
+    return lon, lat
+
+
+# ---------------------------------------------------------------------------
 # point-in-polygon
 # ---------------------------------------------------------------------------
 
@@ -424,6 +537,65 @@ def tile_rollup(pages_with_cells: DataFrame, taint_col: str = "tainted") -> Data
     return agg.withColumn(
         "taint_density",
         F.round(F.col("n_tainted").cast("double") / F.col("n_pages"), 6),
+    )
+
+
+def tile_rollup_multires(
+    points: DataFrame,
+    resolutions: Sequence[int],
+    lon: str = "lon",
+    lat: str = "lat",
+    taint_col: str = "tainted",
+) -> DataFrame:
+    """Multi-resolution raster rollup (cube over the cell hierarchy):
+    per-cell page count + taint count + density at EVERY requested
+    resolution, returned long-form as (res, cell, n_pages, n_tainted,
+    taint_density).
+
+    Physical shape — hierarchical re-aggregation, not GROUPING SETS:
+    the points shuffle ONCE on the finest cell; every coarser level
+    re-aggregates the finest *aggregate* via the parent operation
+    (sums are associative and ``cell_parent`` commutes with point
+    assignment: parent(hier_cell(p, f)) == hier_cell(p, r) exactly,
+    both are Morton-prefix truncations).  At 10^12 points the coarser
+    passes touch ~|cells(finest)| rows, not the point table; GROUPING
+    SETS would instead replicate every point row once per level into
+    the shuffle.  The finest aggregate is cached for the fan-out."""
+    rs = sorted(set(resolutions))
+    if not rs:
+        raise ValueError("resolutions must be non-empty")
+    finest = rs[-1]
+    base = points.groupBy(
+        hier_cell(F.col(lon), F.col(lat), finest).alias("cell")
+    ).agg(
+        F.count(F.lit(1)).alias("n_pages"),
+        F.sum(F.col(taint_col).cast("int")).alias("n_tainted"),
+    )
+    if len(rs) > 1:
+        base = base.cache()
+    levels = [base.withColumn("res", F.lit(finest))]
+    for r in rs[:-1]:
+        levels.append(
+            base.groupBy(
+                cell_parent(F.col("cell"), r, res=finest).alias("cell")
+            )
+            .agg(
+                F.sum("n_pages").alias("n_pages"),
+                F.sum("n_tainted").alias("n_tainted"),
+            )
+            .withColumn("res", F.lit(r))
+        )
+    out = levels[0]
+    for lv in levels[1:]:
+        out = out.unionByName(lv)
+    return out.select(
+        "res",
+        "cell",
+        "n_pages",
+        "n_tainted",
+        F.round(
+            F.col("n_tainted").cast("double") / F.col("n_pages"), 6
+        ).alias("taint_density"),
     )
 
 
