@@ -75,12 +75,17 @@ def split_exclusions(
 
 
 def classify_with_exclusions(
-    histories: DataFrame, exclusions: DataFrame
+    histories: DataFrame,
+    exclusions: DataFrame,
+    assume_partitioned: bool = False,
 ) -> DataFrame:
     """The fold with the exclusion fast path in front: excluded
     elements never reach Python — their delete+redact rows are pure
-    column expressions — and the fold runs only on the remainder."""
+    column expressions — and the fold runs only on the remainder.
+    The exclusion split is a broadcast (anti-)join, so
+    ``assume_partitioned`` co-location survives it and passes through
+    to the fold."""
     excluded_actions, remainder = split_exclusions(histories, exclusions)
-    return fold_ops.classify_histories(remainder).unionByName(
-        excluded_actions
-    )
+    return fold_ops.classify_histories(
+        remainder, assume_partitioned=assume_partitioned
+    ).unionByName(excluded_actions)

@@ -194,7 +194,7 @@ def _normalize_input(histories: DataFrame) -> DataFrame:
 
 
 def classify_histories_python(
-    histories: DataFrame, capped_acc=None
+    histories: DataFrame, capped_acc=None, assume_partitioned: bool = False
 ) -> DataFrame:
     """Fold every element history → action rows (full Python path).
 
@@ -205,7 +205,14 @@ def classify_histories_python(
     call; groups never span partitions (hash repartition on url) but
     may span batch boundaries, so a remainder is carried between
     batches.  One shuffle total, Python invocation cost amortized
-    ~1000× (measured 35s → ~6s on the sf0.1 bench)."""
+    ~1000× (measured 35s → ~6s on the sf0.1 bench).
+
+    ``assume_partitioned=True`` skips the repartition — for inputs
+    already co-located by url (a bucketed pages table,
+    sources/bucketed.py): the fold then runs with ZERO exchanges.
+    Caller's contract: every row of a url lives in one partition
+    (bucketed scan guarantees it; order within the partition is
+    re-established here either way)."""
     df = _normalize_input(histories)
 
     def fold_body(body: pd.DataFrame) -> list[tuple]:
@@ -260,7 +267,11 @@ def classify_histories_python(
         if carry is not None and len(carry):
             yield pd.DataFrame(fold_body(carry), columns=_OUT_COLS)
 
-    shuffled = df.repartition("url").sortWithinPartitions("url", "version")
+    shuffled = (
+        df.sortWithinPartitions("url", "version")
+        if assume_partitioned
+        else df.repartition("url").sortWithinPartitions("url", "version")
+    )
     return shuffled.mapInPandas(run_batches, schema=ACTION_SCHEMA)
 
 
@@ -460,7 +471,9 @@ def _classify_nodes_native(df: DataFrame) -> DataFrame:
 
 
 def classify_histories(
-    histories: DataFrame, native_fast_path: bool = False
+    histories: DataFrame,
+    native_fast_path: bool = False,
+    assume_partitioned: bool = False,
 ) -> DataFrame:
     """The fold.  Default: the Arrow-batched Python path — measured
     FASTER than the native window translation at every tested scale
@@ -478,7 +491,9 @@ def classify_histories(
     parse-identical).  Kept for payload-light inputs and as the
     executable twin of the classify_actions_nodes oracle."""
     if not native_fast_path:
-        return classify_histories_python(histories)
+        return classify_histories_python(
+            histories, assume_partitioned=assume_partitioned
+        )
     df = _normalize_input(histories)
     # annotate eligibility in the SAME url-partitioned window pass the
     # native path reuses, then materialize once (localCheckpoint —

@@ -20,6 +20,7 @@ Stage graph (SURVEY.md §3 lifecycle equivalent):
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
 import time
@@ -86,6 +87,70 @@ class StageRunner:
         self._commit_audit()
         return out
 
+    def run_bucketed(
+        self,
+        stage: str,
+        lineage_key: str,
+        build,
+        key: str = "url",
+        buckets: int = 32,
+    ) -> DataFrame:
+        """Build-or-resume a stage committed as a BUCKETED table
+        (sources/bucketed.py): downstream url-keyed stages read it
+        with the bucket spec attached and Catalyst elides their
+        Exchange.  Resume in a fresh session re-registers the external
+        table from the audited schema (Iceberg analogue: the bucket
+        partition transform lives in the table metadata, so this
+        re-registration step disappears on a real deployment)."""
+        from ..sources import bucketed as bkt
+
+        path = self._stage_dir(stage)
+        # table names are session-global; scope to this work_dir so
+        # concurrent pipelines can't resume from each other's tables
+        scope = hashlib.md5(path.encode()).hexdigest()[:8]
+        table = f"stage_{stage}_{scope}"
+        meta = self.audit.get(stage)
+        if meta and meta.get("lineage") == lineage_key and os.path.isdir(path):
+            if not self.spark.catalog.tableExists(table):
+                ddl = meta["schema_ddl"]
+                sort_cols = meta["sort_cols"]
+                self.spark.sql(
+                    f"CREATE TABLE {table} ({ddl}) USING parquet "
+                    f"CLUSTERED BY ({key}) "
+                    f"SORTED BY ({', '.join(sort_cols)}) "
+                    f"INTO {meta['buckets']} BUCKETS "
+                    f"LOCATION '{path}'"
+                )
+            return bkt.read_bucketed(self.spark, table)
+
+        t0 = time.time()
+        df = build()
+        self.spark.sql(f"DROP TABLE IF EXISTS {table}")
+        bkt.write_bucketed(df, table, path, key=key, buckets=buckets)
+        out = bkt.read_bucketed(self.spark, table)
+        rows = out.count()
+        nbytes = sum(
+            os.path.getsize(os.path.join(r, f))
+            for r, _, fs in os.walk(path)
+            for f in fs
+        )
+        sort_cols = [key] + (["version"] if "version" in df.columns else [])
+        self.audit[stage] = {
+            "lineage": lineage_key,
+            "rows": rows,
+            "bytes": nbytes,
+            "wall_sec": round(time.time() - t0, 3),
+            "committed_at_stage_order": len(self.audit),
+            "bucketed_by": key,
+            "buckets": buckets,
+            "sort_cols": sort_cols,
+            "schema_ddl": ", ".join(
+                f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
+            ),
+        }
+        self._commit_audit()
+        return out
+
 
 def run_pipeline(
     spark: SparkSession,
@@ -93,6 +158,7 @@ def run_pipeline(
     work_dir: str,
     exclusions: DataFrame | None = None,
     osmchange_dir: str | None = None,
+    bucketed: bool = True,
 ) -> dict[str, DataFrame]:
     """Full batch run, checkpointed per stage. Returns stage outputs.
 
@@ -100,6 +166,15 @@ def run_pipeline(
     reference's hard-exclusion list (db.rb:38-48).  Excluded elements
     bypass the fold via the broadcast split (change_bot.rb:214-218)
     and surface as delete+redact-all action rows.
+
+    ``bucketed`` (default True — the 100-TB path): the ``flagged``
+    stage commits as a url-bucketed table, so every downstream
+    url-keyed consumer — the fold's history grouping, the
+    latest-version snapshot for the osmChange sink — reads
+    pre-co-located data with ZERO url exchanges
+    (tests/test_pipeline_resume.py asserts the plans).  ``False``
+    keeps plain parquet checkpoints (useful when the consumer set is
+    unknown and the bucketed write's sort cost isn't amortized).
     """
     runner = StageRunner(spark, work_dir)
     key = sf_dir  # lineage key: input identity (prod: snapshot id)
@@ -107,7 +182,8 @@ def run_pipeline(
     pages = runner.run(
         "pages", key, lambda: pages_src.pages_from_documents(spark, sf_dir)
     )
-    flagged = runner.run(
+    stage_flagged = runner.run_bucketed if bucketed else runner.run
+    flagged = stage_flagged(
         "flagged",
         key,
         lambda: lineage.with_accept_flags(pages, pages_src.cs_status(spark)),
@@ -129,8 +205,10 @@ def run_pipeline(
         # fold even when their history is clean
         hist = fold.pages_histories(flagged)
         if exclusions is not None:
-            return excl_ops.classify_with_exclusions(hist, exclusions)
-        return fold.classify_histories(hist)
+            return excl_ops.classify_with_exclusions(
+                hist, exclusions, assume_partitioned=bucketed
+            )
+        return fold.classify_histories(hist, assume_partitioned=bucketed)
 
     actions = runner.run("actions", key, build_actions)
     rollup = runner.run(

@@ -30,6 +30,12 @@ def main() -> int:
         default=None,
         help="also emit the osmChange XML document shards here (S9)",
     )
+    ap.add_argument(
+        "--no-bucketed",
+        action="store_true",
+        help="stage with plain parquet checkpoints instead of the "
+        "default url-bucketed table (which elides downstream shuffles)",
+    )
     args = ap.parse_args()
 
     from openstreetmap_license_change_spark.plans.pipeline import run_pipeline
@@ -38,7 +44,11 @@ def main() -> int:
     spark = get_spark("olcs-pipeline")
     t0 = time.time()
     outputs = run_pipeline(
-        spark, args.sf_dir, args.work_dir, osmchange_dir=args.osmchange_dir
+        spark,
+        args.sf_dir,
+        args.work_dir,
+        osmchange_dir=args.osmchange_dir,
+        bucketed=not args.no_bucketed,
     )
     summary = {
         name: df.count() for name, df in outputs.items()

@@ -98,3 +98,79 @@ def test_pipeline_with_exclusions(spark, tmp_path_factory):
         assert (url, "redact", "hidden") in got
     # every action for an excluded url is delete or hidden-redact
     assert all(a in ("delete", "redact") for (_, a, _) in got)
+
+
+def test_bucketed_pipeline_elides_url_exchanges(spark, tmp_path_factory):
+    """The default (bucketed) pipeline's url-keyed consumers read the
+    flagged stage with the bucket spec attached: the fold runs with
+    ZERO exchanges, and so does the latest-version snapshot — the
+    100-TB shuffle-amortization contract, asserted at the pipeline
+    level, not just in operator isolation."""
+    from openstreetmap_license_change_spark.operators import fold, lineage
+    from openstreetmap_license_change_spark.plans.pipeline import run_pipeline
+
+    work = str(tmp_path_factory.mktemp("pipe_bkt"))
+    out = run_pipeline(spark, SF_DIR, work, bucketed=True)
+    flagged = out["flagged"]  # bucketed table handle
+
+    def plan(df):
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    fold_plan = plan(
+        fold.classify_histories(
+            fold.pages_histories(flagged), assume_partitioned=True
+        )
+    )
+    assert "Exchange" not in fold_plan, fold_plan
+
+    latest_plan = plan(lineage.latest_version(flagged.select("url", "version")))
+    assert "Exchange" not in latest_plan, latest_plan
+
+    # control: the plain-parquet pipeline's flagged stage DOES shuffle
+    # for the same consumers — the bucket spec, not data size, removed
+    # the exchanges above
+    work_p = str(tmp_path_factory.mktemp("pipe_plain"))
+    flagged_p = run_pipeline(spark, SF_DIR, work_p, bucketed=False)["flagged"]
+    assert "Exchange" in plan(
+        lineage.latest_version(flagged_p.select("url", "version"))
+    )
+
+
+def test_bucketed_pipeline_matches_unbucketed(spark, tmp_path_factory):
+    """A/B: identical action rows with and without bucketed staging."""
+    from openstreetmap_license_change_spark.plans.pipeline import run_pipeline
+
+    w_b = str(tmp_path_factory.mktemp("pipe_b"))
+    w_p = str(tmp_path_factory.mktemp("pipe_p"))
+    acts_b = run_pipeline(spark, SF_DIR, w_b, bucketed=True)["actions"]
+    acts_p = run_pipeline(spark, SF_DIR, w_p, bucketed=False)["actions"]
+    key = lambda r: (r.url, r.action, r.version, r.mode, r.new_tags_json)
+    assert sorted(map(key, acts_b.collect())) == sorted(
+        map(key, acts_p.collect())
+    )
+
+
+def test_bucketed_resume_reregisters_table(spark, tmp_path_factory):
+    """A fresh session has no catalog entry for the committed bucketed
+    stage; resume must re-register the external table from the audited
+    schema — with the bucket spec intact (exchange still elided)."""
+    from openstreetmap_license_change_spark.operators import lineage
+    from openstreetmap_license_change_spark.plans.pipeline import run_pipeline
+
+    work = str(tmp_path_factory.mktemp("pipe_rereg"))
+    out1 = run_pipeline(spark, SF_DIR, work, bucketed=True)
+    n1 = out1["flagged"].count()
+
+    # simulate a new session: drop every stage table from the catalog
+    for t in spark.catalog.listTables():
+        if t.name.startswith("stage_flagged_"):
+            spark.sql(f"DROP TABLE {t.name}")
+
+    out2 = run_pipeline(spark, SF_DIR, work, bucketed=True)
+    flagged = out2["flagged"]
+    assert flagged.count() == n1
+    plan = (
+        lineage.latest_version(flagged.select("url", "version"))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan, plan
