@@ -284,6 +284,22 @@ def q_knn_in_cell(spark, sf_dir):
     )
 
 
+def q_knn_neighborhood(spark, sf_dir):
+    """J11b: kNN with 3×3 neighbor-cell probing — nearest accepted
+    pages are found even across a cell boundary (the cell-local
+    variant's known miss)."""
+    flagged = _pages_flagged(spark, sf_dir)
+    latest = lineage.latest_version(flagged, cols=["accepted", "lon", "lat"])
+    dirty = latest.where(~F.col("accepted")).select("url", "lon", "lat")
+    clean = latest.where(F.col("accepted")).select(
+        F.col("url").alias("cand_url"), "lon", "lat"
+    )
+    out = spatial.knn_neighborhood(dirty, clean, k=3, res_deg=30.0)
+    return out.select(
+        "url", "cand_url", F.col("knn_rank"), F.round("dist2", 6).alias("dist2_r")
+    )
+
+
 def q_dedup_exact(spark, sf_dir):
     """Exact dedup groups by md5(text)."""
     docs = pages_src.documents(spark, sf_dir)
@@ -809,6 +825,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_rollup_multires": q_tile_rollup_multires,
         "pip_rect": q_pip_rect,
         "knn_in_cell": q_knn_in_cell,
+        "knn_neighborhood": q_knn_neighborhood,
         "dedup_exact": q_dedup_exact,
         "ngram_jaccard": q_ngram_jaccard,
         "ngram_jaccard_capped": q_ngram_jaccard_capped,
@@ -1104,6 +1121,49 @@ def oracle_sql() -> dict[str, str]:
                      + (d.lat - c.lat) * (d.lat - c.lat) AS dist2
                 FROM cells d JOIN cells c ON d.cell = c.cell
                 WHERE NOT d.accepted AND c.accepted
+            )
+            SELECT url, cand_url, knn_rank, ROUND(dist2, 6) AS dist2_r
+            FROM (
+                SELECT *, ROW_NUMBER() OVER (PARTITION BY url
+                                             ORDER BY dist2, cand_url)
+                           AS knn_rank
+                FROM pairs
+            ) t WHERE knn_rank <= 3
+        """),
+        "knn_neighborhood": _with_pages(f"""
+            , latest AS (
+                SELECT * FROM (
+                    SELECT p.*, s.accepted,
+                           ROW_NUMBER() OVER (PARTITION BY p.url
+                                              ORDER BY p.version DESC) AS rn
+                    FROM pages p JOIN cs_status s USING (changeset_id)
+                ) t WHERE rn = 1
+            ),
+            dirty AS (SELECT url, lon, lat FROM latest WHERE NOT accepted),
+            clean AS (
+                SELECT url AS cand_url, lon, lat, {cell30} AS c_cell
+                FROM latest WHERE accepted
+            ),
+            probes AS (
+                SELECT d.url, d.lon, d.lat,
+                       CAST(FLOOR((d.lat + 90.0) / 30.0) AS BIGINT)
+                           + dy.v AS nb_lat,
+                       (CAST(FLOOR((d.lon + 180.0) / 30.0) AS BIGINT)
+                           + dx.v + 12) % 12 AS nb_lon
+                FROM dirty d,
+                     (VALUES (-1), (0), (1)) dy(v),
+                     (VALUES (-1), (0), (1)) dx(v)
+            ),
+            probe_cells AS (
+                SELECT DISTINCT url, lon, lat,
+                       nb_lat * 12 + nb_lon AS probe_cell
+                FROM probes WHERE nb_lat >= 0 AND nb_lat < 6
+            ),
+            pairs AS (
+                SELECT p.url, c.cand_url,
+                       (p.lon - c.lon) * (p.lon - c.lon)
+                     + (p.lat - c.lat) * (p.lat - c.lat) AS dist2
+                FROM probe_cells p JOIN clean c ON p.probe_cell = c.c_cell
             )
             SELECT url, cand_url, knn_rank, ROUND(dist2, 6) AS dist2_r
             FROM (

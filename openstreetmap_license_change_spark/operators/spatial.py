@@ -488,6 +488,82 @@ def _knn_pairs(points, candidates, cand_id):
     )
 
 
+def neighbor_cells(
+    lon: Column, lat: Column, res_deg: float = DEFAULT_RES_DEG
+) -> Column:
+    """The 3×3 grid-cell neighborhood of a point (own cell + up to 8
+    neighbors): longitude wraps at ±180°, latitude bands clamp at the
+    poles.  Pure per-row arithmetic — no lookup table, identical in
+    ANSI SQL (see the knn_neighborhood oracle)."""
+    cols = int(360 / res_deg)
+    rows_n = int(180 / res_deg)
+    lat_b = F.floor((lat + F.lit(90.0)) / F.lit(res_deg))
+    lon_b = F.floor((lon + F.lit(180.0)) / F.lit(res_deg))
+    cells = []
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            nb_lat = lat_b + F.lit(dy)
+            nb_lon = (lon_b + F.lit(dx) + F.lit(cols)) % F.lit(cols)
+            cells.append(
+                F.when(
+                    (nb_lat >= 0) & (nb_lat < rows_n),
+                    (nb_lat * F.lit(cols) + nb_lon).cast("bigint"),
+                )
+            )
+    # distinct: with very coarse grids (≤2 longitude columns) the ±1
+    # wraparound collapses probes onto the same cell — a duplicate
+    # probe would double-count candidate pairs downstream
+    return F.array_distinct(F.array_compact(F.array(*cells)))
+
+
+def knn_neighborhood(
+    points: DataFrame,
+    candidates: DataFrame,
+    k: int = 3,
+    res_deg: float = DEFAULT_RES_DEG,
+    point_id: str = "url",
+    cand_id: str = "cand_url",
+) -> DataFrame:
+    """kNN with 3×3 neighbor-cell probing: like :func:`knn_in_cell`
+    but a point also sees candidates in the 8 surrounding cells, so
+    nearest neighbors are not lost across a cell boundary (exact for
+    any true neighbor within one cell size; the cell-local variant
+    misses a candidate 1 m away across an edge).
+
+    Physical strategy: the PROBE side explodes into its ≤9
+    neighborhood cells (×9 on the smaller, dirty side — candidates
+    stay un-replicated), equi-join on the candidate's single cell,
+    then the same window top-k as knn_in_cell.  One shuffle per side;
+    at 100 TB the candidate side is bucketed by cell and the exploded
+    probe side shuffles to it.
+
+    Inputs carry raw lon/lat; cells are derived here at ``res_deg``
+    (both sides must use the same resolution for the probe to be
+    sound)."""
+    probes = points.withColumn(
+        "probe_cell",
+        F.explode(neighbor_cells(F.col("lon"), F.col("lat"), res_deg)),
+    )
+    c = candidates.select(
+        grid_cell(F.col("lon"), F.col("lat"), res_deg).alias("c_cell"),
+        F.col(cand_id),
+        F.col("lon").alias("c_lon"),
+        F.col("lat").alias("c_lat"),
+    )
+    joined = probes.join(c, probes.probe_cell == c.c_cell, "inner").withColumn(
+        "dist2",
+        (F.col("lon") - F.col("c_lon")) ** 2
+        + (F.col("lat") - F.col("c_lat")) ** 2,
+    )
+    point_cols = [c2 for c2 in points.columns]
+    w = W.partitionBy(point_id).orderBy("dist2", cand_id)
+    return (
+        joined.withColumn("knn_rank", F.row_number().over(w))
+        .where(F.col("knn_rank") <= k)
+        .select(*point_cols, cand_id, "dist2", "knn_rank")
+    )
+
+
 def knn_in_cell_collect(
     points: DataFrame,
     candidates: DataFrame,

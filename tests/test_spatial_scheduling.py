@@ -123,3 +123,87 @@ def test_detect_hot_cells_uniform_returns_empty(spark):
         (F.col("id") % 100).alias("cell"),
     )
     assert spatial.detect_hot_cells(df, skew_factor=8.0) == []
+
+
+def test_knn_neighborhood_vs_bruteforce(spark):
+    """3×3 neighbor-probed kNN == brute force restricted to the
+    neighborhood, on random points; and it finds cross-boundary
+    neighbors the cell-local variant misses."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from openstreetmap_license_change_spark.operators import spatial
+
+    rng = random.Random(7)
+    res = 10.0
+    cols = int(360 / res)
+    dirty_rows = [
+        (f"d{i}", rng.uniform(-179.9, 179.9), rng.uniform(-89.9, 89.9))
+        for i in range(60)
+    ]
+    cand_rows = [
+        (f"c{i}", rng.uniform(-179.9, 179.9), rng.uniform(-89.9, 89.9))
+        for i in range(400)
+    ]
+    # plant a cross-boundary pair: dirty point just left of a cell
+    # edge, candidate just right of it (cell-local would miss it)
+    dirty_rows.append(("d_edge", 9.999, 0.5))
+    cand_rows.append(("c_edge", 10.001, 0.5))
+
+    dirty = spark.createDataFrame(dirty_rows, "url string, lon double, lat double")
+    clean = spark.createDataFrame(
+        cand_rows, "cand_url string, lon double, lat double"
+    )
+    got = {}
+    for r in spatial.knn_neighborhood(dirty, clean, k=3, res_deg=res).collect():
+        got.setdefault(r.url, []).append((r.knn_rank, r.cand_url, r.dist2))
+
+    import math
+
+    def band(v, off):
+        return math.floor((v + off) / res)
+
+    def cell(lon, lat):
+        return band(lat, 90.0) * cols + band(lon, 180.0)
+
+    def neighborhood(lon, lat):
+        lb, gb = band(lat, 90.0), band(lon, 180.0)
+        out = set()
+        for dy in (-1, 0, 1):
+            for dx in (-1, 0, 1):
+                nl = lb + dy
+                if 0 <= nl < int(180 / res):
+                    out.add(nl * cols + (gb + dx + cols) % cols)
+        return out
+
+    for url, lon, lat in dirty_rows:
+        hood = neighborhood(lon, lat)
+        cands = sorted(
+            (
+                ((lon - cl)**2 + (lat - cla)**2, cu)
+                for cu, cl, cla in cand_rows
+                if cell(cl, cla) in hood
+            ),
+        )[:3]
+        want = [(i + 1, cu, d2) for i, (d2, cu) in enumerate(cands)]
+        have = sorted(got.get(url, []))
+        assert [(r, c) for r, c, _ in have] == [(r, c) for r, c, _ in want], url
+        for (_, _, d_have), (_, _, d_want) in zip(have, want):
+            assert abs(d_have - d_want) < 1e-9
+
+    # the planted pair: neighborhood kNN finds it at rank 1
+    assert got["d_edge"][0][1] == "c_edge"
+    # ...and the cell-local variant does NOT see it
+    dirty_cells = spatial.assign_cells(dirty, res_deg=res)
+    clean_cells = spatial.assign_cells(clean, res_deg=res).select(
+        "cell", "cand_url", "lon", "lat"
+    )
+    local = spatial.knn_in_cell(
+        dirty_cells.where(F.col("url") == "d_edge").select(
+            "url", "cell", "lon", "lat"
+        ),
+        clean_cells,
+        k=3,
+    )
+    assert all(r.cand_url != "c_edge" for r in local.collect())
