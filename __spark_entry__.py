@@ -329,6 +329,53 @@ def q_ngram_jaccard_capped(spark, sf_dir):
     )
 
 
+def q_minhash_dedup_apply(spark, sf_dir):
+    """Dedup APPLIED: one canonical doc per near-dup cluster with the
+    absorbed-member count — the surviving corpus, not just labels."""
+    docs = pages_src.documents(spark, sf_dir)
+    return dedup.minhash_dedup_apply(docs).select(
+        "doc_id", "lang", "cluster_size"
+    )
+
+
+def q_sample_hash(spark, sf_dir):
+    """Deterministic ~1/8 corpus sample by key-hash residue (shuffle-
+    free, reproducible at any parallelism)."""
+    from openstreetmap_license_change_spark.operators import sampling
+
+    docs = pages_src.documents(spark, sf_dir)
+    return sampling.deterministic_sample(docs, denom=8).select(
+        "doc_id", "lang"
+    )
+
+
+def q_sample_stratified(spark, sf_dir):
+    """Exactly 3 docs per language, hash-ordered (deterministic
+    reservoir) — the balanced-subsample curation primitive."""
+    from openstreetmap_license_change_spark.operators import sampling
+
+    docs = pages_src.documents(spark, sf_dir)
+    return sampling.stratified_sample(docs, "lang", k=3).select(
+        "doc_id", "lang"
+    )
+
+
+def q_lang_topk_quality(spark, sf_dir):
+    """Top-5 documents per language by length (quality proxy) with a
+    deterministic tie-break — group_topk / WindowGroupLimit shape."""
+    from openstreetmap_license_change_spark.operators import sampling
+
+    docs = pages_src.documents(spark, sf_dir).withColumn(
+        "n_chars", F.length("text")
+    )
+    return sampling.group_topk(
+        docs,
+        ["lang"],
+        [F.desc("n_chars"), F.col("doc_id")],
+        k=5,
+    ).select("lang", "doc_id", "n_chars", "rank")
+
+
 def q_minhash_signatures(spark, sf_dir):
     """MinHash signatures (16 arithmetic permutations over the
     query-local token dictionary)."""
@@ -832,6 +879,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_signatures": q_minhash_signatures,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "minhash_lsh_clusters": q_minhash_lsh_clusters,
+        "minhash_dedup_apply": q_minhash_dedup_apply,
+        "sample_hash": q_sample_hash,
+        "sample_stratified": q_sample_stratified,
+        "lang_topk_quality": q_lang_topk_quality,
         "simhash": q_simhash,
         "text_quality": q_text_quality,
         "lang_id": q_lang_id,
@@ -933,6 +984,40 @@ def oracle_sql() -> dict[str, str]:
         f"CAST(v_{j} > 0 AS BIGINT) * {1 << j}"
         for j in range(dedup.SIMHASH_BITS)
     )
+
+    # shared by minhash_lsh_clusters and minhash_dedup_apply: transitive
+    # closure over the doc–bucket graph (recursive CTE), label = min id
+    lsh_clusters_prelude = f"""
+            WITH RECURSIVE toks AS (
+                SELECT DISTINCT doc_id, tok AS token
+                FROM documents,
+                     LATERAL UNNEST(string_split_regex(lower(text), '\\s+'))
+                         AS u(tok)
+                WHERE tok <> ''
+            ),
+            joined AS (
+                SELECT doc_id, {dedup.token_hash_sql('token')} AS token_id
+                FROM toks
+            ),
+            sig AS (SELECT doc_id, {mh_aggs} FROM joined GROUP BY doc_id),
+            membership AS (
+                SELECT doc_id,
+                       CAST(band AS VARCHAR) || '#' || bucket AS bk
+                FROM ({" UNION ALL ".join(bands)})
+            ),
+            reach(doc_id, label) AS (
+                SELECT doc_id, doc_id FROM documents
+                UNION
+                SELECT m2.doc_id, r.label
+                FROM reach r
+                JOIN membership m1 ON m1.doc_id = r.doc_id
+                JOIN membership m2 ON m2.bk = m1.bk
+            ),
+            clusters AS (
+                SELECT doc_id, MIN(label) AS cluster_id
+                FROM reach GROUP BY doc_id
+            )
+    """
 
     return {
         "latest_version": _with_pages("""
@@ -1612,34 +1697,41 @@ def oracle_sql() -> dict[str, str]:
               ON a.band = b.band AND a.bucket = b.bucket
             WHERE a.doc_id < b.doc_id
         """,
-        "minhash_lsh_clusters": f"""
-            WITH RECURSIVE toks AS (
-                SELECT DISTINCT doc_id, tok AS token
-                FROM documents,
-                     LATERAL UNNEST(string_split_regex(lower(text), '\\s+'))
-                         AS u(tok)
-                WHERE tok <> ''
-            ),
-            joined AS (
-                SELECT doc_id, {dedup.token_hash_sql('token')} AS token_id
-                FROM toks
-            ),
-            sig AS (SELECT doc_id, {mh_aggs} FROM joined GROUP BY doc_id),
-            membership AS (
-                SELECT doc_id,
-                       CAST(band AS VARCHAR) || '#' || bucket AS bk
-                FROM ({" UNION ALL ".join(bands)})
-            ),
-            reach(doc_id, label) AS (
-                SELECT doc_id, doc_id FROM documents
-                UNION
-                SELECT m2.doc_id, r.label
-                FROM reach r
-                JOIN membership m1 ON m1.doc_id = r.doc_id
-                JOIN membership m2 ON m2.bk = m1.bk
+        "minhash_lsh_clusters": lsh_clusters_prelude + """
+            SELECT doc_id, cluster_id FROM clusters
+        """,
+        "sample_hash": f"""
+            SELECT doc_id, lang FROM documents
+            WHERE {dedup.token_hash_sql("CAST(doc_id AS VARCHAR)")} % 8 = 0
+        """,
+        "sample_stratified": f"""
+            SELECT doc_id, lang FROM (
+                SELECT doc_id, lang,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY lang
+                           ORDER BY {dedup.token_hash_sql("CAST(doc_id AS VARCHAR)")},
+                                    doc_id
+                       ) AS sr
+                FROM documents
+            ) t WHERE sr <= 3
+        """,
+        "lang_topk_quality": """
+            SELECT lang, doc_id, n_chars, rank FROM (
+                SELECT lang, doc_id, LENGTH(text) AS n_chars,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY lang
+                           ORDER BY LENGTH(text) DESC, doc_id
+                       ) AS rank
+                FROM documents
+            ) t WHERE rank <= 5
+        """,
+        "minhash_dedup_apply": lsh_clusters_prelude + """
+            , sizes AS (
+                SELECT cluster_id, COUNT(*) AS cluster_size
+                FROM clusters GROUP BY 1
             )
-            SELECT doc_id, MIN(label) AS cluster_id
-            FROM reach GROUP BY doc_id
+            SELECT d.doc_id, d.lang, s.cluster_size
+            FROM documents d JOIN sizes s ON d.doc_id = s.cluster_id
         """,
         "significance_prefilter": _with_pages("""
             , pairs AS (

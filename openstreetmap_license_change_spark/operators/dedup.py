@@ -354,6 +354,32 @@ def minhash_lsh_clusters(
     return labels.select(id_col, F.col("label").alias("cluster_id"))
 
 
+def minhash_dedup_apply(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    max_iters: int = 10,
+    clusters: DataFrame | None = None,
+) -> DataFrame:
+    """APPLY the near-dup clustering: keep one canonical document per
+    cluster (the min-id member — the cluster label itself) and report
+    how many near-duplicates it absorbed.
+
+    This closes the dedup loop: signatures → LSH buckets → cluster ids
+    → *surviving corpus*.  Pass a precomputed ``clusters`` frame
+    (id, cluster_id) to reuse a previous run — at 100 TB the
+    clustering is a staged output, not something to recompute per
+    consumer.  The keep-set derives from one aggregation over the
+    cluster labels; survivors join back left-semi (broadcastable
+    whenever the survivor fraction is small)."""
+    if clusters is None:
+        clusters = minhash_lsh_clusters(df, id_col=id_col, max_iters=max_iters)
+    sizes = clusters.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    keep = sizes.withColumnRenamed("cluster_id", id_col)
+    return df.join(keep, id_col, "inner")
+
+
 def _simhash_bitval(j: int) -> Column:
     """±1 vote of bit j for one token: pseudo-random arithmetic
     ((token_id·m_j + j·97) mod p) & 1, mapped to −1/+1."""
