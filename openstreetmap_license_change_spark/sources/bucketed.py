@@ -53,3 +53,20 @@ def read_bucketed(spark: SparkSession, table: str) -> DataFrame:
     ``read.parquet`` of the same files would lose the bucket spec and
     reintroduce the shuffle)."""
     return spark.table(table)
+
+
+def write_cell_partitioned(
+    df: DataFrame, path: str, cell_col: str = "part_cell"
+) -> None:
+    """Persist spatially partitioned by a (coarse) cell column — the
+    local analogue of an Iceberg partition transform over
+    ``hier_cell``: a spatial predicate then PRUNES whole partitions at
+    planning time (PartitionFilters in the scan), so a regional query
+    over a planetary table reads only its region's files.
+
+    The partition column should be COARSE (hier_cell res 2-4, ≤ ~1k
+    distinct values): one directory per value — a fine cell id here
+    would create millions of tiny files, which is what the separate
+    bucket-by-url layout is for.  ``tests/test_bucketed.py`` asserts
+    the pruning actually reaches the scan."""
+    df.write.mode("overwrite").partitionBy(cell_col).parquet(path)

@@ -70,3 +70,36 @@ def test_unbucketed_same_query_does_exchange(spark):
 
     df = pages.pages_from_documents(spark, SF_DIR)
     assert "Exchange" in _plan(lineage.latest_version(df))
+
+
+def test_cell_partitioned_layout_prunes_at_scan(spark, tmp_path_factory):
+    """Spatial partition pruning (the Iceberg partition-transform
+    analogue): a cell predicate over a hier_cell-partitioned table
+    appears in the scan's PartitionFilters and prunes to a strict
+    subset of partitions — a regional query never reads the rest of
+    the planet."""
+    from openstreetmap_license_change_spark.operators import spatial
+    from openstreetmap_license_change_spark.sources import bucketed, pages
+
+    path = str(tmp_path_factory.mktemp("cellpart") / "pages_cp")
+    df = pages.pages_from_documents(spark, SF_DIR).withColumn(
+        "part_cell", spatial.hier_cell(F.col("lon"), F.col("lat"), 2)
+    )
+    n_cells = df.select("part_cell").distinct().count()
+    assert n_cells > 1
+    bucketed.write_cell_partitioned(df, path)
+
+    one_cell = df.select("part_cell").first().part_cell
+    q = (
+        spark.read.parquet(path)
+        .where(F.col("part_cell") == one_cell)
+        .select("url", "lon", "lat")
+    )
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan, plan
+    assert f"(part_cell#" in plan or "part_cell" in plan.split(
+        "PartitionFilters"
+    )[1].split("]")[0], plan
+    # correctness: exactly that cell's rows come back
+    want = df.where(F.col("part_cell") == one_cell).count()
+    assert q.count() == want
