@@ -248,6 +248,13 @@ def q_tile_rollup_multires(spark, sf_dir):
     return spatial.tile_rollup_multires(pts, resolutions=[5, 7, 9])
 
 
+def q_tile_vectorize(spark, sf_dir):
+    """Raster→vector: per occupied 15° cell, exact cell bbox + member
+    centroid (scaled-int sums, one division) + count."""
+    latest = lineage.latest_version(_pages(spark, sf_dir), cols=["lon", "lat"])
+    return spatial.tile_vectorize(latest, res_deg=15.0)
+
+
 def q_pip_rect(spark, sf_dir):
     """J10 (rectangle fast path): broadcast PIP against 4 region rects."""
     pages = lineage.latest_version(_pages(spark, sf_dir), cols=["lon", "lat"])
@@ -870,6 +877,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cell_assignment": q_cell_assignment,
         "tile_rollup": q_tile_rollup,
         "tile_rollup_multires": q_tile_rollup_multires,
+        "tile_vectorize": q_tile_vectorize,
         "pip_rect": q_pip_rect,
         "knn_in_cell": q_knn_in_cell,
         "knn_neighborhood": q_knn_neighborhood,
@@ -1164,6 +1172,38 @@ def oracle_sql() -> dict[str, str]:
                     for r in (5, 7, 9)
                 )}
             ) lv
+        """),
+        "tile_vectorize": _with_pages("""
+            , latest AS (
+                SELECT * FROM (
+                    SELECT p.*,
+                           ROW_NUMBER() OVER (PARTITION BY url
+                                              ORDER BY version DESC) AS rn
+                    FROM pages p
+                ) t WHERE rn = 1
+            ),
+            agg AS (
+                SELECT CAST(FLOOR((lat + 90.0) / 15.0) * 24
+                            + FLOOR((lon + 180.0) / 15.0) AS BIGINT) AS cell,
+                       COUNT(*) AS n_points,
+                       MIN(FLOOR((lon + 180.0) / 15.0) * 15.0 - 180.0)
+                           AS cell_min_lon,
+                       MIN(FLOOR((lat + 90.0) / 15.0) * 15.0 - 90.0)
+                           AS cell_min_lat,
+                       CAST(SUM(CAST(ROUND(lon * 1000000) AS BIGINT))
+                            AS BIGINT) AS _slon,
+                       CAST(SUM(CAST(ROUND(lat * 1000000) AS BIGINT))
+                            AS BIGINT) AS _slat
+                FROM latest GROUP BY 1
+            )
+            SELECT cell, n_points, cell_min_lon, cell_min_lat,
+                   cell_min_lon + 15.0 AS cell_max_lon,
+                   cell_min_lat + 15.0 AS cell_max_lat,
+                   ROUND(CAST(_slon AS DOUBLE) / n_points / 1000000, 6)
+                       AS centroid_lon,
+                   ROUND(CAST(_slat AS DOUBLE) / n_points / 1000000, 6)
+                       AS centroid_lat
+            FROM agg
         """),
         "pip_rect": _with_pages("""
             , rects AS (

@@ -675,6 +675,51 @@ def tile_rollup_multires(
     )
 
 
+def tile_vectorize(
+    points: DataFrame,
+    res_deg: float = DEFAULT_RES_DEG,
+    lon: str = "lon",
+    lat: str = "lat",
+) -> DataFrame:
+    """Raster→VECTOR: per occupied cell, the cell's exact bounding box
+    plus the member-point centroid and count — the feature layer a GIS
+    consumer draws (the reverse direction of tile_rollup's
+    vector→raster aggregation; north-rule "raster↔vector rollups").
+
+    Cell bounds derive from any member point by the same floor
+    arithmetic that assigned the cell — no inverse Morton needed, so
+    the whole operator is one map-side-combined groupBy (exactly
+    tile_rollup's single-exchange shape).  The centroid divides two
+    exact scaled-int sums once (1e-6° grid ≈ 0.1 m), keeping the
+    result bit-identical across engines and accumulation orders — the
+    house rule for cross-engine float aggregation."""
+    lon_c, lat_c = F.col(lon), F.col(lat)
+    cell = grid_cell(lon_c, lat_c, res_deg)
+    min_lon = F.floor((lon_c + 180.0) / res_deg) * res_deg - 180.0
+    min_lat = F.floor((lat_c + 90.0) / res_deg) * res_deg - 90.0
+    agg = points.groupBy(cell.alias("cell")).agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.min(min_lon).alias("cell_min_lon"),
+        F.min(min_lat).alias("cell_min_lat"),
+        F.sum(F.round(lon_c * 1e6).cast("bigint")).alias("_slon"),
+        F.sum(F.round(lat_c * 1e6).cast("bigint")).alias("_slat"),
+    )
+    return agg.select(
+        "cell",
+        "n_points",
+        "cell_min_lon",
+        "cell_min_lat",
+        (F.col("cell_min_lon") + res_deg).alias("cell_max_lon"),
+        (F.col("cell_min_lat") + res_deg).alias("cell_max_lat"),
+        F.round(F.col("_slon") / F.col("n_points") / 1e6, 6).alias(
+            "centroid_lon"
+        ),
+        F.round(F.col("_slat") / F.col("n_points") / 1e6, 6).alias(
+            "centroid_lat"
+        ),
+    )
+
+
 def regions_available(
     candidates: DataFrame,
     processing: DataFrame,

@@ -207,3 +207,51 @@ def test_knn_neighborhood_vs_bruteforce(spark):
         k=3,
     )
     assert all(r.cand_url != "c_edge" for r in local.collect())
+
+
+def test_tile_vectorize_bbox_and_centroid(spark):
+    """Raster→vector: exact cell bounds + scaled-int centroid on a
+    hand-built set spanning negative coords and cell edges."""
+    from pyspark.sql import functions as F
+
+    from openstreetmap_license_change_spark.operators import spatial
+
+    rows = [
+        # two points in the cell [-10,0)x[-10,0) at res 10
+        (-9.5, -0.5), (-0.5, -9.5),
+        # one point exactly on a cell corner (belongs to [0,10)x[0,10))
+        (0.0, 0.0),
+        # antimeridian-adjacent cell
+        (-179.75, 89.25),
+    ]
+    df = spark.createDataFrame(rows, "lon double, lat double")
+    out = {r.cell: r for r in spatial.tile_vectorize(df, res_deg=10.0).collect()}
+    cols = 36
+
+    def cell(lon, lat):
+        import math
+
+        return math.floor((lat + 90) / 10.0) * cols + math.floor((lon + 180) / 10.0)
+
+    c1 = cell(-9.5, -0.5)
+    r1 = out[c1]
+    assert r1.n_points == 2
+    assert (r1.cell_min_lon, r1.cell_min_lat) == (-10.0, -10.0)
+    assert (r1.cell_max_lon, r1.cell_max_lat) == (0.0, 0.0)
+    assert r1.centroid_lon == -5.0 and r1.centroid_lat == -5.0
+
+    r2 = out[cell(0.0, 0.0)]
+    assert r2.n_points == 1
+    assert (r2.cell_min_lon, r2.cell_min_lat) == (0.0, 0.0)
+
+    r3 = out[cell(-179.75, 89.25)]
+    assert (r3.cell_min_lon, r3.cell_min_lat) == (-180.0, 80.0)
+    assert r3.centroid_lon == -179.75 and r3.centroid_lat == 89.25
+
+    # plan: single exchange, map-side partial aggregation
+    plan = (
+        spatial.tile_vectorize(df, res_deg=10.0)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Exchange") <= 2  # AQE wrapper may show one reused
+    assert "partial_" in plan
