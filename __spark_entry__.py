@@ -33,6 +33,17 @@ from openstreetmap_license_change_spark.sources import pages as pages_src
 
 SF_DEFAULT = "/root/testdata/sf0.001"
 
+# Shared polygon layer for the general-PIP entry + its oracle: three
+# non-overlapping rings with NO horizontal edges (a y-equal edge never
+# crosses, but naive SQL would still evaluate its 0-division branch).
+# Coordinates are exact dyadic doubles so both engines see identical
+# literals.
+PIP_POLYGONS = [
+    (1, [(-150.0, -60.0), (-100.0, -59.0), (-125.0, -20.0)]),
+    (2, [(0.0, 30.0), (25.0, 55.0), (50.0, 30.0), (25.0, 5.0)]),
+    (3, [(100.0, -40.0), (140.0, -39.0), (145.0, 0.0), (105.0, 5.0)]),
+]
+
 
 def _pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pages_src.pages_from_documents(spark, sf_dir)
@@ -246,6 +257,24 @@ def q_tile_rollup_multires(spark, sf_dir):
     flagged = _pages_flagged(spark, sf_dir)
     pts = flagged.withColumn("tainted", ~F.col("accepted"))
     return spatial.tile_rollup_multires(pts, resolutions=[5, 7, 9])
+
+
+def q_pip_polygons(spark, sf_dir):
+    """J10 (general path): ray-cast PIP against the 3-ring broadcast
+    polygon layer via the cell-prefiltered candidate join — the exact
+    predicate runs only on (point, covering-cell-candidate) pairs."""
+    latest = lineage.latest_version(_pages(spark, sf_dir), cols=["lon", "lat"])
+    out = spatial.pip_join_polygons_prefiltered(
+        latest, PIP_POLYGONS, res_deg=30.0
+    )
+    return (
+        out.where(F.col("polygon_id").isNotNull())
+        .groupBy("polygon_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_pages"),
+            F.min("url").alias("first_url"),
+        )
+    )
 
 
 def q_tile_vectorize(spark, sf_dir):
@@ -878,6 +907,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_rollup": q_tile_rollup,
         "tile_rollup_multires": q_tile_rollup_multires,
         "tile_vectorize": q_tile_vectorize,
+        "pip_polygons": q_pip_polygons,
         "pip_rect": q_pip_rect,
         "knn_in_cell": q_knn_in_cell,
         "knn_neighborhood": q_knn_neighborhood,
@@ -992,6 +1022,18 @@ def oracle_sql() -> dict[str, str]:
         f"CAST(v_{j} > 0 AS BIGINT) * {1 << j}"
         for j in range(dedup.SIMHASH_BITS)
     )
+
+    # PIP polygon layer → edge rows (vertex i paired with predecessor j,
+    # wrapping — matching the even-odd UDF's loop, spatial.py)
+    pip_edges = []
+    for pid, ring in PIP_POLYGONS:
+        jj = len(ring) - 1
+        for ii in range(len(ring)):
+            xi, yi = ring[ii]
+            xj, yj = ring[jj]
+            pip_edges.append(f"({pid}, {xi!r}, {yi!r}, {xj!r}, {yj!r})")
+            jj = ii
+    pip_edges_sql = ", ".join(pip_edges)
 
     # shared by minhash_lsh_clusters and minhash_dedup_apply: transitive
     # closure over the doc–bucket graph (recursive CTE), label = min id
@@ -1172,6 +1214,35 @@ def oracle_sql() -> dict[str, str]:
                     for r in (5, 7, 9)
                 )}
             ) lv
+        """),
+        "pip_polygons": _with_pages(f"""
+            , latest AS (
+                SELECT * FROM (
+                    SELECT p.*,
+                           ROW_NUMBER() OVER (PARTITION BY url
+                                              ORDER BY version DESC) AS rn
+                    FROM pages p
+                ) t WHERE rn = 1
+            ),
+            edges(pid, xi, yi, xj, yj) AS (VALUES {pip_edges_sql}),
+            -- even-odd ray cast: same crossing predicate as the Spark
+            -- UDF, odd crossing count => inside
+            hits AS (
+                SELECT l.url, e.pid,
+                       SUM(CASE WHEN (e.yi > l.lat) <> (e.yj > l.lat)
+                                 AND l.lon < (e.xj - e.xi) * (l.lat - e.yi)
+                                             / (e.yj - e.yi) + e.xi
+                                THEN 1 ELSE 0 END) AS crossings
+                FROM latest l CROSS JOIN edges e
+                GROUP BY 1, 2
+            ),
+            inside AS (
+                SELECT url, MIN(pid) AS polygon_id
+                FROM hits WHERE crossings % 2 = 1 GROUP BY url
+            )
+            SELECT CAST(polygon_id AS BIGINT) AS polygon_id,
+                   COUNT(*) AS n_pages, MIN(url) AS first_url
+            FROM inside GROUP BY 1
         """),
         "tile_vectorize": _with_pages("""
             , latest AS (
