@@ -60,6 +60,47 @@ def streaming_tile_rollup(pages_stream: DataFrame, window: str = "10 minutes"):
     )
 
 
+def streaming_tile_rollup_multires(
+    pages_stream: DataFrame,
+    resolutions: list[int] | None = None,
+    window: str = "10 minutes",
+):
+    """Multi-resolution streaming rollup: each capture explodes into
+    one row per requested hierarchy resolution (`spatial.hier_cell`),
+    then a single windowed aggregate keyed by (window, cell) — the
+    resolution rides inside the cell id.
+
+    Deliberately NOT the batch operator's hierarchical re-aggregation
+    (tile_rollup_multires): a streaming aggregate cannot re-aggregate
+    its own live state in a second pass, so the explode is the
+    streaming-correct shape — state size is |occupied cells across
+    levels| (geometric in resolution, dominated by the finest level,
+    same as batch), and each event is touched once."""
+    rs = sorted(set(resolutions or [5, 7, 9]))
+    cells = pages_stream.withColumn(
+        "cell",
+        F.explode(
+            F.array(
+                *[
+                    spatial.hier_cell(F.col("lon"), F.col("lat"), r)
+                    for r in rs
+                ]
+            )
+        ),
+    )
+    return (
+        cells.withWatermark("warc_ts", "30 minutes")
+        .groupBy(F.window("warc_ts", window), F.col("cell"))
+        .agg(F.count(F.lit(1)).alias("n_pages"))
+        .select(
+            "window",
+            spatial.cell_res(F.col("cell")).alias("res"),
+            "cell",
+            "n_pages",
+        )
+    )
+
+
 def foreach_batch_classify(batch_df: DataFrame, batch_id: int, state_dir: str):
     """ForeachBatch bridge: union the micro-batch with stored history
     for the affected urls, re-run the batch fold for just those urls,

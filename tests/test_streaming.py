@@ -147,3 +147,48 @@ def test_sessionize_stream_stateful(spark, tmp_path):
     assert (2, 5, 1, 4.0) in got
     # user 9's sessions stay open (watermark never passes them)
     assert not any(u == 9 for (u, _, _, _) in got)
+
+
+def test_streaming_tile_rollup_multires(spark, tmp_path):
+    """Multi-res streaming rollup: every capture counts once at every
+    requested resolution, cells carry their resolution tag, and the
+    per-level totals each equal the input size."""
+    from openstreetmap_license_change_spark.operators import spatial
+    from openstreetmap_license_change_spark.streaming import incremental
+
+    src = str(tmp_path / "pages_mr")
+    _write_pages(spark, src, 1)
+    stream = incremental.stream_pages(spark, src)
+    rollup = incremental.streaming_tile_rollup_multires(
+        stream, resolutions=[3, 7]
+    )
+    q = (
+        rollup.writeStream.format("memory")
+        .queryName("rollup_mr_test")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql(
+        "SELECT res, SUM(n_pages) AS n FROM rollup_mr_test GROUP BY res"
+    ).collect()
+    assert {r.res: r.n for r in rows} == {3: 20, 7: 20}
+    # batch-vs-stream agreement: same per-cell counts as the batch
+    # hier_cell aggregation over the same files
+    batch = (
+        spark.read.parquet(src)
+        .groupBy(
+            spatial.hier_cell(F.col("lon"), F.col("lat"), 7).alias("cell")
+        )
+        .count()
+    )
+    want = {r.cell: r["count"] for r in batch.collect()}
+    got = {
+        r.cell: r.n
+        for r in spark.sql(
+            "SELECT cell, SUM(n_pages) AS n FROM rollup_mr_test "
+            "WHERE res = 7 GROUP BY cell"
+        ).collect()
+    }
+    assert got == want
