@@ -194,3 +194,54 @@ def test_pip_polygons_prefiltered_broadcasts_candidates(spark):
     polys = [(1, [(0.0, 0.0), (8.0, 0.0), (8.0, 6.0), (0.0, 6.0), (0.0, 0.0)])]
     plan = plan_of(spatial.pip_join_polygons_prefiltered(pts, polys, res_deg=4.0))
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_sampling_and_curation_plan_shapes(spark):
+    """stratified_sample/group_topk: ONE exchange + WindowGroupLimit
+    (only local top-k crosses the shuffle); deterministic_sample: a
+    map-only filter, ZERO exchanges."""
+    from pyspark.sql import functions as F
+
+    from openstreetmap_license_change_spark.operators import sampling
+    from openstreetmap_license_change_spark.sources import pages
+
+    docs = pages.documents(spark, SF_DIR)
+    import re
+
+    p = plan_of(sampling.stratified_sample(docs, "lang", k=3))
+    assert "WindowGroupLimit" in p, p
+    assert len(re.findall(r"\(\d+\) Exchange", p)) == 1, p
+
+    p = plan_of(
+        sampling.group_topk(
+            docs.withColumn("n", F.length("text")),
+            ["lang"],
+            [F.desc("n"), F.col("doc_id")],
+            3,
+        )
+    )
+    assert "WindowGroupLimit" in p, p
+    assert len(re.findall(r"\(\d+\) Exchange", p)) == 1, p
+
+    p = plan_of(sampling.deterministic_sample(docs, denom=8))
+    assert len(re.findall(r"\(\d+\) Exchange", p)) == 0, p
+
+
+def test_knn_neighborhood_plan_shape(spark):
+    """Probe explode + hash equi-join + WindowGroupLimit top-k: the
+    same pushdown knn_in_cell relies on, with the ≤9× replication on
+    the probe side only (no BroadcastNestedLoop anywhere)."""
+    from openstreetmap_license_change_spark.operators import spatial
+    from openstreetmap_license_change_spark.sources import pages
+
+    docs = pages.documents(spark, SF_DIR).limit(50)
+    pts = docs.selectExpr(
+        "CAST(doc_id AS STRING) AS url",
+        "CAST(doc_id % 360 - 180 AS DOUBLE) AS lon",
+        "CAST(doc_id % 180 - 90 AS DOUBLE) AS lat",
+    )
+    cands = pts.selectExpr("url AS cand_url", "lon", "lat")
+    p = plan_of(spatial.knn_neighborhood(pts, cands, k=3, res_deg=30.0))
+    assert "WindowGroupLimit" in p, p
+    assert "BroadcastNestedLoopJoin" not in p, p
+    assert "Generate explode" in p or "Explode" in p or "explode" in p, p
