@@ -425,6 +425,19 @@ def q_minhash_lsh_pairs(spark, sf_dir):
     return dedup.minhash_lsh_pairs(docs)
 
 
+LSH_PAIR_CAP = 16  # bites on testdata: sf0.01 has buckets ≫ 16 docs
+
+
+def q_minhash_lsh_pairs_capped(spark, sf_dir):
+    """LSH pairs with the mega-bucket guard BITING (bucket-size cap
+    16): buckets above the cap emit no pairs — the scale-safe pair
+    path.  The oracle mirrors the cap semantically (bucket sizes in
+    SQL), so the exclusion rule itself is hash-verified, like
+    ngram_jaccard_capped verifies the df cap."""
+    docs = pages_src.documents(spark, sf_dir)
+    return dedup.minhash_lsh_pairs(docs, max_bucket_size=LSH_PAIR_CAP)
+
+
 def q_minhash_lsh_clusters(spark, sf_dir):
     """Near-dup cluster ids: connected components over the doc–bucket
     graph by min-label propagation — the O(n²)-free form of the pair
@@ -777,6 +790,121 @@ def q_classify_actions_nodes(spark, sf_dir):
     )
 
 
+def _way_corpus(spark, sf_dir):
+    """Synthetic WAY histories with append/tail-delete-only node-list
+    evolution, derived from the pages scaffold by pure arithmetic so
+    the DuckDB oracle rebuilds the identical corpus.
+
+    Per url, version v gets list length L_v = 2 + (doc_id·37 + 11v² +
+    5v) mod 5 ∈ [2,6]; a transition only ever appends fresh node ids
+    at the tail or truncates the tail (ids never reappear), so the
+    reference's WayDiff/compose OT algebra (geom.rb:56-92, diff.rb)
+    collapses to a closed form: the clean reconstruction keeps exactly
+    the nodes INTRODUCED by accepted versions (unaccepted inserts park
+    in the pending diff-state; deletes apply to whichever side holds
+    them) — validated against core.history.element_actions on 3000
+    randomized histories, then against the real mapInPandas fold by
+    the driver's hash compare.
+
+    Node ids are append ordinals; the occupant of position p at
+    version v was appended by the LAST version w ≤ v whose transition
+    filled p (L_{w−1} ≤ p < L_w), giving ordinal p + 1 + max D_w over
+    filling w, where D = cumulative deletes (A − L) strictly increases
+    between consecutive refills of the same position.  All versions
+    are visible (the nodes-restriction entry covers segment resets);
+    tags are the constant {"kind": "way"}."""
+    flagged = _pages_flagged(spark, sf_dir)
+    v = F.col("version")
+    vers = (
+        flagged.select(
+            "url", "doc_id", v.cast("int").alias("version"), "accepted"
+        )
+        .withColumn(
+            "L",
+            (
+                F.lit(2)
+                + F.pmod(
+                    F.col("doc_id") * 37 + v * v * 11 + v * 5, F.lit(5)
+                )
+            ).cast("int"),
+        )
+    )
+    wu = W.partitionBy("url").orderBy("version")
+    vers = (
+        vers.withColumn(
+            "Lprev", F.coalesce(F.lag("L").over(wu), F.lit(0))
+        )
+        .withColumn(
+            "A",
+            F.sum(F.greatest(F.col("L") - F.col("Lprev"), F.lit(0))).over(
+                wu
+            ),
+        )
+        .withColumn("D", F.col("A") - F.col("L"))
+    )
+    pos = vers.select("url", "version", "L").withColumn(
+        "p", F.explode(F.sequence(F.lit(0), F.col("L") - F.lit(1)))
+    )
+    fills = vers.select(
+        F.col("url").alias("f_url"),
+        F.col("version").alias("f_v"),
+        F.col("Lprev").alias("f_lp"),
+        F.col("L").alias("f_l"),
+        F.col("D").alias("f_d"),
+    )
+    ords = (
+        pos.join(
+            fills,
+            (pos.url == fills.f_url)
+            & (fills.f_lp <= pos.p)
+            & (pos.p < fills.f_l)
+            & (fills.f_v <= pos.version),
+        )
+        .groupBy("url", "version", "p")
+        .agg(
+            (F.col("p") + F.lit(1) + F.max("f_d"))
+            .cast("bigint")
+            .alias("ordinal")
+        )
+    )
+    node_lists = ords.groupBy("url", "version").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("p", "ordinal"))),
+            lambda s: s.ordinal,
+        ).alias("nodes")
+    )
+    return vers.join(node_lists, ["url", "version"]).select(
+        "url",
+        F.lit("way").alias("element_type"),
+        "version",
+        F.lit(True).alias("visible"),
+        "accepted",
+        F.lit('{"kind": "way"}').alias("tags_json"),
+        "nodes",
+    )
+
+
+def q_classify_actions_ways(spark, sf_dir):
+    """A7 (ways oracle twin): the REAL fold — same mapInPandas path,
+    now exercising WayDiff/compose/split_deletes (geom.rb:56-92,
+    diff.rb OT) — on the append/tail-delete way corpus, where the
+    sequence algebra is SQL-expressible (see _way_corpus).  Together
+    with classify_actions_nodes this driver-hash-verifies the fold on
+    two of its three element types; relations stay golden-tested."""
+    hist = _way_corpus(spark, sf_dir)
+    out = fold.classify_histories(hist)
+    return out.select(
+        "url",
+        "action",
+        "version",
+        "mode",
+        F.col("new_tags_json").alias("new_tags"),
+        F.array_join(
+            F.transform("new_nodes", lambda x: x.cast("string")), ","
+        ).alias("new_nodes_str"),
+    )
+
+
 # synthetic cascade world: node ids are doc_ids; ways group 3
 # consecutive docs; one relation per way (node member + way member);
 # one super-relation per lang over its relations.  Id spaces are
@@ -916,6 +1044,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_capped": q_ngram_jaccard_capped,
         "minhash_signatures": q_minhash_signatures,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "minhash_lsh_pairs_capped": q_minhash_lsh_pairs_capped,
         "minhash_lsh_clusters": q_minhash_lsh_clusters,
         "minhash_dedup_apply": q_minhash_dedup_apply,
         "sample_hash": q_sample_hash,
@@ -943,6 +1072,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "significance_prefilter": q_significance_prefilter,
         "classify_actions": q_classify_actions,
         "classify_actions_nodes": q_classify_actions_nodes,
+        "classify_actions_ways": q_classify_actions_ways,
         "cascade_deletes": q_cascade_deletes,
     }
 
@@ -1356,10 +1486,17 @@ def oracle_sql() -> dict[str, str]:
                 FROM probes WHERE nb_lat >= 0 AND nb_lat < 6
             ),
             pairs AS (
-                SELECT p.url, c.cand_url,
-                       (p.lon - c.lon) * (p.lon - c.lon)
-                     + (p.lat - c.lat) * (p.lat - c.lat) AS dist2
-                FROM probe_cells p JOIN clean c ON p.probe_cell = c.c_cell
+                -- antimeridian-wrapped lon delta, mirroring the
+                -- operator: least(|dlon|, 360-|dlon|)
+                SELECT url, cand_url, dlon * dlon + dlat * dlat AS dist2
+                FROM (
+                    SELECT p.url, c.cand_url,
+                           LEAST(ABS(p.lon - c.lon),
+                                 360.0 - ABS(p.lon - c.lon)) AS dlon,
+                           p.lat - c.lat AS dlat
+                    FROM probe_cells p
+                    JOIN clean c ON p.probe_cell = c.c_cell
+                )
             )
             SELECT url, cand_url, knn_rank, ROUND(dist2, 6) AS dist2_r
             FROM (
@@ -1808,6 +1945,38 @@ def oracle_sql() -> dict[str, str]:
               ON a.band = b.band AND a.bucket = b.bucket
             WHERE a.doc_id < b.doc_id
         """,
+        # the capped variant: buckets with more than LSH_PAIR_CAP
+        # members are excluded from pair emission (members still pair
+        # through any shared non-mega bucket) — the cap rule mirrored
+        # semantically, not just the happy path
+        "minhash_lsh_pairs_capped": f"""
+            WITH toks AS (
+                SELECT DISTINCT doc_id, tok AS token
+                FROM documents,
+                     LATERAL UNNEST(string_split_regex(lower(text), '\\s+'))
+                         AS u(tok)
+                WHERE tok <> ''
+            ),
+            joined AS (
+                SELECT doc_id, {dedup.token_hash_sql('token')} AS token_id
+                FROM toks
+            ),
+            sig AS (SELECT doc_id, {mh_aggs} FROM joined GROUP BY doc_id),
+            buckets AS ({" UNION ALL ".join(bands)}),
+            keep AS (
+                SELECT band, bucket FROM buckets
+                GROUP BY band, bucket
+                HAVING COUNT(*) <= {LSH_PAIR_CAP}
+            ),
+            kept AS (
+                SELECT b.doc_id, b.band, b.bucket
+                FROM buckets b JOIN keep USING (band, bucket)
+            )
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM kept a JOIN kept b
+              ON a.band = b.band AND a.bucket = b.bucket
+            WHERE a.doc_id < b.doc_id
+        """,
         "minhash_lsh_clusters": lsh_clusters_prelude + """
             SELECT doc_id, cluster_id FROM clusters
         """,
@@ -2023,6 +2192,117 @@ def oracle_sql() -> dict[str, str]:
                 FROM finals
                 WHERE last_acc_vis IS NOT NULL
                   AND (tainted_any = 1 OR last_acc_vis <> n)
+            )
+            SELECT * FROM redacts
+            UNION ALL SELECT * FROM deletes
+            UNION ALL SELECT * FROM edits
+        """),
+        # A7 ways restriction: the same corpus derivation as
+        # _way_corpus (identical arithmetic), then the validated
+        # closed form of the fold on append/tail-delete histories:
+        # clean node list = nodes introduced by ACCEPTED versions;
+        # redact when tags tainted (v1 unaccepted creates {"kind"})
+        # or any unaccepted-introduced node is present; mode hidden
+        # iff the version is unaccepted AND appended (inserts are not
+        # only-deletes); final: <2 clean nodes → delete, else edit
+        # when tags tainted or clean list ≠ last observed list.
+        "classify_actions_ways": _with_pages("""
+            , wv AS (
+                SELECT p.url, p.doc_id,
+                       CAST(p.version AS INT) AS version, s.accepted,
+                       CAST(2 + (p.doc_id*37 + p.version*p.version*11
+                                 + p.version*5) % 5 AS INT) AS L
+                FROM pages p JOIN cs_status s USING (changeset_id)
+            ),
+            wv2 AS (
+                SELECT *, COALESCE(LAG(L) OVER (PARTITION BY url
+                                   ORDER BY version), 0) AS Lprev
+                FROM wv
+            ),
+            wv3 AS (
+                SELECT *,
+                       CAST(SUM(GREATEST(L - Lprev, 0)) OVER (
+                           PARTITION BY url ORDER BY version)
+                           AS BIGINT) AS A
+                FROM wv2
+            ),
+            wv4 AS (SELECT *, A - L AS D FROM wv3),
+            pos AS (
+                SELECT url, version, L,
+                       UNNEST(range(0, CAST(L AS BIGINT))) AS p
+                FROM wv4
+            ),
+            ords AS (
+                SELECT po.url, po.version, po.p,
+                       po.p + 1 + MAX(f.D) AS ordinal
+                FROM pos po
+                JOIN wv4 f ON f.url = po.url
+                          AND f.Lprev <= po.p AND po.p < f.L
+                          AND f.version <= po.version
+                GROUP BY po.url, po.version, po.p
+            ),
+            intro AS (
+                SELECT url, accepted AS intro_acc,
+                       UNNEST(range(A - GREATEST(L - Lprev, 0) + 1,
+                                    A + 1)) AS o
+                FROM wv4
+            ),
+            verbad AS (
+                SELECT o.url, o.version,
+                       MAX(CASE WHEN NOT i.intro_acc THEN 1 ELSE 0 END)
+                           AS geom_bad
+                FROM ords o
+                JOIN intro i ON i.url = o.url AND i.o = o.ordinal
+                GROUP BY o.url, o.version
+            ),
+            firsts AS (
+                SELECT url, arg_min(accepted, version) AS clean1,
+                       MAX(version) AS n
+                FROM wv4 GROUP BY url
+            ),
+            redacts AS (
+                SELECT v.url, 'redact' AS action, v.version,
+                       CASE WHEN v.accepted THEN 'visible'
+                            WHEN v.L > v.Lprev THEN 'hidden'
+                            ELSE 'visible' END AS mode,
+                       CAST(NULL AS VARCHAR) AS new_tags,
+                       CAST(NULL AS VARCHAR) AS new_nodes_str
+                FROM wv4 v
+                JOIN verbad b USING (url, version)
+                JOIN firsts f USING (url)
+                WHERE b.geom_bad = 1 OR NOT f.clean1
+            ),
+            bfinal AS (
+                SELECT o.url,
+                       SUM(CASE WHEN i.intro_acc THEN 1 ELSE 0 END)
+                           AS nb,
+                       COUNT(*) AS ntot,
+                       string_agg(CAST(o.ordinal AS VARCHAR), ','
+                                  ORDER BY o.p)
+                           FILTER (WHERE i.intro_acc) AS bstr
+                FROM ords o
+                JOIN firsts lv ON o.url = lv.url AND o.version = lv.n
+                JOIN intro i ON i.url = o.url AND i.o = o.ordinal
+                GROUP BY o.url
+            ),
+            deletes AS (
+                SELECT b.url, 'delete' AS action,
+                       CAST(NULL AS INT) AS version,
+                       CAST(NULL AS VARCHAR) AS mode,
+                       CAST(NULL AS VARCHAR) AS new_tags,
+                       CAST(NULL AS VARCHAR) AS new_nodes_str
+                FROM bfinal b WHERE b.nb < 2
+            ),
+            edits AS (
+                SELECT b.url, 'edit' AS action,
+                       CAST(f.n AS INT) AS version,
+                       CAST(NULL AS VARCHAR) AS mode,
+                       CASE WHEN f.clean1 THEN '{"kind": "way"}'
+                            ELSE '{}' END AS new_tags,
+                       b.bstr AS new_nodes_str
+                FROM bfinal b JOIN firsts f USING (url)
+                WHERE b.nb >= 2
+                  AND (NOT f.clean1 OR b.nb <> b.ntot)
             )
             SELECT * FROM redacts
             UNION ALL SELECT * FROM deletes

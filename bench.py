@@ -95,24 +95,35 @@ def run_queries(spark, sf_dir):
     )
     from openstreetmap_license_change_spark.sources import pages as pages_src
 
-    timings: dict[str, float] = {}
     warm = os.environ.get("SPARK_GRAFT_BENCH_WARM", "0") == "1"
     # the host is shared (neighbor interference causes >10x spikes on
-    # identical warm queries — see BENCH/BASELINE.md); the default run
-    # reports the best of 2 executions per query so one spike can't
-    # masquerade as engine cost.  The scaling protocol pins cores and
-    # composes minima across interleaved trials instead (BEST_OF=1).
-    best_of = int(os.environ.get("SPARK_GRAFT_BENCH_BEST_OF", "2"))
+    # identical warm queries — see BENCH/BASELINE.md).  Default mode
+    # therefore runs the whole suite as ≥3 INTERLEAVED rounds and
+    # reports per-query minima — a sustained noise window then hits
+    # each query at most once instead of every repetition of one query
+    # (round-3 lesson: pricing_summary 0.27 s → 1.55 s across driver
+    # rounds with zero code change made BENCH_rN useless for
+    # regression detection).  The scaling protocol pins cores and
+    # interleaves across subprocess trials instead (BEST_OF=1).
+    rounds = int(os.environ.get("SPARK_GRAFT_BENCH_BEST_OF", "3"))
+    queries: list[tuple[str, object]] = []
 
     def timed(name, thunk):
+        # registration only — setup code between calls runs eagerly,
+        # the timed thunks run in interleaved rounds afterwards
+        queries.append((name, thunk))
+
+    def run_rounds() -> dict[str, float]:
+        vals: dict[str, list[float]] = {n: [] for n, _ in queries}
         if warm:
-            thunk()  # unmeasured: codegen + JIT + shuffle-file warmup
-        vals = []
-        for _ in range(best_of):
-            t0 = time.time()
-            thunk()
-            vals.append(time.time() - t0)
-        timings[name] = round(min(vals), 3)
+            for _, thunk in queries:
+                thunk()  # unmeasured: codegen + JIT + shuffle warmup
+        for _ in range(rounds):
+            for name, thunk in queries:
+                t0 = time.time()
+                thunk()
+                vals[name].append(time.time() - t0)
+        return {n: round(min(v), 3) for n, v in vals.items()}
 
     status = pages_src.cs_status(spark)
 
@@ -191,6 +202,19 @@ def run_queries(spark, sf_dir):
     clean = latest.where(F.col("accepted")).select(
         "cell", F.col("url").alias("cand_url"), "lon", "lat"
     )
+    # headline kNN = the production-correct 3×3 neighbor-probed
+    # variant (cell-local provably misses cross-boundary neighbors —
+    # bench the op you'd ship); cell-local kept as the A/B point
+    dirty_nn = latest.where(~F.col("accepted")).select("url", "lon", "lat")
+    clean_nn = latest.where(F.col("accepted")).select(
+        F.col("url").alias("cand_url"), "lon", "lat"
+    )
+    timed(
+        "knn_neighborhood",
+        lambda: _noop_write(
+            spatial.knn_neighborhood(dirty_nn, clean_nn, k=3, res_deg=0.25)
+        ),
+    )
     timed(
         "knn_in_cell",
         lambda: _noop_write(spatial.knn_in_cell(dirty, clean, k=3)),
@@ -221,6 +245,7 @@ def run_queries(spark, sf_dir):
         ),
     )
 
+    timings = run_rounds()
     if not shared:
         shutil.rmtree(stage_dir, ignore_errors=True)
     return timings, n_pages
@@ -247,7 +272,7 @@ def run_once(cpus=None):
         timings["tile_assign_rollup"]
         + timings["latest_snapshot"]
         + timings["pip_rect"]
-        + timings["knn_in_cell"]
+        + timings["knn_neighborhood"]
     )
     result = {
         "metric": "spatial-join + tile-assignment throughput",
@@ -361,7 +386,7 @@ def scaling_mode():
         }
         spatial_sec = (
             best_q["tile_assign_rollup"] + best_q["latest_snapshot"]
-            + best_q["pip_rect"] + best_q["knn_in_cell"]
+            + best_q["pip_rect"] + best_q["knn_neighborhood"]
         )
         results[lv] = {
             "queries": best_q,

@@ -229,10 +229,33 @@ def minhash_signatures(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return t.groupBy(id_col).agg(*aggs)
 
 
-def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    max_bucket_size: int | None = None,
+    observation=None,
+) -> DataFrame:
     """LSH candidate pairs: docs whose signatures agree on all rows of
     at least one band.  Band keys are concatenated minhashes — the
-    bucket join replaces the all-pairs comparison."""
+    bucket join replaces the all-pairs comparison.
+
+    ``max_bucket_size`` is the mega-bucket guard for scale: the
+    band-bucket self-join is QUADRATIC in bucket size, so one
+    boilerplate page duplicated 10⁶× (Common-Crawl reality) puts 10⁶
+    docs in a bucket and emits 10¹² pairs.  With the cap set, buckets
+    larger than it are excluded from pair EMISSION entirely (their
+    members still pair through any non-mega bucket they share) — the
+    same trade as ``ngram_jaccard_pairs``' ``max_doc_freq`` stop-
+    shingle guard, and the honest one: a mega-bucket's pairs belong to
+    the clusters path (``minhash_lsh_clusters`` — label propagation,
+    never pairwise) rather than a pair list nobody can materialize.
+
+    No silent caps: pass a ``pyspark.sql.Observation`` as
+    ``observation`` and the same job that emits the pairs records
+    ``overflow_buckets`` / ``overflow_docs`` / ``total_buckets``
+    metrics (read ``observation.get`` after an action) — one pass, no
+    extra job.  Default ``None`` cap = exact pairs (the oracle-checked
+    uncapped path, kept for A/B)."""
     sig = minhash_signatures(df, id_col=id_col)
     rows_per_band = len(MINHASH_PERMS) // LSH_BANDS
     bands = []
@@ -251,6 +274,28 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     buckets = bands[0]
     for b in bands[1:]:
         buckets = buckets.unionByName(b)
+    if max_bucket_size is not None:
+        sizes = buckets.groupBy("band", "bucket").agg(
+            F.count(F.lit(1)).alias("_n")
+        )
+        if observation is not None:
+            sizes = sizes.observe(
+                observation,
+                F.count(
+                    F.when(F.col("_n") > max_bucket_size, 1)
+                ).alias("overflow_buckets"),
+                F.coalesce(
+                    F.sum(
+                        F.when(F.col("_n") > max_bucket_size, F.col("_n"))
+                    ),
+                    F.lit(0),
+                ).alias("overflow_docs"),
+                F.count(F.lit(1)).alias("total_buckets"),
+            )
+        keep = sizes.where(F.col("_n") <= max_bucket_size).select(
+            "band", "bucket"
+        )
+        buckets = buckets.join(keep, ["band", "bucket"])
     a = buckets.select(F.col(id_col).alias("doc_a"), "band", "bucket")
     b = buckets.select(F.col(id_col).alias("doc_b"), "band", "bucket")
     return (

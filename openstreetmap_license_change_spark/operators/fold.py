@@ -33,6 +33,7 @@ rather than silently dropped.
 from __future__ import annotations
 
 import json
+import warnings
 from typing import Iterator
 
 import pandas as pd
@@ -267,11 +268,32 @@ def classify_histories_python(
         if carry is not None and len(carry):
             yield pd.DataFrame(fold_body(carry), columns=_OUT_COLS)
 
-    shuffled = (
-        df.sortWithinPartitions("url", "version")
-        if assume_partitioned
-        else df.repartition("url").sortWithinPartitions("url", "version")
-    )
+    if assume_partitioned:
+        out = df.sortWithinPartitions("url", "version").mapInPandas(
+            run_batches, schema=ACTION_SCHEMA
+        )
+        # Trust but verify: Spark's DisableUnnecessaryBucketedScan rule
+        # (spark.sql.sources.bucketing.autoBucketedScan.enabled, ON by
+        # default upstream) demotes a bucketed scan to a merged-file
+        # scan under this very plan shape — mapInPandas declares no
+        # distribution requirement Catalyst recognizes — and then urls
+        # span partitions and histories fold fragment-wise.  get_spark
+        # disables the rule, but callers with their own sessions may
+        # not; planning (not executing) the composed query exposes the
+        # demotion in the FileScan metadata, and we fall back to the
+        # explicit shuffle rather than silently corrupt the fold.
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        if "Bucketed: false (disabled by query planner)" not in plan:
+            return out
+        warnings.warn(
+            "classify_histories(assume_partitioned=True): the bucketed "
+            "scan was demoted by DisableUnnecessaryBucketedScan "
+            "(set spark.sql.sources.bucketing.autoBucketedScan.enabled"
+            "=false); repartitioning by url to preserve correctness",
+            RuntimeWarning,
+            stacklevel=2,
+        )
+    shuffled = df.repartition("url").sortWithinPartitions("url", "version")
     return shuffled.mapInPandas(run_batches, schema=ACTION_SCHEMA)
 
 

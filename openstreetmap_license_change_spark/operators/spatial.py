@@ -165,29 +165,50 @@ def cell_parent(cell: Column, parent_res: int, res: int | None = None) -> Column
     resolution, e.g. the finest level of a rollup) the shift is a
     literal and the whole expression stays in codegen.  Without it the
     per-row resolution is read from the id (shiftright with a column
-    shift amount)."""
+    shift amount); a row whose cell is COARSER than ``parent_res``
+    has no ancestor at that resolution and yields NULL — a negative
+    shift amount would otherwise silently produce a garbage id."""
+    if not 0 <= parent_res <= MAX_TILE_RES:
+        raise ValueError(
+            f"parent_res must be in [0, {MAX_TILE_RES}], got {parent_res}"
+        )
     base = cell.bitwiseAND(F.lit(_BASE_MASK))
     if res is not None:
         if parent_res > res:
             raise ValueError(f"parent_res {parent_res} > res {res}")
         pbase = F.shiftright(base, 2 * (res - parent_res))
-    else:
-        delta = (cell_res(cell) - F.lit(parent_res)) * 2
-        pbase = F.call_function("shiftright", base, delta)
-    return (F.lit(parent_res << _RES_SHIFT) + pbase).cast("bigint")
+        return (F.lit(parent_res << _RES_SHIFT) + pbase).cast("bigint")
+    delta = (cell_res(cell) - F.lit(parent_res)) * 2
+    pbase = F.call_function("shiftright", base, delta)
+    return F.when(
+        cell_res(cell) >= F.lit(parent_res),
+        (F.lit(parent_res << _RES_SHIFT) + pbase).cast("bigint"),
+    )
 
 
 def cell_children(cell: Column, res: int | None = None) -> Column:
     """Array of the 4 direct children (one resolution finer).  Use with
-    ``F.explode``.  ``res`` as in :func:`cell_parent`."""
+    ``F.explode``.  ``res`` as in :func:`cell_parent`.
+
+    The tree bottoms out at ``MAX_TILE_RES``: a static ``res`` of 16
+    raises; on the dynamic path a res-16 row yields NULL rather than a
+    fabricated beyond-max id."""
+    if res is not None and not 0 <= res < MAX_TILE_RES:
+        raise ValueError(
+            f"res must be in [0, {MAX_TILE_RES - 1}] for children "
+            f"(res-{MAX_TILE_RES} cells are leaves), got {res}"
+        )
     base = cell.bitwiseAND(F.lit(_BASE_MASK))
     child_res = (
         F.lit(res + 1) if res is not None else cell_res(cell) + F.lit(1)
     )
     tag = child_res.cast("bigint") * F.lit(1 << _RES_SHIFT)
-    return F.array(
+    children = F.array(
         *[(tag + F.shiftleft(base, 2) + F.lit(i)).cast("bigint") for i in range(4)]
     )
+    if res is not None:
+        return children
+    return F.when(cell_res(cell) < F.lit(MAX_TILE_RES), children)
 
 
 def cell_contains(ancestor: Column, descendant: Column) -> Column:
@@ -539,7 +560,15 @@ def knn_neighborhood(
 
     Inputs carry raw lon/lat; cells are derived here at ``res_deg``
     (both sides must use the same resolution for the probe to be
-    sound)."""
+    sound).
+
+    The longitude delta wraps at ±180°: the probe cells already wrap
+    (``neighbor_cells``), so a raw ``lon − c_lon`` would join a true
+    antimeridian neighbor with dist2 ≈ (360−ε)² and it could never win
+    a top-k slot — the wrapped probe would be ineffective.  dist2 uses
+    ``least(|Δlon|, 360−|Δlon|)²`` in both the operator and the DuckDB
+    oracle (equirectangular degrees² either way; great-circle metric
+    is out of scope, as documented for the whole kNN family)."""
     probes = points.withColumn(
         "probe_cell",
         F.explode(neighbor_cells(F.col("lon"), F.col("lat"), res_deg)),
@@ -550,10 +579,11 @@ def knn_neighborhood(
         F.col("lon").alias("c_lon"),
         F.col("lat").alias("c_lat"),
     )
+    dlon_raw = F.abs(F.col("lon") - F.col("c_lon"))
+    dlon = F.least(dlon_raw, F.lit(360.0) - dlon_raw)
+    dlat = F.col("lat") - F.col("c_lat")
     joined = probes.join(c, probes.probe_cell == c.c_cell, "inner").withColumn(
-        "dist2",
-        (F.col("lon") - F.col("c_lon")) ** 2
-        + (F.col("lat") - F.col("c_lat")) ** 2,
+        "dist2", dlon * dlon + dlat * dlat
     )
     point_cols = [c2 for c2 in points.columns]
     w = W.partitionBy(point_id).orderBy("dist2", cand_id)
@@ -648,7 +678,12 @@ def tile_rollup_multires(
         F.sum(F.col(taint_col).cast("int")).alias("n_tainted"),
     )
     if len(rs) > 1:
-        base = base.cache()
+        # localCheckpoint(eager) materializes the finest aggregate ONCE
+        # for the coarser-level fan-out and — unlike cache() — holds no
+        # storage-level entry that would leak across repeated calls in
+        # a long-lived session (the truncated lineage is GC'd with the
+        # DataFrame; the repo's staged-commit pattern).
+        base = base.localCheckpoint(eager=True)
     levels = [base.withColumn("res", F.lit(finest))]
     for r in rs[:-1]:
         levels.append(

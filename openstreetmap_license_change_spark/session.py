@@ -46,6 +46,17 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", aqe)
         .config("spark.sql.adaptive.coalescePartitions.enabled", aqe)
         .config("spark.sql.adaptive.skewJoin.enabled", aqe)
+        # DisableUnnecessaryBucketedScan (autoBucketedScan, default on)
+        # demotes a bucketed read to a plain merged-file scan whenever
+        # no operator above it declares a hash-distribution requirement
+        # Catalyst can see — which is exactly the fold's
+        # sortWithinPartitions+mapInPandas plan.  That silently breaks
+        # the url co-location contract assume_partitioned relies on
+        # (histories split across partitions fold fragment-wise).  Keep
+        # bucketed scans honest; the cost is that a bucketed scan's
+        # parallelism is capped at the bucket count, which we size to
+        # the cluster anyway (sources/bucketed.py).
+        .config("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))

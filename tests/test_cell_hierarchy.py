@@ -108,6 +108,37 @@ def test_parent_child_dynamic_res_matches_literal(spark):
         assert r.klit == r.kdyn
 
 
+def test_dynamic_res_bounds_are_guarded(spark):
+    """ADVICE r3: the dynamic-res paths must not fabricate ids.
+    cell_parent with a row COARSER than parent_res → NULL (a negative
+    shift would otherwise yield garbage); cell_children at res 16 →
+    NULL (res-17 ids don't exist); static out-of-range args raise."""
+    c5 = _py_hier(10.0, 20.0, 5)
+    c16 = _py_hier(10.0, 20.0, 16)
+    df = spark.createDataFrame([(c5,), (c16,)], "cell bigint")
+
+    out = df.select(
+        "cell",
+        spatial.cell_parent(F.col("cell"), 10).alias("p10"),
+        spatial.cell_children(F.col("cell")).alias("kids"),
+    ).collect()
+    by_cell = {r.cell: r for r in out}
+    # res-5 row: no ancestor at res 10 → NULL, children exist (res 6)
+    assert by_cell[c5].p10 is None
+    assert by_cell[c5].kids is not None and len(by_cell[c5].kids) == 4
+    assert all((k >> 36) == 6 for k in by_cell[c5].kids)
+    # res-16 row: parent at 10 exists, children do NOT (leaf level)
+    assert by_cell[c16].p10 == _py_hier(10.0, 20.0, 10)
+    assert by_cell[c16].kids is None
+
+    with pytest.raises(ValueError):
+        spatial.cell_parent(F.col("cell"), 17)
+    with pytest.raises(ValueError):
+        spatial.cell_parent(F.col("cell"), -1)
+    with pytest.raises(ValueError):
+        spatial.cell_children(F.col("cell"), res=16)
+
+
 def test_cell_contains_is_prefix_relation(spark):
     rows = []
     for lon, lat in POINTS[:80]:

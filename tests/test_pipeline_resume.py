@@ -122,9 +122,15 @@ def test_bucketed_pipeline_elides_url_exchanges(spark, tmp_path_factory):
         )
     )
     assert "Exchange" not in fold_plan, fold_plan
+    # "no Exchange" alone is vacuous if the planner demoted the
+    # bucketed scan (DisableUnnecessaryBucketedScan) — then the skipped
+    # repartition means urls span partitions and the fold is WRONG.
+    # The scan must actually be bucket-aware.
+    assert "Bucketed: true" in fold_plan, fold_plan
 
     latest_plan = plan(lineage.latest_version(flagged.select("url", "version")))
     assert "Exchange" not in latest_plan, latest_plan
+    assert "Bucketed: true" in latest_plan, latest_plan
 
     # control: the plain-parquet pipeline's flagged stage DOES shuffle
     # for the same consumers — the bucket spec, not data size, removed
@@ -134,6 +140,52 @@ def test_bucketed_pipeline_elides_url_exchanges(spark, tmp_path_factory):
     assert "Exchange" in plan(
         lineage.latest_version(flagged_p.select("url", "version"))
     )
+
+
+def test_demoted_bucketed_scan_falls_back_to_repartition(
+    spark, tmp_path_factory
+):
+    """If a caller's session leaves autoBucketedScan ON, Spark demotes
+    the bucketed scan under the fold's mapInPandas plan ('Bucketed:
+    false (disabled by query planner)') and the assume_partitioned
+    contract is broken.  classify_histories must detect the demotion
+    at planning time, warn, and reinstate the url repartition — same
+    action rows, never a fragment-wise fold."""
+    import warnings as w
+
+    from pyspark.sql import functions as F
+    from openstreetmap_license_change_spark.operators import fold
+    from openstreetmap_license_change_spark.plans.pipeline import run_pipeline
+
+    work = str(tmp_path_factory.mktemp("pipe_demoted"))
+    out = run_pipeline(spark, SF_DIR, work, bucketed=True)
+    flagged = out["flagged"]
+    expected = sorted(
+        (r.url, r.action, r.version, r.mode)
+        for r in out["actions"].collect()
+    )
+
+    conf = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    spark.conf.set(conf, "true")
+    try:
+        with w.catch_warnings(record=True) as caught:
+            w.simplefilter("always")
+            demoted = fold.classify_histories(
+                fold.pages_histories(flagged), assume_partitioned=True
+            )
+            plan = demoted._jdf.queryExecution().executedPlan().toString()
+            got = sorted(
+                (r.url, r.action, r.version, r.mode)
+                for r in demoted.collect()
+            )
+        assert any("demoted" in str(c.message) for c in caught), [
+            str(c.message) for c in caught
+        ]
+        # the fallback reinstated the shuffle
+        assert "Exchange" in plan or "exchange" in plan, plan
+        assert got == expected
+    finally:
+        spark.conf.set(conf, "false")
 
 
 def test_bucketed_pipeline_matches_unbucketed(spark, tmp_path_factory):

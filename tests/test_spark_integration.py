@@ -424,6 +424,46 @@ def test_ngram_jaccard_doc_freq_cap(spark):
         assert j == base[pair]  # jaccard stays exact for generated pairs
 
 
+def test_lsh_pairs_mega_bucket_cap_and_overflow_metrics(spark):
+    """A planted mega-bucket (60 identical docs — the Common-Crawl
+    boilerplate shape) must emit NO pairs under the cap, while distinct
+    near-dup pairs below the cap survive; the SAME job records the
+    overflow in an Observation (no silent caps, no extra pass)."""
+    from pyspark.sql import Observation
+    from openstreetmap_license_change_spark.operators import dedup
+
+    boiler = [(i, "the same boilerplate page text repeated verbatim")
+              for i in range(60)]
+    # a small true near-dup pair, distinct from the boilerplate
+    pair = [
+        (100, "completely different article about spark partitioning"),
+        (101, "completely different article about spark partitioning"),
+    ]
+    singles = [(200 + i, f"unique document number {i} with its own words {i*7}")
+               for i in range(5)]
+    docs = spark.createDataFrame(
+        boiler + pair + singles, "doc_id bigint, text string"
+    )
+
+    # uncapped: the mega-bucket alone emits 60·59/2 = 1770 pairs
+    uncapped = dedup.minhash_lsh_pairs(docs).count()
+    assert uncapped >= 1770
+
+    obs = Observation("lsh_overflow")
+    capped = dedup.minhash_lsh_pairs(
+        docs, max_bucket_size=16, observation=obs
+    )
+    got = {(r.doc_a, r.doc_b) for r in capped.collect()}
+    # identical docs agree on EVERY band → all their buckets overflow
+    assert not any(a < 60 and b < 60 for a, b in got), got
+    # the small near-dup pair still pairs (its buckets are size 2)
+    assert (100, 101) in got
+    m = obs.get
+    assert m["overflow_buckets"] >= 1
+    assert m["overflow_docs"] >= 60
+    assert m["total_buckets"] > m["overflow_buckets"]
+
+
 def test_lsh_clusters_consistent_with_pairs(spark):
     """Cluster labels must be exactly the connected components of the
     LSH pair graph: paired docs share a label; the label is the

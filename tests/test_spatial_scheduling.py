@@ -150,6 +150,12 @@ def test_knn_neighborhood_vs_bruteforce(spark):
     # edge, candidate just right of it (cell-local would miss it)
     dirty_rows.append(("d_edge", 9.999, 0.5))
     cand_rows.append(("c_edge", 10.001, 0.5))
+    # plant an ANTIMERIDIAN pair: 0.2° apart across ±180°.  With a raw
+    # lon delta this pair joins (wrapped probe cell) but scores
+    # (360-0.2)² and can never win a slot — the wrapped dist2 must
+    # rank it first (ADVICE r3).
+    dirty_rows.append(("d_anti", 179.9, 40.5))
+    cand_rows.append(("c_anti", -179.9, 40.5))
 
     dirty = spark.createDataFrame(dirty_rows, "url string, lon double, lat double")
     clean = spark.createDataFrame(
@@ -177,11 +183,16 @@ def test_knn_neighborhood_vs_bruteforce(spark):
                     out.add(nl * cols + (gb + dx + cols) % cols)
         return out
 
+    def wdist2(lon, lat, cl, cla):
+        d = abs(lon - cl)
+        dl = min(d, 360.0 - d)  # antimeridian wrap, like the operator
+        return dl * dl + (lat - cla) ** 2
+
     for url, lon, lat in dirty_rows:
         hood = neighborhood(lon, lat)
         cands = sorted(
             (
-                ((lon - cl)**2 + (lat - cla)**2, cu)
+                (wdist2(lon, lat, cl, cla), cu)
                 for cu, cl, cla in cand_rows
                 if cell(cl, cla) in hood
             ),
@@ -194,6 +205,11 @@ def test_knn_neighborhood_vs_bruteforce(spark):
 
     # the planted pair: neighborhood kNN finds it at rank 1
     assert got["d_edge"][0][1] == "c_edge"
+    # the antimeridian pair: found at rank 1 with the WRAPPED distance
+    # (0.2° apart), not the raw-delta (359.8°)² that could never win
+    anti = sorted(got["d_anti"])
+    assert anti[0][1] == "c_anti", anti
+    assert abs(anti[0][2] - 0.2 * 0.2) < 1e-9, anti
     # ...and the cell-local variant does NOT see it
     dirty_cells = spatial.assign_cells(dirty, res_deg=res)
     clean_cells = spatial.assign_cells(clean, res_deg=res).select(
