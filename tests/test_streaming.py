@@ -88,6 +88,102 @@ def test_foreach_batch_classify_accumulates(spark, tmp_path):
     assert hist.groupBy("url").count().agg(F.max("count")).collect()[0][0] == 2
 
 
+def test_foreach_batch_classify_restart_exactly_once(spark, tmp_path):
+    """Kill-and-restart against the same checkpoint dir, plus a
+    verbatim batch REPLAY (the at-least-once crash window foreachBatch
+    exposes): the final merged state must equal an uninterrupted batch
+    run — no duplicated history rows, no lost versions, identical
+    action rows.
+
+    Run 1 sees only the v1 files and stops (= the kill between
+    micro-batches).  More files arrive; run 2 restarts from the
+    checkpoint and must process ONLY the new files.  Then the last
+    batch is re-invoked verbatim with the same batch_id — the
+    idempotent per-batch partitions must absorb it unchanged."""
+    from openstreetmap_license_change_spark.streaming import incremental
+
+    src = str(tmp_path / "pages_r")
+    state = str(tmp_path / "state_r")
+    ckpt = str(tmp_path / "ckpt_r")
+
+    def run_stream():
+        stream = incremental.stream_pages(spark, src).withColumn(
+            "accepted", F.col("changeset_id") % 2 == 0
+        )
+        q = (
+            stream.writeStream.foreachBatch(
+                lambda df, bid: incremental.foreach_batch_classify(
+                    df, bid, state
+                )
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    _write_pages(spark, src, 1)
+    run_stream()  # processes v1, then "dies"
+    _write_pages(spark, src, 2)
+    run_stream()  # restart from checkpoint: must pick up ONLY v2
+
+    hist = spark.read.parquet(f"{state}/histories")
+    # no dup/no loss: exactly one row per (url, version), both versions
+    per_uv = hist.groupBy("url", "version").count()
+    assert per_uv.where("count != 1").count() == 0
+    assert hist.count() == 40 and hist.select("url").distinct().count() == 20
+
+    # latest batch's actions = what an uninterrupted batch fold over
+    # the full v1+v2 history produces
+    batches = sorted(
+        int(p.batch) for p in hist.select("batch").distinct().collect()
+    )
+    last = batches[-1]
+
+    def action_rows():
+        df = spark.read.parquet(f"{state}/actions/batch={last}")
+        return sorted(
+            (r.url, r.action, r.version, r.mode) for r in df.collect()
+        )
+
+    from openstreetmap_license_change_spark.operators import fold
+
+    full = spark.read.parquet(src).withColumn(
+        "accepted", F.col("changeset_id") % 2 == 0
+    )
+    expected = sorted(
+        (r.url, r.action, r.version, r.mode)
+        for r in fold.classify_histories(
+            full.select(
+                "url",
+                F.lit("node").alias("element_type"),
+                F.col("version").cast("int").alias("version"),
+                "visible",
+                "accepted",
+                F.to_json(
+                    F.create_map(F.lit("text"), F.col("text"))
+                ).alias("tags_json"),
+                "lon",
+                "lat",
+            )
+        ).collect()
+    )
+    got1 = action_rows()
+    assert got1 == expected
+
+    # verbatim REPLAY of the last batch (same rows, same batch_id):
+    # the crash-window case. State must be byte-for-byte stable.
+    replay_df = spark.read.parquet(src).where(
+        F.col("version") == 2
+    ).withColumn("accepted", F.col("changeset_id") % 2 == 0)
+    incremental.foreach_batch_classify(replay_df, last, state)
+
+    hist2 = spark.read.parquet(f"{state}/histories")
+    assert hist2.count() == 40
+    assert hist2.groupBy("url", "version").count().where("count != 1").count() == 0
+    assert action_rows() == expected
+
+
 def _write_events(spark, path, rows):
     schema = "user_id bigint, event_id bigint, ts timestamp, value double"
     spark.createDataFrame(rows, schema).coalesce(1).write.mode(
