@@ -812,9 +812,10 @@ def _way_corpus(spark, sf_dir):
     version v was appended by the LAST version w ≤ v whose transition
     filled p (L_{w−1} ≤ p < L_w), giving ordinal p + 1 + max D_w over
     filling w, where D = cumulative deletes (A − L) strictly increases
-    between consecutive refills of the same position.  All versions
-    are visible (the nodes-restriction entry covers segment resets);
-    tags are the constant {"kind": "way"}."""
+    between consecutive refills of the same position.  Versions carry
+    the pages table's real visibility, so segment resets
+    (change_bot.rb:77-83) are exercised too — see
+    _append_delete_corpus; tags are the constant {"kind": "way"}."""
     return _append_delete_corpus(
         spark, sf_dir,
         l_expr=F.lit(2) + F.pmod(
@@ -831,12 +832,25 @@ def _way_corpus(spark, sf_dir):
 def _append_delete_corpus(spark, sf_dir, l_expr, element_type, tags_json):
     """Shared ordinal machinery for the way/relation oracle corpora:
     given a per-(doc_id, version) list-length expression, rebuild every
-    version's member-ordinal list relationally (see _way_corpus)."""
+    version's member-ordinal list relationally (see _way_corpus).
+
+    Versions carry the pages table's REAL visibility, so the corpora
+    also exercise segment resets (change_bot.rb:77-83: an invisible
+    version resets geometry to version-zero, tags to {}, and clears
+    the pending diff state).  The closed form extends cleanly: within
+    a segment the next visible version diffs against EMPTY, so the
+    segment-start version re-introduces its whole list — member
+    attribution becomes max(global intro version, segment start) —
+    and the list evolution stays pure append/tail-delete between
+    ADJACENT versions, which is all the in-segment diffs ever see.
+    Validated vs core element_actions on 4000 randomized histories
+    with ~25% invisible versions, per element type."""
     flagged = _pages_flagged(spark, sf_dir)
     vers = (
         flagged.select(
             "url", "doc_id",
-            F.col("version").cast("int").alias("version"), "accepted"
+            F.col("version").cast("int").alias("version"),
+            "accepted", "visible",
         )
         .withColumn("L", l_expr.cast("int"))
     )
@@ -888,7 +902,7 @@ def _append_delete_corpus(spark, sf_dir, l_expr, element_type, tags_json):
         "url",
         F.lit(element_type).alias("element_type"),
         "version",
-        F.lit(True).alias("visible"),
+        "visible",
         "accepted",
         F.lit(tags_json).alias("tags_json"),
         "nodes",
@@ -921,7 +935,7 @@ def _append_delete_corpus(spark, sf_dir, l_expr, element_type, tags_json):
 def q_classify_actions_relations(spark, sf_dir):
     """A7 (relations oracle twin): the REAL fold over an append/tail-
     delete RELATION corpus — members ("node", ordinal, "") with
-    constant non-multipolygon tags, all versions visible.  On this
+    constant non-multipolygon tags, real page visibility.  On this
     restriction RelationDiff (geom.rb:120-170: detect_alter+move diff,
     the geom==@old shortcut, compose/split_deletes) reduces to the
     same closed form as ways — the shortcut is a no-op because
@@ -1157,6 +1171,162 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def _with_pages(body: str) -> str:
     return pages_src.oracle_prelude() + "\n" + body
+
+
+def _fold_restriction_sql(
+    l_sql: str,
+    min_len: int,
+    tags_lit: str,
+    member_agg: str,
+    member_render: str,
+    out_col: str,
+) -> str:
+    """DuckDB twin of the fold over an append/tail-delete corpus WITH
+    segment resets (see _append_delete_corpus).  Closed form, validated
+    against core element_actions on 4000 randomized histories per
+    element type: members introduced by accepted versions survive into
+    the clean reconstruction, where a member's introducer inside a
+    segment is max(global append version, segment start); tags taint
+    at any unaccepted segment start and never launder; final
+    delete/edit only when the last version is visible."""
+    return _with_pages(f"""
+        , wv AS (
+            SELECT p.url, p.doc_id,
+                   CAST(p.version AS INT) AS version, s.accepted,
+                   p.visible,
+                   CAST({l_sql} AS INT) AS L
+            FROM pages p JOIN cs_status s USING (changeset_id)
+        ),
+        wv2 AS (
+            SELECT *,
+                   COALESCE(LAG(L) OVER (PARTITION BY url
+                                         ORDER BY version), 0) AS Lprev,
+                   COALESCE(SUM(CASE WHEN NOT visible THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY url ORDER BY version
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND 1 PRECEDING), 0) AS seg_id
+            FROM wv
+        ),
+        wv3 AS (
+            SELECT *,
+                   CAST(SUM(GREATEST(L - Lprev, 0)) OVER (
+                       PARTITION BY url ORDER BY version)
+                       AS BIGINT) AS A
+            FROM wv2
+        ),
+        wv4 AS (SELECT *, A - L AS D FROM wv3),
+        segstarts AS (
+            SELECT url, seg_id, MIN(version) AS seg_start
+            FROM wv4 WHERE visible GROUP BY url, seg_id
+        ),
+        pos AS (
+            SELECT url, version, L,
+                   UNNEST(range(0, CAST(L AS BIGINT))) AS p
+            FROM wv4
+        ),
+        ords AS (
+            SELECT po.url, po.version, po.p,
+                   po.p + 1 + MAX(f.D) AS ordinal
+            FROM pos po
+            JOIN wv4 f ON f.url = po.url
+                      AND f.Lprev <= po.p AND po.p < f.L
+                      AND f.version <= po.version
+            GROUP BY po.url, po.version, po.p
+        ),
+        intro AS (
+            SELECT url, version AS gv,
+                   UNNEST(range(A - GREATEST(L - Lprev, 0) + 1,
+                                A + 1)) AS o
+            FROM wv4
+        ),
+        attr AS (
+            SELECT o.url, o.version, o.p, o.ordinal,
+                   iw.accepted AS intro_acc
+            FROM ords o
+            JOIN wv4 v ON v.url = o.url AND v.version = o.version
+            JOIN segstarts ss ON ss.url = o.url
+                             AND ss.seg_id = v.seg_id
+            JOIN intro i ON i.url = o.url AND i.o = o.ordinal
+            JOIN wv4 iw ON iw.url = o.url
+                       AND iw.version = GREATEST(i.gv, ss.seg_start)
+            WHERE v.visible
+        ),
+        verbad AS (
+            SELECT url, version,
+                   MAX(CASE WHEN NOT intro_acc THEN 1 ELSE 0 END)
+                       AS geom_bad
+            FROM attr GROUP BY url, version
+        ),
+        flags AS (
+            SELECT v.*,
+                   (v.version = ss.seg_start) AS is_seg_start,
+                   MAX(CASE WHEN v.version = ss.seg_start
+                             AND NOT v.accepted
+                            THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY v.url ORDER BY v.version)
+                       AS tainted_upto
+            FROM wv4 v
+            JOIN segstarts ss ON ss.url = v.url
+                             AND ss.seg_id = v.seg_id
+            WHERE v.visible
+        ),
+        redacts AS (
+            SELECT v.url, 'redact' AS action, v.version,
+                   CASE WHEN v.accepted THEN 'visible'
+                        WHEN v.is_seg_start THEN 'hidden'
+                        WHEN v.L > v.Lprev THEN 'hidden'
+                        ELSE 'visible' END AS mode,
+                   CAST(NULL AS VARCHAR) AS new_tags,
+                   CAST(NULL AS VARCHAR) AS {out_col}
+            FROM flags v
+            JOIN verbad b ON b.url = v.url AND b.version = v.version
+            WHERE b.geom_bad = 1 OR v.tainted_upto = 1
+        ),
+        firsts AS (
+            SELECT url, MAX(version) AS n,
+                   arg_max(visible, version) AS last_visible
+            FROM wv4 GROUP BY url
+        ),
+        taints AS (
+            SELECT url,
+                   MAX(CASE WHEN is_seg_start AND NOT accepted
+                            THEN 1 ELSE 0 END) AS tainted_any
+            FROM flags GROUP BY url
+        ),
+        bfinal AS (
+            SELECT a.url,
+                   SUM(CASE WHEN a.intro_acc THEN 1 ELSE 0 END) AS nb,
+                   COUNT(*) AS ntot,
+                   {member_agg} AS mstr
+            FROM attr a
+            JOIN firsts f ON a.url = f.url AND a.version = f.n
+            GROUP BY a.url
+        ),
+        deletes AS (
+            SELECT b.url, 'delete' AS action,
+                   CAST(NULL AS INT) AS version,
+                   CAST(NULL AS VARCHAR) AS mode,
+                   CAST(NULL AS VARCHAR) AS new_tags,
+                   CAST(NULL AS VARCHAR) AS {out_col}
+            FROM bfinal b WHERE b.nb < {min_len}
+        ),
+        edits AS (
+            SELECT b.url, 'edit' AS action,
+                   CAST(f.n AS INT) AS version,
+                   CAST(NULL AS VARCHAR) AS mode,
+                   CASE WHEN t.tainted_any = 1 THEN '{{}}'
+                        ELSE {tags_lit} END AS new_tags,
+                   {member_render} AS {out_col}
+            FROM bfinal b
+            JOIN firsts f USING (url)
+            JOIN taints t USING (url)
+            WHERE b.nb >= {min_len}
+              AND (t.tainted_any = 1 OR b.nb <> b.ntot)
+        )
+        SELECT * FROM redacts
+        UNION ALL SELECT * FROM deletes
+        UNION ALL SELECT * FROM edits
+    """)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -2271,224 +2441,39 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL SELECT * FROM deletes
             UNION ALL SELECT * FROM edits
         """),
-        # A7 ways restriction: the same corpus derivation as
-        # _way_corpus (identical arithmetic), then the validated
-        # closed form of the fold on append/tail-delete histories:
-        # clean node list = nodes introduced by ACCEPTED versions;
-        # redact when tags tainted (v1 unaccepted creates {"kind"})
-        # or any unaccepted-introduced node is present; mode hidden
-        # iff the version is unaccepted AND appended (inserts are not
-        # only-deletes); final: <2 clean nodes → delete, else edit
-        # when tags tainted or clean list ≠ last observed list.
-        "classify_actions_ways": _with_pages("""
-            , wv AS (
-                SELECT p.url, p.doc_id,
-                       CAST(p.version AS INT) AS version, s.accepted,
-                       CAST(2 + (p.doc_id*37 + p.version*p.version*11
-                                 + p.version*5) % 5 AS INT) AS L
-                FROM pages p JOIN cs_status s USING (changeset_id)
+        # A7 ways/relations restrictions: corpus derivation identical
+        # to _append_delete_corpus (same arithmetic, real visibility),
+        # then the segment-aware closed form of the fold — see
+        # _fold_restriction_sql for the derivation and validation.
+        "classify_actions_ways": _fold_restriction_sql(
+            l_sql=(
+                "2 + (p.doc_id*37 + p.version*p.version*11"
+                " + p.version*5) % 5"
             ),
-            wv2 AS (
-                SELECT *, COALESCE(LAG(L) OVER (PARTITION BY url
-                                   ORDER BY version), 0) AS Lprev
-                FROM wv
+            min_len=2,
+            tags_lit="'{\"kind\": \"way\"}'",
+            member_agg=(
+                "string_agg(CAST(a.ordinal AS VARCHAR), ','"
+                " ORDER BY a.p) FILTER (WHERE a.intro_acc)"
             ),
-            wv3 AS (
-                SELECT *,
-                       CAST(SUM(GREATEST(L - Lprev, 0)) OVER (
-                           PARTITION BY url ORDER BY version)
-                           AS BIGINT) AS A
-                FROM wv2
+            member_render="b.mstr",
+            out_col="new_nodes_str",
+        ),
+        "classify_actions_relations": _fold_restriction_sql(
+            l_sql=(
+                "1 + (p.doc_id*41 + p.version*p.version*13"
+                " + p.version*9) % 5"
             ),
-            wv4 AS (SELECT *, A - L AS D FROM wv3),
-            pos AS (
-                SELECT url, version, L,
-                       UNNEST(range(0, CAST(L AS BIGINT))) AS p
-                FROM wv4
+            min_len=1,
+            tags_lit="'{\"kind\": \"rel\"}'",
+            member_agg=(
+                "string_agg('[\"node\", ' || CAST(a.ordinal AS VARCHAR)"
+                " || ', \"\"]', ', ' ORDER BY a.p)"
+                " FILTER (WHERE a.intro_acc)"
             ),
-            ords AS (
-                SELECT po.url, po.version, po.p,
-                       po.p + 1 + MAX(f.D) AS ordinal
-                FROM pos po
-                JOIN wv4 f ON f.url = po.url
-                          AND f.Lprev <= po.p AND po.p < f.L
-                          AND f.version <= po.version
-                GROUP BY po.url, po.version, po.p
-            ),
-            intro AS (
-                SELECT url, accepted AS intro_acc,
-                       UNNEST(range(A - GREATEST(L - Lprev, 0) + 1,
-                                    A + 1)) AS o
-                FROM wv4
-            ),
-            verbad AS (
-                SELECT o.url, o.version,
-                       MAX(CASE WHEN NOT i.intro_acc THEN 1 ELSE 0 END)
-                           AS geom_bad
-                FROM ords o
-                JOIN intro i ON i.url = o.url AND i.o = o.ordinal
-                GROUP BY o.url, o.version
-            ),
-            firsts AS (
-                SELECT url, arg_min(accepted, version) AS clean1,
-                       MAX(version) AS n
-                FROM wv4 GROUP BY url
-            ),
-            redacts AS (
-                SELECT v.url, 'redact' AS action, v.version,
-                       CASE WHEN v.accepted THEN 'visible'
-                            WHEN v.L > v.Lprev THEN 'hidden'
-                            ELSE 'visible' END AS mode,
-                       CAST(NULL AS VARCHAR) AS new_tags,
-                       CAST(NULL AS VARCHAR) AS new_nodes_str
-                FROM wv4 v
-                JOIN verbad b USING (url, version)
-                JOIN firsts f USING (url)
-                WHERE b.geom_bad = 1 OR NOT f.clean1
-            ),
-            bfinal AS (
-                SELECT o.url,
-                       SUM(CASE WHEN i.intro_acc THEN 1 ELSE 0 END)
-                           AS nb,
-                       COUNT(*) AS ntot,
-                       string_agg(CAST(o.ordinal AS VARCHAR), ','
-                                  ORDER BY o.p)
-                           FILTER (WHERE i.intro_acc) AS bstr
-                FROM ords o
-                JOIN firsts lv ON o.url = lv.url AND o.version = lv.n
-                JOIN intro i ON i.url = o.url AND i.o = o.ordinal
-                GROUP BY o.url
-            ),
-            deletes AS (
-                SELECT b.url, 'delete' AS action,
-                       CAST(NULL AS INT) AS version,
-                       CAST(NULL AS VARCHAR) AS mode,
-                       CAST(NULL AS VARCHAR) AS new_tags,
-                       CAST(NULL AS VARCHAR) AS new_nodes_str
-                FROM bfinal b WHERE b.nb < 2
-            ),
-            edits AS (
-                SELECT b.url, 'edit' AS action,
-                       CAST(f.n AS INT) AS version,
-                       CAST(NULL AS VARCHAR) AS mode,
-                       CASE WHEN f.clean1 THEN '{"kind": "way"}'
-                            ELSE '{}' END AS new_tags,
-                       b.bstr AS new_nodes_str
-                FROM bfinal b JOIN firsts f USING (url)
-                WHERE b.nb >= 2
-                  AND (NOT f.clean1 OR b.nb <> b.ntot)
-            )
-            SELECT * FROM redacts
-            UNION ALL SELECT * FROM deletes
-            UNION ALL SELECT * FROM edits
-        """),
-        # A7 relations restriction: identical closed form to ways
-        # (see q_classify_actions_relations — the geom==@old shortcut
-        # and alter/move detection are no-ops on this corpus), with
-        # validity ≥1 member and members rendered as the fold's exact
-        # json.dumps byte format.
-        "classify_actions_relations": _with_pages("""
-            , wv AS (
-                SELECT p.url, p.doc_id,
-                       CAST(p.version AS INT) AS version, s.accepted,
-                       CAST(1 + (p.doc_id*41 + p.version*p.version*13
-                                 + p.version*9) % 5 AS INT) AS L
-                FROM pages p JOIN cs_status s USING (changeset_id)
-            ),
-            wv2 AS (
-                SELECT *, COALESCE(LAG(L) OVER (PARTITION BY url
-                                   ORDER BY version), 0) AS Lprev
-                FROM wv
-            ),
-            wv3 AS (
-                SELECT *,
-                       CAST(SUM(GREATEST(L - Lprev, 0)) OVER (
-                           PARTITION BY url ORDER BY version)
-                           AS BIGINT) AS A
-                FROM wv2
-            ),
-            wv4 AS (SELECT *, A - L AS D FROM wv3),
-            pos AS (
-                SELECT url, version, L,
-                       UNNEST(range(0, CAST(L AS BIGINT))) AS p
-                FROM wv4
-            ),
-            ords AS (
-                SELECT po.url, po.version, po.p,
-                       po.p + 1 + MAX(f.D) AS ordinal
-                FROM pos po
-                JOIN wv4 f ON f.url = po.url
-                          AND f.Lprev <= po.p AND po.p < f.L
-                          AND f.version <= po.version
-                GROUP BY po.url, po.version, po.p
-            ),
-            intro AS (
-                SELECT url, accepted AS intro_acc,
-                       UNNEST(range(A - GREATEST(L - Lprev, 0) + 1,
-                                    A + 1)) AS o
-                FROM wv4
-            ),
-            verbad AS (
-                SELECT o.url, o.version,
-                       MAX(CASE WHEN NOT i.intro_acc THEN 1 ELSE 0 END)
-                           AS geom_bad
-                FROM ords o
-                JOIN intro i ON i.url = o.url AND i.o = o.ordinal
-                GROUP BY o.url, o.version
-            ),
-            firsts AS (
-                SELECT url, arg_min(accepted, version) AS clean1,
-                       MAX(version) AS n
-                FROM wv4 GROUP BY url
-            ),
-            redacts AS (
-                SELECT v.url, 'redact' AS action, v.version,
-                       CASE WHEN v.accepted THEN 'visible'
-                            WHEN v.L > v.Lprev THEN 'hidden'
-                            ELSE 'visible' END AS mode,
-                       CAST(NULL AS VARCHAR) AS new_tags,
-                       CAST(NULL AS VARCHAR) AS new_members_json
-                FROM wv4 v
-                JOIN verbad b USING (url, version)
-                JOIN firsts f USING (url)
-                WHERE b.geom_bad = 1 OR NOT f.clean1
-            ),
-            bfinal AS (
-                SELECT o.url,
-                       SUM(CASE WHEN i.intro_acc THEN 1 ELSE 0 END)
-                           AS nb,
-                       COUNT(*) AS ntot,
-                       string_agg('["node", ' || CAST(o.ordinal AS VARCHAR)
-                                  || ', ""]', ', ' ORDER BY o.p)
-                           FILTER (WHERE i.intro_acc) AS mstr
-                FROM ords o
-                JOIN firsts lv ON o.url = lv.url AND o.version = lv.n
-                JOIN intro i ON i.url = o.url AND i.o = o.ordinal
-                GROUP BY o.url
-            ),
-            deletes AS (
-                SELECT b.url, 'delete' AS action,
-                       CAST(NULL AS INT) AS version,
-                       CAST(NULL AS VARCHAR) AS mode,
-                       CAST(NULL AS VARCHAR) AS new_tags,
-                       CAST(NULL AS VARCHAR) AS new_members_json
-                FROM bfinal b WHERE b.nb < 1
-            ),
-            edits AS (
-                SELECT b.url, 'edit' AS action,
-                       CAST(f.n AS INT) AS version,
-                       CAST(NULL AS VARCHAR) AS mode,
-                       CASE WHEN f.clean1 THEN '{"kind": "rel"}'
-                            ELSE '{}' END AS new_tags,
-                       '[' || b.mstr || ']' AS new_members_json
-                FROM bfinal b JOIN firsts f USING (url)
-                WHERE b.nb >= 1
-                  AND (NOT f.clean1 OR b.nb <> b.ntot)
-            )
-            SELECT * FROM redacts
-            UNION ALL SELECT * FROM deletes
-            UNION ALL SELECT * FROM edits
-        """),
+            member_render="'[' || b.mstr || ']'",
+            out_col="new_members_json",
+        ),
         # G1/G2 cascade: the reference's ≤3 bounded passes
         # (change_bot.rb:280-372) replayed as explicit CTE stages over
         # the same derived 3-level world.  Node deletes reuse the
