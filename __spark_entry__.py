@@ -338,6 +338,28 @@ def q_knn_neighborhood(spark, sf_dir):
     )
 
 
+def q_knn_neighborhood_agg(spark, sf_dir):
+    """J11b (sort-free physical strategy): identical semantics to
+    ``knn_neighborhood`` — 3×3 probing, wrapped-lon distance,
+    (dist2, id) tie-break — computed via per-cell candidate arrays +
+    native higher-order functions instead of the pair-stream window
+    (no per-partition pair sort anywhere; see
+    ``spatial.knn_neighborhood_agg``).  Shares the window variant's
+    DuckDB oracle, so the driver hash-verifies the A/B equivalence."""
+    flagged = _pages_flagged(spark, sf_dir)
+    latest = lineage.latest_version(flagged, cols=["accepted", "lon", "lat"])
+    dirty = latest.where(~F.col("accepted")).select("url", "lon", "lat")
+    clean = latest.where(F.col("accepted")).select(
+        F.col("url").alias("cand_url"), "lon", "lat"
+    )
+    out = spatial.knn_neighborhood(
+        dirty, clean, k=3, res_deg=30.0, strategy="agg"
+    )
+    return out.select(
+        "url", "cand_url", F.col("knn_rank"), F.round("dist2", 6).alias("dist2_r")
+    )
+
+
 def q_dedup_exact(spark, sf_dir):
     """Exact dedup groups by md5(text)."""
     docs = pages_src.documents(spark, sf_dir)
@@ -1126,6 +1148,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pip_rect": q_pip_rect,
         "knn_in_cell": q_knn_in_cell,
         "knn_neighborhood": q_knn_neighborhood,
+        "knn_neighborhood_agg": q_knn_neighborhood_agg,
         "dedup_exact": q_dedup_exact,
         "ngram_jaccard": q_ngram_jaccard,
         "ngram_jaccard_capped": q_ngram_jaccard_capped,
@@ -1443,7 +1466,7 @@ def oracle_sql() -> dict[str, str]:
             )
     """
 
-    return {
+    d = {
         "latest_version": _with_pages("""
             SELECT url,
                    version AS last_version,
@@ -2644,3 +2667,8 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'relation', rel_id, 'delete', -1 FROM rel_del_all
         """),
     }
+    # the agg-strategy kNN is semantically identical to the window
+    # variant (A/B-tested in test_spatial_scheduling.py); sharing the
+    # oracle makes the driver hash-verify that equivalence every round
+    d["knn_neighborhood_agg"] = d["knn_neighborhood"]
+    return d

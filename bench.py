@@ -114,6 +114,10 @@ def run_queries(spark, sf_dir):
         queries.append((name, thunk))
 
     def run_rounds() -> dict[str, float]:
+        only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
+        if only:
+            keep = set(only.split(","))
+            queries[:] = [(n, t) for n, t in queries if n in keep]
         vals: dict[str, list[float]] = {n: [] for n, _ in queries}
         if warm:
             for _, thunk in queries:
@@ -168,10 +172,23 @@ def run_queries(spark, sf_dir):
 
     timed("tile_assign_rollup", lambda: _noop_write(spatial.tile_rollup(cells)))
 
-    # 0.25° cells: cell-local kNN needs the resolution matched to point
-    # density so per-cell candidate fan-out stays bounded as data grows
+    # kNN cell resolution MUST track point density so per-cell
+    # candidate fan-out stays bounded as the table grows — at a fixed
+    # 0.25° the ×2048 input put ~25 points/cell and the 3×3 probe join
+    # emitted billions of pairs (measured 425 s at local[1]).  Pick the
+    # finest ladder step keeping expected density ≤ 2 points/cell:
+    # n·res²/64800 ≤ 2.  At the driver-bench size (×64, 800k pages)
+    # this resolves to the historical 0.25°.
+    res_knn = next(
+        (
+            r
+            for r in (4.0, 2.0, 1.0, 0.5, 0.25, 0.125, 0.0625, 0.03125)
+            if n_pages * r * r / 64800.0 <= 2.0
+        ),
+        0.03125,
+    )
     latest_plan = lineage.latest_version(
-        spatial.assign_cells(flagged, res_deg=0.25).select(
+        spatial.assign_cells(flagged, res_deg=res_knn).select(
             "url", "version", "accepted", "lon", "lat", "cell"
         )
     )
@@ -209,10 +226,23 @@ def run_queries(spark, sf_dir):
     clean_nn = latest.where(F.col("accepted")).select(
         F.col("url").alias("cand_url"), "lon", "lat"
     )
+    # headline = the operator's DEFAULT (window) strategy — at
+    # density-matched resolution it beat the agg variant at BOTH
+    # parallelism levels in the round-4 interleaved ×2048 run
+    # (86.2→25.6 s vs 121.7→34.2 s); agg stays as a timed A/B so a
+    # future density regime that flips the trade shows up in BENCH_rN
     timed(
         "knn_neighborhood",
         lambda: _noop_write(
-            spatial.knn_neighborhood(dirty_nn, clean_nn, k=3, res_deg=0.25)
+            spatial.knn_neighborhood(dirty_nn, clean_nn, k=3, res_deg=res_knn)
+        ),
+    )
+    timed(
+        "knn_neighborhood_agg",
+        lambda: _noop_write(
+            spatial.knn_neighborhood(
+                dirty_nn, clean_nn, k=3, res_deg=res_knn, strategy="agg"
+            )
         ),
     )
     timed(
@@ -268,12 +298,13 @@ def run_once(cpus=None):
         spark.stop()
 
     total = round(sum(timings.values()), 3)
-    spatial_sec = (
-        timings["tile_assign_rollup"]
-        + timings["latest_snapshot"]
-        + timings["pip_rect"]
-        + timings["knn_neighborhood"]
-    )
+    spatial_sec = sum(
+        timings.get(q, 0.0)
+        for q in (
+            "tile_assign_rollup", "latest_snapshot",
+            "pip_rect", "knn_neighborhood",
+        )
+    ) or total  # SPARK_GRAFT_BENCH_ONLY probes may omit composite members
     result = {
         "metric": "spatial-join + tile-assignment throughput",
         "value": total,
@@ -309,6 +340,12 @@ def scaling_mode():
         for x in os.environ.get("SPARK_GRAFT_SCALING_LEVELS", "1,4").split(",")
     ]
     trials = int(os.environ.get("SPARK_GRAFT_BENCH_TRIALS", "3"))
+    # ×2048 (25.6M pages) is the protocol size: per-trial work must
+    # dwarf the fixed serial prefix (driver scheduling, stage setup) or
+    # the larger level pays it proportionally more and the measured
+    # efficiency understates the engine (measured: eff 0.67 at ×256 vs
+    # 0.90 at ×2048 with the same code)
+    repl = os.environ.get("SPARK_GRAFT_BENCH_REPL", "2048")
 
     # stage the shared input table ONCE at full parallelism; every
     # pinned trial at every level then reads identical bytes (staging
@@ -321,7 +358,7 @@ def scaling_mode():
         os.environ,
         SPARK_GRAFT_CPUS=os.environ.get("SPARK_GRAFT_STAGE_CPUS", "32"),
         SPARK_GRAFT_STAGE_DIR=stage_root,
-        SPARK_GRAFT_BENCH_REPL=os.environ.get("SPARK_GRAFT_BENCH_REPL", "256"),
+        SPARK_GRAFT_BENCH_REPL=repl,
     )
     stage_proc = subprocess.run(
         [sys.executable, os.path.abspath(__file__), "--stage-only"],
@@ -348,9 +385,7 @@ def scaling_mode():
                 SPARK_GRAFT_CPUS=str(cpus),
                 SPARK_GRAFT_BENCH_WARM="1",
                 SPARK_GRAFT_BENCH_BEST_OF="1",
-                SPARK_GRAFT_BENCH_REPL=os.environ.get(
-                    "SPARK_GRAFT_BENCH_REPL", "256"
-                ),
+                SPARK_GRAFT_BENCH_REPL=repl,
                 # AQE re-planning is driver-serial: on 1-8 local cores
                 # it is a constant-time tax that a 1000-executor
                 # cluster amortizes per stage.  The scaling pair runs
@@ -384,10 +419,13 @@ def scaling_mode():
         best_q = {
             q: min(r["queries"][q] for r in rs) for q in rs[0]["queries"]
         }
-        spatial_sec = (
-            best_q["tile_assign_rollup"] + best_q["latest_snapshot"]
-            + best_q["pip_rect"] + best_q["knn_neighborhood"]
-        )
+        spatial_sec = sum(
+            best_q.get(q, 0.0)
+            for q in (
+                "tile_assign_rollup", "latest_snapshot",
+                "pip_rect", "knn_neighborhood",
+            )
+        ) or sum(best_q.values())  # SPARK_GRAFT_BENCH_ONLY probes
         results[lv] = {
             "queries": best_q,
             "n_pages": rs[0]["n_pages"],
@@ -421,7 +459,7 @@ def scaling_mode():
             "Trials are interleaved and per-query minima composed to factor out\n"
             "noisy-neighbor interference (idle load avg ~8 observed).\n\n"
             f"- input: {os.environ.get('SPARK_GRAFT_SF_DIR', '/root/testdata/sf0.1')}"
-            f" (pages amplified ×{REPLICATION})\n"
+            f" (pages amplified ×{repl})\n"
             f"- primary metric: spatial-join + tile-assignment throughput\n\n"
             "| parallelism | pages | spatial pipeline throughput (pages/sec) | best-composed bench sec |\n"
             "|---|---|---|---|\n"

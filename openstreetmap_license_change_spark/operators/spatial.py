@@ -544,6 +544,7 @@ def knn_neighborhood(
     res_deg: float = DEFAULT_RES_DEG,
     point_id: str = "url",
     cand_id: str = "cand_url",
+    strategy: str = "window",
 ) -> DataFrame:
     """kNN with 3×3 neighbor-cell probing: like :func:`knn_in_cell`
     but a point also sees candidates in the 8 surrounding cells, so
@@ -568,7 +569,20 @@ def knn_neighborhood(
     a top-k slot — the wrapped probe would be ineffective.  dist2 uses
     ``least(|Δlon|, 360−|Δlon|)²`` in both the operator and the DuckDB
     oracle (equirectangular degrees² either way; great-circle metric
-    is out of scope, as documented for the whole kNN family)."""
+    is out of scope, as documented for the whole kNN family).
+
+    ``strategy``: ``"window"`` (pair stream + partial WindowGroupLimit
+    — robust to per-cell skew) or ``"agg"`` (sort-free per-cell-array
+    plan, :func:`knn_neighborhood_agg` — wins on density-matched grids
+    where the window's per-partition pair sort spills under task
+    concurrency).  Identical results either way (A/B-tested)."""
+    if strategy == "agg":
+        return knn_neighborhood_agg(
+            points, candidates, k=k, res_deg=res_deg,
+            point_id=point_id, cand_id=cand_id,
+        )
+    if strategy != "window":
+        raise ValueError(f"unknown strategy {strategy!r}")
     probes = points.withColumn(
         "probe_cell",
         F.explode(neighbor_cells(F.col("lon"), F.col("lat"), res_deg)),
@@ -591,6 +605,85 @@ def knn_neighborhood(
         joined.withColumn("knn_rank", F.row_number().over(w))
         .where(F.col("knn_rank") <= k)
         .select(*point_cols, cand_id, "dist2", "knn_rank")
+    )
+
+
+def knn_neighborhood_agg(
+    points: DataFrame,
+    candidates: DataFrame,
+    k: int = 3,
+    res_deg: float = DEFAULT_RES_DEG,
+    point_id: str = "url",
+    cand_id: str = "cand_url",
+) -> DataFrame:
+    """:func:`knn_neighborhood` semantics (3×3 probing, wrapped-lon
+    distance, (dist2, id) tie-break) with a SORT-FREE physical
+    strategy for density-matched grids.
+
+    The window variant materializes the full (point × neighborhood
+    candidate) pair stream and SORTS it per partition to feed the
+    partial WindowGroupLimit — at 25.6M points that sort is hundreds
+    of MB per task and SPILLS when multiple tasks share executor
+    memory (per-task memory shrinks with concurrency), which is
+    exactly the asymmetry that tanks N→4N scaling on one box.  Here
+    candidates aggregate into per-cell arrays instead (one
+    map-side-combined groupBy), the exploded probes join those ~small
+    arrays, the per-(point, cell) top-k is computed INSIDE the row
+    with native higher-order functions (transform → array_sort →
+    slice — whole-stage codegen, no row explosion), and the final
+    per-point merge combines ≤9 small arrays via a partially-
+    aggregated collect_list.  No pair row is ever materialized, no
+    large sort runs anywhere.
+
+    Trade, stated: per-cell collect_list makes a hot cell's array as
+    big as its population — correct only when the grid is density-
+    matched (the operator's contract everywhere); for skewed planetary
+    data at a fixed coarse grid, use the window variant or
+    ``salt_hot_cells``/``detect_hot_cells`` first."""
+    c_cell = grid_cell(F.col("lon"), F.col("lat"), res_deg)
+    cand_cells = candidates.groupBy(c_cell.alias("c_cell")).agg(
+        F.collect_list(
+            F.struct(
+                F.col(cand_id).alias("cid"),
+                F.col("lon").alias("clon"),
+                F.col("lat").alias("clat"),
+            )
+        ).alias("cands")
+    )
+    probes = points.withColumn(
+        "probe_cell",
+        F.explode(neighbor_cells(F.col("lon"), F.col("lat"), res_deg)),
+    )
+
+    def scored(c):
+        dlon_raw = F.abs(F.col("lon") - c["clon"])
+        dlon = F.least(dlon_raw, F.lit(360.0) - dlon_raw)
+        dlat = F.col("lat") - c["clat"]
+        return F.struct(
+            (dlon * dlon + dlat * dlat).alias("dist2"),
+            c["cid"].alias("cand"),
+        )
+
+    point_cols = [c2 for c2 in points.columns]
+    tops = probes.join(
+        cand_cells, probes.probe_cell == cand_cells.c_cell, "inner"
+    ).withColumn(
+        "top",
+        F.slice(F.array_sort(F.transform("cands", scored)), 1, k),
+    )
+    merged = tops.groupBy(*point_cols).agg(
+        F.slice(
+            F.array_sort(F.flatten(F.collect_list("top"))), 1, k
+        ).alias("_nn")
+    )
+    return (
+        merged.select(*point_cols, F.posexplode("_nn").alias("_pos", "_n1"))
+        .select(
+            *point_cols,
+            F.col("_n1.cand").alias(cand_id),
+            F.col("_n1.dist2").alias("dist2"),
+            (F.col("_pos") + 1).alias("knn_rank"),
+        )
     )
 
 

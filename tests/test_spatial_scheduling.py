@@ -203,6 +203,17 @@ def test_knn_neighborhood_vs_bruteforce(spark):
         for (_, _, d_have), (_, _, d_want) in zip(have, want):
             assert abs(d_have - d_want) < 1e-9
 
+    # A/B: the sort-free aggregation variant returns IDENTICAL rows
+    # (same wrapped distance, same (dist2, id) tie-break)
+    got_agg = {}
+    for r in spatial.knn_neighborhood_agg(
+        dirty, clean, k=3, res_deg=res
+    ).collect():
+        got_agg.setdefault(r.url, []).append((r.knn_rank, r.cand_url, r.dist2))
+    assert {u: sorted(v) for u, v in got.items()} == {
+        u: sorted(v) for u, v in got_agg.items()
+    }
+
     # the planted pair: neighborhood kNN finds it at rank 1
     assert got["d_edge"][0][1] == "c_edge"
     # the antimeridian pair: found at rank 1 with the WRAPPED distance
