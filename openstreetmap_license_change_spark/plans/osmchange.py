@@ -239,16 +239,30 @@ def osmchange_doc(actions: DataFrame, changeset_id: int = -1) -> str:
     return HEADER + "\n" + "".join(r.fragment for r in frags) + FOOTER + "\n"
 
 
-def write_osmchange(actions: DataFrame, path: str, changeset_id: int = -1) -> None:
+def write_osmchange(actions: DataFrame, path: str, changeset_id: int = -1) -> int:
     """Scale path: fragments written as ordered text shards (header and
     footer live in sidecar part files, mirroring how multi-file
-    osmChange exports are concatenated downstream)."""
+    osmChange exports are concatenated downstream).
+
+    Returns the number of element fragments written, collected via an
+    ``Observation`` attached to the write job itself — no second pass
+    over the (globally range-sorted) fragment stream.  The sort keys
+    (action_rank, type_rank, element_id) are a total order, so the
+    concatenated body bytes are deterministic; only shard *boundaries*
+    vary run-to-run (range partitioner sampling)."""
+    from pyspark.sql import Observation
+
     spark = actions.sparkSession
-    frags = osmchange_fragments(actions, changeset_id).orderBy(
-        "action_rank", "type_rank", "element_id"
+    obs = Observation("osmchange_fragments")
+    frags = (
+        osmchange_fragments(actions, changeset_id)
+        .orderBy("action_rank", "type_rank", "element_id")
+        .select("fragment")
+        .observe(obs, F.count(F.lit(1)).alias("n"))
     )
     header = spark.createDataFrame([(HEADER,)], "fragment string")
     footer = spark.createDataFrame([(FOOTER,)], "fragment string")
     header.select("fragment").write.mode("overwrite").text(f"{path}/_header")
-    frags.select("fragment").write.mode("overwrite").text(f"{path}/body")
+    frags.write.mode("overwrite").text(f"{path}/body")
     footer.select("fragment").write.mode("overwrite").text(f"{path}/_footer")
+    return int(obs.get["n"])

@@ -87,6 +87,37 @@ class StageRunner:
         self._commit_audit()
         return out
 
+    def run_sink(
+        self, stage: str, lineage_key: str, write, path: str | None = None
+    ) -> str:
+        """Build-or-resume a non-parquet SINK stage (e.g. the S9
+        osmChange text shards): ``write(path)`` must materialize the
+        sink under ``path`` and return its row count.  Same commit
+        contract as ``run``: the audit row (rows/bytes/wall/lineage)
+        lands only after the write completes, so a kill mid-write
+        leaves an uncommitted stage that resume re-runs from scratch
+        (the sink write is overwrite-mode, hence idempotent)."""
+        path = path or self._stage_dir(stage)
+        meta = self.audit.get(stage)
+        if meta and meta.get("lineage") == lineage_key and os.path.isdir(path):
+            return path
+        t0 = time.time()
+        rows = write(path)
+        nbytes = sum(
+            os.path.getsize(os.path.join(r, f))
+            for r, _, fs in os.walk(path)
+            for f in fs
+        )
+        self.audit[stage] = {
+            "lineage": lineage_key,
+            "rows": rows,
+            "bytes": nbytes,
+            "wall_sec": round(time.time() - t0, 3),
+            "committed_at_stage_order": len(self.audit),
+        }
+        self._commit_audit()
+        return path
+
     def run_bucketed(
         self,
         stage: str,
@@ -233,12 +264,19 @@ def run_pipeline(
     )
     if osmchange_dir is not None:
         # S9: the changeset document — edits+deletes as osmChange XML
-        # shards (redactions stay API-side, change_bot.rb:296-319)
+        # shards (redactions stay API-side, change_bot.rb:296-319) —
+        # committed as an audited sink stage so the ledger carries its
+        # rows/bytes/wall and resume skips a completed export
         from . import osmchange as oc
 
         latest = lineage.latest_version(flagged.select("url", "version"))
-        oc.write_osmchange(
-            oc.actions_to_osmchange_input(actions, latest), osmchange_dir
+        runner.run_sink(
+            "osmchange",
+            key,
+            lambda path: oc.write_osmchange(
+                oc.actions_to_osmchange_input(actions, latest), path
+            ),
+            path=osmchange_dir,
         )
 
     return {

@@ -69,8 +69,10 @@ def child(work, sf_dir, repl, kill_on_stage):
         threading.Thread(target=watchdog, daemon=True).start()
 
     spark = get_spark("soak")
+    oc_dir = os.path.join(work, "osmchange")
     out = run_pipeline(
-        spark, sf_dir, work, pages_builder=_amplified_builder(repl)
+        spark, sf_dir, work, pages_builder=_amplified_builder(repl),
+        osmchange_dir=oc_dir,
     )
     # a tiny deterministic digest of the final output, for the parent
     from pyspark.sql import functions as F
@@ -93,7 +95,23 @@ def child(work, sf_dir, repl, kill_on_stage):
         )
         .collect()[0]
     )
-    print(json.dumps({"rows": digest.n, "hash": digest.h}))
+    # S9 sink audit: the osmChange body's global sort keys are a total
+    # order, so line count / byte sum / line-hash sum are deterministic
+    # regardless of where the range partitioner cuts the shards
+    oc = (
+        spark.read.text(os.path.join(oc_dir, "body"))
+        .select(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.length("value") + F.lit(1)).alias("nbytes"),
+            F.sum(F.pmod(F.xxhash64("value"), F.lit(2 ** 31))).alias("h"),
+        )
+        .collect()[0]
+    )
+    print(json.dumps({
+        "rows": digest.n,
+        "hash": digest.h,
+        "osmchange": {"lines": oc.n, "bytes": oc.nbytes, "hash": oc.h},
+    }))
     spark.stop()
 
 

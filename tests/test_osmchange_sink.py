@@ -143,3 +143,28 @@ def test_pipeline_emits_osmchange_shards(spark, tmp_path):
     assert n_frag_lines > 0
     header = spark.read.text(f"{oc_dir}/_header").collect()[0].value
     assert header.startswith("<osmChange")
+
+    # the sink commits as an audited stage: rows = fragment count from
+    # the write job's own Observation, bytes from the shard walk
+    import json as _json
+    import os as _os
+
+    audit = _json.load(open(str(tmp_path / "work" / "_audit.json")))
+    assert audit["osmchange"]["rows"] > 0
+    assert audit["osmchange"]["bytes"] > 0
+
+    # resume skips a committed export: body mtimes unchanged on re-run
+    body_dir = f"{oc_dir}/body"
+    before = {
+        f: _os.path.getmtime(_os.path.join(body_dir, f))
+        for f in _os.listdir(body_dir)
+    }
+    run_pipeline(
+        spark, "/root/testdata/sf0.001", str(tmp_path / "work"),
+        osmchange_dir=oc_dir,
+    )
+    after = {
+        f: _os.path.getmtime(_os.path.join(body_dir, f))
+        for f in _os.listdir(body_dir)
+    }
+    assert after == before
