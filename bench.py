@@ -176,9 +176,10 @@ def run_queries(spark, sf_dir):
     # candidate fan-out stays bounded as the table grows — at a fixed
     # 0.25° the ×2048 input put ~25 points/cell and the 3×3 probe join
     # emitted billions of pairs (measured 425 s at local[1]).  Pick the
-    # finest ladder step keeping expected density ≤ 2 points/cell:
-    # n·res²/64800 ≤ 2.  At the driver-bench size (×64, 800k pages)
-    # this resolves to the historical 0.25°.
+    # coarsest ladder step keeping expected density ≤ 2 points/cell
+    # (n·res²/64800 ≤ 2 — coarser blows up the probe join, finer just
+    # leaves cells emptier than needed).  At the driver-bench size
+    # (×64, 800k pages) this resolves to the historical 0.25°.
     res_knn = next(
         (
             r
