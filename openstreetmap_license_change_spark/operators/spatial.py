@@ -470,6 +470,7 @@ def knn_in_cell(
     k: int = 3,
     point_id: str = "url",
     cand_id: str = "cand_url",
+    join_hint: str | None = "shuffle_hash",
 ) -> DataFrame:
     """Cell-local kNN: join points to candidates sharing a cell, rank by
     squared distance (exact arithmetic — reproducible in SQL) with a
@@ -485,8 +486,18 @@ def knn_in_cell(
     (collect_list variant kept below for A/B).
 
     One shuffle on cell for each side; salting for hot cells is the
-    caller's choice via ``salt_hot_cells``."""
-    joined = _knn_pairs(points, candidates, cand_id)
+    caller's choice via ``salt_hot_cells``.
+
+    ``join_hint="shuffle_hash"`` (default) builds a per-partition hash
+    map over the candidate side instead of sort-merging: the pair join
+    needs no ordering (the window's partial top-k sorts its OWN output
+    anyway), so the two join-input sorts are pure waste.  The build
+    side per partition is candidates/shuffle-partitions — bounded
+    under the density-matched-grid contract, and AQE's skew-join
+    splitting (OptimizeSkewedJoin) covers shuffled-hash joins for hot
+    cells.  Pass ``None`` to fall back to Catalyst's choice
+    (sort-merge) when the candidate side is not density-bounded."""
+    joined = _knn_pairs(points, candidates, cand_id, join_hint=join_hint)
     point_cols = [c2 for c2 in points.columns]
     w = W.partitionBy(point_id).orderBy("dist2", cand_id)
     return (
@@ -496,13 +507,15 @@ def knn_in_cell(
     )
 
 
-def _knn_pairs(points, candidates, cand_id):
+def _knn_pairs(points, candidates, cand_id, join_hint=None):
     c = candidates.select(
         F.col("cell").alias("c_cell"),
         F.col(cand_id),
         F.col("lon").alias("c_lon"),
         F.col("lat").alias("c_lat"),
     )
+    if join_hint:
+        c = c.hint(join_hint)
     return points.join(c, points.cell == c.c_cell, "inner").withColumn(
         "dist2",
         (F.col("lon") - F.col("c_lon")) ** 2 + (F.col("lat") - F.col("c_lat")) ** 2,
@@ -545,6 +558,7 @@ def knn_neighborhood(
     point_id: str = "url",
     cand_id: str = "cand_url",
     strategy: str = "window",
+    join_hint: str | None = "shuffle_hash",
 ) -> DataFrame:
     """kNN with 3×3 neighbor-cell probing: like :func:`knn_in_cell`
     but a point also sees candidates in the 8 surrounding cells, so
@@ -579,7 +593,7 @@ def knn_neighborhood(
     if strategy == "agg":
         return knn_neighborhood_agg(
             points, candidates, k=k, res_deg=res_deg,
-            point_id=point_id, cand_id=cand_id,
+            point_id=point_id, cand_id=cand_id, join_hint=join_hint,
         )
     if strategy != "window":
         raise ValueError(f"unknown strategy {strategy!r}")
@@ -593,6 +607,13 @@ def knn_neighborhood(
         F.col("lon").alias("c_lon"),
         F.col("lat").alias("c_lat"),
     )
+    if join_hint:
+        # the pair join needs no ordering (the partial WindowGroupLimit
+        # sorts its own output anyway): a shuffled-hash build over the
+        # density-bounded candidate side skips both join-input sorts —
+        # measured 4.1 → 3.1 s at ×512/8 cores; see knn_in_cell's
+        # docstring for the build-side bound + AQE skew argument
+        c = c.hint(join_hint)
     dlon_raw = F.abs(F.col("lon") - F.col("c_lon"))
     dlon = F.least(dlon_raw, F.lit(360.0) - dlon_raw)
     dlat = F.col("lat") - F.col("c_lat")
@@ -615,6 +636,7 @@ def knn_neighborhood_agg(
     res_deg: float = DEFAULT_RES_DEG,
     point_id: str = "url",
     cand_id: str = "cand_url",
+    join_hint: str | None = "shuffle_hash",
 ) -> DataFrame:
     """:func:`knn_neighborhood` semantics (3×3 probing, wrapped-lon
     distance, (dist2, id) tie-break) with a SORT-FREE physical
@@ -664,6 +686,8 @@ def knn_neighborhood_agg(
             c["cid"].alias("cand"),
         )
 
+    if join_hint:
+        cand_cells = cand_cells.hint(join_hint)
     point_cols = [c2 for c2 in points.columns]
     tops = probes.join(
         cand_cells, probes.probe_cell == cand_cells.c_cell, "inner"

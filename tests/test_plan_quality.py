@@ -245,3 +245,8 @@ def test_knn_neighborhood_plan_shape(spark):
     assert "WindowGroupLimit" in p, p
     assert "BroadcastNestedLoopJoin" not in p, p
     assert "Generate explode" in p or "Explode" in p or "explode" in p, p
+    # the pair join builds a hash map over the density-bounded
+    # candidate side instead of sort-merging (join_hint default):
+    # both join-input sorts disappear from the plan
+    assert "ShuffledHashJoin" in p or "BroadcastHashJoin" in p, p
+    assert "SortMergeJoin" not in p, p
