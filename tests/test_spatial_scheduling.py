@@ -214,6 +214,17 @@ def test_knn_neighborhood_vs_bruteforce(spark):
         u: sorted(v) for u, v in got_agg.items()
     }
 
+    # A/B: the join_hint=None fallback (Catalyst's sort-merge choice)
+    # is a pure physical-strategy switch — identical rows
+    got_smj = {}
+    for r in spatial.knn_neighborhood(
+        dirty, clean, k=3, res_deg=res, join_hint=None
+    ).collect():
+        got_smj.setdefault(r.url, []).append((r.knn_rank, r.cand_url, r.dist2))
+    assert {u: sorted(v) for u, v in got.items()} == {
+        u: sorted(v) for u, v in got_smj.items()
+    }
+
     # the planted pair: neighborhood kNN finds it at rank 1
     assert got["d_edge"][0][1] == "c_edge"
     # the antimeridian pair: found at rank 1 with the WRAPPED distance
