@@ -476,6 +476,17 @@ def q_simhash(spark, sf_dir):
     return dedup.simhash64(docs)
 
 
+def q_simhash_pairs(spark, sf_dir):
+    """EXACT Hamming-≤3 near-dup pairs by bit-band LSH
+    (dedup.simhash_near_dup_pairs): 4 bands → perfect pigeonhole
+    recall → hash equi-join + bit_count residual, exactly-once via the
+    first-matching-band rule.  The oracle is the naive quadratic
+    self-join over the same signatures — the operator's claim is
+    identical output from a linear-shuffle plan."""
+    docs = pages_src.documents(spark, sf_dir)
+    return dedup.simhash_near_dup_pairs(docs, max_hamming=3)
+
+
 def q_text_quality(spark, sf_dir):
     """Quality features: token count, punct ratio, stopword hits."""
     docs = pages_src.documents(spark, sf_dir)
@@ -753,6 +764,78 @@ def q_events_sessionize(spark, sf_dir):
         F.count(F.lit(1)).alias("n_events"),
         (F.sum(scaled).cast("double") / 10000).alias("sum_value"),
     )
+
+
+def q_events_interval_join(spark, sf_dir):
+    """Point-in-interval join via the bucket decomposition
+    (operators/temporal.py interval_join): each error event opens a
+    30-minute window; every same-user non-error event inside a window
+    pairs with it.  The oracle is the naive range join — the operator's
+    claim is identical output from a (key, bucket) hash equi-join
+    instead of the range condition Catalyst would otherwise evaluate as
+    a residual over a full per-key cross product."""
+    from openstreetmap_license_change_spark.operators import temporal
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    windows = ev.where(F.col("event_type") == "error").select(
+        "user_id",
+        F.col("event_id").alias("window_id"),
+        F.col("ts").alias("w_start"),
+        (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("w_end"),
+    )
+    points = ev.where(F.col("event_type") != "error").select(
+        "user_id", "event_id", "ts"
+    )
+    out = temporal.interval_join(
+        points, windows, key="user_id", ts="ts",
+        start="w_start", end="w_end", bucket_s=600,
+        max_buckets_per_interval=16,
+    )
+    return out.select("user_id", "event_id", "window_id")
+
+
+def q_events_overlap_join(spark, sf_dir):
+    """Interval-overlap join (operators/temporal.py
+    interval_overlap_join): per-user activity sessions (the 30-minute
+    gap rule, spanned as [first_ts, last_ts + 1s)) overlapped with the
+    30-minute error windows.  First-shared-bucket dedup — no
+    distinct() pass; oracle is the naive overlap range join over the
+    same session construction."""
+    from openstreetmap_license_change_spark.operators import temporal
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    epoch = F.col("ts").cast("timestamp").cast("long")
+    gap = epoch - F.lag(epoch).over(w)
+    spans = (
+        ev.withColumn(
+            "new_sess", F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+        )
+        .withColumn(
+            "session_id",
+            F.sum("new_sess").over(
+                w.rowsBetween(W.unboundedPreceding, W.currentRow)
+            ),
+        )
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.min("ts").alias("s_start"),
+            (F.max("ts") + F.expr("INTERVAL 1 SECOND")).alias("s_end"),
+        )
+    )
+    windows = ev.where(F.col("event_type") == "error").select(
+        "user_id",
+        F.col("event_id").alias("window_id"),
+        F.col("ts").alias("w_start"),
+        (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("w_end"),
+    )
+    out = temporal.interval_overlap_join(
+        spans, windows, key="user_id",
+        a_start="s_start", a_end="s_end",
+        b_start="w_start", b_end="w_end",
+        bucket_s=3600, max_buckets_per_interval=1024,
+    )
+    return out.select("user_id", "session_id", "window_id")
 
 
 def q_significance_prefilter(spark, sf_dir):
@@ -1161,6 +1244,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_stratified": q_sample_stratified,
         "lang_topk_quality": q_lang_topk_quality,
         "simhash": q_simhash,
+        "simhash_pairs": q_simhash_pairs,
         "text_quality": q_text_quality,
         "lang_id": q_lang_id,
         "ann_cosine_topk": q_ann_cosine_topk,
@@ -1179,6 +1263,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessionize": q_events_sessionize,
         "events_asof_join": q_events_asof_join,
         "events_hourly_rollup": q_events_hourly_rollup,
+        "events_interval_join": q_events_interval_join,
+        "events_overlap_join": q_events_overlap_join,
         "significance_prefilter": q_significance_prefilter,
         "classify_actions": q_classify_actions,
         "classify_actions_nodes": q_classify_actions_nodes,
@@ -1947,6 +2033,45 @@ def oracle_sql() -> dict[str, str]:
                        / 10000 AS sum_value
             FROM sess GROUP BY 1, 2
         """,
+        "events_interval_join": """
+            SELECT p.user_id, p.event_id, e.event_id AS window_id
+            FROM events p JOIN events e ON p.user_id = e.user_id
+            WHERE e.event_type = 'error' AND p.event_type <> 'error'
+              AND p.ts >= e.ts AND p.ts < e.ts + INTERVAL 30 MINUTE
+        """,
+        "events_overlap_join": """
+            WITH gaps AS (
+                SELECT user_id, event_id, ts,
+                       CASE WHEN epoch(ts) - LAG(epoch(ts)) OVER w IS NULL
+                              OR epoch(ts) - LAG(epoch(ts)) OVER w > 1800
+                            THEN 1 ELSE 0 END AS new_sess
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ),
+            sess AS (
+                SELECT user_id, ts,
+                       CAST(SUM(new_sess) OVER (PARTITION BY user_id
+                                           ORDER BY ts, event_id
+                                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                           AND CURRENT ROW) AS BIGINT)
+                           AS session_id
+                FROM gaps
+            ),
+            spans AS (
+                SELECT user_id, session_id,
+                       MIN(ts) AS s_start,
+                       MAX(ts) + INTERVAL 1 SECOND AS s_end
+                FROM sess GROUP BY 1, 2
+            ),
+            wins AS (
+                SELECT user_id, event_id AS window_id, ts AS w_start,
+                       ts + INTERVAL 30 MINUTE AS w_end
+                FROM events WHERE event_type = 'error'
+            )
+            SELECT s.user_id, s.session_id, w.window_id
+            FROM spans s JOIN wins w ON s.user_id = w.user_id
+            WHERE s.s_start < w.w_end AND w.w_start < s.s_end
+        """,
         "ann_cosine_topk": """
             WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
             SELECT vec_id,
@@ -2354,6 +2479,32 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, {sim_pack} AS simhash
             FROM scored
+        """,
+        "simhash_pairs": f"""
+            WITH toks AS (
+                SELECT DISTINCT doc_id, tok AS token
+                FROM documents,
+                     LATERAL UNNEST(string_split_regex(lower(text), '\\s+'))
+                         AS u(tok)
+                WHERE tok <> ''
+            ),
+            joined AS (
+                SELECT doc_id, {dedup.token_hash_sql('token')} AS token_id
+                FROM toks
+            ),
+            scored AS (
+                SELECT doc_id, {sim_votes}
+                FROM joined GROUP BY doc_id
+            ),
+            sh AS (
+                SELECT doc_id, {sim_pack} AS simhash
+                FROM scored
+            )
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER)
+                       AS hamming
+            FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
         """,
         # classify_actions (full, all element types) stays rows-only by
         # design (golden-tested in tests/); the nodes-only restriction

@@ -57,6 +57,8 @@ SIMHASH_BITS = 63  # sum(2^0..2^62) = int64 max: packed hash stays signed
 SIMHASH_MULTS = [
     (j * 2654435761 + 40503) % TOKEN_HASH_MOD for j in range(SIMHASH_BITS)
 ]
+# Hamming-ball LSH: d+1 bands guarantee recall for distance ≤ d
+SIMHASH_PAIR_BANDS = 4
 
 
 def token_hash(col: Column) -> Column:
@@ -432,6 +434,120 @@ def _simhash_bitval(j: int) -> Column:
         (F.col("token_id") * SIMHASH_MULTS[j] + j * 97) % MINHASH_PRIME
     ) % 2
     return expr * 2 - 1
+
+
+def simhash_band_bounds(n_bands: int = SIMHASH_PAIR_BANDS) -> list[tuple[int, int]]:
+    """(offset, width) per band, splitting the 63 SimHash bits as
+    evenly as possible — earlier bands get the extra bit.  Shared with
+    the SQL oracle so both engines cut identical band keys."""
+    base, extra = divmod(SIMHASH_BITS, n_bands)
+    bounds = []
+    off = 0
+    for k in range(n_bands):
+        w = base + (1 if k < extra else 0)
+        bounds.append((off, w))
+        off += w
+    return bounds
+
+
+def _band_value(col: Column, off: int, width: int) -> Column:
+    # simhash is a non-negative 63-bit value, so arithmetic shiftright
+    # never sign-extends
+    return F.shiftright(col, off).bitwiseAND(F.lit((1 << width) - 1))
+
+
+def simhash_near_dup_pairs(
+    df: DataFrame,
+    max_hamming: int = 3,
+    id_col: str = "doc_id",
+    max_bucket_size: int | None = None,
+    observation=None,
+) -> DataFrame:
+    """EXACT Hamming-ball near-dup pairs (doc_a < doc_b,
+    hamming ≤ ``max_hamming``) over :func:`simhash64`, found by
+    bit-band LSH instead of the all-pairs scan.
+
+    The 63 signature bits split into ``max_hamming + 1`` bands
+    (:func:`simhash_band_bounds`); by pigeonhole a pair differing in
+    ≤ ``max_hamming`` bits leaves at least one band untouched, so the
+    (band, band_value) equi-join has PERFECT recall and the residual
+    ``bit_count(a ⊕ b) ≤ d`` makes it exact — Catalyst plans a hash
+    join, never the quadratic cross product the naive predicate
+    degrades to.  Each surviving pair is emitted exactly once via the
+    first-matching-band rule (keep the match only in the lowest band
+    index where the band values agree — computable as a residual from
+    the two full signatures, no distinct() shuffle), the same
+    exactly-once trick as ``temporal.interval_overlap_join``.
+
+    ``max_bucket_size`` / ``observation`` are the mega-bucket guard,
+    identical contract to :func:`minhash_lsh_pairs`: boilerplate
+    duplicated 10⁶× collapses to one simhash → one quadratic bucket;
+    with the cap set such buckets are excluded from pair emission and
+    the same job records ``overflow_buckets`` / ``overflow_docs`` /
+    ``total_buckets`` on the Observation.  Uncapped = exact (the
+    oracle-checked path)."""
+    n_bands = max_hamming + 1
+    bounds = simhash_band_bounds(n_bands)
+    sig = simhash64(df, id_col=id_col)
+    slices = [
+        sig.select(
+            F.col(id_col),
+            F.col("simhash"),
+            F.lit(k).alias("band"),
+            _band_value(F.col("simhash"), off, w).alias("bucket"),
+        )
+        for k, (off, w) in enumerate(bounds)
+    ]
+    buckets = slices[0]
+    for s in slices[1:]:
+        buckets = buckets.unionByName(s)
+    if max_bucket_size is not None:
+        sizes = buckets.groupBy("band", "bucket").agg(
+            F.count(F.lit(1)).alias("_n")
+        )
+        if observation is not None:
+            sizes = sizes.observe(
+                observation,
+                F.count(
+                    F.when(F.col("_n") > max_bucket_size, 1)
+                ).alias("overflow_buckets"),
+                F.coalesce(
+                    F.sum(
+                        F.when(F.col("_n") > max_bucket_size, F.col("_n"))
+                    ),
+                    F.lit(0),
+                ).alias("overflow_docs"),
+                F.count(F.lit(1)).alias("total_buckets"),
+            )
+        keep = sizes.where(F.col("_n") <= max_bucket_size).select(
+            "band", "bucket"
+        )
+        buckets = buckets.join(keep, ["band", "bucket"])
+    a = buckets.select(
+        F.col(id_col).alias("doc_a"), F.col("simhash").alias("sh_a"),
+        "band", "bucket",
+    )
+    b = buckets.select(
+        F.col(id_col).alias("doc_b"), F.col("simhash").alias("sh_b"),
+        "band", "bucket",
+    )
+    first_match = F.lit(n_bands)  # sentinel, never reached on a match
+    for k, (off, w) in reversed(list(enumerate(bounds))):
+        first_match = F.when(
+            _band_value(F.col("sh_a"), off, w)
+            == _band_value(F.col("sh_b"), off, w),
+            F.lit(k),
+        ).otherwise(first_match)
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (
+        a.join(b, ["band", "bucket"])
+        .where(
+            (F.col("doc_a") < F.col("doc_b"))
+            & (hamming <= max_hamming)
+            & (F.col("band") == first_match)
+        )
+        .select("doc_a", "doc_b", hamming.cast("int").alias("hamming"))
+    )
 
 
 def simhash64(df: DataFrame, id_col: str = "doc_id") -> DataFrame:

@@ -63,3 +63,159 @@ def asof_join(
     return out.where(F.col("_side") == 1).select(
         *lcols, *[f"asof_{c}" for c in value_cols]
     )
+
+
+def _require_disjoint(a: DataFrame, b: DataFrame, key: str) -> None:
+    clash = (set(a.columns) & set(b.columns)) - {key}
+    if clash:
+        raise ValueError(
+            f"interval join sides share columns {sorted(clash)}; "
+            "alias one side before joining"
+        )
+
+
+def _epoch(df: DataFrame, col: str):
+    # TIMESTAMP_NTZ can't cast straight to double (Spark 4); hop via
+    # TIMESTAMP (session tz is pinned UTC in get_spark, so no shift).
+    # Numerics cast directly — the operators accept plain epoch columns.
+    if "timestamp" in df.schema[col].dataType.simpleString():
+        return F.col(col).cast("timestamp").cast("double")
+    return F.col(col).cast("double")
+
+
+def _bucket(df: DataFrame, col: str, bucket_s: float):
+    return F.floor(_epoch(df, col) / F.lit(float(bucket_s)))
+
+
+def _last_bucket(df: DataFrame, end_col: str, bucket_s: float):
+    # half-open [start, end): the last bucket that can contain a point
+    # strictly below `end` is ceil(end/W)-1 — exact on the boundary
+    # (end exactly on a bucket edge never reaches the next bucket)
+    # without a floating-point epsilon
+    return F.ceil(_epoch(df, end_col) / F.lit(float(bucket_s))) - 1
+
+
+def _explode_buckets(
+    df: DataFrame,
+    start: str,
+    end: str,
+    bucket_s: float,
+    max_buckets_per_interval: int | None,
+) -> DataFrame:
+    first = _bucket(df, start, bucket_s)
+    last = _last_bucket(df, end, bucket_s)
+    # empty/degenerate intervals ([t, t) and worse) match nothing under
+    # half-open semantics; drop them here or F.sequence runs backwards
+    df = df.where(F.col(end) > F.col(start))
+    if max_buckets_per_interval is not None:
+        n = last - first + 1
+        first = F.when(
+            n > max_buckets_per_interval,
+            F.raise_error(
+                F.concat(
+                    F.lit("interval_join: interval spans "),
+                    n.cast("string"),
+                    F.lit(
+                        f" buckets > max_buckets_per_interval="
+                        f"{max_buckets_per_interval}; raise bucket_s or "
+                        "split the interval upstream"
+                    ),
+                )
+            ).cast("long"),
+        ).otherwise(first)
+    return df.withColumn("_b", F.explode(F.sequence(first, last)))
+
+
+def interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    key: str,
+    ts: str,
+    start: str,
+    end: str,
+    bucket_s: float,
+    max_buckets_per_interval: int | None = None,
+) -> DataFrame:
+    """Point-in-interval join: every (point, interval) pair of the same
+    ``key`` with ``start <= ts < end``.
+
+    Catalyst plans the naive range condition as an equi-join on ``key``
+    with a residual filter — fine until keys are few or hot, when one
+    task owns a key's full |points|x|intervals| cross product (and with
+    no key at all it degrades to a broadcast-nested-loop).  The
+    scalable form decomposes time into fixed ``bucket_s``-second
+    buckets: intervals explode to the buckets they cover, points map to
+    exactly ONE bucket, and the join becomes a plain (key, bucket)
+    hash equi-join with the range predicate as residual.  Point buckets
+    are unique, so no pair is emitted twice and no dedup pass is
+    needed.  Hot (key, bucket) cells are ordinary shuffle skew — AQE's
+    skew-join split applies (see tests/test_aqe_skew.py).
+
+    ``bucket_s`` trades replication for selectivity: intervals explode
+    to ceil(len/W)+1 rows, so pick W near the median interval length.
+    ``max_buckets_per_interval`` is the no-silent-blowup guard (house
+    rule): a pathological interval (e.g. an open-ended window coded as
+    year-9999) would otherwise explode to millions of rows per input
+    row; when set, such a row fails the job with an explicit error
+    instead.
+
+    The reference has no temporal-join analogue; this generalizes its
+    changeset-window semantics (change_bot.rb processes edits grouped
+    by changeset windows) to arbitrary intervals.
+    """
+    _require_disjoint(points, intervals, key)
+    pb = points.withColumn("_b", _bucket(points, ts, bucket_s))
+    ib = _explode_buckets(
+        intervals, start, end, bucket_s, max_buckets_per_interval
+    )
+    return (
+        pb.join(ib, on=[key, "_b"])
+        .where((F.col(ts) >= F.col(start)) & (F.col(ts) < F.col(end)))
+        .drop("_b")
+    )
+
+
+def interval_overlap_join(
+    a: DataFrame,
+    b: DataFrame,
+    key: str,
+    a_start: str,
+    a_end: str,
+    b_start: str,
+    b_end: str,
+    bucket_s: float,
+    max_buckets_per_interval: int | None = None,
+) -> DataFrame:
+    """Interval-overlap join: every (a, b) pair of the same ``key``
+    whose half-open intervals intersect (``a_start < b_end AND
+    b_start < a_end``).
+
+    Same bucket decomposition as :func:`interval_join`, but BOTH sides
+    explode to their covering buckets, so an overlapping pair meets in
+    every shared bucket.  The pair is emitted exactly once via the
+    first-shared-bucket rule: keep the match only in bucket
+    ``floor(max(a_start, b_start)/W)`` — that bucket is shared by
+    construction (the later-starting interval begins in it, and the
+    earlier one must still be live there or they would not overlap), so
+    the dedup is a cheap residual predicate, not a distinct() shuffle.
+    """
+    _require_disjoint(a, b, key)
+    ab = _explode_buckets(a, a_start, a_end, bucket_s,
+                          max_buckets_per_interval)
+    bb = _explode_buckets(b, b_start, b_end, bucket_s,
+                          max_buckets_per_interval)
+    # schema lookup only picks the epoch cast; the expressions are
+    # unbound F.col references, so they resolve against the joined df
+    # (column disjointness is enforced above)
+    first_shared = F.greatest(
+        _bucket(a, a_start, bucket_s), _bucket(b, b_start, bucket_s)
+    )
+    return (
+        ab.join(bb, on=[key, "_b"])
+        .where(
+            (F.col(a_start) < F.col(b_end))
+            & (F.col(b_start) < F.col(a_end))
+            & (F.col("_b") == first_shared)
+        )
+        .drop("_b")
+    )
