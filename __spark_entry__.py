@@ -487,6 +487,19 @@ def q_simhash_pairs(spark, sf_dir):
     return dedup.simhash_near_dup_pairs(docs, max_hamming=3)
 
 
+def q_contamination(spark, sf_dir):
+    """Benchmark decontamination (dedup.contamination_check): docs with
+    doc_id % 29 == 0 stand in for the eval set; every other doc gets
+    its distinct shared word 8-grams counted against it via a broadcast
+    join of the (tiny) benchmark shingle set — corpus side never
+    shuffles before the final per-doc groupBy.  Oracle is the naive SQL
+    n-gram intersection."""
+    docs = pages_src.documents(spark, sf_dir)
+    bench = docs.where(F.col("doc_id") % 29 == 0)
+    corpus = docs.where(F.col("doc_id") % 29 != 0)
+    return dedup.contamination_check(corpus, bench, n=8)
+
+
 def q_text_quality(spark, sf_dir):
     """Quality features: token count, punct ratio, stopword hits."""
     docs = pages_src.documents(spark, sf_dir)
@@ -1245,6 +1258,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_topk_quality": q_lang_topk_quality,
         "simhash": q_simhash,
         "simhash_pairs": q_simhash_pairs,
+        "contamination": q_contamination,
         "text_quality": q_text_quality,
         "lang_id": q_lang_id,
         "ann_cosine_topk": q_ann_cosine_topk,
@@ -2505,6 +2519,39 @@ def oracle_sql() -> dict[str, str]:
                        AS hamming
             FROM sh a JOIN sh b ON a.doc_id < b.doc_id
             WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+        """,
+        "contamination": """
+            WITH grams AS (
+                SELECT DISTINCT doc_id,
+                       array_to_string(ts[i:i+7], ' ') AS shingle
+                FROM (SELECT doc_id,
+                             string_split_regex(lower(text), '\\s+') AS ts
+                      FROM documents) t,
+                     LATERAL (SELECT UNNEST(
+                                  range(1, GREATEST(len(ts) - 7, 1) + 1))
+                              AS i) g
+                WHERE length(array_to_string(ts[i:i+7], ' ')) > 0
+            ),
+            bench AS (
+                SELECT doc_id AS bench_id, shingle
+                FROM grams WHERE doc_id % 29 = 0
+            ),
+            corpus AS (
+                SELECT doc_id, shingle FROM grams WHERE doc_id % 29 <> 0
+            ),
+            hits AS (
+                SELECT c.doc_id,
+                       COUNT(DISTINCT c.shingle) AS n_hit_ngrams,
+                       COUNT(DISTINCT b.bench_id) AS n_bench_docs
+                FROM corpus c JOIN bench b USING (shingle)
+                GROUP BY 1
+            )
+            SELECT d.doc_id,
+                   COALESCE(h.n_hit_ngrams, 0) AS n_hit_ngrams,
+                   COALESCE(h.n_bench_docs, 0) AS n_bench_docs,
+                   COALESCE(h.n_hit_ngrams, 0) > 0 AS contaminated
+            FROM documents d LEFT JOIN hits h USING (doc_id)
+            WHERE d.doc_id % 29 <> 0
         """,
         # classify_actions (full, all element types) stays rows-only by
         # design (golden-tested in tests/); the nodes-only restriction

@@ -427,6 +427,55 @@ def minhash_dedup_apply(
     return df.join(keep, id_col, "inner")
 
 
+def contamination_check(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    n: int = 13,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Benchmark decontamination: for every corpus document, count the
+    distinct word ``n``-grams it shares with ANY benchmark document
+    (the published training-data hygiene rule — e.g. GPT-3's 13-gram
+    overlap test — generalized to a parameterized n).
+
+    Returns one row per corpus doc: ``(id, n_hit_ngrams,
+    n_bench_docs, contaminated)`` — docs with no overlap appear with
+    zeros, so the caller filters ``NOT contaminated`` to keep the clean
+    corpus (never an inner join that silently drops the clean rows).
+
+    Scale shape: the benchmark side is an eval set — KBs-to-MBs
+    against a TB-to-PB corpus — so its distinct (bench_id, shingle)
+    pairs are explicitly ``broadcast()``; the corpus shingle stream
+    joins map-side with NO shuffle of the exploded corpus, and the only
+    exchange is the final per-doc groupBy.  If the benchmark ever
+    outgrows broadcast range, drop the hint and the same plan runs as a
+    shuffle join keyed by shingle.  Shingles join as raw strings for
+    oracle parity; at extreme scale hash them to 64-bit first on both
+    sides (pure map-side, same plan).
+    """
+    c_sh = shingles(corpus, n=n, text_col=text_col, id_col=id_col)
+    b_sh = (
+        shingles(benchmark, n=n, text_col=text_col, id_col=id_col)
+        .select(F.col(id_col).alias("_bench_id"), "shingle")
+        .distinct()
+    )
+    hits = (
+        c_sh.join(F.broadcast(b_sh), "shingle")
+        .groupBy(id_col)
+        .agg(
+            F.countDistinct("shingle").alias("n_hit_ngrams"),
+            F.countDistinct("_bench_id").alias("n_bench_docs"),
+        )
+    )
+    return corpus.select(id_col).join(hits, id_col, "left").select(
+        id_col,
+        F.coalesce("n_hit_ngrams", F.lit(0)).alias("n_hit_ngrams"),
+        F.coalesce("n_bench_docs", F.lit(0)).alias("n_bench_docs"),
+        (F.coalesce("n_hit_ngrams", F.lit(0)) > 0).alias("contaminated"),
+    )
+
+
 def _simhash_bitval(j: int) -> Column:
     """±1 vote of bit j for one token: pseudo-random arithmetic
     ((token_id·m_j + j·97) mod p) & 1, mapped to −1/+1."""
