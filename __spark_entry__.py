@@ -487,6 +487,14 @@ def q_simhash_pairs(spark, sf_dir):
     return dedup.simhash_near_dup_pairs(docs, max_hamming=3)
 
 
+def q_tfidf_topk(spark, sf_dir):
+    """Top-5 characteristic terms per doc by exact-integer tf-idf
+    (textops.tfidf_topk, raw-inverse-frequency idf): two partial-agg
+    groupBys + a token-keyed join + a WindowGroupLimit top-k."""
+    docs = pages_src.documents(spark, sf_dir)
+    return textops.tfidf_topk(docs, k=5)
+
+
 def q_contamination(spark, sf_dir):
     """Benchmark decontamination (dedup.contamination_check): docs with
     doc_id % 29 == 0 stand in for the eval set; every other doc gets
@@ -1259,6 +1267,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "simhash_pairs": q_simhash_pairs,
         "contamination": q_contamination,
+        "tfidf_topk": q_tfidf_topk,
         "text_quality": q_text_quality,
         "lang_id": q_lang_id,
         "ann_cosine_topk": q_ann_cosine_topk,
@@ -2552,6 +2561,31 @@ def oracle_sql() -> dict[str, str]:
                    COALESCE(h.n_hit_ngrams, 0) > 0 AS contaminated
             FROM documents d LEFT JOIN hits h USING (doc_id)
             WHERE d.doc_id % 29 <> 0
+        """,
+        "tfidf_topk": """
+            WITH tf AS (
+                SELECT doc_id, tok AS token, COUNT(*) AS tf
+                FROM documents,
+                     LATERAL UNNEST(string_split_regex(lower(text), '\\s+'))
+                         AS u(tok)
+                WHERE tok <> ''
+                GROUP BY 1, 2
+            ),
+            dfq AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY 1),
+            scored AS (
+                SELECT doc_id, token, tf, df,
+                       (tf * 1000000) // df AS score_m
+                FROM tf JOIN dfq USING (token)
+            ),
+            ranked AS (
+                SELECT *, ROW_NUMBER() OVER (
+                    PARTITION BY doc_id
+                    ORDER BY score_m DESC, token) AS rnk
+                FROM scored
+            )
+            SELECT doc_id, token, tf, df, score_m,
+                   CAST(rnk AS INTEGER) AS rank
+            FROM ranked WHERE rnk <= 5
         """,
         # classify_actions (full, all element types) stays rows-only by
         # design (golden-tested in tests/); the nodes-only restriction

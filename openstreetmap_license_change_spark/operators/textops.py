@@ -98,6 +98,52 @@ FINGERPRINT_MOD = 1_000_000_007
 FINGERPRINT_PREFIX = 64
 
 
+def tfidf_topk(
+    df: DataFrame,
+    k: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-``k`` most characteristic terms per document by tf-idf with
+    the *raw inverse document frequency* weighting (idf = 1/df, the
+    exact-arithmetic member of the tf-idf family): score_m =
+    (tf · 10⁶) DIV df, pure int64 in both engines, so the DuckDB twin
+    hash-matches value-for-value — the log-idf variant changes only the
+    weighting constant, not the plan shape, and would make the oracle
+    float-fragile for near-tied terms.
+
+    Plan shape (the part that matters at 100 TB): tf is one
+    (doc, token) groupBy with map-side partial aggregation over the
+    exploded token stream; df re-aggregates the ALREADY per-doc-unique
+    tf rows (never the raw stream) keyed by token; the join back is
+    token-keyed — stopword-skew there is AQE's skew-join case — and the
+    final per-doc top-k is a rank window that Spark executes as
+    WindowGroupLimit (partial top-k before the shuffle), the same shape
+    plan-pinned for sampling.group_topk.
+
+    Returns (id, token, tf, df, score_m, rank), rank 1..k, total order
+    (ties broken by token, which is unique within a doc)."""
+    from pyspark.sql import Window as W
+
+    raw = df.select(
+        id_col,
+        F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("token"),
+    ).where(F.col("token") != "")
+    tf = raw.groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    scored = tf.join(dfreq, "token").withColumn(
+        "score_m", F.expr("(tf * 1000000) DIV df")
+    )
+    w = W.partitionBy(id_col).orderBy(
+        F.col("score_m").desc(), F.col("token").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(id_col, "token", "tf", "df", "score_m", "rank")
+    )
+
+
 def rolling_fingerprint(text: Column) -> Column:
     """Polynomial rolling-hash fingerprint over the first 64 chars,
     Horner form: acc = (acc·31 + codepoint) mod p at every step, so
