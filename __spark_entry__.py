@@ -240,6 +240,27 @@ def q_cell_assignment(spark, sf_dir):
     return spatial.assign_cells(pages).select("url", "lon", "lat", "cell", "tile")
 
 
+def q_spatial_eps_clusters(spark, sf_dir):
+    """Density-connectivity clustering (spatial.eps_clusters): the
+    DBSCAN ε-graph (min_pts=1) over ALL page versions — versions of a
+    url sit ~0.002° apart by the geocode derivation, so ε=0.01° links
+    them into per-url components while cross-url gaps (~10°) stay
+    unlinked.  Edges come from the 3×3 neighbor-cell probe (never the
+    cross join); labels from min-propagation + pointer jumping.  The
+    oracle is the naive quadratic ε-join + recursive-CTE transitive
+    closure."""
+    pages = _pages(spark, sf_dir)
+    pts = pages.select(
+        F.concat(
+            F.col("url"), F.lit("#"), F.col("version").cast("string")
+        ).alias("pid"),
+        "lon",
+        "lat",
+    )
+    return spatial.eps_clusters(pts, eps_deg=0.01, id_col="pid",
+                                res_deg=0.25)
+
+
 def q_tile_rollup(spark, sf_dir):
     """Raster rollup: per-cell page count + taint density."""
     flagged = _pages_flagged(spark, sf_dir)
@@ -1245,6 +1266,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "local_supplier_volume": q_local_supplier_volume,
         "promo_revenue": q_promo_revenue,
         "cell_assignment": q_cell_assignment,
+        "spatial_eps_clusters": q_spatial_eps_clusters,
         "tile_rollup": q_tile_rollup,
         "tile_rollup_multires": q_tile_rollup_multires,
         "tile_vectorize": q_tile_vectorize,
@@ -1303,6 +1325,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def _with_pages(body: str) -> str:
     return pages_src.oracle_prelude() + "\n" + body
+
+
+def _with_pages_recursive(body: str) -> str:
+    """Pages prelude with the WITH promoted to WITH RECURSIVE so the
+    body may append recursive CTEs to the same chain (DuckDB scopes the
+    RECURSIVE keyword to the whole WITH list)."""
+    return (
+        pages_src.oracle_prelude().replace("WITH ", "WITH RECURSIVE ", 1)
+        + "\n"
+        + body
+    )
 
 
 def _fold_restriction_sql(
@@ -1685,6 +1718,28 @@ def oracle_sql() -> dict[str, str]:
                            AS rn
                 FROM pages p
             ) t WHERE rn = 1
+        """),
+        "spatial_eps_clusters": _with_pages_recursive("""
+            , pts AS (
+                SELECT url || '#' || CAST(version AS VARCHAR) AS pid,
+                       lon, lat
+                FROM pages
+            ),
+            edges AS (
+                SELECT a.pid AS src, b.pid AS dst
+                FROM pts a JOIN pts b ON a.pid <> b.pid
+                WHERE POWER(LEAST(ABS(a.lon - b.lon),
+                                  360 - ABS(a.lon - b.lon)), 2)
+                      + POWER(a.lat - b.lat, 2) <= 0.0001
+            ),
+            reach(pid, lbl) AS (
+                SELECT pid, pid FROM pts
+                UNION
+                SELECT e.dst, r.lbl
+                FROM reach r JOIN edges e ON e.src = r.pid
+            )
+            SELECT pid, MIN(lbl) AS cluster_id
+            FROM reach GROUP BY 1
         """),
         "tile_rollup": _with_pages(f"""
             SELECT cell, n_pages, n_tainted,

@@ -711,6 +711,151 @@ def knn_neighborhood_agg(
     )
 
 
+def eps_neighbor_edges(
+    points: DataFrame,
+    eps_deg: float,
+    id_col: str = "url",
+    res_deg: float | None = None,
+    join_hint: str | None = "shuffle_hash",
+) -> DataFrame:
+    """All point pairs within ``eps_deg`` (equirectangular degrees,
+    wrapped lon — the kNN family's metric), found by the 3×3
+    neighbor-cell probe instead of the quadratic cross join.
+
+    ``res_deg`` (default = ``eps_deg``) must be ≥ ``eps_deg`` or the
+    3×3 probe provably misses cross-cell pairs — enforced with a
+    ValueError, not a silent recall loss.  Each unordered pair is
+    emitted exactly once by construction: the probe of A visits B's
+    unique home cell, and ``id_a < id_b`` orients it.  Scale shape is
+    knn_neighborhood's: probe side explodes ≤9×, candidates stay
+    un-replicated, shuffled-hash pair join, AQE skew split on hot
+    cells."""
+    if res_deg is None:
+        res_deg = eps_deg
+    if res_deg < eps_deg:
+        raise ValueError(
+            f"res_deg={res_deg} < eps_deg={eps_deg}: the 3x3 probe "
+            "cannot see all eps-neighbors; use res_deg >= eps_deg"
+        )
+    probes = points.select(
+        F.col(id_col).alias("id_a"),
+        F.col("lon"),
+        F.col("lat"),
+        F.explode(
+            neighbor_cells(F.col("lon"), F.col("lat"), res_deg)
+        ).alias("probe_cell"),
+    )
+    cand = points.select(
+        grid_cell(F.col("lon"), F.col("lat"), res_deg).alias("c_cell"),
+        F.col(id_col).alias("id_b"),
+        F.col("lon").alias("c_lon"),
+        F.col("lat").alias("c_lat"),
+    )
+    if join_hint:
+        cand = cand.hint(join_hint)
+    dlon_raw = F.abs(F.col("lon") - F.col("c_lon"))
+    dlon = F.least(dlon_raw, F.lit(360.0) - dlon_raw)
+    dlat = F.col("lat") - F.col("c_lat")
+    return (
+        probes.join(cand, probes.probe_cell == cand.c_cell)
+        .where(
+            (F.col("id_a") < F.col("id_b"))
+            & (dlon * dlon + dlat * dlat <= F.lit(float(eps_deg) ** 2))
+        )
+        .select("id_a", "id_b")
+    )
+
+
+def eps_clusters(
+    points: DataFrame,
+    eps_deg: float,
+    id_col: str = "url",
+    res_deg: float | None = None,
+    max_iters: int = 12,
+) -> DataFrame:
+    """Density-connectivity clustering (the DBSCAN ε-graph with
+    min_pts=1, i.e. single-linkage at radius ε): connected components
+    of :func:`eps_neighbor_edges`, label = component min id.
+
+    Propagation is min-label over the symmetrized edge list PLUS
+    pointer jumping each round (label ← label[label], the parallel
+    union-find path-halving step), so convergence is O(log diameter)
+    rounds even for the chain-shaped components real geodata produces
+    (a road of points each within ε of the next) — plain edge-hop
+    propagation alone needs O(diameter) rounds, a 100-TB scale-killer
+    on long chains.  Lineage is cut per round (localCheckpoint, the
+    cascade/LSH staged pattern) because labels self-reference; early
+    exit on zero changes, and exhaustion WARNS (no silent wrong
+    clusters — minhash_lsh_clusters' contract).
+
+    Every input point appears in the output; ε-isolated points are
+    singleton clusters labeled by their own id."""
+    import warnings as _warnings
+
+    edges = eps_neighbor_edges(
+        points, eps_deg, id_col=id_col, res_deg=res_deg
+    )
+    sym = edges.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    ).unionByName(
+        edges.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+    ).localCheckpoint(eager=True)
+    labels = (
+        points.select(F.col(id_col).alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+        .localCheckpoint(eager=True)
+    )
+    changed = -1
+    for _ in range(max_iters):
+        nbr_min = (
+            sym.join(labels, sym.dst == labels.id)
+            .groupBy("src")
+            .agg(F.min("label").alias("nl"))
+        )
+        relaxed = labels.join(
+            nbr_min, labels.id == nbr_min.src, "left"
+        ).select(
+            "id",
+            F.least(
+                F.col("label"), F.coalesce(F.col("nl"), F.col("label"))
+            ).alias("label"),
+        )
+        # pointer jump: label ← label[label]; min-propagation keeps
+        # every label a live point id, so the self-join always hits
+        jumped = (
+            relaxed.alias("a")
+            .join(
+                relaxed.select(
+                    F.col("id").alias("_jid"), F.col("label").alias("_jl")
+                ),
+                F.col("a.label") == F.col("_jid"),
+            )
+            .select(F.col("a.id").alias("id"), F.col("_jl").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            jumped.alias("u")
+            .join(labels.alias("l"), "id")
+            .where(F.col("u.label") != F.col("l.label"))
+            .count()
+        )
+        labels = jumped
+        if changed == 0:
+            break
+    else:
+        msg = (
+            f"eps_clusters: propagation did NOT converge after "
+            f"max_iters={max_iters} ({changed} labels still changing); "
+            "cluster ids may split true components. Raise max_iters "
+            "(rounds needed ~ log2 of the longest chain)."
+        )
+        _warnings.warn(msg, RuntimeWarning, stacklevel=2)
+    return labels.select(
+        F.col("id").alias(id_col), F.col("label").alias("cluster_id")
+    )
+
+
 def knn_in_cell_collect(
     points: DataFrame,
     candidates: DataFrame,
