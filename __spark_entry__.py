@@ -508,6 +508,14 @@ def q_simhash_pairs(spark, sf_dir):
     return dedup.simhash_near_dup_pairs(docs, max_hamming=3)
 
 
+def q_repetition_stats(spark, sf_dir):
+    """Gopher-style repetition filter signals (textops.repetition_stats):
+    top-2-gram and duplicate-2-gram occurrence shares in exact integer
+    millionths, plus the published drop rule."""
+    docs = pages_src.documents(spark, sf_dir)
+    return textops.repetition_stats(docs, n=2)
+
+
 def q_tfidf_topk(spark, sf_dir):
     """Top-5 characteristic terms per doc by exact-integer tf-idf
     (textops.tfidf_topk, raw-inverse-frequency idf): two partial-agg
@@ -1290,6 +1298,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": q_simhash_pairs,
         "contamination": q_contamination,
         "tfidf_topk": q_tfidf_topk,
+        "repetition_stats": q_repetition_stats,
         "text_quality": q_text_quality,
         "lang_id": q_lang_id,
         "ann_cosine_topk": q_ann_cosine_topk,
@@ -2641,6 +2650,38 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, token, tf, df, score_m,
                    CAST(rnk AS INTEGER) AS rank
             FROM ranked WHERE rnk <= 5
+        """,
+        "repetition_stats": """
+            WITH g AS (
+                SELECT doc_id, array_to_string(ts[i:i+1], ' ') AS gram
+                FROM (SELECT doc_id,
+                             string_split_regex(lower(text), '\\s+') AS ts
+                      FROM documents) t,
+                     LATERAL (SELECT UNNEST(
+                                  range(1, GREATEST(len(ts) - 1, 1) + 1))
+                              AS i) u
+                WHERE length(array_to_string(ts[i:i+1], ' ')) > 0
+            ),
+            counts AS (
+                SELECT doc_id, gram, COUNT(*) AS c FROM g GROUP BY 1, 2
+            ),
+            agg AS (
+                SELECT doc_id,
+                       CAST(SUM(c) AS BIGINT) AS n_ngrams,
+                       MAX(c) AS top_ngram_count,
+                       CAST(COALESCE(SUM(CASE WHEN c >= 2 THEN c END), 0)
+                            AS BIGINT) AS dup_ngram_occurrences
+                FROM counts GROUP BY 1
+            )
+            SELECT doc_id, n_ngrams, top_ngram_count,
+                   dup_ngram_occurrences,
+                   (top_ngram_count * 1000000) // n_ngrams AS top_share_m,
+                   (dup_ngram_occurrences * 1000000) // n_ngrams
+                       AS dup_share_m,
+                   ((top_ngram_count * 1000000) // n_ngrams > 200000
+                    OR (dup_ngram_occurrences * 1000000) // n_ngrams
+                       > 600000) AS repetitive
+            FROM agg
         """,
         # classify_actions (full, all element types) stays rows-only by
         # design (golden-tested in tests/); the nodes-only restriction

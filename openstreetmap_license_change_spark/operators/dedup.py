@@ -97,18 +97,28 @@ def tokens(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Dat
     ).where(F.col("token") != "")
 
 
-def shingles(
-    df: DataFrame, n: int = 3, text_col: str = "text", id_col: str = "doc_id"
-) -> DataFrame:
-    """Distinct word n-gram shingles per document, built natively:
-    split → slide via transform over index sequence → concat."""
-    toks = F.split(F.lower(F.col(text_col)), r"\s+")
-    grams = F.transform(
+def gram_array(text: Column, n: int) -> Column:
+    """Word n-gram array (non-distinct, document order), built
+    natively: split → slide via transform over index sequence →
+    concat.  A doc shorter than ``n`` tokens yields its single
+    short gram (both engines' oracles mirror this)."""
+    toks = F.split(F.lower(text), r"\s+")
+    return F.transform(
         F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
         lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
     )
+
+
+def shingles(
+    df: DataFrame, n: int = 3, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Distinct word n-gram shingles per document (gram_array +
+    array_distinct + explode)."""
     return df.select(
-        id_col, F.explode(F.array_distinct(grams)).alias("shingle")
+        id_col,
+        F.explode(
+            F.array_distinct(gram_array(F.col(text_col), n))
+        ).alias("shingle"),
     ).where(F.length("shingle") > 0)
 
 

@@ -98,6 +98,54 @@ FINGERPRINT_MOD = 1_000_000_007
 FINGERPRINT_PREFIX = 64
 
 
+def repetition_stats(
+    df: DataFrame,
+    n: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Gopher-style repetition quality signals over word ``n``-grams:
+    the share of n-gram occurrences claimed by the single most frequent
+    gram (``top_share_m``) and by ALL grams occurring ≥2 times
+    (``dup_share_m``), in exact integer millionths so the DuckDB twin
+    hash-matches (no float ratios).  ``repetitive`` applies the
+    published filter shape (Gopher drops docs whose top-2-gram share
+    exceeds 0.20; the dup-occurrence bound 0.60 is the analogous
+    all-duplicates guard).
+
+    Plan: one explode of the per-row gram array → (doc, gram) count
+    with map-side partial agg → per-doc re-aggregate of the already-
+    unique (doc, gram) rows.  Both shuffles key on the doc (the second
+    reuses nothing FROM the first only because gram is in the first
+    key; at 100 TB both are ordinary hash aggs, no skew beyond doc
+    size, no window, no collect)."""
+    from .dedup import gram_array
+
+    g = df.select(
+        id_col,
+        F.explode(gram_array(F.col(text_col), n)).alias("gram"),
+    ).where(F.length("gram") > 0)
+    counts = g.groupBy(id_col, "gram").agg(F.count(F.lit(1)).alias("c"))
+    agg = counts.groupBy(id_col).agg(
+        F.sum("c").alias("n_ngrams"),
+        F.max("c").alias("top_ngram_count"),
+        F.coalesce(
+            F.sum(F.when(F.col("c") >= 2, F.col("c"))), F.lit(0)
+        ).alias("dup_ngram_occurrences"),
+    )
+    top_share = F.expr("(top_ngram_count * 1000000) DIV n_ngrams")
+    dup_share = F.expr("(dup_ngram_occurrences * 1000000) DIV n_ngrams")
+    return agg.select(
+        id_col,
+        "n_ngrams",
+        "top_ngram_count",
+        "dup_ngram_occurrences",
+        top_share.alias("top_share_m"),
+        dup_share.alias("dup_share_m"),
+        ((top_share > 200000) | (dup_share > 600000)).alias("repetitive"),
+    )
+
+
 def tfidf_topk(
     df: DataFrame,
     k: int = 5,
