@@ -267,25 +267,38 @@ def minhash_lsh_pairs(
     ``overflow_buckets`` / ``overflow_docs`` / ``total_buckets``
     metrics (read ``observation.get`` after an action) — one pass, no
     extra job.  Default ``None`` cap = exact pairs (the oracle-checked
-    uncapped path, kept for A/B)."""
+    uncapped path, kept for A/B).
+
+    Exactly-once: docs agreeing on SEVERAL bands meet in each of them.
+    On the uncapped path the pair survives only in the FIRST matching
+    band — a residual over the carried band-key arrays, the same rule
+    as ``simhash_near_dup_pairs`` / ``temporal.interval_overlap_join``
+    — which removes the full distinct() shuffle of the emitted pair
+    stream.  The CAPPED path keeps distinct(): its contract is that a
+    pair still emits through any non-mega band it shares, and "first
+    matching band" can't see which earlier bands the cap excluded, so
+    the residual would wrongly suppress pairs whose first shared band
+    is the mega one; with a cap in force the pair stream is bounded,
+    so the distinct is cheap there anyway."""
     sig = minhash_signatures(df, id_col=id_col)
     rows_per_band = len(MINHASH_PERMS) // LSH_BANDS
-    bands = []
-    for band in range(LSH_BANDS):
-        cols = [
-            F.col(f"mh_{band * rows_per_band + r}").cast("string")
-            for r in range(rows_per_band)
-        ]
-        bands.append(
-            sig.select(
-                F.col(id_col),
-                F.lit(band).alias("band"),
-                F.concat_ws("|", *cols).alias("bucket"),
-            )
+    band_keys = [
+        F.concat_ws(
+            "|",
+            *[
+                F.col(f"mh_{band * rows_per_band + r}").cast("string")
+                for r in range(rows_per_band)
+            ],
         )
-    buckets = bands[0]
-    for b in bands[1:]:
-        buckets = buckets.unionByName(b)
+        for band in range(LSH_BANDS)
+    ]
+    buckets = (
+        sig.select(F.col(id_col), F.array(*band_keys).alias("bks"))
+        .withColumn(
+            "band", F.explode(F.sequence(F.lit(0), F.lit(LSH_BANDS - 1)))
+        )
+        .withColumn("bucket", F.element_at("bks", F.col("band") + 1))
+    )
     if max_bucket_size is not None:
         sizes = buckets.groupBy("band", "bucket").agg(
             F.count(F.lit(1)).alias("_n")
@@ -308,13 +321,32 @@ def minhash_lsh_pairs(
             "band", "bucket"
         )
         buckets = buckets.join(keep, ["band", "bucket"])
-    a = buckets.select(F.col(id_col).alias("doc_a"), "band", "bucket")
-    b = buckets.select(F.col(id_col).alias("doc_b"), "band", "bucket")
+        a = buckets.select(F.col(id_col).alias("doc_a"), "band", "bucket")
+        b = buckets.select(F.col(id_col).alias("doc_b"), "band", "bucket")
+        return (
+            a.join(b, ["band", "bucket"])
+            .where(F.col("doc_a") < F.col("doc_b"))
+            .select("doc_a", "doc_b")
+            .distinct()
+        )
+    a = buckets.select(
+        F.col(id_col).alias("doc_a"), F.col("bks").alias("bks_a"),
+        "band", "bucket",
+    )
+    b = buckets.select(
+        F.col(id_col).alias("doc_b"), F.col("bks").alias("bks_b"),
+        "band", "bucket",
+    )
+    first_match = (
+        F.array_position(
+            F.zip_with("bks_a", "bks_b", lambda x, y: x == y), F.lit(True)
+        )
+        - 1
+    )
     return (
         a.join(b, ["band", "bucket"])
-        .where(F.col("doc_a") < F.col("doc_b"))
+        .where((F.col("doc_a") < F.col("doc_b")) & (F.col("band") == first_match))
         .select("doc_a", "doc_b")
-        .distinct()
     )
 
 

@@ -545,6 +545,26 @@ def test_lsh_clusters_consistent_with_pairs(spark):
     assert labels == expected
 
 
+def test_lsh_pairs_uncapped_plan_has_no_pair_dedup(spark):
+    """The uncapped pair path dedups via the first-matching-band
+    residual, NOT a distinct(): the executed plan must contain no
+    aggregate keyed on (doc_a, doc_b), and the output must still be
+    duplicate-free on a corpus whose docs agree on EVERY band."""
+    from openstreetmap_license_change_spark.operators import dedup
+
+    docs = spark.createDataFrame(
+        [(i, "exactly the same text in every document") for i in range(6)]
+        + [(100, "another strain of words"), (101, "another strain of words")],
+        "doc_id bigint, text string",
+    )
+    out = dedup.minhash_lsh_pairs(docs)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "keys=[doc_a" not in plan, plan
+    got = [(r.doc_a, r.doc_b) for r in out.collect()]
+    assert len(got) == len(set(got))
+    assert set(got) >= {(0, 1), (4, 5), (100, 101)}
+
+
 def test_asof_join_ties_and_missing(spark):
     """Exact-timestamp ties match (>= convention); rows before any
     right row get null."""
