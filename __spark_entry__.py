@@ -668,6 +668,18 @@ def q_token_stats(spark, sf_dir):
     )
 
 
+def q_token_quantiles(spark, sf_dir):
+    """EXACT nearest-rank token-count quantiles per language
+    (textops.group_quantiles): p50/p90/p99 at integer-millionth levels
+    with pure int64 rank arithmetic — no percentile_approx sketch, no
+    engine-dependent interpolation."""
+    docs = pages_src.documents(spark, sf_dir)
+    vals = docs.select(
+        "lang", textops.token_count(F.col("text")).alias("n_tokens")
+    )
+    return textops.group_quantiles(vals, "n_tokens", ["lang"])
+
+
 def q_doc_fingerprint(spark, sf_dir):
     """Document fingerprint: polynomial rolling hash (Horner mod p) over
     the 64-char prefix — pure per-row arithmetic, no dictionary."""
@@ -1310,6 +1322,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "regions_available": q_regions_available,
         "doc_fingerprint": q_doc_fingerprint,
         "token_stats": q_token_stats,
+        "token_quantiles": q_token_quantiles,
         "osmchange_render": q_osmchange_render,
         "media_decode_stats": q_media_decode_stats,
         "audio_decode_stats": q_audio_decode_stats,
@@ -2303,6 +2316,27 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    {textops.rolling_fingerprint_sql('text')} AS fingerprint
             FROM documents
+        """,
+        "token_quantiles": """
+            WITH vals AS (
+                SELECT lang,
+                       CASE WHEN length(trim(text)) = 0 THEN 0
+                            ELSE len(string_split_regex(trim(text), '\\s+'))
+                            END AS n_tokens
+                FROM documents
+            ),
+            ranked AS (
+                SELECT lang, n_tokens,
+                       ROW_NUMBER() OVER (PARTITION BY lang
+                                          ORDER BY n_tokens) AS rn,
+                       COUNT(*) OVER (PARTITION BY lang) AS n
+                FROM vals
+            )
+            SELECT lang, CAST(q_m AS BIGINT) AS q_m,
+                   n_tokens AS quantile_value
+            FROM ranked,
+                 (VALUES (500000), (900000), (990000)) q(q_m)
+            WHERE rn = (q_m * n + 999999) // 1000000
         """,
         "osmchange_render": _with_pages(f"""
             , latest AS (

@@ -113,7 +113,7 @@ def _explode_buckets(
             n > max_buckets_per_interval,
             F.raise_error(
                 F.concat(
-                    F.lit("interval_join: interval spans "),
+                    F.lit("interval join: interval spans "),
                     n.cast("string"),
                     F.lit(
                         f" buckets > max_buckets_per_interval="

@@ -93,6 +93,52 @@ def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     return out.drop(*[f"_hits_{lang}" for lang in langs])
 
 
+def group_quantiles(
+    df: DataFrame,
+    value_col: str,
+    group_cols: Sequence[str],
+    qs_m: Sequence[int] = (500_000, 900_000, 990_000),
+) -> DataFrame:
+    """EXACT nearest-rank quantiles of ``value_col`` per group —
+    value at rank ⌈q·n⌉ under (value, …) ordering — instead of the
+    interpolated/approximate variants whose float arithmetic differs
+    across engines (percentile_approx is sketch-based; quantile_cont
+    interpolates).  Quantile levels are integer millionths (``qs_m``)
+    so rank arithmetic is pure int64: rank ⌈q_m·n / 10⁶⌉ computed as
+    ``(q_m·n + 999999) DIV 1000000`` — identical in Spark and ANSI SQL.
+
+    One shuffle: a rank window per group plus the group count as a
+    window aggregate (no second groupBy-join), then a filter to the
+    ≤ len(qs_m) selected ranks per group; output one row per
+    (group, quantile).  At 100 TB this is the sort-based exact path —
+    per-group sort of the value column only; for wide percentile
+    sweeps over mega-groups, swap in an approx sketch and say so
+    (no silent approximation here: this operator IS the exact one).
+
+    Ties take the first row at the rank under deterministic
+    (value) ordering — ranks are positional, so equal values at the
+    boundary yield the same quantile value regardless of which tied
+    row holds the rank."""
+    from pyspark.sql import Window as W
+
+    gcols = list(group_cols)
+    w = W.partitionBy(*gcols).orderBy(F.col(value_col).asc())
+    ranked = df.select(*gcols, value_col).withColumn(
+        "_rn", F.row_number().over(w)
+    ).withColumn(
+        "_n", F.count(F.lit(1)).over(W.partitionBy(*gcols))
+    )
+    # one window execution: fan each ranked row out over the (tiny)
+    # quantile list with a pipelined explode, then filter to the rank —
+    # a union of per-q filters would re-run the window per quantile
+    qlits = F.array(*[F.lit(int(q)).cast("bigint") for q in qs_m])
+    return (
+        ranked.withColumn("q_m", F.explode(qlits))
+        .where(F.col("_rn") == F.expr("(q_m * _n + 999999) DIV 1000000"))
+        .select(*gcols, "q_m", F.col(value_col).alias("quantile_value"))
+    )
+
+
 FINGERPRINT_BASE = 31
 FINGERPRINT_MOD = 1_000_000_007
 FINGERPRINT_PREFIX = 64
