@@ -261,6 +261,24 @@ def q_spatial_eps_clusters(spark, sf_dir):
                                 res_deg=0.25)
 
 
+def q_spatial_dbscan(spark, sf_dir):
+    """Full DBSCAN (spatial.dbscan) over all page versions at ε=0.01°,
+    min_pts=3: urls with ≥3 versions form all-core clusters, 2-version
+    urls and singletons are noise (no border points arise on this
+    corpus — the unit tests plant them).  Oracle replays core/border/
+    noise + the recursive closure over core-core edges."""
+    pages = _pages(spark, sf_dir)
+    pts = pages.select(
+        F.concat(
+            F.col("url"), F.lit("#"), F.col("version").cast("string")
+        ).alias("pid"),
+        "lon",
+        "lat",
+    )
+    return spatial.dbscan(pts, eps_deg=0.01, min_pts=3, id_col="pid",
+                          res_deg=0.25)
+
+
 def q_tile_rollup(spark, sf_dir):
     """Raster rollup: per-cell page count + taint density."""
     flagged = _pages_flagged(spark, sf_dir)
@@ -1287,6 +1305,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "promo_revenue": q_promo_revenue,
         "cell_assignment": q_cell_assignment,
         "spatial_eps_clusters": q_spatial_eps_clusters,
+        "spatial_dbscan": q_spatial_dbscan,
         "tile_rollup": q_tile_rollup,
         "tile_rollup_multires": q_tile_rollup_multires,
         "tile_vectorize": q_tile_vectorize,
@@ -1762,6 +1781,55 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT pid, MIN(lbl) AS cluster_id
             FROM reach GROUP BY 1
+        """),
+        "spatial_dbscan": _with_pages_recursive("""
+            , pts AS (
+                SELECT url || '#' || CAST(version AS VARCHAR) AS pid,
+                       lon, lat
+                FROM pages
+            ),
+            edges AS (  -- directed both ways (a.pid <> b.pid)
+                SELECT a.pid AS src, b.pid AS dst
+                FROM pts a JOIN pts b ON a.pid <> b.pid
+                WHERE POWER(LEAST(ABS(a.lon - b.lon),
+                                  360 - ABS(a.lon - b.lon)), 2)
+                      + POWER(a.lat - b.lat, 2) <= 0.0001
+            ),
+            deg AS (SELECT src AS pid, COUNT(*) AS nb FROM edges GROUP BY 1),
+            core AS (
+                SELECT p.pid FROM pts p LEFT JOIN deg d ON d.pid = p.pid
+                WHERE COALESCE(d.nb, 0) + 1 >= 3
+            ),
+            cedges AS (
+                SELECT e.src, e.dst FROM edges e
+                JOIN core c1 ON c1.pid = e.src
+                JOIN core c2 ON c2.pid = e.dst
+            ),
+            reach(pid, lbl) AS (
+                SELECT pid, pid FROM core
+                UNION
+                SELECT e.dst, r.lbl
+                FROM reach r JOIN cedges e ON e.src = r.pid
+            ),
+            clab AS (
+                SELECT pid, MIN(lbl) AS cluster_id FROM reach GROUP BY 1
+            ),
+            border AS (
+                SELECT e.src AS pid, MIN(cl.cluster_id) AS cluster_id
+                FROM edges e
+                JOIN core c2 ON c2.pid = e.dst
+                JOIN clab cl ON cl.pid = e.dst
+                WHERE e.src NOT IN (SELECT pid FROM core)
+                GROUP BY 1
+            )
+            SELECT p.pid,
+                   CASE WHEN cl.pid IS NOT NULL THEN 'core'
+                        WHEN b.pid IS NOT NULL THEN 'border'
+                        ELSE 'noise' END AS role,
+                   COALESCE(cl.cluster_id, b.cluster_id) AS cluster_id
+            FROM pts p
+            LEFT JOIN clab cl ON cl.pid = p.pid
+            LEFT JOIN border b ON b.pid = p.pid
         """),
         "tile_rollup": _with_pages(f"""
             SELECT cell, n_pages, n_tainted,

@@ -790,21 +790,37 @@ def eps_clusters(
 
     Every input point appears in the output; ε-isolated points are
     singleton clusters labeled by their own id."""
-    import warnings as _warnings
-
     edges = eps_neighbor_edges(
         points, eps_deg, id_col=id_col, res_deg=res_deg
     )
+    labels = _min_label_components(
+        points.select(F.col(id_col).alias("id")).distinct(),
+        edges,
+        max_iters=max_iters,
+        op_name="eps_clusters",
+    )
+    return labels.select(
+        F.col("id").alias(id_col), F.col("label").alias("cluster_id")
+    )
+
+
+def _min_label_components(
+    ids: DataFrame, edges: DataFrame, max_iters: int, op_name: str
+) -> DataFrame:
+    """Connected components over an undirected edge list (``id_a``,
+    ``id_b``) restricted to the vertex set ``ids`` (one column,
+    ``id``): min-label propagation + pointer jumping per round (see
+    :func:`eps_clusters` docstring for the convergence argument).
+    Returns (id, label); isolated ids keep their own label."""
+    import warnings as _warnings
+
     sym = edges.select(
         F.col("id_a").alias("src"), F.col("id_b").alias("dst")
     ).unionByName(
         edges.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
     ).localCheckpoint(eager=True)
-    labels = (
-        points.select(F.col(id_col).alias("id"))
-        .distinct()
-        .withColumn("label", F.col("id"))
-        .localCheckpoint(eager=True)
+    labels = ids.withColumn("label", F.col("id")).localCheckpoint(
+        eager=True
     )
     changed = -1
     for _ in range(max_iters):
@@ -845,14 +861,88 @@ def eps_clusters(
             break
     else:
         msg = (
-            f"eps_clusters: propagation did NOT converge after "
+            f"{op_name}: propagation did NOT converge after "
             f"max_iters={max_iters} ({changed} labels still changing); "
             "cluster ids may split true components. Raise max_iters "
             "(rounds needed ~ log2 of the longest chain)."
         )
-        _warnings.warn(msg, RuntimeWarning, stacklevel=2)
-    return labels.select(
-        F.col("id").alias(id_col), F.col("label").alias("cluster_id")
+        _warnings.warn(msg, RuntimeWarning, stacklevel=3)
+    return labels
+
+
+def dbscan(
+    points: DataFrame,
+    eps_deg: float,
+    min_pts: int,
+    id_col: str = "url",
+    res_deg: float | None = None,
+    max_iters: int = 12,
+) -> DataFrame:
+    """Full DBSCAN over the ε-graph: ``role`` ∈ {core, border, noise}
+    and a nullable ``cluster_id``.
+
+    * **core** — at least ``min_pts`` points within ε (the point
+      itself counts, the standard convention); clusters are connected
+      components of the core-core ε-edges (same pointer-jumping
+      propagation as :func:`eps_clusters`), labeled by component min.
+    * **border** — non-core with ≥1 core ε-neighbor; classic DBSCAN
+      assigns it to whichever core claims it first (scan-order
+      dependent!), here deterministically to the MIN cluster id among
+      its core neighbors — documented replacement, same cluster set.
+    * **noise** — everything else; ``cluster_id`` is NULL.
+
+    Everything derives from ONE :func:`eps_neighbor_edges` pass
+    (localCheckpointed): degrees are a groupBy over the symmetrized
+    edges, core filtering is a semi-join, and border assignment is a
+    single join from non-core edge endpoints to core labels — no
+    second spatial join anywhere."""
+    if min_pts < 1:
+        raise ValueError(f"min_pts={min_pts} must be >= 1")
+    edges = eps_neighbor_edges(
+        points, eps_deg, id_col=id_col, res_deg=res_deg
+    ).localCheckpoint(eager=True)
+    ids = points.select(F.col(id_col).alias("id")).distinct()
+    sym = edges.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    ).unionByName(
+        edges.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+    )
+    deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("_nb"))
+    counts = ids.join(deg, ids.id == deg.src, "left").select(
+        "id", (F.coalesce(F.col("_nb"), F.lit(0)) + 1).alias("n_in_eps")
+    )
+    core_ids = counts.where(F.col("n_in_eps") >= min_pts).select("id")
+    core_edges = (
+        edges.join(core_ids.withColumnRenamed("id", "id_a"), "id_a", "semi")
+        .join(core_ids.withColumnRenamed("id", "id_b"), "id_b", "semi")
+    )
+    core_labels = _min_label_components(
+        core_ids, core_edges, max_iters=max_iters, op_name="dbscan"
+    )
+    border = (
+        sym.join(
+            core_ids.withColumnRenamed("id", "dst"), "dst", "semi"
+        )  # edges INTO a core
+        .join(
+            core_ids.withColumnRenamed("id", "src"), "src", "anti"
+        )  # from a non-core
+        .join(core_labels.withColumnRenamed("id", "dst"), "dst")
+        .groupBy("src")
+        .agg(F.min("label").alias("_border_label"))
+    )
+    return (
+        ids.join(core_labels, "id", "left")
+        .join(border.withColumnRenamed("src", "id"), "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.when(F.col("label").isNotNull(), F.lit("core"))
+            .when(F.col("_border_label").isNotNull(), F.lit("border"))
+            .otherwise(F.lit("noise"))
+            .alias("role"),
+            F.coalesce(F.col("label"), F.col("_border_label")).alias(
+                "cluster_id"
+            ),
+        )
     )
 
 
