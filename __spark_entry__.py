@@ -288,6 +288,20 @@ def q_tile_rollup(spark, sf_dir):
     return spatial.tile_rollup(cells)
 
 
+def q_tile_focal_mean(spark, sf_dir):
+    """3×3 focal mean over the tile_rollup raster
+    (spatial.tile_focal_stats): neighborhood page-count smoothing on
+    the AGGREGATE (|cells| rows fan out ×9, never the point table);
+    wrap/clamp topology derived from the cell id by integer div/mod.
+    Oracle replays the fan-out arithmetic in SQL."""
+    flagged = _pages_flagged(spark, sf_dir)
+    cells = spatial.assign_cells(flagged).withColumn(
+        "tainted", ~F.col("accepted")
+    )
+    rollup = spatial.tile_rollup(cells).select("cell", "n_pages")
+    return spatial.tile_focal_stats(rollup, "n_pages")
+
+
 def q_tile_rollup_multires(spark, sf_dir):
     """Multi-resolution raster rollup (cube over the Morton cell
     hierarchy, SURVEY §2.4 / north-rule H3-res analogue): taint
@@ -1307,6 +1321,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spatial_eps_clusters": q_spatial_eps_clusters,
         "spatial_dbscan": q_spatial_dbscan,
         "tile_rollup": q_tile_rollup,
+        "tile_focal_mean": q_tile_focal_mean,
         "tile_rollup_multires": q_tile_rollup_multires,
         "tile_vectorize": q_tile_vectorize,
         "pip_polygons": q_pip_polygons,
@@ -1845,6 +1860,32 @@ def oracle_sql() -> dict[str, str]:
                 FROM pages p JOIN cs_status s USING (changeset_id)
                 GROUP BY 1
             ) t
+        """),
+        "tile_focal_mean": _with_pages(f"""
+            , rollup AS (
+                SELECT {cell} AS cell, COUNT(*) AS n_pages
+                FROM pages p JOIN cs_status s USING (changeset_id)
+                GROUP BY 1
+            ),
+            fan AS (
+                SELECT r.n_pages AS v,
+                       (((r.cell // 1440) + d.dy) * 1440
+                        + ((r.cell % 1440) + d.dx + 1440) % 1440) AS t_cell
+                FROM rollup r CROSS JOIN (VALUES
+                     (-1,-1),(-1,0),(-1,1),(0,-1),(0,0),(0,1),
+                     (1,-1),(1,0),(1,1)) d(dy, dx)
+                WHERE (r.cell // 1440) + d.dy >= 0
+                  AND (r.cell // 1440) + d.dy < 720
+            ),
+            agg AS (
+                SELECT t_cell AS cell,
+                       COUNT(*) AS n_nbrs,
+                       CAST(SUM(v) AS BIGINT) AS nbr_sum
+                FROM fan GROUP BY 1
+            )
+            SELECT r.cell, a.n_nbrs, a.nbr_sum,
+                   (a.nbr_sum * 1000000) // a.n_nbrs AS focal_mean_m
+            FROM rollup r JOIN agg a ON a.cell = r.cell
         """),
         "tile_rollup_multires": _with_pages(f"""
             , tainted_pts AS (

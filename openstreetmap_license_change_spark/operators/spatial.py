@@ -998,6 +998,66 @@ def tile_rollup(pages_with_cells: DataFrame, taint_col: str = "tainted") -> Data
     )
 
 
+def tile_focal_stats(
+    cells: DataFrame,
+    value_col: str,
+    res_deg: float = DEFAULT_RES_DEG,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """3×3 focal (moving-window) statistics over a per-cell raster:
+    for every input cell, the count / sum / scaled mean of
+    ``value_col`` across the up-to-9 INPUT cells in its neighborhood
+    (itself included).  Longitude columns wrap at ±180°, latitude rows
+    clamp at the poles — same topology as :func:`neighbor_cells`, but
+    derived from the CELL ID by integer div/mod (no lon/lat needed).
+
+    The classic raster smoothing pass (focal mean / kernel density at
+    kernel=1), run on the *aggregate* raster: after ``tile_rollup``
+    the input is |cells| rows, so the ×9 fan-out shuffles ~9·|cells| —
+    never the point table.  Mean is ``(sum · scale) DIV n`` in exact
+    int64 (``value_col`` must be integral; sums of per-cell counts stay
+    far below 2⁶³ / scale at any real raster size... at 10¹² points and
+    scale 10⁶ the per-neighborhood sum bound is 2⁴³, checked math, not
+    hope).  Cells absent from the input contribute nothing and produce
+    no output row (the raster's support does not dilate — output keys
+    are semi-joined back to the input)."""
+    cols = int(360 / res_deg)
+    rows_n = int(180 / res_deg)
+    lat_b = F.floor(F.col("cell") / F.lit(cols))
+    lon_b = F.col("cell") % F.lit(cols)
+    targets = []
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            t_lat = lat_b + F.lit(dy)
+            t_lon = (lon_b + F.lit(dx) + F.lit(cols)) % F.lit(cols)
+            targets.append(
+                F.when(
+                    (t_lat >= 0) & (t_lat < rows_n),
+                    (t_lat * F.lit(cols) + t_lon).cast("bigint"),
+                )
+            )
+    # distinct for ultra-coarse grids where lon wrap collapses columns
+    fan = cells.select(
+        F.col(value_col).alias("_v"),
+        F.explode(
+            F.array_distinct(F.array_compact(F.array(*targets)))
+        ).alias("t_cell"),
+    )
+    agg = fan.groupBy("t_cell").agg(
+        F.count(F.lit(1)).alias("n_nbrs"),
+        F.sum("_v").alias("nbr_sum"),
+    )
+    out = cells.select(F.col("cell")).join(
+        agg, cells.cell == agg.t_cell, "inner"
+    )
+    return out.select(
+        "cell",
+        "n_nbrs",
+        "nbr_sum",
+        F.expr(f"(nbr_sum * {int(scale)}) DIV n_nbrs").alias("focal_mean_m"),
+    )
+
+
 def tile_rollup_multires(
     points: DataFrame,
     resolutions: Sequence[int],
