@@ -183,6 +183,53 @@ def test_interval_join_column_collision_raises(spark):
         )
 
 
+def test_interval_join_stream_static(spark, tmp_path):
+    """The bucket decomposition is a plain equi-join, so it runs
+    unchanged as a Structured Streaming stream-static join (no range
+    condition, which stream-static inner joins would reject into a
+    nested loop): streaming points vs static interval table, append
+    mode, equals the batch run over the same files."""
+    src = str(tmp_path / "pts")
+    schema = "user_id bigint, event_id bigint, ts timestamp"
+    rows1 = [(1, i, _t(40 * i)) for i in range(10)]
+    rows2 = [(2, 100 + i, _t(35 * i)) for i in range(10)]
+    spark.createDataFrame(rows1, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    spark.createDataFrame(rows2, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    windows = _intervals_df(
+        spark, [(1, 10, _t(50), _t(200)), (2, 20, _t(100), _t(260))]
+    )
+
+    def join(points):
+        return temporal.interval_join(
+            points, windows, "user_id", "ts", "w_start", "w_end",
+            bucket_s=60,
+        ).select("user_id", "event_id", "w_id")
+
+    stream = spark.readStream.schema(schema).parquet(src)
+    q = (
+        join(stream)
+        .writeStream.format("memory")
+        .queryName("ij_stream_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.user_id, r.event_id, r.w_id)
+        for r in spark.sql("SELECT * FROM ij_stream_test").collect()
+    }
+    want = {
+        (r.user_id, r.event_id, r.w_id)
+        for r in join(spark.read.parquet(src)).collect()
+    }
+    assert got == want and len(want) > 0
+
+
 def test_interval_join_plan_is_equi_join(spark):
     """The point of the decomposition: Catalyst must plan a hash
     equi-join on (key, bucket) — never a nested-loop/cartesian."""
