@@ -261,6 +261,21 @@ def q_spatial_eps_clusters(spark, sf_dir):
                                 res_deg=0.25)
 
 
+def q_radius_join(spark, sf_dir):
+    """Two-table spatial radius join (spatial.radius_join): latest
+    English pages probe latest German pages within 8° (grid res 9°, a
+    divisor of 180 — res must be ≥ radius); exact wrapped-lon dist²
+    attached.  Oracle is the naive range join."""
+    pages = lineage.latest_version(
+        _pages(spark, sf_dir), cols=["lang", "lon", "lat"]
+    )
+    en = pages.where(F.col("lang") == "en").select("url", "lon", "lat")
+    de = pages.where(F.col("lang") == "de").select(
+        F.col("url").alias("cand_url"), "lon", "lat"
+    )
+    return spatial.radius_join(en, de, radius_deg=8.0, res_deg=9.0)
+
+
 def q_spatial_dbscan(spark, sf_dir):
     """Full DBSCAN (spatial.dbscan) over all page versions at ε=0.01°,
     min_pts=3: urls with ≥3 versions form all-core clusters, 2-version
@@ -1320,6 +1335,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cell_assignment": q_cell_assignment,
         "spatial_eps_clusters": q_spatial_eps_clusters,
         "spatial_dbscan": q_spatial_dbscan,
+        "radius_join": q_radius_join,
         "tile_rollup": q_tile_rollup,
         "tile_focal_mean": q_tile_focal_mean,
         "tile_rollup_multires": q_tile_rollup_multires,
@@ -1796,6 +1812,24 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT pid, MIN(lbl) AS cluster_id
             FROM reach GROUP BY 1
+        """),
+        "radius_join": _with_pages("""
+            , latest AS (
+                SELECT url, lang, lon, lat FROM (
+                    SELECT p.*, ROW_NUMBER() OVER (
+                        PARTITION BY url ORDER BY version DESC) AS rn
+                    FROM pages p
+                ) t WHERE rn = 1
+            )
+            SELECT a.url, b.url AS cand_url,
+                   LEAST(ABS(a.lon - b.lon), 360 - ABS(a.lon - b.lon))
+                     * LEAST(ABS(a.lon - b.lon), 360 - ABS(a.lon - b.lon))
+                     + (a.lat - b.lat) * (a.lat - b.lat) AS dist2
+            FROM latest a JOIN latest b
+              ON a.lang = 'en' AND b.lang = 'de'
+            WHERE LEAST(ABS(a.lon - b.lon), 360 - ABS(a.lon - b.lon))
+                    * LEAST(ABS(a.lon - b.lon), 360 - ABS(a.lon - b.lon))
+                    + (a.lat - b.lat) * (a.lat - b.lat) <= 64.0
         """),
         "spatial_dbscan": _with_pages_recursive("""
             , pts AS (

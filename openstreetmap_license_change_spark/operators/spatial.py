@@ -528,9 +528,21 @@ def neighbor_cells(
     """The 3×3 grid-cell neighborhood of a point (own cell + up to 8
     neighbors): longitude wraps at ±180°, latitude bands clamp at the
     poles.  Pure per-row arithmetic — no lookup table, identical in
-    ANSI SQL (see the knn_neighborhood oracle)."""
+    ANSI SQL (see the knn_neighborhood oracle).
+
+    ``res_deg`` must divide 180 exactly: with a non-divisor resolution
+    the top latitude band (floor(180/res)) falls outside the computed
+    row count and its points would silently lose their own cell from
+    the probe set — raise instead (all shipped ladders are
+    binary/decimal divisors)."""
     cols = int(360 / res_deg)
     rows_n = int(180 / res_deg)
+    if cols * res_deg != 360 or rows_n * res_deg != 180:
+        raise ValueError(
+            f"res_deg={res_deg} does not divide 180/360 exactly; the "
+            "3x3 probe topology needs an integral grid (use a divisor "
+            "resolution, e.g. 9 instead of 8)"
+        )
     lat_b = F.floor((lat + F.lit(90.0)) / F.lit(res_deg))
     lon_b = F.floor((lon + F.lit(180.0)) / F.lit(res_deg))
     cells = []
@@ -763,6 +775,63 @@ def eps_neighbor_edges(
             & (dlon * dlon + dlat * dlat <= F.lit(float(eps_deg) ** 2))
         )
         .select("id_a", "id_b")
+    )
+
+
+def radius_join(
+    points: DataFrame,
+    candidates: DataFrame,
+    radius_deg: float,
+    point_id: str = "url",
+    cand_id: str = "cand_url",
+    res_deg: float | None = None,
+    join_hint: str | None = "shuffle_hash",
+) -> DataFrame:
+    """Two-table spatial radius join: every (point, candidate) pair
+    within ``radius_deg`` (wrapped-lon equirectangular degrees — the
+    kNN family's metric), with the exact ``dist2`` attached.  The
+    general spatial-join primitive :func:`eps_neighbor_edges`
+    specializes (self-join, unordered pairs, no distance output).
+
+    Same physical shape as :func:`knn_neighborhood`: the probe side
+    explodes into ≤9 neighborhood cells at ``res_deg`` (default =
+    ``radius_deg``; must be ≥ it — enforced, same soundness argument
+    as eps_neighbor_edges), candidates stay un-replicated and keyed by
+    their single home cell, shuffled-hash pair join, exact residual.
+    Each pair emits exactly once (the candidate's home cell is
+    unique)."""
+    if res_deg is None:
+        res_deg = radius_deg
+    if res_deg < radius_deg:
+        raise ValueError(
+            f"res_deg={res_deg} < radius_deg={radius_deg}: the 3x3 "
+            "probe cannot see all in-radius candidates; use "
+            "res_deg >= radius_deg"
+        )
+    probes = points.select(
+        F.col(point_id),
+        F.col("lon"),
+        F.col("lat"),
+        F.explode(
+            neighbor_cells(F.col("lon"), F.col("lat"), res_deg)
+        ).alias("probe_cell"),
+    )
+    c = candidates.select(
+        grid_cell(F.col("lon"), F.col("lat"), res_deg).alias("c_cell"),
+        F.col(cand_id),
+        F.col("lon").alias("c_lon"),
+        F.col("lat").alias("c_lat"),
+    )
+    if join_hint:
+        c = c.hint(join_hint)
+    dlon_raw = F.abs(F.col("lon") - F.col("c_lon"))
+    dlon = F.least(dlon_raw, F.lit(360.0) - dlon_raw)
+    dlat = F.col("lat") - F.col("c_lat")
+    dist2 = dlon * dlon + dlat * dlat
+    return (
+        probes.join(c, probes.probe_cell == c.c_cell)
+        .where(dist2 <= F.lit(float(radius_deg) ** 2))
+        .select(point_id, cand_id, dist2.alias("dist2"))
     )
 
 
