@@ -428,6 +428,49 @@ def q_knn_neighborhood_agg(spark, sf_dir):
     )
 
 
+def q_nearest_clean_attribution(spark, sf_dir):
+    """1-NN attribution (spatial.nearest_attribution): every tainted
+    latest page attributed to its nearest accepted latest page in the
+    3×3 30° neighborhood (wrapped-lon dist², (dist2, cand_url)
+    tie-break), carrying the clean page's lang through the argmin —
+    the north rule's "nearest-clean-version attribution", as a pure
+    partial-aggregating min_by (no window, no pair sort)."""
+    flagged = _pages_flagged(spark, sf_dir)
+    latest = lineage.latest_version(
+        flagged, cols=["accepted", "lon", "lat", "lang"]
+    )
+    dirty = latest.where(~F.col("accepted")).select("url", "lon", "lat")
+    clean = latest.where(F.col("accepted")).select(
+        F.col("url").alias("cand_url"), "lon", "lat",
+        F.col("lang").alias("near_lang"),
+    )
+    out = spatial.nearest_attribution(
+        dirty, clean, res_deg=30.0, payload_cols=("near_lang",)
+    )
+    return out.select(
+        "url", "cand_url",
+        F.round("dist2", 6).alias("dist2_r"), "near_lang",
+    )
+
+
+def q_knn_lang_vote(spark, sf_dir):
+    """Majority-vote attribution (spatial.knn_attribute_mode): each
+    tainted page takes the modal lang of its 3 nearest accepted
+    neighbors (ties → most votes, then smallest lang) — the lang rides
+    the kNN as a payload column, so attribution adds zero joins."""
+    flagged = _pages_flagged(spark, sf_dir)
+    latest = lineage.latest_version(
+        flagged, cols=["accepted", "lon", "lat", "lang"]
+    )
+    dirty = latest.where(~F.col("accepted")).select("url", "lon", "lat")
+    clean = latest.where(F.col("accepted")).select(
+        F.col("url").alias("cand_url"), "lon", "lat", "lang"
+    )
+    return spatial.knn_attribute_mode(
+        dirty, clean, attr_col="lang", k=3, res_deg=30.0
+    )
+
+
 def q_dedup_exact(spark, sf_dir):
     """Exact dedup groups by md5(text)."""
     docs = pages_src.documents(spark, sf_dir)
@@ -1345,6 +1388,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_in_cell": q_knn_in_cell,
         "knn_neighborhood": q_knn_neighborhood,
         "knn_neighborhood_agg": q_knn_neighborhood_agg,
+        "nearest_clean_attribution": q_nearest_clean_attribution,
+        "knn_lang_vote": q_knn_lang_vote,
         "dedup_exact": q_dedup_exact,
         "ngram_jaccard": q_ngram_jaccard,
         "ngram_jaccard_capped": q_ngram_jaccard_capped,
@@ -2101,6 +2146,116 @@ def oracle_sql() -> dict[str, str]:
                            AS knn_rank
                 FROM pairs
             ) t WHERE knn_rank <= 3
+        """),
+        "nearest_clean_attribution": _with_pages(f"""
+            , latest AS (
+                SELECT * FROM (
+                    SELECT p.*, s.accepted,
+                           ROW_NUMBER() OVER (PARTITION BY p.url
+                                              ORDER BY p.version DESC) AS rn
+                    FROM pages p JOIN cs_status s USING (changeset_id)
+                ) t WHERE rn = 1
+            ),
+            dirty AS (SELECT url, lon, lat FROM latest WHERE NOT accepted),
+            clean AS (
+                SELECT url AS cand_url, lon, lat, lang AS near_lang,
+                       {cell30} AS c_cell
+                FROM latest WHERE accepted
+            ),
+            probes AS (
+                SELECT d.url, d.lon, d.lat,
+                       CAST(FLOOR((d.lat + 90.0) / 30.0) AS BIGINT)
+                           + dy.v AS nb_lat,
+                       (CAST(FLOOR((d.lon + 180.0) / 30.0) AS BIGINT)
+                           + dx.v + 12) % 12 AS nb_lon
+                FROM dirty d,
+                     (VALUES (-1), (0), (1)) dy(v),
+                     (VALUES (-1), (0), (1)) dx(v)
+            ),
+            probe_cells AS (
+                SELECT DISTINCT url, lon, lat,
+                       nb_lat * 12 + nb_lon AS probe_cell
+                FROM probes WHERE nb_lat >= 0 AND nb_lat < 6
+            ),
+            pairs AS (
+                SELECT url, cand_url, near_lang,
+                       dlon * dlon + dlat * dlat AS dist2
+                FROM (
+                    SELECT p.url, c.cand_url, c.near_lang,
+                           LEAST(ABS(p.lon - c.lon),
+                                 360.0 - ABS(p.lon - c.lon)) AS dlon,
+                           p.lat - c.lat AS dlat
+                    FROM probe_cells p
+                    JOIN clean c ON p.probe_cell = c.c_cell
+                )
+            )
+            SELECT url, cand_url, ROUND(dist2, 6) AS dist2_r, near_lang
+            FROM (
+                SELECT *, ROW_NUMBER() OVER (PARTITION BY url
+                                             ORDER BY dist2, cand_url)
+                           AS nn_rank
+                FROM pairs
+            ) t WHERE nn_rank = 1
+        """),
+        "knn_lang_vote": _with_pages(f"""
+            , latest AS (
+                SELECT * FROM (
+                    SELECT p.*, s.accepted,
+                           ROW_NUMBER() OVER (PARTITION BY p.url
+                                              ORDER BY p.version DESC) AS rn
+                    FROM pages p JOIN cs_status s USING (changeset_id)
+                ) t WHERE rn = 1
+            ),
+            dirty AS (SELECT url, lon, lat FROM latest WHERE NOT accepted),
+            clean AS (
+                SELECT url AS cand_url, lon, lat, lang,
+                       {cell30} AS c_cell
+                FROM latest WHERE accepted
+            ),
+            probes AS (
+                SELECT d.url, d.lon, d.lat,
+                       CAST(FLOOR((d.lat + 90.0) / 30.0) AS BIGINT)
+                           + dy.v AS nb_lat,
+                       (CAST(FLOOR((d.lon + 180.0) / 30.0) AS BIGINT)
+                           + dx.v + 12) % 12 AS nb_lon
+                FROM dirty d,
+                     (VALUES (-1), (0), (1)) dy(v),
+                     (VALUES (-1), (0), (1)) dx(v)
+            ),
+            probe_cells AS (
+                SELECT DISTINCT url, lon, lat,
+                       nb_lat * 12 + nb_lon AS probe_cell
+                FROM probes WHERE nb_lat >= 0 AND nb_lat < 6
+            ),
+            pairs AS (
+                SELECT url, cand_url, lang,
+                       dlon * dlon + dlat * dlat AS dist2
+                FROM (
+                    SELECT p.url, c.cand_url, c.lang,
+                           LEAST(ABS(p.lon - c.lon),
+                                 360.0 - ABS(p.lon - c.lon)) AS dlon,
+                           p.lat - c.lat AS dlat
+                    FROM probe_cells p
+                    JOIN clean c ON p.probe_cell = c.c_cell
+                )
+            ),
+            ranked AS (
+                SELECT url, lang,
+                       ROW_NUMBER() OVER (PARTITION BY url
+                                          ORDER BY dist2, cand_url)
+                           AS knn_rank
+                FROM pairs
+            ),
+            votes AS (
+                SELECT url, lang, COUNT(*) AS votes
+                FROM ranked WHERE knn_rank <= 3 GROUP BY 1, 2
+            )
+            SELECT url, lang, votes FROM (
+                SELECT *, ROW_NUMBER() OVER (PARTITION BY url
+                                             ORDER BY votes DESC, lang)
+                           AS vr
+                FROM votes
+            ) t WHERE vr = 1
         """),
         "dedup_exact": """
             SELECT md5(text) AS text_md5,

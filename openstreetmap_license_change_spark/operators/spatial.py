@@ -571,6 +571,7 @@ def knn_neighborhood(
     cand_id: str = "cand_url",
     strategy: str = "window",
     join_hint: str | None = "shuffle_hash",
+    payload_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """kNN with 3×3 neighbor-cell probing: like :func:`knn_in_cell`
     but a point also sees candidates in the 8 surrounding cells, so
@@ -601,11 +602,21 @@ def knn_neighborhood(
     — robust to per-cell skew) or ``"agg"`` (sort-free per-cell-array
     plan, :func:`knn_neighborhood_agg` — wins on density-matched grids
     where the window's per-partition pair sort spills under task
-    concurrency).  Identical results either way (A/B-tested)."""
+    concurrency).  Identical results either way (A/B-tested).
+
+    ``payload_cols``: candidate-side columns carried through to the
+    output unchanged (e.g. the clean neighbor's ``lang`` for
+    attribution) — they ride inside the top-k machinery instead of a
+    second join back to the candidate table, so attribution costs no
+    extra shuffle.  Payloads never affect ranking: the order key stays
+    (dist2, cand_id) in both strategies (in the agg strategy's struct
+    sort the unique cand_id decides before any payload field is
+    compared)."""
     if strategy == "agg":
         return knn_neighborhood_agg(
             points, candidates, k=k, res_deg=res_deg,
             point_id=point_id, cand_id=cand_id, join_hint=join_hint,
+            payload_cols=payload_cols,
         )
     if strategy != "window":
         raise ValueError(f"unknown strategy {strategy!r}")
@@ -618,6 +629,7 @@ def knn_neighborhood(
         F.col(cand_id),
         F.col("lon").alias("c_lon"),
         F.col("lat").alias("c_lat"),
+        *[F.col(p) for p in payload_cols],
     )
     if join_hint:
         # the pair join needs no ordering (the partial WindowGroupLimit
@@ -637,7 +649,7 @@ def knn_neighborhood(
     return (
         joined.withColumn("knn_rank", F.row_number().over(w))
         .where(F.col("knn_rank") <= k)
-        .select(*point_cols, cand_id, "dist2", "knn_rank")
+        .select(*point_cols, cand_id, "dist2", "knn_rank", *payload_cols)
     )
 
 
@@ -649,6 +661,7 @@ def knn_neighborhood_agg(
     point_id: str = "url",
     cand_id: str = "cand_url",
     join_hint: str | None = "shuffle_hash",
+    payload_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """:func:`knn_neighborhood` semantics (3×3 probing, wrapped-lon
     distance, (dist2, id) tie-break) with a SORT-FREE physical
@@ -681,6 +694,7 @@ def knn_neighborhood_agg(
                 F.col(cand_id).alias("cid"),
                 F.col("lon").alias("clon"),
                 F.col("lat").alias("clat"),
+                *[F.col(p).alias(p) for p in payload_cols],
             )
         ).alias("cands")
     )
@@ -693,9 +707,12 @@ def knn_neighborhood_agg(
         dlon_raw = F.abs(F.col("lon") - c["clon"])
         dlon = F.least(dlon_raw, F.lit(360.0) - dlon_raw)
         dlat = F.col("lat") - c["clat"]
+        # payload fields sit AFTER the unique cand id, so the struct
+        # array_sort never reaches them — order stays (dist2, cand)
         return F.struct(
             (dlon * dlon + dlat * dlat).alias("dist2"),
             c["cid"].alias("cand"),
+            *[c[p].alias(p) for p in payload_cols],
         )
 
     if join_hint:
@@ -719,6 +736,7 @@ def knn_neighborhood_agg(
             F.col("_n1.cand").alias(cand_id),
             F.col("_n1.dist2").alias("dist2"),
             (F.col("_pos") + 1).alias("knn_rank"),
+            *[F.col(f"_n1.{p}").alias(p) for p in payload_cols],
         )
     )
 
@@ -832,6 +850,127 @@ def radius_join(
         probes.join(c, probes.probe_cell == c.c_cell)
         .where(dist2 <= F.lit(float(radius_deg) ** 2))
         .select(point_id, cand_id, dist2.alias("dist2"))
+    )
+
+
+def nearest_attribution(
+    points: DataFrame,
+    candidates: DataFrame,
+    res_deg: float = DEFAULT_RES_DEG,
+    point_id: str = "url",
+    cand_id: str = "cand_url",
+    payload_cols: tuple[str, ...] = (),
+    join_hint: str | None = "shuffle_hash",
+) -> DataFrame:
+    """Nearest-clean-version attribution: for each point, the SINGLE
+    nearest candidate within the 3×3 cell neighborhood (wrapped-lon
+    equirectangular dist², (dist2, cand_id) tie-break — the kNN
+    family's exact metric and order), with ``payload_cols`` from the
+    winning candidate attached.
+
+    This is 1-NN as a pure MIN-aggregation rather than a window top-k:
+    ``min(struct(dist2, cand_id, payload…))`` is lexicographic over
+    the struct and partial-aggregates map-side, so the exchange
+    carries AT MOST ONE candidate per (point, task) — no rank column,
+    no WindowGroupLimit machinery.  Plan shape, stated honestly: a
+    struct buffer is not hash-aggregable, so Spark picks a partial
+    SortAggregate (local sort on the grouping key only — same
+    local-sort cost class as the window variant's partial
+    WindowGroupLimit, but a k× smaller shuffle payload and no rank
+    evaluation).  ``knn_neighborhood(k=1)`` gives identical rows; this
+    shape exists because argmin-without-rank is the common attribution
+    case (the reference walks each element's history to find the last
+    clean version to revert to, change_bot.rb:115-160; the spatial
+    analogue attributes a tainted page to its nearest accepted page).
+
+    Points with an empty neighborhood drop out (inner join), same as
+    the kNN family.  Ties beyond (dist2, cand_id) cannot occur while
+    cand_id is unique — payload fields sit after it in the struct and
+    never decide the min."""
+    probes = points.withColumn(
+        "probe_cell",
+        F.explode(neighbor_cells(F.col("lon"), F.col("lat"), res_deg)),
+    )
+    c = candidates.select(
+        grid_cell(F.col("lon"), F.col("lat"), res_deg).alias("c_cell"),
+        F.col(cand_id),
+        F.col("lon").alias("c_lon"),
+        F.col("lat").alias("c_lat"),
+        *[F.col(p) for p in payload_cols],
+    )
+    if join_hint:
+        c = c.hint(join_hint)
+    dlon_raw = F.abs(F.col("lon") - F.col("c_lon"))
+    dlon = F.least(dlon_raw, F.lit(360.0) - dlon_raw)
+    dlat = F.col("lat") - F.col("c_lat")
+    point_cols = list(points.columns)
+    best = (
+        probes.join(c, probes.probe_cell == c.c_cell, "inner")
+        .groupBy(*point_cols)
+        .agg(
+            F.min(
+                F.struct(
+                    (dlon * dlon + dlat * dlat).alias("dist2"),
+                    F.col(cand_id).alias("cand"),
+                    *[F.col(p).alias(p) for p in payload_cols],
+                )
+            ).alias("_b")
+        )
+    )
+    return best.select(
+        *point_cols,
+        F.col("_b.cand").alias(cand_id),
+        F.col("_b.dist2").alias("dist2"),
+        *[F.col(f"_b.{p}").alias(p) for p in payload_cols],
+    )
+
+
+def knn_attribute_mode(
+    points: DataFrame,
+    candidates: DataFrame,
+    attr_col: str,
+    k: int = 3,
+    res_deg: float = DEFAULT_RES_DEG,
+    point_id: str = "url",
+    cand_id: str = "cand_url",
+    strategy: str = "window",
+    join_hint: str | None = "shuffle_hash",
+) -> DataFrame:
+    """Majority-vote attribution: each point takes the MODAL value of
+    ``attr_col`` among its k nearest candidates (3×3-probed, wrapped
+    lon — :func:`knn_neighborhood` order), deterministically: most
+    votes wins, ties break to the lexicographically smallest attribute
+    value.  Output: point_id, attr_col, votes.
+
+    The attribute rides through the kNN as a payload column (no join
+    back to the candidate table), then two partial-aggregating
+    groupBys — count per (point, value), then ``min(struct(-votes,
+    value))`` for the deterministic mode.  Spark's native ``mode()``
+    is tie-nondeterministic, which would break driver/oracle parity;
+    the struct-min is exactly reproducible in ANSI SQL."""
+    knn = knn_neighborhood(
+        points, candidates, k=k, res_deg=res_deg, point_id=point_id,
+        cand_id=cand_id, strategy=strategy, join_hint=join_hint,
+        payload_cols=(attr_col,),
+    )
+    counts = knn.groupBy(point_id, attr_col).agg(
+        F.count(F.lit(1)).alias("votes")
+    )
+    return (
+        counts.groupBy(point_id)
+        .agg(
+            F.min(
+                F.struct(
+                    (-F.col("votes")).alias("_nv"),
+                    F.col(attr_col).alias("_a"),
+                )
+            ).alias("_m")
+        )
+        .select(
+            point_id,
+            F.col("_m._a").alias(attr_col),
+            (-F.col("_m._nv")).alias("votes"),
+        )
     )
 
 
