@@ -276,6 +276,46 @@ def q_radius_join(spark, sf_dir):
     return spatial.radius_join(en, de, radius_deg=8.0, res_deg=9.0)
 
 
+def q_extent_overlap(spark, sf_dir):
+    """PBSM rect×rect overlap join (spatial.extent_overlap_join):
+    every latest page gets a deterministic doc_id-sized bbox around
+    its position (planar, unwrapped — the operator's documented
+    domain); English extents join overlapping German extents at a 5°
+    PBSM grid, deduped by the reference-point rule (no distinct), the
+    exact intersection box attached.  Oracle is the naive O(n²)
+    overlap predicate join."""
+    latest = lineage.latest_version(
+        _pages(spark, sf_dir), cols=["lang", "lon", "lat", "doc_id"]
+    )
+    w = (F.pmod(F.col("doc_id"), F.lit(97)) + 1).cast("double") / F.lit(10.0)
+    h = (F.pmod(F.col("doc_id") * 7, F.lit(89)) + 1).cast("double") / F.lit(10.0)
+    boxes = latest.select(
+        "url", "lang",
+        (F.col("lon") - w).alias("lon_min"),
+        (F.col("lon") + w).alias("lon_max"),
+        (F.col("lat") - h).alias("lat_min"),
+        (F.col("lat") + h).alias("lat_max"),
+    )
+    a = boxes.where(F.col("lang") == "en").select(
+        F.col("url").alias("url_a"),
+        "lon_min", "lon_max", "lat_min", "lat_max",
+    )
+    b = boxes.where(F.col("lang") == "de").select(
+        F.col("url").alias("url_b"),
+        "lon_min", "lon_max", "lat_min", "lat_max",
+    )
+    out = spatial.extent_overlap_join(
+        a, b, res_deg=5.0, id_a="url_a", id_b="url_b"
+    )
+    return out.select(
+        "url_a", "url_b",
+        F.round("inter_lon_min", 6).alias("ilon_min"),
+        F.round("inter_lon_max", 6).alias("ilon_max"),
+        F.round("inter_lat_min", 6).alias("ilat_min"),
+        F.round("inter_lat_max", 6).alias("ilat_max"),
+    )
+
+
 def q_spatial_dbscan(spark, sf_dir):
     """Full DBSCAN (spatial.dbscan) over all page versions at ε=0.01°,
     min_pts=3: urls with ≥3 versions form all-core clusters, 2-version
@@ -1379,6 +1419,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spatial_eps_clusters": q_spatial_eps_clusters,
         "spatial_dbscan": q_spatial_dbscan,
         "radius_join": q_radius_join,
+        "extent_overlap": q_extent_overlap,
         "tile_rollup": q_tile_rollup,
         "tile_focal_mean": q_tile_focal_mean,
         "tile_rollup_multires": q_tile_rollup_multires,
@@ -1875,6 +1916,32 @@ def oracle_sql() -> dict[str, str]:
             WHERE LEAST(ABS(a.lon - b.lon), 360 - ABS(a.lon - b.lon))
                     * LEAST(ABS(a.lon - b.lon), 360 - ABS(a.lon - b.lon))
                     + (a.lat - b.lat) * (a.lat - b.lat) <= 64.0
+        """),
+        "extent_overlap": _with_pages("""
+            , latest AS (
+                SELECT url, lang, lon, lat, doc_id FROM (
+                    SELECT p.*, ROW_NUMBER() OVER (
+                        PARTITION BY url ORDER BY version DESC) AS rn
+                    FROM pages p
+                ) t WHERE rn = 1
+            ),
+            boxes AS (
+                SELECT url, lang,
+                       lon - (doc_id % 97 + 1) / 10.0 AS lon_min,
+                       lon + (doc_id % 97 + 1) / 10.0 AS lon_max,
+                       lat - ((doc_id * 7) % 89 + 1) / 10.0 AS lat_min,
+                       lat + ((doc_id * 7) % 89 + 1) / 10.0 AS lat_max
+                FROM latest
+            )
+            SELECT a.url AS url_a, b.url AS url_b,
+                   ROUND(GREATEST(a.lon_min, b.lon_min), 6) AS ilon_min,
+                   ROUND(LEAST(a.lon_max, b.lon_max), 6) AS ilon_max,
+                   ROUND(GREATEST(a.lat_min, b.lat_min), 6) AS ilat_min,
+                   ROUND(LEAST(a.lat_max, b.lat_max), 6) AS ilat_max
+            FROM boxes a JOIN boxes b
+              ON a.lang = 'en' AND b.lang = 'de'
+             AND a.lon_min <= b.lon_max AND b.lon_min <= a.lon_max
+             AND a.lat_min <= b.lat_max AND b.lat_min <= a.lat_max
         """),
         "spatial_dbscan": _with_pages_recursive("""
             , pts AS (

@@ -853,6 +853,149 @@ def radius_join(
     )
 
 
+def covered_cells(
+    lon_min: Column,
+    lon_max: Column,
+    lat_min: Column,
+    lat_max: Column,
+    res_deg: float,
+    max_cells: int | None = 256,
+) -> Column:
+    """All grid cells a lon/lat EXTENT overlaps at ``res_deg``, as an
+    array of synthetic cell keys (``lat_band * 1e6 + lon_band`` — pure
+    join keys, no 3×3 topology, so no wrap/clamp normalization is
+    needed: both sides of a join compute the same floor arithmetic).
+    Extents are closed intervals and must not wrap the antimeridian
+    (split a wrapping extent into two rows first).
+
+    ``max_cells`` guards the fan-out: a continent-sized extent at a
+    fine resolution would silently explode the join (the PBSM
+    replication factor is the #cells covered) — the check runs
+    per-row in the plan via ``assert_true`` and FAILS the job instead
+    of degrading it.  Pass ``None`` to disable."""
+    x0 = F.floor((lon_min + F.lit(180.0)) / F.lit(res_deg))
+    x1 = F.floor((lon_max + F.lit(180.0)) / F.lit(res_deg))
+    y0 = F.floor((lat_min + F.lit(90.0)) / F.lit(res_deg))
+    y1 = F.floor((lat_max + F.lit(90.0)) / F.lit(res_deg))
+    cells = F.flatten(
+        F.transform(
+            F.sequence(y0, y1),
+            lambda y: F.transform(
+                F.sequence(x0, x1),
+                lambda x: y * F.lit(1_000_000) + x,
+            ),
+        )
+    )
+    if max_cells is not None:
+        n = (x1 - x0 + 1) * (y1 - y0 + 1)
+        ok = F.assert_true(
+            n <= F.lit(int(max_cells)),
+            F.concat(
+                F.lit(
+                    f"extent covers more than max_cells={max_cells} "
+                    "grid cells at res_deg="
+                ),
+                F.lit(str(res_deg)),
+                F.lit("; coarsen res_deg or split the extent"),
+            ),
+        )
+        # assert_true yields NULL on success; tying it into the value
+        # keeps Catalyst from pruning the check away
+        cells = F.when(ok.isNull(), cells)
+    return cells
+
+
+def extent_cell(lon: Column, lat: Column, res_deg: float) -> Column:
+    """The single :func:`covered_cells` key containing a POINT — the
+    reference-point side of the PBSM dedup."""
+    return (
+        F.floor((lat + F.lit(90.0)) / F.lit(res_deg)) * F.lit(1_000_000)
+        + F.floor((lon + F.lit(180.0)) / F.lit(res_deg))
+    )
+
+
+def extent_overlap_join(
+    rects_a: DataFrame,
+    rects_b: DataFrame,
+    res_deg: float,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_cells: int | None = 256,
+    join_hint: str | None = "shuffle_hash",
+) -> DataFrame:
+    """Rectangle×rectangle overlap join (closed intervals, shared-edge
+    touch counts) — the extent analogue of :func:`radius_join`, via
+    the PBSM (Partition-Based Spatial-Merge) grid: each side
+    replicates a rect to every grid cell its extent covers, cells
+    equi-join, the exact overlap predicate filters, and the classic
+    REFERENCE-POINT rule deduplicates WITHOUT a distinct(): a
+    qualifying pair is emitted only from the cell containing the
+    south-west corner of the intersection — a point inside both
+    rects, so exactly one of the joined cells matches and no
+    pair-stream shuffle is ever spent on dedup.
+
+    Inputs carry (id, lon_min, lon_max, lat_min, lat_max); extents
+    must not wrap the antimeridian.  Output: id_a, id_b, and the
+    intersection extent (inter_* columns) computed exactly.
+
+    Scale shape: replication factor is the per-rect covered-cell
+    count (guarded by ``max_cells``), the join shuffles once per side
+    on the cell key, AQE splits hot cells (dense urban tiles), and
+    the no-distinct emission keeps the output pipeline-able into a
+    downstream aggregate without a second wide exchange."""
+    a = rects_a.select(
+        F.col(id_a),
+        F.col("lon_min").alias("a_lon_min"),
+        F.col("lon_max").alias("a_lon_max"),
+        F.col("lat_min").alias("a_lat_min"),
+        F.col("lat_max").alias("a_lat_max"),
+        F.explode(
+            covered_cells(
+                F.col("lon_min"), F.col("lon_max"),
+                F.col("lat_min"), F.col("lat_max"),
+                res_deg, max_cells=max_cells,
+            )
+        ).alias("a_cell"),
+    )
+    b = rects_b.select(
+        F.col(id_b),
+        F.col("lon_min").alias("b_lon_min"),
+        F.col("lon_max").alias("b_lon_max"),
+        F.col("lat_min").alias("b_lat_min"),
+        F.col("lat_max").alias("b_lat_max"),
+        F.explode(
+            covered_cells(
+                F.col("lon_min"), F.col("lon_max"),
+                F.col("lat_min"), F.col("lat_max"),
+                res_deg, max_cells=max_cells,
+            )
+        ).alias("b_cell"),
+    )
+    if join_hint:
+        b = b.hint(join_hint)
+    inter_lon_min = F.greatest("a_lon_min", "b_lon_min")
+    inter_lat_min = F.greatest("a_lat_min", "b_lat_min")
+    overlaps = (
+        (F.col("a_lon_min") <= F.col("b_lon_max"))
+        & (F.col("b_lon_min") <= F.col("a_lon_max"))
+        & (F.col("a_lat_min") <= F.col("b_lat_max"))
+        & (F.col("b_lat_min") <= F.col("a_lat_max"))
+    )
+    ref_cell = extent_cell(inter_lon_min, inter_lat_min, res_deg)
+    return (
+        a.join(b, a.a_cell == b.b_cell, "inner")
+        .where(overlaps & (F.col("a_cell") == ref_cell))
+        .select(
+            id_a,
+            id_b,
+            inter_lon_min.alias("inter_lon_min"),
+            F.least("a_lon_max", "b_lon_max").alias("inter_lon_max"),
+            inter_lat_min.alias("inter_lat_min"),
+            F.least("a_lat_max", "b_lat_max").alias("inter_lat_max"),
+        )
+    )
+
+
 def nearest_attribution(
     points: DataFrame,
     candidates: DataFrame,
