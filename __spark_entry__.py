@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 from openstreetmap_license_change_spark.operators import (
     dedup,
     fold,
+    hexgrid,
     lineage,
     similarity,
     spatial,
@@ -274,6 +275,20 @@ def q_radius_join(spark, sf_dir):
         F.col("url").alias("cand_url"), "lon", "lat"
     )
     return spatial.radius_join(en, de, radius_deg=8.0, res_deg=9.0)
+
+
+def q_hex_rollup(spark, sf_dir):
+    """Hex-grid taint rollup (hexgrid.hex_rollup): latest pages
+    assigned to pointy-top axial hexes (cube rounding, pure column
+    arithmetic — the H3-style half of the north rule's cell story,
+    next to the S2-style quad tiles), one map-side-combining groupBy
+    on the bigint hex key; exact integer counts + decoded centers.
+    The oracle runs the character-identical SQL twin
+    (hexgrid.hex_key_sql), so the cube-rounding branches themselves
+    are hash-verified."""
+    flagged = _pages_flagged(spark, sf_dir)
+    latest = lineage.latest_version(flagged, cols=["accepted", "lon", "lat"])
+    return hexgrid.hex_rollup(latest, size_deg=5.0)
 
 
 def q_extent_overlap(spark, sf_dir):
@@ -1420,6 +1435,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spatial_dbscan": q_spatial_dbscan,
         "radius_join": q_radius_join,
         "extent_overlap": q_extent_overlap,
+        "hex_rollup": q_hex_rollup,
         "tile_rollup": q_tile_rollup,
         "tile_focal_mean": q_tile_focal_mean,
         "tile_rollup_multires": q_tile_rollup_multires,
@@ -1655,6 +1671,7 @@ def _fold_restriction_sql(
 def oracle_sql() -> dict[str, str]:
     cell = spatial.grid_cell_sql("lon", "lat")
     cell30 = spatial.grid_cell_sql("lon", "lat", 30.0)
+    hex5 = hexgrid.hex_key_sql("lon", "lat", 5.0)
     tile = spatial.quad_tile_sql("lon", "lat")
     mh_aggs = ", ".join(
         f"MIN((token_id * {a} + {b}) % {dedup.MINHASH_PRIME}) AS mh_{i}"
@@ -1916,6 +1933,42 @@ def oracle_sql() -> dict[str, str]:
             WHERE LEAST(ABS(a.lon - b.lon), 360 - ABS(a.lon - b.lon))
                     * LEAST(ABS(a.lon - b.lon), 360 - ABS(a.lon - b.lon))
                     + (a.lat - b.lat) * (a.lat - b.lat) <= 64.0
+        """),
+        "hex_rollup": _with_pages(f"""
+            , latest AS (
+                SELECT * FROM (
+                    SELECT p.*, s.accepted,
+                           ROW_NUMBER() OVER (PARTITION BY p.url
+                                              ORDER BY p.version DESC) AS rn
+                    FROM pages p JOIN cs_status s USING (changeset_id)
+                ) t WHERE rn = 1
+            ),
+            keyed AS (
+                SELECT {hex5} AS hex_id, accepted FROM latest
+            ),
+            agg AS (
+                SELECT hex_id,
+                       COUNT(*) AS n_pages,
+                       SUM(CASE WHEN NOT accepted THEN 1 ELSE 0 END)
+                           AS n_tainted
+                FROM keyed GROUP BY 1
+            ),
+            dec AS (
+                SELECT *,
+                       CAST(FLOOR(hex_id / 2097152.0) AS BIGINT)
+                           - 1048576 AS hex_q,
+                       (hex_id % 2097152) - 1048576 AS hex_r
+                FROM agg
+            )
+            SELECT hex_id, hex_q, hex_r,
+                   n_pages, CAST(n_tainted AS BIGINT) AS n_tainted,
+                   ROUND(5.0 * 1.7320508075688772
+                         * (CAST(hex_q AS DOUBLE)
+                            + CAST(hex_r AS DOUBLE) / 2.0), 6)
+                       AS center_lon,
+                   ROUND(5.0 * 1.5 * CAST(hex_r AS DOUBLE), 6)
+                       AS center_lat
+            FROM dec
         """),
         "extent_overlap": _with_pages("""
             , latest AS (

@@ -1,0 +1,166 @@
+"""Hexagonal grid index (H3-style axial hexes on the planar lon/lat
+plane) — the hex complement to the quad/Morton tiles in
+``operators.spatial``.
+
+The north rule asks for an "H3 res-7 / S2 level-12" style cell
+assignment; the quad tiles cover the S2/Morton side, this module
+covers the hex side: pointy-top hexagons in AXIAL coordinates (q, r),
+assigned by the standard cube-rounding algorithm (Red Blob Games'
+published formulation), entirely in native Spark column arithmetic —
+no UDF, whole-stage-codegen friendly, and with a character-identical
+ANSI-SQL twin so the driver's DuckDB oracle hash-verifies the
+assignment bit-for-bit.
+
+Scale notes: a hex id is one BIGINT key (``hex_key``), so rollups are
+plain map-side-combining groupBys on a primitive column; density
+matching works like the square grid (pick ``size_deg`` so expected
+points-per-hex is bounded); skewed hot hexes split under AQE like any
+other aggregate key.
+
+Geometry is planar-degree (lon/lat treated as a plane, the documented
+metric of the whole spatial family) — hexes shear near the poles like
+the square cells do; resolution ladders should treat |lat| > 85 as a
+polar cap (same guidance as the quad tiles).
+
+Reference parity note: the reference engine has no hex index (its
+regions are 1° squares, change_bot.rb region grid); this module is
+part of the designed Spark-first extension surface, like the kNN and
+LSH families.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# sqrt(3)/3 and 3/2 enter the axial transform as LITERALS (not
+# engine-evaluated sqrt calls) so the Spark expression and the DuckDB
+# twin compute over byte-identical constants.
+_S3O3 = "0.5773502691896258"   # sqrt(3)/3
+_S3 = "1.7320508075688772"     # sqrt(3)
+
+# axial coords are offset into non-negative range and packed into one
+# bigint; 2^20 hexes either side of the origin is ±~10^6 cells — far
+# beyond any degree-scale ladder on a 360-wide domain
+_HEX_OFF = 1 << 20
+_HEX_MUL = 1 << 21
+
+
+def _axial_fracs(lon: Column, lat: Column, size_deg: float):
+    qf = (lon * F.lit(float(_S3O3)) - lat / F.lit(3.0)) / F.lit(size_deg)
+    rf = (lat * F.lit(2.0) / F.lit(3.0)) / F.lit(size_deg)
+    return qf, rf
+
+
+def hex_qr(lon: Column, lat: Column, size_deg: float) -> tuple[Column, Column]:
+    """Axial (q, r) of the pointy-top hex (circumradius ``size_deg``
+    planar degrees) containing a point: fractional axial transform,
+    then cube rounding (round each cube coord, re-fix the one with the
+    largest rounding error so q+r+s == 0).  Pure column arithmetic;
+    the branch conditions compare doubles computed identically in the
+    SQL twin, so both engines take the same branch everywhere."""
+    qf, rf = _axial_fracs(lon, lat, size_deg)
+    xf, zf = qf, rf
+    yf = -xf - zf
+    rx, ry, rz = F.round(xf, 0), F.round(yf, 0), F.round(zf, 0)
+    dx, dy, dz = F.abs(rx - xf), F.abs(ry - yf), F.abs(rz - zf)
+    x_worst = (dx > dy) & (dx > dz)
+    y_worst = (~x_worst) & (dy > dz)
+    q = F.when(x_worst, -ry - rz).otherwise(rx).cast("bigint")
+    r = F.when(~x_worst & ~y_worst, -rx - ry).otherwise(rz).cast("bigint")
+    return q, r
+
+
+def hex_key(lon: Column, lat: Column, size_deg: float) -> Column:
+    """The hex id as ONE bigint — ``(q + 2^20) * 2^21 + (r + 2^20)``
+    — the groupBy/join key for hex rollups."""
+    q, r = hex_qr(lon, lat, size_deg)
+    return (q + F.lit(_HEX_OFF)) * F.lit(_HEX_MUL) + (r + F.lit(_HEX_OFF))
+
+
+def hex_key_sql(lon: str, lat: str, size_deg: float) -> str:
+    """Character-faithful ANSI-SQL twin of :func:`hex_key` (same
+    literals, same operation order) for DuckDB oracles."""
+    s = repr(float(size_deg))
+    qf = f"(({lon}) * {_S3O3} - ({lat}) / 3.0) / {s}"
+    rf = f"(({lat}) * 2.0 / 3.0) / {s}"
+    rx, ry, rz = (
+        f"ROUND({qf}, 0)",
+        f"ROUND(-({qf}) - ({rf}), 0)",
+        f"ROUND({rf}, 0)",
+    )
+    dx = f"ABS({rx} - ({qf}))"
+    dy = f"ABS({ry} - (-({qf}) - ({rf})))"
+    dz = f"ABS({rz} - ({rf}))"
+    x_worst = f"({dx} > {dy} AND {dx} > {dz})"
+    y_worst = f"(NOT {x_worst} AND {dy} > {dz})"
+    q = f"CAST(CASE WHEN {x_worst} THEN -{ry} - {rz} ELSE {rx} END AS BIGINT)"
+    r = (
+        f"CAST(CASE WHEN NOT {x_worst} AND NOT {y_worst} "
+        f"THEN -{rx} - {ry} ELSE {rz} END AS BIGINT)"
+    )
+    return f"(({q} + {_HEX_OFF}) * {_HEX_MUL} + ({r} + {_HEX_OFF}))"
+
+
+def hex_unkey(key: Column) -> tuple[Column, Column]:
+    """Decode a :func:`hex_key` back to axial (q, r)."""
+    q = F.floor(key / F.lit(_HEX_MUL)) - F.lit(_HEX_OFF)
+    r = F.pmod(key, F.lit(_HEX_MUL)) - F.lit(_HEX_OFF)
+    return q.cast("bigint"), r.cast("bigint")
+
+
+def hex_center(q: Column, r: Column, size_deg: float) -> tuple[Column, Column]:
+    """Planar (lon, lat) of a hex center — the inverse axial
+    transform, for vectorizing hex rollups back to geometry."""
+    lon = F.lit(size_deg) * F.lit(float(_S3)) * (
+        q.cast("double") + r.cast("double") / F.lit(2.0)
+    )
+    lat = F.lit(size_deg) * F.lit(1.5) * r.cast("double")
+    return lon, lat
+
+
+def hex_neighbors(q: Column, r: Column) -> Column:
+    """The 6 axial neighbor (q, r) pairs of a hex, as an array of
+    structs — the hex analogue of the square grid's 3×3 probe (hexes
+    need only 6, one of the index's classic wins)."""
+    offs = [(1, 0), (1, -1), (0, -1), (-1, 0), (-1, 1), (0, 1)]
+    return F.array(
+        *[
+            F.struct(
+                (q + F.lit(dq)).alias("q"),
+                (r + F.lit(dr)).alias("r"),
+            )
+            for dq, dr in offs
+        ]
+    )
+
+
+def hex_rollup(
+    pages: DataFrame,
+    size_deg: float,
+    taint_col: str = "accepted",
+) -> DataFrame:
+    """Per-hex taint-density rollup — the hex twin of
+    ``spatial.tile_rollup``: one map-side-combining groupBy on the
+    bigint hex key; counts are exact integers (no float accumulation,
+    the driver-hash rule), centers decode from the key."""
+    keyed = pages.withColumn(
+        "hex_id", hex_key(F.col("lon"), F.col("lat"), size_deg)
+    )
+    agg = keyed.groupBy("hex_id").agg(
+        F.count(F.lit(1)).alias("n_pages"),
+        F.sum(
+            F.when(~F.col(taint_col), F.lit(1)).otherwise(F.lit(0))
+        ).alias("n_tainted"),
+    )
+    q, r = hex_unkey(F.col("hex_id"))
+    clon, clat = hex_center(q, r, size_deg)
+    return agg.select(
+        "hex_id",
+        q.alias("hex_q"),
+        r.alias("hex_r"),
+        "n_pages",
+        "n_tainted",
+        F.round(clon, 6).alias("center_lon"),
+        F.round(clat, 6).alias("center_lat"),
+    )
