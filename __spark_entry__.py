@@ -291,6 +291,17 @@ def q_hex_rollup(spark, sf_dir):
     return hexgrid.hex_rollup(latest, size_deg=5.0)
 
 
+def q_hex_focal_mean(spark, sf_dir):
+    """7-cell focal mean over the hex raster (hexgrid.hex_focal_stats)
+    — the hex twin of tile_focal_mean: self + 6 axial neighbors, exact
+    integer scaled mean, no wrap/clamp cases (the axial plane is
+    unbounded)."""
+    flagged = _pages_flagged(spark, sf_dir)
+    latest = lineage.latest_version(flagged, cols=["accepted", "lon", "lat"])
+    rollup = hexgrid.hex_rollup(latest, size_deg=5.0)
+    return hexgrid.hex_focal_stats(rollup, "n_pages")
+
+
 def q_extent_overlap(spark, sf_dir):
     """PBSM rect×rect overlap join (spatial.extent_overlap_join):
     every latest page gets a deterministic doc_id-sized bbox around
@@ -1436,6 +1447,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "radius_join": q_radius_join,
         "extent_overlap": q_extent_overlap,
         "hex_rollup": q_hex_rollup,
+        "hex_focal_mean": q_hex_focal_mean,
         "tile_rollup": q_tile_rollup,
         "tile_focal_mean": q_tile_focal_mean,
         "tile_rollup_multires": q_tile_rollup_multires,
@@ -1969,6 +1981,44 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(5.0 * 1.5 * CAST(hex_r AS DOUBLE), 6)
                        AS center_lat
             FROM dec
+        """),
+        "hex_focal_mean": _with_pages(f"""
+            , latest AS (
+                SELECT * FROM (
+                    SELECT p.*, s.accepted,
+                           ROW_NUMBER() OVER (PARTITION BY p.url
+                                              ORDER BY p.version DESC) AS rn
+                    FROM pages p JOIN cs_status s USING (changeset_id)
+                ) t WHERE rn = 1
+            ),
+            rollup AS (
+                SELECT {hex5} AS hex_id, COUNT(*) AS n_pages
+                FROM latest GROUP BY 1
+            ),
+            dec AS (
+                SELECT hex_id, n_pages,
+                       CAST(FLOOR(hex_id / 2097152.0) AS BIGINT)
+                           - 1048576 AS hex_q,
+                       (hex_id % 2097152) - 1048576 AS hex_r
+                FROM rollup
+            ),
+            fan AS (
+                SELECT ((d.hex_q + o.dq + 1048576) * 2097152
+                        + (d.hex_r + o.dr + 1048576)) AS t_hex,
+                       d.n_pages AS v
+                FROM dec d CROSS JOIN (VALUES
+                     (0,0),(1,0),(1,-1),(0,-1),(-1,0),(-1,1),(0,1)
+                ) o(dq, dr)
+            ),
+            fagg AS (
+                SELECT t_hex,
+                       COUNT(*) AS n_nbrs,
+                       CAST(SUM(v) AS BIGINT) AS nbr_sum
+                FROM fan GROUP BY 1
+            )
+            SELECT r.hex_id, a.n_nbrs, a.nbr_sum,
+                   (a.nbr_sum * 1000000) // a.n_nbrs AS focal_mean_m
+            FROM rollup r JOIN fagg a ON a.t_hex = r.hex_id
         """),
         "extent_overlap": _with_pages("""
             , latest AS (

@@ -135,6 +135,49 @@ def hex_neighbors(q: Column, r: Column) -> Column:
     )
 
 
+def hex_focal_stats(
+    cells: DataFrame,
+    value_col: str,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Focal (moving-window) statistics over a HEX raster: for every
+    input hex, count / sum / exact scaled mean of ``value_col`` across
+    the up-to-7 INPUT hexes of its neighborhood (itself + 6 axial
+    neighbors — the hex win over the square grid's 9).  Same shape and
+    integer-exactness contract as ``spatial.tile_focal_stats``: runs
+    on the aggregate raster (×7 fan-out of |hexes| rows, never the
+    point table), mean is ``(sum · scale) DIV n`` in int64, and the
+    raster support does not dilate (targets semi-join back to input
+    hexes).  The axial plane is unbounded — no wrap or clamp cases at
+    all, another simplification over the square raster."""
+    q, r = hex_unkey(F.col("hex_id"))
+    offs = [(0, 0), (1, 0), (1, -1), (0, -1), (-1, 0), (-1, 1), (0, 1)]
+    targets = [
+        (
+            (q + F.lit(dq) + F.lit(_HEX_OFF)) * F.lit(_HEX_MUL)
+            + (r + F.lit(dr) + F.lit(_HEX_OFF))
+        ).cast("bigint")
+        for dq, dr in offs
+    ]
+    fan = cells.select(
+        F.col(value_col).alias("_v"),
+        F.explode(F.array(*targets)).alias("t_hex"),
+    )
+    agg = fan.groupBy("t_hex").agg(
+        F.count(F.lit(1)).alias("n_nbrs"),
+        F.sum("_v").alias("nbr_sum"),
+    )
+    out = cells.select(F.col("hex_id")).join(
+        agg, cells.hex_id == agg.t_hex, "inner"
+    )
+    return out.select(
+        "hex_id",
+        "n_nbrs",
+        "nbr_sum",
+        F.expr(f"(nbr_sum * {int(scale)}) DIV n_nbrs").alias("focal_mean_m"),
+    )
+
+
 def hex_rollup(
     pages: DataFrame,
     size_deg: float,

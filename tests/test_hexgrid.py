@@ -132,3 +132,21 @@ def test_neighbors_cover_boundary_points(spark):
         ) > 1).alias("far")
     ).where("far").count()
     assert far == 0
+
+def test_focal_stats_exact(spark):
+    """Hand-checked 7-cell focal on a tiny raster: two adjacent hexes
+    + one far hex."""
+    from pyspark.sql import Row
+    K = lambda q, r: (q + (1 << 20)) * (1 << 21) + (r + (1 << 20))
+    cells = spark.createDataFrame(
+        [Row(hex_id=K(0, 0), n=10), Row(hex_id=K(1, 0), n=20),
+         Row(hex_id=K(5, 5), n=7)],
+        "hex_id long, n long",
+    )
+    rows = {r.hex_id: r for r in hexgrid.hex_focal_stats(cells, "n").collect()}
+    assert rows[K(0, 0)].n_nbrs == 2 and rows[K(0, 0)].nbr_sum == 30
+    assert rows[K(0, 0)].focal_mean_m == 15_000_000
+    assert rows[K(1, 0)].n_nbrs == 2 and rows[K(1, 0)].nbr_sum == 30
+    assert rows[K(5, 5)].n_nbrs == 1 and rows[K(5, 5)].nbr_sum == 7
+    # support does not dilate
+    assert set(rows) == {K(0, 0), K(1, 0), K(5, 5)}
