@@ -291,6 +291,23 @@ def q_hex_rollup(spark, sf_dir):
     return hexgrid.hex_rollup(latest, size_deg=5.0)
 
 
+def q_polygon_stats(spark, sf_dir):
+    """Vector-side polygon geometry (spatial.ring_from_points +
+    polygon_stats): one closed ring per lang from its sampled latest
+    pages (doc_id-ordered, fixed-point ×1000 vertices — the
+    reference's scaled-coordinate convention, osm.rb F13), then exact
+    int64 shoelace signed area and the centroid as one float division
+    of two exact integer sums.  The shoelace value is well-defined for
+    any closed ring, so an arbitrary-ordered ring is a legitimate
+    computational-parity target."""
+    latest = lineage.latest_version(
+        _pages(spark, sf_dir), cols=["lang", "lon", "lat", "doc_id"]
+    )
+    pts = latest.where(F.col("doc_id") % 17 == 0)
+    rings = spatial.ring_from_points(pts, id_col="lang", order_col="doc_id")
+    return spatial.polygon_stats(rings, id_col="lang")
+
+
 def q_hex_focal_mean(spark, sf_dir):
     """7-cell focal mean over the hex raster (hexgrid.hex_focal_stats)
     — the hex twin of tile_focal_mean: self + 6 axial neighbors, exact
@@ -1448,6 +1465,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extent_overlap": q_extent_overlap,
         "hex_rollup": q_hex_rollup,
         "hex_focal_mean": q_hex_focal_mean,
+        "polygon_stats": q_polygon_stats,
         "tile_rollup": q_tile_rollup,
         "tile_focal_mean": q_tile_focal_mean,
         "tile_rollup_multires": q_tile_rollup_multires,
@@ -1981,6 +1999,49 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(5.0 * 1.5 * CAST(hex_r AS DOUBLE), 6)
                        AS center_lat
             FROM dec
+        """),
+        "polygon_stats": _with_pages("""
+            , latest AS (
+                SELECT url, lang, lon, lat, doc_id FROM (
+                    SELECT p.*, ROW_NUMBER() OVER (
+                        PARTITION BY url ORDER BY version DESC) AS rn
+                    FROM pages p
+                ) t WHERE rn = 1
+            ),
+            pts AS (
+                SELECT lang, doc_id,
+                       CAST(ROUND(lon * 1000) AS BIGINT) AS x,
+                       CAST(ROUND(lat * 1000) AS BIGINT) AS y
+                FROM latest WHERE doc_id % 17 = 0
+            ),
+            edges AS (
+                SELECT lang, x AS ax, y AS ay,
+                       COALESCE(LEAD(x) OVER w, FIRST_VALUE(x) OVER w) AS bx,
+                       COALESCE(LEAD(y) OVER w, FIRST_VALUE(y) OVER w) AS by
+                FROM pts
+                WINDOW w AS (PARTITION BY lang ORDER BY doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND UNBOUNDED FOLLOWING)
+            ),
+            agg AS (
+                SELECT lang,
+                       COUNT(*) AS n_vertices,
+                       CAST(SUM(ax * by - bx * ay) AS BIGINT)
+                           AS area2_scaled,
+                       CAST(SUM((ax + bx) * (ax * by - bx * ay)) AS BIGINT)
+                           AS cxn,
+                       CAST(SUM((ay + by) * (ax * by - bx * ay)) AS BIGINT)
+                           AS cyn
+                FROM edges GROUP BY 1
+            )
+            SELECT lang, n_vertices, area2_scaled,
+                   CASE WHEN area2_scaled <> 0 THEN
+                       ROUND(cxn / (3.0 * area2_scaled), 6)
+                   END AS centroid_x,
+                   CASE WHEN area2_scaled <> 0 THEN
+                       ROUND(cyn / (3.0 * area2_scaled), 6)
+                   END AS centroid_y
+            FROM agg
         """),
         "hex_focal_mean": _with_pages(f"""
             , latest AS (

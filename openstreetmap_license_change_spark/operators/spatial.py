@@ -246,6 +246,108 @@ def cell_center(cell: Column, res: int) -> tuple[Column, Column]:
 
 
 # ---------------------------------------------------------------------------
+# polygon geometry (vector side of the raster<->vector story)
+# ---------------------------------------------------------------------------
+
+def ring_from_points(
+    points: DataFrame,
+    id_col: str,
+    order_col: str,
+    scale: int = 1000,
+    lon: str = "lon",
+    lat: str = "lat",
+) -> DataFrame:
+    """Assemble one closed ring per ``id_col`` group: vertices are the
+    group's points in ``order_col`` order, coordinates scaled to
+    integers (``round(coord · scale)`` — the reference stores
+    coordinates as scaled ints too, osm.rb fixed-point lat/lon, F13).
+    Output: (id_col, ring: array<struct<x bigint, y bigint>>).
+
+    The collect is a map-side-combining ``collect_list`` + in-row
+    ``array_sort`` on the (order, x, y) struct — deterministic without
+    a global sort; ring sizes are the per-group cardinality, so groups
+    must be bounded (same contract as every collect-based operator
+    here — cap or sample the group upstream)."""
+    vert = F.struct(
+        F.col(order_col).alias("o"),
+        F.round(F.col(lon) * F.lit(int(scale))).cast("bigint").alias("x"),
+        F.round(F.col(lat) * F.lit(int(scale))).cast("bigint").alias("y"),
+    )
+    return (
+        points.groupBy(id_col)
+        .agg(F.array_sort(F.collect_list(vert)).alias("_vs"))
+        .select(
+            id_col,
+            F.transform(
+                "_vs", lambda v: F.struct(v.x.alias("x"), v.y.alias("y"))
+            ).alias("ring"),
+        )
+    )
+
+
+def polygon_stats(polys: DataFrame, id_col: str = "polygon_id") -> DataFrame:
+    """Shoelace signed area + centroid of closed rings, in EXACT
+    scaled-integer arithmetic (order-independent int64 sums — the
+    driver-hash rule; float accumulation would be ordering-sensitive).
+
+    Input: (id_col, ring: array<struct<x bigint, y bigint>>) — scaled
+    integer vertices (:func:`ring_from_points`).  Output per ring:
+
+    * ``n_vertices``
+    * ``area2_scaled`` — twice the signed area, in scale² units: exact
+      int64 (positive = counter-clockwise; the shoelace value is
+      well-defined for ANY closed ring, self-intersecting included)
+    * ``centroid_x`` / ``centroid_y`` — the polygon-centroid formula
+      (Σ(xᵢ+xⱼ)·crossᵢⱼ) / (3·area2), computed as ONE float division
+      of two exact int64 sums (identical doubles in any engine); NULL
+      when area2 = 0 (degenerate ring).
+
+    Overflow bounds, checked math: |x| ≤ 180·scale; each cross term ≤
+    2·(180·scale)²; each centroid term ≤ 2·180·scale·cross.  At the
+    default scale 1000 a centroid term is ≤ 2.4e16, so rings up to
+    ~380 vertices are provably safe in int64 — raise ``scale`` only
+    with a matching ring-size cap (a 100-TB deployment keeping 1e7
+    OSM-style precision needs decimal(38) sums instead; stated, not
+    hidden).  All per-ring — whole-stage codegen higher-order
+    functions, no shuffle beyond what built the rings."""
+    ring = F.col("ring")
+    n = F.size(ring)
+    # edges i -> i+1 with the wrap edge (last -> first)
+    rot = F.concat(F.slice(ring, 2, n - 1), F.slice(ring, 1, 1))
+    edges = F.arrays_zip(ring.alias("a"), rot.alias("b"))
+    cross = lambda e: e["a"]["x"] * e["b"]["y"] - e["b"]["x"] * e["a"]["y"]
+    zero = F.lit(0).cast("bigint")
+    area2 = F.aggregate(edges, zero, lambda acc, e: acc + cross(e))
+    cx_num = F.aggregate(
+        edges, zero,
+        lambda acc, e: acc + (e["a"]["x"] + e["b"]["x"]) * cross(e),
+    )
+    cy_num = F.aggregate(
+        edges, zero,
+        lambda acc, e: acc + (e["a"]["y"] + e["b"]["y"]) * cross(e),
+    )
+    out = polys.select(
+        id_col,
+        n.cast("bigint").alias("n_vertices"),
+        area2.alias("area2_scaled"),
+        cx_num.alias("_cxn"),
+        cy_num.alias("_cyn"),
+    )
+    safe = F.col("area2_scaled") != 0
+    div = lambda num: (
+        num.cast("double")
+        / (F.lit(3.0) * F.col("area2_scaled").cast("double"))
+    )
+    return out.select(
+        id_col,
+        "n_vertices",
+        "area2_scaled",
+        F.when(safe, F.round(div(F.col("_cxn")), 6)).alias("centroid_x"),
+        F.when(safe, F.round(div(F.col("_cyn")), 6)).alias("centroid_y"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # point-in-polygon
 # ---------------------------------------------------------------------------
 
