@@ -245,6 +245,65 @@ def cell_center(cell: Column, res: int) -> tuple[Column, Column]:
     return lon, lat
 
 
+def cluster_by_cell(
+    points: DataFrame,
+    res: int = 12,
+    lon: str = "lon",
+    lat: str = "lat",
+    num_partitions: int | None = None,
+    cell_col: str = "cell",
+) -> DataFrame:
+    """Spatial WRITE-LAYOUT pass: range-repartition on the
+    hierarchical Morton cell id (:func:`hier_cell`) and sort within
+    partitions, so a parquet/Iceberg sink written from the result has
+    files AND row groups spanning tight, near-disjoint cell ranges.
+
+    This is the Z-order data-clustering step of the 100-TB story: the
+    Morton id already interleaves lon/lat bits, so a 1-D range
+    partition of the id is a 2-D space-filling-curve clustering.
+    Downstream ``WHERE cell BETWEEN …`` scans (bbox pushdown via
+    :func:`cell_descendant_range`, Iceberg partition transforms) then
+    prune whole files by footer min/max instead of reading the planet.  The range exchange samples the key distribution, so
+    skewed urban density still yields balanced output files — the same
+    reason the writer-side sort is ``sortWithinPartitions``, never a
+    global ``orderBy`` (no second exchange, no driver-side range
+    metadata beyond the sampled bounds).
+
+    Replaces nothing semantically — row content is unchanged; callers
+    chain ``.write`` directly.  (S8's regions sink + change_bot.rb's
+    1° region grid write is the reference analogue; there the layout
+    was implicit in the grid loop, here it is an explicit operator.)"""
+    keyed = points.withColumn(cell_col, hier_cell(F.col(lon), F.col(lat), res))
+    if num_partitions is not None:
+        out = keyed.repartitionByRange(num_partitions, cell_col)
+    else:
+        out = keyed.repartitionByRange(cell_col)
+    return out.sortWithinPartitions(cell_col)
+
+
+def cell_descendant_range(cell_id: int, child_res: int) -> tuple[int, int]:
+    """Driver-side (plain-int) hierarchy algebra for scan pruning: the
+    CONTIGUOUS :func:`hier_cell` id range at ``child_res`` covered by
+    ancestor ``cell_id`` — Morton prefixes own contiguous child
+    ranges, so a bbox expressed as covering ancestor cells becomes an
+    OR of ``BETWEEN`` predicates that reach parquet footers / Iceberg
+    manifests as plain int comparisons (``PushedFilters``), pruning
+    files written by :func:`cluster_by_cell` without evaluating any
+    geometry.  Raises if ``child_res`` is coarser than the cell's own
+    resolution (same bounds discipline as :func:`cell_parent`)."""
+    res = cell_id >> _RES_SHIFT
+    if not 0 <= res <= MAX_TILE_RES:
+        raise ValueError(f"bad cell id {cell_id}: resolution tag {res}")
+    if not res <= child_res <= MAX_TILE_RES:
+        raise ValueError(
+            f"child_res must be in [{res}, {MAX_TILE_RES}], got {child_res}"
+        )
+    base = cell_id & _BASE_MASK
+    shift = 2 * (child_res - res)
+    tag = child_res << _RES_SHIFT
+    return tag + (base << shift), tag + (((base + 1) << shift) - 1)
+
+
 # ---------------------------------------------------------------------------
 # polygon geometry (vector side of the raster<->vector story)
 # ---------------------------------------------------------------------------
