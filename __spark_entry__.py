@@ -359,6 +359,51 @@ def q_extent_overlap(spark, sf_dir):
     )
 
 
+def _lang_segments(spark, sf_dir):
+    """Shared corpus for the line-layer entries: per-lang polylines
+    over latest pages in doc_id order (LEAD window) — long random
+    great-room segments, so crossings and lengths are non-trivial."""
+    latest = lineage.latest_version(
+        _pages(spark, sf_dir), cols=["lang", "lon", "lat", "doc_id"]
+    )
+    wl = W.partitionBy("lang").orderBy("doc_id")
+    return (
+        latest.select(
+            "url", "lang", "doc_id",
+            F.col("lon").alias("lon1"),
+            F.col("lat").alias("lat1"),
+            F.lead("lon").over(wl).alias("lon2"),
+            F.lead("lat").over(wl).alias("lat2"),
+        )
+        .where(F.col("lon2").isNotNull())
+    )
+
+
+def q_segments_crossing(spark, sf_dir):
+    """Segment×segment proper-crossing join
+    (spatial.segment_crossing_join): English-polyline segments vs
+    German-polyline segments on a 30° PBSM grid, EXACT ×10⁴
+    fixed-point orientation predicate (sign tests on int64 cross
+    determinants — no float epsilon anywhere), reference-point
+    dedup, rational crossing point.  Oracle is the naive O(n²) join
+    with the identical integer predicate."""
+    segs = _lang_segments(spark, sf_dir)
+    a = segs.where(F.col("lang") == "en").select(
+        F.col("url").alias("url_a"), "lon1", "lat1", "lon2", "lat2"
+    )
+    b = segs.where(F.col("lang") == "de").select(
+        F.col("url").alias("url_b"), "lon1", "lat1", "lon2", "lat2"
+    )
+    out = spatial.segment_crossing_join(
+        a, b, res_deg=30.0, id_a="url_a", id_b="url_b", max_cells=128
+    )
+    return out.select(
+        "url_a", "url_b",
+        F.round("ix", 6).alias("ix"),
+        F.round("iy", 6).alias("iy"),
+    )
+
+
 def q_spatial_dbscan(spark, sf_dir):
     """Full DBSCAN (spatial.dbscan) over all page versions at ε=0.01°,
     min_pts=3: urls with ≥3 versions form all-core clusters, 2-version
@@ -1463,6 +1508,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spatial_dbscan": q_spatial_dbscan,
         "radius_join": q_radius_join,
         "extent_overlap": q_extent_overlap,
+        "segments_crossing": q_segments_crossing,
         "hex_rollup": q_hex_rollup,
         "hex_focal_mean": q_hex_focal_mean,
         "polygon_stats": q_polygon_stats,
@@ -2106,6 +2152,52 @@ def oracle_sql() -> dict[str, str]:
               ON a.lang = 'en' AND b.lang = 'de'
              AND a.lon_min <= b.lon_max AND b.lon_min <= a.lon_max
              AND a.lat_min <= b.lat_max AND b.lat_min <= a.lat_max
+        """),
+        "segments_crossing": _with_pages("""
+            , latest AS (
+                SELECT url, lang, lon, lat, doc_id FROM (
+                    SELECT p.*, ROW_NUMBER() OVER (
+                        PARTITION BY url ORDER BY version DESC) AS rn
+                    FROM pages p
+                ) t WHERE rn = 1
+            ),
+            segs AS (
+                SELECT url, lang,
+                       CAST(ROUND(lon * 10000) AS BIGINT) AS x1,
+                       CAST(ROUND(lat * 10000) AS BIGINT) AS y1,
+                       CAST(ROUND(LEAD(lon) OVER w * 10000) AS BIGINT) AS x2,
+                       CAST(ROUND(LEAD(lat) OVER w * 10000) AS BIGINT) AS y2
+                FROM latest
+                WINDOW w AS (PARTITION BY lang ORDER BY doc_id)
+            ),
+            pairs AS (
+                SELECT a.url AS url_a, b.url AS url_b,
+                       b.x1 AS bx1, b.y1 AS by1, b.x2 AS bx2, b.y2 AS by2,
+                       (a.x2-a.x1)*(b.y1-a.y1)
+                         - (a.y2-a.y1)*(b.x1-a.x1) AS o1,
+                       (a.x2-a.x1)*(b.y2-a.y1)
+                         - (a.y2-a.y1)*(b.x2-a.x1) AS o2,
+                       (b.x2-b.x1)*(a.y1-b.y1)
+                         - (b.y2-b.y1)*(a.x1-b.x1) AS o3,
+                       (b.x2-b.x1)*(a.y2-b.y1)
+                         - (b.y2-b.y1)*(a.x2-b.x1) AS o4
+                FROM segs a JOIN segs b
+                  ON a.lang = 'en' AND b.lang = 'de'
+                WHERE a.x2 IS NOT NULL AND b.x2 IS NOT NULL
+            )
+            SELECT url_a, url_b,
+                   ROUND((CAST(bx1 AS DOUBLE)
+                          + CAST(bx2 - bx1 AS DOUBLE)
+                            * (CAST(o1 AS DOUBLE)
+                               / CAST(o1 - o2 AS DOUBLE))) / 10000.0,
+                         6) AS ix,
+                   ROUND((CAST(by1 AS DOUBLE)
+                          + CAST(by2 - by1 AS DOUBLE)
+                            * (CAST(o1 AS DOUBLE)
+                               / CAST(o1 - o2 AS DOUBLE))) / 10000.0,
+                         6) AS iy
+            FROM pairs
+            WHERE SIGN(o1) * SIGN(o2) < 0 AND SIGN(o3) * SIGN(o4) < 0
         """),
         "spatial_dbscan": _with_pages_recursive("""
             , pts AS (

@@ -1157,6 +1157,148 @@ def extent_overlap_join(
     )
 
 
+def _idiv(a: Column, b: int) -> Column:
+    """Exact floor division of a NON-NEGATIVE bigint column by a
+    positive int literal, staying in integer arithmetic: ``(a - a%b)/b``
+    divides an exact multiple, so the intermediate double division is
+    exact for any quotient below 2^53."""
+    bl = F.lit(int(b))
+    return ((a - F.pmod(a, bl)) / bl).cast("bigint")
+
+
+def segment_crossing_join(
+    segs_a: DataFrame,
+    segs_b: DataFrame,
+    res_deg: float,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    scale: int = 10_000,
+    max_cells: int | None = 256,
+    join_hint: str | None = "shuffle_hash",
+) -> DataFrame:
+    """Segment×segment PROPER-crossing join (road/way intersection
+    detection — the line-layer analogue of :func:`extent_overlap_join`)
+    with an EXACT integer predicate.
+
+    Inputs carry (id, lon1, lat1, lon2, lat2) in degrees.  Coordinates
+    are snapped to fixed-point ``scale`` (default ×10⁴ — the pages
+    geocode's native precision, so the snap is exact on this corpus;
+    the reference stores node coordinates exactly this way,
+    osm.rb F13) and EVERYTHING downstream — grid cells, the crossing
+    predicate, the dedup reference point — is int64 arithmetic, so the
+    operator and its SQL twin agree bit-for-bit with no float
+    epsilons.  Overflow bound: |coord| ≤ 360·scale ⇒ each 2×2 cross
+    determinant ≤ 2·(720·scale)², within int64 for scale ≤ 10⁶
+    (signs are compared, never products of determinants).
+
+    Semantics: PROPER crossings only — the segments intersect at a
+    single interior point of both (strict sign alternation on both
+    orientation pairs).  Endpoint touches and collinear overlaps do
+    NOT match; they are boundary cases a road-crossing query does not
+    want, and excluding them keeps the predicate a pure sign test.
+
+    Plan shape (PBSM, same as the extent join): each segment
+    replicates to the grid cells its bbox covers (``max_cells``
+    fan-out guard fails loud via ``assert_true`` — a near-antipodal
+    segment's bbox at a fine grid would silently explode the join),
+    one hash shuffle per side on the cell key, exact predicate as the
+    join residual, and the classic reference-point rule dedups
+    WITHOUT a distinct(): the pair is emitted only from the cell
+    containing the SW corner of the two bboxes' intersection — a
+    point inside both bboxes, computed in the SAME int arithmetic as
+    the cell assignment, so exactly one joined cell matches.
+
+    Output: id_a, id_b, and the crossing point (ix, iy in degrees) —
+    the exact rational intersection evaluated with one double
+    division; at a proper crossing the denominator is the (nonzero)
+    int determinant.
+    """
+    if res_deg * scale != int(res_deg * scale):
+        raise ValueError("res_deg * scale must be integral")
+    if scale > 1_000_000:
+        raise ValueError("scale > 1e6 overflows the int64 cross bound")
+    cell_u = int(res_deg * scale)
+    offx, offy = 180 * scale, 90 * scale
+    sc = F.lit(float(scale))
+
+    def prep(df, p, idc):
+        out = df.select(
+            F.col(idc),
+            F.round(F.col("lon1") * sc).cast("bigint").alias(f"{p}x1"),
+            F.round(F.col("lat1") * sc).cast("bigint").alias(f"{p}y1"),
+            F.round(F.col("lon2") * sc).cast("bigint").alias(f"{p}x2"),
+            F.round(F.col("lat2") * sc).cast("bigint").alias(f"{p}y2"),
+        )
+        x0 = _idiv(F.least(f"{p}x1", f"{p}x2") + offx, cell_u)
+        x1 = _idiv(F.greatest(f"{p}x1", f"{p}x2") + offx, cell_u)
+        y0 = _idiv(F.least(f"{p}y1", f"{p}y2") + offy, cell_u)
+        y1 = _idiv(F.greatest(f"{p}y1", f"{p}y2") + offy, cell_u)
+        cells = F.flatten(
+            F.transform(
+                F.sequence(y0, y1),
+                lambda yy: F.transform(
+                    F.sequence(x0, x1),
+                    lambda xx: yy * F.lit(1_000_000) + xx,
+                ),
+            )
+        )
+        if max_cells is not None:
+            n = (x1 - x0 + 1) * (y1 - y0 + 1)
+            ok = F.assert_true(
+                n <= F.lit(int(max_cells)),
+                F.lit(
+                    f"segment bbox covers more than max_cells={max_cells} "
+                    f"cells at res_deg={res_deg}; coarsen the grid or "
+                    "split the segment"
+                ),
+            )
+            cells = F.when(ok.isNull(), cells)
+        return out.withColumn(f"{p}cell", F.explode(cells))
+
+    a = prep(segs_a, "a", id_a)
+    b = prep(segs_b, "b", id_b)
+    if join_hint:
+        b = b.hint(join_hint)
+
+    def cross(px, py, qx, qy, rx, ry):
+        return (F.col(qx) - F.col(px)) * (F.col(ry) - F.col(py)) - (
+            F.col(qy) - F.col(py)
+        ) * (F.col(rx) - F.col(px))
+
+    o1 = cross("ax1", "ay1", "ax2", "ay2", "bx1", "by1")
+    o2 = cross("ax1", "ay1", "ax2", "ay2", "bx2", "by2")
+    o3 = cross("bx1", "by1", "bx2", "by2", "ax1", "ay1")
+    o4 = cross("bx1", "by1", "bx2", "by2", "ax2", "ay2")
+    crossing = (F.signum(o1) * F.signum(o2) < 0) & (
+        F.signum(o3) * F.signum(o4) < 0
+    )
+    ref_x = F.greatest(
+        F.least("ax1", "ax2"), F.least("bx1", "bx2")
+    )
+    ref_y = F.greatest(
+        F.least("ay1", "ay2"), F.least("by1", "by2")
+    )
+    ref_cell = (
+        _idiv(ref_y + offy, cell_u) * F.lit(1_000_000)
+        + _idiv(ref_x + offx, cell_u)
+    )
+    # exact rational crossing point: B1 + (B2-B1)·o1/(o1-o2), one
+    # double division (denominator o1-o2 ≠ 0 at a proper crossing)
+    t = o1.cast("double") / (o1 - o2).cast("double")
+    ix = (F.col("bx1").cast("double") + (F.col("bx2") - F.col("bx1")).cast("double") * t) / sc
+    iy = (F.col("by1").cast("double") + (F.col("by2") - F.col("by1")).cast("double") * t) / sc
+    return (
+        a.join(b, F.col("acell") == F.col("bcell"), "inner")
+        .where(crossing & (F.col("acell") == ref_cell))
+        .select(
+            id_a,
+            id_b,
+            ix.alias("ix"),
+            iy.alias("iy"),
+        )
+    )
+
+
 def nearest_attribution(
     points: DataFrame,
     candidates: DataFrame,
