@@ -404,6 +404,48 @@ def q_segments_crossing(spark, sf_dir):
     )
 
 
+def q_geohash_rollup(spark, sf_dir):
+    """Taint rollup keyed by base-32 geohash (spatial.geohash, p=3 —
+    the odd-bit-count path: lon gets the extra bit): the third cell
+    encoding next to the Morton quad tiles and the axial hexes, with
+    the prefix property making the string a hierarchical clustering
+    key.  Oracle runs the character-identical SQL twin
+    (spatial.geohash_sql), so the bit-spread cascade and base-32
+    digit slicing are hash-verified."""
+    flagged = _pages_flagged(spark, sf_dir)
+    latest = lineage.latest_version(flagged, cols=["accepted", "lon", "lat"])
+    return (
+        latest.groupBy(
+            spatial.geohash(F.col("lon"), F.col("lat"), 3).alias("geohash")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_pages"),
+            F.sum(F.when(~F.col("accepted"), 1).otherwise(0))
+            .cast("bigint").alias("n_tainted"),
+        )
+    )
+
+
+def q_quadkey_rollup(spark, sf_dir):
+    """Taint rollup keyed by level-5 Bing-style quadkey
+    (spatial.quadkey) — the Morton id re-expressed as a prefix-coded
+    string (one bit pair per digit, MSB first; y from the south pole
+    per the reference's tile scheme).  Oracle slices the identical
+    digits out of quad_tile_sql."""
+    flagged = _pages_flagged(spark, sf_dir)
+    latest = lineage.latest_version(flagged, cols=["accepted", "lon", "lat"])
+    return (
+        latest.groupBy(
+            spatial.quadkey(F.col("lon"), F.col("lat"), 5).alias("quadkey")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_pages"),
+            F.sum(F.when(~F.col("accepted"), 1).otherwise(0))
+            .cast("bigint").alias("n_tainted"),
+        )
+    )
+
+
 def q_spatial_dbscan(spark, sf_dir):
     """Full DBSCAN (spatial.dbscan) over all page versions at ε=0.01°,
     min_pts=3: urls with ≥3 versions form all-core clusters, 2-version
@@ -1509,6 +1551,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "radius_join": q_radius_join,
         "extent_overlap": q_extent_overlap,
         "segments_crossing": q_segments_crossing,
+        "geohash_rollup": q_geohash_rollup,
+        "quadkey_rollup": q_quadkey_rollup,
         "hex_rollup": q_hex_rollup,
         "hex_focal_mean": q_hex_focal_mean,
         "polygon_stats": q_polygon_stats,
@@ -2198,6 +2242,36 @@ def oracle_sql() -> dict[str, str]:
                          6) AS iy
             FROM pairs
             WHERE SIGN(o1) * SIGN(o2) < 0 AND SIGN(o3) * SIGN(o4) < 0
+        """),
+        "geohash_rollup": _with_pages(f"""
+            , latest AS (
+                SELECT * FROM (
+                    SELECT p.*, s.accepted,
+                           ROW_NUMBER() OVER (PARTITION BY p.url
+                                              ORDER BY p.version DESC) AS rn
+                    FROM pages p JOIN cs_status s USING (changeset_id)
+                ) t WHERE rn = 1
+            )
+            SELECT {spatial.geohash_sql('lon', 'lat', 3)} AS geohash,
+                   COUNT(*) AS n_pages,
+                   CAST(SUM(CASE WHEN NOT accepted THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_tainted
+            FROM latest GROUP BY 1
+        """),
+        "quadkey_rollup": _with_pages(f"""
+            , latest AS (
+                SELECT * FROM (
+                    SELECT p.*, s.accepted,
+                           ROW_NUMBER() OVER (PARTITION BY p.url
+                                              ORDER BY p.version DESC) AS rn
+                    FROM pages p JOIN cs_status s USING (changeset_id)
+                ) t WHERE rn = 1
+            )
+            SELECT {spatial.quadkey_sql('lon', 'lat', 5)} AS quadkey,
+                   COUNT(*) AS n_pages,
+                   CAST(SUM(CASE WHEN NOT accepted THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_tainted
+            FROM latest GROUP BY 1
         """),
         "spatial_dbscan": _with_pages_recursive("""
             , pts AS (
