@@ -517,6 +517,23 @@ def q_pip_polygons(spark, sf_dir):
     )
 
 
+def q_pip_outside(spark, sf_dir):
+    """Spatial ANTI join (spatial.pip_anti_join): latest pages in NONE
+    of the 3 broadcast polygons — fully map-side (cell→candidate-list
+    broadcast left join + one Arrow batch for candidates only, zero
+    shuffles before the final rollup).  Aggregated per lang so the
+    result is small and the complement-of-pip_polygons relationship is
+    hash-checked end to end."""
+    latest = lineage.latest_version(
+        _pages(spark, sf_dir), cols=["lang", "lon", "lat"]
+    )
+    out = spatial.pip_anti_join(latest, PIP_POLYGONS, res_deg=30.0)
+    return out.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_outside"),
+        F.min("url").alias("first_url"),
+    )
+
+
 def q_tile_vectorize(spark, sf_dir):
     """Raster→vector: per occupied 15° cell, exact cell bbox + member
     centroid (scaled-int sums, one division) + count."""
@@ -1561,6 +1578,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_rollup_multires": q_tile_rollup_multires,
         "tile_vectorize": q_tile_vectorize,
         "pip_polygons": q_pip_polygons,
+        "pip_outside": q_pip_outside,
         "pip_rect": q_pip_rect,
         "knn_in_cell": q_knn_in_cell,
         "knn_neighborhood": q_knn_neighborhood,
@@ -2411,6 +2429,33 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(polygon_id AS BIGINT) AS polygon_id,
                    COUNT(*) AS n_pages, MIN(url) AS first_url
             FROM inside GROUP BY 1
+        """),
+        "pip_outside": _with_pages(f"""
+            , latest AS (
+                SELECT * FROM (
+                    SELECT p.*,
+                           ROW_NUMBER() OVER (PARTITION BY url
+                                              ORDER BY version DESC) AS rn
+                    FROM pages p
+                ) t WHERE rn = 1
+            ),
+            edges(pid, xi, yi, xj, yj) AS (VALUES {pip_edges_sql}),
+            hits AS (
+                SELECT l.url, e.pid,
+                       SUM(CASE WHEN (e.yi > l.lat) <> (e.yj > l.lat)
+                                 AND l.lon < (e.xj - e.xi) * (l.lat - e.yi)
+                                             / (e.yj - e.yi) + e.xi
+                                THEN 1 ELSE 0 END) AS crossings
+                FROM latest l CROSS JOIN edges e
+                GROUP BY 1, 2
+            ),
+            inside AS (
+                SELECT DISTINCT url FROM hits WHERE crossings % 2 = 1
+            )
+            SELECT l.lang, COUNT(*) AS n_outside, MIN(l.url) AS first_url
+            FROM latest l
+            WHERE NOT EXISTS (SELECT 1 FROM inside i WHERE i.url = l.url)
+            GROUP BY 1
         """),
         "tile_vectorize": _with_pages("""
             , latest AS (

@@ -737,6 +737,91 @@ def pip_join_polygons_prefiltered(
     return points.join(best, point_id, "left")
 
 
+def pip_anti_join(
+    points: DataFrame,
+    polygons: Sequence[tuple[int, Sequence[tuple[float, float]]]],
+    res_deg: float = 1.0,
+    lon: str = "lon",
+    lat: str = "lat",
+) -> DataFrame:
+    """Spatial ANTI join: the points contained in NO polygon (the
+    complement of :func:`pip_join_polygons_prefiltered` — "everything
+    outside the exclusion regions", P3's spatial analogue).
+
+    Plan shape — deliberately not `prefiltered + left_anti`: that
+    would spend a wide anti-join exchange on a matched-id set that is
+    data-sized at scale.  Instead the broadcast side is pre-grouped
+    driver-side into (cell → candidate polygon-id list); points LEFT
+    join it 1:1 on their cell (broadcast hash join, no fan-out, no
+    shuffle), and one Arrow-batched UDF evaluates "inside any
+    candidate" per point.  Every stage is map-side — a 100-TB input
+    never shuffles at all; points whose cell has no candidate list
+    skip Python entirely via the native null check.
+
+    Exactness: the even-odd ray cast is byte-identical to
+    `pip_join_polygons` (same formula, same epsilon guard)."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    spark = points.sparkSession
+    polys = {
+        int(pid): np.asarray(ring, dtype=np.float64) for pid, ring in polygons
+    }
+    cols = int(360 / res_deg)
+    by_cell: dict[int, list[int]] = {}
+    for pid, ring in polys.items():
+        lo_x = int((ring[:, 0].min() + 180.0) // res_deg)
+        hi_x = int((ring[:, 0].max() + 180.0 - 1e-9) // res_deg)
+        lo_y = int((ring[:, 1].min() + 90.0) // res_deg)
+        hi_y = int((ring[:, 1].max() + 90.0 - 1e-9) // res_deg)
+        for cy in range(lo_y, hi_y + 1):
+            for cx in range(lo_x, hi_x + 1):
+                by_cell.setdefault(cy * cols + cx, []).append(pid)
+    cand = spark.createDataFrame(
+        [(c, pids) for c, pids in by_cell.items()],
+        "_cell bigint, _pids array<bigint>",
+    )
+
+    @pandas_udf("boolean")
+    def inside_any(
+        pids_s: pd.Series, lon_s: pd.Series, lat_s: pd.Series
+    ) -> pd.Series:
+        xs = lon_s.to_numpy(dtype=np.float64)
+        ys = lat_s.to_numpy(dtype=np.float64)
+        out = np.zeros(len(xs), dtype=bool)
+        keys = pids_s.map(lambda v: tuple(v) if v is not None else ())
+        for key in keys.unique():
+            m = (keys == key).to_numpy()
+            for pid in key:
+                todo = m & ~out
+                if not todo.any():
+                    break
+                ring = polys[int(pid)]
+                x, y = xs[todo], ys[todo]
+                rx, ry = ring[:, 0], ring[:, 1]
+                inside = np.zeros(len(x), dtype=bool)
+                j = len(ring) - 1
+                for i in range(len(ring)):
+                    cond = ((ry[i] > y) != (ry[j] > y)) & (
+                        x
+                        < (rx[j] - rx[i]) * (y - ry[i])
+                        / (ry[j] - ry[i] + 1e-300)
+                        + rx[i]
+                    )
+                    inside ^= cond
+                    j = i
+                idx = np.flatnonzero(todo)
+                out[idx[inside]] = True
+        return pd.Series(out)
+
+    pts = points.withColumn("_cell", grid_cell(F.col(lon), F.col(lat), res_deg))
+    joined = pts.join(F.broadcast(cand), "_cell", "left")
+    keep = F.col("_pids").isNull() | ~inside_any(
+        F.col("_pids"), F.col(lon), F.col(lat)
+    )
+    return joined.where(keep).drop("_cell", "_pids")
+
+
 # ---------------------------------------------------------------------------
 # kNN + rollups
 # ---------------------------------------------------------------------------
