@@ -404,6 +404,21 @@ def q_segments_crossing(spark, sf_dir):
     )
 
 
+def q_polyline_length(spark, sf_dir):
+    """Per-lang great-circle polyline length
+    (spatial.polyline_length): latest pages in doc_id order as one
+    track per lang, haversine per segment, summed as exact integer
+    micro-km (order-free under any parallelism), one division at the
+    end.  Oracle is the identical formula over a LAG window."""
+    latest = lineage.latest_version(
+        _pages(spark, sf_dir), cols=["lang", "lon", "lat", "doc_id"]
+    )
+    out = spatial.polyline_length(latest, id_col="lang", order_col="doc_id")
+    return out.select(
+        "lang", "n_segments", F.round("length_km", 6).alias("length_km")
+    )
+
+
 def q_geohash_rollup(spark, sf_dir):
     """Taint rollup keyed by base-32 geohash (spatial.geohash, p=3 —
     the odd-bit-count path: lon gets the extra bit): the third cell
@@ -1569,6 +1584,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extent_overlap": q_extent_overlap,
         "segments_crossing": q_segments_crossing,
         "geohash_rollup": q_geohash_rollup,
+        "polyline_length": q_polyline_length,
         "quadkey_rollup": q_quadkey_rollup,
         "hex_rollup": q_hex_rollup,
         "hex_focal_mean": q_hex_focal_mean,
@@ -2260,6 +2276,35 @@ def oracle_sql() -> dict[str, str]:
                          6) AS iy
             FROM pairs
             WHERE SIGN(o1) * SIGN(o2) < 0 AND SIGN(o3) * SIGN(o4) < 0
+        """),
+        "polyline_length": _with_pages(f"""
+            , latest AS (
+                SELECT url, lang, lon, lat, doc_id FROM (
+                    SELECT p.*, ROW_NUMBER() OVER (
+                        PARTITION BY url ORDER BY version DESC) AS rn
+                    FROM pages p
+                ) t WHERE rn = 1
+            ),
+            segs AS (
+                SELECT lang, lon, lat,
+                       LAG(lon) OVER w AS plon,
+                       LAG(lat) OVER w AS plat
+                FROM latest
+                WINDOW w AS (PARTITION BY lang ORDER BY doc_id)
+            ),
+            ukms AS (
+                SELECT lang,
+                       CASE WHEN plon IS NOT NULL THEN CAST(ROUND(
+                           ({spatial.haversine_sql('plon', 'plat',
+                                                   'lon', 'lat')})
+                           * 1000000.0) AS BIGINT)
+                       END AS ukm
+                FROM segs
+            )
+            SELECT lang, COUNT(ukm) AS n_segments,
+                   ROUND(CAST(COALESCE(SUM(ukm), 0) AS DOUBLE)
+                         / 1000000.0, 6) AS length_km
+            FROM ukms GROUP BY 1
         """),
         "geohash_rollup": _with_pages(f"""
             , latest AS (

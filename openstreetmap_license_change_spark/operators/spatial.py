@@ -737,6 +737,95 @@ def pip_join_polygons_prefiltered(
     return points.join(best, point_id, "left")
 
 
+EARTH_RADIUS_KM = 6371.0088  # IUGG mean radius
+
+
+def haversine_km(
+    lon1: Column, lat1: Column, lon2: Column, lat2: Column
+) -> Column:
+    """Great-circle distance in km — native trig columns only (stays
+    in whole-stage codegen; the planar dist² used by the kNN/radius
+    operators is the right *ranking* metric inside a cell, this is
+    the right *measurement* metric for lengths).  The asin argument
+    is clamped to 1 against float drift on antipodal pairs.  The
+    expression shape is mirrored verbatim by the SQL oracle so both
+    engines evaluate the identical IEEE op sequence."""
+    a = (
+        F.pow(F.sin(F.radians(lat2 - lat1) / F.lit(2.0)), 2)
+        + F.cos(F.radians(lat1))
+        * F.cos(F.radians(lat2))
+        * F.pow(F.sin(F.radians(lon2 - lon1) / F.lit(2.0)), 2)
+    )
+    return (
+        F.lit(2.0 * EARTH_RADIUS_KM)
+        * F.asin(F.sqrt(F.least(a, F.lit(1.0))))
+    )
+
+
+HAVERSINE_SQL = (
+    "2.0 * {r} * ASIN(SQRT(LEAST("
+    "POWER(SIN(RADIANS({lat2} - {lat1}) / 2.0), 2)"
+    " + COS(RADIANS({lat1})) * COS(RADIANS({lat2}))"
+    " * POWER(SIN(RADIANS({lon2} - {lon1}) / 2.0), 2), 1.0)))"
+)
+
+
+def haversine_sql(lon1: str, lat1: str, lon2: str, lat2: str) -> str:
+    return HAVERSINE_SQL.format(
+        r=EARTH_RADIUS_KM, lon1=lon1, lat1=lat1, lon2=lon2, lat2=lat2
+    )
+
+
+def polyline_length(
+    points: DataFrame,
+    id_col: str,
+    order_col: str,
+    lon: str = "lon",
+    lat: str = "lat",
+) -> DataFrame:
+    """Per-group great-circle polyline length (way/track length — the
+    measurement rollup over the reference's ordered way-node lists,
+    geom.rb's node sequences).
+
+    One LAG window per (id, order) — a single hash shuffle on the
+    group key, then a map-side-combining groupBy on the SAME key, so
+    AQE coalesces the second exchange into the first's partitioning.
+    Per-segment distances are snapped to integer micro-km
+    (round(km·10⁶) — ~1 mm) and summed as int64: the sum is exact and
+    partition-order-free, so results are deterministic under any
+    parallelism (the house scaled-int pattern; a double SUM would
+    hash-diverge from the oracle on accumulation order).  Overflow
+    headroom: 2⁶³ µkm ≈ 9.2×10¹² km ≈ 4.6×10⁸ equators per group.
+
+    Output: id, n_segments, length_km (single division at the end).
+    Groups with a single point have n_segments 0 and length 0."""
+    wu = W.partitionBy(id_col).orderBy(order_col)
+    seg = points.select(
+        F.col(id_col),
+        F.col(lon).alias("_lon"),
+        F.col(lat).alias("_lat"),
+        F.lag(lon).over(wu).alias("_plon"),
+        F.lag(lat).over(wu).alias("_plat"),
+    )
+    seg_km = haversine_km(
+        F.col("_plon"), F.col("_plat"), F.col("_lon"), F.col("_lat")
+    )
+    seg = seg.withColumn(
+        "_ukm",
+        F.when(
+            F.col("_plon").isNotNull(),
+            F.round(seg_km * F.lit(1_000_000.0)).cast("bigint"),
+        ),
+    )
+    return seg.groupBy(id_col).agg(
+        F.count("_ukm").alias("n_segments"),
+        (
+            F.coalesce(F.sum("_ukm"), F.lit(0)).cast("double")
+            / F.lit(1_000_000.0)
+        ).alias("length_km"),
+    )
+
+
 def pip_anti_join(
     points: DataFrame,
     polygons: Sequence[tuple[int, Sequence[tuple[float, float]]]],
