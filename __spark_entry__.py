@@ -800,6 +800,69 @@ def q_simhash_pairs(spark, sf_dir):
     return dedup.simhash_near_dup_pairs(docs, max_hamming=3)
 
 
+def q_passage_dedup(spark, sf_dir):
+    """Passage-level exact dedup (textops.passage_dedup): the corpus
+    is documents plus a 32-word-prefix clone of every doc (ids
+    +10000) — the clones' aligned 16-word windows all lose to the
+    originals (first-global-occurrence rule), originals keep
+    everything.  One md5-keyed window-min + one doc groupBy, no
+    joins.  Oracle replays the same chunking with list_slice."""
+    docs = pages_src.documents(spark, sf_dir).select("doc_id", "text")
+    prefix = docs.select(
+        (F.col("doc_id") + 10000).alias("doc_id"),
+        F.array_join(
+            F.slice(F.split(F.col("text"), " "), 1, 32), " "
+        ).alias("text"),
+    )
+    return textops.passage_dedup(docs.union(prefix), window=16)
+
+
+def q_pii_scrub(spark, sf_dir):
+    """PII scrubbing (textops.scrub_pii): documents get deterministic
+    synthetic emails (doc_id%3==0) and 555-line phone numbers
+    (doc_id%4==1) appended, then the native regexp_count/replace pass
+    redacts them.  The patterns are lookaround-free so Java regex and
+    the oracle's RE2 agree match-for-match."""
+    docs = pages_src.documents(spark, sf_dir).select("doc_id", "text")
+    injected = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.concat(
+                    F.lit(" reach user"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("@mail"),
+                    (F.col("doc_id") % 7).cast("string"),
+                    F.lit(".example.org"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 4 == 1,
+                F.concat(
+                    F.lit(" call 555-"),
+                    F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return textops.scrub_pii(injected).select(
+        "doc_id", "n_emails", "n_phones", "scrubbed"
+    )
+
+
+def q_domain_rollup(spark, sf_dir):
+    """Per-domain curation rollup (textops.domain_rollup): pages
+    grouped by the regexp-extracted host of their url — page count,
+    distinct-url count, taint count.  The two-phase distinct expands
+    inside the one aggregate."""
+    flagged = _pages_flagged(spark, sf_dir).withColumn(
+        "tainted", ~F.col("accepted")
+    )
+    return textops.domain_rollup(flagged, taint_col="tainted")
+
+
 def q_repetition_stats(spark, sf_dir):
     """Gopher-style repetition filter signals (textops.repetition_stats):
     top-2-gram and duplicate-2-gram occurrence shares in exact integer
@@ -1617,6 +1680,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination": q_contamination,
         "tfidf_topk": q_tfidf_topk,
         "repetition_stats": q_repetition_stats,
+        "passage_dedup": q_passage_dedup,
+        "pii_scrub": q_pii_scrub,
+        "domain_rollup": q_domain_rollup,
         "text_quality": q_text_quality,
         "lang_id": q_lang_id,
         "ann_cosine_topk": q_ann_cosine_topk,
@@ -3470,6 +3536,78 @@ def oracle_sql() -> dict[str, str]:
                    CAST(rnk AS INTEGER) AS rank
             FROM ranked WHERE rnk <= 5
         """,
+        "passage_dedup": """
+            WITH corp AS (
+                SELECT doc_id, text FROM documents
+                UNION ALL
+                SELECT doc_id + 10000 AS doc_id,
+                       array_to_string(
+                           list_slice(string_split(text, ' '), 1, 32), ' ')
+                           AS text
+                FROM documents
+            ),
+            p AS (
+                SELECT doc_id, CAST(i AS INT) AS chunk,
+                       array_to_string(
+                           list_slice(ws, i * 16 + 1, i * 16 + 16), ' ')
+                           AS passage
+                FROM (SELECT doc_id, string_split(text, ' ') AS ws
+                      FROM corp) t,
+                     LATERAL (SELECT UNNEST(
+                                  range(0, ((len(ws) - 1) // 16) + 1))
+                              AS i) u
+            ),
+            r AS (
+                SELECT *, ROW_NUMBER() OVER (
+                    PARTITION BY md5(passage)
+                    ORDER BY doc_id, chunk) AS rn
+                FROM p
+            )
+            SELECT doc_id,
+                   COUNT(*) AS n_passages,
+                   CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_kept,
+                   COALESCE(STRING_AGG(CASE WHEN rn = 1 THEN passage END,
+                                       ' ' ORDER BY chunk), '') AS text_kept
+            FROM r GROUP BY 1
+        """,
+        "pii_scrub": f"""
+            WITH injected AS (
+                SELECT doc_id,
+                       text
+                       || CASE WHEN doc_id % 3 = 0
+                               THEN ' reach user' || CAST(doc_id AS VARCHAR)
+                                    || '@mail' || CAST(doc_id % 7 AS VARCHAR)
+                                    || '.example.org'
+                               ELSE '' END
+                       || CASE WHEN doc_id % 4 = 1
+                               THEN ' call 555-'
+                                    || lpad(CAST(doc_id % 10000 AS VARCHAR),
+                                            4, '0')
+                               ELSE '' END AS text
+                FROM documents
+            )
+            SELECT doc_id,
+                   CAST(array_length(regexp_extract_all(text,
+                        '{textops.EMAIL_PATTERN}')) AS BIGINT) AS n_emails,
+                   CAST(array_length(regexp_extract_all(text,
+                        '{textops.PHONE_PATTERN}')) AS BIGINT) AS n_phones,
+                   regexp_replace(
+                       regexp_replace(text, '{textops.EMAIL_PATTERN}',
+                                      '<EMAIL>', 'g'),
+                       '{textops.PHONE_PATTERN}', '<PHONE>', 'g') AS scrubbed
+            FROM injected
+        """,
+        "domain_rollup": _with_pages("""
+            SELECT regexp_extract(url, '^[a-z][a-z0-9+.-]*://([^/]+)/', 1)
+                       AS domain,
+                   COUNT(*) AS n_pages,
+                   CAST(COUNT(DISTINCT url) AS BIGINT) AS n_urls,
+                   CAST(SUM(CASE WHEN NOT s.accepted THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_tainted
+            FROM pages p JOIN cs_status s USING (changeset_id)
+            GROUP BY 1
+        """),
         "repetition_stats": """
             WITH g AS (
                 SELECT doc_id, array_to_string(ts[i:i+1], ' ') AS gram

@@ -290,3 +290,127 @@ def significance_normalize(text: Column) -> Column:
     s = F.regexp_replace(s, "ß", "ss")
     s = F.regexp_replace(s, r"[\W_]+", " ")
     return s
+
+
+# ---------------------------------------------------------------------------
+# passage-level dedup, PII scrubbing, domain rollups (webtext curation)
+# ---------------------------------------------------------------------------
+
+def passage_dedup(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 20,
+) -> DataFrame:
+    """Passage-level exact dedup (the C4/RefinedWeb move of dropping
+    repeated boilerplate spans, adapted to unstructured text): each
+    document splits into fixed ``window``-word passages, a passage
+    survives only in its FIRST global occurrence (min (doc, ordinal)),
+    and documents are reassembled from their surviving passages.
+
+    Plan shape: passage generation is a narrow ``transform`` over the
+    split array (no explode-then-groupBy round trip), the winner per
+    passage is one window-min over ``md5(passage)`` — 16-byte shuffle
+    keys instead of raw passage strings — and reassembly is one
+    groupBy on the doc id.  Two shuffles total, both map-side
+    combining; no join, no distinct.  At 100 TB the md5 keyspace makes
+    hot passages (boilerplate repeated 10⁶×) the only skew source, and
+    those groups carry 1 winner row + counters, not payloads — AQE
+    splits them safely.
+
+    Output: id, n_passages, n_kept, text_kept ('' when everything was
+    seen earlier)."""
+    from pyspark.sql import Window as W
+
+    words = F.split(F.col(text_col), " ")
+    n_chunks = F.floor((F.size(words) - 1) / F.lit(window)).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks),
+        lambda i: F.array_join(
+            F.slice(words, i * F.lit(window) + 1, F.lit(window)), " "
+        ),
+    )
+    p = docs.select(F.col(id_col), F.posexplode(chunks).alias("chunk", "passage"))
+    w = W.partitionBy(F.md5(F.col("passage")))
+    winner = F.min(F.struct(id_col, "chunk")).over(w)
+    p = p.withColumn(
+        "_kept", F.struct(id_col, "chunk") == winner
+    )
+    return p.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_passages"),
+        F.sum(F.col("_kept").cast("int")).cast("bigint").alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(F.col("_kept"), F.struct("chunk", "passage"))
+                    )
+                ),
+                lambda s: s.passage,
+            ),
+            " ",
+        ).alias("text_kept"),
+    )
+
+
+# PII patterns: deliberately lookaround-free so the identical pattern
+# runs on Java regex (Spark) and RE2 (DuckDB oracle) with the same
+# matches.
+EMAIL_PATTERN = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_PATTERN = r"\b\d{3}[- ]\d{4}\b"
+
+
+def scrub_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """PII scrubbing pass (emails, then phone numbers — fixed order,
+    so counts are well-defined): native ``regexp_count`` +
+    ``regexp_replace`` only, zero Python.  Adds n_emails, n_phones
+    and ``scrubbed`` with matches replaced by <EMAIL>/<PHONE>."""
+    t = F.col(text_col)
+    return (
+        df.withColumn(
+            "n_emails",
+            F.regexp_count(t, F.lit(EMAIL_PATTERN)).cast("bigint"),
+        )
+        .withColumn(
+            "n_phones",
+            F.regexp_count(t, F.lit(PHONE_PATTERN)).cast("bigint"),
+        )
+        .withColumn(
+            "scrubbed",
+            F.regexp_replace(
+                F.regexp_replace(t, EMAIL_PATTERN, "<EMAIL>"),
+                PHONE_PATTERN,
+                "<PHONE>",
+            ),
+        )
+    )
+
+
+def domain_of(url: Column) -> Column:
+    """Registrable host part of a url (scheme://host/...) — one native
+    regexp_extract; '' when the url has no scheme-host shape."""
+    return F.regexp_extract(url, r"^[a-z][a-z0-9+.-]*://([^/]+)/", 1)
+
+
+def domain_rollup(
+    pages: DataFrame,
+    url_col: str = "url",
+    taint_col: str | None = None,
+) -> DataFrame:
+    """Per-domain curation rollup (the crawl-side analogue of the
+    per-cell tile rollup): page count, distinct url count, and
+    optional taint count.  One hash aggregate on the extracted domain;
+    count(distinct url) expands to the standard two-phase partial
+    aggregate — no extra job."""
+    aggs = [
+        F.count(F.lit(1)).alias("n_pages"),
+        F.countDistinct(F.col(url_col)).alias("n_urls"),
+    ]
+    if taint_col is not None:
+        aggs.append(
+            F.sum(F.col(taint_col).cast("int")).cast("bigint")
+            .alias("n_tainted")
+        )
+    return pages.groupBy(
+        domain_of(F.col(url_col)).alias("domain")
+    ).agg(*aggs)
