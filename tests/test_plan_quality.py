@@ -250,3 +250,83 @@ def test_knn_neighborhood_plan_shape(spark):
     # both join-input sorts disappear from the plan
     assert "ShuffledHashJoin" in p or "BroadcastHashJoin" in p, p
     assert "SortMergeJoin" not in p, p
+
+
+def test_passage_dedup_two_shuffles_no_join(spark):
+    from pyspark.sql import functions as F
+    from openstreetmap_license_change_spark.operators import textops
+    from openstreetmap_license_change_spark.sources import pages as pages_src
+
+    docs = pages_src.documents(spark, SF_DIR).select("doc_id", "text")
+    df = textops.passage_dedup(docs, window=16)
+    import re as _re
+    plan = plan_of(df)
+    # window-min on md5 + doc groupBy: exactly two hash exchanges,
+    # and the winner rule is a window, never a self-join
+    assert len(_re.findall(r"\(\d+\) Exchange", plan)) == 2, plan
+    assert "Join" not in plan, plan
+
+
+def test_domain_rollup_single_aggregate_chain(spark):
+    from pyspark.sql import functions as F
+    from openstreetmap_license_change_spark.operators import textops
+
+    pages = spark.createDataFrame(
+        [("https://a.example.com/p", False)], "url string, tainted boolean"
+    )
+    import re as _re
+    plan = plan_of(textops.domain_rollup(pages, taint_col="tainted"))
+    # count(distinct) expands to the two-phase partial aggregate on the
+    # same grouping — 2 exchanges, no join, all codegen
+    assert len(_re.findall(r"\(\d+\) Exchange", plan)) == 2, plan
+    assert "Join" not in plan
+    assert "ArrowEvalPython" not in plan
+
+
+def test_polyline_length_reuses_group_partitioning(spark):
+    from openstreetmap_license_change_spark.operators import spatial
+
+    pts = spark.createDataFrame(
+        [("a", 1, 0.0, 0.0), ("a", 2, 1.0, 1.0)],
+        "gid string, ord int, lon double, lat double",
+    )
+    df = spatial.polyline_length(pts, id_col="gid", order_col="ord")
+    import re as _re
+    plan = plan_of(df)
+    # window and groupBy share the gid hash key; no Python, no join
+    assert len(_re.findall(r"\(\d+\) Exchange", plan)) <= 2, plan
+    assert "ArrowEvalPython" not in plan and "Join" not in plan
+
+
+def test_segment_crossing_join_shape(spark):
+    from openstreetmap_license_change_spark.operators import spatial
+
+    ddl = "sid string, lon1 double, lat1 double, lon2 double, lat2 double"
+    a = spark.createDataFrame([("a", 0.0, 0.0, 1.0, 1.0)], ddl) \
+        .withColumnRenamed("sid", "id_a")
+    b = spark.createDataFrame([("b", 0.0, 1.0, 1.0, 0.0)], ddl) \
+        .withColumnRenamed("sid", "id_b")
+    df = spatial.segment_crossing_join(a, b, res_deg=1.0)
+    plan = plan_of(df)
+    # one shuffled-hash join on the cell key, exact predicate residual,
+    # no dedup aggregate after the join (reference-point rule)
+    assert "ShuffledHashJoin" in plan, plan
+    assert "HashAggregate" not in plan, plan
+    assert "ArrowEvalPython" not in plan
+
+
+def test_geocode_rollups_stay_native(spark):
+    from pyspark.sql import functions as F
+    from openstreetmap_license_change_spark.operators import spatial
+
+    pts = spark.createDataFrame([(0.0, 0.0)], "lon double, lat double")
+    df = pts.groupBy(
+        spatial.geohash(F.col("lon"), F.col("lat"), 5).alias("gh")
+    ).count()
+    plan = plan_of(df)
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    df2 = pts.groupBy(
+        spatial.quadkey(F.col("lon"), F.col("lat"), 8).alias("qk")
+    ).count()
+    plan2 = plan_of(df2)
+    assert "ArrowEvalPython" not in plan2 and "BatchEvalPython" not in plan2
