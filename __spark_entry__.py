@@ -419,6 +419,24 @@ def q_polyline_length(spark, sf_dir):
     )
 
 
+def q_segment_cells_rollup(spark, sf_dir):
+    """Supercover segment→tile rollup (spatial.segment_cells): every
+    5° grid cell each per-lang polyline segment TOUCHES — the rigorous
+    way→region assignment (run_candidates.rb assigns ways to regions
+    via node tiles; long segments also cross node-free tiles, which
+    the supercover emits) — counted per cell.  Exact ×10⁴ fixed-point
+    column sweep with rational row brackets; the oracle runs the
+    character-identical integer arithmetic through two
+    generate_series explodes."""
+    segs = _lang_segments(spark, sf_dir).select(
+        F.col("url").alias("seg_id"), "lon1", "lat1", "lon2", "lat2"
+    )
+    cells = spatial.segment_cells(segs, res_deg=5.0, id_col="seg_id")
+    return cells.groupBy("cell_x", "cell_y").agg(
+        F.count(F.lit(1)).alias("n_segments")
+    )
+
+
 def q_geohash_rollup(spark, sf_dir):
     """Taint rollup keyed by base-32 geohash (spatial.geohash, p=3 —
     the odd-bit-count path: lon gets the extra bit): the third cell
@@ -1648,6 +1666,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "segments_crossing": q_segments_crossing,
         "geohash_rollup": q_geohash_rollup,
         "polyline_length": q_polyline_length,
+        "segment_cells_rollup": q_segment_cells_rollup,
         "quadkey_rollup": q_quadkey_rollup,
         "hex_rollup": q_hex_rollup,
         "hex_focal_mean": q_hex_focal_mean,
@@ -2342,6 +2361,73 @@ def oracle_sql() -> dict[str, str]:
                          6) AS iy
             FROM pairs
             WHERE SIGN(o1) * SIGN(o2) < 0 AND SIGN(o3) * SIGN(o4) < 0
+        """),
+        "segment_cells_rollup": _with_pages("""
+            , latest AS (
+                SELECT url, lang, lon, lat, doc_id FROM (
+                    SELECT p.*, ROW_NUMBER() OVER (
+                        PARTITION BY url ORDER BY version DESC) AS rn
+                    FROM pages p
+                ) t WHERE rn = 1
+            ),
+            segs AS (
+                SELECT url,
+                       CAST(ROUND(lon * 10000) AS BIGINT) + 1800000 AS x1,
+                       CAST(ROUND(lat * 10000) AS BIGINT) + 900000 AS y1,
+                       CAST(ROUND(LEAD(lon) OVER w * 10000) AS BIGINT)
+                           + 1800000 AS x2,
+                       CAST(ROUND(LEAD(lat) OVER w * 10000) AS BIGINT)
+                           + 900000 AS y2
+                FROM latest
+                WINDOW w AS (PARTITION BY lang ORDER BY doc_id)
+            ),
+            norm AS (
+                SELECT url,
+                       CASE WHEN x2 < x1 THEN x2 ELSE x1 END AS ax,
+                       CASE WHEN x2 < x1 THEN y2 ELSE y1 END AS ay,
+                       CASE WHEN x2 < x1 THEN x1 ELSE x2 END AS bx,
+                       CASE WHEN x2 < x1 THEN y1 ELSE y2 END AS ey
+                FROM segs WHERE x2 IS NOT NULL
+            ),
+            cols AS (
+                SELECT url, ax, ay, bx, ey,
+                       bx - ax AS dx, ey - ay AS dy,
+                       UNNEST(generate_series(
+                           CAST((ax - ax % 50000) / 50000 AS BIGINT),
+                           CAST((bx - bx % 50000) / 50000 AS BIGINT)
+                       )) AS cell_x
+                FROM norm
+            ),
+            clip AS (
+                SELECT url, cell_x, dx, ay, ey,
+                       ay * dx + dy * (GREATEST(ax, cell_x * 50000) - ax)
+                           AS na,
+                       ay * dx + dy * (LEAST(bx, (cell_x + 1) * 50000) - ax)
+                           AS nb,
+                       dx * 50000 AS den
+                FROM cols
+            ),
+            rowspan AS (
+                SELECT url, cell_x,
+                       CASE WHEN dx = 0 THEN CAST((LEAST(ay, ey)
+                                - LEAST(ay, ey) % 50000) / 50000 AS BIGINT)
+                            ELSE CAST((LEAST(na, nb)
+                                - LEAST(na, nb) % den) / den AS BIGINT)
+                       END AS iy_lo,
+                       CASE WHEN dx = 0 THEN CAST((GREATEST(ay, ey)
+                                - GREATEST(ay, ey) % 50000) / 50000 AS BIGINT)
+                            ELSE CAST((GREATEST(na, nb)
+                                - GREATEST(na, nb) % den) / den AS BIGINT)
+                       END AS iy_hi
+                FROM clip
+            ),
+            cells AS (
+                SELECT url, cell_x,
+                       UNNEST(generate_series(iy_lo, iy_hi)) AS cell_y
+                FROM rowspan
+            )
+            SELECT cell_x, cell_y, COUNT(*) AS n_segments
+            FROM cells GROUP BY 1, 2
         """),
         "polyline_length": _with_pages(f"""
             , latest AS (

@@ -2187,3 +2187,129 @@ def salt_hot_cells(
             ),
         ).otherwise(F.col("cell").cast("string")),
     )
+
+
+def _idivc(a: Column, b: Column) -> Column:
+    """Exact floor division of a NON-NEGATIVE bigint column by a
+    positive bigint COLUMN (the column-divisor twin of :func:`_idiv`):
+    ``(a - a%b)/b`` divides an exact multiple, so the intermediate
+    double division is exact for any quotient below 2^53."""
+    return ((a - F.pmod(a, b)) / b).cast("bigint")
+
+
+def segment_cells(
+    segs: DataFrame,
+    res_deg: float,
+    id_col: str = "seg_id",
+    scale: int = 10_000,
+    max_span_cells: int = 4_096,
+) -> DataFrame:
+    """Supercover rasterization: EVERY grid cell a line segment
+    touches, in exact int64 arithmetic — the line-layer analogue of
+    point ``assign_cells`` and the rigorous form of the reference's
+    way→region assignment (run_candidates.rb derives a way's regions
+    from its nodes' tiles; a long segment also crosses tiles that
+    contain NO node, which this operator emits and the node-based
+    assignment silently misses).
+
+    Inputs carry (id, lon1, lat1, lon2, lat2) in degrees.  Coordinates
+    snap to fixed-point ``scale`` (exact on the pages geocode, same
+    convention as :func:`segment_crossing_join`) and are shifted
+    non-negative; everything downstream is integer, so the SQL twin
+    agrees bit-for-bit with no float epsilons.
+
+    Algorithm — column sweep, one explode per axis, no iteration:
+    normalize the segment so x is non-decreasing, explode the integer
+    column range [x_lo/g, x_hi/g]; within column ``ix`` the segment is
+    monotone in y, so its row span is bracketed by y evaluated at the
+    clipped column ends — kept RATIONAL as (num = y0·dx + dy·(x−x0),
+    den = dx·g) and floored with exact integer division, never a
+    float.  A second explode emits the row range.  Cells touched only
+    at a boundary point are included on BOTH sides (conservative
+    supercover — the join-safety property a downstream cell-keyed
+    spatial join needs: a candidate touching a cell edge must land in
+    every cell it grazes).
+
+    Overflow bound: num ≤ 180·scale · 360·scale ≤ 2.4e13 at the
+    default scale — comfortably inside both int64 and the 2^53 exact
+    double window `_idivc` relies on.
+
+    Scale shape: narrow projection + two ``explode(sequence)`` — no
+    shuffle at all; the expected downstream ``groupBy(cell)`` is the
+    single shuffle.  Fan-out is guarded per row by ``assert_true``
+    (column count AND per-segment row span ≤ ``max_span_cells``) — a
+    near-antipodal segment at a fine grid fails LOUD, never silently
+    explodes the job (house rule: no silent caps/blowups).
+
+    Output: (id, cell_x, cell_y) ints in shifted cell units
+    (cell_x = floor((lon+180)·scale / g)), one row per touched cell,
+    no duplicates by construction (each (ix, iy) emitted once).
+    """
+    if res_deg * scale != int(res_deg * scale):
+        raise ValueError("res_deg * scale must be integral")
+    g = int(res_deg * scale)
+    offx, offy = 180 * scale, 90 * scale
+    sc = F.lit(float(scale))
+
+    x1 = (F.round(F.col("lon1") * sc) + offx).cast("bigint")
+    y1 = (F.round(F.col("lat1") * sc) + offy).cast("bigint")
+    x2 = (F.round(F.col("lon2") * sc) + offx).cast("bigint")
+    y2 = (F.round(F.col("lat2") * sc) + offy).cast("bigint")
+
+    # normalize so ax <= bx (supercover is endpoint-order symmetric)
+    swap = x2 < x1
+    ax = F.when(swap, x2).otherwise(x1)
+    ay = F.when(swap, y2).otherwise(y1)
+    bx = F.when(swap, x1).otherwise(x2)
+    by = F.when(swap, y1).otherwise(y2)
+
+    base = segs.select(
+        F.col(id_col),
+        ax.alias("ax"), ay.alias("ay"), bx.alias("bx"), by.alias("by"),
+    ).withColumns({
+        "dx": F.col("bx") - F.col("ax"),
+        "dy": F.col("by") - F.col("ay"),
+        "icx0": _idiv(F.col("ax"), g),
+        "icx1": _idiv(F.col("bx"), g),
+    })
+
+    # fan-out guard, house pattern (see covered_cells): assert_true
+    # yields NULL on success; tying it into the exploded value keeps
+    # Catalyst from pruning the check away, and a violating row FAILS
+    # the job instead of silently exploding it
+    ok = F.assert_true(
+        (F.col("icx1") - F.col("icx0") < F.lit(max_span_cells))
+        & (
+            _idiv(F.greatest("ay", "by"), g) - _idiv(F.least("ay", "by"), g)
+            < F.lit(max_span_cells)
+        ),
+        F.lit(
+            f"segment_cells: per-segment fan-out exceeds max_span_cells="
+            f"{max_span_cells}; coarsen res_deg or split the segment"
+        ),
+    )
+    cols = base.select(
+        id_col, "ax", "ay", "bx", "by", "dx", "dy",
+        F.explode(
+            F.when(ok.isNull(), F.sequence("icx0", "icx1"))
+        ).alias("cell_x"),
+    )
+    gl = F.lit(g).cast("bigint")
+    xa = F.greatest(F.col("ax"), F.col("cell_x") * gl)
+    xb = F.least(F.col("bx"), (F.col("cell_x") + 1) * gl)
+    # rational y·dx at the clipped column ends (dx > 0 branch)
+    num_a = F.col("ay") * F.col("dx") + F.col("dy") * (xa - F.col("ax"))
+    num_b = F.col("ay") * F.col("dx") + F.col("dy") * (xb - F.col("ax"))
+    den = F.col("dx") * gl
+    iy_lo = F.when(
+        F.col("dx") == 0, _idiv(F.least("ay", "by"), g)
+    ).otherwise(_idivc(F.least(num_a, num_b), den))
+    iy_hi = F.when(
+        F.col("dx") == 0, _idiv(F.greatest("ay", "by"), g)
+    ).otherwise(_idivc(F.greatest(num_a, num_b), den))
+
+    return cols.select(
+        id_col,
+        "cell_x",
+        F.explode(F.sequence(iy_lo, iy_hi)).alias("cell_y"),
+    )
