@@ -818,6 +818,17 @@ def q_simhash_pairs(spark, sf_dir):
     return dedup.simhash_near_dup_pairs(docs, max_hamming=3)
 
 
+def q_simhash_clusters(spark, sf_dir):
+    """Near-dup clusters over the EXACT Hamming-≤3 pair graph
+    (dedup.simhash_clusters): banded pair emission + bit_count
+    residual, then the shared pointer-jumping min-label propagation
+    (operators/graph.py — O(log chain) rounds).  Every doc appears;
+    isolated docs are singletons.  Oracle: naive quadratic Hamming
+    edges + recursive-CTE transitive closure, min label."""
+    docs = pages_src.documents(spark, sf_dir)
+    return dedup.simhash_clusters(docs, max_hamming=3)
+
+
 def q_passage_dedup(spark, sf_dir):
     """Passage-level exact dedup (textops.passage_dedup): the corpus
     is documents plus a 32-word-prefix clone of every doc (ids
@@ -867,6 +878,29 @@ def q_pii_scrub(spark, sf_dir):
     )
     return textops.scrub_pii(injected).select(
         "doc_id", "n_emails", "n_phones", "scrubbed"
+    )
+
+
+def q_html_extract(spark, sf_dir):
+    """The input-contract invariant, driver-verified: the pages table
+    carries ``html:binary`` (sources/pages.html_of — entity-escaped
+    body in a title/nav/footer envelope) and the Arrow-batched
+    extractor (textops.extract_text) recovers ``text`` BYTE-IDENTICALLY
+    per url/version.  Aggregated per url: version count, count of
+    byte-exact extractions (== versions when the invariant holds),
+    extracted and raw-html byte totals.  The oracle recomputes the
+    extraction natively in DuckDB (decode + regexp + inverse-order
+    unescape), so a drift in EITHER the envelope or the extractor
+    hash-mismatches."""
+    pages = pages_src.pages_from_documents(spark, sf_dir)
+    ext = textops.extract_text(pages)
+    return ext.groupBy("url").agg(
+        F.count(F.lit(1)).alias("versions"),
+        F.sum((F.col("extracted") == F.col("text")).cast("int"))
+        .cast("bigint").alias("ok_versions"),
+        F.sum(F.octet_length("extracted")).cast("bigint")
+        .alias("extracted_bytes"),
+        F.sum(F.octet_length("html")).cast("bigint").alias("html_bytes"),
     )
 
 
@@ -1696,11 +1730,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_topk_quality": q_lang_topk_quality,
         "simhash": q_simhash,
         "simhash_pairs": q_simhash_pairs,
+        "simhash_clusters": q_simhash_clusters,
         "contamination": q_contamination,
         "tfidf_topk": q_tfidf_topk,
         "repetition_stats": q_repetition_stats,
         "passage_dedup": q_passage_dedup,
         "pii_scrub": q_pii_scrub,
+        "html_extract": q_html_extract,
         "domain_rollup": q_domain_rollup,
         "text_quality": q_text_quality,
         "lang_id": q_lang_id,
@@ -3564,6 +3600,44 @@ def oracle_sql() -> dict[str, str]:
             FROM sh a JOIN sh b ON a.doc_id < b.doc_id
             WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
         """,
+        "simhash_clusters": """
+            WITH RECURSIVE toks AS (
+                SELECT DISTINCT doc_id, tok AS token
+                FROM documents,
+                     LATERAL UNNEST(string_split_regex(lower(text), '\\s+'))
+                         AS u(tok)
+                WHERE tok <> ''
+            ),
+            joined AS (
+                SELECT doc_id, {token_hash} AS token_id
+                FROM toks
+            ),
+            scored AS (
+                SELECT doc_id, {sim_votes}
+                FROM joined GROUP BY doc_id
+            ),
+            sh AS (
+                SELECT doc_id, {sim_pack} AS simhash
+                FROM scored
+            ),
+            edges AS (
+                SELECT a.doc_id AS src, b.doc_id AS dst
+                FROM sh a JOIN sh b ON a.doc_id <> b.doc_id
+                WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+            ),
+            reach(doc_id, lbl) AS (
+                SELECT doc_id, doc_id FROM documents
+                UNION
+                SELECT e.dst, r.lbl
+                FROM reach r JOIN edges e ON e.src = r.doc_id
+            )
+            SELECT doc_id, MIN(lbl) AS cluster_id
+            FROM reach GROUP BY 1
+        """.format(
+            token_hash=dedup.token_hash_sql("token"),
+            sim_votes=sim_votes,
+            sim_pack=sim_pack,
+        ),
         "contamination": """
             WITH grams AS (
                 SELECT DISTINCT doc_id,
@@ -3684,6 +3758,17 @@ def oracle_sql() -> dict[str, str]:
                        '{textops.PHONE_PATTERN}', '<PHONE>', 'g') AS scrubbed
             FROM injected
         """,
+        "html_extract": _with_pages(f"""
+            SELECT url,
+                   COUNT(*) AS versions,
+                   CAST(SUM(CASE WHEN {textops.extract_text_sql('html')} = text
+                            THEN 1 ELSE 0 END) AS BIGINT) AS ok_versions,
+                   CAST(SUM(strlen({textops.extract_text_sql('html')}))
+                        AS BIGINT) AS extracted_bytes,
+                   CAST(SUM(octet_length(html)) AS BIGINT) AS html_bytes
+            FROM pages
+            GROUP BY 1
+        """),
         "domain_rollup": _with_pages("""
             SELECT regexp_extract(url, '^[a-z][a-z0-9+.-]*://([^/]+)/', 1)
                        AS domain,

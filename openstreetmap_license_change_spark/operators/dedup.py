@@ -659,3 +659,51 @@ def simhash64(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
         )
         packed = term if packed is None else packed + term
     return scored.select(id_col, packed.alias("simhash"))
+
+
+def simhash_clusters(
+    df: DataFrame,
+    max_hamming: int = 3,
+    id_col: str = "doc_id",
+    max_iters: int = 12,
+    max_bucket_size: int | None = None,
+    observation=None,
+) -> DataFrame:
+    """Near-duplicate clusters: connected components of the EXACT
+    Hamming-ball pair graph (:func:`simhash_near_dup_pairs`), label =
+    component min id; every input doc appears, isolated docs are
+    singletons — the simhash sibling of :func:`minhash_lsh_clusters`.
+
+    Unlike the minhash clustering, which propagates over the
+    doc–bucket BIPARTITE graph and never materializes pairs, exact
+    Hamming clusters need the verified pair edges: band-bucket
+    co-membership alone is NOT transitive evidence of hamming ≤ d
+    (two docs sharing a band can differ in 60 bits), so skipping the
+    ``bit_count`` residual would merge unrelated docs.  The scale
+    path is therefore the pair cap: ``max_bucket_size`` +
+    ``observation`` (identical contract to the pair op — boilerplate
+    mega-buckets are excluded LOUDLY, never silently exploded).
+
+    Propagation is the shared pointer-jumping min-label machinery
+    (`operators/graph.py`): O(log chain-length) rounds on the
+    A~B~C near-dup chains web corpora produce, localCheckpoint per
+    round, non-convergence WARNS (minhash_lsh_clusters' contract)."""
+    from .graph import min_label_components
+
+    pairs = simhash_near_dup_pairs(
+        df,
+        max_hamming=max_hamming,
+        id_col=id_col,
+        max_bucket_size=max_bucket_size,
+        observation=observation,
+    )
+    ids = df.select(F.col(id_col).alias("id")).distinct()
+    edges = pairs.select(
+        F.col("doc_a").alias("id_a"), F.col("doc_b").alias("id_b")
+    )
+    labels = min_label_components(
+        ids, edges, max_iters=max_iters, op_name="simhash_clusters"
+    )
+    return labels.select(
+        F.col("id").alias(id_col), F.col("label").alias("cluster_id")
+    )

@@ -33,6 +33,9 @@ from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
 from pyspark.sql.types import LongType
 
+# shared with the sketch-based near-dup clusterings (operators/dedup.py)
+from .graph import min_label_components as _min_label_components
+
 DEFAULT_RES_DEG = 0.25
 GRID_COLS = int(360 / DEFAULT_RES_DEG)  # 1440
 
@@ -1746,72 +1749,6 @@ def eps_clusters(
     return labels.select(
         F.col("id").alias(id_col), F.col("label").alias("cluster_id")
     )
-
-
-def _min_label_components(
-    ids: DataFrame, edges: DataFrame, max_iters: int, op_name: str
-) -> DataFrame:
-    """Connected components over an undirected edge list (``id_a``,
-    ``id_b``) restricted to the vertex set ``ids`` (one column,
-    ``id``): min-label propagation + pointer jumping per round (see
-    :func:`eps_clusters` docstring for the convergence argument).
-    Returns (id, label); isolated ids keep their own label."""
-    import warnings as _warnings
-
-    sym = edges.select(
-        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
-    ).unionByName(
-        edges.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
-    ).localCheckpoint(eager=True)
-    labels = ids.withColumn("label", F.col("id")).localCheckpoint(
-        eager=True
-    )
-    changed = -1
-    for _ in range(max_iters):
-        nbr_min = (
-            sym.join(labels, sym.dst == labels.id)
-            .groupBy("src")
-            .agg(F.min("label").alias("nl"))
-        )
-        relaxed = labels.join(
-            nbr_min, labels.id == nbr_min.src, "left"
-        ).select(
-            "id",
-            F.least(
-                F.col("label"), F.coalesce(F.col("nl"), F.col("label"))
-            ).alias("label"),
-        )
-        # pointer jump: label ← label[label]; min-propagation keeps
-        # every label a live point id, so the self-join always hits
-        jumped = (
-            relaxed.alias("a")
-            .join(
-                relaxed.select(
-                    F.col("id").alias("_jid"), F.col("label").alias("_jl")
-                ),
-                F.col("a.label") == F.col("_jid"),
-            )
-            .select(F.col("a.id").alias("id"), F.col("_jl").alias("label"))
-            .localCheckpoint(eager=True)
-        )
-        changed = (
-            jumped.alias("u")
-            .join(labels.alias("l"), "id")
-            .where(F.col("u.label") != F.col("l.label"))
-            .count()
-        )
-        labels = jumped
-        if changed == 0:
-            break
-    else:
-        msg = (
-            f"{op_name}: propagation did NOT converge after "
-            f"max_iters={max_iters} ({changed} labels still changing); "
-            "cluster ids may split true components. Raise max_iters "
-            "(rounds needed ~ log2 of the longest chain)."
-        )
-        _warnings.warn(msg, RuntimeWarning, stacklevel=3)
-    return labels
 
 
 def dbscan(

@@ -113,3 +113,35 @@ def test_identical_docs_pair_at_hamming_zero(spark):
     )
     rows = dedup.simhash_near_dup_pairs(docs, max_hamming=0).collect()
     assert [(r.doc_a, r.doc_b, r.hamming) for r in rows] == [(1, 2, 0)]
+
+
+def test_simhash_clusters_matches_pair_transitive_closure(spark):
+    """Clusters = transitive closure of the exact pair graph, label =
+    min id; isolated docs are singletons; every input doc appears."""
+    docs = pages.documents(spark, "/root/testdata/sf0.001")
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dedup.simhash_clusters(docs, max_hamming=3).collect()
+    }
+    ids = [r["doc_id"] for r in docs.select("doc_id").collect()]
+    assert sorted(got) == sorted(ids)
+
+    # brute-force union-find over the (already brute-force-verified)
+    # pair list
+    pairs = dedup.simhash_near_dup_pairs(docs, max_hamming=3).collect()
+    parent = {i: i for i in ids}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for r in pairs:
+        ra, rb = find(r["doc_a"]), find(r["doc_b"])
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {i: find(i) for i in ids}
+    assert got == want
+    # label is always a member of its own cluster
+    assert all(got[lbl] == lbl for lbl in set(got.values()))
