@@ -904,6 +904,76 @@ def q_html_extract(spark, sf_dir):
     )
 
 
+def q_boilerplate_strip(spark, sf_dir):
+    """Cross-document boilerplate removal (textops.boilerplate_strip):
+    documents are re-lined into 8-word lines wrapped in a newsletter
+    header + copyright footer shared by EVERY doc; the df≥50 filter
+    drops the chrome everywhere while unique content lines survive
+    and reassemble in order."""
+    docs = pages_src.documents(spark, sf_dir).select("doc_id", "text")
+    words = F.split(F.col("text"), " ")
+    n_chunks = F.floor((F.size(words) - 1) / F.lit(8)).cast("int")
+    body = F.array_join(
+        F.transform(
+            F.sequence(F.lit(0), n_chunks),
+            lambda i: F.array_join(
+                F.slice(words, i * F.lit(8) + 1, F.lit(8)), " "
+            ),
+        ),
+        "\n",
+    )
+    lined = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("subscribe to our newsletter\n"),
+            body,
+            F.lit("\ncopyright example corp"),
+        ).alias("text"),
+    )
+    return textops.boilerplate_strip(lined, min_df=50)
+
+
+def q_geotag_cells(spark, sf_dir):
+    """The north-star chain end-to-end: geocode pages FROM the
+    byte-identical extracted text.  Documents get a deterministic
+    integer micro-degree geotag token appended ('geo:<µlat>,<µlon>'),
+    the crawl envelope is built around the tagged text
+    (sources/pages.html_of), the Arrow-batched extractor recovers it,
+    the coordinate is parsed back out of the EXTRACTED text with one
+    native regexp, and the points roll up per hierarchical res-6 cell.
+    A drift anywhere in envelope → extraction → parse → cell algebra
+    hash-mismatches the oracle."""
+    docs = pages_src.documents(spark, sf_dir)
+    ulat = (F.col("doc_id") * 104729 % 1800000 - 900000).cast("bigint")
+    ulon = (F.col("doc_id") * 7919 % 3600000 - 1800000).cast("bigint")
+    tagged = docs.select(
+        F.concat(F.lit("doc://"), F.col("source"), F.lit("/"),
+                 F.col("doc_id").cast("string")).alias("url"),
+        F.concat(
+            F.col("text"), F.lit(" geo:"),
+            ulat.cast("string"), F.lit(","), ulon.cast("string"),
+        ).alias("text"),
+    ).withColumn("html", pages_src.html_of(F.col("url"), F.col("text")))
+    ext = textops.extract_text(tagged).select("url", "extracted")
+    pat = r"geo:(-?\d+),(-?\d+)"
+    pts = ext.select(
+        "url",
+        (F.regexp_extract("extracted", pat, 1).cast("bigint")
+         / F.lit(10000.0)).alias("lat"),
+        (F.regexp_extract("extracted", pat, 2).cast("bigint")
+         / F.lit(10000.0)).alias("lon"),
+    )
+    return (
+        pts.groupBy(
+            spatial.hier_cell(F.col("lon"), F.col("lat"), 6).alias("cell")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_pages"),
+            F.min("url").alias("first_url"),
+        )
+    )
+
+
 def q_domain_rollup(spark, sf_dir):
     """Per-domain curation rollup (textops.domain_rollup): pages
     grouped by the regexp-extracted host of their url — page count,
@@ -1207,6 +1277,33 @@ def q_events_hourly_rollup(spark, sf_dir):
             F.countDistinct("user_id").alias("n_users"),
             (F.sum(scaled).cast("double") / 10000).alias("sum_value"),
         )
+    )
+
+
+def q_trip_segments(spark, sf_dir):
+    """Trajectory segmentation (spatial.trip_segments): events become
+    per-user GPS traces via a closed-form drift geocode (~110 m steps
+    with a 1° jump every 25th point, so both the spatial-jump and the
+    1-day-gap split criteria fire), then each user's stream splits
+    into trips with exact µkm lengths.  event_id tiebreaks the
+    ordering so trip boundaries are parallelism-independent."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    rn = F.row_number().over(
+        W.partitionBy("user_id").orderBy("ts", "event_id")
+    )
+    pts = ev.select(
+        "user_id", "ts", "event_id", rn.alias("rn")
+    ).select(
+        "user_id", "ts", "event_id",
+        (F.lit(-45.0) + (F.col("user_id") % 120) * F.lit(0.5)
+         + F.lit(0.001) * F.col("rn")
+         + F.lit(1.0) * F.floor(F.col("rn") / 25)).alias("lat"),
+        (F.lit(-100.0) + (F.col("user_id") % 140) * F.lit(1.0)
+         + F.lit(0.002) * F.col("rn")).alias("lon"),
+    )
+    return spatial.trip_segments(
+        pts, "user_id", "ts",
+        max_gap_s=86400, max_jump_km=50.0, tiebreak=("event_id",),
     )
 
 
@@ -1737,6 +1834,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "passage_dedup": q_passage_dedup,
         "pii_scrub": q_pii_scrub,
         "html_extract": q_html_extract,
+        "boilerplate_strip": q_boilerplate_strip,
+        "geotag_cells": q_geotag_cells,
         "domain_rollup": q_domain_rollup,
         "text_quality": q_text_quality,
         "lang_id": q_lang_id,
@@ -1755,6 +1854,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_decode_stats": q_audio_decode_stats,
         "video_frame_stats": q_video_frame_stats,
         "events_sessionize": q_events_sessionize,
+        "trip_segments": q_trip_segments,
         "events_asof_join": q_events_asof_join,
         "events_hourly_rollup": q_events_hourly_rollup,
         "events_interval_join": q_events_interval_join,
@@ -3081,6 +3181,56 @@ def oracle_sql() -> dict[str, str]:
             ASOF LEFT JOIN updates u
               ON l.user_id = u.user_id AND l.ts >= u.ts
         """,
+        "trip_segments": f"""
+            WITH pts AS (
+                SELECT user_id, ts, event_id,
+                       -45.0 + (user_id % 120) * 0.5
+                           + 0.001 * rn + 1.0 * floor(rn / 25) AS lat,
+                       -100.0 + (user_id % 140) * 1.0 + 0.002 * rn AS lon
+                FROM (SELECT user_id, ts, event_id,
+                             ROW_NUMBER() OVER (PARTITION BY user_id
+                                                ORDER BY ts, event_id) AS rn
+                      FROM events) t
+            ),
+            seg AS (
+                SELECT user_id, epoch_us(ts) AS us, event_id, lon, lat,
+                       LAG(epoch_us(ts)) OVER w AS pus,
+                       LAG(lon) OVER w AS plon,
+                       LAG(lat) OVER w AS plat
+                FROM pts
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ),
+            flags AS (
+                SELECT user_id, us, event_id, lon, lat, plon, plat,
+                       CASE WHEN pus IS NULL
+                              OR us - pus > 86400000000
+                              OR {spatial.haversine_sql('plon', 'plat',
+                                                        'lon', 'lat')} > 50.0
+                            THEN 1 ELSE 0 END AS newt
+                FROM seg
+            ),
+            trips AS (
+                SELECT user_id, us,
+                       SUM(newt) OVER (PARTITION BY user_id
+                                       ORDER BY us, event_id
+                                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND CURRENT ROW) AS trip_no,
+                       CASE WHEN newt = 0 THEN
+                           CAST(round({spatial.haversine_sql('plon', 'plat',
+                                                             'lon', 'lat')}
+                                      * 1000000.0) AS BIGINT)
+                       END AS ukm
+                FROM flags
+            )
+            SELECT user_id,
+                   CAST(trip_no AS BIGINT) AS trip_no,
+                   COUNT(*) AS n_points,
+                   MIN(us) AS start_us,
+                   MAX(us) AS end_us,
+                   CAST(COALESCE(SUM(ukm), 0) AS DOUBLE) / 1000000.0
+                       AS length_km
+            FROM trips GROUP BY 1, 2
+        """,
         "events_sessionize": """
             WITH gaps AS (
                 SELECT user_id, event_id, value, ts,
@@ -3769,6 +3919,77 @@ def oracle_sql() -> dict[str, str]:
             FROM pages
             GROUP BY 1
         """),
+        "boilerplate_strip": """
+            WITH t AS (
+                SELECT doc_id, string_split(text, ' ') AS ws,
+                       CAST(floor((len(string_split(text, ' ')) - 1) / 8)
+                            AS INT) AS nc
+                FROM documents
+            ),
+            lines AS (
+                SELECT doc_id, 0 AS lineno,
+                       'subscribe to our newsletter' AS line FROM t
+                UNION ALL
+                SELECT doc_id, u.i + 1,
+                       array_to_string(ws[u.i*8+1 : u.i*8+8], ' ')
+                FROM t, LATERAL (SELECT UNNEST(range(0, nc + 1)) AS i) u
+                UNION ALL
+                SELECT doc_id, nc + 2, 'copyright example corp' FROM t
+            ),
+            nonempty AS (
+                SELECT * FROM lines WHERE length(trim(line)) > 0
+            ),
+            dfreq AS (
+                SELECT line, COUNT(DISTINCT doc_id) AS df
+                FROM nonempty GROUP BY 1
+            ),
+            v AS (
+                SELECT n.doc_id, n.lineno, n.line, d.df < 50 AS kept
+                FROM nonempty n JOIN dfreq d ON n.line = d.line
+            )
+            SELECT doc_id,
+                   COUNT(*) AS n_lines,
+                   CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_kept,
+                   COALESCE(STRING_AGG(CASE WHEN kept THEN line END,
+                                       chr(10) ORDER BY lineno), '')
+                       AS text_kept
+            FROM v GROUP BY 1
+        """,
+        "geotag_cells": f"""
+            WITH tagged AS (
+                SELECT 'doc://' || source || '/' || CAST(doc_id AS VARCHAR)
+                           AS url,
+                       text || ' geo:'
+                       || CAST(doc_id * 104729 % 1800000 - 900000 AS VARCHAR)
+                       || ','
+                       || CAST(doc_id * 7919 % 3600000 - 1800000 AS VARCHAR)
+                           AS text
+                FROM documents
+            ),
+            h AS (
+                SELECT url, {pages_src.html_of_sql('url', 'text')} AS html
+                FROM tagged
+            ),
+            e AS (
+                SELECT url, {textops.extract_text_sql('html')} AS extracted
+                FROM h
+            ),
+            pts AS (
+                SELECT url,
+                       CAST(regexp_extract(extracted,
+                            'geo:(-?\\d+),(-?\\d+)', 1) AS BIGINT) / 10000.0
+                           AS lat,
+                       CAST(regexp_extract(extracted,
+                            'geo:(-?\\d+),(-?\\d+)', 2) AS BIGINT) / 10000.0
+                           AS lon
+                FROM e
+            )
+            SELECT {spatial.hier_cell_sql('lon', 'lat', 6)} AS cell,
+                   COUNT(*) AS n_pages,
+                   MIN(url) AS first_url
+            FROM pts GROUP BY 1
+        """,
         "domain_rollup": _with_pages("""
             SELECT regexp_extract(url, '^[a-z][a-z0-9+.-]*://([^/]+)/', 1)
                        AS domain,

@@ -829,6 +829,89 @@ def polyline_length(
     )
 
 
+def trip_segments(
+    points: DataFrame,
+    id_col: str,
+    ts_col: str,
+    lon: str = "lon",
+    lat: str = "lat",
+    max_gap_s: int = 3600,
+    max_jump_km: float = 50.0,
+    tiebreak: Sequence[str] = (),
+) -> DataFrame:
+    """Trajectory segmentation: split each entity's timestamp-ordered
+    point stream into trips at temporal gaps (> ``max_gap_s``) or
+    spatial jumps (> ``max_jump_km`` great-circle), and roll up each
+    trip — the GPS-trace sibling of the reference's ordered way-node
+    handling (geom.rb node sequences), applied to the crawl/event
+    layer.
+
+    Plan shape: every window (lag ts, lag lon/lat, running trip
+    counter) shares ONE partitionBy(id) orderBy(ts, tiebreak) sort —
+    a single hash shuffle + sort, then a map-side-combining groupBy
+    on (id, trip_no).  Per-trip length uses the house scaled-int
+    convention (round(km·10⁶) per within-trip edge, int64 sum, one
+    division) so results are exact and parallelism-independent; the
+    jump edge that OPENS a trip contributes no length.  Gap tests
+    compare integer microseconds (``unix_micros`` ↔ DuckDB
+    ``epoch_us``), never floats.  Pass ``tiebreak`` columns whenever
+    ``ts`` is not unique per entity — the running trip counter uses a
+    ROWS frame, so a non-deterministic tie order would otherwise make
+    trip boundaries run-dependent.
+
+    Output: id, trip_no (1-based per id), n_points, start_us, end_us,
+    length_km."""
+    order_cols = [F.col(ts_col)] + [F.col(c) for c in tiebreak]
+    wu = W.partitionBy(id_col).orderBy(*order_cols)
+    # parquet timestamps arrive as TIMESTAMP_NTZ; the session runs in
+    # UTC, so the cast is instant-preserving and unix_micros matches
+    # DuckDB's epoch_us on the naive value
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    tb_aliases = [
+        F.col(c).alias(f"_tb{i}") for i, c in enumerate(tiebreak)
+    ]
+    seg = points.select(
+        F.col(id_col),
+        us.alias("_us"),
+        *tb_aliases,
+        F.col(lon).alias("_lon"),
+        F.col(lat).alias("_lat"),
+        F.lag(us).over(wu).alias("_pus"),
+        F.lag(lon).over(wu).alias("_plon"),
+        F.lag(lat).over(wu).alias("_plat"),
+    )
+    jump_km = haversine_km(
+        F.col("_plon"), F.col("_plat"), F.col("_lon"), F.col("_lat")
+    )
+    new_trip = (
+        F.col("_pus").isNull()
+        | (F.col("_us") - F.col("_pus") > F.lit(int(max_gap_s) * 1_000_000))
+        | (jump_km > F.lit(float(max_jump_km)))
+    )
+    w2 = (
+        W.partitionBy(id_col)
+        .orderBy("_us", *[f"_tb{i}" for i in range(len(tiebreak))])
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    seg = seg.withColumn("_new", new_trip.cast("int")).withColumn(
+        "trip_no", F.sum("_new").over(w2).cast("bigint")
+    )
+    edge_ukm = F.when(
+        F.col("_new") == 0,
+        F.round(jump_km * F.lit(1_000_000.0)).cast("bigint"),
+    )
+    seg = seg.withColumn("_ukm", edge_ukm)
+    return seg.groupBy(F.col(id_col), F.col("trip_no")).agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.min("_us").alias("start_us"),
+        F.max("_us").alias("end_us"),
+        (
+            F.coalesce(F.sum("_ukm"), F.lit(0)).cast("double")
+            / F.lit(1_000_000.0)
+        ).alias("length_km"),
+    )
+
+
 def pip_anti_join(
     points: DataFrame,
     polygons: Sequence[tuple[int, Sequence[tuple[float, float]]]],

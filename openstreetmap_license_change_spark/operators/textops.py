@@ -9,6 +9,7 @@ for the oracle.  The significance kernel's native normalizations
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -353,6 +354,68 @@ def passage_dedup(
     )
 
 
+# Extraction pulls the single <p> body out of the crawl envelope
+# (sources/pages.html_of) and inverts the entity escaping.  Unescape
+# order is the exact inverse of the escape order (&lt;/&gt; first,
+# &amp; LAST) — doing &amp; first would corrupt text that originally
+# contained literal entities ('&amp;' escapes to '&amp;amp;'; undoing
+# &amp; first yields '&amp;' → then &lt; does nothing → correct, but
+# the other order turns it into '&' — one round-trip test per hostile
+# case pins this).
+BODY_PATTERN = r"(?s)<p>(.*)</p>"
+
+
+def extract_text(
+    df: DataFrame, html_col: str = "html", out_col: str = "extracted"
+) -> DataFrame:
+    """Arrow-batched text extraction from the ``html:binary`` column —
+    the real-crawl stand-in for trafilatura/boilerpipe: select the
+    body paragraph, drop the title/nav/footer chrome, unescape
+    entities.  Per-row invariant vs the pages source:
+    ``extract_text(html) == text`` byte-identically per url/version
+    (asserted in tests and driver-hash-verified by the
+    ``html_extract`` oracle).
+
+    A vectorized pandas UDF (one Arrow batch per ~10k rows, zero
+    per-row Python overhead beyond the regex itself) because real
+    extractors are Python libraries — this is the documented seam
+    where trafilatura would plug in.  Everything around it (envelope
+    schema, batch shape, invariant check) is native."""
+    import re as _re
+
+    body_re = _re.compile(BODY_PATTERN)
+
+    @F.pandas_udf("string")
+    def _extract(html: pd.Series) -> pd.Series:
+        def one(raw: bytes | None) -> str | None:
+            if raw is None:
+                return None
+            s = bytes(raw).decode("utf-8")
+            m = body_re.search(s)
+            if m is None:
+                return ""
+            return (
+                m.group(1)
+                .replace("&lt;", "<")
+                .replace("&gt;", ">")
+                .replace("&amp;", "&")
+            )
+
+        return html.map(one)
+
+    return df.withColumn(out_col, _extract(F.col(html_col)))
+
+
+def extract_text_sql(html_expr: str) -> str:
+    """DuckDB twin of :func:`extract_text`: decode the blob, take the
+    body group, unescape in the same inverse order."""
+    body = f"regexp_extract(decode({html_expr}), '{BODY_PATTERN}', 1)"
+    return (
+        "replace(replace(replace("
+        f"{body}, '&lt;', '<'), '&gt;', '>'), '&amp;', '&')"
+    )
+
+
 # PII patterns: deliberately lookaround-free so the identical pattern
 # runs on Java regex (Spark) and RE2 (DuckDB oracle) with the same
 # matches.
@@ -383,6 +446,67 @@ def scrub_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
                 "<PHONE>",
             ),
         )
+    )
+
+
+def boilerplate_strip(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_df: int = 2,
+    line_sep: str = "\n",
+) -> DataFrame:
+    """Cross-document boilerplate removal (the RefinedWeb/C4 line-level
+    filter): a line is boilerplate when it appears in ≥ ``min_df``
+    DISTINCT documents ("subscribe to our newsletter" on every page of
+    a domain); boilerplate lines are dropped from every document, the
+    survivors are reassembled in original order.
+
+    Differs from :func:`passage_dedup` in policy: passage dedup keeps
+    the FIRST occurrence; boilerplate strip drops ALL occurrences once
+    the line crosses the document-frequency threshold — chrome isn't
+    content anywhere.
+
+    Plan shape (scale argument): the line df is
+    ``distinct(line_hash, doc) → groupBy(line_hash).count()`` — both
+    map-side combinable, 16-byte md5 shuffle keys, never a collected
+    set (a 10⁶-page footer line carries one counter row, not 10⁶ doc
+    ids).  The boilerplate verdict joins back on the hash; on web
+    corpora the df≥threshold side is tiny (boilerplate is by
+    definition few distinct strings), so AQE typically demotes this to
+    a broadcast join at runtime — but correctness never depends on it.
+    Reassembly is the same one-groupBy array-sort as passage dedup.
+
+    Output: id, n_lines, n_kept, text_kept."""
+    lines = docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), line_sep)).alias(
+            "lineno", "line"
+        ),
+    ).where(F.length(F.trim(F.col("line"))) > 0)
+    dfreq = (
+        lines.select(F.md5(F.col("line")).alias("h"), id_col)
+        .distinct()
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    verdict = lines.join(
+        dfreq, F.md5(F.col("line")) == F.col("h"), "left"
+    ).withColumn("_kept", F.coalesce(F.col("df"), F.lit(1)) < min_df)
+    return verdict.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(F.col("_kept").cast("int")).cast("bigint").alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(F.col("_kept"), F.struct("lineno", "line"))
+                    )
+                ),
+                lambda s: s.line,
+            ),
+            line_sep,
+        ).alias("text_kept"),
     )
 
 

@@ -22,11 +22,60 @@ cell column.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 # arithmetic constants shared by the Spark and SQL derivations
 EPOCH_2024 = 1704067200  # 2024-01-01T00:00:00Z
+
+# Deterministic HTML envelope for the ``html:binary`` column mandated by
+# the input contract (url, warc_ts, html, text, lang).  The body text is
+# entity-escaped (&, <, > — '&' first, so escaping is invertible for
+# ANY input text including text that already contains entities), wrapped
+# in exactly one <p>, and surrounded by title/nav/footer boilerplate so
+# extraction is a real selection problem (strip the chrome, keep the
+# body) rather than a plain tag strip.  ``operators/textops.extract_text``
+# is the Arrow-batched inverse; the per-row invariant is
+# extract_text(html) == text, byte-identical per url/version.
+HTML_PREFIX = (
+    "<html><head><title>", "</title><meta charset=\"utf-8\"></head>"
+    "<body><nav>home | about | contact</nav><p>",
+)
+HTML_SUFFIX = "</p><footer>&copy; crawl corpus</footer></body></html>"
+
+
+def html_of(url: Column, text: Column) -> Column:
+    """The ``html`` binary column: utf-8 bytes of the envelope around
+    the entity-escaped text (title = url).  Pure native string ops —
+    Catalyst prunes the whole expression away for queries that never
+    select ``html``."""
+    escaped = F.replace(
+        F.replace(
+            F.replace(text, F.lit("&"), F.lit("&amp;")),
+            F.lit("<"), F.lit("&lt;"),
+        ),
+        F.lit(">"), F.lit("&gt;"),
+    )
+    return F.encode(
+        F.concat(
+            F.lit(HTML_PREFIX[0]), url, F.lit(HTML_PREFIX[1]),
+            escaped, F.lit(HTML_SUFFIX),
+        ),
+        "UTF-8",
+    )
+
+
+def html_of_sql(url_expr: str, text_expr: str) -> str:
+    """DuckDB twin of :func:`html_of` (encode → BLOB)."""
+    escaped = (
+        "replace(replace(replace("
+        f"{text_expr}, '&', '&amp;'), '<', '&lt;'), '>', '&gt;')"
+    )
+    return (
+        "encode('" + HTML_PREFIX[0] + "' || " + url_expr
+        + " || '" + HTML_PREFIX[1] + "' || "
+        + escaped + " || '" + HTML_SUFFIX + "')"
+    )
 
 
 def documents(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -78,12 +127,16 @@ def pages_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
             "visible",
             ~((F.col("doc_id") % 17 == 0) & (F.col("version") == 2)),
         )
+        .withColumn("html", html_of(F.col("url"), F.col("text")))
     )
     return pages
 
 
 # The identical derivation as a DuckDB CTE (oracle side).  Kept textually
 # adjacent to the Spark code so the two stay in lockstep.
+_HTML_SQL = html_of_sql(
+    "'doc://' || source || '/' || CAST(doc_id AS VARCHAR)", "text"
+)
 PAGES_SQL = f"""
 vnums AS (
     SELECT UNNEST(range(1, 5)) AS version
@@ -102,7 +155,8 @@ pages AS (
             - 180.0 AS lon,
         CAST((doc_id * 104729 + v.version * 17) % 1800000 AS DOUBLE) / 10000.0
             - 90.0 AS lat,
-        NOT (doc_id % 17 = 0 AND v.version = 2) AS visible
+        NOT (doc_id % 17 = 0 AND v.version = 2) AS visible,
+        {_HTML_SQL} AS html
     FROM documents
     CROSS JOIN vnums v
     WHERE v.version <= 1 + doc_id % 4
