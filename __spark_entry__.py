@@ -520,6 +520,38 @@ def q_tile_focal_mean(spark, sf_dir):
     return spatial.tile_focal_stats(rollup, "n_pages")
 
 
+def q_tile_kde(spark, sf_dir):
+    """Separable-binomial kernel density over the tile_rollup raster
+    (spatial.tile_kernel_density, radius 2 → 5×5 discrete Gaussian,
+    weights C(4,·)⊗C(4,·)): each aggregate cell spreads v·w integer
+    contributions to 25 taps; edge cells renormalize over their real
+    support ((wsum·10⁶) DIV wnorm, exact int64)."""
+    flagged = _pages_flagged(spark, sf_dir)
+    cells = spatial.assign_cells(flagged).withColumn(
+        "tainted", ~F.col("accepted")
+    )
+    rollup = spatial.tile_rollup(cells).select("cell", "n_pages")
+    return spatial.tile_kernel_density(rollup, "n_pages", radius=2)
+
+
+def q_idw_cells(spark, sf_dir):
+    """Inverse-distance-weighted vector→raster interpolation
+    (spatial.idw_to_cells): latest page versions become samples
+    (value = doc_id % 997), support cells estimate Σv·w/Σw over the
+    3×3 neighborhood with quantized 1/d² integer weights — exact
+    int64 sums, one final division."""
+    pages = lineage.latest_version(
+        _pages(spark, sf_dir), cols=["lon", "lat", "doc_id"]
+    )
+    pts = pages.select(
+        "lon", "lat",
+        (F.col("doc_id") % 997).cast("double").alias("value"),
+    )
+    return spatial.idw_to_cells(
+        pts, "value", res_deg=2.0, weight_scale=2_000_000_000
+    )
+
+
 def q_tile_rollup_multires(spark, sf_dir):
     """Multi-resolution raster rollup (cube over the Morton cell
     hierarchy, SURVEY §2.4 / north-rule H3-res analogue): taint
@@ -1804,6 +1836,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "polygon_stats": q_polygon_stats,
         "tile_rollup": q_tile_rollup,
         "tile_focal_mean": q_tile_focal_mean,
+        "tile_kde": q_tile_kde,
+        "idw_cells": q_idw_cells,
         "tile_rollup_multires": q_tile_rollup_multires,
         "tile_vectorize": q_tile_vectorize,
         "pip_polygons": q_pip_polygons,
@@ -2045,6 +2079,12 @@ def _fold_restriction_sql(
 
 def oracle_sql() -> dict[str, str]:
     cell = spatial.grid_cell_sql("lon", "lat")
+    # 5×5 separable binomial kernel taps (dy, dx, C(4,dy+2)·C(4,dx+2))
+    _b = [1, 4, 6, 4, 1]
+    kde_taps = ",".join(
+        f"({dy},{dx},{_b[dy + 2] * _b[dx + 2]})"
+        for dy in range(-2, 3) for dx in range(-2, 3)
+    )
     cell30 = spatial.grid_cell_sql("lon", "lat", 30.0)
     hex5 = hexgrid.hex_key_sql("lon", "lat", 5.0)
     tile = spatial.quad_tile_sql("lon", "lat")
@@ -2713,6 +2753,82 @@ def oracle_sql() -> dict[str, str]:
             SELECT r.cell, a.n_nbrs, a.nbr_sum,
                    (a.nbr_sum * 1000000) // a.n_nbrs AS focal_mean_m
             FROM rollup r JOIN agg a ON a.cell = r.cell
+        """),
+        "tile_kde": _with_pages(f"""
+            , rollup AS (
+                SELECT {cell} AS cell, COUNT(*) AS n_pages
+                FROM pages p JOIN cs_status s USING (changeset_id)
+                GROUP BY 1
+            ),
+            fan AS (
+                SELECT r.n_pages * d.w AS vw,
+                       d.w AS w,
+                       (((r.cell // 1440) + d.dy) * 1440
+                        + ((r.cell % 1440) + d.dx + 1440) % 1440) AS t_cell
+                FROM rollup r CROSS JOIN (VALUES {kde_taps}) d(dy, dx, w)
+                WHERE (r.cell // 1440) + d.dy >= 0
+                  AND (r.cell // 1440) + d.dy < 720
+            ),
+            agg AS (
+                SELECT t_cell AS cell,
+                       CAST(SUM(vw) AS BIGINT) AS wsum,
+                       CAST(SUM(w) AS BIGINT) AS wnorm
+                FROM fan GROUP BY 1
+            )
+            SELECT r.cell, a.wsum, a.wnorm,
+                   (a.wsum * 1000000) // a.wnorm AS kde_m
+            FROM rollup r JOIN agg a ON a.cell = r.cell
+        """),
+        "idw_cells": _with_pages(f"""
+            , latest AS (
+                SELECT lon, lat, doc_id
+                FROM (
+                    SELECT p.lon, p.lat, p.doc_id,
+                           ROW_NUMBER() OVER (PARTITION BY url
+                                              ORDER BY version DESC) AS rn
+                    FROM pages p
+                ) t WHERE rn = 1
+            ),
+            pts AS (
+                SELECT CAST(round(lon * 10000) AS BIGINT) AS ulon,
+                       CAST(round(lat * 10000) AS BIGINT) AS ulat,
+                       CAST(round(CAST(doc_id % 997 AS DOUBLE) * 10000)
+                            AS BIGINT) AS v,
+                       {spatial.grid_cell_sql("lon", "lat", 2.0)} AS pcell
+                FROM latest
+            ),
+            support AS (SELECT DISTINCT pcell AS cell FROM pts),
+            targets AS (
+                SELECT s.cell,
+                       (s.cell % 180) * 20000 + 10000 - 1800000 AS c_ulon,
+                       (s.cell // 180) * 20000 + 10000 - 900000 AS c_ulat,
+                       (((s.cell // 180) + d.dy) * 180
+                        + ((s.cell % 180) + d.dx + 180) % 180) AS probe
+                FROM support s CROSS JOIN (VALUES
+                     (-1,-1),(-1,0),(-1,1),(0,-1),(0,0),(0,1),
+                     (1,-1),(1,0),(1,1)) d(dy, dx)
+                WHERE (s.cell // 180) + d.dy >= 0
+                  AND (s.cell // 180) + d.dy < 90
+            ),
+            joined AS (
+                SELECT t.cell, p.v,
+                       2000000000 // greatest(
+                           least(abs(p.ulon - t.c_ulon),
+                                 3600000 - abs(p.ulon - t.c_ulon))
+                           * least(abs(p.ulon - t.c_ulon),
+                                   3600000 - abs(p.ulon - t.c_ulon))
+                           + abs(p.ulat - t.c_ulat)
+                           * abs(p.ulat - t.c_ulat),
+                           10000) AS w
+                FROM targets t JOIN pts p ON p.pcell = t.probe
+            )
+            SELECT cell,
+                   COUNT(*) AS n_samples,
+                   CAST(SUM(v * w) AS BIGINT) AS vw_sum,
+                   CAST(SUM(w) AS BIGINT) AS w_sum,
+                   CAST(SUM(v * w) AS DOUBLE) / CAST(SUM(w) AS DOUBLE)
+                       / 10000.0 AS idw
+            FROM joined GROUP BY 1
         """),
         "tile_rollup_multires": _with_pages(f"""
             , tainted_pts AS (

@@ -2022,6 +2022,192 @@ def tile_focal_stats(
     )
 
 
+def tile_kernel_density(
+    cells: DataFrame,
+    value_col: str,
+    radius: int = 2,
+    res_deg: float = DEFAULT_RES_DEG,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Weighted kernel smoothing over a per-cell raster — the KDE
+    generalization of :func:`tile_focal_stats`: every input cell
+    spreads its (integral) value to the (2r+1)² neighborhood with
+    separable binomial weights w(dx,dy)=C(2r,r+dx)·C(2r,r+dy), the
+    discrete Gaussian.  Same wrap/clamp topology, same exact-integer
+    contract: contributions are v·w in int64, the normalized estimate
+    is ``(wsum · scale) DIV wnorm`` where wnorm sums the weights that
+    actually landed (edge cells normalize over their real support, the
+    standard renormalized-kernel boundary rule).
+
+    Fan-out is (2r+1)² on the AGGREGATE raster (|cells| rows, never
+    the point table) — at radius 2 that is 25·|cells| counter rows
+    through one hash aggregate.  Output rows keep the raster support
+    (semi-join back), as in focal stats."""
+    if radius < 1:
+        raise ValueError(f"radius must be >= 1, got {radius}")
+    cols = int(360 / res_deg)
+    rows_n = int(180 / res_deg)
+    if cols <= 2 * radius + 1:
+        raise ValueError(
+            f"grid of {cols} columns too coarse for radius {radius}: "
+            "longitude wrap would fold kernel taps onto one cell"
+        )
+    binom = [math.comb(2 * radius, i) for i in range(2 * radius + 1)]
+    lat_b = F.floor(F.col("cell") / F.lit(cols))
+    lon_b = F.col("cell") % F.lit(cols)
+    taps = []
+    for dy in range(-radius, radius + 1):
+        for dx in range(-radius, radius + 1):
+            w = binom[dy + radius] * binom[dx + radius]
+            t_lat = lat_b + F.lit(dy)
+            t_lon = (lon_b + F.lit(dx) + F.lit(cols)) % F.lit(cols)
+            taps.append(
+                F.when(
+                    (t_lat >= 0) & (t_lat < rows_n),
+                    F.struct(
+                        (t_lat * F.lit(cols) + t_lon)
+                        .cast("bigint").alias("t_cell"),
+                        F.lit(w).cast("bigint").alias("w"),
+                    ),
+                )
+            )
+    fan = cells.select(
+        F.col(value_col).cast("bigint").alias("_v"),
+        F.explode(F.array_compact(F.array(*taps))).alias("tap"),
+    ).select(
+        F.col("tap.t_cell").alias("t_cell"),
+        F.col("tap.w").alias("w"),
+        "_v",
+    )
+    agg = fan.groupBy("t_cell").agg(
+        F.sum(F.col("_v") * F.col("w")).alias("wsum"),
+        F.sum("w").alias("wnorm"),
+    )
+    out = cells.select(F.col("cell")).join(
+        agg, cells.cell == agg.t_cell, "inner"
+    )
+    return out.select(
+        "cell",
+        "wsum",
+        "wnorm",
+        F.expr(f"(wsum * {int(scale)}) DIV wnorm").alias("kde_m"),
+    )
+
+
+def idw_to_cells(
+    points: DataFrame,
+    value_col: str,
+    res_deg: float = DEFAULT_RES_DEG,
+    weight_scale: int = 1_000_000_000,
+    min_d2: int = 10_000,
+    lon: str = "lon",
+    lat: str = "lat",
+) -> DataFrame:
+    """Inverse-distance-weighted interpolation of scattered samples
+    onto the cell grid (the vector→raster surface-estimation pass):
+    every SUPPORT cell (a cell containing ≥1 sample) gets
+    ``Σ vᵢ·wᵢ / Σ wᵢ`` over the samples in its 3×3 neighborhood,
+    with quantized inverse-square weights
+    ``wᵢ = weight_scale DIV max(d²ᵢ, min_d2)``.
+
+    Exactness contract (the house scaled-int rule): coordinates snap
+    to 10⁻⁴-degree integer units (round once), d² is exact int64 with
+    the wrapped-lon delta (the kNN family's metric), weights are exact
+    integer divisions, and both Σ are int64 — so the single final
+    division is the only IEEE op and results are identical at any
+    parallelism and in the DuckDB twin.  ``min_d2`` bounds the weight
+    of a sample sitting on the cell center (classic IDW singularity)
+    and bounds overflow: |Σ v·w| ≤ n·v_max·(scale DIV min_d2) — with
+    the defaults, 10⁶ co-cell samples of |v|≤10⁴ stay < 2⁶³ (values
+    must be non-negative: integer DIV truncation differs between
+    engines below zero).
+
+    Plan shape: one narrow projection snaps/assigns samples, support
+    cells explode ≤9 probe cells, one hash join on the probe cell
+    against the samples (both sides shuffled once on the cell key —
+    the knn_neighborhood shape), one aggregate.  Output: cell,
+    n_samples, vw_sum, w_sum, idw (double, one division)."""
+    cols = int(360 / res_deg)
+    res_u = int(round(res_deg * 10_000))
+    if abs(res_u - res_deg * 10_000) > 1e-9:
+        raise ValueError(
+            f"res_deg {res_deg} is not a multiple of 1e-4 degrees"
+        )
+    full_u = 360 * 10_000
+    pts = points.select(
+        F.round(F.col(lon) * 10_000).cast("bigint").alias("ulon"),
+        F.round(F.col(lat) * 10_000).cast("bigint").alias("ulat"),
+        F.round(F.col(value_col) * 10_000).cast("bigint").alias("v"),
+        grid_cell(F.col(lon), F.col(lat), res_deg).alias("pcell"),
+    )
+    support = pts.groupBy("pcell").agg(F.count(F.lit(1))).select(
+        F.col("pcell").alias("cell")
+    )
+    rows_n = int(180 / res_deg)
+    lat_b = F.floor(F.col("cell") / F.lit(cols))
+    lon_b = F.col("cell") % F.lit(cols)
+    probes = []
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            t_lat = lat_b + F.lit(dy)
+            t_lon = (lon_b + F.lit(dx) + F.lit(cols)) % F.lit(cols)
+            probes.append(
+                F.when(
+                    (t_lat >= 0) & (t_lat < rows_n),
+                    (t_lat * F.lit(cols) + t_lon).cast("bigint"),
+                )
+            )
+    targets = support.select(
+        "cell",
+        # exact integer cell-center coordinates in 1e-4-degree units
+        (lon_b * F.lit(res_u) + F.lit(res_u // 2)
+         - F.lit(180 * 10_000)).alias("c_ulon"),
+        (lat_b * F.lit(res_u) + F.lit(res_u // 2)
+         - F.lit(90 * 10_000)).alias("c_ulat"),
+        F.explode(
+            F.array_distinct(F.array_compact(F.array(*probes)))
+        ).alias("probe"),
+    )
+    # a weight of 0 would silently drop far samples: require the scale
+    # to beat the worst-case 3×3 distance (1.5 cells per axis)
+    max_d2 = int(4.5 * res_u * res_u)
+    if weight_scale < max_d2:
+        raise ValueError(
+            f"weight_scale {weight_scale} < max neighborhood d² "
+            f"{max_d2} at res {res_deg}°: far samples would get "
+            "weight 0; raise weight_scale"
+        )
+    j = targets.join(pts, targets.probe == pts.pcell)
+    dlon_raw = F.abs(F.col("ulon") - F.col("c_ulon"))
+    dlon = F.least(dlon_raw, F.lit(full_u) - dlon_raw)
+    dlat = F.abs(F.col("ulat") - F.col("c_ulat"))
+    d2 = dlon * dlon + dlat * dlat
+    j = j.select("cell", F.col("v"), d2.alias("_d2"))
+    j = j.select(
+        "cell", "v",
+        F.expr(
+            f"{int(weight_scale)} DIV greatest(_d2, {int(min_d2)})"
+        ).alias("w"),
+    )
+    agg = j.groupBy("cell").agg(
+        F.count(F.lit(1)).alias("n_samples"),
+        F.sum(F.col("v") * F.col("w")).alias("vw_sum"),
+        F.sum("w").alias("w_sum"),
+    )
+    # support cells always have >=1 sample at d2 <= 2*(res_u/2)^2 <
+    # max_d2, so w_sum >= 1 and the division below can't hit zero
+    return agg.select(
+        "cell",
+        "n_samples",
+        "vw_sum",
+        "w_sum",
+        (
+            F.col("vw_sum").cast("double")
+            / F.col("w_sum").cast("double") / F.lit(10_000.0)
+        ).alias("idw"),
+    )
+
+
 def tile_rollup_multires(
     points: DataFrame,
     resolutions: Sequence[int],
