@@ -27,6 +27,7 @@ from openstreetmap_license_change_spark.operators import (
     dedup,
     fold,
     hexgrid,
+    hull,
     lineage,
     similarity,
     spatial,
@@ -552,6 +553,39 @@ def q_idw_cells(spark, sf_dir):
     )
 
 
+def q_convex_hull(spark, sf_dir):
+    """Exact minimal convex hull per 30° supercell
+    (hull.convex_hull): Arrow-batched monotone chain over integer-
+    snapped coordinates — every orientation test an exact int64 cross
+    product.  The oracle is the O(n³) witness-edge characterization
+    (p is a vertex iff some edge p→q has all other points strictly
+    left or collinear-between), so the hull SET is hash-verified."""
+    pages = lineage.latest_version(
+        _pages(spark, sf_dir), cols=["lon", "lat"]
+    )
+    pts = pages.select(
+        spatial.grid_cell(F.col("lon"), F.col("lat"), 30.0).alias("gid"),
+        "lon", "lat",
+    )
+    return hull.convex_hull(pts, "gid")
+
+
+def q_directional_extremes(spark, sf_dir):
+    """Bounding-octagon sketch per 30° supercell
+    (hull.directional_extremes): argmax point along 8 integer
+    directions, deterministic (ulon, ulat) tiebreak — one explode +
+    one window rank, no Python, every emitted point a true hull
+    vertex."""
+    pages = lineage.latest_version(
+        _pages(spark, sf_dir), cols=["lon", "lat"]
+    )
+    pts = pages.select(
+        spatial.grid_cell(F.col("lon"), F.col("lat"), 30.0).alias("gid"),
+        "lon", "lat",
+    )
+    return hull.directional_extremes(pts, "gid")
+
+
 def q_tile_rollup_multires(spark, sf_dir):
     """Multi-resolution raster rollup (cube over the Morton cell
     hierarchy, SURVEY §2.4 / north-rule H3-res analogue): taint
@@ -933,6 +967,37 @@ def q_html_extract(spark, sf_dir):
         F.sum(F.octet_length("extracted")).cast("bigint")
         .alias("extracted_bytes"),
         F.sum(F.octet_length("html")).cast("bigint").alias("html_bytes"),
+    )
+
+
+def q_canonical_url(spark, sf_dir):
+    """URL canonicalization (textops.canonical_url): deterministic
+    messy variants (upper-case scheme/host, :80 port, utm params,
+    shuffled param order, fragments) collapse to one canonical form —
+    the groupBy shows pairs of variants merging (250 canonical urls
+    from 500 docs)."""
+    docs = pages_src.documents(spark, sf_dir)
+    base = (F.col("doc_id") % 250).cast("string")
+    url = F.concat(
+        F.when(F.col("doc_id") % 2 == 0,
+               F.lit("HTTP://WWW.Example.COM:80"))
+        .otherwise(F.lit("http://www.example.com")),
+        F.lit("/p/"), base,
+        F.when(F.col("doc_id") % 3 == 0,
+               F.concat(F.lit("?utm_source=feed&id="), base))
+        .otherwise(F.concat(F.lit("?id="), base)),
+        F.when(F.col("doc_id") % 2 == 0, F.lit("&z=9&a=1"))
+        .otherwise(F.lit("&a=1&z=9")),
+        F.when(F.col("doc_id") % 5 == 0, F.lit("#frag"))
+        .otherwise(F.lit("")),
+    )
+    return (
+        docs.select(textops.canonical_url(url).alias("curl"), "doc_id")
+        .groupBy("curl")
+        .agg(
+            F.count(F.lit(1)).alias("n_variants"),
+            F.min("doc_id").alias("first_doc"),
+        )
     )
 
 
@@ -1838,6 +1903,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_focal_mean": q_tile_focal_mean,
         "tile_kde": q_tile_kde,
         "idw_cells": q_idw_cells,
+        "convex_hull": q_convex_hull,
+        "directional_extremes": q_directional_extremes,
         "tile_rollup_multires": q_tile_rollup_multires,
         "tile_vectorize": q_tile_vectorize,
         "pip_polygons": q_pip_polygons,
@@ -1869,6 +1936,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": q_pii_scrub,
         "html_extract": q_html_extract,
         "boilerplate_strip": q_boilerplate_strip,
+        "canonical_url": q_canonical_url,
         "geotag_cells": q_geotag_cells,
         "domain_rollup": q_domain_rollup,
         "text_quality": q_text_quality,
@@ -2829,6 +2897,58 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(v * w) AS DOUBLE) / CAST(SUM(w) AS DOUBLE)
                        / 10000.0 AS idw
             FROM joined GROUP BY 1
+        """),
+        "convex_hull": _with_pages(f"""
+            , latest AS (
+                SELECT lon, lat
+                FROM (
+                    SELECT p.lon, p.lat,
+                           ROW_NUMBER() OVER (PARTITION BY url
+                                              ORDER BY version DESC) AS rn
+                    FROM pages p
+                ) t WHERE rn = 1
+            ),
+            hpts AS (
+                SELECT DISTINCT
+                       {spatial.grid_cell_sql('lon', 'lat', 30.0)} AS gid,
+                       CAST(round(lon * 10000) AS BIGINT) AS ulon,
+                       CAST(round(lat * 10000) AS BIGINT) AS ulat
+                FROM latest
+            )
+            {hull.convex_hull_sql('hpts')}
+        """),
+        "directional_extremes": _with_pages(f"""
+            , latest AS (
+                SELECT lon, lat
+                FROM (
+                    SELECT p.lon, p.lat,
+                           ROW_NUMBER() OVER (PARTITION BY url
+                                              ORDER BY version DESC) AS rn
+                    FROM pages p
+                ) t WHERE rn = 1
+            ),
+            hpts AS (
+                SELECT {spatial.grid_cell_sql('lon', 'lat', 30.0)} AS gid,
+                       CAST(round(lon * 10000) AS BIGINT) AS ulon,
+                       CAST(round(lat * 10000) AS BIGINT) AS ulat
+                FROM latest
+            ),
+            fan AS (
+                SELECT h.gid, d.dir_idx,
+                       d.a * h.ulon + d.b * h.ulat AS score,
+                       h.ulon, h.ulat
+                FROM hpts h CROSS JOIN (VALUES {", ".join(
+                    f"({i},{a},{b})"
+                    for i, (a, b) in enumerate(hull.DIRECTIONS_8)
+                )}) d(dir_idx, a, b)
+            )
+            SELECT gid, dir_idx, score, ulon, ulat
+            FROM (
+                SELECT *, ROW_NUMBER() OVER (
+                    PARTITION BY gid, dir_idx
+                    ORDER BY score DESC, ulon, ulat) AS rn
+                FROM fan
+            ) WHERE rn = 1
         """),
         "tile_rollup_multires": _with_pages(f"""
             , tainted_pts AS (
@@ -4035,6 +4155,29 @@ def oracle_sql() -> dict[str, str]:
             FROM pages
             GROUP BY 1
         """),
+        "canonical_url": f"""
+            WITH urls AS (
+                SELECT doc_id,
+                       (CASE WHEN doc_id % 2 = 0
+                             THEN 'HTTP://WWW.Example.COM:80'
+                             ELSE 'http://www.example.com' END)
+                       || '/p/' || CAST(doc_id % 250 AS VARCHAR)
+                       || (CASE WHEN doc_id % 3 = 0
+                                THEN '?utm_source=feed&id='
+                                     || CAST(doc_id % 250 AS VARCHAR)
+                                ELSE '?id='
+                                     || CAST(doc_id % 250 AS VARCHAR) END)
+                       || (CASE WHEN doc_id % 2 = 0
+                                THEN '&z=9&a=1' ELSE '&a=1&z=9' END)
+                       || (CASE WHEN doc_id % 5 = 0
+                                THEN '#frag' ELSE '' END) AS url
+                FROM documents
+            )
+            SELECT {textops.canonical_url_sql('url')} AS curl,
+                   COUNT(*) AS n_variants,
+                   MIN(doc_id) AS first_doc
+            FROM urls GROUP BY 1
+        """,
         "boilerplate_strip": """
             WITH t AS (
                 SELECT doc_id, string_split(text, ' ') AS ws,

@@ -510,6 +510,76 @@ def boilerplate_strip(
     )
 
 
+# tracking parameters stripped by canonical_url — the industry-standard
+# crawl-dedup list (utm_* plus the big click ids)
+TRACKING_PARAM_PATTERN = r"^(utm_[a-z]+|fbclid|gclid|msclkid|ref)="
+
+
+def canonical_url(url: Column) -> Column:
+    """Crawl-grade URL canonicalization, all native string/array ops
+    (zero Python, one expression tree):
+
+    1. drop the ``#fragment``
+    2. lowercase scheme and host (path/query case is significant)
+    3. strip a default ``:80``/``:443`` port
+    4. drop tracking query params (``utm_*``, click ids), keep the rest
+    5. sort surviving params byte-wise (param ORDER is almost never
+       semantic; sorting makes ?a=1&b=2 ≡ ?b=2&a=1 for dedup)
+    6. drop a trailing '?' when no params survive
+
+    The same pipeline is expressible in ANSI SQL (see
+    :func:`canonical_url_sql`), so canonicalized-url dedup is
+    oracle-checkable end to end."""
+    no_frag = F.regexp_replace(url, r"#.*$", "")
+    scheme = F.lower(F.regexp_extract(no_frag, r"^([a-zA-Z0-9+.-]+)://", 1))
+    host = F.lower(
+        F.regexp_extract(no_frag, r"^[a-zA-Z0-9+.-]+://([^/?]+)", 1)
+    )
+    host = F.regexp_replace(host, r":(80|443)$", "")
+    rest = F.regexp_extract(no_frag, r"^[a-zA-Z0-9+.-]+://[^/?]+([^?]*)", 1)
+    query = F.regexp_extract(no_frag, r"\?(.*)$", 1)
+    kept = F.array_join(
+        F.array_sort(
+            F.filter(
+                F.split(query, "&"),
+                lambda p: (F.length(p) > 0)
+                & ~p.rlike(TRACKING_PARAM_PATTERN),
+            )
+        ),
+        "&",
+    )
+    return F.concat(
+        scheme, F.lit("://"), host, rest,
+        F.when(F.length(kept) > 0, F.concat(F.lit("?"), kept))
+        .otherwise(F.lit("")),
+    )
+
+
+def canonical_url_sql(expr: str) -> str:
+    """DuckDB twin of :func:`canonical_url` (RE2 + list ops)."""
+    no_frag = f"regexp_replace({expr}, '#.*$', '')"
+    scheme = f"lower(regexp_extract({no_frag}, '^([a-zA-Z0-9+.-]+)://', 1))"
+    host = (
+        f"regexp_replace(lower(regexp_extract({no_frag}, "
+        f"'^[a-zA-Z0-9+.-]+://([^/?]+)', 1)), ':(80|443)$', '')"
+    )
+    rest = (
+        f"regexp_extract({no_frag}, "
+        f"'^[a-zA-Z0-9+.-]+://[^/?]+([^?]*)', 1)"
+    )
+    query = f"regexp_extract({no_frag}, '\\?(.*)$', 1)"
+    kept = (
+        "array_to_string(list_sort(list_filter("
+        f"string_split({query}, '&'), "
+        f"p -> length(p) > 0 AND NOT regexp_matches(p, "
+        f"'{TRACKING_PARAM_PATTERN}'))), '&')"
+    )
+    return (
+        f"{scheme} || '://' || {host} || {rest} || "
+        f"CASE WHEN length({kept}) > 0 THEN '?' || {kept} ELSE '' END"
+    )
+
+
 def domain_of(url: Column) -> Column:
     """Registrable host part of a url (scheme://host/...) — one native
     regexp_extract; '' when the url has no scheme-host shape."""
