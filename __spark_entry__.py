@@ -27,6 +27,7 @@ from openstreetmap_license_change_spark.operators import (
     dedup,
     fold,
     hexgrid,
+    hilbert,
     hull,
     lineage,
     similarity,
@@ -472,6 +473,27 @@ def q_quadkey_rollup(spark, sf_dir):
         latest.groupBy(
             spatial.quadkey(F.col("lon"), F.col("lat"), 5).alias("quadkey")
         )
+        .agg(
+            F.count(F.lit(1)).alias("n_pages"),
+            F.sum(F.when(~F.col("accepted"), 1).otherwise(0))
+            .cast("bigint").alias("n_tainted"),
+        )
+    )
+
+
+def q_hilbert_rollup(spark, sf_dir):
+    """Taint rollup keyed by the order-8 Hilbert cell id
+    (operators/hilbert.py) — the locality-optimal curve next to the
+    Morton quad tiles: consecutive ids are edge-adjacent cells, so the
+    range-partitioned write layout (hilbert.cluster_by_hilbert) owns
+    connected blobs instead of Z seams.  The oracle runs the
+    nested-subquery DuckDB twin generated from the SAME DFA tables
+    (hilbert.hilbert_sql), hash-verifying all 8 lookup levels."""
+    flagged = _pages_flagged(spark, sf_dir)
+    latest = lineage.latest_version(flagged, cols=["accepted", "lon", "lat"])
+    return (
+        hilbert.with_hilbert(latest, order=8)
+        .groupBy("hcell")
         .agg(
             F.count(F.lit(1)).alias("n_pages"),
             F.sum(F.when(~F.col("accepted"), 1).otherwise(0))
@@ -1896,6 +1918,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "polyline_length": q_polyline_length,
         "segment_cells_rollup": q_segment_cells_rollup,
         "quadkey_rollup": q_quadkey_rollup,
+        "hilbert_rollup": q_hilbert_rollup,
         "hex_rollup": q_hex_rollup,
         "hex_focal_mean": q_hex_focal_mean,
         "polygon_stats": q_polygon_stats,
@@ -2731,6 +2754,22 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(CASE WHEN NOT accepted THEN 1 ELSE 0 END)
                         AS BIGINT) AS n_tainted
             FROM latest GROUP BY 1
+        """),
+        "hilbert_rollup": _with_pages(f"""
+            , latest AS (
+                SELECT * FROM (
+                    SELECT p.*, s.accepted,
+                           ROW_NUMBER() OVER (PARTITION BY p.url
+                                              ORDER BY p.version DESC) AS rn
+                    FROM pages p JOIN cs_status s USING (changeset_id)
+                ) t WHERE rn = 1
+            )
+            SELECT hcell,
+                   COUNT(*) AS n_pages,
+                   CAST(SUM(CASE WHEN NOT accepted THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_tainted
+            FROM ({hilbert.hilbert_sql('latest', 'url, accepted', order=8)})
+            GROUP BY 1
         """),
         "spatial_dbscan": _with_pages_recursive("""
             , pts AS (
