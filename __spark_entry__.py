@@ -31,6 +31,7 @@ from openstreetmap_license_change_spark.operators import (
     hull,
     lineage,
     similarity,
+    snapshots,
     spatial,
     textops,
 )
@@ -499,6 +500,27 @@ def q_hilbert_rollup(spark, sf_dir):
             F.sum(F.when(~F.col("accepted"), 1).otherwise(0))
             .cast("bigint").alias("n_tainted"),
         )
+    )
+
+
+# snapshot cutoffs for q_snapshot_diff: A catches doc_ids ≤ 250 with
+# version 1 only for doc 250 (its +90 s lands between v1 at +60 and v2
+# at +120), so at any sf ≥ 0.001 the diff exercises added (docs > 250),
+# changed (doc 250 when it has >1 version), removed (invisible-latest
+# docs ≤ 250), and unchanged.
+SNAPSHOT_EPOCH_A = pages_src.EPOCH_2024 + 250 * 3600 + 90
+SNAPSHOT_EPOCH_B = pages_src.EPOCH_2024 + 10**9
+
+
+def q_snapshot_diff(spark, sf_dir):
+    """Corpus snapshot diff (operators/snapshots.py): the reference's
+    version diff lifted to crawl-snapshot granularity — current_*
+    as-of-timestamp states (extract_loader.rb:320-360) compared in ONE
+    hash aggregation (two conditional max(struct) aggregates, map-side
+    combined; no self-join, no second shuffle).  Oracle runs the same
+    conditional-struct-max in DuckDB."""
+    return snapshots.snapshot_diff(
+        _pages(spark, sf_dir), SNAPSHOT_EPOCH_A, SNAPSHOT_EPOCH_B
     )
 
 
@@ -1919,6 +1941,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "segment_cells_rollup": q_segment_cells_rollup,
         "quadkey_rollup": q_quadkey_rollup,
         "hilbert_rollup": q_hilbert_rollup,
+        "snapshot_diff": q_snapshot_diff,
         "hex_rollup": q_hex_rollup,
         "hex_focal_mean": q_hex_focal_mean,
         "polygon_stats": q_polygon_stats,
@@ -2771,6 +2794,11 @@ def oracle_sql() -> dict[str, str]:
             FROM ({hilbert.hilbert_sql('latest', 'url, accepted', order=8)})
             GROUP BY 1
         """),
+        "snapshot_diff": _with_pages(
+            ", " + snapshots.snapshot_diff_ctes(
+                "pages", SNAPSHOT_EPOCH_A, SNAPSHOT_EPOCH_B
+            )
+        ),
         "spatial_dbscan": _with_pages_recursive("""
             , pts AS (
                 SELECT url || '#' || CAST(version AS VARCHAR) AS pid,

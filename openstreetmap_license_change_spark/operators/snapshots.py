@@ -1,0 +1,131 @@
+"""Corpus snapshot state + snapshot-to-snapshot diff.
+
+The reference diffs consecutive VERSIONS of one element to build its
+edit script (diff.rb, geom.rb:56-92); this module lifts the same
+question to corpus granularity: what changed between crawl time A and
+crawl time B?  That is the operational query of an incremental crawl
+pipeline (recrawl scheduling, delta exports, Iceberg snapshot diffs —
+the engine's resume story, SURVEY.md §3) and the corpus analogue of
+the reference's `current_*` snapshot tables (extract_loader.rb:320-360):
+a snapshot state IS `current_*` as of a timestamp.
+
+Design for 100 TB — the naive plan is two latest-version windows plus
+a url full-outer join (three shuffles of the wide table).  Here both
+snapshot states come out of ONE aggregation: per url, two conditional
+`max(struct(warc_epoch, …))` aggregates (rows after the cutoff enter
+as NULL and are skipped by max), partially aggregated map-side, so the
+whole diff costs a single shuffle of pre-combined rows and never
+joins.  (Struct-typed max buffers aren't hash-aggregable, so Spark
+plans partial+final SortAggregate — the map-side combine and the
+single exchange, the two things that matter at scale, are retained;
+tests pin the shape.)  Struct comparison is lexicographic with
+``warc_epoch`` leading in BOTH engines, and warc_epoch is strictly
+increasing per url, so the argmax is deterministic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_STATE_FIELDS = ("warc_epoch", "version", "lon", "lat", "visible")
+
+
+def _state(cond) -> F.Column:
+    return F.max(F.when(cond, F.struct(*_STATE_FIELDS)))
+
+
+def snapshot_diff(
+    pages: DataFrame, epoch_a: int, epoch_b: int
+) -> DataFrame:
+    """Diff the corpus state at ``epoch_a`` vs ``epoch_b`` (unix
+    seconds, inclusive cutoffs on ``warc_epoch``).
+
+    A url is PRESENT at a cutoff iff it has a capture at or before the
+    cutoff and the latest such capture is visible (an invisible latest
+    is the reference's deleted element, osm.rb `visible` semantics).
+    Statuses over (present_a, present_b):
+        added      absent → present   (includes re-added after delete)
+        removed    present → absent
+        changed    present both, geocode position moved
+        unchanged  present both, position identical
+    urls absent at BOTH cutoffs (never captured, or deleted on both
+    sides) are dropped — they are not part of either snapshot.
+
+    Output: url, status, old_version, new_version, old_lon, old_lat,
+    new_lon, new_lat (old_*/new_* NULL where absent)."""
+    if epoch_a > epoch_b:
+        raise ValueError(f"epoch_a {epoch_a} > epoch_b {epoch_b}")
+    agg = pages.groupBy("url").agg(
+        _state(F.col("warc_epoch") <= F.lit(int(epoch_a))).alias("a"),
+        _state(F.col("warc_epoch") <= F.lit(int(epoch_b))).alias("b"),
+    )
+    pa = F.col("a").isNotNull() & F.col("a.visible")
+    pb = F.col("b").isNotNull() & F.col("b.visible")
+    moved = (F.col("a.lon") != F.col("b.lon")) | (
+        F.col("a.lat") != F.col("b.lat")
+    )
+    return (
+        agg.withColumn(
+            "status",
+            F.when(~pa & pb, F.lit("added"))
+            .when(pa & ~pb, F.lit("removed"))
+            .when(pa & pb & moved, F.lit("changed"))
+            .when(pa & pb, F.lit("unchanged")),
+        )
+        .where(F.col("status").isNotNull())
+        .select(
+            "url",
+            "status",
+            F.when(pa, F.col("a.version")).alias("old_version"),
+            F.when(pb, F.col("b.version")).alias("new_version"),
+            F.when(pa, F.col("a.lon")).alias("old_lon"),
+            F.when(pa, F.col("a.lat")).alias("old_lat"),
+            F.when(pb, F.col("b.lon")).alias("new_lon"),
+            F.when(pb, F.col("b.lat")).alias("new_lat"),
+        )
+    )
+
+
+def snapshot_diff_sql(src: str, epoch_a: int, epoch_b: int) -> str:
+    """DuckDB twin of :func:`snapshot_diff` as a standalone statement."""
+    return "WITH " + snapshot_diff_ctes(src, epoch_a, epoch_b)
+
+
+def snapshot_diff_ctes(src: str, epoch_a: int, epoch_b: int) -> str:
+    """The twin's CTE chain + final SELECT WITHOUT the leading WITH,
+    so callers can append it to an existing WITH list (the oracle
+    prelude).  Same conditional max(struct) aggregation (DuckDB
+    structs also compare lexicographically, field order preserved),
+    CASE statuses, and absent-both filter.  ``src`` must expose url,
+    warc_epoch, version, lon, lat, visible."""
+    st = "{'warc_epoch': warc_epoch, 'version': version, " \
+         "'lon': lon, 'lat': lat, 'visible': visible}"
+    return f"""
+        agg AS (
+            SELECT url,
+                   MAX(CASE WHEN warc_epoch <= {int(epoch_a)}
+                            THEN {st} END) AS a,
+                   MAX(CASE WHEN warc_epoch <= {int(epoch_b)}
+                            THEN {st} END) AS b
+            FROM {src} GROUP BY url
+        ), flagged AS (
+            SELECT url, a, b,
+                   (a IS NOT NULL AND a.visible) AS pa,
+                   (b IS NOT NULL AND b.visible) AS pb
+            FROM agg
+        )
+        SELECT url,
+               CASE WHEN NOT pa AND pb THEN 'added'
+                    WHEN pa AND NOT pb THEN 'removed'
+                    WHEN pa AND pb AND (a.lon <> b.lon OR a.lat <> b.lat)
+                         THEN 'changed'
+                    ELSE 'unchanged' END AS status,
+               CASE WHEN pa THEN a.version END AS old_version,
+               CASE WHEN pb THEN b.version END AS new_version,
+               CASE WHEN pa THEN a.lon END AS old_lon,
+               CASE WHEN pa THEN a.lat END AS old_lat,
+               CASE WHEN pb THEN b.lon END AS new_lon,
+               CASE WHEN pb THEN b.lat END AS new_lat
+        FROM flagged WHERE pa OR pb
+    """
