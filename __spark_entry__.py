@@ -1142,6 +1142,15 @@ def q_tfidf_topk(spark, sf_dir):
     return textops.tfidf_topk(docs, k=5)
 
 
+def q_rare_token_ratio(spark, sf_dir):
+    """Cross-document vocabulary-rarity quality signal
+    (textops.rare_token_ratio): fraction of each doc's distinct tokens
+    that are corpus hapax legomena, as exact integer ppm — three
+    partial-agg shuffles + one token-keyed join, no windows."""
+    docs = pages_src.documents(spark, sf_dir)
+    return textops.rare_token_ratio(docs, max_df=1)
+
+
 def q_contamination(spark, sf_dir):
     """Benchmark decontamination (dedup.contamination_check): docs with
     doc_id % 29 == 0 stand in for the eval set; every other doc gets
@@ -1977,6 +1986,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_clusters": q_simhash_clusters,
         "contamination": q_contamination,
         "tfidf_topk": q_tfidf_topk,
+        "rare_token_ratio": q_rare_token_ratio,
         "repetition_stats": q_repetition_stats,
         "passage_dedup": q_passage_dedup,
         "pii_scrub": q_pii_scrub,
@@ -4148,6 +4158,24 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, token, tf, df, score_m,
                    CAST(rnk AS INTEGER) AS rank
             FROM ranked WHERE rnk <= 5
+        """,
+        "rare_token_ratio": """
+            WITH toks AS (
+                SELECT DISTINCT doc_id, tok AS token
+                FROM documents,
+                     LATERAL UNNEST(string_split_regex(lower(text), '\\s+'))
+                         AS u(tok)
+                WHERE tok <> ''
+            ),
+            dfq AS (SELECT token, COUNT(*) AS df FROM toks GROUP BY 1)
+            SELECT doc_id,
+                   COUNT(*) AS n_distinct,
+                   CAST(SUM(CASE WHEN df <= 1 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_rare,
+                   CAST((SUM(CASE WHEN df <= 1 THEN 1 ELSE 0 END)
+                         * 1000000) // COUNT(*) AS BIGINT) AS rare_ppm
+            FROM toks JOIN dfq USING (token)
+            GROUP BY doc_id
         """,
         "passage_dedup": """
             WITH corp AS (

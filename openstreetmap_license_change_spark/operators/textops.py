@@ -239,6 +239,57 @@ def tfidf_topk(
     )
 
 
+def rare_token_ratio(
+    docs: DataFrame,
+    max_df: int = 1,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-calibrated vocabulary-rarity quality signal: per
+    document, the fraction of its DISTINCT tokens whose corpus
+    document frequency is ≤ ``max_df`` (default 1 = hapax legomena —
+    tokens this document alone uses).  High ratios flag gibberish,
+    OCR noise, and boilerplate-free spam; near-zero ratios flag
+    templated text — the cross-document member of the quality-score
+    family (quality_score is per-doc-local; this one prices each token
+    against the whole corpus).
+
+    Exact arithmetic: counts are int64 and the ratio ships as
+    ``rare_ppm = (n_rare · 10⁶) DIV n_distinct`` (same discipline as
+    tfidf_topk's score_m), so the DuckDB twin hash-matches.
+
+    Plan shape at 100 TB: distinct (doc, token) pairs are one
+    map-side-combinable shuffle of the exploded stream; document
+    frequency re-aggregates those ALREADY-unique rows keyed by token
+    (never the raw stream); the join back is token-keyed — the Zipf
+    head ("the") is AQE's skew-join case, and the rare tail that
+    decides the verdict is perfectly spread; the final per-doc rollup
+    is a third partial-agg groupBy.  No collects, no windows.
+
+    Returns (id, n_distinct, n_rare, rare_ppm)."""
+    toks = (
+        docs.select(
+            id_col,
+            F.explode(
+                F.split(F.lower(F.col(text_col)), r"\s+")
+            ).alias("token"),
+        )
+        .where(F.col("token") != "")
+        .distinct()
+    )
+    dfreq = toks.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    return (
+        toks.join(dfreq, "token")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_distinct"),
+            F.sum((F.col("df") <= max_df).cast("int"))
+            .cast("bigint").alias("n_rare"),
+        )
+        .withColumn("rare_ppm", F.expr("(n_rare * 1000000) DIV n_distinct"))
+    )
+
+
 def rolling_fingerprint(text: Column) -> Column:
     """Polynomial rolling-hash fingerprint over the first 64 chars,
     Horner form: acc = (acc·31 + codepoint) mod p at every step, so
