@@ -422,6 +422,30 @@ def q_polyline_length(spark, sf_dir):
     )
 
 
+# one-pass Visvalingam threshold for q_simplify_lines, in the
+# operator's (10⁻⁴ °)² doubled-area units: the per-lang doc-ordered
+# tracks hop ~10⁴–10⁵ scaled units between consecutive docs (the
+# arithmetic geocode is near-linear in doc_id), putting the measured
+# area2 median at ~1.4·10¹⁰ — this cut keeps/drops roughly half, so
+# both branches stay populated at every sf
+SIMPLIFY_MIN_AREA2 = 15_000_000_000
+
+
+def q_simplify_lines(spark, sf_dir):
+    """One-pass Visvalingam simplification (spatial.simplify_lines)
+    over the per-lang doc-ordered tracks (the polyline_length layer):
+    exact scaled-int effective areas, endpoint rule, survivor
+    renumbering — all inside ONE line-keyed shuffle.  Oracle is the
+    identical windowed cross product in DuckDB."""
+    latest = lineage.latest_version(
+        _pages(spark, sf_dir), cols=["lang", "lon", "lat", "doc_id"]
+    )
+    return spatial.simplify_lines(
+        latest, id_col="lang", order_col="doc_id",
+        min_area2=SIMPLIFY_MIN_AREA2,
+    )
+
+
 def q_segment_cells_rollup(spark, sf_dir):
     """Supercover segment→tile rollup (spatial.segment_cells): every
     5° grid cell each per-lang polyline segment TOUCHES — the rigorous
@@ -1951,6 +1975,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quadkey_rollup": q_quadkey_rollup,
         "hilbert_rollup": q_hilbert_rollup,
         "snapshot_diff": q_snapshot_diff,
+        "simplify_lines": q_simplify_lines,
         "hex_rollup": q_hex_rollup,
         "hex_focal_mean": q_hex_focal_mean,
         "polygon_stats": q_polygon_stats,
@@ -2728,6 +2753,17 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT cell_x, cell_y, COUNT(*) AS n_segments
             FROM cells GROUP BY 1, 2
+        """),
+        "simplify_lines": _with_pages(f"""
+            , latest AS (
+                SELECT url, lang, lon, lat, doc_id FROM (
+                    SELECT p.*, ROW_NUMBER() OVER (
+                        PARTITION BY url ORDER BY version DESC) AS rn
+                    FROM pages p
+                ) t WHERE rn = 1
+            )
+            {spatial.simplify_lines_sql(
+                'latest', 'lang', 'doc_id', SIMPLIFY_MIN_AREA2)}
         """),
         "polyline_length": _with_pages(f"""
             , latest AS (

@@ -829,6 +829,112 @@ def polyline_length(
     )
 
 
+def simplify_lines(
+    points: DataFrame,
+    id_col: str,
+    order_col: str,
+    min_area2: int,
+    lon: str = "lon",
+    lat: str = "lat",
+    scale: int = 10_000,
+) -> DataFrame:
+    """One-pass Visvalingam line simplification: drop every INTERIOR
+    point whose effective-triangle area (with its immediate original
+    neighbors) is below the threshold; endpoints always survive.
+
+    This is the partition-parallel member of the Visvalingam family —
+    the textbook algorithm iterates (remove the global minimum,
+    recompute its neighbors, repeat), which is inherently sequential
+    per line; the one-pass thresholded variant used by tile pipelines
+    evaluates every point against the ORIGINAL line in one window
+    sweep, so a billion lines simplify in a single shuffle.  The
+    variants differ when removals cascade (a surviving point whose
+    area grows after its neighbor is dropped) — callers wanting the
+    exact iterative result on a handful of display lines should loop
+    this operator to a fixpoint; at corpus scale the one-pass verdict
+    is the one that ships.  (Vector-side sibling of the raster
+    smoothers; reference analogue: the way-node sequences of
+    geom.rb:56-92, whose LCS diffing this engine already carries —
+    simplification is the other classic transform on those sequences.)
+
+    Exact arithmetic: coordinates snap to ``scale`` ints (default 10⁻⁴
+    degrees) and the doubled area 2A = |cross((p⁻→p), (p⁻→p⁺))| stays
+    int64 (≤ ~5·10¹³ at planet extent ×10⁴ — >10⁵ headroom), so the
+    DuckDB twin hash-matches.  ``min_area2`` is in (1/scale degree)²
+    units, compared against 2A.
+
+    Plan: ONE hash shuffle on the line key feeds the lag/lead window,
+    the filter, and the survivor renumbering (same partitioning —
+    no second exchange).  Output: id, new_seq (1-based among
+    survivors), the original order value, lon, lat, area2 (NULL for
+    endpoints)."""
+    wu = W.partitionBy(id_col).orderBy(order_col)
+    pts = points.select(
+        F.col(id_col), F.col(order_col), F.col(lon), F.col(lat),
+        F.round(F.col(lon) * scale).cast("bigint").alias("_x"),
+        F.round(F.col(lat) * scale).cast("bigint").alias("_y"),
+    ).select(
+        id_col, order_col, lon, lat, "_x", "_y",
+        F.lag("_x").over(wu).alias("_px"),
+        F.lag("_y").over(wu).alias("_py"),
+        F.lead("_x").over(wu).alias("_nx"),
+        F.lead("_y").over(wu).alias("_ny"),
+    )
+    area2 = F.abs(
+        (F.col("_x") - F.col("_px")) * (F.col("_ny") - F.col("_py"))
+        - (F.col("_nx") - F.col("_px")) * (F.col("_y") - F.col("_py"))
+    )
+    interior = F.col("_px").isNotNull() & F.col("_nx").isNotNull()
+    kept = pts.withColumn(
+        "area2", F.when(interior, area2)
+    ).where(~interior | (F.col("area2") >= F.lit(int(min_area2))))
+    return kept.select(
+        id_col,
+        F.row_number().over(wu).alias("new_seq"),
+        order_col, lon, lat, "area2",
+    )
+
+
+def simplify_lines_sql(
+    src: str,
+    id_col: str,
+    order_col: str,
+    min_area2: int,
+    lon: str = "lon",
+    lat: str = "lat",
+    scale: int = 10_000,
+) -> str:
+    """DuckDB twin of :func:`simplify_lines` (standalone SELECT over
+    ``src``) — identical scaled-int cross product, endpoint rule, and
+    survivor renumbering."""
+    return f"""
+        SELECT {id_col},
+               CAST(ROW_NUMBER() OVER (PARTITION BY {id_col}
+                                       ORDER BY {order_col}) AS INT)
+                   AS new_seq,
+               {order_col}, {lon}, {lat}, area2
+        FROM (
+            SELECT *,
+                   CASE WHEN _px IS NOT NULL AND _nx IS NOT NULL
+                        THEN ABS((_x - _px) * (_ny - _py)
+                                 - (_nx - _px) * (_y - _py)) END AS area2
+            FROM (
+                SELECT {id_col}, {order_col}, {lon}, {lat}, _x, _y,
+                       LAG(_x)  OVER w AS _px, LAG(_y)  OVER w AS _py,
+                       LEAD(_x) OVER w AS _nx, LEAD(_y) OVER w AS _ny
+                FROM (
+                    SELECT {id_col}, {order_col}, {lon}, {lat},
+                           CAST(ROUND({lon} * {scale}) AS BIGINT) AS _x,
+                           CAST(ROUND({lat} * {scale}) AS BIGINT) AS _y
+                    FROM {src}
+                )
+                WINDOW w AS (PARTITION BY {id_col} ORDER BY {order_col})
+            )
+        )
+        WHERE area2 IS NULL OR area2 >= {int(min_area2)}
+    """
+
+
 def trip_segments(
     points: DataFrame,
     id_col: str,
