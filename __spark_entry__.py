@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 from openstreetmap_license_change_spark.operators import (
     dedup,
     fold,
+    graph,
     hexgrid,
     hilbert,
     hull,
@@ -1166,6 +1167,53 @@ def q_tfidf_topk(spark, sf_dir):
     return textops.tfidf_topk(docs, k=5)
 
 
+# deterministic doc-level link graph for q_doc_pagerank: 3 modular
+# out-edges per doc (self-loops removed), docs ≡ 0 (mod 5) emit none —
+# so the dangling-mass path is exercised at every sf.  A stand-in for
+# the crawl link extractor (the synthetic html envelope carries no
+# anchors); the OPERATOR is graph-agnostic.
+PR_EDGE_PARAMS = ((7, 1), (13, 2), (29, 3))
+PR_ITERATIONS = 6
+
+# the same link-graph derivation as a DuckDB relation (oracle side)
+_PR_EDGES_SQL = (
+    "(SELECT DISTINCT src, dst FROM ("
+    + " UNION ALL ".join(
+        f"SELECT doc_id AS src, (doc_id * {p} + {j}) % "
+        f"(SELECT COUNT(*) FROM documents) AS dst "
+        f"FROM documents WHERE doc_id % 5 <> 0"
+        for p, j in PR_EDGE_PARAMS
+    )
+    + ") WHERE src <> dst)"
+)
+
+
+def q_doc_pagerank(spark, sf_dir):
+    """Fixed-iteration quantized-integer PageRank
+    (graph.pagerank_quantized) over the deterministic doc link graph:
+    2 shuffles per round on a pre-partitioned edge list, per-round
+    lineage cuts, exact int64 ranks — the DuckDB oracle unrolls the
+    identical recurrence as chained CTEs (graph.pagerank_sql), so all
+    6 rounds of quantization are hash-verified."""
+    docs = pages_src.documents(spark, sf_dir).select("doc_id")
+    n = docs.count()
+    nodes = docs.select(F.col("doc_id").alias("node"))
+    parts = [
+        docs.where(F.col("doc_id") % 5 != 0).select(
+            F.col("doc_id").alias("src"),
+            ((F.col("doc_id") * p + j) % n).alias("dst"),
+        )
+        for p, j in PR_EDGE_PARAMS
+    ]
+    edges = (
+        parts[0].unionByName(parts[1]).unionByName(parts[2])
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    out = graph.pagerank_quantized(nodes, edges, iterations=PR_ITERATIONS)
+    return out.select(F.col("node").alias("doc_id"), "rank_q")
+
+
 def q_rare_token_ratio(spark, sf_dir):
     """Cross-document vocabulary-rarity quality signal
     (textops.rare_token_ratio): fraction of each doc's distinct tokens
@@ -2012,6 +2060,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination": q_contamination,
         "tfidf_topk": q_tfidf_topk,
         "rare_token_ratio": q_rare_token_ratio,
+        "doc_pagerank": q_doc_pagerank,
         "repetition_stats": q_repetition_stats,
         "passage_dedup": q_passage_dedup,
         "pii_scrub": q_pii_scrub,
@@ -4194,6 +4243,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, token, tf, df, score_m,
                    CAST(rnk AS INTEGER) AS rank
             FROM ranked WHERE rnk <= 5
+        """,
+        "doc_pagerank": f"""
+            SELECT node AS doc_id, rank_q
+            FROM ({graph.pagerank_sql(
+                '(SELECT doc_id AS node FROM documents)',
+                _PR_EDGES_SQL,
+                iterations=PR_ITERATIONS,
+            )})
         """,
         "rare_token_ratio": """
             WITH toks AS (

@@ -21,6 +21,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+PR_SCALE = 10**12
+
 
 def min_label_components(
     ids: DataFrame, edges: DataFrame, max_iters: int, op_name: str
@@ -86,3 +88,137 @@ def min_label_components(
         )
         _warnings.warn(msg, RuntimeWarning, stacklevel=3)
     return labels
+
+
+def pagerank_quantized(
+    nodes: DataFrame,
+    edges: DataFrame,
+    iterations: int = 8,
+    damping_pct: int = 85,
+    scale: int = PR_SCALE,
+) -> DataFrame:
+    """Fixed-iteration PageRank in EXACT quantized-integer arithmetic —
+    the link-authority signal of a crawl curation pipeline (rank hosts
+    / documents to prioritize recrawl and weight training data), and
+    the engine's iterative-algorithm representative alongside the
+    pointer-jumping components above.
+
+    Float PageRank is engine-divergent (accumulation order changes the
+    low bits, so a DuckDB twin can never hash-match); here every rank
+    is an int64 multiple of 1/``scale``: r₀ = scale for every node, and
+
+        r'(v) = (100-d)·scale DIV 100
+              + d·( Σ_{u→v} r(u) DIV outdeg(u)  +  dangling DIV n ) DIV 100
+
+    with d = ``damping_pct``, dangling = Σ r(u) over nodes with no
+    out-edges, n = |nodes|.  Integer division quantizes exactly the
+    same way in Spark and DuckDB, so after any fixed number of rounds
+    the ranks are bit-identical across engines — the oracle unrolls the
+    same recurrence as chained CTEs (``pagerank_sql``).  Floor losses
+    leak ≤ 1/scale of mass per node per round (bounded, documented,
+    deterministic) — ranking order is unaffected at scale=10¹².
+
+    Scale design: per round, one src-keyed join of the PRE-PARTITIONED
+    edge list against ranks and one dst-keyed partial-agg groupBy —
+    2 shuffles × a fixed iteration count; hub pages are AQE's
+    skew-join case.  The dangling mass is a 1-row broadcast cross
+    join.  Lineage is cut per round (localCheckpoint, the iterative
+    house pattern — self-referencing plans otherwise stack K rounds of
+    Catalyst analysis).  The only driver actions are the bounded
+    n-count and the per-round checkpoint.
+
+    Overflow bound: total mass stays ≤ n·scale, and the largest single
+    value (a hub's contribution sum, or the dangling total) is < n·scale,
+    so n·scale must stay < 2⁶³ — at 10⁹ nodes drop ``scale`` to 10⁹
+    (ranks remain exact multiples of 1/scale; only the quantum grows).
+
+    ``nodes``: one column ``node``; ``edges``: (src, dst), assumed
+    deduplicated.  Returns (node, rank_q)."""
+    if not 0 <= damping_pct <= 100:
+        raise ValueError(f"damping_pct must be in [0, 100]: {damping_pct}")
+    edges = edges.select("src", "dst").repartition("src").localCheckpoint(
+        eager=True
+    )
+    outdeg = edges.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("outdeg")
+    )
+    n = nodes.count()
+    if n == 0:
+        return nodes.withColumn("rank_q", F.lit(0).cast("bigint"))
+    base = (100 - damping_pct) * scale // 100
+    ranks = nodes.withColumn("rank_q", F.lit(scale).cast("bigint"))
+    for _ in range(iterations):
+        with_deg = ranks.join(outdeg, "node", "left")
+        dangling = (
+            with_deg.where(F.col("outdeg").isNull())
+            .agg(F.coalesce(F.sum("rank_q"), F.lit(0)).alias("_dang"))
+        )
+        contrib = (
+            edges.join(
+                with_deg.where(F.col("outdeg").isNotNull()),
+                edges.src == F.col("node"),
+            )
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum(F.expr("rank_q DIV outdeg")).alias("_in"))
+        )
+        ranks = (
+            nodes.join(contrib, "node", "left")
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "node",
+                F.expr(
+                    f"CAST({base} + ({damping_pct} * (COALESCE(_in, 0) "
+                    f"+ _dang DIV {n})) DIV 100 AS BIGINT)"
+                ).alias("rank_q"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks
+
+
+def pagerank_sql(
+    nodes_src: str,
+    edges_src: str,
+    iterations: int = 8,
+    damping_pct: int = 85,
+    scale: int = PR_SCALE,
+) -> str:
+    """DuckDB twin of :func:`pagerank_quantized`: the identical
+    integer recurrence unrolled as ``iterations`` chained CTEs,
+    generated by the same constants so the two cannot drift.
+    ``nodes_src`` must yield one column ``node``; ``edges_src``
+    (src, dst).  Standalone statement returning (node, rank_q)."""
+    base = (100 - damping_pct) * scale // 100
+    ctes = [
+        f"pr_nd AS (SELECT node FROM {nodes_src})",
+        f"pr_eg AS (SELECT src, dst FROM {edges_src})",
+        "pr_odeg AS (SELECT src AS node, COUNT(*) AS outdeg FROM pr_eg GROUP BY 1)",
+        "pr_cnt AS (SELECT COUNT(*) AS n FROM pr_nd)",
+        f"pr_r0 AS (SELECT node, CAST({scale} AS BIGINT) AS rank_q FROM pr_nd)",
+    ]
+    for i in range(1, iterations + 1):
+        p = f"pr_r{i - 1}"
+        ctes.append(f"""pr_r{i} AS (
+            SELECT pr_nd.node,
+                   CAST({base} + ({damping_pct} * (COALESCE(c._in, 0)
+                        + dg._dang // pr_cnt.n)) // 100 AS BIGINT) AS rank_q
+            FROM pr_nd
+            LEFT JOIN (
+                SELECT pr_eg.dst AS node,
+                       SUM(r.rank_q // o.outdeg) AS _in
+                FROM pr_eg
+                JOIN {p} r ON pr_eg.src = r.node
+                JOIN pr_odeg o ON o.node = pr_eg.src
+                GROUP BY pr_eg.dst
+            ) c ON c.node = pr_nd.node
+            CROSS JOIN (
+                SELECT COALESCE(SUM(rank_q), 0) AS _dang
+                FROM {p} LEFT JOIN pr_odeg USING (node)
+                WHERE pr_odeg.outdeg IS NULL
+            ) dg
+            CROSS JOIN pr_cnt
+        )""")
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT node, rank_q FROM pr_r{iterations}"
+    )
