@@ -590,6 +590,19 @@ def q_tile_focal_mean(spark, sf_dir):
     return spatial.tile_focal_stats(rollup, "n_pages")
 
 
+def q_tile_hotspots(spark, sf_dir):
+    """Getis-Ord Gi* hot/cold-spot flags over the tile_rollup raster
+    (spatial.tile_hotspots): the z≥2 significance test evaluated as an
+    exact cross-multiplied integer inequality (decimal(38,0) on Spark,
+    HUGEINT in the DuckDB twin) — no float z, no sqrt, hash-stable."""
+    flagged = _pages_flagged(spark, sf_dir)
+    cells = spatial.assign_cells(flagged).withColumn(
+        "tainted", ~F.col("accepted")
+    )
+    rollup = spatial.tile_rollup(cells).select("cell", "n_pages")
+    return spatial.tile_hotspots(rollup, "n_pages")
+
+
 def q_tile_kde(spark, sf_dir):
     """Separable-binomial kernel density over the tile_rollup raster
     (spatial.tile_kernel_density, radius 2 → 5×5 discrete Gaussian,
@@ -2024,6 +2037,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hilbert_rollup": q_hilbert_rollup,
         "snapshot_diff": q_snapshot_diff,
         "simplify_lines": q_simplify_lines,
+        "tile_hotspots": q_tile_hotspots,
         "hex_rollup": q_hex_rollup,
         "hex_focal_mean": q_hex_focal_mean,
         "polygon_stats": q_polygon_stats,
@@ -2983,6 +2997,52 @@ def oracle_sql() -> dict[str, str]:
             SELECT r.cell, a.n_nbrs, a.nbr_sum,
                    (a.nbr_sum * 1000000) // a.n_nbrs AS focal_mean_m
             FROM rollup r JOIN agg a ON a.cell = r.cell
+        """),
+        "tile_hotspots": _with_pages(f"""
+            , rollup AS (
+                SELECT {cell} AS cell, COUNT(*) AS n_pages
+                FROM pages p JOIN cs_status s USING (changeset_id)
+                GROUP BY 1
+            ),
+            fan AS (
+                SELECT r.n_pages AS v,
+                       (((r.cell // 1440) + d.dy) * 1440
+                        + ((r.cell % 1440) + d.dx + 1440) % 1440) AS t_cell
+                FROM rollup r CROSS JOIN (VALUES
+                     (-1,-1),(-1,0),(-1,1),(0,-1),(0,0),(0,1),
+                     (1,-1),(1,0),(1,1)) d(dy, dx)
+                WHERE (r.cell // 1440) + d.dy >= 0
+                  AND (r.cell // 1440) + d.dy < 720
+            ),
+            agg AS (
+                SELECT t_cell AS cell,
+                       COUNT(*) AS n_nbrs,
+                       CAST(SUM(v) AS BIGINT) AS nbr_sum
+                FROM fan GROUP BY 1
+            ),
+            tot AS (
+                SELECT COUNT(*) AS n_cells,
+                       CAST(SUM(n_pages) AS BIGINT) AS tot_v,
+                       SUM(CAST(n_pages AS HUGEINT) * n_pages) AS tot_sq
+                FROM rollup
+            ),
+            gi AS (
+                SELECT r.cell, a.n_nbrs, a.nbr_sum,
+                       CAST(t.n_cells AS HUGEINT) * a.nbr_sum
+                         - CAST(t.tot_v AS HUGEINT) * a.n_nbrs AS A,
+                       CAST(t.n_cells AS HUGEINT) * t.tot_sq
+                         - CAST(t.tot_v AS HUGEINT) * t.tot_v AS X,
+                       CAST(t.n_cells AS HUGEINT) * a.n_nbrs
+                         - CAST(a.n_nbrs AS HUGEINT) * a.n_nbrs AS Y,
+                       t.n_cells
+                FROM rollup r JOIN agg a ON a.cell = r.cell
+                CROSS JOIN tot t
+            )
+            SELECT cell, n_nbrs, nbr_sum,
+                   CAST(A AS BIGINT) AS gi_num,
+                   (A > 0 AND A*A*(n_cells-1)*1 >= 4*X*Y) AS hot,
+                   (A < 0 AND A*A*(n_cells-1)*1 >= 4*X*Y) AS cold
+            FROM gi
         """),
         "tile_kde": _with_pages(f"""
             , rollup AS (

@@ -2128,6 +2128,81 @@ def tile_focal_stats(
     )
 
 
+def tile_hotspots(
+    cells: DataFrame,
+    value_col: str = "n_pages",
+    res_deg: float = DEFAULT_RES_DEG,
+    z_num: int = 2,
+    z_den: int = 1,
+) -> DataFrame:
+    """Getis-Ord Gi* hot/cold-spot classification over the aggregate
+    raster — the local spatial statistic behind every "where is
+    activity anomalously dense" map (the inferential upgrade of
+    detect_hot_cells' plain quantile cut: a cell is HOT only when its
+    3×3 neighborhood sum exceeds the global mean by ≥ z standard
+    errors under the randomization null).
+
+    Exactness: the Gi* z-score is float-and-sqrt territory, so instead
+    of computing z the operator evaluates the EQUIVALENT cross-
+    multiplied integer inequality
+
+        hot  ⟺  A > 0  ∧  A²·(N−1)·z_den² ≥ z_num²·X·Y
+        cold ⟺  A < 0  ∧  same magnitude test
+        A = N·S_i − T·nᵢ,  X = N·SS − T²,  Y = N·nᵢ − nᵢ²
+
+    (S_i focal sum, nᵢ neighborhood size, N cells, T total, SS sum of
+    squares) with the wide products in decimal(38,0) — Spark's decimal
+    math and DuckDB's HUGEINT both evaluate them exactly, so the flag
+    is hash-stable across engines.  Headroom: A²·N·z_den² tops out
+    ~10³⁶ at N=10⁸ cells, T=10¹² points, 10× hotspots — inside
+    decimal(38)'s 10³⁸ with two digits to spare (bounds are per-term,
+    stated so a 1000× scale-up re-checks them, the polygon_stats
+    discipline).
+
+    Plan: tile_focal_stats' one ×9 aggregate-raster fan-out + one
+    global 1-row aggregate broadcast-cross-joined back — the point
+    table is never touched.  Neighborhood support follows the raster
+    (absent cells contribute nothing), the standard Gi* convention on
+    sparse rasters.
+
+    Returns (cell, n_nbrs, nbr_sum, gi_num=A, hot, cold)."""
+    dec = "decimal(38,0)"
+    focal = tile_focal_stats(cells, value_col, res_deg).select(
+        "cell", "n_nbrs", "nbr_sum"
+    )
+    tot = cells.agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        F.sum(value_col).cast("bigint").alias("tot_v"),
+        F.sum(F.col(value_col).cast(dec) * F.col(value_col))
+        .cast(dec).alias("tot_sq"),
+    )
+    j = focal.crossJoin(F.broadcast(tot))
+    a = (
+        F.col("n_cells").cast(dec) * F.col("nbr_sum")
+        - F.col("tot_v").cast(dec) * F.col("n_nbrs")
+    )
+    x = (
+        F.col("n_cells").cast(dec) * F.col("tot_sq")
+        - F.col("tot_v").cast(dec) * F.col("tot_v")
+    )
+    y = (
+        F.col("n_cells").cast(dec) * F.col("n_nbrs")
+        - F.col("n_nbrs").cast(dec) * F.col("n_nbrs")
+    )
+    sig = (
+        a * a * (F.col("n_cells").cast(dec) - 1) * F.lit(z_den * z_den)
+        >= F.lit(z_num * z_num).cast(dec) * x * y
+    )
+    return j.select(
+        "cell",
+        "n_nbrs",
+        "nbr_sum",
+        a.cast("bigint").alias("gi_num"),
+        (sig & (a > 0)).alias("hot"),
+        (sig & (a < 0)).alias("cold"),
+    )
+
+
 def tile_kernel_density(
     cells: DataFrame,
     value_col: str,
