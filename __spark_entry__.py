@@ -32,6 +32,7 @@ from openstreetmap_license_change_spark.operators import (
     hull,
     lineage,
     similarity,
+    sketches,
     snapshots,
     spatial,
     textops,
@@ -1227,6 +1228,17 @@ def q_doc_pagerank(spark, sf_dir):
     return out.select(F.col("node").alias("doc_id"), "rank_q")
 
 
+def q_kmv_distinct_docs(spark, sf_dir):
+    """Per-lang distinct-document cardinality via the deterministic
+    KMV bottom-k sketch (operators/sketches.py) at k=16 — exercising
+    the estimator path (every lang holds ≫16 docs at sf ≥ 0.01) with
+    a WindowGroupLimit partial top-k.  The DuckDB oracle replays the
+    identical hash and estimator, so the sketch is hash-verified —
+    something approx_count_distinct's engine-private HLL can never be."""
+    pages = _pages(spark, sf_dir).select("lang", "doc_id")
+    return sketches.kmv_distinct(pages, "lang", "doc_id", k=16)
+
+
 def q_rare_token_ratio(spark, sf_dir):
     """Cross-document vocabulary-rarity quality signal
     (textops.rare_token_ratio): fraction of each doc's distinct tokens
@@ -2075,6 +2087,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_topk": q_tfidf_topk,
         "rare_token_ratio": q_rare_token_ratio,
         "doc_pagerank": q_doc_pagerank,
+        "kmv_distinct_docs": q_kmv_distinct_docs,
         "repetition_stats": q_repetition_stats,
         "passage_dedup": q_passage_dedup,
         "pii_scrub": q_pii_scrub,
@@ -4312,6 +4325,11 @@ def oracle_sql() -> dict[str, str]:
                 iterations=PR_ITERATIONS,
             )})
         """,
+        "kmv_distinct_docs": _with_pages(
+            ", " + sketches.kmv_distinct_ctes(
+                "(SELECT lang, doc_id FROM pages)", "lang", "doc_id", k=16
+            )
+        ),
         "rare_token_ratio": """
             WITH toks AS (
                 SELECT DISTINCT doc_id, tok AS token

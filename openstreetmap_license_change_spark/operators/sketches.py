@@ -1,0 +1,129 @@
+"""Deterministic cardinality sketches.
+
+Spark's native ``approx_count_distinct`` is HyperLogLog++ with an
+engine-private hash — its estimates can't be reproduced by any other
+system, which breaks this engine's twin-oracle discipline and makes
+cross-system audits (the reference's candidate/region counters,
+run_candidates.rb / run_regions.rb tallies) unverifiable.  This module
+ships the KMV (k-minimum-values / bottom-k) estimator instead: keep
+the k smallest values of a deterministic integer hash over the
+DISTINCT elements; with F = kth-smallest-hash / 2³², the classic
+estimator D̂ = (k−1)/F is ``(k−1)·2³² DIV kth`` — pure int64, so Spark
+and DuckDB agree bit-for-bit, and the sketch itself (the k-min set) is
+MERGEABLE: union two groups' sets and re-take the k smallest, giving
+Iceberg-manifest-style distributed rollups without re-scanning.
+
+Scale: the per-group top-k-by-hash is a rank window that Spark
+executes as WindowGroupLimit — each map task keeps only k rows per
+group before the shuffle, so the shuffle volume is min(|group|, k)
+rows per group regardless of group size (the house group-top-k
+pattern, shared with sampling.lang_topk_quality).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import functions as F
+
+# Knuth multiplicative constant (2⁶⁴/φ truncated to 32 bits, odd)
+_KMV_MULT = 2654435761
+_TWO31 = 2_147_483_648
+_TWO32 = 4_294_967_296
+
+
+def kmv_hash(v) -> F.Column:
+    """Deterministic 32-bit mix of a non-negative integer column, with
+    every intermediate inside int64 (Spark would silently wrap a 64-bit
+    overflow while DuckDB raises — so the expression is SIZED never to
+    overflow: (v mod 2³¹)·MULT < 2⁶² ).  A single Knuth multiplicative
+    round, then a xor-fold of the high bits to de-correlate low-bit
+    patterns of sequential ids."""
+    h = F.pmod(v, F.lit(_TWO31)) * F.lit(_KMV_MULT) % F.lit(_TWO32)
+    return h.bitwiseXOR(F.shiftright(h, 16)) % F.lit(_TWO32)
+
+
+def kmv_hash_sql(expr: str) -> str:
+    """DuckDB twin of :func:`kmv_hash` (xor(); same wrap-free sizing)."""
+    h = f"((({expr}) % {_TWO31}) * {_KMV_MULT}) % {_TWO32}"
+    return f"xor({h}, ({h}) >> 16) % {_TWO32}"
+
+
+def kmv_distinct(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    k: int = 64,
+) -> DataFrame:
+    """Per-group distinct-cardinality estimate via the bottom-``k``
+    hash sketch.  Groups with fewer than ``k`` distinct values are
+    EXACT (the sketch holds them all); larger groups estimate with the
+    KMV formula, relative error ~ 1/√k.
+
+    Returns (group, n_kept, kth_hash, est_distinct):
+      n_kept < k        → est_distinct = n_kept (exact count)
+      n_kept = k        → est_distinct = (k−1)·2³² DIV kth_hash
+    Hash ties cannot split the verdict: ranking breaks ties by the raw
+    value, and the kth hash enters the estimate identically either
+    way."""
+    if k < 2:
+        raise ValueError(f"k must be ≥ 2, got {k}")
+    vals = df.select(group_col, value_col).distinct()
+    h = kmv_hash(F.col(value_col)).alias("_h")
+    w = W.partitionBy(group_col).orderBy("_h", value_col)
+    kept = (
+        vals.select(group_col, value_col, h)
+        .withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") <= k)
+    )
+    return kept.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.max("_h").alias("kth_hash"),
+    ).select(
+        group_col,
+        "n_kept",
+        "kth_hash",
+        F.when(F.col("n_kept") < k, F.col("n_kept"))
+        .otherwise(
+            # GREATEST guards the degenerate all-hashes-zero group
+            # (DuckDB raises on //0, Spark nulls on DIV 0)
+            F.expr(f"({k - 1} * {_TWO32}) DIV GREATEST(kth_hash, 1)")
+        )
+        .cast("bigint")
+        .alias("est_distinct"),
+    )
+
+
+def kmv_distinct_sql(
+    src: str, group_col: str, value_col: str, k: int = 64
+) -> str:
+    """DuckDB twin of :func:`kmv_distinct` (standalone statement)."""
+    return "WITH " + kmv_distinct_ctes(src, group_col, value_col, k)
+
+
+def kmv_distinct_ctes(
+    src: str, group_col: str, value_col: str, k: int = 64
+) -> str:
+    """The twin WITHOUT the leading WITH, appendable to an existing
+    CTE list (the oracle-prelude pattern shared with snapshots)."""
+    h = kmv_hash_sql(value_col)
+    return f"""
+        kmv_vals AS (
+            SELECT DISTINCT {group_col}, {value_col} FROM {src}
+        ),
+        kmv_ranked AS (
+            SELECT {group_col}, {h} AS _h,
+                   ROW_NUMBER() OVER (PARTITION BY {group_col}
+                                      ORDER BY {h}, {value_col}) AS _rk
+            FROM kmv_vals
+        ),
+        kmv_kept AS (
+            SELECT {group_col}, _h FROM kmv_ranked WHERE _rk <= {k}
+        )
+        SELECT {group_col},
+               COUNT(*) AS n_kept,
+               MAX(_h) AS kth_hash,
+               CAST(CASE WHEN COUNT(*) < {k} THEN COUNT(*)
+                    ELSE ({k - 1} * {_TWO32}) // GREATEST(MAX(_h), 1) END
+                    AS BIGINT) AS est_distinct
+        FROM kmv_kept GROUP BY {group_col}
+    """
