@@ -604,6 +604,17 @@ def q_tile_hotspots(spark, sf_dir):
     return spatial.tile_hotspots(rollup, "n_pages")
 
 
+def q_tile_trend(spark, sf_dir):
+    """Mann-Kendall per-cell activity trend (spatial.tile_trend) over
+    the version axis — rank-based S in pure integers, zero-densified
+    bins, the 'emerging hotspot' temporal half next to tile_hotspots."""
+    flagged = _pages_flagged(spark, sf_dir)
+    cells = spatial.assign_cells(flagged)
+    return spatial.tile_trend(
+        cells.select("cell", "version"), time_col="version", n_bins=4
+    )
+
+
 def q_tile_kde(spark, sf_dir):
     """Separable-binomial kernel density over the tile_rollup raster
     (spatial.tile_kernel_density, radius 2 → 5×5 discrete Gaussian,
@@ -2050,6 +2061,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_diff": q_snapshot_diff,
         "simplify_lines": q_simplify_lines,
         "tile_hotspots": q_tile_hotspots,
+        "tile_trend": q_tile_trend,
         "hex_rollup": q_hex_rollup,
         "hex_focal_mean": q_hex_focal_mean,
         "polygon_stats": q_polygon_stats,
@@ -3011,6 +3023,14 @@ def oracle_sql() -> dict[str, str]:
                    (a.nbr_sum * 1000000) // a.n_nbrs AS focal_mean_m
             FROM rollup r JOIN agg a ON a.cell = r.cell
         """),
+        "tile_trend": _with_pages(
+            ", " + spatial.tile_trend_ctes(
+                "(SELECT " + spatial.grid_cell_sql("lon", "lat")
+                + " AS cell, version FROM pages p "
+                + "JOIN cs_status s USING (changeset_id))",
+                time_col="version", n_bins=4,
+            )
+        ),
         "tile_hotspots": _with_pages(f"""
             , rollup AS (
                 SELECT {cell} AS cell, COUNT(*) AS n_pages

@@ -2203,6 +2203,121 @@ def tile_hotspots(
     )
 
 
+def tile_trend(
+    pages_with_cells: DataFrame,
+    time_col: str = "version",
+    n_bins: int = 4,
+    min_s: int = 2,
+) -> DataFrame:
+    """Mann-Kendall trend classification per cell — the temporal
+    companion of :func:`tile_hotspots` (ArcGIS calls the pair
+    "emerging hotspot analysis"): is a cell's activity RISING or
+    FALLING across time bins, judged by the rank-based S statistic
+
+        S = Σ_{i<j} sign(cₜⱼ − cₜᵢ)   over bins 1..n_bins
+
+    which is pure integer arithmetic (no mean, no variance, no float)
+    and immune to outlier magnitudes.  Bins a cell never saw count as
+    ZERO activity — the series is densified per cell, the standard MK
+    convention on count series (skipping absent bins would silently
+    turn "appeared recently" into "flat").
+
+    ``trend`` is 'up' if S ≥ ``min_s``, 'down' if S ≤ −min_s, else
+    'flat'; with n_bins=4, |S| ≤ 6 and min_s=2 ≈ one-sided p<0.2 under
+    the permutation null — callers wanting significance pass a larger
+    min_s (the full normal-approximation variance needs tie terms;
+    over a 4-to-12-bin series the exact integer threshold is both
+    simpler and honest).
+
+    Plan: counts aggregate per (cell, bin) first (the point table's
+    only shuffle); densify via one explode(sequence) on the DISTINCT
+    cell list; the pairwise sign sum fans each cell ×n_bins(n_bins−1)/2
+    on the AGGREGATE (6 rows per cell at 4 bins) via a bin range-join
+    that Spark broadcasts.  Returns (cell, s_stat, trend)."""
+    if n_bins < 2:
+        raise ValueError(f"n_bins must be ≥ 2, got {n_bins}")
+    counts = pages_with_cells.groupBy(
+        "cell", F.col(time_col).cast("int").alias("_bin")
+    ).agg(F.count(F.lit(1)).alias("_c"))
+    dense = (
+        counts.select("cell").distinct()
+        .select(
+            "cell",
+            F.explode(
+                F.sequence(F.lit(1), F.lit(int(n_bins)))
+            ).alias("_bin"),
+        )
+        .join(counts, ["cell", "_bin"], "left")
+        .withColumn("_c", F.coalesce(F.col("_c"), F.lit(0)))
+    )
+    a = dense.select(
+        "cell", F.col("_bin").alias("_bi"), F.col("_c").alias("_ci")
+    )
+    b = dense.select(
+        F.col("cell").alias("_cell2"),
+        F.col("_bin").alias("_bj"),
+        F.col("_c").alias("_cj"),
+    )
+    pairs = a.join(
+        b,
+        (a.cell == F.col("_cell2")) & (F.col("_bi") < F.col("_bj")),
+    )
+    s = pairs.groupBy("cell").agg(
+        F.sum(F.signum(F.col("_cj") - F.col("_ci")).cast("int"))
+        .cast("bigint")
+        .alias("s_stat")
+    )
+    return s.select(
+        "cell",
+        "s_stat",
+        F.when(F.col("s_stat") >= min_s, F.lit("up"))
+        .when(F.col("s_stat") <= -min_s, F.lit("down"))
+        .otherwise(F.lit("flat"))
+        .alias("trend"),
+    )
+
+
+def tile_trend_sql(
+    src: str, time_col: str = "version", n_bins: int = 4, min_s: int = 2
+) -> str:
+    """DuckDB twin of :func:`tile_trend`; ``src`` must expose cell +
+    ``time_col`` (one row per page).  Standalone statement."""
+    return "WITH " + tile_trend_ctes(src, time_col, n_bins, min_s)
+
+
+def tile_trend_ctes(
+    src: str, time_col: str = "version", n_bins: int = 4, min_s: int = 2
+) -> str:
+    """The twin without the leading WITH (oracle-prelude appendable)."""
+    return f"""
+        mk_counts AS (
+            SELECT cell, CAST({time_col} AS INTEGER) AS b,
+                   COUNT(*) AS c
+            FROM {src} GROUP BY 1, 2
+        ),
+        mk_dense AS (
+            SELECT g.cell, g.b, COALESCE(mk_counts.c, 0) AS c
+            FROM (
+                SELECT DISTINCT cell, UNNEST(range(1, {n_bins} + 1)) AS b
+                FROM mk_counts
+            ) g
+            LEFT JOIN mk_counts USING (cell, b)
+        ),
+        mk_s AS (
+            SELECT i.cell,
+                   CAST(SUM(SIGN(j.c - i.c)) AS BIGINT) AS s_stat
+            FROM mk_dense i
+            JOIN mk_dense j ON i.cell = j.cell AND i.b < j.b
+            GROUP BY i.cell
+        )
+        SELECT cell, s_stat,
+               CASE WHEN s_stat >= {min_s} THEN 'up'
+                    WHEN s_stat <= -{min_s} THEN 'down'
+                    ELSE 'flat' END AS trend
+        FROM mk_s
+    """
+
+
 def tile_kernel_density(
     cells: DataFrame,
     value_col: str,
