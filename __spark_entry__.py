@@ -448,6 +448,24 @@ def q_simplify_lines(spark, sf_dir):
     )
 
 
+def q_od_flows(spark, sf_dir):
+    """Origin-destination flow matrix (spatial.od_flows) over the
+    per-lang doc-ordered tracks at 4°: one LAG window + one pair
+    groupBy; self-flows kept and flagged."""
+    latest = lineage.latest_version(
+        _pages(spark, sf_dir), cols=["lang", "lon", "lat", "doc_id"]
+    )
+    return spatial.od_flows(latest, id_col="lang", order_col="doc_id")
+
+
+def q_collocations(spark, sf_dir):
+    """PMI-monotone collocation mining (textops.collocations): exact
+    integer association scores over adjacent token pairs, min_count
+    small-sample guard, decimal(38)/HUGEINT wide product."""
+    docs = pages_src.documents(spark, sf_dir)
+    return textops.collocations(docs, min_count=3)
+
+
 def q_segment_cells_rollup(spark, sf_dir):
     """Supercover segment→tile rollup (spatial.segment_cells): every
     5° grid cell each per-lang polyline segment TOUCHES — the rigorous
@@ -2062,6 +2080,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simplify_lines": q_simplify_lines,
         "tile_hotspots": q_tile_hotspots,
         "tile_trend": q_tile_trend,
+        "od_flows": q_od_flows,
+        "collocations": q_collocations,
         "hex_rollup": q_hex_rollup,
         "hex_focal_mean": q_hex_focal_mean,
         "polygon_stats": q_polygon_stats,
@@ -2842,6 +2862,19 @@ def oracle_sql() -> dict[str, str]:
             SELECT cell_x, cell_y, COUNT(*) AS n_segments
             FROM cells GROUP BY 1, 2
         """),
+        "od_flows": _with_pages(f"""
+            , latest AS (
+                SELECT url, lang, lon, lat, doc_id FROM (
+                    SELECT p.*, ROW_NUMBER() OVER (
+                        PARTITION BY url ORDER BY version DESC) AS rn
+                    FROM pages p
+                ) t WHERE rn = 1
+            )
+            {spatial.od_flows_sql('latest', 'lang', 'doc_id')}
+        """),
+        "collocations": textops.collocations_sql(
+            "documents", min_count=3
+        ),
         "simplify_lines": _with_pages(f"""
             , latest AS (
                 SELECT url, lang, lon, lat, doc_id FROM (

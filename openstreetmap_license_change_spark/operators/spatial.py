@@ -2318,6 +2318,73 @@ def tile_trend_ctes(
     """
 
 
+def od_flows(
+    points: DataFrame,
+    id_col: str,
+    order_col: str,
+    res_deg: float = 4.0,
+    lon: str = "lon",
+    lat: str = "lat",
+) -> DataFrame:
+    """Origin-destination flow matrix: consecutive point pairs of each
+    ordered track, rolled up to (cell_from, cell_to) counts — the
+    standard mobility/flow aggregation (desire-line maps, recrawl
+    routing between regions), and the directed-graph view of the same
+    track layer ``polyline_length`` and ``trip_segments`` measure.
+
+    Self-flows (both endpoints in one cell) are KEPT and flagged
+    (``intra``) rather than dropped — at coarse resolutions they are
+    the majority of movement and dropping them silently would misstate
+    totals (Σ n_flows == Σ per-track segments, asserted in tests).
+
+    Plan: one LAG window per (id, order) — the single shuffle of the
+    point table — then a map-side-combining groupBy on the cell pair.
+    Output: cell_from, cell_to, n_flows, intra."""
+    wu = W.partitionBy(id_col).orderBy(order_col)
+    cells = points.select(
+        F.col(id_col),
+        grid_cell(F.col(lon), F.col(lat), res_deg).alias("_cell"),
+        F.col(order_col),
+    ).select(
+        "_cell",
+        F.lag("_cell").over(wu).alias("_pcell"),
+    )
+    return (
+        cells.where(F.col("_pcell").isNotNull())
+        .groupBy(
+            F.col("_pcell").alias("cell_from"),
+            F.col("_cell").alias("cell_to"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_flows"))
+        .withColumn("intra", F.col("cell_from") == F.col("cell_to"))
+    )
+
+
+def od_flows_sql(
+    src: str,
+    id_col: str,
+    order_col: str,
+    res_deg: float = 4.0,
+    lon: str = "lon",
+    lat: str = "lat",
+) -> str:
+    """DuckDB twin of :func:`od_flows` (standalone SELECT)."""
+    cell = grid_cell_sql(lon, lat, res_deg)
+    return f"""
+        SELECT _pcell AS cell_from, _cell AS cell_to,
+               COUNT(*) AS n_flows,
+               (_pcell = _cell) AS intra
+        FROM (
+            SELECT {cell} AS _cell,
+                   LAG({cell}) OVER (PARTITION BY {id_col}
+                                     ORDER BY {order_col}) AS _pcell
+            FROM {src}
+        )
+        WHERE _pcell IS NOT NULL
+        GROUP BY 1, 2
+    """
+
+
 def tile_kernel_density(
     cells: DataFrame,
     value_col: str,

@@ -290,6 +290,118 @@ def rare_token_ratio(
     )
 
 
+def collocations(
+    docs: DataFrame,
+    min_count: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus collocation mining: adjacent token pairs scored by the
+    PMI-monotone integer statistic
+
+        score_m = (c_ab · N · 10⁶) DIV (c_a · c_b)
+
+    (c_ab bigram count, c_a/c_b unigram counts over the SAME stream,
+    N total bigrams).  PMI itself is log(score_m/10⁶) — a monotone
+    transform, so ranking and thresholding are unchanged while the
+    score stays exactly reproducible (the tfidf_topk discipline: the
+    log variant would be float-fragile on near-ties).  Pairs below
+    ``min_count`` are dropped — the standard PMI small-sample guard
+    (a hapax pair always looks maximally associated).
+
+    The wide product c_ab·N·10⁶ runs in decimal(38,0) (HUGEINT in the
+    twin): headroom to N ≈ 10¹⁵ bigrams before 10³⁸, and the DIV
+    result is ≤ N·10⁶ — back inside int64 for the output.
+
+    Plan: one posexplode + LEAD window keyed by doc (the token
+    stream's only wide shuffle), then three map-side-combining
+    groupBys (bigram, unigram, the 1-row total broadcast back) and two
+    token-keyed joins — Zipf-head skew on the join is AQE's case.
+    Output: (tok_a, tok_b, pair_n, score_m)."""
+    from pyspark.sql import Window as W
+
+    toks = docs.select(
+        id_col,
+        F.posexplode(
+            F.split(F.lower(F.col(text_col)), r"\s+")
+        ).alias("pos", "token"),
+    ).where(F.col("token") != "")
+    w = W.partitionBy(id_col).orderBy("pos")
+    bi = toks.select(
+        F.col("token").alias("tok_a"),
+        F.lead("token").over(w).alias("tok_b"),
+    ).where(F.col("tok_b").isNotNull())
+    pair_n = bi.groupBy("tok_a", "tok_b").agg(
+        F.count(F.lit(1)).alias("pair_n")
+    )
+    uni = toks.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    total = bi.agg(F.count(F.lit(1)).alias("n_bigrams"))
+    dec = "decimal(38,0)"
+    return (
+        pair_n.where(F.col("pair_n") >= min_count)
+        .join(uni.select(F.col("token").alias("tok_a"),
+                         F.col("cnt").alias("_ca")), "tok_a")
+        .join(uni.select(F.col("token").alias("tok_b"),
+                         F.col("cnt").alias("_cb")), "tok_b")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "tok_a", "tok_b", "pair_n",
+            F.expr(
+                f"CAST((CAST(pair_n AS {dec}) * n_bigrams * 1000000) "
+                f"DIV (CAST(_ca AS {dec}) * _cb) AS BIGINT)"
+            ).alias("score_m"),
+        )
+    )
+
+
+def collocations_sql(
+    src: str,
+    min_count: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """DuckDB twin of :func:`collocations` (standalone statement)."""
+    return f"""
+        WITH col_split AS (
+            SELECT {id_col},
+                   string_split_regex(lower({text_col}), '\\s+') AS ws
+            FROM {src}
+        ),
+        col_toks AS (
+            SELECT {id_col}, u.i AS pos, ws[u.i] AS token
+            FROM col_split,
+                 LATERAL (SELECT UNNEST(range(1, len(ws) + 1)) AS i) u
+            WHERE ws[u.i] <> ''
+        ),
+        col_bi AS (
+            SELECT token AS tok_a,
+                   LEAD(token) OVER (PARTITION BY {id_col}
+                                     ORDER BY pos) AS tok_b
+            FROM col_toks
+        ),
+        col_pairs AS (
+            SELECT tok_a, tok_b, COUNT(*) AS pair_n
+            FROM col_bi WHERE tok_b IS NOT NULL GROUP BY 1, 2
+        ),
+        col_uni AS (
+            SELECT token, COUNT(*) AS cnt FROM col_toks GROUP BY 1
+        ),
+        col_tot AS (
+            SELECT COUNT(*) AS n_bigrams FROM col_bi
+            WHERE tok_b IS NOT NULL
+        )
+        SELECT p.tok_a, p.tok_b, p.pair_n,
+               CAST((CAST(p.pair_n AS HUGEINT) * t.n_bigrams * 1000000)
+                    // (CAST(a.cnt AS HUGEINT) * b.cnt)
+                    AS BIGINT) AS score_m
+        FROM col_pairs p
+        JOIN col_uni a ON a.token = p.tok_a
+        JOIN col_uni b ON b.token = p.tok_b
+        CROSS JOIN col_tot t
+        WHERE p.pair_n >= {min_count}
+    """
+
+
 def rolling_fingerprint(text: Column) -> Column:
     """Polynomial rolling-hash fingerprint over the first 64 chars,
     Horner form: acc = (acc·31 + codepoint) mod p at every step, so
