@@ -633,6 +633,21 @@ def q_tile_trend(spark, sf_dir):
     )
 
 
+def q_tile_join_counts(spark, sf_dir):
+    """Global join-count spatial autocorrelation
+    (spatial.tile_join_counts) of the tainted/clean binary raster:
+    BB/BW/WW queen-pair counts, each undirected pair once, all
+    integers."""
+    flagged = _pages_flagged(spark, sf_dir)
+    cells = spatial.assign_cells(flagged).withColumn(
+        "tainted", ~F.col("accepted")
+    )
+    rollup = spatial.tile_rollup(cells).select(
+        "cell", (F.col("n_tainted") > 0).alias("any_taint")
+    )
+    return spatial.tile_join_counts(rollup, "any_taint")
+
+
 def q_tile_kde(spark, sf_dir):
     """Separable-binomial kernel density over the tile_rollup raster
     (spatial.tile_kernel_density, radius 2 → 5×5 discrete Gaussian,
@@ -2081,6 +2096,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_hotspots": q_tile_hotspots,
         "tile_trend": q_tile_trend,
         "od_flows": q_od_flows,
+        "tile_join_counts": q_tile_join_counts,
         "collocations": q_collocations,
         "hex_rollup": q_hex_rollup,
         "hex_focal_mean": q_hex_focal_mean,
@@ -3064,6 +3080,16 @@ def oracle_sql() -> dict[str, str]:
                 time_col="version", n_bins=4,
             )
         ),
+        "tile_join_counts": _with_pages(f"""
+            , jc_rollup AS (
+                SELECT {cell} AS cell,
+                       (SUM(CASE WHEN NOT accepted THEN 1 ELSE 0 END) > 0)
+                           AS any_taint
+                FROM pages p JOIN cs_status s USING (changeset_id)
+                GROUP BY 1
+            )
+            , {spatial.tile_join_counts_ctes('jc_rollup', 'any_taint')}
+        """),
         "tile_hotspots": _with_pages(f"""
             , rollup AS (
                 SELECT {cell} AS cell, COUNT(*) AS n_pages

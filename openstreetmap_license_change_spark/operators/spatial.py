@@ -2385,6 +2385,122 @@ def od_flows_sql(
     """
 
 
+def tile_join_counts(
+    cells: DataFrame,
+    flag_col: str,
+    res_deg: float = DEFAULT_RES_DEG,
+) -> DataFrame:
+    """Global join-count statistic over a binary raster — the classic
+    test for spatial autocorrelation of a two-color map (Cliff & Ord):
+    count queen-adjacent cell pairs by color class, BB (both flagged),
+    WW (neither), BW (mixed).  Clustered taint shows as BB ≫ expected
+    and BW ≪; a checkerboard inverts it.  The GLOBAL companion of the
+    local :func:`tile_hotspots` — same raster, opposite scope — and
+    all plain integers, so the DuckDB twin hash-matches without any
+    variance approximation (callers compare against the permutation
+    null themselves; the raw counts are the sufficient statistics).
+
+    Adjacency = queen (8-neighbor) among PRESENT cells only, each
+    undirected pair counted ONCE: every cell emits its 4 "forward"
+    neighbors (E, SW, S, SE) and the pair is joined against the
+    raster, so a pair appears exactly once — by its west/north member.
+    Longitude wraps at ±180°; requires ≥ 5 grid columns so a forward
+    wrap can't re-emit a pair its partner already emitted (raises
+    otherwise — degenerate 1-4-column planets are display toys).
+
+    Plan: the ×4 fan-out runs on the AGGREGATE raster and the join
+    back is an equi-join on the neighbor cell id; one final 1-row
+    aggregation.  Output: (n_cells, n_pairs, bb, bw, ww)."""
+    cols = int(360 / res_deg)
+    rows_n = int(180 / res_deg)
+    if cols < 5:
+        raise ValueError(
+            f"res_deg {res_deg} gives {cols} grid columns; need ≥ 5 "
+            "for once-per-pair forward adjacency under lon wrap"
+        )
+    lat_b = F.floor(F.col("cell") / F.lit(cols))
+    lon_b = F.col("cell") % F.lit(cols)
+    fwd = []
+    for dy, dx in ((0, 1), (1, -1), (1, 0), (1, 1)):
+        t_lat = lat_b + F.lit(dy)
+        t_lon = (lon_b + F.lit(dx) + F.lit(cols)) % F.lit(cols)
+        fwd.append(
+            F.when(
+                (t_lat >= 0) & (t_lat < rows_n),
+                (t_lat * F.lit(cols) + t_lon).cast("bigint"),
+            )
+        )
+    fan = cells.select(
+        F.col(flag_col).cast("int").alias("_b1"),
+        F.explode(F.array_compact(F.array(*fwd))).alias("_nbr"),
+    )
+    paired = fan.join(
+        cells.select(
+            F.col("cell").alias("_nbr"),
+            F.col(flag_col).cast("int").alias("_b2"),
+        ),
+        "_nbr",
+    )
+    n_cells = cells.count()
+    return paired.agg(
+        F.lit(n_cells).cast("bigint").alias("n_cells"),
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.coalesce(F.sum(F.col("_b1") * F.col("_b2")), F.lit(0))
+        .cast("bigint").alias("bb"),
+        F.coalesce(
+            F.sum((F.col("_b1") + F.col("_b2") == 1).cast("int")),
+            F.lit(0),
+        ).cast("bigint").alias("bw"),
+        F.coalesce(
+            F.sum(((F.col("_b1") == 0) & (F.col("_b2") == 0)).cast("int")),
+            F.lit(0),
+        ).cast("bigint").alias("ww"),
+    )
+
+
+def tile_join_counts_sql(
+    src: str, flag_col: str, res_deg: float = DEFAULT_RES_DEG
+) -> str:
+    """DuckDB twin of :func:`tile_join_counts`; ``src`` must expose
+    cell + ``flag_col`` (boolean), one row per present cell."""
+    return "WITH " + tile_join_counts_ctes(src, flag_col, res_deg)
+
+
+def tile_join_counts_ctes(
+    src: str, flag_col: str, res_deg: float = DEFAULT_RES_DEG
+) -> str:
+    """The twin without the leading WITH (oracle-prelude appendable)."""
+    cols = int(360 / res_deg)
+    rows_n = int(180 / res_deg)
+    return f"""
+        jc_src AS (
+            SELECT cell, CAST({flag_col} AS INTEGER) AS b FROM {src}
+        ),
+        jc_fan AS (
+            SELECT s.b AS b1,
+                   (((s.cell // {cols}) + d.dy) * {cols}
+                    + ((s.cell % {cols}) + d.dx + {cols}) % {cols}) AS nbr
+            FROM jc_src s CROSS JOIN (VALUES
+                 (0,1),(1,-1),(1,0),(1,1)) d(dy, dx)
+            WHERE (s.cell // {cols}) + d.dy >= 0
+              AND (s.cell // {cols}) + d.dy < {rows_n}
+        ),
+        jc_pairs AS (
+            SELECT f.b1, s.b AS b2
+            FROM jc_fan f JOIN jc_src s ON s.cell = f.nbr
+        )
+        SELECT (SELECT COUNT(*) FROM jc_src) AS n_cells,
+               COUNT(*) AS n_pairs,
+               CAST(COALESCE(SUM(b1 * b2), 0) AS BIGINT) AS bb,
+               CAST(COALESCE(SUM(CASE WHEN b1 + b2 = 1 THEN 1 ELSE 0 END),
+                             0) AS BIGINT) AS bw,
+               CAST(COALESCE(SUM(CASE WHEN b1 = 0 AND b2 = 0
+                                      THEN 1 ELSE 0 END), 0)
+                    AS BIGINT) AS ww
+        FROM jc_pairs
+    """
+
+
 def tile_kernel_density(
     cells: DataFrame,
     value_col: str,
