@@ -648,6 +648,34 @@ def q_tile_join_counts(spark, sf_dir):
     return spatial.tile_join_counts(rollup, "any_taint")
 
 
+def _q_rollup_cells(spark, sf_dir):
+    flagged = _pages_flagged(spark, sf_dir)
+    cells = spatial.assign_cells(flagged).withColumn(
+        "tainted", ~F.col("accepted")
+    )
+    return spatial.tile_rollup(cells).select("cell")
+
+
+def q_tile_dilate(spark, sf_dir):
+    """Raster dilation (spatial.tile_dilate): queen-step buffer of the
+    occupied-cell support with source multiplicity — aggregate-only ×9
+    fan, wrap/clamp topology."""
+    return spatial.tile_dilate(_q_rollup_cells(spark, sf_dir))
+
+
+def q_tile_erode(spark, sf_dir):
+    """Raster erosion (spatial.tile_erode): interior cells whose whole
+    in-bounds queen neighborhood is occupied (complement vs the input
+    = the support boundary).  Runs at 10° where the sf0.01 support is
+    ~50% occupied — real erosion (at 0.25° the raster is all boundary,
+    at 20° it is fully dense; both ends are trivial)."""
+    flagged = _pages_flagged(spark, sf_dir)
+    support = flagged.groupBy(
+        spatial.grid_cell(F.col("lon"), F.col("lat"), 10.0).alias("cell")
+    ).agg(F.count(F.lit(1)).alias("_n")).select("cell")
+    return spatial.tile_erode(support, res_deg=10.0)
+
+
 def q_tile_kde(spark, sf_dir):
     """Separable-binomial kernel density over the tile_rollup raster
     (spatial.tile_kernel_density, radius 2 → 5×5 discrete Gaussian,
@@ -2097,6 +2125,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_trend": q_tile_trend,
         "od_flows": q_od_flows,
         "tile_join_counts": q_tile_join_counts,
+        "tile_dilate": q_tile_dilate,
+        "tile_erode": q_tile_erode,
         "collocations": q_collocations,
         "hex_rollup": q_hex_rollup,
         "hex_focal_mean": q_hex_focal_mean,
@@ -3080,6 +3110,22 @@ def oracle_sql() -> dict[str, str]:
                 time_col="version", n_bins=4,
             )
         ),
+        "tile_dilate": _with_pages(f"""
+            , morph_src AS (
+                SELECT {cell} AS cell
+                FROM pages p JOIN cs_status s USING (changeset_id)
+                GROUP BY 1
+            )
+            {spatial.tile_morphology_sql('morph_src', 'dilate')}
+        """),
+        "tile_erode": _with_pages(f"""
+            , morph_src AS (
+                SELECT {spatial.grid_cell_sql('lon', 'lat', 10.0)} AS cell
+                FROM pages GROUP BY 1
+            )
+            {spatial.tile_morphology_sql('morph_src', 'erode',
+                                         res_deg=10.0)}
+        """),
         "tile_join_counts": _with_pages(f"""
             , jc_rollup AS (
                 SELECT {cell} AS cell,

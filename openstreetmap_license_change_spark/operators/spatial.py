@@ -2501,6 +2501,115 @@ def tile_join_counts_ctes(
     """
 
 
+def tile_dilate(
+    cells: DataFrame, res_deg: float = DEFAULT_RES_DEG
+) -> DataFrame:
+    """Morphological DILATION of the raster support: every cell within
+    one queen step of an occupied cell (occupied cells included) — the
+    buffer/halo pass of raster algebra (coverage maps, search-region
+    expansion before an expensive exact join; the raster sibling of
+    covered_cells' vector buffers).  Same wrap/clamp topology as
+    :func:`tile_focal_stats`, same aggregate-only cost (×9 fan on
+    |cells| rows, one distinct-by-groupBy).  Output: (cell,
+    n_sources) where n_sources = how many occupied cells reach it —
+    the dilation with multiplicity, so erosion/opening compose from
+    the same pass."""
+    cols = int(360 / res_deg)
+    rows_n = int(180 / res_deg)
+    lat_b = F.floor(F.col("cell") / F.lit(cols))
+    lon_b = F.col("cell") % F.lit(cols)
+    targets = []
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            t_lat = lat_b + F.lit(dy)
+            t_lon = (lon_b + F.lit(dx) + F.lit(cols)) % F.lit(cols)
+            targets.append(
+                F.when(
+                    (t_lat >= 0) & (t_lat < rows_n),
+                    (t_lat * F.lit(cols) + t_lon).cast("bigint"),
+                )
+            )
+    fan = cells.select(
+        F.explode(
+            F.array_distinct(F.array_compact(F.array(*targets)))
+        ).alias("cell")
+    )
+    return fan.groupBy("cell").agg(
+        F.count(F.lit(1)).alias("n_sources")
+    )
+
+
+def tile_erode(
+    cells: DataFrame, res_deg: float = DEFAULT_RES_DEG
+) -> DataFrame:
+    """Morphological EROSION: occupied cells whose ENTIRE queen
+    neighborhood (every in-bounds neighbor; pole rows have smaller
+    neighborhoods by construction) is also occupied — the interior of
+    the support, whose complement against the input is the raster
+    BOUNDARY.  Computed from the SAME fan as :func:`tile_dilate` by
+    counting occupied neighbors and comparing against the cell's own
+    in-bounds neighborhood size (wrap-aware, no densified grid).
+    Output: the surviving (cell) rows."""
+    cols = int(360 / res_deg)
+    rows_n = int(180 / res_deg)
+    if cols < 3:
+        raise ValueError(
+            f"res_deg {res_deg} gives {cols} grid columns; erosion "
+            "needs ≥ 3 so the 8 queen neighbors are distinct cells"
+        )
+    lat_b = F.floor(F.col("cell") / F.lit(cols))
+    # in-bounds neighborhood size: 9, minus 3 per clamped lat row
+    nbhd = (
+        F.lit(9)
+        - F.when(lat_b == 0, 3).otherwise(0)
+        - F.when(lat_b == rows_n - 1, 3).otherwise(0)
+    )
+    focal = tile_focal_stats(
+        cells.withColumn("_one", F.lit(1)), "_one", res_deg
+    ).select("cell", "n_nbrs")
+    return (
+        focal.join(cells.select("cell"), "cell")
+        .where(F.col("n_nbrs") == nbhd)
+        .select("cell")
+    )
+
+
+def tile_morphology_sql(
+    src: str, op: str, res_deg: float = DEFAULT_RES_DEG
+) -> str:
+    """DuckDB twin of :func:`tile_dilate` / :func:`tile_erode`
+    (``op`` ∈ {'dilate', 'erode'}); ``src`` exposes one ``cell`` row
+    per occupied cell.  Standalone statement."""
+    cols = int(360 / res_deg)
+    rows_n = int(180 / res_deg)
+    fan = f"""
+        SELECT s.cell AS src_cell,
+               (((s.cell // {cols}) + d.dy) * {cols}
+                + ((s.cell % {cols}) + d.dx + {cols}) % {cols}) AS cell
+        FROM {src} s CROSS JOIN (VALUES
+             (-1,-1),(-1,0),(-1,1),(0,-1),(0,0),(0,1),
+             (1,-1),(1,0),(1,1)) d(dy, dx)
+        WHERE (s.cell // {cols}) + d.dy >= 0
+          AND (s.cell // {cols}) + d.dy < {rows_n}
+    """
+    if op == "dilate":
+        return (
+            f"SELECT cell, COUNT(DISTINCT src_cell) AS n_sources "
+            f"FROM ({fan}) GROUP BY 1"
+        )
+    if op == "erode":
+        return f"""
+            SELECT f.cell FROM ({fan}) f
+            JOIN {src} o ON o.cell = f.cell
+            GROUP BY f.cell
+            HAVING COUNT(DISTINCT f.src_cell) =
+                   9 - (CASE WHEN f.cell // {cols} = 0 THEN 3 ELSE 0 END)
+                     - (CASE WHEN f.cell // {cols} = {rows_n - 1}
+                             THEN 3 ELSE 0 END)
+        """
+    raise ValueError(f"op must be 'dilate' or 'erode', got {op!r}")
+
+
 def tile_kernel_density(
     cells: DataFrame,
     value_col: str,
