@@ -656,6 +656,22 @@ def _q_rollup_cells(spark, sf_dir):
     return spatial.tile_rollup(cells).select("cell")
 
 
+def q_tile_rollup_incremental(spark, sf_dir):
+    """Incremental rollup exactness (spatial.tile_rollup_merge): Spark
+    splits pages at version 2 (yesterday's corpus vs the crawl delta),
+    rolls each side up independently, and MERGES the aggregates; the
+    DuckDB oracle computes the full rollup directly.  Hash equality
+    proves merge(rollup(A), rollup(B)) == rollup(A∪B) — the Iceberg
+    snapshot-increment contract, driver-verified."""
+    flagged = _pages_flagged(spark, sf_dir)
+    cells = spatial.assign_cells(flagged).withColumn(
+        "tainted", ~F.col("accepted")
+    )
+    base = spatial.tile_rollup(cells.where(F.col("version") <= 2))
+    delta = spatial.tile_rollup(cells.where(F.col("version") > 2))
+    return spatial.tile_rollup_merge(base, delta)
+
+
 def q_tile_dilate(spark, sf_dir):
     """Raster dilation (spatial.tile_dilate): queen-step buffer of the
     occupied-cell support with source multiplicity — aggregate-only ×9
@@ -2125,6 +2141,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_trend": q_tile_trend,
         "od_flows": q_od_flows,
         "tile_join_counts": q_tile_join_counts,
+        "tile_rollup_incremental": q_tile_rollup_incremental,
         "tile_dilate": q_tile_dilate,
         "tile_erode": q_tile_erode,
         "collocations": q_collocations,
@@ -3110,6 +3127,21 @@ def oracle_sql() -> dict[str, str]:
                 time_col="version", n_bins=4,
             )
         ),
+        # the incremental query's oracle is deliberately the DIRECT
+        # full rollup: hash equality proves the merge path exact
+        "tile_rollup_incremental": _with_pages(f"""
+            SELECT cell, n_pages, n_tainted,
+                   ROUND(CAST(n_tainted AS DOUBLE) / n_pages, 6)
+                       AS taint_density
+            FROM (
+                SELECT {cell} AS cell,
+                       COUNT(*) AS n_pages,
+                       CAST(SUM(CAST(NOT s.accepted AS INT)) AS BIGINT)
+                           AS n_tainted
+                FROM pages p JOIN cs_status s USING (changeset_id)
+                GROUP BY 1
+            ) t
+        """),
         "tile_dilate": _with_pages(f"""
             , morph_src AS (
                 SELECT {cell} AS cell

@@ -2068,6 +2068,32 @@ def tile_rollup(pages_with_cells: DataFrame, taint_col: str = "tainted") -> Data
     )
 
 
+def tile_rollup_merge(base: DataFrame, delta: DataFrame) -> DataFrame:
+    """Merge two :func:`tile_rollup` outputs into the rollup of the
+    union of their inputs — the incremental-processing contract of the
+    Iceberg snapshot story (SURVEY §3): a new crawl delta re-aggregates
+    against yesterday's materialized rollup instead of rescanning the
+    corpus, because count/sum are MERGEABLE aggregates and density is
+    re-derived from the merged exact integers (never averaged —
+    averaging densities is the classic wrong answer the tests pin).
+
+    Cost: one shuffle over |cells| aggregate rows (map-side combined),
+    independent of corpus size.  Exactness: merge(rollup(A), rollup(B))
+    == rollup(A ∪ B) bit-for-bit for disjoint A/B — asserted in tests
+    and, via the q_tile_rollup_incremental oracle, against a DuckDB
+    twin that computes the FULL rollup directly."""
+    cols = ["cell", "n_pages", "n_tainted"]
+    u = base.select(*cols).unionByName(delta.select(*cols))
+    agg = u.groupBy("cell").agg(
+        F.sum("n_pages").alias("n_pages"),
+        F.sum("n_tainted").alias("n_tainted"),
+    )
+    return agg.withColumn(
+        "taint_density",
+        F.round(F.col("n_tainted").cast("double") / F.col("n_pages"), 6),
+    )
+
+
 def tile_focal_stats(
     cells: DataFrame,
     value_col: str,
