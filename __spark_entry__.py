@@ -1367,6 +1367,15 @@ def q_lang_id(spark, sf_dir):
     )
 
 
+def q_embedding_centroids(spark, sf_dir):
+    """Per-label embedding centroids in exact quantized integers
+    (similarity.embedding_centroids) — the k-means M-step / IVF
+    codebook-refresh aggregate: one map-side-combining groupBy over
+    the exploded (label, dim) stream, floor-division means."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return similarity.embedding_centroids(emb)
+
+
 def q_ann_cosine_topk(spark, sf_dir):
     """Brute-force cosine top-10 against the vec_id=0 embedding."""
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
@@ -2194,6 +2203,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_text_quality,
         "lang_id": q_lang_id,
         "ann_cosine_topk": q_ann_cosine_topk,
+        "embedding_centroids": q_embedding_centroids,
         "lsh_bucket_topk": q_lsh_bucket_topk,
         "ann_recall": q_ann_recall,
         "ivf_topk": q_ivf_topk,
@@ -3923,6 +3933,9 @@ def oracle_sql() -> dict[str, str]:
             FROM spans s JOIN wins w ON s.user_id = w.user_id
             WHERE s.s_start < w.w_end AND w.w_start < s.s_end
         """,
+        "embedding_centroids": similarity.embedding_centroids_sql(
+            "embeddings"
+        ),
         "ann_cosine_topk": """
             WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
             SELECT vec_id,

@@ -242,3 +242,70 @@ def pairwise_topk_in_bucket(
         .where(F.col("rk") <= k)
         .select("id_a", "id_b", "cos_sim", "rk")
     )
+
+
+def embedding_centroids(
+    embeddings: DataFrame,
+    group_col: str = "label",
+    vec_col: str = "embedding",
+    scale: int = 10**6,
+) -> DataFrame:
+    """Per-group embedding centroid in EXACT quantized arithmetic —
+    the training side of the IVF story (ivf_topk consumes a broadcast
+    codebook; this is how such a codebook is built/refreshed at scale:
+    one k-means M-step over the assignment column) and the class-
+    prototype aggregate for label analysis.
+
+    A float mean would hash-diverge across engines on accumulation
+    order, so each component is snapped to ``scale`` ints
+    (round(val·10⁶) — float32 inputs carry ≤7 significant digits, so
+    the snap is lossless-ish and deterministic) and the mean ships as
+    ``sum DIV n`` per dimension.  Overflow: |val| ≤ 1 ⇒ per-dim sum ≤
+    n·10⁶ — int64-safe to 9·10¹² vectors per group.
+
+    Plan: posexplode to (group, dim, q) then ONE map-side-combining
+    groupBy on (group, dim) — no collect, no window; the output is
+    |groups|·dim rows (long form, the join-ready shape for a
+    nearest-centroid assignment pass).
+
+    Returns (group, dim, n_vecs, mean_q) with dim 0-based."""
+    q = F.round(F.col("_v") * F.lit(float(scale))).cast("bigint")
+    exploded = embeddings.select(
+        group_col, F.posexplode(vec_col).alias("dim", "_v")
+    ).withColumn("_q", q)
+    return (
+        exploded.groupBy(group_col, "dim")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.sum("_q").alias("_sum_q"),
+        )
+        .select(
+            group_col, "dim", "n_vecs",
+            # sums go negative: both Spark's DIV and DuckDB's integer
+            # // truncate toward zero (verified: -7//2 = -3 in both),
+            # so plain DIV is the engine-identical choice
+            F.expr("_sum_q DIV n_vecs").alias("mean_q"),
+        )
+    )
+
+
+def embedding_centroids_sql(
+    src: str,
+    group_col: str = "label",
+    vec_col: str = "embedding",
+    scale: int = 10**6,
+) -> str:
+    """DuckDB twin of :func:`embedding_centroids` (standalone
+    statement; 0-based dim to match posexplode)."""
+    return f"""
+        WITH ec_long AS (
+            SELECT {group_col}, CAST(u.i - 1 AS INTEGER) AS dim,
+                   CAST(ROUND({vec_col}[u.i] * {scale}) AS BIGINT) AS q
+            FROM {src},
+                 LATERAL (SELECT UNNEST(range(1, len({vec_col}) + 1)) AS i) u
+        )
+        SELECT {group_col}, dim,
+               COUNT(*) AS n_vecs,
+               CAST(SUM(q) // COUNT(*) AS BIGINT) AS mean_q
+        FROM ec_long GROUP BY 1, 2
+    """

@@ -1,0 +1,69 @@
+"""Quantized embedding centroids (similarity.embedding_centroids)."""
+
+import random
+
+import duckdb
+import pytest
+
+from openstreetmap_license_change_spark.operators import similarity
+
+
+@pytest.fixture(scope="module")
+def spark():
+    from openstreetmap_license_change_spark.session import get_spark
+
+    yield get_spark("centroid-tests", master="local[4]",
+                    shuffle_partitions=8)
+
+
+def test_planted_means_with_negative_truncation(spark):
+    emb = spark.createDataFrame(
+        [
+            (1, [1.0, -0.5], 0),
+            (2, [0.0, -0.25], 0),
+            (3, [0.5, 0.5], 1),
+        ],
+        "vec_id bigint, embedding array<float>, label int",
+    )
+    out = {(r.label, r.dim): r for r in
+           similarity.embedding_centroids(emb).collect()}
+    assert out[(0, 0)].mean_q == 500_000          # (1e6 + 0) / 2
+    # (−500000 − 250000) = −750000; trunc(−750000/2) = −375000
+    assert out[(0, 1)].mean_q == -375_000
+    # odd negative sum: BOTH engines truncate toward zero, −3/2 → −1
+    emb2 = spark.createDataFrame(
+        [(1, [-0.000001], 0), (2, [-0.000002], 0)],
+        "vec_id bigint, embedding array<float>, label int",
+    )
+    r = similarity.embedding_centroids(emb2).collect()[0]
+    assert r.mean_q == -1
+    assert out[(1, 0)].n_vecs == 1
+
+
+def test_duckdb_twin_matches(spark):
+    rng = random.Random(5)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(8)], i % 3)
+            for i in range(200)]
+    emb = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>, label int")
+    got = sorted(map(tuple,
+                     similarity.embedding_centroids(emb).collect()))
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE embeddings(vec_id BIGINT, embedding FLOAT[], "
+        "label INT)")
+    con.executemany("INSERT INTO embeddings VALUES (?, ?, ?)", rows)
+    want = sorted(map(tuple, con.execute(
+        similarity.embedding_centroids_sql("embeddings")).fetchall()))
+    assert got == want
+
+
+def test_single_aggregation_plan(spark):
+    emb = spark.createDataFrame(
+        [(1, [0.0], 0)], "vec_id bigint, embedding array<float>, label int")
+    plan = (
+        similarity.embedding_centroids(emb)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Exchange") == 1, plan
+    assert "Join" not in plan and "Window" not in plan, plan
