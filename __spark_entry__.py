@@ -1376,6 +1376,17 @@ def q_embedding_centroids(spark, sf_dir):
     return similarity.embedding_centroids(emb)
 
 
+def q_kmeans_assign(spark, sf_dir):
+    """One full quantized k-means round, hash-verified end-to-end:
+    M-step centroids (similarity.embedding_centroids) feed the E-step
+    nearest-centroid assignment (similarity.nearest_centroid_assign) —
+    broadcast centroid join, exact int64 distances, deterministic
+    tie-break.  The DuckDB oracle replays both steps."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents = similarity.embedding_centroids(emb)
+    return similarity.nearest_centroid_assign(emb, cents)
+
+
 def q_ann_cosine_topk(spark, sf_dir):
     """Brute-force cosine top-10 against the vec_id=0 embedding."""
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
@@ -2204,6 +2215,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "ann_cosine_topk": q_ann_cosine_topk,
         "embedding_centroids": q_embedding_centroids,
+        "kmeans_assign": q_kmeans_assign,
         "lsh_bucket_topk": q_lsh_bucket_topk,
         "ann_recall": q_ann_recall,
         "ivf_topk": q_ivf_topk,
@@ -3934,6 +3946,9 @@ def oracle_sql() -> dict[str, str]:
             WHERE s.s_start < w.w_end AND w.w_start < s.s_end
         """,
         "embedding_centroids": similarity.embedding_centroids_sql(
+            "embeddings"
+        ),
+        "kmeans_assign": similarity.nearest_centroid_assign_sql(
             "embeddings"
         ),
         "ann_cosine_topk": """

@@ -300,7 +300,8 @@ def embedding_centroids_sql(
     return f"""
         WITH ec_long AS (
             SELECT {group_col}, CAST(u.i - 1 AS INTEGER) AS dim,
-                   CAST(ROUND({vec_col}[u.i] * {scale}) AS BIGINT) AS q
+                   CAST(ROUND(CAST({vec_col}[u.i] AS DOUBLE) * {scale})
+                        AS BIGINT) AS q
             FROM {src},
                  LATERAL (SELECT UNNEST(range(1, len({vec_col}) + 1)) AS i) u
         )
@@ -308,4 +309,96 @@ def embedding_centroids_sql(
                COUNT(*) AS n_vecs,
                CAST(SUM(q) // COUNT(*) AS BIGINT) AS mean_q
         FROM ec_long GROUP BY 1, 2
+    """
+
+
+def nearest_centroid_assign(
+    embeddings: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    group_col: str = "label",
+    scale: int = 10**6,
+) -> DataFrame:
+    """Nearest-centroid assignment (the k-means E-step) in the SAME
+    quantized integers as :func:`embedding_centroids` (the M-step) —
+    together they make one exactly-reproducible k-means round, and the
+    assignment pass is also the IVF routing step applied corpus-wide.
+
+    ``centroids`` is the M-step's long form (group, dim, mean_q).
+    Distance = Σ_dims (q_v − mean_q)² in int64 (per-dim diff ≤ 2·10⁶ ⇒
+    square ≤ 4·10¹², safe past 10⁵ dims); winner by min(struct(dist,
+    group)) — deterministic smallest-group tie-break.
+
+    Plan: the centroid table is tiny (|groups|·dim rows) and joins
+    BROADCAST on dim; per-(vector, group) partial sums aggregate
+    map-side; the argmin is a second aggregate on the same vector key
+    (AQE reuses the partitioning).  No windows, no collects.
+
+    Returns (id, group, dist_q)."""
+    vlong = embeddings.select(
+        id_col, F.posexplode(vec_col).alias("dim", "_v")
+    ).withColumn(
+        "_q", F.round(F.col("_v") * F.lit(float(scale))).cast("bigint")
+    )
+    j = vlong.join(
+        F.broadcast(centroids.select(group_col, "dim", "mean_q")), "dim"
+    )
+    d = F.col("_q") - F.col("mean_q")
+    per = j.groupBy(id_col, group_col).agg(
+        F.sum(d * d).alias("dist_q")
+    )
+    return (
+        per.groupBy(id_col)
+        .agg(F.min(F.struct("dist_q", group_col)).alias("_b"))
+        .select(
+            id_col,
+            F.col(f"_b.{group_col}").alias(group_col),
+            F.col("_b.dist_q").alias("dist_q"),
+        )
+    )
+
+
+def nearest_centroid_assign_sql(
+    emb_src: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    group_col: str = "label",
+    scale: int = 10**6,
+) -> str:
+    """DuckDB twin of one full quantized k-means round: M-step
+    (:func:`embedding_centroids_sql` inlined) then E-step assignment
+    over the same source.  Standalone statement returning
+    (id, group, dist_q)."""
+    return f"""
+        WITH ec_long AS (
+            SELECT {group_col}, CAST(u.i - 1 AS INTEGER) AS dim,
+                   CAST(ROUND(CAST({vec_col}[u.i] AS DOUBLE) * {scale})
+                        AS BIGINT) AS q
+            FROM {emb_src},
+                 LATERAL (SELECT UNNEST(range(1, len({vec_col}) + 1)) AS i) u
+        ),
+        ec_cent AS (
+            SELECT {group_col}, dim,
+                   CAST(SUM(q) // COUNT(*) AS BIGINT) AS mean_q
+            FROM ec_long GROUP BY 1, 2
+        ),
+        vlong AS (
+            SELECT {id_col}, CAST(u.i - 1 AS INTEGER) AS dim,
+                   CAST(ROUND(CAST({vec_col}[u.i] AS DOUBLE) * {scale})
+                        AS BIGINT) AS q
+            FROM {emb_src},
+                 LATERAL (SELECT UNNEST(range(1, len({vec_col}) + 1)) AS i) u
+        ),
+        per AS (
+            SELECT v.{id_col}, c.{group_col},
+                   CAST(SUM((v.q - c.mean_q) * (v.q - c.mean_q))
+                        AS BIGINT) AS dist_q
+            FROM vlong v JOIN ec_cent c USING (dim)
+            GROUP BY 1, 2
+        )
+        SELECT {id_col},
+               (MIN({{'d': dist_q, 'g': {group_col}}})).g AS {group_col},
+               (MIN({{'d': dist_q, 'g': {group_col}}})).d AS dist_q
+        FROM per GROUP BY {id_col}
     """

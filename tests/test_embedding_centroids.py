@@ -67,3 +67,59 @@ def test_single_aggregation_plan(spark):
     )
     assert plan.count("Exchange") == 1, plan
     assert "Join" not in plan and "Window" not in plan, plan
+
+
+def test_assignment_recovers_separated_clusters(spark):
+    """Vectors generated around two well-separated prototypes with
+    their true label: one M+E round must re-assign every vector to its
+    own cluster."""
+    import random as _r
+    rng = _r.Random(11)
+    rows = []
+    protos = {0: [1.0, 0.0, 0.5], 1: [-1.0, 0.5, -0.5]}
+    for i in range(200):
+        lab = i % 2
+        rows.append((
+            i,
+            [p + rng.uniform(-0.05, 0.05) for p in protos[lab]],
+            lab,
+        ))
+    emb = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>, label int")
+    cents = similarity.embedding_centroids(emb)
+    got = {r.vec_id: r.label for r in
+           similarity.nearest_centroid_assign(emb, cents).collect()}
+    assert got == {i: i % 2 for i in range(200)}
+
+
+def test_assignment_duckdb_twin(spark):
+    import random as _r
+    rng = _r.Random(13)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(6)], i % 4)
+            for i in range(150)]
+    emb = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>, label int")
+    cents = similarity.embedding_centroids(emb)
+    got = sorted(map(tuple,
+                     similarity.nearest_centroid_assign(emb, cents)
+                     .collect()))
+    con = duckdb.connect()
+    con.execute("CREATE TABLE embeddings(vec_id BIGINT, "
+                "embedding FLOAT[], label INT)")
+    con.executemany("INSERT INTO embeddings VALUES (?, ?, ?)", rows)
+    want = sorted(map(tuple, con.execute(
+        similarity.nearest_centroid_assign_sql("embeddings")).fetchall()))
+    assert got == want
+
+
+def test_assignment_broadcasts_centroids(spark):
+    emb = spark.createDataFrame(
+        [(1, [0.0, 1.0], 0), (2, [1.0, 0.0], 1)],
+        "vec_id bigint, embedding array<float>, label int")
+    cents = similarity.embedding_centroids(emb)
+    plan = (
+        similarity.nearest_centroid_assign(emb, cents)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan, plan
+    assert "Window" not in plan, plan
