@@ -787,6 +787,41 @@ def q_pip_polygons(spark, sf_dir):
     )
 
 
+# Multipolygon layer for q_pip_multipolygons: polygon 1 is a donut
+# WITH an island (outer ⊃ hole ⊃ island — parity 1/2/3 crossings walks
+# inside/outside/inside), 2 and 3 are plain rings elsewhere.  Diamond/
+# quad rings: integer (dyadic) coords, no horizontal edges (layer
+# contract shared with PIP_POLYGONS), listed in ascending id so the
+# first-match UDF agrees with the oracle's MIN(pid).
+PIP_MULTIPOLYGONS = [
+    (1, [
+        [(-10.0, 0.0), (20.0, 30.0), (50.0, 0.0), (20.0, -30.0)],
+        [(5.0, 0.0), (20.0, 15.0), (35.0, 0.0), (20.0, -15.0)],
+        [(14.0, 0.0), (20.0, 6.0), (26.0, 0.0), (20.0, -6.0)],
+    ]),
+    (2, [[(-150.0, 20.0), (-100.0, 21.0), (-125.0, 60.0)]]),
+    (3, [[(100.0, -40.0), (140.0, -39.0), (145.0, 0.0), (105.0, 5.0)]]),
+]
+
+
+def q_pip_multipolygons(spark, sf_dir):
+    """J10 (multipolygon path): even-odd PIP with holes and islands
+    (spatial.pip_join_multipolygons) — a point inside polygon 1's hole
+    is OUTSIDE, inside its island is INSIDE again.  The oracle sums
+    crossing parity over ALL rings' edges, so the donut semantics are
+    hash-verified."""
+    latest = lineage.latest_version(_pages(spark, sf_dir), cols=["lon", "lat"])
+    out = spatial.pip_join_multipolygons(latest, PIP_MULTIPOLYGONS)
+    return (
+        out.where(F.col("polygon_id").isNotNull())
+        .groupBy("polygon_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_pages"),
+            F.min("url").alias("first_url"),
+        )
+    )
+
+
 def q_pip_outside(spark, sf_dir):
     """Spatial ANTI join (spatial.pip_anti_join): latest pages in NONE
     of the 3 broadcast polygons — fully map-side (cell→candidate-list
@@ -2216,6 +2251,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": q_ann_cosine_topk,
         "embedding_centroids": q_embedding_centroids,
         "kmeans_assign": q_kmeans_assign,
+        "pip_multipolygons": q_pip_multipolygons,
         "lsh_bucket_topk": q_lsh_bucket_topk,
         "ann_recall": q_ann_recall,
         "ivf_topk": q_ivf_topk,
@@ -2505,6 +2541,21 @@ def oracle_sql() -> dict[str, str]:
             pip_edges.append(f"({pid}, {xi!r}, {yi!r}, {xj!r}, {yj!r})")
             jj = ii
     pip_edges_sql = ", ".join(pip_edges)
+
+    # multipolygon layer → edge rows over ALL rings (holes/islands
+    # share the pid; combined parity = XOR of per-ring parities)
+    pip_multi_edges = []
+    for pid, rings in PIP_MULTIPOLYGONS:
+        for ring in rings:
+            jj = len(ring) - 1
+            for ii in range(len(ring)):
+                xi, yi = ring[ii]
+                xj, yj = ring[jj]
+                pip_multi_edges.append(
+                    f"({pid}, {xi!r}, {yi!r}, {xj!r}, {yj!r})"
+                )
+                jj = ii
+    pip_multi_edges_sql = ", ".join(pip_multi_edges)
 
     # shared by minhash_lsh_clusters and minhash_dedup_apply: transitive
     # closure over the doc–bucket graph (recursive CTE), label = min id
@@ -3412,6 +3463,35 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(polygon_id AS BIGINT) AS polygon_id,
                    COUNT(*) AS n_pages, MIN(url) AS first_url
             FROM inside GROUP BY 1
+        """),
+        "pip_multipolygons": _with_pages(f"""
+            , latest AS (
+                SELECT * FROM (
+                    SELECT p.*,
+                           ROW_NUMBER() OVER (PARTITION BY url
+                                              ORDER BY version DESC) AS rn
+                    FROM pages p
+                ) t WHERE rn = 1
+            ),
+            medges(pid, xi, yi, xj, yj) AS (VALUES {pip_multi_edges_sql}),
+            -- even-odd parity over ALL rings of a polygon: a hole's
+            -- crossings cancel the outer's, an island's restore them
+            mhits AS (
+                SELECT l.url, e.pid,
+                       SUM(CASE WHEN (e.yi > l.lat) <> (e.yj > l.lat)
+                                 AND l.lon < (e.xj - e.xi) * (l.lat - e.yi)
+                                             / (e.yj - e.yi) + e.xi
+                                THEN 1 ELSE 0 END) AS crossings
+                FROM latest l CROSS JOIN medges e
+                GROUP BY 1, 2
+            ),
+            minside AS (
+                SELECT url, MIN(pid) AS polygon_id
+                FROM mhits WHERE crossings % 2 = 1 GROUP BY url
+            )
+            SELECT CAST(polygon_id AS BIGINT) AS polygon_id,
+                   COUNT(*) AS n_pages, MIN(url) AS first_url
+            FROM minside GROUP BY 1
         """),
         "pip_outside": _with_pages(f"""
             , latest AS (

@@ -660,6 +660,84 @@ def pip_join_polygons(
     )
 
 
+def pip_join_multipolygons(
+    points: DataFrame,
+    multipolygons: "Sequence[tuple[int, Sequence[Sequence[tuple[float, float]]]]]",
+    lon: str = "lon",
+    lat: str = "lat",
+) -> DataFrame:
+    """General PIP with HOLES and ISLANDS: each polygon is a list of
+    closed rings [outer, hole…, island…] and containment is even-odd
+    parity across ALL of the polygon's rings — a point in a hole
+    crosses outer+hole = even = outside; a point on an island inside
+    the hole crosses three rings = odd = inside.  This is the OGC
+    multipolygon semantics the reference's region polygons would need
+    for real coastline/enclave layers (osm.rb relation multipolygons;
+    the single-ring :func:`pip_join_polygons` is the simple-region
+    fast path).
+
+    Same execution shape as the single-ring variant: broadcast
+    geometry, native union-bbox prefilter so only candidates reach the
+    Arrow-batched numpy ray cast, first-listed polygon wins when
+    layers overlap (list polygons in ascending id order so the oracle's
+    MIN(pid) matches).  Rings must avoid exactly-horizontal edges
+    (same layer contract as PIP_POLYGONS — keeps the crossing
+    predicate division-safe in both engines)."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    polys = [
+        (int(pid), [np.asarray(r, dtype=np.float64) for r in rings])
+        for pid, rings in multipolygons
+    ]
+
+    @pandas_udf(LongType())
+    def pip(lon_s: pd.Series, lat_s: pd.Series) -> pd.Series:
+        xs = lon_s.to_numpy(dtype=np.float64)
+        ys = lat_s.to_numpy(dtype=np.float64)
+        out = np.full(len(xs), -1, dtype=np.int64)
+        for pid, rings in polys:
+            todo = out == -1
+            if not todo.any():
+                break
+            x, y = xs[todo], ys[todo]
+            inside = np.zeros(len(x), dtype=bool)
+            for ring in rings:
+                rx, ry = ring[:, 0], ring[:, 1]
+                j = len(ring) - 1
+                for i in range(len(ring)):
+                    cond = ((ry[i] > y) != (ry[j] > y)) & (
+                        x
+                        < (rx[j] - rx[i]) * (y - ry[i])
+                        / (ry[j] - ry[i] + 1e-300)
+                        + rx[i]
+                    )
+                    inside ^= cond
+                    j = i
+            idx = np.flatnonzero(todo)
+            out[idx[inside]] = pid
+        return pd.Series(out)
+
+    outers = [rings[0] for _, rings in polys]
+    min_lon = min(r[:, 0].min() for r in outers)
+    min_lat = min(r[:, 1].min() for r in outers)
+    max_lon = max(r[:, 0].max() for r in outers)
+    max_lat = max(r[:, 1].max() for r in outers)
+    in_bbox = (
+        (F.col(lon) >= min_lon)
+        & (F.col(lon) <= max_lon)
+        & (F.col(lat) >= min_lat)
+        & (F.col(lat) <= max_lat)
+    )
+    return points.withColumn(
+        "polygon_id",
+        F.when(in_bbox, pip(F.col(lon), F.col(lat))).otherwise(F.lit(-1)),
+    ).withColumn(
+        "polygon_id",
+        F.when(F.col("polygon_id") >= 0, F.col("polygon_id")),
+    )
+
+
 def pip_join_polygons_prefiltered(
     points: DataFrame,
     polygons: Sequence[tuple[int, Sequence[tuple[float, float]]]],
