@@ -155,3 +155,40 @@ def foreach_batch_classify(batch_df: DataFrame, batch_id: int, state_dir: str):
     actions.write.mode("overwrite").parquet(
         f"{state_dir}/actions/batch={batch_id}"
     )
+
+
+def foreach_batch_rollup(
+    batch_df: DataFrame, batch_id: int, state_dir: str
+):
+    """ForeachBatch bridge maintaining a MATERIALIZED tile rollup via
+    the mergeable-aggregate contract (spatial.tile_rollup_merge): each
+    micro-batch writes its own per-batch DELTA rollup idempotently
+    (overwrite of ``rollups/batch=<id>`` — a crash-replay rewrites the
+    same partition, never double-counts), then publishes ``current``
+    as the merge of all batch deltas.  Deltas are |cells|-row
+    aggregates, so the publish step re-aggregates aggregate rows —
+    corpus bytes are touched once, by the delta pass; a production
+    deployment compacts old batch partitions with the same merge and
+    the publish is an Iceberg snapshot commit.
+
+    ``current`` is DERIVED state: a crash mid-publish leaves a stale
+    copy that the next batch (or the replay) rebuilds from the
+    authoritative per-batch deltas — the same recovery contract as the
+    classify bridge's action partitions."""
+    from ..operators import spatial
+
+    spark = batch_df.sparkSession
+    cells = spatial.assign_cells(batch_df).withColumn(
+        "tainted", ~F.col("accepted")
+    )
+    delta = spatial.tile_rollup(cells)
+    delta.write.mode("overwrite").parquet(
+        f"{state_dir}/rollups/batch={batch_id}"
+    )
+    all_deltas = spark.read.parquet(f"{state_dir}/rollups").select(
+        "cell", "n_pages", "n_tainted"
+    )
+    current = spatial.tile_rollup_merge(
+        all_deltas, all_deltas.limit(0)
+    )
+    current.write.mode("overwrite").parquet(f"{state_dir}/rollup_current")
