@@ -822,6 +822,21 @@ def q_pip_multipolygons(spark, sf_dir):
     )
 
 
+def q_zonal_stats(spark, sf_dir):
+    """Zonal statistics (spatial.zonal_stats): per-polygon aggregation
+    of the tile_rollup raster by center containment — the raster→
+    vector overlay; centers are exact dyadic arithmetic, the PIP is
+    the shared even-odd ray cast, all on the aggregate."""
+    flagged = _pages_flagged(spark, sf_dir)
+    cells = spatial.assign_cells(flagged).withColumn(
+        "tainted", ~F.col("accepted")
+    )
+    raster = spatial.tile_rollup(cells).select(
+        "cell", "n_pages", "n_tainted"
+    )
+    return spatial.zonal_stats(raster, PIP_POLYGONS)
+
+
 def q_pip_outside(spark, sf_dir):
     """Spatial ANTI join (spatial.pip_anti_join): latest pages in NONE
     of the 3 broadcast polygons — fully map-side (cell→candidate-list
@@ -2252,6 +2267,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_centroids": q_embedding_centroids,
         "kmeans_assign": q_kmeans_assign,
         "pip_multipolygons": q_pip_multipolygons,
+        "zonal_stats": q_zonal_stats,
         "lsh_bucket_topk": q_lsh_bucket_topk,
         "ann_recall": q_ann_recall,
         "ivf_topk": q_ivf_topk,
@@ -3463,6 +3479,45 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(polygon_id AS BIGINT) AS polygon_id,
                    COUNT(*) AS n_pages, MIN(url) AS first_url
             FROM inside GROUP BY 1
+        """),
+        "zonal_stats": _with_pages(f"""
+            , zs_raster AS (
+                SELECT {cell} AS cell,
+                       COUNT(*) AS n_pages,
+                       CAST(SUM(CASE WHEN NOT accepted THEN 1 ELSE 0 END)
+                            AS BIGINT) AS n_tainted
+                FROM pages p JOIN cs_status s USING (changeset_id)
+                GROUP BY 1
+            ),
+            zs_centered AS (
+                SELECT cell, n_pages, n_tainted,
+                       (CAST(cell % 1440 AS DOUBLE) + 0.5) * 0.25 - 180.0
+                           AS clon,
+                       (CAST(cell // 1440 AS DOUBLE) + 0.5) * 0.25 - 90.0
+                           AS clat
+                FROM zs_raster
+            ),
+            zs_edges(pid, xi, yi, xj, yj) AS (VALUES {pip_edges_sql}),
+            zs_hits AS (
+                SELECT c.cell, c.n_pages, c.n_tainted, e.pid,
+                       SUM(CASE WHEN (e.yi > c.clat) <> (e.yj > c.clat)
+                                 AND c.clon < (e.xj - e.xi)
+                                              * (c.clat - e.yi)
+                                              / (e.yj - e.yi) + e.xi
+                                THEN 1 ELSE 0 END) AS crossings
+                FROM zs_centered c CROSS JOIN zs_edges e
+                GROUP BY 1, 2, 3, 4
+            ),
+            zs_in AS (
+                SELECT cell, n_pages, n_tainted, MIN(pid) AS polygon_id
+                FROM zs_hits WHERE crossings % 2 = 1
+                GROUP BY 1, 2, 3
+            )
+            SELECT CAST(polygon_id AS BIGINT) AS polygon_id,
+                   COUNT(*) AS n_cells,
+                   CAST(SUM(n_pages) AS BIGINT) AS sum_n_pages,
+                   CAST(SUM(n_tainted) AS BIGINT) AS sum_n_tainted
+            FROM zs_in GROUP BY 1
         """),
         "pip_multipolygons": _with_pages(f"""
             , latest AS (

@@ -2714,6 +2714,56 @@ def tile_morphology_sql(
     raise ValueError(f"op must be 'dilate' or 'erode', got {op!r}")
 
 
+def grid_cell_center(
+    cell, res_deg: float = DEFAULT_RES_DEG
+) -> tuple[Column, Column]:
+    """(lon, lat) center of a row-major :func:`grid_cell` id — exact
+    dyadic arithmetic at power-of-two-friendly resolutions (0.25°:
+    ±0.125 offsets are exact doubles), so both engines compute
+    identical centers."""
+    cols = int(360 / res_deg)
+    c = F.col(cell) if isinstance(cell, str) else cell
+    lon = ((c % F.lit(cols)).cast("double") + 0.5) * F.lit(res_deg) \
+        - F.lit(180.0)
+    lat = (F.floor(c / F.lit(cols)).cast("double") + 0.5) * F.lit(res_deg) \
+        - F.lit(90.0)
+    return lon, lat
+
+
+def zonal_stats(
+    raster: DataFrame,
+    polygons,
+    value_cols: "Sequence[str]" = ("n_pages", "n_tainted"),
+    res_deg: float = DEFAULT_RES_DEG,
+) -> DataFrame:
+    """Zonal statistics — the polygon×raster overlay that closes the
+    raster↔vector loop (north star: "raster↔vector rollups of taint
+    density per tile"): aggregate each polygon's raster cells by the
+    CENTER-containment rule (a cell belongs to the polygon containing
+    its center — the standard GDAL/PostGIS zonal convention; no
+    partial-cell area weighting, stated rather than approximated).
+
+    Runs entirely on the AGGREGATE raster: centers are exact dyadic
+    arithmetic from the cell id (:func:`grid_cell_center`), the PIP is
+    the broadcast even-odd ray cast over candidate centers only, and
+    the final rollup is one groupBy over |cells-in-bbox| rows — corpus
+    bytes are never touched.  Output: polygon_id, n_cells, plus
+    sum_<col> for every value column."""
+    lon_c, lat_c = grid_cell_center("cell", res_deg)
+    centered = raster.withColumn("_clon", lon_c).withColumn("_clat", lat_c)
+    assigned = pip_join_polygons(
+        centered, polygons, lon="_clon", lat="_clat"
+    )
+    aggs = [F.count(F.lit(1)).alias("n_cells")] + [
+        F.sum(c).cast("bigint").alias(f"sum_{c}") for c in value_cols
+    ]
+    return (
+        assigned.where(F.col("polygon_id").isNotNull())
+        .groupBy("polygon_id")
+        .agg(*aggs)
+    )
+
+
 def tile_kernel_density(
     cells: DataFrame,
     value_col: str,
