@@ -1640,6 +1640,22 @@ def q_video_frame_stats(spark, sf_dir):
     return multimodal.sampled_frame_stats(media, every_ms=1000)
 
 
+FUNNEL_STEPS = ["view", "click", "purchase"]
+FUNNEL_GAP_SEC = 6 * 3600
+
+
+def q_event_funnel(spark, sf_dir):
+    """Ordered conversion funnel over the events table
+    (temporal.event_funnel): earliest-completion view→click→purchase
+    within a 6 h step gap, exact epoch-microsecond comparisons; one
+    filtered min-aggregate + user-keyed join per step.  The oracle
+    chains the identical CTEs on epoch_us."""
+    from openstreetmap_license_change_spark.operators import temporal
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return temporal.event_funnel(events, FUNNEL_STEPS, FUNNEL_GAP_SEC)
+
+
 def q_events_asof_join(spark, sf_dir):
     """As-of join (union+window form — one shuffle, no range nested
     loop): each event picks up the value of the user's most recent
@@ -2284,6 +2300,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessionize": q_events_sessionize,
         "trip_segments": q_trip_segments,
         "events_asof_join": q_events_asof_join,
+        "event_funnel": q_event_funnel,
         "events_hourly_rollup": q_events_hourly_rollup,
         "events_interval_join": q_events_interval_join,
         "events_overlap_join": q_events_overlap_join,
@@ -2472,6 +2489,8 @@ def _fold_restriction_sql(
 
 
 def oracle_sql() -> dict[str, str]:
+    from openstreetmap_license_change_spark.operators import temporal
+
     cell = spatial.grid_cell_sql("lon", "lat")
     # 5×5 separable binomial kernel taps (dy, dx, C(4,dy+2)·C(4,dx+2))
     _b = [1, 4, 6, 4, 1]
@@ -3949,6 +3968,9 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             GROUP BY 1
         """,
+        "event_funnel": temporal.event_funnel_sql(
+            "events", FUNNEL_STEPS, FUNNEL_GAP_SEC
+        ),
         "events_asof_join": """
             WITH updates AS (
                 SELECT user_id, ts, MAX(value) AS update_value

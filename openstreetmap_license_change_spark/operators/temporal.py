@@ -219,3 +219,103 @@ def interval_overlap_join(
         )
         .drop("_b")
     )
+
+
+def event_funnel(
+    events: DataFrame,
+    steps: "list[str]",
+    max_gap_sec: int,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Ordered-sequence funnel: for each user, the EARLIEST-completion
+    walk through ``steps`` — step k counts only if a matching event
+    occurs strictly after the user's step-(k−1) completion time and
+    within ``max_gap_sec`` of it.  The classic event-analytics
+    conversion query (view → click → purchase), computed greedily on
+    earliest timestamps (the standard funnel convention: taking the
+    earliest feasible step-k event never shrinks the feasible set for
+    step k+1, so greedy = optimal and the count is well-defined).
+
+    Exactness: all comparisons on integer epoch MICROseconds
+    (unix_micros / epoch_us — both engines carry timestamps at micro
+    precision), gap arithmetic in int64.
+
+    Plan: one filtered min-aggregate per step plus one user-keyed join
+    per step beyond the first — a FIXED number (len(steps)) of
+    shuffles over per-user 1-row frames that shrink monotonically;
+    the event table is scanned once per step with the type filter
+    pushed down, never self-joined row×row.
+
+    Returns one row per step: (step, event_type, n_users) — the
+    funnel's conversion profile; n_users is non-increasing in step."""
+    if len(steps) < 1:
+        raise ValueError("steps must be non-empty")
+    gap_us = int(max_gap_sec) * 1_000_000
+    ev = events.select(
+        F.col(user_col).alias("_u"),
+        F.col(type_col).alias("_t"),
+        # cast: parquet TIMESTAMP_NTZ → session-tz timestamp (session
+        # is pinned UTC in get_spark, so the instant is unchanged and
+        # matches DuckDB's tz-naive epoch_us)
+        F.unix_micros(F.col(ts_col).cast("timestamp")).alias("_us"),
+    )
+    spark = events.sparkSession
+    cur = (
+        ev.where(F.col("_t") == steps[0])
+        .groupBy("_u")
+        .agg(F.min("_us").alias("_prev"))
+    )
+    out = None
+    for k, s in enumerate(steps, start=1):
+        if k > 1:
+            cur = (
+                ev.where(F.col("_t") == s)
+                .join(cur, "_u")
+                .where(
+                    (F.col("_us") > F.col("_prev"))
+                    & (F.col("_us") <= F.col("_prev") + F.lit(gap_us))
+                )
+                .groupBy("_u")
+                .agg(F.min("_us").alias("_prev"))
+            )
+        row = cur.agg(
+            F.lit(k).alias("step"),
+            F.lit(s).alias("event_type"),
+            F.count(F.lit(1)).alias("n_users"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+def event_funnel_sql(
+    src: str,
+    steps: "list[str]",
+    max_gap_sec: int,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> str:
+    """DuckDB twin of :func:`event_funnel` (standalone statement) —
+    the same chained earliest-completion CTEs on epoch_us."""
+    gap_us = int(max_gap_sec) * 1_000_000
+    ctes = [
+        f"fn_ev AS (SELECT {user_col} AS u, {type_col} AS t, "
+        f"epoch_us({ts_col}) AS us FROM {src})",
+        f"fn_s1 AS (SELECT u, MIN(us) AS prev FROM fn_ev "
+        f"WHERE t = '{steps[0]}' GROUP BY u)",
+    ]
+    for k, s in enumerate(steps[1:], start=2):
+        ctes.append(
+            f"fn_s{k} AS (SELECT e.u, MIN(e.us) AS prev "
+            f"FROM fn_ev e JOIN fn_s{k - 1} p ON e.u = p.u "
+            f"WHERE e.t = '{s}' AND e.us > p.prev "
+            f"AND e.us <= p.prev + {gap_us} GROUP BY e.u)"
+        )
+    selects = [
+        f"SELECT {k} AS step, '{s}' AS event_type, "
+        f"COUNT(*) AS n_users FROM fn_s{k}"
+        for k, s in enumerate(steps, start=1)
+    ]
+    return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(selects)
