@@ -1656,6 +1656,17 @@ def q_event_funnel(spark, sf_dir):
     return temporal.event_funnel(events, FUNNEL_STEPS, FUNNEL_GAP_SEC)
 
 
+def q_event_retention(spark, sf_dir):
+    """Cohort retention over the events table
+    (temporal.event_retention): first-activity-day cohorts × whole-day
+    return offsets, integer day bucketing, three map-side-combining
+    aggregates and one user-keyed join."""
+    from openstreetmap_license_change_spark.operators import temporal
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return temporal.event_retention(events, max_offset=7)
+
+
 def q_events_asof_join(spark, sf_dir):
     """As-of join (union+window form — one shuffle, no range nested
     loop): each event picks up the value of the user's most recent
@@ -2301,6 +2312,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trip_segments": q_trip_segments,
         "events_asof_join": q_events_asof_join,
         "event_funnel": q_event_funnel,
+        "event_retention": q_event_retention,
         "events_hourly_rollup": q_events_hourly_rollup,
         "events_interval_join": q_events_interval_join,
         "events_overlap_join": q_events_overlap_join,
@@ -3970,6 +3982,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "event_funnel": temporal.event_funnel_sql(
             "events", FUNNEL_STEPS, FUNNEL_GAP_SEC
+        ),
+        "event_retention": temporal.event_retention_sql(
+            "events", max_offset=7
         ),
         "events_asof_join": """
             WITH updates AS (

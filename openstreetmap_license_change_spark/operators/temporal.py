@@ -319,3 +319,71 @@ def event_funnel_sql(
         for k, s in enumerate(steps, start=1)
     ]
     return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(selects)
+
+
+def event_retention(
+    events: DataFrame,
+    max_offset: int = 7,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Cohort retention: users grouped by their first-activity day
+    (the cohort), counted per whole-day offset they return on — the
+    second classic event-analytics rollup next to the funnel, and the
+    recrawl-scheduling view of the pages table (how often does a
+    source re-appear after first capture?).
+
+    Day index = epoch_us DIV 86 400 000 000 — pure integer bucketing,
+    no calendar/timezone functions to diverge on (both engines carry
+    micros; the session tz is pinned UTC so NTZ inputs agree).
+
+    Plan: first-day per user is one min-aggregate; activity is one
+    DISTINCT (user, day) aggregate of the same scan; the join back is
+    user-keyed; the final rollup groups |users|·offsets rows.  All
+    map-side combinable, no windows.
+
+    Returns (cohort_day, day_offset, n_users): n_users at offset 0 is
+    the cohort size; offsets beyond ``max_offset`` are dropped."""
+    ev = events.select(
+        F.col(user_col).alias("_u"),
+        F.expr(
+            f"CAST(unix_micros(CAST({ts_col} AS TIMESTAMP)) "
+            "DIV 86400000000 AS BIGINT)"
+        ).alias("_d"),
+    )
+    first = ev.groupBy("_u").agg(F.min("_d").alias("_d0"))
+    active = ev.distinct()
+    return (
+        active.join(first, "_u")
+        .select(
+            F.col("_d0").alias("cohort_day"),
+            (F.col("_d") - F.col("_d0")).cast("int").alias("day_offset"),
+        )
+        .where(F.col("day_offset") <= max_offset)
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
+def event_retention_sql(
+    src: str,
+    max_offset: int = 7,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> str:
+    """DuckDB twin of :func:`event_retention` (standalone)."""
+    return f"""
+        WITH rt_ev AS (
+            SELECT {user_col} AS u,
+                   CAST(epoch_us({ts_col}) // 86400000000 AS BIGINT) AS d
+            FROM {src}
+        ),
+        rt_first AS (SELECT u, MIN(d) AS d0 FROM rt_ev GROUP BY u),
+        rt_active AS (SELECT DISTINCT u, d FROM rt_ev)
+        SELECT f.d0 AS cohort_day,
+               CAST(a.d - f.d0 AS INTEGER) AS day_offset,
+               COUNT(*) AS n_users
+        FROM rt_active a JOIN rt_first f ON a.u = f.u
+        WHERE a.d - f.d0 <= {max_offset}
+        GROUP BY 1, 2
+    """

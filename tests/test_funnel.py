@@ -96,3 +96,41 @@ def test_empty_steps_rejected(spark):
     df = spark.createDataFrame([], DDL)
     with pytest.raises(ValueError):
         temporal.event_funnel(df, [], 60)
+
+
+def test_retention_planted(spark):
+    rows = [
+        # u1: cohort day 0, returns day 1 and day 3
+        (1, T0, "view"), (1, _ts(60 * 25), "view"),
+        (1, _ts(60 * 24 * 3 + 5), "click"),
+        # u2: cohort day 1 only (two events same day = one active day)
+        (2, _ts(60 * 24), "view"), (2, _ts(60 * 24 + 30), "click"),
+        # u3: cohort day 0, returns past max_offset → offset row dropped
+        (3, T0, "view"), (3, _ts(60 * 24 * 30), "view"),
+    ]
+    df = spark.createDataFrame(rows, DDL)
+    out = {(r.cohort_day, r.day_offset): r.n_users
+           for r in temporal.event_retention(df, max_offset=7).collect()}
+    d0 = int(T0.timestamp() * 1_000_000) // 86_400_000_000
+    assert out == {
+        (d0, 0): 2, (d0, 1): 1, (d0, 3): 1,
+        (d0 + 1, 0): 1,
+    }
+
+
+def test_retention_duckdb_twin(spark):
+    rng = random.Random(8)
+    rows = [
+        (rng.randrange(50), _ts(rng.randrange(0, 60 * 24 * 20)), "view")
+        for _ in range(3000)
+    ]
+    df = spark.createDataFrame(rows, DDL)
+    got = sorted(map(tuple,
+                     temporal.event_retention(df, max_offset=10).collect()))
+    con = duckdb.connect()
+    con.execute("CREATE TABLE ev2(user_id BIGINT, ts TIMESTAMP, "
+                "event_type VARCHAR)")
+    con.executemany("INSERT INTO ev2 VALUES (?, ?, ?)", rows)
+    want = sorted(map(tuple, con.execute(
+        temporal.event_retention_sql("ev2", max_offset=10)).fetchall()))
+    assert got == want
