@@ -1377,6 +1377,14 @@ def q_kmv_distinct_docs(spark, sf_dir):
     return sketches.kmv_distinct(pages, "lang", "doc_id", k=16)
 
 
+def q_chunk_documents(spark, sf_dir):
+    """Pretraining chunker (textops.chunk_documents): 64-token windows
+    with 48-token stride (overlapping, tail kept) — pure row-local
+    array algebra, zero shuffles."""
+    docs = pages_src.documents(spark, sf_dir)
+    return textops.chunk_documents(docs, chunk_tokens=64, stride=48)
+
+
 def q_rare_token_ratio(spark, sf_dir):
     """Cross-document vocabulary-rarity quality signal
     (textops.rare_token_ratio): fraction of each doc's distinct tokens
@@ -2278,6 +2286,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination": q_contamination,
         "tfidf_topk": q_tfidf_topk,
         "rare_token_ratio": q_rare_token_ratio,
+        "chunk_documents": q_chunk_documents,
         "doc_pagerank": q_doc_pagerank,
         "kmv_distinct_docs": q_kmv_distinct_docs,
         "repetition_stats": q_repetition_stats,
@@ -4686,6 +4695,9 @@ def oracle_sql() -> dict[str, str]:
             ", " + sketches.kmv_distinct_ctes(
                 "(SELECT lang, doc_id FROM pages)", "lang", "doc_id", k=16
             )
+        ),
+        "chunk_documents": textops.chunk_documents_sql(
+            "documents", chunk_tokens=64, stride=48
         ),
         "rare_token_ratio": """
             WITH toks AS (

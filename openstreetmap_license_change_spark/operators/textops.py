@@ -402,6 +402,111 @@ def collocations_sql(
     """
 
 
+def chunk_documents(
+    docs: DataFrame,
+    chunk_tokens: int = 128,
+    stride: int | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Fixed-window document chunking — the canonical pretraining prep
+    step: split each document's token stream into ``chunk_tokens``-
+    sized windows advancing by ``stride`` (default = chunk_tokens, i.e.
+    non-overlapping; stride < chunk gives sliding overlap for
+    retrieval corpora).  The final short window is KEPT (labs trim or
+    pad downstream; dropping it here would silently lose tail text —
+    the no-silent-caps rule).
+
+    Whitespace tokenization (the engine's token_count convention).
+    Everything is native array algebra: one split, one
+    explode(sequence) over ceil(n/stride) chunk indices, one slice —
+    no Python, no shuffle at all (chunking is embarrassingly row-
+    local; the output inherits the input's partitioning).
+
+    Returns (id, chunk_id, n_tokens, chunk_text); chunk_id 0-based,
+    n_tokens = actual tokens in the chunk (≤ chunk_tokens)."""
+    if chunk_tokens < 1:
+        raise ValueError(f"chunk_tokens must be ≥ 1, got {chunk_tokens}")
+    stride = chunk_tokens if stride is None else stride
+    if not 1 <= stride <= chunk_tokens:
+        raise ValueError(
+            f"stride must be in [1, chunk_tokens], got {stride}"
+        )
+    toks = F.filter(
+        F.split(F.col(text_col), r"\s+"), lambda t: t != ""
+    )
+    # chunks start at i·stride for i in [0, ceil((n−chunk)/stride)]
+    # (clamped ≥ 0), plus always at least one chunk for non-empty docs
+    last_start = F.greatest(
+        F.ceil(
+            (F.size("_toks") - F.lit(chunk_tokens)) / F.lit(stride)
+        ),
+        F.lit(0),
+    ).cast("int")
+    return (
+        docs.select(id_col, toks.alias("_toks"))
+        .where(F.size("_toks") > 0)
+        .select(
+            id_col,
+            "_toks",
+            F.explode(F.sequence(F.lit(0), last_start)).alias("chunk_id"),
+        )
+        .select(
+            id_col,
+            "chunk_id",
+            F.slice(
+                "_toks",
+                F.col("chunk_id") * stride + 1,
+                chunk_tokens,
+            ).alias("_w"),
+        )
+        .select(
+            id_col,
+            "chunk_id",
+            F.size("_w").alias("n_tokens"),
+            F.array_join("_w", " ").alias("chunk_text"),
+        )
+    )
+
+
+def chunk_documents_sql(
+    src: str,
+    chunk_tokens: int = 128,
+    stride: int | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """DuckDB twin of :func:`chunk_documents` (standalone)."""
+    stride = chunk_tokens if stride is None else stride
+    return f"""
+        WITH ch_toks AS (
+            SELECT {id_col},
+                   list_filter(string_split_regex({text_col}, '\\s+'),
+                               t -> t <> '') AS toks
+            FROM {src}
+        ),
+        ch_idx AS (
+            SELECT {id_col}, toks,
+                   CAST(u.i AS INTEGER) AS chunk_id
+            FROM ch_toks,
+                 LATERAL (SELECT UNNEST(range(0,
+                     GREATEST(CAST(CEIL((len(toks) - {chunk_tokens})
+                                        / {stride}.0) AS BIGINT), 0)
+                     + 1)) AS i) u
+            WHERE len(toks) > 0
+        )
+        SELECT {id_col}, chunk_id,
+               CAST(len(list_slice(toks, chunk_id * {stride} + 1,
+                                   chunk_id * {stride} + {chunk_tokens}))
+                    AS INTEGER) AS n_tokens,
+               array_to_string(
+                   list_slice(toks, chunk_id * {stride} + 1,
+                              chunk_id * {stride} + {chunk_tokens}), ' ')
+                   AS chunk_text
+        FROM ch_idx
+    """
+
+
 def rolling_fingerprint(text: Column) -> Column:
     """Polynomial rolling-hash fingerprint over the first 64 chars,
     Horner form: acc = (acc·31 + codepoint) mod p at every step, so
