@@ -1385,6 +1385,14 @@ def q_chunk_documents(spark, sf_dir):
     return textops.chunk_documents(docs, chunk_tokens=64, stride=48)
 
 
+def q_length_batches(spark, sf_dir):
+    """Length-grouped batch construction (textops.length_batches):
+    hash-grouped streams, per-group length-desc windows (never a
+    global window), exact padding-waste accounting per batch."""
+    docs = pages_src.documents(spark, sf_dir)
+    return textops.length_batches(docs, batch_size=16, n_groups=8)
+
+
 def q_rare_token_ratio(spark, sf_dir):
     """Cross-document vocabulary-rarity quality signal
     (textops.rare_token_ratio): fraction of each doc's distinct tokens
@@ -2287,6 +2295,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_topk": q_tfidf_topk,
         "rare_token_ratio": q_rare_token_ratio,
         "chunk_documents": q_chunk_documents,
+        "length_batches": q_length_batches,
         "doc_pagerank": q_doc_pagerank,
         "kmv_distinct_docs": q_kmv_distinct_docs,
         "repetition_stats": q_repetition_stats,
@@ -4698,6 +4707,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "chunk_documents": textops.chunk_documents_sql(
             "documents", chunk_tokens=64, stride=48
+        ),
+        "length_batches": textops.length_batches_sql(
+            "documents", batch_size=16, n_groups=8
         ),
         "rare_token_ratio": """
             WITH toks AS (

@@ -507,6 +507,93 @@ def chunk_documents_sql(
     """
 
 
+def length_batches(
+    docs: DataFrame,
+    batch_size: int,
+    n_groups: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Length-grouped batch construction with padding-waste
+    accounting — the batching step after :func:`chunk_documents`:
+    examples batched with similar lengths pad far less (the
+    LengthGroupedSampler idea), and the operator MEASURES the waste it
+    leaves (pad_waste = max_tokens·n_items − sum_tokens, the exact
+    count of pad tokens a max-length-padded batch would carry) instead
+    of asserting it.
+
+    Deterministic and shuffle-bounded: documents hash into
+    ``n_groups`` independent streams (id mod groups — deterministic at
+    any parallelism), each stream sorts by (token count desc, id) in
+    its OWN window partition and cuts contiguous ``batch_size`` runs.
+    No global window (the single-partition scale bug bench.py treats
+    as FAIL); parallelism = n_groups, user-sized to the cluster.
+    Cross-group length mixing costs at most a per-group re-sort of
+    ~|docs|/n_groups rows — the accepted trade for never serializing.
+
+    Returns per batch: (grp, batch_id, n_items, max_tokens,
+    sum_tokens, pad_waste)."""
+    if batch_size < 1:
+        raise ValueError(f"batch_size must be ≥ 1, got {batch_size}")
+    if n_groups < 1:
+        raise ValueError(f"n_groups must be ≥ 1, got {n_groups}")
+    from pyspark.sql import Window as W
+
+    items = docs.select(
+        F.col(id_col).alias("_id"),
+        token_count(F.col(text_col)).alias("_n"),
+    ).withColumn("grp", F.pmod(F.col("_id"), F.lit(n_groups)).cast("int"))
+    w = W.partitionBy("grp").orderBy(F.col("_n").desc(), F.col("_id"))
+    batched = items.withColumn(
+        "batch_id",
+        ((F.row_number().over(w) - 1) / F.lit(batch_size))
+        .cast("int"),
+    )
+    return batched.groupBy("grp", "batch_id").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.max("_n").alias("max_tokens"),
+        F.sum("_n").cast("bigint").alias("sum_tokens"),
+        (F.max("_n") * F.count(F.lit(1)) - F.sum("_n"))
+        .cast("bigint").alias("pad_waste"),
+    )
+
+
+def length_batches_sql(
+    src: str,
+    batch_size: int,
+    n_groups: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """DuckDB twin of :func:`length_batches` (standalone).  Token
+    count mirrors textops.token_count (split on whitespace runs after
+    trim; empty text = 0)."""
+    ntok = (
+        f"CASE WHEN trim({text_col}) = '' THEN 0 ELSE "
+        f"len(string_split_regex(trim({text_col}), '\\s+')) END"
+    )
+    return f"""
+        WITH lb_items AS (
+            SELECT {id_col} AS _id, {ntok} AS _n,
+                   CAST({id_col} % {n_groups} AS INTEGER) AS grp
+            FROM {src}
+        ),
+        lb_ranked AS (
+            SELECT grp, _id, _n,
+                   CAST((ROW_NUMBER() OVER (PARTITION BY grp
+                                            ORDER BY _n DESC, _id) - 1)
+                        // {batch_size} AS INTEGER) AS batch_id
+            FROM lb_items
+        )
+        SELECT grp, batch_id,
+               COUNT(*) AS n_items,
+               MAX(_n) AS max_tokens,
+               CAST(SUM(_n) AS BIGINT) AS sum_tokens,
+               CAST(MAX(_n) * COUNT(*) - SUM(_n) AS BIGINT) AS pad_waste
+        FROM lb_ranked GROUP BY 1, 2
+    """
+
+
 def rolling_fingerprint(text: Column) -> Column:
     """Polynomial rolling-hash fingerprint over the first 64 chars,
     Horner form: acc = (acc·31 + codepoint) mod p at every step, so

@@ -82,3 +82,53 @@ def test_args_validated(spark):
         textops.chunk_documents(df, 0)
     with pytest.raises(ValueError):
         textops.chunk_documents(df, 4, stride=5)
+
+
+def test_length_batches_reduce_padding(spark):
+    """The point of length grouping: padding waste with length-sorted
+    batches is far below random-order batching on skewed lengths."""
+    import random
+    rng = random.Random(2)
+    rows = [(i, " ".join("x" for _ in range(rng.choice([5, 5, 5, 400]))))
+            for i in range(400)]
+    df = _docs(spark, rows)
+    out = textops.length_batches(df, batch_size=16, n_groups=4).collect()
+    total_waste = sum(r.pad_waste for r in out)
+    # random-order expectation: most batches contain a 400-token doc →
+    # waste ~ n_short·395 per mixed batch.  Sorted grouping keeps long
+    # docs together: only the boundary batch of each group mixes.
+    naive_waste = sum(
+        max(len(t.split()) for _, t in rows[b:b + 16]) * len(rows[b:b + 16])
+        - sum(len(t.split()) for _, t in rows[b:b + 16])
+        for b in range(0, 400, 16)
+    )
+    assert total_waste < naive_waste / 4, (total_waste, naive_waste)
+    # conservation: every doc in exactly one batch
+    assert sum(r.n_items for r in out) == 400
+
+
+def test_length_batches_duckdb_twin(spark):
+    import random
+    rng = random.Random(6)
+    rows = [(i, " ".join("y" for _ in range(rng.randrange(0, 60))))
+            for i in range(300)]
+    df = _docs(spark, rows)
+    got = sorted(map(tuple, textops.length_batches(
+        df, batch_size=7, n_groups=5).collect()))
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents4(doc_id INT, text VARCHAR)")
+    con.executemany("INSERT INTO documents4 VALUES (?, ?)", rows)
+    want = sorted(map(tuple, con.execute(textops.length_batches_sql(
+        "documents4", batch_size=7, n_groups=5)).fetchall()))
+    assert got == want
+
+
+def test_length_batches_no_global_window(spark):
+    plan = (
+        textops.length_batches(_docs(spark, [(1, "a b")]), 4, n_groups=8)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # window must be partitioned by grp — a global window would show
+    # an empty partition spec
+    assert "windowspecdefinition(grp" in plan.replace(" ", "") \
+        or "windowspecdefinition(grp#" in plan, plan
