@@ -1385,6 +1385,21 @@ def q_chunk_documents(spark, sf_dir):
     return textops.chunk_documents(docs, chunk_tokens=64, stride=48)
 
 
+MIXTURE_TARGETS = {"en": 50, "de": 20, "fr": 15, "es": 10, "it": 5}
+
+
+def q_mixture_resample(spark, sf_dir):
+    """Data-mixture rebalancing (sampling.mixture_resample): largest
+    feasible corpus at 50/20/15/10/5 token weights, integer budget
+    algebra, house-hash doc selection — scan-level predicate, two tiny
+    broadcast aggregates."""
+    from openstreetmap_license_change_spark.operators import sampling
+
+    docs = pages_src.documents(spark, sf_dir)
+    out = sampling.mixture_resample(docs, MIXTURE_TARGETS)
+    return out.select("doc_id", "lang", "n_tokens", "keep_thresh")
+
+
 def q_length_batches(spark, sf_dir):
     """Length-grouped batch construction (textops.length_batches):
     hash-grouped streams, per-group length-desc windows (never a
@@ -2296,6 +2311,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rare_token_ratio": q_rare_token_ratio,
         "chunk_documents": q_chunk_documents,
         "length_batches": q_length_batches,
+        "mixture_resample": q_mixture_resample,
         "doc_pagerank": q_doc_pagerank,
         "kmv_distinct_docs": q_kmv_distinct_docs,
         "repetition_stats": q_repetition_stats,
@@ -2519,7 +2535,10 @@ def _fold_restriction_sql(
 
 
 def oracle_sql() -> dict[str, str]:
-    from openstreetmap_license_change_spark.operators import temporal
+    from openstreetmap_license_change_spark.operators import (
+        sampling as sampling_ops,
+        temporal,
+    )
 
     cell = spatial.grid_cell_sql("lon", "lat")
     # 5×5 separable binomial kernel taps (dy, dx, C(4,dy+2)·C(4,dx+2))
@@ -4710,6 +4729,13 @@ def oracle_sql() -> dict[str, str]:
         ),
         "length_batches": textops.length_batches_sql(
             "documents", batch_size=16, n_groups=8
+        ),
+        "mixture_resample": (
+            "SELECT doc_id, lang, n_tokens, keep_thresh FROM ("
+            + sampling_ops.mixture_resample_sql(
+                "documents", MIXTURE_TARGETS
+            )
+            + ")"
         ),
         "rare_token_ratio": """
             WITH toks AS (

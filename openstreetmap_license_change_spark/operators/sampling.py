@@ -87,3 +87,120 @@ def group_topk(
     return df.withColumn(rank_name, F.row_number().over(w)).where(
         F.col(rank_name) <= k
     )
+
+
+def mixture_resample(
+    docs: DataFrame,
+    targets: "dict[str, int]",
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+    text_col: str = "text",
+    scale: int = 10**6,
+) -> DataFrame:
+    """Data-mixture rebalancing: downsample each language (or any
+    stratum) so token totals match the INTEGER weight ratios in
+    ``targets`` — the Pile/ROOTS-style mixture step between curation
+    and training.  The largest feasible corpus is taken: the binding
+    stratum keeps ~everything and every other stratum downsamples to
+    weight-proportional token mass (no upsampling — duplication is a
+    training-recipe choice, not a sampling one).
+
+    All arithmetic is integer: with toks_l the stratum token total and
+    w_l its weight, budget = min_l(toks_l·scale DIV w_l) and the
+    per-stratum keep threshold is (budget·w_l) DIV toks_l ∈ [0,
+    scale]; a document survives iff its id's house-hash residue mod
+    ``scale`` falls below its stratum threshold — reproducible across
+    engines, partitionings, and cluster sizes (the
+    deterministic_sample contract).  Selection is doc-level, so the
+    ACHIEVED token share fluctuates by ~1/√docs around the target
+    (stated, not hidden); strata absent from ``targets`` are dropped.
+
+    Plan: one stratum aggregate (n_strata rows) → 1-row min → both
+    broadcast back; the keep filter is a scan-level predicate on the
+    fact table.  Returns the surviving rows + (n_tokens, keep_thresh).
+    """
+    from .textops import token_count
+
+    if not targets or any(w <= 0 for w in targets.values()):
+        raise ValueError("targets must be non-empty positive weights")
+    wdf = docs.sparkSession.createDataFrame(
+        sorted(targets.items()), f"{lang_col} string, _w bigint"
+    )
+    base = (
+        docs.join(F.broadcast(wdf), lang_col)
+        .withColumn("n_tokens", token_count(F.col(text_col)))
+    )
+    per = base.groupBy(lang_col, "_w").agg(
+        F.sum("n_tokens").cast("bigint").alias("_toks")
+    )
+    budget = per.agg(
+        F.min(F.expr(f"(_toks * {int(scale)}) DIV _w")).alias("_budget")
+    )
+    thr = per.crossJoin(F.broadcast(budget)).select(
+        lang_col,
+        F.expr("CAST((_budget * _w) DIV _toks AS BIGINT)").alias(
+            "keep_thresh"
+        ),
+    )
+    # residue: the polynomial hash alone is near-identity on short
+    # numeric ids (contiguous id ranges land in contiguous residue
+    # bands — an all-or-nothing selection per range), so it is routed
+    # through the KMV avalanche mix before taking the residue
+    from .sketches import kmv_hash
+
+    r = kmv_hash(sample_hash_col(F.col(id_col))) % F.lit(int(scale))
+    return (
+        base.join(F.broadcast(thr), lang_col)
+        .where(r < F.col("keep_thresh"))
+        .drop("_w")
+    )
+
+
+def mixture_resample_sql(
+    src: str,
+    targets: "dict[str, int]",
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+    text_col: str = "text",
+    scale: int = 10**6,
+) -> str:
+    """DuckDB twin of :func:`mixture_resample` (standalone; same
+    integer budget/threshold algebra and house hash residue)."""
+    from .dedup import token_hash_sql
+    from .sketches import kmv_hash_sql
+
+    wvals = ", ".join(
+        f"('{k}', {int(v)})" for k, v in sorted(targets.items())
+    )
+    ntok = (
+        f"CASE WHEN trim({text_col}) = '' THEN 0 ELSE "
+        f"len(string_split_regex(trim({text_col}), '\\s+')) END"
+    )
+    h = kmv_hash_sql(
+        "(" + token_hash_sql(f"CAST({id_col} AS VARCHAR)") + ")"
+    )
+    return f"""
+        WITH mx_w({lang_col}, _w) AS (VALUES {wvals}),
+        mx_base AS (
+            SELECT s.*, {ntok} AS n_tokens, w._w
+            FROM {src} s JOIN mx_w w USING ({lang_col})
+        ),
+        mx_per AS (
+            SELECT {lang_col}, _w,
+                   CAST(SUM(n_tokens) AS BIGINT) AS _toks
+            FROM mx_base GROUP BY 1, 2
+        ),
+        mx_budget AS (
+            SELECT MIN((_toks * {int(scale)}) // _w) AS _budget
+            FROM mx_per
+        ),
+        mx_thr AS (
+            SELECT {lang_col},
+                   CAST((b._budget * _w) // _toks AS BIGINT)
+                       AS keep_thresh
+            FROM mx_per CROSS JOIN mx_budget b
+        )
+        SELECT b.* EXCLUDE (_w), t.keep_thresh
+        FROM mx_base b JOIN mx_thr t USING ({lang_col})
+        WHERE ({h}) % {int(scale)} < t.keep_thresh
+    """
