@@ -1698,6 +1698,16 @@ def q_event_retention(spark, sf_dir):
     return temporal.event_retention(events, max_offset=7)
 
 
+def q_event_transitions(spark, sf_dir):
+    """User-journey transition matrix (temporal.event_transitions):
+    consecutive event-type pairs per user with exact ppm conditional
+    rates — one LEAD window + two aggregates."""
+    from openstreetmap_license_change_spark.operators import temporal
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return temporal.event_transitions(events)
+
+
 def q_events_asof_join(spark, sf_dir):
     """As-of join (union+window form — one shuffle, no range nested
     loop): each event picks up the value of the user's most recent
@@ -2347,6 +2357,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_asof_join": q_events_asof_join,
         "event_funnel": q_event_funnel,
         "event_retention": q_event_retention,
+        "event_transitions": q_event_transitions,
         "events_hourly_rollup": q_events_hourly_rollup,
         "events_interval_join": q_events_interval_join,
         "events_overlap_join": q_events_overlap_join,
@@ -4023,6 +4034,7 @@ def oracle_sql() -> dict[str, str]:
         "event_retention": temporal.event_retention_sql(
             "events", max_offset=7
         ),
+        "event_transitions": temporal.event_transitions_sql("events"),
         "events_asof_join": """
             WITH updates AS (
                 SELECT user_id, ts, MAX(value) AS update_value

@@ -387,3 +387,83 @@ def event_retention_sql(
         WHERE a.d - f.d0 <= {max_offset}
         GROUP BY 1, 2
     """
+
+
+def event_transitions(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    scale: int = 10**6,
+) -> DataFrame:
+    """First-order journey transition matrix: counts of consecutive
+    (from → to) event-type pairs within each user's timeline, with the
+    conditional transition rate in exact ppm
+    (``p_ppm = n_pairs·10⁶ DIV n_from``) — the Markov-chain view of
+    the event stream that funnels/retention summarize along one path.
+
+    Ordering ties: events sharing a user timestamp are ordered by
+    (ts, event_type, event_id-free deterministic tiebreak) — the sort
+    key is (epoch µs, type string), so equal-time pairs are stable and
+    engine-identical.
+
+    Plan: one LEAD window per user (the stream's only wide shuffle),
+    one pair groupBy, one from-keyed rollup joined back broadcast-
+    style.  Returns (from_type, to_type, n_pairs, p_ppm)."""
+    w = W.partitionBy("_u").orderBy("_us", "_t")
+    ev = events.select(
+        F.col(user_col).alias("_u"),
+        F.col(type_col).alias("_t"),
+        F.unix_micros(F.col(ts_col).cast("timestamp")).alias("_us"),
+    )
+    pairs = (
+        ev.select(
+            F.col("_t").alias("from_type"),
+            F.lead("_t").over(w).alias("to_type"),
+        )
+        .where(F.col("to_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+    froms = pairs.groupBy("from_type").agg(
+        F.sum("n_pairs").alias("_nf")
+    )
+    return pairs.join(F.broadcast(froms), "from_type").select(
+        "from_type", "to_type", "n_pairs",
+        F.expr(f"(n_pairs * {int(scale)}) DIV _nf").alias("p_ppm"),
+    )
+
+
+def event_transitions_sql(
+    src: str,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    scale: int = 10**6,
+) -> str:
+    """DuckDB twin of :func:`event_transitions` (standalone)."""
+    return f"""
+        WITH tr_ev AS (
+            SELECT {user_col} AS u, {type_col} AS t,
+                   epoch_us({ts_col}) AS us
+            FROM {src}
+        ),
+        tr_pairs AS (
+            SELECT from_type, to_type, COUNT(*) AS n_pairs
+            FROM (
+                SELECT t AS from_type,
+                       LEAD(t) OVER (PARTITION BY u
+                                     ORDER BY us, t) AS to_type
+                FROM tr_ev
+            )
+            WHERE to_type IS NOT NULL
+            GROUP BY 1, 2
+        ),
+        tr_from AS (
+            SELECT from_type, SUM(n_pairs) AS nf
+            FROM tr_pairs GROUP BY 1
+        )
+        SELECT p.from_type, p.to_type, p.n_pairs,
+               CAST((p.n_pairs * {int(scale)}) // f.nf AS BIGINT) AS p_ppm
+        FROM tr_pairs p JOIN tr_from f USING (from_type)
+    """

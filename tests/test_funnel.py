@@ -134,3 +134,37 @@ def test_retention_duckdb_twin(spark):
     want = sorted(map(tuple, con.execute(
         temporal.event_retention_sql("ev2", max_offset=10)).fetchall()))
     assert got == want
+
+
+def test_transitions_planted(spark):
+    rows = [
+        (1, _ts(0), "view"), (1, _ts(1), "click"), (1, _ts(2), "view"),
+        (2, _ts(0), "view"), (2, _ts(1), "click"),
+        (3, _ts(5), "view"), (3, _ts(6), "view"),
+    ]
+    df = spark.createDataFrame(rows, DDL)
+    out = {(r.from_type, r.to_type): (r.n_pairs, r.p_ppm)
+           for r in temporal.event_transitions(df).collect()}
+    # from view: 2× →click, 2× →view (of 4); from click: 1× →view
+    assert out[("view", "click")] == (2, 500_000)
+    assert out[("view", "view")] == (2, 500_000)
+    assert out[("click", "view")] == (1, 1_000_000)
+    assert ("click", "click") not in out
+
+
+def test_transitions_duckdb_twin(spark):
+    rng = random.Random(12)
+    rows = [
+        (rng.randrange(30), _ts(rng.randrange(0, 3000)),
+         rng.choice(["view", "click", "error", "signup"]))
+        for _ in range(2500)
+    ]
+    df = spark.createDataFrame(rows, DDL)
+    got = sorted(map(tuple, temporal.event_transitions(df).collect()))
+    con = duckdb.connect()
+    con.execute("CREATE TABLE ev3(user_id BIGINT, ts TIMESTAMP, "
+                "event_type VARCHAR)")
+    con.executemany("INSERT INTO ev3 VALUES (?, ?, ?)", rows)
+    want = sorted(map(tuple, con.execute(
+        temporal.event_transitions_sql("ev3")).fetchall()))
+    assert got == want
