@@ -145,9 +145,10 @@ def test_transitions_planted(spark):
     df = spark.createDataFrame(rows, DDL)
     out = {(r.from_type, r.to_type): (r.n_pairs, r.p_ppm)
            for r in temporal.event_transitions(df).collect()}
-    # from view: 2× →click, 2× →view (of 4); from click: 1× →view
-    assert out[("view", "click")] == (2, 500_000)
-    assert out[("view", "view")] == (2, 500_000)
+    # from view: →click ×2 (u1, u2), →view ×1 (u3) — u1's trailing
+    # view has no successor; from click: →view ×1 (u1)
+    assert out[("view", "click")] == (2, 666_666)
+    assert out[("view", "view")] == (1, 333_333)
     assert out[("click", "view")] == (1, 1_000_000)
     assert ("click", "click") not in out
 
