@@ -1366,6 +1366,37 @@ def q_doc_pagerank(spark, sf_dir):
     return out.select(F.col("node").alias("doc_id"), "rank_q")
 
 
+CM_DEPTH, CM_WIDTH, CM_TOPK = 4, 1024, 20
+
+
+def q_countmin_topk(spark, sf_dir):
+    """Count-Min heavy-hitter estimates (sketches.countmin_build /
+    countmin_estimate): 4×1024 exact-integer sketch of the corpus
+    token stream, point estimates for the exact top-20 tokens joined
+    against their TRUE counts — est_n ≥ true_n is the sketch's
+    one-sided guarantee, and the whole pipeline is deterministic, so
+    the DuckDB twin hash-matches every estimate."""
+    docs = pages_src.documents(spark, sf_dir)
+    exact = (
+        docs.select(
+            F.explode(
+                F.filter(
+                    F.split(F.lower(F.col("text")), r"\s+"),
+                    lambda t: t != "",
+                )
+            ).alias("token")
+        )
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("true_n"))
+    )
+    top = exact.orderBy(F.desc("true_n"), "token").limit(CM_TOPK)
+    sk = sketches.countmin_build(docs, depth=CM_DEPTH, width=CM_WIDTH)
+    est = sketches.countmin_estimate(
+        sk, top.select("token"), width=CM_WIDTH
+    )
+    return top.join(est, "token")
+
+
 def q_kmv_distinct_docs(spark, sf_dir):
     """Per-lang distinct-document cardinality via the deterministic
     KMV bottom-k sketch (operators/sketches.py) at k=16 — exercising
@@ -2324,6 +2355,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_resample": q_mixture_resample,
         "doc_pagerank": q_doc_pagerank,
         "kmv_distinct_docs": q_kmv_distinct_docs,
+        "countmin_topk": q_countmin_topk,
         "repetition_stats": q_repetition_stats,
         "passage_dedup": q_passage_dedup,
         "pii_scrub": q_pii_scrub,
@@ -4730,6 +4762,27 @@ def oracle_sql() -> dict[str, str]:
                 _PR_EDGES_SQL,
                 iterations=PR_ITERATIONS,
             )})
+        """,
+        "countmin_topk": f"""
+            WITH cm_exact AS (
+                SELECT u.tok AS token, COUNT(*) AS true_n
+                FROM (SELECT string_split_regex(lower(text), '\\s+') AS ws
+                      FROM documents) s,
+                     LATERAL UNNEST(s.ws) AS u(tok)
+                WHERE u.tok <> ''
+                GROUP BY 1
+            ),
+            cm_top AS (
+                SELECT token, true_n FROM cm_exact
+                ORDER BY true_n DESC, token LIMIT {CM_TOPK}
+            ),
+            cm_est AS (
+                SELECT * FROM ({sketches.countmin_sql(
+                    'documents', 'SELECT token FROM cm_top',
+                    depth=CM_DEPTH, width=CM_WIDTH)})
+            )
+            SELECT t.token, t.true_n, e.est_n
+            FROM cm_top t JOIN cm_est e USING (token)
         """,
         "kmv_distinct_docs": _with_pages(
             ", " + sketches.kmv_distinct_ctes(

@@ -127,3 +127,132 @@ def kmv_distinct_ctes(
                     AS BIGINT) AS est_distinct
         FROM kmv_kept GROUP BY {group_col}
     """
+
+
+def _cm_hash(token_col, row: int) -> "F.Column":
+    """Row-salted Count-Min hash: the house polynomial token hash
+    offset by a per-row salt, then the KMV avalanche mix (the raw
+    polynomial is near-identity on short strings — measured in
+    mixture_resample; the mix is what spreads buckets)."""
+    from .dedup import token_hash
+
+    return kmv_hash(token_hash(token_col) + F.lit(row * 1_000_003))
+
+
+def _cm_hash_sql(expr: str, row: int) -> str:
+    from .dedup import token_hash_sql
+
+    return kmv_hash_sql(
+        "(" + token_hash_sql(expr) + f" + {row * 1_000_003})"
+    )
+
+
+def countmin_build(
+    docs: DataFrame,
+    depth: int = 4,
+    width: int = 1024,
+    text_col: str = "text",
+) -> DataFrame:
+    """Count-Min frequency sketch over the corpus token stream — the
+    heavy-hitter companion of the KMV cardinality sketch: ``depth``
+    salted hash rows × ``width`` buckets of exact int64 counters.
+    Point estimates are one-sided (est ≥ true, over-count ≤ ε·N with
+    ε ≈ e/width at probability 1−e^-depth) — the classic bound, and
+    with THIS engine's fixed deterministic hashes the estimate for a
+    given corpus is reproducible bit-for-bit (tested), not merely
+    bounded in expectation.
+
+    Mergeable: sketches of two corpora ADD cell-wise (same (row,
+    bucket) grid), the same contract as tile_rollup_merge — so
+    per-snapshot sketches roll up without rescanning.
+
+    Plan: explode tokens ×depth (a constant fan on the stream), one
+    map-side-combining groupBy on (row, bucket): output ≤ depth·width
+    rows regardless of corpus size.  Returns (row, bucket, cnt)."""
+    if depth < 1 or width < 2:
+        raise ValueError(f"need depth ≥ 1, width ≥ 2: {depth}, {width}")
+    toks = docs.select(
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.col(text_col)), r"\s+"),
+                lambda t: t != "",
+            )
+        ).alias("token")
+    )
+    rows = None
+    for r in range(depth):
+        part = toks.select(
+            F.lit(r).alias("row"),
+            (_cm_hash(F.col("token"), r) % F.lit(width)).alias("bucket"),
+        )
+        rows = part if rows is None else rows.unionByName(part)
+    return rows.groupBy("row", "bucket").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+
+
+def countmin_estimate(
+    sketch: DataFrame,
+    queries: DataFrame,
+    width: int = 1024,
+    token_col: str = "token",
+) -> DataFrame:
+    """Point-frequency estimates from a :func:`countmin_build` sketch:
+    est = min over rows of the queried token's bucket counter.  The
+    sketch is ≤ depth·width rows — broadcast side of every join.
+    Returns (token, est_n)."""
+    depth = sketch.agg(F.max("row")).collect()[0][0]
+    if depth is None:
+        raise ValueError("empty sketch")
+    probes = None
+    for r in range(int(depth) + 1):
+        part = queries.select(
+            F.col(token_col).alias("token"),
+            F.lit(r).alias("row"),
+            (_cm_hash(F.col(token_col), r) % F.lit(width)).alias("bucket"),
+        )
+        probes = part if probes is None else probes.unionByName(part)
+    return (
+        probes.join(F.broadcast(sketch), ["row", "bucket"])
+        .groupBy("token")
+        .agg(F.min("cnt").alias("est_n"))
+    )
+
+
+def countmin_sql(
+    src: str,
+    query_tokens_sql: str,
+    depth: int = 4,
+    width: int = 1024,
+    text_col: str = "text",
+) -> str:
+    """DuckDB twin of build+estimate in one statement: sketch ``src``'s
+    token stream, estimate every token of ``query_tokens_sql`` (a
+    relation exposing ``token``).  Returns (token, est_n)."""
+    probes = " UNION ALL ".join(
+        f"SELECT {r} AS row, ({_cm_hash_sql('t.tok', r)}) % {width} "
+        f"AS bucket, t.tok FROM cm_toks t"
+        for r in range(depth)
+    )
+    qprobes = " UNION ALL ".join(
+        f"SELECT {r} AS row, ({_cm_hash_sql('q.token', r)}) % {width} "
+        f"AS bucket, q.token FROM ({query_tokens_sql}) q"
+        for r in range(depth)
+    )
+    return f"""
+        WITH cm_toks AS (
+            SELECT u.tok
+            FROM (SELECT string_split_regex(lower({text_col}), '\\s+')
+                      AS ws FROM {src}) s,
+                 LATERAL UNNEST(s.ws) AS u(tok)
+            WHERE u.tok <> ''
+        ),
+        cm_cells AS (
+            SELECT row, bucket, CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM ({probes}) GROUP BY 1, 2
+        ),
+        cm_probe AS ({qprobes})
+        SELECT p.token, MIN(c.cnt) AS est_n
+        FROM cm_probe p JOIN cm_cells c USING (row, bucket)
+        GROUP BY p.token
+    """

@@ -94,3 +94,90 @@ def test_window_group_limit_plan(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "WindowGroupLimit" in plan, plan
+
+
+def test_countmin_one_sided_and_exact_on_sparse(spark):
+    """est ≥ true always; with far fewer distinct tokens than buckets
+    and 4 rows, collisions are absent and every estimate is EXACT."""
+    docs = spark.createDataFrame(
+        [(1, "a a a b b c"), (2, "a b d d d d")],
+        "doc_id int, text string",
+    )
+    sk = sketches.countmin_build(docs, depth=4, width=1024)
+    q = spark.createDataFrame(
+        [("a",), ("b",), ("c",), ("d",), ("zz",)], "token string")
+    est = {r.token: r.est_n for r in
+           sketches.countmin_estimate(sk, q, width=1024).collect()}
+    # the sketch stores only POPULATED cells; an unseen token either
+    # joins nothing (absent ≡ 0, the case here) or lands on a
+    # collision cell (est > 0 — still one-sided-legal for true = 0)
+    assert {k: v for k, v in est.items() if k != "zz"} == {
+        "a": 4, "b": 3, "c": 1, "d": 4}
+    assert est.get("zz", 0) >= 0
+
+
+def test_countmin_overcount_bounded_under_pressure(spark):
+    """Tiny width forces collisions: estimates stay ≥ true and within
+    the deterministic measured bound (fixed hashes → regression pin)."""
+    import random
+    rng = random.Random(7)
+    vocab = [f"tok{i}" for i in range(200)]
+    docs = spark.createDataFrame(
+        [(i, " ".join(rng.choice(vocab) for _ in range(100)))
+         for i in range(30)],
+        "doc_id int, text string",
+    )
+    truth = {}
+    for _, t in docs.collect():
+        for w in t.split():
+            truth[w] = truth.get(w, 0) + 1
+    sk = sketches.countmin_build(docs, depth=4, width=64)
+    q = spark.createDataFrame([(w,) for w in vocab], "token string")
+    est = {r.token: r.est_n for r in
+           sketches.countmin_estimate(sk, q, width=64).collect()}
+    n_total = sum(truth.values())
+    for w in vocab:
+        assert est[w] >= truth.get(w, 0), w
+        # e·N/width bound with huge slack (deterministic anyway)
+        assert est[w] - truth.get(w, 0) <= 3 * n_total // 64, w
+
+
+def test_countmin_sketch_is_mergeable(spark):
+    """Cell-wise ADD of two halves == sketch of the union."""
+    from pyspark.sql import functions as FF
+    half1 = spark.createDataFrame([(1, "x y z x")], "doc_id int, text string")
+    half2 = spark.createDataFrame([(2, "x w w")], "doc_id int, text string")
+    whole = half1.unionByName(half2)
+    sk_w = {(r.row, r.bucket): r.cnt for r in
+            sketches.countmin_build(whole, 3, 128).collect()}
+    merged = (
+        sketches.countmin_build(half1, 3, 128)
+        .unionByName(sketches.countmin_build(half2, 3, 128))
+        .groupBy("row", "bucket").agg(FF.sum("cnt").alias("cnt"))
+    )
+    sk_m = {(r.row, r.bucket): r.cnt for r in merged.collect()}
+    assert sk_m == sk_w
+
+
+def test_countmin_duckdb_twin(spark):
+    import duckdb as ddb
+    import random
+    rng = random.Random(9)
+    rows = [(i, " ".join(rng.choice(["aa", "bb", "cc", "dd", "ee"])
+                         for _ in range(40))) for i in range(20)]
+    docs = spark.createDataFrame(rows, "doc_id int, text string")
+    sk = sketches.countmin_build(docs, depth=3, width=32)
+    q = spark.createDataFrame(
+        [("aa",), ("bb",), ("ee",)], "token string")
+    got = sorted(map(tuple, sketches.countmin_estimate(
+        sk, q, width=32).collect()))
+    con = ddb.connect()
+    con.execute("CREATE TABLE documents6(doc_id INT, text VARCHAR)")
+    con.executemany("INSERT INTO documents6 VALUES (?, ?)", rows)
+    con.execute("CREATE TABLE qt(token VARCHAR)")
+    con.executemany("INSERT INTO qt VALUES (?)",
+                    [("aa",), ("bb",), ("ee",)])
+    want = sorted(map(tuple, con.execute(sketches.countmin_sql(
+        "documents6", "SELECT token FROM qt", depth=3, width=32
+    )).fetchall()))
+    assert got == want
