@@ -1397,6 +1397,19 @@ def q_countmin_topk(spark, sf_dir):
     return top.join(est, "token")
 
 
+def q_sampled_quantiles(spark, sf_dir):
+    """Mergeable sampled per-lang token-length quantiles
+    (sketches.sampled_quantiles, k=128): bottom-k-hash uniform sample
+    + exact lower-convention order statistics — the auditable twin of
+    percentile_approx; shuffle volume capped at k per group."""
+    docs = pages_src.documents(spark, sf_dir).select(
+        "doc_id", "lang", textops.token_count(F.col("text")).alias("n_tok")
+    )
+    return sketches.sampled_quantiles(
+        docs, "lang", "n_tok", "doc_id", k=128
+    )
+
+
 def q_kmv_distinct_docs(spark, sf_dir):
     """Per-lang distinct-document cardinality via the deterministic
     KMV bottom-k sketch (operators/sketches.py) at k=16 — exercising
@@ -2356,6 +2369,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_pagerank": q_doc_pagerank,
         "kmv_distinct_docs": q_kmv_distinct_docs,
         "countmin_topk": q_countmin_topk,
+        "sampled_quantiles": q_sampled_quantiles,
         "repetition_stats": q_repetition_stats,
         "passage_dedup": q_passage_dedup,
         "pii_scrub": q_pii_scrub,
@@ -4763,6 +4777,12 @@ def oracle_sql() -> dict[str, str]:
                 iterations=PR_ITERATIONS,
             )})
         """,
+        "sampled_quantiles": sketches.sampled_quantiles_sql(
+            "(SELECT doc_id, lang, CASE WHEN trim(text) = '' THEN 0 "
+            "ELSE len(string_split_regex(trim(text), '\\s+')) END "
+            "AS n_tok FROM documents)",
+            "lang", "n_tok", "doc_id", k=128,
+        ),
         "countmin_topk": f"""
             WITH cm_exact AS (
                 SELECT u.tok AS token, COUNT(*) AS true_n

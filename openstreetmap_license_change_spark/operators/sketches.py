@@ -256,3 +256,104 @@ def countmin_sql(
         FROM cm_probe p JOIN cm_cells c USING (row, bucket)
         GROUP BY p.token
     """
+
+
+def sampled_quantiles(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    key_col: str,
+    k: int = 256,
+    qs: "tuple[float, ...]" = (0.25, 0.5, 0.75, 0.9),
+) -> DataFrame:
+    """Mergeable approximate per-group quantiles — the third member of
+    the deterministic-sketch family: Spark's ``percentile_approx``
+    (Greenwald-Khanna) is engine-private exactly like HLL, so its
+    numbers can't be audited by another system.  Here the sketch is a
+    uniform bottom-``k``-hash sample (same mergeable k-min set as
+    KMV — union two groups' samples and re-take the k smallest), and
+    the quantiles are EXACT order statistics of the sample with the
+    interpolation-free "lower" convention (index ⌊q·(n−1)⌋ — pure
+    integer, engine-identical; textops.group_quantiles is the
+    full-sort exact sibling when you can afford |group| log |group|).
+    Sampling error ~1/√k on the quantile RANK (stated; the regression
+    test pins measured accuracy on a known distribution).
+
+    Plan: WindowGroupLimit bottom-k (≤ k rows per group cross the
+    shuffle) then one collect_list of ≤ k values per group — shuffle
+    volume is capped by k regardless of group size, the whole point
+    vs the exact sibling.
+
+    Returns (group, n_sample, q_pct, value) — one row per requested
+    quantile, q_pct as integer percent·100 (e.g. 2500 = p25)."""
+    if k < 4:
+        raise ValueError(f"k must be ≥ 4, got {k}")
+    if not qs or any(not 0 <= q <= 1 for q in qs):
+        raise ValueError(f"quantiles must be in [0, 1]: {qs}")
+    h = kmv_hash(F.col(key_col)).alias("_h")
+    w = W.partitionBy(group_col).orderBy("_h", key_col)
+    kept = (
+        df.select(group_col, value_col, key_col)
+        .select(group_col, value_col, h, key_col)
+        .withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") <= k)
+    )
+    agg = kept.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n_sample"),
+        F.array_sort(F.collect_list(value_col)).alias("_vals"),
+    )
+    out = None
+    for q in qs:
+        # index ⌊q·(n−1)⌋, 1-based element_at — integer arithmetic
+        # via DIV so both engines floor identically
+        qn = int(round(q * 10_000))
+        row = agg.select(
+            group_col,
+            "n_sample",
+            F.lit(qn).alias("q_pct"),
+            F.element_at(
+                "_vals",
+                (
+                    F.expr(f"CAST(({qn} * (n_sample - 1)) DIV 10000 AS INT)")
+                    + F.lit(1)
+                ),
+            ).alias("value"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+def sampled_quantiles_sql(
+    src: str,
+    group_col: str,
+    value_col: str,
+    key_col: str,
+    k: int = 256,
+    qs: "tuple[float, ...]" = (0.25, 0.5, 0.75, 0.9),
+) -> str:
+    """DuckDB twin of :func:`sampled_quantiles` (standalone)."""
+    h = kmv_hash_sql(key_col)
+    selects = []
+    for q in qs:
+        qn = int(round(q * 10_000))
+        selects.append(
+            f"SELECT {group_col}, n_sample, {qn} AS q_pct, "
+            f"vals[CAST(({qn} * (n_sample - 1)) // 10000 AS INTEGER) + 1] "
+            f"AS value FROM sq_agg"
+        )
+    return f"""
+        WITH sq_ranked AS (
+            SELECT {group_col}, {value_col},
+                   ROW_NUMBER() OVER (PARTITION BY {group_col}
+                                      ORDER BY {h}, {key_col}) AS _rk
+            FROM {src}
+        ),
+        sq_agg AS (
+            SELECT {group_col},
+                   COUNT(*) AS n_sample,
+                   list_sort(list({value_col})) AS vals
+            FROM sq_ranked WHERE _rk <= {k}
+            GROUP BY {group_col}
+        )
+        {" UNION ALL ".join(selects)}
+    """

@@ -181,3 +181,71 @@ def test_countmin_duckdb_twin(spark):
         "documents6", "SELECT token FROM qt", depth=3, width=32
     )).fetchall()))
     assert got == want
+
+
+def test_sampled_quantiles_exact_below_k(spark):
+    """Groups smaller than k: the 'sample' is the whole group, so the
+    quantiles are EXACT lower-convention order statistics."""
+    rows = [(1, v, 100 + i) for i, v in enumerate([10, 20, 30, 40, 50])]
+    df = spark.createDataFrame(rows, "g int, v bigint, key bigint")
+    out = {r.q_pct: r.value for r in sketches.sampled_quantiles(
+        df, "g", "v", "key", k=64, qs=(0.0, 0.25, 0.5, 1.0)).collect()}
+    # n=5: idx = floor(q·4) → 0,1,2,4
+    assert out == {0: 10, 2500: 20, 5000: 30, 10000: 50}
+
+
+def test_sampled_quantiles_accuracy_on_uniform(spark):
+    """10k uniform values, k=256: sampled median within 10% of true
+    (deterministic hash ⇒ a regression pin, not a flaky test)."""
+    rows = [(1, (i * 7919) % 10000, i) for i in range(10000)]
+    df = spark.createDataFrame(rows, "g int, v bigint, key bigint")
+    out = {r.q_pct: r.value for r in sketches.sampled_quantiles(
+        df, "g", "v", "key", k=256).collect()}
+    assert abs(out[5000] - 5000) < 1000, out
+    assert abs(out[9000] - 9000) < 1000, out
+
+
+def test_sampled_quantiles_merge_property(spark):
+    """Union of two halves' bottom-k samples, re-cut to k, gives the
+    whole's sketch — the same merge contract as kmv_distinct."""
+    from pyspark.sql import functions as FF
+    rows = [(1, (i * 13) % 5000, i) for i in range(4000)]
+    df = spark.createDataFrame(rows, "g int, v bigint, key bigint")
+    whole = {r.q_pct: r.value for r in sketches.sampled_quantiles(
+        df, "g", "v", "key", k=64).collect()}
+
+    def bottomk(part):
+        return (part.select("g", "v", "key",
+                            sketches.kmv_hash(FF.col("key")).alias("h"))
+                .orderBy("h", "key").limit(64))
+
+    h1 = bottomk(df.where(FF.col("key") < 2000))
+    h2 = bottomk(df.where(FF.col("key") >= 2000))
+    merged = h1.unionByName(h2).orderBy("h", "key").limit(64) \
+        .drop("h")
+    re = {r.q_pct: r.value for r in sketches.sampled_quantiles(
+        merged, "g", "v", "key", k=64).collect()}
+    assert re == whole
+
+
+def test_sampled_quantiles_duckdb_twin(spark):
+    rows = [((i * 3) % 4, (i * 104729) % 1000, i) for i in range(800)]
+    df = spark.createDataFrame(rows, "g int, v bigint, key bigint")
+    got = sorted(map(tuple, sketches.sampled_quantiles(
+        df, "g", "v", "key", k=32).collect()))
+    import duckdb as ddb
+    con = ddb.connect()
+    con.execute("CREATE TABLE t2(g INT, v BIGINT, key BIGINT)")
+    con.executemany("INSERT INTO t2 VALUES (?,?,?)", rows)
+    want = sorted(map(tuple, con.execute(sketches.sampled_quantiles_sql(
+        "t2", "g", "v", "key", k=32)).fetchall()))
+    assert got == want
+
+
+def test_sampled_quantiles_windowgrouplimit_plan(spark):
+    df = spark.createDataFrame([(1, 1, 1)], "g int, v bigint, key bigint")
+    plan = (
+        sketches.sampled_quantiles(df, "g", "v", "key", k=8)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "WindowGroupLimit" in plan, plan
