@@ -116,8 +116,9 @@ def mixture_resample(
     (stated, not hidden); strata absent from ``targets`` are dropped.
 
     Plan: one stratum aggregate (n_strata rows) → 1-row min → both
-    broadcast back; the keep filter is a scan-level predicate on the
-    fact table.  Returns the surviving rows + (n_tokens, keep_thresh).
+    broadcast back; the keep filter is a MAP-SIDE predicate after
+    broadcast-only joins — the fact table never shuffles (plan-
+    pinned).  Returns the surviving rows + (n_tokens, keep_thresh).
     """
     from .textops import token_count
 
