@@ -192,3 +192,41 @@ def foreach_batch_rollup(
         all_deltas, all_deltas.limit(0)
     )
     current.write.mode("overwrite").parquet(f"{state_dir}/rollup_current")
+
+
+def foreach_batch_latest_state(
+    batch_df: DataFrame, batch_id: int, state_dir: str
+):
+    """ForeachBatch bridge maintaining the corpus's CURRENT state (the
+    reference's `current_*` tables / snapshots.snapshot_diff's as-of
+    view) incrementally: latest-visible-capture per url is a MERGEABLE
+    aggregate — max(struct(warc_epoch, …)) — so the bridge follows the
+    foreach_batch_rollup contract exactly: each micro-batch writes its
+    own per-url delta state idempotently (overwrite of
+    ``states/batch=<id>``; a crash-replay rewrites the same
+    partition), and ``current`` is published as the per-url max over
+    all batch deltas.  Deltas are per-url 1-row aggregates, so the
+    publish re-aggregates aggregate rows only.
+
+    Together with snapshot_diff this gives the streaming side of the
+    snapshot story: the batch operator answers "diff two historical
+    cutoffs", this bridge keeps "now" materialized as captures arrive."""
+    from pyspark.sql import functions as FF
+
+    spark = batch_df.sparkSession
+    fields = ["warc_epoch", "version", "lon", "lat", "visible"]
+    delta = batch_df.groupBy("url").agg(
+        FF.max(FF.struct(*fields)).alias("s")
+    )
+    delta.write.mode("overwrite").parquet(
+        f"{state_dir}/states/batch={batch_id}"
+    )
+    all_deltas = spark.read.parquet(f"{state_dir}/states").select(
+        "url", "s"
+    )
+    current = (
+        all_deltas.groupBy("url")
+        .agg(FF.max("s").alias("s"))
+        .select("url", *[FF.col(f"s.{f}").alias(f) for f in fields])
+    )
+    current.write.mode("overwrite").parquet(f"{state_dir}/state_current")

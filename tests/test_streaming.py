@@ -342,3 +342,49 @@ def test_foreach_batch_rollup_merge_incremental(spark, tmp_path):
     want = {r.cell: (r.n_pages, r.n_tainted) for r in
             spatial.tile_rollup(cells).collect()}
     assert got == want
+
+
+def test_foreach_batch_latest_state_incremental(spark, tmp_path):
+    """Streaming current_* maintenance: two micro-batches + a verbatim
+    batch REPLAY; the materialized state must equal the batch
+    latest_version over the full corpus (same mergeable-delta contract
+    as the rollup bridge)."""
+    from openstreetmap_license_change_spark.operators import lineage
+    from openstreetmap_license_change_spark.streaming import incremental
+
+    src = str(tmp_path / "pages_s")
+    state = str(tmp_path / "state_s")
+
+    def run_stream():
+        stream = incremental.stream_pages(spark, src)
+        q = (
+            stream.writeStream.foreachBatch(
+                lambda df, bid: incremental.foreach_batch_latest_state(
+                    df, bid, state
+                )
+            )
+            .option("checkpointLocation", str(tmp_path / "ckpt_s"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    _write_pages(spark, src, 1)
+    run_stream()
+    _write_pages(spark, src, 2)
+    run_stream()
+
+    import glob as _glob
+    last = max(int(p.rsplit("=", 1)[1])
+               for p in _glob.glob(f"{state}/states/batch=*"))
+    replay = spark.read.parquet(src).where(F.col("version") == 2)
+    incremental.foreach_batch_latest_state(replay, last, state)
+
+    got = {r.url: (r.version, r.lon, r.lat, r.visible) for r in
+           spark.read.parquet(f"{state}/state_current").collect()}
+    want = {r.url: (r.version, r.lon, r.lat, r.visible) for r in
+            lineage.latest_version(
+                spark.read.parquet(src),
+                cols=["lon", "lat", "visible"],
+            ).collect()}
+    assert got == want
