@@ -837,6 +837,25 @@ def q_zonal_stats(spark, sf_dir):
     return spatial.zonal_stats(raster, PIP_POLYGONS)
 
 
+def q_pip_multipolygons_prefiltered(spark, sf_dir):
+    """The multipolygon PIP's cell-prefiltered strategy (broadcast
+    hash equi-join on the outer ring's covering cells, exact parity
+    residual) — shares q_pip_multipolygons' oracle, so the driver
+    hash-verifies the strategy A/B every round (the knn A/B pattern)."""
+    latest = lineage.latest_version(_pages(spark, sf_dir), cols=["lon", "lat"])
+    out = spatial.pip_join_multipolygons_prefiltered(
+        latest, PIP_MULTIPOLYGONS, res_deg=15.0
+    )
+    return (
+        out.where(F.col("polygon_id").isNotNull())
+        .groupBy("polygon_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_pages"),
+            F.min("url").alias("first_url"),
+        )
+    )
+
+
 def q_pip_outside(spark, sf_dir):
     """Spatial ANTI join (spatial.pip_anti_join): latest pages in NONE
     of the 3 broadcast polygons — fully map-side (cell→candidate-list
@@ -2384,6 +2403,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_centroids": q_embedding_centroids,
         "kmeans_assign": q_kmeans_assign,
         "pip_multipolygons": q_pip_multipolygons,
+        "pip_multipolygons_prefiltered": q_pip_multipolygons_prefiltered,
         "zonal_stats": q_zonal_stats,
         "lsh_bucket_topk": q_lsh_bucket_topk,
         "ann_recall": q_ann_recall,
@@ -5365,4 +5385,7 @@ def oracle_sql() -> dict[str, str]:
     # variant (A/B-tested in test_spatial_scheduling.py); sharing the
     # oracle makes the driver hash-verify that equivalence every round
     d["knn_neighborhood_agg"] = d["knn_neighborhood"]
+    # same A/B contract for the multipolygon PIP strategies: the
+    # cell-prefiltered join must reproduce the sequential scan
+    d["pip_multipolygons_prefiltered"] = d["pip_multipolygons"]
     return d

@@ -738,6 +738,89 @@ def pip_join_multipolygons(
     )
 
 
+def pip_join_multipolygons_prefiltered(
+    points: DataFrame,
+    multipolygons: "Sequence[tuple[int, Sequence[Sequence[tuple[float, float]]]]]",
+    res_deg: float = 1.0,
+    lon: str = "lon",
+    lat: str = "lat",
+    point_id: str = "url",
+) -> DataFrame:
+    """The holes/islands PIP in the north-star cell-prefiltered shape:
+    candidate (point, polygon) pairs from a broadcast hash equi-join
+    on the OUTER ring's covering grid cells (holes/islands lie inside
+    the outer bbox by definition, so the outer bbox is the correct
+    cover), then the exact even-odd parity across ALL of the
+    candidate's rings runs per pair — per-point work is O(candidates
+    in its cell), not O(all polygons).  First-listed polygon wins
+    among containers (min list index), matching
+    :func:`pip_join_multipolygons` exactly (A/B-tested)."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    spark = points.sparkSession
+    polys = {
+        int(pid): [np.asarray(r, dtype=np.float64) for r in rings]
+        for pid, rings in multipolygons
+    }
+    order = {int(pid): i for i, (pid, _) in enumerate(multipolygons)}
+    cols = int(360 / res_deg)
+    cand_rows = []
+    for pid, rings in polys.items():
+        outer = rings[0]
+        lo_x = int((outer[:, 0].min() + 180.0) // res_deg)
+        hi_x = int((outer[:, 0].max() + 180.0 - 1e-9) // res_deg)
+        lo_y = int((outer[:, 1].min() + 90.0) // res_deg)
+        hi_y = int((outer[:, 1].max() + 90.0 - 1e-9) // res_deg)
+        for cy in range(lo_y, hi_y + 1):
+            for cx in range(lo_x, hi_x + 1):
+                cand_rows.append((pid, order[pid], cy * cols + cx))
+    cand = spark.createDataFrame(
+        cand_rows, "polygon_id bigint, p_idx int, _cell bigint"
+    )
+
+    @pandas_udf("boolean")
+    def inside_multi(
+        pid_s: pd.Series, lon_s: pd.Series, lat_s: pd.Series
+    ) -> pd.Series:
+        pids = pid_s.to_numpy(dtype=np.int64)
+        xs = lon_s.to_numpy(dtype=np.float64)
+        ys = lat_s.to_numpy(dtype=np.float64)
+        out = np.zeros(len(xs), dtype=bool)
+        for pid in np.unique(pids):
+            m = pids == pid
+            x, y = xs[m], ys[m]
+            inside = np.zeros(len(x), dtype=bool)
+            for ring in polys[int(pid)]:
+                rx, ry = ring[:, 0], ring[:, 1]
+                j = len(ring) - 1
+                for i in range(len(ring)):
+                    cond = ((ry[i] > y) != (ry[j] > y)) & (
+                        x
+                        < (rx[j] - rx[i]) * (y - ry[i])
+                        / (ry[j] - ry[i] + 1e-300)
+                        + rx[i]
+                    )
+                    inside ^= cond
+                    j = i
+            out[m] = inside
+        return pd.Series(out)
+
+    pts = points.withColumn(
+        "_cell", grid_cell(F.col(lon), F.col(lat), res_deg)
+    )
+    pairs = pts.join(F.broadcast(cand), "_cell").where(
+        inside_multi(F.col("polygon_id"), F.col(lon), F.col(lat))
+    )
+    w = W.partitionBy(point_id).orderBy("p_idx")
+    best = (
+        pairs.withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") == 1)
+        .select(point_id, "polygon_id")
+    )
+    return points.join(best, point_id, "left")
+
+
 def pip_join_polygons_prefiltered(
     points: DataFrame,
     polygons: Sequence[tuple[int, Sequence[tuple[float, float]]]],

@@ -72,3 +72,36 @@ def test_bbox_prefilter_keeps_python_off_far_points(spark):
     assert df.collect()[0].polygon_id is None
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "ArrowEvalPython" in plan, plan
+
+
+def test_prefiltered_equals_sequential(spark):
+    """The cell-prefiltered multipolygon join must reproduce the
+    sequential broadcast scan exactly (A/B), including first-match
+    precedence and the hole/island parity."""
+    import random
+    rng = random.Random(8)
+    pts = spark.createDataFrame(
+        [(f"p{i}", rng.uniform(-180, 180), rng.uniform(-90, 90))
+         for i in range(1200)]
+        + [("in_hole", 20.0, 10.0), ("on_island", 20.0, 1.0),
+           ("ring_zone", 20.0, 20.0)],
+        "url string, lon double, lat double",
+    )
+    seq = {r.url: r.polygon_id for r in spatial.pip_join_multipolygons(
+        pts, DONUT_ISLAND).collect()}
+    pre = {r.url: r.polygon_id
+           for r in spatial.pip_join_multipolygons_prefiltered(
+               pts, DONUT_ISLAND, res_deg=15.0).collect()}
+    assert seq == pre
+    assert pre["in_hole"] is None and pre["on_island"] == 1
+
+
+def test_prefiltered_plan_is_broadcast_hash(spark):
+    pts = spark.createDataFrame(
+        [("a", 1.0, 1.0)], "url string, lon double, lat double")
+    plan = (
+        spatial.pip_join_multipolygons_prefiltered(pts, DONUT_ISLAND)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
