@@ -1359,13 +1359,10 @@ _PR_EDGES_SQL = (
 )
 
 
-def q_doc_pagerank(spark, sf_dir):
-    """Fixed-iteration quantized-integer PageRank
-    (graph.pagerank_quantized) over the deterministic doc link graph:
-    2 shuffles per round on a pre-partitioned edge list, per-round
-    lineage cuts, exact int64 ranks — the DuckDB oracle unrolls the
-    identical recurrence as chained CTEs (graph.pagerank_sql), so all
-    6 rounds of quantization are hash-verified."""
+def _doc_link_graph(spark, sf_dir):
+    """(nodes, edges) of the deterministic doc link graph shared by
+    every graph-operator query (pagerank / link_distance /
+    label_spread) — one derivation, one SQL twin (_PR_EDGES_SQL)."""
     docs = pages_src.documents(spark, sf_dir).select("doc_id")
     n = docs.count()
     nodes = docs.select(F.col("doc_id").alias("node"))
@@ -1381,8 +1378,51 @@ def q_doc_pagerank(spark, sf_dir):
         .where(F.col("src") != F.col("dst"))
         .distinct()
     )
+    return nodes, edges
+
+
+def q_doc_pagerank(spark, sf_dir):
+    """Fixed-iteration quantized-integer PageRank
+    (graph.pagerank_quantized) over the deterministic doc link graph:
+    2 shuffles per round on a pre-partitioned edge list, per-round
+    lineage cuts, exact int64 ranks — the DuckDB oracle unrolls the
+    identical recurrence as chained CTEs (graph.pagerank_sql), so all
+    6 rounds of quantization are hash-verified."""
+    nodes, edges = _doc_link_graph(spark, sf_dir)
     out = graph.pagerank_quantized(nodes, edges, iterations=PR_ITERATIONS)
     return out.select(F.col("node").alias("doc_id"), "rank_q")
+
+
+BFS_ROUNDS = 6
+LS_ROUNDS = 5
+
+
+def q_link_distance(spark, sf_dir):
+    """Multi-source BFS hop distance (graph.link_distance) from the
+    sparse trusted-seed set (doc_id ≡ 0 mod 97) over the doc link
+    graph — crawl-depth / seed-proximity labeling with frontier-only
+    propagation; the DuckDB oracle (graph.link_distance_sql) unrolls
+    the identical unit-weight relaxation, so the full distance table
+    (including NULL = unreached within 6 hops) is hash-verified."""
+    nodes, edges = _doc_link_graph(spark, sf_dir)
+    seeds = nodes.where(F.col("node") % 97 == 0)
+    out = graph.link_distance(nodes, seeds, edges, rounds=BFS_ROUNDS)
+    return out.select(F.col("node").alias("doc_id"), "dist")
+
+
+def q_label_spread(spark, sf_dir):
+    """Fixed-round label propagation (graph.label_spread): language-
+    tier seeds on doc_id ≡ 0 mod 11 (label = doc_id mod 7) spread to
+    unlabeled docs by in-neighbor MODE with packed-int64 argmax
+    (highest count, lowest label on ties) — seeds clamped, synchronous
+    rounds; the DuckDB twin unrolls the same packed recurrence, so
+    every adopted label is hash-verified."""
+    nodes, edges = _doc_link_graph(spark, sf_dir)
+    seeds = nodes.where(F.col("node") % 11 == 0).select(
+        "node", (F.col("node") % 7).alias("label")
+    )
+    out = graph.label_spread(nodes, seeds, edges, rounds=LS_ROUNDS)
+    return out.select(F.col("node").alias("doc_id"), "label")
 
 
 CM_DEPTH, CM_WIDTH, CM_TOPK = 4, 1024, 20
@@ -2386,6 +2426,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "length_batches": q_length_batches,
         "mixture_resample": q_mixture_resample,
         "doc_pagerank": q_doc_pagerank,
+        "link_distance": q_link_distance,
+        "label_spread": q_label_spread,
         "kmv_distinct_docs": q_kmv_distinct_docs,
         "countmin_topk": q_countmin_topk,
         "sampled_quantiles": q_sampled_quantiles,
@@ -4795,6 +4837,26 @@ def oracle_sql() -> dict[str, str]:
                 '(SELECT doc_id AS node FROM documents)',
                 _PR_EDGES_SQL,
                 iterations=PR_ITERATIONS,
+            )})
+        """,
+        "link_distance": f"""
+            SELECT node AS doc_id, dist
+            FROM ({graph.link_distance_sql(
+                '(SELECT doc_id AS node FROM documents)',
+                '(SELECT doc_id AS node FROM documents '
+                'WHERE doc_id % 97 = 0)',
+                _PR_EDGES_SQL,
+                rounds=BFS_ROUNDS,
+            )})
+        """,
+        "label_spread": f"""
+            SELECT node AS doc_id, label
+            FROM ({graph.label_spread_sql(
+                '(SELECT doc_id AS node FROM documents)',
+                '(SELECT doc_id AS node, doc_id % 7 AS label '
+                'FROM documents WHERE doc_id % 11 = 0)',
+                _PR_EDGES_SQL,
+                rounds=LS_ROUNDS,
             )})
         """,
         "sampled_quantiles": sketches.sampled_quantiles_sql(

@@ -222,3 +222,245 @@ def pagerank_sql(
         "WITH " + ",\n".join(ctes)
         + f"\nSELECT node, rank_q FROM pr_r{iterations}"
     )
+
+
+def link_distance(
+    nodes: DataFrame,
+    seeds: DataFrame,
+    edges: DataFrame,
+    rounds: int,
+) -> DataFrame:
+    """Multi-source BFS hop distance along directed edges — the crawl-
+    depth / seed-proximity signal of a link graph (how many hops is a
+    page from the trusted seed set?), and the min-plus companion of
+    :func:`pagerank_quantized` (reference parity: the same reachability
+    role as the reference's referenced-element closure, cascade.rb's
+    candidate set walk, re-expressed as bounded relaxation rounds).
+
+    Exact integers end-to-end: dist(v) after round k is THE true
+    min-hop distance for every v within k hops (unit weights make
+    relaxation monotone), NULL for nodes not yet reached — so a fixed
+    ``rounds`` is a hop-radius bound, not an approximation knob, and
+    the DuckDB twin (:func:`link_distance_sql`) unrolls the identical
+    recurrence and hash-matches every round's quantization-free result.
+
+    Scale design: per round, contributions come only from the FRONTIER
+    (nodes whose distance changed last round — with unit weights a
+    settled distance never improves, so re-propagating from the whole
+    settled set is pure waste); each round is one src-keyed join of the
+    pre-partitioned edge list against the frontier plus a dst-keyed
+    partial-agg min — 2 shuffles/round, hub fan-out is AQE's skew-join
+    case, lineage cut per round (the iterative house pattern).  An
+    empty frontier short-circuits the remaining rounds.
+
+    ``nodes``: one column ``node``; ``seeds``: one column ``node``
+    (dist 0); ``edges``: (src, dst).  Returns (node, dist) with dist
+    NULL when unreached within ``rounds`` hops."""
+    edges = edges.select("src", "dst").repartition("src").localCheckpoint(
+        eager=True
+    )
+    seed_marked = nodes.join(
+        seeds.select("node").distinct().withColumn("_s", F.lit(1)),
+        "node",
+        "left",
+    )
+    dist = seed_marked.select(
+        "node",
+        F.when(F.col("_s").isNotNull(), F.lit(0)).cast("bigint").alias("dist"),
+    ).localCheckpoint(eager=True)
+    frontier = dist.where(F.col("dist") == 0).localCheckpoint(eager=True)
+    for _ in range(rounds):
+        if frontier.isEmpty():
+            break
+        nd = (
+            edges.join(frontier, edges.src == frontier.node)
+            .groupBy(F.col("dst").alias("node"))
+            .agg((F.min("dist") + 1).alias("_nd"))
+        )
+        relaxed = dist.join(nd, "node", "left").select(
+            "node",
+            F.when(F.col("dist").isNull(), F.col("_nd"))
+            .when(F.col("_nd").isNull(), F.col("dist"))
+            .otherwise(F.least("dist", "_nd"))
+            .alias("dist"),
+        ).localCheckpoint(eager=True)
+        frontier = (
+            relaxed.alias("r")
+            .join(dist.alias("d"), "node")
+            .where(F.col("d.dist").isNull() & F.col("r.dist").isNotNull())
+            .select("node", F.col("r.dist").alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+        dist = relaxed
+    return dist
+
+
+def link_distance_sql(
+    nodes_src: str, seeds_src: str, edges_src: str, rounds: int
+) -> str:
+    """DuckDB twin of :func:`link_distance`: the identical unit-weight
+    relaxation unrolled as ``rounds`` chained CTEs (no frontier
+    short-cut — with unit weights the full relaxation computes the
+    same fixpoint prefix, which is the point of the twin).  Returns
+    (node, dist)."""
+    ctes = [
+        f"bf_nd AS (SELECT node FROM {nodes_src})",
+        f"bf_eg AS (SELECT src, dst FROM {edges_src})",
+        f"""bf_d0 AS (
+            SELECT bf_nd.node,
+                   CASE WHEN s.node IS NOT NULL
+                        THEN CAST(0 AS BIGINT) END AS dist
+            FROM bf_nd
+            LEFT JOIN (SELECT DISTINCT node FROM {seeds_src}) s
+              ON s.node = bf_nd.node
+        )""",
+    ]
+    for i in range(1, rounds + 1):
+        p = f"bf_d{i - 1}"
+        ctes.append(f"""bf_d{i} AS (
+            SELECT {p}.node,
+                   CASE WHEN {p}.dist IS NULL THEN c._nd
+                        WHEN c._nd IS NULL THEN {p}.dist
+                        ELSE LEAST({p}.dist, c._nd) END AS dist
+            FROM {p}
+            LEFT JOIN (
+                SELECT bf_eg.dst AS node, MIN(r.dist) + 1 AS _nd
+                FROM bf_eg
+                JOIN {p} r ON bf_eg.src = r.node
+                WHERE r.dist IS NOT NULL
+                GROUP BY bf_eg.dst
+            ) c ON c.node = {p}.node
+        )""")
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT node, dist FROM bf_d{rounds}"
+    )
+
+
+LABEL_BOUND = 1 << 20
+
+
+def label_spread(
+    nodes: DataFrame,
+    seed_labels: DataFrame,
+    edges: DataFrame,
+    rounds: int,
+    label_bound: int = LABEL_BOUND,
+) -> DataFrame:
+    """Fixed-round semi-supervised label propagation over a directed
+    link graph — spread sparse ground-truth labels (language, topic,
+    quality tier) from labeled seed pages to the rest of the corpus:
+    each round every unlabeled node adopts the MODE of its in-
+    neighbors' current labels, seeds stay clamped.  The webtext use of
+    the reference's membership-propagation idea (cascade membership
+    walks a reference graph; here the attribute walks the link graph).
+
+    Determinism without floats: the per-node argmax is packed into one
+    int64 — ``cnt * label_bound + (label_bound-1-label)`` — so MAX()
+    picks highest count, ties broken by LOWEST label, identically in
+    Spark and DuckDB; the twin (:func:`label_spread_sql`) unrolls the
+    same recurrence and hash-matches every round.  Labels must be ints
+    in [0, label_bound); counts must stay < 2⁶³/label_bound (2⁴³ at
+    the default — a per-node in-degree bound, not a corpus bound).
+
+    Scale design: per round one src-keyed join of the pre-partitioned
+    edge list against current labels + one (dst,label)-keyed partial
+    agg + one dst-keyed packed max — hub fan-in is AQE's skew case;
+    lineage cut per round.  Synchronous updates (all nodes flip on the
+    previous round's state) keep the result independent of partition
+    visit order — an asynchronous variant would be schedule-dependent
+    and unverifiable.
+
+    ``nodes``: one column ``node``; ``seed_labels``: (node, label);
+    ``edges``: (src, dst) — labels flow src→dst.  Returns
+    (node, label), NULL when nothing labeled is within ``rounds``
+    hops."""
+    edges = edges.select("src", "dst").repartition("src").localCheckpoint(
+        eager=True
+    )
+    seeds = seed_labels.select(
+        "node", F.col("label").cast("bigint").alias("_seed")
+    ).distinct().localCheckpoint(eager=True)
+    lab = nodes.join(seeds, "node", "left").select(
+        "node", F.col("_seed").alias("label")
+    ).localCheckpoint(eager=True)
+    b = int(label_bound)
+    for _ in range(rounds):
+        mode = (
+            edges.join(
+                lab.where(F.col("label").isNotNull()),
+                edges.src == F.col("node"),
+            )
+            .groupBy(F.col("dst").alias("node"), "label")
+            .agg(F.count(F.lit(1)).alias("_cnt"))
+            .groupBy("node")
+            .agg(
+                F.max(
+                    F.col("_cnt") * b + (F.lit(b - 1) - F.col("label"))
+                ).alias("_pk")
+            )
+            .select(
+                "node",
+                (F.lit(b - 1) - F.col("_pk") % b).alias("_adopt"),
+            )
+        )
+        lab = (
+            lab.join(mode, "node", "left")
+            .join(seeds, "node", "left")
+            .select(
+                "node",
+                F.coalesce(
+                    F.col("_seed"), F.col("_adopt"), F.col("label")
+                ).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return lab
+
+
+def label_spread_sql(
+    nodes_src: str,
+    seeds_src: str,
+    edges_src: str,
+    rounds: int,
+    label_bound: int = LABEL_BOUND,
+) -> str:
+    """DuckDB twin of :func:`label_spread`: identical packed-argmax
+    recurrence unrolled as chained CTEs.  Returns (node, label)."""
+    b = int(label_bound)
+    ctes = [
+        f"ls_nd AS (SELECT node FROM {nodes_src})",
+        f"ls_eg AS (SELECT src, dst FROM {edges_src})",
+        f"ls_sd AS (SELECT DISTINCT node, CAST(label AS BIGINT) AS _seed "
+        f"FROM {seeds_src})",
+        """ls_l0 AS (
+            SELECT ls_nd.node, ls_sd._seed AS label
+            FROM ls_nd LEFT JOIN ls_sd USING (node)
+        )""",
+    ]
+    for i in range(1, rounds + 1):
+        p = f"ls_l{i - 1}"
+        ctes.append(f"""ls_l{i} AS (
+            SELECT {p}.node,
+                   COALESCE(ls_sd._seed,
+                            {b - 1} - m._pk % {b},
+                            {p}.label) AS label
+            FROM {p}
+            LEFT JOIN (
+                SELECT node, MAX(_cnt * {b} + ({b - 1} - label)) AS _pk
+                FROM (
+                    SELECT ls_eg.dst AS node, r.label,
+                           COUNT(*) AS _cnt
+                    FROM ls_eg
+                    JOIN {p} r ON ls_eg.src = r.node
+                    WHERE r.label IS NOT NULL
+                    GROUP BY ls_eg.dst, r.label
+                )
+                GROUP BY node
+            ) m ON m.node = {p}.node
+            LEFT JOIN ls_sd ON ls_sd.node = {p}.node
+        )""")
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT node, label FROM ls_l{rounds}"
+    )

@@ -1,0 +1,201 @@
+"""Multi-source BFS (graph.link_distance) and fixed-round label
+propagation (graph.label_spread) — Spark vs a plain-Python ground
+truth of the same recurrences, plus the DuckDB SQL twins on random
+graphs (reference parity: the bounded reachability/membership walks of
+cascade.rb, re-expressed as relaxation rounds — see COVERAGE.md)."""
+
+import random
+
+import duckdb
+import pytest
+
+from openstreetmap_license_change_spark.operators import graph
+
+
+@pytest.fixture(scope="module")
+def spark():
+    from openstreetmap_license_change_spark.session import get_spark
+
+    yield get_spark("link-graph-tests", master="local[4]",
+                    shuffle_partitions=8)
+
+
+# ---------------------------------------------------------------------------
+# plain-Python ground truths
+# ---------------------------------------------------------------------------
+
+def _bfs_python(nodes, seeds, edges, rounds):
+    dist = {v: (0 if v in seeds else None) for v in nodes}
+    for _ in range(rounds):
+        nd = {}
+        for s, d in edges:
+            if dist.get(s) is not None and d in dist:
+                c = dist[s] + 1
+                if d not in nd or c < nd[d]:
+                    nd[d] = c
+        for v, c in nd.items():
+            if dist[v] is None or c < dist[v]:
+                dist[v] = c
+    return dist
+
+
+def _spread_python(nodes, seed_labels, edges, rounds, bound=graph.LABEL_BOUND):
+    lab = {v: seed_labels.get(v) for v in nodes}
+    for _ in range(rounds):
+        cnt = {}
+        for s, d in edges:
+            if lab.get(s) is not None and d in lab:
+                cnt.setdefault(d, {})
+                cnt[d][lab[s]] = cnt[d].get(lab[s], 0) + 1
+        new = {}
+        for v in nodes:
+            if v in seed_labels:
+                new[v] = seed_labels[v]
+            elif v in cnt:
+                new[v] = max(
+                    cnt[v], key=lambda l: (cnt[v][l], -l)
+                )
+            else:
+                new[v] = lab[v]
+        lab = new
+    return lab
+
+
+def _spark_bfs(spark, nodes, seeds, edges, rounds):
+    ndf = spark.createDataFrame([(v,) for v in nodes], "node bigint")
+    sdf = spark.createDataFrame([(v,) for v in seeds], "node bigint")
+    edf = spark.createDataFrame(edges, "src bigint, dst bigint")
+    return {
+        r.node: r.dist
+        for r in graph.link_distance(ndf, sdf, edf, rounds).collect()
+    }
+
+
+def _spark_spread(spark, nodes, seed_labels, edges, rounds):
+    ndf = spark.createDataFrame([(v,) for v in nodes], "node bigint")
+    sdf = spark.createDataFrame(
+        list(seed_labels.items()), "node bigint, label bigint"
+    )
+    edf = spark.createDataFrame(edges, "src bigint, dst bigint")
+    return {
+        r.node: r.label
+        for r in graph.label_spread(ndf, sdf, edf, rounds).collect()
+    }
+
+
+# ---------------------------------------------------------------------------
+# link_distance
+# ---------------------------------------------------------------------------
+
+def test_bfs_chain_radius(spark):
+    """On a 0→1→…→7 chain with seed {0}, dist after r rounds is the
+    true distance up to r and NULL beyond — the hop-radius contract."""
+    nodes = list(range(8))
+    edges = [(i, i + 1) for i in range(7)]
+    got = _spark_bfs(spark, nodes, [0], edges, rounds=4)
+    assert got == {i: (i if i <= 4 else None) for i in nodes}
+
+
+def test_bfs_multi_source_min(spark):
+    """Two seeds; every node takes the NEARER one."""
+    nodes = list(range(10))
+    edges = [(i, i + 1) for i in range(9)]
+    got = _spark_bfs(spark, nodes, [0, 9], edges, rounds=9)
+    # edges are directed 0→9, so seed 9 only covers itself
+    assert got == {i: (0 if i in (0, 9) else i) for i in nodes}
+
+
+def test_bfs_frontier_short_circuit(spark):
+    """Rounds beyond the diameter change nothing (the frontier drains
+    and the loop exits early) — same fixpoint as exact-diameter run."""
+    nodes = list(range(6))
+    edges = [(i, i + 1) for i in range(5)]
+    exact = _spark_bfs(spark, nodes, [0], edges, rounds=5)
+    overshoot = _spark_bfs(spark, nodes, [0], edges, rounds=50)
+    assert exact == overshoot == {i: i for i in nodes}
+
+
+def test_bfs_random_vs_python_and_duckdb(spark):
+    """Random digraph: Spark == plain-int recurrence == SQL twin."""
+    rng = random.Random(421)
+    nodes = list(range(40))
+    edges = sorted({
+        (rng.randrange(40), rng.randrange(40)) for _ in range(120)
+    })
+    edges = [e for e in edges if e[0] != e[1]]
+    seeds = [3, 17, 31]
+    want = _bfs_python(nodes, set(seeds), edges, rounds=4)
+    got = _spark_bfs(spark, nodes, seeds, edges, rounds=4)
+    assert got == want
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE nd (node BIGINT)")
+    con.executemany("INSERT INTO nd VALUES (?)", [(v,) for v in nodes])
+    con.execute("CREATE TABLE sd (node BIGINT)")
+    con.executemany("INSERT INTO sd VALUES (?)", [(v,) for v in seeds])
+    con.execute("CREATE TABLE eg (src BIGINT, dst BIGINT)")
+    con.executemany("INSERT INTO eg VALUES (?, ?)", edges)
+    sql = graph.link_distance_sql("nd", "sd", "eg", rounds=4)
+    twin = dict(con.execute(sql).fetchall())
+    assert twin == want
+
+
+# ---------------------------------------------------------------------------
+# label_spread
+# ---------------------------------------------------------------------------
+
+def test_spread_mode_tie_breaks_low(spark):
+    """Node 9 hears label 5 once and label 2 once → tie → LOWEST label
+    wins; with a second vote for 5 the count wins over the tie-break."""
+    nodes = [1, 2, 3, 9]
+    seeds = {1: 5, 2: 2}
+    got = _spark_spread(
+        spark, nodes, seeds, [(1, 9), (2, 9)], rounds=1
+    )
+    assert got[9] == 2
+    nodes2 = [1, 2, 3, 9]
+    got2 = _spark_spread(
+        spark, nodes2, {1: 5, 2: 2, 3: 5}, [(1, 9), (2, 9), (3, 9)],
+        rounds=1,
+    )
+    assert got2[9] == 5
+
+
+def test_spread_seeds_clamped(spark):
+    """A seed surrounded by a different majority keeps its own label."""
+    nodes = [0, 1, 2, 3]
+    seeds = {0: 4, 1: 1, 2: 1}
+    edges = [(1, 0), (2, 0), (0, 3)]
+    got = _spark_spread(spark, nodes, seeds, edges, rounds=3)
+    assert got[0] == 4 and got[3] == 4
+
+
+def test_spread_label_zero_roundtrip(spark):
+    """Label 0 survives the packed-argmax encode/decode."""
+    got = _spark_spread(spark, [0, 1], {0: 0}, [(0, 1)], rounds=1)
+    assert got[1] == 0
+
+
+def test_spread_random_vs_python_and_duckdb(spark):
+    """Random digraph + sparse seeds: Spark == Python == SQL twin."""
+    rng = random.Random(1105)
+    nodes = list(range(50))
+    edges = sorted({
+        (rng.randrange(50), rng.randrange(50)) for _ in range(200)
+    })
+    edges = [e for e in edges if e[0] != e[1]]
+    seeds = {v: v % 6 for v in nodes if v % 7 == 0}
+    want = _spread_python(nodes, seeds, edges, rounds=3)
+    got = _spark_spread(spark, nodes, seeds, edges, rounds=3)
+    assert got == want
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE nd (node BIGINT)")
+    con.executemany("INSERT INTO nd VALUES (?)", [(v,) for v in nodes])
+    con.execute("CREATE TABLE sd (node BIGINT, label BIGINT)")
+    con.executemany("INSERT INTO sd VALUES (?, ?)", list(seeds.items()))
+    con.execute("CREATE TABLE eg (src BIGINT, dst BIGINT)")
+    con.executemany("INSERT INTO eg VALUES (?, ?)", edges)
+    sql = graph.label_spread_sql("nd", "sd", "eg", rounds=3)
+    twin = dict(con.execute(sql).fetchall())
+    assert twin == want
