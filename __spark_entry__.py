@@ -1396,6 +1396,22 @@ def q_doc_pagerank(spark, sf_dir):
 BFS_ROUNDS = 6
 LS_ROUNDS = 5
 
+# BM25 query mixes the one genuinely rare term (df≈5% of docs) with two
+# near-ubiquitous ones, so the idf spread — not just tf — decides ranks
+BM25_QUERY = ["dup", "scan", "merge"]
+BM25_K = 10
+
+
+def q_bm25_topk(spark, sf_dir):
+    """Global BM25 top-k retrieval (textops.bm25_topk): exact-integer
+    Okapi scoring (k1=6/5, b=3/4 as cleared rationals, log-free odds
+    idf quantized once) over one explode pass, broadcast query-term
+    stats, and a TakeOrderedAndProject global top-k — no
+    single-partition window, no float; the DuckDB twin is generated
+    from the same constants, so every quantized score hash-matches."""
+    docs = pages_src.documents(spark, sf_dir)
+    return textops.bm25_topk(docs, BM25_QUERY, k=BM25_K)
+
 
 def q_link_distance(spark, sf_dir):
     """Multi-source BFS hop distance (graph.link_distance) from the
@@ -2428,6 +2444,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_pagerank": q_doc_pagerank,
         "link_distance": q_link_distance,
         "label_spread": q_label_spread,
+        "bm25_topk": q_bm25_topk,
         "kmv_distinct_docs": q_kmv_distinct_docs,
         "countmin_topk": q_countmin_topk,
         "sampled_quantiles": q_sampled_quantiles,
@@ -4839,6 +4856,7 @@ def oracle_sql() -> dict[str, str]:
                 iterations=PR_ITERATIONS,
             )})
         """,
+        "bm25_topk": textops.bm25_topk_sql("documents", BM25_QUERY, k=BM25_K),
         "link_distance": f"""
             SELECT node AS doc_id, dist
             FROM ({graph.link_distance_sql(

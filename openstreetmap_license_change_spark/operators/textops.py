@@ -963,3 +963,145 @@ def domain_rollup(
     return pages.groupBy(
         domain_of(F.col(url_col)).alias("domain")
     ).agg(*aggs)
+
+
+BM25_IDF_SCALE = 1000
+
+
+def bm25_topk(
+    df: DataFrame,
+    query_terms: list[str],
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Global BM25 top-``k`` retrieval for a fixed query-term set —
+    the corpus-ranking half of the tf-idf story (tfidf_topk ranks
+    terms within a doc; this ranks docs for a query), re-expressed in
+    EXACT integer arithmetic so the DuckDB twin hash-matches.
+
+    Okapi constants k1=1.2, b=0.75 enter as the exact rationals 6/5
+    and 3/4; with avgdl pre-quantized to milli-tokens
+    (``avgdl_m = 1000·L DIV N``) the per-term normalization clears
+    denominators to
+
+        tfnorm = 44·tf·avgdl_m / (20·tf·avgdl_m + 6·avgdl_m + 18000·dl)
+
+    and the idf uses the log-free odds weighting quantized once,
+    ``idf_m = (2N−2·df+1)·1000 DIV (2·df+1)`` — the monotone member
+    of the BM25-idf family that stays in int64 (log-idf would make
+    near-ties float-fragile across engines, the tfidf_topk lesson).
+    score_m(doc) = Σ_t (idf_m·44·tf·avgdl_m) DIV denom — every factor
+    bounded so the product stays < 2⁶³ through ~10⁶-token-average
+    corpora of 10⁵ docs; beyond that drop BM25_IDF_SCALE (the quantum
+    grows, the plan doesn't change).
+
+    Plan shape: ONE explode pass → (doc,token) tf partial-agg; dl and
+    the (N, L) corpus stats re-aggregate the already-unique tf rows;
+    per-term df likewise — the query-term filter is a broadcast IN on
+    a literal list, so the scored join touches only |Q| terms per doc;
+    the final global top-k is orderBy+limit, which Spark executes as
+    TakeOrderedAndProject (per-partition heaps, no single-partition
+    window, no full sort).  Ties break by ``id_col`` ascending.
+
+    Returns (id, score_m) for the top ``k`` docs, highest first."""
+    raw = df.select(
+        id_col,
+        F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("token"),
+    ).where(F.col("token") != "")
+    tf = raw.groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("tf"))
+    dl = tf.groupBy(id_col).agg(F.sum("tf").alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").alias("total_len"),
+    ).withColumn(
+        "avgdl_m", F.expr("1000 * total_len DIV n_docs")
+    )
+    qt = [t.lower() for t in query_terms]
+    dfreq = (
+        tf.where(F.col("token").isin(qt))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    scored = (
+        tf.where(F.col("token").isin(qt))
+        .join(F.broadcast(dfreq), "token")
+        .join(dl, id_col)
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "idf_m",
+            F.expr(
+                f"(2 * n_docs - 2 * df + 1) * {BM25_IDF_SCALE} "
+                "DIV (2 * df + 1)"
+            ),
+        )
+        .withColumn(
+            "term_score",
+            F.expr(
+                "(idf_m * 44 * tf * avgdl_m) DIV "
+                "(20 * tf * avgdl_m + 6 * avgdl_m + 18000 * dl)"
+            ),
+        )
+    )
+    totals = scored.groupBy(id_col).agg(
+        F.sum("term_score").alias("score_m")
+    )
+    return totals.orderBy(
+        F.col("score_m").desc(), F.col(id_col).asc()
+    ).limit(k)
+
+
+def bm25_topk_sql(
+    docs_src: str,
+    query_terms: list[str],
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """DuckDB twin of :func:`bm25_topk` — identical integer formulas,
+    generated from the same constants.  Returns (id, score_m)."""
+    terms = ", ".join(
+        "'" + t.lower().replace("'", "''") + "'" for t in query_terms
+    )
+    return f"""
+        WITH bm_raw AS (
+            SELECT {id_col},
+                   unnest(string_split_regex(lower({text_col}), '\\s+'))
+                       AS token
+            FROM {docs_src}
+        ),
+        bm_tf AS (
+            SELECT {id_col}, token, COUNT(*) AS tf
+            FROM bm_raw WHERE token <> '' GROUP BY 1, 2
+        ),
+        bm_dl AS (
+            SELECT {id_col}, SUM(tf) AS dl FROM bm_tf GROUP BY 1
+        ),
+        bm_stats AS (
+            SELECT COUNT(*) AS n_docs, SUM(dl) AS total_len,
+                   1000 * SUM(dl) // COUNT(*) AS avgdl_m
+            FROM bm_dl
+        ),
+        bm_df AS (
+            SELECT token, COUNT(*) AS df
+            FROM bm_tf WHERE token IN ({terms}) GROUP BY 1
+        ),
+        bm_scored AS (
+            SELECT t.{id_col},
+                   ((2 * s.n_docs - 2 * d.df + 1) * {BM25_IDF_SCALE}
+                        // (2 * d.df + 1))
+                       * 44 * t.tf * s.avgdl_m
+                   // (20 * t.tf * s.avgdl_m + 6 * s.avgdl_m
+                        + 18000 * l.dl) AS term_score
+            FROM bm_tf t
+            JOIN bm_df d USING (token)
+            JOIN bm_dl l USING ({id_col})
+            CROSS JOIN bm_stats s
+            WHERE t.token IN ({terms})
+        )
+        SELECT {id_col}, CAST(SUM(term_score) AS BIGINT) AS score_m
+        FROM bm_scored
+        GROUP BY {id_col}
+        ORDER BY score_m DESC, {id_col} ASC
+        LIMIT {k}
+    """
