@@ -1402,6 +1402,23 @@ BM25_QUERY = ["dup", "scan", "merge"]
 BM25_K = 10
 
 
+def q_gopher_filter(spark, sf_dir):
+    """Gopher-style composite quality filter (textops.gopher_filter):
+    seven cross-multiplied integer rules (length bounds, mean word
+    length window, symbol density, stopword evidence, top-token
+    dominance, numeric density) emitted as a per-rule bitmask + keep
+    verdict — char features on the scan, token features from one
+    explode + two partial aggs; the DuckDB twin is generated from the
+    same thresholds, so every flag bit is hash-verified.
+
+    min_stop_hits=1 because the synthetic corpus's vocabulary carries
+    exactly one stoplist word — at the Gopher default of 2 the verdict
+    would be degenerately all-drop; at 1 the corpus splits ~4:1 on the
+    length rule, exercising both keep values and two rule bits."""
+    docs = pages_src.documents(spark, sf_dir)
+    return textops.gopher_filter(docs, min_stop_hits=1)
+
+
 def q_bm25_topk(spark, sf_dir):
     """Global BM25 top-k retrieval (textops.bm25_topk): exact-integer
     Okapi scoring (k1=6/5, b=3/4 as cleared rationals, log-free odds
@@ -2445,6 +2462,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_distance": q_link_distance,
         "label_spread": q_label_spread,
         "bm25_topk": q_bm25_topk,
+        "gopher_filter": q_gopher_filter,
         "kmv_distinct_docs": q_kmv_distinct_docs,
         "countmin_topk": q_countmin_topk,
         "sampled_quantiles": q_sampled_quantiles,
@@ -4857,6 +4875,9 @@ def oracle_sql() -> dict[str, str]:
             )})
         """,
         "bm25_topk": textops.bm25_topk_sql("documents", BM25_QUERY, k=BM25_K),
+        "gopher_filter": textops.gopher_filter_sql(
+            "documents", min_stop_hits=1
+        ),
         "link_distance": f"""
             SELECT node AS doc_id, dist
             FROM ({graph.link_distance_sql(

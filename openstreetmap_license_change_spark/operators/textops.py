@@ -1105,3 +1105,174 @@ def bm25_topk_sql(
         ORDER BY score_m DESC, {id_col} ASC
         LIMIT {k}
     """
+
+
+GOPHER_FLAG_NAMES = (
+    "too_short", "too_long", "word_len_out", "symbol_heavy",
+    "no_stopwords", "top_token_dominant", "numeric_heavy",
+)
+
+
+def gopher_filter(
+    df: DataFrame,
+    min_words: int = 30,
+    max_words: int = 100_000,
+    min_mean_wordlen: int = 3,
+    max_mean_wordlen: int = 10,
+    max_symbol_pct: int = 10,
+    min_stop_hits: int = 2,
+    max_top_token_pct: int = 30,
+    max_numeric_pct: int = 20,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Gopher-style composite document-quality filter — the rule
+    battery a pretraining curation pipeline runs before dedup (word
+    count bounds, mean word length window, symbol density, stopword
+    evidence, single-token dominance, numeric density), emitted as a
+    per-rule BITMASK so a 100-TB run can report *which* rule dropped
+    each shard of the corpus, not just a keep count.
+
+    Every ratio rule is an exact cross-multiplied integer inequality
+    (mean word length ∈ [3,10] is ``3·n_words ≤ n_wchars ∧ n_wchars ≤
+    10·n_words``; symbol/top-token/numeric percents likewise) — no
+    division, no float, so the DuckDB twin (:func:`gopher_filter_sql`)
+    hash-matches flag-for-flag.
+
+    Plan shape: char-level features are plain string expressions on
+    the scan (no shuffle); token-level features come from ONE explode
+    → (doc, token) partial-agg → per-doc re-agg (top-token max, the
+    distinct-stopword count over the already-unique tf rows, numeric
+    token sum) — two shuffles total, joined back on the id.
+
+    flags bit i = rule i violated (GOPHER_FLAG_NAMES order);
+    keep = flags == 0.  Returns (id, n_words, n_wchars, top_tf,
+    stop_hits, n_numeric, n_symbols, flags, keep)."""
+    stopset = sorted({w for ws in STOPWORDS.values() for w in ws})
+    t = F.col(text_col)
+    base = df.select(
+        id_col,
+        F.length(F.regexp_replace(t, r"\s", "")).alias("n_nospace"),
+        (
+            F.length(t) - F.length(F.regexp_replace(t, r"[^\w\s]", ""))
+        ).alias("n_symbols"),
+    )
+    raw = df.select(
+        id_col,
+        F.explode(F.split(F.lower(t), r"\s+")).alias("token"),
+    ).where(F.col("token") != "")
+    tf = raw.groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("tf"))
+    per_doc = tf.groupBy(id_col).agg(
+        F.sum("tf").alias("n_words"),
+        F.max("tf").alias("top_tf"),
+        F.sum(
+            F.when(F.col("token").isin(stopset), 1).otherwise(0)
+        ).alias("stop_hits"),
+        F.sum(
+            F.when(F.col("token").rlike("^[0-9]+$"), F.col("tf")).otherwise(0)
+        ).alias("n_numeric"),
+    )
+    j = base.join(per_doc, id_col, "left").na.fill(
+        {"n_words": 0, "top_tf": 0, "stop_hits": 0, "n_numeric": 0}
+    )
+    # word chars = non-space chars minus symbol chars (mean word length
+    # counts letters/digits/underscore, the \w class both engines share)
+    j = j.withColumn("n_wchars", F.col("n_nospace") - F.col("n_symbols"))
+    rules = [
+        F.col("n_words") < min_words,
+        F.col("n_words") > max_words,
+        (F.col("n_wchars") < min_mean_wordlen * F.col("n_words"))
+        | (F.col("n_wchars") > max_mean_wordlen * F.col("n_words")),
+        F.col("n_symbols") * 100 > max_symbol_pct * F.col("n_nospace"),
+        F.col("stop_hits") < min_stop_hits,
+        F.col("top_tf") * 100 > max_top_token_pct * F.col("n_words"),
+        F.col("n_numeric") * 100 > max_numeric_pct * F.col("n_words"),
+    ]
+    flags = None
+    for i, r in enumerate(rules):
+        bit = F.when(r, F.lit(1 << i)).otherwise(F.lit(0))
+        flags = bit if flags is None else flags + bit
+    return j.select(
+        id_col, "n_words", "n_wchars", "top_tf", "stop_hits",
+        "n_numeric", "n_symbols",
+        flags.cast("bigint").alias("flags"),
+        (flags == 0).alias("keep"),
+    )
+
+
+def gopher_filter_sql(
+    docs_src: str,
+    min_words: int = 30,
+    max_words: int = 100_000,
+    min_mean_wordlen: int = 3,
+    max_mean_wordlen: int = 10,
+    max_symbol_pct: int = 10,
+    min_stop_hits: int = 2,
+    max_top_token_pct: int = 30,
+    max_numeric_pct: int = 20,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """DuckDB twin of :func:`gopher_filter` — identical cross-
+    multiplied rules generated from the same thresholds."""
+    stopset = sorted({w for ws in STOPWORDS.values() for w in ws})
+    stoplist = ", ".join(f"'{w}'" for w in stopset)
+    rules = [
+        f"(n_words < {min_words})",
+        f"(n_words > {max_words})",
+        f"(n_wchars < {min_mean_wordlen} * n_words "
+        f"OR n_wchars > {max_mean_wordlen} * n_words)",
+        f"(n_symbols * 100 > {max_symbol_pct} * n_nospace)",
+        f"(stop_hits < {min_stop_hits})",
+        f"(top_tf * 100 > {max_top_token_pct} * n_words)",
+        f"(n_numeric * 100 > {max_numeric_pct} * n_words)",
+    ]
+    flags = " + ".join(
+        f"CASE WHEN {r} THEN {1 << i} ELSE 0 END"
+        for i, r in enumerate(rules)
+    )
+    return f"""
+        WITH gf_base AS (
+            SELECT {id_col},
+                   length(regexp_replace({text_col}, '\\s', '', 'g'))
+                       AS n_nospace,
+                   length({text_col})
+                   - length(regexp_replace({text_col}, '[^\\w\\s]', '', 'g'))
+                       AS n_symbols
+            FROM {docs_src}
+        ),
+        gf_tf AS (
+            SELECT {id_col}, token, COUNT(*) AS tf
+            FROM (
+                SELECT {id_col},
+                       unnest(string_split_regex(lower({text_col}),
+                                                 '\\s+')) AS token
+                FROM {docs_src}
+            )
+            WHERE token <> '' GROUP BY 1, 2
+        ),
+        gf_doc AS (
+            SELECT {id_col},
+                   CAST(SUM(tf) AS BIGINT) AS n_words,
+                   MAX(tf) AS top_tf,
+                   CAST(SUM(CASE WHEN token IN ({stoplist})
+                            THEN 1 ELSE 0 END) AS BIGINT) AS stop_hits,
+                   CAST(SUM(CASE WHEN regexp_full_match(token, '[0-9]+')
+                            THEN tf ELSE 0 END) AS BIGINT) AS n_numeric
+            FROM gf_tf GROUP BY 1
+        ),
+        gf_j AS (
+            SELECT b.{id_col}, b.n_nospace, b.n_symbols,
+                   COALESCE(d.n_words, 0) AS n_words,
+                   COALESCE(d.top_tf, 0) AS top_tf,
+                   COALESCE(d.stop_hits, 0) AS stop_hits,
+                   COALESCE(d.n_numeric, 0) AS n_numeric,
+                   b.n_nospace - b.n_symbols AS n_wchars
+            FROM gf_base b LEFT JOIN gf_doc d USING ({id_col})
+        )
+        SELECT {id_col}, n_words, n_wchars, top_tf, stop_hits,
+               n_numeric, n_symbols,
+               CAST({flags} AS BIGINT) AS flags,
+               ({flags}) = 0 AS keep
+        FROM gf_j
+    """
