@@ -1402,6 +1402,51 @@ BM25_QUERY = ["dup", "scan", "merge"]
 BM25_K = 10
 
 
+# stay-point query shares q_trip_segments' drift geocode: the 1°-jump-
+# every-25th-point makes cell runs ~25 points long, so dwell filtering
+# has real work at every sf
+# every literal is ::DOUBLE-pinned: DuckDB would otherwise run the
+# geocode in exact DECIMAL and floor(lon·10⁶) lands one ulp away from
+# Spark's double arithmetic (the float32-promotion trap's decimal twin)
+_STAY_PTS_SQL = """(
+    SELECT user_id, ts, event_id,
+           CAST(-45.0 AS DOUBLE) + (user_id % 120) * CAST(0.5 AS DOUBLE)
+               + CAST(0.001 AS DOUBLE) * rn
+               + CAST(1.0 AS DOUBLE) * floor(rn / 25) AS lat,
+           CAST(-100.0 AS DOUBLE) + (user_id % 140) * CAST(1.0 AS DOUBLE)
+               + CAST(0.002 AS DOUBLE) * rn AS lon
+    FROM (SELECT user_id, ts, event_id,
+                 ROW_NUMBER() OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS rn
+          FROM events) t
+)"""
+
+
+def q_stay_points(spark, sf_dir):
+    """Stay-point detection (spatial.stay_points): the gaps-and-
+    islands grid-stay formulation — maximal same-cell runs per user
+    with integer-µs dwell filtering and µdeg-quantized centroids, one
+    window sort + one groupBy; the DuckDB twin runs the identical
+    recurrence, so every stay boundary, dwell and centroid is
+    hash-verified."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    rn = F.row_number().over(
+        W.partitionBy("user_id").orderBy("ts", "event_id")
+    )
+    pts = ev.select("user_id", "ts", "event_id", rn.alias("rn")).select(
+        "user_id", "ts", "event_id",
+        (F.lit(-45.0) + (F.col("user_id") % 120) * F.lit(0.5)
+         + F.lit(0.001) * F.col("rn")
+         + F.lit(1.0) * F.floor(F.col("rn") / 25)).alias("lat"),
+        (F.lit(-100.0) + (F.col("user_id") % 140) * F.lit(1.0)
+         + F.lit(0.002) * F.col("rn")).alias("lon"),
+    )
+    return spatial.stay_points(
+        pts, "user_id", "ts",
+        min_duration_s=1800, min_points=3, tiebreak=("event_id",),
+    )
+
+
 def q_gopher_filter(spark, sf_dir):
     """Gopher-style composite quality filter (textops.gopher_filter):
     seven cross-multiplied integer rules (length bounds, mean word
@@ -2463,6 +2508,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "label_spread": q_label_spread,
         "bm25_topk": q_bm25_topk,
         "gopher_filter": q_gopher_filter,
+        "stay_points": q_stay_points,
         "kmv_distinct_docs": q_kmv_distinct_docs,
         "countmin_topk": q_countmin_topk,
         "sampled_quantiles": q_sampled_quantiles,
@@ -4877,6 +4923,10 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk": textops.bm25_topk_sql("documents", BM25_QUERY, k=BM25_K),
         "gopher_filter": textops.gopher_filter_sql(
             "documents", min_stop_hits=1
+        ),
+        "stay_points": spatial.stay_points_sql(
+            _STAY_PTS_SQL, "user_id", "ts",
+            min_duration_s=1800, min_points=3, tiebreak=("event_id",),
         ),
         "link_distance": f"""
             SELECT node AS doc_id, dist

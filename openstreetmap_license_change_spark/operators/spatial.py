@@ -3344,3 +3344,149 @@ def segment_cells(
         "cell_x",
         F.explode(F.sequence(iy_lo, iy_hi)).alias("cell_y"),
     )
+
+
+def stay_points(
+    points: DataFrame,
+    id_col: str,
+    ts_col: str,
+    lon: str = "lon",
+    lat: str = "lat",
+    res_deg: float = DEFAULT_RES_DEG,
+    min_duration_s: int = 1800,
+    min_points: int = 2,
+    tiebreak: Sequence[str] = (),
+) -> DataFrame:
+    """Stay-point (stop) detection over entity trajectories: a stay is
+    a MAXIMAL run of consecutive points inside one grid cell whose
+    dwell time reaches ``min_duration_s`` — where did each device /
+    user linger, the companion of :func:`trip_segments` (trips are the
+    moving runs, stays the stationary ones).  This is the grid-stay
+    formulation: runs are defined by cell membership, so detection is
+    one window pass — the classic anchor-radius scan (Li et al.'s
+    first-point-outside-ε walk) is inherently sequential per entity
+    and is NOT what you want over 10¹² points; at res_deg≈0.25° the
+    two agree up to cell-boundary straddle, which a 3×3 follow-up
+    join could resolve (same trade as knn_in_cell vs knn_neighborhood).
+
+    Plan shape: cell id is pure integer arithmetic on the scan; the
+    run counter is gaps-and-islands (cell ≠ lag(cell) → running sum)
+    over ONE partitionBy(id) orderBy(ts, tiebreak) window sort — a
+    single hash shuffle — then a map-side-combining groupBy on
+    (id, run).  Dwell tests compare integer microseconds; the stay
+    centroid is the mean of µdeg-quantized coordinates (floor(x·10⁶),
+    int64 sum, one DIV) so output is exact and parallelism-
+    independent.  Pass ``tiebreak`` whenever ``ts`` is not unique per
+    entity (ROWS-frame counter, the trip_segments rule).
+
+    Output: id, stay_no (1-based per id over KEPT stays), cell,
+    n_points, enter_us, exit_us, dwell_s, lat_udeg, lon_udeg."""
+    order_cols = [F.col(ts_col)] + [F.col(c) for c in tiebreak]
+    wu = W.partitionBy(id_col).orderBy(*order_cols)
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    cell = grid_cell(F.col(lon), F.col(lat), res_deg)
+    seg = points.select(
+        F.col(id_col),
+        us.alias("_us"),
+        *[F.col(c).alias(f"_tb{i}") for i, c in enumerate(tiebreak)],
+        cell.alias("cell"),
+        F.floor(F.col(lat) * F.lit(1_000_000.0)).cast("bigint").alias("_latq"),
+        F.floor(F.col(lon) * F.lit(1_000_000.0)).cast("bigint").alias("_lonq"),
+        F.lag(cell).over(wu).alias("_pcell"),
+    )
+    w2 = (
+        W.partitionBy(id_col)
+        .orderBy("_us", *[f"_tb{i}" for i in range(len(tiebreak))])
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    seg = seg.withColumn(
+        "_new",
+        (
+            F.col("_pcell").isNull() | (F.col("cell") != F.col("_pcell"))
+        ).cast("int"),
+    ).withColumn("_run", F.sum("_new").over(w2).cast("bigint"))
+    runs = seg.groupBy(F.col(id_col), F.col("_run")).agg(
+        # cell is constant within a run; MIN (not first) keeps the agg
+        # order-insensitive and mirrors the SQL twin exactly
+        F.min("cell").alias("cell"),
+        F.count(F.lit(1)).alias("n_points"),
+        F.min("_us").alias("enter_us"),
+        F.max("_us").alias("exit_us"),
+        F.expr("SUM(_latq) DIV COUNT(*)").alias("lat_udeg"),
+        F.expr("SUM(_lonq) DIV COUNT(*)").alias("lon_udeg"),
+    )
+    kept = runs.where(
+        (F.col("exit_us") - F.col("enter_us")
+         >= F.lit(int(min_duration_s) * 1_000_000))
+        & (F.col("n_points") >= int(min_points))
+    )
+    w3 = W.partitionBy(id_col).orderBy("enter_us", "_run")
+    return kept.withColumn(
+        "stay_no", F.row_number().over(w3).cast("bigint")
+    ).select(
+        id_col, "stay_no", "cell", "n_points", "enter_us", "exit_us",
+        F.expr("(exit_us - enter_us) DIV 1000000").alias("dwell_s"),
+        "lat_udeg", "lon_udeg",
+    )
+
+
+def stay_points_sql(
+    points_src: str,
+    id_col: str,
+    ts_col: str,
+    lon: str = "lon",
+    lat: str = "lat",
+    res_deg: float = DEFAULT_RES_DEG,
+    min_duration_s: int = 1800,
+    min_points: int = 2,
+    tiebreak: Sequence[str] = (),
+) -> str:
+    """DuckDB twin of :func:`stay_points` — same gaps-and-islands
+    recurrence, same µs/µdeg quantization, generated from the same
+    thresholds."""
+    cell = grid_cell_sql(lon, lat, res_deg)
+    tb = "".join(f", {c}" for c in tiebreak)
+    return f"""
+        WITH sp_pts AS (
+            SELECT {id_col},
+                   epoch_us({ts_col}) AS _us{tb},
+                   {cell} AS cell,
+                   CAST(FLOOR({lat} * 1000000.0) AS BIGINT) AS _latq,
+                   CAST(FLOOR({lon} * 1000000.0) AS BIGINT) AS _lonq
+            FROM {points_src}
+        ),
+        sp_seg AS (
+            SELECT *,
+                   CASE WHEN LAG(cell) OVER w IS NULL
+                             OR cell <> LAG(cell) OVER w
+                        THEN 1 ELSE 0 END AS _new
+            FROM sp_pts
+            WINDOW w AS (PARTITION BY {id_col} ORDER BY _us{tb})
+        ),
+        sp_run AS (
+            SELECT *,
+                   SUM(_new) OVER (PARTITION BY {id_col} ORDER BY _us{tb}
+                                   ROWS UNBOUNDED PRECEDING) AS _run
+            FROM sp_seg
+        ),
+        sp_agg AS (
+            SELECT {id_col}, _run,
+                   MIN(cell) AS cell,
+                   CAST(COUNT(*) AS BIGINT) AS n_points,
+                   MIN(_us) AS enter_us,
+                   MAX(_us) AS exit_us,
+                   CAST(SUM(_latq) // COUNT(*) AS BIGINT) AS lat_udeg,
+                   CAST(SUM(_lonq) // COUNT(*) AS BIGINT) AS lon_udeg
+            FROM sp_run GROUP BY 1, 2
+        )
+        SELECT {id_col},
+               CAST(ROW_NUMBER() OVER (PARTITION BY {id_col}
+                                       ORDER BY enter_us, _run)
+                    AS BIGINT) AS stay_no,
+               cell, n_points, enter_us, exit_us,
+               (exit_us - enter_us) // 1000000 AS dwell_s,
+               lat_udeg, lon_udeg
+        FROM sp_agg
+        WHERE exit_us - enter_us >= {int(min_duration_s) * 1_000_000}
+          AND n_points >= {int(min_points)}
+    """
