@@ -679,6 +679,16 @@ def q_tile_dilate(spark, sf_dir):
     return spatial.tile_dilate(_q_rollup_cells(spark, sf_dir))
 
 
+def q_tile_contours(spark, sf_dir):
+    """Marching-squares contour topology (spatial.tile_contours) over
+    the occupied-cell support: sparse ×4 corner fan → per-block case
+    index 1..14 + segment count, the raster→vector iso-line step;
+    wrap-aware in lon, block-clamped in lat.  The DuckDB twin runs the
+    identical weight fan, so every boundary block and saddle case is
+    hash-verified."""
+    return spatial.tile_contours(_q_rollup_cells(spark, sf_dir))
+
+
 def q_tile_erode(spark, sf_dir):
     """Raster erosion (spatial.tile_erode): interior cells whose whole
     in-bounds queen neighborhood is occupied (complement vs the input
@@ -2509,6 +2519,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": q_bm25_topk,
         "gopher_filter": q_gopher_filter,
         "stay_points": q_stay_points,
+        "tile_contours": q_tile_contours,
         "kmv_distinct_docs": q_kmv_distinct_docs,
         "countmin_topk": q_countmin_topk,
         "sampled_quantiles": q_sampled_quantiles,
@@ -3506,6 +3517,14 @@ def oracle_sql() -> dict[str, str]:
                 GROUP BY 1
             )
             {spatial.tile_morphology_sql('morph_src', 'dilate')}
+        """),
+        "tile_contours": _with_pages(f"""
+            , morph_src AS (
+                SELECT {cell} AS cell
+                FROM pages p JOIN cs_status s USING (changeset_id)
+                GROUP BY 1
+            )
+            {spatial.tile_contours_sql('morph_src')}
         """),
         "tile_erode": _with_pages(f"""
             , morph_src AS (

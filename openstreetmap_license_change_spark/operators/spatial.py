@@ -3490,3 +3490,99 @@ def stay_points_sql(
         WHERE exit_us - enter_us >= {int(min_duration_s) * 1_000_000}
           AND n_points >= {int(min_points)}
     """
+
+
+# marching-squares case → number of contour segments through the block
+# (saddle cases 5 and 10 carry two segments; 0 and 15 carry none)
+MS_SEGMENTS = (0, 1, 1, 1, 1, 2, 1, 1, 1, 1, 2, 1, 1, 1, 1, 0)
+
+
+def tile_contours(
+    cells: DataFrame, res_deg: float = DEFAULT_RES_DEG
+) -> DataFrame:
+    """Marching-squares contour topology over the raster support — the
+    raster→vector iso-line step (where does the taint-density field
+    cross the threshold?): every 2×2 block of grid cells gets its
+    classic case index from which corners are occupied, and blocks on
+    the boundary (case ∉ {0, 15}) are exactly the blocks a contour
+    passes through.  Corner weights follow the canonical order —
+    anchor (lat,lon)=1, lon+1=2, lat+1&lon+1=4, lat+1=8 — so saddle
+    cases 5/10 are distinguishable downstream.
+
+    Scale design: the same sparse-fan shape as :func:`tile_dilate` —
+    each OCCUPIED cell contributes its weight to the ≤4 blocks it
+    corners (wrap-aware in lon, clamped in lat: a block must fit
+    inside the grid), then one map-side-combining groupBy sums
+    weights into the case index.  Cost is ×4 fan on |occupied| rows,
+    never a densified grid; absent corners contribute 0 implicitly,
+    and all-inside blocks (15) are filtered at the end — so output is
+    |boundary blocks|, the contour's own length scale.
+
+    ``cells``: one row per occupied cell (column ``cell``).
+    Output: (cell = block anchor, ms_case 1..14, n_segments)."""
+    cols = int(360 / res_deg)
+    rows_n = int(180 / res_deg)
+    if cols < 3:
+        raise ValueError(
+            f"res_deg {res_deg} gives {cols} grid columns; need ≥ 3 "
+            "for distinct block corners under lon wrap"
+        )
+    lat_b = F.floor(F.col("cell") / F.lit(cols))
+    lon_b = F.col("cell") % F.lit(cols)
+    contribs = []
+    # (dy, dx) = this cell's corner position within the anchored block
+    for dy, dx, weight in ((0, 0, 1), (0, 1, 2), (1, 1, 4), (1, 0, 8)):
+        a_lat = lat_b - F.lit(dy)
+        a_lon = (lon_b - F.lit(dx) + F.lit(cols)) % F.lit(cols)
+        contribs.append(
+            F.when(
+                (a_lat >= 0) & (a_lat < rows_n - 1),
+                F.struct(
+                    (a_lat * F.lit(cols) + a_lon).cast("bigint")
+                    .alias("cell"),
+                    F.lit(weight).alias("w"),
+                ),
+            )
+        )
+    fan = cells.select(
+        F.explode(F.array_compact(F.array(*contribs))).alias("c")
+    ).select("c.cell", "c.w")
+    seg_map = F.array(*[F.lit(s) for s in MS_SEGMENTS])
+    return (
+        fan.groupBy("cell")
+        .agg(F.sum("w").cast("int").alias("ms_case"))
+        .where(F.col("ms_case") != 15)
+        .select(
+            "cell",
+            "ms_case",
+            seg_map.getItem(F.col("ms_case")).alias("n_segments"),
+        )
+    )
+
+
+def tile_contours_sql(src: str, res_deg: float = DEFAULT_RES_DEG) -> str:
+    """DuckDB twin of :func:`tile_contours`; ``src`` exposes one
+    ``cell`` row per occupied cell.  Standalone statement."""
+    cols = int(360 / res_deg)
+    rows_n = int(180 / res_deg)
+    seg_case = " ".join(
+        f"WHEN {i} THEN {s}"
+        for i, s in enumerate(MS_SEGMENTS)
+        if i not in (0, 15)
+    )
+    return f"""
+        SELECT cell, ms_case,
+               CASE ms_case {seg_case} END AS n_segments
+        FROM (
+            SELECT (((s.cell // {cols}) - d.dy) * {cols}
+                    + ((s.cell % {cols}) - d.dx + {cols}) % {cols})
+                       AS cell,
+                   CAST(SUM(d.w) AS INTEGER) AS ms_case
+            FROM {src} s CROSS JOIN (VALUES
+                 (0,0,1),(0,1,2),(1,1,4),(1,0,8)) d(dy, dx, w)
+            WHERE (s.cell // {cols}) - d.dy >= 0
+              AND (s.cell // {cols}) - d.dy < {rows_n - 1}
+            GROUP BY 1
+        )
+        WHERE ms_case <> 15
+    """
