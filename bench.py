@@ -276,6 +276,65 @@ def run_queries(spark, sf_dir):
         ),
     )
 
+    # ---- informational rows (NOT in the composite pages/sec metric) ----
+    # one representative per round-4 operator family, each driven at the
+    # staged ×REPLICATION scale where the family's cost is real: spatial
+    # statistics (Gi*), iterative graph (6-round quantized PageRank over
+    # a 3-out-degree modular graph on every amplified page), event
+    # analytics (funnel), curation text ops (Gopher rules + BM25 over
+    # the documents table).  They track family-level regressions in
+    # BENCH_rN without perturbing the headline metric's comparability.
+    from openstreetmap_license_change_spark.operators import (
+        graph as graph_ops,
+        spatial as spatial_ops,
+        temporal as temporal_ops,
+        textops as textops_ops,
+    )
+
+    rollup_counts = spatial_ops.tile_rollup(cells)
+    timed(
+        "tile_hotspots",
+        lambda: _noop_write(spatial_ops.tile_hotspots(rollup_counts)),
+    )
+
+    pr_nodes = pages_big.select(F.col("doc_id").alias("node")).distinct()
+    n_nodes = pr_nodes.count()  # untimed setup action; modulus for edges
+    pr_edges = (
+        pr_nodes.where(F.col("node") % 5 != 0)
+        .select(
+            F.col("node").alias("src"),
+            ((F.col("node") * 7 + 1) % n_nodes).alias("dst"),
+        )
+        .where(F.col("src") != F.col("dst"))
+    )
+    timed(
+        "doc_pagerank",
+        lambda: _noop_write(
+            graph_ops.pagerank_quantized(pr_nodes, pr_edges, iterations=6)
+        ),
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    timed(
+        "event_funnel",
+        lambda: _noop_write(
+            temporal_ops.event_funnel(
+                ev, ["signup", "purchase", "error"], max_gap_sec=86400
+            )
+        ),
+    )
+
+    timed(
+        "gopher_filter",
+        lambda: _noop_write(textops_ops.gopher_filter(docs)),
+    )
+    timed(
+        "bm25_topk",
+        lambda: _noop_write(
+            textops_ops.bm25_topk(docs, ["dup", "scan", "merge"])
+        ),
+    )
+
     timings = run_rounds()
     if not shared:
         shutil.rmtree(stage_dir, ignore_errors=True)
