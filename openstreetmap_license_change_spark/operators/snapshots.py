@@ -129,3 +129,58 @@ def snapshot_diff_ctes(src: str, epoch_a: int, epoch_b: int) -> str:
                CASE WHEN pb THEN b.lat END AS new_lat
         FROM flagged WHERE pa OR pb
     """
+
+
+def diff_states(state_a: DataFrame, state_b: DataFrame) -> DataFrame:
+    """Diff two MATERIALIZED current-state tables — the streaming side
+    of :func:`snapshot_diff`: where the batch operator derives both
+    as-of states from the raw capture log in one aggregation, this
+    takes two already-maintained states (the output of
+    ``streaming.incremental.foreach_batch_latest_state`` at two cut
+    points, or two Iceberg snapshot reads of a ``current_*`` table)
+    and emits the identical statuses.
+
+    Shape argument: a full-outer url join is exactly right HERE —
+    state tables are 1-row-per-url aggregates (|urls|, not |captures|),
+    so the join is over pre-aggregated rows; the batch operator's
+    join-free design matters when the input is the 100-TB capture log,
+    not its distilled state.  Both inputs must expose url, warc_epoch,
+    version, lon, lat, visible (visible=False rows are tombstones:
+    present-at-cut means latest capture visible, same as batch).
+
+    Equivalence with the batch operator is pinned by
+    ``tests/test_streaming.py`` — streaming-maintained states at two
+    cuts, diffed here, must equal ``snapshot_diff`` on the unioned
+    capture log row-for-row."""
+    a = state_a.select(
+        "url", F.struct(*_STATE_FIELDS).alias("a")
+    )
+    b = state_b.select(
+        "url", F.struct(*_STATE_FIELDS).alias("b")
+    )
+    j = a.join(b, "url", "full_outer")
+    pa = F.col("a").isNotNull() & F.col("a.visible")
+    pb = F.col("b").isNotNull() & F.col("b.visible")
+    moved = (F.col("a.lon") != F.col("b.lon")) | (
+        F.col("a.lat") != F.col("b.lat")
+    )
+    return (
+        j.withColumn(
+            "status",
+            F.when(~pa & pb, F.lit("added"))
+            .when(pa & ~pb, F.lit("removed"))
+            .when(pa & pb & moved, F.lit("changed"))
+            .when(pa & pb, F.lit("unchanged")),
+        )
+        .where(F.col("status").isNotNull())
+        .select(
+            "url",
+            "status",
+            F.when(pa, F.col("a.version")).alias("old_version"),
+            F.when(pb, F.col("b.version")).alias("new_version"),
+            F.when(pa, F.col("a.lon")).alias("old_lon"),
+            F.when(pa, F.col("a.lat")).alias("old_lat"),
+            F.when(pb, F.col("b.lon")).alias("new_lon"),
+            F.when(pb, F.col("b.lat")).alias("new_lat"),
+        )
+    )

@@ -388,3 +388,87 @@ def test_foreach_batch_latest_state_incremental(spark, tmp_path):
                 cols=["lon", "lat", "visible"],
             ).collect()}
     assert got == want
+
+
+def test_diff_states_equals_batch_snapshot_diff(spark, tmp_path):
+    """Streaming twin of snapshot_diff: maintain current-state via the
+    foreachBatch bridge, capture the materialized state at cut A, keep
+    streaming to cut B, then snapshots.diff_states(state_A, state_B)
+    must equal the batch snapshot_diff over the full capture log —
+    added / removed (tombstone) / changed / unchanged all exercised."""
+    from openstreetmap_license_change_spark.operators import snapshots
+    from openstreetmap_license_change_spark.streaming import incremental
+
+    src = str(tmp_path / "pages_d")
+    state = str(tmp_path / "state_d")
+    schema = (
+        "url string, version int, warc_epoch bigint, text string, "
+        "lang string, changeset_id bigint, uid bigint, lon double, "
+        "lat double, visible boolean"
+    )
+    e0 = 1704067200
+
+    def write(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    def run_stream():
+        stream = incremental.stream_pages(spark, src)
+        q = (
+            stream.writeStream.foreachBatch(
+                lambda df, bid: incremental.foreach_batch_latest_state(
+                    df, bid, state
+                )
+            )
+            .option("checkpointLocation", str(tmp_path / "ckpt_d"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    # epoch-A corpus: u0..u9 visible, u9 born deleted (tombstone)
+    write([
+        (f"u{i}", 1, e0 + i, f"t{i}", "en", i, i,
+         float(i), float(-i), i != 9)
+        for i in range(10)
+    ])
+    run_stream()
+    epoch_a = e0 + 9
+    # freeze the cut-A state (an Iceberg snapshot read in production)
+    spark.read.parquet(f"{state}/state_current").write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "state_a"))
+
+    # epoch-B deltas: u0 moves, u1 edits in place, u2 deleted,
+    # u9 re-added, u10 brand new
+    write([
+        ("u0", 2, epoch_a + 50, "t0", "en", 0, 0, 12.5, -3.0, True),
+        ("u1", 2, epoch_a + 51, "t1b", "en", 1, 1, 1.0, -1.0, True),
+        ("u2", 2, epoch_a + 52, "t2", "en", 2, 2, 2.0, -2.0, False),
+        ("u9", 2, epoch_a + 53, "t9", "en", 9, 9, 9.0, -9.0, True),
+        ("u10", 1, epoch_a + 54, "t10", "en", 10, 10, 10.0, -10.0, True),
+    ])
+    run_stream()
+
+    got = sorted(
+        tuple(r)
+        for r in snapshots.diff_states(
+            spark.read.parquet(str(tmp_path / "state_a")),
+            spark.read.parquet(f"{state}/state_current"),
+        ).collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in snapshots.snapshot_diff(
+            spark.read.parquet(src), epoch_a, epoch_a + 60
+        ).collect()
+    )
+    assert got == want
+    statuses = {r[0]: r[1] for r in got}
+    assert statuses["u0"] == "changed"
+    assert statuses["u1"] == "unchanged"
+    assert statuses["u2"] == "removed"
+    assert statuses["u9"] == "added"
+    assert statuses["u10"] == "added"
+    assert "u9" != "unchanged"  # tombstone at A, present at B
