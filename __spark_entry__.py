@@ -679,6 +679,19 @@ def q_tile_dilate(spark, sf_dir):
     return spatial.tile_dilate(_q_rollup_cells(spark, sf_dir))
 
 
+ADAPT_ARGS = dict(min_res=1, max_res=8, max_count=50)
+
+
+def q_adaptive_tiles(spark, sf_dir):
+    """Adaptive quadtree tiling (spatial.adaptive_tiles): per-level
+    count → split-over-threshold recurrence on the hierarchical Morton
+    ladder; leaves ≤ 50 points or res 8, exactly partitioning the
+    corpus — one shrinking aggregate per level, AQE-broadcast hot-cell
+    semi-joins.  The DuckDB twin unrolls the identical recurrence, so
+    every leaf and count is hash-verified."""
+    return spatial.adaptive_tiles(_pages(spark, sf_dir), **ADAPT_ARGS)
+
+
 def q_tile_contours(spark, sf_dir):
     """Marching-squares contour topology (spatial.tile_contours) over
     the occupied-cell support: sparse ×4 corner fan → per-block case
@@ -2520,6 +2533,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_filter": q_gopher_filter,
         "stay_points": q_stay_points,
         "tile_contours": q_tile_contours,
+        "adaptive_tiles": q_adaptive_tiles,
         "kmv_distinct_docs": q_kmv_distinct_docs,
         "countmin_topk": q_countmin_topk,
         "sampled_quantiles": q_sampled_quantiles,
@@ -3518,6 +3532,10 @@ def oracle_sql() -> dict[str, str]:
             )
             {spatial.tile_morphology_sql('morph_src', 'dilate')}
         """),
+        "adaptive_tiles": _with_pages(
+            spatial.adaptive_tiles_sql("pages", **ADAPT_ARGS)
+            .replace("WITH ", ", ", 1)
+        ),
         "tile_contours": _with_pages(f"""
             , morph_src AS (
                 SELECT {cell} AS cell

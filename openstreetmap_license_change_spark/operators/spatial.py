@@ -3586,3 +3586,124 @@ def tile_contours_sql(src: str, res_deg: float = DEFAULT_RES_DEG) -> str:
         )
         WHERE ms_case <> 15
     """
+
+
+def adaptive_tiles(
+    points: DataFrame,
+    lon: str = "lon",
+    lat: str = "lat",
+    min_res: int = 2,
+    max_res: int = 6,
+    max_count: int = 1000,
+) -> DataFrame:
+    """Adaptive quadtree tiling: refine the hierarchical grid ONLY
+    where the data is dense — every output leaf holds ≤ ``max_count``
+    points or sits at ``max_res``, and the leaves exactly partition
+    the input.  The variable-resolution answer to fixed-res
+    tile_rollup's skew problem (a uniform res either under-resolves
+    cities or drowns in empty ocean cells), and the write-layout story
+    for density-balanced Iceberg file splits: one leaf ≈ one
+    bounded-size file regardless of skew.
+
+    Scale design: one counting aggregate per ladder level, each over
+    ONLY the points still inside over-threshold cells — the working
+    set shrinks geometrically wherever the data is not pathological,
+    and each level is a map-side-combined groupBy + a semi-join
+    against the (small) hot-cell list, which AQE broadcasts when it
+    fits.  Levels are bounded by the ladder depth (≤ 17), not the
+    data; the DuckDB twin (:func:`adaptive_tiles_sql`) unrolls the
+    identical per-level recurrence, so every leaf and count is
+    hash-verified.
+
+    Output: (cell, res, n_points) — hierarchical ids
+    (:func:`hier_cell`), so leaves at different resolutions never
+    collide."""
+    if not 0 <= min_res <= max_res <= MAX_TILE_RES:
+        raise ValueError(
+            f"need 0 ≤ min_res ≤ max_res ≤ {MAX_TILE_RES}: "
+            f"{min_res}, {max_res}"
+        )
+    if max_count < 1:
+        raise ValueError(f"max_count must be ≥ 1: {max_count}")
+    pts = points.select(F.col(lon).alias("_lon"), F.col(lat).alias("_lat"))
+    leaves = []
+    for r in range(min_res, max_res + 1):
+        cells = pts.select(
+            hier_cell(F.col("_lon"), F.col("_lat"), r).alias("cell"),
+            "_lon", "_lat",
+        )
+        counts = cells.groupBy("cell").agg(
+            F.count(F.lit(1)).alias("n_points")
+        )
+        if r == max_res:
+            leaves.append(counts)
+            break
+        # lineage cut per level (the iterative house pattern): counts
+        # feeds BOTH the kept-leaf branch and the next level's
+        # semi-join, and pts otherwise re-derives every prior level's
+        # join on each iteration — K chained levels would stack K
+        # rounds of Catalyst analysis and recompute
+        counts = counts.localCheckpoint(eager=True)
+        leaves.append(counts.where(F.col("n_points") <= max_count))
+        hot = counts.where(F.col("n_points") > max_count).select("cell")
+        if hot.isEmpty():
+            # nothing left to split — the deeper ladder levels would
+            # all run on an empty frontier (the BFS short-circuit)
+            break
+        pts = cells.join(hot, "cell", "left_semi").select(
+            "_lon", "_lat"
+        ).localCheckpoint(eager=True)
+    out = leaves[0]
+    for df in leaves[1:]:
+        out = out.unionByName(df)
+    return out.select(
+        "cell", cell_res(F.col("cell")).alias("res"), "n_points"
+    )
+
+
+def adaptive_tiles_sql(
+    src: str,
+    lon: str = "lon",
+    lat: str = "lat",
+    min_res: int = 2,
+    max_res: int = 6,
+    max_count: int = 1000,
+) -> str:
+    """DuckDB twin of :func:`adaptive_tiles`: the per-level
+    count/split recurrence unrolled as chained CTEs, generated from
+    the same ladder and threshold.  Standalone statement returning
+    (cell, res, n_points)."""
+    if not 0 <= min_res <= max_res <= MAX_TILE_RES:
+        raise ValueError(
+            f"need 0 ≤ min_res ≤ max_res ≤ {MAX_TILE_RES}: "
+            f"{min_res}, {max_res}"
+        )
+    ctes = [
+        f"at_p{min_res} AS (SELECT {lon} AS _lon, {lat} AS _lat "
+        f"FROM {src})"
+    ]
+    finals = []
+    for r in range(min_res, max_res + 1):
+        cell = hier_cell_sql("_lon", "_lat", r)
+        ctes.append(
+            f"at_c{r} AS (SELECT {cell} AS cell, COUNT(*) AS n_points "
+            f"FROM at_p{r} GROUP BY 1)"
+        )
+        if r == max_res:
+            finals.append(f"SELECT cell, {r} AS res, n_points FROM at_c{r}")
+            break
+        finals.append(
+            f"SELECT cell, {r} AS res, n_points FROM at_c{r} "
+            f"WHERE n_points <= {max_count}"
+        )
+        ctes.append(f"""at_p{r + 1} AS (
+            SELECT _lon, _lat FROM (
+                SELECT {cell} AS cell, _lon, _lat FROM at_p{r}
+            ) x
+            WHERE x.cell IN (SELECT cell FROM at_c{r}
+                             WHERE n_points > {max_count})
+        )""")
+    return (
+        "WITH " + ",\n".join(ctes) + "\n"
+        + " UNION ALL ".join(finals)
+    )
