@@ -679,6 +679,21 @@ def q_tile_dilate(spark, sf_dir):
     return spatial.tile_dilate(_q_rollup_cells(spark, sf_dir))
 
 
+def q_snap_to_segments(spark, sf_dir):
+    """Map-matching lite (spatial.snap_to_segments): every latest page
+    snaps to its nearest per-lang polyline segment within a one-cell
+    (5°) radius — bbox-fan × 3×3-probe candidates, exact rational
+    point-to-segment distance in decimal(38)/HUGEINT quantized once,
+    min(struct) argmin with lowest-id ties.  The DuckDB twin runs the
+    identical arithmetic, so every match and distance hash-matches."""
+    latest = lineage.latest_version(_pages(spark, sf_dir), cols=["lon", "lat"])
+    pts = latest.select(F.col("url").alias("point_id"), "lon", "lat")
+    segs = _lang_segments(spark, sf_dir).select(
+        F.col("url").alias("seg_id"), "lon1", "lat1", "lon2", "lat2"
+    )
+    return spatial.snap_to_segments(pts, segs, res_deg=5.0)
+
+
 ADAPT_ARGS = dict(min_res=1, max_res=8, max_count=50)
 
 
@@ -2534,6 +2549,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stay_points": q_stay_points,
         "tile_contours": q_tile_contours,
         "adaptive_tiles": q_adaptive_tiles,
+        "snap_to_segments": q_snap_to_segments,
         "kmv_distinct_docs": q_kmv_distinct_docs,
         "countmin_topk": q_countmin_topk,
         "sampled_quantiles": q_sampled_quantiles,
@@ -3532,6 +3548,32 @@ def oracle_sql() -> dict[str, str]:
             )
             {spatial.tile_morphology_sql('morph_src', 'dilate')}
         """),
+        "snap_to_segments": _with_pages(
+            """
+            , sn_latest AS (
+                SELECT url, lang, lon, lat, doc_id FROM (
+                    SELECT p.*, ROW_NUMBER() OVER (
+                        PARTITION BY url ORDER BY version DESC) AS rn
+                    FROM pages p
+                ) t WHERE rn = 1
+            ),
+            sn_points AS (
+                SELECT url AS point_id, lon, lat FROM sn_latest
+            ),
+            sn_segs AS (
+                SELECT url AS seg_id, lon1, lat1, lon2, lat2 FROM (
+                    SELECT url, lon AS lon1, lat AS lat1,
+                           LEAD(lon) OVER w AS lon2,
+                           LEAD(lat) OVER w AS lat2
+                    FROM sn_latest
+                    WINDOW w AS (PARTITION BY lang ORDER BY doc_id)
+                ) s WHERE lon2 IS NOT NULL
+            )
+            """
+            + spatial.snap_to_segments_sql(
+                "sn_points", "sn_segs", res_deg=5.0
+            ).replace("WITH ", ", ", 1)
+        ),
         "adaptive_tiles": _with_pages(
             spatial.adaptive_tiles_sql("pages", **ADAPT_ARGS)
             .replace("WITH ", ", ", 1)

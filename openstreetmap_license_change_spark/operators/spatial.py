@@ -3707,3 +3707,243 @@ def adaptive_tiles_sql(
         "WITH " + ",\n".join(ctes) + "\n"
         + " UNION ALL ".join(finals)
     )
+
+
+def snap_to_segments(
+    points: DataFrame,
+    segs: DataFrame,
+    res_deg: float,
+    scale: int = 10_000,
+    point_id: str = "point_id",
+    seg_id: str = "seg_id",
+    d2_scale: int = 1000,
+    max_span_cells: int = 4_096,
+) -> DataFrame:
+    """Map-matching lite: snap each point to its nearest line segment
+    within a one-cell search radius — the GPS-trace → road-network
+    attachment every trajectory pipeline runs before distance/flow
+    accounting (the line-layer analogue of knn_neighborhood's
+    nearest-clean attribution).
+
+    EXACT arithmetic end-to-end: coordinates quantize to the house
+    ×``scale`` fixed-point ints (the segment_cells / crossing-join
+    convention); the point-to-segment squared distance is the exact
+    rational  (|AP|²·|AB|² − ⟨AP,AB⟩²) / |AB|²  in its interior-
+    projection region and |AP|² / |BP|² at the clamped ends, carried
+    in decimal(38,0)/HUGEINT and quantized ONCE to
+    ``d2_q = num·d2_scale DIV den`` (int64: quotient ≤ |AP|²·d2_scale
+    ≈ 10¹⁷ at the defaults) — so the per-point argmin
+    (min(struct(d2_q, seg_id)), count-tie → lowest id) is engine-
+    identical and the DuckDB twin (:func:`snap_to_segments_sql`)
+    hash-matches.
+
+    Candidate generation: segments explode their bbox cell cover
+    (the crossing-join idiom, assert-guarded by ``max_span_cells`` —
+    a near-antipodal segment fails LOUD); points probe their 3×3 cell
+    neighborhood; candidates are the cell-equijoin of the two fans,
+    deduped per (point, segment).  Bound: any segment NOT in the
+    probe is entirely outside the 3×3 block, hence ≥ one cell away —
+    so a match with d² < (res_deg·scale)² is provably the TRUE global
+    nearest, and points with no candidate (nothing within ~res_deg)
+    are absent from the output, the bounded-radius non-match.  No lon
+    wrap (the segment-layer convention; see segment_cells).
+
+    Output: (point_id, seg_id, d2_q) — nearest segment per matched
+    point; d2_q in (1/scale °)²·d2_scale units."""
+    if res_deg * scale != int(res_deg * scale):
+        raise ValueError("res_deg * scale must be integral")
+    if scale > 1_000_000:
+        raise ValueError("scale > 1e6 overflows the int64 cross bound")
+    g = int(res_deg * scale)
+    offx, offy = 180 * scale, 90 * scale
+    sc = F.lit(float(scale))
+
+    sq = segs.select(
+        F.col(seg_id),
+        (F.round(F.col("lon1") * sc).cast("bigint") + offx).alias("sx1"),
+        (F.round(F.col("lat1") * sc).cast("bigint") + offy).alias("sy1"),
+        (F.round(F.col("lon2") * sc).cast("bigint") + offx).alias("sx2"),
+        (F.round(F.col("lat2") * sc).cast("bigint") + offy).alias("sy2"),
+    )
+    x0 = _idiv(F.least("sx1", "sx2"), g)
+    x1 = _idiv(F.greatest("sx1", "sx2"), g)
+    y0 = _idiv(F.least("sy1", "sy2"), g)
+    y1 = _idiv(F.greatest("sy1", "sy2"), g)
+    n = (x1 - x0 + 1) * (y1 - y0 + 1)
+    ok = F.assert_true(
+        n <= F.lit(int(max_span_cells)),
+        F.lit(
+            f"segment bbox covers more than max_span_cells="
+            f"{max_span_cells} cells at res_deg={res_deg}; coarsen "
+            "the grid or split the segment"
+        ),
+    )
+    cells = F.flatten(
+        F.transform(
+            F.sequence(y0, y1),
+            lambda yy: F.transform(
+                F.sequence(x0, x1),
+                lambda xx: yy * F.lit(1_000_000) + xx,
+            ),
+        )
+    )
+    seg_fan = sq.withColumn(
+        "_cell", F.explode(F.when(ok.isNull(), cells))
+    )
+
+    pq = points.select(
+        F.col(point_id),
+        (F.round(F.col("lon") * sc).cast("bigint") + offx).alias("px"),
+        (F.round(F.col("lat") * sc).cast("bigint") + offy).alias("py"),
+    )
+    probes = F.array(
+        *[
+            (_idiv(F.col("py"), g) + F.lit(dy)) * F.lit(1_000_000)
+            + (_idiv(F.col("px"), g) + F.lit(dx))
+            for dy in (-1, 0, 1)
+            for dx in (-1, 0, 1)
+        ]
+    )
+    pt_fan = pq.withColumn("_cell", F.explode(probes))
+
+    cand = (
+        pt_fan.join(seg_fan, "_cell")
+        .select(point_id, "px", "py", seg_id, "sx1", "sy1", "sx2", "sy2")
+        .distinct()
+    )
+    apx = F.col("px") - F.col("sx1")
+    apy = F.col("py") - F.col("sy1")
+    abx = F.col("sx2") - F.col("sx1")
+    aby = F.col("sy2") - F.col("sy1")
+    bpx = F.col("px") - F.col("sx2")
+    bpy = F.col("py") - F.col("sy2")
+    dot = apx * abx + apy * aby
+    ab2 = abx * abx + aby * aby
+    ap2 = apx * apx + apy * apy
+    bp2 = bpx * bpx + bpy * bpy
+    d = F.lit(int(d2_scale))
+    dec = "decimal(38,0)"
+    interior = (
+        (ap2.cast(dec) * ab2.cast(dec) - dot.cast(dec) * dot.cast(dec))
+        * d
+    )
+    d2_q = (
+        F.when(ab2 == 0, ap2 * d)          # degenerate zero-length seg
+        .when(dot <= 0, ap2 * d)
+        .when(dot >= ab2, bp2 * d)
+        .otherwise(F.expr("CAST(_num DIV _den AS BIGINT)"))
+    )
+    scored = cand.withColumn("_num", interior).withColumn(
+        "_den", ab2.cast(dec)
+    ).withColumn("d2_q", d2_q)
+    return (
+        scored.groupBy(point_id)
+        .agg(
+            F.min(F.struct(F.col("d2_q"), F.col(seg_id).alias("sid")))
+            .alias("_best")
+        )
+        .select(
+            point_id,
+            F.col("_best.sid").alias(seg_id),
+            F.col("_best.d2_q").alias("d2_q"),
+        )
+    )
+
+
+def snap_to_segments_sql(
+    points_src: str,
+    segs_src: str,
+    res_deg: float,
+    scale: int = 10_000,
+    point_id: str = "point_id",
+    seg_id: str = "seg_id",
+    d2_scale: int = 1000,
+) -> str:
+    """DuckDB twin of :func:`snap_to_segments` — same quantization,
+    same bbox-fan × 3×3-probe candidate rule, same decimal/HUGEINT
+    rational distance and one-shot quantization.  ``points_src``
+    exposes (point_id, lon, lat); ``segs_src`` (seg_id, lon1, lat1,
+    lon2, lat2).  Standalone statement."""
+    g = int(res_deg * scale)
+    offx, offy = 180 * scale, 90 * scale
+    return f"""
+        WITH sn_sq AS (
+            SELECT {seg_id},
+                   CAST(ROUND(lon1 * {scale}) AS BIGINT) + {offx} AS sx1,
+                   CAST(ROUND(lat1 * {scale}) AS BIGINT) + {offy} AS sy1,
+                   CAST(ROUND(lon2 * {scale}) AS BIGINT) + {offx} AS sx2,
+                   CAST(ROUND(lat2 * {scale}) AS BIGINT) + {offy} AS sy2
+            FROM {segs_src}
+        ),
+        sn_segfan AS (
+            SELECT *,
+                   UNNEST(flatten(list_transform(
+                       generate_series(
+                           (LEAST(sy1, sy2) - LEAST(sy1, sy2) % {g}) // {g},
+                           (GREATEST(sy1, sy2)
+                            - GREATEST(sy1, sy2) % {g}) // {g}),
+                       yy -> list_transform(
+                           generate_series(
+                               (LEAST(sx1, sx2)
+                                - LEAST(sx1, sx2) % {g}) // {g},
+                               (GREATEST(sx1, sx2)
+                                - GREATEST(sx1, sx2) % {g}) // {g}),
+                           xx -> yy * 1000000 + xx)))) AS _cell
+            FROM sn_sq
+        ),
+        sn_pq AS (
+            SELECT {point_id},
+                   CAST(ROUND(lon * {scale}) AS BIGINT) + {offx} AS px,
+                   CAST(ROUND(lat * {scale}) AS BIGINT) + {offy} AS py
+            FROM {points_src}
+        ),
+        sn_ptfan AS (
+            SELECT *,
+                   ((py - py % {g}) // {g} + d.dy) * 1000000
+                   + ((px - px % {g}) // {g} + d.dx) AS _cell
+            FROM sn_pq CROSS JOIN (VALUES
+                 (-1,-1),(-1,0),(-1,1),(0,-1),(0,0),(0,1),
+                 (1,-1),(1,0),(1,1)) d(dy, dx)
+        ),
+        sn_cand AS (
+            SELECT DISTINCT p.{point_id}, p.px, p.py,
+                   s.{seg_id}, s.sx1, s.sy1, s.sx2, s.sy2
+            FROM sn_ptfan p JOIN sn_segfan s USING (_cell)
+        ),
+        sn_scored AS (
+            SELECT {point_id}, {seg_id},
+                   CASE
+                     WHEN (sx2-sx1)*(sx2-sx1) + (sy2-sy1)*(sy2-sy1) = 0
+                       THEN ((px-sx1)*(px-sx1) + (py-sy1)*(py-sy1))
+                            * {d2_scale}
+                     WHEN (px-sx1)*(sx2-sx1) + (py-sy1)*(sy2-sy1) <= 0
+                       THEN ((px-sx1)*(px-sx1) + (py-sy1)*(py-sy1))
+                            * {d2_scale}
+                     WHEN (px-sx1)*(sx2-sx1) + (py-sy1)*(sy2-sy1)
+                          >= (sx2-sx1)*(sx2-sx1) + (sy2-sy1)*(sy2-sy1)
+                       THEN ((px-sx2)*(px-sx2) + (py-sy2)*(py-sy2))
+                            * {d2_scale}
+                     ELSE CAST(
+                       ((CAST((px-sx1)*(px-sx1) + (py-sy1)*(py-sy1)
+                              AS HUGEINT)
+                         * ((sx2-sx1)*(sx2-sx1) + (sy2-sy1)*(sy2-sy1))
+                         - CAST((px-sx1)*(sx2-sx1) + (py-sy1)*(sy2-sy1)
+                                AS HUGEINT)
+                           * ((px-sx1)*(sx2-sx1) + (py-sy1)*(sy2-sy1)))
+                        * {d2_scale})
+                       // ((sx2-sx1)*(sx2-sx1) + (sy2-sy1)*(sy2-sy1))
+                       AS BIGINT)
+                   END AS d2_q
+            FROM sn_cand
+        ),
+        sn_best AS (
+            SELECT {point_id},
+                   MIN(STRUCT_PACK(d2_q := d2_q, sid := {seg_id}))
+                       AS _best
+            FROM sn_scored GROUP BY 1
+        )
+        SELECT {point_id},
+               _best.sid AS {seg_id},
+               _best.d2_q AS d2_q
+        FROM sn_best
+    """
