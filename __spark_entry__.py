@@ -679,6 +679,21 @@ def q_tile_dilate(spark, sf_dir):
     return spatial.tile_dilate(_q_rollup_cells(spark, sf_dir))
 
 
+II_SHARD = 128
+
+
+def q_inverted_index(spark, sf_dir):
+    """Sharded inverted index (textops.inverted_index): per
+    (token, doc-range shard) one bounded posting row with delta-
+    encoded "doc:tf,+gap:tf" postings — the materialized IR artifact
+    behind bm25_topk; the lag window and final collect share one
+    (token, shard) partitioning.  The DuckDB twin renders the same
+    gaps via ordered string_agg, so every posting byte is
+    hash-verified."""
+    docs = pages_src.documents(spark, sf_dir)
+    return textops.inverted_index(docs, shard_size=II_SHARD)
+
+
 def q_snap_to_segments(spark, sf_dir):
     """Map-matching lite (spatial.snap_to_segments): every latest page
     snaps to its nearest per-lang polyline segment within a one-cell
@@ -2550,6 +2565,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_contours": q_tile_contours,
         "adaptive_tiles": q_adaptive_tiles,
         "snap_to_segments": q_snap_to_segments,
+        "inverted_index": q_inverted_index,
         "kmv_distinct_docs": q_kmv_distinct_docs,
         "countmin_topk": q_countmin_topk,
         "sampled_quantiles": q_sampled_quantiles,
@@ -3548,6 +3564,9 @@ def oracle_sql() -> dict[str, str]:
             )
             {spatial.tile_morphology_sql('morph_src', 'dilate')}
         """),
+        "inverted_index": textops.inverted_index_sql(
+            "documents", shard_size=II_SHARD
+        ),
         "snap_to_segments": _with_pages(
             """
             , sn_latest AS (

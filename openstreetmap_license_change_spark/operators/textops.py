@@ -1276,3 +1276,110 @@ def gopher_filter_sql(
                ({flags}) = 0 AS keep
         FROM gf_j
     """
+
+
+def inverted_index(
+    df: DataFrame,
+    shard_size: int = 1024,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Sharded inverted index with delta-encoded postings — the IR
+    artifact behind :func:`bm25_topk` materialized as data: per
+    (token, shard) one bounded posting-list row, postings rendered as
+    ``"doc:tf"`` then ``"+gap:tf"`` (the classic doc-gap compression,
+    exact integers so the rendering is engine-identical).
+
+    Sharding is the scale contract: a stopword's posting list over
+    10¹² docs cannot be one row; ``shard = doc_id DIV shard_size``
+    caps every row at ``shard_size`` postings, keeps shard assignment
+    a pure projection, and makes the index mergeable across corpus
+    partitions (disjoint doc ranges → disjoint shards).
+
+    Plan shape: one explode → (doc, token) tf partial-agg; the gap
+    window and the final collect both key on (token, shard), so Spark
+    reuses ONE hash partitioning for the lag window and the groupBy —
+    two shuffles total; the posting order inside a row comes from
+    ``array_sort`` over (doc_id, entry) structs, never from
+    collect_list's arrival order (parallelism-independence).
+
+    Output: (token, shard, n_docs, sum_tf, postings)."""
+    from pyspark.sql import Window as W
+
+    raw = df.select(
+        id_col,
+        F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("token"),
+    ).where(F.col("token") != "")
+    tf = raw.groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("tf"))
+    tf = tf.withColumn(
+        "shard", F.expr(f"{id_col} DIV {int(shard_size)}")
+    )
+    w = W.partitionBy("token", "shard").orderBy(id_col)
+    entries = tf.withColumn("_prev", F.lag(id_col).over(w)).withColumn(
+        "_entry",
+        F.when(
+            F.col("_prev").isNull(),
+            F.concat_ws(":", F.col(id_col).cast("string"),
+                        F.col("tf").cast("string")),
+        ).otherwise(
+            F.concat(
+                F.lit("+"),
+                (F.col(id_col) - F.col("_prev")).cast("string"),
+                F.lit(":"),
+                F.col("tf").cast("string"),
+            )
+        ),
+    )
+    return (
+        entries.groupBy("token", "shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("tf").alias("sum_tf"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col(id_col), "_entry"))
+                    ),
+                    lambda s: s["_entry"],
+                ),
+                ",",
+            ).alias("postings"),
+        )
+    )
+
+
+def inverted_index_sql(
+    docs_src: str,
+    shard_size: int = 1024,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """DuckDB twin of :func:`inverted_index` — same tf/shard/gap
+    pipeline, postings via ordered string_agg."""
+    return f"""
+        WITH ii_tf AS (
+            SELECT {id_col}, token, COUNT(*) AS tf,
+                   {id_col} // {int(shard_size)} AS shard
+            FROM (
+                SELECT {id_col},
+                       unnest(string_split_regex(lower({text_col}),
+                                                 '\\s+')) AS token
+                FROM {docs_src}
+            )
+            WHERE token <> '' GROUP BY 1, 2
+        ),
+        ii_e AS (
+            SELECT token, shard, {id_col}, tf,
+                   CASE WHEN LAG({id_col}) OVER w IS NULL
+                        THEN {id_col} || ':' || tf
+                        ELSE '+' || ({id_col} - LAG({id_col}) OVER w)
+                             || ':' || tf END AS entry
+            FROM ii_tf
+            WINDOW w AS (PARTITION BY token, shard ORDER BY {id_col})
+        )
+        SELECT token, shard,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(tf) AS BIGINT) AS sum_tf,
+               string_agg(entry, ',' ORDER BY {id_col}) AS postings
+        FROM ii_e GROUP BY 1, 2
+    """
