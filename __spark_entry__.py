@@ -679,6 +679,37 @@ def q_tile_dilate(spark, sf_dir):
     return spatial.tile_dilate(_q_rollup_cells(spark, sf_dir))
 
 
+BLOOM_BITS, BLOOM_K = 4096, 4
+
+
+def q_bloom_membership(spark, sf_dir):
+    """Bloom membership sketch (sketches.bloom_build/bloom_check):
+    sparse 32-bit-word rows mergeable via bit_or (the
+    tile_rollup_merge contract for bitmaps), k=4 salted house-mix
+    hashes; probes = every distinct corpus token plus 10 synthetic
+    absent tokens — one-sided semantics (present tokens are ALWAYS
+    in_bloom; absent ones may deterministically false-positive, and
+    the twin reproduces those exact false positives)."""
+    docs = pages_src.documents(spark, sf_dir)
+    sk = sketches.bloom_build(docs, n_bits=BLOOM_BITS, k=BLOOM_K)
+    corpus_toks = (
+        docs.select(
+            F.explode(F.split(F.lower("text"), r"\s+")).alias("token")
+        )
+        .where(F.col("token") != "")
+        .distinct()
+    )
+    absent = spark.range(10).select(
+        F.concat(F.lit("absent_"), F.col("id").cast("string")).alias("token")
+    )
+    probes = corpus_toks.unionByName(absent)
+    out = sketches.bloom_check(sk, probes, n_bits=BLOOM_BITS, k=BLOOM_K)
+    return out.select(
+        "token", "in_bloom",
+        (~F.col("token").startswith("absent_")).alias("present"),
+    )
+
+
 II_SHARD = 128
 
 
@@ -2566,6 +2597,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "adaptive_tiles": q_adaptive_tiles,
         "snap_to_segments": q_snap_to_segments,
         "inverted_index": q_inverted_index,
+        "bloom_membership": q_bloom_membership,
         "kmv_distinct_docs": q_kmv_distinct_docs,
         "countmin_topk": q_countmin_topk,
         "sampled_quantiles": q_sampled_quantiles,
@@ -3566,6 +3598,22 @@ def oracle_sql() -> dict[str, str]:
         """),
         "inverted_index": textops.inverted_index_sql(
             "documents", shard_size=II_SHARD
+        ),
+        "bloom_membership": (
+            "SELECT token, in_bloom, "
+            "NOT starts_with(token, 'absent_') AS present FROM ("
+            + sketches.bloom_ctes(
+                "documents",
+                "(SELECT DISTINCT token FROM ("
+                "SELECT unnest(string_split_regex(lower(text), '\\s+'))"
+                " AS token FROM documents) WHERE token <> '' "
+                "UNION ALL "
+                "SELECT 'absent_' || CAST(i AS VARCHAR) "
+                "FROM generate_series(0, 9) g(i))",
+                n_bits=BLOOM_BITS,
+                k=BLOOM_K,
+            )
+            + ")"
         ),
         "snap_to_segments": _with_pages(
             """

@@ -357,3 +357,149 @@ def sampled_quantiles_sql(
         )
         {" UNION ALL ".join(selects)}
     """
+
+
+BLOOM_SALT = 1_000_003  # the Count-Min row-salt constant, shared
+
+
+def _bloom_positions(token_col, n_bits: int, k: int) -> "F.Column":
+    """Array of the k salted bit positions for a token (the Count-Min
+    row-salt + KMV-mix pipeline, mod n_bits)."""
+    return F.array(*[
+        _cm_hash(token_col, i) % F.lit(int(n_bits)) for i in range(k)
+    ])
+
+
+def bloom_build(
+    docs: DataFrame,
+    n_bits: int = 8192,
+    k: int = 4,
+    text_col: str = "text",
+) -> DataFrame:
+    """Bloom membership sketch over the corpus's distinct token set —
+    the third member of the sketch family (KMV answers "how many
+    distinct", Count-Min "how often", Bloom "have we seen it"), the
+    structure a crawl frontier / dedup pre-filter consults before the
+    exact path.
+
+    Stored SPARSE: one row per non-zero 32-bit word
+    (``word_idx = pos DIV 32``, ``bits`` = OR of 1<<(pos%32)) — words
+    stay positive int64 (a 64-bit word's sign bit would overflow
+    DuckDB's checked shift), rows are mergeable cell-wise with
+    ``bit_or`` exactly like tile_rollup_merge's counters (union of
+    corpora = bit_or of their sketches, tested), and an empty word is
+    simply absent.  One-sided like Count-Min: membership may
+    false-positive (≈ (1−e^{-kn/m})^k), NEVER false-negative — and
+    because the k salted hashes are the deterministic house mix, the
+    false positives themselves are reproducible and hash-verified.
+
+    Plan: explode → distinct token (the insert-once set semantics) →
+    explode k positions → one groupBy(word) bit_or — two shuffles,
+    both map-side combined.  Output: (word_idx, bits)."""
+    if n_bits % 32 != 0:
+        raise ValueError(f"n_bits must be a multiple of 32: {n_bits}")
+    toks = (
+        docs.select(
+            F.explode(
+                F.split(F.lower(F.col(text_col)), r"\s+")
+            ).alias("token")
+        )
+        .where(F.col("token") != "")
+        .distinct()
+    )
+    fan = toks.select(
+        F.explode(_bloom_positions(F.col("token"), n_bits, k)).alias("pos")
+    )
+    return (
+        fan.select(
+            F.expr("pos DIV 32").alias("word_idx"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 32 AS INT))")
+            .alias("_m"),
+        )
+        .groupBy("word_idx")
+        .agg(F.bit_or("_m").alias("bits"))
+    )
+
+
+def bloom_check(
+    sketch: DataFrame,
+    probes: DataFrame,
+    n_bits: int = 8192,
+    k: int = 4,
+    token_col: str = "token",
+) -> DataFrame:
+    """Membership test against a :func:`bloom_build` sketch: a probe
+    is ``in_bloom`` iff ALL k of its salted bits are set.  Shape: the
+    probe fan joins the (tiny, broadcastable) sketch on word_idx and
+    counts satisfied positions — no collect, no driver bitmap.
+    Output: (token, in_bloom)."""
+    fan = probes.select(
+        token_col,
+        F.explode(
+            _bloom_positions(F.col(token_col), n_bits, k)
+        ).alias("pos"),
+    ).select(
+        token_col,
+        F.expr("pos DIV 32").alias("word_idx"),
+        F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 32 AS INT))")
+        .alias("_m"),
+    )
+    j = fan.join(F.broadcast(sketch), "word_idx", "left")
+    hit = (
+        F.coalesce(F.col("bits"), F.lit(0)).bitwiseAND(F.col("_m"))
+        == F.col("_m")
+    ).cast("int")
+    return (
+        j.groupBy(token_col)
+        .agg(F.sum(hit).alias("_hits"))
+        .select(token_col, (F.col("_hits") == k).alias("in_bloom"))
+    )
+
+
+def bloom_ctes(
+    docs_src: str,
+    probes_src: str,
+    n_bits: int = 8192,
+    k: int = 4,
+    text_col: str = "text",
+    token_col: str = "token",
+) -> str:
+    """DuckDB twin of bloom_build + bloom_check as one CTE chain
+    (prefix bl_*): returns rows (token, in_bloom) for ``probes_src``.
+    Standalone statement."""
+    pos_fans = " UNION ALL ".join(
+        f"SELECT token, ({_cm_hash_sql('token', i)}) % {n_bits} AS pos "
+        "FROM bl_toks"
+        for i in range(k)
+    )
+    probe_fans = " UNION ALL ".join(
+        f"SELECT {token_col} AS token, "
+        f"({_cm_hash_sql(token_col, i)}) % {n_bits} AS pos "
+        f"FROM {probes_src}"
+        for i in range(k)
+    )
+    return f"""
+        WITH bl_toks AS (
+            SELECT DISTINCT token FROM (
+                SELECT unnest(string_split_regex(lower({text_col}),
+                                                 '\\s+')) AS token
+                FROM {docs_src}
+            ) WHERE token <> ''
+        ),
+        bl_words AS (
+            SELECT pos // 32 AS word_idx,
+                   bit_or(CAST(1 AS BIGINT) << CAST(pos % 32 AS INTEGER))
+                       AS bits
+            FROM ({pos_fans}) GROUP BY 1
+        ),
+        bl_probe AS (
+            SELECT token, pos // 32 AS word_idx,
+                   CAST(1 AS BIGINT) << CAST(pos % 32 AS INTEGER) AS m
+            FROM ({probe_fans})
+        )
+        SELECT p.token,
+               (SUM(CASE WHEN (COALESCE(w.bits, 0) & p.m) = p.m
+                         THEN 1 ELSE 0 END) = {k}) AS in_bloom
+        FROM bl_probe p LEFT JOIN bl_words w USING (word_idx)
+        GROUP BY p.token
+    """
