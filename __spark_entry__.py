@@ -679,6 +679,20 @@ def q_tile_dilate(spark, sf_dir):
     return spatial.tile_dilate(_q_rollup_cells(spark, sf_dir))
 
 
+HITS_ITERATIONS = 4
+
+
+def q_doc_hits(spark, sf_dir):
+    """Quantized HITS hubs/authorities (graph.hits_quantized) over the
+    doc link graph: L1-normalized integer mutual recursion, 4 rounds,
+    pre-partitioned edges, per-round lineage cuts; the DuckDB twin
+    unrolls the identical recurrence, so both score vectors are
+    hash-verified every round."""
+    nodes, edges = _doc_link_graph(spark, sf_dir)
+    out = graph.hits_quantized(nodes, edges, iterations=HITS_ITERATIONS)
+    return out.select(F.col("node").alias("doc_id"), "auth_q", "hub_q")
+
+
 BLOOM_BITS, BLOOM_K = 4096, 4
 
 
@@ -2598,6 +2612,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snap_to_segments": q_snap_to_segments,
         "inverted_index": q_inverted_index,
         "bloom_membership": q_bloom_membership,
+        "doc_hits": q_doc_hits,
         "kmv_distinct_docs": q_kmv_distinct_docs,
         "countmin_topk": q_countmin_topk,
         "sampled_quantiles": q_sampled_quantiles,
@@ -5074,6 +5089,14 @@ def oracle_sql() -> dict[str, str]:
             _STAY_PTS_SQL, "user_id", "ts",
             min_duration_s=1800, min_points=3, tiebreak=("event_id",),
         ),
+        "doc_hits": f"""
+            SELECT node AS doc_id, auth_q, hub_q
+            FROM ({graph.hits_sql(
+                '(SELECT doc_id AS node FROM documents)',
+                _PR_EDGES_SQL,
+                iterations=HITS_ITERATIONS,
+            )})
+        """,
         "link_distance": f"""
             SELECT node AS doc_id, dist
             FROM ({graph.link_distance_sql(
