@@ -679,6 +679,27 @@ def q_tile_dilate(spark, sf_dir):
     return spatial.tile_dilate(_q_rollup_cells(spark, sf_dir))
 
 
+WS_N = 50
+
+
+def q_weighted_sample(spark, sf_dir):
+    """Deterministic weighted sampling without replacement
+    (sampling.weighted_sample): docs weighted by whitespace token
+    count race via replica-minimum avalanche priorities, bottom-50
+    win through TakeOrderedAndProject — reproducible ∝-weight
+    selection for mixture building; the DuckDB twin runs the same mix
+    arithmetic, so the exact winner set and priorities hash-match."""
+    from openstreetmap_license_change_spark.operators import sampling
+
+    docs = pages_src.documents(spark, sf_dir)
+    weighted = docs.select(
+        "doc_id", textops.token_count(F.col("text")).alias("n_tokens")
+    )
+    return sampling.weighted_sample(
+        weighted, n=WS_N, weight_col="n_tokens"
+    )
+
+
 HITS_ITERATIONS = 4
 
 
@@ -2613,6 +2634,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "inverted_index": q_inverted_index,
         "bloom_membership": q_bloom_membership,
         "doc_hits": q_doc_hits,
+        "weighted_sample": q_weighted_sample,
         "kmv_distinct_docs": q_kmv_distinct_docs,
         "countmin_topk": q_countmin_topk,
         "sampled_quantiles": q_sampled_quantiles,
@@ -5088,6 +5110,16 @@ def oracle_sql() -> dict[str, str]:
         "stay_points": spatial.stay_points_sql(
             _STAY_PTS_SQL, "user_id", "ts",
             min_duration_s=1800, min_points=3, tiebreak=("event_id",),
+        ),
+        "weighted_sample": sampling_ops.weighted_sample_sql(
+            """(SELECT doc_id,
+                       CASE WHEN length(trim(text)) = 0 THEN 0
+                            ELSE len(string_split_regex(trim(text),
+                                                        '\\s+')) END
+                           AS n_tokens
+                FROM documents)""",
+            n=WS_N,
+            weight_col="n_tokens",
         ),
         "doc_hits": f"""
             SELECT node AS doc_id, auth_q, hub_q

@@ -205,3 +205,105 @@ def mixture_resample_sql(
         FROM mx_base b JOIN mx_thr t USING ({lang_col})
         WHERE ({h}) % {int(scale)} < t.keep_thresh
     """
+
+
+WS_REPLICA_PRIME = 999_983
+
+
+def weighted_sample(
+    df: DataFrame,
+    n: int,
+    weight_col: str,
+    id_col: str = "doc_id",
+    max_weight: int = 4096,
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement via the
+    replica-minimum race: item i gets priority = min over its
+    ``weight`` virtual replicas of mix(id·P + r), and the bottom-``n``
+    priorities win — the integer-exact stand-in for A-Res/A-ExpJ
+    (whose u^(1/w) keys are float-divergent across engines): the
+    minimum of w discrete uniforms stochastically dominates the
+    minimum of fewer, so selection probability is monotone in weight,
+    zero-weight items are never drawn, and a fixed corpus always
+    yields the SAME sample (the reproducibility a training-data
+    pipeline needs for lineage).
+
+    Selection routes through :func:`sketches.kmv_hash` (the
+    mixture_resample lesson: the raw polynomial hash is near-identity
+    on short numeric ids — contiguous ids would race in id order).
+
+    Scale shape: one bounded explode (Σ min(w, max_weight) rows —
+    the ``assert_true`` guard fails LOUD on an oversized weight
+    instead of silently fanning out), a map-side-combined min per id,
+    and a TakeOrderedAndProject bottom-n — no window, no full sort.
+    Priorities are also MERGEABLE (min per id across corpus shards,
+    then global bottom-n), the sketch-family contract.
+
+    Ties break by ``id_col`` ascending.  Returns (id, weight,
+    priority) for the ``n`` winners."""
+    from .sketches import kmv_hash
+
+    if n < 1:
+        raise ValueError(f"n must be ≥ 1: {n}")
+    w = F.col(weight_col).cast("bigint")
+    guard = F.assert_true(
+        w <= F.lit(int(max_weight)),
+        F.lit(
+            f"weight exceeds max_weight={max_weight}; quantize weights "
+            "or raise the cap (explode fan-out is Σ weights)"
+        ),
+    )
+    base = df.select(
+        F.col(id_col), w.alias("_w"), F.when(guard.isNull(), w).alias("_wg")
+    ).where(F.col("_w") > 0)
+    fan = base.select(
+        id_col, "_w",
+        F.explode(F.sequence(F.lit(0), F.col("_wg") - 1)).alias("_r"),
+    )
+    pri = fan.select(
+        id_col, "_w",
+        kmv_hash(
+            F.col(id_col) * F.lit(WS_REPLICA_PRIME) + F.col("_r")
+        ).alias("_p"),
+    )
+    best = pri.groupBy(id_col).agg(
+        # _w is constant per id; MIN mirrors the SQL twin exactly
+        F.min("_p").alias("priority"), F.min("_w").alias("weight")
+    )
+    return (
+        best.orderBy(F.col("priority").asc(), F.col(id_col).asc())
+        .limit(n)
+        .select(id_col, "weight", "priority")
+    )
+
+
+def weighted_sample_sql(
+    src: str,
+    n: int,
+    weight_col: str,
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB twin of :func:`weighted_sample` (no cap guard — the
+    oracle mirrors values, the operator owns the loud failure)."""
+    from .sketches import kmv_hash_sql
+
+    mix = kmv_hash_sql(f"({id_col} * {WS_REPLICA_PRIME} + r)")
+    return f"""
+        WITH ws_fan AS (
+            SELECT {id_col},
+                   CAST({weight_col} AS BIGINT) AS weight,
+                   unnest(generate_series(
+                       0, CAST({weight_col} AS BIGINT) - 1)) AS r
+            FROM {src}
+            WHERE CAST({weight_col} AS BIGINT) > 0
+        ),
+        ws_best AS (
+            SELECT {id_col}, MIN(weight) AS weight,
+                   MIN({mix}) AS priority
+            FROM ws_fan GROUP BY 1
+        )
+        SELECT {id_col}, weight, priority
+        FROM ws_best
+        ORDER BY priority ASC, {id_col} ASC
+        LIMIT {n}
+    """
