@@ -679,6 +679,23 @@ def q_tile_dilate(spark, sf_dir):
     return spatial.tile_dilate(_q_rollup_cells(spark, sf_dir))
 
 
+def q_cocitation_pairs(spark, sf_dir):
+    """Co-citation pair counts (graph.common_neighbor_pairs): for each
+    unordered doc pair, how many docs link to BOTH — the second-order
+    link-similarity signal; once-per-pair self-join on the shared
+    citing node with a loud C(d,2) degree guard, min_count=2.  The
+    DuckDB twin is the same once-per-pair self-join, hash-verified."""
+    _, edges = _doc_link_graph(spark, sf_dir)
+    return graph.common_neighbor_pairs(edges, "cocitation", min_count=2)
+
+
+def q_coupling_pairs(spark, sf_dir):
+    """Bibliographic-coupling pair counts: docs sharing ≥ 2 out-links
+    (references) — the coupling mode of the same operator and twin."""
+    _, edges = _doc_link_graph(spark, sf_dir)
+    return graph.common_neighbor_pairs(edges, "coupling", min_count=2)
+
+
 WS_N = 50
 
 
@@ -2635,6 +2652,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_membership": q_bloom_membership,
         "doc_hits": q_doc_hits,
         "weighted_sample": q_weighted_sample,
+        "cocitation_pairs": q_cocitation_pairs,
+        "coupling_pairs": q_coupling_pairs,
         "kmv_distinct_docs": q_kmv_distinct_docs,
         "countmin_topk": q_countmin_topk,
         "sampled_quantiles": q_sampled_quantiles,
@@ -5120,6 +5139,12 @@ def oracle_sql() -> dict[str, str]:
                 FROM documents)""",
             n=WS_N,
             weight_col="n_tokens",
+        ),
+        "cocitation_pairs": graph.common_neighbor_pairs_sql(
+            _PR_EDGES_SQL, "cocitation", min_count=2
+        ),
+        "coupling_pairs": graph.common_neighbor_pairs_sql(
+            _PR_EDGES_SQL, "coupling", min_count=2
         ),
         "doc_hits": f"""
             SELECT node AS doc_id, auth_q, hub_q

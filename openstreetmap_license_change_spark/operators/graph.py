@@ -612,3 +612,85 @@ def hits_sql(
         "WITH " + ",\n".join(ctes)
         + f"\nSELECT node, auth_q, hub_q FROM ht_s{iterations}"
     )
+
+
+def common_neighbor_pairs(
+    edges: DataFrame,
+    mode: str,
+    min_count: int = 1,
+    max_degree: int = 10_000,
+) -> DataFrame:
+    """Co-citation / bibliographic-coupling pair counts — the classic
+    second-order link-similarity signals (Small 1973 / Kessler 1963):
+    ``mode='cocitation'`` counts, for each unordered pair (a, b), the
+    common IN-neighbors (how many pages cite both — similarity of
+    being-referenced-together); ``mode='coupling'`` counts common
+    OUT-neighbors (how many references they share).  The engine's
+    two-hop graph operator, feeding near-dup candidate generation and
+    topical clustering the way minhash bands feed text dedup.
+
+    Scale shape: one self-join of the edge list on the shared
+    endpoint, emitting each unordered pair ONCE (dst_a < dst_b), then
+    a map-side-combined count — fan-out per shared node is C(d, 2),
+    so a hub would quadratically explode the join; the ``max_degree``
+    guard computes degrees first (one cheap agg) and FAILS LOUD via
+    ``assert_true`` on any node over the cap (house rule: no silent
+    caps — a run that would blow up says so; to actually skip hubs,
+    pre-filter the edge list yourself and own the decision).
+
+    Returns (id_a, id_b, n_common), id_a < id_b, n_common ≥
+    ``min_count``."""
+    if mode == "cocitation":
+        shared, item = "src", "dst"
+    elif mode == "coupling":
+        shared, item = "dst", "src"
+    else:
+        raise ValueError(
+            f"mode must be 'cocitation' or 'coupling', got {mode!r}"
+        )
+    e = edges.select(shared, item)
+    deg = e.groupBy(shared).agg(F.count(F.lit(1)).alias("_d"))
+    guard = F.assert_true(
+        F.col("_d") <= F.lit(int(max_degree)),
+        F.lit(
+            f"node degree exceeds max_degree={max_degree} in "
+            f"common_neighbor_pairs({mode}); pair fan-out is C(d,2) — "
+            "pre-filter hub nodes explicitly or raise the cap"
+        ),
+    )
+    # the guard must ride a column the plan actually USES — hung off a
+    # pruned column, Catalyst would optimize the assert away entirely
+    e = e.join(deg, shared).select(
+        shared, F.when(guard.isNull(), F.col(item)).alias(item)
+    )
+    a = e.select(F.col(shared).alias("_s"), F.col(item).alias("id_a"))
+    b = e.select(F.col(shared).alias("_s"), F.col(item).alias("id_b"))
+    pairs = a.join(b, "_s").where(F.col("id_a") < F.col("id_b"))
+    return (
+        pairs.groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+        .where(F.col("n_common") >= int(min_count))
+    )
+
+
+def common_neighbor_pairs_sql(
+    edges_src: str, mode: str, min_count: int = 1
+) -> str:
+    """DuckDB twin of :func:`common_neighbor_pairs` (no degree guard —
+    the operator owns the loud failure)."""
+    if mode == "cocitation":
+        shared, item = "src", "dst"
+    elif mode == "coupling":
+        shared, item = "dst", "src"
+    else:
+        raise ValueError(
+            f"mode must be 'cocitation' or 'coupling', got {mode!r}"
+        )
+    return f"""
+        SELECT a.{item} AS id_a, b.{item} AS id_b,
+               COUNT(*) AS n_common
+        FROM {edges_src} a JOIN {edges_src} b
+          ON a.{shared} = b.{shared} AND a.{item} < b.{item}
+        GROUP BY 1, 2
+        HAVING COUNT(*) >= {int(min_count)}
+    """

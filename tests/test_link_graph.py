@@ -274,3 +274,71 @@ def test_hits_random_vs_python_and_duckdb(spark):
         ).fetchall()
     }
     assert twin == want
+
+
+# ---------------------------------------------------------------------------
+# common_neighbor_pairs
+# ---------------------------------------------------------------------------
+
+def _pairs_python(edges, mode, min_count):
+    from collections import defaultdict
+
+    groups = defaultdict(list)
+    for s, d in edges:
+        if mode == "cocitation":
+            groups[s].append(d)
+        else:
+            groups[d].append(s)
+    counts = defaultdict(int)
+    for items in groups.values():
+        its = sorted(items)
+        for i in range(len(its)):
+            for j in range(i + 1, len(its)):
+                if its[i] != its[j]:
+                    counts[(its[i], its[j])] += 1
+    return {k: v for k, v in counts.items() if v >= min_count}
+
+
+def _spark_pairs(spark, edges, mode, **kw):
+    edf = spark.createDataFrame(edges, "src bigint, dst bigint")
+    return {
+        (r.id_a, r.id_b): r.n_common
+        for r in graph.common_neighbor_pairs(edf, mode, **kw).collect()
+    }
+
+
+def test_pairs_hand_case(spark):
+    """u1 and u2 both cite {a, b}; u3 cites {a, c}."""
+    edges = [(101, 1), (101, 2), (102, 1), (102, 2), (103, 1), (103, 3)]
+    got = _spark_pairs(spark, edges, "cocitation")
+    assert got == {(1, 2): 2, (1, 3): 1}
+    # coupling: docs 101,102 share refs {1,2}; 103 shares {1}
+    got2 = _spark_pairs(spark, edges, "coupling", min_count=2)
+    assert got2 == {(101, 102): 2}
+
+
+def test_pairs_degree_guard_fails_loud(spark):
+    edges = [(0, d) for d in range(1, 40)]
+    with pytest.raises(Exception, match="max_degree"):
+        _spark_pairs(spark, edges, "cocitation", max_degree=10)
+
+
+def test_pairs_random_vs_python_and_duckdb(spark):
+    rng = random.Random(64)
+    edges = sorted({
+        (rng.randrange(25), rng.randrange(25)) for _ in range(100)
+    })
+    for mode in ("cocitation", "coupling"):
+        want = _pairs_python(edges, mode, 1)
+        got = _spark_pairs(spark, edges, mode)
+        assert got == want
+        con = duckdb.connect()
+        con.execute("CREATE TABLE eg (src BIGINT, dst BIGINT)")
+        con.executemany("INSERT INTO eg VALUES (?, ?)", edges)
+        twin = {
+            (r[0], r[1]): r[2]
+            for r in con.execute(
+                graph.common_neighbor_pairs_sql("eg", mode)
+            ).fetchall()
+        }
+        assert twin == want
