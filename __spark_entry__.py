@@ -1583,6 +1583,51 @@ def q_stay_points(spark, sf_dir):
     )
 
 
+# geofence layer for q_geofence_transitions: dyadic-exact bounds so
+# literal typing (DuckDB decimal vs Spark double) cannot shift the
+# [min,max) containment comparisons
+GEOFENCES = [
+    # bounds sit inside the drift geocode's envelope (lon −100..+40,
+    # lat −45 upward with 1° jumps every 25 points), so trajectories
+    # actually cross them at every sf
+    (1, -100.0, -44.0, -85.0, -42.0),
+    (2, -100.0, -41.5, -85.0, -40.0),
+    (3, -95.0, -45.0, -90.0, -35.0),
+    (4, -100.0, -40.0, 40.0, 20.0),
+]
+
+
+def q_geofence_transitions(spark, sf_dir):
+    """Geofence enter/exit extraction (temporal.geofence_transitions):
+    the drift-geocoded user trajectories against 4 broadcast fences,
+    one window sort per (user, fence), flag-flip lag events — same
+    [min,max) convention as pip_join_rect.  The DuckDB twin runs the
+    identical flag stream, so every event and timestamp is
+    hash-verified."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    rn = F.row_number().over(
+        W.partitionBy("user_id").orderBy("ts", "event_id")
+    )
+    pts = ev.select("user_id", "ts", "event_id", rn.alias("rn")).select(
+        "user_id", "ts", "event_id",
+        (F.lit(-45.0) + (F.col("user_id") % 120) * F.lit(0.5)
+         + F.lit(0.001) * F.col("rn")
+         + F.lit(1.0) * F.floor(F.col("rn") / 25)).alias("lat"),
+        (F.lit(-100.0) + (F.col("user_id") % 140) * F.lit(1.0)
+         + F.lit(0.002) * F.col("rn")).alias("lon"),
+    )
+    fences = spark.createDataFrame(
+        GEOFENCES,
+        "fence_id INT, min_lon DOUBLE, min_lat DOUBLE, "
+        "max_lon DOUBLE, max_lat DOUBLE",
+    )
+    from openstreetmap_license_change_spark.operators import temporal
+
+    return temporal.geofence_transitions(
+        pts, fences, tiebreak=("event_id",)
+    )
+
+
 def q_gopher_filter(spark, sf_dir):
     """Gopher-style composite quality filter (textops.gopher_filter):
     seven cross-multiplied integer rules (length bounds, mean word
@@ -2645,6 +2690,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": q_bm25_topk,
         "gopher_filter": q_gopher_filter,
         "stay_points": q_stay_points,
+        "geofence_transitions": q_geofence_transitions,
         "tile_contours": q_tile_contours,
         "adaptive_tiles": q_adaptive_tiles,
         "snap_to_segments": q_snap_to_segments,
@@ -5125,6 +5171,17 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk": textops.bm25_topk_sql("documents", BM25_QUERY, k=BM25_K),
         "gopher_filter": textops.gopher_filter_sql(
             "documents", min_stop_hits=1
+        ),
+        "geofence_transitions": temporal.geofence_transitions_sql(
+            _STAY_PTS_SQL,
+            "(SELECT * FROM (VALUES "
+            + ", ".join(
+                f"({fid}, CAST({a} AS DOUBLE), CAST({b} AS DOUBLE), "
+                f"CAST({c} AS DOUBLE), CAST({d} AS DOUBLE))"
+                for fid, a, b, c, d in GEOFENCES
+            )
+            + ") f(fence_id, min_lon, min_lat, max_lon, max_lat))",
+            tiebreak=("event_id",),
         ),
         "stay_points": spatial.stay_points_sql(
             _STAY_PTS_SQL, "user_id", "ts",

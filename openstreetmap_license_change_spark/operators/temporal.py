@@ -467,3 +467,105 @@ def event_transitions_sql(
                CAST((p.n_pairs * {int(scale)}) // f.nf AS BIGINT) AS p_ppm
         FROM tr_pairs p JOIN tr_from f USING (from_type)
     """
+
+
+def geofence_transitions(
+    points: DataFrame,
+    fences: DataFrame,
+    id_col: str = "user_id",
+    ts_col: str = "ts",
+    lon: str = "lon",
+    lat: str = "lat",
+    tiebreak: "Sequence[str]" = (),
+) -> DataFrame:
+    """Geofence enter/exit event extraction: for every (entity, fence)
+    pair, emit an event each time the entity's timestamp-ordered
+    trajectory crosses the fence boundary — the alerting primitive of
+    every location platform, and the temporal extension of the
+    engine's point-in-rect family (same [min, max) containment
+    convention as pip_join_rect).
+
+    Semantics: an 'enter' fires on the first point inside (including
+    the trajectory's very first point), an 'exit' on the first point
+    outside after being inside; a trajectory still inside at its last
+    point has an unmatched enter — real-time state, not an artifact.
+    A single outside point between two inside points yields a full
+    exit+enter pair (no debouncing; compose with stay_points for
+    dwell-filtered semantics).
+
+    Scale shape: fences are the broadcast dimension (dozens–thousands
+    of rows — the region-tracker scale of the reference); the
+    trajectory stream crossJoins the broadcast fence list to get one
+    boolean flag stream per (entity, fence), then ONE window sort per
+    (entity, fence) finds flag flips via lag.  Integer-µs timestamps;
+    pass ``tiebreak`` when ``ts`` is not unique per entity (the
+    trip_segments rule).
+
+    Output: (id, fence_id, event ∈ {'enter','exit'}, ts_us)."""
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    flagged = points.crossJoin(F.broadcast(fences)).select(
+        F.col(id_col),
+        F.col("fence_id"),
+        us.alias("ts_us"),
+        *[F.col(c).alias(f"_tb{i}") for i, c in enumerate(tiebreak)],
+        (
+            (F.col(lon) >= F.col("min_lon"))
+            & (F.col(lon) < F.col("max_lon"))
+            & (F.col(lat) >= F.col("min_lat"))
+            & (F.col(lat) < F.col("max_lat"))
+        ).alias("_in"),
+    )
+    w = W.partitionBy(id_col, "fence_id").orderBy(
+        "ts_us", *[f"_tb{i}" for i in range(len(tiebreak))]
+    )
+    seg = flagged.withColumn("_prev", F.lag("_in").over(w))
+    enter = F.col("_in") & (
+        F.col("_prev").isNull() | ~F.col("_prev")
+    )
+    exit_ = ~F.col("_in") & F.coalesce(F.col("_prev"), F.lit(False))
+    return (
+        seg.withColumn(
+            "event",
+            F.when(enter, F.lit("enter")).when(exit_, F.lit("exit")),
+        )
+        .where(F.col("event").isNotNull())
+        .select(id_col, "fence_id", "event", "ts_us")
+    )
+
+
+def geofence_transitions_sql(
+    points_src: str,
+    fences_src: str,
+    id_col: str = "user_id",
+    ts_col: str = "ts",
+    lon: str = "lon",
+    lat: str = "lat",
+    tiebreak: "Sequence[str]" = (),
+) -> str:
+    """DuckDB twin of :func:`geofence_transitions`."""
+    tb = "".join(f", {c}" for c in tiebreak)
+    return f"""
+        WITH gf_flag AS (
+            SELECT p.{id_col}, f.fence_id,
+                   epoch_us(p.{ts_col}) AS ts_us{tb and
+                       ''.join(f', p.{c}' for c in tiebreak)},
+                   (p.{lon} >= f.min_lon AND p.{lon} < f.max_lon AND
+                    p.{lat} >= f.min_lat AND p.{lat} < f.max_lat) AS _in
+            FROM {points_src} p CROSS JOIN {fences_src} f
+        ),
+        gf_seg AS (
+            SELECT *, LAG(_in) OVER (
+                PARTITION BY {id_col}, fence_id
+                ORDER BY ts_us{tb}) AS _prev
+            FROM gf_flag
+        )
+        SELECT {id_col}, fence_id,
+               CASE WHEN _in AND (_prev IS NULL OR NOT _prev)
+                    THEN 'enter'
+                    WHEN NOT _in AND COALESCE(_prev, FALSE)
+                    THEN 'exit' END AS event,
+               ts_us
+        FROM gf_seg
+        WHERE (_in AND (_prev IS NULL OR NOT _prev))
+           OR (NOT _in AND COALESCE(_prev, FALSE))
+    """
