@@ -1628,6 +1628,30 @@ def q_geofence_transitions(spark, sf_dir):
     )
 
 
+def q_trip_cell_paths(spark, sf_dir):
+    """RLE trajectory cell paths (spatial.trip_cell_paths): each
+    user's drift trace compressed to its distinct-consecutive-cell
+    sequence "cell:count,…" — one window sort + two groupBys all
+    keyed on the user, ordered rendering via array_sort.  The DuckDB
+    twin renders via ordered string_agg, so every path byte is
+    hash-verified."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    rn = F.row_number().over(
+        W.partitionBy("user_id").orderBy("ts", "event_id")
+    )
+    pts = ev.select("user_id", "ts", "event_id", rn.alias("rn")).select(
+        "user_id", "ts", "event_id",
+        (F.lit(-45.0) + (F.col("user_id") % 120) * F.lit(0.5)
+         + F.lit(0.001) * F.col("rn")
+         + F.lit(1.0) * F.floor(F.col("rn") / 25)).alias("lat"),
+        (F.lit(-100.0) + (F.col("user_id") % 140) * F.lit(1.0)
+         + F.lit(0.002) * F.col("rn")).alias("lon"),
+    )
+    return spatial.trip_cell_paths(
+        pts, "user_id", "ts", tiebreak=("event_id",)
+    )
+
+
 def q_gopher_filter(spark, sf_dir):
     """Gopher-style composite quality filter (textops.gopher_filter):
     seven cross-multiplied integer rules (length bounds, mean word
@@ -2691,6 +2715,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_filter": q_gopher_filter,
         "stay_points": q_stay_points,
         "geofence_transitions": q_geofence_transitions,
+        "trip_cell_paths": q_trip_cell_paths,
         "tile_contours": q_tile_contours,
         "adaptive_tiles": q_adaptive_tiles,
         "snap_to_segments": q_snap_to_segments,
@@ -5171,6 +5196,9 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk": textops.bm25_topk_sql("documents", BM25_QUERY, k=BM25_K),
         "gopher_filter": textops.gopher_filter_sql(
             "documents", min_stop_hits=1
+        ),
+        "trip_cell_paths": spatial.trip_cell_paths_sql(
+            _STAY_PTS_SQL, "user_id", "ts", tiebreak=("event_id",)
         ),
         "geofence_transitions": temporal.geofence_transitions_sql(
             _STAY_PTS_SQL,

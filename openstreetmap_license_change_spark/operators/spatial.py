@@ -3947,3 +3947,128 @@ def snap_to_segments_sql(
                _best.d2_q AS d2_q
         FROM sn_best
     """
+
+
+def trip_cell_paths(
+    points: DataFrame,
+    id_col: str,
+    ts_col: str,
+    lon: str = "lon",
+    lat: str = "lat",
+    res_deg: float = DEFAULT_RES_DEG,
+    tiebreak: Sequence[str] = (),
+) -> DataFrame:
+    """Run-length-encoded trajectory cell paths: each entity's
+    timestamp-ordered point stream compressed to its sequence of
+    DISTINCT consecutive grid cells, rendered ``"cell:count,…"`` — the
+    trajectory analogue of the inverted index's delta postings (store
+    the path, not the points), and the canonical input for map-scale
+    route mining (two entities share a corridor iff their RLE paths
+    share a substring of cells).
+
+    Reuses the gaps-and-islands run machinery of :func:`stay_points`:
+    ONE window sort per entity (run counter), a (id, run) groupBy,
+    then an (id) groupBy whose ordered rendering comes from
+    ``array_sort`` over (run, entry) structs — all three stages key on
+    the entity id, so Spark reuses a single hash partitioning; no
+    collect_list arrival-order dependence.  Row width is bounded by
+    the run count, not the point count — a parked device compresses
+    to one entry.
+
+    Output: (id, n_points, n_runs, path)."""
+    order_cols = [F.col(ts_col)] + [F.col(c) for c in tiebreak]
+    wu = W.partitionBy(id_col).orderBy(*order_cols)
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    cell = grid_cell(F.col(lon), F.col(lat), res_deg)
+    seg = points.select(
+        F.col(id_col),
+        us.alias("_us"),
+        *[F.col(c).alias(f"_tb{i}") for i, c in enumerate(tiebreak)],
+        cell.alias("_cell"),
+        F.lag(cell).over(wu).alias("_pcell"),
+    )
+    w2 = (
+        W.partitionBy(id_col)
+        .orderBy("_us", *[f"_tb{i}" for i in range(len(tiebreak))])
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    runs = (
+        seg.withColumn(
+            "_new",
+            (
+                F.col("_pcell").isNull()
+                | (F.col("_cell") != F.col("_pcell"))
+            ).cast("int"),
+        )
+        .withColumn("_run", F.sum("_new").over(w2).cast("bigint"))
+        .groupBy(F.col(id_col), F.col("_run"))
+        .agg(
+            F.min("_cell").alias("_c"),
+            F.count(F.lit(1)).alias("_n"),
+        )
+    )
+    entry = F.concat_ws(
+        ":", F.col("_c").cast("string"), F.col("_n").cast("string")
+    )
+    return (
+        runs.withColumn("_entry", entry)
+        .groupBy(id_col)
+        .agg(
+            F.sum("_n").alias("n_points"),
+            F.count(F.lit(1)).alias("n_runs"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("_run"), "_entry"))
+                    ),
+                    lambda s: s["_entry"],
+                ),
+                ",",
+            ).alias("path"),
+        )
+    )
+
+
+def trip_cell_paths_sql(
+    points_src: str,
+    id_col: str,
+    ts_col: str,
+    lon: str = "lon",
+    lat: str = "lat",
+    res_deg: float = DEFAULT_RES_DEG,
+    tiebreak: Sequence[str] = (),
+) -> str:
+    """DuckDB twin of :func:`trip_cell_paths`."""
+    cell = grid_cell_sql(lon, lat, res_deg)
+    tb = "".join(f", {c}" for c in tiebreak)
+    return f"""
+        WITH tp_pts AS (
+            SELECT {id_col}, epoch_us({ts_col}) AS _us{tb},
+                   {cell} AS _cell
+            FROM {points_src}
+        ),
+        tp_seg AS (
+            SELECT *,
+                   CASE WHEN LAG(_cell) OVER w IS NULL
+                             OR _cell <> LAG(_cell) OVER w
+                        THEN 1 ELSE 0 END AS _new
+            FROM tp_pts
+            WINDOW w AS (PARTITION BY {id_col} ORDER BY _us{tb})
+        ),
+        tp_run AS (
+            SELECT *,
+                   SUM(_new) OVER (PARTITION BY {id_col} ORDER BY _us{tb}
+                                   ROWS UNBOUNDED PRECEDING) AS _run
+            FROM tp_seg
+        ),
+        tp_agg AS (
+            SELECT {id_col}, _run, MIN(_cell) AS _c,
+                   CAST(COUNT(*) AS BIGINT) AS _n
+            FROM tp_run GROUP BY 1, 2
+        )
+        SELECT {id_col},
+               CAST(SUM(_n) AS BIGINT) AS n_points,
+               CAST(COUNT(*) AS BIGINT) AS n_runs,
+               string_agg(_c || ':' || _n, ',' ORDER BY _run) AS path
+        FROM tp_agg GROUP BY 1
+    """

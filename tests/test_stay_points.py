@@ -131,3 +131,67 @@ def test_duckdb_twin_parity(spark):
         ).fetchall()
     )
     assert got == twin and len(got) > 5
+
+
+# ---------------------------------------------------------------------------
+# trip_cell_paths
+# ---------------------------------------------------------------------------
+
+def test_paths_rle_semantics(spark):
+    """A→A→B→A compresses to three runs with counts 2,1,1."""
+    rows = [
+        (1, _t(0), 10.0, 10.0),
+        (1, _t(1), 10.1, 10.1),     # same 0.25° cell
+        (1, _t(2), 90.0, 40.0),
+        (1, _t(3), 10.0, 10.0),
+    ]
+    sdf = spark.createDataFrame(
+        rows, "user_id bigint, ts timestamp, lon double, lat double"
+    )
+    out = spatial.trip_cell_paths(sdf, "user_id", "ts").collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.n_points == 4 and r.n_runs == 3
+    parts = r.path.split(",")
+    assert [p.split(":")[1] for p in parts] == ["2", "1", "1"]
+    assert parts[0].split(":")[0] == parts[2].split(":")[0]
+
+
+def test_paths_parked_device_single_run(spark):
+    rows = [(1, _t(i), 10.0, 10.0) for i in range(50)]
+    sdf = spark.createDataFrame(
+        rows, "user_id bigint, ts timestamp, lon double, lat double"
+    )
+    out = spatial.trip_cell_paths(sdf, "user_id", "ts").collect()
+    assert out[0].n_runs == 1 and out[0].n_points == 50
+
+
+def test_paths_duckdb_twin_parity(spark):
+    rows = []
+    for u in range(4):
+        lon, lat = float(u), float(-u)
+        for i in range(70):
+            if (i + u) % 9 == 0:
+                lon += 0.9
+            lat += 0.02
+            rows.append((u, _t(i * 5), round(lon, 6), round(lat, 6)))
+    sdf = spark.createDataFrame(
+        rows, "user_id bigint, ts timestamp, lon double, lat double"
+    )
+    got = sorted(
+        tuple(r)
+        for r in spatial.trip_cell_paths(sdf, "user_id", "ts").collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE pts2 (user_id BIGINT, ts TIMESTAMP, "
+        "lon DOUBLE, lat DOUBLE)"
+    )
+    con.executemany("INSERT INTO pts2 VALUES (?, ?, ?, ?)", rows)
+    twin = sorted(
+        tuple(r)
+        for r in con.execute(
+            spatial.trip_cell_paths_sql("pts2", "user_id", "ts")
+        ).fetchall()
+    )
+    assert got == twin and all(r[2] > 1 for r in got)
