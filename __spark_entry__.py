@@ -1628,6 +1628,28 @@ def q_geofence_transitions(spark, sf_dir):
     )
 
 
+def q_cell_gini(spark, sf_dir):
+    """Per-cell language-diversity Gini impurity (spatial.cell_gini):
+    exact integer ppm (10⁶·(n²−Σc²) DIV n²) over latest pages at the
+    default grid — two map-side-combined shuffles, no log, no float;
+    DuckDB twin identical."""
+    latest = lineage.latest_version(_pages(spark, sf_dir), cols=["lang", "lon", "lat"])
+    return spatial.cell_gini(latest, "lang", res_deg=15.0)
+
+
+def q_decayed_rollup(spark, sf_dir):
+    """Exponentially-decayed per-user value rollup
+    (temporal.decayed_rollup): whole-half-life integer ages, cent-
+    quantized values, contribution = cents·2^(30−age) with an
+    explicit 30-half-life cutoff — a mergeable fixed-point SUM, the
+    recency weighting of recrawl scheduling.  DuckDB twin identical
+    shift arithmetic."""
+    from openstreetmap_license_change_spark.operators import temporal
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return temporal.decayed_rollup(ev, halflife_s=7 * 86_400)
+
+
 def q_trip_cell_paths(spark, sf_dir):
     """RLE trajectory cell paths (spatial.trip_cell_paths): each
     user's drift trace compressed to its distinct-consecutive-cell
@@ -2716,6 +2738,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stay_points": q_stay_points,
         "geofence_transitions": q_geofence_transitions,
         "trip_cell_paths": q_trip_cell_paths,
+        "cell_gini": q_cell_gini,
+        "decayed_rollup": q_decayed_rollup,
         "tile_contours": q_tile_contours,
         "adaptive_tiles": q_adaptive_tiles,
         "snap_to_segments": q_snap_to_segments,
@@ -5196,6 +5220,20 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk": textops.bm25_topk_sql("documents", BM25_QUERY, k=BM25_K),
         "gopher_filter": textops.gopher_filter_sql(
             "documents", min_stop_hits=1
+        ),
+        "cell_gini": _with_pages(f"""
+            , cg_latest AS (
+                SELECT url, lang, lon, lat FROM (
+                    SELECT p.*, ROW_NUMBER() OVER (
+                        PARTITION BY url ORDER BY version DESC) AS rn
+                    FROM pages p
+                ) t WHERE rn = 1
+            )
+            {spatial.cell_gini_sql('cg_latest', 'lang', res_deg=15.0)
+                .replace('WITH ', ', ', 1)}
+        """),
+        "decayed_rollup": temporal.decayed_rollup_sql(
+            "events", halflife_s=7 * 86_400
         ),
         "trip_cell_paths": spatial.trip_cell_paths_sql(
             _STAY_PTS_SQL, "user_id", "ts", tiebreak=("event_id",)

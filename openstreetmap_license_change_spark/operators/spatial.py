@@ -4072,3 +4072,68 @@ def trip_cell_paths_sql(
                string_agg(_c || ':' || _n, ',' ORDER BY _run) AS path
         FROM tp_agg GROUP BY 1
     """
+
+
+def cell_gini(
+    points: DataFrame,
+    class_col: str,
+    res_deg: float = DEFAULT_RES_DEG,
+    lon: str = "lon",
+    lat: str = "lat",
+) -> DataFrame:
+    """Per-cell class-diversity via Gini impurity in exact integer
+    ppm — "how mixed is each tile?" (language mixing per region,
+    source-domain diversity per crawl tile).  Shannon entropy is the
+    textbook choice but needs log (float-divergent); Gini
+    ``1 − Σ pᵢ²`` is its standard decision-tree stand-in, and clears
+    to the integer form  ``gini_ppm = 10⁶·(n² − Σcᵢ²) DIV n²``  —
+    0 = monoculture, → 10⁶·(1−1/k) for k even classes.
+
+    Overflow: n²·10⁶ < 2⁶³ bounds a cell at ~3·10⁶ points; beyond
+    that coarsen classes or lift to decimal(38) (the tile_hotspots
+    pattern).  Plan: (cell, class) partial-agg → (cell) re-agg of the
+    already-unique class rows — two map-side-combined shuffles.
+
+    Output: (cell, n_points, n_classes, gini_ppm)."""
+    cell = grid_cell(F.col(lon), F.col(lat), res_deg)
+    cc = points.select(cell.alias("cell"), F.col(class_col).alias("_k"))
+    counts = cc.groupBy("cell", "_k").agg(F.count(F.lit(1)).alias("_c"))
+    return (
+        counts.groupBy("cell")
+        .agg(
+            F.sum("_c").alias("n_points"),
+            F.count(F.lit(1)).alias("n_classes"),
+            F.sum(F.col("_c") * F.col("_c")).alias("_s2"),
+        )
+        .select(
+            "cell", "n_points", "n_classes",
+            F.expr(
+                "(1000000 * (n_points * n_points - _s2)) "
+                "DIV (n_points * n_points)"
+            ).alias("gini_ppm"),
+        )
+    )
+
+
+def cell_gini_sql(
+    src: str,
+    class_col: str,
+    res_deg: float = DEFAULT_RES_DEG,
+    lon: str = "lon",
+    lat: str = "lat",
+) -> str:
+    """DuckDB twin of :func:`cell_gini`; ``src`` exposes lon/lat +
+    the class column."""
+    cell = grid_cell_sql(lon, lat, res_deg)
+    return f"""
+        WITH cg_cc AS (
+            SELECT {cell} AS cell, {class_col} AS _k, COUNT(*) AS _c
+            FROM {src} GROUP BY 1, 2
+        )
+        SELECT cell,
+               CAST(SUM(_c) AS BIGINT) AS n_points,
+               CAST(COUNT(*) AS BIGINT) AS n_classes,
+               CAST((1000000 * (SUM(_c) * SUM(_c) - SUM(_c * _c)))
+                    // (SUM(_c) * SUM(_c)) AS BIGINT) AS gini_ppm
+        FROM cg_cc GROUP BY 1
+    """

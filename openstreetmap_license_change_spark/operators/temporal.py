@@ -569,3 +569,93 @@ def geofence_transitions_sql(
         WHERE (_in AND (_prev IS NULL OR NOT _prev))
            OR (NOT _in AND COALESCE(_prev, FALSE))
     """
+
+
+DECAY_SHIFT = 30
+
+
+def decayed_rollup(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    halflife_s: int = 86_400,
+    shift: int = DECAY_SHIFT,
+) -> DataFrame:
+    """Exponentially-decayed per-key rollup in exact integers — the
+    recency-weighted score behind recrawl prioritization and activity
+    ranking (yesterday's signal counts half as much), WITHOUT float
+    pow/exp: ages quantize to whole half-lives
+    (``age_h = Δt_us DIV (halflife_s·10⁶)``), values quantize to
+    cents, and each event contributes ``cents · 2^(shift − age_h)``
+    (0 beyond ``shift`` half-lives — a 2⁻³⁰ tail is genuinely
+    negligible and the cutoff is explicit, not a float underflow).
+    The fixed-point total ``score_q`` is an exact multiple of
+    2^-shift cents, identical across engines and mergeable (plain
+    SUM), so incremental maintenance follows the tile_rollup_merge
+    contract.
+
+    The reference epoch is the corpus max timestamp (one broadcast
+    1-row agg), making the query self-contained and deterministic;
+    pass a production ``now`` upstream by filtering instead.
+
+    Plan: one broadcast cross of the 1-row max, one map-side-combined
+    groupBy.  Output: (key, n_events, score_q) with
+    score ≈ score_q / 2^shift cents."""
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    base = events.select(
+        F.col(key_col),
+        us.alias("_us"),
+        F.round(F.col(value_col) * 100).cast("bigint").alias("_cents"),
+    )
+    ref = base.agg(F.max("_us").alias("_ref"))
+    contrib = F.when(
+        F.col("_age_h") <= shift,
+        F.expr(
+            f"_cents * shiftleft(CAST(1 AS BIGINT), "
+            f"CAST({shift} - _age_h AS INT))"
+        ),
+    ).otherwise(F.lit(0))
+    return (
+        base.crossJoin(F.broadcast(ref))
+        .withColumn(
+            "_age_h",
+            F.expr(f"(_ref - _us) DIV {int(halflife_s) * 1_000_000}"),
+        )
+        .withColumn("_q", contrib)
+        .groupBy(key_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("_q").alias("score_q"),
+        )
+    )
+
+
+def decayed_rollup_sql(
+    src: str,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    halflife_s: int = 86_400,
+    shift: int = DECAY_SHIFT,
+) -> str:
+    """DuckDB twin of :func:`decayed_rollup`."""
+    hl_us = int(halflife_s) * 1_000_000
+    return f"""
+        WITH dr_base AS (
+            SELECT {key_col},
+                   epoch_us({ts_col}) AS _us,
+                   CAST(ROUND({value_col} * 100) AS BIGINT) AS _cents
+            FROM {src}
+        ),
+        dr_ref AS (SELECT MAX(_us) AS _ref FROM dr_base)
+        SELECT {key_col},
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(SUM(CASE
+                   WHEN (_ref - _us) // {hl_us} <= {shift}
+                   THEN _cents * (CAST(1 AS BIGINT) << CAST(
+                        {shift} - (_ref - _us) // {hl_us} AS INTEGER))
+                   ELSE 0 END) AS BIGINT) AS score_q
+        FROM dr_base CROSS JOIN dr_ref
+        GROUP BY {key_col}
+    """
