@@ -277,63 +277,74 @@ def run_queries(spark, sf_dir):
     )
 
     # ---- informational rows (NOT in the composite pages/sec metric) ----
-    # one representative per round-4 operator family, each driven at the
-    # staged ×REPLICATION scale where the family's cost is real: spatial
-    # statistics (Gi*), iterative graph (6-round quantized PageRank over
-    # a 3-out-degree modular graph on every amplified page), event
-    # analytics (funnel), curation text ops (Gopher rules + BM25 over
-    # the documents table).  They track family-level regressions in
-    # BENCH_rN without perturbing the headline metric's comparability.
-    from openstreetmap_license_change_spark.operators import (
-        graph as graph_ops,
-        spatial as spatial_ops,
-        temporal as temporal_ops,
-        textops as textops_ops,
-    )
+    # skipped entirely when SPARK_GRAFT_BENCH_ONLY excludes them — their
+    # SETUP includes driver actions (pr_nodes.count) that would otherwise
+    # tax pinned scaling trials that never time these rows
+    _only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
+    _only_set = set(_only.split(",")) if _only else None
 
-    rollup_counts = spatial_ops.tile_rollup(cells)
-    timed(
-        "tile_hotspots",
-        lambda: _noop_write(spatial_ops.tile_hotspots(rollup_counts)),
-    )
+    def _wants(*names):
+        return _only_set is None or bool(_only_set & set(names))
 
-    pr_nodes = pages_big.select(F.col("doc_id").alias("node")).distinct()
-    n_nodes = pr_nodes.count()  # untimed setup action; modulus for edges
-    pr_edges = (
-        pr_nodes.where(F.col("node") % 5 != 0)
-        .select(
-            F.col("node").alias("src"),
-            ((F.col("node") * 7 + 1) % n_nodes).alias("dst"),
+    if _wants("tile_hotspots", "doc_pagerank", "event_funnel",
+              "gopher_filter", "bm25_topk"):
+        # one representative per round-4 operator family, each driven at the
+        # staged ×REPLICATION scale where the family's cost is real: spatial
+        # statistics (Gi*), iterative graph (6-round quantized PageRank over
+        # a 3-out-degree modular graph on every amplified page), event
+        # analytics (funnel), curation text ops (Gopher rules + BM25 over
+        # the documents table).  They track family-level regressions in
+        # BENCH_rN without perturbing the headline metric's comparability.
+        from openstreetmap_license_change_spark.operators import (
+            graph as graph_ops,
+            spatial as spatial_ops,
+            temporal as temporal_ops,
+            textops as textops_ops,
         )
-        .where(F.col("src") != F.col("dst"))
-    )
-    timed(
-        "doc_pagerank",
-        lambda: _noop_write(
-            graph_ops.pagerank_quantized(pr_nodes, pr_edges, iterations=6)
-        ),
-    )
 
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
-    timed(
-        "event_funnel",
-        lambda: _noop_write(
-            temporal_ops.event_funnel(
-                ev, ["signup", "purchase", "error"], max_gap_sec=86400
+        rollup_counts = spatial_ops.tile_rollup(cells)
+        timed(
+            "tile_hotspots",
+            lambda: _noop_write(spatial_ops.tile_hotspots(rollup_counts)),
+        )
+
+        pr_nodes = pages_big.select(F.col("doc_id").alias("node")).distinct()
+        n_nodes = pr_nodes.count()  # untimed setup action; modulus for edges
+        pr_edges = (
+            pr_nodes.where(F.col("node") % 5 != 0)
+            .select(
+                F.col("node").alias("src"),
+                ((F.col("node") * 7 + 1) % n_nodes).alias("dst"),
             )
-        ),
-    )
+            .where(F.col("src") != F.col("dst"))
+        )
+        timed(
+            "doc_pagerank",
+            lambda: _noop_write(
+                graph_ops.pagerank_quantized(pr_nodes, pr_edges, iterations=6)
+            ),
+        )
 
-    timed(
-        "gopher_filter",
-        lambda: _noop_write(textops_ops.gopher_filter(docs)),
-    )
-    timed(
-        "bm25_topk",
-        lambda: _noop_write(
-            textops_ops.bm25_topk(docs, ["dup", "scan", "merge"])
-        ),
-    )
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        timed(
+            "event_funnel",
+            lambda: _noop_write(
+                temporal_ops.event_funnel(
+                    ev, ["signup", "purchase", "error"], max_gap_sec=86400
+                )
+            ),
+        )
+
+        timed(
+            "gopher_filter",
+            lambda: _noop_write(textops_ops.gopher_filter(docs)),
+        )
+        timed(
+            "bm25_topk",
+            lambda: _noop_write(
+                textops_ops.bm25_topk(docs, ["dup", "scan", "merge"])
+            ),
+        )
 
     timings = run_rounds()
     if not shared:
@@ -446,6 +457,20 @@ def scaling_mode():
                 SPARK_GRAFT_BENCH_WARM="1",
                 SPARK_GRAFT_BENCH_BEST_OF="1",
                 SPARK_GRAFT_BENCH_REPL=repl,
+                # the scaling protocol times the HISTORICAL query set
+                # (composite members + the original informational
+                # rows) so efficiency numbers stay comparable across
+                # rounds; the round-4 family rows (pagerank etc.) are
+                # driver-bench-only — at ×2048 on a 1-core pin they
+                # would dominate wall-clock without informing the
+                # scaling criterion
+                SPARK_GRAFT_BENCH_ONLY=os.environ.get(
+                    "SPARK_GRAFT_BENCH_ONLY",
+                    "tile_assign_rollup,latest_snapshot,pip_rect,"
+                    "knn_neighborhood,knn_neighborhood_agg,knn_in_cell,"
+                    "classify_fold,dedup_exact,minhash_signatures,"
+                    "pricing_summary",
+                ),
                 # AQE re-planning is driver-serial: on 1-8 local cores
                 # it is a constant-time tax that a 1000-executor
                 # cluster amortizes per stage.  The scaling pair runs
