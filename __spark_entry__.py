@@ -679,6 +679,17 @@ def q_tile_dilate(spark, sf_dir):
     return spatial.tile_dilate(_q_rollup_cells(spark, sf_dir))
 
 
+def q_triangle_counts(spark, sf_dir):
+    """Per-node triangle counts (graph.triangle_counts) over the
+    undirected doc link graph: degree-ordered orientation (each
+    triangle counted from one wedge, Suri–Vassilvitskii effective-
+    degree bound), wedge self-join + closing semi-join, loud degree
+    guard.  The DuckDB twin runs the identical orientation and close,
+    hash-verified."""
+    _, edges = _doc_link_graph(spark, sf_dir)
+    return graph.triangle_counts(edges)
+
+
 def q_cocitation_pairs(spark, sf_dir):
     """Co-citation pair counts (graph.common_neighbor_pairs): for each
     unordered doc pair, how many docs link to BOTH — the second-order
@@ -2748,6 +2759,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_hits": q_doc_hits,
         "weighted_sample": q_weighted_sample,
         "cocitation_pairs": q_cocitation_pairs,
+        "triangle_counts": q_triangle_counts,
         "coupling_pairs": q_coupling_pairs,
         "kmv_distinct_docs": q_kmv_distinct_docs,
         "countmin_topk": q_countmin_topk,
@@ -5263,6 +5275,7 @@ def oracle_sql() -> dict[str, str]:
             n=WS_N,
             weight_col="n_tokens",
         ),
+        "triangle_counts": graph.triangle_counts_sql(_PR_EDGES_SQL),
         "cocitation_pairs": graph.common_neighbor_pairs_sql(
             _PR_EDGES_SQL, "cocitation", min_count=2
         ),

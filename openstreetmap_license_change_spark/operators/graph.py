@@ -694,3 +694,123 @@ def common_neighbor_pairs_sql(
         GROUP BY 1, 2
         HAVING COUNT(*) >= {int(min_count)}
     """
+
+
+def triangle_counts(
+    edges: DataFrame,
+    max_degree: int = 10_000,
+) -> DataFrame:
+    """Per-node triangle participation counts over the UNDIRECTED
+    simplification of the link graph — the local clustering signal
+    (link farms and template boilerplate rings show up as dense
+    triangle clusters; organic link neighborhoods are sparse), the
+    standard third graph statistic after degree and components.
+
+    Algorithm: the two-join MR pattern with the degree-ordering trick —
+    orient every undirected edge from the LOWER (degree, id) endpoint
+    to the higher, so each triangle is counted from exactly one wedge
+    and hub-centered wedge fan-out collapses from C(d_hub,2) to
+    C(d_eff,2) with d_eff ≤ √(2·|E|) (the classic Suri-Vassilvitskii
+    bound); wedges then semi-join the oriented edge list to close.
+    The ``max_degree`` guard (post-orientation, riding a used column —
+    the Catalyst lesson from common_neighbor_pairs) still fails LOUD
+    on pathological skew.
+
+    Returns (node, n_triangles) for every node in ≥ 1 triangle."""
+    sym = (
+        edges.select("src", "dst")
+        .where(F.col("src") != F.col("dst"))
+        .unionByName(
+            edges.select(
+                F.col("dst").alias("src"), F.col("src").alias("dst")
+            )
+        )
+        .distinct()
+    )
+    deg = sym.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("deg")
+    )
+    ranked = (
+        sym.join(deg.withColumnRenamed("node", "src"), "src")
+        .withColumnRenamed("deg", "deg_s")
+        .join(
+            deg.select(F.col("node").alias("dst"),
+                       F.col("deg").alias("deg_d")),
+            "dst",
+        )
+    )
+    oriented = ranked.where(
+        (F.col("deg_s") < F.col("deg_d"))
+        | ((F.col("deg_s") == F.col("deg_d")) & (F.col("src") < F.col("dst")))
+    ).select("src", "dst", "deg_s")
+    guard = F.assert_true(
+        F.col("deg_s") <= F.lit(int(max_degree)),
+        F.lit(
+            f"effective degree exceeds max_degree={max_degree} in "
+            "triangle_counts; pre-filter hubs explicitly or raise the cap"
+        ),
+    )
+    oriented = oriented.select(
+        F.when(guard.isNull(), F.col("src")).alias("src"), "dst"
+    ).localCheckpoint(eager=True)
+    wedges = (
+        oriented.alias("e1")
+        .join(oriented.alias("e2"), F.col("e1.dst") == F.col("e2.src"))
+        .select(
+            F.col("e1.src").alias("a"),
+            F.col("e1.dst").alias("b"),
+            F.col("e2.dst").alias("c"),
+        )
+    )
+    closed = wedges.join(
+        oriented.select(
+            F.col("src").alias("a"), F.col("dst").alias("c")
+        ),
+        ["a", "c"],
+    )
+    per_node = (
+        closed.select(F.explode(F.array("a", "b", "c")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    return per_node
+
+
+def triangle_counts_sql(edges_src: str) -> str:
+    """DuckDB twin of :func:`triangle_counts` — same degree-ordered
+    orientation, wedge close, and per-node explode."""
+    return f"""
+        WITH tr_sym AS MATERIALIZED (
+            SELECT DISTINCT src, dst FROM (
+                SELECT src, dst FROM {edges_src} WHERE src <> dst
+                UNION ALL
+                SELECT dst AS src, src AS dst FROM {edges_src}
+                WHERE src <> dst
+            )
+        ),
+        tr_deg AS (
+            SELECT src AS node, COUNT(*) AS deg FROM tr_sym GROUP BY 1
+        ),
+        tr_or AS MATERIALIZED (
+            SELECT s.src, s.dst
+            FROM tr_sym s
+            JOIN tr_deg a ON a.node = s.src
+            JOIN tr_deg b ON b.node = s.dst
+            WHERE a.deg < b.deg OR (a.deg = b.deg AND s.src < s.dst)
+        ),
+        tr_tri AS (
+            SELECT w.a, w.b, w.c
+            FROM (
+                SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+                FROM tr_or e1 JOIN tr_or e2 ON e1.dst = e2.src
+            ) w
+            JOIN tr_or e3 ON e3.src = w.a AND e3.dst = w.c
+        )
+        SELECT node, COUNT(*) AS n_triangles
+        FROM (
+            SELECT a AS node FROM tr_tri
+            UNION ALL SELECT b FROM tr_tri
+            UNION ALL SELECT c FROM tr_tri
+        )
+        GROUP BY node
+    """

@@ -342,3 +342,78 @@ def test_pairs_random_vs_python_and_duckdb(spark):
             ).fetchall()
         }
         assert twin == want
+
+
+# ---------------------------------------------------------------------------
+# triangle_counts
+# ---------------------------------------------------------------------------
+
+def _triangles_python(edges):
+    und = set()
+    for s, d in edges:
+        if s != d:
+            und.add((min(s, d), max(s, d)))
+    adj = {}
+    for a, b in und:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    counts = {}
+    tris = set()
+    for a, b in und:
+        for c in adj[a] & adj[b]:
+            tris.add(tuple(sorted((a, b, c))))
+    for t in tris:
+        for v in t:
+            counts[v] = counts.get(v, 0) + 1
+    return counts
+
+
+def _spark_triangles(spark, edges, **kw):
+    edf = spark.createDataFrame(edges, "src bigint, dst bigint")
+    return {
+        r.node: r.n_triangles
+        for r in graph.triangle_counts(edf, **kw).collect()
+    }
+
+
+def test_triangles_hand_cases(spark):
+    """A triangle with a pendant edge, plus a directed duplicate edge
+    that must NOT double-count."""
+    edges = [(1, 2), (2, 3), (3, 1), (1, 3), (3, 4)]
+    got = _spark_triangles(spark, edges)
+    assert got == {1: 1, 2: 1, 3: 1}
+    # K4: every node sits in C(3,2) = 3 triangles
+    k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    assert _spark_triangles(spark, k4) == {i: 3 for i in range(4)}
+
+
+def test_triangles_random_vs_python_and_duckdb(spark):
+    rng = random.Random(19)
+    edges = sorted({
+        (rng.randrange(20), rng.randrange(20)) for _ in range(80)
+    })
+    want = _triangles_python(edges)
+    got = _spark_triangles(spark, edges)
+    assert got == want and want
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE eg (src BIGINT, dst BIGINT)")
+    con.executemany("INSERT INTO eg VALUES (?, ?)", edges)
+    twin = dict(
+        con.execute(graph.triangle_counts_sql("eg")).fetchall()
+    )
+    assert twin == want
+
+
+def test_triangles_degree_guard(spark):
+    # a wheel: hub 0 connected to a 30-cycle — after orientation the
+    # effective degree stays small, so the guard does NOT fire at 10...
+    wheel = [(0, i) for i in range(1, 31)] + [
+        (i, i % 30 + 1) for i in range(1, 31)
+    ]
+    got = _spark_triangles(spark, wheel, max_degree=10)
+    assert sum(got.values()) == 3 * 30  # 30 triangles × 3 nodes
+    # ...but a clique's orientation cannot dodge the cap
+    k12 = [(a, b) for a in range(12) for b in range(12) if a < b]
+    with pytest.raises(Exception, match="max_degree"):
+        _spark_triangles(spark, k12, max_degree=3)
