@@ -1661,6 +1661,18 @@ def q_decayed_rollup(spark, sf_dir):
     return temporal.decayed_rollup(ev, halflife_s=7 * 86_400)
 
 
+def q_slot_anomalies(spark, sf_dir):
+    """Per-(type, day, hour-of-day) count anomalies
+    (temporal.slot_anomalies): the tile_hotspots discipline in the
+    time domain — exact cross-multiplied z-test in decimal(38)/
+    HUGEINT, population convention, spike/dip directions; twin
+    identical."""
+    from openstreetmap_license_change_spark.operators import temporal
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return temporal.slot_anomalies(ev)
+
+
 def q_trip_cell_paths(spark, sf_dir):
     """RLE trajectory cell paths (spatial.trip_cell_paths): each
     user's drift trace compressed to its distinct-consecutive-cell
@@ -2751,6 +2763,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trip_cell_paths": q_trip_cell_paths,
         "cell_gini": q_cell_gini,
         "decayed_rollup": q_decayed_rollup,
+        "slot_anomalies": q_slot_anomalies,
         "tile_contours": q_tile_contours,
         "adaptive_tiles": q_adaptive_tiles,
         "snap_to_segments": q_snap_to_segments,
@@ -5247,6 +5260,7 @@ def oracle_sql() -> dict[str, str]:
         "decayed_rollup": temporal.decayed_rollup_sql(
             "events", halflife_s=7 * 86_400
         ),
+        "slot_anomalies": temporal.slot_anomalies_sql("events"),
         "trip_cell_paths": spatial.trip_cell_paths_sql(
             _STAY_PTS_SQL, "user_id", "ts", tiebreak=("event_id",)
         ),

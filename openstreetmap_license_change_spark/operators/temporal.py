@@ -659,3 +659,102 @@ def decayed_rollup_sql(
         FROM dr_base CROSS JOIN dr_ref
         GROUP BY {key_col}
     """
+
+
+def slot_anomalies(
+    events: DataFrame,
+    z_num: int = 2,
+    z_den: int = 1,
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Per-slot count anomalies: for each (event_type, calendar day,
+    hour-of-day), flag days whose count deviates from that slot's
+    across-days profile by ≥ z standard deviations — the temporal
+    sibling of ``spatial.tile_hotspots`` (weekly seasonality is
+    handled by conditioning on hour-of-day; extend the slot key for
+    day-of-week).  Same discipline: the z-test is an EXACT
+    cross-multiplied integer inequality —
+
+        (x·n − S)²·z_den² ≥ z_num²·(n·Q − S²),  S = Σx, Q = Σx²
+
+    over the population of days in the slot (x's own day included,
+    the population convention) — no float mean, no sqrt, no variance
+    rounding, so the DuckDB twin agrees bit-for-bit and the verdict
+    is parallelism-independent.  Carried in decimal(38,0)/HUGEINT:
+    per-term headroom to x ≈ 10⁹ events/slot-day over n ≤ 10⁴ days.
+
+    Plan: (type, day, hour) partial-agg → (type, hour) re-agg joined
+    back to the day rows on the slot key — two shuffles plus one
+    slot-keyed join (slots are low-cardinality: broadcastable).
+
+    Output: (event_type, day, hour, n, n_days, spike, dip)."""
+    day = F.to_date(F.col(ts_col))
+    hour = F.hour(F.col(ts_col))
+    per_day = events.groupBy(
+        F.col(type_col).alias("event_type"),
+        day.alias("day"),
+        hour.alias("hour"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    slot = per_day.groupBy("event_type", "hour").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum("n").alias("s"),
+        F.sum(F.col("n") * F.col("n")).alias("q"),
+    )
+    j = per_day.join(F.broadcast(slot), ["event_type", "hour"])
+    dec = "decimal(38,0)"
+    dev = (
+        F.col("n").cast(dec) * F.col("n_days") - F.col("s")
+    )
+    lhs = dev * dev * F.lit(int(z_den) * int(z_den))
+    rhs = (
+        F.lit(int(z_num) * int(z_num))
+        * (
+            F.col("n_days").cast(dec) * F.col("q")
+            - F.col("s").cast(dec) * F.col("s")
+        )
+    )
+    return j.select(
+        "event_type", "day", "hour", "n", "n_days",
+        ((lhs >= rhs) & (dev > 0)).alias("spike"),
+        ((lhs >= rhs) & (dev < 0)).alias("dip"),
+    )
+
+
+def slot_anomalies_sql(
+    src: str,
+    z_num: int = 2,
+    z_den: int = 1,
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> str:
+    """DuckDB twin of :func:`slot_anomalies`."""
+    return f"""
+        WITH sa_day AS (
+            SELECT {type_col} AS event_type,
+                   CAST({ts_col} AS DATE) AS day,
+                   EXTRACT(hour FROM {ts_col}) AS hour,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM {src} GROUP BY 1, 2, 3
+        ),
+        sa_slot AS (
+            SELECT event_type, hour,
+                   CAST(COUNT(*) AS BIGINT) AS n_days,
+                   CAST(SUM(n) AS HUGEINT) AS s,
+                   CAST(SUM(n * n) AS HUGEINT) AS q
+            FROM sa_day GROUP BY 1, 2
+        )
+        SELECT d.event_type, d.day, CAST(d.hour AS INTEGER) AS hour,
+               d.n, s.n_days,
+               ((CAST(d.n AS HUGEINT) * s.n_days - s.s)
+                * (CAST(d.n AS HUGEINT) * s.n_days - s.s)
+                * {int(z_den) * int(z_den)}
+                >= {int(z_num) * int(z_num)} * (s.n_days * s.q - s.s * s.s)
+                AND CAST(d.n AS HUGEINT) * s.n_days - s.s > 0) AS spike,
+               ((CAST(d.n AS HUGEINT) * s.n_days - s.s)
+                * (CAST(d.n AS HUGEINT) * s.n_days - s.s)
+                * {int(z_den) * int(z_den)}
+                >= {int(z_num) * int(z_num)} * (s.n_days * s.q - s.s * s.s)
+                AND CAST(d.n AS HUGEINT) * s.n_days - s.s < 0) AS dip
+        FROM sa_day d JOIN sa_slot s USING (event_type, hour)
+    """

@@ -131,3 +131,78 @@ def test_decay_duckdb_twin(spark):
         ).fetchall()
     )
     assert got == twin
+
+
+# ---------------------------------------------------------------------------
+# slot_anomalies
+# ---------------------------------------------------------------------------
+
+def test_slot_anomaly_planted_spike_and_dip(spark):
+    """Hour 9: ten calm days of 10 then a 60-event spike day.
+    Hour 15: ten calm days of 10 then a 1-event dip day (its own slot
+    — a spike in the population would inflate σ and mask the dip,
+    which is exactly the population-convention semantics)."""
+    rows = []
+    for d in range(10):
+        for h in (9, 15):
+            base = dt.datetime(2024, 3, 1 + d, h, 0)
+            rows += [(f"e{h}_{d}_{i}", base + dt.timedelta(minutes=i),
+                      "view") for i in range(10)]
+    spike_day = dt.datetime(2024, 3, 11, 9, 0)
+    rows += [(f"s{i}", spike_day + dt.timedelta(minutes=i), "view")
+             for i in range(60)]
+    rows += [("d0", dt.datetime(2024, 3, 11, 15, 0), "view")]
+    sdf = spark.createDataFrame(
+        rows, "event_id string, ts timestamp, event_type string"
+    )
+    got = {
+        (str(r.day), r.hour): (r.n, r.spike, r.dip)
+        for r in temporal.slot_anomalies(sdf).collect()
+    }
+    assert got[("2024-03-11", 9)] == (60, True, False)
+    assert got[("2024-03-11", 15)] == (1, False, True)
+    assert got[("2024-03-01", 9)] == (10, False, False)
+
+
+def test_slot_anomaly_uniform_slot_flags_nothing(spark):
+    rows = [
+        (f"e{d}_{i}", dt.datetime(2024, 3, 1 + d, 14, i), "click")
+        for d in range(8) for i in range(5)
+    ]
+    sdf = spark.createDataFrame(
+        rows, "event_id string, ts timestamp, event_type string"
+    )
+    out = temporal.slot_anomalies(sdf).collect()
+    assert out and not any(r.spike or r.dip for r in out)
+
+
+def test_slot_anomaly_duckdb_twin(spark):
+    rng = random.Random(3)
+    rows = [
+        (f"e{k}",
+         dt.datetime(2024, 4, 1) + dt.timedelta(
+             days=rng.randrange(20), hours=rng.randrange(4),
+             minutes=rng.randrange(60)),
+         rng.choice(["view", "click"]))
+        for k in range(2000)
+    ]
+    sdf = spark.createDataFrame(
+        rows, "event_id string, ts timestamp, event_type string"
+    )
+    got = sorted(
+        (r.event_type, str(r.day), r.hour, r.n, r.n_days, r.spike, r.dip)
+        for r in temporal.slot_anomalies(sdf).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE ev2 (event_id VARCHAR, ts TIMESTAMP, "
+        "event_type VARCHAR)"
+    )
+    con.executemany("INSERT INTO ev2 VALUES (?, ?, ?)", rows)
+    twin = sorted(
+        (r[0], str(r[1]), r[2], r[3], r[4], r[5], r[6])
+        for r in con.execute(
+            temporal.slot_anomalies_sql("ev2")
+        ).fetchall()
+    )
+    assert got == twin and any(r[5] for r in got)
