@@ -773,6 +773,19 @@ def q_bloom_membership(spark, sf_dir):
     )
 
 
+KWIC_TERM, KWIC_WINDOW = "dup", 3
+
+
+def q_concordance(spark, sf_dir):
+    """KWIC concordance (textops.concordance) for the corpus's rare
+    term: 1-based positions, ±3-token clamped contexts, pure row-local
+    array algebra — ZERO shuffles, the audit tool you run before
+    filtering on a token.  The DuckDB twin slices the same arrays, so
+    every context string is hash-verified."""
+    docs = pages_src.documents(spark, sf_dir)
+    return textops.concordance(docs, KWIC_TERM, window=KWIC_WINDOW)
+
+
 II_SHARD = 128
 
 
@@ -2764,6 +2777,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cell_gini": q_cell_gini,
         "decayed_rollup": q_decayed_rollup,
         "slot_anomalies": q_slot_anomalies,
+        "concordance": q_concordance,
         "tile_contours": q_tile_contours,
         "adaptive_tiles": q_adaptive_tiles,
         "snap_to_segments": q_snap_to_segments,
@@ -5261,6 +5275,9 @@ def oracle_sql() -> dict[str, str]:
             "events", halflife_s=7 * 86_400
         ),
         "slot_anomalies": temporal.slot_anomalies_sql("events"),
+        "concordance": textops.concordance_sql(
+            "documents", KWIC_TERM, window=KWIC_WINDOW
+        ),
         "trip_cell_paths": spatial.trip_cell_paths_sql(
             _STAY_PTS_SQL, "user_id", "ts", tiebreak=("event_id",)
         ),

@@ -1383,3 +1383,79 @@ def inverted_index_sql(
                string_agg(entry, ',' ORDER BY {id_col}) AS postings
         FROM ii_e GROUP BY 1, 2
     """
+
+
+def concordance(
+    df: DataFrame,
+    term: str,
+    window: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Keyword-in-context (KWIC) concordance: every occurrence of
+    ``term`` with its ±``window``-token context — the qualitative
+    audit tool behind every corpus curation decision ("show me how
+    this token is actually used before I filter on it"), and the
+    row-local counterpoint to the shuffle-based text ops: the whole
+    extraction is array algebra on the scan (split → indexed filter →
+    slice → explode), ZERO shuffles, so it streams at I/O speed over
+    any corpus size and composes with predicate pushdown on the id.
+
+    Positions are 1-based token indices; context windows clamp at the
+    document edges.  Returns (id, pos, context) — one row per
+    occurrence, context as the space-joined token window (match
+    included)."""
+    t = term.lower()
+    arr = F.split(F.lower(F.col(text_col)), r"\s+")
+    hits = F.filter(
+        F.transform(
+            arr, lambda tok, i: F.struct(tok.alias("tok"),
+                                         (i + 1).alias("pos"))
+        ),
+        lambda s: s["tok"] == F.lit(t),
+    )
+    w = int(window)
+    out = df.select(
+        id_col, arr.alias("_a"), F.explode(hits).alias("_h")
+    )
+    start = F.greatest(F.col("_h.pos") - w, F.lit(1))
+    stop = F.least(F.col("_h.pos") + w, F.size("_a"))
+    return out.select(
+        id_col,
+        F.col("_h.pos").alias("pos"),
+        F.array_join(
+            F.slice("_a", start, stop - start + 1), " "
+        ).alias("context"),
+    )
+
+
+def concordance_sql(
+    docs_src: str,
+    term: str,
+    window: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """DuckDB twin of :func:`concordance` (1-based positions, clamped
+    list slice — DuckDB slices are inclusive like Spark's)."""
+    t = term.lower().replace("'", "''")
+    w = int(window)
+    return f"""
+        WITH kw_arr AS (
+            SELECT {id_col},
+                   string_split_regex(lower({text_col}), '\\s+') AS a
+            FROM {docs_src}
+        ),
+        kw_tok AS (
+            SELECT {id_col}, a,
+                   unnest(a) AS tok,
+                   generate_subscripts(a, 1) AS pos
+            FROM kw_arr
+        )
+        SELECT {id_col}, CAST(pos AS INTEGER) AS pos,
+               array_to_string(
+                   a[GREATEST(pos - {w}, 1):LEAST(pos + {w}, len(a))],
+                   ' ') AS context
+        FROM kw_tok
+        WHERE tok = '{t}'
+    """

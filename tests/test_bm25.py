@@ -115,3 +115,61 @@ def test_bm25_plan_take_ordered(spark):
     )
     assert "TakeOrderedAndProject" in plan
     assert "Window" not in plan
+
+
+# ---------------------------------------------------------------------------
+# concordance (KWIC)
+# ---------------------------------------------------------------------------
+
+def test_kwic_positions_and_clamping(spark):
+    docs = [(0, "alpha beta TARGET gamma delta eps"),
+            (1, "target starts here"),
+            (2, "ends with target"),
+            (3, "no match at all"),
+            (4, "target mid target")]
+    sdf = spark.createDataFrame(docs, "doc_id bigint, text string")
+    got = sorted(
+        (r.doc_id, r.pos, r.context)
+        for r in textops.concordance(sdf, "TaRgEt", window=2).collect()
+    )
+    assert got == [
+        (0, 3, "alpha beta target gamma delta"),
+        (1, 1, "target starts here"),
+        (2, 3, "ends with target"),
+        (4, 1, "target mid target"),
+        (4, 3, "target mid target"),
+    ]
+
+
+def test_kwic_zero_shuffle_plan(spark):
+    sdf = spark.createDataFrame([(0, "a b c")], "doc_id bigint, text string")
+    plan = (
+        textops.concordance(sdf, "b")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan
+
+
+def test_kwic_duckdb_twin(spark):
+    import random
+    rng = random.Random(44)
+    vocab = ["x", "y", "needle", "z", "w"]
+    docs = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randrange(0, 12))))
+        for i in range(40)
+    ]
+    sdf = spark.createDataFrame(docs, "doc_id bigint, text string")
+    got = sorted(
+        tuple(r)
+        for r in textops.concordance(sdf, "needle", window=2).collect()
+    )
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", docs)
+    twin = sorted(
+        tuple(r)
+        for r in con.execute(
+            textops.concordance_sql("documents", "needle", window=2)
+        ).fetchall()
+    )
+    assert got == twin and len(got) > 10
