@@ -829,6 +829,37 @@ def q_adaptive_tiles(spark, sf_dir):
     return spatial.adaptive_tiles(_pages(spark, sf_dir), **ADAPT_ARGS)
 
 
+# q_raster_distance runs on the 5° grid (cols=72): at 0.25° the 500
+# occupied cells are isolated scatter (no adjacency, every distance
+# NULL); at 5° the ~19% fill forms multi-cell clusters so the corridor
+# walk produces real finite distances.  Seed window: 4 lat × 8 lon bands.
+RD_RES = 5.0
+RD_COLS = 72
+RD_BANDS = (14, 22, 0, 8)  # lat_lo, lat_hi, lon_lo, lon_hi
+RD_ROUNDS = 8
+
+
+def q_raster_distance(spark, sf_dir):
+    """Grid corridor distance (spatial.raster_distance): frontier BFS
+    over the queen adjacency of OCCUPIED rollup cells from a 20×20
+    seed window — the composition of the tile_dilate fan and
+    graph.link_distance, twins composed identically; NULL = no
+    corridor within 8 steps."""
+    latest = lineage.latest_version(_pages(spark, sf_dir), cols=["lon", "lat"])
+    cells = latest.select(
+        spatial.grid_cell(F.col("lon"), F.col("lat"), RD_RES).alias("cell")
+    ).distinct()
+    lat_b = F.floor(F.col("cell") / RD_COLS)
+    lon_b = F.col("cell") % RD_COLS
+    la0, la1, lo0, lo1 = RD_BANDS
+    seeds = cells.where(
+        (lat_b >= la0) & (lat_b < la1) & (lon_b >= lo0) & (lon_b < lo1)
+    )
+    return spatial.raster_distance(
+        cells, seeds, rounds=RD_ROUNDS, res_deg=RD_RES
+    )
+
+
 def q_tile_contours(spark, sf_dir):
     """Marching-squares contour topology (spatial.tile_contours) over
     the occupied-cell support: sparse ×4 corner fan → per-block case
@@ -2778,6 +2809,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decayed_rollup": q_decayed_rollup,
         "slot_anomalies": q_slot_anomalies,
         "concordance": q_concordance,
+        "raster_distance": q_raster_distance,
         "tile_contours": q_tile_contours,
         "adaptive_tiles": q_adaptive_tiles,
         "snap_to_segments": q_snap_to_segments,
@@ -3835,6 +3867,30 @@ def oracle_sql() -> dict[str, str]:
             spatial.adaptive_tiles_sql("pages", **ADAPT_ARGS)
             .replace("WITH ", ", ", 1)
         ),
+        "raster_distance": _with_pages(f"""
+            , rd_latest AS (
+                SELECT lon, lat FROM (
+                    SELECT p.*, ROW_NUMBER() OVER (
+                        PARTITION BY url ORDER BY version DESC) AS rn
+                    FROM pages p
+                ) t WHERE rn = 1
+            ),
+            morph_src AS (
+                SELECT DISTINCT {spatial.grid_cell_sql('lon', 'lat', 5.0)}
+                    AS cell
+                FROM rd_latest
+            ),
+            rd_seeds AS (
+                SELECT cell FROM morph_src
+                WHERE cell // {RD_COLS} >= {RD_BANDS[0]}
+                  AND cell // {RD_COLS} < {RD_BANDS[1]}
+                  AND cell % {RD_COLS} >= {RD_BANDS[2]}
+                  AND cell % {RD_COLS} < {RD_BANDS[3]}
+            )
+            {spatial.raster_distance_sql(
+                'morph_src', 'rd_seeds', rounds=RD_ROUNDS, res_deg=RD_RES,
+            )}
+        """),
         "tile_contours": _with_pages(f"""
             , morph_src AS (
                 SELECT {cell} AS cell

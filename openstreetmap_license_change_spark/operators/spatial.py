@@ -4137,3 +4137,95 @@ def cell_gini_sql(
                     // (SUM(_c) * SUM(_c)) AS BIGINT) AS gini_ppm
         FROM cg_cc GROUP BY 1
     """
+
+
+def raster_distance(
+    cells: DataFrame,
+    seeds: DataFrame,
+    rounds: int,
+    res_deg: float = DEFAULT_RES_DEG,
+) -> DataFrame:
+    """Grid cost-distance (unit weights): minimum queen-step count
+    from any seed cell to every occupied cell, walking ONLY occupied
+    cells — "is there a connected corridor of coverage from here to
+    there, and how long" (coverage-gap analysis, corridor routing over
+    a presence raster).  A pure composition of verified pieces: the
+    queen-adjacency fan of :func:`tile_dilate` (wrap in lon, clamped
+    in lat) builds the edge list, and :func:`graph.link_distance`
+    runs the frontier-only relaxation — so the scale/correctness
+    arguments of both carry over unchanged, and the DuckDB twin
+    composes their SQL twins the same way.
+
+    ``cells``: one ``cell`` row per occupied cell; ``seeds``: subset
+    of occupied cells (rows with ``cell``).  Returns (cell, dist),
+    NULL = unreachable within ``rounds`` queen steps."""
+    from . import graph
+
+    cols = int(360 / res_deg)
+    rows_n = int(180 / res_deg)
+    lat_b = F.floor(F.col("cell") / F.lit(cols))
+    lon_b = F.col("cell") % F.lit(cols)
+    nbrs = []
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            if dy == 0 and dx == 0:
+                continue
+            t_lat = lat_b + F.lit(dy)
+            t_lon = (lon_b + F.lit(dx) + F.lit(cols)) % F.lit(cols)
+            nbrs.append(
+                F.when(
+                    (t_lat >= 0) & (t_lat < rows_n),
+                    (t_lat * F.lit(cols) + t_lon).cast("bigint"),
+                )
+            )
+    fan = cells.select(
+        F.col("cell").alias("src"),
+        F.explode(F.array_compact(F.array(*nbrs))).alias("dst"),
+    )
+    # adjacency restricted to OCCUPIED targets: the corridor walks the
+    # support, never open water
+    edges = fan.join(
+        cells.select(F.col("cell").alias("dst")), "dst", "left_semi"
+    )
+    return graph.link_distance(
+        cells.select(F.col("cell").alias("node")),
+        seeds.select(F.col("cell").alias("node")),
+        edges,
+        rounds,
+    ).select(F.col("node").alias("cell"), "dist")
+
+
+def raster_distance_sql(
+    cells_src: str,
+    seeds_src: str,
+    rounds: int,
+    res_deg: float = DEFAULT_RES_DEG,
+) -> str:
+    """DuckDB twin of :func:`raster_distance`: the morphology fan's
+    adjacency CTE feeding graph.link_distance_sql."""
+    from . import graph
+
+    cols = int(360 / res_deg)
+    rows_n = int(180 / res_deg)
+    edges = f"""(
+        SELECT f.src, f.dst FROM (
+            SELECT s.cell AS src,
+                   (((s.cell // {cols}) + d.dy) * {cols}
+                    + ((s.cell % {cols}) + d.dx + {cols}) % {cols}) AS dst
+            FROM {cells_src} s CROSS JOIN (VALUES
+                 (-1,-1),(-1,0),(-1,1),(0,-1),(0,1),
+                 (1,-1),(1,0),(1,1)) d(dy, dx)
+            WHERE (s.cell // {cols}) + d.dy >= 0
+              AND (s.cell // {cols}) + d.dy < {rows_n}
+        ) f
+        WHERE f.dst IN (SELECT cell FROM {cells_src})
+    )"""
+    inner = graph.link_distance_sql(
+        f"(SELECT cell AS node FROM {cells_src})",
+        f"(SELECT cell AS node FROM {seeds_src})",
+        edges,
+        rounds,
+    )
+    return (
+        f"SELECT node AS cell, dist FROM ({inner})"
+    )

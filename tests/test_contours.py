@@ -126,3 +126,70 @@ def test_random_support_vs_python_and_duckdb(spark):
         ).fetchall()
     }
     assert twin == want
+
+
+# ---------------------------------------------------------------------------
+# raster_distance (corridor BFS over the support)
+# ---------------------------------------------------------------------------
+
+def test_raster_distance_corridor_and_gap(spark):
+    """A 4-cell corridor from the seed walks 1,2,3; an occupied cell
+    separated by open water stays NULL even though it is near."""
+    corridor = [_cell(50, 50), _cell(50, 51), _cell(51, 52), _cell(52, 52)]
+    island = [_cell(50, 55)]
+    cells = spark.createDataFrame(
+        [(c,) for c in corridor + island], "cell bigint"
+    )
+    seeds = spark.createDataFrame([(corridor[0],)], "cell bigint")
+    got = {
+        r.cell: r.dist
+        for r in spatial.raster_distance(
+            cells, seeds, rounds=6, res_deg=RES
+        ).collect()
+    }
+    assert got == {
+        corridor[0]: 0, corridor[1]: 1, corridor[2]: 2, corridor[3]: 3,
+        island[0]: None,
+    }
+
+
+def test_raster_distance_lon_wrap(spark):
+    """The corridor crosses the antimeridian via lon wrap."""
+    cells_l = [_cell(10, COLS - 1), _cell(10, 0)]
+    cells = spark.createDataFrame([(c,) for c in cells_l], "cell bigint")
+    seeds = spark.createDataFrame([(cells_l[0],)], "cell bigint")
+    got = {
+        r.cell: r.dist
+        for r in spatial.raster_distance(
+            cells, seeds, rounds=3, res_deg=RES
+        ).collect()
+    }
+    assert got == {cells_l[0]: 0, cells_l[1]: 1}
+
+
+def test_raster_distance_duckdb_twin(spark):
+    rng = random.Random(40)
+    occ = sorted({
+        _cell(30 + rng.randrange(8), 30 + rng.randrange(8))
+        for _ in range(30)
+    })
+    seeds_l = occ[:4]
+    cells = spark.createDataFrame([(c,) for c in occ], "cell bigint")
+    seeds = spark.createDataFrame([(c,) for c in seeds_l], "cell bigint")
+    got = {
+        r.cell: r.dist
+        for r in spatial.raster_distance(
+            cells, seeds, rounds=5, res_deg=RES
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE occ (cell BIGINT)")
+    con.executemany("INSERT INTO occ VALUES (?)", [(c,) for c in occ])
+    con.execute("CREATE TABLE sd (cell BIGINT)")
+    con.executemany("INSERT INTO sd VALUES (?)", [(c,) for c in seeds_l])
+    twin = dict(
+        con.execute(
+            spatial.raster_distance_sql("occ", "sd", rounds=5, res_deg=RES)
+        ).fetchall()
+    )
+    assert twin == got and any(v and v >= 2 for v in got.values())
