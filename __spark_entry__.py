@@ -679,6 +679,23 @@ def q_tile_dilate(spark, sf_dir):
     return spatial.tile_dilate(_q_rollup_cells(spark, sf_dir))
 
 
+KCORE_K = 5
+
+
+def q_kcore(spark, sf_dir):
+    """k-core extraction (graph.kcore, k=5): iterative order-
+    independent peeling of the undirected doc link graph down to the
+    dense core (96/500 docs survive at sf0.001 — real multi-round
+    cascades); 2 shuffles/round, empty/fixpoint short-circuit, raises
+    on non-convergence.  The DuckDB twin unrolls the same peel
+    (fixpoint rounds are no-ops), so the surviving core and its
+    degrees are hash-verified."""
+    nodes, edges = _doc_link_graph(spark, sf_dir)
+    return graph.kcore(nodes, edges, k=KCORE_K).select(
+        F.col("node").alias("doc_id"), "degree"
+    )
+
+
 def q_triangle_counts(spark, sf_dir):
     """Per-node triangle counts (graph.triangle_counts) over the
     undirected doc link graph: degree-ordered orientation (each
@@ -2819,6 +2836,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_sample": q_weighted_sample,
         "cocitation_pairs": q_cocitation_pairs,
         "triangle_counts": q_triangle_counts,
+        "kcore": q_kcore,
         "coupling_pairs": q_coupling_pairs,
         "kmv_distinct_docs": q_kmv_distinct_docs,
         "countmin_topk": q_countmin_topk,
@@ -5363,6 +5381,14 @@ def oracle_sql() -> dict[str, str]:
             weight_col="n_tokens",
         ),
         "triangle_counts": graph.triangle_counts_sql(_PR_EDGES_SQL),
+        "kcore": f"""
+            SELECT node AS doc_id, degree
+            FROM ({graph.kcore_sql(
+                '(SELECT doc_id AS node FROM documents)',
+                _PR_EDGES_SQL,
+                k=KCORE_K,
+            )})
+        """,
         "cocitation_pairs": graph.common_neighbor_pairs_sql(
             _PR_EDGES_SQL, "cocitation", min_count=2
         ),

@@ -814,3 +814,106 @@ def triangle_counts_sql(edges_src: str) -> str:
         )
         GROUP BY node
     """
+
+
+def kcore(
+    nodes: DataFrame,
+    edges: DataFrame,
+    k: int,
+    max_rounds: int = 16,
+) -> DataFrame:
+    """k-core extraction over the undirected simplification: the
+    maximal subgraph where every node keeps degree ≥ k, found by
+    iterative peeling (drop under-degree nodes, recompute, repeat) —
+    the dense-region detector of link analysis (link farms and
+    boilerplate navigation rings survive high-k cores; organic pages
+    fall out), completing the density toolkit beside
+    :func:`triangle_counts` and the components machinery.
+
+    Peeling is ORDER-INDEPENDENT (removing any under-degree node can
+    only lower other degrees, so the fixpoint is unique) — which is
+    what makes the operator deterministic and twin-verifiable: the
+    DuckDB twin (:func:`kcore_sql`) unrolls the same peel a fixed
+    ``max_rounds`` times, and once the Spark side reaches the
+    fixpoint (empty peel set → short-circuit, the BFS pattern) extra
+    unrolled rounds are no-ops, so the two agree whenever peeling
+    converged.  Non-convergence within ``max_rounds`` raises (the
+    min_label_components contract: never return silently-wrong
+    cores); rounds needed is the degeneracy-peel depth, ≤ longest
+    chain of cascading removals, typically ≪ 16 on web graphs.
+
+    Scale: per round one degree aggregate + one semi-join on the
+    surviving set — 2 shuffles, map-side combined, lineage cut per
+    round.  Returns (node, degree) for the surviving core."""
+    if k < 1:
+        raise ValueError(f"k must be ≥ 1: {k}")
+    sym = (
+        edges.select("src", "dst")
+        .where(F.col("src") != F.col("dst"))
+        .unionByName(
+            edges.select(
+                F.col("dst").alias("src"), F.col("src").alias("dst")
+            )
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    alive = nodes.select("node").distinct().localCheckpoint(eager=True)
+    for _ in range(max_rounds):
+        e_alive = sym.join(
+            alive.select(F.col("node").alias("src")), "src", "left_semi"
+        ).join(
+            alive.select(F.col("node").alias("dst")), "dst", "left_semi"
+        )
+        deg = e_alive.groupBy(F.col("src").alias("node")).agg(
+            F.count(F.lit(1)).alias("degree")
+        )
+        keep = deg.where(F.col("degree") >= k).select("node", "degree")
+        n_keep = keep.count()
+        if n_keep == alive.count():
+            return keep.localCheckpoint(eager=True)
+        alive = keep.select("node").localCheckpoint(eager=True)
+        if n_keep == 0:
+            return keep
+    raise RuntimeError(
+        f"kcore(k={k}) did not converge within max_rounds={max_rounds}; "
+        "raise max_rounds (needed ≈ peel-cascade depth)"
+    )
+
+
+def kcore_sql(
+    nodes_src: str, edges_src: str, k: int, max_rounds: int = 16
+) -> str:
+    """DuckDB twin of :func:`kcore`: the identical peel unrolled
+    ``max_rounds`` times (fixpoint rounds are no-ops)."""
+    ctes = [
+        f"""kc_sym AS MATERIALIZED (
+            SELECT DISTINCT src, dst FROM (
+                SELECT src, dst FROM {edges_src} WHERE src <> dst
+                UNION ALL
+                SELECT dst AS src, src AS dst FROM {edges_src}
+                WHERE src <> dst
+            )
+        )""",
+        f"kc_a0 AS (SELECT DISTINCT node FROM {nodes_src})",
+    ]
+    for i in range(1, max_rounds + 1):
+        p = f"kc_a{i - 1}"
+        ctes.append(f"""kc_a{i} AS MATERIALIZED (
+            SELECT s.src AS node
+            FROM kc_sym s
+            JOIN {p} a ON a.node = s.src
+            JOIN {p} b ON b.node = s.dst
+            GROUP BY s.src
+            HAVING COUNT(*) >= {int(k)}
+        )""")
+    last = f"kc_a{max_rounds}"
+    return f"""
+        WITH {",".join(ctes)}
+        SELECT s.src AS node, COUNT(*) AS degree
+        FROM kc_sym s
+        JOIN {last} a ON a.node = s.src
+        JOIN {last} b ON b.node = s.dst
+        GROUP BY s.src
+        HAVING COUNT(*) >= {int(k)}
+    """

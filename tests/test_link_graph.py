@@ -417,3 +417,76 @@ def test_triangles_degree_guard(spark):
     k12 = [(a, b) for a in range(12) for b in range(12) if a < b]
     with pytest.raises(Exception, match="max_degree"):
         _spark_triangles(spark, k12, max_degree=3)
+
+
+# ---------------------------------------------------------------------------
+# kcore
+# ---------------------------------------------------------------------------
+
+def _kcore_python(nodes, edges, k):
+    und = {(min(s, d), max(s, d)) for s, d in edges if s != d}
+    alive = set(nodes)
+    while True:
+        deg = {}
+        for a, b in und:
+            if a in alive and b in alive:
+                deg[a] = deg.get(a, 0) + 1
+                deg[b] = deg.get(b, 0) + 1
+        keep = {v for v in alive if deg.get(v, 0) >= k}
+        if keep == alive:
+            return {v: deg.get(v, 0) for v in keep}
+        alive = keep
+        if not alive:
+            return {}
+
+
+def _spark_kcore(spark, nodes, edges, k, **kw):
+    ndf = spark.createDataFrame([(v,) for v in nodes], "node bigint")
+    edf = spark.createDataFrame(edges, "src bigint, dst bigint")
+    return {
+        r.node: r.degree
+        for r in graph.kcore(ndf, edf, k, **kw).collect()
+    }
+
+
+def test_kcore_peel_cascade(spark):
+    """A triangle with a tail: peeling the tail cascades (each removal
+    exposes the next) but the triangle survives as the 2-core."""
+    edges = [(1, 2), (2, 3), (3, 1), (3, 4), (4, 5), (5, 6)]
+    got = _spark_kcore(spark, list(range(1, 7)), edges, k=2)
+    assert got == {1: 2, 2: 2, 3: 2}
+
+
+def test_kcore_empty_core(spark):
+    edges = [(1, 2), (2, 3)]
+    assert _spark_kcore(spark, [1, 2, 3], edges, k=2) == {}
+
+
+def test_kcore_nonconvergence_raises(spark):
+    """A 30-chain at k=2 peels one end pair per round — max_rounds=3
+    cannot converge and must raise, never return a wrong core."""
+    edges = [(i, i + 1) for i in range(30)]
+    with pytest.raises(RuntimeError, match="did not converge"):
+        _spark_kcore(spark, list(range(31)), edges, k=2, max_rounds=3)
+
+
+def test_kcore_random_vs_python_and_duckdb(spark):
+    rng = random.Random(23)
+    nodes = list(range(30))
+    edges = sorted({
+        (rng.randrange(30), rng.randrange(30)) for _ in range(90)
+    })
+    edges = [e for e in edges if e[0] != e[1]]
+    for k in (2, 3, 4):
+        want = _kcore_python(nodes, edges, k)
+        got = _spark_kcore(spark, nodes, edges, k)
+        assert got == want
+        con = duckdb.connect()
+        con.execute("CREATE TABLE nd (node BIGINT)")
+        con.executemany("INSERT INTO nd VALUES (?)", [(v,) for v in nodes])
+        con.execute("CREATE TABLE eg (src BIGINT, dst BIGINT)")
+        con.executemany("INSERT INTO eg VALUES (?, ?)", edges)
+        twin = dict(
+            con.execute(graph.kcore_sql("nd", "eg", k)).fetchall()
+        )
+        assert twin == want
