@@ -1722,6 +1722,18 @@ def q_decayed_rollup(spark, sf_dir):
     return temporal.decayed_rollup(ev, halflife_s=7 * 86_400)
 
 
+def q_rolling_rollup(spark, sf_dir):
+    """Trailing 7-day per-user rollup (temporal.rolling_rollup):
+    epoch-day ints + cent-quantized values, RANGE frame over the
+    integer day so absent days fall out of the window without
+    densification; the per-day pre-agg and the window share one
+    user partitioning.  Twin identical."""
+    from openstreetmap_license_change_spark.operators import temporal
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return temporal.rolling_rollup(ev, window_days=7)
+
+
 def q_slot_anomalies(spark, sf_dir):
     """Per-(type, day, hour-of-day) count anomalies
     (temporal.slot_anomalies): the tile_hotspots discipline in the
@@ -2825,6 +2837,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cell_gini": q_cell_gini,
         "decayed_rollup": q_decayed_rollup,
         "slot_anomalies": q_slot_anomalies,
+        "rolling_rollup": q_rolling_rollup,
         "concordance": q_concordance,
         "raster_distance": q_raster_distance,
         "tile_contours": q_tile_contours,
@@ -5349,6 +5362,9 @@ def oracle_sql() -> dict[str, str]:
             "events", halflife_s=7 * 86_400
         ),
         "slot_anomalies": temporal.slot_anomalies_sql("events"),
+        "rolling_rollup": temporal.rolling_rollup_sql(
+            "events", window_days=7
+        ),
         "concordance": textops.concordance_sql(
             "documents", KWIC_TERM, window=KWIC_WINDOW
         ),

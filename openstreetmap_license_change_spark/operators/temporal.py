@@ -758,3 +758,77 @@ def slot_anomalies_sql(
                 AND CAST(d.n AS HUGEINT) * s.n_days - s.s < 0) AS dip
         FROM sa_day d JOIN sa_slot s USING (event_type, hour)
     """
+
+
+def rolling_rollup(
+    events: DataFrame,
+    window_days: int = 7,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Trailing-window per-key daily rollup: for every (key, active
+    day), the day's own totals AND the trailing ``window_days``
+    totals — the 7-day-active / rolling-revenue query every analytics
+    deployment runs.  Exact integers: days are epoch-day ints, values
+    cent-quantized, and the trailing frame is a RANGE window on the
+    integer day (value-based, so ABSENT days correctly fall out of
+    the frame without densification — a ROWS frame would silently
+    treat a 3-day gap as adjacent).
+
+    One shuffle: the per-day pre-aggregation and the range window
+    both key on ``key_col`` — the window reuses the aggregation's
+    partitioning, and each frame spans ≤ window_days pre-aggregated
+    rows, not raw events.
+
+    Output: (key, day, n_day, cents_day, n_win, cents_win)."""
+    if window_days < 1:
+        raise ValueError(f"window_days must be ≥ 1: {window_days}")
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    per_day = events.select(
+        F.col(key_col),
+        us.alias("_us"),
+        F.round(F.col(value_col) * 100).cast("bigint").alias("_cents"),
+    ).withColumn(
+        "day", F.expr("_us DIV 86400000000")
+    ).groupBy(key_col, "day").agg(
+        F.count(F.lit(1)).alias("n_day"),
+        F.sum("_cents").alias("cents_day"),
+    )
+    w = (
+        W.partitionBy(key_col)
+        .orderBy("day")
+        .rangeBetween(-(int(window_days) - 1), 0)
+    )
+    return per_day.select(
+        key_col, "day", "n_day", "cents_day",
+        F.sum("n_day").over(w).alias("n_win"),
+        F.sum("cents_day").over(w).alias("cents_win"),
+    )
+
+
+def rolling_rollup_sql(
+    src: str,
+    window_days: int = 7,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> str:
+    """DuckDB twin of :func:`rolling_rollup`."""
+    return f"""
+        WITH rr_day AS (
+            SELECT {key_col},
+                   epoch_us({ts_col}) // 86400000000 AS day,
+                   CAST(COUNT(*) AS BIGINT) AS n_day,
+                   CAST(SUM(CAST(ROUND({value_col} * 100) AS BIGINT))
+                        AS BIGINT) AS cents_day
+            FROM {src} GROUP BY 1, 2
+        )
+        SELECT {key_col}, day, n_day, cents_day,
+               CAST(SUM(n_day) OVER w AS BIGINT) AS n_win,
+               CAST(SUM(cents_day) OVER w AS BIGINT) AS cents_win
+        FROM rr_day
+        WINDOW w AS (PARTITION BY {key_col} ORDER BY day
+                     RANGE BETWEEN {int(window_days) - 1} PRECEDING
+                     AND CURRENT ROW)
+    """

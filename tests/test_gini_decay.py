@@ -206,3 +206,80 @@ def test_slot_anomaly_duckdb_twin(spark):
         ).fetchall()
     )
     assert got == twin and any(r[5] for r in got)
+
+
+# ---------------------------------------------------------------------------
+# rolling_rollup
+# ---------------------------------------------------------------------------
+
+def test_rolling_gap_falls_out_of_frame(spark):
+    """Days 0,1,2 then a jump to day 10: the trailing-7 window at day
+    10 must contain ONLY day 10 (a ROWS frame would wrongly include
+    the pre-gap days)."""
+    d0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, d0, 1.0), (1, d0 + dt.timedelta(days=1), 2.0),
+        (1, d0 + dt.timedelta(days=2), 3.0),
+        (1, d0 + dt.timedelta(days=10), 5.0),
+    ]
+    sdf = spark.createDataFrame(
+        rows, "user_id bigint, ts timestamp, value double"
+    )
+    got = {
+        r.day - 19723: (r.n_day, r.cents_day, r.n_win, r.cents_win)
+        for r in temporal.rolling_rollup(sdf, window_days=7).collect()
+    }
+    assert got[0] == (1, 100, 1, 100)
+    assert got[1] == (1, 200, 2, 300)
+    assert got[2] == (1, 300, 3, 600)
+    assert got[10] == (1, 500, 1, 500)     # gap: window is day 10 alone
+
+
+def test_rolling_window_edge_inclusive(spark):
+    """Exactly window_days-1 apart is IN the frame; window_days is out."""
+    d0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, d0, 1.0),
+        (1, d0 + dt.timedelta(days=6), 1.0),
+        (2, d0, 1.0),
+        (2, d0 + dt.timedelta(days=7), 1.0),
+    ]
+    sdf = spark.createDataFrame(
+        rows, "user_id bigint, ts timestamp, value double"
+    )
+    got = {
+        (r.user_id, r.n_day, r.n_win)
+        for r in temporal.rolling_rollup(sdf, window_days=7).collect()
+    }
+    assert (1, 1, 2) in got     # day 6 sees day 0
+    assert (2, 1, 2) not in got  # day 7 does not
+
+
+def test_rolling_duckdb_twin(spark):
+    rng = random.Random(8)
+    d0 = dt.datetime(2024, 2, 1)
+    rows = [
+        (u, d0 + dt.timedelta(days=rng.randrange(30),
+                              hours=rng.randrange(24)),
+         round(rng.uniform(0, 20), 2))
+        for u in range(8) for _ in range(25)
+    ]
+    sdf = spark.createDataFrame(
+        rows, "user_id bigint, ts timestamp, value double"
+    )
+    got = sorted(
+        tuple(r)
+        for r in temporal.rolling_rollup(sdf, window_days=5).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE ev3 (user_id BIGINT, ts TIMESTAMP, value DOUBLE)"
+    )
+    con.executemany("INSERT INTO ev3 VALUES (?, ?, ?)", rows)
+    twin = sorted(
+        tuple(r)
+        for r in con.execute(
+            temporal.rolling_rollup_sql("ev3", window_days=5)
+        ).fetchall()
+    )
+    assert got == twin
