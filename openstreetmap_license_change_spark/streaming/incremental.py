@@ -230,3 +230,39 @@ def foreach_batch_latest_state(
         .select("url", *[FF.col(f"s.{f}").alias(f) for f in fields])
     )
     current.write.mode("overwrite").parquet(f"{state_dir}/state_current")
+
+
+def foreach_batch_bloom(
+    batch_df: DataFrame, batch_id: int, state_dir: str,
+    n_bits: int = 8192, k: int = 4,
+):
+    """ForeachBatch bridge maintaining a corpus Bloom membership
+    sketch incrementally — the streaming face of the sketch family's
+    merge contract (sketches.bloom_build words are bit_or-mergeable
+    exactly like tile_rollup_merge's counters): each micro-batch
+    writes its own per-batch word delta idempotently (overwrite of
+    ``blooms/batch=<id>`` — a crash-replay rewrites the same
+    partition; bit_or is idempotent anyway, the belt to that
+    suspender), and ``current`` publishes the bit_or across all batch
+    deltas.  The live sketch answers "have we ever crawled this
+    token/url" without touching the corpus.
+
+    Same recovery contract as the rollup/state bridges: ``current``
+    is derived; a crash mid-publish is rebuilt from the
+    authoritative deltas."""
+    from pyspark.sql import functions as FF
+
+    from ..operators import sketches
+
+    spark = batch_df.sparkSession
+    delta = sketches.bloom_build(batch_df, n_bits=n_bits, k=k)
+    delta.write.mode("overwrite").parquet(
+        f"{state_dir}/blooms/batch={batch_id}"
+    )
+    all_deltas = spark.read.parquet(f"{state_dir}/blooms").select(
+        "word_idx", "bits"
+    )
+    current = all_deltas.groupBy("word_idx").agg(
+        FF.bit_or("bits").alias("bits")
+    )
+    current.write.mode("overwrite").parquet(f"{state_dir}/bloom_current")

@@ -472,3 +472,65 @@ def test_diff_states_equals_batch_snapshot_diff(spark, tmp_path):
     assert statuses["u9"] == "added"
     assert statuses["u10"] == "added"
     assert "u9" != "unchanged"  # tombstone at A, present at B
+
+
+def test_foreach_batch_bloom_incremental(spark, tmp_path):
+    """Streaming Bloom maintenance: two micro-batches + a verbatim
+    replay; the materialized sketch must equal the batch bloom_build
+    over the full corpus, and membership checks against it must show
+    no false negatives."""
+    from openstreetmap_license_change_spark.operators import sketches
+    from openstreetmap_license_change_spark.streaming import incremental
+
+    src = str(tmp_path / "pages_b")
+    state = str(tmp_path / "state_b")
+
+    def run_stream():
+        stream = incremental.stream_pages(spark, src)
+        q = (
+            stream.writeStream.foreachBatch(
+                lambda df, bid: incremental.foreach_batch_bloom(
+                    df, bid, state, n_bits=512, k=3
+                )
+            )
+            .option("checkpointLocation", str(tmp_path / "ckpt_b"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    _write_pages(spark, src, 1)
+    run_stream()
+    _write_pages(spark, src, 2)
+    run_stream()
+
+    # verbatim replay of the last batch (at-least-once semantics)
+    import glob as _glob
+    last = max(int(p.rsplit("=", 1)[1])
+               for p in _glob.glob(f"{state}/blooms/batch=*"))
+    replay = spark.read.parquet(src).where(F.col("version") == 2)
+    incremental.foreach_batch_bloom(replay, last, state, n_bits=512, k=3)
+
+    got = {
+        r.word_idx: r.bits
+        for r in spark.read.parquet(f"{state}/bloom_current").collect()
+    }
+    want = {
+        r.word_idx: r.bits
+        for r in sketches.bloom_build(
+            spark.read.parquet(src), n_bits=512, k=3
+        ).collect()
+    }
+    assert got == want
+
+    probes = (
+        spark.read.parquet(src)
+        .select(F.explode(F.split(F.lower("text"), r"\s+")).alias("token"))
+        .where(F.col("token") != "")
+        .distinct()
+    )
+    checked = sketches.bloom_check(
+        spark.read.parquet(f"{state}/bloom_current"), probes,
+        n_bits=512, k=3,
+    ).collect()
+    assert checked and all(r.in_bloom for r in checked)
