@@ -759,6 +759,21 @@ def q_doc_hits(spark, sf_dir):
     return out.select(F.col("node").alias("doc_id"), "auth_q", "hub_q")
 
 
+PQ_M, PQ_CODES = 4, 8
+
+
+def q_pq_encode(spark, sf_dir):
+    """Product-quantization encoding (similarity.pq_encode): 64-dim
+    embeddings → 4 subvector codes from an 8-entry-per-subvector
+    codebook trained in the same pass (deterministic mod seeding, the
+    quantized k-means arithmetic reused verbatim) — the embedding-
+    compression step of an IVF-PQ index.  Long-form output
+    (vec, sub, code, dist_q); every code and quantization error is
+    hash-verified against the DuckDB twin."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return similarity.pq_encode(emb, m=PQ_M, codes=PQ_CODES)
+
+
 BLOOM_BITS, BLOOM_K = 4096, 4
 
 
@@ -2850,6 +2865,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cocitation_pairs": q_cocitation_pairs,
         "triangle_counts": q_triangle_counts,
         "kcore": q_kcore,
+        "pq_encode": q_pq_encode,
         "coupling_pairs": q_coupling_pairs,
         "kmv_distinct_docs": q_kmv_distinct_docs,
         "countmin_topk": q_countmin_topk,
@@ -3851,6 +3867,9 @@ def oracle_sql() -> dict[str, str]:
         """),
         "inverted_index": textops.inverted_index_sql(
             "documents", shard_size=II_SHARD
+        ),
+        "pq_encode": similarity.pq_encode_sql(
+            "embeddings", m=PQ_M, codes=PQ_CODES
         ),
         "bloom_membership": (
             "SELECT token, in_bloom, "

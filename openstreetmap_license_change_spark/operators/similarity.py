@@ -402,3 +402,126 @@ def nearest_centroid_assign_sql(
                (MIN({{'d': dist_q, 'g': {group_col}}})).d AS dist_q
         FROM per GROUP BY {id_col}
     """
+
+
+def pq_encode(
+    embeddings: DataFrame,
+    m: int = 4,
+    codes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 10**6,
+) -> DataFrame:
+    """Product-quantization encoding — the embedding-compression step
+    of a vector pipeline at corpus scale (an IVF-PQ index stores ``m``
+    small codes per vector instead of the float payload; recall drops
+    a little, storage drops ~100×): the vector splits into ``m``
+    contiguous subvectors, each assigned its nearest subvector
+    codebook entry.
+
+    Codebooks are trained in the SAME pass with the deterministic
+    seeding of the k-means round (assignment = id mod ``codes``), i.e.
+    one quantized M-step per (subvector, code) — at production scale
+    you iterate E/M rounds exactly like embedding_centroids /
+    nearest_centroid_assign, whose arithmetic this reuses verbatim:
+    round(val·scale) int snap, sum DIV n centroids, Σ(q−mean)²
+    distances, min(struct) argmin with smallest-code tie-break — so
+    the whole train+encode pipeline is engine-exact and the DuckDB
+    twin (:func:`pq_encode_sql`) hash-matches.
+
+    Plan: one posexplode; codebook = map-side-combined groupBy on
+    (code, dim) — |codes|·D rows, broadcast back; per-(vec, sub, code)
+    partial sums then per-(vec, sub) argmin — no window over raw data,
+    no collect.  Returns long form (id, sub, code, dist_q): the
+    join-ready shape (reassemble codes with array_agg downstream if a
+    packed row is wanted).
+
+    ``m`` must divide the (uniform) dimensionality; validated at plan
+    time via assert on the first row's length would be a driver
+    action, so the contract is documented instead: a non-divisible
+    D puts the remainder dims in the last subvector (dim DIV ceil)
+    — callers wanting strictness check D upfront."""
+    if m < 1 or codes < 1:
+        raise ValueError(f"m and codes must be ≥ 1: {m}, {codes}")
+    q = F.round(F.col("_v") * F.lit(float(scale))).cast("bigint")
+    vlong = embeddings.select(
+        id_col,
+        F.size(vec_col).alias("_d"),
+        F.posexplode(vec_col).alias("dim", "_v"),
+    ).select(
+        id_col,
+        "dim",
+        q.alias("_q"),
+        # ceil-split: subvector width ⌈D/m⌉, remainder dims land in
+        # the last subvector
+        F.expr(f"dim DIV ((_d + {m} - 1) DIV {m})").alias("sub"),
+    )
+    seeded = vlong.withColumn(
+        "_seed", F.expr(f"{id_col} % {int(codes)}")
+    )
+    codebook = (
+        seeded.groupBy("_seed", "dim")
+        .agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.sum("_q").alias("_s"),
+        )
+        .select(
+            F.col("_seed").alias("code"),
+            "dim",
+            F.expr("_s DIV _n").alias("mean_q"),
+        )
+    )
+    j = vlong.join(F.broadcast(codebook), "dim")
+    d = F.col("_q") - F.col("mean_q")
+    per = j.groupBy(id_col, "sub", "code").agg(
+        F.sum(d * d).alias("dist_q")
+    )
+    return (
+        per.groupBy(id_col, "sub")
+        .agg(F.min(F.struct("dist_q", "code")).alias("_b"))
+        .select(
+            id_col, "sub",
+            F.col("_b.code").alias("code"),
+            F.col("_b.dist_q").alias("dist_q"),
+        )
+    )
+
+
+def pq_encode_sql(
+    emb_src: str,
+    m: int = 4,
+    codes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 10**6,
+) -> str:
+    """DuckDB twin of :func:`pq_encode` — identical snap, ceil-split,
+    codebook means and argmin."""
+    return f"""
+        WITH pq_long AS (
+            SELECT {id_col},
+                   CAST(u.i - 1 AS INTEGER) AS dim,
+                   CAST(ROUND(CAST({vec_col}[u.i] AS DOUBLE) * {scale})
+                        AS BIGINT) AS q,
+                   CAST((u.i - 1) // ((len({vec_col}) + {m} - 1) // {m})
+                        AS INTEGER) AS sub
+            FROM {emb_src},
+                 LATERAL (SELECT UNNEST(range(1, len({vec_col}) + 1)) AS i) u
+        ),
+        pq_cb AS (
+            SELECT {id_col} % {int(codes)} AS code, dim,
+                   CAST(SUM(q) // COUNT(*) AS BIGINT) AS mean_q
+            FROM pq_long GROUP BY 1, 2
+        ),
+        pq_per AS (
+            SELECT v.{id_col}, v.sub, c.code,
+                   CAST(SUM((v.q - c.mean_q) * (v.q - c.mean_q))
+                        AS BIGINT) AS dist_q
+            FROM pq_long v JOIN pq_cb c USING (dim)
+            GROUP BY 1, 2, 3
+        )
+        SELECT {id_col}, sub,
+               (MIN({{'d': dist_q, 'c': code}})).c AS code,
+               (MIN({{'d': dist_q, 'c': code}})).d AS dist_q
+        FROM pq_per GROUP BY {id_col}, sub
+    """
