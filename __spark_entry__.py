@@ -774,6 +774,27 @@ def q_pq_encode(spark, sf_dir):
     return similarity.pq_encode(emb, m=PQ_M, codes=PQ_CODES)
 
 
+def q_pq_search(spark, sf_dir):
+    """ADC top-10 retrieval over PQ codes (similarity.pq_search): the
+    query's distances to every (subvector, code) centroid become an
+    m·codes lookup table; each corpus vector scores as the sum of m
+    lookups on its codes — the corpus is touched only through its
+    integer codes.  Query = the vec_id=0 embedding (the house ANN
+    convention); the DuckDB twin splices the pq_encode twin's CTEs
+    with the same lookup sum, so the top-k and every approx distance
+    hash-match."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qvec = [
+        float(x)
+        for x in emb.where(F.col("vec_id") == 0)
+        .select("embedding").head()[0]
+    ]
+    return similarity.pq_search(
+        emb.where(F.col("vec_id") != 0), qvec, k=10,
+        m=PQ_M, codes=PQ_CODES,
+    )
+
+
 BLOOM_BITS, BLOOM_K = 4096, 4
 
 
@@ -2866,6 +2887,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangle_counts": q_triangle_counts,
         "kcore": q_kcore,
         "pq_encode": q_pq_encode,
+        "pq_search": q_pq_search,
         "coupling_pairs": q_coupling_pairs,
         "kmv_distinct_docs": q_kmv_distinct_docs,
         "countmin_topk": q_countmin_topk,
@@ -3870,6 +3892,11 @@ def oracle_sql() -> dict[str, str]:
         ),
         "pq_encode": similarity.pq_encode_sql(
             "embeddings", m=PQ_M, codes=PQ_CODES
+        ),
+        "pq_search": similarity.pq_search_sql(
+            "(SELECT * FROM embeddings WHERE vec_id <> 0)",
+            "(SELECT embedding FROM embeddings WHERE vec_id = 0)",
+            k=10, m=PQ_M, codes=PQ_CODES,
         ),
         "bloom_membership": (
             "SELECT token, in_bloom, "

@@ -525,3 +525,137 @@ def pq_encode_sql(
                (MIN({{'d': dist_q, 'c': code}})).d AS dist_q
         FROM pq_per GROUP BY {id_col}, sub
     """
+
+
+def pq_search(
+    embeddings: DataFrame,
+    query: "list[float]",
+    k: int = 10,
+    m: int = 4,
+    codes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 10**6,
+) -> DataFrame:
+    """ADC (asymmetric-distance) top-``k`` retrieval over
+    :func:`pq_encode` codes — the query half of IVF-PQ: the query
+    stays UNquantized-by-codes (asymmetric), its distance to every
+    (subvector, code) centroid is precomputed into an ``m·codes``-row
+    lookup table, and each vector's approximate distance is the sum
+    of ``m`` table lookups on its codes — the corpus is touched only
+    through its integer codes, never its floats.
+
+    Exactness contract: given the codes, every ADC arithmetic step is
+    engine-exact (the pq_encode quantization discipline), so
+    approx_dist_q and the top-k cut (ties → lowest id) hash-match the
+    twin — the approximation is PQ itself, measured against exact
+    search the same way ann_recall measures the LSH path.
+
+    Plan: codebook + lookup table are tiny broadcasts; per-vector
+    score is one groupBy over the m code rows; the global top-k is
+    TakeOrderedAndProject.  Returns (id, approx_dist_q)."""
+    enc = pq_encode(
+        embeddings, m=m, codes=codes,
+        id_col=id_col, vec_col=vec_col, scale=scale,
+    )
+    q = F.round(F.col("_v") * F.lit(float(scale))).cast("bigint")
+    # rebuild the codebook exactly as pq_encode does (same pass shape)
+    cb_long = embeddings.select(
+        id_col,
+        F.size(vec_col).alias("_d"),
+        F.posexplode(vec_col).alias("dim", "_v"),
+    ).select(
+        id_col, "dim",
+        q.alias("_q"),
+        F.expr(f"dim DIV ((_d + {m} - 1) DIV {m})").alias("sub"),
+    )
+    codebook = (
+        cb_long.withColumn("_seed", F.expr(f"{id_col} % {int(codes)}"))
+        .groupBy("_seed", "dim")
+        .agg(F.count(F.lit(1)).alias("_n"), F.sum("_q").alias("_s"))
+        .select(
+            F.col("_seed").alias("code"), "dim",
+            F.expr("_s DIV _n").alias("mean_q"),
+        )
+    )
+    d = len(query)
+    width = (d + m - 1) // m
+    # quantize IN-ENGINE (F.round), not in Python: Python's banker's
+    # round would disagree with both engines' half-away ROUND at .5
+    spark = embeddings.sparkSession
+    qdf = spark.createDataFrame(
+        [(i, i // width, float(query[i])) for i in range(d)],
+        "dim int, sub int, qv double",
+    ).select(
+        "dim", "sub",
+        F.round(F.col("qv") * F.lit(float(scale))).cast("bigint")
+        .alias("q_q"),
+    )
+    lut = (
+        qdf.join(F.broadcast(codebook), "dim")
+        .groupBy("sub", "code")
+        .agg(
+            F.sum(
+                (F.col("q_q") - F.col("mean_q"))
+                * (F.col("q_q") - F.col("mean_q"))
+            ).alias("lut_q")
+        )
+    )
+    scored = (
+        enc.join(F.broadcast(lut), ["sub", "code"])
+        .groupBy(id_col)
+        .agg(F.sum("lut_q").alias("approx_dist_q"))
+    )
+    return scored.orderBy(
+        F.col("approx_dist_q").asc(), F.col(id_col).asc()
+    ).limit(k)
+
+
+def pq_search_sql(
+    emb_src: str,
+    query_src: str,
+    k: int = 10,
+    m: int = 4,
+    codes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 10**6,
+) -> str:
+    """DuckDB twin of :func:`pq_search` — the pq_encode twin's CTEs
+    plus the query lookup table and the summed-lookup top-k.
+    ``query_src`` yields ONE row with a ``{vec_col}`` list; its
+    quantization runs in-engine (ROUND), mirroring the operator."""
+    enc = pq_encode_sql(
+        emb_src, m=m, codes=codes,
+        id_col=id_col, vec_col=vec_col, scale=scale,
+    ).replace("WITH ", "", 1)
+    # reuse the twin's CTE chain; splice before its final SELECT
+    head, _, tail = enc.rpartition("SELECT")
+    return f"""
+        WITH {head.rstrip()},
+        pq_enc AS (
+            SELECT{tail}
+        ),
+        pq_q AS (
+            SELECT CAST(u.i - 1 AS INTEGER) AS dim,
+                   CAST((u.i - 1) // ((len({vec_col}) + {m} - 1) // {m})
+                        AS INTEGER) AS sub,
+                   CAST(ROUND(CAST({vec_col}[u.i] AS DOUBLE) * {scale})
+                        AS BIGINT) AS q_q
+            FROM {query_src},
+                 LATERAL (SELECT UNNEST(range(1, len({vec_col}) + 1)) AS i) u
+        ),
+        pq_lut AS (
+            SELECT q.sub, c.code,
+                   CAST(SUM((q.q_q - c.mean_q) * (q.q_q - c.mean_q))
+                        AS BIGINT) AS lut_q
+            FROM pq_q q JOIN pq_cb c USING (dim)
+            GROUP BY 1, 2
+        )
+        SELECT e.{id_col},
+               CAST(SUM(l.lut_q) AS BIGINT) AS approx_dist_q
+        FROM pq_enc e JOIN pq_lut l USING (sub, code)
+        GROUP BY e.{id_col}
+        ORDER BY approx_dist_q ASC, e.{id_col} ASC
+        LIMIT {int(k)}
+    """
