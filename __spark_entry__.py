@@ -1758,6 +1758,27 @@ def q_decayed_rollup(spark, sf_dir):
     return temporal.decayed_rollup(ev, halflife_s=7 * 86_400)
 
 
+def q_interval_coverage(spark, sf_dir):
+    """Per-user interval-union coverage (temporal.interval_coverage):
+    events become [ts, ts + value minutes] intervals (cent-quantized
+    duration, so both engines build identical µs endpoints), then the
+    sweep-line-as-windows union — running-max island detection, exact
+    covered_us that naive SUM(end−start) would double-count.  Twin
+    identical."""
+    from openstreetmap_license_change_spark.operators import temporal
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    iv = ev.select(
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("start_us"),
+        (
+            F.unix_micros(F.col("ts").cast("timestamp"))
+            + F.round(F.col("value") * 100).cast("bigint") * 600_000
+        ).alias("end_us"),
+    )
+    return temporal.interval_coverage(iv)
+
+
 def q_rolling_rollup(spark, sf_dir):
     """Trailing 7-day per-user rollup (temporal.rolling_rollup):
     epoch-day ints + cent-quantized values, RANGE frame over the
@@ -2874,6 +2895,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decayed_rollup": q_decayed_rollup,
         "slot_anomalies": q_slot_anomalies,
         "rolling_rollup": q_rolling_rollup,
+        "interval_coverage": q_interval_coverage,
         "concordance": q_concordance,
         "raster_distance": q_raster_distance,
         "tile_contours": q_tile_contours,
@@ -5410,6 +5432,13 @@ def oracle_sql() -> dict[str, str]:
         "slot_anomalies": temporal.slot_anomalies_sql("events"),
         "rolling_rollup": temporal.rolling_rollup_sql(
             "events", window_days=7
+        ),
+        "interval_coverage": temporal.interval_coverage_sql(
+            """(SELECT user_id,
+                       epoch_us(ts) AS start_us,
+                       epoch_us(ts) + CAST(ROUND(value * 100) AS BIGINT)
+                           * 600000 AS end_us
+                FROM events)"""
         ),
         "concordance": textops.concordance_sql(
             "documents", KWIC_TERM, window=KWIC_WINDOW

@@ -832,3 +832,101 @@ def rolling_rollup_sql(
                      RANGE BETWEEN {int(window_days) - 1} PRECEDING
                      AND CURRENT ROW)
     """
+
+
+def interval_coverage(
+    intervals: DataFrame,
+    key_col: str = "user_id",
+    start_col: str = "start_us",
+    end_col: str = "end_us",
+) -> DataFrame:
+    """Per-key interval-union coverage: total time covered by the
+    UNION of possibly-overlapping intervals, plus the island count —
+    the utilization/SLA query (how long was the device online, the
+    cell observed, the session active) that naive SUM(end−start)
+    double-counts.
+
+    The sweep-line re-expressed as windows (gaps-and-islands, the
+    stay_points machinery on the time axis): order each key's
+    intervals by (start, end); an interval OPENS a new island iff its
+    start exceeds the running max of all previous ends (strictly —
+    touching intervals [a,b][b,c] merge); islands then aggregate
+    min(start)/max(end) and coverage sums their spans.  All integer
+    µs — no floats, no densification, engine-identical.
+
+    Plan: ONE window sort per key (running max is the same frame as
+    the island counter) + two key-local aggregations — a single hash
+    shuffle.  Empty/negative intervals (end ≤ start) contribute
+    nothing but still count in n_intervals.
+
+    Output: (key, n_intervals, n_islands, covered_us)."""
+    w = W.partitionBy(key_col).orderBy(start_col, end_col)
+    prev_max = F.max(end_col).over(
+        w.rowsBetween(W.unboundedPreceding, -1)
+    )
+    seg = intervals.select(
+        key_col,
+        F.col(start_col).alias("_s"),
+        F.col(end_col).alias("_e"),
+        prev_max.alias("_pm"),
+    ).withColumn(
+        "_new",
+        (F.col("_pm").isNull() | (F.col("_s") > F.col("_pm"))).cast("int"),
+    ).withColumn(
+        "_isl",
+        F.sum("_new").over(
+            W.partitionBy(key_col)
+            .orderBy("_s", "_e")
+            .rowsBetween(W.unboundedPreceding, 0)
+        ),
+    )
+    islands = seg.groupBy(key_col, "_isl").agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.min("_s").alias("_is"),
+        F.max("_e").alias("_ie"),
+    )
+    return islands.groupBy(key_col).agg(
+        F.sum("_n").alias("n_intervals"),
+        F.count(F.lit(1)).alias("n_islands"),
+        F.sum(
+            F.greatest(F.col("_ie") - F.col("_is"), F.lit(0))
+        ).alias("covered_us"),
+    )
+
+
+def interval_coverage_sql(
+    src: str,
+    key_col: str = "user_id",
+    start_col: str = "start_us",
+    end_col: str = "end_us",
+) -> str:
+    """DuckDB twin of :func:`interval_coverage`."""
+    return f"""
+        WITH ic_seg AS (
+            SELECT {key_col}, {start_col} AS _s, {end_col} AS _e,
+                   MAX({end_col}) OVER (
+                       PARTITION BY {key_col}
+                       ORDER BY {start_col}, {end_col}
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ) AS _pm
+            FROM {src}
+        ),
+        ic_isl AS (
+            SELECT *,
+                   SUM(CASE WHEN _pm IS NULL OR _s > _pm
+                            THEN 1 ELSE 0 END) OVER (
+                       PARTITION BY {key_col} ORDER BY _s, _e
+                       ROWS UNBOUNDED PRECEDING) AS _isl
+            FROM ic_seg
+        ),
+        ic_agg AS (
+            SELECT {key_col}, _isl, COUNT(*) AS _n,
+                   MIN(_s) AS _is, MAX(_e) AS _ie
+            FROM ic_isl GROUP BY 1, 2
+        )
+        SELECT {key_col},
+               CAST(SUM(_n) AS BIGINT) AS n_intervals,
+               CAST(COUNT(*) AS BIGINT) AS n_islands,
+               CAST(SUM(GREATEST(_ie - _is, 0)) AS BIGINT) AS covered_us
+        FROM ic_agg GROUP BY 1
+    """

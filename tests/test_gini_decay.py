@@ -283,3 +283,83 @@ def test_rolling_duckdb_twin(spark):
         ).fetchall()
     )
     assert got == twin
+
+
+# ---------------------------------------------------------------------------
+# interval_coverage
+# ---------------------------------------------------------------------------
+
+def _coverage_python(rows):
+    from collections import defaultdict
+
+    per = defaultdict(list)
+    for k, s, e in rows:
+        per[k].append((s, e))
+    out = {}
+    for k, ivs in per.items():
+        ivs.sort()
+        islands = []
+        for s, e in ivs:
+            if islands and s <= islands[-1][1]:
+                islands[-1][1] = max(islands[-1][1], e)
+            else:
+                islands.append([s, e])
+        out[k] = (
+            len(ivs), len(islands),
+            sum(max(e - s, 0) for s, e in islands),
+        )
+    return out
+
+
+def _run_cov(spark, rows):
+    sdf = spark.createDataFrame(
+        rows, "user_id bigint, start_us bigint, end_us bigint"
+    )
+    return {
+        r.user_id: (r.n_intervals, r.n_islands, r.covered_us)
+        for r in temporal.interval_coverage(sdf).collect()
+    }
+
+
+def test_coverage_merge_touch_disjoint(spark):
+    rows = [
+        (1, 0, 100), (1, 50, 150),     # overlap → one island, 150
+        (1, 150, 200),                 # touching → still one island
+        (1, 300, 400),                 # disjoint
+        (2, 0, 0),                     # empty interval
+    ]
+    got = _run_cov(spark, rows)
+    assert got[1] == (4, 2, 300)
+    assert got[2] == (1, 1, 0)
+
+
+def test_coverage_contained_interval(spark):
+    """An interval fully inside another must not extend the island."""
+    rows = [(1, 0, 1000), (1, 100, 200), (1, 900, 1100)]
+    got = _run_cov(spark, rows)
+    assert got[1] == (3, 1, 1100)
+
+
+def test_coverage_random_vs_python_and_duckdb(spark):
+    rng = random.Random(14)
+    rows = [
+        (u, s := rng.randrange(0, 10_000), s + rng.randrange(0, 800))
+        for u in range(6)
+        for _ in range(50)
+    ]
+    want = _coverage_python(rows)
+    got = _run_cov(spark, rows)
+    assert got == want
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE iv (user_id BIGINT, start_us BIGINT, end_us BIGINT)"
+    )
+    con.executemany("INSERT INTO iv VALUES (?, ?, ?)", rows)
+    twin = {
+        r[0]: (r[1], r[2], r[3])
+        for r in con.execute(
+            temporal.interval_coverage_sql("iv")
+        ).fetchall()
+    }
+    assert twin == want
