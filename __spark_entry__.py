@@ -1827,6 +1827,24 @@ def q_trip_cell_paths(spark, sf_dir):
     )
 
 
+def q_fuzzy_url_pairs(spark, sf_dir):
+    """Typo-radius url reconciliation (dedup.fuzzy_key_join): distinct
+    corpus urls self-joined at Levenshtein ≤ 1 via the FastSS
+    deletion-neighborhood blocking (provable candidate superset, fan
+    = len+1 variants) + the JVM-native levenshtein filter; emitted
+    once per unordered pair.  The DuckDB twin runs the identical
+    neighborhood and filter, hash-verified."""
+    urls = _pages(spark, sf_dir).select("url").distinct()
+    out = dedup.fuzzy_key_join(
+        urls.select(F.col("url").alias("a_id"), F.col("url").alias("key")),
+        urls.select(F.col("url").alias("b_id"), F.col("url").alias("key")),
+        left_id="a_id", right_id="b_id",
+    )
+    return out.where(F.col("a_id") < F.col("b_id")).select(
+        "a_id", "b_id", "lev_dist"
+    )
+
+
 def q_gopher_filter(spark, sf_dir):
     """Gopher-style composite quality filter (textops.gopher_filter):
     seven cross-multiplied integer rules (length bounds, mean word
@@ -2896,6 +2914,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "slot_anomalies": q_slot_anomalies,
         "rolling_rollup": q_rolling_rollup,
         "interval_coverage": q_interval_coverage,
+        "fuzzy_url_pairs": q_fuzzy_url_pairs,
         "concordance": q_concordance,
         "raster_distance": q_raster_distance,
         "tile_contours": q_tile_contours,
@@ -5433,6 +5452,14 @@ def oracle_sql() -> dict[str, str]:
         "rolling_rollup": temporal.rolling_rollup_sql(
             "events", window_days=7
         ),
+        "fuzzy_url_pairs": _with_pages(f"""
+            , fu_urls AS (SELECT DISTINCT url FROM pages)
+            SELECT a_id, b_id, lev_dist FROM ({dedup.fuzzy_key_join_sql(
+                "(SELECT url AS a_id, url AS key FROM fu_urls)",
+                "(SELECT url AS b_id, url AS key FROM fu_urls)",
+                left_id="a_id", right_id="b_id",
+            )}) WHERE a_id < b_id
+        """),
         "interval_coverage": temporal.interval_coverage_sql(
             """(SELECT user_id,
                        epoch_us(ts) AS start_us,

@@ -707,3 +707,112 @@ def simhash_clusters(
     return labels.select(
         F.col("id").alias(id_col), F.col("label").alias("cluster_id")
     )
+
+
+def fuzzy_key_join(
+    left: DataFrame,
+    right: DataFrame,
+    max_dist: int = 1,
+    left_id: str = "doc_id",
+    right_id: str = "cand_id",
+    key_col: str = "key",
+) -> DataFrame:
+    """Bounded fuzzy key matching: pairs whose keys are within
+    Levenshtein distance ``max_dist`` — typo-tolerant url/entity
+    reconciliation (the distributed face of the reference's
+    `levenshtein_distance` significance check, tags.rb:341-362, which
+    compares two tag values in-row; here the same metric drives a
+    corpus×corpus join).
+
+    A naive fuzzy join is |L|·|R|; candidates come from the FastSS
+    DELETION NEIGHBORHOOD (Bocek et al.): every key fans to itself
+    plus its len single-deletion variants, and ``lev(a,b) ≤ 1``
+    implies the neighborhoods share a string (a substitution deletes
+    the differing position from both; an indel deletes the extra
+    char from the longer side) — so the variant equi-join is a
+    PROVABLE candidate superset, and the JVM-native levenshtein
+    filter makes the result exact.  Fan-out is len+1 rows per key —
+    bounded by key length (urls/tokens, not documents; for long text
+    use the MinHash family instead).
+
+    Plan: two narrow explode fans, one equi-join on the variant
+    string, distinct pairs, native levenshtein filter — no Python,
+    no cross join.  Returns (ids, key pair, lev_dist ≤ max_dist)."""
+    if max_dist != 1:
+        raise ValueError(
+            "fuzzy_key_join implements the single-deletion "
+            f"neighborhood (exact for max_dist=1); got {max_dist}"
+        )
+
+    def fan(df, idc, side):
+        k = F.col(key_col)
+        # 1-based substring semantics are engine-identical
+        variants = F.expr(
+            f"array_union(array({key_col}), "
+            f"transform(sequence(1, length({key_col})), "
+            f"i -> concat(substring({key_col}, 1, i - 1), "
+            f"substring({key_col}, i + 1, 1000000))))"
+        )
+        return df.select(
+            F.col(idc).alias(f"{side}_id"),
+            k.alias(f"{side}_key"),
+            F.explode(variants).alias("variant"),
+        )
+
+    lf = fan(left, left_id, "l")
+    rf = fan(right, right_id, "r")
+    cand = (
+        lf.join(rf, "variant")
+        .select("l_id", "l_key", "r_id", "r_key")
+        .distinct()
+    )
+    out = cand.withColumn(
+        "lev_dist", F.levenshtein("l_key", "r_key")
+    ).where(F.col("lev_dist") <= max_dist)
+    return out.select(
+        F.col("l_id").alias(left_id),
+        F.col("r_id").alias(right_id),
+        F.col("l_key").alias("left_key"),
+        F.col("r_key").alias("right_key"),
+        "lev_dist",
+    )
+
+
+def fuzzy_key_join_sql(
+    left_src: str,
+    right_src: str,
+    max_dist: int = 1,
+    left_id: str = "doc_id",
+    right_id: str = "cand_id",
+    key_col: str = "key",
+) -> str:
+    """DuckDB twin of :func:`fuzzy_key_join` (deletion-neighborhood
+    blocking, native levenshtein filter)."""
+    if max_dist != 1:
+        raise ValueError("twin implements the d=1 neighborhood only")
+
+    def fan(src, idc, side):
+        return f"""
+            SELECT {idc} AS {side}_id, {key_col} AS {side}_key,
+                   UNNEST(list_distinct(list_append(
+                       list_transform(
+                           range(1, length({key_col}) + 1),
+                           i -> substr({key_col}, 1, i - 1)
+                                || substr({key_col}, i + 1)),
+                       {key_col}))) AS variant
+            FROM {src}
+        """
+
+    return f"""
+        WITH fz_l AS ({fan(left_src, left_id, 'l')}),
+        fz_r AS ({fan(right_src, right_id, 'r')}),
+        fz_cand AS (
+            SELECT DISTINCT l.l_id, l.l_key, r.r_id, r.r_key
+            FROM fz_l l JOIN fz_r r USING (variant)
+        )
+        SELECT l_id AS {left_id}, r_id AS {right_id},
+               l_key AS left_key, r_key AS right_key,
+               CAST(levenshtein(l_key, r_key) AS INTEGER) AS lev_dist
+        FROM fz_cand
+        WHERE levenshtein(l_key, r_key) <= {int(max_dist)}
+    """

@@ -173,3 +173,79 @@ def test_kwic_duckdb_twin(spark):
         ).fetchall()
     )
     assert got == twin and len(got) > 10
+
+
+# ---------------------------------------------------------------------------
+# fuzzy_key_join (deletion-neighborhood Levenshtein join)
+# ---------------------------------------------------------------------------
+
+from openstreetmap_license_change_spark.operators import dedup as _dedup
+
+
+def _fuzzy_df(spark, items, idc):
+    return spark.createDataFrame(
+        [(i, k) for i, k in items], f"{idc} string, key string"
+    )
+
+
+def test_fuzzy_join_exhaustive_d1_completeness(spark):
+    """Every string within lev ≤ 1 of 'abc' over a 3-letter alphabet
+    must be found (substitutions, insertions, deletions, identity) —
+    the exactness proof for the deletion-neighborhood blocking."""
+    import itertools
+
+    base = "abc"
+    alphabet = "abx"
+    neighborhood = {base, "ab", "ac", "bc"}
+    for i in range(4):
+        for c in alphabet:
+            neighborhood.add(base[:i] + c + base[i:])          # insert
+            if i < 3:
+                neighborhood.add(base[:i] + c + base[i + 1:])  # subst
+    rights = sorted(neighborhood) + ["zzz", "abcd!", "a"]
+    left = _fuzzy_df(spark, [("L", base)], "a_id")
+    right = _fuzzy_df(spark, list(zip(rights, rights)), "b_id")
+    got = {
+        r.right_key
+        for r in _dedup.fuzzy_key_join(
+            left, right, left_id="a_id", right_id="b_id"
+        ).collect()
+    }
+    def lev(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(
+                    dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb)
+                )
+        return dp[-1]
+
+    want = {r for r in rights if lev(base, r) <= 1}
+    assert got == want
+
+
+def test_fuzzy_join_duckdb_twin(spark):
+    keys = [f"doc://w/{i}" for i in range(40)] + ["doc://w/1x", "doc:/w/2"]
+    left = _fuzzy_df(spark, list(zip(keys, keys)), "a_id")
+    right = _fuzzy_df(spark, list(zip(keys, keys)), "b_id")
+    got = sorted(
+        tuple(r)
+        for r in _dedup.fuzzy_key_join(
+            left, right, left_id="a_id", right_id="b_id"
+        ).collect()
+    )
+    con = duckdb.connect()
+    con.execute("CREATE TABLE l (a_id VARCHAR, key VARCHAR)")
+    con.executemany("INSERT INTO l VALUES (?, ?)", list(zip(keys, keys)))
+    con.execute("CREATE TABLE r (b_id VARCHAR, key VARCHAR)")
+    con.executemany("INSERT INTO r VALUES (?, ?)", list(zip(keys, keys)))
+    twin = sorted(
+        tuple(r)
+        for r in con.execute(
+            _dedup.fuzzy_key_join_sql(
+                "l", "r", left_id="a_id", right_id="b_id"
+            )
+        ).fetchall()
+    )
+    assert got == twin and len(got) > len(keys)  # self pairs + fuzz
