@@ -1886,6 +1886,29 @@ def q_link_distance(spark, sf_dir):
     return out.select(F.col("node").alias("doc_id"), "dist")
 
 
+WD_ROUNDS = 6
+
+
+def q_weighted_distance(spark, sf_dir):
+    """Bellman–Ford weighted distance (graph.weighted_distance) from
+    the same trusted-seed set over the doc link graph with
+    deterministic integer edge costs (w = 1 + (3·src + dst) mod 7 —
+    a stand-in for per-link crawl cost): min-plus frontier relaxation
+    where a settled node can re-enter the frontier when a
+    longer-but-cheaper path arrives; the DuckDB oracle
+    (graph.weighted_distance_sql) unrolls the identical ≤ 6-edge
+    min-plus recurrence, so the full cost table (including NULL =
+    unreached) is hash-verified."""
+    nodes, edges = _doc_link_graph(spark, sf_dir)
+    seeds = nodes.where(F.col("node") % 97 == 0)
+    wedges = edges.select(
+        "src", "dst",
+        (F.lit(1) + (F.col("src") * 3 + F.col("dst")) % 7).alias("w"),
+    )
+    out = graph.weighted_distance(nodes, seeds, wedges, rounds=WD_ROUNDS)
+    return out.select(F.col("node").alias("doc_id"), "dist")
+
+
 def q_label_spread(spark, sf_dir):
     """Fixed-round label propagation (graph.label_spread): language-
     tier seeds on doc_id ≡ 0 mod 11 (label = doc_id mod 7) spread to
@@ -2903,6 +2926,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_resample": q_mixture_resample,
         "doc_pagerank": q_doc_pagerank,
         "link_distance": q_link_distance,
+        "weighted_distance": q_weighted_distance,
         "label_spread": q_label_spread,
         "bm25_topk": q_bm25_topk,
         "gopher_filter": q_gopher_filter,
@@ -5529,6 +5553,17 @@ def oracle_sql() -> dict[str, str]:
                 'WHERE doc_id % 97 = 0)',
                 _PR_EDGES_SQL,
                 rounds=BFS_ROUNDS,
+            )})
+        """,
+        "weighted_distance": f"""
+            SELECT node AS doc_id, dist
+            FROM ({graph.weighted_distance_sql(
+                '(SELECT doc_id AS node FROM documents)',
+                '(SELECT doc_id AS node FROM documents '
+                'WHERE doc_id % 97 = 0)',
+                f'(SELECT src, dst, 1 + (src * 3 + dst) % 7 AS w '
+                f'FROM {_PR_EDGES_SQL})',
+                rounds=WD_ROUNDS,
             )})
         """,
         "label_spread": f"""

@@ -917,3 +917,138 @@ def kcore_sql(
         GROUP BY s.src
         HAVING COUNT(*) >= {int(k)}
     """
+
+
+def weighted_distance(
+    nodes: DataFrame,
+    seeds: DataFrame,
+    edges: DataFrame,
+    rounds: int,
+) -> DataFrame:
+    """Bellman–Ford min-plus distance over INTEGER-weighted directed
+    edges — the weighted companion of :func:`link_distance` (which is
+    the unit-weight special case): shortest *weighted* path from the
+    seed set, the cost-to-reach signal for crawl scheduling and
+    link-spam damping where hops are not all equal (reference parity:
+    the same bounded-closure role as cascade.rb's candidate walk, with
+    edge cost generalizing hop count).
+
+    Exact integers end-to-end: after round k, dist(v) is THE true
+    min-weight path over all paths of ≤ k EDGES (min-plus relaxation
+    is monotone in path length), NULL when no ≤ k-edge path exists —
+    ``rounds`` is a path-length bound, not an approximation knob, and
+    the DuckDB twin (:func:`weighted_distance_sql`) unrolls the
+    identical recurrence so every round's result hash-matches.
+
+    Scale design (the :func:`link_distance` pattern, weight-adapted):
+    only the FRONTIER — nodes whose distance IMPROVED last round —
+    propagates (any path of ≤ k+1 edges that beats the current dist
+    must extend a path that improved at round k, so settled-and-
+    unimproved nodes contribute nothing new); per round one src-keyed
+    join of the pre-partitioned edge list against the frontier plus a
+    dst-keyed partial-agg min — 2 shuffles/round, AQE handles hub
+    skew, lineage cut per round, empty frontier short-circuits.
+    Unlike the unit-weight case a node can re-enter the frontier
+    (a longer-but-cheaper path arrives later) — the improvement test
+    handles that naturally.
+
+    ``edges``: (src, dst, w) with BIGINT-castable non-negative ``w``
+    (negative weights would still relax correctly round-by-round but
+    break the ≤ k-edge optimality reading; they are rejected loudly).
+    Returns (node, dist) with dist NULL when unreached within
+    ``rounds`` edges."""
+    edges = (
+        edges.select("src", "dst", F.col("w").cast("bigint").alias("w"))
+        .repartition("src")
+        .localCheckpoint(eager=True)
+    )
+    n_neg = edges.where(F.col("w") < 0).count()
+    if n_neg:
+        raise ValueError(
+            f"weighted_distance requires non-negative weights; "
+            f"found {n_neg} negative-weight edges"
+        )
+    seed_marked = nodes.join(
+        seeds.select("node").distinct().withColumn("_s", F.lit(1)),
+        "node",
+        "left",
+    )
+    dist = seed_marked.select(
+        "node",
+        F.when(F.col("_s").isNotNull(), F.lit(0))
+        .cast("bigint")
+        .alias("dist"),
+    ).localCheckpoint(eager=True)
+    frontier = dist.where(F.col("dist") == 0).localCheckpoint(eager=True)
+    for _ in range(rounds):
+        if frontier.isEmpty():
+            break
+        nd = (
+            edges.join(frontier, edges.src == frontier.node)
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.min(F.col("dist") + F.col("w")).alias("_nd"))
+        )
+        relaxed = dist.join(nd, "node", "left").select(
+            "node",
+            F.when(F.col("dist").isNull(), F.col("_nd"))
+            .when(F.col("_nd").isNull(), F.col("dist"))
+            .otherwise(F.least("dist", "_nd"))
+            .alias("dist"),
+        ).localCheckpoint(eager=True)
+        frontier = (
+            relaxed.alias("r")
+            .join(dist.alias("d"), "node")
+            .where(
+                F.col("r.dist").isNotNull()
+                & (
+                    F.col("d.dist").isNull()
+                    | (F.col("r.dist") < F.col("d.dist"))
+                )
+            )
+            .select("node", F.col("r.dist").alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+        dist = relaxed
+    return dist
+
+
+def weighted_distance_sql(
+    nodes_src: str, seeds_src: str, edges_src: str, rounds: int
+) -> str:
+    """DuckDB twin of :func:`weighted_distance`: the identical
+    min-plus relaxation unrolled as ``rounds`` chained CTEs (no
+    frontier cut — the full relaxation computes the same ≤ k-edge
+    optimum, which is the point of the twin).  Returns (node, dist)."""
+    ctes = [
+        f"wd_nd AS (SELECT node FROM {nodes_src})",
+        f"wd_eg AS (SELECT src, dst, CAST(w AS BIGINT) AS w "
+        f"FROM {edges_src})",
+        f"""wd_d0 AS (
+            SELECT wd_nd.node,
+                   CASE WHEN s.node IS NOT NULL
+                        THEN CAST(0 AS BIGINT) END AS dist
+            FROM wd_nd
+            LEFT JOIN (SELECT DISTINCT node FROM {seeds_src}) s
+              ON s.node = wd_nd.node
+        )""",
+    ]
+    for i in range(1, rounds + 1):
+        p = f"wd_d{i - 1}"
+        ctes.append(f"""wd_d{i} AS MATERIALIZED (
+            SELECT {p}.node,
+                   CASE WHEN {p}.dist IS NULL THEN c._nd
+                        WHEN c._nd IS NULL THEN {p}.dist
+                        ELSE LEAST({p}.dist, c._nd) END AS dist
+            FROM {p}
+            LEFT JOIN (
+                SELECT wd_eg.dst AS node, MIN(r.dist + wd_eg.w) AS _nd
+                FROM wd_eg
+                JOIN {p} r ON wd_eg.src = r.node
+                WHERE r.dist IS NOT NULL
+                GROUP BY wd_eg.dst
+            ) c ON c.node = {p}.node
+        )""")
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT node, dist FROM wd_d{rounds}"
+    )
