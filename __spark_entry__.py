@@ -31,6 +31,7 @@ from openstreetmap_license_change_spark.operators import (
     hilbert,
     hull,
     lineage,
+    ranking,
     similarity,
     sketches,
     snapshots,
@@ -1909,6 +1910,57 @@ def q_weighted_distance(spark, sf_dir):
     return out.select(F.col("node").alias("doc_id"), "dist")
 
 
+RRF_RUN_K = 50
+
+
+def q_rrf_hybrid(spark, sf_dir):
+    """Hybrid retrieval by reciprocal-rank fusion (ranking.rrf_fusion):
+    the BM25 top-50 lexical run for the house query fused with the
+    PageRank top-50 authority run — the classic relevance × authority
+    web ranking, combined by exact integer 1/(60+rank) votes
+    (scale DIV, identical on both engines).  Ranks come from bounded
+    triangular self-joins over the top-k lists (loud size guard —
+    never silently quadratic); the DuckDB twin splices the bm25 and
+    pagerank twins into the same vote arithmetic, so every fused
+    score is hash-verified."""
+    docs = pages_src.documents(spark, sf_dir)
+    run_lex = textops.bm25_topk(
+        docs, BM25_QUERY, k=RRF_RUN_K
+    ).withColumnRenamed("score_m", "score")
+    nodes, edges = _doc_link_graph(spark, sf_dir)
+    pr = graph.pagerank_quantized(nodes, edges, iterations=PR_ITERATIONS)
+    run_auth = (
+        pr.select(
+            F.col("node").alias("doc_id"), F.col("rank_q").alias("score")
+        )
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(RRF_RUN_K)
+    )
+    return ranking.rrf_fusion([run_lex, run_auth], score_col="score")
+
+
+def q_skyline_docs(spark, sf_dir):
+    """Pareto-optimal corpus selection (ranking.skyline): the
+    documents maximal under (whitespace token count, chars-per-token
+    millis) — the longest docs that are also the densest, no single
+    weighting collapsing the trade-off.  Bucket-pruned two-level max
+    structure, never a pairwise comparison; the DuckDB oracle is the
+    O(n²) dominance CHARACTERIZATION itself (NOT EXISTS q dominating
+    p — the hull witness pattern), so the frontier set is
+    hash-verified against the definition, not the algorithm."""
+    docs = pages_src.documents(spark, sf_dir)
+    pts = docs.select(
+        "doc_id",
+        textops.token_count(F.col("text")).alias("n_tokens"),
+        "n_chars",
+    ).select(
+        "doc_id",
+        "n_tokens",
+        F.expr("n_chars * 1000 DIV greatest(n_tokens, 1)").alias("cpt_m"),
+    )
+    return ranking.skyline(pts, "n_tokens", "cpt_m")
+
+
 def q_label_spread(spark, sf_dir):
     """Fixed-round label propagation (graph.label_spread): language-
     tier seeds on doc_id ≡ 0 mod 11 (label = doc_id mod 7) spread to
@@ -2927,6 +2979,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_pagerank": q_doc_pagerank,
         "link_distance": q_link_distance,
         "weighted_distance": q_weighted_distance,
+        "rrf_hybrid": q_rrf_hybrid,
+        "skyline_docs": q_skyline_docs,
         "label_spread": q_label_spread,
         "bm25_topk": q_bm25_topk,
         "gopher_filter": q_gopher_filter,
@@ -5554,6 +5608,39 @@ def oracle_sql() -> dict[str, str]:
                 _PR_EDGES_SQL,
                 rounds=BFS_ROUNDS,
             )})
+        """,
+        "rrf_hybrid": ranking.rrf_fusion_sql(
+            [
+                f"""SELECT doc_id, score_m AS score FROM ({
+                    textops.bm25_topk_sql(
+                        "documents", BM25_QUERY, k=RRF_RUN_K
+                    )})""",
+                f"""SELECT node AS doc_id, rank_q AS score
+                    FROM ({graph.pagerank_sql(
+                        '(SELECT doc_id AS node FROM documents)',
+                        _PR_EDGES_SQL,
+                        iterations=PR_ITERATIONS,
+                    )})
+                    ORDER BY score DESC, doc_id ASC LIMIT {RRF_RUN_K}""",
+            ],
+            score_col="score",
+        ),
+        "skyline_docs": f"""
+            WITH sky_raw AS (
+                SELECT doc_id,
+                       CASE WHEN trim(text) = '' THEN 0
+                            ELSE len(string_split_regex(trim(text),
+                                                        '\\s+')) END
+                           AS n_tokens,
+                       n_chars
+                FROM documents
+            ),
+            sky_pts AS (
+                SELECT doc_id, n_tokens,
+                       n_chars * 1000 // greatest(n_tokens, 1) AS cpt_m
+                FROM sky_raw
+            )
+            {ranking.skyline_sql('sky_pts', 'n_tokens', 'cpt_m')}
         """,
         "weighted_distance": f"""
             SELECT node AS doc_id, dist

@@ -1,0 +1,235 @@
+"""Order-based analytics: Pareto skyline and reciprocal-rank fusion.
+
+Two operators that rank/select rows by ORDER relations rather than
+values — the curation counterparts of the retrieval stack (bm25_topk,
+ann/ivf search, pagerank):
+
+- :func:`skyline` — the maximal (Pareto-optimal) rows under two
+  integer criteria: a row survives iff no other row is ≥ in both and
+  > in at least one.  The multi-objective corpus-selection primitive
+  ("longest documents that are also the densest" — no single weighting
+  collapses the trade-off).  Bucket-pruned two-level max structure:
+  never a pairwise comparison, one data shuffle.
+
+- :func:`rrf_fusion` — reciprocal-rank fusion of top-k retrieval runs
+  (Cormack & Clarke's 1/(k+rank) vote, the standard hybrid-search
+  combiner for lexical × semantic × authority rankings), in exact
+  integer arithmetic (scale DIV (k+rank)) so the DuckDB twin
+  hash-matches.
+
+Reference parity: the reference picks "best" versions by lexical
+order rules (osm_history.rb's max-version selection, tags.rb's
+significance ordering); these operators generalize single-key order
+selection to multi-criteria and multi-run order selection.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import functions as F
+
+
+def skyline(
+    df: DataFrame,
+    x: str = "x",
+    y: str = "y",
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Pareto-maximal rows under integer criteria (``x``, ``y``), both
+    maximized (negate a column upstream to minimize): row p survives
+    iff NO row q has q.x ≥ p.x ∧ q.y ≥ p.y with at least one strict.
+    Duplicates of a frontier point all survive (neither dominates).
+    All input columns pass through.
+
+    Plan — never a pairwise comparison (the O(n²) dominance test is
+    the ORACLE's job, see the NOT EXISTS twin in `__spark_entry__`):
+
+    1. per-x maxima: groupBy(x) → ymax — the only data-sized shuffle.
+    2. coarse x-buckets (fixed width from one bounded 2-value driver
+       agg): per-bucket max(ymax) is ≤ ``n_buckets`` rows; the
+       strictly-later-bucket suffix max comes from a tiny triangular
+       self-join (no global window — the single-partition-window trap
+       at scale).
+    3. within-bucket strict-x prefix max: ONE window partitioned by
+       bucket over the per-x rows, ORDER BY x DESC ROWS UNBOUNDED
+       PRECEDING..1 PRECEDING (rows are per-x unique, so the frame is
+       exactly {x' > x} within the bucket).
+    4. x survives iff ymax > max(within-bucket prefix, bucket suffix)
+       (NULL-skipping greatest); the frontier joins back to the input
+       on (x, y = ymax) — same-x domination is exactly y < ymax.
+
+    Per-bucket window width is bounded by the bucket's integer range
+    (range/n_buckets distinct x values at most), not by row count —
+    the partitioned-window contract at 10¹² rows."""
+    if n_buckets < 1:
+        raise ValueError(f"n_buckets must be ≥ 1: {n_buckets}")
+    pts = df.withColumn("_sx", F.col(x).cast("bigint")).withColumn(
+        "_sy", F.col(y).cast("bigint")
+    )
+    bounds = pts.agg(
+        F.min("_sx").alias("lo"), F.max("_sx").alias("hi")
+    ).head()
+    if bounds is None or bounds["lo"] is None:
+        return df.limit(0)
+    lo, hi = bounds["lo"], bounds["hi"]
+    width = max(1, (hi - lo) // n_buckets + 1)
+
+    per_x = pts.groupBy(F.col("_sx").alias("_x")).agg(
+        F.max("_sy").alias("_ymax")
+    ).withColumn("_b", (F.col("_x") - F.lit(lo)) / F.lit(width))
+    per_x = per_x.withColumn("_b", F.floor("_b").cast("bigint"))
+
+    bmax = per_x.groupBy("_b").agg(F.max("_ymax").alias("_bymax"))
+    suffix = (
+        bmax.alias("a")
+        .join(bmax.alias("s"), F.col("s._b") > F.col("a._b"), "left")
+        .groupBy(F.col("a._b").alias("_b"))
+        .agg(F.max("s._bymax").alias("_suf"))
+    )
+
+    w = (
+        W.partitionBy("_b")
+        .orderBy(F.col("_x").desc())
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    marked = (
+        per_x.withColumn("_pre", F.max("_ymax").over(w))
+        .join(F.broadcast(suffix), "_b")
+        .withColumn("_dom", F.greatest("_pre", "_suf"))
+        .where(F.col("_dom").isNull() | (F.col("_ymax") > F.col("_dom")))
+        .select("_x", "_ymax")
+    )
+    return pts.join(
+        F.broadcast(marked),
+        (pts["_sx"] == marked["_x"]) & (pts["_sy"] == marked["_ymax"]),
+    ).select(*df.columns)
+
+
+def skyline_sql(points_cte: str, x: str = "x", y: str = "y") -> str:
+    """DuckDB twin of :func:`skyline` — deliberately NOT the bucketed
+    algorithm but the dominance CHARACTERIZATION itself (the hull
+    witness-edge pattern): p survives iff no q dominates it.  O(n²)
+    per call — an oracle, not an engine.  ``points_cte`` must name a
+    relation; all its columns pass through."""
+    return f"""
+        SELECT p.* FROM {points_cte} p
+        WHERE NOT EXISTS (
+            SELECT 1 FROM {points_cte} q
+            WHERE q.{x} >= p.{x} AND q.{y} >= p.{y}
+              AND (q.{x} > p.{x} OR q.{y} > p.{y})
+        )
+    """
+
+
+RRF_SCALE = 1_000_000_000
+
+
+def rrf_fusion(
+    runs: Sequence[DataFrame],
+    id_col: str = "doc_id",
+    score_col: str = "score",
+    rrf_k: int = 60,
+    scale: int = RRF_SCALE,
+    max_run_size: int = 1000,
+) -> DataFrame:
+    """Reciprocal-rank fusion of top-k retrieval runs: each run votes
+    ``scale DIV (rrf_k + rank)`` for its rank-r item (ordinal ranks,
+    score DESC, ties broken ``id_col`` ASC — a total order, so the
+    fusion is deterministic at any parallelism); fused score = the sum
+    over runs, missing items simply get no vote.  Exact integer floor
+    division on both engines (Spark ``DIV`` ≡ DuckDB ``//`` on
+    non-negatives), so every fused score hash-verifies.
+
+    Ranks are computed with a per-run triangular self-join (count of
+    strictly-better rows + 1) rather than a window: runs are TOP-K
+    LISTS by contract — the operator fuses retrieval OUTPUTS (bm25's
+    orderBy+limit, pq_search's top-k, a pagerank head), never raw
+    corpora — so |run| is bounded and the join is |run|² tiny.  The
+    bound is enforced LOUDLY (count > ``max_run_size`` raises; the
+    kcore/LSH non-convergence contract: never silently quadratic).
+
+    Returns (``id_col``, rrf_score, n_runs) for every item in ≥ 1 run,
+    unordered (downstream takes its own top-k)."""
+    if len(runs) < 2:
+        raise ValueError(f"rrf_fusion needs ≥ 2 runs: {len(runs)}")
+    if rrf_k < 1 or scale < 1:
+        raise ValueError(f"rrf_k and scale must be ≥ 1: {rrf_k}, {scale}")
+    ranked = []
+    for i, run in enumerate(runs):
+        n = run.count()
+        if n > max_run_size:
+            raise ValueError(
+                f"run {i} has {n} rows > max_run_size={max_run_size}; "
+                "rrf_fusion fuses TOP-K lists — truncate the run first"
+            )
+        r = run.select(
+            F.col(id_col).alias("_id"),
+            F.col(score_col).cast("bigint").alias("_sc"),
+        )
+        better = (
+            r.alias("p")
+            .join(
+                r.alias("q"),
+                (F.col("q._sc") > F.col("p._sc"))
+                | (
+                    (F.col("q._sc") == F.col("p._sc"))
+                    & (F.col("q._id") < F.col("p._id"))
+                ),
+                "left",
+            )
+            .groupBy(F.col("p._id").alias("_id"))
+            .agg((F.count(F.col("q._id")) + 1).alias("_rank"))
+        )
+        ranked.append(
+            better.select(
+                "_id",
+                F.expr(f"{int(scale)} DIV ({int(rrf_k)} + _rank)").alias(
+                    "_vote"
+                ),
+            )
+        )
+    allv = ranked[0]
+    for r in ranked[1:]:
+        allv = allv.unionByName(r)
+    return allv.groupBy(F.col("_id").alias(id_col)).agg(
+        F.sum("_vote").alias("rrf_score"),
+        F.count(F.lit(1)).alias("n_runs"),
+    )
+
+
+def rrf_fusion_sql(
+    run_sqls: Sequence[str],
+    id_col: str = "doc_id",
+    score_col: str = "score",
+    rrf_k: int = 60,
+    scale: int = RRF_SCALE,
+) -> str:
+    """DuckDB twin of :func:`rrf_fusion`: identical ordinal ranking
+    (strictly-better count + 1, same tie-break) and identical integer
+    floor-div votes over the given run subqueries (each yielding
+    (``id_col``, ``score_col``)).  CTE names are rf_*-namespaced."""
+    ctes, selects = [], []
+    for i, sql in enumerate(run_sqls):
+        ctes.append(f"rf_run{i} AS MATERIALIZED (SELECT {id_col} AS _id, "
+                    f"CAST({score_col} AS BIGINT) AS _sc FROM ({sql}))")
+        ctes.append(f"""rf_rk{i} AS (
+            SELECT p._id,
+                   1 + (SELECT COUNT(*) FROM rf_run{i} q
+                        WHERE q._sc > p._sc
+                           OR (q._sc = p._sc AND q._id < p._id)) AS _rank
+            FROM rf_run{i} p
+        )""")
+        selects.append(
+            f"SELECT _id, {int(scale)} // ({int(rrf_k)} + _rank) AS _vote "
+            f"FROM rf_rk{i}"
+        )
+    union = " UNION ALL ".join(selects)
+    return f"""
+        WITH {",".join(ctes)}
+        SELECT _id AS {id_col},
+               CAST(SUM(_vote) AS BIGINT) AS rrf_score,
+               CAST(COUNT(*) AS BIGINT) AS n_runs
+        FROM ({union}) GROUP BY _id
+    """
