@@ -634,6 +634,22 @@ def q_tile_trend(spark, sf_dir):
     )
 
 
+def q_morans_i(spark, sf_dir):
+    """Global Moran's I (spatial.morans_i) of page intensity over the
+    tile_rollup raster — the interval-valued sibling of
+    tile_join_counts (same queen adjacency, numeric values instead of
+    a binary color): N-scaled integer deviations, directed pair sum,
+    and the (N·num·10⁶) DIV (W·den) ratio evaluated in
+    decimal(38,0)/HUGEINT with identical truncation — one fully
+    hash-verified row."""
+    flagged = _pages_flagged(spark, sf_dir)
+    cells = spatial.assign_cells(flagged).withColumn(
+        "tainted", ~F.col("accepted")
+    )
+    rollup = spatial.tile_rollup(cells).select("cell", "n_pages")
+    return spatial.morans_i(rollup, "n_pages")
+
+
 def q_tile_join_counts(spark, sf_dir):
     """Global join-count spatial autocorrelation
     (spatial.tile_join_counts) of the tainted/clean binary raster:
@@ -2933,6 +2949,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_trend": q_tile_trend,
         "od_flows": q_od_flows,
         "tile_join_counts": q_tile_join_counts,
+        "morans_i": q_morans_i,
         "tile_rollup_incremental": q_tile_rollup_incremental,
         "tile_dilate": q_tile_dilate,
         "tile_erode": q_tile_erode,
@@ -4112,6 +4129,14 @@ def oracle_sql() -> dict[str, str]:
                 GROUP BY 1
             )
             , {spatial.tile_join_counts_ctes('jc_rollup', 'any_taint')}
+        """),
+        "morans_i": _with_pages(f"""
+            , mi_rollup AS (
+                SELECT {cell} AS cell, COUNT(*) AS n_pages
+                FROM pages p JOIN cs_status s USING (changeset_id)
+                GROUP BY 1
+            )
+            , {spatial.morans_i_ctes('mi_rollup', 'n_pages')}
         """),
         "tile_hotspots": _with_pages(f"""
             , rollup AS (

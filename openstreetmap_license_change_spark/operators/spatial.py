@@ -4229,3 +4229,169 @@ def raster_distance_sql(
     return (
         f"SELECT node AS cell, dist FROM ({inner})"
     )
+
+
+def morans_i(
+    cells: DataFrame,
+    value_col: str,
+    res_deg: float = DEFAULT_RES_DEG,
+) -> DataFrame:
+    """Global Moran's I over the occupied-cell raster — the INTERVAL-
+    valued sibling of :func:`tile_join_counts` (same queen adjacency,
+    same once-per-pair forward fan, but correlating a numeric cell
+    value instead of a binary color): positive I = similar values
+    cluster, negative = checkerboard, ~0 = spatial randomness.  The
+    global companion of the local :func:`tile_hotspots` for graded
+    intensity surfaces.
+
+    Exact-integer formulation (the tile_hotspots discipline — no
+    float mean, no variance approximation): deviations are scaled by
+    N, d_i = N·x_i − S (S = Σx), so
+
+        num = Σ_ij w_ij·d_i·d_j   (directed; = 2 × the forward-pair sum)
+        den = Σ_i d_i²
+        I   = (N / W) · (num / den)      (the N² scales cancel)
+
+    and the quantized ratio i_ppm = (N·num·10⁶) DIV (W·den) is
+    evaluated in decimal(38,0) (HUGEINT in the twin) with truncation
+    toward zero on BOTH engines — every output column hash-verifies.
+    den = 0 (constant surface) yields NULL i_ppm, the statistic's
+    genuine undefined case.  num/den emit as BIGINT: headroom
+    |d_i| ≤ N·x_max keeps Σd² < 2⁶³ through ~10⁶ cells of 10⁶-point
+    values; beyond that pre-quantize the value column (the
+    BM25_IDF_SCALE move — the plan doesn't change).
+
+    Adjacency contract inherited from :func:`tile_join_counts`:
+    queen, PRESENT cells only, lon wrap (≥ 5 columns enforced), lat
+    clamp.  Plan: the ×4 fan and the pair join run on the AGGREGATE
+    raster; the corpus is touched only by the caller's rollup.
+    Output: one row (n_cells, w_sum, num, den, i_ppm)."""
+    cols = int(360 / res_deg)
+    rows_n = int(180 / res_deg)
+    if cols < 5:
+        raise ValueError(
+            f"res_deg {res_deg} gives {cols} grid columns; need ≥ 5 "
+            "for once-per-pair forward adjacency under lon wrap"
+        )
+    vals = cells.select(
+        F.col("cell").cast("bigint").alias("cell"),
+        F.col(value_col).cast("bigint").alias("_x"),
+    )
+    stats = vals.agg(
+        F.count(F.lit(1)).alias("_n"), F.sum("_x").alias("_s")
+    )
+    dev = vals.crossJoin(F.broadcast(stats)).select(
+        "cell",
+        "_n",
+        (F.col("_n") * F.col("_x") - F.col("_s")).alias("_d"),
+    )
+    lat_b = F.floor(F.col("cell") / F.lit(cols))
+    lon_b = F.col("cell") % F.lit(cols)
+    fwd = []
+    for dy, dx in ((0, 1), (1, -1), (1, 0), (1, 1)):
+        t_lat = lat_b + F.lit(dy)
+        t_lon = (lon_b + F.lit(dx) + F.lit(cols)) % F.lit(cols)
+        fwd.append(
+            F.when(
+                (t_lat >= 0) & (t_lat < rows_n),
+                (t_lat * F.lit(cols) + t_lon).cast("bigint"),
+            )
+        )
+    fan = dev.select(
+        F.col("_d").alias("_d1"),
+        F.explode(F.array_compact(F.array(*fwd))).alias("_nbr"),
+    )
+    paired = fan.join(
+        dev.select(F.col("cell").alias("_nbr"), F.col("_d").alias("_d2")),
+        "_nbr",
+    )
+    dec = "decimal(38,0)"
+    pair_agg = paired.agg(
+        (F.count(F.lit(1)) * 2).alias("w_sum"),
+        F.coalesce(
+            F.sum(F.expr(f"CAST(_d1 AS {dec}) * _d2")) * 2,
+            F.lit(0).cast(dec),
+        ).alias("_num"),
+    )
+    dev_agg = dev.agg(
+        F.max("_n").alias("n_cells"),
+        F.sum(F.expr(f"CAST(_d AS {dec}) * _d")).alias("_den"),
+    )
+    return (
+        dev_agg.crossJoin(pair_agg)
+        .select(
+            "n_cells",
+            "w_sum",
+            F.col("_num").cast("bigint").alias("num"),
+            F.col("_den").cast("bigint").alias("den"),
+            F.expr(
+                f"CAST(CASE WHEN _den = 0 OR w_sum = 0 THEN NULL ELSE "
+                f"(CAST(n_cells AS {dec}) * _num * 1000000) DIV "
+                f"(CAST(w_sum AS {dec}) * _den) END AS BIGINT)"
+            ).alias("i_ppm"),
+        )
+    )
+
+
+def morans_i_sql(
+    src: str, value_col: str, res_deg: float = DEFAULT_RES_DEG
+) -> str:
+    """DuckDB twin of :func:`morans_i` (standalone statement)."""
+    return "WITH " + morans_i_ctes(src, value_col, res_deg)
+
+
+def morans_i_ctes(
+    src: str, value_col: str, res_deg: float = DEFAULT_RES_DEG
+) -> str:
+    """The twin without the leading WITH (oracle-prelude appendable);
+    ``src`` must expose (cell, ``value_col``), one row per present
+    cell.  HUGEINT arithmetic mirrors the decimal(38,0) path; DuckDB
+    ``//`` truncates toward zero exactly like Spark DIV."""
+    cols = int(360 / res_deg)
+    rows_n = int(180 / res_deg)
+    return f"""
+        mi_src AS (
+            SELECT cell, CAST({value_col} AS BIGINT) AS x FROM {src}
+        ),
+        mi_stats AS (
+            SELECT COUNT(*) AS n, CAST(COALESCE(SUM(x), 0) AS BIGINT) AS s
+            FROM mi_src
+        ),
+        mi_dev AS (
+            SELECT v.cell, t.n, t.n * v.x - t.s AS d
+            FROM mi_src v CROSS JOIN mi_stats t
+        ),
+        mi_fan AS (
+            SELECT s.d AS d1,
+                   (((s.cell // {cols}) + dd.dy) * {cols}
+                    + ((s.cell % {cols}) + dd.dx + {cols}) % {cols}) AS nbr
+            FROM mi_dev s CROSS JOIN (VALUES
+                 (0,1),(1,-1),(1,0),(1,1)) dd(dy, dx)
+            WHERE (s.cell // {cols}) + dd.dy >= 0
+              AND (s.cell // {cols}) + dd.dy < {rows_n}
+        ),
+        mi_pairs AS (
+            SELECT f.d1, s.d AS d2
+            FROM mi_fan f JOIN mi_dev s ON s.cell = f.nbr
+        ),
+        mi_pagg AS (
+            SELECT CAST(COUNT(*) * 2 AS BIGINT) AS w_sum,
+                   COALESCE(SUM(CAST(d1 AS HUGEINT) * d2) * 2,
+                            CAST(0 AS HUGEINT)) AS num
+            FROM mi_pairs
+        ),
+        mi_dagg AS (
+            SELECT MAX(n) AS n_cells,
+                   SUM(CAST(d AS HUGEINT) * d) AS den
+            FROM mi_dev
+        )
+        SELECT CAST(d.n_cells AS BIGINT) AS n_cells,
+               p.w_sum,
+               CAST(p.num AS BIGINT) AS num,
+               CAST(d.den AS BIGINT) AS den,
+               CAST(CASE WHEN d.den = 0 OR p.w_sum = 0 THEN NULL ELSE
+                    (CAST(d.n_cells AS HUGEINT) * p.num * 1000000)
+                    // (CAST(p.w_sum AS HUGEINT) * d.den) END
+                    AS BIGINT) AS i_ppm
+        FROM mi_dagg d CROSS JOIN mi_pagg p
+    """
