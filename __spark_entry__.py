@@ -1018,6 +1018,24 @@ def q_directional_extremes(spark, sf_dir):
     return hull.directional_extremes(pts, "gid")
 
 
+def q_hull_diameter(spark, sf_dir):
+    """Farthest-pair extent per 30° supercell (hull.hull_diameter):
+    the diameter endpoints are hull vertices (d² is convex), so the
+    quadratic scan runs on the monotone-chain hull, never the raw
+    points, with a loud h² guard; exact int64 d² in 10⁻⁴-degree
+    units, struct-max tie-break.  The oracle composes the witness-edge
+    hull twin with the identical once-per-pair max, so every diameter
+    and endpoint pair is hash-verified."""
+    pages = lineage.latest_version(
+        _pages(spark, sf_dir), cols=["lon", "lat"]
+    )
+    pts = pages.select(
+        spatial.grid_cell(F.col("lon"), F.col("lat"), 30.0).alias("gid"),
+        "lon", "lat",
+    )
+    return hull.hull_diameter(pts, "gid")
+
+
 def q_tile_rollup_multires(spark, sf_dir):
     """Multi-resolution raster rollup (cube over the Morton cell
     hierarchy, SURVEY §2.4 / north-rule H3-res analogue): taint
@@ -2962,6 +2980,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_kde": q_tile_kde,
         "idw_cells": q_idw_cells,
         "convex_hull": q_convex_hull,
+        "hull_diameter": q_hull_diameter,
         "directional_extremes": q_directional_extremes,
         "tile_rollup_multires": q_tile_rollup_multires,
         "tile_vectorize": q_tile_vectorize,
@@ -4278,6 +4297,25 @@ def oracle_sql() -> dict[str, str]:
                 FROM latest
             )
             {hull.convex_hull_sql('hpts')}
+        """),
+        "hull_diameter": _with_pages(f"""
+            , latest AS (
+                SELECT lon, lat
+                FROM (
+                    SELECT p.lon, p.lat,
+                           ROW_NUMBER() OVER (PARTITION BY url
+                                              ORDER BY version DESC) AS rn
+                    FROM pages p
+                ) t WHERE rn = 1
+            ),
+            hpts AS (
+                SELECT DISTINCT
+                       {spatial.grid_cell_sql('lon', 'lat', 30.0)} AS gid,
+                       CAST(round(lon * 10000) AS BIGINT) AS ulon,
+                       CAST(round(lat * 10000) AS BIGINT) AS ulat
+                FROM latest
+            )
+            {hull.hull_diameter_sql('hpts')}
         """),
         "directional_extremes": _with_pages(f"""
             , latest AS (

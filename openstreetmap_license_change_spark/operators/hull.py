@@ -195,3 +195,114 @@ def directional_extremes(
     return top.select(
         F.col("gid").alias(id_col), "dir_idx", "score", "ulon", "ulat"
     )
+
+
+def hull_diameter(
+    points: DataFrame,
+    id_col: str,
+    lon: str = "lon",
+    lat: str = "lat",
+    max_hull_size: int = 2000,
+) -> DataFrame:
+    """Farthest-pair (diameter) per group, in exact integer
+    10⁻⁴-degree units — the spatial-extent statistic (how spread is
+    this cluster / region / user's activity?).  The diameter's
+    endpoints are always CONVEX HULL vertices (d² is convex, so its
+    max over a point set is attained at extreme points), so the
+    quadratic pair scan runs on the hull (h vertices, h ≪ n), never
+    on the raw group: :func:`convex_hull` first, then one gid-keyed
+    self-join over hull vertices with an exact int64 d² (coordinates
+    ≤ 3.6·10⁶ units ⇒ d² ≤ 2.6·10¹³, far inside int64).
+
+    The h² fan is guarded LOUDLY (``assert_true`` riding the used
+    coordinate column, the common_neighbor_pairs pattern): degenerate
+    near-circular groups can have h → n, and a silent quadratic
+    blow-up is the house's forbidden failure mode.
+
+    Ties (several pairs at max d²) break by the lexicographically
+    greatest (a_ulon, a_ulat, b_ulon, b_ulat) struct — deterministic
+    at any parallelism.  Pairs enumerate once (a ≤ b lexicographic,
+    self-pair included), so a single-distinct-point group emits
+    d2 = 0 with identical endpoints.
+
+    Output: id, d2, a_ulon, a_ulat, b_ulon, b_ulat."""
+    h = convex_hull(points, id_col, lon, lat).select(
+        F.col(id_col).alias("gid"), "ulon", "ulat"
+    )
+    hn = h.groupBy("gid").agg(F.count(F.lit(1)).alias("_hn"))
+    guard = F.assert_true(
+        F.col("_hn") <= F.lit(int(max_hull_size)),
+        F.lit(
+            f"hull size exceeds max_hull_size={max_hull_size} in "
+            "hull_diameter; the pair scan is h² — simplify the group "
+            "geometry or raise the cap"
+        ),
+    )
+    # the guard must ride a column the plan USES (pruned ⇒ optimized away)
+    g = h.join(hn, "gid").select(
+        "gid", F.when(guard.isNull(), F.col("ulon")).alias("ulon"), "ulat"
+    )
+    a = g.select(
+        "gid", F.col("ulon").alias("a_ulon"), F.col("ulat").alias("a_ulat")
+    )
+    b = g.select(
+        "gid", F.col("ulon").alias("b_ulon"), F.col("ulat").alias("b_ulat")
+    )
+    pairs = a.join(b, "gid").where(
+        (F.col("a_ulon") < F.col("b_ulon"))
+        | (
+            (F.col("a_ulon") == F.col("b_ulon"))
+            & (F.col("a_ulat") <= F.col("b_ulat"))
+        )
+    )
+    scored = pairs.select(
+        "gid",
+        F.struct(
+            (
+                (F.col("b_ulon") - F.col("a_ulon"))
+                * (F.col("b_ulon") - F.col("a_ulon"))
+                + (F.col("b_ulat") - F.col("a_ulat"))
+                * (F.col("b_ulat") - F.col("a_ulat"))
+            ).alias("d2"),
+            "a_ulon", "a_ulat", "b_ulon", "b_ulat",
+        ).alias("_p"),
+    )
+    best = scored.groupBy("gid").agg(F.max("_p").alias("_p"))
+    return best.select(
+        F.col("gid").alias(id_col),
+        F.col("_p.d2").alias("d2"),
+        F.col("_p.a_ulon").alias("a_ulon"),
+        F.col("_p.a_ulat").alias("a_ulat"),
+        F.col("_p.b_ulon").alias("b_ulon"),
+        F.col("_p.b_ulat").alias("b_ulat"),
+    )
+
+
+def hull_diameter_sql(points_cte: str) -> str:
+    """DuckDB twin of :func:`hull_diameter`: the witness-edge hull
+    twin (:func:`convex_hull_sql`) composed with the identical
+    once-per-pair max (same lexicographic tie-break via ordered
+    ROW_NUMBER — the struct-max's relational spelling).
+    ``points_cte`` must name a relation with (gid, ulon, ulat),
+    pre-deduped."""
+    return f"""
+        SELECT gid, d2, a_ulon, a_ulat, b_ulon, b_ulat FROM (
+            SELECT gid, d2, a_ulon, a_ulat, b_ulon, b_ulat,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY gid
+                       ORDER BY d2 DESC, a_ulon DESC, a_ulat DESC,
+                                b_ulon DESC, b_ulat DESC) AS rn
+            FROM (
+                SELECT a.gid,
+                       (b.ulon - a.ulon) * (b.ulon - a.ulon)
+                       + (b.ulat - a.ulat) * (b.ulat - a.ulat) AS d2,
+                       a.ulon AS a_ulon, a.ulat AS a_ulat,
+                       b.ulon AS b_ulon, b.ulat AS b_ulat
+                FROM ({convex_hull_sql(points_cte)}) a
+                JOIN ({convex_hull_sql(points_cte)}) b
+                  ON a.gid = b.gid
+                 AND (a.ulon < b.ulon
+                      OR (a.ulon = b.ulon AND a.ulat <= b.ulat))
+            )
+        ) WHERE rn = 1
+    """
