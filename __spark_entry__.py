@@ -1305,6 +1305,20 @@ def q_ngram_jaccard_capped(spark, sf_dir):
     )
 
 
+def q_containment_pairs(spark, sf_dir):
+    """Asymmetric shingle containment ≥ 0.4 either direction
+    (dedup.containment_pairs): the quote/subset detector Jaccard
+    structurally misses (a short doc embedded in a long one), with
+    exact n_inter·10⁶ DIV |set| ppm ratios — the df-capped code path
+    runs with max_doc_freq=1.0 (exact result, scale-safe plumbing,
+    the ngram_jaccard convention); every containment hash-verifies
+    against the concat_ws-mirrored twin."""
+    docs = pages_src.documents(spark, sf_dir)
+    return dedup.containment_pairs(
+        docs, n=3, threshold_ppm=400_000, max_doc_freq=1.0
+    )
+
+
 def q_minhash_dedup_apply(spark, sf_dir):
     """Dedup APPLIED: one canonical doc per near-dup cluster with the
     absorbed-member count — the surviving corpus, not just labels."""
@@ -2995,6 +3009,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "ngram_jaccard": q_ngram_jaccard,
         "ngram_jaccard_capped": q_ngram_jaccard_capped,
+        "containment_pairs": q_containment_pairs,
         "minhash_signatures": q_minhash_signatures,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "minhash_lsh_pairs_capped": q_minhash_lsh_pairs_capped,
@@ -4774,6 +4789,9 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sb ON sb.doc_id = doc_b
             WHERE CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter) >= 0.2
         """,
+        "containment_pairs": dedup.containment_pairs_sql(
+            "documents", n=3, threshold_ppm=400_000
+        ),
         "ngram_jaccard_capped": """
             WITH toks AS (
                 SELECT doc_id,

@@ -816,3 +816,147 @@ def fuzzy_key_join_sql(
         FROM fz_cand
         WHERE levenshtein(l_key, r_key) <= {int(max_dist)}
     """
+
+
+def containment_pairs(
+    df: DataFrame,
+    n: int = 3,
+    threshold_ppm: int = 500_000,
+    id_col: str = "doc_id",
+    max_doc_freq: float | None = None,
+) -> DataFrame:
+    """Asymmetric shingle-set CONTAINMENT, C(A→B) = |A∩B| / |A| — the
+    quote/subset detector that Jaccard structurally misses: a short
+    document fully embedded in a long one (a quoted post, boilerplate
+    inclusion, a partial copy) has Jaccard ≈ |A|/|B| → 0 but
+    containment → 1 (Broder's resemblance-vs-containment distinction).
+    The training-data use case is quote-chain and wrapper-page
+    detection, where :func:`ngram_jaccard_pairs` keeps both copies.
+
+    Exact integers end-to-end: per unordered candidate pair (one
+    shared-shingle equi-join, each pair once by ``doc_a < doc_b``),
+    c_ab_ppm = n_inter·10⁶ DIV |A| and c_ba_ppm likewise — no float
+    ratio, so the twin hash-matches every containment.  Pairs emit
+    when EITHER direction clears ``threshold_ppm``.
+
+    ``max_doc_freq`` is the same stop-shingle candidate cap as
+    :func:`ngram_jaccard_pairs` (the quadratic-blowup guard at scale,
+    same stated trade: a pair sharing ONLY stop-shingles is not
+    generated; containments of generated pairs stay exact via full
+    array_intersect).  Default None = exact candidates.
+
+    Output: (doc_a, doc_b, n_inter, na, nb, c_ab_ppm, c_ba_ppm)."""
+    sh = shingles(df, n=n, id_col=id_col).cache()
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+
+    if max_doc_freq is not None:
+        n_docs = df.select(id_col).distinct().count()
+        rare = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .where(F.col("_df") <= int(max_doc_freq * n_docs))
+            .select("shingle")
+        )
+        cand_src = sh.join(rare, "shingle")
+        a_c = cand_src.select(F.col(id_col).alias("doc_a"), "shingle")
+        b_c = cand_src.select(F.col(id_col).alias("doc_b"), "shingle")
+        cands = (
+            a_c.join(b_c, "shingle")
+            .where(F.col("doc_a") < F.col("doc_b"))
+            .select("doc_a", "doc_b")
+            .distinct()
+        )
+        sets = sh.groupBy(id_col).agg(F.collect_set("shingle").alias("_set"))
+        inter = (
+            cands.join(
+                sets.select(
+                    F.col(id_col).alias("doc_a"), F.col("_set").alias("_sa")
+                ),
+                "doc_a",
+            )
+            .join(
+                sets.select(
+                    F.col(id_col).alias("doc_b"), F.col("_set").alias("_sb")
+                ),
+                "doc_b",
+            )
+            .withColumn("n_inter", F.size(F.array_intersect("_sa", "_sb")))
+            .select("doc_a", "doc_b", "n_inter")
+        )
+    else:
+        a = sh.select(F.col(id_col).alias("doc_a"), "shingle")
+        b = sh.select(F.col(id_col).alias("doc_b"), "shingle")
+        inter = (
+            a.join(b, "shingle")
+            .where(F.col("doc_a") < F.col("doc_b"))
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count(F.lit(1)).alias("n_inter"))
+        )
+    sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n_sh").alias("nb"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "c_ab_ppm", F.expr("n_inter * 1000000 DIV na").cast("bigint")
+        )
+        .withColumn(
+            "c_ba_ppm", F.expr("n_inter * 1000000 DIV nb").cast("bigint")
+        )
+        .where(
+            F.greatest("c_ab_ppm", "c_ba_ppm") >= F.lit(int(threshold_ppm))
+        )
+        .select(
+            "doc_a", "doc_b", "n_inter", "na", "nb", "c_ab_ppm", "c_ba_ppm"
+        )
+    )
+
+
+def containment_pairs_sql(
+    src: str,
+    n: int = 3,
+    threshold_ppm: int = 500_000,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """DuckDB twin of :func:`containment_pairs` (exact-candidate
+    path): concat_ws mirrors gram_array's short-doc semantics (a doc
+    shorter than ``n`` tokens yields its single short gram — DuckDB's
+    concat_ws skips the NULL tail exactly like Spark's), integer ppm
+    floor-divs match DIV.  CTE names ct_*-namespaced."""
+    parts = ", ".join(f"ts[i+{j}]" for j in range(n))
+    return f"""
+        WITH ct_toks AS (
+            SELECT {id_col} AS doc_id,
+                   string_split_regex(lower({text_col}), '\\s+') AS ts
+            FROM {src}
+        ),
+        ct_grams AS (
+            SELECT DISTINCT doc_id,
+                   concat_ws(' ', {parts}) AS shingle
+            FROM ct_toks,
+                 LATERAL (SELECT UNNEST(range(1,
+                     GREATEST(len(ts) - {n - 1}, 1) + 1)) AS i) g
+            WHERE length(concat_ws(' ', {parts})) > 0
+        ),
+        ct_sizes AS (
+            SELECT doc_id, COUNT(*) AS n_sh FROM ct_grams GROUP BY 1
+        ),
+        ct_inter AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   COUNT(*) AS n_inter
+            FROM ct_grams a JOIN ct_grams b ON a.shingle = b.shingle
+            WHERE a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        )
+        SELECT doc_a, doc_b, n_inter,
+               sa.n_sh AS na, sb.n_sh AS nb,
+               CAST(n_inter * 1000000 // sa.n_sh AS BIGINT) AS c_ab_ppm,
+               CAST(n_inter * 1000000 // sb.n_sh AS BIGINT) AS c_ba_ppm
+        FROM ct_inter
+        JOIN ct_sizes sa ON sa.doc_id = doc_a
+        JOIN ct_sizes sb ON sb.doc_id = doc_b
+        WHERE GREATEST(n_inter * 1000000 // sa.n_sh,
+                       n_inter * 1000000 // sb.n_sh)
+              >= {int(threshold_ppm)}
+    """
