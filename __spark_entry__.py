@@ -1740,6 +1740,34 @@ def q_stay_points(spark, sf_dir):
     )
 
 
+def q_turn_stats(spark, sf_dir):
+    """Heading-sector and turn statistics (spatial.turn_stats) over a
+    zigzag variant of the drift geocode (the lon axis follows a
+    triangle wave, so trajectories carry straights, U-turns at the
+    folds, and left/right turns at the every-25th-point lat jumps —
+    every turn class is populated at every sf).  Exact integer µdeg
+    sectors (sign/|·| comparisons, no atan2), stationary steps break
+    the chain, chained-CASE modal argmax; the DuckDB twin runs the
+    identical recurrence, so every count and modal sector is
+    hash-verified."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    rn = F.row_number().over(
+        W.partitionBy("user_id").orderBy("ts", "event_id")
+    )
+    pts = ev.select("user_id", "ts", "event_id", rn.alias("rn")).select(
+        "user_id", "ts", "event_id",
+        (F.lit(-45.0) + (F.col("user_id") % 120) * F.lit(0.5)
+         + F.lit(0.001) * F.col("rn")
+         + F.lit(1.0) * F.floor(F.col("rn") / 25)).alias("lat"),
+        (F.lit(-100.0) + (F.col("user_id") % 140) * F.lit(1.0)
+         + F.lit(0.002) * F.abs(F.lit(10) - F.col("rn") % 20))
+        .alias("lon"),
+    )
+    return spatial.turn_stats(
+        pts, "user_id", "ts", tiebreak=("event_id",)
+    )
+
+
 # geofence layer for q_geofence_transitions: dyadic-exact bounds so
 # literal typing (DuckDB decimal vs Spark double) cannot shift the
 # [min,max) containment comparisons
@@ -3036,6 +3064,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": q_bm25_topk,
         "gopher_filter": q_gopher_filter,
         "stay_points": q_stay_points,
+        "turn_stats": q_turn_stats,
         "geofence_transitions": q_geofence_transitions,
         "trip_cell_paths": q_trip_cell_paths,
         "cell_gini": q_cell_gini,
@@ -5646,6 +5675,23 @@ def oracle_sql() -> dict[str, str]:
         "stay_points": spatial.stay_points_sql(
             _STAY_PTS_SQL, "user_id", "ts",
             min_duration_s=1800, min_points=3, tiebreak=("event_id",),
+        ),
+        # zigzag variant of the drift geocode (triangle-wave lon):
+        # same ::DOUBLE pinning discipline as _STAY_PTS_SQL
+        "turn_stats": spatial.turn_stats_sql(
+            """(
+    SELECT user_id, ts, event_id,
+           CAST(-45.0 AS DOUBLE) + (user_id % 120) * CAST(0.5 AS DOUBLE)
+               + CAST(0.001 AS DOUBLE) * rn
+               + CAST(1.0 AS DOUBLE) * floor(rn / 25) AS lat,
+           CAST(-100.0 AS DOUBLE) + (user_id % 140) * CAST(1.0 AS DOUBLE)
+               + CAST(0.002 AS DOUBLE) * abs(10 - (rn % 20)) AS lon
+    FROM (SELECT user_id, ts, event_id,
+                 ROW_NUMBER() OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS rn
+          FROM events) t
+)""",
+            "user_id", "ts", tiebreak=("event_id",),
         ),
         "weighted_sample": sampling_ops.weighted_sample_sql(
             """(SELECT doc_id,

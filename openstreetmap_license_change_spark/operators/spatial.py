@@ -4395,3 +4395,192 @@ def morans_i_ctes(
                     AS BIGINT) AS i_ppm
         FROM mi_dagg d CROSS JOIN mi_pagg p
     """
+
+
+def turn_stats(
+    points: DataFrame,
+    id_col: str,
+    ts_col: str,
+    lon: str = "lon",
+    lat: str = "lat",
+    tiebreak: Sequence[str] = (),
+) -> DataFrame:
+    """Per-entity heading-sector and turn statistics over timestamp-
+    ordered point streams — the movement-pattern profile of a
+    trajectory (commute-like straight runs vs zigzag search patterns
+    vs U-turn-heavy loops), the directional companion of
+    :func:`trip_segments`' length/gap profile.
+
+    EXACT-integer geometry: coordinates snap once to µdeg
+    (round(deg·10⁶) → bigint), step vectors are integer (dx, dy), and
+    the 8 compass sectors (0=E, 1=NE, 2=N, … 7=SE, counter-clockwise)
+    come from sign/|·| comparisons only — |dx| > |dy| picks the
+    cardinal, |dx| = |dy| ≠ 0 the diagonal; no atan2, no floats, so
+    both engines agree bit-for-bit.  A zero-motion step is STATIONARY
+    (NULL sector) and breaks the turn chain (no turn on either side).
+    Turns classify by the CCW sector delta pmod 8: 0 straight, 1–3
+    left, 4 U-turn, 5–7 right.
+
+    Plan: both lags (prev point, prev sector) ride ONE
+    partitionBy(id) orderBy(ts, tiebreak) sort — a single hash
+    shuffle — then one map-side-combining groupBy(id) with 8 fixed
+    conditional sector counts; the modal sector is a chained-CASE
+    argmax over those 8 columns (ties → lowest sector), never a
+    second aggregation.  Pass ``tiebreak`` whenever ``ts`` is not
+    unique per entity (the trip_segments determinism contract).
+
+    Output: id, n_steps, n_moving, n_straight, n_left, n_right,
+    n_uturn, modal_sector (NULL when no moving steps)."""
+    order_cols = [F.col(ts_col)] + [F.col(c) for c in tiebreak]
+    wu = W.partitionBy(id_col).orderBy(*order_cols)
+    ux = F.round(F.col(lon) * 1_000_000).cast("bigint")
+    uy = F.round(F.col(lat) * 1_000_000).cast("bigint")
+    pt = points.select(
+        F.col(id_col),
+        *[F.col(c) for c in tiebreak],
+        F.col(ts_col),
+        ux.alias("_x"),
+        uy.alias("_y"),
+        F.lag(ux).over(wu).alias("_px"),
+        F.lag(uy).over(wu).alias("_py"),
+    )
+    steps = pt.where(F.col("_px").isNotNull()).select(
+        F.col(id_col),
+        *[F.col(c) for c in tiebreak],
+        F.col(ts_col),
+        (F.col("_x") - F.col("_px")).alias("_dx"),
+        (F.col("_y") - F.col("_py")).alias("_dy"),
+    )
+    adx, ady = F.abs(F.col("_dx")), F.abs(F.col("_dy"))
+    sector = (
+        F.when((F.col("_dx") == 0) & (F.col("_dy") == 0), F.lit(None))
+        .when((adx > ady) & (F.col("_dx") > 0), F.lit(0))
+        .when((adx > ady), F.lit(4))
+        .when((ady > adx) & (F.col("_dy") > 0), F.lit(2))
+        .when((ady > adx), F.lit(6))
+        .when((F.col("_dx") > 0) & (F.col("_dy") > 0), F.lit(1))
+        .when((F.col("_dx") < 0) & (F.col("_dy") > 0), F.lit(3))
+        .when((F.col("_dx") < 0) & (F.col("_dy") < 0), F.lit(5))
+        .otherwise(F.lit(7))
+        .cast("int")
+    )
+    ws = W.partitionBy(id_col).orderBy(*order_cols)
+    st = steps.withColumn("_s", sector).withColumn(
+        "_ps", F.lag("_s").over(ws)
+    )
+    delta = F.pmod(F.col("_s") - F.col("_ps"), F.lit(8))
+    turn = F.when(
+        F.col("_s").isNotNull() & F.col("_ps").isNotNull(), delta
+    )
+    st = st.withColumn("_t", turn)
+    cnts = [
+        F.sum((F.col("_s") == i).cast("bigint")).alias(f"_c{i}")
+        for i in range(8)
+    ]
+    agg = st.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_steps"),
+        F.sum(F.col("_s").isNotNull().cast("bigint")).alias("n_moving"),
+        F.sum((F.col("_t") == 0).cast("bigint")).alias("n_straight"),
+        F.sum(F.col("_t").isin(1, 2, 3).cast("bigint")).alias("n_left"),
+        F.sum(F.col("_t").isin(5, 6, 7).cast("bigint")).alias("n_right"),
+        F.sum((F.col("_t") == 4).cast("bigint")).alias("n_uturn"),
+        *cnts,
+    )
+    m = F.greatest(*[F.col(f"_c{i}") for i in range(8)])
+    modal = F.when(m == 0, F.lit(None))
+    for i in range(8):
+        modal = modal.when(F.col(f"_c{i}") == m, F.lit(i))
+    return agg.select(
+        id_col, "n_steps", "n_moving", "n_straight", "n_left",
+        "n_right", "n_uturn", modal.cast("int").alias("modal_sector"),
+    )
+
+
+def turn_stats_sql(
+    src: str,
+    id_col: str,
+    ts_col: str,
+    lon: str = "lon",
+    lat: str = "lat",
+    tiebreak: Sequence[str] = (),
+) -> str:
+    """DuckDB twin of :func:`turn_stats` — identical µdeg snap,
+    sector CASE, pmod spelling ``((d % 8) + 8) % 8``, and chained-CASE
+    modal argmax.  CTE names tn_*-namespaced."""
+    ob = ", ".join([ts_col] + list(tiebreak))
+    tb_cols = "".join(f", {c}" for c in tiebreak)
+    sec = """
+        CASE WHEN _dx = 0 AND _dy = 0 THEN NULL
+             WHEN abs(_dx) > abs(_dy) AND _dx > 0 THEN 0
+             WHEN abs(_dx) > abs(_dy) THEN 4
+             WHEN abs(_dy) > abs(_dx) AND _dy > 0 THEN 2
+             WHEN abs(_dy) > abs(_dx) THEN 6
+             WHEN _dx > 0 AND _dy > 0 THEN 1
+             WHEN _dx < 0 AND _dy > 0 THEN 3
+             WHEN _dx < 0 AND _dy < 0 THEN 5
+             ELSE 7 END
+    """
+    c_cols = ",\n".join(
+        f"CAST(COALESCE(SUM(CASE WHEN _s = {i} THEN 1 ELSE 0 END), 0) "
+        f"AS BIGINT) AS _c{i}"
+        for i in range(8)
+    )
+    modal_case = " ".join(
+        f"WHEN _c{i} = _m THEN {i}" for i in range(8)
+    )
+    return f"""
+        WITH tn_pt AS (
+            SELECT {id_col}{tb_cols}, {ts_col},
+                   CAST(round({lon} * 1000000) AS BIGINT) AS _x,
+                   CAST(round({lat} * 1000000) AS BIGINT) AS _y,
+                   LAG(CAST(round({lon} * 1000000) AS BIGINT))
+                       OVER (PARTITION BY {id_col} ORDER BY {ob}) AS _px,
+                   LAG(CAST(round({lat} * 1000000) AS BIGINT))
+                       OVER (PARTITION BY {id_col} ORDER BY {ob}) AS _py
+            FROM {src}
+        ),
+        tn_step AS (
+            SELECT {id_col}{tb_cols}, {ts_col},
+                   _x - _px AS _dx, _y - _py AS _dy
+            FROM tn_pt WHERE _px IS NOT NULL
+        ),
+        tn_sec AS (
+            SELECT {id_col}{tb_cols}, {ts_col}, ({sec}) AS _s
+            FROM tn_step
+        ),
+        tn_turn AS (
+            SELECT {id_col}, _s,
+                   CASE WHEN _s IS NOT NULL AND _ps IS NOT NULL
+                        THEN (((_s - _ps) % 8) + 8) % 8 END AS _t
+            FROM (SELECT {id_col}{tb_cols}, {ts_col}, _s,
+                         LAG(_s) OVER (PARTITION BY {id_col}
+                                       ORDER BY {ob}) AS _ps
+                  FROM tn_sec)
+        ),
+        tn_agg AS (
+            SELECT {id_col},
+                   CAST(COUNT(*) AS BIGINT) AS n_steps,
+                   CAST(COALESCE(SUM(CASE WHEN _s IS NOT NULL
+                                          THEN 1 ELSE 0 END), 0)
+                        AS BIGINT) AS n_moving,
+                   CAST(COALESCE(SUM(CASE WHEN _t = 0 THEN 1 ELSE 0 END),
+                                 0) AS BIGINT) AS n_straight,
+                   CAST(COALESCE(SUM(CASE WHEN _t IN (1,2,3)
+                                          THEN 1 ELSE 0 END), 0)
+                        AS BIGINT) AS n_left,
+                   CAST(COALESCE(SUM(CASE WHEN _t IN (5,6,7)
+                                          THEN 1 ELSE 0 END), 0)
+                        AS BIGINT) AS n_right,
+                   CAST(COALESCE(SUM(CASE WHEN _t = 4 THEN 1 ELSE 0 END),
+                                 0) AS BIGINT) AS n_uturn,
+                   {c_cols}
+            FROM tn_turn GROUP BY {id_col}
+        )
+        SELECT {id_col}, n_steps, n_moving, n_straight, n_left,
+               n_right, n_uturn,
+               CAST(CASE WHEN _m = 0 THEN NULL {modal_case} END
+                    AS INTEGER) AS modal_sector
+        FROM (SELECT *,
+                     GREATEST(_c0,_c1,_c2,_c3,_c4,_c5,_c6,_c7) AS _m
+              FROM tn_agg)
+    """
