@@ -1768,6 +1768,26 @@ def q_turn_stats(spark, sf_dir):
     )
 
 
+def q_cusum_split(spark, sf_dir):
+    """Per-user CUSUM change-point (temporal.cusum_split) over
+    milli-quantized event values: the classic max|Σ(x−x̄)| statistic
+    cross-multiplied into the exact integer D_k = n·S_k − k·S_n, so
+    the chosen split, its |D| and both segment means (ppm rationals)
+    are float-free; earliest-k struct-max tie-break; one key sort
+    carries every window.  The DuckDB twin runs the identical
+    recurrence, hash-verified."""
+    from openstreetmap_license_change_spark.operators import temporal
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    series = ev.select(
+        "user_id", "ts", "event_id",
+        F.floor(F.col("value") * 1000).cast("bigint").alias("v_mil"),
+    )
+    return temporal.cusum_split(
+        series, "user_id", "ts", "v_mil", tiebreak=("event_id",)
+    )
+
+
 # geofence layer for q_geofence_transitions: dyadic-exact bounds so
 # literal typing (DuckDB decimal vs Spark double) cannot shift the
 # [min,max) containment comparisons
@@ -3065,6 +3085,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_filter": q_gopher_filter,
         "stay_points": q_stay_points,
         "turn_stats": q_turn_stats,
+        "cusum_split": q_cusum_split,
         "geofence_transitions": q_geofence_transitions,
         "trip_cell_paths": q_trip_cell_paths,
         "cell_gini": q_cell_gini,
@@ -5675,6 +5696,11 @@ def oracle_sql() -> dict[str, str]:
         "stay_points": spatial.stay_points_sql(
             _STAY_PTS_SQL, "user_id", "ts",
             min_duration_s=1800, min_points=3, tiebreak=("event_id",),
+        ),
+        "cusum_split": temporal.cusum_split_sql(
+            "(SELECT user_id, ts, event_id, "
+            "CAST(floor(value * 1000) AS BIGINT) AS v_mil FROM events)",
+            "user_id", "ts", "v_mil", tiebreak=("event_id",),
         ),
         # zigzag variant of the drift geocode (triangle-wave lon):
         # same ::DOUBLE pinning discipline as _STAY_PTS_SQL

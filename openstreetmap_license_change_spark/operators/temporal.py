@@ -930,3 +930,121 @@ def interval_coverage_sql(
                CAST(SUM(GREATEST(_ie - _is, 0)) AS BIGINT) AS covered_us
         FROM ic_agg GROUP BY 1
     """
+
+
+def cusum_split(
+    series: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    tiebreak: Sequence[str] = (),
+) -> DataFrame:
+    """Per-key CUSUM change-point detection over integer-valued time
+    series — where does each series most look like a mean shift?
+    (crawl-rate regime changes, per-tile activity breaks, per-user
+    behavior shifts).  The classic statistic max_k |Σ_{i≤k}(x_i − x̄)|
+    cross-multiplied by n into the EXACT integer form
+
+        D_k = n·S_k − k·S_n        (S_k = prefix sum, k = 1..n−1)
+
+    so the argmax is float-free and the DuckDB twin hash-matches the
+    chosen split, its |D| and both segment means (emitted as exact
+    S·10⁶ DIV k ppm rationals — the house's divide-once discipline).
+    Ties break to the EARLIEST k (struct-max on (|D|, −k) — a total
+    order, deterministic at any parallelism).  Keys with n < 2 have
+    no admissible split and are absent.
+
+    Plan: ONE partitionBy(key) orderBy(ts, tiebreak) sort carries the
+    prefix sum, the row number, and the full-frame n/S_n — a single
+    hash shuffle — then one map-side-combining groupBy(key) argmax.
+    |D_k| ≤ n·|S| keeps int64 through ~10⁹-point keys of 10⁹-scale
+    values only if pre-quantized sensibly; overflow-prone inputs
+    should drop the value quantum (the BM25_IDF_SCALE move).
+
+    Output: key, n, split_k (prefix length), split_ts, d_abs,
+    mean_before_ppm, mean_after_ppm."""
+    order_cols = [F.col(ts_col)] + [F.col(c) for c in tiebreak]
+    wo = W.partitionBy(key_col).orderBy(*order_cols)
+    wrun = wo.rowsBetween(W.unboundedPreceding, W.currentRow)
+    wall = W.partitionBy(key_col).rowsBetween(
+        W.unboundedPreceding, W.unboundedFollowing
+    )
+    pre = series.select(
+        F.col(key_col),
+        F.col(ts_col),
+        F.col(value_col).cast("bigint").alias("_v"),
+        F.row_number().over(wo).alias("_k"),
+        F.sum(F.col(value_col).cast("bigint")).over(wrun).alias("_sk"),
+        F.count(F.lit(1)).over(wall).alias("_n"),
+        F.sum(F.col(value_col).cast("bigint")).over(wall).alias("_sn"),
+    ).where(F.col("_k") < F.col("_n"))
+    d = F.col("_n") * F.col("_sk") - F.col("_k") * F.col("_sn")
+    cand = pre.select(
+        F.col(key_col),
+        F.struct(
+            F.abs(d).alias("d_abs"),
+            (-F.col("_k")).alias("neg_k"),
+            F.col(ts_col).alias("split_ts"),
+            F.col("_sk").alias("s_k"),
+            F.col("_n").alias("n"),
+            F.col("_sn").alias("s_n"),
+        ).alias("_c"),
+    )
+    best = cand.groupBy(key_col).agg(F.max("_c").alias("_c"))
+    return best.select(
+        key_col,
+        F.col("_c.n").alias("n"),
+        (-F.col("_c.neg_k")).alias("split_k"),
+        F.col("_c.split_ts").alias("split_ts"),
+        F.col("_c.d_abs").alias("d_abs"),
+        F.expr("_c.s_k * 1000000 DIV (-_c.neg_k)").alias(
+            "mean_before_ppm"
+        ),
+        F.expr(
+            "(_c.s_n - _c.s_k) * 1000000 DIV (_c.n - (-_c.neg_k))"
+        ).alias("mean_after_ppm"),
+    )
+
+
+def cusum_split_sql(
+    src: str,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    tiebreak: Sequence[str] = (),
+) -> str:
+    """DuckDB twin of :func:`cusum_split`: identical prefix/full-frame
+    windows and the struct-max spelled as ROW_NUMBER over
+    (|D| DESC, k ASC).  CTE names cu_*-namespaced."""
+    ob = ", ".join([ts_col] + list(tiebreak))
+    return f"""
+        WITH cu_pre AS (
+            SELECT {key_col}, {ts_col},
+                   ROW_NUMBER() OVER (PARTITION BY {key_col}
+                                      ORDER BY {ob}) AS k,
+                   SUM(CAST({value_col} AS BIGINT)) OVER (
+                       PARTITION BY {key_col} ORDER BY {ob}
+                       ROWS UNBOUNDED PRECEDING) AS sk,
+                   COUNT(*) OVER (PARTITION BY {key_col}) AS n,
+                   SUM(CAST({value_col} AS BIGINT)) OVER (
+                       PARTITION BY {key_col}) AS sn
+            FROM {src}
+        ),
+        cu_cand AS (
+            SELECT {key_col}, {ts_col}, k, sk, n, sn,
+                   abs(n * sk - k * sn) AS d_abs,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY {key_col}
+                       ORDER BY abs(n * sk - k * sn) DESC, k ASC) AS rn
+            FROM cu_pre WHERE k < n
+        )
+        SELECT {key_col},
+               CAST(n AS BIGINT) AS n,
+               CAST(k AS BIGINT) AS split_k,
+               {ts_col} AS split_ts,
+               CAST(d_abs AS BIGINT) AS d_abs,
+               CAST(sk * 1000000 // k AS BIGINT) AS mean_before_ppm,
+               CAST((sn - sk) * 1000000 // (n - k) AS BIGINT)
+                   AS mean_after_ppm
+        FROM cu_cand WHERE rn = 1
+    """
