@@ -1768,6 +1768,23 @@ def q_turn_stats(spark, sf_dir):
     )
 
 
+HRW_SHARDS = 16
+
+
+def q_hrw_assign(spark, sf_dir):
+    """Rendezvous (HRW) shard assignment (sketches.hrw_assign): every
+    doc routes to argmax_s h(doc, s) over 16 shards via chained
+    wrap-free kmv_hash rounds — the consistent-sharding primitive
+    whose add-a-shard disruption is minimal by construction (tested);
+    purely map-side (array-local argmax, no shuffle).  The DuckDB
+    twin spells the same argmax as a windowed rank, hash-verified
+    per key."""
+    docs = pages_src.documents(spark, sf_dir).select("doc_id")
+    return sketches.hrw_assign(docs, "doc_id", HRW_SHARDS).select(
+        "doc_id", "shard"
+    )
+
+
 def q_cusum_split(spark, sf_dir):
     """Per-user CUSUM change-point (temporal.cusum_split) over
     milli-quantized event values: the classic max|Σ(x−x̄)| statistic
@@ -3086,6 +3103,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stay_points": q_stay_points,
         "turn_stats": q_turn_stats,
         "cusum_split": q_cusum_split,
+        "hrw_assign": q_hrw_assign,
         "geofence_transitions": q_geofence_transitions,
         "trip_cell_paths": q_trip_cell_paths,
         "cell_gini": q_cell_gini,
@@ -5697,6 +5715,12 @@ def oracle_sql() -> dict[str, str]:
             _STAY_PTS_SQL, "user_id", "ts",
             min_duration_s=1800, min_points=3, tiebreak=("event_id",),
         ),
+        "hrw_assign": f"""
+            SELECT key AS doc_id, shard
+            FROM ({sketches.hrw_assign_sql(
+                "documents", "doc_id", HRW_SHARDS
+            )})
+        """,
         "cusum_split": temporal.cusum_split_sql(
             "(SELECT user_id, ts, event_id, "
             "CAST(floor(value * 1000) AS BIGINT) AS v_mil FROM events)",

@@ -503,3 +503,82 @@ def bloom_ctes(
         FROM bl_probe p LEFT JOIN bl_words w USING (word_idx)
         GROUP BY p.token
     """
+
+
+HRW_STEP = 40503  # Fibonacci-ish odd step decorrelating shard seeds
+
+
+def hrw_score(key_col, shard: "F.Column | int") -> "F.Column":
+    """The rendezvous score h(key, shard): two chained
+    :func:`kmv_hash` rounds (mix the key, step by shard, mix again) —
+    every intermediate wrap-free in int64, identical in the twin."""
+    s = shard if isinstance(shard, F.Column) else F.lit(int(shard))
+    return kmv_hash(kmv_hash(key_col) + (s + 1) * F.lit(HRW_STEP))
+
+
+def hrw_score_sql(key_expr: str, shard_expr: str) -> str:
+    """DuckDB twin of :func:`hrw_score`."""
+    inner = kmv_hash_sql(key_expr)
+    return kmv_hash_sql(f"({inner}) + (({shard_expr}) + 1) * {HRW_STEP}")
+
+
+def hrw_assign(
+    df: DataFrame,
+    key_col: str,
+    n_shards: int,
+) -> DataFrame:
+    """Highest-random-weight (rendezvous) shard assignment — the
+    consistent-sharding primitive (Thaler & Ravishankar): each key
+    goes to argmax_s h(key, s), so when a shard is ADDED only the
+    keys whose new score wins move (≈ 1/(n+1) of them), and they all
+    move TO the new shard — no ring, no global remap, the property
+    consistent-hashing deployments (partitioned sinks, sticky
+    routing, cache sharding) are built on.
+
+    Deterministic and engine-portable by construction: the score is
+    two chained :func:`kmv_hash` rounds (wrap-free int64), and the
+    argmax is an ARRAY-LOCAL max over the n_shards candidate structs
+    (score, shard) — no explode, no join, no shuffle, no Python; ties
+    break to the higher shard id (struct-max order, deterministic).
+
+    Scale: purely map-side — a projection over whatever partitioning
+    the input already has.  n_shards is a plan-time constant (the
+    candidate array is per-row, so keep it ≤ ~10⁴; real deployments
+    shard to hundreds).
+
+    Output: all input columns + ``shard`` (0-based bigint)."""
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be ≥ 1: {n_shards}")
+    cands = F.transform(
+        F.sequence(F.lit(0), F.lit(int(n_shards) - 1)),
+        lambda s: F.struct(
+            hrw_score(F.col(key_col), s).alias("score"),
+            s.cast("bigint").alias("shard"),
+        ),
+    )
+    return df.withColumn("shard", F.array_max(cands)["shard"])
+
+
+def hrw_assign_sql(src: str, key_expr: str, n_shards: int) -> str:
+    """DuckDB twin of :func:`hrw_assign` (the argmax spelled as a
+    ROW_NUMBER over score DESC, shard DESC — the struct-max order).
+    Emits (key, shard); CTE names hrw_*-namespaced."""
+    score = hrw_score_sql("k.key", "sh.s")
+    return f"""
+        WITH hrw_keys AS (
+            SELECT {key_expr} AS key FROM {src}
+        ),
+        hrw_fan AS (
+            SELECT k.key, sh.s,
+                   {score} AS score
+            FROM hrw_keys k
+            CROSS JOIN (SELECT UNNEST(range(0, {int(n_shards)})) AS s) sh
+        )
+        SELECT key, CAST(s AS BIGINT) AS shard
+        FROM (
+            SELECT key, s,
+                   ROW_NUMBER() OVER (PARTITION BY key
+                                      ORDER BY score DESC, s DESC) AS rn
+            FROM hrw_fan
+        ) WHERE rn = 1
+    """
