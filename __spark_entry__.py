@@ -1768,6 +1768,34 @@ def q_turn_stats(spark, sf_dir):
     )
 
 
+COLOC_RES, COLOC_WIN_S = 2.0, 7200
+
+
+def q_colocation_pairs(spark, sf_dir):
+    """Spatio-temporal co-location (spatial.colocation_pairs) over the
+    drift geocode: user pairs with events in the same-or-adjacent 2°
+    cell within 2 h — 27-probe (3×3 cells × ±1 buckets) exactly-once
+    fan on the left side only, id_a < id_b dedup, loud cell×bucket
+    occupancy guard, exact integer µs; the DuckDB twin runs the
+    identical fan (with per-event identity so duplicates never
+    merge), so every pair's moment count and time span hash-verify."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    rn = F.row_number().over(
+        W.partitionBy("user_id").orderBy("ts", "event_id")
+    )
+    pts = ev.select("user_id", "ts", "event_id", rn.alias("rn")).select(
+        "user_id", "ts",
+        (F.lit(-45.0) + (F.col("user_id") % 120) * F.lit(0.5)
+         + F.lit(0.001) * F.col("rn")
+         + F.lit(1.0) * F.floor(F.col("rn") / 25)).alias("lat"),
+        (F.lit(-100.0) + (F.col("user_id") % 140) * F.lit(1.0)
+         + F.lit(0.002) * F.col("rn")).alias("lon"),
+    )
+    return spatial.colocation_pairs(
+        pts, "user_id", "ts", res_deg=COLOC_RES, window_s=COLOC_WIN_S
+    )
+
+
 HRW_SHARDS = 16
 
 
@@ -3104,6 +3132,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "turn_stats": q_turn_stats,
         "cusum_split": q_cusum_split,
         "hrw_assign": q_hrw_assign,
+        "colocation_pairs": q_colocation_pairs,
         "geofence_transitions": q_geofence_transitions,
         "trip_cell_paths": q_trip_cell_paths,
         "cell_gini": q_cell_gini,
@@ -5714,6 +5743,10 @@ def oracle_sql() -> dict[str, str]:
         "stay_points": spatial.stay_points_sql(
             _STAY_PTS_SQL, "user_id", "ts",
             min_duration_s=1800, min_points=3, tiebreak=("event_id",),
+        ),
+        "colocation_pairs": spatial.colocation_pairs_sql(
+            _STAY_PTS_SQL, "user_id", "ts",
+            res_deg=COLOC_RES, window_s=COLOC_WIN_S,
         ),
         "hrw_assign": f"""
             SELECT key AS doc_id, shard

@@ -4584,3 +4584,169 @@ def turn_stats_sql(
                      GREATEST(_c0,_c1,_c2,_c3,_c4,_c5,_c6,_c7) AS _m
               FROM tn_agg)
     """
+
+
+def colocation_pairs(
+    points: DataFrame,
+    id_col: str,
+    ts_col: str,
+    lon: str = "lon",
+    lat: str = "lat",
+    res_deg: float = DEFAULT_RES_DEG,
+    window_s: int = 3600,
+    max_cell_bucket: int = 10_000,
+) -> DataFrame:
+    """Spatio-temporal co-location: unordered entity pairs with events
+    in the SAME-OR-ADJACENT grid cell (the kNN family's 3×3 wrapped
+    topology) within ``window_s`` seconds — the contact/co-presence
+    detector (shared-session devices, convoy detection, same-place-
+    same-time dedup of crawl sources).  Cell-granular by contract:
+    the cell size IS the spatial tolerance (compose with
+    :func:`radius_join` for exact-distance refinement).
+
+    Exactly-once pair counting by construction: only the LEFT side
+    fans out (9 spatial probes × {−1, 0, +1} time buckets = 27), the
+    right side keeps its raw (cell, bucket), so a qualifying event
+    pair matches exactly ONE probe; the ``id_a < id_b`` restriction
+    then keeps exactly one of the two directions.  Bucket width =
+    ``window_s`` guarantees any |Δt| ≤ window_s pair differs by at
+    most one bucket (the as-of union trick's bucketed sibling); the
+    exact |Δt| filter runs AFTER the equi-join, all integer µs.
+
+    Scale: one equi-join on (cell, bucket) — dense cell×bucket keys
+    are the quadratic risk, guarded LOUDLY (``assert_true`` over the
+    right-side (cell, bucket) occupancy riding a used column; the
+    common_neighbor_pairs contract: pre-thin hot cells yourself and
+    own the decision).  AQE's skew-join covers moderate skew.
+
+    Output: (id_a, id_b, n_moments, first_us, last_us) — pair
+    totals over all co-located event pairs."""
+    cols = int(360 / res_deg)
+    rows_n = int(180 / res_deg)
+    if cols < 5:
+        raise ValueError(
+            f"res_deg {res_deg} gives {cols} grid columns; need ≥ 5 "
+            "for wrap-unambiguous 3×3 probing"
+        )
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    win_us = int(window_s) * 1_000_000
+    base = points.select(
+        F.col(id_col).alias("_id"),
+        us.alias("_us"),
+        grid_cell(F.col(lon), F.col(lat), res_deg).alias("_cell"),
+        (us - F.pmod(us, F.lit(win_us))).alias("_bk0"),
+    ).withColumn("_bk", (F.col("_bk0") / F.lit(win_us)).cast("bigint"))
+    right = base.select(
+        F.col("_id").alias("id_b"),
+        F.col("_us").alias("us_b"),
+        F.col("_cell").alias("_rcell"),
+        F.col("_bk").alias("_rbk"),
+    )
+    occ = right.groupBy("_rcell", "_rbk").agg(
+        F.count(F.lit(1)).alias("_occ")
+    )
+    guard = F.assert_true(
+        F.col("_occ") <= F.lit(int(max_cell_bucket)),
+        F.lit(
+            f"cell×bucket occupancy exceeds max_cell_bucket="
+            f"{max_cell_bucket} in colocation_pairs; the pair join is "
+            "quadratic per key — thin hot cells explicitly or raise "
+            "the cap"
+        ),
+    )
+    right = right.join(occ, ["_rcell", "_rbk"]).select(
+        "id_b",
+        F.when(guard.isNull(), F.col("us_b")).alias("us_b"),
+        "_rcell", "_rbk",
+    )
+    lat_b = F.floor(F.col("_cell") / F.lit(cols))
+    lon_b = F.col("_cell") % F.lit(cols)
+    probes = []
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            t_lat = lat_b + F.lit(dy)
+            t_lon = (lon_b + F.lit(dx) + F.lit(cols)) % F.lit(cols)
+            probes.append(
+                F.when(
+                    (t_lat >= 0) & (t_lat < rows_n),
+                    (t_lat * F.lit(cols) + t_lon).cast("bigint"),
+                )
+            )
+    fan = base.select(
+        F.col("_id").alias("id_a"),
+        F.col("_us").alias("us_a"),
+        F.explode(
+            F.array_distinct(F.array_compact(F.array(*probes)))
+        ).alias("_rcell"),
+        F.col("_bk"),
+    ).select(
+        "id_a", "us_a", "_rcell",
+        F.explode(
+            F.array(F.col("_bk") - 1, F.col("_bk"), F.col("_bk") + 1)
+        ).alias("_rbk"),
+    )
+    paired = (
+        fan.join(right, ["_rcell", "_rbk"])
+        .where(
+            (F.col("id_a") < F.col("id_b"))
+            & (F.abs(F.col("us_a") - F.col("us_b")) <= F.lit(win_us))
+        )
+    )
+    return paired.groupBy("id_a", "id_b").agg(
+        F.count(F.lit(1)).alias("n_moments"),
+        F.least(F.min("us_a"), F.min("us_b")).alias("first_us"),
+        F.greatest(F.max("us_a"), F.max("us_b")).alias("last_us"),
+    )
+
+
+def colocation_pairs_sql(
+    src: str,
+    id_col: str,
+    ts_col: str,
+    lon: str = "lon",
+    lat: str = "lat",
+    res_deg: float = DEFAULT_RES_DEG,
+    window_s: int = 3600,
+) -> str:
+    """DuckDB twin of :func:`colocation_pairs` (no occupancy guard —
+    the operator owns the loud failure): identical grid/bucket
+    arithmetic, 27-probe fan, exactly-once predicate.  CTE names
+    cl_*-namespaced."""
+    cols = int(360 / res_deg)
+    rows_n = int(180 / res_deg)
+    win_us = int(window_s) * 1_000_000
+    return f"""
+        WITH cl_base AS (
+            -- eid gives duplicate events distinct identities, so the
+            -- probe-dedup DISTINCT below (the twin of Spark's per-row
+            -- array_distinct) can never merge two real events
+            SELECT {id_col} AS id, epoch_us({ts_col}) AS us,
+                   {grid_cell_sql(lon, lat, res_deg)} AS cell,
+                   epoch_us({ts_col}) // {win_us} AS bk,
+                   ROW_NUMBER() OVER (ORDER BY {id_col}, {ts_col}) AS eid
+            FROM {src}
+        ),
+        cl_fan AS (
+            SELECT DISTINCT b.eid, b.id, b.us, b.bk + db.db AS rbk,
+                   (((b.cell // {cols}) + d.dy) * {cols}
+                    + ((b.cell % {cols}) + d.dx + {cols}) % {cols})
+                       AS rcell
+            FROM cl_base b
+            CROSS JOIN (VALUES (-1,-1),(-1,0),(-1,1),(0,-1),(0,0),(0,1),
+                               (1,-1),(1,0),(1,1)) d(dy, dx)
+            CROSS JOIN (VALUES (-1),(0),(1)) db(db)
+            WHERE (b.cell // {cols}) + d.dy >= 0
+              AND (b.cell // {cols}) + d.dy < {rows_n}
+        ),
+        cl_pairs AS (
+            SELECT f.id AS id_a, r.id AS id_b, f.us AS us_a, r.us AS us_b
+            FROM cl_fan f
+            JOIN cl_base r ON r.cell = f.rcell AND r.bk = f.rbk
+            WHERE f.id < r.id AND abs(f.us - r.us) <= {win_us}
+        )
+        SELECT id_a, id_b,
+               CAST(COUNT(*) AS BIGINT) AS n_moments,
+               LEAST(MIN(us_a), MIN(us_b)) AS first_us,
+               GREATEST(MAX(us_a), MAX(us_b)) AS last_us
+        FROM cl_pairs GROUP BY 1, 2
+    """
