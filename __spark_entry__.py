@@ -812,6 +812,22 @@ def q_pq_search(spark, sf_dir):
     )
 
 
+PCA_ROUNDS = 4
+
+
+def q_pca_top(spark, sf_dir):
+    """Top principal component of the embedding corpus by quantized
+    power iteration (similarity.pca_power_top): C·v applied as two
+    long-form aggregates per round (never materializing the d×d
+    covariance), truncated-mean centering (the embedding_centroids
+    convention — |deviation| independent of corpus size), L1
+    requantization to 2²⁰ ints each round, loud zero-covariance
+    failure.  The DuckDB twin unrolls the identical recurrence, so
+    all 64 loadings hash-verify after every round."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return similarity.pca_power_top(emb, rounds=PCA_ROUNDS)
+
+
 BLOOM_BITS, BLOOM_K = 4096, 4
 
 
@@ -3155,6 +3171,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kcore": q_kcore,
         "pq_encode": q_pq_encode,
         "pq_search": q_pq_search,
+        "pca_top": q_pca_top,
         "coupling_pairs": q_coupling_pairs,
         "kmv_distinct_docs": q_kmv_distinct_docs,
         "countmin_topk": q_countmin_topk,
@@ -4156,6 +4173,9 @@ def oracle_sql() -> dict[str, str]:
         """),
         "inverted_index": textops.inverted_index_sql(
             "documents", shard_size=II_SHARD
+        ),
+        "pca_top": similarity.pca_power_top_sql(
+            "embeddings", rounds=PCA_ROUNDS
         ),
         "pq_encode": similarity.pq_encode_sql(
             "embeddings", m=PQ_M, codes=PQ_CODES

@@ -659,3 +659,162 @@ def pq_search_sql(
         ORDER BY approx_dist_q ASC, e.{id_col} ASC
         LIMIT {int(k)}
     """
+
+
+PCA_NORM = 1 << 20
+
+
+def pca_power_top(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 10**6,
+    rounds: int = 4,
+) -> DataFrame:
+    """Top principal component by QUANTIZED power iteration — the
+    dimensionality-analysis member of the embedding family (IVF
+    routes, PQ compresses, this tells you which direction carries the
+    variance: drift detection between corpus snapshots, whitening
+    pre-passes, embedding-quality audits).
+
+    Never materializes the d×d covariance: each round applies
+    C·v = Σ_i y_i·(y_iᵀv) as two long-form aggregates over the
+    centered data —
+
+        dot(i)      = Σ_d y(i,d)·v(d)        (id-keyed agg, int64)
+        contrib(d)  = Σ_i dot(i)·y(i,d)      (dim-keyed agg, decimal)
+        v'(d)       = contrib(d)·2²⁰ DIV Σ|contrib|   (L1 requantize)
+
+    with y = q − mean_q, the :func:`embedding_centroids` truncated
+    mean (sum DIV n — at most one quantum of centering bias, and the
+    move that keeps |y| ≤ 2·scale INDEPENDENT of corpus size: dots
+    stay int64 for d·2·scale·2²⁰ < 2⁶³, i.e. d ≤ ~2000 at scale 10⁶;
+    the id-keyed contrib sum runs in decimal(38,0) with headroom past
+    10¹⁷ vectors).  Covariance is PSD, so iteration from the all-ones
+    vector converges sign-stable; every round's integer state is
+    identical on both engines (DuckDB twin unrolls the recurrence),
+    so the loadings hash-verify round by round.  Constant input
+    (all-zero deviations) fails LOUD — a zero L1 would otherwise
+    divide by zero silently.
+
+    Plan per round: one broadcast join (v is d rows) + id-keyed agg,
+    one id-keyed join + dim-keyed agg — 2 shuffles, map-side
+    combined, lineage cut per round (the pagerank_quantized pattern).
+
+    Returns (dim, v_q) with Σ|v_q| ≈ 2²⁰ (L1-quantized loadings)."""
+    if rounds < 1:
+        raise ValueError(f"rounds must be ≥ 1: {rounds}")
+    dec = "decimal(38,0)"
+    vlong = embeddings.select(
+        id_col, F.posexplode(vec_col).alias("dim", "_v")
+    ).withColumn(
+        "_q", F.round(F.col("_v") * F.lit(float(scale))).cast("bigint")
+    )
+    means = vlong.groupBy("dim").agg(
+        F.expr("CAST(SUM(_q) AS BIGINT) DIV COUNT(*)").alias("_mq")
+    )
+    ylong = (
+        vlong.join(F.broadcast(means), "dim")
+        .select(
+            id_col, "dim", (F.col("_q") - F.col("_mq")).alias("_y")
+        )
+        .localCheckpoint(eager=True)
+    )
+    spark = embeddings.sparkSession
+    dims = [r["dim"] for r in means.select("dim").collect()]
+    v = spark.createDataFrame(
+        [(d, PCA_NORM) for d in sorted(dims)], "dim int, v_q bigint"
+    )
+    for _ in range(rounds):
+        dots = (
+            ylong.join(F.broadcast(v), "dim")
+            .groupBy(id_col)
+            .agg(F.sum(F.col("_y") * F.col("v_q")).alias("_dot"))
+        )
+        contrib = (
+            ylong.join(dots, id_col)
+            .groupBy("dim")
+            .agg(
+                F.sum(
+                    F.col("_dot").cast(dec) * F.col("_y")
+                ).alias("_c")
+            )
+        )
+        l1 = contrib.agg(
+            F.sum(F.abs(F.col("_c"))).alias("_l1"),
+        )
+        guard = F.assert_true(
+            F.col("_l1") > 0,
+            F.lit(
+                "pca_power_top: zero covariance action (constant "
+                "input?) — the top component is undefined"
+            ),
+        )
+        v = (
+            contrib.crossJoin(F.broadcast(l1))
+            .select(
+                "dim",
+                F.when(
+                    guard.isNull(),
+                    F.expr(f"CAST((_c * {PCA_NORM}) DIV _l1 AS BIGINT)"),
+                ).alias("v_q"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return v.select("dim", "v_q")
+
+
+def pca_power_top_sql(
+    src: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 10**6,
+    rounds: int = 4,
+) -> str:
+    """DuckDB twin of :func:`pca_power_top`: the identical recurrence
+    unrolled (HUGEINT for the decimal legs, same trunc DIV).  CTE
+    names pc_*-namespaced."""
+    ctes = [
+        f"""pc_vlong AS MATERIALIZED (
+            SELECT {id_col} AS id, CAST(u.i - 1 AS INTEGER) AS dim,
+                   CAST(ROUND(CAST({vec_col}[u.i] AS DOUBLE) * {scale})
+                        AS BIGINT) AS q
+            FROM {src},
+                 LATERAL (SELECT UNNEST(range(1, len({vec_col}) + 1))
+                          AS i) u
+        )""",
+        """pc_means AS (
+            SELECT dim, CAST(SUM(q) AS BIGINT) // COUNT(*) AS mq
+            FROM pc_vlong GROUP BY dim
+        )""",
+        """pc_ylong AS MATERIALIZED (
+            SELECT v.id, v.dim, v.q - m.mq AS y
+            FROM pc_vlong v JOIN pc_means m USING (dim)
+        )""",
+        f"pc_v0 AS (SELECT DISTINCT dim, CAST({PCA_NORM} AS BIGINT) "
+        "AS v_q FROM pc_vlong)",
+    ]
+    for i in range(1, rounds + 1):
+        p = f"pc_v{i - 1}"
+        ctes.append(f"""pc_d{i} AS MATERIALIZED (
+            SELECT y.id, CAST(SUM(y.y * v.v_q) AS BIGINT) AS dot
+            FROM pc_ylong y JOIN {p} v USING (dim)
+            GROUP BY y.id
+        )""")
+        ctes.append(f"""pc_c{i} AS MATERIALIZED (
+            SELECT y.dim,
+                   SUM(CAST(d.dot AS HUGEINT) * y.y) AS c
+            FROM pc_ylong y JOIN pc_d{i} d USING (id)
+            GROUP BY y.dim
+        )""")
+        ctes.append(f"""pc_v{i} AS (
+            SELECT dim,
+                   CAST((c * {PCA_NORM})
+                        // (SELECT SUM(abs(c)) FROM pc_c{i})
+                        AS BIGINT) AS v_q
+            FROM pc_c{i}
+        )""")
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT dim, v_q FROM pc_v{rounds}"
+    )
