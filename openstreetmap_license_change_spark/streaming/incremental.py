@@ -266,3 +266,43 @@ def foreach_batch_bloom(
         FF.bit_or("bits").alias("bits")
     )
     current.write.mode("overwrite").parquet(f"{state_dir}/bloom_current")
+
+
+def foreach_batch_countmin(
+    batch_df: DataFrame, batch_id: int, state_dir: str,
+    depth: int = 4, width: int = 1024,
+):
+    """ForeachBatch bridge maintaining a corpus Count-Min frequency
+    sketch incrementally — the heavy-hitter face of the streaming
+    sketch family (:func:`foreach_batch_bloom` answers "seen?", this
+    answers "roughly how often?" for any token without rescanning the
+    corpus).
+
+    Count-Min cells ADD across corpora (the tile_rollup_merge
+    contract), but unlike Bloom's bit_or addition is NOT idempotent —
+    a replayed micro-batch would double-count if deltas appended.
+    Exactly-once therefore rests ENTIRELY on the per-batch partition
+    OVERWRITE (``cms/batch=<id>`` — a crash replay rewrites the same
+    partition byte-identically), which is the reason the layout is
+    per-batch deltas + derived ``cms_current`` (per-(row, bucket) SUM
+    across deltas) rather than read-modify-write of one live sketch:
+    RMW under at-least-once replay is the classic silent
+    double-count.  Same recovery contract as the rollup/state
+    bridges: ``current`` is derived; a crash mid-publish rebuilds
+    from the authoritative deltas."""
+    from pyspark.sql import functions as FF
+
+    from ..operators import sketches
+
+    spark = batch_df.sparkSession
+    delta = sketches.countmin_build(batch_df, depth=depth, width=width)
+    delta.write.mode("overwrite").parquet(
+        f"{state_dir}/cms/batch={batch_id}"
+    )
+    all_deltas = spark.read.parquet(f"{state_dir}/cms").select(
+        "row", "bucket", "cnt"
+    )
+    current = all_deltas.groupBy("row", "bucket").agg(
+        FF.sum("cnt").alias("cnt")
+    )
+    current.write.mode("overwrite").parquet(f"{state_dir}/cms_current")

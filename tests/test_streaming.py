@@ -534,3 +534,75 @@ def test_foreach_batch_bloom_incremental(spark, tmp_path):
         n_bits=512, k=3,
     ).collect()
     assert checked and all(r.in_bloom for r in checked)
+
+
+def test_foreach_batch_countmin_incremental(spark, tmp_path):
+    """Streaming Count-Min maintenance: two micro-batches + a verbatim
+    replay of the LAST batch (at-least-once semantics — the additive
+    sketch would double-count if the delta appended instead of
+    overwrote); the materialized sketch must equal the batch
+    countmin_build over the full corpus cell-for-cell, and point
+    estimates from it must keep the one-sided est ≥ true guarantee."""
+    from openstreetmap_license_change_spark.operators import sketches
+    from openstreetmap_license_change_spark.streaming import incremental
+
+    src = str(tmp_path / "pages_cm")
+    state = str(tmp_path / "state_cm")
+    depth, width = 3, 64
+
+    def run_stream():
+        stream = incremental.stream_pages(spark, src)
+        q = (
+            stream.writeStream.foreachBatch(
+                lambda df, bid: incremental.foreach_batch_countmin(
+                    df, bid, state, depth=depth, width=width
+                )
+            )
+            .option("checkpointLocation", str(tmp_path / "ckpt_cm"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    _write_pages(spark, src, 1)
+    run_stream()
+    _write_pages(spark, src, 2)
+    run_stream()
+
+    # verbatim replay of the last batch: the overwrite (not append)
+    # of cms/batch=<id> is what keeps the additive sketch exact
+    import glob as _glob
+    last = max(int(p.rsplit("=", 1)[1])
+               for p in _glob.glob(f"{state}/cms/batch=*"))
+    replay = spark.read.parquet(src).where(F.col("version") == 2)
+    incremental.foreach_batch_countmin(
+        replay, last, state, depth=depth, width=width
+    )
+
+    got = {
+        (r.row, r.bucket): r.cnt
+        for r in spark.read.parquet(f"{state}/cms_current").collect()
+    }
+    want = {
+        (r.row, r.bucket): r.cnt
+        for r in sketches.countmin_build(
+            spark.read.parquet(src), depth=depth, width=width
+        ).collect()
+    }
+    assert got == want
+
+    # one-sided estimate guarantee against true counts
+    docs = spark.read.parquet(src)
+    true_counts = (
+        docs.select(F.explode(F.split(F.lower("text"), r"\s+"))
+                    .alias("token"))
+        .where(F.col("token") != "")
+        .groupBy("token").count()
+    )
+    est = sketches.countmin_estimate(
+        spark.read.parquet(f"{state}/cms_current"),
+        true_counts.select("token"),
+        width=width,
+    )
+    joined = est.join(true_counts, "token").collect()
+    assert joined and all(r["est_n"] >= r["count"] for r in joined)
