@@ -2458,6 +2458,39 @@ def q_media_decode_stats(spark, sf_dir):
     )
 
 
+DHASH_HAMMING, DHASH_BANDS = 7, 8
+
+
+def q_media_dhash(spark, sf_dir):
+    """Perceptual image dHash (multimodal.image_dhash): raw-RGB decode
+    → exact integer equal-area block means → cross-multiplied
+    neighbor comparisons packed into a 56-bit hash (no float resize,
+    no rounding — the engine-portable dHash variant).  The oracle
+    regenerates the pixel pattern arithmetically and runs the
+    identical block/bit algebra in SQL, so every hash bit is
+    payload-derived and hash-verified."""
+    from openstreetmap_license_change_spark.operators import multimodal
+
+    media = multimodal.synthetic_raw_rgb_media(spark, n=16, w=48, h=32)
+    return multimodal.image_dhash(media)
+
+
+def q_dhash_pairs(spark, sf_dir):
+    """Near-duplicate image pairs (multimodal.dhash_pairs): banded
+    Hamming join over the dHashes — 8 band equi-joins (pigeonhole:
+    hamming ≤ 7 < 8 bands ⇒ some band matches exactly, a provable
+    candidate superset), native bit_count(xor) exact filter.  The
+    oracle brute-forces all pairs, so the banding's losslessness is
+    what the hash check verifies."""
+    from openstreetmap_license_change_spark.operators import multimodal
+
+    media = multimodal.synthetic_raw_rgb_media(spark, n=16, w=48, h=32)
+    hashes = multimodal.image_dhash(media)
+    return multimodal.dhash_pairs(
+        hashes, max_hamming=DHASH_HAMMING, bands=DHASH_BANDS
+    )
+
+
 def q_audio_decode_stats(spark, sf_dir):
     """Audio decode path end-to-end: deterministic PCM16-LE clips →
     payload bytes → mapInPandas decode → exact integer amplitude stats;
@@ -3203,6 +3236,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_quantiles": q_token_quantiles,
         "osmchange_render": q_osmchange_render,
         "media_decode_stats": q_media_decode_stats,
+        "media_dhash": q_media_dhash,
+        "dhash_pairs": q_dhash_pairs,
         "audio_decode_stats": q_audio_decode_stats,
         "video_frame_stats": q_video_frame_stats,
         "events_sessionize": q_events_sessionize,
@@ -5376,6 +5411,65 @@ def oracle_sql() -> dict[str, str]:
                    CAST(CAST(SUM(CASE WHEN chan = 2 THEN v END) AS DOUBLE)
                         / 1536.0 AS REAL) AS mean_b
             FROM pix GROUP BY media_id
+        """,
+        "media_dhash": f"""
+            WITH dh_imgs AS (SELECT UNNEST(range(0, 16)) AS media_id),
+            dh_pix AS (
+                SELECT i.media_id,
+                       (y.y * 7) // 32 AS yb, (x.x * 9) // 48 AS xb,
+                       (x.x * 3 + y.y * 7 + 0 + i.media_id * 13) % 256
+                       + (x.x * 3 + y.y * 7 + 11 + i.media_id * 13) % 256
+                       + (x.x * 3 + y.y * 7 + 22 + i.media_id * 13) % 256
+                           AS gray
+                FROM dh_imgs i, range(0, 48) x(x), range(0, 32) y(y)
+            ),
+            dh_blocks AS (
+                SELECT media_id, yb, xb,
+                       CAST(SUM(gray) AS BIGINT) AS s,
+                       CAST(COUNT(*) AS BIGINT) AS n
+                FROM dh_pix GROUP BY 1, 2, 3
+            )
+            SELECT a.media_id,
+                   CAST(SUM(CASE WHEN a.s * b.n > b.s * a.n
+                        THEN CAST(1 AS BIGINT) << (a.yb * 8 + a.xb)
+                        ELSE 0 END) AS BIGINT) AS dhash
+            FROM dh_blocks a
+            JOIN dh_blocks b ON b.media_id = a.media_id
+                            AND b.yb = a.yb AND b.xb = a.xb + 1
+            GROUP BY a.media_id
+        """,
+        "dhash_pairs": f"""
+            WITH dh_imgs AS (SELECT UNNEST(range(0, 16)) AS media_id),
+            dh_pix AS (
+                SELECT i.media_id,
+                       (y.y * 7) // 32 AS yb, (x.x * 9) // 48 AS xb,
+                       (x.x * 3 + y.y * 7 + 0 + i.media_id * 13) % 256
+                       + (x.x * 3 + y.y * 7 + 11 + i.media_id * 13) % 256
+                       + (x.x * 3 + y.y * 7 + 22 + i.media_id * 13) % 256
+                           AS gray
+                FROM dh_imgs i, range(0, 48) x(x), range(0, 32) y(y)
+            ),
+            dh_blocks AS (
+                SELECT media_id, yb, xb,
+                       CAST(SUM(gray) AS BIGINT) AS s,
+                       CAST(COUNT(*) AS BIGINT) AS n
+                FROM dh_pix GROUP BY 1, 2, 3
+            ),
+            dh_hash AS (
+                SELECT a.media_id,
+                       CAST(SUM(CASE WHEN a.s * b.n > b.s * a.n
+                            THEN CAST(1 AS BIGINT) << (a.yb * 8 + a.xb)
+                            ELSE 0 END) AS BIGINT) AS dhash
+                FROM dh_blocks a
+                JOIN dh_blocks b ON b.media_id = a.media_id
+                                AND b.yb = a.yb AND b.xb = a.xb + 1
+                GROUP BY a.media_id
+            )
+            SELECT a.media_id AS id_a, b.media_id AS id_b,
+                   CAST(bit_count(xor(a.dhash, b.dhash)) AS INTEGER)
+                       AS hamming
+            FROM dh_hash a JOIN dh_hash b ON a.media_id < b.media_id
+            WHERE bit_count(xor(a.dhash, b.dhash)) <= {DHASH_HAMMING}
         """,
         "audio_decode_stats": """
             WITH clips AS (SELECT UNNEST(range(0, 16)) AS media_id),

@@ -452,3 +452,150 @@ def synthetic_raw_video_media(
             )
 
     return spark.range(0, n).mapInPandas(gen, schema=MEDIA_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# perceptual image hashing: dHash over exact integer block means —
+# the image face of the dedup family (simhash for text, dhash for
+# pixels), built on the same raw-RGB decode path as resize_images.
+# ---------------------------------------------------------------------------
+
+DHASH_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("dhash", LongType()),
+    ]
+)
+
+DHASH_GRID_W, DHASH_GRID_H = 9, 7   # 8×7 = 56 bits — int64-positive,
+                                    # the simhash63 sizing discipline
+
+
+def image_dhash(media: DataFrame) -> DataFrame:
+    """Perceptual difference-hash (dHash) per image, in EXACT integer
+    arithmetic end-to-end — the pixel-domain member of the near-dup
+    family (text has simhash/minhash; re-encoded, resized or
+    slightly-edited images need a content hash, not a byte hash).
+
+    The classic dHash resizes to 9×8 and thresholds neighbors; a
+    float resize would be engine-fragile (np.rint is half-EVEN, SQL
+    round is half-away — a guaranteed eventual mismatch), so this
+    variant replaces interpolation with EQUAL-AREA BLOCK MEANS
+    (pixel x → block x·G DIV w, the standard area partition) and the
+    brightness comparison with the CROSS-MULTIPLIED inequality
+    s₁·n₂ > s₂·n₁ (the tile_hotspots discipline) — no division, no
+    rounding, bit-for-bit reproducible anywhere; an exact k× pixel
+    upscale whose dimensions keep block boundaries aligned (w a
+    multiple of 9, h of 7) preserves the hash EXACTLY (tested).  Channel sum r+g+b
+    stands in for luma (monotone per pixel; the 299/587/114 weighting
+    adds nothing under thresholding).  9 block-columns × 7 block-rows
+    → 8×7 = 56 comparison bits, keeping the packed hash strictly
+    positive in int64 (the simhash63 sizing rule).
+
+    Arrow-batched mapInPandas on the raw-RGB path (decode is the
+    :func:`resize_images` machinery; compressed codecs gate behind
+    STRICT_DECODE as ever); per-image math is vectorized
+    numpy uint64 block sums — no per-pixel Python.
+
+    Returns (media_id, dhash) with dhash in [0, 2⁵⁶)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        gw, gh = DHASH_GRID_W, DHASH_GRID_H
+        for pdf in batches:
+            recs = []
+            for mid, payload, w, h in zip(
+                pdf["media_id"], pdf["payload"],
+                pdf["meta_width"], pdf["meta_height"],
+            ):
+                img = _decode_rgb(payload, int(w), int(h)).astype(
+                    np.uint64
+                )
+                gray = img.sum(axis=2)                # (h, w) ≤ 765
+                xb = (np.arange(int(w)) * gw) // int(w)
+                yb = (np.arange(int(h)) * gh) // int(h)
+                sums = np.zeros((gh, gw), dtype=np.uint64)
+                cnts = np.zeros((gh, gw), dtype=np.uint64)
+                np.add.at(sums, (yb[:, None], xb[None, :]), gray)
+                np.add.at(
+                    cnts, (yb[:, None], xb[None, :]),
+                    np.uint64(1),
+                )
+                hv = 0
+                for r in range(gh):
+                    for c in range(gw - 1):
+                        # mean(r,c) > mean(r,c+1) ⟺ s1·n2 > s2·n1
+                        bit = int(
+                            int(sums[r, c]) * int(cnts[r, c + 1])
+                            > int(sums[r, c + 1]) * int(cnts[r, c])
+                        )
+                        hv |= bit << (r * (gw - 1) + c)
+                recs.append((int(mid), hv))
+            yield pd.DataFrame(recs, columns=["media_id", "dhash"])
+
+    return (
+        media.where(F.col("media_type") == "image")
+        .repartition("media_id")
+        .mapInPandas(run, schema=DHASH_SCHEMA)
+    )
+
+
+def dhash_pairs(
+    hashes: DataFrame,
+    max_hamming: int = 6,
+    bands: int = 4,
+    id_col: str = "media_id",
+    hash_col: str = "dhash",
+) -> DataFrame:
+    """Near-duplicate image pairs by banded Hamming join — the
+    simhash_near_dup_pairs recipe applied to 56-bit dHashes: split
+    the hash into ``bands`` contiguous bit bands; any pair within
+    ``max_hamming`` < bands differing bits must agree EXACTLY on ≥ 1
+    band (pigeonhole — a provable candidate superset, never a
+    heuristic), so candidates come from ``bands`` equi-joins on band
+    values, each unordered pair once (id_a < id_b), deduped, then the
+    exact native ``bit_count(xor)`` filter.
+
+    Pigeonhole needs max_hamming ≤ bands − 1 per the standard
+    argument only when every differing bit could land in its own
+    band; the precise guarantee is max_hamming < bands ⇒ some band
+    untouched.  Enforced loudly.
+
+    Returns (id_a, id_b, hamming)."""
+    if not 1 <= bands <= 56:
+        raise ValueError(f"bands must be in [1, 56]: {bands}")
+    if max_hamming >= bands:
+        raise ValueError(
+            f"pigeonhole guarantee needs max_hamming < bands: "
+            f"{max_hamming} ≥ {bands}"
+        )
+    width = 56 // bands + (1 if 56 % bands else 0)
+    h = hashes.select(
+        F.col(id_col).alias("_id"), F.col(hash_col).alias("_h")
+    )
+    cands = None
+    for b in range(bands):
+        bv = F.expr(
+            f"(_h >> {b * width}) & {(1 << width) - 1}"
+        ).alias("_bv")
+        side = h.select("_id", "_h", bv)
+        a = side.select(
+            F.col("_id").alias("id_a"), F.col("_h").alias("_ha"), "_bv"
+        )
+        bb = side.select(
+            F.col("_id").alias("id_b"), F.col("_h").alias("_hb"), "_bv"
+        )
+        p = a.join(bb, "_bv").where(F.col("id_a") < F.col("id_b")).select(
+            "id_a", "id_b", "_ha", "_hb"
+        )
+        cands = p if cands is None else cands.unionByName(p)
+    return (
+        cands.distinct()
+        .withColumn(
+            "hamming",
+            F.bit_count(
+                F.col("_ha").bitwiseXOR(F.col("_hb"))
+            ).cast("int"),
+        )
+        .where(F.col("hamming") <= int(max_hamming))
+        .select("id_a", "id_b", "hamming")
+    )
