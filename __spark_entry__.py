@@ -1784,6 +1784,23 @@ def q_turn_stats(spark, sf_dir):
     )
 
 
+FOLLOW_WIN_S = 3600
+
+
+def q_followed_by(spark, sf_dir):
+    """Windowed episode counts (temporal.followed_by_counts): how
+    often does type A lead to type B within 1 h of the same user's
+    timeline — the windowed generalization of event_transitions
+    (adjacent-only) for attribution/co-trigger analysis.  Exactly-once
+    pair enumeration via the {bk, bk+1} forward bucket fan, strict
+    Δt > 0, loud user×bucket occupancy guard; the DuckDB twin runs
+    the identical fan, hash-verified."""
+    from openstreetmap_license_change_spark.operators import temporal
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return temporal.followed_by_counts(ev, FOLLOW_WIN_S)
+
+
 COLOC_RES, COLOC_WIN_S = 2.0, 7200
 
 
@@ -3182,6 +3199,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cusum_split": q_cusum_split,
         "hrw_assign": q_hrw_assign,
         "colocation_pairs": q_colocation_pairs,
+        "followed_by": q_followed_by,
         "geofence_transitions": q_geofence_transitions,
         "trip_cell_paths": q_trip_cell_paths,
         "cell_gini": q_cell_gini,
@@ -5857,6 +5875,9 @@ def oracle_sql() -> dict[str, str]:
         "stay_points": spatial.stay_points_sql(
             _STAY_PTS_SQL, "user_id", "ts",
             min_duration_s=1800, min_points=3, tiebreak=("event_id",),
+        ),
+        "followed_by": temporal.followed_by_counts_sql(
+            "events", FOLLOW_WIN_S
         ),
         "colocation_pairs": spatial.colocation_pairs_sql(
             _STAY_PTS_SQL, "user_id", "ts",

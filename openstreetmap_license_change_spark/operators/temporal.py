@@ -1048,3 +1048,107 @@ def cusum_split_sql(
                    AS mean_after_ppm
         FROM cu_cand WHERE rn = 1
     """
+
+
+def followed_by_counts(
+    events: DataFrame,
+    window_s: int,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    max_user_bucket: int = 10_000,
+) -> DataFrame:
+    """Within-window episode counts: for every ordered type pair
+    (A → B), how many event pairs have B strictly after A in the SAME
+    user's timeline within ``window_s`` seconds — the windowed
+    generalization of :func:`event_transitions` (which counts only
+    ADJACENT pairs; marketing-attribution and co-trigger analyses
+    need "A leads to B within T" over everything in between).
+
+    Exactly-once pair enumeration, the colocation_pairs recipe in one
+    dimension: bucket width = window, the A side fans to
+    {bk, bk+1} only (a strictly-later B within the window lives in
+    A's bucket or the next one), the B side keeps its raw bucket, so
+    each qualifying event pair matches exactly one fan row; the exact
+    0 < Δt ≤ window filter (integer µs) runs after the equi-join.
+    Equal-timestamp pairs are NOT counted (Δt > 0 — "followed by"
+    means strictly after; an equal-time tie has no direction).
+
+    The per-(user, bucket) quadratic risk is guarded LOUDLY
+    (``assert_true`` riding a used column over the B-side occupancy,
+    the house contract: a run that would blow up says so).
+
+    Returns (from_type, to_type, n_pairs)."""
+    win_us = int(window_s) * 1_000_000
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    base = events.select(
+        F.col(user_col).alias("_u"),
+        F.col(type_col).alias("_t"),
+        us.alias("_us"),
+        (us - F.pmod(us, F.lit(win_us))).alias("_bk0"),
+    ).withColumn("_bk", (F.col("_bk0") / F.lit(win_us)).cast("bigint"))
+    right = base.select(
+        F.col("_u"), F.col("_t").alias("to_type"),
+        F.col("_us").alias("_usb"), F.col("_bk"),
+    )
+    occ = right.groupBy("_u", "_bk").agg(F.count(F.lit(1)).alias("_occ"))
+    guard = F.assert_true(
+        F.col("_occ") <= F.lit(int(max_user_bucket)),
+        F.lit(
+            f"user×bucket occupancy exceeds max_user_bucket="
+            f"{max_user_bucket} in followed_by_counts; the pair join "
+            "is quadratic per key — thin hyperactive users explicitly "
+            "or raise the cap"
+        ),
+    )
+    right = right.join(occ, ["_u", "_bk"]).select(
+        "_u", "to_type",
+        F.when(guard.isNull(), F.col("_usb")).alias("_usb"),
+        "_bk",
+    )
+    fan = base.select(
+        "_u", F.col("_t").alias("from_type"),
+        F.col("_us").alias("_usa"),
+        F.explode(
+            F.array(F.col("_bk"), F.col("_bk") + 1)
+        ).alias("_bk"),
+    )
+    paired = fan.join(right, ["_u", "_bk"]).where(
+        (F.col("_usb") > F.col("_usa"))
+        & (F.col("_usb") - F.col("_usa") <= F.lit(win_us))
+    )
+    return paired.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).alias("n_pairs")
+    )
+
+
+def followed_by_counts_sql(
+    src: str,
+    window_s: int,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> str:
+    """DuckDB twin of :func:`followed_by_counts` (no occupancy guard —
+    the operator owns the loud failure).  CTE names fb_*-namespaced."""
+    win_us = int(window_s) * 1_000_000
+    return f"""
+        WITH fb_base AS (
+            SELECT {user_col} AS u, {type_col} AS t,
+                   epoch_us({ts_col}) AS us,
+                   epoch_us({ts_col}) // {win_us} AS bk
+            FROM {src}
+        ),
+        fb_fan AS (
+            SELECT u, t AS from_type, us AS usa, bk + d.d AS bk
+            FROM fb_base CROSS JOIN (VALUES (0), (1)) d(d)
+        ),
+        fb_pairs AS (
+            SELECT f.from_type, r.t AS to_type
+            FROM fb_fan f
+            JOIN fb_base r ON r.u = f.u AND r.bk = f.bk
+            WHERE r.us > f.usa AND r.us - f.usa <= {win_us}
+        )
+        SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n_pairs
+        FROM fb_pairs GROUP BY 1, 2
+    """
