@@ -1784,6 +1784,35 @@ def q_turn_stats(spark, sf_dir):
     )
 
 
+def q_props_rollup(spark, sf_dir):
+    """Semi-structured extraction (the source-layer JSON story): the
+    events table's ``props`` JSON column parsed natively
+    (get_json_object — JVM-side, no UDF), typed to BIGINT, and rolled
+    up per event_type: count, non-null count, exact sum, and the
+    divide-once mean in ppm.  Malformed/missing keys become NULLs and
+    are counted separately — the quarantine accounting a crawl-dump
+    reader needs.  DuckDB twin uses json_extract_string with the same
+    cast, hash-verified."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    k = F.get_json_object(F.col("props"), "$.k").cast("bigint")
+    return (
+        ev.select("event_type", k.alias("_k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count("_k").alias("n_with_k"),
+            F.coalesce(F.sum("_k"), F.lit(0)).alias("k_sum"),
+        )
+        .select(
+            "event_type", "n_events", "n_with_k", "k_sum",
+            F.expr(
+                "CASE WHEN n_with_k = 0 THEN NULL "
+                "ELSE k_sum * 1000000 DIV n_with_k END"
+            ).alias("k_mean_ppm"),
+        )
+    )
+
+
 FOLLOW_WIN_S = 3600
 
 
@@ -3200,6 +3229,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hrw_assign": q_hrw_assign,
         "colocation_pairs": q_colocation_pairs,
         "followed_by": q_followed_by,
+        "props_rollup": q_props_rollup,
         "geofence_transitions": q_geofence_transitions,
         "trip_cell_paths": q_trip_cell_paths,
         "cell_gini": q_cell_gini,
@@ -5879,6 +5909,21 @@ def oracle_sql() -> dict[str, str]:
         "followed_by": temporal.followed_by_counts_sql(
             "events", FOLLOW_WIN_S
         ),
+        "props_rollup": """
+            SELECT event_type,
+                   CAST(COUNT(*) AS BIGINT) AS n_events,
+                   CAST(COUNT(k) AS BIGINT) AS n_with_k,
+                   CAST(COALESCE(SUM(k), 0) AS BIGINT) AS k_sum,
+                   CAST(CASE WHEN COUNT(k) = 0 THEN NULL
+                        ELSE COALESCE(SUM(k), 0) * 1000000 // COUNT(k)
+                        END AS BIGINT) AS k_mean_ppm
+            FROM (
+                SELECT event_type,
+                       CAST(json_extract_string(props, '$.k') AS BIGINT)
+                           AS k
+                FROM events
+            ) GROUP BY event_type
+        """,
         "colocation_pairs": spatial.colocation_pairs_sql(
             _STAY_PTS_SQL, "user_id", "ts",
             res_deg=COLOC_RES, window_s=COLOC_WIN_S,
