@@ -1756,6 +1756,35 @@ def q_stay_points(spark, sf_dir):
     )
 
 
+RESAMPLE_STEP_S = 900
+
+
+def q_resample_track(spark, sf_dir):
+    """Fixed-grid trajectory resampling (spatial.resample_track) over
+    the drift geocode: one row per user per 15-min tick inside the
+    observation span, positions linearly interpolated between the
+    bracketing fixes in exact µdeg/µs integers (one trunc division
+    per axis in decimal(38)/HUGEINT); on-tick fixes verbatim.  Both
+    bracket carries share one entity shuffle (the asof union trick in
+    both directions); the DuckDB twin runs the identical carries and
+    division, hash-verified per resampled point."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    rn = F.row_number().over(
+        W.partitionBy("user_id").orderBy("ts", "event_id")
+    )
+    pts = ev.select("user_id", "ts", "event_id", rn.alias("rn")).select(
+        "user_id", "ts",
+        (F.lit(-45.0) + (F.col("user_id") % 120) * F.lit(0.5)
+         + F.lit(0.001) * F.col("rn")
+         + F.lit(1.0) * F.floor(F.col("rn") / 25)).alias("lat"),
+        (F.lit(-100.0) + (F.col("user_id") % 140) * F.lit(1.0)
+         + F.lit(0.002) * F.col("rn")).alias("lon"),
+    )
+    return spatial.resample_track(
+        pts, "user_id", "ts", step_s=RESAMPLE_STEP_S
+    )
+
+
 def q_turn_stats(spark, sf_dir):
     """Heading-sector and turn statistics (spatial.turn_stats) over a
     zigzag variant of the drift geocode (the lon axis follows a
@@ -3225,6 +3254,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_filter": q_gopher_filter,
         "stay_points": q_stay_points,
         "turn_stats": q_turn_stats,
+        "resample_track": q_resample_track,
         "cusum_split": q_cusum_split,
         "hrw_assign": q_hrw_assign,
         "colocation_pairs": q_colocation_pairs,
@@ -5938,6 +5968,9 @@ def oracle_sql() -> dict[str, str]:
             "(SELECT user_id, ts, event_id, "
             "CAST(floor(value * 1000) AS BIGINT) AS v_mil FROM events)",
             "user_id", "ts", "v_mil", tiebreak=("event_id",),
+        ),
+        "resample_track": spatial.resample_track_sql(
+            _STAY_PTS_SQL, "user_id", "ts", step_s=RESAMPLE_STEP_S
         ),
         # zigzag variant of the drift geocode (triangle-wave lon):
         # same ::DOUBLE pinning discipline as _STAY_PTS_SQL

@@ -4750,3 +4750,195 @@ def colocation_pairs_sql(
                GREATEST(MAX(us_a), MAX(us_b)) AS last_us
         FROM cl_pairs GROUP BY 1, 2
     """
+
+
+def resample_track(
+    points: DataFrame,
+    id_col: str,
+    ts_col: str,
+    lon: str = "lon",
+    lat: str = "lat",
+    step_s: int = 900,
+) -> DataFrame:
+    """Fixed-grid trajectory resampling with exact LINEAR
+    interpolation — the normalization step trajectory analytics needs
+    before cross-entity comparison (irregular GPS fixes → one row per
+    entity per grid tick): at every ``step_s``-aligned instant inside
+    an entity's observation span, the position interpolated between
+    the bracketing fixes.  The as-of family answers "last known
+    value" (step interpolation); this is the between-fixes estimate.
+
+    Exact arithmetic: fixes quantize once to (µs, µdeg); the
+    interpolated coordinate is prev + (Δcoord·(g−t₁)) DIV (t₂−t₁) —
+    one trunc division per axis in decimal(38,0)/HUGEINT (Δ·gap can
+    pass int64 on day-long gaps), identical on both engines, so every
+    resampled point hash-verifies.  A fix exactly on a grid tick is
+    reproduced verbatim (t₂ = t₁ guard).  Duplicate fixes at one
+    (entity, instant) reduce deterministically to the min (x, y)
+    struct BEFORE bracketing.
+
+    Plan: the grid generates from a per-entity (min, max) aggregate
+    (one explode of an arithmetic sequence — never a calendar table);
+    both bracket carries (prev fix, next fix) are IGNORE-NULLS window
+    carries over the fixes ∪ grid union, sharing ONE hash shuffle on
+    the entity key (two sorts, the asof_join union trick run in both
+    directions; equal-instant ordering puts the fix before the grid
+    row on both passes, so an on-tick fix is its own bracket).
+
+    Output: (id, g_us, x_u, y_u) — µs grid instant, µdeg position."""
+    if step_s < 1:
+        raise ValueError(f"step_s must be ≥ 1: {step_s}")
+    step_us = int(step_s) * 1_000_000
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    fixes = (
+        points.select(
+            F.col(id_col).alias("_id"),
+            us.alias("_t"),
+            F.struct(
+                F.round(F.col(lon) * 1_000_000).cast("bigint").alias("x"),
+                F.round(F.col(lat) * 1_000_000).cast("bigint").alias("y"),
+            ).alias("_p"),
+        )
+        .groupBy("_id", "_t")
+        .agg(F.min("_p").alias("_p"))
+        .select(
+            "_id", "_t",
+            F.col("_p.x").alias("_x"), F.col("_p.y").alias("_y"),
+        )
+    )
+    span = fixes.groupBy("_id").agg(
+        F.min("_t").alias("_tmin"), F.max("_t").alias("_tmax")
+    )
+    gstart = F.expr(f"((_tmin + {step_us} - 1) DIV {step_us}) * "
+                    f"CAST({step_us} AS BIGINT)")
+    gend = F.expr(f"(_tmax DIV {step_us}) * CAST({step_us} AS BIGINT)")
+    grid = (
+        span.select(
+            "_id", gstart.alias("_gs"), gend.alias("_ge")
+        )
+        .where(F.col("_gs") <= F.col("_ge"))
+        .select(
+            "_id",
+            F.explode(
+                F.sequence("_gs", "_ge", F.lit(step_us))
+            ).alias("_t"),
+        )
+    )
+    u = fixes.select(
+        "_id", "_t", F.lit(0).alias("_side"), "_x", "_y"
+    ).unionByName(
+        grid.select(
+            "_id", "_t", F.lit(1).alias("_side"),
+            F.lit(None).cast("bigint").alias("_x"),
+            F.lit(None).cast("bigint").alias("_y"),
+        )
+    )
+    wf = (
+        W.partitionBy("_id")
+        .orderBy(F.col("_t").asc(), F.col("_side").asc())
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    wb = (
+        W.partitionBy("_id")
+        .orderBy(F.col("_t").desc(), F.col("_side").asc())
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    ft = F.when(F.col("_side") == 0, F.col("_t"))
+    carried = (
+        u.withColumn("_pt", F.last(ft, ignorenulls=True).over(wf))
+        .withColumn("_px", F.last("_x", ignorenulls=True).over(wf))
+        .withColumn("_py", F.last("_y", ignorenulls=True).over(wf))
+        .withColumn("_nt", F.last(ft, ignorenulls=True).over(wb))
+        .withColumn("_nx", F.last("_x", ignorenulls=True).over(wb))
+        .withColumn("_ny", F.last("_y", ignorenulls=True).over(wb))
+    )
+    dec = "decimal(38,0)"
+    interp_x = F.expr(
+        f"CASE WHEN _nt = _pt THEN _px ELSE CAST(_px + "
+        f"(CAST(_nx - _px AS {dec}) * (_t - _pt)) DIV (_nt - _pt) "
+        f"AS BIGINT) END"
+    )
+    interp_y = F.expr(
+        f"CASE WHEN _nt = _pt THEN _py ELSE CAST(_py + "
+        f"(CAST(_ny - _py AS {dec}) * (_t - _pt)) DIV (_nt - _pt) "
+        f"AS BIGINT) END"
+    )
+    return carried.where(F.col("_side") == 1).select(
+        F.col("_id").alias(id_col),
+        F.col("_t").alias("g_us"),
+        interp_x.alias("x_u"),
+        interp_y.alias("y_u"),
+    )
+
+
+def resample_track_sql(
+    src: str,
+    id_col: str,
+    ts_col: str,
+    lon: str = "lon",
+    lat: str = "lat",
+    step_s: int = 900,
+) -> str:
+    """DuckDB twin of :func:`resample_track` — identical quantization,
+    grid arithmetic, IGNORE NULLS carries, and HUGEINT trunc-div
+    interpolation.  CTE names rs_*-namespaced."""
+    step_us = int(step_s) * 1_000_000
+    return f"""
+        WITH rs_fix AS (
+            SELECT id, t, MIN({{'x': x, 'y': y}}) AS p
+            FROM (
+                SELECT {id_col} AS id, epoch_us({ts_col}) AS t,
+                       CAST(round({lon} * 1000000) AS BIGINT) AS x,
+                       CAST(round({lat} * 1000000) AS BIGINT) AS y
+                FROM {src}
+            ) GROUP BY id, t
+        ),
+        rs_fix2 AS (
+            SELECT id, t, (p).x AS x, (p).y AS y FROM rs_fix
+        ),
+        rs_span AS (
+            SELECT id,
+                   ((MIN(t) + {step_us} - 1) // {step_us}) * {step_us}
+                       AS gs,
+                   (MAX(t) // {step_us}) * {step_us} AS ge
+            FROM rs_fix2 GROUP BY id
+        ),
+        rs_grid AS (
+            SELECT id, g.g AS t
+            FROM rs_span,
+                 LATERAL (SELECT UNNEST(generate_series(gs, ge,
+                     CAST({step_us} AS BIGINT))) AS g) g
+            WHERE gs <= ge
+        ),
+        rs_u AS (
+            SELECT id, t, 0 AS side, x, y FROM rs_fix2
+            UNION ALL
+            SELECT id, t, 1 AS side, NULL, NULL FROM rs_grid
+        ),
+        rs_c AS (
+            SELECT id, t, side,
+                   last_value(CASE WHEN side = 0 THEN t END IGNORE NULLS)
+                       OVER wf AS pt,
+                   last_value(x IGNORE NULLS) OVER wf AS px,
+                   last_value(y IGNORE NULLS) OVER wf AS py,
+                   last_value(CASE WHEN side = 0 THEN t END IGNORE NULLS)
+                       OVER wb AS nt,
+                   last_value(x IGNORE NULLS) OVER wb AS nx,
+                   last_value(y IGNORE NULLS) OVER wb AS ny
+            FROM rs_u
+            WINDOW wf AS (PARTITION BY id ORDER BY t ASC, side ASC
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW),
+                   wb AS (PARTITION BY id ORDER BY t DESC, side ASC
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW)
+        )
+        SELECT id AS {id_col}, t AS g_us,
+               CAST(CASE WHEN nt = pt THEN px ELSE
+                    px + (CAST(nx - px AS HUGEINT) * (t - pt))
+                         // (nt - pt) END AS BIGINT) AS x_u,
+               CAST(CASE WHEN nt = pt THEN py ELSE
+                    py + (CAST(ny - py AS HUGEINT) * (t - pt))
+                         // (nt - pt) END AS BIGINT) AS y_u
+        FROM rs_c WHERE side = 1
+    """
