@@ -346,6 +346,36 @@ def run_queries(spark, sf_dir):
             ),
         )
 
+    if _wants("colocation_pairs", "pca_top", "skyline_docs"):
+        # round-4k family representatives: spatio-temporal contact
+        # join (27-probe exactly-once fan), quantized power-iteration
+        # PCA over the embeddings, and the bucket-pruned Pareto
+        # skyline.  Informational, like the round-4 family rows.
+        from openstreetmap_license_change_spark.operators import (
+            similarity as similarity_ops,
+            spatial as spatial_ops2,
+        )
+        from pyspark.sql import Window as _W
+        import __spark_entry__ as _entry
+
+        timed(
+            "colocation_pairs",
+            lambda: _noop_write(
+                _entry.q_colocation_pairs(spark, sf_dir)
+            ),
+        )
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        timed(
+            "pca_top",
+            lambda: _noop_write(
+                similarity_ops.pca_power_top(emb, rounds=4)
+            ),
+        )
+        timed(
+            "skyline_docs",
+            lambda: _noop_write(_entry.q_skyline_docs(spark, sf_dir)),
+        )
+
     timings = run_rounds()
     if not shared:
         shutil.rmtree(stage_dir, ignore_errors=True)
