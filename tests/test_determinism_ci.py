@@ -11,6 +11,8 @@ representative per nondeterminism-risk class at sf0.001:
 - batched mapInPandas fold          → classify_actions_nodes
 - pointer-jumping clustering        → minhash_lsh_clusters
 - neighborhood aggregate raster     → tile_hotspots
+- double-window carry interpolation → resample_track (round 4k)
+- decimal-division iterative argmax → pca_top (round 4k)
 
 Each runs under local[3]/sp=7 AND local[8]/sp=32 in fresh subprocesses
 (the script's own machinery — same code path as the on-demand sweep);
@@ -33,6 +35,8 @@ REPRESENTATIVES = [
     "classify_actions_nodes",
     "minhash_lsh_clusters",
     "tile_hotspots",
+    "resample_track",
+    "pca_top",
 ]
 
 
