@@ -2263,6 +2263,30 @@ def q_kmv_distinct_docs(spark, sf_dir):
     return sketches.kmv_distinct(pages, "lang", "doc_id", k=16)
 
 
+def q_hll_token_distinct(spark, sf_dir):
+    """Per-lang distinct-token cardinality via HyperLogLog
+    (sketches.hll_registers/hll_estimate) — the register-max sibling
+    of kmv_distinct_docs on the input KMV is worst at: a token stream
+    where duplicates dominate.  KMV must DISTINCT first (a data-sized
+    shuffle); HLL's per-(lang, register) MAX absorbs duplicates in the
+    map-side combine, so at most 64 rows per lang ever cross the
+    shuffle.  All-int64 estimator (constant numerator, truncating DIV,
+    constant linear-counting table), so the DuckDB twin replays it
+    bit-for-bit — auditable where approx_count_distinct's
+    engine-private HLL++ is not."""
+    docs = pages_src.documents(spark, sf_dir)
+    toks = docs.select(
+        "lang",
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.col("text")), r"\s+"),
+                lambda t: t != "",
+            )
+        ).alias("token"),
+    ).select("lang", dedup.token_hash(F.col("token")).alias("tok_h"))
+    return sketches.hll_distinct(toks, "lang", "tok_h")
+
+
 def q_chunk_documents(spark, sf_dir):
     """Pretraining chunker (textops.chunk_documents): 64-token windows
     with 48-token stride (overlapping, tail kept) — pure row-local
@@ -3285,6 +3309,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pca_top": q_pca_top,
         "coupling_pairs": q_coupling_pairs,
         "kmv_distinct_docs": q_kmv_distinct_docs,
+        "hll_token_distinct": q_hll_token_distinct,
         "countmin_topk": q_countmin_topk,
         "sampled_quantiles": q_sampled_quantiles,
         "repetition_stats": q_repetition_stats,
@@ -6118,6 +6143,18 @@ def oracle_sql() -> dict[str, str]:
                 "(SELECT lang, doc_id FROM pages)", "lang", "doc_id", k=16
             )
         ),
+        "hll_token_distinct": f"""
+            WITH hllq_toks AS (
+                SELECT s.lang,
+                       {dedup.token_hash_sql('u.tok')} AS tok_h
+                FROM (SELECT lang,
+                             string_split_regex(lower(text), '\\s+') AS ws
+                      FROM documents) s,
+                     LATERAL UNNEST(s.ws) AS u(tok)
+                WHERE u.tok <> ''
+            ),
+            {sketches.hll_distinct_ctes('hllq_toks', 'lang', 'tok_h')}
+        """,
         "chunk_documents": textops.chunk_documents_sql(
             "documents", chunk_tokens=64, stride=48
         ),

@@ -582,3 +582,190 @@ def hrw_assign_sql(src: str, key_expr: str, n_shards: int) -> str:
             FROM hrw_fan
         ) WHERE rn = 1
     """
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog — the register-max sibling of the KMV bottom-k estimator.
+# ---------------------------------------------------------------------------
+
+_HLL_M = 64                      # registers (top 6 hash bits index them)
+_HLL_MULT2 = 2_246_822_519       # 2nd-round odd multiplier (≠ KMV's)
+_HLL_FIELD = 1 << 26             # remaining 26 hash bits feed rho
+_HLL_RHO_MAX = 27                # rho(0) = field width + 1
+_HLL_ALPHA_PPM = 709_341         # alpha_64 = 0.7213/(1 + 1.079/64), ppm
+# ALPHA_PPM * m^2 * 2^27 — precomputed so neither engine multiplies at
+# runtime (and neither can overflow differently): fits int64.
+_HLL_EST_NUM = 389_964_338_779_127_808
+_HLL_LC_CUTOFF = 160             # 2.5 * m — classic small-range switch
+# Linear-counting table: round(m * ln(m / V)) for V = 1..64 empty
+# registers.  A shared integer CONSTANT table instead of runtime ln()
+# keeps both engines bit-identical (ln is float and engine-shaped).
+_HLL_LC_TABLE = (
+    266, 222, 196, 177, 163, 151, 142, 133, 126, 119, 113, 107, 102,
+    97, 93, 89, 85, 81, 78, 74, 71, 68, 65, 63, 60, 58, 55, 53, 51,
+    48, 46, 44, 42, 40, 39, 37, 35, 33, 32, 30, 28, 27, 25, 24, 23,
+    21, 20, 18, 17, 16, 15, 13, 12, 11, 10, 9, 7, 6, 5, 4, 3, 2, 1, 0,
+)
+
+
+def hll_hash(v) -> F.Column:
+    """Two-round avalanche for HLL: the house :func:`kmv_hash` round,
+    then a second wrap-free multiplicative round with a DIFFERENT odd
+    constant and a 15-bit fold.  HLL is far more hash-sensitive than
+    KMV — it needs the register index (top 6 bits) independent of the
+    leading-zero run of the low 26, and one multiplicative round
+    measurably fails that (66–83% error on structured ids); the
+    two-constant cascade lands max 18% / avg 7% across adversarial
+    sequences (regression-pinned)."""
+    h1 = kmv_hash(v)
+    h2 = F.pmod(h1, F.lit(_TWO31)) * F.lit(_HLL_MULT2) % F.lit(_TWO32)
+    return h2.bitwiseXOR(F.shiftright(h2, 15)) % F.lit(_TWO32)
+
+
+def hll_hash_sql(expr: str) -> str:
+    """DuckDB twin of :func:`hll_hash`."""
+    h2 = f"((({kmv_hash_sql(expr)}) % {_TWO31}) * {_HLL_MULT2}) % {_TWO32}"
+    return f"xor({h2}, ({h2}) >> 15) % {_TWO32}"
+
+
+def hll_registers(
+    df: DataFrame, group_col: str, value_col: str
+) -> DataFrame:
+    """Per-group HyperLogLog registers: idx = top 6 bits of the house
+    32-bit hash, rho = leading-zero run of the remaining 26-bit field
+    plus one, register value = MAX(rho).  Unlike KMV there is no
+    DISTINCT and no window — duplicates land on the same register with
+    the same rho, so ONE map-side-combined groupBy((group, idx),
+    max) is the whole sketch: shuffle volume ≤ 64 rows per group
+    regardless of group size, strictly cheaper than the bottom-k
+    rank window when k > 64.
+
+    The leading-zero count is ``RHO_MAX − length(bin(w))`` — both
+    Spark's and DuckDB's ``bin()`` render minimal binary strings, so
+    the expression is engine-identical without float log2.
+
+    Mergeable by construction: registers of two corpora combine with
+    MAX on (group, idx) — re-aggregating unioned register sets equals
+    sketching the union (tested), the same rollup contract as KMV's
+    k-min union and Bloom's bit_or.
+
+    Returns (group, idx, rho)."""
+    h = hll_hash(F.col(value_col)).alias("_h")
+    hashed = df.select(F.col(group_col), h)
+    w = F.pmod(F.col("_h"), F.lit(_HLL_FIELD))
+    rho = F.when(w == 0, F.lit(_HLL_RHO_MAX)).otherwise(
+        F.lit(_HLL_RHO_MAX) - F.length(F.bin(w))
+    )
+    return (
+        hashed.select(
+            group_col,
+            F.expr(f"_h DIV {_HLL_FIELD}").alias("idx"),
+            rho.cast("int").alias("rho"),
+        )
+        .groupBy(group_col, "idx")
+        .agg(F.max("rho").alias("rho"))
+    )
+
+
+def hll_estimate(regs: DataFrame, group_col: str) -> DataFrame:
+    """Fold per-group registers (from :func:`hll_registers`, possibly
+    unioned across corpora) into the cardinality estimate — all-int64:
+
+        S      = Σ_present 2^(RHO_MAX − rho) + (m − present) · 2^RHO_MAX
+        E_raw  = (ALPHA_PPM · m² · 2^RHO_MAX) DIV S DIV 10^6
+        E      = LC_TABLE[V]  when V > 0 empty registers and
+                 E_raw ≤ 2.5·m (the classic linear-counting switch,
+                 with ln replaced by the shared constant table)
+
+    Truncating DIV, constant numerator and a constant table make the
+    estimate bit-identical across Spark and DuckDB — auditable in a
+    way approx_count_distinct's private HLL++ never is.  Relative
+    error ~1.04/√64 ≈ 13% (regression-pinned, not flaky: one fixed
+    hash).  Returns (group, n_regs, est_distinct)."""
+    lc = F.array(*[F.lit(v) for v in _HLL_LC_TABLE])
+    agg = regs.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n_regs"),
+        F.sum(
+            F.expr(f"CAST(shiftleft(1, {_HLL_RHO_MAX} - rho) AS BIGINT)")
+        ).alias("_s_present"),
+    )
+    s = (
+        F.col("_s_present")
+        + (F.lit(_HLL_M) - F.col("n_regs")) * F.lit(1 << _HLL_RHO_MAX)
+    ).alias("_s")
+    withs = agg.select(group_col, "n_regs", s).select(
+        group_col,
+        "n_regs",
+        F.expr(f"({_HLL_EST_NUM} DIV _s) DIV 1000000").alias("_e_raw"),
+    )
+    v = F.lit(_HLL_M) - F.col("n_regs")
+    return withs.select(
+        group_col,
+        "n_regs",
+        F.when(
+            (v > 0) & (F.col("_e_raw") <= _HLL_LC_CUTOFF),
+            F.element_at(lc, v.cast("int")),
+        )
+        .otherwise(F.col("_e_raw"))
+        .cast("bigint")
+        .alias("est_distinct"),
+    )
+
+
+def hll_distinct(
+    df: DataFrame, group_col: str, value_col: str
+) -> DataFrame:
+    """Per-group distinct cardinality via HyperLogLog =
+    :func:`hll_registers` ∘ :func:`hll_estimate` — the constant-size
+    (64 registers), no-DISTINCT, no-window member of the sketch
+    family.  Prefer it over :func:`kmv_distinct` on token-stream-like
+    inputs where duplicates dominate: KMV must DISTINCT first (a
+    data-sized shuffle), HLL's register max absorbs duplicates on the
+    map side."""
+    return hll_estimate(hll_registers(df, group_col, value_col), group_col)
+
+
+def hll_distinct_ctes(src: str, group_col: str, value_col: str) -> str:
+    """DuckDB twin of :func:`hll_distinct`, WITHOUT the leading WITH
+    (oracle-prelude appendable; hll_*-namespaced CTEs).  Final SELECT
+    emits (group, n_regs, est_distinct)."""
+    h = hll_hash_sql(value_col)
+    lc = "[" + ", ".join(str(x) for x in _HLL_LC_TABLE) + "]"
+    return f"""
+        hll_hash AS (
+            SELECT {group_col}, {h} AS _h FROM {src}
+        ),
+        hll_regs AS (
+            SELECT {group_col},
+                   _h // {_HLL_FIELD} AS idx,
+                   MAX(CASE WHEN _h % {_HLL_FIELD} = 0
+                            THEN {_HLL_RHO_MAX}
+                            ELSE {_HLL_RHO_MAX}
+                                 - length(bin(_h % {_HLL_FIELD}))
+                       END) AS rho
+            FROM hll_hash GROUP BY 1, 2
+        ),
+        hll_s AS (
+            SELECT {group_col},
+                   COUNT(*) AS n_regs,
+                   CAST(SUM(CAST(1 AS BIGINT) << ({_HLL_RHO_MAX} - rho))
+                        AS BIGINT)
+                   + ({_HLL_M} - COUNT(*)) * {1 << _HLL_RHO_MAX} AS _s
+            FROM hll_regs GROUP BY 1
+        )
+        SELECT {group_col},
+               CAST(n_regs AS BIGINT) AS n_regs,
+               CAST(CASE WHEN ({_HLL_M} - n_regs) > 0
+                         AND (({_HLL_EST_NUM} // _s) // 1000000)
+                             <= {_HLL_LC_CUTOFF}
+                    THEN list_extract({lc},
+                                      CAST({_HLL_M} - n_regs AS INTEGER))
+                    ELSE ({_HLL_EST_NUM} // _s) // 1000000
+                    END AS BIGINT) AS est_distinct
+        FROM hll_s
+    """
+
+
+def hll_distinct_sql(src: str, group_col: str, value_col: str) -> str:
+    """Standalone-statement form of :func:`hll_distinct_ctes`."""
+    return "WITH " + hll_distinct_ctes(src, group_col, value_col)
