@@ -2263,6 +2263,25 @@ def q_kmv_distinct_docs(spark, sf_dir):
     return sketches.kmv_distinct(pages, "lang", "doc_id", k=16)
 
 
+def q_kendall_len_tokens(spark, sf_dir):
+    """Per-lang Kendall rank correlation between character length and
+    whitespace token count (ranking.kendall_tau, k=128 bottom-k-hash
+    sample, key doc_id) — monotone-invariant pair-order agreement in
+    exact integers (comparisons only, never the overflow-prone Δ·Δ
+    product).  The scale design is sample-then-exact: ≤ 128 rows per
+    lang cross the shuffle (WindowGroupLimit), then the triangular
+    pair stage is ≤ k²/2 pairs per lang regardless of corpus size."""
+    docs = pages_src.documents(spark, sf_dir).select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        textops.token_count(F.col("text")).alias("n_tok"),
+    )
+    return ranking.kendall_tau(
+        docs, "lang", "n_chars", "n_tok", "doc_id", k=128
+    )
+
+
 def q_hll_token_distinct(spark, sf_dir):
     """Per-lang distinct-token cardinality via HyperLogLog
     (sketches.hll_registers/hll_estimate) — the register-max sibling
@@ -3310,6 +3329,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "coupling_pairs": q_coupling_pairs,
         "kmv_distinct_docs": q_kmv_distinct_docs,
         "hll_token_distinct": q_hll_token_distinct,
+        "kendall_len_tokens": q_kendall_len_tokens,
         "countmin_topk": q_countmin_topk,
         "sampled_quantiles": q_sampled_quantiles,
         "repetition_stats": q_repetition_stats,
@@ -6116,6 +6136,13 @@ def oracle_sql() -> dict[str, str]:
             "ELSE len(string_split_regex(trim(text), '\\s+')) END "
             "AS n_tok FROM documents)",
             "lang", "n_tok", "doc_id", k=128,
+        ),
+        "kendall_len_tokens": ranking.kendall_tau_sql(
+            "(SELECT doc_id, lang, n_chars, "
+            "CASE WHEN trim(text) = '' THEN 0 "
+            "ELSE len(string_split_regex(trim(text), '\\s+')) END "
+            "AS n_tok FROM documents)",
+            "lang", "n_chars", "n_tok", "doc_id", k=128,
         ),
         "countmin_topk": f"""
             WITH cm_exact AS (

@@ -233,3 +233,163 @@ def rrf_fusion_sql(
                CAST(COUNT(*) AS BIGINT) AS n_runs
         FROM ({union}) GROUP BY _id
     """
+
+
+def kendall_tau(
+    df: DataFrame,
+    group_col: str,
+    x_col: str,
+    y_col: str,
+    key_col: str,
+    k: int = 256,
+) -> DataFrame:
+    """Per-group Kendall rank correlation between two integer metrics,
+    computed on the deterministic bottom-``k``-hash sample (the house
+    mergeable sample shared with sampled_quantiles) — pair agreement
+    as ORDER statistics, the correlation the curation stack can trust
+    when metric scales are arbitrary (quality score vs length, BM25 vs
+    PageRank): invariant under any monotone rescaling of either axis.
+
+    Kendall is inherently pairwise; at 100 TB an exact per-group O(n²)
+    is off the table and the O(n·log n) inversion merge doesn't
+    distribute.  The scale design is therefore SAMPLE-THEN-EXACT:
+    ≤ k rows per group cross the shuffle (WindowGroupLimit bottom-k),
+    then the triangular self-join is k²/2 pairs per group REGARDLESS
+    of group size — bounded, broadcastable, and the sample itself is
+    mergeable.  Sampling error on tau is ~1/√k of rank noise
+    (regression-pinned on a planted monotone + noise series).
+
+    Concordance is decided by COMPARISONS ONLY (never the
+    (Δx·Δy)-sign product, which can overflow int64 on wide metrics).
+    Ties: pairs tied on either axis count in ``tie_pairs`` and are
+    excluded from the Goodman-Kruskal ``gamma_ppm`` = (C−D)·10⁶ DIV
+    (C+D); ``tau_a_ppm`` = (C−D)·10⁶ DIV (n(n−1)/2) uses all pairs.
+    Both truncating-DIV int64, NULL when undefined (n < 2 sampled, or
+    all pairs tied for gamma).
+
+    Returns (group, n_sample, concordant, discordant, tie_pairs,
+    tau_a_ppm, gamma_ppm)."""
+    from .sketches import kmv_hash
+
+    if not 4 <= k <= 2048:
+        raise ValueError(f"k must be in [4, 2048], got {k}")
+    h = kmv_hash(F.col(key_col)).alias("_h")
+    w = W.partitionBy(group_col).orderBy("_h", key_col)
+    kept = (
+        df.select(group_col, x_col, y_col, key_col)
+        .select(group_col, x_col, y_col, key_col, h)
+        .withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") <= k)
+        .select(
+            F.col(group_col).alias("_g"),
+            F.col(x_col).alias("_x"),
+            F.col(y_col).alias("_y"),
+            F.col(key_col).alias("_key"),
+        )
+    )
+    a, b = kept.alias("a"), kept.alias("b")
+    ax, ay = F.col("a._x"), F.col("a._y")
+    bx, by = F.col("b._x"), F.col("b._y")
+    conc = ((ax < bx) & (ay < by)) | ((ax > bx) & (ay > by))
+    disc = ((ax < bx) & (ay > by)) | ((ax > bx) & (ay < by))
+    pairs = a.join(
+        b,
+        (F.col("a._g") == F.col("b._g"))
+        & (F.col("a._key") < F.col("b._key")),
+    ).groupBy(F.col("a._g").alias("_g")).agg(
+        F.count_if(conc).alias("concordant"),
+        F.count_if(disc).alias("discordant"),
+        F.count_if(~conc & ~disc).alias("tie_pairs"),
+    )
+    n = kept.groupBy("_g").agg(F.count(F.lit(1)).alias("n_sample"))
+    return (
+        n.join(F.broadcast(pairs), "_g", "left")
+        .select(
+            F.col("_g").alias(group_col),
+            "n_sample",
+            F.coalesce("concordant", F.lit(0)).alias("concordant"),
+            F.coalesce("discordant", F.lit(0)).alias("discordant"),
+            F.coalesce("tie_pairs", F.lit(0)).alias("tie_pairs"),
+        )
+        .select(
+            group_col,
+            "n_sample",
+            "concordant",
+            "discordant",
+            "tie_pairs",
+            F.when(
+                F.col("n_sample") >= 2,
+                F.expr(
+                    "((concordant - discordant) * 1000000)"
+                    " DIV ((n_sample * (n_sample - 1)) DIV 2)"
+                ),
+            ).cast("bigint").alias("tau_a_ppm"),
+            F.when(
+                F.col("concordant") + F.col("discordant") > 0,
+                F.expr(
+                    "((concordant - discordant) * 1000000)"
+                    " DIV (concordant + discordant)"
+                ),
+            ).cast("bigint").alias("gamma_ppm"),
+        )
+    )
+
+
+def kendall_tau_sql(
+    src: str,
+    group_col: str,
+    x_col: str,
+    y_col: str,
+    key_col: str,
+    k: int = 256,
+) -> str:
+    """DuckDB twin of :func:`kendall_tau` (standalone statement;
+    kt_*-namespaced CTEs)."""
+    from .sketches import kmv_hash_sql
+
+    h = kmv_hash_sql(key_col)
+    return f"""
+        WITH kt_kept AS (
+            SELECT {group_col} AS _g, {x_col} AS _x, {y_col} AS _y,
+                   {key_col} AS _key
+            FROM (
+                SELECT {group_col}, {x_col}, {y_col}, {key_col},
+                       ROW_NUMBER() OVER (PARTITION BY {group_col}
+                                          ORDER BY {h}, {key_col}) AS _rk
+                FROM {src}
+            ) WHERE _rk <= {k}
+        ),
+        kt_pairs AS (
+            SELECT a._g,
+                   COUNT(*) FILTER (
+                       (a._x < b._x AND a._y < b._y)
+                       OR (a._x > b._x AND a._y > b._y)) AS concordant,
+                   COUNT(*) FILTER (
+                       (a._x < b._x AND a._y > b._y)
+                       OR (a._x > b._x AND a._y < b._y)) AS discordant,
+                   COUNT(*) FILTER (
+                       a._x = b._x OR a._y = b._y) AS tie_pairs
+            FROM kt_kept a JOIN kt_kept b
+              ON a._g = b._g AND a._key < b._key
+            GROUP BY a._g
+        ),
+        kt_n AS (
+            SELECT _g, COUNT(*) AS n_sample FROM kt_kept GROUP BY _g
+        )
+        SELECT n._g AS {group_col},
+               n.n_sample,
+               CAST(COALESCE(p.concordant, 0) AS BIGINT) AS concordant,
+               CAST(COALESCE(p.discordant, 0) AS BIGINT) AS discordant,
+               CAST(COALESCE(p.tie_pairs, 0) AS BIGINT) AS tie_pairs,
+               CAST(CASE WHEN n.n_sample >= 2 THEN
+                   ((COALESCE(p.concordant, 0) - COALESCE(p.discordant, 0))
+                    * 1000000)
+                   // ((n.n_sample * (n.n_sample - 1)) // 2)
+               END AS BIGINT) AS tau_a_ppm,
+               CAST(CASE WHEN COALESCE(p.concordant, 0)
+                              + COALESCE(p.discordant, 0) > 0 THEN
+                   ((p.concordant - p.discordant) * 1000000)
+                   // (p.concordant + p.discordant)
+               END AS BIGINT) AS gamma_ppm
+        FROM kt_n n LEFT JOIN kt_pairs p USING (_g)
+    """
