@@ -2263,6 +2263,20 @@ def q_kmv_distinct_docs(spark, sf_dir):
     return sketches.kmv_distinct(pages, "lang", "doc_id", k=16)
 
 
+def q_postings_cost(spark, sf_dir):
+    """Index-size planning (textops.postings_varint_cost): exact
+    LEB128 byte cost of every ≥50-doc token's delta-gap posting lists
+    — the storage budget an index build over 10¹² docs runs before
+    materializing, because a handful of stopword-like tokens dominate
+    index size and the stop-list/tiering decision needs true encoded
+    bytes (gap locality included), not document frequencies.  Costs
+    the exact wire format inverted_index renders; ratio_ppm is the
+    compression vs fixed 16-byte postings."""
+    docs = pages_src.documents(spark, sf_dir)
+    return textops.postings_varint_cost(docs, shard_size=1024,
+                                        min_docs=50)
+
+
 def q_kendall_len_tokens(spark, sf_dir):
     """Per-lang Kendall rank correlation between character length and
     whitespace token count (ranking.kendall_tau, k=128 bottom-k-hash
@@ -3330,6 +3344,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmv_distinct_docs": q_kmv_distinct_docs,
         "hll_token_distinct": q_hll_token_distinct,
         "kendall_len_tokens": q_kendall_len_tokens,
+        "postings_cost": q_postings_cost,
         "countmin_topk": q_countmin_topk,
         "sampled_quantiles": q_sampled_quantiles,
         "repetition_stats": q_repetition_stats,
@@ -6136,6 +6151,9 @@ def oracle_sql() -> dict[str, str]:
             "ELSE len(string_split_regex(trim(text), '\\s+')) END "
             "AS n_tok FROM documents)",
             "lang", "n_tok", "doc_id", k=128,
+        ),
+        "postings_cost": textops.postings_varint_cost_sql(
+            "documents", shard_size=1024, min_docs=50
         ),
         "kendall_len_tokens": ranking.kendall_tau_sql(
             "(SELECT doc_id, lang, n_chars, "

@@ -1459,3 +1459,140 @@ def concordance_sql(
         FROM kw_tok
         WHERE tok = '{t}'
     """
+
+
+_VARINT_CUTS = tuple(1 << (7 * i) for i in range(1, 9))  # 2^7 … 2^56
+
+
+def varint_bytes(v) -> Column:
+    """LEB128 byte length of a non-negative int64 — 1 byte per started
+    7-bit group, as a comparison CASE chain (no float log): exact and
+    engine-identical, the costing primitive for posting-list budgets."""
+    out = F.lit(9)
+    for nbytes in range(8, 0, -1):
+        out = F.when(v < F.lit(_VARINT_CUTS[nbytes - 1]), nbytes) \
+            .otherwise(out)
+    return out
+
+
+def varint_bytes_sql(expr: str) -> str:
+    """DuckDB twin of :func:`varint_bytes`."""
+    whens = " ".join(
+        f"WHEN ({expr}) < {_VARINT_CUTS[n - 1]} THEN {n}"
+        for n in range(1, 9)
+    )
+    return f"(CASE {whens} ELSE 9 END)"
+
+
+def postings_varint_cost(
+    df: DataFrame,
+    shard_size: int = 1024,
+    min_docs: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Index-size planner: per token, the exact byte cost of its
+    posting lists under delta-gap + LEB128 varint encoding — the
+    accounting a 10¹²-doc index build runs BEFORE materializing
+    anything, because index storage is dominated by a handful of
+    stopword-like tokens and the budget decision (stop list, tiering,
+    bitmap vs varint) needs their true encoded sizes, not row counts.
+
+    Costs the same wire format :func:`inverted_index` renders: per
+    (token, shard) the first posting stores the absolute doc id, the
+    rest store gaps; every doc id/gap and every tf is one varint.
+    Gap sizes — and therefore total bytes — depend on doc-id LOCALITY,
+    not just frequency: dense tokens cost ~1 byte/doc, sparse tokens
+    pay for wide gaps.  ``ratio_ppm`` = varint_bytes·10⁶ DIV the
+    fixed 16-byte (doc, tf) encoding — the compression the delta
+    layout buys, per token, hash-verifiable in DuckDB.
+
+    Plan: the inverted_index pipeline's first two stages (tf partial
+    agg, gap lag-window on (token, shard)) followed by per-token
+    map-side-combined rollup; the heavy-token filter (``min_docs``)
+    rides the final aggregate.  Never materializes a posting string.
+
+    Returns (token, n_docs, n_shards, sum_tf, varint_bytes,
+    ratio_ppm)."""
+    from pyspark.sql import Window as W
+
+    if shard_size < 1:
+        raise ValueError(f"shard_size must be ≥ 1, got {shard_size}")
+    raw = df.select(
+        id_col,
+        F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("token"),
+    ).where(F.col("token") != "")
+    tf = raw.groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("tf"))
+    tf = tf.withColumn("shard", F.expr(f"{id_col} DIV {int(shard_size)}"))
+    w = W.partitionBy("token", "shard").orderBy(id_col)
+    costed = tf.withColumn("_prev", F.lag(id_col).over(w)).withColumn(
+        "_bytes",
+        varint_bytes(
+            F.when(F.col("_prev").isNull(), F.col(id_col)).otherwise(
+                F.col(id_col) - F.col("_prev")
+            )
+        )
+        + varint_bytes(F.col("tf")),
+    )
+    return (
+        costed.groupBy("token")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("shard").alias("n_shards"),
+            F.sum("tf").alias("sum_tf"),
+            F.sum("_bytes").cast("bigint").alias("varint_bytes"),
+        )
+        .where(F.col("n_docs") >= min_docs)
+        .select(
+            "token",
+            "n_docs",
+            "n_shards",
+            "sum_tf",
+            "varint_bytes",
+            F.expr("(varint_bytes * 1000000) DIV (n_docs * 16)")
+            .alias("ratio_ppm"),
+        )
+    )
+
+
+def postings_varint_cost_sql(
+    docs_src: str,
+    shard_size: int = 1024,
+    min_docs: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """DuckDB twin of :func:`postings_varint_cost` (pv_*-namespaced)."""
+    gap = (
+        f"CASE WHEN LAG({id_col}) OVER w IS NULL THEN {id_col} "
+        f"ELSE {id_col} - LAG({id_col}) OVER w END"
+    )
+    return f"""
+        WITH pv_tf AS (
+            SELECT {id_col}, token, COUNT(*) AS tf,
+                   {id_col} // {int(shard_size)} AS shard
+            FROM (
+                SELECT {id_col},
+                       unnest(string_split_regex(lower({text_col}),
+                                                 '\\s+')) AS token
+                FROM {docs_src}
+            )
+            WHERE token <> '' GROUP BY 1, 2
+        ),
+        pv_cost AS (
+            SELECT token, shard, tf,
+                   {varint_bytes_sql(f"({gap})")}
+                   + {varint_bytes_sql("tf")} AS bytes
+            FROM pv_tf
+            WINDOW w AS (PARTITION BY token, shard ORDER BY {id_col})
+        )
+        SELECT token,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(COUNT(DISTINCT shard) AS BIGINT) AS n_shards,
+               CAST(SUM(tf) AS BIGINT) AS sum_tf,
+               CAST(SUM(bytes) AS BIGINT) AS varint_bytes,
+               (CAST(SUM(bytes) AS BIGINT) * 1000000)
+                   // (COUNT(*) * 16) AS ratio_ppm
+        FROM pv_cost GROUP BY token
+        HAVING COUNT(*) >= {int(min_docs)}
+    """
