@@ -38,6 +38,9 @@ from openstreetmap_license_change_spark.operators import (
     spatial,
     textops,
 )
+from openstreetmap_license_change_spark.operators import (
+    temporal as temporal_mod,
+)
 from openstreetmap_license_change_spark.sources import pages as pages_src
 
 SF_DEFAULT = "/root/testdata/sf0.001"
@@ -2853,6 +2856,55 @@ def q_events_overlap_join(spark, sf_dir):
     return out.select("user_id", "session_id", "window_id")
 
 
+def q_allen_relations(spark, sf_dir):
+    """Allen interval algebra (temporal.allen_classify): per-user
+    activity sessions × 30-minute error windows classified into the
+    11 touch-or-intersect Allen relations from ONE bucketed
+    (key, bucket) equi-join — closed-end bucket coverage keeps a
+    `meets` that touches exactly on a bucket edge (tested),
+    first-shared-bucket dedup, loud degenerate/blowup guards.  Rolled
+    up to (relation, n_pairs); oracle is the naive range join over
+    the same session construction plus the identical endpoint CASE —
+    verifying the DEFINITION while bucketing stays the engine's job."""
+    from openstreetmap_license_change_spark.operators import temporal
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    epoch = F.col("ts").cast("timestamp").cast("long")
+    gap = epoch - F.lag(epoch).over(w)
+    spans = (
+        ev.withColumn(
+            "new_sess", F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+        )
+        .withColumn(
+            "session_id",
+            F.sum("new_sess").over(
+                w.rowsBetween(W.unboundedPreceding, W.currentRow)
+            ),
+        )
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.min("ts").alias("s_start"),
+            (F.max("ts") + F.expr("INTERVAL 1 SECOND")).alias("s_end"),
+        )
+    )
+    windows = ev.where(F.col("event_type") == "error").select(
+        "user_id",
+        F.col("event_id").alias("window_id"),
+        F.col("ts").alias("w_start"),
+        (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("w_end"),
+    )
+    pairs = temporal.allen_classify(
+        spans, windows, key="user_id",
+        a_start="s_start", a_end="s_end",
+        b_start="w_start", b_end="w_end",
+        bucket_s=3600, max_buckets_per_interval=1024,
+    )
+    return pairs.groupBy("relation").agg(
+        F.count(F.lit(1)).alias("n_pairs")
+    )
+
+
 def q_significance_prefilter(spark, sf_dir):
     """F1-F5 native tier of the significance kernel: normalize
     consecutive page text versions and compute levenshtein-based
@@ -3387,6 +3439,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly_rollup": q_events_hourly_rollup,
         "events_interval_join": q_events_interval_join,
         "events_overlap_join": q_events_overlap_join,
+        "allen_relations": q_allen_relations,
         "significance_prefilter": q_significance_prefilter,
         "classify_actions": q_classify_actions,
         "classify_actions_nodes": q_classify_actions_nodes,
@@ -5313,6 +5366,41 @@ def oracle_sql() -> dict[str, str]:
             SELECT s.user_id, s.session_id, w.window_id
             FROM spans s JOIN wins w ON s.user_id = w.user_id
             WHERE s.s_start < w.w_end AND w.w_start < s.s_end
+        """,
+        "allen_relations": f"""
+            WITH al_gaps AS (
+                SELECT user_id, event_id, ts,
+                       CASE WHEN epoch(ts) - LAG(epoch(ts)) OVER w IS NULL
+                              OR epoch(ts) - LAG(epoch(ts)) OVER w > 1800
+                            THEN 1 ELSE 0 END AS new_sess
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ),
+            al_sess AS (
+                SELECT user_id, ts,
+                       CAST(SUM(new_sess) OVER (PARTITION BY user_id
+                                           ORDER BY ts, event_id
+                                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                           AND CURRENT ROW) AS BIGINT)
+                           AS session_id
+                FROM al_gaps
+            ),
+            al_spans AS (
+                SELECT user_id, session_id,
+                       MIN(ts) AS s_start,
+                       MAX(ts) + INTERVAL 1 SECOND AS s_end
+                FROM al_sess GROUP BY 1, 2
+            ),
+            al_wins AS (
+                SELECT user_id, event_id AS window_id, ts AS w_start,
+                       ts + INTERVAL 30 MINUTE AS w_end
+                FROM events WHERE event_type = 'error'
+            ),
+            al_pairs AS ({temporal_mod.allen_classify_sql(
+                "SELECT * FROM al_spans", "SELECT * FROM al_wins",
+                "user_id", "s_start", "s_end", "w_start", "w_end")})
+            SELECT relation, CAST(COUNT(*) AS BIGINT) AS n_pairs
+            FROM al_pairs GROUP BY relation
         """,
         "embedding_centroids": similarity.embedding_centroids_sql(
             "embeddings"

@@ -1152,3 +1152,185 @@ def followed_by_counts_sql(
         SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n_pairs
         FROM fb_pairs GROUP BY 1, 2
     """
+
+
+ALLEN_RELATIONS = (
+    "equals", "starts", "started_by", "finishes", "finished_by",
+    "during", "contains", "meets", "met_by", "overlaps",
+    "overlapped_by",
+)
+
+
+def _allen_case(a_start: str, a_end: str, b_start: str, b_end: str):
+    asr, ae = F.col(a_start), F.col(a_end)
+    bs, be = F.col(b_start), F.col(b_end)
+    return (
+        F.when((asr == bs) & (ae == be), "equals")
+        .when((asr == bs) & (ae < be), "starts")
+        .when((asr == bs) & (ae > be), "started_by")
+        .when((ae == be) & (asr > bs), "finishes")
+        .when((ae == be) & (asr < bs), "finished_by")
+        .when((asr > bs) & (ae < be), "during")
+        .when((asr < bs) & (ae > be), "contains")
+        .when(ae == bs, "meets")
+        .when(be == asr, "met_by")
+        .when((asr < bs) & (ae > bs) & (ae < be), "overlaps")
+        .when((bs < asr) & (be > asr) & (be < ae), "overlapped_by")
+        # unreachable for non-degenerate pairs under the join
+        # condition — loud, never a silent NULL bucket
+        .otherwise(
+            F.raise_error(
+                F.lit("allen_classify: unclassifiable pair "
+                      "(degenerate interval slipped the guard?)")
+            )
+        )
+    )
+
+
+def _allen_case_sql(a_start: str, a_end: str,
+                    b_start: str, b_end: str) -> str:
+    return f"""CASE
+        WHEN {a_start} = {b_start} AND {a_end} = {b_end} THEN 'equals'
+        WHEN {a_start} = {b_start} AND {a_end} < {b_end} THEN 'starts'
+        WHEN {a_start} = {b_start} AND {a_end} > {b_end}
+            THEN 'started_by'
+        WHEN {a_end} = {b_end} AND {a_start} > {b_start}
+            THEN 'finishes'
+        WHEN {a_end} = {b_end} AND {a_start} < {b_start}
+            THEN 'finished_by'
+        WHEN {a_start} > {b_start} AND {a_end} < {b_end} THEN 'during'
+        WHEN {a_start} < {b_start} AND {a_end} > {b_end}
+            THEN 'contains'
+        WHEN {a_end} = {b_start} THEN 'meets'
+        WHEN {b_end} = {a_start} THEN 'met_by'
+        WHEN {a_start} < {b_start} AND {a_end} > {b_start}
+             AND {a_end} < {b_end} THEN 'overlaps'
+        WHEN {b_start} < {a_start} AND {b_end} > {a_start}
+             AND {b_end} < {a_end} THEN 'overlapped_by'
+        ELSE error('allen: unclassifiable pair')
+    END"""
+
+
+def _explode_buckets_closed(
+    df: DataFrame,
+    start: str,
+    end: str,
+    bucket_s: float,
+    max_buckets_per_interval: int | None,
+) -> DataFrame:
+    """Like :func:`_explode_buckets` but each interval ALSO covers the
+    bucket containing its end point (closed-end coverage): needed by
+    touch-inclusive joins (Allen's meets/met_by happen at a_end ==
+    b_start, which half-open coverage drops exactly when the touch
+    lands on a bucket edge).  Degenerate intervals (end <= start) fail
+    LOUDLY here — Allen relations are defined on proper intervals."""
+    first = _bucket(df, start, bucket_s)
+    first = F.when(
+        F.col(end) <= F.col(start),
+        F.raise_error(
+            F.concat(
+                F.lit("allen_classify: degenerate interval ["),
+                F.col(start).cast("string"),
+                F.lit(", "),
+                F.col(end).cast("string"),
+                F.lit(") — end must be > start"),
+            )
+        ).cast("long"),
+    ).otherwise(first)
+    last = _bucket(df, end, bucket_s)
+    if max_buckets_per_interval is not None:
+        n = last - first + 1
+        first = F.when(
+            n > max_buckets_per_interval,
+            F.raise_error(
+                F.concat(
+                    F.lit("allen_classify: interval spans "),
+                    n.cast("string"),
+                    F.lit(
+                        f" buckets > max_buckets_per_interval="
+                        f"{max_buckets_per_interval}; raise bucket_s or "
+                        "split the interval upstream"
+                    ),
+                )
+            ).cast("long"),
+        ).otherwise(first)
+    return df.withColumn("_b", F.explode(F.sequence(first, last)))
+
+
+def allen_classify(
+    a: DataFrame,
+    b: DataFrame,
+    key: str,
+    a_start: str,
+    a_end: str,
+    b_start: str,
+    b_end: str,
+    bucket_s: float,
+    max_buckets_per_interval: int | None = None,
+) -> DataFrame:
+    """Allen's interval algebra over two interval tables: every
+    same-``key`` (a, b) pair that touches or intersects, labeled with
+    its exact Allen relation — equals / starts / started_by /
+    finishes / finished_by / during / contains / meets / met_by /
+    overlaps / overlapped_by.  The two disjoint relations (before /
+    after) are deliberately NOT enumerated: they are the quadratic
+    complement of this output and carry no per-pair information.
+
+    The relation label is decided by six comparisons on the raw
+    endpoints (half-open [start, end) intervals; ``meets`` is
+    ``a_end == b_start``), so downstream temporal reasoners
+    (containment rollups, schedule conflict classes, dwell-vs-window
+    audits) get the full 11-class taxonomy from ONE join instead of
+    eleven range predicates.
+
+    Scale shape is the house bucketed interval join with CLOSED-end
+    coverage (each side also explodes to its end bucket — half-open
+    coverage silently drops a ``meets`` pair exactly when the touch
+    lands on a bucket edge, tested): equi-join on (key, bucket),
+    first-shared-bucket dedup as a residual predicate (no distinct),
+    degenerate intervals and bucket blowups fail loudly.
+
+    Returns all a columns + b columns + ``relation``."""
+    _require_disjoint(a, b, key)
+    ab = _explode_buckets_closed(a, a_start, a_end, bucket_s,
+                                 max_buckets_per_interval)
+    bb = _explode_buckets_closed(b, b_start, b_end, bucket_s,
+                                 max_buckets_per_interval)
+    first_shared = F.greatest(
+        _bucket(a, a_start, bucket_s), _bucket(b, b_start, bucket_s)
+    )
+    return (
+        ab.join(bb, on=[key, "_b"])
+        .where(
+            (F.col(a_start) <= F.col(b_end))
+            & (F.col(b_start) <= F.col(a_end))
+            & (F.col("_b") == first_shared)
+        )
+        .drop("_b")
+        .withColumn(
+            "relation", _allen_case(a_start, a_end, b_start, b_end)
+        )
+    )
+
+
+def allen_classify_sql(
+    a_src: str,
+    b_src: str,
+    key: str,
+    a_start: str,
+    a_end: str,
+    b_start: str,
+    b_end: str,
+) -> str:
+    """DuckDB twin of :func:`allen_classify` — the naive touch-or-
+    intersect range join plus the same endpoint CASE (the oracle
+    verifies the DEFINITION; bucketing and dedup are the engine's
+    job).  Emits a.* , b.* , relation."""
+    return f"""
+        SELECT a.*, b.*,
+               {_allen_case_sql(
+                   f"a.{a_start}", f"a.{a_end}",
+                   f"b.{b_start}", f"b.{b_end}")} AS relation
+        FROM ({a_src}) a JOIN ({b_src}) b USING ({key})
+        WHERE a.{a_start} <= b.{b_end} AND b.{b_start} <= a.{a_end}
+    """
