@@ -2905,6 +2905,32 @@ def q_allen_relations(spark, sf_dir):
     )
 
 
+def q_event_rate_autocorr(spark, sf_dir):
+    """Per-cohort lag-{1,2,3} autocorrelation of the hourly event-rate
+    series (temporal.series_autocorr) — the periodicity detector for
+    ingest monitoring: ACF spikes at a daily lag reveal load cycles
+    that slot_anomalies' fixed daily-slot model assumes rather than
+    measures.  Exact-integer ACF (N-scaled deviations, one shared
+    denominator so no sqrt, decimal(38)/HUGEINT ppm ratio); one key
+    shuffle serves all series windows, each lag is a constant-fan
+    (key, pos) equi-join."""
+    from openstreetmap_license_change_spark.operators import temporal
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    hourly = (
+        ev.select(
+            (F.col("user_id") % 8).alias("cohort"),
+            F.expr("CAST(ts AS TIMESTAMP)").cast("long").alias("_ep"),
+        )
+        .select("cohort", F.expr("_ep DIV 3600").alias("hour"))
+        .groupBy("cohort", "hour")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    return temporal.series_autocorr(
+        hourly, "cohort", "hour", "n_events", lags=(1, 2, 3)
+    )
+
+
 def q_significance_prefilter(spark, sf_dir):
     """F1-F5 native tier of the significance kernel: normalize
     consecutive page text versions and compute levenshtein-based
@@ -3440,6 +3466,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_interval_join": q_events_interval_join,
         "events_overlap_join": q_events_overlap_join,
         "allen_relations": q_allen_relations,
+        "event_rate_autocorr": q_event_rate_autocorr,
         "significance_prefilter": q_significance_prefilter,
         "classify_actions": q_classify_actions,
         "classify_actions_nodes": q_classify_actions_nodes,
@@ -5367,6 +5394,13 @@ def oracle_sql() -> dict[str, str]:
             FROM spans s JOIN wins w ON s.user_id = w.user_id
             WHERE s.s_start < w.w_end AND w.w_start < s.s_end
         """,
+        "event_rate_autocorr": temporal_mod.series_autocorr_sql(
+            "(SELECT user_id % 8 AS cohort, "
+            "epoch_us(ts) // 3600000000 AS hour, "
+            "CAST(COUNT(*) AS BIGINT) AS n_events "
+            "FROM events GROUP BY 1, 2)",
+            "cohort", "hour", "n_events", lags=(1, 2, 3),
+        ),
         "allen_relations": f"""
             WITH al_gaps AS (
                 SELECT user_id, event_id, ts,

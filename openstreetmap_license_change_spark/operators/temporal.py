@@ -1334,3 +1334,160 @@ def allen_classify_sql(
         FROM ({a_src}) a JOIN ({b_src}) b USING ({key})
         WHERE a.{a_start} <= b.{b_end} AND b.{b_start} <= a.{a_end}
     """
+
+
+def series_autocorr(
+    df: DataFrame,
+    key_col: str,
+    order_col: str,
+    value_col: str,
+    lags: "tuple[int, ...]" = (1,),
+) -> DataFrame:
+    """Per-key lag-k autocorrelation of an integer series — the
+    TEMPORAL sibling of spatial.morans_i (identical exact-integer
+    discipline, adjacency replaced by the lag shift): the
+    periodicity/persistence detector for per-key event-rate series
+    (hourly counts, rollup deltas) that slot_anomalies' fixed
+    daily-slot model can't express.
+
+    Standard biased ACF estimator, sqrt-free by construction (one
+    shared denominator, unlike Pearson's two):
+
+        d_t     = n·v_t − S          (N-scaled deviations, no float mean)
+        num_k   = Σ_{t≤n−k} d_t·d_{t+k}
+        den     = Σ_t d_t²
+        acf_ppm = num_k·10⁶ DIV den  (decimal(38,0) / HUGEINT,
+                                      truncation toward zero on both
+                                      engines; NULL when den = 0 —
+                                      constant series — or n ≤ k)
+
+    Series order is (``order_col``) per key, which must be UNIQUE per
+    key (enforced: duplicate positions raise rather than silently
+    correlating an arbitrary permutation).
+
+    Plan: ONE shuffle on the key serves all three windows (row_number,
+    n, S share the partitioning); each lag is a (key, pos) equi-join
+    of the deviation table against itself shifted — Spark reuses the
+    same hash partitioning, and the lag fan is a constant ≤ len(lags)
+    multiplier on the series, not a window over unbounded frames.
+
+    Returns (key, lag, n, n_pairs, num, den, acf_ppm)."""
+    if not lags or any(int(k) < 1 for k in lags):
+        raise ValueError(f"lags must be ≥ 1: {lags}")
+    lags = tuple(sorted(set(int(k) for k in lags)))
+    dec = "decimal(38,0)"
+    wk = W.partitionBy("_k").orderBy("_o")
+    wall = W.partitionBy("_k")
+    dup_guard = F.when(
+        F.count(F.lit(1)).over(W.partitionBy("_k", "_o")) > 1,
+        F.raise_error(
+            F.concat(
+                F.lit("series_autocorr: duplicate order value within "
+                      "key at "),
+                F.col("_o").cast("string"),
+            )
+        ).cast("long"),
+    )
+    dev = df.select(
+        F.col(key_col).alias("_k"),
+        F.col(order_col).alias("_o"),
+        F.col(value_col).cast("bigint").alias("_v"),
+    ).select(
+        "_k",
+        F.coalesce(dup_guard, F.row_number().over(wk)).alias("_pos"),
+        F.count(F.lit(1)).over(wall).alias("_n"),
+        (
+            F.count(F.lit(1)).over(wall) * F.col("_v")
+            - F.sum("_v").over(wall)
+        ).alias("_d"),
+    )
+    den = dev.groupBy("_k").agg(
+        F.max("_n").alias("n"),
+        F.sum(F.expr(f"CAST(_d AS {dec}) * _d")).alias("_den"),
+    )
+    shifted = None
+    for k in lags:
+        part = dev.select(
+            "_k",
+            F.lit(k).alias("lag"),
+            (F.col("_pos") + F.lit(k)).alias("_tpos"),
+            F.col("_d").alias("_d1"),
+        )
+        shifted = part if shifted is None else shifted.unionByName(part)
+    pairs = shifted.join(
+        dev.select("_k", F.col("_pos").alias("_tpos"),
+                   F.col("_d").alias("_d2")),
+        ["_k", "_tpos"],
+    ).groupBy("_k", "lag").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum(F.expr(f"CAST(_d1 AS {dec}) * _d2")).alias("_num"),
+    )
+    lag_lit = F.explode(F.array(*[F.lit(k) for k in lags])).alias("lag")
+    frame = den.select("_k", "n", "_den", lag_lit)
+    return (
+        frame.join(pairs, ["_k", "lag"], "left")
+        .select(
+            F.col("_k").alias(key_col),
+            "lag",
+            "n",
+            F.coalesce("n_pairs", F.lit(0)).alias("n_pairs"),
+            F.coalesce(F.col("_num"), F.lit(0).cast(dec))
+            .cast("bigint").alias("num"),
+            F.col("_den").cast("bigint").alias("den"),
+            F.expr(
+                "CAST(CASE WHEN _den = 0 OR n_pairs IS NULL THEN NULL "
+                "ELSE (_num * 1000000) DIV _den END AS BIGINT)"
+            ).alias("acf_ppm"),
+        )
+    )
+
+
+def series_autocorr_sql(
+    src: str,
+    key_col: str,
+    order_col: str,
+    value_col: str,
+    lags: "tuple[int, ...]" = (1,),
+) -> str:
+    """DuckDB twin of :func:`series_autocorr` (sa_*-namespaced;
+    HUGEINT mirrors decimal(38,0), // truncates like DIV)."""
+    lags = tuple(sorted(set(int(k) for k in lags)))
+    lag_vals = ", ".join(f"({k})" for k in lags)
+    return f"""
+        WITH sa_dev AS (
+            SELECT {key_col} AS _k,
+                   ROW_NUMBER() OVER (PARTITION BY {key_col}
+                                      ORDER BY {order_col}) AS _pos,
+                   COUNT(*) OVER (PARTITION BY {key_col}) AS _n,
+                   COUNT(*) OVER (PARTITION BY {key_col})
+                       * CAST({value_col} AS BIGINT)
+                   - SUM(CAST({value_col} AS BIGINT))
+                       OVER (PARTITION BY {key_col}) AS _d
+            FROM {src}
+        ),
+        sa_den AS (
+            SELECT _k, MAX(_n) AS n,
+                   SUM(CAST(_d AS HUGEINT) * _d) AS _den
+            FROM sa_dev GROUP BY _k
+        ),
+        sa_pairs AS (
+            SELECT a._k, l.lag,
+                   COUNT(*) AS n_pairs,
+                   SUM(CAST(a._d AS HUGEINT) * b._d) AS _num
+            FROM sa_dev a
+            CROSS JOIN (VALUES {lag_vals}) l(lag)
+            JOIN sa_dev b
+              ON b._k = a._k AND b._pos = a._pos + l.lag
+            GROUP BY a._k, l.lag
+        )
+        SELECT d._k AS {key_col}, l.lag, d.n,
+               CAST(COALESCE(p.n_pairs, 0) AS BIGINT) AS n_pairs,
+               CAST(COALESCE(p._num, 0) AS BIGINT) AS num,
+               CAST(d._den AS BIGINT) AS den,
+               CAST(CASE WHEN d._den = 0 OR p.n_pairs IS NULL THEN NULL
+                    ELSE (p._num * 1000000) // d._den
+                    END AS BIGINT) AS acf_ppm
+        FROM sa_den d
+        CROSS JOIN (VALUES {lag_vals}) l(lag)
+        LEFT JOIN sa_pairs p ON p._k = d._k AND p.lag = l.lag
+    """
