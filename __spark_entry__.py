@@ -2905,6 +2905,18 @@ def q_allen_relations(spark, sf_dir):
     )
 
 
+def q_link_assortativity(spark, sf_dir):
+    """Global degree assortativity (graph.degree_assortativity) of
+    the undirected doc link graph — Newman's r as an exact sqrt-free
+    decimal(38) ratio (on the symmetrized edge list both endpoint
+    degree distributions coincide, collapsing Pearson's denominator
+    to one factor): the one-number mixing summary (hub-hub vs
+    hub-leaf) behind degree-stratified sampling decisions.  NULL on
+    degree-regular graphs, the genuine undefined case."""
+    _, edges = _doc_link_graph(spark, sf_dir)
+    return graph.degree_assortativity(edges)
+
+
 def q_event_rate_autocorr(spark, sf_dir):
     """Per-cohort lag-{1,2,3} autocorrelation of the hourly event-rate
     series (temporal.series_autocorr) — the periodicity detector for
@@ -3467,6 +3479,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_overlap_join": q_events_overlap_join,
         "allen_relations": q_allen_relations,
         "event_rate_autocorr": q_event_rate_autocorr,
+        "link_assortativity": q_link_assortativity,
         "significance_prefilter": q_significance_prefilter,
         "classify_actions": q_classify_actions,
         "classify_actions_nodes": q_classify_actions_nodes,
@@ -5394,6 +5407,9 @@ def oracle_sql() -> dict[str, str]:
             FROM spans s JOIN wins w ON s.user_id = w.user_id
             WHERE s.s_start < w.w_end AND w.w_start < s.s_end
         """,
+        "link_assortativity": graph.degree_assortativity_sql(
+            _PR_EDGES_SQL
+        ),
         "event_rate_autocorr": temporal_mod.series_autocorr_sql(
             "(SELECT user_id % 8 AS cohort, "
             "epoch_us(ts) // 3600000000 AS hour, "

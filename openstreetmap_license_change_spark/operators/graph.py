@@ -847,13 +847,11 @@ def kcore(
     round.  Returns (node, degree) for the surviving core."""
     if k < 1:
         raise ValueError(f"k must be ≥ 1: {k}")
+    base = edges.select("src", "dst").where(F.col("src") != F.col("dst"))
     sym = (
-        edges.select("src", "dst")
-        .where(F.col("src") != F.col("dst"))
-        .unionByName(
-            edges.select(
-                F.col("dst").alias("src"), F.col("src").alias("dst")
-            )
+        base.unionByName(
+            base.select(F.col("dst").alias("src"),
+                        F.col("src").alias("dst"))
         )
         .distinct()
         .localCheckpoint(eager=True)
@@ -1052,3 +1050,114 @@ def weighted_distance_sql(
         "WITH " + ",\n".join(ctes)
         + f"\nSELECT node, dist FROM wd_d{rounds}"
     )
+
+
+def degree_assortativity(edges: DataFrame) -> DataFrame:
+    """Global degree assortativity of the undirected simplification —
+    Newman's r: the Pearson correlation of endpoint degrees over
+    edges.  Positive r = hubs link to hubs (social-style cores),
+    negative = hubs link to leaves (web/star topology, the usual
+    shape of crawl graphs) — the one-number mixing summary that tells
+    a sampler whether degree-stratified negatives are needed.
+
+    Exact-integer throughout, and — the reason this is twin-friendly —
+    SQRT-FREE: on the both-directions edge list the two endpoint
+    degree distributions are IDENTICAL (every undirected edge
+    contributes its degrees once in each role), so Pearson's two
+    denominator factors coincide and
+
+        r = (M·Σjk − S1²) / (M·Σj² − S1²),   S1 = Σj over directed
+                                              edges, M = their count
+
+    is a plain ratio, evaluated in decimal(38,0) (HUGEINT in the
+    twin) with one truncating DIV to ppm.  NULL when the denominator
+    is 0 — a degree-regular graph, the statistic's genuine undefined
+    case.  Self-loops dropped, parallel edges collapsed (the kcore
+    convention).
+
+    Plan: one distinct over the symmetrized edges, one degree
+    aggregate, one broadcast of the ≤|V|-row degree table onto both
+    endpoints... no: degrees join via TWO hash joins on src/dst (the
+    degree table is data-sized; broadcast only when it fits — AQE
+    decides), then a single global aggregate.  Output: one row
+    (m_directed, s_jk, s_j, s_jj, assort_ppm)."""
+    dec = "decimal(38,0)"
+    base = edges.select("src", "dst").where(F.col("src") != F.col("dst"))
+    sym = (
+        base.unionByName(
+            base.select(F.col("dst").alias("src"),
+                        F.col("src").alias("dst"))
+        )
+        .distinct()
+    )
+    deg = sym.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("degree")
+    )
+    jk = (
+        sym.join(deg.select(F.col("node").alias("src"),
+                            F.col("degree").alias("_j")), "src")
+        .join(deg.select(F.col("node").alias("dst"),
+                         F.col("degree").alias("_k")), "dst")
+    )
+    agg = jk.agg(
+        F.count(F.lit(1)).alias("m_directed"),
+        F.sum(F.expr(f"CAST(_j AS {dec}) * _k")).alias("_sjk"),
+        F.sum(F.expr(f"CAST(_j AS {dec})")).alias("_sj"),
+        F.sum(F.expr(f"CAST(_j AS {dec}) * _j")).alias("_sjj"),
+    )
+    return agg.select(
+        "m_directed",
+        F.col("_sjk").cast("bigint").alias("s_jk"),
+        F.col("_sj").cast("bigint").alias("s_j"),
+        F.col("_sjj").cast("bigint").alias("s_jj"),
+        F.expr(
+            f"CAST(CASE WHEN m_directed = 0 OR "
+            f"(CAST(m_directed AS {dec}) * _sjj - _sj * _sj) = 0 "
+            f"THEN NULL ELSE "
+            f"(CAST(m_directed AS {dec}) * _sjk - _sj * _sj) * 1000000 "
+            f"DIV (CAST(m_directed AS {dec}) * _sjj - _sj * _sj) "
+            f"END AS BIGINT)"
+        ).alias("assort_ppm"),
+    )
+
+
+def degree_assortativity_sql(edges_src: str) -> str:
+    """DuckDB twin of :func:`degree_assortativity` (da_*-namespaced;
+    HUGEINT mirrors decimal(38,0))."""
+    return f"""
+        WITH da_sym AS (
+            SELECT DISTINCT src, dst FROM (
+                SELECT src, dst FROM {edges_src} WHERE src <> dst
+                UNION ALL
+                SELECT dst AS src, src AS dst FROM {edges_src}
+                WHERE src <> dst
+            )
+        ),
+        da_deg AS (
+            SELECT src AS node, COUNT(*) AS degree
+            FROM da_sym GROUP BY src
+        ),
+        da_jk AS (
+            SELECT dj.degree AS j, dk.degree AS k
+            FROM da_sym e
+            JOIN da_deg dj ON dj.node = e.src
+            JOIN da_deg dk ON dk.node = e.dst
+        ),
+        da_agg AS (
+            SELECT COUNT(*) AS m_directed,
+                   SUM(CAST(j AS HUGEINT) * k) AS sjk,
+                   SUM(CAST(j AS HUGEINT)) AS sj,
+                   SUM(CAST(j AS HUGEINT) * j) AS sjj
+            FROM da_jk
+        )
+        SELECT CAST(m_directed AS BIGINT) AS m_directed,
+               CAST(sjk AS BIGINT) AS s_jk,
+               CAST(sj AS BIGINT) AS s_j,
+               CAST(sjj AS BIGINT) AS s_jj,
+               CAST(CASE WHEN m_directed = 0
+                         OR (m_directed * sjj - sj * sj) = 0 THEN NULL
+                    ELSE (m_directed * sjk - sj * sj) * 1000000
+                         // (m_directed * sjj - sj * sj)
+                    END AS BIGINT) AS assort_ppm
+        FROM da_agg
+    """

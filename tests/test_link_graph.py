@@ -490,3 +490,21 @@ def test_kcore_random_vs_python_and_duckdb(spark):
             con.execute(graph.kcore_sql("nd", "eg", k)).fetchall()
         )
         assert twin == want
+
+
+def test_kcore_self_loops_cannot_inflate_degree(spark):
+    """Regression: the swapped symmetrization branch used to leak
+    self-loops past the src≠dst filter, inflating that node's degree
+    by one vs the DuckDB twin.  A triangle + a self-loop on a pendant
+    must peel the pendant at k=2."""
+    nodes = [0, 1, 2, 3]
+    edges = [(0, 1), (1, 2), (2, 0), (3, 3), (0, 3)]
+    got = _spark_kcore(spark, nodes, edges, k=2)
+    assert set(got) == {0, 1, 2}
+    con = duckdb.connect()
+    con.execute("CREATE TABLE nd2 (node BIGINT)")
+    con.executemany("INSERT INTO nd2 VALUES (?)", [(v,) for v in nodes])
+    con.execute("CREATE TABLE eg2 (src BIGINT, dst BIGINT)")
+    con.executemany("INSERT INTO eg2 VALUES (?, ?)", edges)
+    twin = dict(con.execute(graph.kcore_sql("nd2", "eg2", 2)).fetchall())
+    assert twin == got
