@@ -39,6 +39,7 @@ from openstreetmap_license_change_spark.operators import (
     textops,
 )
 from openstreetmap_license_change_spark.operators import (
+    rtree as rtree_mod,
     temporal as temporal_mod,
 )
 from openstreetmap_license_change_spark.sources import pages as pages_src
@@ -2905,6 +2906,36 @@ def q_allen_relations(spark, sf_dir):
     )
 
 
+def q_str_leaves(spark, sf_dir):
+    """STR R-tree bulk packing (rtree.str_pack ∘ str_leaf_stats):
+    page geocodes expanded to deterministic microdegree rectangles,
+    packed into ≤64-rect leaves by textbook sort-tile-recursive — the
+    ADAPTIVE spatial write layout beside cluster_by_hilbert's fixed
+    curve.  Ranks are exact two-level (value-bucket histogram prefix
+    + bucket-local row_number, never a global window); the oracle is
+    the plain global-ROW_NUMBER textbook definition, so the
+    decomposition itself is hash-verified.  Output is the per-leaf
+    manifest (count, MBR, semi-perimeter) footer pruning consumes."""
+    from openstreetmap_license_change_spark.operators import rtree
+
+    pages = _pages(spark, sf_dir)
+    rid = (F.col("doc_id") * 16 + F.col("version")).alias("rect_id")
+    rects = pages.select(
+        rid,
+        F.floor(F.col("lon") * 1_000_000.0).cast("bigint").alias("_x"),
+        F.floor(F.col("lat") * 1_000_000.0).cast("bigint").alias("_y"),
+    ).select(
+        "rect_id",
+        (F.col("_x") - F.col("rect_id") % 997).alias("minx"),
+        (F.col("_y") - (F.col("rect_id") * 3) % 997).alias("miny"),
+        (F.col("_x") + (F.col("rect_id") * 7) % 997 + 1).alias("maxx"),
+        (F.col("_y") + (F.col("rect_id") * 11) % 997 + 1).alias("maxy"),
+    )
+    return rtree.str_leaf_stats(
+        rtree.str_pack(rects, leaf_size=64, n_buckets=256)
+    )
+
+
 def q_link_assortativity(spark, sf_dir):
     """Global degree assortativity (graph.degree_assortativity) of
     the undirected doc link graph — Newman's r as an exact sqrt-free
@@ -3480,6 +3511,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "allen_relations": q_allen_relations,
         "event_rate_autocorr": q_event_rate_autocorr,
         "link_assortativity": q_link_assortativity,
+        "str_leaves": q_str_leaves,
         "significance_prefilter": q_significance_prefilter,
         "classify_actions": q_classify_actions,
         "classify_actions_nodes": q_classify_actions_nodes,
@@ -5409,6 +5441,27 @@ def oracle_sql() -> dict[str, str]:
         """,
         "link_assortativity": graph.degree_assortativity_sql(
             _PR_EDGES_SQL
+        ),
+        "str_leaves": _with_pages(
+            """
+            , str_rects AS (
+                SELECT rect_id,
+                       _x - rect_id % 997 AS minx,
+                       _y - (rect_id * 3) % 997 AS miny,
+                       _x + (rect_id * 7) % 997 + 1 AS maxx,
+                       _y + (rect_id * 11) % 997 + 1 AS maxy
+                FROM (
+                    SELECT doc_id * 16 + version AS rect_id,
+                           CAST(FLOOR(lon * 1000000.0) AS BIGINT) AS _x,
+                           CAST(FLOOR(lat * 1000000.0) AS BIGINT) AS _y
+                    FROM pages
+                )
+            )
+            SELECT * FROM (
+            """
+            + rtree_mod.str_pack_sql("SELECT * FROM str_rects",
+                                     leaf_size=64)
+            + ")"
         ),
         "event_rate_autocorr": temporal_mod.series_autocorr_sql(
             "(SELECT user_id % 8 AS cohort, "
