@@ -2906,6 +2906,21 @@ def q_allen_relations(spark, sf_dir):
     )
 
 
+def q_winsorize_lengths(spark, sf_dir):
+    """Per-lang winsorization audit of document token counts
+    (textops.winsorize at [p1, p99] exact nearest-rank cuts): the
+    outlier-capping decision artifact — how far do pathological
+    documents move each language's token-budget sum — in pure int64
+    (integer-millionth rank arithmetic, least/greatest clamp, exact
+    clamp counts).  Quantile window and rollup share the lang
+    partitioning; the 1-row-per-lang cut table broadcasts back."""
+    docs = pages_src.documents(spark, sf_dir).select(
+        "lang", textops.token_count(F.col("text")).alias("n_tok")
+    )
+    return textops.winsorize(docs, "n_tok", ["lang"],
+                             lo_m=10_000, hi_m=990_000)
+
+
 def q_str_leaves(spark, sf_dir):
     """STR R-tree bulk packing (rtree.str_pack ∘ str_leaf_stats):
     page geocodes expanded to deterministic microdegree rectangles,
@@ -3512,6 +3527,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_rate_autocorr": q_event_rate_autocorr,
         "link_assortativity": q_link_assortativity,
         "str_leaves": q_str_leaves,
+        "winsorize_lengths": q_winsorize_lengths,
         "significance_prefilter": q_significance_prefilter,
         "classify_actions": q_classify_actions,
         "classify_actions_nodes": q_classify_actions_nodes,
@@ -5441,6 +5457,12 @@ def oracle_sql() -> dict[str, str]:
         """,
         "link_assortativity": graph.degree_assortativity_sql(
             _PR_EDGES_SQL
+        ),
+        "winsorize_lengths": textops.winsorize_sql(
+            "(SELECT lang, CASE WHEN trim(text) = '' THEN 0 "
+            "ELSE len(string_split_regex(trim(text), '\\s+')) END "
+            "AS n_tok FROM documents)",
+            "n_tok", ["lang"], lo_m=10_000, hi_m=990_000,
         ),
         "str_leaves": _with_pages(
             """

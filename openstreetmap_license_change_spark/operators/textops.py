@@ -1596,3 +1596,99 @@ def postings_varint_cost_sql(
         FROM pv_cost GROUP BY token
         HAVING COUNT(*) >= {int(min_docs)}
     """
+
+
+def winsorize(
+    df: DataFrame,
+    value_col: str,
+    group_cols: Sequence[str],
+    lo_m: int = 10_000,
+    hi_m: int = 990_000,
+) -> DataFrame:
+    """Per-group winsorization audit at EXACT nearest-rank quantile
+    cuts — the outlier-capping pass run before any mean-based corpus
+    statistic (token budgets, mixture weights) so a handful of
+    pathological documents can't own the average; reporting the
+    rollup, not the mutated rows, because at 100 TB the decision
+    artifact is "how much did capping move the sum" while the
+    per-row clamp is a cheap map anyone can re-apply.
+
+    Cuts reuse :func:`group_quantiles`'s integer-millionth rank
+    arithmetic (rank ⌈q_m·n/10⁶⌉ — engine-identical, no
+    interpolation); clamping is least/greatest; everything summed is
+    int64.  Output per group: (…group, n, lo_cut, hi_cut,
+    n_clamped_lo, n_clamped_hi, sum_raw, sum_winsorized).
+
+    Plan: the quantile rank window and the final rollup share the
+    group-key partitioning; the ≤1-row-per-group cut table broadcasts
+    back onto the scan."""
+    if not 0 <= lo_m <= hi_m <= 1_000_000:
+        raise ValueError(f"need 0 ≤ lo_m ≤ hi_m ≤ 1e6: {lo_m}, {hi_m}")
+    gcols = list(group_cols)
+    qs = group_quantiles(df, value_col, gcols, (lo_m, hi_m))
+    cuts = qs.groupBy(*gcols).agg(
+        F.max(
+            F.when(F.col("q_m") == lo_m, F.col("quantile_value"))
+        ).alias("lo_cut"),
+        F.max(
+            F.when(F.col("q_m") == hi_m, F.col("quantile_value"))
+        ).alias("hi_cut"),
+    )
+    v = F.col(value_col).cast("bigint")
+    clamped = F.least(F.greatest(v, F.col("lo_cut")), F.col("hi_cut"))
+    return (
+        df.select(*gcols, value_col)
+        .join(F.broadcast(cuts), gcols)
+        .groupBy(*gcols)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.max("lo_cut").alias("lo_cut"),
+            F.max("hi_cut").alias("hi_cut"),
+            F.count_if(v < F.col("lo_cut")).alias("n_clamped_lo"),
+            F.count_if(v > F.col("hi_cut")).alias("n_clamped_hi"),
+            F.sum(v).alias("sum_raw"),
+            F.sum(clamped).alias("sum_winsorized"),
+        )
+    )
+
+
+def winsorize_sql(
+    src: str,
+    value_col: str,
+    group_cols: Sequence[str],
+    lo_m: int = 10_000,
+    hi_m: int = 990_000,
+) -> str:
+    """DuckDB twin of :func:`winsorize` (wz_*-namespaced)."""
+    g = ", ".join(group_cols)
+    return f"""
+        WITH wz_ranked AS (
+            SELECT {g}, CAST({value_col} AS BIGINT) AS v,
+                   ROW_NUMBER() OVER (PARTITION BY {g}
+                                      ORDER BY {value_col}) AS rn,
+                   COUNT(*) OVER (PARTITION BY {g}) AS n
+            FROM {src}
+        ),
+        wz_cuts AS (
+            SELECT {g},
+                   MAX(CASE WHEN rn = ({lo_m} * n + 999999) // 1000000
+                            THEN v END) AS lo_cut,
+                   MAX(CASE WHEN rn = ({hi_m} * n + 999999) // 1000000
+                            THEN v END) AS hi_cut
+            FROM wz_ranked GROUP BY {g}
+        )
+        SELECT r.{g.replace(', ', ', r.')},
+               CAST(COUNT(*) AS BIGINT) AS n,
+               MAX(c.lo_cut) AS lo_cut,
+               MAX(c.hi_cut) AS hi_cut,
+               CAST(COUNT(*) FILTER (r.v < c.lo_cut) AS BIGINT)
+                   AS n_clamped_lo,
+               CAST(COUNT(*) FILTER (r.v > c.hi_cut) AS BIGINT)
+                   AS n_clamped_hi,
+               CAST(SUM(r.v) AS BIGINT) AS sum_raw,
+               CAST(SUM(LEAST(GREATEST(r.v, c.lo_cut), c.hi_cut))
+                    AS BIGINT) AS sum_winsorized
+        FROM wz_ranked r
+        JOIN wz_cuts c USING ({g})
+        GROUP BY r.{g.replace(', ', ', r.')}
+    """
