@@ -39,6 +39,7 @@ from openstreetmap_license_change_spark.operators import (
     textops,
 )
 from openstreetmap_license_change_spark.operators import (
+    profile as profile_mod,
     rtree as rtree_mod,
     temporal as temporal_mod,
 )
@@ -2906,6 +2907,21 @@ def q_allen_relations(spark, sf_dir):
     )
 
 
+def q_documents_profile(spark, sf_dir):
+    """Column profiling (profile.column_profile) of the documents
+    table — the pre-ingest schema audit a 10¹²-row load gates on:
+    per-column null share, exact distinct cardinality, native-type
+    extremes, as one long-form row a snapshot diff can track.  One
+    scan, one aggregate (multi-column COUNT DISTINCT plans as a
+    single Expand), then a stack() unpivot."""
+    from openstreetmap_license_change_spark.operators import profile
+
+    docs = pages_src.documents(spark, sf_dir)
+    return profile.column_profile(
+        docs, ["doc_id", "lang", "source", "n_chars"]
+    )
+
+
 def q_winsorize_lengths(spark, sf_dir):
     """Per-lang winsorization audit of document token counts
     (textops.winsorize at [p1, p99] exact nearest-rank cuts): the
@@ -3528,6 +3544,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_assortativity": q_link_assortativity,
         "str_leaves": q_str_leaves,
         "winsorize_lengths": q_winsorize_lengths,
+        "documents_profile": q_documents_profile,
         "significance_prefilter": q_significance_prefilter,
         "classify_actions": q_classify_actions,
         "classify_actions_nodes": q_classify_actions_nodes,
@@ -5457,6 +5474,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "link_assortativity": graph.degree_assortativity_sql(
             _PR_EDGES_SQL
+        ),
+        "documents_profile": profile_mod.column_profile_sql(
+            "documents", ["doc_id", "lang", "source", "n_chars"]
         ),
         "winsorize_lengths": textops.winsorize_sql(
             "(SELECT lang, CASE WHEN trim(text) = '' THEN 0 "
