@@ -655,6 +655,21 @@ def q_morans_i(spark, sf_dir):
     return spatial.morans_i(rollup, "n_pages")
 
 
+def q_local_morans(spark, sf_dir):
+    """Local Moran's I (spatial.local_morans) of page intensity —
+    Anselin's LISA decomposition of q_morans_i's global statistic:
+    per-cell N-scaled deviation, queen-lag, exact
+    (N·d·lag·10⁶) DIV Σd² statistic in decimal(38,0)/HUGEINT, and the
+    deterministic HH/LL/HL/LH/M0 quadrant label.  Σᵢ dᵢ·lagᵢ equals
+    the global directed numerator exactly (tested)."""
+    flagged = _pages_flagged(spark, sf_dir)
+    cells = spatial.assign_cells(flagged).withColumn(
+        "tainted", ~F.col("accepted")
+    )
+    rollup = spatial.tile_rollup(cells).select("cell", "n_pages")
+    return spatial.local_morans(rollup, "n_pages")
+
+
 def q_tile_join_counts(spark, sf_dir):
     """Global join-count spatial autocorrelation
     (spatial.tile_join_counts) of the tainted/clean binary raster:
@@ -3408,6 +3423,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "od_flows": q_od_flows,
         "tile_join_counts": q_tile_join_counts,
         "morans_i": q_morans_i,
+        "local_morans": q_local_morans,
         "tile_rollup_incremental": q_tile_rollup_incremental,
         "tile_dilate": q_tile_dilate,
         "tile_erode": q_tile_erode,
@@ -4619,6 +4635,14 @@ def oracle_sql() -> dict[str, str]:
                 GROUP BY 1
             )
             , {spatial.morans_i_ctes('mi_rollup', 'n_pages')}
+        """),
+        "local_morans": _with_pages(f"""
+            , lmi_rollup AS (
+                SELECT {cell} AS cell, COUNT(*) AS n_pages
+                FROM pages p JOIN cs_status s USING (changeset_id)
+                GROUP BY 1
+            )
+            , {spatial.local_morans_ctes('lmi_rollup', 'n_pages')}
         """),
         "tile_hotspots": _with_pages(f"""
             , rollup AS (

@@ -4397,6 +4397,190 @@ def morans_i_ctes(
     """
 
 
+def local_morans(
+    cells: DataFrame,
+    value_col: str,
+    res_deg: float = DEFAULT_RES_DEG,
+) -> DataFrame:
+    """Local Moran's I_i (Anselin's LISA) per occupied cell — the
+    PER-CELL decomposition of :func:`morans_i`: which cells drive the
+    global clustering, and in which direction (HH hotspot, LL
+    coldspot, HL/LH spatial outliers).  The quadrant label is the
+    deterministic half of the classic LISA map (the significance
+    filter is permutation inference — a Monte-Carlo layer a caller
+    adds on top; every quantity HERE is exact and engine-portable).
+
+    Exact-integer formulation (shared with the global statistic):
+    d_i = N·x_i − S, lag_i = Σ_{j∈nbr(i)} d_j over queen adjacency of
+    PRESENT cells, and with m2 = Σ d²/N (in d-units) the local
+    statistic I_i = z_i·(Σ w_ij z_j)/m2 becomes
+
+        i_ppm_i = (N · d_i · lag_i · 10⁶) DIV (Σ d²)
+
+    evaluated in decimal(38,0)/HUGEINT with identical truncation on
+    both engines.  Headroom: |d| ≤ N·x_max, |lag| ≤ 8·N·x_max, so the
+    numerator is ≤ 8·N³·x_max²·10⁶ — with 10⁵ cells of ≤10⁷-point
+    values that is ~8·10³⁵ < 10³⁸; beyond that pre-quantize the value
+    column (the BM25_IDF_SCALE move).  Σd² = 0 (constant surface) →
+    NULL i_ppm/quadrant, the genuine undefined case.  A cell whose 8
+    neighbors are all ABSENT keeps lag = 0, i_ppm = 0, quadrant 'M0'
+    — absent cells are outside the support, exactly as in
+    :func:`tile_join_counts`.
+
+    Quadrants: 'HH' (d>0, lag>0), 'LL' (d<0, lag<0), 'HL' (d>0,
+    lag<0), 'LH' (d<0, lag>0), 'M0' when either side sits exactly on
+    the mean (d = 0 or lag = 0) — ties are real under integer
+    arithmetic and deserve their own label rather than a biased
+    assignment.
+
+    Plan: the ×8 fan and the adjacency join run on the AGGREGATE
+    raster (|cells| rows, not the corpus); one groupBy(cell) builds
+    the lag, one broadcast carries (N, S, Σd²).  Adjacency contract
+    inherited: queen, present cells only, lon wrap (≥ 5 columns
+    enforced), lat clamp.  Output: one row per present cell
+    (cell, n_nbrs, d, lag, i_ppm, quadrant)."""
+    cols = int(360 / res_deg)
+    rows_n = int(180 / res_deg)
+    if cols < 5:
+        raise ValueError(
+            f"res_deg {res_deg} gives {cols} grid columns; need ≥ 5 "
+            "for distinct queen neighbors under lon wrap"
+        )
+    vals = cells.select(
+        F.col("cell").cast("bigint").alias("cell"),
+        F.col(value_col).cast("bigint").alias("_x"),
+    )
+    stats = vals.agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum("_x").alias("_s"),
+    )
+    dev = vals.crossJoin(F.broadcast(stats)).select(
+        "cell",
+        "_n",
+        (F.col("_n") * F.col("_x") - F.col("_s")).alias("_d"),
+    )
+    dec = "decimal(38,0)"
+    den = dev.agg(
+        F.sum(F.expr(f"CAST(_d AS {dec}) * _d")).alias("_den")
+    )
+    lat_b = F.floor(F.col("cell") / F.lit(cols))
+    lon_b = F.col("cell") % F.lit(cols)
+    nbrs = []
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            if dy == 0 and dx == 0:
+                continue
+            t_lat = lat_b + F.lit(dy)
+            t_lon = (lon_b + F.lit(dx) + F.lit(cols)) % F.lit(cols)
+            nbrs.append(
+                F.when(
+                    (t_lat >= 0) & (t_lat < rows_n),
+                    (t_lat * F.lit(cols) + t_lon).cast("bigint"),
+                )
+            )
+    fan = dev.select(
+        F.col("_d").alias("_d_src"),
+        F.explode(F.array_compact(F.array(*nbrs))).alias("cell"),
+    )
+    lag = (
+        fan.join(dev.select("cell"), "cell")
+        .groupBy("cell")
+        .agg(
+            F.count(F.lit(1)).alias("n_nbrs"),
+            F.sum("_d_src").alias("_lag"),
+        )
+    )
+    return (
+        dev.join(lag, "cell", "left")
+        .crossJoin(F.broadcast(den))
+        .select(
+            "cell",
+            F.coalesce("n_nbrs", F.lit(0)).cast("bigint").alias("n_nbrs"),
+            F.col("_d").alias("d"),
+            F.coalesce("_lag", F.lit(0)).cast("bigint").alias("lag"),
+            F.expr(
+                f"CAST(CASE WHEN _den = 0 THEN NULL ELSE "
+                f"(CAST(_n AS {dec}) * _d * COALESCE(_lag, 0) * 1000000) "
+                f"DIV _den END AS BIGINT)"
+            ).alias("i_ppm"),
+            F.expr(
+                "CASE WHEN _den = 0 THEN NULL "
+                "WHEN _d > 0 AND COALESCE(_lag, 0) > 0 THEN 'HH' "
+                "WHEN _d < 0 AND COALESCE(_lag, 0) < 0 THEN 'LL' "
+                "WHEN _d > 0 AND COALESCE(_lag, 0) < 0 THEN 'HL' "
+                "WHEN _d < 0 AND COALESCE(_lag, 0) > 0 THEN 'LH' "
+                "ELSE 'M0' END"
+            ).alias("quadrant"),
+        )
+    )
+
+
+def local_morans_sql(
+    src: str, value_col: str, res_deg: float = DEFAULT_RES_DEG
+) -> str:
+    """DuckDB twin of :func:`local_morans` (standalone statement)."""
+    return "WITH " + local_morans_ctes(src, value_col, res_deg)
+
+
+def local_morans_ctes(
+    src: str, value_col: str, res_deg: float = DEFAULT_RES_DEG
+) -> str:
+    """The twin without the leading WITH; ``src`` must expose
+    (cell, ``value_col``), one row per present cell.  HUGEINT mirrors
+    decimal(38,0); ``//`` and DIV truncate identically."""
+    cols = int(360 / res_deg)
+    rows_n = int(180 / res_deg)
+    return f"""
+        lm_src AS (
+            SELECT cell, CAST({value_col} AS BIGINT) AS x FROM {src}
+        ),
+        lm_stats AS (
+            SELECT COUNT(*) AS n, CAST(COALESCE(SUM(x), 0) AS BIGINT) AS s
+            FROM lm_src
+        ),
+        lm_dev AS (
+            SELECT v.cell, t.n, t.n * v.x - t.s AS d
+            FROM lm_src v CROSS JOIN lm_stats t
+        ),
+        lm_den AS (
+            SELECT SUM(CAST(d AS HUGEINT) * d) AS den FROM lm_dev
+        ),
+        lm_fan AS (
+            SELECT s.d AS d_src,
+                   (((s.cell // {cols}) + dd.dy) * {cols}
+                    + ((s.cell % {cols}) + dd.dx + {cols}) % {cols}) AS cell
+            FROM lm_dev s CROSS JOIN (VALUES
+                 (-1,-1),(-1,0),(-1,1),(0,-1),(0,1),
+                 (1,-1),(1,0),(1,1)) dd(dy, dx)
+            WHERE (s.cell // {cols}) + dd.dy >= 0
+              AND (s.cell // {cols}) + dd.dy < {rows_n}
+        ),
+        lm_lag AS (
+            SELECT f.cell,
+                   CAST(COUNT(*) AS BIGINT) AS n_nbrs,
+                   CAST(SUM(f.d_src) AS BIGINT) AS lag
+            FROM lm_fan f JOIN lm_dev s ON s.cell = f.cell
+            GROUP BY 1
+        )
+        SELECT v.cell,
+               COALESCE(l.n_nbrs, 0) AS n_nbrs,
+               v.d,
+               COALESCE(l.lag, 0) AS lag,
+               CAST(CASE WHEN t.den = 0 THEN NULL ELSE
+                    (CAST(v.n AS HUGEINT) * v.d * COALESCE(l.lag, 0)
+                     * 1000000) // t.den END AS BIGINT) AS i_ppm,
+               CASE WHEN t.den = 0 THEN NULL
+                    WHEN v.d > 0 AND COALESCE(l.lag, 0) > 0 THEN 'HH'
+                    WHEN v.d < 0 AND COALESCE(l.lag, 0) < 0 THEN 'LL'
+                    WHEN v.d > 0 AND COALESCE(l.lag, 0) < 0 THEN 'HL'
+                    WHEN v.d < 0 AND COALESCE(l.lag, 0) > 0 THEN 'LH'
+                    ELSE 'M0' END AS quadrant
+        FROM lm_dev v
+        LEFT JOIN lm_lag l ON l.cell = v.cell
+        CROSS JOIN lm_den t
+    """
+
+
 def turn_stats(
     points: DataFrame,
     id_col: str,
