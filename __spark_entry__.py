@@ -1659,6 +1659,17 @@ def q_repetition_stats(spark, sf_dir):
     return textops.repetition_stats(docs, n=2)
 
 
+def q_bpe_pairs(spark, sf_dir):
+    """First BPE merge round (textops.bpe_pair_counts): adjacent-
+    symbol pair counts over the documents corpus, word-frequency
+    weighted via the Sennrich vocabulary decomposition (corpus-sized
+    scan → vocab-sized fan), '</w>' end markers, exact int64 counts,
+    deterministic top-200 under the (n DESC, sym_a, sym_b) total
+    order (TakeOrderedAndProject, no global window)."""
+    docs = pages_src.documents(spark, sf_dir)
+    return textops.bpe_pair_counts(docs, top_k=200)
+
+
 def q_tfidf_topk(spark, sf_dir):
     """Top-5 characteristic terms per doc by exact-integer tf-idf
     (textops.tfidf_topk, raw-inverse-frequency idf): two partial-agg
@@ -3465,6 +3476,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_clusters": q_simhash_clusters,
         "contamination": q_contamination,
         "tfidf_topk": q_tfidf_topk,
+        "bpe_pairs": q_bpe_pairs,
         "rare_token_ratio": q_rare_token_ratio,
         "chunk_documents": q_chunk_documents,
         "length_batches": q_length_batches,
@@ -6162,6 +6174,7 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d LEFT JOIN hits h USING (doc_id)
             WHERE d.doc_id % 29 <> 0
         """,
+        "bpe_pairs": textops.bpe_pair_counts_sql("documents", top_k=200),
         "tfidf_topk": """
             WITH tf AS (
                 SELECT doc_id, tok AS token, COUNT(*) AS tf

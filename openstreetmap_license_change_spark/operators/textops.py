@@ -1692,3 +1692,124 @@ def winsorize_sql(
         JOIN wz_cuts c USING ({g})
         GROUP BY r.{g.replace(', ', ', r.')}
     """
+
+
+def bpe_pair_counts(
+    docs: DataFrame,
+    top_k: int = 200,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    mark_end: bool = True,
+) -> DataFrame:
+    """First BPE merge round (Sennrich & al. 2016, the subword-
+    tokenizer induction step): adjacent-SYMBOL pair frequencies over
+    the corpus, weighted by word frequency, top-``top_k`` by count —
+    the pair a BPE learner would merge first is row one.  The
+    reference has no tokenizer (Ruby string ops throughout); a
+    training-data engine needs the vocabulary-induction primitive
+    beside chunk_documents/length_batches, and the expensive part of
+    EVERY merge round is exactly this count, so the one-round operator
+    is the reusable unit (a learner loops it with a merge table).
+
+    The Sennrich decomposition is the scale story: tokenize once and
+    count WORDS (corpus-sized scan, map-side combining groupBy into
+    vocabulary-sized output), then fan characters over the DISTINCT
+    vocabulary only — Zipf makes |vocab| ≪ corpus, so the per-round
+    cost after the first groupBy is independent of corpus size.
+    Symbols here are single characters plus the classic '</w>'
+    end-of-word marker (``mark_end``; length-1 words then still
+    contribute their (char, '</w>') pair — nothing silently dropped).
+    Counts are exact int64; top-k is a deterministic
+    TakeOrderedAndProject under the (n DESC, sym_a, sym_b) total
+    order — no global window, no shuffle sort.
+
+    Tokenization: the engine's whitespace + lower convention
+    (token_count/collocations).  Output: (sym_a, sym_b, pair_n)."""
+    if top_k < 1:
+        raise ValueError(f"bpe_pair_counts: top_k must be >= 1, got {top_k}")
+    words = (
+        docs.select(
+            F.explode(
+                F.split(F.lower(F.col(text_col)), r"\s+")
+            ).alias("w")
+        )
+        .where(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("wc"))
+    )
+    intra = (
+        words.where(F.length("w") >= 2)
+        .select(
+            "wc",
+            F.explode(
+                F.sequence(F.lit(1), F.length("w") - 1)
+            ).alias("i"),
+            F.col("w"),
+        )
+        .select(
+            F.substring(F.col("w"), F.col("i").cast("int"), 1).alias("sym_a"),
+            F.substring(
+                F.col("w"), (F.col("i") + 1).cast("int"), 1
+            ).alias("sym_b"),
+            "wc",
+        )
+    )
+    parts = [intra]
+    if mark_end:
+        parts.append(
+            words.select(
+                F.substring(F.col("w"), F.length("w").cast("int"), 1)
+                .alias("sym_a"),
+                F.lit("</w>").alias("sym_b"),
+                "wc",
+            )
+        )
+    fan = parts[0] if len(parts) == 1 else parts[0].unionByName(parts[1])
+    return (
+        fan.groupBy("sym_a", "sym_b")
+        .agg(F.sum("wc").alias("pair_n"))
+        .orderBy(F.col("pair_n").desc(), "sym_a", "sym_b")
+        .limit(top_k)
+    )
+
+
+def bpe_pair_counts_sql(
+    src: str,
+    top_k: int = 200,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    mark_end: bool = True,
+) -> str:
+    """DuckDB twin of :func:`bpe_pair_counts`.  range(1, n) is
+    end-exclusive (≡ Spark's inclusive sequence(1, n−1) guarded by
+    length ≥ 2); substring is character-based in both engines."""
+    end_part = f"""
+            UNION ALL
+            SELECT substring(w, CAST(length(w) AS INT), 1) AS sym_a,
+                   '</w>' AS sym_b, wc
+            FROM bpe_wc
+    """ if mark_end else ""
+    return f"""
+        WITH bpe_words AS (
+            SELECT unnest(string_split_regex(lower({text_col}), '\\s+'))
+                AS w
+            FROM {src}
+        ),
+        bpe_wc AS (
+            SELECT w, CAST(COUNT(*) AS BIGINT) AS wc
+            FROM bpe_words WHERE w <> '' GROUP BY 1
+        ),
+        bpe_fan AS (
+            SELECT substring(w, CAST(u.i AS INT), 1) AS sym_a,
+                   substring(w, CAST(u.i + 1 AS INT), 1) AS sym_b,
+                   wc
+            FROM bpe_wc,
+                 LATERAL (SELECT UNNEST(range(1, length(w))) AS i) u
+            {end_part}
+        )
+        SELECT sym_a, sym_b, CAST(SUM(wc) AS BIGINT) AS pair_n
+        FROM bpe_fan
+        GROUP BY 1, 2
+        ORDER BY pair_n DESC, sym_a, sym_b
+        LIMIT {top_k}
+    """
