@@ -2812,6 +2812,28 @@ def q_events_sessionize(spark, sf_dir):
     )
 
 
+def q_peak_concurrency(spark, sf_dir):
+    """Peak interval concurrency (temporal.peak_overlap): every event
+    opens a half-open 30-minute activity window; per event type,
+    the maximum number of simultaneously open windows and the earliest
+    µs instant it is reached — the capacity-planning sibling of
+    interval_coverage's utilization.  Sweep deltas pre-aggregated per
+    (key, t) so the running-sum window has unique sort keys; empty
+    intervals counted, never swept."""
+    from openstreetmap_license_change_spark.operators import temporal
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    iv = ev.select(
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("start_us"),
+        (
+            F.unix_micros(F.col("ts").cast("timestamp"))
+            + F.lit(1_800_000_000)
+        ).alias("end_us"),
+    )
+    return temporal.peak_overlap(iv, key_col="event_type")
+
+
 def q_events_interval_join(spark, sf_dir):
     """Point-in-interval join via the bucket decomposition
     (operators/temporal.py interval_join): each error event opens a
@@ -3566,6 +3588,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_transitions": q_event_transitions,
         "events_hourly_rollup": q_events_hourly_rollup,
         "events_interval_join": q_events_interval_join,
+        "peak_concurrency": q_peak_concurrency,
         "events_overlap_join": q_events_overlap_join,
         "allen_relations": q_allen_relations,
         "event_rate_autocorr": q_event_rate_autocorr,
@@ -5469,6 +5492,11 @@ def oracle_sql() -> dict[str, str]:
                        / 10000 AS sum_value
             FROM sess GROUP BY 1, 2
         """,
+        "peak_concurrency": temporal.peak_overlap_sql(
+            "(SELECT event_type, epoch_us(ts) AS start_us, "
+            "epoch_us(ts) + 1800000000 AS end_us FROM events)",
+            key_col="event_type",
+        ),
         "events_interval_join": """
             SELECT p.user_id, p.event_id, e.event_id AS window_id
             FROM events p JOIN events e ON p.user_id = e.user_id

@@ -1491,3 +1491,129 @@ def series_autocorr_sql(
         CROSS JOIN (VALUES {lag_vals}) l(lag)
         LEFT JOIN sa_pairs p ON p._k = d._k AND p.lag = l.lag
     """
+
+
+def peak_overlap(
+    intervals: DataFrame,
+    key_col: str = "user_id",
+    start_col: str = "start_us",
+    end_col: str = "end_us",
+) -> DataFrame:
+    """Per-key PEAK concurrency: the maximum number of simultaneously
+    open half-open intervals [start, end) and the earliest instant the
+    peak is reached — capacity planning's question (max concurrent
+    sessions/requests/devices) where :func:`interval_coverage` answers
+    utilization's.  The same sweep-line, aggregated the other way:
+    coverage integrates the level, this takes its max.
+
+    Half-open semantics make endpoint ties exact: an interval ending
+    at t does NOT overlap one starting at t, so at each distinct
+    timestamp all ends apply before all starts.  The sweep therefore
+    pre-aggregates ±1 deltas per (key, t) — net(t) = starts − ends —
+    and the level after processing t is the running sum of net;
+    because the intra-t trajectory dips first and rises monotonically
+    afterwards, every intra-t maximum equals some level_after, so
+    peak = max over t of the running sum.  Pre-grouping also makes the
+    window ORDER BY key unique per partition — running sums over
+    duplicate sort keys are the classic nondeterminism trap this
+    engine bans.
+
+    Empty intervals (end ≤ start, an empty [s,e)) open nothing — they
+    are excluded from the sweep but still counted in n_intervals (no
+    silent drops); a key with ONLY empty intervals reports peak 0,
+    peak_at_us NULL.  All integer µs.
+
+    Plan: one map-side-combining groupBy(key, t), one key-partitioned
+    window sort, one groupBy(key) for the peak, and a key-local
+    join-back for the earliest argmax — two hash shuffles on the key,
+    nothing global.  Output: (key, n_intervals, peak, peak_at_us)."""
+    counts = intervals.groupBy(key_col).agg(
+        F.count(F.lit(1)).alias("n_intervals")
+    )
+    live = intervals.where(F.col(end_col) > F.col(start_col))
+    deltas = (
+        live.select(
+            key_col, F.col(start_col).alias("_t"), F.lit(1).alias("_d")
+        )
+        .unionByName(
+            live.select(
+                key_col, F.col(end_col).alias("_t"),
+                F.lit(-1).alias("_d"),
+            )
+        )
+        .groupBy(key_col, "_t")
+        .agg(F.sum("_d").alias("_net"))
+    )
+    levels = deltas.select(
+        key_col,
+        "_t",
+        F.sum("_net")
+        .over(
+            W.partitionBy(key_col)
+            .orderBy("_t")
+            .rowsBetween(W.unboundedPreceding, 0)
+        )
+        .alias("_lvl"),
+    )
+    peaks = levels.groupBy(key_col).agg(F.max("_lvl").alias("peak"))
+    peak_at = (
+        levels.join(peaks, key_col)
+        .where(F.col("_lvl") == F.col("peak"))
+        .groupBy(key_col)
+        .agg(F.min("_t").alias("peak_at_us"), F.max("peak").alias("peak"))
+    )
+    return counts.join(peak_at, key_col, "left").select(
+        key_col,
+        "n_intervals",
+        F.coalesce("peak", F.lit(0)).cast("bigint").alias("peak"),
+        "peak_at_us",
+    )
+
+
+def peak_overlap_sql(
+    src: str,
+    key_col: str = "user_id",
+    start_col: str = "start_us",
+    end_col: str = "end_us",
+) -> str:
+    """DuckDB twin of :func:`peak_overlap`."""
+    return f"""
+        WITH po_counts AS (
+            SELECT {key_col}, CAST(COUNT(*) AS BIGINT) AS n_intervals
+            FROM {src} GROUP BY 1
+        ),
+        po_live AS (
+            SELECT {key_col}, {start_col} AS s, {end_col} AS e
+            FROM {src} WHERE {end_col} > {start_col}
+        ),
+        po_deltas AS (
+            SELECT {key_col}, t, SUM(d) AS net FROM (
+                SELECT {key_col}, s AS t, 1 AS d FROM po_live
+                UNION ALL
+                SELECT {key_col}, e AS t, -1 AS d FROM po_live
+            ) GROUP BY 1, 2
+        ),
+        po_levels AS (
+            SELECT {key_col}, t,
+                   SUM(net) OVER (PARTITION BY {key_col} ORDER BY t
+                                  ROWS UNBOUNDED PRECEDING) AS lvl
+            FROM po_deltas
+        ),
+        po_peaks AS (
+            SELECT {key_col}, MAX(lvl) AS peak
+            FROM po_levels GROUP BY 1
+        ),
+        po_at AS (
+            SELECT l.{key_col}, MIN(l.t) AS peak_at_us,
+                   MAX(p.peak) AS peak
+            FROM po_levels l
+            JOIN po_peaks p ON p.{key_col} = l.{key_col}
+                           AND l.lvl = p.peak
+            GROUP BY 1
+        )
+        SELECT c.{key_col}, c.n_intervals,
+               CAST(COALESCE(a.peak, 0) AS BIGINT) AS peak,
+               a.peak_at_us
+        FROM po_counts c
+        LEFT JOIN po_at a ON a.{key_col} = c.{key_col}
+    """
