@@ -655,6 +655,22 @@ def q_morans_i(spark, sf_dir):
     return spatial.morans_i(rollup, "n_pages")
 
 
+def q_flow_accum(spark, sf_dir):
+    """D8 flow accumulation (spatial.flow_accumulation) over the page
+    raster as a terrain surface: strict-descent steepest-neighbor
+    pointers (deterministic smallest-id tie-break), then exact
+    upstream-catchment counts via Wyllie pointer jumping with weighted
+    carries — O(log L) rounds, localCheckpoint per round.  The oracle
+    is the structurally different recursive-CTE path-membership count,
+    so the doubling band argument itself is hash-verified."""
+    flagged = _pages_flagged(spark, sf_dir)
+    cells = spatial.assign_cells(flagged).withColumn(
+        "tainted", ~F.col("accepted")
+    )
+    rollup = spatial.tile_rollup(cells).select("cell", "n_pages")
+    return spatial.flow_accumulation(rollup, "n_pages")
+
+
 def q_local_morans(spark, sf_dir):
     """Local Moran's I (spatial.local_morans) of page intensity —
     Anselin's LISA decomposition of q_morans_i's global statistic:
@@ -3457,6 +3473,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_join_counts": q_tile_join_counts,
         "morans_i": q_morans_i,
         "local_morans": q_local_morans,
+        "flow_accum": q_flow_accum,
         "tile_rollup_incremental": q_tile_rollup_incremental,
         "tile_dilate": q_tile_dilate,
         "tile_erode": q_tile_erode,
@@ -4670,6 +4687,16 @@ def oracle_sql() -> dict[str, str]:
                 GROUP BY 1
             )
             , {spatial.morans_i_ctes('mi_rollup', 'n_pages')}
+        """),
+        "flow_accum": _with_pages(f"""
+            , fa_rollup AS (
+                SELECT {cell} AS cell, COUNT(*) AS n_pages
+                FROM pages p JOIN cs_status s USING (changeset_id)
+                GROUP BY 1
+            )
+            SELECT * FROM (
+                {spatial.flow_accumulation_sql('fa_rollup', 'n_pages')}
+            )
         """),
         "local_morans": _with_pages(f"""
             , lmi_rollup AS (

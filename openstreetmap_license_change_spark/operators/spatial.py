@@ -5126,3 +5126,224 @@ def resample_track_sql(
                          // (nt - pt) END AS BIGINT) AS y_u
         FROM rs_c WHERE side = 1
     """
+
+
+def flow_direction(
+    cells: DataFrame,
+    value_col: str,
+    res_deg: float = DEFAULT_RES_DEG,
+) -> DataFrame:
+    """D8 flow direction over the aggregate raster — each cell points
+    at its steepest-DESCENT queen neighbor (strictly lower only; a
+    cell with no lower present neighbor is a sink/pit, d8_cell NULL).
+    The hydrology classic generalizes to any intensity surface: on a
+    traffic raster the pointers trace drainage toward low-activity
+    basins, and :func:`flow_accumulation` then sizes each cell's
+    upstream catchment.
+
+    Determinism: ties on the drop resolve to the SMALLEST neighbor
+    cell id — a total order, so the pointer forest is unique at any
+    parallelism.  Strict descent (drop > 0) makes the pointer graph
+    acyclic by construction: every edge strictly decreases the value,
+    so no cycle can close — the invariant flow_accumulation's
+    convergence proof rides on.  Adjacency contract inherited from the
+    raster family: queen, PRESENT cells only, lon wrap, lat clamp.
+
+    Plan: ×8 fan + one equi-join on the AGGREGATE raster, then the
+    per-cell argmax inside a cell-partitioned window (keyed — never a
+    global sort).  Output: (cell, v, d8_cell, drop_v); drop_v NULL on
+    sinks."""
+    cols = int(360 / res_deg)
+    rows_n = int(180 / res_deg)
+    vals = cells.select(
+        F.col("cell").cast("bigint").alias("cell"),
+        F.col(value_col).cast("bigint").alias("v"),
+    )
+    lat_b = F.floor(F.col("cell") / F.lit(cols))
+    lon_b = F.col("cell") % F.lit(cols)
+    nbrs = []
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            if dy == 0 and dx == 0:
+                continue
+            t_lat = lat_b + F.lit(dy)
+            t_lon = (lon_b + F.lit(dx) + F.lit(cols)) % F.lit(cols)
+            nbrs.append(
+                F.when(
+                    (t_lat >= 0) & (t_lat < rows_n),
+                    (t_lat * F.lit(cols) + t_lon).cast("bigint"),
+                )
+            )
+    fan = vals.select(
+        "cell",
+        "v",
+        F.explode(
+            F.array_distinct(F.array_compact(F.array(*nbrs)))
+        ).alias("_nbr"),
+    )
+    dropped = fan.join(
+        vals.select(F.col("cell").alias("_nbr"), F.col("v").alias("_nv")),
+        "_nbr",
+    ).where(F.col("v") > F.col("_nv"))
+    w = W.partitionBy("cell").orderBy(
+        (F.col("v") - F.col("_nv")).desc(), F.col("_nbr")
+    )
+    best = (
+        dropped.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select(
+            "cell",
+            F.col("_nbr").alias("d8_cell"),
+            (F.col("v") - F.col("_nv")).alias("drop_v"),
+        )
+    )
+    return vals.join(best, "cell", "left").select(
+        "cell", "v", "d8_cell", "drop_v"
+    )
+
+
+def flow_accumulation(
+    cells: DataFrame,
+    value_col: str,
+    res_deg: float = DEFAULT_RES_DEG,
+    max_rounds: int = 40,
+) -> DataFrame:
+    """D8 flow accumulation: for every cell, the EXACT number of
+    upstream cells whose flow path (following :func:`flow_direction`
+    pointers) passes through it — catchment size on a terrain raster,
+    cumulative drainage on an intensity surface.  acc = 0 at ridges,
+    large at basin mouths.
+
+    Algorithm — Wyllie pointer jumping with weighted carries, O(log L)
+    rounds for longest flow path L (never the O(L) one-hop push):
+    every cell starts with val = 1 (itself), acc = 0, succ = its D8
+    pointer.  Each synchronous round, every cell with a live pointer
+    sends its round-start val to succ; receivers fold the received sum
+    into BOTH acc and val; then every pointer doubles
+    (succ ← succ∘succ, round-start values).  Invariant (induction on
+    r): after round r, val(u) counts the cells within 2ʳ−1 upstream of
+    u inclusive, acc(u) the strict ones, and succ(u) = s^(2ʳ)(u);
+    round r+1 delivers exactly the [2ʳ, 2ʳ⁺¹−1] band — each upstream
+    w at distance d from v routes through the UNIQUE intermediate
+    u = s^(d−2ʳ)(w) with s^(2ʳ)(u) = v, so no band element is dropped
+    or double-counted.  Termination: flow_direction's strict descent
+    makes the pointer graph a forest toward sinks, so pointers null
+    out in ⌈log₂ L⌉+1 rounds; a non-converged loop after
+    ``max_rounds`` (impossible on a forest unless L > 2^max_rounds)
+    raises — the house loud-failure contract, not a silent partial
+    count.
+
+    Plan per round: one (succ) equi-join for the carry delivery + one
+    self-join for the doubling, lineage cut by localCheckpoint (the
+    iterative-operator pattern shared with graph.min_label_components
+    / pagerank).  All counts int64.  Output:
+    (cell, v, d8_cell, acc)."""
+    d8 = flow_direction(cells, value_col, res_deg).localCheckpoint(
+        eager=True
+    )
+    state = d8.select(
+        "cell",
+        F.col("d8_cell").alias("_succ"),
+        F.lit(1).cast("bigint").alias("_val"),
+        F.lit(0).cast("bigint").alias("_acc"),
+    ).localCheckpoint(eager=True)
+    for _ in range(max_rounds):
+        live = state.where(F.col("_succ").isNotNull())
+        if live.isEmpty():
+            break
+        recv = live.groupBy(F.col("_succ").alias("cell")).agg(
+            F.sum("_val").alias("_in")
+        )
+        jump = state.select(
+            F.col("cell").alias("_jc"), F.col("_succ").alias("_js")
+        )
+        state = (
+            state.join(recv, "cell", "left")
+            .join(jump, F.col("_succ") == F.col("_jc"), "left")
+            .select(
+                "cell",
+                F.col("_js").alias("_succ"),
+                (F.col("_val") + F.coalesce("_in", F.lit(0))).alias("_val"),
+                (F.col("_acc") + F.coalesce("_in", F.lit(0))).alias("_acc"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    else:
+        raise RuntimeError(
+            f"flow_accumulation: pointers still live after "
+            f"max_rounds={max_rounds} (flow path longer than "
+            f"2^{max_rounds} cells, or a cycle — which strict descent "
+            "forbids). Raise max_rounds."
+        )
+    return d8.join(
+        state.select("cell", F.col("_acc").alias("acc")), "cell"
+    ).select("cell", "v", "d8_cell", "acc")
+
+
+def _flow_d8_ctes(src: str, value_col: str, res_deg: float) -> str:
+    """Shared D8 CTE chain for the DuckDB twins (no leading WITH)."""
+    cols = int(360 / res_deg)
+    rows_n = int(180 / res_deg)
+    return f"""
+        fd_src AS (
+            SELECT cell, CAST({value_col} AS BIGINT) AS v FROM {src}
+        ),
+        fd_fan AS (
+            SELECT s.cell, s.v,
+                   (((s.cell // {cols}) + d.dy) * {cols}
+                    + ((s.cell % {cols}) + d.dx + {cols}) % {cols}) AS nbr
+            FROM fd_src s CROSS JOIN (VALUES
+                 (-1,-1),(-1,0),(-1,1),(0,-1),(0,1),
+                 (1,-1),(1,0),(1,1)) d(dy, dx)
+            WHERE (s.cell // {cols}) + d.dy >= 0
+              AND (s.cell // {cols}) + d.dy < {rows_n}
+        ),
+        fd_best AS (
+            SELECT cell, nbr AS d8_cell, dv AS drop_v FROM (
+                SELECT f.cell, f.nbr, f.v - t.v AS dv,
+                       ROW_NUMBER() OVER (PARTITION BY f.cell
+                                          ORDER BY f.v - t.v DESC, f.nbr)
+                           AS rn
+                FROM fd_fan f JOIN fd_src t ON t.cell = f.nbr
+                WHERE f.v > t.v
+            ) WHERE rn = 1
+        )
+    """
+
+
+def flow_direction_sql(
+    src: str, value_col: str, res_deg: float = DEFAULT_RES_DEG
+) -> str:
+    """DuckDB twin of :func:`flow_direction` (standalone)."""
+    return f"""
+        WITH {_flow_d8_ctes(src, value_col, res_deg)}
+        SELECT s.cell, s.v, b.d8_cell, b.drop_v
+        FROM fd_src s LEFT JOIN fd_best b USING (cell)
+    """
+
+
+def flow_accumulation_sql(
+    src: str, value_col: str, res_deg: float = DEFAULT_RES_DEG
+) -> str:
+    """DuckDB twin of :func:`flow_accumulation` — a structurally
+    DIFFERENT algorithm (recursive-CTE path membership: acc(v) =
+    |{(u, k): s^k(u) = v}|), so the hash match verifies the pointer-
+    jumping band argument against the plain transitive definition.
+    Standalone statement (WITH RECURSIVE)."""
+    return f"""
+        WITH RECURSIVE {_flow_d8_ctes(src, value_col, res_deg)},
+        fa_up(u, v) AS (
+            SELECT cell AS u, d8_cell AS v FROM fd_best
+            UNION ALL
+            SELECT fa_up.u, d.d8_cell
+            FROM fa_up JOIN fd_best d ON d.cell = fa_up.v
+        ),
+        fa_acc AS (
+            SELECT v AS cell, CAST(COUNT(*) AS BIGINT) AS acc
+            FROM fa_up GROUP BY 1
+        )
+        SELECT s.cell, s.v, b.d8_cell, COALESCE(a.acc, 0) AS acc
+        FROM fd_src s
+        LEFT JOIN fd_best b USING (cell)
+        LEFT JOIN fa_acc a USING (cell)
+    """
