@@ -2681,6 +2681,25 @@ def q_audio_decode_stats(spark, sf_dir):
     return multimodal.audio_features(media)
 
 
+def q_video_shots(spark, sf_dir):
+    """Shot-boundary detection end-to-end (multimodal.video_frame_dhash
+    ∘ video_shot_segments): per-frame block-mean dHash (vectorized
+    across the clip's frame axis, exact cross-multiplied comparisons),
+    then native LAG + bit_count(xor) Hamming steps, threshold cuts,
+    running shot ids and per-shot summaries.  Synthetic clips carry
+    hard cuts every 8 frames with intra-scene Hamming structurally
+    ≤ 8 (only the top pixel row animates), so threshold 10 recovers
+    the planted segmentation; the oracle replays every pixel from the
+    closed form."""
+    from openstreetmap_license_change_spark.operators import multimodal
+
+    media = multimodal.synthetic_cut_video_media(
+        spark, n=8, w=16, h=12, n_frames=24, scene_len=8
+    )
+    hashes = multimodal.video_frame_dhash(media)
+    return multimodal.video_shot_segments(hashes, threshold=10)
+
+
 def q_video_frame_stats(spark, sf_dir):
     """Video path end-to-end: native frame-sample plan (metadata
     explode) joined back to multi-frame rawvideo payloads; ONLY the
@@ -3597,6 +3616,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dhash_pairs": q_dhash_pairs,
         "audio_decode_stats": q_audio_decode_stats,
         "video_frame_stats": q_video_frame_stats,
+        "video_shots": q_video_shots,
         "events_sessionize": q_events_sessionize,
         "trip_segments": q_trip_segments,
         "events_asof_join": q_events_asof_join,
@@ -5950,6 +5970,72 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(CASE WHEN prev_s IS NOT NULL AND s * prev_s < 0
                             THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings
             FROM samp GROUP BY media_id
+        """,
+        "video_shots": """
+            WITH vs_clips AS (SELECT UNNEST(range(0, 8)) AS media_id),
+            vs_pix AS (
+                SELECT cl.media_id, CAST(f.f AS INTEGER) AS frame_idx,
+                       (y.y * 7) // 12 AS yb, (x.x * 9) // 16 AS xb,
+                       CASE WHEN y.y = 0 THEN
+                             (x.x*3 + 0  + cl.media_id*13 + f.f*29) % 256
+                           + (x.x*3 + 11 + cl.media_id*13 + f.f*29) % 256
+                           + (x.x*3 + 22 + cl.media_id*13 + f.f*29) % 256
+                       ELSE
+                             (x.x*3 + y.y*7 + 0  + cl.media_id*13
+                              + (f.f//8)*41*x.x) % 256
+                           + (x.x*3 + y.y*7 + 11 + cl.media_id*13
+                              + (f.f//8)*41*x.x) % 256
+                           + (x.x*3 + y.y*7 + 22 + cl.media_id*13
+                              + (f.f//8)*41*x.x) % 256
+                       END AS gray
+                FROM vs_clips cl, range(0, 24) f(f),
+                     range(0, 16) x(x), range(0, 12) y(y)
+            ),
+            vs_blocks AS (
+                SELECT media_id, frame_idx, yb, xb,
+                       CAST(SUM(gray) AS BIGINT) AS s,
+                       CAST(COUNT(*) AS BIGINT) AS n
+                FROM vs_pix GROUP BY 1, 2, 3, 4
+            ),
+            vs_fh AS (
+                SELECT a.media_id, a.frame_idx,
+                       CAST(SUM(CASE WHEN a.s * b.n > b.s * a.n
+                            THEN CAST(1 AS BIGINT) << (a.yb * 8 + a.xb)
+                            ELSE 0 END) AS BIGINT) AS fhash
+                FROM vs_blocks a
+                JOIN vs_blocks b ON b.media_id = a.media_id
+                                AND b.frame_idx = a.frame_idx
+                                AND b.yb = a.yb AND b.xb = a.xb + 1
+                GROUP BY 1, 2
+            ),
+            vs_steps AS (
+                SELECT media_id, frame_idx,
+                       CAST(bit_count(xor(fhash,
+                            LAG(fhash) OVER (PARTITION BY media_id
+                                             ORDER BY frame_idx)))
+                            AS INTEGER) AS ham
+                FROM vs_fh
+            ),
+            vs_cut AS (
+                SELECT media_id, frame_idx, ham,
+                       CASE WHEN ham IS NULL OR ham > 10
+                            THEN 1 ELSE 0 END AS cut
+                FROM vs_steps
+            ),
+            vs_sh AS (
+                SELECT media_id, frame_idx, ham, cut,
+                       CAST(SUM(cut) OVER (PARTITION BY media_id
+                            ORDER BY frame_idx ROWS UNBOUNDED PRECEDING)
+                            AS BIGINT) AS shot_id
+                FROM vs_cut
+            )
+            SELECT media_id, shot_id,
+                   MIN(frame_idx) AS start_frame,
+                   MAX(frame_idx) AS end_frame,
+                   CAST(COUNT(*) AS BIGINT) AS n_frames,
+                   CAST(COALESCE(MAX(CASE WHEN cut = 0 THEN ham END), 0)
+                        AS INTEGER) AS max_step_hamming
+            FROM vs_sh GROUP BY 1, 2
         """,
         "video_frame_stats": """
             WITH clips AS (SELECT UNNEST(range(0, 8)) AS media_id),

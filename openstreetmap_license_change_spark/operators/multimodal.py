@@ -21,7 +21,7 @@ from typing import Iterator
 import numpy as np
 import pandas as pd
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
@@ -598,4 +598,176 @@ def dhash_pairs(
         )
         .where(F.col("hamming") <= int(max_hamming))
         .select("id_a", "id_b", "hamming")
+    )
+
+
+def synthetic_cut_video_media(
+    spark, n: int = 8, w: int = 16, h: int = 12, n_frames: int = 24,
+    scene_len: int = 8,
+) -> DataFrame:
+    """Deterministic rawvideo clips WITH HARD CUTS every ``scene_len``
+    frames.  Pixel (x, y, c) of frame f:
+
+        y = 0:  (x·3 + c·11 + id·13 + f·29) mod 256      (animated row)
+        y > 0:  (x·3 + y·7 + c·11 + id·13
+                 + (f DIV scene_len)·41·x) mod 256        (scene content)
+
+    Within a scene only the TOP pixel row animates, so consecutive
+    frames can flip dHash bits only in block-row 0 — intra-scene
+    Hamming ≤ 8 by construction; across a cut the x-gradient of every
+    other row is re-coeffed (3 → 3 + 41·scene mod 256), reordering
+    block means in all rows → a structurally larger jump.  Closed
+    form, so the DuckDB twin reproduces every pixel."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            recs = []
+            for mid in pdf["id"]:
+                x = np.arange(w)[None, None, :, None]
+                y = np.arange(h)[None, :, None, None]
+                c = np.arange(3)[None, None, None, :]
+                f = np.arange(n_frames)[:, None, None, None]
+                body = (
+                    x * 3 + y * 7 + c * 11 + int(mid) * 13
+                    + (f // scene_len) * 41 * x
+                ) % 256
+                top = (x * 3 + c * 11 + int(mid) * 13 + f * 29) % 256
+                vid = np.where(y == 0, top, body).astype(np.uint8)
+                recs.append(
+                    (int(mid), f"media://cutvideo/{mid}", "video",
+                     vid.tobytes(), w, h,
+                     n_frames * 1000 // VIDEO_FPS, "rgb24/rawvideo")
+                )
+            yield pd.DataFrame(
+                recs,
+                columns=[
+                    "media_id", "url", "media_type", "payload",
+                    "meta_width", "meta_height", "meta_duration_ms",
+                    "meta_codec",
+                ],
+            )
+
+    return spark.range(0, n).mapInPandas(gen, schema=MEDIA_SCHEMA)
+
+
+FRAME_DHASH_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("fhash", LongType()),
+    ]
+)
+
+
+def video_frame_dhash(media: DataFrame) -> DataFrame:
+    """Per-FRAME perceptual dHash over rawvideo payloads — the
+    :func:`image_dhash` block-mean/cross-multiplied construction
+    applied to every frame (same 9×7 grid, 56 bits, same exactness
+    argument), vectorized across the whole clip in one numpy pass
+    (frame axis batched; no per-pixel and no per-frame Python loop).
+    Frame count derives from the payload length (len DIV w·h·3) — the
+    metadata-free ground truth.  Returns (media_id, frame_idx, fhash)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        gw, gh = DHASH_GRID_W, DHASH_GRID_H
+        for pdf in batches:
+            recs = []
+            for mid, payload, w, h in zip(
+                pdf["media_id"], pdf["payload"],
+                pdf["meta_width"], pdf["meta_height"],
+            ):
+                w, h = int(w), int(h)
+                buf = payload or b""
+                nf = len(buf) // (w * h * 3)
+                if nf == 0:
+                    continue
+                vid = np.frombuffer(
+                    buf[: nf * w * h * 3], dtype=np.uint8
+                ).reshape(nf, h, w, 3).astype(np.uint64)
+                gray = vid.sum(axis=3)                 # (nf, h, w)
+                xb = (np.arange(w) * gw) // w
+                yb = (np.arange(h) * gh) // h
+                sums = np.zeros((nf, gh, gw), dtype=np.uint64)
+                np.add.at(
+                    sums,
+                    (slice(None), yb[:, None], xb[None, :]),
+                    gray,
+                )
+                cnts = np.zeros((gh, gw), dtype=np.uint64)
+                np.add.at(
+                    cnts, (yb[:, None], xb[None, :]), np.uint64(1)
+                )
+                # mean(c) > mean(c+1) ⟺ s1·n2 > s2·n1, vectorized
+                # int64 headroom: s ≤ 765·(block pixels) ≤ ~3·10⁷ at
+                # 1080p, n ≤ ~4·10⁴ → products ≤ ~10¹² ≪ 2⁶³
+                lhs = sums[:, :, :-1].astype(np.int64) * cnts[
+                    None, :, 1:
+                ].astype(np.int64)
+                rhs = sums[:, :, 1:].astype(np.int64) * cnts[
+                    None, :, :-1
+                ].astype(np.int64)
+                bits = lhs > rhs                       # (nf, gh, gw-1)
+                weights = (
+                    np.uint64(1)
+                    << (
+                        np.arange(gh)[:, None] * (gw - 1)
+                        + np.arange(gw - 1)[None, :]
+                    ).astype(np.uint64)
+                )
+                hashes = (bits * weights[None]).reshape(nf, -1).sum(axis=1)
+                for fidx, hv in enumerate(hashes):
+                    recs.append((int(mid), int(fidx), int(hv)))
+            yield pd.DataFrame(
+                recs, columns=["media_id", "frame_idx", "fhash"]
+            )
+
+    return (
+        media.where(F.col("media_type") == "video")
+        .select("media_id", "payload", "meta_width", "meta_height")
+        .repartition("media_id")
+        .mapInPandas(run, schema=FRAME_DHASH_SCHEMA)
+    )
+
+
+def video_shot_segments(
+    frame_hashes: DataFrame, threshold: int = 10
+) -> DataFrame:
+    """Shot-boundary detection over per-frame perceptual hashes: a cut
+    opens wherever the frame-to-frame dHash Hamming distance EXCEEDS
+    ``threshold`` (the first frame always opens shot 1) — the
+    content-based video segmentation every frame-sampling curation
+    pipeline keys on (sample per SHOT, not per wall-clock second, or
+    a static scene floods the batch with near-dups).
+
+    Pure native segmentation (the gaps-and-islands machinery on the
+    hash stream): one LAG + one running SUM inside the clip's own
+    window partition, exact integer bit_count(xor) distances, then one
+    keyed groupBy to the per-shot summary.  Output: (media_id,
+    shot_id 1-based, start_frame, end_frame inclusive, n_frames,
+    max_step_hamming within the shot; the opening cut's distance is
+    NOT folded into the shot it opens — it belongs to the boundary)."""
+    w = W.partitionBy("media_id").orderBy("frame_idx")
+    steps = frame_hashes.select(
+        "media_id",
+        "frame_idx",
+        F.bit_count(
+            F.col("fhash").bitwiseXOR(F.lag("fhash").over(w))
+        ).alias("_ham"),
+    ).withColumn(
+        "_cut",
+        F.when(
+            F.col("_ham").isNull() | (F.col("_ham") > threshold), 1
+        ).otherwise(0),
+    ).withColumn(
+        "shot_id",
+        F.sum("_cut").over(w.rowsBetween(W.unboundedPreceding, 0)),
+    )
+    return steps.groupBy("media_id", "shot_id").agg(
+        F.min("frame_idx").alias("start_frame"),
+        F.max("frame_idx").alias("end_frame"),
+        F.count(F.lit(1)).alias("n_frames"),
+        F.coalesce(
+            F.max(F.when(F.col("_cut") == 0, F.col("_ham"))),
+            F.lit(0),
+        ).alias("max_step_hamming"),
     )
