@@ -41,6 +41,7 @@ from openstreetmap_license_change_spark.operators import (
 from openstreetmap_license_change_spark.operators import (
     profile as profile_mod,
     rtree as rtree_mod,
+    sampling,
     temporal as temporal_mod,
 )
 from openstreetmap_license_change_spark.sources import pages as pages_src
@@ -1389,6 +1390,19 @@ def q_sample_hash(spark, sf_dir):
     return sampling.deterministic_sample(docs, denom=8).select(
         "doc_id", "lang"
     )
+
+
+def q_dataset_split(spark, sf_dir):
+    """Leakage-safe train/val/test split (sampling.grouped_split):
+    every source domain lands wholly in one split by its avalanche-
+    mixed hash residue against cumulative 80/10/10 millionth ratios —
+    map-side CASE, no shuffle, no join; assignment depends only on the
+    group key, so incremental crawls never migrate a group (tested)."""
+    docs = pages_src.documents(spark, sf_dir)
+    return sampling.grouped_split(
+        docs, "source",
+        [("train", 800_000), ("val", 100_000), ("test", 100_000)],
+    ).select("doc_id", "source", "split")
 
 
 def q_sample_stratified(spark, sf_dir):
@@ -3528,6 +3542,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_dedup_apply": q_minhash_dedup_apply,
         "sample_hash": q_sample_hash,
         "sample_stratified": q_sample_stratified,
+        "dataset_split": q_dataset_split,
         "lang_topk_quality": q_lang_topk_quality,
         "simhash": q_simhash,
         "simhash_pairs": q_simhash_pairs,
@@ -6114,6 +6129,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, lang FROM documents
             WHERE {dedup.token_hash_sql("CAST(doc_id AS VARCHAR)")} % 8 = 0
         """,
+        "dataset_split": sampling.grouped_split_sql(
+            "(SELECT doc_id, source FROM documents)",
+            "source",
+            [("train", 800_000), ("val", 100_000), ("test", 100_000)],
+        ),
         "sample_stratified": f"""
             SELECT doc_id, lang FROM (
                 SELECT doc_id, lang,

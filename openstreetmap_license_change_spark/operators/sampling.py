@@ -307,3 +307,80 @@ def weighted_sample_sql(
         ORDER BY priority ASC, {id_col} ASC
         LIMIT {n}
     """
+
+
+def grouped_split(
+    df: DataFrame,
+    group_col: str,
+    splits: "Sequence[tuple[str, int]]",
+    scale: int = 10**6,
+) -> DataFrame:
+    """Leakage-safe dataset split: every GROUP (domain, source, author
+    — whatever correlates rows) lands WHOLLY in one split, chosen by
+    its hash residue against cumulative integer-millionth ratios.
+    The train/val/test assignment step a dedup pipeline feeds into —
+    splitting by row leaks near-duplicate group members across the
+    boundary and inflates eval; splitting by group is the standard fix
+    (the contamination_check's preventive sibling).
+
+    Determinism/stability contract: the split of a group depends ONLY
+    on the group key and the ratio table — not on which rows are
+    present, row order, partitioning, or corpus size — so an
+    incremental crawl NEVER migrates an existing group between splits
+    (tested).  The residue routes through the KMV avalanche mix (the
+    mixture_resample lesson: the raw polynomial hash is near-identity
+    on short keys, making contiguous key ranges select all-or-nothing).
+
+    ``splits``: ordered (name, millionths) with Σ = ``scale``; ratio 0
+    is allowed (a declared-but-empty split).  The residue → split map
+    is a chained CASE over cumulative thresholds — map-side, no
+    shuffle, no join (plan: pure projection over the scan).
+
+    Returns ``df`` + a ``split`` column."""
+    from .sketches import kmv_hash
+
+    splits = list(splits)
+    if len(splits) < 2:
+        raise ValueError("grouped_split: need at least 2 splits")
+    if any(m < 0 for _, m in splits):
+        raise ValueError("grouped_split: negative ratio")
+    total = sum(m for _, m in splits)
+    if total != scale:
+        raise ValueError(
+            f"grouped_split: ratios sum to {total}, expected {scale}"
+        )
+    r = kmv_hash(sample_hash_col(F.col(group_col))) % F.lit(int(scale))
+    cum = 0
+    expr = None
+    for name, m in splits[:-1]:
+        cum += m
+        branch = F.when(r < F.lit(cum), F.lit(name))
+        expr = branch if expr is None else expr.when(
+            r < F.lit(cum), F.lit(name)
+        )
+    expr = expr.otherwise(F.lit(splits[-1][0]))
+    return df.withColumn("split", expr)
+
+
+def grouped_split_sql(
+    src: str,
+    group_col: str,
+    splits: "Sequence[tuple[str, int]]",
+    scale: int = 10**6,
+) -> str:
+    """DuckDB twin of :func:`grouped_split` (standalone; emits
+    SELECT *, split FROM src)."""
+    from .dedup import token_hash_sql
+    from .sketches import kmv_hash_sql
+
+    splits = list(splits)
+    r = f"({kmv_hash_sql(token_hash_sql(f'CAST({group_col} AS VARCHAR)'))}) % {int(scale)}"
+    cum = 0
+    cases = []
+    for name, m in splits[:-1]:
+        cum += m
+        cases.append(f"WHEN ({r}) < {cum} THEN '{name}'")
+    case = (
+        "CASE " + " ".join(cases) + f" ELSE '{splits[-1][0]}' END"
+    )
+    return f"SELECT *, {case} AS split FROM {src}"
