@@ -2695,6 +2695,22 @@ def q_audio_decode_stats(spark, sf_dir):
     return multimodal.audio_features(media)
 
 
+def q_audio_silence(spark, sf_dir):
+    """Audio silence segmentation (multimodal.audio_frame_energy ∘
+    audio_silence_segments): exact per-frame Σx² energies (tail frame
+    kept with its true length), the division-free RMS test
+    Σx² < n·thr², native flag-flip gaps-and-islands into alternating
+    loud/silent segments.  Synthetic clips plant quiet bursts at
+    (i DIV 256 + id) mod 3 = 1; the oracle replays every sample."""
+    from openstreetmap_license_change_spark.operators import multimodal
+
+    media = multimodal.synthetic_gated_pcm_media(
+        spark, n=8, n_samples=2048, burst=256
+    )
+    energy = multimodal.audio_frame_energy(media, frame_samples=256)
+    return multimodal.audio_silence_segments(energy, thr_amp=100)
+
+
 def q_video_shots(spark, sf_dir):
     """Shot-boundary detection end-to-end (multimodal.video_frame_dhash
     ∘ video_shot_segments): per-frame block-mean dHash (vectorized
@@ -3632,6 +3648,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_decode_stats": q_audio_decode_stats,
         "video_frame_stats": q_video_frame_stats,
         "video_shots": q_video_shots,
+        "audio_silence": q_audio_silence,
         "events_sessionize": q_events_sessionize,
         "trip_segments": q_trip_segments,
         "events_asof_join": q_events_asof_join,
@@ -5985,6 +6002,48 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(CASE WHEN prev_s IS NOT NULL AND s * prev_s < 0
                             THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings
             FROM samp GROUP BY media_id
+        """,
+        "audio_silence": """
+            WITH as_clips AS (SELECT UNNEST(range(0, 8)) AS media_id),
+            as_samp AS (
+                SELECT c.media_id, i.i,
+                       CASE WHEN ((i.i // 256) + c.media_id) % 3 = 1
+                            THEN (i.i * 3) % 21 - 10
+                            ELSE (i.i * 7 + c.media_id * 13) % 2001 - 1000
+                       END AS s
+                FROM as_clips c, range(0, 2048) i(i)
+            ),
+            as_frames AS (
+                SELECT media_id, CAST(i // 256 AS INTEGER) AS frame_idx,
+                       CAST(COUNT(*) AS BIGINT) AS n_samples,
+                       CAST(SUM(s * s) AS BIGINT) AS sum_sq
+                FROM as_samp GROUP BY 1, 2
+            ),
+            as_flag AS (
+                SELECT *, (sum_sq < n_samples * 10000) AS is_silent
+                FROM as_frames
+            ),
+            as_flip AS (
+                SELECT *, CASE WHEN LAG(is_silent) OVER (
+                            PARTITION BY media_id ORDER BY frame_idx)
+                            IS DISTINCT FROM is_silent
+                          THEN 1 ELSE 0 END AS flip
+                FROM as_flag
+            ),
+            as_seg AS (
+                SELECT *, CAST(SUM(flip) OVER (PARTITION BY media_id
+                          ORDER BY frame_idx ROWS UNBOUNDED PRECEDING)
+                          AS BIGINT) AS seg_id
+                FROM as_flip
+            )
+            SELECT media_id, seg_id,
+                   bool_and(is_silent) AS is_silent,
+                   MIN(frame_idx) AS start_frame,
+                   MAX(frame_idx) AS end_frame,
+                   CAST(COUNT(*) AS BIGINT) AS n_frames,
+                   CAST(SUM(n_samples) AS BIGINT) AS n_samples,
+                   CAST(SUM(sum_sq) AS BIGINT) AS sum_sq
+            FROM as_seg GROUP BY 1, 2
         """,
         "video_shots": """
             WITH vs_clips AS (SELECT UNNEST(range(0, 8)) AS media_id),

@@ -771,3 +771,140 @@ def video_shot_segments(
             F.lit(0),
         ).alias("max_step_hamming"),
     )
+
+
+def synthetic_gated_pcm_media(
+    spark, n: int = 16, n_samples: int = 2048, burst: int = 256
+) -> DataFrame:
+    """Deterministic PCM16 clips with PLANTED silence: sample i of
+    clip id is the loud ramp ((i·7 + id·13) mod 2001) − 1000 except in
+    quiet bursts — whenever (i DIV burst + id) mod 3 = 1 the sample is
+    ((i·3) mod 21) − 10 (|x| ≤ 10).  Burst boundaries align to frame
+    boundaries when frame_samples divides ``burst``; the id offset
+    staggers the silent stretches across clips.  Closed form, so the
+    DuckDB twin replays every sample."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            recs = []
+            for mid in pdf["id"]:
+                i = np.arange(n_samples, dtype=np.int64)
+                loud = (i * 7 + int(mid) * 13) % 2001 - 1000
+                quiet = (i * 3) % 21 - 10
+                x = np.where(
+                    (i // burst + int(mid)) % 3 == 1, quiet, loud
+                ).astype("<i2")
+                recs.append(
+                    (int(mid), f"media://gated/{mid}", "audio",
+                     x.tobytes(), 0, 0, n_samples * 1000 // 8000,
+                     "pcm_s16le/raw")
+                )
+            yield pd.DataFrame(
+                recs,
+                columns=[
+                    "media_id", "url", "media_type", "payload",
+                    "meta_width", "meta_height", "meta_duration_ms",
+                    "meta_codec",
+                ],
+            )
+
+    return spark.range(0, n).mapInPandas(gen, schema=MEDIA_SCHEMA)
+
+
+AUDIO_FRAME_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("n_samples", LongType()),
+        StructField("sum_sq", LongType()),
+    ]
+)
+
+
+def audio_frame_energy(
+    media: DataFrame, frame_samples: int = 256
+) -> DataFrame:
+    """Per-FRAME exact energy over PCM16 payloads: fixed
+    ``frame_samples`` windows, Σx² and the sample count per frame —
+    the TAIL partial frame is KEPT with its true length (dropping it
+    would silently lose audio; the threshold downstream scales by the
+    count, so a short frame is judged fairly).  Python only decodes
+    and block-sums (vectorized reshape); everything after is native.
+    Returns (media_id, frame_idx, n_samples, sum_sq)."""
+    if frame_samples < 1:
+        raise ValueError(
+            f"audio_frame_energy: frame_samples must be >= 1, got "
+            f"{frame_samples}"
+        )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            recs = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                x = np.frombuffer(payload or b"", dtype="<i2").astype(
+                    np.int64
+                )
+                n = x.size
+                if n == 0:
+                    continue
+                nf = (n + frame_samples - 1) // frame_samples
+                sq = x * x
+                for f in range(nf):
+                    seg = sq[f * frame_samples:(f + 1) * frame_samples]
+                    recs.append(
+                        (int(mid), f, int(seg.size), int(seg.sum()))
+                    )
+            yield pd.DataFrame(
+                recs,
+                columns=["media_id", "frame_idx", "n_samples", "sum_sq"],
+            )
+
+    return (
+        media.where(F.col("media_type") == "audio")
+        .repartition("media_id")
+        .mapInPandas(run, schema=AUDIO_FRAME_SCHEMA)
+    )
+
+
+def audio_silence_segments(
+    frame_energy: DataFrame, thr_amp: int = 100
+) -> DataFrame:
+    """Silence segmentation over per-frame energies — the audio
+    curation primitive (trim leading/trailing silence, drop dead air,
+    cut clips at pauses) as pure native gaps-and-islands: a frame is
+    SILENT iff Σx² < n·thr_amp² (the RMS < thr_amp test cleared of its
+    division and sqrt — exact int64: n·thr² ≤ 2⁶³ for any real clip at
+    thr ≤ 10⁵), runs of equal flags merge via the flag-flip running
+    sum inside the clip's own window partition.
+
+    Output: (media_id, seg_id 1-based, is_silent, start_frame,
+    end_frame inclusive, n_frames, n_samples, sum_sq)."""
+    thr_sq = int(thr_amp) * int(thr_amp)
+    w = W.partitionBy("media_id").orderBy("frame_idx")
+    flagged = frame_energy.select(
+        "media_id",
+        "frame_idx",
+        "n_samples",
+        "sum_sq",
+        (F.col("sum_sq") < F.col("n_samples") * F.lit(thr_sq)).alias(
+            "is_silent"
+        ),
+    ).withColumn(
+        "_flip",
+        F.when(
+            F.lag("is_silent").over(w).isNull()
+            | (F.lag("is_silent").over(w) != F.col("is_silent")),
+            1,
+        ).otherwise(0),
+    ).withColumn(
+        "seg_id",
+        F.sum("_flip").over(w.rowsBetween(W.unboundedPreceding, 0)),
+    )
+    return flagged.groupBy("media_id", "seg_id").agg(
+        F.first("is_silent").alias("is_silent"),
+        F.min("frame_idx").alias("start_frame"),
+        F.max("frame_idx").alias("end_frame"),
+        F.count(F.lit(1)).alias("n_frames"),
+        F.sum("n_samples").alias("n_samples"),
+        F.sum("sum_sq").alias("sum_sq"),
+    )
