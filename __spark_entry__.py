@@ -656,6 +656,41 @@ def q_morans_i(spark, sf_dir):
     return spatial.morans_i(rollup, "n_pages")
 
 
+def q_areal_interp(spark, sf_dir):
+    """Areal interpolation (spatial.areal_interp): page bounding boxes
+    (the str_leaves deterministic µdeg rects) re-based onto a 15° zone
+    grid — each source transfers value·|∩| DIV |src| in exact integer
+    µdeg², PBSM integer grid with pole shift (trunc-DIV == floor-//
+    structurally), reference-point dedup, loud fan-out guard riding
+    the join key.  Oracle is the naive O(n²) overlap join."""
+    pages = _pages(spark, sf_dir)
+    rid = (F.col("doc_id") * 16 + F.col("version")).cast("bigint")
+    base = pages.select(
+        rid.alias("src_id"),
+        F.floor(F.col("lon") * 1_000_000.0).cast("bigint").alias("_x"),
+        F.floor(F.col("lat") * 1_000_000.0).cast("bigint").alias("_y"),
+    )
+    srcs = base.select(
+        "src_id",
+        (F.col("_x") - F.col("src_id") % 997).alias("minx"),
+        (F.col("_y") - (F.col("src_id") * 3) % 997).alias("miny"),
+        (F.col("_x") + (F.col("src_id") * 7) % 997 + 1).alias("maxx"),
+        (F.col("_y") + (F.col("src_id") * 11) % 997 + 1).alias("maxy"),
+        (F.col("src_id") % 1000 + 1).alias("value"),
+    )
+    Z = 15_000_000
+    tgts = spark.range(0, 288).select(
+        F.col("id").alias("tgt_id"),
+        ((F.col("id") % 24) * Z - 180_000_000).alias("minx"),
+        (F.floor(F.col("id") / 24) * Z - 90_000_000).cast("bigint")
+        .alias("miny"),
+        ((F.col("id") % 24) * Z - 180_000_000 + Z).alias("maxx"),
+        (F.floor(F.col("id") / 24) * Z - 90_000_000 + Z).cast("bigint")
+        .alias("maxy"),
+    )
+    return spatial.areal_interp(srcs, tgts, res_udeg=Z)
+
+
 def q_flow_accum(spark, sf_dir):
     """D8 flow accumulation (spatial.flow_accumulation) over the page
     raster as a terrain surface: strict-descent steepest-neighbor
@@ -3523,6 +3558,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "morans_i": q_morans_i,
         "local_morans": q_local_morans,
         "flow_accum": q_flow_accum,
+        "areal_interp": q_areal_interp,
         "tile_rollup_incremental": q_tile_rollup_incremental,
         "tile_dilate": q_tile_dilate,
         "tile_erode": q_tile_erode,
@@ -4739,6 +4775,33 @@ def oracle_sql() -> dict[str, str]:
                 GROUP BY 1
             )
             , {spatial.morans_i_ctes('mi_rollup', 'n_pages')}
+        """),
+        "areal_interp": _with_pages(f"""
+            , ai_src AS (
+                SELECT rect_id AS src_id,
+                       _x - rect_id % 997 AS minx,
+                       _y - (rect_id * 3) % 997 AS miny,
+                       _x + (rect_id * 7) % 997 + 1 AS maxx,
+                       _y + (rect_id * 11) % 997 + 1 AS maxy,
+                       rect_id % 1000 + 1 AS value
+                FROM (
+                    SELECT doc_id * 16 + version AS rect_id,
+                           CAST(FLOOR(lon * 1000000.0) AS BIGINT) AS _x,
+                           CAST(FLOOR(lat * 1000000.0) AS BIGINT) AS _y
+                    FROM pages
+                )
+            ),
+            ai_tgt AS (
+                SELECT z AS tgt_id,
+                       (z % 24) * 15000000 - 180000000 AS minx,
+                       (z // 24) * 15000000 - 90000000 AS miny,
+                       (z % 24) * 15000000 - 165000000 AS maxx,
+                       (z // 24) * 15000000 - 75000000 AS maxy
+                FROM (SELECT UNNEST(range(0, 288)) AS z)
+            )
+            SELECT * FROM (
+                {spatial.areal_interp_sql('ai_src', 'ai_tgt')}
+            )
         """),
         "flow_accum": _with_pages(f"""
             , fa_rollup AS (

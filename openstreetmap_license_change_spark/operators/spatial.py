@@ -5347,3 +5347,175 @@ def flow_accumulation_sql(
         LEFT JOIN fd_best b USING (cell)
         LEFT JOIN fa_acc a USING (cell)
     """
+
+
+def areal_interp(
+    src_rects: DataFrame,
+    tgt_rects: DataFrame,
+    res_udeg: int,
+    src_id: str = "src_id",
+    tgt_id: str = "tgt_id",
+    value_col: str = "value",
+    max_cells: int = 256,
+) -> DataFrame:
+    """Areal interpolation (area-weighted reaggregation): transfer an
+    extensive value (population, bytes, token counts) from SOURCE
+    rectangles to an incompatible TARGET zone layer, each source
+    contributing value·|src ∩ tgt| DIV |src| — the GIS answer to
+    "re-base census blocks onto my tiles" under the standard uniform-
+    density assumption.
+
+    EXACT integer geometry end-to-end: bounds are integer µdeg
+    (callers snap once — the stay_points float-boundary lesson), the
+    PBSM grid is integer division on POLE-SHIFTED coordinates
+    (+180e6/+90e6 keeps every operand non-negative, so Spark's
+    truncating DIV and DuckDB's flooring // agree — the negative-
+    division trap dodged structurally), overlap areas are int64
+    (µdeg² ≤ 1.3·10¹⁷ even for world-sized extents), and each
+    contribution quantizes by one decimal(38) DIV (numerator ≤
+    value·1.3·10¹⁷ ≪ 10³⁸).  Per-pair flooring loses < 1 unit per
+    (src, tgt) pair — deterministic, and the only quantization in the
+    chain.
+
+    Half-open area semantics: rects touching along an edge share ZERO
+    area and transfer nothing (strict < in the join predicate) — the
+    join-dedup REFERENCE-POINT rule emits a pair only from the grid
+    cell containing the intersection's SW corner, so no distinct() is
+    ever spent (the extent_overlap_join discipline on the integer
+    grid).  Per-rect cell fan-out is guarded by a loud assert_true
+    riding the id column.
+
+    Inputs: src (src_id, minx, miny, maxx, maxy, value µdeg/int64),
+    tgt (tgt_id, minx, miny, maxx, maxy).  Output per target:
+    (tgt_id, n_src, overlap_area, est_value) — targets with no
+    overlapping source keep a zero row (no silent drops).  Sources
+    overlapping each other double-transfer by design (the value is
+    per-source mass)."""
+    res = int(res_udeg)
+    if res < 1:
+        raise ValueError(f"areal_interp: res_udeg must be >= 1, got {res}")
+
+    def shifted(df, idc, prefix):
+        mk = (F.col(c) for c in ("minx", "miny", "maxx", "maxy"))
+        minx, miny, maxx, maxy = mk
+        sx0 = (minx + F.lit(180_000_000)).cast("bigint")
+        sy0 = (miny + F.lit(90_000_000)).cast("bigint")
+        sx1 = (maxx + F.lit(180_000_000)).cast("bigint")
+        sy1 = (maxy + F.lit(90_000_000)).cast("bigint")
+        cx0, cx1 = _idiv(sx0, res), _idiv(sx1, res)
+        cy0, cy1 = _idiv(sy0, res), _idiv(sy1, res)
+        n = (cx1 - cx0 + 1) * (cy1 - cy0 + 1)
+        guard = F.assert_true(
+            n <= F.lit(int(max_cells)),
+            F.lit(
+                f"areal_interp: extent covers more than "
+                f"max_cells={max_cells} grid cells at res_udeg={res}; "
+                "coarsen the grid or split the extent"
+            ),
+        )
+        # the guard rides the CELL expression — the one column every
+        # downstream join consumes, so Catalyst can never prune it
+        # (the 4j dead-column-assert lesson)
+        pad = F.coalesce(guard.cast("bigint"), F.lit(0))
+        cells = F.explode(
+            F.flatten(
+                F.transform(
+                    F.sequence(cy0, cy1),
+                    lambda y: F.transform(
+                        F.sequence(cx0, cx1),
+                        lambda x: y * F.lit(1_000_000_000) + x + pad,
+                    ),
+                )
+            )
+        ).alias(f"{prefix}cell")
+        keep = [
+            F.col(c).alias(f"{prefix}{c}")
+            for c in df.columns if c != idc
+        ]
+        return df.select(F.col(idc), *keep, cells)
+
+    a = shifted(src_rects, src_id, "s_")
+    b = shifted(tgt_rects, tgt_id, "t_")
+    ix0 = F.greatest("s_minx", "t_minx")
+    iy0 = F.greatest("s_miny", "t_miny")
+    ix1 = F.least("s_maxx", "t_maxx")
+    iy1 = F.least("s_maxy", "t_maxy")
+    ref_cell = (
+        _idiv((iy0 + F.lit(90_000_000)).cast("bigint"), res)
+        * F.lit(1_000_000_000)
+        + _idiv((ix0 + F.lit(180_000_000)).cast("bigint"), res)
+    )
+    dec = "decimal(38,0)"
+    pairs = (
+        a.join(b, F.col("s_cell") == F.col("t_cell"))
+        .where((ix0 < ix1) & (iy0 < iy1) & (F.col("s_cell") == ref_cell))
+        .select(
+            tgt_id,
+            ((ix1 - ix0) * (iy1 - iy0)).alias("_ia"),
+            F.col("s_value"),
+            (
+                (F.col("s_maxx") - F.col("s_minx"))
+                * (F.col("s_maxy") - F.col("s_miny"))
+            ).alias("_sa"),
+        )
+    )
+    contrib = pairs.select(
+        tgt_id,
+        "_ia",
+        F.expr(
+            f"CAST((CAST(s_value AS {dec}) * _ia) DIV _sa AS BIGINT)"
+        ).alias("_c"),
+    )
+    agg = contrib.groupBy(tgt_id).agg(
+        F.count(F.lit(1)).alias("n_src"),
+        F.sum("_ia").alias("overlap_area"),
+        F.sum("_c").alias("est_value"),
+    )
+    return (
+        tgt_rects.select(tgt_id)
+        .join(agg, tgt_id, "left")
+        .select(
+            tgt_id,
+            F.coalesce("n_src", F.lit(0)).cast("bigint").alias("n_src"),
+            F.coalesce("overlap_area", F.lit(0)).cast("bigint").alias(
+                "overlap_area"
+            ),
+            F.coalesce("est_value", F.lit(0)).cast("bigint").alias(
+                "est_value"
+            ),
+        )
+    )
+
+
+def areal_interp_sql(
+    src: str,
+    tgt: str,
+    src_id: str = "src_id",
+    tgt_id: str = "tgt_id",
+) -> str:
+    """DuckDB twin of :func:`areal_interp` — the naive O(n²) overlap
+    join with the identical HUGEINT quantization, so the PBSM grid,
+    pole shift, and reference-point dedup are all hash-verified
+    against the plain definition.  Standalone statement."""
+    return f"""
+        WITH ai_pairs AS (
+            SELECT t.{tgt_id},
+                   (LEAST(s.maxx, t.maxx) - GREATEST(s.minx, t.minx))
+                   * (LEAST(s.maxy, t.maxy) - GREATEST(s.miny, t.miny))
+                       AS ia,
+                   CAST((CAST(s.value AS HUGEINT) *
+                        ((LEAST(s.maxx, t.maxx) - GREATEST(s.minx, t.minx))
+                         * (LEAST(s.maxy, t.maxy) - GREATEST(s.miny, t.miny))))
+                        // ((s.maxx - s.minx) * (s.maxy - s.miny))
+                        AS BIGINT) AS c
+            FROM {src} s JOIN {tgt} t
+              ON GREATEST(s.minx, t.minx) < LEAST(s.maxx, t.maxx)
+             AND GREATEST(s.miny, t.miny) < LEAST(s.maxy, t.maxy)
+        )
+        SELECT t.{tgt_id},
+               CAST(COALESCE(COUNT(p.ia), 0) AS BIGINT) AS n_src,
+               CAST(COALESCE(SUM(p.ia), 0) AS BIGINT) AS overlap_area,
+               CAST(COALESCE(SUM(p.c), 0) AS BIGINT) AS est_value
+        FROM {tgt} t LEFT JOIN ai_pairs p USING ({tgt_id})
+        GROUP BY 1
+    """
