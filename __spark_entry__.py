@@ -1724,6 +1724,16 @@ def q_repetition_stats(spark, sf_dir):
     return textops.repetition_stats(docs, n=2)
 
 
+def q_lexical_diversity(spark, sf_dir):
+    """Per-document lexical diversity (textops.lexical_diversity):
+    type count, type-token ratio, and the exact-integer Gini–Simpson
+    index (the log-free diversity stand-in for Shannon — same
+    monotone ranking, engine-portable arithmetic); one explode + two
+    map-side-combining groupBys, no windows."""
+    docs = pages_src.documents(spark, sf_dir)
+    return textops.lexical_diversity(docs)
+
+
 def q_bpe_pairs(spark, sf_dir):
     """First BPE merge round (textops.bpe_pair_counts): adjacent-
     symbol pair counts over the documents corpus, word-frequency
@@ -3602,6 +3612,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination": q_contamination,
         "tfidf_topk": q_tfidf_topk,
         "bpe_pairs": q_bpe_pairs,
+        "lexical_diversity": q_lexical_diversity,
         "rare_token_ratio": q_rare_token_ratio,
         "chunk_documents": q_chunk_documents,
         "length_batches": q_length_batches,
@@ -6458,6 +6469,7 @@ def oracle_sql() -> dict[str, str]:
             WHERE d.doc_id % 29 <> 0
         """,
         "bpe_pairs": textops.bpe_pair_counts_sql("documents", top_k=200),
+        "lexical_diversity": textops.lexical_diversity_sql("documents"),
         "tfidf_topk": """
             WITH tf AS (
                 SELECT doc_id, tok AS token, COUNT(*) AS tf

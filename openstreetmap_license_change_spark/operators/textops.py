@@ -1813,3 +1813,78 @@ def bpe_pair_counts_sql(
         ORDER BY pair_n DESC, sym_a, sym_b
         LIMIT {top_k}
     """
+
+
+def lexical_diversity(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document lexical diversity — the vocabulary-richness
+    curation signal (templated/spun text scores low, natural prose
+    high): type count, type-token ratio, and the Gini–Simpson index
+
+        simpson_ppm = 10⁶ · (n(n−1) − Σᵢ cᵢ(cᵢ−1)) DIV (n(n−1))
+
+    — the probability two tokens drawn WITHOUT replacement differ,
+    exact in int64 (cᵢ(cᵢ−1) ≤ n² ≤ 10¹² at 10⁶-token docs; ×10⁶
+    stays < 2⁶³), no float entropy (a log-free diversity index is the
+    engine's portable stand-in for Shannon — same monotone ranking on
+    the unigram profile).  n < 2 tokens → NULL simpson (undefined
+    without a second draw), TTR still reported.
+
+    Tokenization: the engine's whitespace + lower convention.  Plan:
+    one explode + a (doc, token) map-side-combining groupBy + one doc
+    groupBy — two keyed shuffles, no windows.
+    Output: (id, n_tokens, n_types, ttr_m, simpson_ppm)."""
+    toks = docs.select(
+        id_col,
+        F.explode(
+            F.split(F.lower(F.col(text_col)), r"\s+")
+        ).alias("_tok"),
+    ).where(F.col("_tok") != "")
+    counts = toks.groupBy(id_col, "_tok").agg(
+        F.count(F.lit(1)).alias("_c")
+    )
+    return counts.groupBy(id_col).agg(
+        F.sum("_c").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_types"),
+        F.expr("CAST(COUNT(*) * 1000000 DIV SUM(_c) AS BIGINT)").alias(
+            "ttr_m"
+        ),
+        F.expr(
+            "CAST(CASE WHEN SUM(_c) < 2 THEN NULL ELSE "
+            "(SUM(_c) * (SUM(_c) - 1) - SUM(_c * (_c - 1))) * 1000000 "
+            "DIV (SUM(_c) * (SUM(_c) - 1)) END AS BIGINT)"
+        ).alias("simpson_ppm"),
+    )
+
+
+def lexical_diversity_sql(
+    src: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """DuckDB twin of :func:`lexical_diversity` (standalone)."""
+    return f"""
+        WITH ld_toks AS (
+            SELECT {id_col}, tok
+            FROM {src},
+                 LATERAL UNNEST(string_split_regex(lower({text_col}),
+                                '\\s+')) AS u(tok)
+            WHERE tok <> ''
+        ),
+        ld_counts AS (
+            SELECT {id_col}, tok, CAST(COUNT(*) AS BIGINT) AS c
+            FROM ld_toks GROUP BY 1, 2
+        )
+        SELECT {id_col},
+               CAST(SUM(c) AS BIGINT) AS n_tokens,
+               CAST(COUNT(*) AS BIGINT) AS n_types,
+               CAST(COUNT(*) * 1000000 // SUM(c) AS BIGINT) AS ttr_m,
+               CAST(CASE WHEN SUM(c) < 2 THEN NULL ELSE
+                    (SUM(c) * (SUM(c) - 1) - SUM(c * (c - 1))) * 1000000
+                    // (SUM(c) * (SUM(c) - 1)) END AS BIGINT)
+                   AS simpson_ppm
+        FROM ld_counts GROUP BY 1
+    """
