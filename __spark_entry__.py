@@ -656,6 +656,22 @@ def q_morans_i(spark, sf_dir):
     return spatial.morans_i(rollup, "n_pages")
 
 
+def q_ripley_k(spark, sf_dir):
+    """Ripley's K pair counts (spatial.ripley_k_counts) over the
+    latest page positions at 0.25°/0.5°/1°/2° radii — the multi-scale
+    clustering statistic: ONE pair sweep at the largest radius via the
+    3×3 probe (exactly-once by home cell + id order), every band
+    aggregated from the same stream with conditional counts.  Oracle
+    is the naive O(n²) pair join."""
+    latest = lineage.latest_version(
+        _pages(spark, sf_dir), cols=["lon", "lat"]
+    )
+    return spatial.ripley_k_counts(
+        latest, [250_000, 500_000, 1_000_000, 2_000_000],
+        id_col="url", res_deg=2.0,
+    )
+
+
 def q_areal_interp(spark, sf_dir):
     """Areal interpolation (spatial.areal_interp): page bounding boxes
     (the str_leaves deterministic µdeg rects) re-based onto a 15° zone
@@ -3569,6 +3585,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "local_morans": q_local_morans,
         "flow_accum": q_flow_accum,
         "areal_interp": q_areal_interp,
+        "ripley_k": q_ripley_k,
         "tile_rollup_incremental": q_tile_rollup_incremental,
         "tile_dilate": q_tile_dilate,
         "tile_erode": q_tile_erode,
@@ -4786,6 +4803,19 @@ def oracle_sql() -> dict[str, str]:
                 GROUP BY 1
             )
             , {spatial.morans_i_ctes('mi_rollup', 'n_pages')}
+        """),
+        "ripley_k": _with_pages(f"""
+            , rk_latest AS (
+                SELECT url, lon, lat FROM (
+                    SELECT p.*, ROW_NUMBER() OVER (
+                        PARTITION BY url ORDER BY version DESC) AS rn
+                    FROM pages p
+                ) t WHERE rn = 1
+            )
+            SELECT * FROM ({spatial.ripley_k_sql(
+                'rk_latest',
+                [250_000, 500_000, 1_000_000, 2_000_000],
+            )})
         """),
         "areal_interp": _with_pages(f"""
             , ai_src AS (

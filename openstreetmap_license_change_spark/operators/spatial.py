@@ -5519,3 +5519,134 @@ def areal_interp_sql(
         FROM {tgt} t LEFT JOIN ai_pairs p USING ({tgt_id})
         GROUP BY 1
     """
+
+
+def ripley_k_counts(
+    points: DataFrame,
+    radii_udeg: "Sequence[int]",
+    id_col: str = "url",
+    res_deg: float | None = None,
+    join_hint: str | None = "shuffle_hash",
+) -> DataFrame:
+    """Ripley's K point-pattern statistic, the exact-count core: for
+    each radius r, the number of unordered point pairs within r
+    (equirectangular wrapped-lon degrees — the kNN family's metric).
+    K̂(r) = A·2·n_pairs/(n(n−1)) is one float division the analyst
+    applies; the engine emits the exact integers (the house split:
+    portable counts, presentation-layer normalization).  Reading:
+    n_pairs growing faster than r² ⇒ clustering at that scale, slower
+    ⇒ dispersion/inhibition — the multi-SCALE companion of the
+    single-grid morans_i/join-counts.
+
+    Radii are integer µdeg, strictly ascending (validated); the pair
+    sweep runs ONCE at the largest radius via the 3×3 cell probe
+    (res_deg ≥ max radius enforced — the eps_neighbor_edges soundness
+    rule), each unordered pair emitted exactly once (candidate home
+    cell + id_a < id_b), then every band aggregates from the same
+    pair stream with conditional counts — one shuffle for the pairs,
+    one 1-row aggregate, never k passes.  Coincident points (d = 0)
+    count in every band; identical ids never pair.
+
+    Output: (r_udeg, n_pairs, n_points), one row per radius,
+    cumulative."""
+    radii = [int(r) for r in radii_udeg]
+    if not radii:
+        raise ValueError("ripley_k_counts: need at least one radius")
+    if any(r <= 0 for r in radii) or sorted(set(radii)) != radii:
+        raise ValueError(
+            "ripley_k_counts: radii must be positive, strictly "
+            f"ascending, got {radii}"
+        )
+    max_deg = radii[-1] / 1_000_000.0
+    if res_deg is None:
+        res_deg = max_deg
+    if res_deg < max_deg:
+        raise ValueError(
+            f"res_deg={res_deg} < max radius {max_deg}: the 3x3 probe "
+            "cannot see all pairs; use res_deg >= the largest radius"
+        )
+    probes = points.select(
+        F.col(id_col).alias("id_a"),
+        F.col("lon"),
+        F.col("lat"),
+        F.explode(
+            neighbor_cells(F.col("lon"), F.col("lat"), res_deg)
+        ).alias("probe_cell"),
+    )
+    cand = points.select(
+        grid_cell(F.col("lon"), F.col("lat"), res_deg).alias("c_cell"),
+        F.col(id_col).alias("id_b"),
+        F.col("lon").alias("c_lon"),
+        F.col("lat").alias("c_lat"),
+    )
+    if join_hint:
+        cand = cand.hint(join_hint)
+    dlon_raw = F.abs(F.col("lon") - F.col("c_lon"))
+    dlon = F.least(dlon_raw, F.lit(360.0) - dlon_raw)
+    dlat = F.col("lat") - F.col("c_lat")
+    d2 = (dlon * dlon + dlat * dlat).alias("d2")
+    pairs = (
+        probes.join(cand, probes.probe_cell == cand.c_cell)
+        .where(
+            (F.col("id_a") < F.col("id_b"))
+            & (dlon * dlon + dlat * dlat <= F.lit(max_deg * max_deg))
+        )
+        .select(d2)
+    )
+    aggs = [
+        F.count_if(
+            F.col("d2") <= F.lit((r / 1_000_000.0) ** 2)
+        ).alias(f"_n_{i}")
+        for i, r in enumerate(radii)
+    ]
+    row = pairs.agg(*aggs).crossJoin(
+        F.broadcast(points.agg(F.count(F.lit(1)).alias("_np")))
+    )
+    stack = ", ".join(
+        f"{r}L, _n_{i}" for i, r in enumerate(radii)
+    )
+    return row.select(
+        F.expr(
+            f"stack({len(radii)}, {stack}) AS (r_udeg, n_pairs)"
+        ),
+        F.col("_np").alias("n_points"),
+    ).select("r_udeg", "n_pairs", "n_points")
+
+
+def ripley_k_sql(
+    src: str,
+    radii_udeg: "Sequence[int]",
+    id_col: str = "url",
+) -> str:
+    """DuckDB twin of :func:`ripley_k_counts` — the naive O(n²) pair
+    join, so the 3×3 probe and the single-sweep banding are verified
+    against the definition.  ``src`` exposes (id, lon, lat)."""
+    radii = [int(r) for r in radii_udeg]
+    branches = " UNION ALL ".join(
+        f"""
+        SELECT CAST({r} AS BIGINT) AS r_udeg,
+               CAST(COALESCE(SUM(CASE WHEN p.d2 <=
+                    ({r} / 1000000.0) * ({r} / 1000000.0)
+                    THEN 1 END), 0) AS BIGINT) AS n_pairs
+        FROM rk_pairs p
+        """
+        for r in radii
+    )
+    max_deg_sq = f"({radii[-1]} / 1000000.0) * ({radii[-1]} / 1000000.0)"
+    return f"""
+        WITH rk_pts AS (
+            SELECT {id_col} AS pid, lon, lat FROM {src}
+        ),
+        rk_pairs AS (
+            SELECT LEAST(ABS(a.lon - b.lon), 360.0 - ABS(a.lon - b.lon))
+                   * LEAST(ABS(a.lon - b.lon), 360.0 - ABS(a.lon - b.lon))
+                   + (a.lat - b.lat) * (a.lat - b.lat) AS d2
+            FROM rk_pts a JOIN rk_pts b ON a.pid < b.pid
+            WHERE LEAST(ABS(a.lon - b.lon), 360.0 - ABS(a.lon - b.lon))
+                  * LEAST(ABS(a.lon - b.lon), 360.0 - ABS(a.lon - b.lon))
+                  + (a.lat - b.lat) * (a.lat - b.lat) <= {max_deg_sq}
+        ),
+        rk_n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_points FROM rk_pts)
+        SELECT b.r_udeg, b.n_pairs, n.n_points
+        FROM ({branches}) b CROSS JOIN rk_n n
+    """
