@@ -822,6 +822,19 @@ def q_cocitation_pairs(spark, sf_dir):
     return graph.common_neighbor_pairs(edges, "cocitation", min_count=2)
 
 
+def q_link_prediction(spark, sf_dir):
+    """Resource-allocation link prediction
+    (graph.resource_allocation_pairs): cocitation witnesses
+    down-weighted by out-degree (10⁶ DIV d per witness, the pagerank
+    quantization) — the log-free Adamic–Adar; shared rare citers
+    outrank shared hubs at equal n_common.  Same once-per-pair
+    self-join + loud degree guard as the count operators."""
+    _, edges = _doc_link_graph(spark, sf_dir)
+    return graph.resource_allocation_pairs(
+        edges, "cocitation", min_count=2
+    )
+
+
 def q_coupling_pairs(spark, sf_dir):
     """Bibliographic-coupling pair counts: docs sharing ≥ 2 out-links
     (references) — the coupling mode of the same operator and twin."""
@@ -3668,6 +3681,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_hits": q_doc_hits,
         "weighted_sample": q_weighted_sample,
         "cocitation_pairs": q_cocitation_pairs,
+        "link_prediction": q_link_prediction,
         "triangle_counts": q_triangle_counts,
         "kcore": q_kcore,
         "pq_encode": q_pq_encode,
@@ -6668,6 +6682,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "coupling_pairs": graph.common_neighbor_pairs_sql(
             _PR_EDGES_SQL, "coupling", min_count=2
+        ),
+        "link_prediction": graph.resource_allocation_sql(
+            _PR_EDGES_SQL, "cocitation", min_count=2
         ),
         "doc_hits": f"""
             SELECT node AS doc_id, auth_q, hub_q
