@@ -575,6 +575,17 @@ def q_snapshot_diff(spark, sf_dir):
     )
 
 
+def q_scd2_history(spark, sf_dir):
+    """SCD2 validity-interval table (snapshots.scd2_history): per url,
+    one row per consecutive distinct (lon, lat, visible) state with
+    half-open [valid_from, valid_to) epochs — unchanged recrawls
+    collapse (null-safe struct equality), valid_to chains from the
+    next change, one keyed window shuffle end-to-end.  The
+    materialized all-as-of-queries answer beside snapshot_diff's
+    single A→B question."""
+    return snapshots.scd2_history(_pages(spark, sf_dir))
+
+
 def q_spatial_dbscan(spark, sf_dir):
     """Full DBSCAN (spatial.dbscan) over all page versions at ε=0.01°,
     min_pts=3: urls with ≥3 versions form all-core clusters, 2-version
@@ -3589,6 +3600,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quadkey_rollup": q_quadkey_rollup,
         "hilbert_rollup": q_hilbert_rollup,
         "snapshot_diff": q_snapshot_diff,
+        "scd2_history": q_scd2_history,
         "simplify_lines": q_simplify_lines,
         "tile_hotspots": q_tile_hotspots,
         "tile_trend": q_tile_trend,
@@ -4574,6 +4586,9 @@ def oracle_sql() -> dict[str, str]:
             FROM ({hilbert.hilbert_sql('latest', 'url, accepted', order=8)})
             GROUP BY 1
         """),
+        "scd2_history": _with_pages(
+            "SELECT * FROM (" + snapshots.scd2_history_sql("pages") + ")"
+        ),
         "snapshot_diff": _with_pages(
             ", " + snapshots.snapshot_diff_ctes(
                 "pages", SNAPSHOT_EPOCH_A, SNAPSHOT_EPOCH_B

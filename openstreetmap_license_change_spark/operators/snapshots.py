@@ -25,7 +25,7 @@ increasing per url, so the argmax is deterministic.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 
 _STATE_FIELDS = ("warc_epoch", "version", "lon", "lat", "visible")
@@ -184,3 +184,107 @@ def diff_states(state_a: DataFrame, state_b: DataFrame) -> DataFrame:
             F.when(pb, F.col("b.lat")).alias("new_lat"),
         )
     )
+
+
+def scd2_history(
+    versions: DataFrame,
+    key_col: str = "url",
+    ts_col: str = "warc_epoch",
+    attr_cols: "tuple[str, ...]" = ("lon", "lat", "visible"),
+) -> DataFrame:
+    """Slowly-Changing-Dimension type-2 history table: per key, one
+    VALIDITY INTERVAL per distinct consecutive attribute state —
+    (key, attrs, valid_from, valid_to, is_current).  The warehouse
+    materialization every as-of query reads (snapshot_diff answers
+    ONE A→B question; the SCD2 table answers all of them with a
+    BETWEEN predicate — the classic space/latency trade).
+
+    Consecutive versions with IDENTICAL attributes COLLAPSE into one
+    interval (the SCD2 contract: a recrawl that changed nothing is
+    not a new dimension row); change detection is null-safe
+    struct equality (<=> — NULL attrs compare equal to NULL, not
+    unknown).  valid_to is the NEXT change's timestamp (half-open
+    [from, to)), NULL on the current row.  ``ts_col`` must be
+    strictly increasing per key (the pages contract); duplicate
+    timestamps would make "previous state" undefined — the window
+    order stays total because equal-(key, ts) rows don't occur.
+
+    Plan: one keyed window sort shared by the LAG change flag, the
+    running interval counter, and (after the interval groupBy) the
+    LEAD valid_to — a single hash shuffle on the key, no self-joins.
+
+    Output: (key, *attrs of the interval's state, valid_from,
+    valid_to, n_versions, is_current)."""
+    attrs = list(attr_cols)
+    w = W.partitionBy(key_col).orderBy(ts_col)
+    state = F.struct(*[F.col(c) for c in attrs])
+    flagged = versions.select(key_col, ts_col, *attrs).withColumn(
+        "_chg",
+        F.when(
+            F.lag(state).over(w).isNull()
+            | ~F.lag(state).over(w).eqNullSafe(state),
+            1,
+        ).otherwise(0),
+    ).withColumn(
+        "_iv",
+        F.sum("_chg").over(w.rowsBetween(W.unboundedPreceding, 0)),
+    )
+    intervals = flagged.groupBy(key_col, "_iv").agg(
+        *[F.first(c).alias(c) for c in attrs],
+        F.min(ts_col).alias("valid_from"),
+        F.count(F.lit(1)).alias("n_versions"),
+    )
+    w2 = W.partitionBy(key_col).orderBy("valid_from")
+    return intervals.select(
+        key_col,
+        *attrs,
+        "valid_from",
+        F.lead("valid_from").over(w2).alias("valid_to"),
+        "n_versions",
+        F.lead("valid_from").over(w2).isNull().alias("is_current"),
+    )
+
+
+def scd2_history_sql(
+    src: str,
+    key_col: str = "url",
+    ts_col: str = "warc_epoch",
+    attr_cols: "tuple[str, ...]" = ("lon", "lat", "visible"),
+) -> str:
+    """DuckDB twin of :func:`scd2_history` (standalone)."""
+    attrs = list(attr_cols)
+    a_list = ", ".join(attrs)
+    eq = " AND ".join(
+        f"LAG({c}) OVER w IS NOT DISTINCT FROM {c}" for c in attrs
+    )
+    firsts = ", ".join(
+        f"MIN({c}) AS {c}" for c in attrs
+    )
+    return f"""
+        WITH s2_flag AS (
+            SELECT {key_col}, {ts_col}, {a_list},
+                   CASE WHEN LAG({ts_col}) OVER w IS NULL
+                             OR NOT ({eq})
+                        THEN 1 ELSE 0 END AS chg
+            FROM {src}
+            WINDOW w AS (PARTITION BY {key_col} ORDER BY {ts_col})
+        ),
+        s2_iv AS (
+            SELECT *, SUM(chg) OVER (PARTITION BY {key_col}
+                       ORDER BY {ts_col} ROWS UNBOUNDED PRECEDING)
+                       AS iv
+            FROM s2_flag
+        ),
+        s2_agg AS (
+            SELECT {key_col}, iv, {firsts},
+                   MIN({ts_col}) AS valid_from,
+                   CAST(COUNT(*) AS BIGINT) AS n_versions
+            FROM s2_iv GROUP BY 1, 2
+        )
+        SELECT {key_col}, {a_list}, valid_from,
+               LEAD(valid_from) OVER w2 AS valid_to,
+               n_versions,
+               (LEAD(valid_from) OVER w2 IS NULL) AS is_current
+        FROM s2_agg
+        WINDOW w2 AS (PARTITION BY {key_col} ORDER BY valid_from)
+    """
