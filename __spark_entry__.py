@@ -1764,6 +1764,18 @@ def q_repetition_stats(spark, sf_dir):
     return textops.repetition_stats(docs, n=2)
 
 
+def q_winnow(spark, sf_dir):
+    """Winnowing fingerprints (textops.winnow_fingerprints, the MOSS
+    algorithm): character 8-gram hashes, 4-window minima with the
+    rightmost tie rule — encoded as ONE integer min over the frame
+    (h·2²⁰ + reversed pos; struct-min in frames is engine-fragile) —
+    dedup of overlapping selections.  The winnowing guarantee (any
+    ≥ w+k−1 substring match shares a fingerprint) is property-tested
+    on planted plagiarism."""
+    docs = pages_src.documents(spark, sf_dir)
+    return textops.winnow_fingerprints(docs, k=8, window=4)
+
+
 def q_lexical_diversity(spark, sf_dir):
     """Per-document lexical diversity (textops.lexical_diversity):
     type count, type-token ratio, and the exact-integer Gini–Simpson
@@ -3655,6 +3667,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_topk": q_tfidf_topk,
         "bpe_pairs": q_bpe_pairs,
         "lexical_diversity": q_lexical_diversity,
+        "winnow_fingerprints": q_winnow,
         "rare_token_ratio": q_rare_token_ratio,
         "chunk_documents": q_chunk_documents,
         "length_batches": q_length_batches,
@@ -6529,6 +6542,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "bpe_pairs": textops.bpe_pair_counts_sql("documents", top_k=200),
         "lexical_diversity": textops.lexical_diversity_sql("documents"),
+        "winnow_fingerprints": textops.winnow_fingerprints_sql(
+            "documents", k=8, window=4
+        ),
         "tfidf_topk": """
             WITH tf AS (
                 SELECT doc_id, tok AS token, COUNT(*) AS tf

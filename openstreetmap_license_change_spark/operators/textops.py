@@ -1888,3 +1888,150 @@ def lexical_diversity_sql(
                    AS simpson_ppm
         FROM ld_counts GROUP BY 1
     """
+
+
+WINNOW_POS_BOUND = 1 << 20  # ~1M chars per doc — loud-guarded below
+
+
+def winnow_fingerprints(
+    docs: DataFrame,
+    k: int = 8,
+    window: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken
+    2003 — the MOSS algorithm): hash every character k-gram, slide a
+    w-window over the hash sequence, keep each window's MINIMUM (ties
+    → RIGHTMOST, the paper's rule), dedup overlapping selections.
+    The winnowing guarantee: any substring match of length ≥ w+k−1
+    between two documents shares at least one selected fingerprint —
+    the partial-overlap detector whole-doc hashes (simhash/minhash)
+    structurally miss, at ~2/(w+1) the k-gram stream's density.
+
+    Exactness: the rightmost-min is ONE integer min over the frame —
+    the pair (h, pos) encodes as h·2²⁰ + (2²⁰−1−pos), so min(key)
+    picks min h then max pos, identically in both engines (struct-min
+    inside window frames is engine-fragile; integer min is not).
+    h < 2³¹ keeps the key < 2⁵¹; pos ≥ 2²⁰ fails LOUD via assert_true
+    riding the key column.  Text normalizes to lower + single spaces
+    (the house tokenizer's character-level counterpart).
+
+    Docs shorter than k+w−1 normalized chars yield NO fingerprints
+    (no full window exists — the algorithm's own domain, stated).
+
+    Plan: one explode (positions), per-position O(k) gram hash, one
+    doc-keyed window frame min, one distinct on the selected
+    positions — a single hash shuffle on the doc key.
+    Output: (id, pos 1-based, fhash)."""
+    if k < 1 or window < 1:
+        raise ValueError(
+            f"winnow_fingerprints: k and window must be >= 1, got "
+            f"k={k}, window={window}"
+        )
+    from .dedup import token_hash
+
+    from pyspark.sql import Window as W
+
+    norm = F.trim(
+        F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")
+    )
+    grams = docs.select(
+        id_col,
+        norm.alias("_s"),
+    ).where(
+        F.length("_s") >= F.lit(k + window - 1)
+    ).select(
+        id_col,
+        (F.length("_s") - F.lit(k) + 1).alias("_ng"),
+        F.explode(
+            F.sequence(F.lit(1), F.length("_s") - F.lit(k) + 1)
+        ).alias("pos"),
+        F.col("_s"),
+    ).select(
+        id_col,
+        "_ng",
+        "pos",
+        token_hash(
+            F.substring(F.col("_s"), F.col("pos").cast("int"), k)
+        ).alias("_h"),
+    )
+    bound_ok = F.assert_true(
+        F.col("pos") < F.lit(WINNOW_POS_BOUND),
+        F.lit(
+            "winnow_fingerprints: position exceeds the 2^20 encoding "
+            "bound (~1M chars); chunk the document first"
+        ),
+    )
+    key = (
+        F.col("_h") * F.lit(WINNOW_POS_BOUND)
+        + (F.lit(WINNOW_POS_BOUND - 1) - F.col("pos"))
+        + F.coalesce(bound_ok.cast("bigint"), F.lit(0))
+    )
+    w = (
+        W.partitionBy(id_col)
+        .orderBy("pos")
+        .rowsBetween(0, window - 1)
+    )
+    sel = grams.select(
+        id_col,
+        "_ng",
+        "pos",
+        F.min(key).over(w).alias("_mk"),
+    ).where(
+        # only anchors with a FULL window define a selection
+        F.col("pos") <= F.col("_ng") - F.lit(window) + 1
+    )
+    return sel.select(
+        id_col,
+        (
+            F.lit(WINNOW_POS_BOUND - 1)
+            - F.pmod(F.col("_mk"), F.lit(WINNOW_POS_BOUND))
+        ).cast("int").alias("pos"),
+        F.expr(f"_mk DIV {WINNOW_POS_BOUND}").alias("fhash"),
+    ).distinct()
+
+
+def winnow_fingerprints_sql(
+    src: str,
+    k: int = 8,
+    window: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """DuckDB twin of :func:`winnow_fingerprints` (standalone)."""
+    from .dedup import token_hash_sql
+
+    B = WINNOW_POS_BOUND
+    gram = token_hash_sql(f"substring(s, CAST(pos AS INT), {k})")
+    return f"""
+        WITH wf_norm AS (
+            SELECT {id_col},
+                   trim(regexp_replace(lower({text_col}), '\\s+', ' ',
+                                       'g')) AS s
+            FROM {src}
+        ),
+        wf_grams AS (
+            SELECT {id_col},
+                   length(s) - {k} + 1 AS ng,
+                   u.pos,
+                   {gram} AS h
+            FROM wf_norm,
+                 LATERAL (SELECT UNNEST(range(1, length(s) - {k} + 2))
+                          AS pos) u
+            WHERE length(s) >= {k + window - 1}
+        ),
+        wf_sel AS (
+            SELECT {id_col}, ng, pos,
+                   MIN(h * {B} + ({B - 1} - pos)) OVER (
+                       PARTITION BY {id_col} ORDER BY pos
+                       ROWS BETWEEN CURRENT ROW AND {window - 1}
+                       FOLLOWING) AS mk
+            FROM wf_grams
+        )
+        SELECT DISTINCT {id_col},
+               CAST({B - 1} - (mk % {B}) AS INTEGER) AS pos,
+               CAST(mk // {B} AS BIGINT) AS fhash
+        FROM wf_sel
+        WHERE pos <= ng - {window} + 1
+    """
