@@ -1764,6 +1764,41 @@ def q_repetition_stats(spark, sf_dir):
     return textops.repetition_stats(docs, n=2)
 
 
+# deterministic robots rules for q_robots_filter: per source domain,
+# a root allow, a one-digit disallow, and a longer two-digit re-allow —
+# longest-match precedence and the allow-wins tie both get exercised
+# on real doc ids.  Shared verbatim with the oracle's VALUES literal.
+_ROBOTS_RULES = [
+    rule
+    for k in range(20)
+    for rule in (
+        (f"src{k}", "/", True),
+        (f"src{k}", f"/{k % 10}", False),
+        (f"src{k}", f"/{k % 10}3", True),
+    )
+]
+
+
+def q_robots_filter(spark, sf_dir):
+    """robots.txt compliance filtering (textops.robots_filter, RFC
+    9309): per document url, the longest matching rule prefix on its
+    domain decides, allow wins exact-length ties, no rule ⇒ allowed;
+    broadcast rule join with the prefix condition IN the join (a left
+    join + WHERE would silently drop urls whose domain has rules but
+    none matching — tested), keyed window for the most-specific pick.
+    Decisions are emitted, not applied — denied urls stay auditable."""
+    docs = pages_src.documents(spark, sf_dir).select(
+        F.concat(
+            F.lit("doc://"), F.col("source"), F.lit("/"),
+            F.col("doc_id").cast("string"),
+        ).alias("url")
+    )
+    rules = spark.createDataFrame(
+        _ROBOTS_RULES, "domain string, prefix string, allow boolean"
+    )
+    return textops.robots_filter(docs, rules)
+
+
 def q_winnow(spark, sf_dir):
     """Winnowing fingerprints (textops.winnow_fingerprints, the MOSS
     algorithm): character 8-gram hashes, 4-window minima with the
@@ -3668,6 +3703,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_pairs": q_bpe_pairs,
         "lexical_diversity": q_lexical_diversity,
         "winnow_fingerprints": q_winnow,
+        "robots_filter": q_robots_filter,
         "rare_token_ratio": q_rare_token_ratio,
         "chunk_documents": q_chunk_documents,
         "length_batches": q_length_batches,
@@ -6544,6 +6580,16 @@ def oracle_sql() -> dict[str, str]:
         "lexical_diversity": textops.lexical_diversity_sql("documents"),
         "winnow_fingerprints": textops.winnow_fingerprints_sql(
             "documents", k=8, window=4
+        ),
+        "robots_filter": textops.robots_filter_sql(
+            "(SELECT 'doc://' || source || '/' || CAST(doc_id AS VARCHAR)"
+            " AS url FROM documents)",
+            "(SELECT * FROM (VALUES "
+            + ", ".join(
+                f"('{d}', '{p}', {str(a).upper()})"
+                for d, p, a in _ROBOTS_RULES
+            )
+            + ") t(domain, prefix, allow))",
         ),
         "tfidf_topk": """
             WITH tf AS (

@@ -2035,3 +2035,103 @@ def winnow_fingerprints_sql(
         FROM wf_sel
         WHERE pos <= ng - {window} + 1
     """
+
+
+def robots_filter(
+    pages: DataFrame,
+    rules: DataFrame,
+    url_col: str = "url",
+) -> DataFrame:
+    """robots.txt compliance filtering with RFC 9309 semantics — the
+    crawl pipeline's legal gate, applied corpus-side (a 100-TB crawl
+    re-filters retroactively when rules change; re-fetching is not an
+    option): per URL, the LONGEST matching rule prefix on its domain
+    decides, allow wins exact-length ties (the RFC rule), no matching
+    rule ⇒ allowed.
+
+    ``rules``: (domain, prefix, allow) — the parsed Allow/Disallow
+    lines.  Rule tables are small (sites × lines) → broadcast join on
+    the domain, prefix match is a native startswith, and the
+    most-specific-rule pick is a row_number inside the (url, domain)
+    partition ordered by (prefix length DESC, allow DESC) — a keyed
+    window over ≤ rules-per-domain rows, never a global sort.
+
+    URL decomposition is one native regexp per part (scheme://host
+    then path, '' → '/'), identical in the twin.  Output: one row per
+    DISTINCT url — (url, domain, path, allowed, rule_prefix NULL when
+    no rule matched).  No url is dropped: the DECISION is the output
+    (callers filter on it), so denied URLs stay auditable — and the
+    prefix condition lives in the JOIN (a left join + WHERE would
+    silently drop a url whose domain has rules but none matching)."""
+    from pyspark.sql import Window as W
+
+    dom = F.regexp_extract(F.col(url_col), r"^[a-z]+://([^/]+)", 1)
+    raw_path = F.regexp_extract(F.col(url_col), r"^[a-z]+://[^/]+(/.*)$", 1)
+    path = F.when(raw_path == "", F.lit("/")).otherwise(raw_path)
+    base = pages.select(
+        url_col, dom.alias("domain"), path.alias("path")
+    ).distinct()
+    r = F.broadcast(
+        rules.select(
+            F.col("domain").alias("_rdom"),
+            F.col("prefix"),
+            F.col("allow").cast("boolean").alias("allow"),
+        )
+    )
+    matched = base.join(
+        r,
+        (F.col("domain") == F.col("_rdom"))
+        & F.col("path").startswith(F.col("prefix")),
+        "left",
+    )
+    w = W.partitionBy(url_col, "path").orderBy(
+        F.length("prefix").desc(), F.col("allow").desc()
+    )
+    best = matched.withColumn("_rn", F.row_number().over(w)).where(
+        F.col("_rn") == 1
+    )
+    return best.select(
+        url_col,
+        "domain",
+        "path",
+        F.coalesce("allow", F.lit(True)).alias("allowed"),
+        F.col("prefix").alias("rule_prefix"),
+    )
+
+
+def robots_filter_sql(
+    src: str,
+    rules_values: str,
+    url_col: str = "url",
+) -> str:
+    """DuckDB twin of :func:`robots_filter`.  ``rules_values`` is a
+    SQL relation string exposing (domain, prefix, allow), e.g. a
+    VALUES literal."""
+    return f"""
+        WITH rb_base AS (
+            SELECT DISTINCT {url_col},
+                   regexp_extract({url_col}, '^[a-z]+://([^/]+)', 1)
+                       AS domain,
+                   CASE WHEN regexp_extract({url_col},
+                             '^[a-z]+://[^/]+(/.*)$', 1) = ''
+                        THEN '/' ELSE regexp_extract({url_col},
+                             '^[a-z]+://[^/]+(/.*)$', 1) END AS path
+            FROM {src}
+        ),
+        rb_rules AS (SELECT * FROM {rules_values}),
+        rb_match AS (
+            SELECT b.{url_col}, b.domain, b.path, r.prefix, r.allow,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY b.{url_col}, b.path
+                       ORDER BY length(r.prefix) DESC, r.allow DESC
+                   ) AS rn
+            FROM rb_base b
+            LEFT JOIN rb_rules r
+              ON r.domain = b.domain
+             AND starts_with(b.path, r.prefix)
+        )
+        SELECT {url_col}, domain, path,
+               COALESCE(allow, TRUE) AS allowed,
+               prefix AS rule_prefix
+        FROM rb_match WHERE rn = 1
+    """
