@@ -1779,6 +1779,18 @@ _ROBOTS_RULES = [
 ]
 
 
+def q_quality_calibrate(spark, sf_dir):
+    """Per-language percentile-rank calibration
+    (textops.percentile_calibrate) of document lengths: raw n_chars →
+    within-lang rank percentile (ties share the rank — equal scores
+    calibrate equally; RANK not row_number, the nondeterminism rule),
+    making one uniform pct_m threshold comparable across languages."""
+    docs = pages_src.documents(spark, sf_dir)
+    return textops.percentile_calibrate(
+        docs, "n_chars", ["lang"], ["doc_id"]
+    )
+
+
 def q_robots_filter(spark, sf_dir):
     """robots.txt compliance filtering (textops.robots_filter, RFC
     9309): per document url, the longest matching rule prefix on its
@@ -3704,6 +3716,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lexical_diversity": q_lexical_diversity,
         "winnow_fingerprints": q_winnow,
         "robots_filter": q_robots_filter,
+        "quality_calibrate": q_quality_calibrate,
         "rare_token_ratio": q_rare_token_ratio,
         "chunk_documents": q_chunk_documents,
         "length_batches": q_length_batches,
@@ -6580,6 +6593,9 @@ def oracle_sql() -> dict[str, str]:
         "lexical_diversity": textops.lexical_diversity_sql("documents"),
         "winnow_fingerprints": textops.winnow_fingerprints_sql(
             "documents", k=8, window=4
+        ),
+        "quality_calibrate": textops.percentile_calibrate_sql(
+            "documents", "n_chars", ["lang"], ["doc_id"]
         ),
         "robots_filter": textops.robots_filter_sql(
             "(SELECT 'doc://' || source || '/' || CAST(doc_id AS VARCHAR)"

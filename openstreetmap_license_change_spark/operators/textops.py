@@ -2135,3 +2135,71 @@ def robots_filter_sql(
                prefix AS rule_prefix
         FROM rb_match WHERE rn = 1
     """
+
+
+def percentile_calibrate(
+    df: DataFrame,
+    value_col: str,
+    group_cols: "Sequence[str]",
+    id_cols: "Sequence[str]",
+) -> DataFrame:
+    """Per-group percentile-rank calibration: map a raw score to its
+    within-group rank percentile pct_m = (rank−1)·10⁶ DIV (n−1) — the
+    cross-lingual quality-threshold fix (a 0.6 quality score means
+    different things in en and sw; "top 20% of ITS OWN language" is
+    the comparable statement, and the mixture step then thresholds
+    pct_m uniformly).
+
+    rank is RANK() over (group ORDER BY value) — ties share the rank
+    (equal scores calibrate equally; a row-number would order ties by
+    physical accident, the banned nondeterminism), so pct_m of a tie
+    class is its FIRST member's percentile.  n = 1 → pct_m = 0 (the
+    only member is its own minimum; (n−1) = 0 never divides).  All
+    integer; one keyed window shuffle.
+
+    Output: (*id_cols, *group_cols, value_col, n, rank, pct_m)."""
+    groups = list(group_cols)
+    ids = list(id_cols)
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy(*groups).orderBy(value_col)
+    wn = W.partitionBy(*groups)
+    return df.select(*ids, *groups, value_col).select(
+        *ids,
+        *groups,
+        value_col,
+        F.count(F.lit(1)).over(wn).alias("n"),
+        F.rank().over(w).alias("rank"),
+        F.expr(
+            "CAST(CASE WHEN count(1) OVER "
+            f"(PARTITION BY {', '.join(groups)}) = 1 THEN 0 ELSE "
+            f"(rank() OVER (PARTITION BY {', '.join(groups)} "
+            f"ORDER BY {value_col}) - 1) * 1000000 DIV "
+            f"(count(1) OVER (PARTITION BY {', '.join(groups)}) - 1) "
+            "END AS BIGINT)"
+        ).alias("pct_m"),
+    )
+
+
+def percentile_calibrate_sql(
+    src: str,
+    value_col: str,
+    group_cols: "Sequence[str]",
+    id_cols: "Sequence[str]",
+) -> str:
+    """DuckDB twin of :func:`percentile_calibrate` (standalone)."""
+    g = ", ".join(group_cols)
+    ids = ", ".join(id_cols)
+    return f"""
+        SELECT {ids}, {g}, {value_col},
+               CAST(COUNT(*) OVER (PARTITION BY {g}) AS BIGINT) AS n,
+               CAST(RANK() OVER (PARTITION BY {g} ORDER BY {value_col})
+                    AS BIGINT) AS rank,
+               CAST(CASE WHEN COUNT(*) OVER (PARTITION BY {g}) = 1
+                    THEN 0 ELSE
+                    (RANK() OVER (PARTITION BY {g} ORDER BY {value_col})
+                     - 1) * 1000000
+                    // (COUNT(*) OVER (PARTITION BY {g}) - 1) END
+                    AS BIGINT) AS pct_m
+        FROM {src}
+    """
