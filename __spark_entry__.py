@@ -3021,6 +3021,17 @@ def q_events_sessionize(spark, sf_dir):
     )
 
 
+def q_session_rules(spark, sf_dir):
+    """Association rules over session baskets (temporal.session_rules):
+    30-min sessions as baskets, distinct event types as items, exact
+    integer confidence and decimal(38)/HUGEINT lift per ordered rule,
+    min_support 2, loud basket-size guard on the C(t,2) fan."""
+    from openstreetmap_license_change_spark.operators import temporal
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return temporal.session_rules(ev, gap_s=1800, min_support=2)
+
+
 def q_peak_concurrency(spark, sf_dir):
     """Peak interval concurrency (temporal.peak_overlap): every event
     opens a half-open 30-minute activity window; per event type,
@@ -3810,6 +3821,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly_rollup": q_events_hourly_rollup,
         "events_interval_join": q_events_interval_join,
         "peak_concurrency": q_peak_concurrency,
+        "session_rules": q_session_rules,
         "events_overlap_join": q_events_overlap_join,
         "allen_relations": q_allen_relations,
         "event_rate_autocorr": q_event_rate_autocorr,
@@ -5766,6 +5778,9 @@ def oracle_sql() -> dict[str, str]:
                        / 10000 AS sum_value
             FROM sess GROUP BY 1, 2
         """,
+        "session_rules": temporal.session_rules_sql(
+            "events", gap_s=1800, min_support=2
+        ),
         "peak_concurrency": temporal.peak_overlap_sql(
             "(SELECT event_type, epoch_us(ts) AS start_us, "
             "epoch_us(ts) + 1800000000 AS end_us FROM events)",

@@ -1617,3 +1617,171 @@ def peak_overlap_sql(
         FROM po_counts c
         LEFT JOIN po_at a ON a.{key_col} = c.{key_col}
     """
+
+
+def session_rules(
+    events: DataFrame,
+    gap_s: int = 1800,
+    min_support: int = 2,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    item_col: str = "event_type",
+    max_items_per_basket: int = 64,
+) -> DataFrame:
+    """Association rules over session baskets (the market-basket
+    classic on the event stream): sessions are the baskets (gap_s
+    inactivity splits, the engine's sessionize convention), DISTINCT
+    event types the items, and each ordered rule A→B scores
+
+        conf_m = n_both·10⁶ DIV n_A                  (confidence)
+        lift_m = (n_both·N·10⁶) DIV (n_A·n_B)        (lift)
+
+    in exact integers (lift's wide product in decimal(38)/HUGEINT —
+    the collocations discipline on baskets instead of bigrams).
+    Rules below ``min_support`` joint sessions are dropped — the
+    standard small-sample guard.
+
+    Scale shape: the basket self-join fans C(t,2)·2 per session — a
+    pathological basket (bot session touching every item) would blow
+    it up, so distinct-items-per-basket is guarded by a loud
+    assert_true riding the join key (house rule: no silent caps).
+    One window sort for sessionization, two map-side-combining
+    groupBys, a broadcast 1-row total.
+
+    Output: (antecedent, consequent, n_both, n_ante, conf_m, lift_m),
+    antecedent ≠ consequent, both directions emitted."""
+    w = W.partitionBy(user_col).orderBy(ts_col)
+    epoch = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    gap = epoch - F.lag(epoch).over(w)
+    sess = events.withColumn(
+        "_new",
+        F.when(gap.isNull() | (gap > gap_s * 1_000_000), 1).otherwise(0),
+    ).withColumn(
+        "_sid",
+        F.sum("_new").over(w.rowsBetween(W.unboundedPreceding, 0)),
+    )
+    baskets = sess.select(
+        user_col, "_sid", F.col(item_col).alias("_item")
+    ).distinct()
+    sizes = baskets.groupBy(user_col, "_sid").agg(
+        F.count(F.lit(1)).alias("_bn")
+    )
+    guard = F.assert_true(
+        F.col("_bn") <= F.lit(int(max_items_per_basket)),
+        F.lit(
+            f"session_rules: basket exceeds max_items_per_basket="
+            f"{max_items_per_basket}; pair fan-out is C(t,2) — "
+            "pre-filter bot sessions or raise the cap"
+        ),
+    )
+    b = baskets.join(sizes, [user_col, "_sid"]).select(
+        user_col,
+        F.when(guard.isNull(), F.col("_sid")).alias("_sid"),
+        "_item",
+    )
+    n_sessions = sizes.agg(F.count(F.lit(1)).alias("_ns"))
+    item_n = b.groupBy("_item").agg(F.count(F.lit(1)).alias("_cnt"))
+    pairs = (
+        b.select(user_col, "_sid", F.col("_item").alias("antecedent"))
+        .join(
+            b.select(user_col, "_sid", F.col("_item").alias("consequent")),
+            [user_col, "_sid"],
+        )
+        .where(F.col("antecedent") != F.col("consequent"))
+        .groupBy("antecedent", "consequent")
+        .agg(F.count(F.lit(1)).alias("n_both"))
+        .where(F.col("n_both") >= int(min_support))
+    )
+    dec = "decimal(38,0)"
+    return (
+        pairs.join(
+            item_n.select(
+                F.col("_item").alias("antecedent"),
+                F.col("_cnt").alias("n_ante"),
+            ),
+            "antecedent",
+        )
+        .join(
+            item_n.select(
+                F.col("_item").alias("consequent"),
+                F.col("_cnt").alias("_nc"),
+            ),
+            "consequent",
+        )
+        .crossJoin(F.broadcast(n_sessions))
+        .select(
+            "antecedent",
+            "consequent",
+            "n_both",
+            "n_ante",
+            F.expr("CAST(n_both * 1000000 DIV n_ante AS BIGINT)").alias(
+                "conf_m"
+            ),
+            F.expr(
+                f"CAST((CAST(n_both AS {dec}) * _ns * 1000000) "
+                f"DIV (CAST(n_ante AS {dec}) * _nc) AS BIGINT)"
+            ).alias("lift_m"),
+        )
+    )
+
+
+def session_rules_sql(
+    src: str,
+    gap_s: int = 1800,
+    min_support: int = 2,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    item_col: str = "event_type",
+) -> str:
+    """DuckDB twin of :func:`session_rules` (standalone; no basket
+    guard — the operator owns the loud failure)."""
+    return f"""
+        WITH sr_sess AS (
+            SELECT {user_col}, {item_col},
+                   SUM(CASE WHEN prev IS NULL
+                            OR epoch_us({ts_col}) - prev
+                               > {int(gap_s)} * 1000000
+                       THEN 1 ELSE 0 END) OVER (
+                       PARTITION BY {user_col} ORDER BY {ts_col}
+                       ROWS UNBOUNDED PRECEDING) AS sid
+            FROM (
+                SELECT *, LAG(epoch_us({ts_col})) OVER (
+                       PARTITION BY {user_col} ORDER BY {ts_col})
+                       AS prev
+                FROM {src}
+            )
+        ),
+        sr_baskets AS (
+            SELECT DISTINCT {user_col}, sid, {item_col} AS item
+            FROM sr_sess
+        ),
+        sr_ns AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS ns FROM (
+                SELECT DISTINCT {user_col}, sid FROM sr_baskets
+            )
+        ),
+        sr_item AS (
+            SELECT item, CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM sr_baskets GROUP BY 1
+        ),
+        sr_pairs AS (
+            SELECT a.item AS antecedent, b.item AS consequent,
+                   CAST(COUNT(*) AS BIGINT) AS n_both
+            FROM sr_baskets a
+            JOIN sr_baskets b
+              ON a.{user_col} = b.{user_col} AND a.sid = b.sid
+             AND a.item <> b.item
+            GROUP BY 1, 2
+            HAVING COUNT(*) >= {int(min_support)}
+        )
+        SELECT p.antecedent, p.consequent, p.n_both,
+               ia.cnt AS n_ante,
+               CAST(p.n_both * 1000000 // ia.cnt AS BIGINT) AS conf_m,
+               CAST((CAST(p.n_both AS HUGEINT) * t.ns * 1000000)
+                    // (CAST(ia.cnt AS HUGEINT) * ic.cnt) AS BIGINT)
+                   AS lift_m
+        FROM sr_pairs p
+        JOIN sr_item ia ON ia.item = p.antecedent
+        JOIN sr_item ic ON ic.item = p.consequent
+        CROSS JOIN sr_ns t
+    """
