@@ -3021,6 +3021,18 @@ def q_events_sessionize(spark, sf_dir):
     )
 
 
+def q_active_users(spark, sf_dir):
+    """Exact DAU/WAU/MAU (temporal.rolling_active_users): distinct
+    (day, user) facts fanned forward to the days they keep alive, both
+    trailing windows from ONE aggregate via conditional distincts —
+    returning users counted once per window (a RANGE-frame SUM of
+    daily distincts would double-count, tested)."""
+    from openstreetmap_license_change_spark.operators import temporal
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return temporal.rolling_active_users(ev, short_days=7, long_days=28)
+
+
 def q_session_rules(spark, sf_dir):
     """Association rules over session baskets (temporal.session_rules):
     30-min sessions as baskets, distinct event types as items, exact
@@ -3822,6 +3834,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_interval_join": q_events_interval_join,
         "peak_concurrency": q_peak_concurrency,
         "session_rules": q_session_rules,
+        "active_users": q_active_users,
         "events_overlap_join": q_events_overlap_join,
         "allen_relations": q_allen_relations,
         "event_rate_autocorr": q_event_rate_autocorr,
@@ -5778,6 +5791,9 @@ def oracle_sql() -> dict[str, str]:
                        / 10000 AS sum_value
             FROM sess GROUP BY 1, 2
         """,
+        "active_users": temporal.rolling_active_users_sql(
+            "events", short_days=7, long_days=28
+        ),
         "session_rules": temporal.session_rules_sql(
             "events", gap_s=1800, min_support=2
         ),

@@ -1785,3 +1785,104 @@ def session_rules_sql(
         JOIN sr_item ic ON ic.item = p.consequent
         CROSS JOIN sr_ns t
     """
+
+
+def rolling_active_users(
+    events: DataFrame,
+    short_days: int = 7,
+    long_days: int = 28,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """DAU / WAU / MAU — exact trailing-window DISTINCT user counts
+    per activity day.  Distinct counts don't merge across days
+    (:func:`rolling_rollup`'s RANGE-frame SUM is unavailable — a
+    7-day frame over per-day distincts double-counts returning
+    users), so the exact construction fans each DISTINCT (day, user)
+    fact forward to the ``long_days`` target days it keeps alive, and
+    one aggregation computes both trailing windows with conditional
+    distincts (offset < short_days → the short window).
+
+    Scale shape: the fan runs on the (day, user) DISTINCT aggregate —
+    long_days × |active user-days|, NOT × events — and the two
+    COUNT(DISTINCT CASE…) share one Expand in the same aggregate.
+    Only days with actual activity emit rows (the day grid is the
+    data's own support; zero-activity days inside a window still
+    count their carried users on REAL days).
+
+    Output: (day epoch-day, dau, active_short, active_long)."""
+    if not (0 < short_days <= long_days):
+        raise ValueError(
+            f"rolling_active_users: need 0 < short_days <= long_days, "
+            f"got {short_days}, {long_days}"
+        )
+    day = F.expr(
+        f"CAST(unix_micros(CAST({ts_col} AS TIMESTAMP)) "
+        "DIV 86400000000 AS BIGINT)"
+    )
+    facts = events.select(
+        day.alias("_day"), F.col(user_col).alias("_u")
+    ).distinct()
+    real_days = facts.select("_day").distinct()
+    fan = facts.select(
+        "_u",
+        F.col("_day").alias("_src_day"),
+        F.explode(
+            F.sequence(
+                F.col("_day"),
+                F.col("_day") + F.lit(int(long_days) - 1),
+            )
+        ).alias("day"),
+    )
+    agg = (
+        fan.join(real_days.select(F.col("_day").alias("day")), "day")
+        .groupBy("day")
+        .agg(
+            F.countDistinct(
+                F.when(F.col("_src_day") == F.col("day"), F.col("_u"))
+            ).alias("dau"),
+            F.countDistinct(
+                F.when(
+                    F.col("day") - F.col("_src_day")
+                    < F.lit(int(short_days)),
+                    F.col("_u"),
+                )
+            ).alias("active_short"),
+            F.countDistinct("_u").alias("active_long"),
+        )
+    )
+    return agg
+
+
+def rolling_active_users_sql(
+    src: str,
+    short_days: int = 7,
+    long_days: int = 28,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> str:
+    """DuckDB twin of :func:`rolling_active_users` (standalone)."""
+    return f"""
+        WITH rau_facts AS (
+            SELECT DISTINCT
+                   epoch_us({ts_col}) // 86400000000 AS d,
+                   {user_col} AS u
+            FROM {src}
+        ),
+        rau_days AS (SELECT DISTINCT d AS day FROM rau_facts),
+        rau_fan AS (
+            SELECT f.u, f.d AS src_day, f.d + o.o AS day
+            FROM rau_facts f,
+                 LATERAL (SELECT UNNEST(range(0, {int(long_days)}))
+                          AS o) o
+        )
+        SELECT f.day,
+               CAST(COUNT(DISTINCT CASE WHEN f.src_day = f.day
+                    THEN f.u END) AS BIGINT) AS dau,
+               CAST(COUNT(DISTINCT CASE WHEN f.day - f.src_day
+                    < {int(short_days)} THEN f.u END) AS BIGINT)
+                   AS active_short,
+               CAST(COUNT(DISTINCT f.u) AS BIGINT) AS active_long
+        FROM rau_fan f JOIN rau_days d USING (day)
+        GROUP BY 1
+    """
