@@ -1823,6 +1823,17 @@ def q_winnow(spark, sf_dir):
     return textops.winnow_fingerprints(docs, k=8, window=4)
 
 
+def q_kn_bigrams(spark, sf_dir):
+    """Interpolated Kneser–Ney bigram model (textops.kn_bigram_model,
+    D = 3/4 cleared to the exact ppm closed form (max(4c−3,0)·T +
+    3·R·L)·10⁶ DIV (4·c_w1·T)): continuation counts, not raw counts,
+    drive the backoff (the Francisco effect, tested); vocabulary-sum
+    normalization property-tested.  min_count=3 bounds the emitted
+    table; the discount statistics still come from the FULL stream."""
+    docs = pages_src.documents(spark, sf_dir)
+    return textops.kn_bigram_model(docs, min_count=3)
+
+
 def q_lexical_diversity(spark, sf_dir):
     """Per-document lexical diversity (textops.lexical_diversity):
     type count, type-token ratio, and the exact-integer Gini–Simpson
@@ -3737,6 +3748,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_topk": q_tfidf_topk,
         "bpe_pairs": q_bpe_pairs,
         "lexical_diversity": q_lexical_diversity,
+        "kn_bigrams": q_kn_bigrams,
         "winnow_fingerprints": q_winnow,
         "robots_filter": q_robots_filter,
         "quality_calibrate": q_quality_calibrate,
@@ -6622,6 +6634,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "bpe_pairs": textops.bpe_pair_counts_sql("documents", top_k=200),
         "lexical_diversity": textops.lexical_diversity_sql("documents"),
+        "kn_bigrams": textops.kn_bigram_model_sql("documents", min_count=3),
         "winnow_fingerprints": textops.winnow_fingerprints_sql(
             "documents", k=8, window=4
         ),

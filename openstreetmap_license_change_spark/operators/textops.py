@@ -2203,3 +2203,131 @@ def percentile_calibrate_sql(
                     AS BIGINT) AS pct_m
         FROM {src}
     """
+
+
+def kn_bigram_model(
+    docs: DataFrame,
+    min_count: int = 1,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Interpolated Kneser–Ney bigram model with discount D = 3/4 —
+    the n-gram LM every perplexity-based quality filter needs, in
+    EXACT integer arithmetic: clearing D = 3/4 from
+
+        p_kn(w2|w1) = max(c−D, 0)/c(w1·) + D·N1+(w1·)/c(w1·) · p_cont
+        p_cont(w2)  = N1+(·w2) / n_bigram_types
+
+    gives
+
+        p_ppm = (max(4c−3, 0)·T + 3·R(w1)·L(w2)) · 10⁶
+                DIV (4·c(w1·)·T)
+
+    with c the bigram count, c(w1·) the left-context total, R(w1) =
+    N1+(w1·) distinct right continuations, L(w2) = N1+(·w2) distinct
+    left contexts (the KN insight: "Francisco" is frequent but
+    follows only "San" — continuation counts, not raw counts, feed
+    the backoff), and T the distinct-bigram-type count.  The wide
+    product runs in decimal(38,0)/HUGEINT; the result ≤ 10⁶ is exact
+    ppm.  Σ_w2 p(w2|w1) = 1 up to the per-row DIV flooring (property-
+    tested within vocabulary·1 ppm).
+
+    Tokenization: whitespace + lower (the collocations stream,
+    bigrams within documents only — no cross-doc adjacency).  Plan:
+    one posexplode + LEAD window keyed by doc, then four map-side-
+    combining aggregates (bigram, left-total+right-continuation,
+    left-continuation, 1-row type total broadcast back).
+
+    Output: (w1, w2, c, c_w1, cont_right, cont_left, p_kn_ppm),
+    bigrams with c ≥ ``min_count``."""
+    from pyspark.sql import Window as W
+
+    toks = docs.select(
+        id_col,
+        F.posexplode(
+            F.split(F.lower(F.col(text_col)), r"\s+")
+        ).alias("pos", "token"),
+    ).where(F.col("token") != "")
+    w = W.partitionBy(id_col).orderBy("pos")
+    bi = toks.select(
+        F.col("token").alias("w1"),
+        F.lead("token").over(w).alias("w2"),
+    ).where(F.col("w2").isNotNull())
+    c_ab = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c"))
+    left = c_ab.groupBy("w1").agg(
+        F.sum("c").alias("c_w1"),
+        F.count(F.lit(1)).alias("cont_right"),
+    )
+    right = c_ab.groupBy("w2").agg(
+        F.count(F.lit(1)).alias("cont_left")
+    )
+    types = c_ab.agg(F.count(F.lit(1)).alias("_t"))
+    dec = "decimal(38,0)"
+    return (
+        c_ab.join(left, "w1")
+        .join(right, "w2")
+        .crossJoin(F.broadcast(types))
+        .where(F.col("c") >= int(min_count))
+        .select(
+            "w1", "w2", "c", "c_w1", "cont_right", "cont_left",
+            F.expr(
+                f"CAST((CAST(GREATEST(4 * c - 3, 0) AS {dec}) * _t "
+                f"+ CAST(3 AS {dec}) * cont_right * cont_left) "
+                f"* 1000000 DIV (CAST(4 AS {dec}) * c_w1 * _t) "
+                "AS BIGINT)"
+            ).alias("p_kn_ppm"),
+        )
+    )
+
+
+def kn_bigram_model_sql(
+    src: str,
+    min_count: int = 1,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """DuckDB twin of :func:`kn_bigram_model` (standalone)."""
+    return f"""
+        WITH kn_split AS (
+            SELECT {id_col},
+                   string_split_regex(lower({text_col}), '\\s+') AS ws
+            FROM {src}
+        ),
+        kn_toks AS (
+            SELECT {id_col}, u.i AS pos, ws[u.i] AS token
+            FROM kn_split,
+                 LATERAL (SELECT UNNEST(range(1, len(ws) + 1)) AS i) u
+            WHERE ws[u.i] <> ''
+        ),
+        kn_bi AS (
+            SELECT token AS w1,
+                   LEAD(token) OVER (PARTITION BY {id_col}
+                                     ORDER BY pos) AS w2
+            FROM kn_toks
+        ),
+        kn_c AS (
+            SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c
+            FROM kn_bi WHERE w2 IS NOT NULL GROUP BY 1, 2
+        ),
+        kn_left AS (
+            SELECT w1, CAST(SUM(c) AS BIGINT) AS c_w1,
+                   CAST(COUNT(*) AS BIGINT) AS cont_right
+            FROM kn_c GROUP BY 1
+        ),
+        kn_right AS (
+            SELECT w2, CAST(COUNT(*) AS BIGINT) AS cont_left
+            FROM kn_c GROUP BY 1
+        ),
+        kn_t AS (SELECT CAST(COUNT(*) AS BIGINT) AS t FROM kn_c)
+        SELECT b.w1, b.w2, b.c, l.c_w1, l.cont_right, r.cont_left,
+               CAST((CAST(GREATEST(4 * b.c - 3, 0) AS HUGEINT) * t.t
+                     + CAST(3 AS HUGEINT) * l.cont_right * r.cont_left)
+                    * 1000000
+                    // (CAST(4 AS HUGEINT) * l.c_w1 * t.t)
+                    AS BIGINT) AS p_kn_ppm
+        FROM kn_c b
+        JOIN kn_left l USING (w1)
+        JOIN kn_right r USING (w2)
+        CROSS JOIN kn_t t
+        WHERE b.c >= {int(min_count)}
+    """
