@@ -1823,6 +1823,20 @@ def q_winnow(spark, sf_dir):
     return textops.winnow_fingerprints(docs, k=8, window=4)
 
 
+def q_vocab_drift(spark, sf_dir):
+    """Vocabulary drift (textops.vocab_drift) between the even- and
+    odd-doc_id halves of the corpus (two deterministic sub-corpora
+    standing in for crawl snapshots): per-token df in each side,
+    corpus-size-normalized rate ratio in decimal(38)/HUGEINT ppm,
+    new/gone/present status, hapax floor min_df=2."""
+    docs = pages_src.documents(spark, sf_dir)
+    return textops.vocab_drift(
+        docs.where(F.col("doc_id") % 2 == 0),
+        docs.where(F.col("doc_id") % 2 == 1),
+        min_df=2,
+    )
+
+
 def q_kn_bigrams(spark, sf_dir):
     """Interpolated Kneser–Ney bigram model (textops.kn_bigram_model,
     D = 3/4 cleared to the exact ppm closed form (max(4c−3,0)·T +
@@ -3749,6 +3763,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_pairs": q_bpe_pairs,
         "lexical_diversity": q_lexical_diversity,
         "kn_bigrams": q_kn_bigrams,
+        "vocab_drift": q_vocab_drift,
         "winnow_fingerprints": q_winnow,
         "robots_filter": q_robots_filter,
         "quality_calibrate": q_quality_calibrate,
@@ -6635,6 +6650,11 @@ def oracle_sql() -> dict[str, str]:
         "bpe_pairs": textops.bpe_pair_counts_sql("documents", top_k=200),
         "lexical_diversity": textops.lexical_diversity_sql("documents"),
         "kn_bigrams": textops.kn_bigram_model_sql("documents", min_count=3),
+        "vocab_drift": textops.vocab_drift_sql(
+            "(SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0)",
+            "(SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1)",
+            min_df=2,
+        ),
         "winnow_fingerprints": textops.winnow_fingerprints_sql(
             "documents", k=8, window=4
         ),

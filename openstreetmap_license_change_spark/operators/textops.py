@@ -2331,3 +2331,130 @@ def kn_bigram_model_sql(
         CROSS JOIN kn_t t
         WHERE b.c >= {int(min_count)}
     """
+
+
+def vocab_drift(
+    docs_a: DataFrame,
+    docs_b: DataFrame,
+    min_df: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Vocabulary drift between two corpus snapshots — the
+    distribution-shift monitor a recrawl pipeline gates on (a crawler
+    regression, a spam wave, or a seasonal shift shows up as tokens
+    whose document frequency RATE jumps, appears, or vanishes long
+    before any downstream model metric moves).
+
+    Per token: document frequency in each corpus and the corpus-size-
+    normalized rate ratio
+
+        drift_ppm = (df_b · n_a · 10⁶) DIV (df_a · n_b)
+
+    (10⁶ = unchanged rate, 2·10⁶ = doubled; decimal(38)/HUGEINT wide
+    product), NULL when the token is absent from either side — those
+    carry status 'new' / 'gone' instead ('present' otherwise).
+    Tokens with df_a + df_b < ``min_df`` are dropped (hapax noise).
+
+    Plan: per side one explode + one distinct + one map-side-
+    combining groupBy to vocabulary size; a full outer join on the
+    token; two 1-row totals broadcast back.  Output:
+    (token, df_a, df_b, drift_ppm, status)."""
+
+    def df_of(docs):
+        return (
+            docs.select(
+                id_col,
+                F.explode(
+                    F.split(F.lower(F.col(text_col)), r"\s+")
+                ).alias("token"),
+            )
+            .where(F.col("token") != "")
+            .distinct()
+            .groupBy("token")
+            .agg(F.count(F.lit(1)).alias("df"))
+        )
+
+    dfa = df_of(docs_a).select("token", F.col("df").alias("df_a"))
+    dfb = df_of(docs_b).select("token", F.col("df").alias("df_b"))
+    na = docs_a.agg(F.countDistinct(id_col).alias("_na"))
+    nb = docs_b.agg(F.countDistinct(id_col).alias("_nb"))
+    dec = "decimal(38,0)"
+    return (
+        dfa.join(dfb, "token", "full_outer")
+        .select(
+            "token",
+            F.coalesce("df_a", F.lit(0)).alias("df_a"),
+            F.coalesce("df_b", F.lit(0)).alias("df_b"),
+        )
+        .where(F.col("df_a") + F.col("df_b") >= int(min_df))
+        .crossJoin(F.broadcast(na))
+        .crossJoin(F.broadcast(nb))
+        .select(
+            "token",
+            "df_a",
+            "df_b",
+            F.expr(
+                f"CAST(CASE WHEN df_a = 0 OR df_b = 0 THEN NULL ELSE "
+                f"(CAST(df_b AS {dec}) * _na * 1000000) "
+                f"DIV (CAST(df_a AS {dec}) * _nb) END AS BIGINT)"
+            ).alias("drift_ppm"),
+            F.expr(
+                "CASE WHEN df_a = 0 THEN 'new' "
+                "WHEN df_b = 0 THEN 'gone' "
+                "ELSE 'present' END"
+            ).alias("status"),
+        )
+    )
+
+
+def vocab_drift_sql(
+    src_a: str,
+    src_b: str,
+    min_df: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """DuckDB twin of :func:`vocab_drift` (standalone); ``src_a`` /
+    ``src_b`` expose (id, text)."""
+
+    def df_cte(src, tag):
+        return f"""
+        vd_{tag} AS (
+            SELECT token, CAST(COUNT(*) AS BIGINT) AS df
+            FROM (
+                SELECT DISTINCT {id_col}, tok AS token
+                FROM {src},
+                     LATERAL UNNEST(string_split_regex(
+                         lower({text_col}), '\\s+')) AS u(tok)
+                WHERE tok <> ''
+            ) GROUP BY 1
+        )"""
+
+    return f"""
+        WITH {df_cte(src_a, 'a')},
+        {df_cte(src_b, 'b')},
+        vd_na AS (
+            SELECT CAST(COUNT(DISTINCT {id_col}) AS BIGINT) AS na
+            FROM {src_a}
+        ),
+        vd_nb AS (
+            SELECT CAST(COUNT(DISTINCT {id_col}) AS BIGINT) AS nb
+            FROM {src_b}
+        )
+        SELECT COALESCE(a.token, b.token) AS token,
+               COALESCE(a.df, 0) AS df_a,
+               COALESCE(b.df, 0) AS df_b,
+               CAST(CASE WHEN COALESCE(a.df, 0) = 0
+                         OR COALESCE(b.df, 0) = 0 THEN NULL ELSE
+                    (CAST(b.df AS HUGEINT) * na * 1000000)
+                    // (CAST(a.df AS HUGEINT) * nb) END AS BIGINT)
+                   AS drift_ppm,
+               CASE WHEN COALESCE(a.df, 0) = 0 THEN 'new'
+                    WHEN COALESCE(b.df, 0) = 0 THEN 'gone'
+                    ELSE 'present' END AS status
+        FROM vd_a a
+        FULL OUTER JOIN vd_b b USING (token)
+        CROSS JOIN vd_na CROSS JOIN vd_nb
+        WHERE COALESCE(a.df, 0) + COALESCE(b.df, 0) >= {int(min_df)}
+    """
