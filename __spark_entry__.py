@@ -1541,6 +1541,25 @@ def q_minhash_lsh_clusters(spark, sf_dir):
     return dedup.minhash_lsh_clusters(docs)
 
 
+def q_cluster_audit(spark, sf_dir):
+    """Dedup-cluster QUALITY audit (dedup.cluster_audit): exact
+    pairwise token-Jaccard floor/mean per minhash_lsh_clusters
+    cluster — the measured answer to "did the sketch pipeline group
+    real near-dups or chain artifacts"; zero-overlap pairs audit as
+    0 (rebuilt from membership, not just the shared-token join), loud
+    C(n,2) size guard."""
+    # audit a deterministic half of the corpus: the synthetic corpus
+    # is duplicate-dense by design (its largest true-dup cluster is
+    # ~78% of one source), and the audit's SAMPLE-of-clusters usage
+    # note is exactly this move; the cap is raised explicitly as the
+    # guard's message instructs
+    docs = pages_src.documents(spark, sf_dir).where(
+        F.col("doc_id") % 2 == 0
+    )
+    clusters = dedup.minhash_lsh_clusters(docs)
+    return dedup.cluster_audit(clusters, docs, max_cluster_size=4096)
+
+
 def q_simhash(spark, sf_dir):
     """64-bit SimHash fingerprints from the token dictionary."""
     docs = pages_src.documents(spark, sf_dir)
@@ -3750,6 +3769,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "minhash_lsh_pairs_capped": q_minhash_lsh_pairs_capped,
         "minhash_lsh_clusters": q_minhash_lsh_clusters,
+        "cluster_audit": q_cluster_audit,
         "minhash_dedup_apply": q_minhash_dedup_apply,
         "sample_hash": q_sample_hash,
         "sample_stratified": q_sample_stratified,
@@ -6437,6 +6457,17 @@ def oracle_sql() -> dict[str, str]:
         "minhash_lsh_clusters": lsh_clusters_prelude + """
             SELECT doc_id, cluster_id FROM clusters
         """,
+        "cluster_audit": lsh_clusters_prelude.replace(
+            "FROM documents",
+            "FROM (SELECT * FROM documents WHERE doc_id % 2 = 0)",
+        ) + (
+            "SELECT * FROM ("
+            + dedup.cluster_audit_sql(
+                "clusters",
+                "(SELECT * FROM documents WHERE doc_id % 2 = 0)",
+            )
+            + ")"
+        ),
         "sample_hash": f"""
             SELECT doc_id, lang FROM documents
             WHERE {dedup.token_hash_sql("CAST(doc_id AS VARCHAR)")} % 8 = 0

@@ -960,3 +960,175 @@ def containment_pairs_sql(
                        n_inter * 1000000 // sb.n_sh)
               >= {int(threshold_ppm)}
     """
+
+
+def cluster_audit(
+    clusters: DataFrame,
+    docs: DataFrame,
+    max_cluster_size: int = 256,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Dedup-cluster QUALITY audit: for every non-singleton cluster,
+    the exact pairwise token-Jaccard floor and mean — the check that
+    the LSH/banding pipeline grouped actual near-duplicates rather
+    than hash-coincidences.  Sketch pipelines are probabilistic; the
+    audit is exact, so a weak cluster (min_jaccard_ppm near 0 — a
+    chain artifact of transitive closure) is measured, not hoped
+    away.  Run it on a SAMPLE of clusters at full scale; the
+    quadratic term is bounded per cluster either way.
+
+    ``clusters``: (id, cluster_id) — e.g. minhash_lsh_clusters'
+    output.  Pair fan is C(size, 2) per cluster; ``max_cluster_size``
+    fails LOUD via assert_true riding the join key (the
+    common_neighbor_pairs rule: to audit mega-clusters, sample
+    members upstream and own the decision).
+
+    Plan: one token explode (distinct per doc), cluster join, the
+    per-cluster pair self-join on (cluster, token) for intersections,
+    doc-size join for the union, then one cluster rollup.  Output:
+    (cluster_id, n_docs, n_pairs, min_jaccard_ppm, mean_jaccard_ppm)
+    — mean as Σjac DIV n_pairs, each pair's jac already an exact
+    DIV-floored ppm."""
+    cl = clusters.select(
+        F.col(id_col), F.col("cluster_id").cast("bigint").alias("cluster_id")
+    )
+    sizes_c = cl.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    ).where(F.col("n_docs") >= 2)
+    guard = F.assert_true(
+        F.col("n_docs") <= F.lit(int(max_cluster_size)),
+        F.lit(
+            f"cluster_audit: cluster exceeds max_cluster_size="
+            f"{max_cluster_size}; pair fan-out is C(n,2) — sample "
+            "members upstream or raise the cap"
+        ),
+    )
+    live = cl.join(sizes_c, "cluster_id").select(
+        F.when(guard.isNull(), F.col("cluster_id")).alias("cluster_id"),
+        id_col,
+    )
+    toks = tokens(docs, text_col=text_col, id_col=id_col)
+    doc_sz = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("_sz"))
+    ctoks = live.join(toks, id_col)
+    inter = (
+        ctoks.select("cluster_id", F.col(id_col).alias("_a"), "token")
+        .join(
+            ctoks.select(
+                "cluster_id", F.col(id_col).alias("_b"), "token"
+            ),
+            ["cluster_id", "token"],
+        )
+        .where(F.col("_a") < F.col("_b"))
+        .groupBy("cluster_id", "_a", "_b")
+        .agg(F.count(F.lit(1)).alias("_inter"))
+    )
+    # pairs sharing ZERO tokens never appear in `inter`; rebuild the
+    # full pair set from membership so they audit as jaccard 0
+    members = live.select("cluster_id", F.col(id_col).alias("_a"))
+    all_pairs = (
+        members.join(
+            live.select("cluster_id", F.col(id_col).alias("_b")),
+            "cluster_id",
+        )
+        .where(F.col("_a") < F.col("_b"))
+    )
+    pairs = (
+        all_pairs.join(inter, ["cluster_id", "_a", "_b"], "left")
+        .join(doc_sz.select(F.col(id_col).alias("_a"),
+                            F.col("_sz").alias("_sa")), "_a", "left")
+        .join(doc_sz.select(F.col(id_col).alias("_b"),
+                            F.col("_sz").alias("_sb")), "_b", "left")
+        .select(
+            "cluster_id",
+            F.expr(
+                "CAST(COALESCE(_inter, 0) * 1000000 DIV "
+                "GREATEST(COALESCE(_sa, 0) + COALESCE(_sb, 0) "
+                "- COALESCE(_inter, 0), 1) AS BIGINT)"
+            ).alias("_jac"),
+        )
+    )
+    return pairs.groupBy("cluster_id").agg(
+        (F.count(F.lit(1))).alias("n_pairs"),
+        F.min("_jac").alias("min_jaccard_ppm"),
+        F.expr("CAST(SUM(_jac) DIV COUNT(1) AS BIGINT)").alias(
+            "mean_jaccard_ppm"
+        ),
+    ).join(sizes_c, "cluster_id").select(
+        "cluster_id", "n_docs", "n_pairs",
+        "min_jaccard_ppm", "mean_jaccard_ppm",
+    )
+
+
+def cluster_audit_sql(
+    clusters_src: str,
+    docs_src: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """DuckDB twin of :func:`cluster_audit` (standalone; no size
+    guard — the operator owns the loud failure)."""
+    return f"""
+        WITH ca_cl AS (
+            SELECT {id_col}, CAST(cluster_id AS BIGINT) AS cluster_id
+            FROM {clusters_src}
+        ),
+        ca_sizes AS (
+            SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS n_docs
+            FROM ca_cl GROUP BY 1 HAVING COUNT(*) >= 2
+        ),
+        ca_live AS (
+            SELECT c.cluster_id, c.{id_col}
+            FROM ca_cl c JOIN ca_sizes s USING (cluster_id)
+        ),
+        ca_toks AS (
+            SELECT DISTINCT {id_col}, tok AS token
+            FROM {docs_src},
+                 LATERAL UNNEST(string_split_regex(lower({text_col}),
+                                '\\s+')) AS u(tok)
+            WHERE tok <> ''
+        ),
+        ca_sz AS (
+            SELECT {id_col}, CAST(COUNT(*) AS BIGINT) AS sz
+            FROM ca_toks GROUP BY 1
+        ),
+        ca_ct AS (
+            SELECT l.cluster_id, l.{id_col}, t.token
+            FROM ca_live l JOIN ca_toks t USING ({id_col})
+        ),
+        ca_inter AS (
+            SELECT a.cluster_id, a.{id_col} AS ia, b.{id_col} AS ib,
+                   CAST(COUNT(*) AS BIGINT) AS inter
+            FROM ca_ct a
+            JOIN ca_ct b ON a.cluster_id = b.cluster_id
+                        AND a.token = b.token
+                        AND a.{id_col} < b.{id_col}
+            GROUP BY 1, 2, 3
+        ),
+        ca_pairs AS (
+            SELECT a.cluster_id, a.{id_col} AS ia, b.{id_col} AS ib
+            FROM ca_live a
+            JOIN ca_live b ON a.cluster_id = b.cluster_id
+                          AND a.{id_col} < b.{id_col}
+        ),
+        ca_jac AS (
+            SELECT p.cluster_id,
+                   CAST(COALESCE(i.inter, 0) * 1000000 //
+                        GREATEST(COALESCE(sa.sz, 0) + COALESCE(sb.sz, 0)
+                                 - COALESCE(i.inter, 0), 1)
+                        AS BIGINT) AS jac
+            FROM ca_pairs p
+            LEFT JOIN ca_inter i
+              ON i.cluster_id = p.cluster_id
+             AND i.ia = p.ia AND i.ib = p.ib
+            LEFT JOIN ca_sz sa ON sa.{id_col} = p.ia
+            LEFT JOIN ca_sz sb ON sb.{id_col} = p.ib
+        )
+        SELECT j.cluster_id, s.n_docs,
+               CAST(COUNT(*) AS BIGINT) AS n_pairs,
+               MIN(j.jac) AS min_jaccard_ppm,
+               CAST(SUM(j.jac) // COUNT(*) AS BIGINT)
+                   AS mean_jaccard_ppm
+        FROM ca_jac j JOIN ca_sizes s USING (cluster_id)
+        GROUP BY 1, 2
+    """
