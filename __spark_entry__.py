@@ -575,6 +575,26 @@ def q_snapshot_diff(spark, sf_dir):
     )
 
 
+def q_cdc_apply(spark, sf_dir):
+    """CDC compaction (snapshots.cdc_apply): the version-1 captures as
+    the base snapshot, later versions as the change stream (seq =
+    version; an invisible capture is a delete) — one union + one
+    max_by-struct aggregation, never a join; duplicate log positions
+    fail loud.  The MERGE INTO primitive of the incremental story."""
+    pages = _pages(spark, sf_dir)
+    base = pages.where(F.col("version") == 1).select(
+        "url", "lon", "lat", "visible"
+    )
+    changes = pages.where(F.col("version") >= 2).select(
+        "url",
+        F.col("version").cast("bigint").alias("seq"),
+        F.when(F.col("visible"), F.lit("upsert"))
+        .otherwise(F.lit("delete")).alias("op"),
+        "lon", "lat", "visible",
+    )
+    return snapshots.cdc_apply(base, changes)
+
+
 def q_scd2_history(spark, sf_dir):
     """SCD2 validity-interval table (snapshots.scd2_history): per url,
     one row per consecutive distinct (lon, lat, visible) state with
@@ -3727,6 +3747,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hilbert_rollup": q_hilbert_rollup,
         "snapshot_diff": q_snapshot_diff,
         "scd2_history": q_scd2_history,
+        "cdc_apply": q_cdc_apply,
         "simplify_lines": q_simplify_lines,
         "tile_hotspots": q_tile_hotspots,
         "tile_trend": q_tile_trend,
@@ -4720,6 +4741,18 @@ def oracle_sql() -> dict[str, str]:
             FROM ({hilbert.hilbert_sql('latest', 'url, accepted', order=8)})
             GROUP BY 1
         """),
+        "cdc_apply": _with_pages(
+            "SELECT * FROM ("
+            + snapshots.cdc_apply_sql(
+                "(SELECT url, lon, lat, visible FROM pages "
+                "WHERE version = 1)",
+                "(SELECT url, CAST(version AS BIGINT) AS seq, "
+                "CASE WHEN visible THEN 'upsert' ELSE 'delete' END "
+                "AS op, lon, lat, visible FROM pages "
+                "WHERE version >= 2)",
+            )
+            + ")"
+        ),
         "scd2_history": _with_pages(
             "SELECT * FROM (" + snapshots.scd2_history_sql("pages") + ")"
         ),

@@ -288,3 +288,107 @@ def scd2_history_sql(
         FROM s2_agg
         WINDOW w2 AS (PARTITION BY {key_col} ORDER BY valid_from)
     """
+
+
+def cdc_apply(
+    base: DataFrame,
+    changes: DataFrame,
+    key_col: str = "url",
+    seq_col: str = "seq",
+    op_col: str = "op",
+    attr_cols: "tuple[str, ...]" = ("lon", "lat", "visible"),
+) -> DataFrame:
+    """Change-data-capture compaction: apply an upsert/delete stream
+    to a base snapshot and emit the resulting state — the MERGE INTO
+    primitive of the incremental-pipeline story (StageRunner commits
+    stage outputs; cdc_apply is how the NEXT run folds a delta onto
+    them without rewriting the base).
+
+    Semantics: per key, the highest-``seq_col`` record wins (the base
+    enters the race at seq = 0, so any change beats it); a winning
+    'delete' removes the key, a winning 'upsert' sets the attrs.
+    Keys only in the base pass through; keys only in the stream
+    insert.  ``seq_col`` must be > 0 and unique per key within the
+    stream (CDC log position) — duplicate seqs would make the winner
+    undefined, so the argmax struct carries the op and attrs BEHIND
+    the seq and equal seqs fail loud via assert_true riding the
+    output state.
+
+    Plan: ONE union + one max_by aggregation (map-side combined) —
+    never a join, the snapshot_diff discipline.  Output:
+    (key, *attrs) of the surviving state."""
+    attrs = list(attr_cols)
+    b = base.select(
+        key_col,
+        F.lit(0).cast("bigint").alias("_seq"),
+        F.lit("upsert").alias("_op"),
+        *[F.col(c) for c in attrs],
+    )
+    c = changes.select(
+        key_col,
+        F.col(seq_col).cast("bigint").alias("_seq"),
+        F.col(op_col).alias("_op"),
+        *[F.col(a) for a in attrs],
+    )
+    unioned = b.unionByName(c)
+    state = F.struct(
+        F.col("_seq"), F.col("_op"), *[F.col(a) for a in attrs]
+    )
+    agg = unioned.groupBy(key_col).agg(
+        F.max(state).alias("_win"),
+        F.count(F.lit(1)).alias("_n"),
+        F.countDistinct("_seq").alias("_nseq"),
+    )
+    dup_guard = F.assert_true(
+        F.col("_n") == F.col("_nseq"),
+        F.lit(
+            "cdc_apply: duplicate seq for a key — CDC log positions "
+            "must be unique per key; the winner would be undefined"
+        ),
+    )
+    # the guard rides every emitted attr (all are plan-used outputs),
+    # so no projection prunes it away
+    return (
+        agg.where(F.col("_win._op") != F.lit("delete"))
+        .select(
+            key_col,
+            *[
+                F.when(dup_guard.isNull(), F.col(f"_win.{a}")).alias(a)
+                for a in attrs
+            ],
+        )
+    )
+
+
+def cdc_apply_sql(
+    base_src: str,
+    changes_src: str,
+    key_col: str = "url",
+    seq_col: str = "seq",
+    op_col: str = "op",
+    attr_cols: "tuple[str, ...]" = ("lon", "lat", "visible"),
+) -> str:
+    """DuckDB twin of :func:`cdc_apply` (standalone; no dup guard —
+    the operator owns the loud failure)."""
+    attrs = list(attr_cols)
+    a_list = ", ".join(attrs)
+    win = ", ".join(
+        f"arg_max({a}, s) AS {a}" for a in attrs
+    )
+    return f"""
+        WITH cdc_u AS (
+            SELECT {key_col}, CAST(0 AS BIGINT) AS s,
+                   'upsert' AS o, {a_list}
+            FROM {base_src}
+            UNION ALL
+            SELECT {key_col}, CAST({seq_col} AS BIGINT) AS s,
+                   {op_col} AS o, {a_list}
+            FROM {changes_src}
+        ),
+        cdc_w AS (
+            SELECT {key_col}, arg_max(o, s) AS op, {win}
+            FROM cdc_u GROUP BY 1
+        )
+        SELECT {key_col}, {a_list}
+        FROM cdc_w WHERE op <> 'delete'
+    """
