@@ -465,6 +465,21 @@ def q_od_flows(spark, sf_dir):
     return spatial.od_flows(latest, id_col="lang", order_col="doc_id")
 
 
+def q_od_gravity(spark, sf_dir):
+    """Gravity-model OD residuals (spatial.od_gravity_residuals) over
+    the od_flows matrix: (n·total·10⁶) DIV (out_o·in_d) in
+    decimal(38)/HUGEINT — which links flow hotter than their endpoint
+    marginals predict; the flow-matrix sibling of the collocations
+    PMI score."""
+    latest = lineage.latest_version(
+        _pages(spark, sf_dir), cols=["lang", "lon", "lat", "doc_id"]
+    )
+    flows = spatial.od_flows(latest, id_col="lang", order_col="doc_id")
+    return spatial.od_gravity_residuals(flows.select(
+        "cell_from", "cell_to", "n_flows"
+    ))
+
+
 def q_collocations(spark, sf_dir):
     """PMI-monotone collocation mining (textops.collocations): exact
     integer association scores over adjacent token pairs, min_count
@@ -3752,6 +3767,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_hotspots": q_tile_hotspots,
         "tile_trend": q_tile_trend,
         "od_flows": q_od_flows,
+        "od_gravity": q_od_gravity,
         "tile_join_counts": q_tile_join_counts,
         "morans_i": q_morans_i,
         "local_morans": q_local_morans,
@@ -4655,6 +4671,23 @@ def oracle_sql() -> dict[str, str]:
         "collocations": textops.collocations_sql(
             "documents", min_count=3
         ),
+        "od_gravity": _with_pages(f"""
+            , latest AS (
+                SELECT url, lang, lon, lat, doc_id FROM (
+                    SELECT p.*, ROW_NUMBER() OVER (
+                        PARTITION BY url ORDER BY version DESC) AS rn
+                    FROM pages p
+                ) t WHERE rn = 1
+            ),
+            og_flows AS (
+                SELECT cell_from, cell_to, n_flows FROM (
+                    {spatial.od_flows_sql('latest', 'lang', 'doc_id')}
+                )
+            )
+            SELECT * FROM (
+                {spatial.od_gravity_residuals_sql('og_flows')}
+            )
+        """),
         "simplify_lines": _with_pages(f"""
             , latest AS (
                 SELECT url, lang, lon, lat, doc_id FROM (

@@ -5650,3 +5650,77 @@ def ripley_k_sql(
         SELECT b.r_udeg, b.n_pairs, n.n_points
         FROM ({branches}) b CROSS JOIN rk_n n
     """
+
+
+def od_gravity_residuals(
+    flows: DataFrame,
+    min_flows: int = 1,
+) -> DataFrame:
+    """Gravity-model residuals over an OD flow matrix — which origin–
+    destination pairs move MORE than their endpoints' sizes predict
+    (corridors, anomalous routing) and which move less (barriers):
+    under the zero-deterrence gravity null, expected flow is
+    out(o)·in(d)/total, so the residual ratio
+
+        ratio_ppm = (n·total·10⁶) DIV (out_o·in_d)
+
+    is the flow-matrix sibling of the collocations PMI score and the
+    od matrix's answer to tile_hotspots (which cells are hot → which
+    LINKS are hot).  Exact decimal(38)/HUGEINT wide product; 10⁶ =
+    exactly as predicted.  Marginals come from the SAME matrix (one
+    pass each, broadcast back); pairs below ``min_flows`` drop (the
+    PMI hapax guard).
+
+    Input: (cell_from, cell_to, n_flows) — :func:`od_flows` output.
+    Output: (cell_from, cell_to, n_flows, out_o, in_d, ratio_ppm)."""
+    f = flows.select(
+        "cell_from", "cell_to",
+        F.col("n_flows").cast("bigint").alias("n_flows"),
+    )
+    out_m = f.groupBy("cell_from").agg(F.sum("n_flows").alias("out_o"))
+    in_m = f.groupBy("cell_to").agg(F.sum("n_flows").alias("in_d"))
+    total = f.agg(F.sum("n_flows").alias("_tot"))
+    dec = "decimal(38,0)"
+    return (
+        f.where(F.col("n_flows") >= int(min_flows))
+        .join(out_m, "cell_from")
+        .join(in_m, "cell_to")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "cell_from", "cell_to", "n_flows", "out_o", "in_d",
+            F.expr(
+                f"CAST((CAST(n_flows AS {dec}) * _tot * 1000000) "
+                f"DIV (CAST(out_o AS {dec}) * in_d) AS BIGINT)"
+            ).alias("ratio_ppm"),
+        )
+    )
+
+
+def od_gravity_residuals_sql(flows_src: str, min_flows: int = 1) -> str:
+    """DuckDB twin of :func:`od_gravity_residuals`; ``flows_src``
+    exposes (cell_from, cell_to, n_flows)."""
+    return f"""
+        WITH og_f AS (
+            SELECT cell_from, cell_to,
+                   CAST(n_flows AS BIGINT) AS n_flows
+            FROM {flows_src}
+        ),
+        og_out AS (
+            SELECT cell_from, CAST(SUM(n_flows) AS BIGINT) AS out_o
+            FROM og_f GROUP BY 1
+        ),
+        og_in AS (
+            SELECT cell_to, CAST(SUM(n_flows) AS BIGINT) AS in_d
+            FROM og_f GROUP BY 1
+        ),
+        og_t AS (SELECT CAST(SUM(n_flows) AS BIGINT) AS tot FROM og_f)
+        SELECT f.cell_from, f.cell_to, f.n_flows, o.out_o, i.in_d,
+               CAST((CAST(f.n_flows AS HUGEINT) * t.tot * 1000000)
+                    // (CAST(o.out_o AS HUGEINT) * i.in_d) AS BIGINT)
+                   AS ratio_ppm
+        FROM og_f f
+        JOIN og_out o USING (cell_from)
+        JOIN og_in i USING (cell_to)
+        CROSS JOIN og_t t
+        WHERE f.n_flows >= {int(min_flows)}
+    """
