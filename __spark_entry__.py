@@ -1877,6 +1877,15 @@ def q_winnow(spark, sf_dir):
     return textops.winnow_fingerprints(docs, k=8, window=4)
 
 
+def q_token_burstiness(spark, sf_dir):
+    """Token burstiness (textops.token_burstiness): exact Fano factor
+    of per-doc counts with zeros included — ((N·Q − S²)·10⁶) DIV (N·S)
+    in decimal(38)/HUGEINT — separating content words (bursty) from
+    glue (Poisson-ish) with no stopword list; min_df=2."""
+    docs = pages_src.documents(spark, sf_dir)
+    return textops.token_burstiness(docs, min_df=2)
+
+
 def q_vocab_drift(spark, sf_dir):
     """Vocabulary drift (textops.vocab_drift) between the even- and
     odd-doc_id halves of the corpus (two deterministic sub-corpora
@@ -3821,6 +3830,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lexical_diversity": q_lexical_diversity,
         "kn_bigrams": q_kn_bigrams,
         "vocab_drift": q_vocab_drift,
+        "token_burstiness": q_token_burstiness,
         "winnow_fingerprints": q_winnow,
         "robots_filter": q_robots_filter,
         "quality_calibrate": q_quality_calibrate,
@@ -6747,6 +6757,9 @@ def oracle_sql() -> dict[str, str]:
         "bpe_pairs": textops.bpe_pair_counts_sql("documents", top_k=200),
         "lexical_diversity": textops.lexical_diversity_sql("documents"),
         "kn_bigrams": textops.kn_bigram_model_sql("documents", min_count=3),
+        "token_burstiness": textops.token_burstiness_sql(
+            "documents", min_df=2
+        ),
         "vocab_drift": textops.vocab_drift_sql(
             "(SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0)",
             "(SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1)",

@@ -2458,3 +2458,100 @@ def vocab_drift_sql(
         CROSS JOIN vd_na CROSS JOIN vd_nb
         WHERE COALESCE(a.df, 0) + COALESCE(b.df, 0) >= {int(min_df)}
     """
+
+
+def token_burstiness(
+    docs: DataFrame,
+    min_df: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Token burstiness — the Fano factor (variance-to-mean ratio of
+    per-document counts, zeros included) per token: Poisson-scattered
+    tokens (function words, boilerplate vocabulary) sit near 10⁶,
+    CONTENT words burst far above it (Church & Gale: a word that
+    appears once in a doc is likely to appear again) — the signal
+    separating topical vocabulary from glue without any stopword
+    list.
+
+    Exact integers: with S = Σ per-doc counts, Q = Σ per-doc counts²
+    (absent docs contribute 0 to both) and N the corpus size,
+
+        fano_ppm = ((N·Q − S²) · 10⁶) DIV (N·S)
+
+    in decimal(38,0)/HUGEINT (N·Q ≤ 10¹²·c_max² stays far inside).
+    Tokens in fewer than ``min_df`` docs drop (a hapax is trivially
+    'bursty').
+
+    Plan: one explode + (doc, token) groupBy + token groupBy (all
+    map-side combining), 1-row corpus total broadcast back.  Output:
+    (token, df, total, fano_ppm)."""
+    per_doc = (
+        docs.select(
+            id_col,
+            F.explode(
+                F.split(F.lower(F.col(text_col)), r"\s+")
+            ).alias("token"),
+        )
+        .where(F.col("token") != "")
+        .groupBy(id_col, "token")
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    per_tok = per_doc.groupBy("token").agg(
+        F.count(F.lit(1)).alias("df"),
+        F.sum("_c").alias("total"),
+        F.sum(F.col("_c") * F.col("_c")).alias("_q"),
+    )
+    n_docs = docs.agg(F.countDistinct(id_col).alias("_n"))
+    dec = "decimal(38,0)"
+    return (
+        per_tok.where(F.col("df") >= int(min_df))
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "token",
+            "df",
+            "total",
+            F.expr(
+                f"CAST(((CAST(_n AS {dec}) * _q - CAST(total AS {dec}) "
+                f"* total) * 1000000) DIV (CAST(_n AS {dec}) * total) "
+                "AS BIGINT)"
+            ).alias("fano_ppm"),
+        )
+    )
+
+
+def token_burstiness_sql(
+    src: str,
+    min_df: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """DuckDB twin of :func:`token_burstiness` (standalone)."""
+    return f"""
+        WITH tb_pd AS (
+            SELECT {id_col}, tok AS token,
+                   CAST(COUNT(*) AS BIGINT) AS c
+            FROM {src},
+                 LATERAL UNNEST(string_split_regex(lower({text_col}),
+                                '\\s+')) AS u(tok)
+            WHERE tok <> ''
+            GROUP BY 1, 2
+        ),
+        tb_tok AS (
+            SELECT token, CAST(COUNT(*) AS BIGINT) AS df,
+                   CAST(SUM(c) AS BIGINT) AS total,
+                   CAST(SUM(c * c) AS BIGINT) AS q
+            FROM tb_pd GROUP BY 1
+        ),
+        tb_n AS (
+            SELECT CAST(COUNT(DISTINCT {id_col}) AS BIGINT) AS n
+            FROM {src}
+        )
+        SELECT token, df, total,
+               CAST(((CAST(n AS HUGEINT) * q
+                      - CAST(total AS HUGEINT) * total) * 1000000)
+                    // (CAST(n AS HUGEINT) * total) AS BIGINT)
+                   AS fano_ppm
+        FROM tb_tok CROSS JOIN tb_n
+        WHERE df >= {int(min_df)}
+    """
