@@ -13,6 +13,9 @@ representative per nondeterminism-risk class at sf0.001:
 - neighborhood aggregate raster     → tile_hotspots
 - double-window carry interpolation → resample_track (round 4k)
 - decimal-division iterative argmax → pca_top (round 4k)
+- log-depth weighted pointer jumping → flow_accum (round 4m)
+- frame-min position encoding        → winnow_fingerprints (round 4m)
+- sweep-level running sum + argmax   → peak_concurrency (round 4m)
 
 Each runs under local[3]/sp=7 AND local[8]/sp=32 in fresh subprocesses
 (the script's own machinery — same code path as the on-demand sweep);
@@ -37,6 +40,9 @@ REPRESENTATIVES = [
     "tile_hotspots",
     "resample_track",
     "pca_top",
+    "flow_accum",
+    "winnow_fingerprints",
+    "peak_concurrency",
 ]
 
 
