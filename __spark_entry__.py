@@ -2943,6 +2943,18 @@ def q_audio_silence(spark, sf_dir):
     return multimodal.audio_silence_segments(energy, thr_amp=100)
 
 
+def q_image_patches(spark, sf_dir):
+    """ViT-style patch extraction (multimodal.image_patches): 16×16
+    non-overlapping patch grid over raw-RGB images, exact integer
+    channel sums + pixel counts per patch, edge patches kept at their
+    true extent (coverage sums to every pixel exactly once, tested).
+    The oracle replays every pixel from the closed form."""
+    from openstreetmap_license_change_spark.operators import multimodal
+
+    media = multimodal.synthetic_raw_rgb_media(spark, n=16, w=48, h=32)
+    return multimodal.image_patches(media, patch=16)
+
+
 def q_video_shots(spark, sf_dir):
     """Shot-boundary detection end-to-end (multimodal.video_frame_dhash
     ∘ video_shot_segments): per-frame block-mean dHash (vectorized
@@ -3918,6 +3930,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "video_frame_stats": q_video_frame_stats,
         "video_shots": q_video_shots,
         "audio_silence": q_audio_silence,
+        "image_patches": q_image_patches,
         "events_sessionize": q_events_sessionize,
         "trip_segments": q_trip_segments,
         "events_asof_join": q_events_asof_join,
@@ -6351,6 +6364,28 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(CASE WHEN prev_s IS NOT NULL AND s * prev_s < 0
                             THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings
             FROM samp GROUP BY media_id
+        """,
+        "image_patches": """
+            WITH ip_imgs AS (SELECT UNNEST(range(0, 16)) AS media_id),
+            ip_pix AS (
+                SELECT i.media_id,
+                       CAST(y.y // 16 AS INTEGER) AS patch_row,
+                       CAST(x.x // 16 AS INTEGER) AS patch_col,
+                       c.c AS chan,
+                       (x.x * 3 + y.y * 7 + c.c * 11 + i.media_id * 13)
+                           % 256 AS v
+                FROM ip_imgs i, range(0, 48) x(x), range(0, 32) y(y),
+                     range(0, 3) c(c)
+            )
+            SELECT media_id, patch_row, patch_col,
+                   CAST(COUNT(*) FILTER (chan = 0) AS BIGINT) AS n_px,
+                   CAST(SUM(CASE WHEN chan = 0 THEN v END) AS BIGINT)
+                       AS sum_r,
+                   CAST(SUM(CASE WHEN chan = 1 THEN v END) AS BIGINT)
+                       AS sum_g,
+                   CAST(SUM(CASE WHEN chan = 2 THEN v END) AS BIGINT)
+                       AS sum_b
+            FROM ip_pix GROUP BY 1, 2, 3
         """,
         "audio_silence": """
             WITH as_clips AS (SELECT UNNEST(range(0, 8)) AS media_id),

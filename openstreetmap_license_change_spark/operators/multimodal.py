@@ -908,3 +908,71 @@ def audio_silence_segments(
         F.sum("n_samples").alias("n_samples"),
         F.sum("sum_sq").alias("sum_sq"),
     )
+
+
+PATCH_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("patch_row", IntegerType()),
+        StructField("patch_col", IntegerType()),
+        StructField("n_px", LongType()),
+        StructField("sum_r", LongType()),
+        StructField("sum_g", LongType()),
+        StructField("sum_b", LongType()),
+    ]
+)
+
+
+def image_patches(media: DataFrame, patch: int = 16) -> DataFrame:
+    """ViT-style patch extraction over raw-RGB images: the image
+    partitions into a ``patch``×``patch`` non-overlapping grid (edge
+    patches keep their TRUE smaller extent — truncating them would
+    silently crop the image, the tail-frame rule) and each patch
+    emits its exact integer channel sums + pixel count — the
+    embedding-input shape every vision-tower preprocessing pipeline
+    produces, with the projection itself left to the model (the
+    engine's job is the exact, auditable patch table: one row per
+    (image, row, col), content-hashable, twin-verifiable).
+
+    Vectorized: one reshape + two block-sum reductions per image, no
+    per-patch Python loop.  Returns (media_id, patch_row, patch_col,
+    n_px, sum_r, sum_g, sum_b)."""
+    if patch < 1:
+        raise ValueError(f"image_patches: patch must be >= 1, got {patch}")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            recs = []
+            for mid, payload, w, h in zip(
+                pdf["media_id"], pdf["payload"],
+                pdf["meta_width"], pdf["meta_height"],
+            ):
+                w, h = int(w), int(h)
+                img = _decode_rgb(payload, w, h).astype(np.int64)
+                prows = (h + patch - 1) // patch
+                pcols = (w + patch - 1) // patch
+                xb = np.arange(w) // patch
+                yb = np.arange(h) // patch
+                sums = np.zeros((prows, pcols, 3), dtype=np.int64)
+                np.add.at(sums, (yb[:, None], xb[None, :]), img)
+                cnts = np.zeros((prows, pcols), dtype=np.int64)
+                np.add.at(cnts, (yb[:, None], xb[None, :]), 1)
+                for r in range(prows):
+                    for c in range(pcols):
+                        recs.append(
+                            (int(mid), r, c, int(cnts[r, c]),
+                             int(sums[r, c, 0]), int(sums[r, c, 1]),
+                             int(sums[r, c, 2]))
+                        )
+            yield pd.DataFrame(
+                recs,
+                columns=["media_id", "patch_row", "patch_col", "n_px",
+                         "sum_r", "sum_g", "sum_b"],
+            )
+
+    return (
+        media.where(F.col("media_type") == "image")
+        .select("media_id", "payload", "meta_width", "meta_height")
+        .repartition("media_id")
+        .mapInPandas(run, schema=PATCH_SCHEMA)
+    )
