@@ -1877,6 +1877,16 @@ def q_winnow(spark, sf_dir):
     return textops.winnow_fingerprints(docs, k=8, window=4)
 
 
+def q_charset_profile(spark, sf_dir):
+    """Per-document script/charset profile (textops.charset_profile):
+    exact character-class counts for eight disjoint codepoint ranges
+    + the exact OTHER remainder — the mojibake/script-mix detector;
+    all native regexp_count in one whole-stage-codegen projection
+    (the twin counts the identical classes via RE2 \\x{} syntax)."""
+    docs = pages_src.documents(spark, sf_dir)
+    return textops.charset_profile(docs)
+
+
 def q_token_burstiness(spark, sf_dir):
     """Token burstiness (textops.token_burstiness): exact Fano factor
     of per-doc counts with zeros included — ((N·Q − S²)·10⁶) DIV (N·S)
@@ -3843,6 +3853,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kn_bigrams": q_kn_bigrams,
         "vocab_drift": q_vocab_drift,
         "token_burstiness": q_token_burstiness,
+        "charset_profile": q_charset_profile,
         "winnow_fingerprints": q_winnow,
         "robots_filter": q_robots_filter,
         "quality_calibrate": q_quality_calibrate,
@@ -6795,6 +6806,7 @@ def oracle_sql() -> dict[str, str]:
         "token_burstiness": textops.token_burstiness_sql(
             "documents", min_df=2
         ),
+        "charset_profile": textops.charset_profile_sql("documents"),
         "vocab_drift": textops.vocab_drift_sql(
             "(SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0)",
             "(SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1)",

@@ -2555,3 +2555,80 @@ def token_burstiness_sql(
         FROM tb_tok CROSS JOIN tb_n
         WHERE df >= {int(min_df)}
     """
+
+
+# (spark_java_regex, duckdb_re2_regex) per script class — same char
+# sets, two regex dialects (Java accepts literal range chars; RE2
+# wants \x{...}).  Parity probe-verified on mixed-script samples.
+CHARSET_CLASSES = [
+    ("ascii_alpha", "[a-zA-Z]", "[a-zA-Z]"),
+    ("digit", "[0-9]", "[0-9]"),
+    ("space", r"[ \t\n\r]", r"[ \t\n\r]"),
+    ("ascii_punct", r"[!-/:-@\[-`{-~]", r"[!-/:-@\[-`{-~]"),
+    ("latin_ext", "[À-ɏ]", r"[\x{00C0}-\x{024F}]"),
+    ("cjk", "[一-鿿]", r"[\x{4E00}-\x{9FFF}]"),
+    ("cyrillic", "[Ѐ-ӿ]", r"[\x{0400}-\x{04FF}]"),
+    ("arabic", "[؀-ۿ]", r"[\x{0600}-\x{06FF}]"),
+]
+
+
+def charset_profile(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document script/charset profile — the mojibake and
+    script-mix detector (a 'German' page that is 40% CJK is a
+    mislabeled crawl; a page that is 30% 'other' is likely
+    encoding-corrupt): exact character-class counts per doc for the
+    eight classes in ``CHARSET_CLASSES`` plus the OTHER remainder
+    (n_chars − Σ classes — the classes are disjoint codepoint ranges,
+    so the remainder is exact, never negative).
+
+    All native regexp_count — one projection, whole-stage codegen, no
+    explode, no Python; the twin counts the identical classes via
+    RE2's \\x{} syntax (dialects differ, char sets verified equal).
+    Output: (id, n_chars, n_<class>..., n_other)."""
+    counts = [
+        F.regexp_count(F.col(text_col), F.lit(spark_re)).cast(
+            "bigint"
+        ).alias(f"n_{name}")
+        for name, spark_re, _ in CHARSET_CLASSES
+    ]
+    base = docs.select(
+        id_col,
+        F.length(text_col).cast("bigint").alias("n_chars"),
+        *counts,
+    )
+    total = None
+    for name, _, _ in CHARSET_CLASSES:
+        c = F.col(f"n_{name}")
+        total = c if total is None else total + c
+    return base.withColumn(
+        "n_other", (F.col("n_chars") - total).cast("bigint")
+    )
+
+
+def charset_profile_sql(
+    src: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """DuckDB twin of :func:`charset_profile` (standalone)."""
+    cols = ",\n".join(
+        f"CAST(len(regexp_extract_all({text_col}, '{duck_re}')) "
+        f"AS BIGINT) AS n_{name}"
+        for name, _, duck_re in CHARSET_CLASSES
+    )
+    minus = " - ".join(f"n_{name}" for name, _, _ in CHARSET_CLASSES)
+    return f"""
+        WITH cs_base AS (
+            SELECT {id_col},
+                   CAST(length({text_col}) AS BIGINT) AS n_chars,
+                   {cols}
+            FROM {src}
+        )
+        SELECT *, CAST(n_chars - ({minus.replace(' - ', ' + ')})
+                   AS BIGINT) AS n_other
+        FROM cs_base
+    """
