@@ -718,6 +718,29 @@ def q_ripley_k(spark, sf_dir):
     )
 
 
+def q_semivariogram(spark, sf_dir):
+    """Empirical semivariogram (spatial.semivariogram_counts) of the
+    page-intensity surface — the VALUE-field companion of q_ripley_k:
+    per distance band the exact pair count and integer Σ(vᵢ−vⱼ)² over
+    cell-center points valued by n_pages, ONE pair sweep at the
+    largest band edge via the 3×3 probe, every band aggregated from
+    the same stream.  γ̂(h) = Σ/(2n) is the analyst's one division.
+    Oracle is the naive O(n²) pair join over the same rollup."""
+    flagged = _pages_flagged(spark, sf_dir)
+    cells = spatial.assign_cells(flagged).withColumn(
+        "tainted", ~F.col("accepted")
+    )
+    rollup = spatial.tile_rollup(cells).select("cell", "n_pages")
+    lon_c, lat_c = spatial.grid_cell_center("cell")
+    pts = rollup.select(
+        "cell", lon_c.alias("lon"), lat_c.alias("lat"), "n_pages"
+    )
+    return spatial.semivariogram_counts(
+        pts, [500_000, 1_000_000, 2_000_000], "n_pages",
+        id_col="cell", res_deg=2.0,
+    )
+
+
 def q_areal_interp(spark, sf_dir):
     """Areal interpolation (spatial.areal_interp): page bounding boxes
     (the str_leaves deterministic µdeg rects) re-based onto a 15° zone
@@ -3805,6 +3828,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "flow_accum": q_flow_accum,
         "areal_interp": q_areal_interp,
         "ripley_k": q_ripley_k,
+        "semivariogram": q_semivariogram,
         "tile_rollup_incremental": q_tile_rollup_incremental,
         "tile_dilate": q_tile_dilate,
         "tile_erode": q_tile_erode,
@@ -5078,6 +5102,26 @@ def oracle_sql() -> dict[str, str]:
             SELECT * FROM ({spatial.ripley_k_sql(
                 'rk_latest',
                 [250_000, 500_000, 1_000_000, 2_000_000],
+            )})
+        """),
+        "semivariogram": _with_pages(f"""
+            , sv_rollup AS (
+                SELECT {cell} AS cell, COUNT(*) AS n_pages
+                FROM pages p JOIN cs_status s USING (changeset_id)
+                GROUP BY 1
+            ),
+            sv_src AS (
+                SELECT cell,
+                       (cell % 1440 + 0.5) * 0.25 - 180.0 AS lon,
+                       (cell // 1440 + 0.5) * 0.25 - 90.0 AS lat,
+                       n_pages
+                FROM sv_rollup
+            )
+            SELECT * FROM ({spatial.semivariogram_sql(
+                'sv_src',
+                [500_000, 1_000_000, 2_000_000],
+                'n_pages',
+                id_col='cell',
             )})
         """),
         "areal_interp": _with_pages(f"""

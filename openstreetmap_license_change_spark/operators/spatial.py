@@ -5652,6 +5652,178 @@ def ripley_k_sql(
     """
 
 
+def semivariogram_counts(
+    points: DataFrame,
+    band_edges_udeg: "Sequence[int]",
+    value_col: str,
+    id_col: str = "url",
+    res_deg: float | None = None,
+    join_hint: str | None = "shuffle_hash",
+) -> DataFrame:
+    """Empirical semivariogram, the exact-count core — the VALUE-field
+    companion of :func:`ripley_k_counts` (where Ripley asks "do the
+    POINTS cluster at scale h", the variogram asks "do the point
+    VALUES decorrelate with distance"): for each distance band
+    (prev, r] the number of unordered point pairs whose separation
+    falls in the band and the exact integer Σ(vᵢ−vⱼ)².  The analyst's
+    γ̂(h) = Σ(vᵢ−vⱼ)² / (2·n_pairs) is one presentation-layer
+    division (the house split: the engine emits portable integers);
+    γ̂ rising toward a sill ⇒ spatial dependence with that range,
+    flat ⇒ no spatial structure in the value field.
+
+    ``band_edges_udeg`` are ascending integer-µdeg upper edges; bands
+    are NON-cumulative, band 1 is [0, r₁] (coincident points land
+    there), band i>1 is (rᵢ₋₁, rᵢ].  Distances are equirectangular
+    wrapped-lon degrees — the exact metric of the kNN/ripley family.
+    Values must be integral (validated by cast).
+
+    Physical plan (the ripley_k discipline): ONE pair sweep at the
+    LARGEST edge via the 3×3 cell probe (``res_deg`` ≥ max edge
+    enforced — the probe-soundness rule), each unordered pair emitted
+    exactly once (candidate home cell + id order), then every band
+    aggregates from that single pair stream with conditional sums —
+    one shuffle for the pairs, one 1-row aggregate, never k passes.
+    At 100 TB the sweep cost is governed by pair density within the
+    max band, not by k.
+
+    Output: (band_udeg, n_pairs, sum_sq_diff, n_points), one row per
+    band edge."""
+    edges = [int(r) for r in band_edges_udeg]
+    if not edges:
+        raise ValueError("semivariogram_counts: need at least one edge")
+    if any(r <= 0 for r in edges) or sorted(set(edges)) != edges:
+        raise ValueError(
+            "semivariogram_counts: band edges must be positive, "
+            f"strictly ascending, got {edges}"
+        )
+    max_deg = edges[-1] / 1_000_000.0
+    if res_deg is None:
+        res_deg = max_deg
+    if res_deg < max_deg:
+        raise ValueError(
+            f"res_deg={res_deg} < max band edge {max_deg}: the 3x3 "
+            "probe cannot see all pairs; use res_deg >= the largest "
+            "band edge"
+        )
+    probes = points.select(
+        F.col(id_col).alias("id_a"),
+        F.col("lon"),
+        F.col("lat"),
+        F.col(value_col).cast("bigint").alias("v_a"),
+        F.explode(
+            neighbor_cells(F.col("lon"), F.col("lat"), res_deg)
+        ).alias("probe_cell"),
+    )
+    cand = points.select(
+        grid_cell(F.col("lon"), F.col("lat"), res_deg).alias("c_cell"),
+        F.col(id_col).alias("id_b"),
+        F.col("lon").alias("c_lon"),
+        F.col("lat").alias("c_lat"),
+        F.col(value_col).cast("bigint").alias("v_b"),
+    )
+    if join_hint:
+        cand = cand.hint(join_hint)
+    dlon_raw = F.abs(F.col("lon") - F.col("c_lon"))
+    dlon = F.least(dlon_raw, F.lit(360.0) - dlon_raw)
+    dlat = F.col("lat") - F.col("c_lat")
+    d2_expr = dlon * dlon + dlat * dlat
+    dv = F.col("v_a") - F.col("v_b")
+    pairs = (
+        probes.join(cand, probes.probe_cell == cand.c_cell)
+        .where(
+            (F.col("id_a") < F.col("id_b"))
+            & (d2_expr <= F.lit(max_deg * max_deg))
+        )
+        .select(d2_expr.alias("d2"), (dv * dv).alias("sq"))
+    )
+    lo = [0.0] + [(r / 1_000_000.0) ** 2 for r in edges[:-1]]
+    hi = [(r / 1_000_000.0) ** 2 for r in edges]
+    aggs = []
+    for i, (a, b) in enumerate(zip(lo, hi)):
+        in_band = (
+            (F.col("d2") <= F.lit(b))
+            if i == 0
+            else (F.col("d2") > F.lit(a)) & (F.col("d2") <= F.lit(b))
+        )
+        aggs.append(F.count_if(in_band).alias(f"_n_{i}"))
+        aggs.append(
+            F.coalesce(
+                F.sum(F.when(in_band, F.col("sq"))), F.lit(0)
+            ).cast("bigint").alias(f"_s_{i}")
+        )
+    row = pairs.agg(*aggs).crossJoin(
+        F.broadcast(points.agg(F.count(F.lit(1)).alias("_np")))
+    )
+    stack = ", ".join(
+        f"{r}L, _n_{i}, _s_{i}" for i, r in enumerate(edges)
+    )
+    return row.select(
+        F.expr(
+            f"stack({len(edges)}, {stack}) AS "
+            "(band_udeg, n_pairs, sum_sq_diff)"
+        ),
+        F.col("_np").alias("n_points"),
+    ).select("band_udeg", "n_pairs", "sum_sq_diff", "n_points")
+
+
+def semivariogram_sql(
+    src: str,
+    band_edges_udeg: "Sequence[int]",
+    value_col: str,
+    id_col: str = "url",
+) -> str:
+    """DuckDB twin of :func:`semivariogram_counts` — the naive O(n²)
+    pair join over the definition, so the 3×3 probe and the
+    single-sweep banding are what the hash verifies.  ``src`` exposes
+    (id, lon, lat, value)."""
+    edges = [int(r) for r in band_edges_udeg]
+    lo = ["0.0"] + [
+        f"({r} / 1000000.0) * ({r} / 1000000.0)" for r in edges[:-1]
+    ]
+    hi = [f"({r} / 1000000.0) * ({r} / 1000000.0)" for r in edges]
+    branches = " UNION ALL ".join(
+        f"""
+        SELECT CAST({r} AS BIGINT) AS band_udeg,
+               CAST(COALESCE(SUM(CASE WHEN {cond} THEN 1 END), 0)
+                    AS BIGINT) AS n_pairs,
+               CAST(COALESCE(SUM(CASE WHEN {cond} THEN p.sq END), 0)
+                    AS BIGINT) AS sum_sq_diff
+        FROM sv_pairs p
+        """
+        for r, cond in zip(
+            edges,
+            [
+                f"p.d2 <= {hi[0]}"
+            ]
+            + [
+                f"p.d2 > {a} AND p.d2 <= {b}"
+                for a, b in zip(lo[1:], hi[1:])
+            ],
+        )
+    )
+    max_deg_sq = hi[-1]
+    return f"""
+        WITH sv_pts AS (
+            SELECT {id_col} AS pid, lon, lat,
+                   CAST({value_col} AS BIGINT) AS v
+            FROM {src}
+        ),
+        sv_pairs AS (
+            SELECT LEAST(ABS(a.lon - b.lon), 360.0 - ABS(a.lon - b.lon))
+                   * LEAST(ABS(a.lon - b.lon), 360.0 - ABS(a.lon - b.lon))
+                   + (a.lat - b.lat) * (a.lat - b.lat) AS d2,
+                   (a.v - b.v) * (a.v - b.v) AS sq
+            FROM sv_pts a JOIN sv_pts b ON a.pid < b.pid
+            WHERE LEAST(ABS(a.lon - b.lon), 360.0 - ABS(a.lon - b.lon))
+                  * LEAST(ABS(a.lon - b.lon), 360.0 - ABS(a.lon - b.lon))
+                  + (a.lat - b.lat) * (a.lat - b.lat) <= {max_deg_sq}
+        ),
+        sv_n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_points FROM sv_pts)
+        SELECT b.band_udeg, b.n_pairs, b.sum_sq_diff, n.n_points
+        FROM ({branches}) b CROSS JOIN sv_n n
+    """
+
+
 def od_gravity_residuals(
     flows: DataFrame,
     min_flows: int = 1,
