@@ -741,6 +741,31 @@ def q_semivariogram(spark, sf_dir):
     )
 
 
+def q_cell_compact(spark, sf_dir):
+    """H3-style cover compaction (spatial.compact_cells): build the
+    crawl's cell cover — dense res-5 neighborhoods expanded to res 7
+    via uncompact_cells (complete 4²-blocks by construction) plus
+    sparse res-7 singles — then compact it back to the minimal
+    mixed-resolution set.  Spark runs the bottom-up 4-sibling promote
+    loop (per-level shuffle shrinking 4×); the oracle computes the
+    structurally different closed form (maximal complete ancestors),
+    so the loop's equivalence to the definition is hash-verified."""
+    pages = _pages(spark, sf_dir)
+    cells7 = pages.select(
+        spatial.hier_cell(F.col("lon"), F.col("lat"), 7).alias("cell")
+    )
+    rollup = cells7.groupBy("cell").agg(F.count(F.lit(1)).alias("n"))
+    dense5 = (
+        rollup.where(F.col("n") >= 3)
+        .select(spatial.cell_parent(F.col("cell"), 5, 7).alias("cell"))
+        .distinct()
+    )
+    dense7 = spatial.uncompact_cells(dense5, 7)
+    sparse7 = rollup.where(F.col("n") < 3).select("cell")
+    cover = dense7.unionByName(sparse7).distinct()
+    return spatial.compact_cells(cover, 7)
+
+
 def q_areal_interp(spark, sf_dir):
     """Areal interpolation (spatial.areal_interp): page bounding boxes
     (the str_leaves deterministic µdeg rects) re-based onto a 15° zone
@@ -3829,6 +3854,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "areal_interp": q_areal_interp,
         "ripley_k": q_ripley_k,
         "semivariogram": q_semivariogram,
+        "cell_compact": q_cell_compact,
         "tile_rollup_incremental": q_tile_rollup_incremental,
         "tile_dilate": q_tile_dilate,
         "tile_erode": q_tile_erode,
@@ -5103,6 +5129,30 @@ def oracle_sql() -> dict[str, str]:
                 'rk_latest',
                 [250_000, 500_000, 1_000_000, 2_000_000],
             )})
+        """),
+        "cell_compact": _with_pages(f"""
+            , ccq_cells AS (
+                SELECT {spatial.hier_cell_sql('lon', 'lat', 7)} AS cell,
+                       COUNT(*) AS n
+                FROM pages p GROUP BY 1
+            ),
+            ccq_dense5 AS (
+                SELECT DISTINCT CAST({5 << 36}
+                       + ((cell & {spatial._BASE_MASK}) >> 4) AS BIGINT)
+                       AS cell
+                FROM ccq_cells WHERE n >= 3
+            ),
+            ccq_dense7 AS (
+                {spatial.uncompact_cells_sql('ccq_dense5', 7)}
+            ),
+            ccq_cover AS (
+                SELECT DISTINCT cell FROM (
+                    SELECT cell FROM ccq_dense7
+                    UNION ALL
+                    SELECT cell FROM ccq_cells WHERE n < 3
+                )
+            )
+            SELECT * FROM ({spatial.compact_cells_sql('ccq_cover', 7)})
         """),
         "semivariogram": _with_pages(f"""
             , sv_rollup AS (

@@ -341,6 +341,189 @@ def cell_contains(ancestor: Column, descendant: Column) -> Column:
     return (rd >= ra) & (F.call_function("shiftright", bd, delta) == ba)
 
 
+def compact_cells(
+    cells: DataFrame, res: int, cell_col: str = "cell"
+) -> DataFrame:
+    """H3 ``compactCells``-style cover compaction over the
+    hierarchical cell tree: the minimal mixed-resolution cell set
+    covering exactly the input region — every complete group of 4
+    siblings is replaced by its parent, recursively, until no
+    complete group remains.  The index-maintenance half of the tiling
+    engine: a city-dense crawl cover stored compacted is orders of
+    magnitude smaller than its uniform-resolution expansion, and
+    :func:`cell_contains` prefix joins work unchanged against it.
+
+    Input: ``cell_col`` of UNIFORM resolution ``res`` (validated with
+    one bounded probe; duplicates are dropped — a cover is a set).
+
+    Physical plan: bottom-up promote loop, one hash aggregation per
+    level on the SHRINKING frontier — level L's shuffle is at most
+    |input|/4^(res−L) rows, so the whole loop costs ≤ 4/3 of one
+    pass over the input regardless of depth.  Each level
+    ``localCheckpoint``s (the house iterative-operator rule: bounded
+    lineage, cheap early-exit counts); the loop exits as soon as no
+    group promoted.  At 100 TB the input arrives cell-bucketed and
+    every level's groupBy is a map-side-partial aggregation.
+
+    The DuckDB oracle is the structurally different CLOSED FORM —
+    output = complete ancestors (subtree fully present) whose parent
+    is not complete — so the iterative promotion's equivalence to the
+    definition is itself what the driver hash verifies.
+
+    Output: (cell, res) — maximal complete ancestors plus never-
+    completed input cells."""
+    if not 0 <= res <= MAX_TILE_RES:
+        raise ValueError(f"res must be in [0, {MAX_TILE_RES}], got {res}")
+    frontier = cells.select(F.col(cell_col).alias("cell")).distinct()
+    stray = (
+        frontier.where(cell_res(F.col("cell")) != res).limit(1).count()
+    )
+    if stray:
+        raise ValueError(
+            f"compact_cells: input must be uniform resolution {res}"
+        )
+    frontier = frontier.localCheckpoint(eager=True)
+    kept_parts: list[DataFrame] = []
+    cur = res
+    while cur > 0 and frontier.limit(1).count() > 0:
+        g = frontier.groupBy(
+            cell_parent(F.col("cell"), cur - 1, cur).alias("parent")
+        ).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.collect_list("cell").alias("children"),
+        )
+        promoted = g.where(F.col("n") == 4).select(
+            F.col("parent").alias("cell")
+        )
+        kept = g.where(F.col("n") < 4).select(
+            F.explode("children").alias("cell")
+        )
+        kept_parts.append(kept.localCheckpoint(eager=True))
+        frontier = promoted.localCheckpoint(eager=True)
+        cur -= 1
+    out = frontier
+    for part in kept_parts:
+        out = out.unionByName(part)
+    return out.select(
+        "cell", cell_res(F.col("cell")).alias("res")
+    )
+
+
+def uncompact_cells(
+    cells: DataFrame,
+    target_res: int,
+    cell_col: str = "cell",
+    max_fan_res_delta: int = 8,
+) -> DataFrame:
+    """Inverse of :func:`compact_cells`: expand every cell to ALL its
+    descendants at ``target_res`` (a cell already at target passes
+    through) — ``uncompact(compact(S)) == S`` for any uniform-res set
+    S (property-tested).
+
+    One explode, no loop: a row at resolution r fans into
+    4^(target−r) arithmetic children (tag + base·4^Δ + i).  The fan
+    is data-INDEPENDENT per row and loudly guarded: resolution deltas
+    above ``max_fan_res_delta`` (default 4⁸ = 65 536 children/row)
+    raise instead of silently materializing a memory bomb, and a cell
+    FINER than the target (the cover would not be representable)
+    raises rather than truncating — both checked with one bounded
+    aggregate before the explode."""
+    if not 0 <= target_res <= MAX_TILE_RES:
+        raise ValueError(
+            f"target_res must be in [0, {MAX_TILE_RES}], got {target_res}"
+        )
+    rcol = cell_res(F.col(cell_col))
+    stats = cells.agg(
+        F.min(rcol).alias("mn"), F.max(rcol).alias("mx")
+    ).first()
+    if stats["mn"] is not None:
+        if stats["mx"] > target_res:
+            raise ValueError(
+                f"uncompact_cells: input contains resolution "
+                f"{stats['mx']} finer than target {target_res}"
+            )
+        if target_res - stats["mn"] > max_fan_res_delta:
+            raise ValueError(
+                f"uncompact_cells: fan 4^{target_res - stats['mn']} "
+                f"exceeds the 4^{max_fan_res_delta} guard; compact "
+                "coarse levels separately or raise max_fan_res_delta"
+            )
+    delta = (F.lit(target_res) - rcol).cast("int")
+    base = F.col(cell_col).bitwiseAND(F.lit(_BASE_MASK))
+    fan = F.call_function(
+        "shiftleft", F.lit(1).cast("bigint"), delta * 2
+    )
+    child = (
+        F.lit(target_res << _RES_SHIFT)
+        + F.call_function("shiftleft", base, delta * 2)
+        + F.col("_i")
+    ).cast("bigint")
+    return (
+        cells.select(
+            F.col(cell_col),
+            F.explode(
+                F.sequence(F.lit(0).cast("bigint"), fan - 1)
+            ).alias("_i"),
+        )
+        .select(child.alias("cell"))
+    )
+
+
+def compact_cells_sql(src: str, res: int, cell_col: str = "cell") -> str:
+    """DuckDB twin of :func:`compact_cells` — the closed form: for
+    every level q ≤ res, an ancestor is COMPLETE iff all 4^(res−q)
+    of its res-level descendants are present; the compacted cover is
+    the complete cells whose parent is not complete (input cells
+    count as complete at q = res).  ``src`` exposes ``cell_col`` at
+    uniform resolution ``res``."""
+    levels = []
+    for q in range(res + 1):
+        shift = 2 * (res - q)
+        levels.append(f"""
+        SELECT CAST({q << _RES_SHIFT} + (base >> {shift}) AS BIGINT)
+                   AS cell,
+               {q} AS res,
+               COUNT(*) = {4 ** (res - q)} AS complete,
+               base >> {shift} AS qbase
+        FROM cc_base GROUP BY base >> {shift}
+        """)
+    all_levels = " UNION ALL ".join(levels)
+    return f"""
+        WITH cc_base AS (
+            SELECT DISTINCT {cell_col} & {_BASE_MASK} AS base FROM {src}
+        ),
+        cc_levels AS ({all_levels}),
+        cc_complete AS (
+            SELECT cell, res, qbase FROM cc_levels WHERE complete
+        )
+        SELECT c.cell, c.res
+        FROM cc_complete c
+        LEFT JOIN cc_complete p
+          ON p.res = c.res - 1 AND p.qbase = c.qbase >> 2
+        WHERE c.res = 0 OR p.cell IS NULL
+    """
+
+
+def uncompact_cells_sql(
+    src: str, target_res: int, cell_col: str = "cell"
+) -> str:
+    """DuckDB twin of :func:`uncompact_cells` (arithmetic child fan
+    via a range join; mixed input resolutions)."""
+    return f"""
+        SELECT CAST({target_res << _RES_SHIFT}
+                    + ((s.{cell_col} & {_BASE_MASK})
+                       << (2 * ({target_res} - (s.{cell_col}
+                           >> {_RES_SHIFT}))))
+                    + g.i AS BIGINT) AS cell
+        FROM {src} s
+        CROSS JOIN LATERAL (
+            SELECT UNNEST(RANGE(0, CAST(POW(4, {target_res}
+                  - (s.{cell_col} >> {_RES_SHIFT})) AS BIGINT)))
+                AS i
+        ) g
+    """
+
+
 def _compact_bits(v: Column) -> Column:
     """Inverse of :func:`_spread_bits`: gather the even bits of a
     32-bit interleave back into 16 contiguous bits."""
