@@ -39,6 +39,7 @@ from openstreetmap_license_change_spark.operators import (
     textops,
 )
 from openstreetmap_license_change_spark.operators import (
+    evaluation,
     profile as profile_mod,
     rtree as rtree_mod,
     sampling,
@@ -739,6 +740,41 @@ def q_semivariogram(spark, sf_dir):
         pts, [500_000, 1_000_000, 2_000_000], "n_pages",
         id_col="cell", res_deg=2.0,
     )
+
+
+def q_auc_eval(spark, sf_dir):
+    """Exact tie-corrected ROC-AUC (evaluation.roc_auc) of document
+    length as a predictor of digit-bearing documents, per language —
+    the quality-classifier evaluation op: Mann–Whitney doubled-rank
+    integer form over distinct scores (never a pair join), degenerate
+    groups NULL, decimal(38)/HUGEINT wide terms."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    scored = docs.select(
+        "lang",
+        F.col("n_chars").cast("bigint").alias("score"),
+        F.col("text").rlike("[0-9]").alias("label"),
+    )
+    return evaluation.roc_auc(scored, "lang", "score", "label")
+
+
+def q_annotator_kappa(spark, sf_dir):
+    """Exact Cohen's kappa (evaluation.cohen_kappa) between two
+    deterministic annotators of document keep/drop decisions per
+    language — the labeling-QA op: annotator A thresholds n_chars at
+    300, annotator B applies a doc_id-keyed perturbation before the
+    same threshold (a reproducible 'noisy second rater').  N-cleared
+    contingency closed form, sign-decomposed truncating division."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    labeled = docs.select(
+        "lang",
+        F.when(F.col("n_chars") >= 300, "keep").otherwise("drop")
+        .alias("la"),
+        F.when(
+            F.col("n_chars") + (F.col("doc_id") * 37) % 120 - 60 >= 300,
+            "keep",
+        ).otherwise("drop").alias("lb"),
+    )
+    return evaluation.cohen_kappa(labeled, "lang", "la", "lb")
 
 
 def q_cell_compact(spark, sf_dir):
@@ -3855,6 +3891,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ripley_k": q_ripley_k,
         "semivariogram": q_semivariogram,
         "cell_compact": q_cell_compact,
+        "auc_eval": q_auc_eval,
+        "annotator_kappa": q_annotator_kappa,
         "tile_rollup_incremental": q_tile_rollup_incremental,
         "tile_dilate": q_tile_dilate,
         "tile_erode": q_tile_erode,
@@ -5130,6 +5168,31 @@ def oracle_sql() -> dict[str, str]:
                 [250_000, 500_000, 1_000_000, 2_000_000],
             )})
         """),
+        "auc_eval": f"""
+            WITH auc_src AS (
+                SELECT lang,
+                       CAST(n_chars AS BIGINT) AS score,
+                       regexp_matches(text, '[0-9]') AS label
+                FROM documents
+            )
+            SELECT * FROM ({evaluation.roc_auc_sql(
+                'auc_src', 'lang', 'score', 'label'
+            )})
+        """,
+        "annotator_kappa": f"""
+            WITH ck_src AS (
+                SELECT lang,
+                       CASE WHEN n_chars >= 300 THEN 'keep'
+                            ELSE 'drop' END AS la,
+                       CASE WHEN n_chars + (doc_id * 37) % 120 - 60
+                                 >= 300 THEN 'keep'
+                            ELSE 'drop' END AS lb
+                FROM documents
+            )
+            SELECT * FROM ({evaluation.cohen_kappa_sql(
+                'ck_src', 'lang', 'la', 'lb'
+            )})
+        """,
         "cell_compact": _with_pages(f"""
             , ccq_cells AS (
                 SELECT {spatial.hier_cell_sql('lon', 'lat', 7)} AS cell,

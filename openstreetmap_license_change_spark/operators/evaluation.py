@@ -1,0 +1,276 @@
+"""Exact model-evaluation operators for the curation pipeline.
+
+A 100-TB training-data pipeline lives and dies by its quality
+classifiers (which documents to keep) and its labelers (human or
+model annotators): these operators grade BOTH, with the engine's
+exact-integer discipline — no float accumulation, no sampling —
+so evaluation numbers are reproducible across engines, partitionings
+and reruns (hash-verified by the DuckDB twins, parallelism-audited
+by the determinism CI).
+
+* :func:`roc_auc` — per-group tie-corrected ROC-AUC of a score
+  against a binary label, the Mann–Whitney integer form: never a
+  per-pair join, one aggregation over DISTINCT scores.
+* :func:`cohen_kappa` — per-group inter-annotator chance-corrected
+  agreement over categorical labels, the contingency closed form.
+
+Reference anchor: the reference's acceptance decisions are binary
+per-user "agreed?" labels joined onto edits (change_bot.rb:40-76);
+these operators are the evaluation layer such a licensing/curation
+decision system needs at corpus scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+_DEC = "decimal(38,0)"
+
+
+def roc_auc(
+    scored: DataFrame,
+    group_col: str,
+    score_col: str,
+    label_col: str,
+) -> DataFrame:
+    """Exact tie-corrected ROC-AUC per group — the probability that a
+    random positive outscores a random negative, ties counting half:
+    the Mann–Whitney statistic
+
+        2U = 2·Σ_{pos} R̄ − n₊(n₊+1),
+        auc_ppm = (2U · 10⁶) DIV (2·n₊·n₋)
+
+    with R̄ the AVERAGE rank of a tie class.  The doubled form keeps
+    every intermediate an integer: a tie class occupying positions
+    [c+1, c+k] has 2R̄ = 2c + k + 1 exactly.
+
+    Physical plan — never the O(n²) pair join the definition
+    suggests: one groupBy((group, score)) collapses the corpus to
+    distinct scores with (count, positives); one window per group
+    ORDERED BY score over those DISTINCT rows builds the running
+    rank offset (cardinality = score cardinality, not corpus rows —
+    a quantized quality score has thousands of distinct values at
+    any corpus size, and the window is group-partitioned, so no
+    single-partition WindowExec); one final groupBy emits the
+    statistic.  Wide terms (Σ pos·2R̄ is O(n²)) ride decimal(38,0) /
+    HUGEINT, division truncates — identically in both engines on the
+    non-negative 2U.
+
+    Degenerate groups (no positives or no negatives) emit NULL
+    auc_ppm with their counts — visible, not dropped.
+
+    Output: (group, n_pos, n_neg, auc_ppm ∈ [0, 10⁶])."""
+    g = (
+        scored.select(
+            F.col(group_col).alias("grp"),
+            F.col(score_col).alias("score"),
+            F.col(label_col).cast("int").alias("lab"),
+        )
+        .groupBy("grp", "score")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum("lab").alias("pos"),
+        )
+    )
+    w = (
+        Window.partitionBy("grp")
+        .orderBy("score")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ranked = g.select(
+        "grp",
+        "cnt",
+        "pos",
+        (
+            F.lit(2) * (F.sum("cnt").over(w) - F.col("cnt"))
+            + F.col("cnt")
+            + F.lit(1)
+        ).alias("rank2"),
+    )
+    agg = ranked.groupBy("grp").agg(
+        F.sum("pos").cast("bigint").alias("n_pos"),
+        F.sum(F.col("cnt") - F.col("pos")).cast("bigint").alias("n_neg"),
+        F.sum(F.expr(f"CAST(pos AS {_DEC}) * rank2")).alias("_r2"),
+    )
+    return agg.select(
+        F.col("grp").alias(group_col),
+        "n_pos",
+        "n_neg",
+        F.expr(
+            f"CAST(CASE WHEN n_pos = 0 OR n_neg = 0 THEN NULL ELSE "
+            f"((_r2 - CAST(n_pos AS {_DEC}) * (n_pos + 1)) * 1000000) "
+            f"DIV (2 * CAST(n_pos AS {_DEC}) * n_neg) END AS BIGINT)"
+        ).alias("auc_ppm"),
+    )
+
+
+def roc_auc_sql(
+    src: str, group_col: str, score_col: str, label_col: str
+) -> str:
+    """DuckDB twin of :func:`roc_auc` (same doubled-rank integer
+    form; HUGEINT wide terms, ``//`` on the non-negative numerator
+    truncates identically to Spark's DIV)."""
+    return f"""
+        WITH auc_g AS (
+            SELECT {group_col} AS grp, {score_col} AS score,
+                   COUNT(*) AS cnt,
+                   CAST(SUM(CAST({label_col} AS INT)) AS BIGINT) AS pos
+            FROM {src}
+            GROUP BY 1, 2
+        ),
+        auc_rank AS (
+            SELECT grp, cnt, pos,
+                   2 * (SUM(cnt) OVER (
+                         PARTITION BY grp ORDER BY score
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND CURRENT ROW) - cnt) + cnt + 1 AS rank2
+            FROM auc_g
+        ),
+        auc_agg AS (
+            SELECT grp,
+                   CAST(SUM(pos) AS BIGINT) AS n_pos,
+                   CAST(SUM(cnt - pos) AS BIGINT) AS n_neg,
+                   SUM(CAST(pos AS HUGEINT) * rank2) AS r2
+            FROM auc_rank
+            GROUP BY 1
+        )
+        SELECT grp AS {group_col}, n_pos, n_neg,
+               CAST(CASE WHEN n_pos = 0 OR n_neg = 0 THEN NULL ELSE
+                    ((r2 - CAST(n_pos AS HUGEINT) * (n_pos + 1))
+                     * 1000000)
+                    // (2 * CAST(n_pos AS HUGEINT) * n_neg)
+               END AS BIGINT) AS auc_ppm
+        FROM auc_agg
+    """
+
+
+def cohen_kappa(
+    labels: DataFrame,
+    group_col: str,
+    a_col: str,
+    b_col: str,
+) -> DataFrame:
+    """Exact Cohen's kappa per group — chance-corrected agreement
+    between two annotators over a shared categorical label space:
+
+        κ = (pₒ − pₑ)/(1 − pₑ)
+          = (N·Σₖ dₖ − Σₖ rₖ·cₖ) / (N² − Σₖ rₖ·cₖ)
+
+    (dₖ diagonal counts, rₖ/cₖ the annotators' marginals) — the
+    N-cleared rational form, evaluated exactly: kappa_ppm is the
+    numerator·10⁶ divided by the denominator with TRUNC-toward-zero
+    on both engines (κ can be negative — worse than chance — so the
+    twin uses sign decomposition: DuckDB's ``//`` floors, Spark's
+    DIV truncates, and they only agree on non-negative operands).
+
+    Physical plan: one groupBy((group, a, b)) contingency pass over
+    the corpus, then marginal products joined per label — everything
+    downstream of the first aggregation is |labels|²-bounded per
+    group, not corpus-bounded.  Perfect-marginal-degenerate groups
+    (pₑ = 1, e.g. both annotators constant) emit NULL kappa_ppm.
+
+    Output: (group, n, n_agree, kappa_ppm ∈ [−10⁶, 10⁶])."""
+    cont = (
+        labels.select(
+            F.col(group_col).alias("grp"),
+            F.col(a_col).alias("la"),
+            F.col(b_col).alias("lb"),
+        )
+        .groupBy("grp", "la", "lb")
+        .agg(F.count(F.lit(1)).alias("m"))
+    )
+    # marginals self-join: rename the right side's key columns so the
+    # equi-join is unambiguous (both legs share cont's lineage)
+    ra = cont.groupBy("grp", "la").agg(F.sum("m").alias("rk"))
+    cb = (
+        cont.groupBy("grp", "lb")
+        .agg(F.sum("m").alias("ck"))
+        .withColumnRenamed("grp", "grp_b")
+    )
+    rc = (
+        ra.join(
+            cb,
+            (F.col("grp") == F.col("grp_b"))
+            & (F.col("la") == F.col("lb")),
+        )
+        .select(
+            "grp",
+            F.expr(f"CAST(rk AS {_DEC}) * ck").alias("rc"),
+        )
+        .groupBy("grp")
+        .agg(F.sum("rc").alias("sum_rc"))
+    )
+    tot = cont.groupBy("grp").agg(
+        F.sum("m").cast("bigint").alias("n"),
+        F.coalesce(
+            F.sum(F.when(F.col("la") == F.col("lb"), F.col("m"))),
+            F.lit(0),
+        )
+        .cast("bigint")
+        .alias("n_agree"),
+    )
+    j = tot.join(rc, "grp")
+    num = f"(CAST(n AS {_DEC}) * n_agree - sum_rc)"
+    den = f"(CAST(n AS {_DEC}) * n - sum_rc)"
+    return j.select(
+        F.col("grp").alias(group_col),
+        "n",
+        "n_agree",
+        F.expr(
+            f"CAST(CASE WHEN {den} = 0 THEN NULL "
+            f"WHEN {num} < 0 THEN "
+            f"-((-{num} * 1000000) DIV {den}) "
+            f"ELSE ({num} * 1000000) DIV {den} "
+            f"END AS BIGINT)"
+        ).alias("kappa_ppm"),
+    )
+
+
+def cohen_kappa_sql(
+    src: str, group_col: str, a_col: str, b_col: str
+) -> str:
+    """DuckDB twin of :func:`cohen_kappa` (HUGEINT contingency
+    closed form, sign-decomposed truncating division)."""
+    return f"""
+        WITH ck_cont AS (
+            SELECT {group_col} AS grp, {a_col} AS la, {b_col} AS lb,
+                   COUNT(*) AS m
+            FROM {src}
+            GROUP BY 1, 2, 3
+        ),
+        ck_ra AS (
+            SELECT grp, la, CAST(SUM(m) AS BIGINT) AS rk
+            FROM ck_cont GROUP BY 1, 2
+        ),
+        ck_cb AS (
+            SELECT grp, lb, CAST(SUM(m) AS BIGINT) AS ck
+            FROM ck_cont GROUP BY 1, 2
+        ),
+        ck_rc AS (
+            SELECT a.grp,
+                   SUM(CAST(a.rk AS HUGEINT) * b.ck) AS sum_rc
+            FROM ck_ra a JOIN ck_cb b
+              ON a.grp = b.grp AND a.la = b.lb
+            GROUP BY 1
+        ),
+        ck_tot AS (
+            SELECT grp, CAST(SUM(m) AS BIGINT) AS n,
+                   CAST(COALESCE(SUM(CASE WHEN la = lb THEN m END), 0)
+                        AS BIGINT) AS n_agree
+            FROM ck_cont GROUP BY 1
+        )
+        SELECT t.grp AS {group_col}, t.n, t.n_agree,
+               CAST(CASE
+                 WHEN CAST(t.n AS HUGEINT) * t.n - r.sum_rc = 0
+                   THEN NULL
+                 WHEN CAST(t.n AS HUGEINT) * t.n_agree - r.sum_rc < 0
+                   THEN -((-(CAST(t.n AS HUGEINT) * t.n_agree
+                             - r.sum_rc) * 1000000)
+                          // (CAST(t.n AS HUGEINT) * t.n - r.sum_rc))
+                 ELSE ((CAST(t.n AS HUGEINT) * t.n_agree - r.sum_rc)
+                       * 1000000)
+                      // (CAST(t.n AS HUGEINT) * t.n - r.sum_rc)
+               END AS BIGINT) AS kappa_ppm
+        FROM ck_tot t JOIN ck_rc r USING (grp)
+    """
