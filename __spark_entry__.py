@@ -742,6 +742,15 @@ def q_semivariogram(spark, sf_dir):
     )
 
 
+def q_rake_keywords(spark, sf_dir):
+    """RAKE keyword extraction (textops.rake_keywords): per-document
+    top-3 keyphrases by the exact deg/freq ppm score — stopword/
+    punctuation-broken candidate runs via the gaps-and-islands trick,
+    document-keyed windows throughout, total-order tie-break."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return textops.rake_keywords(docs, k=3)
+
+
 def q_auc_eval(spark, sf_dir):
     """Exact tie-corrected ROC-AUC (evaluation.roc_auc) of document
     length as a predictor of digit-bearing documents, per language —
@@ -3891,6 +3900,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ripley_k": q_ripley_k,
         "semivariogram": q_semivariogram,
         "cell_compact": q_cell_compact,
+        "rake_keywords": q_rake_keywords,
         "auc_eval": q_auc_eval,
         "annotator_kappa": q_annotator_kappa,
         "tile_rollup_incremental": q_tile_rollup_incremental,
@@ -5168,6 +5178,7 @@ def oracle_sql() -> dict[str, str]:
                 [250_000, 500_000, 1_000_000, 2_000_000],
             )})
         """),
+        "rake_keywords": textops.rake_keywords_sql("documents", k=3),
         "auc_eval": f"""
             WITH auc_src AS (
                 SELECT lang,

@@ -2632,3 +2632,180 @@ def charset_profile_sql(
                    AS BIGINT) AS n_other
         FROM cs_base
     """
+
+
+# ---------------------------------------------------------------------------
+# RAKE keyword extraction
+# ---------------------------------------------------------------------------
+
+def rake_keywords(
+    docs: DataFrame,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    stopwords: "list[str] | None" = None,
+) -> DataFrame:
+    """RAKE keyword extraction (Rose et al. 2010), the exact-integer
+    form — per-document top-k multi-word keyphrases for corpus
+    indexing/labeling:
+
+    1. candidate phrases = maximal runs of MEMBER tokens (lowercase
+       pure-alphabetic, not a stopword); stopwords, numbers,
+       punctuation-bearing and empty tokens all break phrases;
+    2. per document and word: freq(w) = member occurrences,
+       deg(w) = Σ over occurrences of the containing phrase's length
+       (RAKE's co-occurrence degree, self included);
+    3. word_score_ppm = (deg·10⁶) DIV freq — the deg/freq rational
+       cleared to ppm, truncating (both engines, non-negative);
+    4. phrase_score_ppm = Σ word_score_ppm over the phrase's member
+       OCCURRENCES (a word repeated in a phrase counts each time —
+       the reference algorithm's convention);
+    5. keywords = DISTINCT phrase strings per document, top-k by
+       (score desc, phrase asc) — a total order, so ranks are
+       reproducible.
+
+    Identical phrase strings always carry identical scores (same
+    words ⇒ same word scores), so the distinct step is lossless.
+
+    Physical plan: one posexplode over the corpus, islands via the
+    gaps-and-islands row_number trick (position − member rank is
+    constant within a run), phrase length by a doc-partitioned
+    window, word stats by one groupBy((doc, word)), scores joined
+    back on (doc, word) — every window and shuffle is document- or
+    word-keyed, nothing global.  All arithmetic int64 (per-document
+    counts are document-bounded).
+
+    Output: (doc_id, phrase, n_words, score_ppm, rk ∈ [1, k])."""
+    from pyspark.sql import Window as W
+
+    stops = stopwords if stopwords is not None else STOPWORDS["en"]
+    stop_arr = F.array(*[F.lit(s) for s in stops])
+    toks = docs.select(
+        F.col(id_col).alias("doc"),
+        F.posexplode(
+            F.split(F.lower(F.col(text_col)), r"\s+")
+        ).alias("pos", "tok"),
+    )
+    members = toks.where(
+        F.col("tok").rlike("^[a-z]+$")
+        & ~F.array_contains(stop_arr, F.col("tok"))
+    )
+    rn = F.row_number().over(W.partitionBy("doc").orderBy("pos"))
+    isl = members.select(
+        "doc", "pos", "tok", (F.col("pos") - rn).alias("isl")
+    )
+    plen = F.count(F.lit(1)).over(W.partitionBy("doc", "isl"))
+    occ = isl.select("doc", "pos", "tok", "isl", plen.alias("plen"))
+    words = occ.groupBy("doc", "tok").agg(
+        F.count(F.lit(1)).alias("freq"),
+        F.sum("plen").alias("deg"),
+    )
+    scored = occ.join(words, ["doc", "tok"]).select(
+        "doc",
+        "pos",
+        "tok",
+        "isl",
+        F.expr("(deg * 1000000L) DIV freq").alias("wscore"),
+    )
+    phrases = scored.groupBy("doc", "isl").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("pos", "tok"))
+                ),
+                lambda s: s["tok"],
+            ),
+            " ",
+        ).alias("phrase"),
+        F.count(F.lit(1)).cast("bigint").alias("n_words"),
+        F.sum("wscore").cast("bigint").alias("score_ppm"),
+    )
+    dedup = phrases.groupBy("doc", "phrase").agg(
+        F.max("n_words").alias("n_words"),
+        F.max("score_ppm").alias("score_ppm"),
+    )
+    rk = F.row_number().over(
+        W.partitionBy("doc").orderBy(
+            F.desc("score_ppm"), F.asc("phrase")
+        )
+    )
+    return (
+        dedup.select(
+            F.col("doc").alias(id_col),
+            "phrase",
+            "n_words",
+            "score_ppm",
+            rk.alias("rk"),
+        )
+        .where(F.col("rk") <= k)
+    )
+
+
+def rake_keywords_sql(
+    src: str,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    stopwords: "list[str] | None" = None,
+) -> str:
+    """DuckDB twin of :func:`rake_keywords` (subscript-generated
+    positions, the same islands/degree/score pipeline)."""
+    stops = stopwords if stopwords is not None else STOPWORDS["en"]
+    stop_list = ", ".join(f"'{s}'" for s in stops)
+    return f"""
+        WITH rake_toks AS (
+            SELECT {id_col} AS doc, i AS pos, ts[i] AS tok
+            FROM (
+                SELECT {id_col},
+                       string_split_regex(lower({text_col}), '\\s+') AS ts
+                FROM {src}
+            ) t,
+            LATERAL (SELECT UNNEST(range(1, len(ts) + 1)) AS i) g
+        ),
+        rake_members AS (
+            SELECT doc, pos, tok,
+                   pos - ROW_NUMBER() OVER (
+                       PARTITION BY doc ORDER BY pos) AS isl
+            FROM rake_toks
+            WHERE regexp_full_match(tok, '[a-z]+')
+              AND tok NOT IN ({stop_list})
+        ),
+        rake_occ AS (
+            SELECT doc, pos, tok, isl,
+                   COUNT(*) OVER (PARTITION BY doc, isl) AS plen
+            FROM rake_members
+        ),
+        rake_words AS (
+            SELECT doc, tok,
+                   COUNT(*) AS freq,
+                   CAST(SUM(plen) AS BIGINT) AS deg
+            FROM rake_occ GROUP BY 1, 2
+        ),
+        rake_scored AS (
+            SELECT o.doc, o.pos, o.tok, o.isl,
+                   (w.deg * 1000000) // w.freq AS wscore
+            FROM rake_occ o
+            JOIN rake_words w ON w.doc = o.doc AND w.tok = o.tok
+        ),
+        rake_phrases AS (
+            SELECT doc, isl,
+                   STRING_AGG(tok, ' ' ORDER BY pos) AS phrase,
+                   CAST(COUNT(*) AS BIGINT) AS n_words,
+                   CAST(SUM(wscore) AS BIGINT) AS score_ppm
+            FROM rake_scored GROUP BY 1, 2
+        ),
+        rake_dedup AS (
+            SELECT doc, phrase,
+                   MAX(n_words) AS n_words,
+                   MAX(score_ppm) AS score_ppm
+            FROM rake_phrases GROUP BY 1, 2
+        )
+        SELECT doc AS {id_col}, phrase, n_words, score_ppm, rk
+        FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                       PARTITION BY doc
+                       ORDER BY score_ppm DESC, phrase ASC) AS rk
+            FROM rake_dedup
+        ) ranked
+        WHERE rk <= {int(k)}
+    """
