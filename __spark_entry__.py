@@ -742,6 +742,20 @@ def q_semivariogram(spark, sf_dir):
     )
 
 
+def q_image_equalize(spark, sf_dir):
+    """Exact histogram-equalization LUT rows
+    (multimodal.image_equalize) over the deterministic raw-RGB
+    images: per present gray level (channel-sum luma) the pixel
+    count, running CDF, and the truncating-DIV equalized level.  The
+    oracle regenerates every pixel arithmetically and replays the
+    same integer formula — decode, histogram, and rescale are all
+    hash-verified."""
+    from openstreetmap_license_change_spark.operators import multimodal
+
+    media = multimodal.synthetic_raw_rgb_media(spark, n=16, w=48, h=32)
+    return multimodal.image_equalize(media)
+
+
 def q_rake_keywords(spark, sf_dir):
     """RAKE keyword extraction (textops.rake_keywords): per-document
     top-3 keyphrases by the exact deg/freq ppm score — stopword/
@@ -3901,6 +3915,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semivariogram": q_semivariogram,
         "cell_compact": q_cell_compact,
         "rake_keywords": q_rake_keywords,
+        "image_equalize": q_image_equalize,
         "auc_eval": q_auc_eval,
         "annotator_kappa": q_annotator_kappa,
         "tile_rollup_incremental": q_tile_rollup_incremental,
@@ -5179,6 +5194,41 @@ def oracle_sql() -> dict[str, str]:
             )})
         """),
         "rake_keywords": textops.rake_keywords_sql("documents", k=3),
+        "image_equalize": """
+            WITH eq_imgs AS (SELECT UNNEST(range(0, 16)) AS media_id),
+            eq_pix AS (
+                SELECT i.media_id,
+                       (x.x * 3 + y.y * 7 + 0 + i.media_id * 13) % 256
+                     + (x.x * 3 + y.y * 7 + 11 + i.media_id * 13) % 256
+                     + (x.x * 3 + y.y * 7 + 22 + i.media_id * 13) % 256
+                           AS gray
+                FROM eq_imgs i, range(0, 48) x(x), range(0, 32) y(y)
+            ),
+            eq_hist AS (
+                SELECT media_id, gray,
+                       CAST(COUNT(*) AS BIGINT) AS n_pixels
+                FROM eq_pix GROUP BY 1, 2
+            ),
+            eq_cdf AS (
+                SELECT media_id, gray, n_pixels,
+                       CAST(SUM(n_pixels) OVER (
+                            PARTITION BY media_id ORDER BY gray
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS BIGINT) AS cdf,
+                       CAST(FIRST_VALUE(n_pixels) OVER (
+                            PARTITION BY media_id ORDER BY gray
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS BIGINT) AS cdf_min,
+                       CAST(SUM(n_pixels) OVER (
+                            PARTITION BY media_id) AS BIGINT) AS n
+                FROM eq_hist
+            )
+            SELECT media_id, CAST(gray AS INT) AS gray, n_pixels, cdf,
+                   CAST(CASE WHEN n - cdf_min = 0 THEN 0
+                        ELSE ((cdf - cdf_min) * 255) // (n - cdf_min)
+                   END AS INT) AS lut
+            FROM eq_cdf
+        """,
         "auc_eval": f"""
             WITH auc_src AS (
                 SELECT lang,

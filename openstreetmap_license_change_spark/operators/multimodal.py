@@ -976,3 +976,89 @@ def image_patches(media: DataFrame, patch: int = 16) -> DataFrame:
         .repartition("media_id")
         .mapInPandas(run, schema=PATCH_SCHEMA)
     )
+
+
+# ---------------------------------------------------------------------------
+# exact histogram equalization (the contrast-normalization preprocessor)
+# ---------------------------------------------------------------------------
+
+EQUALIZE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("gray", IntegerType()),
+        StructField("n_pixels", LongType()),
+        StructField("cdf", LongType()),
+        StructField("lut", IntegerType()),
+    ]
+)
+
+
+def image_equalize(media: DataFrame) -> DataFrame:
+    """Exact histogram-equalization LUT per image — the contrast
+    normalization a vision-pretraining pipeline applies before
+    patching (:func:`image_patches` consumes what this normalizes):
+    for every PRESENT gray level g (channel sum r+g+b ∈ [0, 765],
+    the dHash luma convention) emit its pixel count, running CDF,
+    and the equalized output level
+
+        lut(g) = ((cdf(g) − cdf_min) · 255) DIV (N − cdf_min)
+
+    — the OpenCV/GIMP formula with TRUNCATING division instead of a
+    float rescale+round (np.rint half-even vs SQL half-away is a
+    guaranteed eventual engine mismatch; DIV is bit-stable), where
+    cdf_min is the count of the smallest present level.  A constant
+    image (N = cdf_min) maps to 0 by declared convention.
+
+    The LUT rows ARE the result (≤ 766 rows per image — inspectable,
+    joinable back onto pixels to materialize equalized images); the
+    per-image row count is payload-independent, so the output table
+    is metadata-scale, not pixel-scale.
+
+    Arrow-batched mapInPandas over the raw-RGB path; per-image math
+    is one vectorized np.bincount + cumsum — no per-pixel Python.
+    Compressed codecs gate behind STRICT_DECODE as ever.
+
+    Returns (media_id, gray, n_pixels, cdf, lut), present levels
+    only, ordered within an image by gray."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, grays, cnts, cdfs, luts = [], [], [], [], []
+            for mid, payload, w, h in zip(
+                pdf["media_id"], pdf["payload"],
+                pdf["meta_width"], pdf["meta_height"],
+            ):
+                img = _decode_rgb(payload, int(w), int(h)).astype(
+                    np.int64
+                )
+                gray = img.sum(axis=2).ravel()        # ≤ 765
+                counts = np.bincount(gray, minlength=766)
+                present = np.nonzero(counts)[0]
+                cdf = np.cumsum(counts)[present]
+                n = int(gray.size)
+                cdf_min = int(counts[present[0]])
+                den = n - cdf_min
+                if den == 0:
+                    lut = np.zeros(len(present), dtype=np.int64)
+                else:
+                    lut = ((cdf - cdf_min) * 255) // den
+                ids.extend([int(mid)] * len(present))
+                grays.extend(int(v) for v in present)
+                cnts.extend(int(counts[v]) for v in present)
+                cdfs.extend(int(v) for v in cdf)
+                luts.extend(int(v) for v in lut)
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "gray": grays,
+                    "n_pixels": cnts,
+                    "cdf": cdfs,
+                    "lut": luts,
+                }
+            )
+
+    return (
+        media.where(F.col("media_type") == "image")
+        .repartition("media_id")
+        .mapInPandas(run, schema=EQUALIZE_SCHEMA)
+    )
