@@ -742,6 +742,16 @@ def q_semivariogram(spark, sf_dir):
     )
 
 
+def q_mad_outliers(spark, sf_dir):
+    """Robust per-language document-length outlier flags
+    (profile.mad_outliers): exact nearest-rank median + MAD with the
+    cross-multiplied 3.5-MAD test — the heavy-tail-safe curation
+    filter (a single 100 MB page can't move a median).  Group-keyed
+    window passes only, decimal/HUGEINT products."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return profile_mod.mad_outliers(docs, "lang", "doc_id", "n_chars")
+
+
 def q_image_equalize(spark, sf_dir):
     """Exact histogram-equalization LUT rows
     (multimodal.image_equalize) over the deterministic raw-RGB
@@ -3916,6 +3926,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cell_compact": q_cell_compact,
         "rake_keywords": q_rake_keywords,
         "image_equalize": q_image_equalize,
+        "mad_outliers": q_mad_outliers,
         "auc_eval": q_auc_eval,
         "annotator_kappa": q_annotator_kappa,
         "tile_rollup_incremental": q_tile_rollup_incremental,
@@ -5194,6 +5205,9 @@ def oracle_sql() -> dict[str, str]:
             )})
         """),
         "rake_keywords": textops.rake_keywords_sql("documents", k=3),
+        "mad_outliers": profile_mod.mad_outliers_sql(
+            "documents", "lang", "doc_id", "n_chars"
+        ),
         "image_equalize": """
             WITH eq_imgs AS (SELECT UNNEST(range(0, 16)) AS media_id),
             eq_pix AS (

@@ -78,3 +78,128 @@ def column_profile_sql(src: str, cols: Sequence[str]) -> str:
             FROM {src}
         """)
     return " UNION ALL ".join(selects)
+
+
+def mad_outliers(
+    rows: DataFrame,
+    group_col: str,
+    id_col: str,
+    value_col: str,
+    threshold_ppm: int = 3_500_000,
+) -> DataFrame:
+    """Robust per-group outlier flags via the exact median/MAD pair —
+    the curation filter mean/stddev can't be trusted for (a handful
+    of 100 MB documents move a mean arbitrarily; the median ignores
+    them): a row is an outlier iff
+
+        |x − median| · 10⁶  >  threshold_ppm · MAD
+
+    with median = the LOWER nearest-rank median (the value at rank
+    ⌈n/2⌉ = (n+1) DIV 2 — exact, no interpolation, declared) and
+    MAD = the same median of |x − median|.  The comparison is
+    CROSS-MULTIPLIED (the tile_hotspots discipline): no division, no
+    float z-scores, engine-exact; threshold_ppm = 3 500 000 means
+    "3.5 raw MADs" (multiply by 1.4826 yourself if you want
+    σ-equivalents — presentation-layer, not engine).  MAD = 0 (at
+    least half the group identical) degenerates gracefully: ANY
+    deviation flags, which is the right robust answer.
+
+    Physical plan: two group-keyed window passes (rank the values,
+    rank the deviations — each one shuffle on the group key, no
+    global window), medians joined back broadcast-style by group.
+    Wide products ride decimal(38,0)/HUGEINT (|x−med|·10⁶ at
+    x ~ 10¹² would clip int64).
+
+    Output: one row per input row —
+    (group, id, value, med, mad, is_outlier)."""
+    from pyspark.sql import Window as W
+
+    base = rows.select(
+        F.col(group_col).alias("grp"),
+        F.col(id_col).alias("rid"),
+        F.col(value_col).cast("bigint").alias("x"),
+    )
+
+    def _median_of(df: DataFrame, col: str) -> DataFrame:
+        w = W.partitionBy("grp").orderBy(col)
+        ranked = df.select(
+            "grp",
+            F.col(col),
+            F.row_number().over(w).alias("_rn"),
+            F.count(F.lit(1)).over(W.partitionBy("grp")).alias("_n"),
+        )
+        return ranked.where(
+            F.expr("_rn = (_n + 1) DIV 2")
+        ).select("grp", F.col(col).alias("_med"))
+
+    med = _median_of(base, "x").withColumnRenamed("_med", "med")
+    dev = base.join(med, "grp").withColumn(
+        "adev", F.abs(F.col("x") - F.col("med"))
+    )
+    mad = (
+        _median_of(dev.select("grp", F.col("adev").alias("x")), "x")
+        .withColumnRenamed("_med", "mad")
+    )
+    dec = "decimal(38,0)"
+    return (
+        dev.join(mad, "grp")
+        .select(
+            F.col("grp").alias(group_col),
+            F.col("rid").alias(id_col),
+            F.col("x").alias(value_col),
+            "med",
+            "mad",
+            (
+                F.expr(f"CAST(adev AS {dec}) * 1000000")
+                > F.expr(f"CAST({int(threshold_ppm)} AS {dec}) * mad")
+            ).alias("is_outlier"),
+        )
+    )
+
+
+def mad_outliers_sql(
+    src: str,
+    group_col: str,
+    id_col: str,
+    value_col: str,
+    threshold_ppm: int = 3_500_000,
+) -> str:
+    """DuckDB twin of :func:`mad_outliers` (same nearest-rank
+    medians, HUGEINT cross-multiplied flag)."""
+    return f"""
+        WITH mo_base AS (
+            SELECT {group_col} AS grp, {id_col} AS rid,
+                   CAST({value_col} AS BIGINT) AS x
+            FROM {src}
+        ),
+        mo_r1 AS (
+            SELECT grp, x,
+                   ROW_NUMBER() OVER (PARTITION BY grp ORDER BY x)
+                       AS rn,
+                   COUNT(*) OVER (PARTITION BY grp) AS n
+            FROM mo_base
+        ),
+        mo_med AS (
+            SELECT grp, x AS med FROM mo_r1 WHERE rn = (n + 1) // 2
+        ),
+        mo_dev AS (
+            SELECT b.grp, b.rid, b.x, m.med, ABS(b.x - m.med) AS adev
+            FROM mo_base b JOIN mo_med m USING (grp)
+        ),
+        mo_r2 AS (
+            SELECT grp, adev,
+                   ROW_NUMBER() OVER (PARTITION BY grp ORDER BY adev)
+                       AS rn,
+                   COUNT(*) OVER (PARTITION BY grp) AS n
+            FROM mo_dev
+        ),
+        mo_mad AS (
+            SELECT grp, adev AS mad FROM mo_r2 WHERE rn = (n + 1) // 2
+        )
+        SELECT d.grp AS {group_col}, d.rid AS {id_col},
+               d.x AS {value_col}, d.med, a.mad,
+               CAST(d.adev AS HUGEINT) * 1000000
+                   > CAST({int(threshold_ppm)} AS HUGEINT) * a.mad
+                   AS is_outlier
+        FROM mo_dev d JOIN mo_mad a USING (grp)
+    """
