@@ -742,6 +742,23 @@ def q_semivariogram(spark, sf_dir):
     )
 
 
+def q_bivariate_morans(spark, sf_dir):
+    """Bivariate local Moran's I (spatial.bivariate_morans): does
+    TAINT intensity here co-locate with CRAWL density next door —
+    the cross-variable LISA over the page raster, X = n_tainted,
+    Y = n_pages, Moran-scatterplot-slope normalization (Σdx², no
+    sqrt), exact decimal/HUGEINT arithmetic, deterministic
+    HH/LL/HL/LH/M0 quadrants."""
+    flagged = _pages_flagged(spark, sf_dir)
+    cells = spatial.assign_cells(flagged).withColumn(
+        "tainted", ~F.col("accepted")
+    )
+    rollup = spatial.tile_rollup(cells).select(
+        "cell", "n_tainted", "n_pages"
+    )
+    return spatial.bivariate_morans(rollup, "n_tainted", "n_pages")
+
+
 def q_mad_outliers(spark, sf_dir):
     """Robust per-language document-length outlier flags
     (profile.mad_outliers): exact nearest-rank median + MAD with the
@@ -3927,6 +3944,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rake_keywords": q_rake_keywords,
         "image_equalize": q_image_equalize,
         "mad_outliers": q_mad_outliers,
+        "bivariate_morans": q_bivariate_morans,
         "auc_eval": q_auc_eval,
         "annotator_kappa": q_annotator_kappa,
         "tile_rollup_incremental": q_tile_rollup_incremental,
@@ -5205,6 +5223,19 @@ def oracle_sql() -> dict[str, str]:
             )})
         """),
         "rake_keywords": textops.rake_keywords_sql("documents", k=3),
+        "bivariate_morans": _with_pages(f"""
+            , bmq_rollup AS (
+                SELECT {cell} AS cell,
+                       CAST(SUM(CASE WHEN NOT s.accepted THEN 1
+                                ELSE 0 END) AS BIGINT) AS n_tainted,
+                       CAST(COUNT(*) AS BIGINT) AS n_pages
+                FROM pages p JOIN cs_status s USING (changeset_id)
+                GROUP BY 1
+            )
+            , {spatial.bivariate_morans_ctes(
+                'bmq_rollup', 'n_tainted', 'n_pages'
+            )}
+        """),
         "mad_outliers": profile_mod.mad_outliers_sql(
             "documents", "lang", "doc_id", "n_chars"
         ),

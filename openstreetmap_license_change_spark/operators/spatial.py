@@ -4764,6 +4764,181 @@ def local_morans_ctes(
     """
 
 
+def bivariate_morans(
+    cells: DataFrame,
+    x_col: str,
+    y_col: str,
+    res_deg: float = DEFAULT_RES_DEG,
+) -> DataFrame:
+    """Bivariate (cross-variable) local Moran's I — does field X here
+    co-locate with field Y NEXT DOOR?  The two-phenomena question the
+    univariate :func:`local_morans` can't ask: tainted-page intensity
+    vs total crawl density, river cells vs flood-damage cells.  Per
+    present cell, Anselin's bivariate LISA in the house integer form:
+
+        dx_i = N·xᵢ − Σx,   lag_y_i = Σ_{j∈queen(i)} dy_j,
+        ixy_ppm = (N·dx_i·lag_y_i·10⁶) DIV Σ dx²
+
+    — the Moran-scatterplot-slope normalization (denominator is the
+    X field's own scatter), which stays a pure rational: no sqrt, no
+    float, decimal(38,0)/HUGEINT wide products, identical truncation
+    both engines.  Quadrants label the (dx, lag_y) sign pattern
+    (HH = X high amid high Y neighborhoods …), 'M0' for exact-zero
+    ties, NULL statistic when X is constant (Σdx² = 0).
+
+    Same physical contract as local_morans: the ×8 queen fan and the
+    adjacency join run on the AGGREGATE raster; one groupBy(cell)
+    builds the Y-lag; one broadcast carries (N, Σx, Σy, Σdx²); lon
+    wrap (≥ 5 columns enforced), lat clamp, present cells only.
+
+    Output: (cell, n_nbrs, dx, lag_y, ixy_ppm, quadrant)."""
+    cols = int(360 / res_deg)
+    rows_n = int(180 / res_deg)
+    if cols < 5:
+        raise ValueError(
+            f"res_deg {res_deg} gives {cols} grid columns; need ≥ 5 "
+            "for distinct queen neighbors under lon wrap"
+        )
+    vals = cells.select(
+        F.col("cell").cast("bigint").alias("cell"),
+        F.col(x_col).cast("bigint").alias("_x"),
+        F.col(y_col).cast("bigint").alias("_y"),
+    )
+    stats = vals.agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum("_x").alias("_sx"),
+        F.sum("_y").alias("_sy"),
+    )
+    dev = vals.crossJoin(F.broadcast(stats)).select(
+        "cell",
+        "_n",
+        (F.col("_n") * F.col("_x") - F.col("_sx")).alias("_dx"),
+        (F.col("_n") * F.col("_y") - F.col("_sy")).alias("_dy"),
+    )
+    dec = "decimal(38,0)"
+    den = dev.agg(
+        F.sum(F.expr(f"CAST(_dx AS {dec}) * _dx")).alias("_den")
+    )
+    lat_b = F.floor(F.col("cell") / F.lit(cols))
+    lon_b = F.col("cell") % F.lit(cols)
+    nbrs = []
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            if dy == 0 and dx == 0:
+                continue
+            t_lat = lat_b + F.lit(dy)
+            t_lon = (lon_b + F.lit(dx) + F.lit(cols)) % F.lit(cols)
+            nbrs.append(
+                F.when(
+                    (t_lat >= 0) & (t_lat < rows_n),
+                    (t_lat * F.lit(cols) + t_lon).cast("bigint"),
+                )
+            )
+    fan = dev.select(
+        F.col("_dy").alias("_dy_src"),
+        F.explode(F.array_compact(F.array(*nbrs))).alias("cell"),
+    )
+    lag = (
+        fan.join(dev.select("cell"), "cell")
+        .groupBy("cell")
+        .agg(
+            F.count(F.lit(1)).alias("n_nbrs"),
+            F.sum("_dy_src").alias("_lag"),
+        )
+    )
+    return (
+        dev.join(lag, "cell", "left")
+        .crossJoin(F.broadcast(den))
+        .select(
+            "cell",
+            F.coalesce("n_nbrs", F.lit(0)).cast("bigint").alias("n_nbrs"),
+            F.col("_dx").alias("dx"),
+            F.coalesce("_lag", F.lit(0)).cast("bigint").alias("lag_y"),
+            F.expr(
+                f"CAST(CASE WHEN _den = 0 THEN NULL ELSE "
+                f"(CAST(_n AS {dec}) * _dx * COALESCE(_lag, 0) * 1000000) "
+                f"DIV _den END AS BIGINT)"
+            ).alias("ixy_ppm"),
+            F.expr(
+                "CASE WHEN _den = 0 THEN NULL "
+                "WHEN _dx > 0 AND COALESCE(_lag, 0) > 0 THEN 'HH' "
+                "WHEN _dx < 0 AND COALESCE(_lag, 0) < 0 THEN 'LL' "
+                "WHEN _dx > 0 AND COALESCE(_lag, 0) < 0 THEN 'HL' "
+                "WHEN _dx < 0 AND COALESCE(_lag, 0) > 0 THEN 'LH' "
+                "ELSE 'M0' END"
+            ).alias("quadrant"),
+        )
+    )
+
+
+def bivariate_morans_ctes(
+    src: str,
+    x_col: str,
+    y_col: str,
+    res_deg: float = DEFAULT_RES_DEG,
+) -> str:
+    """DuckDB twin of :func:`bivariate_morans` without the leading
+    WITH; ``src`` exposes (cell, x, y), one row per present cell."""
+    cols = int(360 / res_deg)
+    rows_n = int(180 / res_deg)
+    return f"""
+        bm_src AS (
+            SELECT cell, CAST({x_col} AS BIGINT) AS x,
+                   CAST({y_col} AS BIGINT) AS y
+            FROM {src}
+        ),
+        bm_stats AS (
+            SELECT COUNT(*) AS n,
+                   CAST(COALESCE(SUM(x), 0) AS BIGINT) AS sx,
+                   CAST(COALESCE(SUM(y), 0) AS BIGINT) AS sy
+            FROM bm_src
+        ),
+        bm_dev AS (
+            SELECT v.cell, t.n,
+                   t.n * v.x - t.sx AS dx,
+                   t.n * v.y - t.sy AS dy
+            FROM bm_src v CROSS JOIN bm_stats t
+        ),
+        bm_den AS (
+            SELECT SUM(CAST(dx AS HUGEINT) * dx) AS den FROM bm_dev
+        ),
+        bm_fan AS (
+            SELECT s.dy AS dy_src,
+                   (((s.cell // {cols}) + dd.dy) * {cols}
+                    + ((s.cell % {cols}) + dd.dx + {cols}) % {cols})
+                       AS cell
+            FROM bm_dev s CROSS JOIN (VALUES
+                 (-1,-1),(-1,0),(-1,1),(0,-1),(0,1),
+                 (1,-1),(1,0),(1,1)) dd(dy, dx)
+            WHERE (s.cell // {cols}) + dd.dy >= 0
+              AND (s.cell // {cols}) + dd.dy < {rows_n}
+        ),
+        bm_lag AS (
+            SELECT f.cell,
+                   CAST(COUNT(*) AS BIGINT) AS n_nbrs,
+                   CAST(SUM(f.dy_src) AS BIGINT) AS lag_y
+            FROM bm_fan f JOIN bm_dev s ON s.cell = f.cell
+            GROUP BY 1
+        )
+        SELECT v.cell,
+               COALESCE(l.n_nbrs, 0) AS n_nbrs,
+               v.dx,
+               COALESCE(l.lag_y, 0) AS lag_y,
+               CAST(CASE WHEN t.den = 0 THEN NULL ELSE
+                    (CAST(v.n AS HUGEINT) * v.dx * COALESCE(l.lag_y, 0)
+                     * 1000000) // t.den END AS BIGINT) AS ixy_ppm,
+               CASE WHEN t.den = 0 THEN NULL
+                    WHEN v.dx > 0 AND COALESCE(l.lag_y, 0) > 0 THEN 'HH'
+                    WHEN v.dx < 0 AND COALESCE(l.lag_y, 0) < 0 THEN 'LL'
+                    WHEN v.dx > 0 AND COALESCE(l.lag_y, 0) < 0 THEN 'HL'
+                    WHEN v.dx < 0 AND COALESCE(l.lag_y, 0) > 0 THEN 'LH'
+                    ELSE 'M0' END AS quadrant
+        FROM bm_dev v
+        LEFT JOIN bm_lag l ON l.cell = v.cell
+        CROSS JOIN bm_den t
+    """
+
+
 def turn_stats(
     points: DataFrame,
     id_col: str,
