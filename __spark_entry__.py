@@ -742,6 +742,18 @@ def q_semivariogram(spark, sf_dir):
     )
 
 
+def q_negative_samples(spark, sf_dir):
+    """Deterministic negative-edge sampling
+    (graph.negative_edge_samples) over the doc link graph — the
+    link-prediction training-pair generator: hash-probed non-edges
+    via the exact two-level dense rank (never a global window),
+    anti-joined against observed edges, earliest-probe dedup, top-k
+    per source.  The oracle rebuilds the same samples from a plain
+    global-window rank, hash-verifying the two-level construction."""
+    nodes, edges = _doc_link_graph(spark, sf_dir)
+    return graph.negative_edge_samples(nodes, edges, k=3, n_probes=12)
+
+
 def q_bivariate_morans(spark, sf_dir):
     """Bivariate local Moran's I (spatial.bivariate_morans): does
     TAINT intensity here co-locate with CRAWL density next door —
@@ -3945,6 +3957,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_equalize": q_image_equalize,
         "mad_outliers": q_mad_outliers,
         "bivariate_morans": q_bivariate_morans,
+        "negative_samples": q_negative_samples,
         "auc_eval": q_auc_eval,
         "annotator_kappa": q_annotator_kappa,
         "tile_rollup_incremental": q_tile_rollup_incremental,
@@ -5223,6 +5236,12 @@ def oracle_sql() -> dict[str, str]:
             )})
         """),
         "rake_keywords": textops.rake_keywords_sql("documents", k=3),
+        "negative_samples": graph.negative_edge_samples_sql(
+            "(SELECT doc_id AS node FROM documents)",
+            _PR_EDGES_SQL,
+            k=3,
+            n_probes=12,
+        ),
         "bivariate_morans": _with_pages(f"""
             , bmq_rollup AS (
                 SELECT {cell} AS cell,

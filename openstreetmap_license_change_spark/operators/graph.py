@@ -1264,3 +1264,175 @@ def resource_allocation_sql(
         GROUP BY 1, 2
         HAVING COUNT(*) >= {int(min_count)}
     """
+
+
+# ---------------------------------------------------------------------------
+# deterministic negative sampling (link-prediction training pairs)
+# ---------------------------------------------------------------------------
+
+def negative_edge_samples(
+    nodes: DataFrame,
+    edges: DataFrame,
+    k: int = 3,
+    n_probes: int = 12,
+    n_buckets: int = 256,
+    max_bucket_rows: int = 50_000_000,
+) -> DataFrame:
+    """Deterministic negative-edge sampling — the training-pair
+    generator every link-prediction / graph-embedding job needs
+    (positives are the observed edges; negatives must be sampled
+    uniformly from NON-edges, reproducibly, at graph scale):
+
+    for each distinct source, probe the node universe with the house
+    polynomial hash — probe i lands on the node whose DENSE HASH RANK
+    is token_hash(src ∥ '#' ∥ i) mod n — drop self-loops and observed
+    edges (anti-join), deduplicate probe collisions onto the earliest
+    probe, keep the first ``k`` survivors in probe order.  Every step
+    is pure arithmetic on (src, i): reruns, re-partitionings and both
+    engines produce byte-identical samples (no RNG state, no
+    ``rand()``).
+
+    A source may yield FEWER than k negatives when probes exhaust
+    (dense sources in tiny graphs); emit what survived rather than
+    silently re-probing unboundedly — callers needing exactly k raise
+    ``n_probes`` (the fan is explicit, the house no-silent-caps rule).
+
+    Physical plan: the dense 0..n−1 node index uses the exact
+    TWO-LEVEL rank (value-bucket histogram + prefix + bucket-local
+    row_number — rtree's machinery, never a global window); probes
+    explode ×n_probes off the distinct-source list; one equi-join
+    maps probe ranks to nodes, one anti-join removes observed edges;
+    the final top-k is a src-keyed window.  Nothing is
+    corpus-global except the bounded node count.
+
+    Returns (src, neg_dst, probe, rk ∈ [1, k])."""
+    from pyspark.sql import Window as W
+
+    from .dedup import TOKEN_HASH_MOD, token_hash
+    from .rtree import _two_level_rank
+
+    if k < 1 or n_probes < k:
+        raise ValueError(
+            f"need n_probes >= k >= 1, got k={k} n_probes={n_probes}"
+        )
+    base = nodes.select("node").distinct()
+    nidx = _two_level_rank(
+        base.withColumn("_h", token_hash(F.col("node").cast("string"))),
+        [],
+        "_h",
+        "node",
+        0,
+        TOKEN_HASH_MOD - 1,
+        n_buckets,
+        max_bucket_rows,
+        "_rk",
+    ).select(
+        F.col("node").alias("neg_dst"), (F.col("_rk") - 1).alias("_idx")
+    )
+    n = base.count()
+    srcs = edges.select("src").distinct()
+    if n == 0:
+        return (
+            srcs.select(
+                "src",
+                F.col("src").alias("neg_dst"),
+                F.lit(1).alias("probe"),
+                F.lit(1).alias("rk"),
+            ).limit(0)
+        )
+    probes = srcs.select(
+        "src",
+        F.explode(
+            F.sequence(F.lit(1), F.lit(int(n_probes)))
+        ).alias("probe"),
+    ).withColumn(
+        "_pi",
+        token_hash(
+            F.concat(
+                F.col("src").cast("string"),
+                F.lit("#"),
+                F.col("probe").cast("string"),
+            )
+        )
+        % F.lit(n),
+    )
+    cand = (
+        probes.join(nidx, probes["_pi"] == nidx["_idx"])
+        .select("src", "probe", "neg_dst")
+        .where(F.col("neg_dst") != F.col("src"))
+        .join(
+            edges.select("src", F.col("dst").alias("neg_dst")),
+            ["src", "neg_dst"],
+            "left_anti",
+        )
+    )
+    first = cand.groupBy("src", "neg_dst").agg(
+        F.min("probe").alias("probe")
+    )
+    w = W.partitionBy("src").orderBy("probe")
+    return (
+        first.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+    )
+
+
+def negative_edge_samples_sql(
+    nodes_src: str,
+    edges_src: str,
+    k: int = 3,
+    n_probes: int = 12,
+) -> str:
+    """DuckDB twin of :func:`negative_edge_samples` — the dense rank
+    is a plain global window here (single-node oracle), structurally
+    different from the engine's two-level rank, so the rank
+    construction itself is hash-verified.  ``nodes_src`` exposes
+    (node), ``edges_src`` (src, dst)."""
+    from .dedup import token_hash_sql
+
+    h_node = token_hash_sql("CAST(node AS VARCHAR)")
+    h_probe = token_hash_sql(
+        "CAST(s.src AS VARCHAR) || '#' || CAST(g.probe AS VARCHAR)"
+    )
+    return f"""
+        WITH ns_nodes AS (
+            SELECT DISTINCT node FROM {nodes_src}
+        ),
+        ns_idx AS (
+            SELECT node AS neg_dst,
+                   ROW_NUMBER() OVER (ORDER BY {h_node}, node) - 1
+                       AS idx
+            FROM ns_nodes
+        ),
+        ns_n AS (SELECT COUNT(*) AS n FROM ns_nodes),
+        ns_src AS (SELECT DISTINCT src FROM {edges_src}),
+        ns_probes AS (
+            SELECT s.src, g.probe, {h_probe} % t.n AS pi
+            FROM ns_src s
+            CROSS JOIN ns_n t,
+            LATERAL (SELECT UNNEST(range(1, {int(n_probes)} + 1))
+                     AS probe) g
+        ),
+        ns_cand AS (
+            SELECT p.src, p.probe, i.neg_dst
+            FROM ns_probes p JOIN ns_idx i ON i.idx = p.pi
+            WHERE i.neg_dst <> p.src
+        ),
+        ns_anti AS (
+            SELECT c.src, c.probe, c.neg_dst
+            FROM ns_cand c
+            LEFT JOIN {edges_src} e
+              ON e.src = c.src AND e.dst = c.neg_dst
+            WHERE e.src IS NULL
+        ),
+        ns_first AS (
+            SELECT src, neg_dst, MIN(probe) AS probe
+            FROM ns_anti GROUP BY 1, 2
+        )
+        SELECT src, neg_dst, probe, rk
+        FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                       PARTITION BY src ORDER BY probe) AS rk
+            FROM ns_first
+        ) ranked
+        WHERE rk <= {int(k)}
+    """
