@@ -742,6 +742,21 @@ def q_semivariogram(spark, sf_dir):
     )
 
 
+def q_kn_score(spark, sf_dir):
+    """LM-fit document scoring (textops.kn_score_docs) — the CCNet
+    move with exact integers: train the interpolated KN bigram model
+    on the even-doc_id half of the corpus, score the odd half; one
+    closed form covers seen bigrams (reproducing p_kn_ppm exactly)
+    and in-vocab unseen bigrams (the c=0 backoff mass); OOV counted,
+    never guessed.  Oracle chains the model twin into the scoring
+    twin."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    train = docs.where(F.col("doc_id") % 2 == 0)
+    test = docs.where(F.col("doc_id") % 2 == 1)
+    model = textops.kn_bigram_model(train, min_count=1)
+    return textops.kn_score_docs(test, model)
+
+
 def q_negative_samples(spark, sf_dir):
     """Deterministic negative-edge sampling
     (graph.negative_edge_samples) over the doc link graph — the
@@ -3958,6 +3973,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mad_outliers": q_mad_outliers,
         "bivariate_morans": q_bivariate_morans,
         "negative_samples": q_negative_samples,
+        "kn_score": q_kn_score,
         "auc_eval": q_auc_eval,
         "annotator_kappa": q_annotator_kappa,
         "tile_rollup_incremental": q_tile_rollup_incremental,
@@ -5236,6 +5252,13 @@ def oracle_sql() -> dict[str, str]:
             )})
         """),
         "rake_keywords": textops.rake_keywords_sql("documents", k=3),
+        "kn_score": textops.kn_score_docs_sql(
+            "(SELECT * FROM documents WHERE doc_id % 2 = 1)",
+            textops.kn_bigram_model_sql(
+                "(SELECT * FROM documents WHERE doc_id % 2 = 0)",
+                min_count=1,
+            ),
+        ),
         "negative_samples": graph.negative_edge_samples_sql(
             "(SELECT doc_id AS node FROM documents)",
             _PR_EDGES_SQL,

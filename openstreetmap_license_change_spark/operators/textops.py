@@ -2809,3 +2809,148 @@ def rake_keywords_sql(
         ) ranked
         WHERE rk <= {int(k)}
     """
+
+
+def kn_score_docs(
+    targets: DataFrame,
+    model: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Score documents under a :func:`kn_bigram_model` — the CCNet
+    move (domain filtering by LM fit: train on a trusted corpus,
+    score the crawl, keep what the model finds unsurprising) with the
+    engine's no-float discipline: instead of log-perplexity, emit the
+    EXACT integer sufficient statistics per document —
+
+        n_bigrams   total bigrams in the doc
+        n_oov       bigrams whose w1 lacks a left context or w2 a
+                    continuation in the model (unscorable)
+        sum_p_ppm   Σ p_kn_ppm over scored bigrams
+        min_p_ppm   the single most surprising scored bigram
+
+    — ranking by sum/n (mean probability) and flagging by min is the
+    analyst's division.  Scored bigrams use the model's OWN closed
+    form with c = 0 standing in for unseen pairs:
+
+        p_ppm = (max(4c−3,0)·T + 3·R(w1)·L(w2))·10⁶ DIV (4·c(w1·)·T)
+
+    so a bigram PRESENT in the model reproduces its p_kn_ppm exactly
+    (property-tested) and an absent-but-in-vocabulary bigram gets
+    precisely the KN backoff mass — one formula, no special cases.
+    The model must be built with ``min_count=1`` (a filtered model
+    undercounts T and marginals; stated, not guessed).
+
+    Plan: doc-keyed bigram window over the targets, one broadcastable
+    join per marginal (vocab-scale), one left join on the bigram
+    table, one per-doc aggregation.  Wide products in
+    decimal(38,0)/HUGEINT.
+
+    Output: (doc_id, n_bigrams, n_scored, n_oov, sum_p_ppm,
+    min_p_ppm)."""
+    from pyspark.sql import Window as W
+
+    toks = targets.select(
+        F.col(id_col).alias("doc"),
+        F.posexplode(
+            F.split(F.lower(F.col(text_col)), r"\s+")
+        ).alias("pos", "token"),
+    ).where(F.col("token") != "")
+    w = W.partitionBy("doc").orderBy("pos")
+    bi = toks.select(
+        "doc",
+        F.col("token").alias("w1"),
+        F.lead("token").over(w).alias("w2"),
+    ).where(F.col("w2").isNotNull())
+    left = model.select("w1", "c_w1", "cont_right").distinct()
+    right = model.select("w2", "cont_left").distinct()
+    tot = model.agg(F.count(F.lit(1)).alias("_t"))
+    big = model.select("w1", "w2", F.col("c").alias("_c"))
+    dec = "decimal(38,0)"
+    p = (
+        f"CAST(CASE WHEN c_w1 IS NULL OR cont_left IS NULL THEN NULL "
+        f"ELSE ((GREATEST(4 * COALESCE(_c, 0) - 3, 0) "
+        f"* CAST(_t AS {dec}) + 3 * CAST(cont_right AS {dec}) "
+        f"* cont_left) * 1000000) "
+        f"DIV (4 * CAST(c_w1 AS {dec}) * _t) END AS BIGINT)"
+    )
+    scored = (
+        bi.join(left, "w1", "left")
+        .join(right, "w2", "left")
+        .join(big, ["w1", "w2"], "left")
+        .crossJoin(F.broadcast(tot))
+        .select("doc", F.expr(p).alias("_p"))
+    )
+    return scored.groupBy(F.col("doc").alias(id_col)).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+        F.count("_p").cast("bigint").alias("n_scored"),
+        (F.count(F.lit(1)) - F.count("_p"))
+        .cast("bigint")
+        .alias("n_oov"),
+        F.coalesce(F.sum("_p"), F.lit(0))
+        .cast("bigint")
+        .alias("sum_p_ppm"),
+        F.min("_p").alias("min_p_ppm"),
+    )
+
+
+def kn_score_docs_sql(
+    targets_src: str,
+    model_sql: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """DuckDB twin of :func:`kn_score_docs`; ``model_sql`` is a
+    parenthesizable model query (e.g. ``kn_bigram_model_sql(...)``)."""
+    return f"""
+        WITH ks_model AS ({model_sql}),
+        ks_split AS (
+            SELECT {id_col} AS doc,
+                   string_split_regex(lower({text_col}), '\\s+') AS ws
+            FROM {targets_src}
+        ),
+        ks_toks AS (
+            SELECT doc, u.i AS pos, ws[u.i] AS token
+            FROM ks_split,
+                 LATERAL (SELECT UNNEST(range(1, len(ws) + 1)) AS i) u
+            WHERE ws[u.i] <> ''
+        ),
+        ks_bi AS (
+            SELECT doc, token AS w1,
+                   LEAD(token) OVER (PARTITION BY doc ORDER BY pos)
+                       AS w2
+            FROM ks_toks
+        ),
+        ks_bi2 AS (SELECT * FROM ks_bi WHERE w2 IS NOT NULL),
+        ks_left AS (
+            SELECT DISTINCT w1, c_w1, cont_right FROM ks_model
+        ),
+        ks_right AS (
+            SELECT DISTINCT w2, cont_left FROM ks_model
+        ),
+        ks_tot AS (SELECT COUNT(*) AS t FROM ks_model),
+        ks_scored AS (
+            SELECT b.doc,
+                   CAST(CASE WHEN l.c_w1 IS NULL OR r.cont_left IS NULL
+                        THEN NULL
+                        ELSE ((GREATEST(4 * COALESCE(m.c, 0) - 3, 0)
+                               * CAST(t.t AS HUGEINT)
+                               + 3 * CAST(l.cont_right AS HUGEINT)
+                               * r.cont_left) * 1000000)
+                             // (4 * CAST(l.c_w1 AS HUGEINT) * t.t)
+                   END AS BIGINT) AS p
+            FROM ks_bi2 b
+            LEFT JOIN ks_left l USING (w1)
+            LEFT JOIN ks_right r USING (w2)
+            LEFT JOIN ks_model m ON m.w1 = b.w1 AND m.w2 = b.w2
+            CROSS JOIN ks_tot t
+        )
+        SELECT doc AS {id_col},
+               CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+               CAST(COUNT(p) AS BIGINT) AS n_scored,
+               CAST(COUNT(*) - COUNT(p) AS BIGINT) AS n_oov,
+               CAST(COALESCE(SUM(p), 0) AS BIGINT) AS sum_p_ppm,
+               MIN(p) AS min_p_ppm
+        FROM ks_scored
+        GROUP BY 1
+    """
