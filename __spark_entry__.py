@@ -742,6 +742,22 @@ def q_semivariogram(spark, sf_dir):
     )
 
 
+def q_basin_label(spark, sf_dir):
+    """Watershed basins (spatial.basin_label) over the page raster as
+    a terrain surface: D8 steepest-descent pointers collapse onto
+    their terminal sinks by pointer-DOUBLING (⌈log₂L⌉ rounds, one
+    self-join each); the oracle walks every path one hop at a time
+    with a recursive CTE, so the doubling shortcut itself is
+    hash-verified.  Output labels each cell with its drainage pit and
+    basin size."""
+    flagged = _pages_flagged(spark, sf_dir)
+    cells = spatial.assign_cells(flagged).withColumn(
+        "tainted", ~F.col("accepted")
+    )
+    rollup = spatial.tile_rollup(cells).select("cell", "n_pages")
+    return spatial.basin_label(rollup, "n_pages")
+
+
 def q_kn_score(spark, sf_dir):
     """LM-fit document scoring (textops.kn_score_docs) — the CCNet
     move with exact integers: train the interpolated KN bigram model
@@ -3974,6 +3990,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bivariate_morans": q_bivariate_morans,
         "negative_samples": q_negative_samples,
         "kn_score": q_kn_score,
+        "basin_label": q_basin_label,
         "auc_eval": q_auc_eval,
         "annotator_kappa": q_annotator_kappa,
         "tile_rollup_incremental": q_tile_rollup_incremental,
@@ -5252,6 +5269,16 @@ def oracle_sql() -> dict[str, str]:
             )})
         """),
         "rake_keywords": textops.rake_keywords_sql("documents", k=3),
+        "basin_label": _with_pages(f"""
+            , bl_rollup AS (
+                SELECT {cell} AS cell, COUNT(*) AS n_pages
+                FROM pages p JOIN cs_status s USING (changeset_id)
+                GROUP BY 1
+            )
+            SELECT * FROM (
+                {spatial.basin_label_sql('bl_rollup', 'n_pages')}
+            )
+        """),
         "kn_score": textops.kn_score_docs_sql(
             "(SELECT * FROM documents WHERE doc_id % 2 = 1)",
             textops.kn_bigram_model_sql(

@@ -5638,6 +5638,133 @@ def flow_accumulation(
     ).select("cell", "v", "d8_cell", "acc")
 
 
+def basin_label(
+    cells: DataFrame,
+    value_col: str,
+    res_deg: float = DEFAULT_RES_DEG,
+    max_rounds: int = 40,
+) -> DataFrame:
+    """Watershed labeling over the D8 pointer forest — every cell
+    labeled by its TERMINAL SINK (the pit its flow path drains into)
+    plus the basin's size: the segmentation companion of
+    :func:`flow_accumulation` (accumulation says how much drains
+    THROUGH a cell; basins say which cells drain TOGETHER — drainage
+    regions on terrain, attraction regions around low-activity pits
+    on an intensity raster).
+
+    Algorithm: pointer jumping on p(u) = d8(u), sinks self-looped —
+    p ← p∘p each round squares the distance-to-sink covered, so the
+    forest collapses onto its roots in ⌈log₂ L⌉ rounds (the
+    flow_accumulation / min-label-components doubling family); a
+    round whose pointers all rest on sinks terminates.  Strict
+    descent guarantees the forest (no cycles), and the smallest-id
+    tie-break in :func:`flow_direction` makes the label assignment
+    unique at any parallelism.  ``max_rounds`` exhaustion raises
+    (loud, the house rule).
+
+    Plan per round: ONE self-equi-join (the composition) + one
+    broadcastable sink-flag join for the convergence test, lineage
+    cut per round.  Basin sizes are one groupBy over the final
+    labels.  The DuckDB oracle WALKS each path with a recursive CTE
+    — one hop per recursion step — so the doubling shortcut itself
+    is hash-verified against the definitional walk.
+
+    Output: (cell, v, basin, basin_size, is_sink)."""
+    d8 = flow_direction(cells, value_col, res_deg).localCheckpoint(
+        eager=True
+    )
+    flags = d8.select(
+        F.col("cell").alias("_fc"),
+        F.col("d8_cell").isNull().alias("_fsink"),
+    )
+    state = d8.select(
+        "cell", F.coalesce("d8_cell", F.col("cell")).alias("_p")
+    ).localCheckpoint(eager=True)
+    for _ in range(max_rounds):
+        live = state.join(
+            flags, state["_p"] == flags["_fc"]
+        ).where(~F.col("_fsink"))
+        if live.isEmpty():
+            break
+        jump = state.select(
+            F.col("cell").alias("_jc"), F.col("_p").alias("_jp")
+        )
+        state = (
+            state.join(jump, state["_p"] == F.col("_jc"))
+            .select("cell", F.col("_jp").alias("_p"))
+            .localCheckpoint(eager=True)
+        )
+    else:
+        raise RuntimeError(
+            f"basin_label: pointers not settled after "
+            f"max_rounds={max_rounds} (flow path longer than "
+            f"2^{max_rounds} cells, or a cycle — which strict descent "
+            "forbids). Raise max_rounds."
+        )
+    labels = state.select("cell", F.col("_p").alias("basin"))
+    sizes = labels.groupBy("basin").agg(
+        F.count(F.lit(1)).cast("bigint").alias("basin_size")
+    )
+    return (
+        d8.join(labels, "cell")
+        .join(sizes, "basin")
+        .select(
+            "cell",
+            "v",
+            "basin",
+            "basin_size",
+            F.col("d8_cell").isNull().alias("is_sink"),
+        )
+    )
+
+
+def basin_label_sql(
+    src: str, value_col: str, res_deg: float = DEFAULT_RES_DEG
+) -> str:
+    """DuckDB twin of :func:`basin_label` — the definitional one-hop
+    recursive walk to the sink (vs the engine's doubling), standalone
+    WITH RECURSIVE."""
+    return (
+        "WITH RECURSIVE "
+        + basin_label_ctes(src, value_col, res_deg)
+    )
+
+
+def basin_label_ctes(
+    src: str, value_col: str, res_deg: float = DEFAULT_RES_DEG
+) -> str:
+    """Twin CTE chain without the leading WITH RECURSIVE (for
+    composition into the pages prelude)."""
+    return f"""
+        {_flow_d8_ctes(src, value_col, res_deg)},
+        bl_d8 AS (
+            SELECT s.cell, s.v, b.d8_cell
+            FROM fd_src s LEFT JOIN fd_best b ON b.cell = s.cell
+        ),
+        bl_walk AS (
+            SELECT cell, COALESCE(d8_cell, cell) AS cur FROM bl_d8
+            UNION ALL
+            SELECT w.cell, b.d8_cell AS cur
+            FROM bl_walk w JOIN bl_d8 b ON b.cell = w.cur
+            WHERE b.d8_cell IS NOT NULL
+        ),
+        bl_basin AS (
+            SELECT w.cell, w.cur AS basin
+            FROM bl_walk w JOIN bl_d8 s ON s.cell = w.cur
+            WHERE s.d8_cell IS NULL
+        ),
+        bl_sizes AS (
+            SELECT basin, CAST(COUNT(*) AS BIGINT) AS basin_size
+            FROM bl_basin GROUP BY 1
+        )
+        SELECT d.cell, d.v, b.basin, z.basin_size,
+               d.d8_cell IS NULL AS is_sink
+        FROM bl_d8 d
+        JOIN bl_basin b ON b.cell = d.cell
+        JOIN bl_sizes z ON z.basin = b.basin
+    """
+
+
 def _flow_d8_ctes(src: str, value_col: str, res_deg: float) -> str:
     """Shared D8 CTE chain for the DuckDB twins (no leading WITH)."""
     cols = int(360 / res_deg)
