@@ -742,6 +742,26 @@ def q_semivariogram(spark, sf_dir):
     )
 
 
+def q_ab_test(spark, sf_dir):
+    """Exact 2×2 chi-square per event type (evaluation.chi2_2x2):
+    split users into deterministic A/B halves (user_id parity) and
+    test whether high-value events (value ≥ 10) occur at different
+    rates — the N-cleared rational χ² in decimal/HUGEINT, with the
+    cross-multiplied α=0.05 significance flag.  One contingency
+    aggregation, no joins."""
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return evaluation.chi2_2x2(
+        events.select(
+            "event_type",
+            (F.col("user_id") % 2 == 1).alias("is_b"),
+            (F.col("value") >= 10.0).alias("ok"),
+        ),
+        "event_type",
+        "is_b",
+        "ok",
+    )
+
+
 def q_basin_label(spark, sf_dir):
     """Watershed basins (spatial.basin_label) over the page raster as
     a terrain surface: D8 steepest-descent pointers collapse onto
@@ -3991,6 +4011,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "negative_samples": q_negative_samples,
         "kn_score": q_kn_score,
         "basin_label": q_basin_label,
+        "ab_test": q_ab_test,
         "auc_eval": q_auc_eval,
         "annotator_kappa": q_annotator_kappa,
         "tile_rollup_incremental": q_tile_rollup_incremental,
@@ -5269,6 +5290,13 @@ def oracle_sql() -> dict[str, str]:
             )})
         """),
         "rake_keywords": textops.rake_keywords_sql("documents", k=3),
+        "ab_test": evaluation.chi2_2x2_sql(
+            "(SELECT event_type, user_id % 2 = 1 AS is_b, "
+            "value >= 10.0 AS ok FROM events)",
+            "event_type",
+            "is_b",
+            "ok",
+        ),
         "basin_label": _with_pages(f"""
             , bl_rollup AS (
                 SELECT {cell} AS cell, COUNT(*) AS n_pages

@@ -274,3 +274,125 @@ def cohen_kappa_sql(
                END AS BIGINT) AS kappa_ppm
         FROM ck_tot t JOIN ck_rc r USING (grp)
     """
+
+
+def chi2_2x2(
+    rows: DataFrame,
+    group_col: str,
+    variant_col: str,
+    success_col: str,
+    critical_ppm: int = 3_841_459,
+) -> DataFrame:
+    """Exact 2×2 chi-square test per group — the A/B-experiment
+    readout (did variant B convert differently?), df = 1, in the
+    N-cleared rational form:
+
+        χ² = N·(ad − bc)² / (r₁·r₂·c₁·c₂)
+
+    (a/b = variant-A successes/failures, c/d = variant-B, r/c the
+    margins).  Two exact integer outputs:
+
+    * chi2_ppm = (10⁶·N·(ad−bc)²) DIV (r₁·r₂·c₁·c₂) — exact to the
+      ppm floor while 10⁶·N⁵/16 fits decimal(38): per-group
+      N ≲ 4·10⁶ rows (stated per the house bounds rule; beyond that
+      the ppm quantization saturates loudly in testing, the flag
+      below stays exact far longer);
+    * significant = 10⁶·N·(ad−bc)² > critical_ppm·(r₁·r₂·c₁·c₂) —
+      the cross-multiplied decision at α = 0.05
+      (``critical_ppm`` = 3 841 459 ≈ χ²₀.₀₅,₁·10⁶), exact while
+      critical_ppm·N⁴/16 fits decimal(38): N ≲ 4·10⁸.
+
+    Any zero margin (a variant absent, or all/no successes) leaves
+    χ² undefined — NULL, visible, with the counts still emitted.
+
+    Plan: one groupBy contingency pass; everything after is
+    group-cardinality-bounded.  The variant and success predicates
+    are the caller's columns (booleans), so the operator is one
+    aggregation — no joins.
+
+    Output: (group, n_a, n_b, succ_a, succ_b, chi2_ppm,
+    significant)."""
+    g = (
+        rows.select(
+            F.col(group_col).alias("grp"),
+            F.col(variant_col).cast("boolean").alias("is_b"),
+            F.col(success_col).cast("boolean").alias("ok"),
+        )
+        .groupBy("grp")
+        .agg(
+            F.count_if(~F.col("is_b") & F.col("ok")).alias("a"),
+            F.count_if(~F.col("is_b") & ~F.col("ok")).alias("b"),
+            F.count_if(F.col("is_b") & F.col("ok")).alias("c"),
+            F.count_if(F.col("is_b") & ~F.col("ok")).alias("d"),
+        )
+    )
+    num = f"(CAST(a AS {_DEC}) * d - CAST(b AS {_DEC}) * c)"
+    prod = (
+        f"(CAST(a + b AS {_DEC}) * (c + d) * (a + c) * (b + d))"
+    )
+    n = "(a + b + c + d)"
+    return g.select(
+        F.col("grp").alias(group_col),
+        (F.col("a") + F.col("b")).cast("bigint").alias("n_a"),
+        (F.col("c") + F.col("d")).cast("bigint").alias("n_b"),
+        F.col("a").cast("bigint").alias("succ_a"),
+        F.col("c").cast("bigint").alias("succ_b"),
+        F.expr(
+            f"CAST(CASE WHEN {prod} = 0 THEN NULL ELSE "
+            f"(1000000 * {n} * {num} * {num}) DIV {prod} "
+            f"END AS BIGINT)"
+        ).alias("chi2_ppm"),
+        F.expr(
+            f"CASE WHEN {prod} = 0 THEN NULL ELSE "
+            f"1000000 * {n} * {num} * {num} "
+            f"> CAST({int(critical_ppm)} AS {_DEC}) * {prod} END"
+        ).alias("significant"),
+    )
+
+
+def chi2_2x2_sql(
+    src: str,
+    group_col: str,
+    variant_col: str,
+    success_col: str,
+    critical_ppm: int = 3_841_459,
+) -> str:
+    """DuckDB twin of :func:`chi2_2x2` (HUGEINT N-cleared form)."""
+    return f"""
+        WITH x2_g AS (
+            SELECT {group_col} AS grp,
+                   CAST(COUNT(CASE WHEN NOT {variant_col}
+                        AND {success_col} THEN 1 END) AS BIGINT) AS a,
+                   CAST(COUNT(CASE WHEN NOT {variant_col}
+                        AND NOT {success_col} THEN 1 END) AS BIGINT)
+                       AS b,
+                   CAST(COUNT(CASE WHEN {variant_col}
+                        AND {success_col} THEN 1 END) AS BIGINT) AS c,
+                   CAST(COUNT(CASE WHEN {variant_col}
+                        AND NOT {success_col} THEN 1 END) AS BIGINT)
+                       AS d
+            FROM {src}
+            GROUP BY 1
+        )
+        SELECT grp AS {group_col},
+               a + b AS n_a, c + d AS n_b,
+               a AS succ_a, c AS succ_b,
+               CAST(CASE WHEN CAST(a + b AS HUGEINT) * (c + d)
+                         * (a + c) * (b + d) = 0 THEN NULL ELSE
+                    (1000000 * CAST(a + b + c + d AS HUGEINT)
+                     * (CAST(a AS HUGEINT) * d - CAST(b AS HUGEINT) * c)
+                     * (CAST(a AS HUGEINT) * d - CAST(b AS HUGEINT) * c))
+                    // (CAST(a + b AS HUGEINT) * (c + d)
+                        * (a + c) * (b + d))
+               END AS BIGINT) AS chi2_ppm,
+               CASE WHEN CAST(a + b AS HUGEINT) * (c + d)
+                         * (a + c) * (b + d) = 0 THEN NULL ELSE
+                    1000000 * CAST(a + b + c + d AS HUGEINT)
+                    * (CAST(a AS HUGEINT) * d - CAST(b AS HUGEINT) * c)
+                    * (CAST(a AS HUGEINT) * d - CAST(b AS HUGEINT) * c)
+                    > CAST({int(critical_ppm)} AS HUGEINT)
+                      * (CAST(a + b AS HUGEINT) * (c + d)
+                         * (a + c) * (b + d))
+               END AS significant
+        FROM x2_g
+    """
