@@ -376,6 +376,27 @@ def run_queries(spark, sf_dir):
             lambda: _noop_write(_entry.q_skyline_docs(spark, sf_dir)),
         )
 
+    if _wants("basin_label", "rake_keywords", "kn_score"):
+        # round-4n family representatives: watershed labeling (the
+        # pointer-DOUBLING raster iteration over the page raster),
+        # RAKE keyphrase extraction (gaps-and-islands + doc-keyed
+        # windows over the corpus), and KN-model document scoring
+        # (bigram model build + three-way scoring join).
+        import __spark_entry__ as _entry4n
+
+        timed(
+            "basin_label",
+            lambda: _noop_write(_entry4n.q_basin_label(spark, sf_dir)),
+        )
+        timed(
+            "rake_keywords",
+            lambda: _noop_write(_entry4n.q_rake_keywords(spark, sf_dir)),
+        )
+        timed(
+            "kn_score",
+            lambda: _noop_write(_entry4n.q_kn_score(spark, sf_dir)),
+        )
+
     timings = run_rounds()
     if not shared:
         shutil.rmtree(stage_dir, ignore_errors=True)
