@@ -855,6 +855,33 @@ def q_rake_keywords(spark, sf_dir):
     return textops.rake_keywords(docs, k=3)
 
 
+def q_cover_filter(spark, sf_dir):
+    """Cover-membership filter (spatial.filter_by_cover): latest page
+    positions semi-joined against a MIXED-resolution region of
+    interest (dense res-5 neighborhoods + selected res-7 singles)
+    without uncompacting — bounded ancestor fan + one broadcast
+    equi-join.  The oracle decides membership with the structurally
+    different EXISTS prefix-shift predicate."""
+    pages = _pages(spark, sf_dir)
+    latest = lineage.latest_version(pages, cols=["lon", "lat"])
+    pts = latest.select(
+        "url",
+        spatial.hier_cell(F.col("lon"), F.col("lat"), 7).alias("cell"),
+    )
+    cells7 = pages.select(
+        spatial.hier_cell(F.col("lon"), F.col("lat"), 7).alias("cell")
+    )
+    rollup = cells7.groupBy("cell").agg(F.count(F.lit(1)).alias("n"))
+    dense5 = (
+        rollup.where(F.col("n") >= 3)
+        .select(spatial.cell_parent(F.col("cell"), 5, 7).alias("cell"))
+        .distinct()
+    )
+    singles7 = rollup.where(F.col("n") == 2).select("cell")
+    cover = dense5.unionByName(singles7)
+    return spatial.filter_by_cover(pts, cover, 7)
+
+
 def q_auc_eval(spark, sf_dir):
     """Exact tie-corrected ROC-AUC (evaluation.roc_auc) of document
     length as a predictor of digit-bearing documents, per language —
@@ -4012,6 +4039,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kn_score": q_kn_score,
         "basin_label": q_basin_label,
         "ab_test": q_ab_test,
+        "cover_filter": q_cover_filter,
         "auc_eval": q_auc_eval,
         "annotator_kappa": q_annotator_kappa,
         "tile_rollup_incremental": q_tile_rollup_incremental,
@@ -5290,6 +5318,34 @@ def oracle_sql() -> dict[str, str]:
             )})
         """),
         "rake_keywords": textops.rake_keywords_sql("documents", k=3),
+        "cover_filter": _with_pages(f"""
+            , cf_latest AS (
+                SELECT url, lon, lat FROM (
+                    SELECT p.*, ROW_NUMBER() OVER (
+                        PARTITION BY url ORDER BY version DESC) AS rn
+                    FROM pages p
+                ) t WHERE rn = 1
+            ),
+            cf_pts AS (
+                SELECT url, {spatial.hier_cell_sql('lon', 'lat', 7)}
+                           AS cell
+                FROM cf_latest
+            ),
+            cf_cells AS (
+                SELECT {spatial.hier_cell_sql('lon', 'lat', 7)} AS cell,
+                       COUNT(*) AS n
+                FROM pages p GROUP BY 1
+            ),
+            cf_cov AS (
+                SELECT DISTINCT CAST({5 << 36}
+                       + ((cell & {spatial._BASE_MASK}) >> 4) AS BIGINT)
+                       AS cell
+                FROM cf_cells WHERE n >= 3
+                UNION
+                SELECT cell FROM cf_cells WHERE n = 2
+            )
+            {spatial.cover_filter_sql('cf_pts', 'cf_cov', 7)}
+        """),
         "ab_test": evaluation.chi2_2x2_sql(
             "(SELECT event_type, user_id % 2 = 1 AS is_b, "
             "value >= 10.0 AS ok FROM events)",

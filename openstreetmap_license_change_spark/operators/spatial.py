@@ -469,6 +469,104 @@ def uncompact_cells(
     )
 
 
+def filter_by_cover(
+    points: DataFrame,
+    cover: DataFrame,
+    point_res: int,
+    cell_col: str = "cell",
+    cover_cell_col: str = "cell",
+    mode: str = "semi",
+) -> DataFrame:
+    """Filter rows by membership in a (possibly mixed-resolution)
+    cell COVER — the practical consumer of :func:`compact_cells`: a
+    region of interest stored compacted (city blocks at res 5,
+    stragglers at res 7) filters a point table WITHOUT uncompacting,
+    because subtree membership is pure prefix arithmetic.
+
+    A row matches iff some cover cell is an ancestor-or-equal of the
+    row's ``cell_col`` (uniform resolution ``point_res``).  ``mode``:
+    'semi' keeps matching rows, 'anti' the complement — both
+    duplicate-free regardless of cover overlaps (left_semi/left_anti
+    join semantics).
+
+    Physical plan: the DISTINCT resolutions present in the cover are
+    collected (≤ 17 values — a bounded driver action, the compact
+    loop's own budget), each point explodes into its ancestor at
+    exactly those resolutions (fan ≤ 17, data-independent), and ONE
+    equi-join against the cover decides membership — never a
+    theta-join or a per-row loop.  At 100 TB the cover is broadcast
+    (a compacted region of interest is KB–MB) and the filter is
+    map-side.  Cover cells FINER than the points (res > point_res)
+    cannot contain any point cell and raise rather than silently
+    never matching.
+
+    The DuckDB twin decides membership with the structurally
+    different EXISTS prefix-shift predicate, so the ancestor-fan
+    construction is itself hash-verified."""
+    if mode not in ("semi", "anti"):
+        raise ValueError(f"mode must be 'semi' or 'anti', got {mode}")
+    if not 0 <= point_res <= MAX_TILE_RES:
+        raise ValueError(
+            f"point_res must be in [0, {MAX_TILE_RES}], got {point_res}"
+        )
+    cov = cover.select(F.col(cover_cell_col).alias("_cov")).distinct()
+    res_rows = cov.select(
+        cell_res(F.col("_cov")).alias("_r")
+    ).distinct().collect()
+    res_list = sorted(r["_r"] for r in res_rows)
+    if res_list and res_list[-1] > point_res:
+        raise ValueError(
+            f"cover contains resolution {res_list[-1]} finer than "
+            f"point_res {point_res}: such cells can never contain a "
+            "point cell — uncompact the points or coarsen the cover"
+        )
+    if not res_list:
+        return points.where(F.lit(mode == "anti"))
+    # decide membership once per DISTINCT point cell, then semi/anti
+    # join the rows — duplicate input rows pass through untouched and
+    # the ancestor fan never multiplies row counts
+    pcells = points.select(F.col(cell_col).alias("_pc")).distinct()
+    ancestors = F.array(
+        *[cell_parent(F.col("_pc"), r, point_res) for r in res_list]
+    )
+    matched = (
+        pcells.withColumn("_anc", F.explode(ancestors))
+        .join(F.broadcast(cov), F.col("_anc") == F.col("_cov"),
+              "left_semi")
+        .select("_pc")
+        .distinct()
+    )
+    how = "left_semi" if mode == "semi" else "left_anti"
+    return points.join(
+        matched, points[cell_col] == F.col("_pc"), how
+    )
+
+
+def cover_filter_sql(
+    points_src: str,
+    cover_src: str,
+    point_res: int,
+    cell_col: str = "cell",
+    cover_cell_col: str = "cell",
+    mode: str = "semi",
+) -> str:
+    """DuckDB twin of :func:`filter_by_cover` — EXISTS with the
+    per-row prefix shift (vs the engine's bounded ancestor fan)."""
+    neg = "NOT " if mode == "anti" else ""
+    return f"""
+        SELECT p.* FROM {points_src} p
+        WHERE {neg}EXISTS (
+            SELECT 1 FROM {cover_src} c
+            WHERE (c.{cover_cell_col} >> {_RES_SHIFT})
+                      <= {int(point_res)}
+              AND (p.{cell_col} & {_BASE_MASK})
+                  >> (2 * ({int(point_res)}
+                       - (c.{cover_cell_col} >> {_RES_SHIFT})))
+                  = c.{cover_cell_col} & {_BASE_MASK}
+        )
+    """
+
+
 def compact_cells_sql(src: str, res: int, cell_col: str = "cell") -> str:
     """DuckDB twin of :func:`compact_cells` — the closed form: for
     every level q ≤ res, an ancestor is COMPLETE iff all 4^(res−q)
