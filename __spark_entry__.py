@@ -855,6 +855,22 @@ def q_rake_keywords(spark, sf_dir):
     return textops.rake_keywords(docs, k=3)
 
 
+def q_langid_eval(spark, sf_dir):
+    """Per-class precision/recall/F1 (evaluation.confusion_metrics)
+    of the in-repo stopword-vote language id against the labeled
+    lang column — the report card closing the loop on q_lang_id's
+    confusion matrix; F1 cleared to ONE truncating division
+    (2tp/(2tp+fp+fn)), invented classes ('und') kept with NULL
+    recall."""
+    docs = pages_src.documents(spark, sf_dir)
+    confusion = textops.lang_id(docs).groupBy("lang", "lang_pred").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    return evaluation.confusion_metrics(
+        confusion, "lang", "lang_pred", "n_docs"
+    )
+
+
 def q_cover_filter(spark, sf_dir):
     """Cover-membership filter (spatial.filter_by_cover): latest page
     positions semi-joined against a MIXED-resolution region of
@@ -4040,6 +4056,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "basin_label": q_basin_label,
         "ab_test": q_ab_test,
         "cover_filter": q_cover_filter,
+        "langid_eval": q_langid_eval,
         "auc_eval": q_auc_eval,
         "annotator_kappa": q_annotator_kappa,
         "tile_rollup_incremental": q_tile_rollup_incremental,
@@ -4414,6 +4431,37 @@ def oracle_sql() -> dict[str, str]:
         lang: ", ".join(f"'{w}'" for w in ws)
         for lang, ws in textops.STOPWORDS.items()
     }
+
+    # shared by the lang_id entry and its confusion-metrics evaluation
+    _langid_sql = f"""
+            WITH hits AS (
+                SELECT lang,
+                       len(list_intersect(
+                           list_distinct(string_split_regex(lower(text), '\\s+')),
+                           [{sw['en']}])) AS h_en,
+                       len(list_intersect(
+                           list_distinct(string_split_regex(lower(text), '\\s+')),
+                           [{sw['de']}])) AS h_de,
+                       len(list_intersect(
+                           list_distinct(string_split_regex(lower(text), '\\s+')),
+                           [{sw['fr']}])) AS h_fr,
+                       len(list_intersect(
+                           list_distinct(string_split_regex(lower(text), '\\s+')),
+                           [{sw['es']}])) AS h_es
+                FROM documents
+            ),
+            pred AS (
+                SELECT lang,
+                       CASE WHEN GREATEST(h_en, h_de, h_fr, h_es) = 0 THEN 'und'
+                            WHEN h_es > GREATEST(h_en, h_de, h_fr) THEN 'es'
+                            WHEN h_fr > GREATEST(h_en, h_de) THEN 'fr'
+                            WHEN h_de > h_en THEN 'de'
+                            ELSE 'en' END AS lang_pred
+                FROM hits
+            )
+            SELECT lang, lang_pred, COUNT(*) AS n_docs
+            FROM pred GROUP BY 1, 2
+        """
 
     # hyperplane-LSH twin: the same sin-derived planes as
     # similarity._planes, dot products via list_dot_product; the query
@@ -7071,35 +7119,10 @@ def oracle_sql() -> dict[str, str]:
                        FLOOR(LEAST(length(o), length(n)) / 8) AS small_edit
             FROM norm
         """),
-        "lang_id": f"""
-            WITH hits AS (
-                SELECT lang,
-                       len(list_intersect(
-                           list_distinct(string_split_regex(lower(text), '\\s+')),
-                           [{sw['en']}])) AS h_en,
-                       len(list_intersect(
-                           list_distinct(string_split_regex(lower(text), '\\s+')),
-                           [{sw['de']}])) AS h_de,
-                       len(list_intersect(
-                           list_distinct(string_split_regex(lower(text), '\\s+')),
-                           [{sw['fr']}])) AS h_fr,
-                       len(list_intersect(
-                           list_distinct(string_split_regex(lower(text), '\\s+')),
-                           [{sw['es']}])) AS h_es
-                FROM documents
-            ),
-            pred AS (
-                SELECT lang,
-                       CASE WHEN GREATEST(h_en, h_de, h_fr, h_es) = 0 THEN 'und'
-                            WHEN h_es > GREATEST(h_en, h_de, h_fr) THEN 'es'
-                            WHEN h_fr > GREATEST(h_en, h_de) THEN 'fr'
-                            WHEN h_de > h_en THEN 'de'
-                            ELSE 'en' END AS lang_pred
-                FROM hits
-            )
-            SELECT lang, lang_pred, COUNT(*) AS n_docs
-            FROM pred GROUP BY 1, 2
-        """,
+        "lang_id": _langid_sql,
+        "langid_eval": evaluation.confusion_metrics_sql(
+            f"({_langid_sql})", "lang", "lang_pred", "n_docs"
+        ),
         "simhash": f"""
             WITH toks AS (
                 SELECT DISTINCT doc_id, tok AS token

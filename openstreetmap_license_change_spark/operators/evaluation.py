@@ -396,3 +396,130 @@ def chi2_2x2_sql(
                END AS significant
         FROM x2_g
     """
+
+
+def confusion_metrics(
+    confusion: DataFrame,
+    truth_col: str = "truth",
+    pred_col: str = "pred",
+    n_col: str = "n",
+) -> DataFrame:
+    """Per-class precision / recall / F1 from an aggregated confusion
+    matrix (rows: truth, pred, count) — the classifier report card
+    over the multiclass case the binary :func:`roc_auc` doesn't
+    cover, in exact ppm:
+
+        precision_ppm = tp·10⁶ DIV (tp + fp)
+        recall_ppm    = tp·10⁶ DIV (tp + fn)
+        f1_ppm        = 2·tp·10⁶ DIV (2·tp + fp + fn)
+
+    — the F1 form clears both nested rationals into ONE truncating
+    division (2PR/(P+R) = 2tp/(2tp+fp+fn) identically), so no
+    intermediate rounding compounds.  A class with an empty
+    prediction column (tp+fp = 0) or empty truth row (tp+fn = 0) has
+    that metric NULL — visible, the degenerate-group rule.
+
+    The class list is the UNION of truth and predicted labels (a
+    class the model invents — 'und' — appears with NULL recall
+    rather than disappearing).  Input is matrix-scale (|classes|²),
+    so every step is tiny regardless of corpus size; pair with a
+    corpus-scale groupBy((truth, pred)) upstream.
+
+    Output: (label, tp, fp, fn, precision_ppm, recall_ppm,
+    f1_ppm)."""
+    m = confusion.select(
+        F.col(truth_col).alias("t"),
+        F.col(pred_col).alias("p"),
+        F.col(n_col).cast("bigint").alias("n"),
+    )
+    rows = m.groupBy(F.col("t").alias("label")).agg(
+        F.sum("n").alias("row_total")
+    )
+    cols = m.groupBy(F.col("p").alias("label")).agg(
+        F.sum("n").alias("col_total")
+    )
+    diag = m.where(F.col("t") == F.col("p")).groupBy(
+        F.col("t").alias("label")
+    ).agg(F.sum("n").alias("tp"))
+    base = (
+        rows.join(cols, "label", "full_outer")
+        .join(diag, "label", "left")
+        .select(
+            "label",
+            F.coalesce("tp", F.lit(0)).cast("bigint").alias("tp"),
+            (F.coalesce("col_total", F.lit(0)) - F.coalesce("tp", F.lit(0)))
+            .cast("bigint")
+            .alias("fp"),
+            (F.coalesce("row_total", F.lit(0)) - F.coalesce("tp", F.lit(0)))
+            .cast("bigint")
+            .alias("fn"),
+        )
+    )
+    return base.select(
+        "label",
+        "tp",
+        "fp",
+        "fn",
+        F.expr(
+            "CAST(CASE WHEN tp + fp = 0 THEN NULL ELSE "
+            "(tp * 1000000L) DIV (tp + fp) END AS BIGINT)"
+        ).alias("precision_ppm"),
+        F.expr(
+            "CAST(CASE WHEN tp + fn = 0 THEN NULL ELSE "
+            "(tp * 1000000L) DIV (tp + fn) END AS BIGINT)"
+        ).alias("recall_ppm"),
+        F.expr(
+            "CAST(CASE WHEN 2 * tp + fp + fn = 0 THEN NULL ELSE "
+            "(2 * tp * 1000000L) DIV (2 * tp + fp + fn) END AS BIGINT)"
+        ).alias("f1_ppm"),
+    )
+
+
+def confusion_metrics_sql(
+    src: str,
+    truth_col: str = "truth",
+    pred_col: str = "pred",
+    n_col: str = "n",
+) -> str:
+    """DuckDB twin of :func:`confusion_metrics`; ``src`` exposes the
+    aggregated (truth, pred, n) matrix."""
+    return f"""
+        WITH cm_m AS (
+            SELECT {truth_col} AS t, {pred_col} AS p,
+                   CAST({n_col} AS BIGINT) AS n
+            FROM {src}
+        ),
+        cm_rows AS (
+            SELECT t AS label, CAST(SUM(n) AS BIGINT) AS row_total
+            FROM cm_m GROUP BY 1
+        ),
+        cm_cols AS (
+            SELECT p AS label, CAST(SUM(n) AS BIGINT) AS col_total
+            FROM cm_m GROUP BY 1
+        ),
+        cm_diag AS (
+            SELECT t AS label, CAST(SUM(n) AS BIGINT) AS tp
+            FROM cm_m WHERE t = p GROUP BY 1
+        ),
+        cm_base AS (
+            SELECT COALESCE(r.label, c.label) AS label,
+                   COALESCE(d.tp, 0) AS tp,
+                   COALESCE(c.col_total, 0) - COALESCE(d.tp, 0) AS fp,
+                   COALESCE(r.row_total, 0) - COALESCE(d.tp, 0) AS fn
+            FROM cm_rows r
+            FULL OUTER JOIN cm_cols c ON c.label = r.label
+            LEFT JOIN cm_diag d
+              ON d.label = COALESCE(r.label, c.label)
+        )
+        SELECT label, tp, fp, fn,
+               CAST(CASE WHEN tp + fp = 0 THEN NULL ELSE
+                    (tp * 1000000) // (tp + fp) END AS BIGINT)
+                   AS precision_ppm,
+               CAST(CASE WHEN tp + fn = 0 THEN NULL ELSE
+                    (tp * 1000000) // (tp + fn) END AS BIGINT)
+                   AS recall_ppm,
+               CAST(CASE WHEN 2 * tp + fp + fn = 0 THEN NULL ELSE
+                    (2 * tp * 1000000) // (2 * tp + fp + fn)
+               END AS BIGINT) AS f1_ppm
+        FROM cm_base
+    """
