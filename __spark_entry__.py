@@ -855,6 +855,16 @@ def q_rake_keywords(spark, sf_dir):
     return textops.rake_keywords(docs, k=3)
 
 
+def q_topic_gaps(spark, sf_dir):
+    """TextTiling-style topic-shift gaps (textops.topic_gaps): exact
+    vocabulary Jaccard between adjacent 20-token blocks per document,
+    flat-threshold boundary flags — the semantic-chunking signal;
+    everything doc-keyed, tail blocks at true size."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return textops.topic_gaps(docs, block_size=20,
+                              threshold_ppm=100_000)
+
+
 def q_langid_eval(spark, sf_dir):
     """Per-class precision/recall/F1 (evaluation.confusion_metrics)
     of the in-repo stopword-vote language id against the labeled
@@ -4057,6 +4067,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ab_test": q_ab_test,
         "cover_filter": q_cover_filter,
         "langid_eval": q_langid_eval,
+        "topic_gaps": q_topic_gaps,
         "auc_eval": q_auc_eval,
         "annotator_kappa": q_annotator_kappa,
         "tile_rollup_incremental": q_tile_rollup_incremental,
@@ -5366,6 +5377,9 @@ def oracle_sql() -> dict[str, str]:
             )})
         """),
         "rake_keywords": textops.rake_keywords_sql("documents", k=3),
+        "topic_gaps": textops.topic_gaps_sql(
+            "documents", block_size=20, threshold_ppm=100_000
+        ),
         "cover_filter": _with_pages(f"""
             , cf_latest AS (
                 SELECT url, lon, lat FROM (

@@ -2954,3 +2954,160 @@ def kn_score_docs_sql(
         FROM ks_scored
         GROUP BY 1
     """
+
+
+def topic_gaps(
+    docs: DataFrame,
+    block_size: int = 20,
+    threshold_ppm: int = 100_000,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """TextTiling-style topic-shift detection — the document-structure
+    signal a fixed-window chunker (:func:`chunk_documents`) ignores:
+    split a document into consecutive ``block_size``-token blocks and
+    score every gap between adjacent blocks by the exact Jaccard of
+    their DISTINCT vocabularies,
+
+        sim_ppm = |V_b ∩ V_{b+1}|·10⁶ DIV |V_b ∪ V_{b+1}|,
+
+    flagging gaps with sim_ppm < ``threshold_ppm`` as candidate topic
+    boundaries (the place a semantic chunker should cut).  This is
+    Hearst's TextTiling block comparison with set-Jaccard instead of
+    the cosine-of-counts (exact integers, no sqrt) and a flat
+    threshold instead of the depth-score smoothing (each gap judged
+    on its own evidence — deterministic, no smoothing window to
+    tune); stated simplifications, not approximations of them.
+
+    The tail block keeps its true (shorter) size — same convention as
+    chunk_documents / the audio tail frame.  Single-block documents
+    have no gaps and are absent.
+
+    Plan: one posexplode, DISTINCT (doc, block, token), one
+    self-equi-join on (doc, token) restricted to adjacent block ids
+    (each gap's intersection counted once), block vocabulary sizes
+    from one groupBy, everything doc-keyed.
+
+    Output: (doc_id, gap, n_inter, n_union, sim_ppm, is_boundary) —
+    gap g sits between blocks g and g+1."""
+    if block_size < 1:
+        raise ValueError(f"block_size must be >= 1, got {block_size}")
+    toks = docs.select(
+        F.col(id_col).alias("doc"),
+        F.posexplode(
+            F.split(F.lower(F.col(text_col)), r"\s+")
+        ).alias("pos", "token"),
+    ).where(F.col("token") != "")
+    blocks = toks.select(
+        "doc",
+        (F.col("pos") / F.lit(block_size)).cast("int").alias("blk"),
+        "token",
+    ).distinct()
+    sizes = blocks.groupBy("doc", "blk").agg(
+        F.count(F.lit(1)).alias("sz")
+    )
+    # fully renamed right leg: the self-join on shared lineage would
+    # otherwise resolve ambiguously (the cohen_kappa lesson)
+    nxt = blocks.select(
+        F.col("doc").alias("doc_n"),
+        (F.col("blk") - 1).alias("gap_n"),
+        F.col("token").alias("token_n"),
+    )
+    inter = (
+        blocks.join(
+            nxt,
+            (F.col("doc") == F.col("doc_n"))
+            & (F.col("blk") == F.col("gap_n"))
+            & (F.col("token") == F.col("token_n")),
+        )
+        .groupBy("doc", F.col("blk").alias("gap"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    gaps = (
+        sizes.alias("a")
+        .join(
+            sizes.alias("b"),
+            (F.col("a.doc") == F.col("b.doc"))
+            & (F.col("b.blk") == F.col("a.blk") + 1),
+        )
+        .select(
+            F.col("a.doc").alias("doc"),
+            F.col("a.blk").alias("gap"),
+            F.col("a.sz").alias("_sa"),
+            F.col("b.sz").alias("_sb"),
+        )
+    )
+    out = gaps.join(inter, ["doc", "gap"], "left").select(
+        F.col("doc").alias(id_col),
+        "gap",
+        F.coalesce("n_inter", F.lit(0)).cast("bigint").alias("n_inter"),
+        (F.col("_sa") + F.col("_sb") - F.coalesce("n_inter", F.lit(0)))
+        .cast("bigint")
+        .alias("n_union"),
+    )
+    sim = F.expr("(n_inter * 1000000L) DIV n_union")
+    return out.select(
+        id_col,
+        "gap",
+        "n_inter",
+        "n_union",
+        sim.alias("sim_ppm"),
+        (sim < F.lit(int(threshold_ppm))).alias("is_boundary"),
+    )
+
+
+def topic_gaps_sql(
+    src: str,
+    block_size: int = 20,
+    threshold_ppm: int = 100_000,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB twin of :func:`topic_gaps`."""
+    return f"""
+        WITH tg_toks AS (
+            SELECT {id_col} AS doc, u.i - 1 AS pos, ws[u.i] AS token
+            FROM (
+                SELECT {id_col},
+                       string_split_regex(lower({text_col}), '\\s+') AS ws
+                FROM {src}
+            ) t,
+            LATERAL (SELECT UNNEST(range(1, len(ws) + 1)) AS i) u
+            WHERE ws[u.i] <> ''
+        ),
+        tg_blocks AS (
+            SELECT DISTINCT doc,
+                   CAST(pos // {int(block_size)} AS INT) AS blk,
+                   token
+            FROM tg_toks
+        ),
+        tg_sizes AS (
+            SELECT doc, blk, CAST(COUNT(*) AS BIGINT) AS sz
+            FROM tg_blocks GROUP BY 1, 2
+        ),
+        tg_inter AS (
+            SELECT a.doc, a.blk AS gap,
+                   CAST(COUNT(*) AS BIGINT) AS n_inter
+            FROM tg_blocks a
+            JOIN tg_blocks b
+              ON b.doc = a.doc AND b.blk = a.blk + 1
+             AND b.token = a.token
+            GROUP BY 1, 2
+        ),
+        tg_gaps AS (
+            SELECT a.doc, a.blk AS gap,
+                   a.sz AS sa, b.sz AS sb
+            FROM tg_sizes a
+            JOIN tg_sizes b ON b.doc = a.doc AND b.blk = a.blk + 1
+        )
+        SELECT g.doc AS {id_col}, g.gap,
+               COALESCE(i.n_inter, 0) AS n_inter,
+               g.sa + g.sb - COALESCE(i.n_inter, 0) AS n_union,
+               (COALESCE(i.n_inter, 0) * 1000000)
+                   // (g.sa + g.sb - COALESCE(i.n_inter, 0)) AS sim_ppm,
+               (COALESCE(i.n_inter, 0) * 1000000)
+                   // (g.sa + g.sb - COALESCE(i.n_inter, 0))
+                   < {int(threshold_ppm)} AS is_boundary
+        FROM tg_gaps g
+        LEFT JOIN tg_inter i ON i.doc = g.doc AND i.gap = g.gap
+    """
