@@ -855,6 +855,27 @@ def q_rake_keywords(spark, sf_dir):
     return textops.rake_keywords(docs, k=3)
 
 
+def q_blocking_eval(spark, sf_dir):
+    """Blocking quality (evaluation.blocking_eval) of the repo's own
+    MinHash-LSH candidate generator against exact-duplicate truth
+    (md5 text clusters): pair completeness (did LSH keep every true
+    duplicate pair) and reduction ratio (how much of the C(n,2)
+    quadratic it avoided), both exact ppm — the dedup pipeline's
+    recall/efficiency report card, closing the loop on
+    minhash_lsh_pairs exactly as langid_eval closes lang_id."""
+    docs = pages_src.documents(spark, sf_dir)
+    cand = dedup.minhash_lsh_pairs(docs)
+    keyed = docs.select(F.md5("text").alias("k"), "doc_id")
+    other = keyed.select(
+        F.col("k").alias("k2"), F.col("doc_id").alias("doc_b")
+    )
+    truth = keyed.join(
+        other,
+        (F.col("k") == F.col("k2")) & (F.col("doc_id") < F.col("doc_b")),
+    ).select(F.col("doc_id").alias("doc_a"), "doc_b")
+    return evaluation.blocking_eval(cand, truth, docs)
+
+
 def q_topic_gaps(spark, sf_dir):
     """TextTiling-style topic-shift gaps (textops.topic_gaps): exact
     vocabulary Jaccard between adjacent 20-token blocks per document,
@@ -4068,6 +4089,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cover_filter": q_cover_filter,
         "langid_eval": q_langid_eval,
         "topic_gaps": q_topic_gaps,
+        "blocking_eval": q_blocking_eval,
         "auc_eval": q_auc_eval,
         "annotator_kappa": q_annotator_kappa,
         "tile_rollup_incremental": q_tile_rollup_incremental,
@@ -4549,6 +4571,27 @@ def oracle_sql() -> dict[str, str]:
 
     # shared by minhash_lsh_clusters and minhash_dedup_apply: transitive
     # closure over the doc–bucket graph (recursive CTE), label = min id
+    # shared by the minhash_lsh_pairs entry and blocking_eval
+    _lsh_pairs_sql = f"""
+            WITH toks AS (
+                SELECT DISTINCT doc_id, tok AS token
+                FROM documents,
+                     LATERAL UNNEST(string_split_regex(lower(text), '\\s+'))
+                         AS u(tok)
+                WHERE tok <> ''
+            ),
+            joined AS (
+                SELECT doc_id, {dedup.token_hash_sql('token')} AS token_id
+                FROM toks
+            ),
+            sig AS (SELECT doc_id, {mh_aggs} FROM joined GROUP BY doc_id),
+            buckets AS ({" UNION ALL ".join(bands)})
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM buckets a JOIN buckets b
+              ON a.band = b.band AND a.bucket = b.bucket
+            WHERE a.doc_id < b.doc_id
+        """
+
     lsh_clusters_prelude = f"""
             WITH RECURSIVE toks AS (
                 SELECT DISTINCT doc_id, tok AS token
@@ -7003,25 +7046,17 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(CASE WHEN chan = 2 THEN v END) AS BIGINT) AS sum_b
             FROM pix GROUP BY media_id, frame_idx
         """,
-        "minhash_lsh_pairs": f"""
-            WITH toks AS (
-                SELECT DISTINCT doc_id, tok AS token
-                FROM documents,
-                     LATERAL UNNEST(string_split_regex(lower(text), '\\s+'))
-                         AS u(tok)
-                WHERE tok <> ''
-            ),
-            joined AS (
-                SELECT doc_id, {dedup.token_hash_sql('token')} AS token_id
-                FROM toks
-            ),
-            sig AS (SELECT doc_id, {mh_aggs} FROM joined GROUP BY doc_id),
-            buckets AS ({" UNION ALL ".join(bands)})
-            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-            FROM buckets a JOIN buckets b
-              ON a.band = b.band AND a.bucket = b.bucket
-            WHERE a.doc_id < b.doc_id
-        """,
+        "minhash_lsh_pairs": _lsh_pairs_sql,
+        "blocking_eval": evaluation.blocking_eval_sql(
+            f"({_lsh_pairs_sql})",
+            """(
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+                FROM (SELECT md5(text) AS k, doc_id FROM documents) a
+                JOIN (SELECT md5(text) AS k, doc_id FROM documents) b
+                  ON a.k = b.k AND a.doc_id < b.doc_id
+            )""",
+            "documents",
+        ),
         # the capped variant: buckets with more than LSH_PAIR_CAP
         # members are excluded from pair emission (members still pair
         # through any shared non-mega bucket) — the cap rule mirrored

@@ -523,3 +523,120 @@ def confusion_metrics_sql(
                END AS BIGINT) AS f1_ppm
         FROM cm_base
     """
+
+
+def blocking_eval(
+    cand_pairs: DataFrame,
+    truth_pairs: DataFrame,
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+) -> DataFrame:
+    """Entity-resolution blocking quality — grade a CANDIDATE pair
+    generator (LSH bands, sorted neighborhood, …) against known
+    duplicate truth with the two classic metrics, exact:
+
+        pair completeness  = |cand ∩ truth| ·10⁶ DIV |truth|
+            (how many real duplicate pairs the blocking kept)
+        reduction ratio    = (C(n,2) − |cand|) ·10⁶ DIV C(n,2)
+            (how much of the all-pairs quadratic it avoided)
+
+    — the recall/efficiency trade every dedup pipeline tunes; a
+    blocking with completeness < 10⁶ is silently losing duplicates,
+    one with low reduction is quietly quadratic.  Both pair sets are
+    normalized to unordered (least, greatest) form here, so callers
+    may pass either orientation.  |truth| = 0 → completeness NULL
+    (nothing to find); C(n,2) rides decimal(38)/HUGEINT (n ≤ 10¹²
+    docs exact).
+
+    Plan: one equi-join of the two pair sets + three 1-row aggregates
+    cross-joined broadcast — nothing quadratic, nothing collected.
+
+    Output: single row (n_docs, n_cand, n_truth, n_found,
+    completeness_ppm, reduction_ppm)."""
+    def norm(df: DataFrame) -> DataFrame:
+        return df.select(
+            F.least(F.col(a_col), F.col(b_col)).alias("pa"),
+            F.greatest(F.col(a_col), F.col(b_col)).alias("pb"),
+        ).distinct()
+
+    cand = norm(cand_pairs)
+    truth = norm(truth_pairs)
+    found = cand.join(truth, ["pa", "pb"]).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_found")
+    )
+    n_cand = cand.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_cand")
+    )
+    n_truth = truth.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_truth")
+    )
+    n_docs = docs.agg(
+        F.count_distinct(F.col(id_col)).cast("bigint").alias("n_docs")
+    )
+    j = (
+        n_docs.crossJoin(F.broadcast(n_cand))
+        .crossJoin(F.broadcast(n_truth))
+        .crossJoin(F.broadcast(found))
+    )
+    allpairs = f"(CAST(n_docs AS {_DEC}) * (n_docs - 1) DIV 2)"
+    return j.select(
+        "n_docs",
+        "n_cand",
+        "n_truth",
+        "n_found",
+        F.expr(
+            "CAST(CASE WHEN n_truth = 0 THEN NULL ELSE "
+            "(n_found * 1000000L) DIV n_truth END AS BIGINT)"
+        ).alias("completeness_ppm"),
+        F.expr(
+            f"CAST(CASE WHEN {allpairs} = 0 THEN NULL ELSE "
+            f"(({allpairs} - n_cand) * 1000000) DIV {allpairs} "
+            f"END AS BIGINT)"
+        ).alias("reduction_ppm"),
+    )
+
+
+def blocking_eval_sql(
+    cand_src: str,
+    truth_src: str,
+    docs_src: str,
+    id_col: str = "doc_id",
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+) -> str:
+    """DuckDB twin of :func:`blocking_eval`."""
+    return f"""
+        WITH be_cand AS (
+            SELECT DISTINCT LEAST({a_col}, {b_col}) AS pa,
+                   GREATEST({a_col}, {b_col}) AS pb
+            FROM {cand_src}
+        ),
+        be_truth AS (
+            SELECT DISTINCT LEAST({a_col}, {b_col}) AS pa,
+                   GREATEST({a_col}, {b_col}) AS pb
+            FROM {truth_src}
+        ),
+        be_found AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_found
+            FROM be_cand JOIN be_truth USING (pa, pb)
+        ),
+        be_n AS (
+            SELECT CAST(COUNT(DISTINCT {id_col}) AS BIGINT) AS n_docs
+            FROM {docs_src}
+        ),
+        be_c AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_cand FROM be_cand),
+        be_t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_truth FROM be_truth)
+        SELECT n.n_docs, c.n_cand, t.n_truth, f.n_found,
+               CAST(CASE WHEN t.n_truth = 0 THEN NULL ELSE
+                    (f.n_found * 1000000) // t.n_truth
+               END AS BIGINT) AS completeness_ppm,
+               CAST(CASE WHEN CAST(n.n_docs AS HUGEINT)
+                         * (n.n_docs - 1) // 2 = 0 THEN NULL ELSE
+                    ((CAST(n.n_docs AS HUGEINT) * (n.n_docs - 1) // 2
+                      - c.n_cand) * 1000000)
+                    // (CAST(n.n_docs AS HUGEINT) * (n.n_docs - 1) // 2)
+               END AS BIGINT) AS reduction_ppm
+        FROM be_n n, be_c c, be_t t, be_found f
+    """
