@@ -703,6 +703,41 @@ def q_morans_i(spark, sf_dir):
     return spatial.morans_i(rollup, "n_pages")
 
 
+def q_gearys_c(spark, sf_dir):
+    """Global Geary's C (spatial.gearys_c) of page intensity over the
+    SAME tile_rollup raster as q_morans_i — the squared-difference
+    companion statistic: Moran correlates deviations (covariance-like,
+    a few extreme cells dominate), Geary sums raw neighbor squared
+    differences, so local roughness that I smooths over moves C.  No
+    mean enters the numerator at all; the denominator's N-scaled
+    deviations re-inject N² into ((N−1)·N²·num·10⁶) DIV (2W·den),
+    evaluated in decimal(38,0)/HUGEINT with identical truncation —
+    one fully hash-verified row."""
+    flagged = _pages_flagged(spark, sf_dir)
+    cells = spatial.assign_cells(flagged).withColumn(
+        "tainted", ~F.col("accepted")
+    )
+    rollup = spatial.tile_rollup(cells).select("cell", "n_pages")
+    return spatial.gearys_c(rollup, "n_pages")
+
+
+def q_raster_aspect(spark, sf_dir):
+    """Slope + D8 downhill aspect (spatial.raster_aspect) of the page-
+    intensity surface — the vector field flow_accum routes over, as a
+    first-class raster derivative: central-difference rook gradients
+    with zero-fill edges and lon wrap, exact squared magnitude (no
+    sqrt), and the integer D8-dominant aspect rule (strict |g| axis
+    win, exact tie → diagonal, both gradients 0 → flat).  Every
+    gradient and label hash-verifies against the identical fan in
+    SQL."""
+    flagged = _pages_flagged(spark, sf_dir)
+    cells = spatial.assign_cells(flagged).withColumn(
+        "tainted", ~F.col("accepted")
+    )
+    rollup = spatial.tile_rollup(cells).select("cell", "n_pages")
+    return spatial.raster_aspect(rollup, "n_pages")
+
+
 def q_ripley_k(spark, sf_dir):
     """Ripley's K pair counts (spatial.ripley_k_counts) over the
     latest page positions at 0.25°/0.5°/1°/2° radii — the multi-scale
@@ -4072,6 +4107,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "od_gravity": q_od_gravity,
         "tile_join_counts": q_tile_join_counts,
         "morans_i": q_morans_i,
+        "gearys_c": q_gearys_c,
+        "raster_aspect": q_raster_aspect,
         "local_morans": q_local_morans,
         "flow_accum": q_flow_accum,
         "areal_interp": q_areal_interp,
@@ -5405,6 +5442,22 @@ def oracle_sql() -> dict[str, str]:
                 GROUP BY 1
             )
             , {spatial.morans_i_ctes('mi_rollup', 'n_pages')}
+        """),
+        "gearys_c": _with_pages(f"""
+            , gc_rollup AS (
+                SELECT {cell} AS cell, COUNT(*) AS n_pages
+                FROM pages p JOIN cs_status s USING (changeset_id)
+                GROUP BY 1
+            )
+            , {spatial.gearys_c_ctes('gc_rollup', 'n_pages')}
+        """),
+        "raster_aspect": _with_pages(f"""
+            , ra_rollup AS (
+                SELECT {cell} AS cell, COUNT(*) AS n_pages
+                FROM pages p JOIN cs_status s USING (changeset_id)
+                GROUP BY 1
+            )
+            , {spatial.raster_aspect_ctes('ra_rollup', 'n_pages')}
         """),
         "ripley_k": _with_pages(f"""
             , rk_latest AS (

@@ -6479,3 +6479,340 @@ def od_gravity_residuals_sql(flows_src: str, min_flows: int = 1) -> str:
         CROSS JOIN og_t t
         WHERE f.n_flows >= {int(min_flows)}
     """
+
+
+def gearys_c(
+    cells: DataFrame,
+    value_col: str,
+    res_deg: float = DEFAULT_RES_DEG,
+) -> DataFrame:
+    """Global Geary's C over the occupied-cell raster — the squared-
+    difference companion of :func:`morans_i` (same queen adjacency,
+    same once-per-pair forward fan): where Moran's I correlates
+    deviations from the mean (a global covariance), Geary's C sums the
+    raw squared differences between neighbors, so it reacts to LOCAL
+    roughness that a few extreme cells can hide from I.  C < 1 means
+    neighbors are more similar than chance (clustering), C > 1 means
+    checkerboard contrast, C = 1 spatial randomness.
+
+        C = (N−1) · Σ_ij w_ij (x_i − x_j)²
+            ─────────────────────────────────
+              2W · Σ_i (x_i − x̄)²
+
+    Exact-integer formulation (the :func:`morans_i` discipline): the
+    numerator needs no mean at all — num = Σ_ij w_ij (x_i − x_j)² over
+    DIRECTED pairs (= 2 × the forward-pair sum); the denominator uses
+    the N-scaled deviations d_i = N·x_i − S, so Σ(x_i − x̄)² =
+    den_N / N² and the N² re-enters the numerator:
+
+        c_ppm = ((N−1) · N² · num · 10⁶) DIV (2 · W · den_N)
+
+    evaluated in decimal(38,0) (HUGEINT in the twin) with truncation
+    toward zero on both engines.  Headroom: at N ≤ 10⁶ cells of
+    ≤ 10⁶-point values, (N−1)·N²·num·10⁶ < 10⁷·10¹²·(8·10⁶·10¹²)·…
+    is bounded by regrouping — num ≤ W·(Δx)² ≤ 8N·10¹² so the product
+    is ≤ 10⁶·10¹²·8·10⁶·10¹²·10⁶ ≈ 8·10⁴² — beyond that pre-quantize
+    the value column (same caveat as morans_i; at the shipped rollup
+    magnitudes every factor is orders below the bound).  den_N = 0
+    (constant surface) or W = 0 (no adjacent pairs) → NULL c_ppm.
+
+    Adjacency contract inherited from :func:`tile_join_counts`: queen,
+    PRESENT cells only, lon wrap (≥ 5 columns enforced), lat clamp.
+    Plan: fan and pair join run on the AGGREGATE raster only.
+    Output: one row (n_cells, w_sum, num, den, c_ppm)."""
+    cols = int(360 / res_deg)
+    rows_n = int(180 / res_deg)
+    if cols < 5:
+        raise ValueError(
+            f"res_deg {res_deg} gives {cols} grid columns; need ≥ 5 "
+            "for once-per-pair forward adjacency under lon wrap"
+        )
+    vals = cells.select(
+        F.col("cell").cast("bigint").alias("cell"),
+        F.col(value_col).cast("bigint").alias("_x"),
+    )
+    stats = vals.agg(
+        F.count(F.lit(1)).alias("_n"), F.sum("_x").alias("_s")
+    )
+    lat_b = F.floor(F.col("cell") / F.lit(cols))
+    lon_b = F.col("cell") % F.lit(cols)
+    fwd = []
+    for dy, dx in ((0, 1), (1, -1), (1, 0), (1, 1)):
+        t_lat = lat_b + F.lit(dy)
+        t_lon = (lon_b + F.lit(dx) + F.lit(cols)) % F.lit(cols)
+        fwd.append(
+            F.when(
+                (t_lat >= 0) & (t_lat < rows_n),
+                (t_lat * F.lit(cols) + t_lon).cast("bigint"),
+            )
+        )
+    fan = vals.select(
+        F.col("_x").alias("_x1"),
+        F.explode(F.array_compact(F.array(*fwd))).alias("_nbr"),
+    )
+    paired = fan.join(
+        vals.select(F.col("cell").alias("_nbr"), F.col("_x").alias("_x2")),
+        "_nbr",
+    )
+    dec = "decimal(38,0)"
+    pair_agg = paired.agg(
+        (F.count(F.lit(1)) * 2).alias("w_sum"),
+        F.coalesce(
+            F.sum(
+                F.expr(f"CAST(_x1 - _x2 AS {dec}) * (_x1 - _x2)")
+            ) * 2,
+            F.lit(0).cast(dec),
+        ).alias("_num"),
+    )
+    dev = vals.crossJoin(F.broadcast(stats)).select(
+        "_n", (F.col("_n") * F.col("_x") - F.col("_s")).alias("_d")
+    )
+    dev_agg = dev.agg(
+        F.max("_n").alias("n_cells"),
+        F.sum(F.expr(f"CAST(_d AS {dec}) * _d")).alias("_den"),
+    )
+    return (
+        dev_agg.crossJoin(pair_agg)
+        .select(
+            "n_cells",
+            "w_sum",
+            F.col("_num").cast("bigint").alias("num"),
+            F.col("_den").cast("bigint").alias("den"),
+            F.expr(
+                f"CAST(CASE WHEN _den = 0 OR w_sum = 0 THEN NULL ELSE "
+                f"(CAST(n_cells - 1 AS {dec}) * n_cells * n_cells "
+                f" * _num * 1000000) DIV "
+                f"(CAST(2 AS {dec}) * w_sum * _den) END AS BIGINT)"
+            ).alias("c_ppm"),
+        )
+    )
+
+
+def gearys_c_sql(
+    src: str, value_col: str, res_deg: float = DEFAULT_RES_DEG
+) -> str:
+    """DuckDB twin of :func:`gearys_c` (standalone statement)."""
+    return "WITH " + gearys_c_ctes(src, value_col, res_deg)
+
+
+def gearys_c_ctes(
+    src: str, value_col: str, res_deg: float = DEFAULT_RES_DEG
+) -> str:
+    """The twin without the leading WITH (oracle-prelude appendable);
+    ``src`` must expose (cell, ``value_col``), one row per present
+    cell.  HUGEINT mirrors the decimal(38,0) path; ``//`` truncates
+    toward zero exactly like Spark DIV on the non-negative den."""
+    cols = int(360 / res_deg)
+    rows_n = int(180 / res_deg)
+    return f"""
+        gc_src AS (
+            SELECT cell, CAST({value_col} AS BIGINT) AS x FROM {src}
+        ),
+        gc_stats AS (
+            SELECT COUNT(*) AS n, CAST(COALESCE(SUM(x), 0) AS BIGINT) AS s
+            FROM gc_src
+        ),
+        gc_fan AS (
+            SELECT s.x AS x1,
+                   (((s.cell // {cols}) + dd.dy) * {cols}
+                    + ((s.cell % {cols}) + dd.dx + {cols}) % {cols}) AS nbr
+            FROM gc_src s CROSS JOIN (VALUES
+                 (0,1),(1,-1),(1,0),(1,1)) dd(dy, dx)
+            WHERE (s.cell // {cols}) + dd.dy >= 0
+              AND (s.cell // {cols}) + dd.dy < {rows_n}
+        ),
+        gc_pairs AS (
+            SELECT f.x1, s.x AS x2
+            FROM gc_fan f JOIN gc_src s ON s.cell = f.nbr
+        ),
+        gc_pagg AS (
+            SELECT CAST(COUNT(*) * 2 AS BIGINT) AS w_sum,
+                   COALESCE(SUM(CAST(x1 - x2 AS HUGEINT) * (x1 - x2)) * 2,
+                            CAST(0 AS HUGEINT)) AS num
+            FROM gc_pairs
+        ),
+        gc_dagg AS (
+            SELECT MAX(t.n) AS n_cells,
+                   SUM(CAST(t.n * v.x - t.s AS HUGEINT)
+                       * (t.n * v.x - t.s)) AS den
+            FROM gc_src v CROSS JOIN gc_stats t
+        )
+        SELECT CAST(d.n_cells AS BIGINT) AS n_cells,
+               p.w_sum,
+               CAST(p.num AS BIGINT) AS num,
+               CAST(d.den AS BIGINT) AS den,
+               CAST(CASE WHEN d.den = 0 OR p.w_sum = 0 THEN NULL ELSE
+                    (CAST(d.n_cells - 1 AS HUGEINT) * d.n_cells
+                     * d.n_cells * p.num * 1000000)
+                    // (CAST(2 AS HUGEINT) * p.w_sum * d.den) END
+                    AS BIGINT) AS c_ppm
+        FROM gc_dagg d CROSS JOIN gc_pagg p
+    """
+
+
+def raster_aspect(
+    cells: DataFrame,
+    value_col: str,
+    res_deg: float = DEFAULT_RES_DEG,
+) -> DataFrame:
+    """Slope and D8 aspect of a per-cell raster — the vector-field
+    view of the surface that :func:`flow_accumulation` routes over:
+    central-difference gradients from the four rook neighbors,
+
+        gx = x(E) − x(W)      (value grows eastward when gx > 0)
+        gy = x(N) − x(S)      (value grows northward when gy > 0)
+
+    with absent neighbors (off-raster or beyond the pole rows)
+    contributing 0 — the zero-fill convention; the raster's SUPPORT
+    does not dilate (output rows only for present cells).  Longitude
+    wraps at ±180°.
+
+    ``slope_sq = gx² + gy²`` is the exact squared gradient magnitude
+    (no sqrt — monotone, so thresholds/rankings are unchanged), and
+    ``aspect`` is the DOWNHILL compass direction under the exact
+    D8-dominant rule (pure integer comparisons, no tan(22.5°)
+    sectors): the axis with the strictly larger |gradient| wins; an
+    exact tie |gx| = |gy| ≠ 0 goes diagonal; gx = gy = 0 is 'flat'.
+    Downhill means *against* the gradient: gx > 0 (uphill to the
+    east) → aspect faces W.
+
+    Plan: one ×4 fan + groupBy on the AGGREGATE raster (|cells| rows,
+    never the point table), then an inner join back to the support —
+    the same shuffle shape as :func:`tile_focal_stats`.
+    Output: (cell, gx, gy, slope_sq, aspect)."""
+    cols = int(360 / res_deg)
+    rows_n = int(180 / res_deg)
+    if cols < 5:
+        raise ValueError(
+            f"res_deg {res_deg} gives {cols} grid columns; need ≥ 5 "
+            "so E/W neighbors stay distinct under lon wrap"
+        )
+    vals = cells.select(
+        F.col("cell").cast("bigint").alias("cell"),
+        F.col(value_col).cast("bigint").alias("_v"),
+    )
+    lat_b = F.floor(F.col("cell") / F.lit(cols))
+    lon_b = F.col("cell") % F.lit(cols)
+    # source at (dy,dx) relative to target ⇒ source fans to the
+    # OPPOSITE-tagged slot of the target cell
+    slots = []
+    for tag, dy, dx in (("w", 0, 1), ("e", 0, -1), ("s", 1, 0),
+                        ("n", -1, 0)):
+        t_lat = lat_b + F.lit(dy)
+        t_lon = (lon_b + F.lit(dx) + F.lit(cols)) % F.lit(cols)
+        slots.append(
+            F.when(
+                (t_lat >= 0) & (t_lat < rows_n),
+                F.struct(
+                    (t_lat * F.lit(cols) + t_lon)
+                    .cast("bigint").alias("t_cell"),
+                    F.lit(tag).alias("tag"),
+                ),
+            )
+        )
+    fan = vals.select(
+        "_v", F.explode(F.array_compact(F.array(*slots))).alias("s")
+    ).select("_v", F.col("s.t_cell").alias("t_cell"),
+             F.col("s.tag").alias("tag"))
+    grads = fan.groupBy("t_cell").agg(
+        (
+            F.coalesce(F.sum(F.when(F.col("tag") == "e", F.col("_v"))),
+                       F.lit(0))
+            - F.coalesce(F.sum(F.when(F.col("tag") == "w", F.col("_v"))),
+                         F.lit(0))
+        ).alias("gx"),
+        (
+            F.coalesce(F.sum(F.when(F.col("tag") == "n", F.col("_v"))),
+                       F.lit(0))
+            - F.coalesce(F.sum(F.when(F.col("tag") == "s", F.col("_v"))),
+                         F.lit(0))
+        ).alias("gy"),
+    )
+    out = (
+        vals.select("cell")
+        .join(grads, vals.cell == grads.t_cell, "left")
+        .select(
+            "cell",
+            F.coalesce("gx", F.lit(0)).alias("gx"),
+            F.coalesce("gy", F.lit(0)).alias("gy"),
+        )
+    )
+    return out.select(
+        "cell", "gx", "gy",
+        (F.col("gx") * F.col("gx") + F.col("gy") * F.col("gy"))
+        .alias("slope_sq"),
+        F.when((F.col("gx") == 0) & (F.col("gy") == 0), F.lit("flat"))
+        .when(
+            F.abs("gx") > F.abs("gy"),
+            F.when(F.col("gx") > 0, F.lit("W")).otherwise(F.lit("E")),
+        )
+        .when(
+            F.abs("gy") > F.abs("gx"),
+            F.when(F.col("gy") > 0, F.lit("S")).otherwise(F.lit("N")),
+        )
+        .otherwise(
+            F.concat(
+                F.when(F.col("gy") > 0, F.lit("S")).otherwise(F.lit("N")),
+                F.when(F.col("gx") > 0, F.lit("W")).otherwise(F.lit("E")),
+            )
+        )
+        .alias("aspect"),
+    )
+
+
+def raster_aspect_sql(
+    src: str, value_col: str, res_deg: float = DEFAULT_RES_DEG
+) -> str:
+    """DuckDB twin of :func:`raster_aspect` (standalone statement)."""
+    return "WITH " + raster_aspect_ctes(src, value_col, res_deg)
+
+
+def raster_aspect_ctes(
+    src: str, value_col: str, res_deg: float = DEFAULT_RES_DEG
+) -> str:
+    """The twin without the leading WITH; ``src`` exposes
+    (cell, ``value_col``), one row per present cell."""
+    cols = int(360 / res_deg)
+    rows_n = int(180 / res_deg)
+    return f"""
+        ra_src AS (
+            SELECT cell, CAST({value_col} AS BIGINT) AS v FROM {src}
+        ),
+        ra_fan AS (
+            SELECT s.v, dd.tag,
+                   (((s.cell // {cols}) + dd.dy) * {cols}
+                    + ((s.cell % {cols}) + dd.dx + {cols}) % {cols})
+                       AS t_cell
+            FROM ra_src s CROSS JOIN (VALUES
+                 ('w', 0, 1), ('e', 0, -1), ('s', 1, 0), ('n', -1, 0))
+                 dd(tag, dy, dx)
+            WHERE (s.cell // {cols}) + dd.dy >= 0
+              AND (s.cell // {cols}) + dd.dy < {rows_n}
+        ),
+        ra_grad AS (
+            SELECT t_cell,
+                   COALESCE(SUM(CASE WHEN tag = 'e' THEN v END), 0)
+                 - COALESCE(SUM(CASE WHEN tag = 'w' THEN v END), 0) AS gx,
+                   COALESCE(SUM(CASE WHEN tag = 'n' THEN v END), 0)
+                 - COALESCE(SUM(CASE WHEN tag = 's' THEN v END), 0) AS gy
+            FROM ra_fan GROUP BY 1
+        ),
+        ra_out AS (
+            SELECT s.cell,
+                   CAST(COALESCE(g.gx, 0) AS BIGINT) AS gx,
+                   CAST(COALESCE(g.gy, 0) AS BIGINT) AS gy
+            FROM ra_src s LEFT JOIN ra_grad g ON g.t_cell = s.cell
+        )
+        SELECT cell, gx, gy,
+               CAST(gx * gx + gy * gy AS BIGINT) AS slope_sq,
+               CASE
+                   WHEN gx = 0 AND gy = 0 THEN 'flat'
+                   WHEN abs(gx) > abs(gy) THEN
+                       CASE WHEN gx > 0 THEN 'W' ELSE 'E' END
+                   WHEN abs(gy) > abs(gx) THEN
+                       CASE WHEN gy > 0 THEN 'S' ELSE 'N' END
+                   ELSE (CASE WHEN gy > 0 THEN 'S' ELSE 'N' END)
+                        || (CASE WHEN gx > 0 THEN 'W' ELSE 'E' END)
+               END AS aspect
+        FROM ra_out
+    """
