@@ -1164,6 +1164,40 @@ def q_triangle_counts(spark, sf_dir):
     return graph.triangle_counts(edges)
 
 
+def q_clustering_coeff(spark, sf_dir):
+    """Local clustering coefficient (graph.clustering_coeff) over the
+    undirected doc link graph — triangle_counts normalized by each
+    node's wedge count (2T·10⁶) DIV (deg(deg−1)): the density signal
+    that separates link-farm rings (high coeff at high degree) from
+    organic hubs (many triangles, near-zero density).  deg < 2 emits
+    NULL — undefined, not zero.  The twin reruns the orientation,
+    close, and normalization; every row hash-verifies."""
+    _, edges = _doc_link_graph(spark, sf_dir)
+    return graph.clustering_coeff(edges).select(
+        F.col("node").alias("doc_id"), "deg", "n_triangles", "coeff_ppm"
+    )
+
+
+def q_link_components(spark, sf_dir):
+    """Connected components (graph.min_label_components) of the
+    undirected doc link graph — min-label propagation with pointer
+    jumping (label ← label[label]), O(log diameter) rounds, per-round
+    lineage cuts, LOUD non-convergence.  The oracle is a DIFFERENT
+    algorithm family: DuckDB's recursive one-hop transitive-closure
+    walk (graph.components_sql), so the driver hash-verifies the
+    doubling shortcut itself rather than replaying it."""
+    nodes, edges = _doc_link_graph(spark, sf_dir)
+    out = graph.min_label_components(
+        nodes.select(F.col("node").alias("id")),
+        edges.select(
+            F.col("src").alias("id_a"), F.col("dst").alias("id_b")
+        ),
+        max_iters=16,
+        op_name="link_components",
+    )
+    return out.select(F.col("id").alias("doc_id"), "label")
+
+
 def q_cocitation_pairs(spark, sf_dir):
     """Co-citation pair counts (graph.common_neighbor_pairs): for each
     unordered doc pair, how many docs link to BOTH — the second-order
@@ -4221,6 +4255,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cocitation_pairs": q_cocitation_pairs,
         "link_prediction": q_link_prediction,
         "triangle_counts": q_triangle_counts,
+        "clustering_coeff": q_clustering_coeff,
+        "link_components": q_link_components,
         "kcore": q_kcore,
         "pq_encode": q_pq_encode,
         "pq_search": q_pq_search,
@@ -7524,6 +7560,17 @@ def oracle_sql() -> dict[str, str]:
             weight_col="n_tokens",
         ),
         "triangle_counts": graph.triangle_counts_sql(_PR_EDGES_SQL),
+        "clustering_coeff": f"""
+            SELECT node AS doc_id, deg, n_triangles, coeff_ppm
+            FROM ({graph.clustering_coeff_sql(_PR_EDGES_SQL)})
+        """,
+        "link_components": f"""
+            SELECT node AS doc_id, label
+            FROM ({graph.components_sql(
+                '(SELECT doc_id AS node FROM documents)',
+                _PR_EDGES_SQL,
+            )})
+        """,
         "kcore": f"""
             SELECT node AS doc_id, degree
             FROM ({graph.kcore_sql(

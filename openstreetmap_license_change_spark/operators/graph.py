@@ -1436,3 +1436,139 @@ def negative_edge_samples_sql(
         ) ranked
         WHERE rk <= {int(k)}
     """
+
+
+def clustering_coeff(
+    edges: DataFrame,
+    max_degree: int = 10_000,
+) -> DataFrame:
+    """Local clustering coefficient per node over the undirected
+    simplification of the link graph — :func:`triangle_counts`
+    normalized by each node's wedge count:
+
+        coeff = 2·T(v) / (deg(v)·(deg(v)−1))
+
+    the probability that two random neighbors of v link each other.
+    High coefficient + high degree is the link-farm / boilerplate-ring
+    fingerprint that raw triangle counts can't separate from organic
+    hubs (a hub in many triangles may still have near-zero density).
+
+    Exact arithmetic: coeff_ppm = (2·T·10⁶) DIV (deg·(deg−1)) in
+    int64 (T < deg² ≤ 10⁸ at the guarded max_degree, ·2·10⁶ well
+    under 2⁶³); deg < 2 → NULL (no wedge exists — the statistic's
+    genuine undefined case, not 0).  Every node of the edge list gets
+    a row; T = 0 where no triangle closes.
+
+    Plan: the degree agg and the triangle pipeline share one
+    symmetrized edge list; triangles use the degree-ordered wedge
+    close (Suri–Vassilvitskii bound, LOUD max_degree guard) — the
+    join back to degrees is on the |V|-sized aggregate, never the
+    wedge stream.  Output: (node, deg, n_triangles, coeff_ppm)."""
+    fwd = edges.select("src", "dst").where(F.col("src") != F.col("dst"))
+    sym = fwd.unionByName(
+        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    deg = sym.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("deg")
+    )
+    tri = triangle_counts(edges, max_degree=max_degree)
+    return (
+        deg.join(tri, "node", "left")
+        .select(
+            "node",
+            "deg",
+            F.coalesce("n_triangles", F.lit(0)).alias("n_triangles"),
+            F.expr(
+                "CASE WHEN deg < 2 THEN NULL ELSE "
+                "(COALESCE(n_triangles, 0) * 2 * 1000000) "
+                "DIV (deg * (deg - 1)) END"
+            ).alias("coeff_ppm"),
+        )
+    )
+
+
+def clustering_coeff_sql(edges_src: str) -> str:
+    """DuckDB twin of :func:`clustering_coeff` — triangle CTE chain +
+    degree normalization (standalone statement)."""
+    return f"""
+        WITH cc_sym AS MATERIALIZED (
+            SELECT DISTINCT src, dst FROM (
+                SELECT src, dst FROM {edges_src} WHERE src <> dst
+                UNION ALL
+                SELECT dst AS src, src AS dst FROM {edges_src}
+                WHERE src <> dst
+            )
+        ),
+        cc_deg AS (
+            SELECT src AS node, COUNT(*) AS deg FROM cc_sym GROUP BY 1
+        ),
+        cc_or AS MATERIALIZED (
+            SELECT s.src, s.dst
+            FROM cc_sym s
+            JOIN cc_deg a ON a.node = s.src
+            JOIN cc_deg b ON b.node = s.dst
+            WHERE a.deg < b.deg OR (a.deg = b.deg AND s.src < s.dst)
+        ),
+        cc_tri AS (
+            SELECT w.a, w.b, w.c
+            FROM (
+                SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+                FROM cc_or e1 JOIN cc_or e2 ON e1.dst = e2.src
+            ) w
+            JOIN cc_or e3 ON e3.src = w.a AND e3.dst = w.c
+        ),
+        cc_cnt AS (
+            SELECT node, COUNT(*) AS n_triangles
+            FROM (
+                SELECT a AS node FROM cc_tri
+                UNION ALL SELECT b FROM cc_tri
+                UNION ALL SELECT c FROM cc_tri
+            )
+            GROUP BY node
+        )
+        SELECT d.node,
+               CAST(d.deg AS BIGINT) AS deg,
+               CAST(COALESCE(t.n_triangles, 0) AS BIGINT) AS n_triangles,
+               CAST(CASE WHEN d.deg < 2 THEN NULL ELSE
+                    (COALESCE(t.n_triangles, 0) * 2 * 1000000)
+                    // (d.deg * (d.deg - 1)) END AS BIGINT) AS coeff_ppm
+        FROM cc_deg d LEFT JOIN cc_cnt t USING (node)
+    """
+
+
+def components_sql(nodes_src: str, edges_src: str) -> str:
+    """DuckDB oracle for :func:`min_label_components` over the
+    undirected simplification of a DIRECTED edge list (``src``,
+    ``dst``) — deliberately a different algorithm family: a recursive
+    transitive-closure walk (one hop per recursion step, UNION-dedup
+    fixpoint) instead of the operator's min-label pointer doubling, so
+    the driver verifies the doubling shortcut itself, not a re-run of
+    it.
+
+    The step keeps only labels smaller than the receiving node
+    (``r.lbl < e.dst``): the component minimum m is by definition
+    smaller than EVERY other member, so the pair (v, m) survives along
+    any path while non-minimal label traffic is halved.  Worst-case
+    intermediate is O(|component|²/2) pairs — an oracle-scale cost,
+    which is exactly why the distributed side uses doubling instead.
+    Returns (node, label)."""
+    return f"""
+        WITH RECURSIVE cp_nd AS (SELECT node FROM {nodes_src}),
+        cp_eg AS (
+            SELECT src, dst FROM (
+                SELECT src, dst FROM {edges_src} WHERE src <> dst
+                UNION
+                SELECT dst AS src, src AS dst FROM {edges_src}
+                WHERE src <> dst
+            )
+        ),
+        cp_reach(node, lbl) AS (
+            SELECT node, node AS lbl FROM cp_nd
+            UNION
+            SELECT e.dst AS node, r.lbl
+            FROM cp_reach r
+            JOIN cp_eg e ON e.src = r.node
+            WHERE r.lbl < e.dst
+        )
+        SELECT node, MIN(lbl) AS label FROM cp_reach GROUP BY node
+    """
