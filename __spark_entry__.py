@@ -1198,6 +1198,67 @@ def q_link_components(spark, sf_dir):
     return out.select(F.col("id").alias("doc_id"), "label")
 
 
+HITS_ITERATIONS = 4
+
+
+def q_hits(spark, sf_dir):
+    """Quantized-integer HITS hubs & authorities (graph.hits_quantized)
+    over the doc link graph — the directional complement of
+    q_doc_pagerank: L1-normalized integer iterations, so every score
+    is engine-exact and the DuckDB twin (graph.hits_sql) unrolls the
+    identical recurrence; all 4 rounds hash-verify."""
+    nodes, edges = _doc_link_graph(spark, sf_dir)
+    out = graph.hits_quantized(nodes, edges, iterations=HITS_ITERATIONS)
+    return out.select(F.col("node").alias("doc_id"), "auth_q", "hub_q")
+
+
+RE_K = 10
+RE_QUERIES = 8
+
+
+def _ranking_runs_qrels(spark, sf_dir):
+    """Deterministic synthetic retrieval runs + relevance sets over the
+    documents table (the link-graph convention: arithmetic-derived so
+    the twin replays them exactly).  Per query q, docs are ranked by
+    score = (doc_id·(2q+3) + q) mod 997 ascending (doc_id tiebreak,
+    top RE_K), and a doc is relevant iff score < 150 and
+    doc_id % 3 != 0 — a planted partial overlap: low-ranked docs are
+    mostly relevant but every third doc is a miss, so MRR/MAP/P@k all
+    take non-trivial values."""
+    docs = pages_src.documents(spark, sf_dir).select("doc_id")
+    queries = spark.range(RE_QUERIES).select(
+        F.col("id").alias("query_id")
+    )
+    scored = docs.crossJoin(queries).select(
+        "query_id",
+        "doc_id",
+        (
+            (F.col("doc_id") * (F.col("query_id") * 2 + 3)
+             + F.col("query_id")) % 997
+        ).alias("score"),
+    )
+    w = W.partitionBy("query_id").orderBy("score", "doc_id")
+    runs = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= RE_K)
+        .select("query_id", "doc_id", "rank")
+    )
+    qrels = scored.where(
+        (F.col("score") < 150) & (F.col("doc_id") % 3 != 0)
+    ).select("query_id", "doc_id")
+    return runs, qrels
+
+
+def q_ranking_eval(spark, sf_dir):
+    """Per-query MRR / MAP / P@k / recall@k (evaluation.ranking_eval)
+    of the planted synthetic runs against their relevance sets — the
+    retrieval report card in exact ppm integers (per-hit truncating
+    terms, full-relevant AP denominator); the twin rebuilds runs,
+    qrels, and every metric from the same constants."""
+    runs, qrels = _ranking_runs_qrels(spark, sf_dir)
+    return evaluation.ranking_eval(runs, qrels, k=RE_K)
+
+
 def q_cocitation_pairs(spark, sf_dir):
     """Co-citation pair counts (graph.common_neighbor_pairs): for each
     unordered doc pair, how many docs link to BOTH — the second-order
@@ -2939,6 +3000,24 @@ def q_kendall_len_tokens(spark, sf_dir):
     )
 
 
+def q_spearman_len_tokens(spark, sf_dir):
+    """Per-lang Spearman rank correlation between character length and
+    whitespace token count (ranking.spearman_rho, same k=128 bottom-k
+    sample and key as the Kendall entry) — Pearson over DOUBLED
+    average ranks with the square root taken once as an exact integer
+    isqrt, so rho_ppm hash-matches the DuckDB twin including tie
+    blocks; magnitude-sensitive where tau is inversion-counting."""
+    docs = pages_src.documents(spark, sf_dir).select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        textops.token_count(F.col("text")).alias("n_tok"),
+    )
+    return ranking.spearman_rho(
+        docs, "lang", "n_chars", "n_tok", "doc_id", k=128
+    )
+
+
 def q_hll_token_distinct(spark, sf_dir):
     """Per-lang distinct-token cardinality via HyperLogLog
     (sketches.hll_registers/hll_estimate) — the register-max sibling
@@ -4163,6 +4242,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "blocking_eval": q_blocking_eval,
         "auc_eval": q_auc_eval,
         "annotator_kappa": q_annotator_kappa,
+        "ranking_eval": q_ranking_eval,
         "tile_rollup_incremental": q_tile_rollup_incremental,
         "tile_dilate": q_tile_dilate,
         "tile_erode": q_tile_erode,
@@ -4257,6 +4337,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangle_counts": q_triangle_counts,
         "clustering_coeff": q_clustering_coeff,
         "link_components": q_link_components,
+        "hits": q_hits,
         "kcore": q_kcore,
         "pq_encode": q_pq_encode,
         "pq_search": q_pq_search,
@@ -4265,6 +4346,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmv_distinct_docs": q_kmv_distinct_docs,
         "hll_token_distinct": q_hll_token_distinct,
         "kendall_len_tokens": q_kendall_len_tokens,
+        "spearman_len_tokens": q_spearman_len_tokens,
         "postings_cost": q_postings_cost,
         "countmin_topk": q_countmin_topk,
         "sampled_quantiles": q_sampled_quantiles,
@@ -5630,6 +5712,39 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT * FROM ({evaluation.roc_auc_sql(
                 'auc_src', 'lang', 'score', 'label'
+            )})
+        """,
+        "ranking_eval": evaluation.ranking_eval_sql(
+            f"""(
+            SELECT query_id, doc_id, rank FROM (
+                SELECT q.query_id, d.doc_id,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY q.query_id
+                           ORDER BY (d.doc_id * (q.query_id * 2 + 3)
+                                     + q.query_id) % 997, d.doc_id
+                       ) AS rank
+                FROM documents d
+                CROSS JOIN (SELECT range AS query_id
+                            FROM range({RE_QUERIES})) q
+            ) WHERE rank <= {RE_K}
+        )""",
+            f"""(
+            SELECT q.query_id, d.doc_id
+            FROM documents d
+            CROSS JOIN (SELECT range AS query_id
+                        FROM range({RE_QUERIES})) q
+            WHERE (d.doc_id * (q.query_id * 2 + 3) + q.query_id) % 997
+                      < 150
+                  AND d.doc_id % 3 <> 0
+        )""",
+            k=RE_K,
+        ),
+        "hits": f"""
+            SELECT node AS doc_id, auth_q, hub_q
+            FROM ({graph.hits_sql(
+                '(SELECT doc_id AS node FROM documents)',
+                _PR_EDGES_SQL,
+                iterations=HITS_ITERATIONS,
             )})
         """,
         "annotator_kappa": f"""
@@ -7670,6 +7785,13 @@ def oracle_sql() -> dict[str, str]:
             "documents", shard_size=1024, min_docs=50
         ),
         "kendall_len_tokens": ranking.kendall_tau_sql(
+            "(SELECT doc_id, lang, n_chars, "
+            "CASE WHEN trim(text) = '' THEN 0 "
+            "ELSE len(string_split_regex(trim(text), '\\s+')) END "
+            "AS n_tok FROM documents)",
+            "lang", "n_chars", "n_tok", "doc_id", k=128,
+        ),
+        "spearman_len_tokens": ranking.spearman_rho_sql(
             "(SELECT doc_id, lang, n_chars, "
             "CASE WHEN trim(text) = '' THEN 0 "
             "ELSE len(string_split_regex(trim(text), '\\s+')) END "

@@ -640,3 +640,153 @@ def blocking_eval_sql(
                END AS BIGINT) AS reduction_ppm
         FROM be_n n, be_c c, be_t t, be_found f
     """
+
+
+def ranking_eval(
+    runs: DataFrame,
+    qrels: DataFrame,
+    k: int,
+) -> DataFrame:
+    """Per-query ranked-retrieval metrics — the report card for every
+    retrieval operator in the engine (BM25 / TF-IDF / ANN / RRF): cut
+    each run at rank ``k`` and grade it against a relevance set in
+    exact ppm integers:
+
+        p_at_k_ppm  = hits·10⁶ DIV k
+        recall_ppm  = hits·10⁶ DIV n_rel          (NULL if n_rel = 0)
+        rr_ppm      = 10⁶ DIV first_rel_rank      (0 if no hit — the
+                       MRR convention: a missing answer scores zero)
+        ap_ppm      = ( Σ_{i-th hit at rank rᵢ} (i·10⁶ DIV rᵢ) )
+                       DIV n_rel                  (NULL if n_rel = 0)
+
+    ap_ppm is average precision with the FULL-relevant denominator
+    (uncapped n_rel), so AP@k degrades when relevant docs fall below
+    the cut — the curation-relevant reading.  Every term truncates
+    identically in Spark and DuckDB (all operands non-negative), so
+    the per-term-then-sum order is engine-stable; bounds: hits ≤ k,
+    each per-hit term ≤ 10⁶, ap numerator ≤ k·10⁶ — int64 with nine
+    digits of headroom.
+
+    ``runs``: (query_id, doc_id, rank) with rank 1-based and unique
+    per query (ties must be broken upstream — rank IS the ranking).
+    ``qrels``: (query_id, doc_id) relevant pairs, assumed distinct.
+    Queries appear in the output iff they have run rows (grading
+    requires a run); n_rel counts ALL relevant docs for the query,
+    retrieved or not.
+
+    Scale: one equi-join of the rank-k-cut runs against qrels, one
+    per-query window ordered by rank (bounded at k rows per query —
+    never corpus-wide), one groupBy — the qrels side is typically
+    broadcastable.  Output: (query_id, n_rel, n_ret, hits,
+    first_rank, p_at_k_ppm, recall_ppm, rr_ppm, ap_ppm)."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1: {k}")
+    top = runs.select(
+        "query_id", "doc_id", F.col("rank").cast("bigint").alias("rank")
+    ).where(F.col("rank") <= k)
+    rel = qrels.select("query_id", "doc_id").withColumn(
+        "_rel", F.lit(1).cast("bigint")
+    )
+    n_rel = rel.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_rel")
+    )
+    w = Window.partitionBy("query_id").orderBy("rank")
+    marked = (
+        top.join(rel, ["query_id", "doc_id"], "left")
+        .withColumn("_hit", F.coalesce("_rel", F.lit(0)))
+        .withColumn("_cum", F.sum("_hit").over(w))
+    )
+    per_q = marked.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_ret"),
+        F.sum("_hit").alias("hits"),
+        F.min(F.when(F.col("_hit") == 1, F.col("rank"))).alias(
+            "first_rank"
+        ),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("_hit") == 1,
+                    F.expr("(_cum * 1000000L) DIV rank"),
+                )
+            ),
+            F.lit(0),
+        ).alias("_ap_num"),
+    )
+    return (
+        per_q.join(n_rel, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce("n_rel", F.lit(0)).cast("bigint").alias("n_rel"),
+            "n_ret",
+            "hits",
+            "first_rank",
+            F.expr(f"CAST((hits * 1000000L) DIV {int(k)} AS BIGINT)")
+            .alias("p_at_k_ppm"),
+            F.expr(
+                "CAST(CASE WHEN COALESCE(n_rel, 0) = 0 THEN NULL ELSE "
+                "(hits * 1000000L) DIV n_rel END AS BIGINT)"
+            ).alias("recall_ppm"),
+            F.expr(
+                "CAST(CASE WHEN first_rank IS NULL THEN 0 ELSE "
+                "1000000L DIV first_rank END AS BIGINT)"
+            ).alias("rr_ppm"),
+            F.expr(
+                "CAST(CASE WHEN COALESCE(n_rel, 0) = 0 THEN NULL ELSE "
+                "_ap_num DIV n_rel END AS BIGINT)"
+            ).alias("ap_ppm"),
+        )
+    )
+
+
+def ranking_eval_sql(runs_src: str, qrels_src: str, k: int) -> str:
+    """DuckDB twin of :func:`ranking_eval` (standalone statement,
+    same column contract)."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1: {k}")
+    return f"""
+        WITH re_top AS (
+            SELECT query_id, doc_id, CAST(rank AS BIGINT) AS rank
+            FROM {runs_src} WHERE rank <= {int(k)}
+        ),
+        re_rel AS (
+            SELECT query_id, doc_id, CAST(1 AS BIGINT) AS _rel
+            FROM {qrels_src}
+        ),
+        re_nrel AS (
+            SELECT query_id, COUNT(*) AS n_rel FROM re_rel GROUP BY 1
+        ),
+        re_marked AS (
+            SELECT t.query_id, t.rank,
+                   COALESCE(r._rel, 0) AS _hit,
+                   SUM(COALESCE(r._rel, 0)) OVER (
+                       PARTITION BY t.query_id ORDER BY t.rank
+                   ) AS _cum
+            FROM re_top t
+            LEFT JOIN re_rel r
+              ON r.query_id = t.query_id AND r.doc_id = t.doc_id
+        ),
+        re_perq AS (
+            SELECT query_id,
+                   COUNT(*) AS n_ret,
+                   SUM(_hit) AS hits,
+                   MIN(CASE WHEN _hit = 1 THEN rank END) AS first_rank,
+                   COALESCE(SUM(CASE WHEN _hit = 1 THEN
+                       (_cum * 1000000) // rank END), 0) AS _ap_num
+            FROM re_marked GROUP BY query_id
+        )
+        SELECT p.query_id,
+               CAST(COALESCE(n.n_rel, 0) AS BIGINT) AS n_rel,
+               CAST(p.n_ret AS BIGINT) AS n_ret,
+               CAST(p.hits AS BIGINT) AS hits,
+               CAST(p.first_rank AS BIGINT) AS first_rank,
+               CAST((p.hits * 1000000) // {int(k)} AS BIGINT)
+                   AS p_at_k_ppm,
+               CAST(CASE WHEN COALESCE(n.n_rel, 0) = 0 THEN NULL ELSE
+                    (p.hits * 1000000) // n.n_rel END AS BIGINT)
+                   AS recall_ppm,
+               CAST(CASE WHEN p.first_rank IS NULL THEN 0 ELSE
+                    1000000 // p.first_rank END AS BIGINT) AS rr_ppm,
+               CAST(CASE WHEN COALESCE(n.n_rel, 0) = 0 THEN NULL ELSE
+                    p._ap_num // n.n_rel END AS BIGINT) AS ap_ppm
+        FROM re_perq p LEFT JOIN re_nrel n USING (query_id)
+    """

@@ -1572,3 +1572,173 @@ def components_sql(nodes_src: str, edges_src: str) -> str:
         )
         SELECT node, MIN(lbl) AS label FROM cp_reach GROUP BY node
     """
+
+
+HITS_SCALE = 10**9
+
+
+def hits_quantized(
+    nodes: DataFrame,
+    edges: DataFrame,
+    iterations: int = 8,
+    scale: int = HITS_SCALE,
+) -> DataFrame:
+    """Fixed-iteration HITS (hubs & authorities) in EXACT quantized-
+    integer arithmetic — the directional complement of
+    :func:`pagerank_quantized`: PageRank scores endorsement mass,
+    HITS separates the two link roles a web corpus actually has
+    (directory/hub pages that POINT at good content vs the content
+    pages BEING pointed at), the signal a crawl curator uses to keep
+    authorities and down-weight link directories.
+
+    Float HITS L2-normalizes per round (sqrt — engine-divergent);
+    here each round L1-normalizes both vectors to total mass
+    n·``scale`` with truncating division, so every score is an int64
+    multiple of 1/scale and any fixed round count is bit-identical
+    across engines (the DuckDB twin :func:`hits_sql` unrolls the same
+    recurrence from the same constants).  Per round, from hubs h:
+
+        a_raw(v) = Σ_{u→v} h(u);   A = Σ_v a_raw(v)
+        a(v)     = (a_raw(v) · n·scale) DIV A          (0 if A = 0)
+        h_raw(v) = Σ_{v→u} a(u);   H = Σ_v h_raw(v)
+        h(v)     = (h_raw(v) · n·scale) DIV H          (0 if H = 0)
+
+    h₀ = scale everywhere.  L1 (not L2) normalization preserves the
+    fixed-point RATIOS HITS ranks by — the principal eigenvector is
+    scale-free, only the norm choice differs — while staying in
+    integers; truncation loses < 1/scale of relative mass per node
+    per round (same bounded-floor argument as PageRank's).
+
+    Overflow bounds (documented, checked by construction): every
+    normalized score ≤ n·scale, every raw sum ≤ n·scale (int64 needs
+    n·scale < 2⁶³), the normalization product ≤ (n·scale)² held in
+    decimal(38,0)/HUGEINT (needs n·scale < 10¹⁹ — same bound), and
+    the totals A, H ≤ n·scale·outdeg_max are summed in decimal(38,0)
+    so only the PER-NODE bound constrains int64.  At 10⁹ nodes drop
+    ``scale`` to 10⁹⁻ᵏ exactly as PageRank documents.
+
+    Scale design: per round two src/dst-keyed joins of the
+    PRE-PARTITIONED edge list + two partial-agg groupBys (4 shuffles
+    × fixed rounds); the totals are 1-row broadcast cross joins; hub
+    fan-in is AQE's skew-join case; lineage cut per round
+    (localCheckpoint, the iterative house pattern).
+
+    ``nodes``: one column ``node``; ``edges``: (src, dst), assumed
+    deduplicated.  Returns (node, auth_q, hub_q)."""
+    if iterations < 1:
+        raise ValueError(f"iterations must be >= 1: {iterations}")
+    edges = edges.select("src", "dst").repartition("src").localCheckpoint(
+        eager=True
+    )
+    n = nodes.count()
+    if n == 0:
+        return nodes.select(
+            "node",
+            F.lit(0).cast("bigint").alias("auth_q"),
+            F.lit(0).cast("bigint").alias("hub_q"),
+        )
+    dec = "decimal(38,0)"
+    norm = (
+        f"CASE WHEN _tot = 0 THEN CAST(0 AS BIGINT) "
+        f"ELSE CAST((CAST(COALESCE(_raw, 0) AS {dec}) * {n} * {scale}) "
+        f"DIV _tot AS BIGINT) END"
+    )
+    hubs = nodes.withColumn("hub_q", F.lit(scale).cast("bigint"))
+    auth = None
+    for _ in range(iterations):
+        a_raw = (
+            edges.join(hubs, edges.src == hubs.node)
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("hub_q").alias("_raw"))
+        )
+        a_tot = a_raw.agg(
+            F.coalesce(
+                F.sum(F.col("_raw").cast(dec)), F.lit(0).cast(dec)
+            ).alias("_tot")
+        )
+        auth = (
+            nodes.join(a_raw, "node", "left")
+            .crossJoin(F.broadcast(a_tot))
+            .select("node", F.expr(norm).alias("auth_q"))
+            .localCheckpoint(eager=True)
+        )
+        h_raw = (
+            edges.join(auth, edges.dst == auth.node)
+            .groupBy(F.col("src").alias("node"))
+            .agg(F.sum("auth_q").alias("_raw"))
+        )
+        h_tot = h_raw.agg(
+            F.coalesce(
+                F.sum(F.col("_raw").cast(dec)), F.lit(0).cast(dec)
+            ).alias("_tot")
+        )
+        hubs = (
+            nodes.join(h_raw, "node", "left")
+            .crossJoin(F.broadcast(h_tot))
+            .select("node", F.expr(norm).alias("hub_q"))
+            .localCheckpoint(eager=True)
+        )
+    return auth.join(hubs, "node")
+
+
+def hits_sql(
+    nodes_src: str,
+    edges_src: str,
+    iterations: int = 8,
+    scale: int = HITS_SCALE,
+) -> str:
+    """DuckDB twin of :func:`hits_quantized`: the identical quantized
+    recurrence unrolled as chained CTEs from the same constants (the
+    pagerank_sql pattern).  Every per-round CTE is MATERIALIZED —
+    each is referenced twice (raw join + total), so without it the
+    optimizer re-inlines the whole prefix per reference and the plan
+    grows exponentially in ``iterations`` (measured ~30× per round).
+    ``nodes_src`` yields one column ``node``; ``edges_src``
+    (src, dst).  Standalone statement returning
+    (node, auth_q, hub_q)."""
+    if iterations < 1:
+        raise ValueError(f"iterations must be >= 1: {iterations}")
+    ctes = [
+        f"hx_nd AS (SELECT node FROM {nodes_src})",
+        f"hx_eg AS MATERIALIZED (SELECT src, dst FROM {edges_src})",
+        "hx_cnt AS (SELECT COUNT(*) AS n FROM hx_nd)",
+        f"hx_h0 AS MATERIALIZED (SELECT node, CAST({scale} AS BIGINT) "
+        "AS hub_q FROM hx_nd)",
+    ]
+
+    def _norm(raw_cte: str, out_col: str) -> str:
+        return f"""MATERIALIZED (
+            SELECT nd.node,
+                   CAST(CASE WHEN tt.tot = 0 THEN 0
+                        ELSE (CAST(COALESCE(ar.raw, 0) AS HUGEINT)
+                              * ct.n * {scale}) // tt.tot
+                        END AS BIGINT) AS {out_col}
+            FROM hx_nd nd
+            LEFT JOIN {raw_cte} ar USING (node)
+            CROSS JOIN (
+                SELECT COALESCE(SUM(CAST(raw AS HUGEINT)), 0) AS tot
+                FROM {raw_cte}
+            ) tt
+            CROSS JOIN hx_cnt ct
+        )"""
+
+    for i in range(1, iterations + 1):
+        ctes.append(
+            f"hx_ar{i} AS MATERIALIZED "
+            f"(SELECT e.dst AS node, SUM(h.hub_q) AS raw "
+            f"FROM hx_eg e JOIN hx_h{i - 1} h ON e.src = h.node "
+            f"GROUP BY e.dst)"
+        )
+        ctes.append(f"hx_a{i} AS {_norm(f'hx_ar{i}', 'auth_q')}")
+        ctes.append(
+            f"hx_hr{i} AS MATERIALIZED "
+            f"(SELECT e.src AS node, SUM(a.auth_q) AS raw "
+            f"FROM hx_eg e JOIN hx_a{i} a ON e.dst = a.node "
+            f"GROUP BY e.src)"
+        )
+        ctes.append(f"hx_h{i} AS {_norm(f'hx_hr{i}', 'hub_q')}")
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT a.node, a.auth_q, h.hub_q "
+        f"FROM hx_a{iterations} a JOIN hx_h{iterations} h USING (node)"
+    )

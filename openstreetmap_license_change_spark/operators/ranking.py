@@ -393,3 +393,162 @@ def kendall_tau_sql(
                END AS BIGINT) AS gamma_ppm
         FROM kt_n n LEFT JOIN kt_pairs p USING (_g)
     """
+
+
+def spearman_rho(
+    df: DataFrame,
+    group_col: str,
+    x_col: str,
+    y_col: str,
+    key_col: str,
+    k: int = 256,
+) -> DataFrame:
+    """Per-group Spearman rank correlation on the deterministic
+    bottom-``k``-hash sample — the magnitude-sensitive companion of
+    :func:`kendall_tau` (tau counts pair inversions; rho is Pearson
+    over ranks, so a few far-displaced outliers move it more): the
+    standard second opinion when two quality metrics are compared.
+
+    Exact arithmetic end-to-end, including ties: each axis takes
+    DOUBLED average ranks (R₂ = 2·min_rank + tie_count − 1 — always
+    an integer, exactly 2× the fractional average rank; the 2×
+    cancels in the correlation), then the Pearson form
+
+        rho = (n·Σxy − Σx·Σy) / √((n·Σx² − (Σx)²)(n·Σy² − (Σy)²))
+
+    is evaluated as exact integers with the square root taken ONCE on
+    the final ratio:  q = (num²·10¹²) DIV (dx·dy)  (≤ 10¹² by
+    Cauchy–Schwarz, all operands non-negative), and
+    rho_ppm = sign(num)·isqrt(q) where isqrt is the EXACT integer
+    square root — a float-sqrt seed (IEEE-correctly-rounded in both
+    engines, so off by ≤ 1 on a ≤ 2⁵³ operand) lowered by 2 and
+    repaired by three monotone integer comparisons.  No float enters
+    the hash-relevant digits.
+
+    Scale design is kendall's sample-then-exact: ≤ k rows per group
+    cross the shuffle (WindowGroupLimit bottom-k on the mergeable
+    kmv hash), then two rank windows + one aggregation per group —
+    never a pair join.  Overflow bound: with doubled ranks ≤ 2k every
+    moment term ≤ 4k⁴ and num²·10¹² ≤ 16k⁸·10¹² needs k ≤ 1024 to
+    stay inside decimal(38)/HUGEINT — enforced.
+
+    Degenerate groups (n < 2, or a constant axis making dx·dy = 0)
+    emit NULL.  Returns (group, n_sample, rho_ppm)."""
+    from .sketches import kmv_hash
+
+    if not 4 <= k <= 1024:
+        raise ValueError(f"k must be in [4, 1024], got {k}")
+    h = kmv_hash(F.col(key_col)).alias("_h")
+    w = W.partitionBy(group_col).orderBy("_h", key_col)
+    kept = (
+        df.select(group_col, x_col, y_col, key_col)
+        .select(group_col, x_col, y_col, key_col, h)
+        .withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") <= k)
+        .select(
+            F.col(group_col).alias("_g"),
+            F.col(x_col).alias("_x"),
+            F.col(y_col).alias("_y"),
+        )
+    )
+    rx = (
+        2 * F.rank().over(W.partitionBy("_g").orderBy("_x"))
+        + F.count(F.lit(1)).over(W.partitionBy("_g", "_x"))
+        - 1
+    ).cast("bigint")
+    ry = (
+        2 * F.rank().over(W.partitionBy("_g").orderBy("_y"))
+        + F.count(F.lit(1)).over(W.partitionBy("_g", "_y"))
+        - 1
+    ).cast("bigint")
+    ranked = kept.withColumn("_rx", rx).withColumn("_ry", ry)
+    dec = "decimal(38,0)"
+    mom = ranked.groupBy("_g").agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum("_rx").alias("_sx"),
+        F.sum("_ry").alias("_sy"),
+        F.sum(F.expr("_rx * _rx")).alias("_sxx"),
+        F.sum(F.expr("_ry * _ry")).alias("_syy"),
+        F.sum(F.expr("_rx * _ry")).alias("_sxy"),
+    )
+    num = f"(CAST(_n AS {dec}) * _sxy - CAST(_sx AS {dec}) * _sy)"
+    dx = f"(CAST(_n AS {dec}) * _sxx - CAST(_sx AS {dec}) * _sx)"
+    dy = f"(CAST(_n AS {dec}) * _syy - CAST(_sy AS {dec}) * _sy)"
+    q = f"CAST(({num} * {num} * 1000000000000) DIV ({dx} * {dy}) AS BIGINT)"
+    s0 = f"GREATEST(CAST(SQRT(CAST({q} AS DOUBLE)) AS BIGINT) - 2, 0)"
+    isqrt = (
+        f"({s0} + IF(({s0}+1)*({s0}+1) <= {q}, 1, 0)"
+        f" + IF(({s0}+2)*({s0}+2) <= {q}, 1, 0)"
+        f" + IF(({s0}+3)*({s0}+3) <= {q}, 1, 0))"
+    )
+    return mom.select(
+        F.col("_g").alias(group_col),
+        F.col("_n").alias("n_sample"),
+        F.expr(
+            f"CAST(CASE WHEN _n < 2 OR {dx} = 0 OR {dy} = 0 THEN NULL "
+            f"WHEN {num} < 0 THEN -{isqrt} ELSE {isqrt} END AS BIGINT)"
+        ).alias("rho_ppm"),
+    )
+
+
+def spearman_rho_sql(
+    src: str,
+    group_col: str,
+    x_col: str,
+    y_col: str,
+    key_col: str,
+    k: int = 256,
+) -> str:
+    """DuckDB twin of :func:`spearman_rho` (standalone statement;
+    sr_*-namespaced CTEs)."""
+    from .sketches import kmv_hash_sql
+
+    if not 4 <= k <= 1024:
+        raise ValueError(f"k must be in [4, 1024], got {k}")
+    h = kmv_hash_sql(key_col)
+    num = "(CAST(_n AS HUGEINT) * _sxy - CAST(_sx AS HUGEINT) * _sy)"
+    dx = "(CAST(_n AS HUGEINT) * _sxx - CAST(_sx AS HUGEINT) * _sx)"
+    dy = "(CAST(_n AS HUGEINT) * _syy - CAST(_sy AS HUGEINT) * _sy)"
+    q = (
+        f"CAST(({num} * {num} * 1000000000000)"
+        f" // ({dx} * {dy}) AS BIGINT)"
+    )
+    s0 = f"GREATEST(CAST(SQRT(CAST({q} AS DOUBLE)) AS BIGINT) - 2, 0)"
+    isqrt = (
+        f"({s0} + CASE WHEN ({s0}+1)*({s0}+1) <= {q} THEN 1 ELSE 0 END"
+        f" + CASE WHEN ({s0}+2)*({s0}+2) <= {q} THEN 1 ELSE 0 END"
+        f" + CASE WHEN ({s0}+3)*({s0}+3) <= {q} THEN 1 ELSE 0 END)"
+    )
+    return f"""
+        WITH sr_kept AS (
+            SELECT _g, _x, _y FROM (
+                SELECT {group_col} AS _g, {x_col} AS _x, {y_col} AS _y,
+                       ROW_NUMBER() OVER (PARTITION BY {group_col}
+                                          ORDER BY {h}, {key_col}) AS _rk
+                FROM {src}
+            ) WHERE _rk <= {k}
+        ),
+        sr_ranked AS (
+            SELECT _g,
+                   CAST(2 * RANK() OVER (PARTITION BY _g ORDER BY _x)
+                        + COUNT(*) OVER (PARTITION BY _g, _x) - 1
+                        AS BIGINT) AS _rx,
+                   CAST(2 * RANK() OVER (PARTITION BY _g ORDER BY _y)
+                        + COUNT(*) OVER (PARTITION BY _g, _y) - 1
+                        AS BIGINT) AS _ry
+            FROM sr_kept
+        ),
+        sr_mom AS (
+            SELECT _g, COUNT(*) AS _n,
+                   SUM(_rx) AS _sx, SUM(_ry) AS _sy,
+                   SUM(_rx * _rx) AS _sxx, SUM(_ry * _ry) AS _syy,
+                   SUM(_rx * _ry) AS _sxy
+            FROM sr_ranked GROUP BY _g
+        )
+        SELECT _g AS {group_col},
+               CAST(_n AS BIGINT) AS n_sample,
+               CAST(CASE WHEN _n < 2 OR {dx} = 0 OR {dy} = 0 THEN NULL
+                    WHEN {num} < 0 THEN -{isqrt} ELSE {isqrt}
+                    END AS BIGINT) AS rho_ppm
+        FROM sr_mom
+    """
