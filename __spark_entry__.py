@@ -3042,6 +3042,34 @@ def q_hll_token_distinct(spark, sf_dir):
     return sketches.hll_distinct(toks, "lang", "tok_h")
 
 
+def q_vocab_overlap(spark, sf_dir):
+    """Per-lang vocabulary overlap between the even-doc and odd-doc
+    corpus halves via merged KMV sketches (sketches.kmv_set_ops) —
+    union / intersection / Jaccard estimates from two k-row sketches
+    per lang instead of a data-sized token join, the mergeable-sketch
+    drift check (a lang whose halves share little vocabulary is
+    heterogeneous or mis-identified).  Vocabularies exceed k=64, so
+    these rows are ESTIMATES — the twin replays the identical sketch
+    algebra hash-for-hash, and exact sub-k behavior plus estimator
+    accuracy are pinned in tests/test_kmv_set_ops.py."""
+    docs = pages_src.documents(spark, sf_dir)
+    toks = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.col("text")), r"\s+"),
+                lambda t: t != "",
+            )
+        ).alias("token"),
+    ).select(
+        "doc_id", "lang", dedup.token_hash(F.col("token")).alias("tok_h")
+    )
+    a = toks.where(F.col("doc_id") % 2 == 0)
+    b = toks.where(F.col("doc_id") % 2 == 1)
+    return sketches.kmv_set_ops(a, b, "lang", "tok_h", k=64)
+
+
 def q_chunk_documents(spark, sf_dir):
     """Pretraining chunker (textops.chunk_documents): 64-token windows
     with 48-token stride (overlapping, tail kept) — pure row-local
@@ -4345,6 +4373,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "coupling_pairs": q_coupling_pairs,
         "kmv_distinct_docs": q_kmv_distinct_docs,
         "hll_token_distinct": q_hll_token_distinct,
+        "vocab_overlap": q_vocab_overlap,
         "kendall_len_tokens": q_kendall_len_tokens,
         "spearman_len_tokens": q_spearman_len_tokens,
         "postings_cost": q_postings_cost,
@@ -7823,6 +7852,25 @@ def oracle_sql() -> dict[str, str]:
             ", " + sketches.kmv_distinct_ctes(
                 "(SELECT lang, doc_id FROM pages)", "lang", "doc_id", k=16
             )
+        ),
+        "vocab_overlap": sketches.kmv_set_ops_sql(
+            f"""(SELECT s.lang,
+                        {dedup.token_hash_sql('u.tok')} AS tok_h
+                 FROM (SELECT doc_id, lang,
+                              string_split_regex(lower(text), '\\s+')
+                                  AS ws
+                       FROM documents WHERE doc_id % 2 = 0) s,
+                      LATERAL UNNEST(s.ws) AS u(tok)
+                 WHERE u.tok <> '')""",
+            f"""(SELECT s.lang,
+                        {dedup.token_hash_sql('u.tok')} AS tok_h
+                 FROM (SELECT doc_id, lang,
+                              string_split_regex(lower(text), '\\s+')
+                                  AS ws
+                       FROM documents WHERE doc_id % 2 = 1) s,
+                      LATERAL UNNEST(s.ws) AS u(tok)
+                 WHERE u.tok <> '')""",
+            "lang", "tok_h", k=64,
         ),
         "hll_token_distinct": f"""
             WITH hllq_toks AS (

@@ -769,3 +769,181 @@ def hll_distinct_ctes(src: str, group_col: str, value_col: str) -> str:
 def hll_distinct_sql(src: str, group_col: str, value_col: str) -> str:
     """Standalone-statement form of :func:`hll_distinct_ctes`."""
     return "WITH " + hll_distinct_ctes(src, group_col, value_col)
+
+
+def kmv_set_ops(
+    a: DataFrame,
+    b: DataFrame,
+    group_col: str,
+    value_col: str,
+    k: int = 64,
+) -> DataFrame:
+    """Per-group set-operation estimates between two value sets from
+    their bottom-``k`` KMV sketches (Beyer et al., SIGMOD'07) — the
+    mergeable-sketch answer to "how much does corpus slice A's
+    vocabulary overlap slice B's?" when the exact intersection would
+    be a data-sized join: union, intersection, and Jaccard from two
+    k-row sketches per group.
+
+    Method: sketch each side (bottom-k of the same hash used by
+    :func:`kmv_distinct`, value tie-break), merge, and keep the
+    bottom-k of the UNION of sketch rows with per-row membership
+    flags.  With K = the union sketch's kth hash and
+    m = union-sketch rows present in BOTH side sketches:
+
+        est_union        = (k−1)·2³² DIV K      (exact if < k kept)
+        jaccard_ppm      = m·10⁶ DIV union_kept
+        est_intersection = (m · est_union) DIV union_kept
+
+    All integer, all truncating — engine-identical.  When both sides
+    hold < k distinct values the sketches ARE the sets and every
+    number is exact (the property the contract query verifies at
+    sf0.01); above k the relative error is ~1/√k on union and
+    Jaccard.  The union sketch is built from KEPT rows only — a
+    value outside both bottom-k's can never enter (hash order is
+    global), so merging sketches loses nothing: the sketch is
+    mergeable, the 1000-executor property.
+
+    Scale: two per-group WindowGroupLimit bottom-k passes (≤ k rows
+    per group per side cross the shuffle) + one ≤ 2k-row merge per
+    group.  Returns (group, n_a_kept, n_b_kept, union_kept, matches,
+    est_union, est_intersection, jaccard_ppm); jaccard/intersection
+    NULL when both sides are empty (no union sketch row)."""
+    if k < 2:
+        raise ValueError(f"k must be ≥ 2, got {k}")
+
+    def _sketch(df: DataFrame, flag: str) -> DataFrame:
+        vals = df.select(group_col, value_col).distinct()
+        h = kmv_hash(F.col(value_col)).alias("_h")
+        w = W.partitionBy(group_col).orderBy("_h", value_col)
+        return (
+            vals.select(group_col, value_col, h)
+            .withColumn("_rk", F.row_number().over(w))
+            .where(F.col("_rk") <= k)
+            .select(group_col, value_col, "_h",
+                    F.lit(1).alias(flag))
+        )
+
+    sa = _sketch(a, "_in_a")
+    sb = _sketch(b, "_in_b")
+    merged = (
+        sa.unionByName(sb, allowMissingColumns=True)
+        .groupBy(group_col, value_col, "_h")
+        .agg(
+            F.max(F.coalesce("_in_a", F.lit(0))).alias("_a"),
+            F.max(F.coalesce("_in_b", F.lit(0))).alias("_b"),
+        )
+    )
+    w = W.partitionBy(group_col).orderBy("_h", value_col)
+    union_kept = (
+        merged.withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") <= k)
+    )
+    agg = union_kept.groupBy(group_col).agg(
+        F.sum("_a").alias("n_a_kept"),
+        F.sum("_b").alias("n_b_kept"),
+        F.count(F.lit(1)).alias("union_kept"),
+        F.max("_h").alias("_kth"),
+        F.sum(F.expr("_a * _b")).alias("matches"),
+    )
+    est_union = (
+        F.when(F.col("union_kept") < k, F.col("union_kept"))
+        .otherwise(
+            F.expr(f"({k - 1} * {_TWO32}) DIV GREATEST(_kth, 1)")
+        )
+        .cast("bigint")
+    )
+    return agg.withColumn("est_union", est_union).select(
+        group_col,
+        "n_a_kept",
+        "n_b_kept",
+        "union_kept",
+        "matches",
+        "est_union",
+        F.expr(
+            "CAST(CASE WHEN union_kept = 0 THEN NULL ELSE "
+            "(matches * est_union) DIV union_kept END AS BIGINT)"
+        ).alias("est_intersection"),
+        F.expr(
+            "CAST(CASE WHEN union_kept = 0 THEN NULL ELSE "
+            "(matches * 1000000) DIV union_kept END AS BIGINT)"
+        ).alias("jaccard_ppm"),
+    )
+
+
+def kmv_set_ops_sql(
+    a_src: str,
+    b_src: str,
+    group_col: str,
+    value_col: str,
+    k: int = 64,
+) -> str:
+    """DuckDB twin of :func:`kmv_set_ops` (standalone statement;
+    kso_*-namespaced CTEs)."""
+    if k < 2:
+        raise ValueError(f"k must be ≥ 2, got {k}")
+    h = kmv_hash_sql(value_col)
+
+    def _sk(src: str, name: str) -> str:
+        return f"""{name} AS MATERIALIZED (
+            SELECT {group_col}, {value_col}, _h FROM (
+                SELECT {group_col}, {value_col}, {h} AS _h,
+                       ROW_NUMBER() OVER (PARTITION BY {group_col}
+                                          ORDER BY {h}, {value_col})
+                           AS _rk
+                FROM (SELECT DISTINCT {group_col}, {value_col}
+                      FROM {src})
+            ) WHERE _rk <= {k}
+        )"""
+
+    return f"""
+        WITH {_sk(a_src, 'kso_a')},
+        {_sk(b_src, 'kso_b')},
+        kso_merged AS (
+            SELECT {group_col}, {value_col}, _h,
+                   MAX(_a) AS _a, MAX(_b) AS _b
+            FROM (
+                SELECT {group_col}, {value_col}, _h, 1 AS _a, 0 AS _b
+                FROM kso_a
+                UNION ALL
+                SELECT {group_col}, {value_col}, _h, 0 AS _a, 1 AS _b
+                FROM kso_b
+            ) GROUP BY {group_col}, {value_col}, _h
+        ),
+        kso_union AS (
+            SELECT * FROM (
+                SELECT {group_col}, _a, _b, _h,
+                       ROW_NUMBER() OVER (PARTITION BY {group_col}
+                                          ORDER BY _h, {value_col})
+                           AS _rk
+                FROM kso_merged
+            ) WHERE _rk <= {k}
+        ),
+        kso_agg AS (
+            SELECT {group_col},
+                   SUM(_a) AS n_a_kept,
+                   SUM(_b) AS n_b_kept,
+                   COUNT(*) AS union_kept,
+                   MAX(_h) AS _kth,
+                   SUM(_a * _b) AS matches
+            FROM kso_union GROUP BY {group_col}
+        )
+        SELECT {group_col},
+               CAST(n_a_kept AS BIGINT) AS n_a_kept,
+               CAST(n_b_kept AS BIGINT) AS n_b_kept,
+               CAST(union_kept AS BIGINT) AS union_kept,
+               CAST(matches AS BIGINT) AS matches,
+               CAST(CASE WHEN union_kept < {k} THEN union_kept
+                    ELSE ({k - 1} * {_TWO32}) // GREATEST(_kth, 1)
+                    END AS BIGINT) AS est_union,
+               CAST(CASE WHEN union_kept = 0 THEN NULL ELSE
+                    (matches * (CASE WHEN union_kept < {k}
+                         THEN union_kept
+                         ELSE ({k - 1} * {_TWO32})
+                              // GREATEST(_kth, 1) END))
+                    // union_kept END AS BIGINT) AS est_intersection,
+               CAST(CASE WHEN union_kept = 0 THEN NULL ELSE
+                    (matches * 1000000) // union_kept END AS BIGINT)
+                   AS jaccard_ppm
+        FROM kso_agg
+    """
