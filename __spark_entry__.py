@@ -40,6 +40,7 @@ from openstreetmap_license_change_spark.operators import (
 )
 from openstreetmap_license_change_spark.operators import (
     evaluation,
+    multimodal as multimodal_mod,
     profile as profile_mod,
     rtree as rtree_mod,
     sampling,
@@ -879,6 +880,48 @@ def q_image_equalize(spark, sf_dir):
 
     media = multimodal.synthetic_raw_rgb_media(spark, n=16, w=48, h=32)
     return multimodal.image_equalize(media)
+
+
+MASK_N, MASK_W, MASK_H = 16, 48, 32
+
+_MASK_FGPX_SQL = f"""(
+    SELECT m.range AS mask_id,
+           y.range * {MASK_W} + x.range AS px
+    FROM range({MASK_N}) m, range({MASK_H}) y, range({MASK_W}) x
+    WHERE (x.range * 3 + y.range * 7 + m.range * 13) % 256 < 96
+)"""
+
+
+def q_mask_rle(spark, sf_dir):
+    """COCO-style RLE of the deterministic binary masks
+    (multimodal.mask_rle_encode): row-major flat foreground runs via
+    a vectorized np.diff transition scan in mapInPandas — shuffle-
+    free.  The oracle regenerates the foreground pixel SET from the
+    closed form and rebuilds runs with gaps-and-islands (a different
+    derivation), so the transition scan itself hash-verifies."""
+    from openstreetmap_license_change_spark.operators import multimodal
+
+    media = multimodal.synthetic_masks(
+        spark, n=MASK_N, w=MASK_W, h=MASK_H
+    )
+    return multimodal.mask_rle_encode(media)
+
+
+def q_mask_iou(spark, sf_dir):
+    """Pairwise mask IoU over the RLE runs
+    (multimodal.mask_iou_pairs): interval-algebra intersection on a
+    block equi-join with the owner-bucket dedupe — never an all-pairs
+    conditional join, never re-materialized pixels.  The oracle is
+    pixel-level (offset self-join on the closed-form foreground set),
+    a different algorithm family, so the run-overlap arithmetic is
+    what gets verified."""
+    from openstreetmap_license_change_spark.operators import multimodal
+
+    media = multimodal.synthetic_masks(
+        spark, n=MASK_N, w=MASK_W, h=MASK_H
+    )
+    runs = multimodal.mask_rle_encode(media)
+    return multimodal.mask_iou_pairs(runs, bucket=256)
 
 
 def q_rake_keywords(spark, sf_dir):
@@ -4258,6 +4301,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cell_compact": q_cell_compact,
         "rake_keywords": q_rake_keywords,
         "image_equalize": q_image_equalize,
+        "mask_rle": q_mask_rle,
+        "mask_iou": q_mask_iou,
         "mad_outliers": q_mad_outliers,
         "bivariate_morans": q_bivariate_morans,
         "negative_samples": q_negative_samples,
@@ -5697,6 +5742,8 @@ def oracle_sql() -> dict[str, str]:
         "mad_outliers": profile_mod.mad_outliers_sql(
             "documents", "lang", "doc_id", "n_chars"
         ),
+        "mask_rle": multimodal_mod.mask_rle_runs_sql(_MASK_FGPX_SQL),
+        "mask_iou": multimodal_mod.mask_iou_sql(_MASK_FGPX_SQL),
         "image_equalize": """
             WITH eq_imgs AS (SELECT UNNEST(range(0, 16)) AS media_id),
             eq_pix AS (

@@ -1062,3 +1062,237 @@ def image_equalize(media: DataFrame) -> DataFrame:
         .repartition("media_id")
         .mapInPandas(run, schema=EQUALIZE_SCHEMA)
     )
+
+
+# ---------------------------------------------------------------------------
+# segmentation-mask path: binary masks as raw byte payloads, RLE
+# compression (the COCO-annotation storage shape) and pairwise IoU —
+# the mask-level dedup/agreement primitives a vision-training pipeline
+# runs over annotation tables.
+# ---------------------------------------------------------------------------
+
+MASK_SCHEMA = StructType(
+    [
+        StructField("mask_id", LongType()),
+        StructField("payload", BinaryType()),
+        StructField("meta_width", IntegerType()),
+        StructField("meta_height", IntegerType()),
+    ]
+)
+
+MASK_RLE_SCHEMA = StructType(
+    [
+        StructField("mask_id", LongType()),
+        StructField("run_idx", LongType()),
+        StructField("start_px", LongType()),
+        StructField("run_len", LongType()),
+    ]
+)
+
+
+def synthetic_masks(spark, n: int = 16, w: int = 48, h: int = 32) -> DataFrame:
+    """Deterministic binary masks: pixel (x, y) of mask m is
+    foreground iff (x·3 + y·7 + m·13) mod 256 < 96 — the raw-RGB
+    generator's modular family, giving every mask ~37.5% coverage in
+    diagonal stripes whose phase shifts with m (so distinct masks
+    overlap partially: non-trivial IoU structure).  Payload is one
+    byte per pixel (0/1), row-major."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            recs = []
+            for mid in pdf["id"]:
+                x = np.arange(w)[None, :]
+                y = np.arange(h)[:, None]
+                fg = ((x * 3 + y * 7 + int(mid) * 13) % 256 < 96)
+                recs.append(
+                    (int(mid), fg.astype(np.uint8).tobytes(), w, h)
+                )
+            yield pd.DataFrame(
+                recs,
+                columns=["mask_id", "payload", "meta_width",
+                         "meta_height"],
+            )
+
+    return spark.range(0, n).mapInPandas(gen, schema=MASK_SCHEMA)
+
+
+def mask_rle_encode(masks: DataFrame) -> DataFrame:
+    """Run-length encode binary masks (row-major scanline order) —
+    the COCO-style compressed representation: one row per foreground
+    run, (mask_id, run_idx 1-based in scan order, start_px flat
+    offset, run_len).  An all-background mask emits no rows (absent,
+    not a sentinel).
+
+    Row-local and shuffle-free: the decode + transition scan runs in
+    ``mapInPandas`` (np.diff over the flat byte view — vectorized,
+    never a per-pixel Python loop), so RLE at 100 TB is a pure map
+    stage whose output is ~coverage·2 ints per run instead of w·h
+    bytes per mask.  The DuckDB twin rebuilds the runs from the
+    foreground PIXEL SET with gaps-and-islands — a structurally
+    different derivation, so the transition scan itself is what gets
+    hash-verified."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            recs = []
+            for mid, payload in zip(pdf["mask_id"], pdf["payload"]):
+                flat = np.frombuffer(payload, dtype=np.uint8)
+                if flat.size == 0:
+                    continue
+                bounded = np.concatenate(([0], flat, [0]))
+                d = np.diff(bounded.astype(np.int8))
+                starts = np.nonzero(d == 1)[0]
+                ends = np.nonzero(d == -1)[0]
+                for i, (s, e) in enumerate(zip(starts, ends), start=1):
+                    recs.append((int(mid), i, int(s), int(e - s)))
+            yield pd.DataFrame(
+                recs,
+                columns=["mask_id", "run_idx", "start_px", "run_len"],
+            )
+
+    return masks.select("mask_id", "payload").mapInPandas(
+        run, schema=MASK_RLE_SCHEMA
+    )
+
+
+def mask_rle_runs_sql(fgpx_src: str) -> str:
+    """DuckDB twin of :func:`mask_rle_encode` from a foreground pixel
+    set (``mask_id``, ``px`` flat offsets) — gaps-and-islands: island
+    id = px − dense scan rank, then per-island min/count.  Standalone
+    statement returning (mask_id, run_idx, start_px, run_len)."""
+    return f"""
+        WITH mrl_px AS (
+            SELECT mask_id, px,
+                   px - ROW_NUMBER() OVER (PARTITION BY mask_id
+                                           ORDER BY px) AS _island
+            FROM {fgpx_src}
+        ),
+        mrl_runs AS (
+            SELECT mask_id, MIN(px) AS start_px, COUNT(*) AS run_len
+            FROM mrl_px GROUP BY mask_id, _island
+        )
+        SELECT mask_id,
+               CAST(ROW_NUMBER() OVER (PARTITION BY mask_id
+                                       ORDER BY start_px) AS BIGINT)
+                   AS run_idx,
+               CAST(start_px AS BIGINT) AS start_px,
+               CAST(run_len AS BIGINT) AS run_len
+        FROM mrl_runs
+    """
+
+
+def mask_iou_pairs(runs: DataFrame, bucket: int = 256) -> DataFrame:
+    """Pairwise IoU between RLE-encoded masks — intersection computed
+    by INTERVAL algebra over the runs (overlap of two runs =
+    least(ends) − greatest(starts) when positive), never by
+    re-materializing pixels: the mask-level near-dup / annotator-
+    agreement join.
+
+    Scale design: a run explodes over the ``bucket``-sized offset
+    blocks it covers (fan = run_len/bucket + 1, bounded by mask
+    geometry), candidates are the block EQUI-join (a.mask < b.mask) —
+    never an all-pairs × all-runs conditional join — and each
+    overlapping run pair is counted exactly once by the OWNER-BUCKET
+    rule: only the block containing the overlap's left endpoint
+    emits, so no distinct pass is needed.  Pair areas join from the
+    |masks|-sized per-mask aggregate.
+
+    Exact ppm:  iou_ppm = inter·10⁶ DIV (area_a + area_b − inter).
+    Pairs with zero overlapping run blocks are absent (IoU 0 by
+    construction).  Returns (mask_a, mask_b, area_a, area_b,
+    inter_px, union_px, iou_ppm)."""
+    if bucket < 1:
+        raise ValueError(f"bucket must be >= 1, got {bucket}")
+    r = runs.select(
+        "mask_id", "start_px",
+        (F.col("start_px") + F.col("run_len")).alias("end_px"),
+    )
+    areas = runs.groupBy("mask_id").agg(
+        F.sum("run_len").alias("area")
+    )
+    expl = r.select(
+        "mask_id", "start_px", "end_px",
+        F.explode(
+            F.sequence(
+                F.expr(f"start_px DIV {int(bucket)}"),
+                F.expr(f"(end_px - 1) DIV {int(bucket)}"),
+            )
+        ).alias("_blk"),
+    )
+    a, b = expl.alias("a"), expl.alias("b")
+    ov_start = F.greatest(F.col("a.start_px"), F.col("b.start_px"))
+    ov_end = F.least(F.col("a.end_px"), F.col("b.end_px"))
+    pairs = (
+        a.join(
+            b,
+            (F.col("a._blk") == F.col("b._blk"))
+            & (F.col("a.mask_id") < F.col("b.mask_id")),
+        )
+        .where(
+            (ov_end > ov_start)
+            & (F.col("a._blk") == F.floor(ov_start / bucket))
+        )
+        .groupBy(
+            F.col("a.mask_id").alias("mask_a"),
+            F.col("b.mask_id").alias("mask_b"),
+        )
+        .agg(F.sum(ov_end - ov_start).alias("inter_px"))
+    )
+    return (
+        pairs.join(
+            F.broadcast(areas).withColumnRenamed("mask_id", "mask_a")
+            .withColumnRenamed("area", "area_a"),
+            "mask_a",
+        )
+        .join(
+            F.broadcast(areas).withColumnRenamed("mask_id", "mask_b")
+            .withColumnRenamed("area", "area_b"),
+            "mask_b",
+        )
+        .select(
+            "mask_a", "mask_b", "area_a", "area_b", "inter_px",
+            (F.col("area_a") + F.col("area_b") - F.col("inter_px"))
+            .alias("union_px"),
+            F.expr(
+                "CAST((inter_px * 1000000) DIV "
+                "(area_a + area_b - inter_px) AS BIGINT)"
+            ).alias("iou_ppm"),
+        )
+    )
+
+
+def mask_iou_sql(fgpx_src: str) -> str:
+    """DuckDB twin of :func:`mask_iou_pairs` from the foreground pixel
+    set — deliberately PIXEL-level (self-join on equal offsets), a
+    different algorithm family than the operator's interval algebra,
+    so the run-overlap arithmetic itself is what gets verified.
+    Standalone statement; pairs with zero intersection are absent,
+    matching the operator."""
+    return f"""
+        WITH miou_px AS MATERIALIZED (
+            SELECT mask_id, px FROM {fgpx_src}
+        ),
+        miou_area AS (
+            SELECT mask_id, COUNT(*) AS area FROM miou_px GROUP BY 1
+        ),
+        miou_inter AS (
+            SELECT a.mask_id AS mask_a, b.mask_id AS mask_b,
+                   COUNT(*) AS inter_px
+            FROM miou_px a JOIN miou_px b
+              ON a.px = b.px AND a.mask_id < b.mask_id
+            GROUP BY 1, 2
+        )
+        SELECT i.mask_a, i.mask_b,
+               CAST(aa.area AS BIGINT) AS area_a,
+               CAST(ab.area AS BIGINT) AS area_b,
+               CAST(i.inter_px AS BIGINT) AS inter_px,
+               CAST(aa.area + ab.area - i.inter_px AS BIGINT)
+                   AS union_px,
+               CAST((i.inter_px * 1000000)
+                    // (aa.area + ab.area - i.inter_px) AS BIGINT)
+                   AS iou_ppm
+        FROM miou_inter i
+        JOIN miou_area aa ON aa.mask_id = i.mask_a
+        JOIN miou_area ab ON ab.mask_id = i.mask_b
+    """
