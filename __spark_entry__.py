@@ -3644,6 +3644,20 @@ def q_session_rules(spark, sf_dir):
     return temporal.session_rules(ev, gap_s=1800, min_support=2)
 
 
+def q_attribution(spark, sf_dir):
+    """Multi-touch conversion attribution
+    (temporal.attribution_credits): every purchase distributes
+    exactly 10⁶ ppm over the user's preceding touches (sequence-order
+    membership via a reverse-cumulative conversion count — one window
+    pass, never an interval join; 1-hour lookback) under first-touch,
+    last-touch, and mass-conserving linear models at once, rolled up
+    per channel."""
+    from openstreetmap_license_change_spark.operators import temporal
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return temporal.attribution_credits(ev, "purchase", 3600)
+
+
 def q_peak_concurrency(spark, sf_dir):
     """Peak interval concurrency (temporal.peak_overlap): every event
     opens a half-open 30-minute activity window; per event type,
@@ -4468,6 +4482,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_interval_join": q_events_interval_join,
         "peak_concurrency": q_peak_concurrency,
         "session_rules": q_session_rules,
+        "attribution": q_attribution,
         "active_users": q_active_users,
         "events_overlap_join": q_events_overlap_join,
         "allen_relations": q_allen_relations,
@@ -6741,6 +6756,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "active_users": temporal.rolling_active_users_sql(
             "events", short_days=7, long_days=28
+        ),
+        "attribution": temporal_mod.attribution_credits_sql(
+            "events", "purchase", 3600
         ),
         "session_rules": temporal.session_rules_sql(
             "events", gap_s=1800, min_support=2

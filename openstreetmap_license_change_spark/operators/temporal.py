@@ -1886,3 +1886,158 @@ def rolling_active_users_sql(
         FROM rau_fan f JOIN rau_days d USING (day)
         GROUP BY 1
     """
+
+
+def attribution_credits(
+    events: DataFrame,
+    conversion_type: str,
+    lookback_s: int,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Multi-touch conversion attribution: every ``conversion_type``
+    event distributes exactly 10⁶ ppm of credit over the user's
+    preceding touch events (any other type) since the previous
+    conversion and within ``lookback_s`` — under the three standard
+    models at once, rolled up per channel (= event type):
+
+        first_ppm  — 10⁶ to the earliest touch in the window
+        last_ppm   — 10⁶ to the latest touch
+        linear_ppm — 10⁶ DIV n to each touch, truncation remainder
+                     to the LAST touch (mass-conserving: each
+                     converted conversion distributes exactly 10⁶)
+
+    Membership is decided by SEQUENCE order (each touch belongs to
+    the next conversion in the user's (ts, event_id) order — a
+    reverse-cumulative conversion count, one pass, no interval join),
+    then the lookback filter drops stale touches (conv_ts − ts >
+    lookback).  Equal-timestamp touch/conversion pairs resolve by the
+    same total order, deterministically.  Touches after a user's
+    last conversion credit nothing.
+
+    Exactness: integer epoch microseconds, integer ppm; per-channel
+    sums ≤ 10⁶·conversions (int64 to ~9·10¹² conversions).
+
+    Plan: two per-user window passes (group assignment, in-group
+    rank) + one per-(user, conversion) count join + one channel
+    groupBy — never a touches×conversions join; windows are
+    user-keyed, so no single-partition stage.  Returns (channel,
+    n_touches, n_conversions, first_ppm, last_ppm, linear_ppm);
+    n_conversions counts conversions the channel touched."""
+    if lookback_s <= 0:
+        raise ValueError(f"lookback_s must be > 0: {lookback_s}")
+    lb_us = int(lookback_s) * 1_000_000
+    ev = events.select(
+        F.col(user_col).alias("_u"),
+        F.col(type_col).alias("_t"),
+        F.unix_micros(F.col(ts_col).cast("timestamp")).alias("_us"),
+        F.col(id_col).alias("_id"),
+        (F.col(type_col) == conversion_type).cast("int").alias("_c"),
+    )
+    wrev = W.partitionBy("_u").orderBy(
+        F.col("_us").desc(), F.col("_id").desc()
+    )
+    grouped = ev.withColumn("_grp", F.sum("_c").over(wrev))
+    convs = grouped.where(F.col("_c") == 1).select(
+        "_u", "_grp",
+        F.col("_us").alias("_conv_us"),
+    )
+    touches = (
+        grouped.where((F.col("_c") == 0) & (F.col("_grp") > 0))
+        .join(convs, ["_u", "_grp"])
+        .where(F.col("_conv_us") - F.col("_us") <= lb_us)
+    )
+    wasc = W.partitionBy("_u", "_grp").orderBy("_us", "_id")
+    ranked = touches.withColumn("_rk", F.row_number().over(wasc))
+    sizes = ranked.groupBy("_u", "_grp").agg(
+        F.count(F.lit(1)).alias("_n")
+    )
+    credited = ranked.join(sizes, ["_u", "_grp"]).select(
+        "_u", "_grp", "_t",
+        F.when(F.col("_rk") == 1, F.lit(1_000_000))
+        .otherwise(F.lit(0)).alias("_first"),
+        F.when(F.col("_rk") == F.col("_n"), F.lit(1_000_000))
+        .otherwise(F.lit(0)).alias("_last"),
+        F.expr(
+            "(1000000 DIV _n) + CASE WHEN _rk = _n THEN "
+            "1000000 - _n * (1000000 DIV _n) ELSE 0 END"
+        ).alias("_linear"),
+    )
+    return (
+        credited.groupBy(F.col("_t").alias("channel"))
+        .agg(
+            F.count(F.lit(1)).alias("n_touches"),
+            F.count_distinct(F.struct("_u", "_grp")).alias(
+                "n_conversions"
+            ),
+            F.sum("_first").alias("first_ppm"),
+            F.sum("_last").alias("last_ppm"),
+            F.sum("_linear").alias("linear_ppm"),
+        )
+    )
+
+
+def attribution_credits_sql(
+    src: str,
+    conversion_type: str,
+    lookback_s: int,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> str:
+    """DuckDB twin of :func:`attribution_credits` (standalone
+    statement; at_*-namespaced CTEs)."""
+    if lookback_s <= 0:
+        raise ValueError(f"lookback_s must be > 0: {lookback_s}")
+    lb_us = int(lookback_s) * 1_000_000
+    return f"""
+        WITH at_ev AS (
+            SELECT {user_col} AS _u, {type_col} AS _t,
+                   epoch_us({ts_col}) AS _us, {id_col} AS _id,
+                   CASE WHEN {type_col} = '{conversion_type}'
+                        THEN 1 ELSE 0 END AS _c
+            FROM {src}
+        ),
+        at_grp AS MATERIALIZED (
+            SELECT *, SUM(_c) OVER (PARTITION BY _u
+                                    ORDER BY _us DESC, _id DESC) AS _grp
+            FROM at_ev
+        ),
+        at_conv AS (
+            SELECT _u, _grp, _us AS _conv_us
+            FROM at_grp WHERE _c = 1
+        ),
+        at_touch AS MATERIALIZED (
+            SELECT t._u, t._grp, t._t, t._us, t._id
+            FROM at_grp t JOIN at_conv c USING (_u, _grp)
+            WHERE t._c = 0 AND t._grp > 0
+              AND c._conv_us - t._us <= {lb_us}
+        ),
+        at_ranked AS (
+            SELECT _u, _grp, _t,
+                   ROW_NUMBER() OVER (PARTITION BY _u, _grp
+                                      ORDER BY _us, _id) AS _rk,
+                   COUNT(*) OVER (PARTITION BY _u, _grp) AS _n
+            FROM at_touch
+        ),
+        at_credit AS (
+            SELECT _u, _grp, _t,
+                   CASE WHEN _rk = 1 THEN 1000000 ELSE 0 END AS _first,
+                   CASE WHEN _rk = _n THEN 1000000 ELSE 0 END AS _last,
+                   (1000000 // _n) + CASE WHEN _rk = _n THEN
+                       1000000 - _n * (1000000 // _n) ELSE 0 END
+                       AS _linear
+            FROM at_ranked
+        )
+        SELECT _t AS channel,
+               CAST(COUNT(*) AS BIGINT) AS n_touches,
+               CAST(COUNT(DISTINCT (_u, _grp)) AS BIGINT)
+                   AS n_conversions,
+               CAST(SUM(_first) AS BIGINT) AS first_ppm,
+               CAST(SUM(_last) AS BIGINT) AS last_ppm,
+               CAST(SUM(_linear) AS BIGINT) AS linear_ppm
+        FROM at_credit GROUP BY _t
+    """
