@@ -2503,6 +2503,80 @@ def q_stay_points(spark, sf_dir):
     )
 
 
+HAUS_MAX_RN = 64
+
+_HAUS_PTS_SQL = """(
+    SELECT user_id AS entity, lon, lat FROM (
+        SELECT user_id, rn,
+               CAST(-45.0 AS DOUBLE)
+                   + (user_id % 120) * CAST(0.5 AS DOUBLE)
+                   + CAST(0.001 AS DOUBLE) * rn
+                   + CAST(1.0 AS DOUBLE) * floor(rn / 25) AS lat,
+               CAST(-100.0 AS DOUBLE)
+                   + (user_id % 140) * CAST(1.0 AS DOUBLE)
+                   + CAST(0.002 AS DOUBLE) * rn AS lon
+        FROM (SELECT user_id, ts, event_id,
+                     ROW_NUMBER() OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id) AS rn
+              FROM events) t
+    ) WHERE rn <= 64
+)"""
+
+_HAUS_PAIRS_SQL = f"""(
+    SELECT DISTINCT a.entity AS id_a, b.entity AS id_b
+    FROM (SELECT DISTINCT entity, floor(lon / 2) AS bx,
+                 floor(lat / 2) AS by FROM {_HAUS_PTS_SQL}) a
+    JOIN (SELECT DISTINCT entity, floor(lon / 2) AS bx,
+                 floor(lat / 2) AS by FROM {_HAUS_PTS_SQL}) b
+      ON a.bx = b.bx AND a.by = b.by AND a.entity < b.entity
+)"""
+
+
+def q_hausdorff_tracks(spark, sf_dir):
+    """Symmetric Hausdorff distance between user trajectories
+    (spatial.hausdorff_pairs) over the drift geocode capped at 64
+    points per track: candidate pairs are users whose tracks share a
+    2° cell (the blocking stage the operator contractually requires —
+    never an all-pairs join), then ONE candidate point-join feeds
+    both directed max-min distances in exact µdeg² integers."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    rn = F.row_number().over(
+        W.partitionBy("user_id").orderBy("ts", "event_id")
+    )
+    pts = (
+        ev.select("user_id", "ts", "event_id", rn.alias("rn"))
+        .where(F.col("rn") <= HAUS_MAX_RN)
+        .select(
+            F.col("user_id").alias("entity"),
+            (F.lit(-100.0) + (F.col("user_id") % 140) * F.lit(1.0)
+             + F.lit(0.002) * F.col("rn")).alias("lon"),
+            (F.lit(-45.0) + (F.col("user_id") % 120) * F.lit(0.5)
+             + F.lit(0.001) * F.col("rn")
+             + F.lit(1.0) * F.floor(F.col("rn") / 25)).alias("lat"),
+        )
+    )
+    cells = pts.select(
+        "entity",
+        F.floor(F.col("lon") / 2).alias("bx"),
+        F.floor(F.col("lat") / 2).alias("by"),
+    ).distinct()
+    pairs = (
+        cells.alias("a")
+        .join(
+            cells.alias("b"),
+            (F.col("a.bx") == F.col("b.bx"))
+            & (F.col("a.by") == F.col("b.by"))
+            & (F.col("a.entity") < F.col("b.entity")),
+        )
+        .select(
+            F.col("a.entity").alias("id_a"),
+            F.col("b.entity").alias("id_b"),
+        )
+        .distinct()
+    )
+    return spatial.hausdorff_pairs(pts, pairs, entity_col="entity")
+
+
 RESAMPLE_STEP_S = 900
 
 
@@ -4395,6 +4469,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": q_bm25_topk,
         "gopher_filter": q_gopher_filter,
         "stay_points": q_stay_points,
+        "hausdorff_tracks": q_hausdorff_tracks,
         "turn_stats": q_turn_stats,
         "resample_track": q_resample_track,
         "cusum_split": q_cusum_split,
@@ -7700,6 +7775,9 @@ def oracle_sql() -> dict[str, str]:
             )
             + ") f(fence_id, min_lon, min_lat, max_lon, max_lat))",
             tiebreak=("event_id",),
+        ),
+        "hausdorff_tracks": spatial.hausdorff_pairs_sql(
+            _HAUS_PTS_SQL, _HAUS_PAIRS_SQL
         ),
         "stay_points": spatial.stay_points_sql(
             _STAY_PTS_SQL, "user_id", "ts",

@@ -6816,3 +6816,168 @@ def raster_aspect_ctes(
                END AS aspect
         FROM ra_out
     """
+
+
+def hausdorff_pairs(
+    points: DataFrame,
+    pairs: DataFrame,
+    entity_col: str = "entity",
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    scale: int = 1_000_000,
+    max_points: int = 4_096,
+) -> DataFrame:
+    """Exact symmetric Hausdorff distance (squared, fixed-point)
+    between entity point sets for CANDIDATE pairs — the
+    trajectory-similarity join of the track layer (which users walk
+    the same route? which map edits trace the same road?), the
+    set-distance companion of snap_to_segments' point-to-line
+    attachment:
+
+        h(A→B) = max_{a∈A} min_{b∈B} d²(a, b)
+        H(A,B) = greatest(h(A→B), h(B→A))
+
+    Exact arithmetic: coordinates quantize to the house ×``scale``
+    fixed-point ints, d² in int64 (Δ ≤ 360·10⁶ at the default scale
+    → d² ≤ 2.6·10¹⁷, guarded by the scale bound below); max-of-min
+    over integers is order-free, so the result is
+    parallelism-independent with no tie-break needed.
+
+    Scale design: Hausdorff needs every aᵢ's min over ALL of B, so
+    the pair fan is inherently |A|·|B| — the operator therefore takes
+    a ``pairs`` DataFrame (id_a, id_b) produced by a blocking stage
+    (shared coarse cell, LSH bucket, same road corridor …) and NEVER
+    self-joins the corpus; both directions come from ONE candidate
+    join (two groupBys on opposite point identities).  A LOUD
+    ``max_points`` guard fails any entity whose point count would
+    make the per-pair fan quadratic-unbounded (the crossing-join /
+    session_rules house pattern).  Duplicate coordinates collapse by
+    point identity (= the quantized pair), which leaves the max-min
+    unchanged.
+
+    Returns (id_a, id_b, n_a, n_b, h_ab_q, h_ba_q, hausdorff_q) —
+    n_* are DISTINCT quantized points, *_q in (1/scale°)² units."""
+    if scale > 1_000_000:
+        raise ValueError("scale > 1e6 overflows the int64 d² bound")
+    sc = F.lit(float(scale))
+    pts = points.select(
+        F.col(entity_col).alias("_e"),
+        F.round(F.col(lon_col) * sc).cast("bigint").alias("_x"),
+        F.round(F.col(lat_col) * sc).cast("bigint").alias("_y"),
+    ).distinct()
+    cnt = pts.groupBy("_e").agg(F.count(F.lit(1)).alias("_n"))
+    # fan guard, house pattern (see covered_cells): assert_true is
+    # NULL on success, so gating the coordinate through when(ok
+    # IS NULL) keeps the check in the plan and fails LOUD on breach
+    ok = F.assert_true(
+        F.col("_n") <= F.lit(int(max_points)),
+        F.lit(
+            f"hausdorff_pairs: an entity exceeds max_points="
+            f"{max_points}; block or downsample tracks first"
+        ),
+    )
+    pts = pts.join(F.broadcast(cnt), "_e").select(
+        "_e",
+        F.when(ok.isNull(), F.col("_x")).alias("_x"),
+        "_y",
+    )
+
+    pr = pairs.select("id_a", "id_b")
+    a = pr.join(pts, pr.id_a == pts._e).select(
+        "id_a", "id_b",
+        F.col("_x").alias("_ax"), F.col("_y").alias("_ay"),
+    )
+    cand = a.join(
+        pts.select(
+            F.col("_e").alias("id_b2"),
+            F.col("_x").alias("_bx"), F.col("_y").alias("_by"),
+        ),
+        F.col("id_b") == F.col("id_b2"),
+    ).select(
+        "id_a", "id_b", "_ax", "_ay", "_bx", "_by",
+        (
+            (F.col("_ax") - F.col("_bx")) * (F.col("_ax") - F.col("_bx"))
+            + (F.col("_ay") - F.col("_by")) * (F.col("_ay") - F.col("_by"))
+        ).alias("_d2"),
+    )
+    h_ab = (
+        cand.groupBy("id_a", "id_b", "_ax", "_ay")
+        .agg(F.min("_d2").alias("_m"))
+        .groupBy("id_a", "id_b")
+        .agg(F.max("_m").alias("h_ab_q"))
+    )
+    h_ba = (
+        cand.groupBy("id_a", "id_b", "_bx", "_by")
+        .agg(F.min("_d2").alias("_m"))
+        .groupBy("id_a", "id_b")
+        .agg(F.max("_m").alias("h_ba_q"))
+    )
+    na = cnt.select(F.col("_e").alias("id_a"), F.col("_n").alias("n_a"))
+    nb = cnt.select(F.col("_e").alias("id_b"), F.col("_n").alias("n_b"))
+    return (
+        h_ab.join(h_ba, ["id_a", "id_b"])
+        .join(F.broadcast(na), "id_a")
+        .join(F.broadcast(nb), "id_b")
+        .select(
+            "id_a", "id_b", "n_a", "n_b", "h_ab_q", "h_ba_q",
+            F.greatest("h_ab_q", "h_ba_q").alias("hausdorff_q"),
+        )
+    )
+
+
+def hausdorff_pairs_sql(
+    points_src: str,
+    pairs_src: str,
+    entity_col: str = "entity",
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    scale: int = 1_000_000,
+) -> str:
+    """DuckDB twin of :func:`hausdorff_pairs` (standalone statement;
+    hd_*-namespaced CTEs; no guard — the oracle grades values, the
+    operator owns the loud cap)."""
+    if scale > 1_000_000:
+        raise ValueError("scale > 1e6 overflows the int64 d² bound")
+    return f"""
+        WITH hd_pts AS MATERIALIZED (
+            SELECT DISTINCT {entity_col} AS _e,
+                   CAST(ROUND({lon_col} * {scale}) AS BIGINT) AS _x,
+                   CAST(ROUND({lat_col} * {scale}) AS BIGINT) AS _y
+            FROM {points_src}
+        ),
+        hd_cnt AS (
+            SELECT _e, COUNT(*) AS _n FROM hd_pts GROUP BY 1
+        ),
+        hd_cand AS MATERIALIZED (
+            SELECT p.id_a, p.id_b, a._x AS _ax, a._y AS _ay,
+                   b._x AS _bx, b._y AS _by,
+                   (a._x - b._x) * (a._x - b._x)
+                   + (a._y - b._y) * (a._y - b._y) AS _d2
+            FROM (SELECT id_a, id_b FROM {pairs_src}) p
+            JOIN hd_pts a ON a._e = p.id_a
+            JOIN hd_pts b ON b._e = p.id_b
+        ),
+        hd_ab AS (
+            SELECT id_a, id_b, MAX(_m) AS h_ab_q FROM (
+                SELECT id_a, id_b, _ax, _ay, MIN(_d2) AS _m
+                FROM hd_cand GROUP BY 1, 2, 3, 4
+            ) GROUP BY 1, 2
+        ),
+        hd_ba AS (
+            SELECT id_a, id_b, MAX(_m) AS h_ba_q FROM (
+                SELECT id_a, id_b, _bx, _by, MIN(_d2) AS _m
+                FROM hd_cand GROUP BY 1, 2, 3, 4
+            ) GROUP BY 1, 2
+        )
+        SELECT ab.id_a, ab.id_b,
+               CAST(ca._n AS BIGINT) AS n_a,
+               CAST(cb._n AS BIGINT) AS n_b,
+               CAST(ab.h_ab_q AS BIGINT) AS h_ab_q,
+               CAST(ba.h_ba_q AS BIGINT) AS h_ba_q,
+               CAST(GREATEST(ab.h_ab_q, ba.h_ba_q) AS BIGINT)
+                   AS hausdorff_q
+        FROM hd_ab ab
+        JOIN hd_ba ba USING (id_a, id_b)
+        JOIN hd_cnt ca ON ca._e = ab.id_a
+        JOIN hd_cnt cb ON cb._e = ab.id_b
+    """
