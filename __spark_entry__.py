@@ -3159,6 +3159,29 @@ def q_hll_token_distinct(spark, sf_dir):
     return sketches.hll_distinct(toks, "lang", "tok_h")
 
 
+F2_R = 16
+
+
+def q_token_f2(spark, sf_dir):
+    """Per-lang second frequency moment of the token stream
+    (sketches.f2_sketch, r=16 AMS sign counters): the self-join-size
+    / skew price of joining on tokens within a lang — 16 counter rows
+    per lang cross the shuffle regardless of corpus size (map-side
+    partial sums), squares in decimal(38)/HUGEINT, one truncating
+    division; the twin replays the two-round sign mix exactly."""
+    docs = pages_src.documents(spark, sf_dir)
+    toks = docs.select(
+        "lang",
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.col("text")), r"\s+"),
+                lambda t: t != "",
+            )
+        ).alias("token"),
+    ).select("lang", dedup.token_hash(F.col("token")).alias("tok_h"))
+    return sketches.f2_sketch(toks, "lang", "tok_h", r=F2_R)
+
+
 def q_vocab_overlap(spark, sf_dir):
     """Per-lang vocabulary overlap between the even-doc and odd-doc
     corpus halves via merged KMV sketches (sketches.kmv_set_ops) —
@@ -4507,6 +4530,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "coupling_pairs": q_coupling_pairs,
         "kmv_distinct_docs": q_kmv_distinct_docs,
         "hll_token_distinct": q_hll_token_distinct,
+        "token_f2": q_token_f2,
         "vocab_overlap": q_vocab_overlap,
         "kendall_len_tokens": q_kendall_len_tokens,
         "spearman_len_tokens": q_spearman_len_tokens,
@@ -7995,6 +8019,17 @@ def oracle_sql() -> dict[str, str]:
             ", " + sketches.kmv_distinct_ctes(
                 "(SELECT lang, doc_id FROM pages)", "lang", "doc_id", k=16
             )
+        ),
+        "token_f2": sketches.f2_sketch_sql(
+            f"""(SELECT s.lang,
+                        {dedup.token_hash_sql('u.tok')} AS tok_h
+                 FROM (SELECT lang,
+                              string_split_regex(lower(text), '\\s+')
+                                  AS ws
+                       FROM documents) s,
+                      LATERAL UNNEST(s.ws) AS u(tok)
+                 WHERE u.tok <> '')""",
+            "lang", "tok_h", r=F2_R,
         ),
         "vocab_overlap": sketches.kmv_set_ops_sql(
             f"""(SELECT s.lang,

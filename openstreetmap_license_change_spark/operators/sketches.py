@@ -947,3 +947,119 @@ def kmv_set_ops_sql(
                    AS jaccard_ppm
         FROM kso_agg
     """
+
+
+_F2_MULT2 = 2246822519
+
+
+def _f2_sign_bit(key) -> F.Column:
+    """AMS sign bit: kmv mix + a SECOND multiplicative round before
+    taking the low bit.  One round is not enough — its low bit
+    preserves the key's parity (key·odd mod 2³² keeps bit 0), so the
+    structured keys an explode produces (v·r + j: constant parity in
+    v for even r) collapse every counter to ~0 and F₂ under-estimates
+    by orders of magnitude (the uniform-2000 case measured est≈2).
+    The second round is sized wrap-free like kmv_hash (h mod 2³¹
+    before the multiply)."""
+    h = kmv_hash(key)
+    h2 = F.pmod(h, F.lit(_TWO31)) * F.lit(_F2_MULT2) % F.lit(_TWO32)
+    return h2.bitwiseXOR(F.shiftright(h2, 15)) % F.lit(2)
+
+
+def _f2_sign_bit_sql(key_expr: str) -> str:
+    """DuckDB twin of :func:`_f2_sign_bit`."""
+    h = kmv_hash_sql(key_expr)
+    h2 = f"((({h}) % {_TWO31}) * {_F2_MULT2}) % {_TWO32}"
+    return f"xor({h2}, ({h2}) >> 15) % 2"
+
+
+def f2_sketch(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    r: int = 16,
+) -> DataFrame:
+    """Per-group second frequency moment F₂ = Σᵥ fᵥ² estimated by the
+    AMS sign sketch (Alon–Matias–Szegedy '96) — THE join-size /
+    skew-detection primitive: a key column's self-join output size IS
+    its F₂, so this sketch prices a join before running it (the
+    countmin sibling for the quadratic question; countmin answers
+    per-key, F₂ answers the total).
+
+    r sign counters per group:  Sⱼ = Σ_rows sign_j(v)  with
+    sign_j(v) = 1 − 2·(mix(v·r + j) & 1) on the house wrap-free kmv
+    mix (heuristic independence — variance is regression-pinned in
+    tests, not assumed 4-wise);  est = (Σⱼ Sⱼ²) DIV r, unbiased with
+    relative error ~√(2/r).  All integers: counters are exact row
+    sums (|Sⱼ| ≤ n), squares carried in decimal(38,0)/HUGEINT, one
+    truncating division — engine-identical, parallelism-independent.
+
+    Plan: the ×r explode partial-aggregates map-side, so only
+    |groups|·r counter rows cross the shuffle regardless of corpus
+    size; the final square-sum is a |groups|-sized aggregate.  int64
+    output bound: est ≲ F₂ ≤ n² needs n < 3·10⁹ rows per group (drop
+    to grouped shards beyond).  Returns (group, n_rows, r, f2_est)."""
+    if not 2 <= r <= 256:
+        raise ValueError(f"r must be in [2, 256], got {r}")
+    keyed = df.select(
+        F.col(group_col).alias("_g"),
+        F.pmod(F.col(value_col), F.lit(_TWO31)).alias("_v"),
+    ).select(
+        "_g",
+        F.explode(F.sequence(F.lit(0), F.lit(r - 1))).alias("_j"),
+        "_v",
+    ).select(
+        "_g", "_j",
+        (F.lit(1) - 2 * _f2_sign_bit(F.col("_v") * r + F.col("_j")))
+        .alias("_s"),
+    )
+    counters = keyed.groupBy("_g", "_j").agg(
+        F.sum("_s").alias("_S"), F.count(F.lit(1)).alias("_n")
+    )
+    dec = "decimal(38,0)"
+    return (
+        counters.groupBy(F.col("_g").alias(group_col))
+        .agg(
+            F.max("_n").alias("n_rows"),
+            F.sum(F.expr(f"CAST(_S AS {dec}) * CAST(_S AS {dec})"))
+            .alias("_sq"),
+        )
+        .select(
+            group_col,
+            "n_rows",
+            F.lit(r).cast("bigint").alias("r"),
+            F.expr(f"CAST(_sq DIV {r} AS BIGINT)").alias("f2_est"),
+        )
+    )
+
+
+def f2_sketch_sql(
+    src: str,
+    group_col: str,
+    value_col: str,
+    r: int = 16,
+) -> str:
+    """DuckDB twin of :func:`f2_sketch` (standalone statement;
+    f2_*-namespaced CTEs)."""
+    if not 2 <= r <= 256:
+        raise ValueError(f"r must be in [2, 256], got {r}")
+    sbit = _f2_sign_bit_sql(
+        f"(({value_col}) % {_TWO31}) * {r} + j.range"
+    )
+    return f"""
+        WITH f2_signed AS (
+            SELECT {group_col} AS _g, j.range AS _j,
+                   1 - 2 * ({sbit}) AS _s
+            FROM {src}, range({r}) j
+        ),
+        f2_counters AS (
+            SELECT _g, _j, SUM(_s) AS _S, COUNT(*) AS _n
+            FROM f2_signed GROUP BY 1, 2
+        )
+        SELECT _g AS {group_col},
+               CAST(MAX(_n) AS BIGINT) AS n_rows,
+               CAST({r} AS BIGINT) AS r,
+               CAST(SUM(CAST(_S AS HUGEINT) * CAST(_S AS HUGEINT))
+                    // {r} AS BIGINT) AS f2_est
+        FROM f2_counters GROUP BY _g
+    """
