@@ -3600,6 +3600,18 @@ def q_event_funnel(spark, sf_dir):
     return temporal.event_funnel(events, FUNNEL_STEPS, FUNNEL_GAP_SEC)
 
 
+def q_funnel_latency(spark, sf_dir):
+    """Step-transition latency quantiles of the same funnel
+    (temporal.funnel_latency): per converting user the exact µs hop
+    time, per step the min / lower-nearest-rank p50 / p90 / max —
+    the funnel's time dimension, sharing event_funnel's greedy walk
+    so both operators agree on who converts by construction."""
+    from openstreetmap_license_change_spark.operators import temporal
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return temporal.funnel_latency(events, FUNNEL_STEPS, FUNNEL_GAP_SEC)
+
+
 def q_event_retention(spark, sf_dir):
     """Cohort retention over the events table
     (temporal.event_retention): first-activity-day cohorts × whole-day
@@ -4575,6 +4587,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trip_segments": q_trip_segments,
         "events_asof_join": q_events_asof_join,
         "event_funnel": q_event_funnel,
+        "funnel_latency": q_funnel_latency,
         "event_retention": q_event_retention,
         "event_transitions": q_event_transitions,
         "events_hourly_rollup": q_events_hourly_rollup,
@@ -6755,6 +6768,9 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1
         """,
         "event_funnel": temporal.event_funnel_sql(
+            "events", FUNNEL_STEPS, FUNNEL_GAP_SEC
+        ),
+        "funnel_latency": temporal.funnel_latency_sql(
             "events", FUNNEL_STEPS, FUNNEL_GAP_SEC
         ),
         "event_retention": temporal.event_retention_sql(

@@ -2041,3 +2041,167 @@ def attribution_credits_sql(
                CAST(SUM(_linear) AS BIGINT) AS linear_ppm
         FROM at_credit GROUP BY _t
     """
+
+
+def funnel_latency(
+    events: DataFrame,
+    steps: "list[str]",
+    max_gap_sec: int,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Step-transition latency profile of :func:`event_funnel`'s
+    earliest-completion walk — the funnel's TIME dimension (the count
+    funnel says who converts; this says how long each hop takes, the
+    number a product team actually tunes): for every user completing
+    step k, latency_k = t_k − t_{k−1} in exact integer µs, summarized
+    per step with nearest-rank quantiles:
+
+        p50 = value at rank (n+1) DIV 2,  p90 = value at rank
+        ⌈9n/10⌉ = (9n+9) DIV 10           (LOWER nearest-rank, the
+                                           mad_outliers convention —
+                                           exact, no interpolation)
+
+    The walk is event_funnel's greedy earliest-completion recurrence
+    (same join chain, same gap window), so the two operators agree on
+    who converts by construction; ties inside a step resolve by the
+    min aggregate, parallelism-independent.
+
+    Plan: len(steps)−1 user-keyed join+agg rounds over 1-row-per-user
+    frames (the funnel shape), then ONE step-keyed window rank for
+    the quantiles (group-keyed, never a global window — the
+    mad_outliers discipline).  Returns one row per step ≥ 2:
+    (step, event_type, n_users, min_us, p50_us, p90_us, max_us)."""
+    if len(steps) < 2:
+        raise ValueError("funnel_latency needs at least 2 steps")
+    gap_us = int(max_gap_sec) * 1_000_000
+    ev = events.select(
+        F.col(user_col).alias("_u"),
+        F.col(type_col).alias("_t"),
+        F.unix_micros(F.col(ts_col).cast("timestamp")).alias("_us"),
+    )
+    cur = (
+        ev.where(F.col("_t") == steps[0])
+        .groupBy("_u")
+        .agg(F.min("_us").alias("_prev"))
+    )
+    lats = None
+    for k, s in enumerate(steps[1:], start=2):
+        done = (
+            ev.where(F.col("_t") == s)
+            .join(cur, "_u")
+            .where(
+                (F.col("_us") > F.col("_prev"))
+                & (F.col("_us") <= F.col("_prev") + F.lit(gap_us))
+            )
+            .groupBy("_u")
+            .agg(
+                F.min("_us").alias("_now"),
+                F.min("_prev").alias("_from"),
+            )
+        )
+        lat = done.select(
+            F.lit(k).alias("step"),
+            F.lit(s).alias("event_type"),
+            "_u",
+            (F.col("_now") - F.col("_from")).alias("_lat"),
+        )
+        lats = lat if lats is None else lats.unionByName(lat)
+        cur = done.select("_u", F.col("_now").alias("_prev"))
+    w = W.partitionBy("step").orderBy("_lat", "_u")
+    ranked = lats.withColumn("_rk", F.row_number().over(w))
+    stats = ranked.groupBy("step", "event_type").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.min("_lat").alias("min_us"),
+        F.max("_lat").alias("max_us"),
+    )
+    p50 = ranked.join(
+        stats.select(
+            "step", F.expr("(n_users + 1) DIV 2").alias("_rk")
+        ),
+        ["step", "_rk"],
+    ).select("step", F.col("_lat").alias("p50_us"))
+    p90 = ranked.join(
+        stats.select(
+            "step", F.expr("(9 * n_users + 9) DIV 10").alias("_rk")
+        ),
+        ["step", "_rk"],
+    ).select("step", F.col("_lat").alias("p90_us"))
+    return (
+        stats.join(F.broadcast(p50), "step")
+        .join(F.broadcast(p90), "step")
+        .select("step", "event_type", "n_users", "min_us",
+                "p50_us", "p90_us", "max_us")
+    )
+
+
+def funnel_latency_sql(
+    src: str,
+    steps: "list[str]",
+    max_gap_sec: int,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> str:
+    """DuckDB twin of :func:`funnel_latency` (standalone statement) —
+    the same chained walk carrying transition times, same nearest-rank
+    quantile ranks."""
+    if len(steps) < 2:
+        raise ValueError("funnel_latency needs at least 2 steps")
+    gap_us = int(max_gap_sec) * 1_000_000
+    ctes = [
+        f"fl_ev AS (SELECT {user_col} AS u, {type_col} AS t, "
+        f"epoch_us({ts_col}) AS us FROM {src})",
+        f"fl_s1 AS (SELECT u, MIN(us) AS prev FROM fl_ev "
+        f"WHERE t = '{steps[0]}' GROUP BY u)",
+    ]
+    lat_selects = []
+    for k, s in enumerate(steps[1:], start=2):
+        ctes.append(
+            f"fl_s{k} AS MATERIALIZED (SELECT e.u, MIN(e.us) AS prev, "
+            f"MIN(p.prev) AS came_from "
+            f"FROM fl_ev e JOIN fl_s{k - 1} p ON e.u = p.u "
+            f"WHERE e.t = '{s}' AND e.us > p.prev "
+            f"AND e.us <= p.prev + {gap_us} GROUP BY e.u)"
+        )
+        lat_selects.append(
+            f"SELECT {k} AS step, '{s}' AS event_type, u, "
+            f"prev - came_from AS _lat FROM fl_s{k}"
+        )
+    ctes.append(
+        "fl_lat AS (" + "\nUNION ALL\n".join(lat_selects) + ")"
+    )
+    ctes.append(
+        """fl_ranked AS (
+            SELECT step, event_type, _lat,
+                   ROW_NUMBER() OVER (PARTITION BY step
+                                      ORDER BY _lat, u) AS _rk
+            FROM fl_lat
+        )"""
+    )
+    ctes.append(
+        """fl_stats AS (
+            SELECT step, event_type, COUNT(*) AS n_users,
+                   MIN(_lat) AS min_us, MAX(_lat) AS max_us
+            FROM fl_lat GROUP BY 1, 2
+        )"""
+    )
+    return (
+        "WITH " + ",\n".join(ctes) + """
+        SELECT s.step, s.event_type,
+               CAST(s.n_users AS BIGINT) AS n_users,
+               CAST(s.min_us AS BIGINT) AS min_us,
+               CAST(m.p50 AS BIGINT) AS p50_us,
+               CAST(n.p90 AS BIGINT) AS p90_us,
+               CAST(s.max_us AS BIGINT) AS max_us
+        FROM fl_stats s
+        JOIN (SELECT r.step, r._lat AS p50 FROM fl_ranked r
+              JOIN fl_stats t ON t.step = r.step
+              AND r._rk = (t.n_users + 1) // 2) m ON m.step = s.step
+        JOIN (SELECT r.step, r._lat AS p90 FROM fl_ranked r
+              JOIN fl_stats t ON t.step = r.step
+              AND r._rk = (9 * t.n_users + 9) // 10) n
+          ON n.step = s.step
+    """
+    )
