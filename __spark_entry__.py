@@ -3612,6 +3612,35 @@ def q_funnel_latency(spark, sf_dir):
     return temporal.funnel_latency(events, FUNNEL_STEPS, FUNNEL_GAP_SEC)
 
 
+def q_holt_hourly(spark, sf_dir):
+    """Holt level+trend smoothing (temporal.holt_smoothing) over each
+    event type's hourly count series: exact fixed-point recurrence in
+    per-group applyInPandas, one-step residuals as the trend-aware
+    anomaly score.  t is the observed-bucket index (row_number over
+    hours — gaps skipped, declared).  The twin walks the identical
+    recurrence as a recursive CTE, so every level/trend/residual
+    hash-verifies."""
+    from openstreetmap_license_change_spark.operators import temporal
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    hourly = (
+        ev.select(
+            "event_type",
+            (F.unix_micros(F.col("ts").cast("timestamp"))
+             / F.lit(3_600_000_000)).cast("bigint").alias("hour"),
+        )
+        .groupBy("event_type", "hour")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    series = hourly.withColumn(
+        "t",
+        F.row_number().over(
+            W.partitionBy("event_type").orderBy("hour")
+        ) - 1,
+    )
+    return temporal.holt_smoothing(series, "event_type", "t", "n")
+
+
 def q_event_retention(spark, sf_dir):
     """Cohort retention over the events table
     (temporal.event_retention): first-activity-day cohorts × whole-day
@@ -4588,6 +4617,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_asof_join": q_events_asof_join,
         "event_funnel": q_event_funnel,
         "funnel_latency": q_funnel_latency,
+        "holt_hourly": q_holt_hourly,
         "event_retention": q_event_retention,
         "event_transitions": q_event_transitions,
         "events_hourly_rollup": q_events_hourly_rollup,
@@ -6772,6 +6802,17 @@ def oracle_sql() -> dict[str, str]:
         ),
         "funnel_latency": temporal.funnel_latency_sql(
             "events", FUNNEL_STEPS, FUNNEL_GAP_SEC
+        ),
+        "holt_hourly": temporal.holt_smoothing_sql(
+            """(SELECT event_type,
+                       ROW_NUMBER() OVER (PARTITION BY event_type
+                                          ORDER BY hour) - 1 AS t,
+                       n
+                FROM (SELECT event_type,
+                             epoch_us(ts) // 3600000000 AS hour,
+                             COUNT(*) AS n
+                      FROM events GROUP BY 1, 2))""",
+            "event_type", "t", "n",
         ),
         "event_retention": temporal.event_retention_sql(
             "events", max_offset=7

@@ -2205,3 +2205,146 @@ def funnel_latency_sql(
           ON n.step = s.step
     """
     )
+
+
+HOLT_SCALE_SHIFT = 20  # level/trend fixed-point: value · 2^20
+
+
+def holt_smoothing(
+    series: DataFrame,
+    group_col: str,
+    t_col: str,
+    value_col: str,
+    alpha: "tuple[int, int]" = (1, 4),
+    beta: "tuple[int, int]" = (1, 8),
+) -> DataFrame:
+    """Holt double-exponential smoothing (level + trend) per group in
+    exact fixed-point integers — the forecasting layer over the
+    engine's time buckets: the one-step-ahead residual is the
+    trend-aware anomaly score (a traffic series that doubles every
+    hour has a huge EWMA residual but a small HOLT residual — and
+    vice versa when the trend breaks), the seasonal-naive
+    slot_anomalies' aseasonal sibling.
+
+    With rational α = a₁/a₂, β = b₁/b₂ and x_q = x·2²⁰:
+
+        l_t = (a₁·x_q(t) + (a₂−a₁)·(l_{t−1} + b_{t−1})) DIV a₂
+        b_t = (b₁·(l_t − l_{t−1}) + (b₂−b₁)·b_{t−1}) DIV b₂
+        resid_t = x_q(t) − (l_{t−1} + b_{t−1})     (t ≥ 1; 0 at t=0)
+
+    l₀ = x_q(0), b₀ = 0 (declared init).  Truncating division loses
+    < 1 fixed-point quantum (2⁻²⁰ of a unit) per step,
+    deterministically and identically in both engines — the DuckDB
+    twin walks the SAME recurrence as a recursive CTE (one row per
+    (group, t) per recursion depth), a different execution family
+    than the operator's per-group loop, so the recurrence itself is
+    what gets verified.
+
+    The recurrence is inherently sequential in t, so the operator
+    runs per-group in ``applyInPandas`` (the custom-stateful house
+    pattern, fold's sibling): groups process in parallel, each
+    group's series loops locally — right for bucketed series whose
+    per-group length is bounded (hours in the corpus window), wrong
+    for one giant ungrouped series (shard it first; stated).
+
+    ``t_col`` must be a dense 0-based index per group (row_number
+    upstream).  int64 bound: |x|·2²⁰·a₂ < 2⁶³ → |x| < 2³⁴ at the
+    defaults.  Returns (group, t, x_q, level_q, trend_q, resid_q)."""
+    a1, a2 = alpha
+    b1, b2 = beta
+    if not (0 < a1 <= a2 and 0 < b1 <= b2):
+        raise ValueError(f"bad alpha/beta rationals: {alpha}, {beta}")
+    import pandas as pd
+
+    shift = HOLT_SCALE_SHIFT
+    out_schema = (
+        f"{group_col} string, t bigint, x_q bigint, level_q bigint, "
+        f"trend_q bigint, resid_q bigint"
+    )
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("_t")
+        g = pdf[group_col].iloc[0]
+        xs = [int(v) << shift for v in pdf["_x"]]
+        recs = []
+        lv = tr = None
+        for t, xq in enumerate(xs):
+            if t == 0:
+                lv, tr, resid = xq, 0, 0
+            else:
+                fc = lv + tr
+                resid = xq - fc
+                # Python // floors; quotients here must TRUNCATE
+                # like Spark DIV — fix the sign explicitly
+                num = a1 * xq + (a2 - a1) * fc
+                nl = -((-num) // a2) if num < 0 else num // a2
+                numb = b1 * (nl - lv) + (b2 - b1) * tr
+                tr = -((-numb) // b2) if numb < 0 else numb // b2
+                lv = nl
+            recs.append((g, t, xq, lv, tr, resid))
+        return pd.DataFrame(
+            recs,
+            columns=[group_col, "t", "x_q", "level_q", "trend_q",
+                     "resid_q"],
+        )
+
+    base = series.select(
+        F.col(group_col).cast("string").alias(group_col),
+        F.col(t_col).cast("bigint").alias("_t"),
+        F.col(value_col).cast("bigint").alias("_x"),
+    )
+    return base.groupBy(group_col).applyInPandas(run, out_schema)
+
+
+def holt_smoothing_sql(
+    src: str,
+    group_col: str,
+    t_col: str,
+    value_col: str,
+    alpha: "tuple[int, int]" = (1, 4),
+    beta: "tuple[int, int]" = (1, 8),
+) -> str:
+    """DuckDB twin of :func:`holt_smoothing` — the identical
+    recurrence as a recursive CTE walking t (standalone statement).
+    Quotients are sign-decomposed so the truncation contract is
+    explicit in the SQL rather than an engine detail (the
+    annotator_kappa discipline; DuckDB's integer // already
+    truncates, Python's // does not — the operator fixes its own
+    sign the same way)."""
+    a1, a2 = alpha
+    b1, b2 = beta
+    if not (0 < a1 <= a2 and 0 < b1 <= b2):
+        raise ValueError(f"bad alpha/beta rationals: {alpha}, {beta}")
+    shift = HOLT_SCALE_SHIFT
+
+    def trunc(num: str, den: int) -> str:
+        return (
+            f"(CASE WHEN ({num}) < 0 THEN -((-({num})) // {den}) "
+            f"ELSE ({num}) // {den} END)"
+        )
+
+    lnum = f"{a1} * s.x_q + {a2 - a1} * (h.level_q + h.trend_q)"
+    lexpr = trunc(lnum, a2)
+    bnum = f"{b1} * ({lexpr} - h.level_q) + {b2 - b1} * h.trend_q"
+    bexpr = trunc(bnum, b2)
+    return f"""
+        WITH RECURSIVE hs_series AS (
+            SELECT CAST({group_col} AS VARCHAR) AS g,
+                   CAST({t_col} AS BIGINT) AS t,
+                   CAST({value_col} AS BIGINT) * {2 ** shift} AS x_q
+            FROM {src}
+        ),
+        hs_walk(g, t, x_q, level_q, trend_q, resid_q) AS (
+            SELECT g, t, x_q, x_q, CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+            FROM hs_series WHERE t = 0
+            UNION ALL
+            SELECT s.g, s.t, s.x_q,
+                   {lexpr},
+                   {bexpr},
+                   s.x_q - (h.level_q + h.trend_q)
+            FROM hs_walk h
+            JOIN hs_series s ON s.g = h.g AND s.t = h.t + 1
+        )
+        SELECT g AS {group_col}, t, x_q, level_q, trend_q, resid_q
+        FROM hs_walk
+    """
