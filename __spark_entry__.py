@@ -3571,6 +3571,63 @@ def q_video_shots(spark, sf_dir):
     return multimodal.video_shot_segments(hashes, threshold=10)
 
 
+# the q_video_shots frame-hash pixel replay as a standalone subquery,
+# reused by the keyframes oracle (the video_shots oracle keeps its
+# original inline copy — identical arithmetic, pinned by both gates)
+_VS_FH_SRC_SQL = """(
+    WITH kvs_clips AS (SELECT UNNEST(range(0, 8)) AS media_id),
+    kvs_pix AS (
+        SELECT cl.media_id, CAST(f.f AS INTEGER) AS frame_idx,
+               (y.y * 7) // 12 AS yb, (x.x * 9) // 16 AS xb,
+               CASE WHEN y.y = 0 THEN
+                     (x.x*3 + 0  + cl.media_id*13 + f.f*29) % 256
+                   + (x.x*3 + 11 + cl.media_id*13 + f.f*29) % 256
+                   + (x.x*3 + 22 + cl.media_id*13 + f.f*29) % 256
+               ELSE
+                     (x.x*3 + y.y*7 + 0  + cl.media_id*13
+                      + (f.f//8)*41*x.x) % 256
+                   + (x.x*3 + y.y*7 + 11 + cl.media_id*13
+                      + (f.f//8)*41*x.x) % 256
+                   + (x.x*3 + y.y*7 + 22 + cl.media_id*13
+                      + (f.f//8)*41*x.x) % 256
+               END AS gray
+        FROM kvs_clips cl, range(0, 24) f(f),
+             range(0, 16) x(x), range(0, 12) y(y)
+    ),
+    kvs_blocks AS (
+        SELECT media_id, frame_idx, yb, xb,
+               CAST(SUM(gray) AS BIGINT) AS s,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM kvs_pix GROUP BY 1, 2, 3, 4
+    )
+    SELECT a.media_id, a.frame_idx,
+           CAST(SUM(CASE WHEN a.s * b.n > b.s * a.n
+                THEN CAST(1 AS BIGINT) << (a.yb * 8 + a.xb)
+                ELSE 0 END) AS BIGINT) AS fhash
+    FROM kvs_blocks a
+    JOIN kvs_blocks b ON b.media_id = a.media_id
+                     AND b.frame_idx = a.frame_idx
+                     AND b.yb = a.yb AND b.xb = a.xb + 1
+    GROUP BY 1, 2
+)"""
+
+
+def q_video_keyframes(spark, sf_dir):
+    """Per-shot medoid keyframes (multimodal.video_keyframes) over the
+    planted cut clips: shot boundaries shared with q_video_shots (same
+    helper), then within each shot the frame minimizing the summed
+    dHash Hamming distance — shot-local pair fan, loud size guard,
+    total-ordered tie-break.  The oracle replays the pixels to the
+    frame hashes and reruns the medoid algebra."""
+    from openstreetmap_license_change_spark.operators import multimodal
+
+    media = multimodal.synthetic_cut_video_media(
+        spark, n=8, w=16, h=12, n_frames=24, scene_len=8
+    )
+    hashes = multimodal.video_frame_dhash(media)
+    return multimodal.video_keyframes(hashes, threshold=10)
+
+
 def q_video_frame_stats(spark, sf_dir):
     """Video path end-to-end: native frame-sample plan (metadata
     explode) joined back to multi-frame rawvideo payloads; ONLY the
@@ -4610,6 +4667,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_decode_stats": q_audio_decode_stats,
         "video_frame_stats": q_video_frame_stats,
         "video_shots": q_video_shots,
+        "video_keyframes": q_video_keyframes,
         "audio_silence": q_audio_silence,
         "image_patches": q_image_patches,
         "events_sessionize": q_events_sessionize,
@@ -7415,6 +7473,9 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(sum_sq) AS BIGINT) AS sum_sq
             FROM as_seg GROUP BY 1, 2
         """,
+        "video_keyframes": multimodal_mod.video_keyframes_sql(
+            _VS_FH_SRC_SQL, threshold=10
+        ),
         "video_shots": """
             WITH vs_clips AS (SELECT UNNEST(range(0, 8)) AS media_id),
             vs_pix AS (

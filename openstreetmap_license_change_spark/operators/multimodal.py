@@ -729,6 +729,29 @@ def video_frame_dhash(media: DataFrame) -> DataFrame:
     )
 
 
+def _shot_steps(frame_hashes: DataFrame, threshold: int) -> DataFrame:
+    """Per-frame shot assignment shared by :func:`video_shot_segments`
+    and :func:`video_keyframes`: LAG Hamming step, cut flag, running
+    shot id — one clip-keyed window pass, fhash carried through."""
+    w = W.partitionBy("media_id").orderBy("frame_idx")
+    return frame_hashes.select(
+        "media_id",
+        "frame_idx",
+        "fhash",
+        F.bit_count(
+            F.col("fhash").bitwiseXOR(F.lag("fhash").over(w))
+        ).alias("_ham"),
+    ).withColumn(
+        "_cut",
+        F.when(
+            F.col("_ham").isNull() | (F.col("_ham") > threshold), 1
+        ).otherwise(0),
+    ).withColumn(
+        "shot_id",
+        F.sum("_cut").over(w.rowsBetween(W.unboundedPreceding, 0)),
+    )
+
+
 def video_shot_segments(
     frame_hashes: DataFrame, threshold: int = 10
 ) -> DataFrame:
@@ -746,22 +769,7 @@ def video_shot_segments(
     shot_id 1-based, start_frame, end_frame inclusive, n_frames,
     max_step_hamming within the shot; the opening cut's distance is
     NOT folded into the shot it opens — it belongs to the boundary)."""
-    w = W.partitionBy("media_id").orderBy("frame_idx")
-    steps = frame_hashes.select(
-        "media_id",
-        "frame_idx",
-        F.bit_count(
-            F.col("fhash").bitwiseXOR(F.lag("fhash").over(w))
-        ).alias("_ham"),
-    ).withColumn(
-        "_cut",
-        F.when(
-            F.col("_ham").isNull() | (F.col("_ham") > threshold), 1
-        ).otherwise(0),
-    ).withColumn(
-        "shot_id",
-        F.sum("_cut").over(w.rowsBetween(W.unboundedPreceding, 0)),
-    )
+    steps = _shot_steps(frame_hashes, threshold)
     return steps.groupBy("media_id", "shot_id").agg(
         F.min("frame_idx").alias("start_frame"),
         F.max("frame_idx").alias("end_frame"),
@@ -1295,4 +1303,137 @@ def mask_iou_sql(fgpx_src: str) -> str:
         FROM miou_inter i
         JOIN miou_area aa ON aa.mask_id = i.mask_a
         JOIN miou_area ab ON ab.mask_id = i.mask_b
+    """
+
+
+def video_keyframes(
+    frame_hashes: DataFrame,
+    threshold: int = 10,
+    max_shot_frames: int = 4_096,
+) -> DataFrame:
+    """Per-shot keyframe selection: within each detected shot (same
+    cut rule as :func:`video_shot_segments` — shared helper, so the
+    two operators agree on shot boundaries by construction) the
+    MEDOID frame wins: argmin over frames of the summed dHash Hamming
+    distance to every frame of the shot, lowest frame_idx on ties —
+    the representative frame a sampling pipeline keeps per shot
+    instead of a fixed first-frame (which may sit on the cut's motion
+    blur).
+
+    Exact integers throughout (bit_count of xor, integer sums; min
+    over (sum, idx) structs is total-ordered), so the choice is
+    parallelism-independent and twin-verifiable.
+
+    Scale design: the medoid needs all-pairs WITHIN a shot — the fan
+    is shot-local (Σ n_f² per shot, never cross-shot or cross-clip),
+    equi-joined on (clip, shot) and guarded LOUD by
+    ``max_shot_frames`` (the hausdorff_pairs pattern: a pathological
+    cut-free clip fails instead of silently going quadratic).
+    Self-pairs contribute Hamming 0, leaving the argmin unchanged.
+
+    Returns (media_id, shot_id, keyframe_idx, n_frames,
+    sum_hamming)."""
+    steps = _shot_steps(frame_hashes, threshold).select(
+        "media_id", "shot_id", "frame_idx", "fhash"
+    )
+    sizes = steps.groupBy("media_id", "shot_id").agg(
+        F.count(F.lit(1)).alias("n_frames")
+    )
+    ok = F.assert_true(
+        F.col("n_frames") <= F.lit(int(max_shot_frames)),
+        F.lit(
+            f"video_keyframes: a shot exceeds max_shot_frames="
+            f"{max_shot_frames}; lower the cut threshold or pre-split "
+            "clips"
+        ),
+    )
+    guarded = steps.join(
+        F.broadcast(sizes), ["media_id", "shot_id"]
+    ).select(
+        "media_id", "shot_id", "n_frames",
+        F.when(ok.isNull(), F.col("frame_idx")).alias("frame_idx"),
+        "fhash",
+    )
+    a, b = guarded.alias("a"), guarded.alias("b")
+    summed = (
+        a.join(
+            b,
+            (F.col("a.media_id") == F.col("b.media_id"))
+            & (F.col("a.shot_id") == F.col("b.shot_id")),
+        )
+        .groupBy(
+            F.col("a.media_id").alias("media_id"),
+            F.col("a.shot_id").alias("shot_id"),
+            F.col("a.frame_idx").alias("frame_idx"),
+            F.col("a.n_frames").alias("n_frames"),
+        )
+        .agg(
+            F.sum(
+                F.bit_count(
+                    F.col("a.fhash").bitwiseXOR(F.col("b.fhash"))
+                )
+            ).alias("_sum_ham")
+        )
+    )
+    return (
+        summed.groupBy("media_id", "shot_id")
+        .agg(
+            F.min(
+                F.struct(
+                    F.col("_sum_ham"), F.col("frame_idx"),
+                    F.col("n_frames"),
+                )
+            ).alias("_best")
+        )
+        .select(
+            "media_id", "shot_id",
+            F.col("_best.frame_idx").alias("keyframe_idx"),
+            F.col("_best.n_frames").alias("n_frames"),
+            F.col("_best._sum_ham").alias("sum_hamming"),
+        )
+    )
+
+
+def video_keyframes_sql(fh_src: str, threshold: int = 10) -> str:
+    """DuckDB twin of :func:`video_keyframes` from a frame-hash source
+    (``media_id``, ``frame_idx``, ``fhash``) — same cut rule, same
+    shot-local pair sum, same (sum, idx) argmin.  Standalone
+    statement; vk_*-namespaced CTEs."""
+    return f"""
+        WITH vk_steps AS MATERIALIZED (
+            SELECT media_id, frame_idx, fhash,
+                   CAST(SUM(CASE WHEN ham IS NULL OR ham > {threshold}
+                            THEN 1 ELSE 0 END)
+                        OVER (PARTITION BY media_id ORDER BY frame_idx
+                              ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                       AS shot_id
+            FROM (
+                SELECT media_id, frame_idx, fhash,
+                       bit_count(xor(fhash,
+                           LAG(fhash) OVER (PARTITION BY media_id
+                                            ORDER BY frame_idx))) AS ham
+                FROM {fh_src}
+            )
+        ),
+        vk_sum AS (
+            SELECT a.media_id, a.shot_id, a.frame_idx,
+                   COUNT(*) AS n_frames,
+                   SUM(bit_count(xor(a.fhash, b.fhash))) AS sum_ham
+            FROM vk_steps a
+            JOIN vk_steps b ON b.media_id = a.media_id
+                           AND b.shot_id = a.shot_id
+            GROUP BY 1, 2, 3
+        ),
+        vk_best AS (
+            SELECT media_id, shot_id, frame_idx, n_frames, sum_ham,
+                   ROW_NUMBER() OVER (PARTITION BY media_id, shot_id
+                                      ORDER BY sum_ham, frame_idx)
+                       AS rk
+            FROM vk_sum
+        )
+        SELECT media_id, shot_id,
+               CAST(frame_idx AS INTEGER) AS keyframe_idx,
+               CAST(n_frames AS BIGINT) AS n_frames,
+               CAST(sum_ham AS BIGINT) AS sum_hamming
+        FROM vk_best WHERE rk = 1
     """
