@@ -306,3 +306,59 @@ def foreach_batch_countmin(
         FF.sum("cnt").alias("cnt")
     )
     current.write.mode("overwrite").parquet(f"{state_dir}/cms_current")
+
+
+def foreach_batch_hll(
+    batch_df: DataFrame, batch_id: int, state_dir: str,
+    group_col: str = "lang", text_col: str = "text",
+):
+    """ForeachBatch bridge maintaining per-group HyperLogLog
+    registers incrementally — the distinct-cardinality face of the
+    streaming sketch family (:func:`foreach_batch_bloom` answers
+    "seen?", :func:`foreach_batch_countmin` "how often?", this "how
+    many distinct?" — e.g. live per-lang vocabulary size while the
+    crawl streams in).
+
+    The batch tokenizes ``text_col`` to the house token hashes
+    (the q_hll_token_distinct stream) grouped by ``group_col``.
+    Registers merge with MAX on (group, idx)
+    (sketches.hll_registers' contract), which is idempotent — a
+    replayed micro-batch cannot move a register past its true max —
+    so exactly-once has the same belt-and-suspender shape as Bloom:
+    per-batch delta partitions written idempotently
+    (``hlls/batch=<id>`` overwrite), ``hll_current`` derived as the
+    MAX across deltas, rebuilt from the authoritative deltas after a
+    crash mid-publish.  Estimates come from sketches.hll_estimate
+    over ``hll_current`` — identical to batch-sketching the whole
+    corpus (tested)."""
+    from pyspark.sql import functions as FF
+
+    from ..operators import sketches
+
+    from ..operators import dedup
+
+    spark = batch_df.sparkSession
+    toks = batch_df.select(
+        group_col,
+        FF.explode(
+            FF.filter(
+                FF.split(FF.lower(FF.col(text_col)), r"\s+"),
+                lambda t: t != "",
+            )
+        ).alias("_tok"),
+    ).select(
+        group_col, dedup.token_hash(FF.col("_tok")).alias("_tok_h")
+    )
+    delta = sketches.hll_registers(toks, group_col, "_tok_h")
+    delta.write.mode("overwrite").parquet(
+        f"{state_dir}/hlls/batch={batch_id}"
+    )
+    all_deltas = spark.read.parquet(f"{state_dir}/hlls").select(
+        group_col, "idx", "rho"
+    )
+    current = all_deltas.groupBy(group_col, "idx").agg(
+        FF.max("rho").alias("rho")
+    )
+    current.write.mode("overwrite").parquet(
+        f"{state_dir}/hll_current"
+    )

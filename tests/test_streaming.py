@@ -606,3 +606,71 @@ def test_foreach_batch_countmin_incremental(spark, tmp_path):
     )
     joined = est.join(true_counts, "token").collect()
     assert joined and all(r["est_n"] >= r["count"] for r in joined)
+
+
+def test_foreach_batch_hll_incremental(spark, tmp_path):
+    """Streaming HLL maintenance: two micro-batches + a verbatim
+    replay (MAX-merge is idempotent); the materialized registers must
+    equal batch hll_registers over the full corpus, and the estimate
+    folded from them must equal the batch hll_distinct estimate."""
+    from openstreetmap_license_change_spark.operators import dedup, sketches
+    from openstreetmap_license_change_spark.streaming import incremental
+
+    src = str(tmp_path / "pages_h")
+    state = str(tmp_path / "state_h")
+
+    def run_stream():
+        stream = incremental.stream_pages(spark, src)
+        q = (
+            stream.writeStream.foreachBatch(
+                lambda df, bid: incremental.foreach_batch_hll(
+                    df, bid, state
+                )
+            )
+            .option("checkpointLocation", str(tmp_path / "ckpt_h"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    _write_pages(spark, src, 1)
+    run_stream()
+    _write_pages(spark, src, 2)
+    run_stream()
+
+    import glob as _glob
+    last = max(int(p.rsplit("=", 1)[1])
+               for p in _glob.glob(f"{state}/hlls/batch=*"))
+    replay = spark.read.parquet(src).where(F.col("version") == 2)
+    incremental.foreach_batch_hll(replay, last, state)
+
+    got_regs = {
+        (r.lang, r.idx): r.rho
+        for r in spark.read.parquet(f"{state}/hll_current").collect()
+    }
+    toks = (
+        spark.read.parquet(src)
+        .select(
+            "lang",
+            F.explode(F.split(F.lower("text"), r"\s+")).alias("tok"),
+        )
+        .where(F.col("tok") != "")
+        .select("lang", dedup.token_hash(F.col("tok")).alias("th"))
+    )
+    want_regs = {
+        (r.lang, r.idx): r.rho
+        for r in sketches.hll_registers(toks, "lang", "th").collect()
+    }
+    assert got_regs == want_regs
+
+    got_est = {
+        r.lang: r.est_distinct
+        for r in sketches.hll_estimate(
+            spark.read.parquet(f"{state}/hll_current"), "lang"
+        ).collect()
+    }
+    want_est = {
+        r.lang: r.est_distinct
+        for r in sketches.hll_distinct(toks, "lang", "th").collect()
+    }
+    assert got_est == want_est
