@@ -2577,6 +2577,86 @@ def q_hausdorff_tracks(spark, sf_dir):
     return spatial.hausdorff_pairs(pts, pairs, entity_col="entity")
 
 
+FRECHET_MAX_RN = 16
+
+_FRECHET_PTS_SQL = """(
+    SELECT user_id AS entity, rn AS seq, lon, lat FROM (
+        SELECT user_id, rn,
+               CAST(-45.0 AS DOUBLE)
+                   + (user_id % 120) * CAST(0.5 AS DOUBLE)
+                   + CAST(0.001 AS DOUBLE) * rn
+                   + CAST(1.0 AS DOUBLE) * floor(rn / 25) AS lat,
+               CAST(-100.0 AS DOUBLE)
+                   + (user_id % 140) * CAST(1.0 AS DOUBLE)
+                   + CAST(0.002 AS DOUBLE) * rn AS lon
+        FROM (SELECT user_id, ts, event_id,
+                     ROW_NUMBER() OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id) AS rn
+              FROM events) t
+    ) WHERE rn <= 16
+)"""
+
+_FRECHET_PAIRS_SQL = f"""(
+    SELECT DISTINCT a.entity AS id_a, b.entity AS id_b
+    FROM (SELECT DISTINCT entity, floor(lon / 2) AS bx,
+                 floor(lat / 2) AS by FROM {_FRECHET_PTS_SQL}) a
+    JOIN (SELECT DISTINCT entity, floor(lon / 2) AS bx,
+                 floor(lat / 2) AS by FROM {_FRECHET_PTS_SQL}) b
+      ON a.bx = b.bx AND a.by = b.by AND a.entity < b.entity
+)"""
+
+
+def q_frechet_tracks(spark, sf_dir):
+    """Discrete Fréchet distance between user trajectories
+    (spatial.frechet_pairs) — the ORDER-AWARE sibling of
+    hausdorff_tracks over the same drift geocode, capped at 16 points
+    per track (the DuckDB twin unrolls the DP by anti-diagonals into
+    2·16−1 chained CTEs, so the contract cap is the twin's unroll
+    budget; the operator itself takes up to 4096).  Candidate pairs
+    are users sharing a 2° cell; each pair carries two ≤16-point
+    ordered arrays into one Arrow-batched DP — the leash walk stays
+    local, pairs parallelize."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    rn = F.row_number().over(
+        W.partitionBy("user_id").orderBy("ts", "event_id")
+    )
+    pts = (
+        ev.select("user_id", "ts", "event_id", rn.alias("rn"))
+        .where(F.col("rn") <= FRECHET_MAX_RN)
+        .select(
+            F.col("user_id").alias("entity"),
+            F.col("rn").alias("seq"),
+            (F.lit(-100.0) + (F.col("user_id") % 140) * F.lit(1.0)
+             + F.lit(0.002) * F.col("rn")).alias("lon"),
+            (F.lit(-45.0) + (F.col("user_id") % 120) * F.lit(0.5)
+             + F.lit(0.001) * F.col("rn")
+             + F.lit(1.0) * F.floor(F.col("rn") / 25)).alias("lat"),
+        )
+    )
+    cells = pts.select(
+        "entity",
+        F.floor(F.col("lon") / 2).alias("bx"),
+        F.floor(F.col("lat") / 2).alias("by"),
+    ).distinct()
+    pairs = (
+        cells.alias("a")
+        .join(
+            cells.alias("b"),
+            (F.col("a.bx") == F.col("b.bx"))
+            & (F.col("a.by") == F.col("b.by"))
+            & (F.col("a.entity") < F.col("b.entity")),
+        )
+        .select(
+            F.col("a.entity").alias("id_a"),
+            F.col("b.entity").alias("id_b"),
+        )
+        .distinct()
+    )
+    return spatial.frechet_pairs(
+        pts, pairs, entity_col="entity", max_points=FRECHET_MAX_RN
+    )
+
+
 RESAMPLE_STEP_S = 900
 
 
@@ -4591,6 +4671,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_filter": q_gopher_filter,
         "stay_points": q_stay_points,
         "hausdorff_tracks": q_hausdorff_tracks,
+        "frechet_tracks": q_frechet_tracks,
         "turn_stats": q_turn_stats,
         "resample_track": q_resample_track,
         "cusum_split": q_cusum_split,
@@ -7920,6 +8001,10 @@ def oracle_sql() -> dict[str, str]:
         ),
         "hausdorff_tracks": spatial.hausdorff_pairs_sql(
             _HAUS_PTS_SQL, _HAUS_PAIRS_SQL
+        ),
+        "frechet_tracks": spatial.frechet_pairs_sql(
+            _FRECHET_PTS_SQL, _FRECHET_PAIRS_SQL,
+            max_points=FRECHET_MAX_RN,
         ),
         "stay_points": spatial.stay_points_sql(
             _STAY_PTS_SQL, "user_id", "ts",

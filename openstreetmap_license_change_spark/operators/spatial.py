@@ -6981,3 +6981,228 @@ def hausdorff_pairs_sql(
         JOIN hd_cnt ca ON ca._e = ab.id_a
         JOIN hd_cnt cb ON cb._e = ab.id_b
     """
+
+
+def frechet_pairs(
+    points: DataFrame,
+    pairs: DataFrame,
+    entity_col: str = "entity",
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    order_col: str = "seq",
+    scale: int = 1_000_000,
+    max_points: int = 64,
+) -> DataFrame:
+    """Discrete Fréchet distance (squared, fixed-point) between
+    ORDERED tracks for candidate pairs — the order-aware sibling of
+    :func:`hausdorff_pairs`: Hausdorff treats a track as a point set
+    (an out-and-back road matches its one-way half), Fréchet walks
+    both tracks monotonically (the dog-leash distance), so direction
+    and revisits matter:
+
+        F(A,B) = min over monotone walks of max d²(aᵢ, bⱼ) on the walk
+        dp(i,j) = max(d²(i,j), min(dp(i−1,j), dp(i,j−1), dp(i−1,j−1)))
+
+    Exact integers: the house ×``scale`` quantization and int64 d²
+    (same bound as hausdorff_pairs); max/min over integers need no
+    tie-break, so the value is parallelism-independent.
+
+    Scale design: the DP is inherently sequential per pair, so tracks
+    materialize ONCE as per-entity ordered arrays (one groupBy; LOUD
+    ``max_points`` guard — the DP is O(|A|·|B|) per pair and a
+    monster track would go quadratic silently) and candidate pairs
+    each carry two ≤ max_points arrays into an Arrow-batched
+    ``mapInPandas`` DP — pairs parallelize, the walk stays local,
+    nothing shuffles per DP cell.  The DuckDB twin unrolls the SAME
+    recurrence by ANTI-DIAGONALS (dp cells with i+j = k as the k-th
+    chained CTE — the pagerank-unroll pattern applied to dynamic
+    programming), a different execution shape, so the recurrence is
+    what gets verified.
+
+    ``order_col`` must totally order each track (ties would make the
+    walk ambiguous; quantized duplicates are fine — unlike Hausdorff
+    they are NOT collapsed, the walk visits them).  Returns
+    (id_a, id_b, n_a, n_b, frechet_q)."""
+    import pandas as _pd
+
+    if scale > 1_000_000:
+        raise ValueError("scale > 1e6 overflows the int64 d² bound")
+    if not 2 <= max_points <= 4_096:
+        raise ValueError(f"max_points out of range: {max_points}")
+    sc = F.lit(float(scale))
+    pts = points.select(
+        F.col(entity_col).alias("_e"),
+        F.col(order_col).alias("_o"),
+        F.round(F.col(lon_col) * sc).cast("bigint").alias("_x"),
+        F.round(F.col(lat_col) * sc).cast("bigint").alias("_y"),
+    )
+    ok = F.assert_true(
+        F.size("_trk") <= F.lit(int(max_points)),
+        F.lit(
+            f"frechet_pairs: an entity exceeds max_points="
+            f"{max_points}; segment or downsample tracks first"
+        ),
+    )
+    tracks = (
+        pts.groupBy("_e")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("_o", "_x", "_y"))
+            ).alias("_trk")
+        )
+        .select("_e", F.when(ok.isNull(), F.col("_trk")).alias("_trk"))
+    )
+    joined = (
+        pairs.select("id_a", "id_b")
+        .join(
+            tracks.select(
+                F.col("_e").alias("id_a"),
+                F.col("_trk._x").alias("_ax"),
+                F.col("_trk._y").alias("_ay"),
+            ),
+            "id_a",
+        )
+        .join(
+            tracks.select(
+                F.col("_e").alias("id_b"),
+                F.col("_trk._x").alias("_bx"),
+                F.col("_trk._y").alias("_by"),
+            ),
+            "id_b",
+        )
+    )
+
+    def run(batches):
+        import numpy as np
+
+        for pdf in batches:
+            recs = []
+            for ida, idb, ax, ay, bx, by in zip(
+                pdf["id_a"], pdf["id_b"], pdf["_ax"], pdf["_ay"],
+                pdf["_bx"], pdf["_by"],
+            ):
+                ax = np.asarray(ax, dtype=np.int64)
+                ay = np.asarray(ay, dtype=np.int64)
+                bx = np.asarray(bx, dtype=np.int64)
+                by = np.asarray(by, dtype=np.int64)
+                n, m = len(ax), len(bx)
+                d = (
+                    (ax[:, None] - bx[None, :]) ** 2
+                    + (ay[:, None] - by[None, :]) ** 2
+                )
+                dp = np.empty((n, m), dtype=np.int64)
+                dp[0, 0] = d[0, 0]
+                for i in range(1, n):
+                    dp[i, 0] = max(dp[i - 1, 0], d[i, 0])
+                for j in range(1, m):
+                    dp[0, j] = max(dp[0, j - 1], d[0, j])
+                for i in range(1, n):
+                    row_d, prev, cur = d[i], dp[i - 1], dp[i]
+                    for j in range(1, m):
+                        best = prev[j]
+                        if prev[j - 1] < best:
+                            best = prev[j - 1]
+                        if cur[j - 1] < best:
+                            best = cur[j - 1]
+                        cur[j] = best if best > row_d[j] else row_d[j]
+                recs.append(
+                    (int(ida), int(idb), n, m, int(dp[n - 1, m - 1]))
+                )
+            yield _pd.DataFrame(
+                recs,
+                columns=["id_a", "id_b", "n_a", "n_b", "frechet_q"],
+            )
+
+    schema = (
+        "id_a bigint, id_b bigint, n_a bigint, n_b bigint, "
+        "frechet_q bigint"
+    )
+    return joined.mapInPandas(run, schema=schema)
+
+
+def frechet_pairs_sql(
+    points_src: str,
+    pairs_src: str,
+    entity_col: str = "entity",
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    order_col: str = "seq",
+    scale: int = 1_000_000,
+    max_points: int = 16,
+) -> str:
+    """DuckDB twin of :func:`frechet_pairs`, the DP unrolled by
+    ANTI-DIAGONALS: chained CTE k holds dp cells with i+j = k,
+    computed from diagonals k−1 (left, up) and k−2 (diagonal) — out-
+    of-range predecessors are NULL and LEAST ignores them (both
+    engines' semantics).  2·max_points−1 CTEs; tracks longer than
+    ``max_points`` would silently lose cells, so size the parameter
+    to the corpus (the operator's guard is the loud one).
+    Standalone statement; fp_*-namespaced CTEs."""
+    if scale > 1_000_000:
+        raise ValueError("scale > 1e6 overflows the int64 d² bound")
+    if not 2 <= max_points <= 64:
+        raise ValueError(
+            f"max_points out of range for CTE unroll: {max_points}"
+        )
+    kmax = 2 * max_points - 2
+    ctes = [
+        f"""fp_pts AS MATERIALIZED (
+            SELECT {entity_col} AS _e,
+                   ROW_NUMBER() OVER (PARTITION BY {entity_col}
+                                      ORDER BY {order_col}) - 1 AS _i,
+                   CAST(ROUND({lon_col} * {scale}) AS BIGINT) AS _x,
+                   CAST(ROUND({lat_col} * {scale}) AS BIGINT) AS _y
+            FROM {points_src}
+        )""",
+        "fp_cnt AS (SELECT _e, COUNT(*) AS _n FROM fp_pts GROUP BY 1)",
+        f"""fp_d AS MATERIALIZED (
+            SELECT p.id_a, p.id_b, a._i AS i, b._i AS j,
+                   (a._x - b._x) * (a._x - b._x)
+                   + (a._y - b._y) * (a._y - b._y) AS d2
+            FROM (SELECT id_a, id_b FROM {pairs_src}) p
+            JOIN fp_pts a ON a._e = p.id_a
+            JOIN fp_pts b ON b._e = p.id_b
+        )""",
+        """fp_dp0 AS MATERIALIZED (
+            SELECT id_a, id_b, i, j, d2 AS v FROM fp_d
+            WHERE i = 0 AND j = 0
+        )""",
+    ]
+    for k in range(1, kmax + 1):
+        p1 = f"fp_dp{k - 1}"
+        p2 = f"fp_dp{k - 2}" if k >= 2 else None
+        diag_join = (
+            f"LEFT JOIN {p2} dg ON dg.id_a = c.id_a "
+            f"AND dg.id_b = c.id_b AND dg.i = c.i - 1 "
+            f"AND dg.j = c.j - 1"
+            if p2
+            else ""
+        )
+        diag_val = "dg.v" if p2 else "NULL"
+        ctes.append(f"""fp_dp{k} AS MATERIALIZED (
+            SELECT c.id_a, c.id_b, c.i, c.j,
+                   GREATEST(c.d2, LEAST(up.v, lf.v, {diag_val})) AS v
+            FROM fp_d c
+            LEFT JOIN {p1} up ON up.id_a = c.id_a
+                AND up.id_b = c.id_b AND up.i = c.i - 1 AND up.j = c.j
+            LEFT JOIN {p1} lf ON lf.id_a = c.id_a
+                AND lf.id_b = c.id_b AND lf.i = c.i AND lf.j = c.j - 1
+            {diag_join}
+            WHERE c.i + c.j = {k}
+        )""")
+    union = "\nUNION ALL\n".join(
+        f"SELECT * FROM fp_dp{k}" for k in range(kmax + 1)
+    )
+    return (
+        "WITH " + ",\n".join(ctes) + f""",
+        fp_all AS ({union})
+        SELECT t.id_a, t.id_b,
+               CAST(ca._n AS BIGINT) AS n_a,
+               CAST(cb._n AS BIGINT) AS n_b,
+               CAST(t.v AS BIGINT) AS frechet_q
+        FROM fp_all t
+        JOIN fp_cnt ca ON ca._e = t.id_a
+        JOIN fp_cnt cb ON cb._e = t.id_b
+        WHERE t.i = ca._n - 1 AND t.j = cb._n - 1
+    """
+    )
