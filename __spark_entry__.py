@@ -2375,6 +2375,35 @@ def q_lexical_diversity(spark, sf_dir):
     return textops.lexical_diversity(docs)
 
 
+VOCAB_GROWTH_CPS = [4, 16, 64, 256, 1024, 4096, 16384, 65536]
+
+
+def q_vocab_growth(spark, sf_dir):
+    """Heaps-law vocabulary growth curve (textops.vocab_growth):
+    cumulative docs/tokens/types after each power-of-4 doc_id-prefix
+    checkpoint — natural text grows types sublinearly; near-linear
+    growth is the serial-number smell.  A type's first occurrence is
+    min(doc_id) over ONE token groupBy (never a corpus-ordered
+    window); cumulation runs on the ≤8 aggregate rows via a tiny
+    triangular self-join."""
+    docs = pages_src.documents(spark, sf_dir)
+    return textops.vocab_growth(docs, VOCAB_GROWTH_CPS)
+
+
+def q_zipf_buckets(spark, sf_dir):
+    """Zipf rank–frequency diagnostics (textops.zipf_buckets) over
+    token BIGRAMS: frequencies histogrammed by exact power-of-two
+    bucket (length(bin(c))−1 — no float log in either engine) with
+    the per-doubling type ratio (≈½ under Zipf s=1).  Bigrams because
+    the synthetic corpus is flat at n=1 (31 near-uniform tokens — a
+    structurally degenerate 2-bucket histogram) but spreads across 6
+    buckets at n=2 — exactly the template-corpus diagnosis the n>1
+    mode exists for.  Grams are row-local array algebra; one gram
+    groupBy → ≤63 rows; ratio via self-join on the tiny table."""
+    docs = pages_src.documents(spark, sf_dir)
+    return textops.zipf_buckets(docs, ngram=2)
+
+
 def q_bpe_pairs(spark, sf_dir):
     """First BPE merge round (textops.bpe_pair_counts): adjacent-
     symbol pair counts over the documents corpus, word-frequency
@@ -4650,6 +4679,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_topk": q_tfidf_topk,
         "bpe_pairs": q_bpe_pairs,
         "lexical_diversity": q_lexical_diversity,
+        "vocab_growth": q_vocab_growth,
+        "zipf_buckets": q_zipf_buckets,
         "kn_bigrams": q_kn_bigrams,
         "vocab_drift": q_vocab_drift,
         "token_burstiness": q_token_burstiness,
@@ -7886,6 +7917,10 @@ def oracle_sql() -> dict[str, str]:
         """,
         "bpe_pairs": textops.bpe_pair_counts_sql("documents", top_k=200),
         "lexical_diversity": textops.lexical_diversity_sql("documents"),
+        "vocab_growth": textops.vocab_growth_sql(
+            "documents", VOCAB_GROWTH_CPS
+        ),
+        "zipf_buckets": textops.zipf_buckets_sql("documents", ngram=2),
         "kn_bigrams": textops.kn_bigram_model_sql("documents", min_count=3),
         "token_burstiness": textops.token_burstiness_sql(
             "documents", min_df=2

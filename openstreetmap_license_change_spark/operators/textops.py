@@ -3111,3 +3111,298 @@ def topic_gaps_sql(
         FROM tg_gaps g
         LEFT JOIN tg_inter i ON i.doc = g.doc AND i.gap = g.gap
     """
+
+
+def vocab_growth(
+    docs: DataFrame,
+    checkpoints: "list[int]",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Heaps-law vocabulary growth curve — cumulative corpus size vs
+    cumulative vocabulary after each id-prefix checkpoint: natural
+    text grows types sublinearly (V ≈ K·nᵝ, β < 1); near-linear
+    growth is the serial-number/boilerplate smell, saturation is the
+    spun-template smell.  The per-checkpoint audit a mixture designer
+    reads before fixing a tokenizer vocabulary.
+
+    ``id_col`` is the arrival order (the documents table's dense
+    doc_id); checkpoint c covers ids < c.  Docs at id ≥ max(c) are
+    outside the curve by construction; token-less docs still count
+    toward n_docs (the doc axis comes from the docs table, not the
+    token stream).
+
+    Scale design: a type's first occurrence is min(id) — ONE token
+    groupBy (map-side combined), never a corpus-ordered window; each
+    type/doc then lands in the smallest covering checkpoint via a
+    broadcast literal array, and the cumulative step runs on the
+    ≤ ``len(checkpoints)`` aggregate rows (tiny triangular self-join
+    — no global window, no WindowExec warning at any scale).
+    Tokenization: the engine's whitespace + lower convention.
+
+    Output: (checkpoint, n_docs, n_tokens, n_types, types_per_mtok)
+    — types_per_mtok = n_types·10⁶ DIV n_tokens (NULL on an empty
+    prefix), the normalized richness the β-fit reads."""
+    cps = list(checkpoints)
+    if not cps or len(cps) > 64:
+        raise ValueError(f"1..64 checkpoints required, got {len(cps)}")
+    if any(c <= 0 for c in cps) or sorted(set(cps)) != cps:
+        raise ValueError(
+            "checkpoints must be strictly increasing positive ints"
+        )
+    arr = F.array(*[F.lit(int(c)) for c in cps])
+    cover = lambda col: F.array_min(  # noqa: E731
+        F.filter(arr, lambda c: c > col)
+    )
+    toks = docs.select(
+        F.col(id_col).alias("_id"),
+        F.explode(
+            F.split(F.lower(F.col(text_col)), r"\s+")
+        ).alias("_tok"),
+    ).where(F.col("_tok") != "")
+    typ = (
+        toks.groupBy("_tok")
+        .agg(F.min("_id").alias("_first"))
+        .select(cover(F.col("_first")).alias("_cp"))
+        .where(F.col("_cp").isNotNull())
+        .groupBy("_cp")
+        .agg(F.count(F.lit(1)).alias("_types"))
+        .select("_cp", F.lit(0).alias("_docs"),
+                F.lit(0).cast("bigint").alias("_toks"), "_types")
+    )
+    doc = (
+        docs.select(cover(F.col(id_col)).alias("_cp"))
+        .where(F.col("_cp").isNotNull())
+        .groupBy("_cp")
+        .agg(F.count(F.lit(1)).alias("_docs"))
+        .select("_cp", "_docs", F.lit(0).cast("bigint").alias("_toks"),
+                F.lit(0).cast("bigint").alias("_types"))
+    )
+    tok = (
+        toks.select(cover(F.col("_id")).alias("_cp"))
+        .where(F.col("_cp").isNotNull())
+        .groupBy("_cp")
+        .agg(F.count(F.lit(1)).alias("_toks"))
+        .select("_cp", F.lit(0).alias("_docs"), "_toks",
+                F.lit(0).cast("bigint").alias("_types"))
+    )
+    per = (
+        typ.unionByName(doc).unionByName(tok)
+        .groupBy("_cp")
+        .agg(F.sum("_docs").alias("_docs"),
+             F.sum("_toks").alias("_toks"),
+             F.sum("_types").alias("_types"))
+    )
+    dim = docs.sparkSession.range(1).select(
+        F.explode(arr).alias("checkpoint")
+    )
+    # NB: dim.checkpoint would resolve to DataFrame.checkpoint (the
+    # method) — address the column explicitly.
+    base = dim.join(per, F.col("checkpoint") == F.col("_cp"), "left")
+    cum = (
+        base.alias("a")
+        .join(base.alias("b"),
+              F.col("b.checkpoint") <= F.col("a.checkpoint"))
+        .groupBy(F.col("a.checkpoint").alias("checkpoint"))
+        .agg(
+            F.coalesce(F.sum("b._docs"), F.lit(0))
+            .cast("bigint").alias("n_docs"),
+            F.coalesce(F.sum("b._toks"), F.lit(0))
+            .cast("bigint").alias("n_tokens"),
+            F.coalesce(F.sum("b._types"), F.lit(0))
+            .cast("bigint").alias("n_types"),
+        )
+    )
+    return cum.select(
+        "checkpoint", "n_docs", "n_tokens", "n_types",
+        F.expr(
+            "CAST(CASE WHEN n_tokens = 0 THEN NULL ELSE "
+            "n_types * 1000000 DIV n_tokens END AS BIGINT)"
+        ).alias("types_per_mtok"),
+    )
+
+
+def vocab_growth_sql(
+    src: str,
+    checkpoints: "list[int]",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """DuckDB twin of :func:`vocab_growth` (standalone; vg_*
+    namespaced).  Same covering-checkpoint and triangular-cumulative
+    derivation."""
+    cps = list(checkpoints)
+    if not cps or any(c <= 0 for c in cps) or sorted(set(cps)) != cps:
+        raise ValueError("bad checkpoints")
+    vals = ", ".join(f"({int(c)})" for c in cps)
+    return f"""
+        WITH vg_cps AS (SELECT * FROM (VALUES {vals}) c(cp)),
+        vg_toks AS (
+            SELECT {id_col} AS id, tok
+            FROM {src},
+                 LATERAL UNNEST(string_split_regex(lower({text_col}),
+                                '\\s+')) AS u(tok)
+            WHERE tok <> ''
+        ),
+        vg_typ AS (
+            SELECT (SELECT MIN(cp) FROM vg_cps WHERE cp > t.first_id)
+                       AS cp,
+                   CAST(0 AS BIGINT) AS docs, CAST(0 AS BIGINT) AS toks,
+                   CAST(COUNT(*) AS BIGINT) AS types
+            FROM (SELECT tok, MIN(id) AS first_id FROM vg_toks
+                  GROUP BY tok) t
+            GROUP BY 1 HAVING cp IS NOT NULL
+        ),
+        vg_doc AS (
+            SELECT (SELECT MIN(cp) FROM vg_cps WHERE cp > d.{id_col})
+                       AS cp,
+                   CAST(COUNT(*) AS BIGINT) AS docs,
+                   CAST(0 AS BIGINT) AS toks,
+                   CAST(0 AS BIGINT) AS types
+            FROM {src} d
+            GROUP BY 1 HAVING cp IS NOT NULL
+        ),
+        vg_tok AS (
+            SELECT (SELECT MIN(cp) FROM vg_cps WHERE cp > t.id) AS cp,
+                   CAST(0 AS BIGINT) AS docs,
+                   CAST(COUNT(*) AS BIGINT) AS toks,
+                   CAST(0 AS BIGINT) AS types
+            FROM vg_toks t
+            GROUP BY 1 HAVING cp IS NOT NULL
+        ),
+        vg_per AS (
+            SELECT cp, SUM(docs) AS docs, SUM(toks) AS toks,
+                   SUM(types) AS types
+            FROM (SELECT * FROM vg_typ UNION ALL SELECT * FROM vg_doc
+                  UNION ALL SELECT * FROM vg_tok)
+            GROUP BY cp
+        )
+        SELECT a.cp AS checkpoint,
+               CAST(COALESCE(SUM(b.docs), 0) AS BIGINT) AS n_docs,
+               CAST(COALESCE(SUM(b.toks), 0) AS BIGINT) AS n_tokens,
+               CAST(COALESCE(SUM(b.types), 0) AS BIGINT) AS n_types,
+               CAST(CASE WHEN COALESCE(SUM(b.toks), 0) = 0 THEN NULL
+                    ELSE COALESCE(SUM(b.types), 0) * 1000000
+                         // SUM(b.toks) END AS BIGINT)
+                   AS types_per_mtok
+        FROM vg_cps a
+        LEFT JOIN vg_per b ON b.cp <= a.cp
+        GROUP BY a.cp
+    """
+
+
+def zipf_buckets(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ngram: int = 1,
+) -> DataFrame:
+    """Zipf rank–frequency diagnostics without a single float log:
+    token n-gram frequencies histogrammed by power-of-two bucket
+    (bucket = ⌊log₂ c⌋ as ``length(bin(c)) − 1`` — exact integer in
+    both engines), plus the per-doubling type ratio.  Under Zipf with
+    exponent s = 1 the number of types per frequency-doubling bucket
+    HALVES (ratio_ppm ≈ 500000); a heavy hapax spike or a flat ratio
+    is the scraped-ID/templated-corpus smell, read next to
+    vocab_growth's β.  ``ngram`` > 1 diagnoses the COLLOCATION tail
+    (a template corpus is flat at n=1 but Zipfian at n=2).
+
+    Scale: n-grams are row-local array algebra over the cleaned token
+    sequence (no join), then one gram groupBy (map-side combined) →
+    ≤ 63 bucket rows; the doubling ratio is a self-join on the tiny
+    bucket table, never a window.  Output: (bucket, freq_lo, n_types,
+    n_tokens, types_ratio_ppm) — ratio NULL when bucket−1 is
+    absent/first."""
+    if not 1 <= int(ngram) <= 4:
+        raise ValueError(f"ngram out of range: {ngram}")
+    n = int(ngram)
+    arr = F.filter(
+        F.split(F.lower(F.col(text_col)), r"\s+"),
+        lambda x: x != "",
+    )
+    docs = docs.select(arr.alias("_arr"))
+    grams = F.when(
+        F.size("_arr") >= n,
+        F.expr(
+            f"transform(sequence(0, size(_arr) - {n}), "
+            f"i -> concat_ws(' ', slice(_arr, i + 1, {n})))"
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    toks = docs.select(F.explode(grams).alias("_tok"))
+    freq = toks.groupBy("_tok").agg(F.count(F.lit(1)).alias("_c"))
+    bucket = (F.length(F.bin(F.col("_c"))) - 1).cast("bigint")
+    per = (
+        freq.select(bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_types"))
+        .join(
+            freq.select(bucket.alias("bucket"), "_c")
+            .groupBy("bucket")
+            .agg(F.sum("_c").alias("n_tokens")),
+            "bucket",
+        )
+    )
+    prev = per.select(
+        (F.col("bucket") + 1).alias("bucket"),
+        F.col("n_types").alias("_prev_types"),
+    )
+    return (
+        per.join(prev, "bucket", "left")
+        .select(
+            "bucket",
+            F.expr(
+                "CAST(shiftleft(CAST(1 AS BIGINT), "
+                "CAST(bucket AS INT)) AS BIGINT)"
+            ).alias("freq_lo"),
+            F.col("n_types").cast("bigint").alias("n_types"),
+            F.col("n_tokens").cast("bigint").alias("n_tokens"),
+            F.expr(
+                "CAST(CASE WHEN _prev_types IS NULL THEN NULL ELSE "
+                "n_types * 1000000 DIV _prev_types END AS BIGINT)"
+            ).alias("types_ratio_ppm"),
+        )
+    )
+
+
+def zipf_buckets_sql(
+    src: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ngram: int = 1,
+) -> str:
+    """DuckDB twin of :func:`zipf_buckets` (standalone; zb_*
+    namespaced).  Same bin()-length bucket and tiny self-join; grams
+    built by 1-based inclusive list slicing over the cleaned token
+    list."""
+    if not 1 <= int(ngram) <= 4:
+        raise ValueError(f"ngram out of range: {ngram}")
+    n = int(ngram)
+    return f"""
+        WITH zb_arr AS (
+            SELECT list_filter(string_split_regex(lower({text_col}),
+                               '\\s+'), x -> x <> '') AS a
+            FROM {src}
+        ),
+        zb_freq AS (
+            SELECT array_to_string(a[i : i + {n} - 1], ' ') AS tok,
+                   CAST(COUNT(*) AS BIGINT) AS c
+            FROM zb_arr,
+                 LATERAL UNNEST(range(1, len(a) - {n} + 2)) AS r(i)
+            GROUP BY tok
+        ),
+        zb_per AS (
+            SELECT CAST(length(bin(c)) - 1 AS BIGINT) AS bucket,
+                   CAST(COUNT(*) AS BIGINT) AS n_types,
+                   CAST(SUM(c) AS BIGINT) AS n_tokens
+            FROM zb_freq GROUP BY 1
+        )
+        SELECT a.bucket,
+               CAST(1 << CAST(a.bucket AS INTEGER) AS BIGINT)
+                   AS freq_lo,
+               a.n_types, a.n_tokens,
+               CAST(CASE WHEN b.n_types IS NULL THEN NULL ELSE
+                    a.n_types * 1000000 // b.n_types END AS BIGINT)
+                   AS types_ratio_ppm
+        FROM zb_per a
+        LEFT JOIN zb_per b ON b.bucket = a.bucket - 1
+    """
