@@ -2404,6 +2404,46 @@ def q_zipf_buckets(spark, sf_dir):
     return textops.zipf_buckets(docs, ngram=2)
 
 
+def q_lang_divergence(spark, sf_dir):
+    """Slice-vs-rest total-variation divergence
+    (textops.slice_divergence): each lang's unigram distribution
+    against the rest of the corpus as the exact rational
+    ½Σ|p−q| in ppm — absent types folded in CLOSED FORM (never
+    enumerated), wide products in decimal(38)/HUGEINT, one explode
+    shuffle + two re-aggregations of the reduced (lang, token)
+    table.  The log-free distribution-shift audit beside vocab_drift
+    (snapshots) and zipf_buckets (shape)."""
+    docs = pages_src.documents(spark, sf_dir)
+    return textops.slice_divergence(docs)
+
+
+def q_token_runs(spark, sf_dir):
+    """Longest same-token run per document (textops.token_runs):
+    adjacent-repetition curation signal computed with ROW-LOCAL
+    higher-order array functions — boundary positions, pairwise run
+    lengths, and the longest-run-earliest-start winner packed into
+    ONE integer max (len·2²⁰ + reversed start, loud 2²⁰ guard); zero
+    shuffles.  The DuckDB twin is a structurally different windowed
+    LEAD formulation, so the packing algebra itself is
+    hash-verified."""
+    docs = pages_src.documents(spark, sf_dir)
+    return textops.token_runs(docs)
+
+
+def q_cube_rollup(spark, sf_dir):
+    """Warehouse CUBE over (lang, source) with char-mass sums
+    (profile.cube_rollup): all 2² grouping combinations in ONE
+    Expand-planned pass with the standard grouping bitmask (leftmost
+    dim = MSB — probed to agree between Spark grouping_id() and
+    DuckDB GROUPING()); NULL dimension values fail loud via an
+    assert riding the count (both engines — a pruned standalone
+    guard column would be dead code)."""
+    docs = pages_src.documents(spark, sf_dir)
+    return profile_mod.cube_rollup(
+        docs, ["lang", "source"], sum_col="n_chars"
+    )
+
+
 def q_bpe_pairs(spark, sf_dir):
     """First BPE merge round (textops.bpe_pair_counts): adjacent-
     symbol pair counts over the documents corpus, word-frequency
@@ -4681,6 +4721,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lexical_diversity": q_lexical_diversity,
         "vocab_growth": q_vocab_growth,
         "zipf_buckets": q_zipf_buckets,
+        "lang_divergence": q_lang_divergence,
+        "token_runs": q_token_runs,
+        "cube_rollup": q_cube_rollup,
         "kn_bigrams": q_kn_bigrams,
         "vocab_drift": q_vocab_drift,
         "token_burstiness": q_token_burstiness,
@@ -7921,6 +7964,11 @@ def oracle_sql() -> dict[str, str]:
             "documents", VOCAB_GROWTH_CPS
         ),
         "zipf_buckets": textops.zipf_buckets_sql("documents", ngram=2),
+        "lang_divergence": textops.slice_divergence_sql("documents"),
+        "token_runs": textops.token_runs_sql("documents"),
+        "cube_rollup": profile_mod.cube_rollup_sql(
+            "documents", ["lang", "source"], sum_col="n_chars"
+        ),
         "kn_bigrams": textops.kn_bigram_model_sql("documents", min_count=3),
         "token_burstiness": textops.token_burstiness_sql(
             "documents", min_df=2

@@ -203,3 +203,90 @@ def mad_outliers_sql(
                    AS is_outlier
         FROM mo_dev d JOIN mo_mad a USING (grp)
     """
+
+
+def cube_rollup(
+    df: DataFrame,
+    dims: Sequence[str],
+    count_alias: str = "n_rows",
+    sum_col: str | None = None,
+    sum_alias: str = "sum_value",
+) -> DataFrame:
+    """All 2^|dims| grouping combinations in ONE pass — the
+    warehouse CUBE a dashboard reads without re-scanning per
+    breakdown (total, per-dim marginals, full cross).  grp_id is the
+    standard grouping bitmask (bit set ⇔ that dim is AGGREGATED;
+    leftmost dim = most significant bit — Spark's grouping_id() and
+    DuckDB's GROUPING() agree on this convention, which the twin
+    hash-verifies rather than assumes).
+
+    Scale: Spark plans CUBE as one Expand (×2^|dims| row replication
+    BEFORE the partial agg — each replica map-side-combines into its
+    own tiny group space), so the shuffle carries ~2^|dims| ×
+    |distinct groups| rows, not ×|input|.  |dims| is capped at 6
+    loudly: past that the Expand fan (64×) is the dominant cost and
+    the multires-rollup pattern (aggregate finest, re-aggregate
+    upward — see tile_rollup_multires) wins instead; that tradeoff is
+    the documented reason GROUPING SETS was rejected there.
+
+    NULL dimension VALUES would be indistinguishable from CUBE's
+    aggregated-slot NULLs in the output (the classic CUBE ambiguity);
+    rows with a NULL in any dim fail loud via an assert riding the
+    count column rather than silently merging into the marginals.
+
+    Returns (dims…, grp_id, n_rows[, sum_value])."""
+    dims = list(dims)
+    if not 1 <= len(dims) <= 6:
+        raise ValueError(f"1..6 cube dims required, got {len(dims)}")
+    guard = (
+        F.when(
+            sum(F.col(d).isNull().cast("int") for d in dims) > 0,
+            F.assert_true(
+                F.lit(False), F.lit("cube_rollup: NULL dimension value")
+            ).cast("int"),
+        )
+        .otherwise(F.lit(0))
+    )
+    aggs = [
+        F.grouping_id().alias("grp_id"),
+        (F.count(F.lit(1)) + F.coalesce(F.sum(guard), F.lit(0)))
+        .cast("bigint").alias(count_alias),
+    ]
+    if sum_col is not None:
+        aggs.append(F.sum(sum_col).cast("bigint").alias(sum_alias))
+    return df.cube(*dims).agg(*aggs)
+
+
+def cube_rollup_sql(
+    src: str,
+    dims: Sequence[str],
+    count_alias: str = "n_rows",
+    sum_col: str | None = None,
+    sum_alias: str = "sum_value",
+) -> str:
+    """DuckDB twin of :func:`cube_rollup` (standalone).  GROUPING()
+    with the same leftmost-MSB bit order (probed: rightmost dim is
+    the LSB on both engines); the NULL-dim guard is an error() CASE
+    arm SUMMED INTO the count column — DuckDB's `1//0` is silently
+    NULL and a standalone guard column would be optimizer-pruned, so
+    the guard must ride a used aggregate, exactly like the Spark
+    side's assert riding count."""
+    dims = list(dims)
+    dl = ", ".join(dims)
+    nullcheck = " + ".join(
+        f"CASE WHEN {d} IS NULL THEN 1 ELSE 0 END" for d in dims
+    )
+    sumsel = (
+        f",\n               CAST(SUM({sum_col}) AS BIGINT) AS {sum_alias}"
+        if sum_col is not None
+        else ""
+    )
+    return f"""
+        SELECT {dl},
+               CAST(GROUPING({dl}) AS BIGINT) AS grp_id,
+               CAST(COUNT(*) + SUM(CASE WHEN {nullcheck} > 0
+                   THEN error('cube_rollup: NULL dimension value')
+                   ELSE 0 END) AS BIGINT) AS {count_alias}{sumsel}
+        FROM {src}
+        GROUP BY CUBE ({dl})
+    """

@@ -3406,3 +3406,311 @@ def zipf_buckets_sql(
         FROM zb_per a
         LEFT JOIN zb_per b ON b.bucket = a.bucket - 1
     """
+
+
+def slice_divergence(
+    docs: DataFrame,
+    slice_col: str = "lang",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact total-variation distance between each corpus slice's
+    unigram distribution and the REST of the corpus — the log-free
+    distribution-shift audit (KL needs floats and is undefined on
+    disjoint support; TV = ½·Σ_t |p_t − q_t| is bounded, symmetric,
+    and exactly rational).  High tv_ppm flags a slice whose token mix
+    diverges from the mixture (wrong-language contamination, a
+    template-dominated source); tv_ppm → 0 flags a slice that adds no
+    distributional information.  The mixture designer's companion to
+    :func:`vocab_drift` (which compares SNAPSHOTS by per-token df
+    ratios; this compares SLICES by whole-distribution distance).
+
+    Exact arithmetic: with c_t the slice count, tot_t the corpus
+    count, n = Σc, m = N − n (rest mass),
+
+        TV = Σ_{t∈slice} |c_t·m − (tot_t−c_t)·n|  +  n·(m − Σ_{t∈slice}(tot_t−c_t))
+             ────────────────────────────────────────────────────────
+                                   2·n·m
+
+    The second numerator term is the CLOSED-FORM mass of types the
+    slice never saw (their |0·m − d_t·n| = d_t·n telescopes), so
+    absent types are never enumerated — the per-slice work is the
+    slice's own vocabulary, not the corpus union.  Wide products run
+    in decimal(38,0) (HUGEINT in the twin) with truncating DIV; at
+    10¹³ corpus tokens c_t·m ≤ 10²⁶ sits well under 10³⁸.
+
+    Plan shape at 100 TB: explode → (slice, token) counts is ONE
+    map-side-combinable shuffle; token totals re-aggregate that
+    already-reduced table (vocab × slices rows, not the raw stream);
+    the totals join is token-keyed (Zipf head = AQE skew case); the
+    per-slice rollup is a third partial agg on ≤|slices| groups.  No
+    windows, no collects.  A slice covering the whole corpus (m = 0)
+    yields NULL tv_ppm — TV against an empty complement is undefined.
+
+    Returns (slice, n_docs, n_tokens, n_types, tv_ppm)."""
+    dec = "decimal(38,0)"
+    sl = (
+        docs.select(
+            F.col(slice_col).alias("slice"),
+            F.col(id_col).alias("_id"),
+            F.explode(
+                F.split(F.lower(F.col(text_col)), r"\s+")
+            ).alias("token"),
+        )
+        .where(F.col("token") != "")
+        .groupBy("slice", "token")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    tot = sl.groupBy("token").agg(F.sum("c").alias("tot"))
+    ndoc = docs.groupBy(F.col(slice_col).alias("slice")).agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    per = (
+        sl.join(tot, "token")
+        .groupBy("slice")
+        .agg(
+            F.sum("c").alias("n"),
+            F.count(F.lit(1)).alias("n_types"),
+            F.sum(F.col("tot") - F.col("c")).alias("d_seen"),
+        )
+    )
+    # corpus total N as a 1-row broadcast (tiny aggregate of per);
+    # built ONCE PER USE — reusing one DataFrame object on both sides
+    # of the final join trips Spark's self-join attribute ambiguity
+    def n_all():
+        # "ncorp", not "N": Spark resolves case-insensitively, so an
+        # alias "N" collides with the per-slice column "n"
+        return per.agg(F.sum("n").alias("ncorp"))
+
+    num_seen = (
+        sl.join(tot, "token")
+        .join(per.select("slice", "n"), "slice")
+        .join(F.broadcast(n_all()))
+        .select(
+            "slice",
+            F.abs(
+                F.col("c").cast(dec)
+                * (F.col("ncorp") - F.col("n")).cast(dec)
+                - (F.col("tot") - F.col("c")).cast(dec)
+                * F.col("n").cast(dec)
+            ).alias("term"),
+        )
+        .groupBy("slice")
+        .agg(F.sum("term").alias("num_seen"))
+    )
+    out = (
+        per.join(num_seen, "slice")
+        .join(ndoc, "slice")
+        .join(F.broadcast(n_all()))
+        .select(
+            "slice",
+            "n_docs",
+            F.col("n").alias("n_tokens"),
+            "n_types",
+            F.when(
+                F.col("ncorp") > F.col("n"),
+                F.expr(
+                    "CAST((num_seen + CAST(n AS decimal(38,0)) * "
+                    "CAST(ncorp - n - d_seen AS decimal(38,0))) * 1000000 "
+                    "DIV (CAST(2 AS decimal(38,0)) * CAST(n AS decimal(38,0)) "
+                    "* CAST(ncorp - n AS decimal(38,0))) AS BIGINT)"
+                ),
+            ).alias("tv_ppm"),
+        )
+    )
+    return out
+
+
+def slice_divergence_sql(
+    src: str,
+    slice_col: str = "lang",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """DuckDB twin of :func:`slice_divergence` (standalone; sd_*
+    namespaced).  Same closed-form absent-type mass, HUGEINT wide
+    products, truncating // on non-negative operands ≡ Spark DIV."""
+    return f"""
+        WITH sd_tok AS (
+            SELECT {slice_col} AS slice, sd_u.tok AS token,
+                   CAST(COUNT(*) AS BIGINT) AS c
+            FROM {src},
+                 LATERAL UNNEST(list_filter(
+                     string_split_regex(lower({text_col}), '\\s+'),
+                     x -> x <> '')) AS sd_u(tok)
+            GROUP BY 1, 2
+        ),
+        sd_tot AS (
+            SELECT token, SUM(c) AS tot FROM sd_tok GROUP BY 1
+        ),
+        sd_ndoc AS (
+            SELECT {slice_col} AS slice,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs
+            FROM {src} GROUP BY 1
+        ),
+        sd_per AS (
+            SELECT slice, SUM(c) AS n,
+                   CAST(COUNT(*) AS BIGINT) AS n_types,
+                   SUM(tot - c) AS d_seen
+            FROM sd_tok JOIN sd_tot USING (token)
+            GROUP BY 1
+        ),
+        sd_all AS (SELECT SUM(n) AS N FROM sd_per),
+        sd_num AS (
+            SELECT k.slice,
+                   SUM(ABS(CAST(k.c AS HUGEINT)
+                           * CAST(a.N - p.n AS HUGEINT)
+                           - CAST(t.tot - k.c AS HUGEINT)
+                           * CAST(p.n AS HUGEINT))) AS num_seen
+            FROM sd_tok k
+            JOIN sd_tot t USING (token)
+            JOIN sd_per p ON p.slice = k.slice
+            CROSS JOIN sd_all a
+            GROUP BY 1
+        )
+        SELECT p.slice, d.n_docs,
+               CAST(p.n AS BIGINT) AS n_tokens, p.n_types,
+               CAST(CASE WHEN a.N > p.n THEN
+                   (m.num_seen + CAST(p.n AS HUGEINT)
+                    * CAST(a.N - p.n - p.d_seen AS HUGEINT)) * 1000000
+                   // (CAST(2 AS HUGEINT) * CAST(p.n AS HUGEINT)
+                       * CAST(a.N - p.n AS HUGEINT))
+               END AS BIGINT) AS tv_ppm
+        FROM sd_per p
+        JOIN sd_num m ON m.slice = p.slice
+        JOIN sd_ndoc d ON d.slice = p.slice
+        CROSS JOIN sd_all a
+    """
+
+
+def token_runs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Longest same-token run per document — the adjacent-repetition
+    curation signal ("buy buy buy …", stuck-key OCR, copy-paste
+    stutter) that :func:`repetition_stats`'s n-gram shares can dilute
+    when the document is long: a 50-token spam run in a 10⁵-token doc
+    is invisible as a share but unmistakable as a run.
+
+    Run algebra is ROW-LOCAL array arithmetic (zero shuffle before
+    the caller's use): boundary positions b = [i : a_i ≠ a_{i−1}],
+    run lengths = pairwise diffs of b ⧺ [n+1]; max_run is their max
+    and max_run_token the token at the EARLIEST maximal run's start
+    (deterministic tie rule, encoded as one integer argmin
+    len·2²⁰·(−1)+start … realized as min over (−len, start) pairs
+    packed as len·2²⁰ − start under negation — see inline comment).
+    Documents with no tokens emit n_tokens = 0 and NULL run fields.
+
+    Plan: explode-free — whole-stage-codegen higher-order functions
+    on the tokens array; the only shuffle in the contract entry is
+    the driver's own collect.  Position cap: docs beyond 2²⁰ tokens
+    fail loud in the packing guard rather than mis-rank.
+
+    Returns (id, n_tokens, n_runs, max_run, max_run_token)."""
+    a = F.filter(
+        F.split(F.lower(F.col(text_col)), r"\s+"), lambda x: x != ""
+    )
+    d = docs.select(F.col(id_col), a.alias("_a")).withColumn(
+        "_n", F.size("_a")
+    )
+    # boundary starts (1-based): i == 1 or a[i] != a[i-1]
+    starts = F.filter(
+        F.sequence(F.lit(1), F.col("_n")),
+        lambda i: (i == 1)
+        | (
+            F.element_at("_a", i)
+            != F.try_element_at("_a", i - 1)  # i=1 probes index 0
+        ),
+    )
+    d = d.withColumn("_b", F.when(F.col("_n") > 0, starts))
+    # run at starts[j] spans [starts[j], nxt) with nxt = starts[j+1]
+    # or n+1; pack (run_len, start) as len·2²⁰ + (2²⁰ − start) so ONE
+    # integer max picks longest-run-then-earliest-start (start < 2²⁰
+    # enforced loudly — beyond that the packing would collide).
+    packed = F.transform(
+        F.sequence(F.lit(1), F.size("_b")),
+        lambda j: (
+            F.coalesce(
+                F.try_element_at("_b", j + 1), F.col("_n") + 1
+            )
+            - F.element_at("_b", j)
+        )
+        * F.lit(1 << 20)
+        + (F.lit(1 << 20) - F.element_at("_b", j)),
+    )
+    d = d.withColumn(
+        "_chk",
+        F.when(
+            F.col("_n") >= F.lit(1 << 20),
+            F.assert_true(
+                F.lit(False), F.lit("token_runs: doc exceeds 2^20 tokens")
+            ),
+        ),
+    )
+    best = F.array_max(packed)
+    best_start = F.lit(1 << 20) - (best % F.lit(1 << 20))
+    return d.select(
+        F.col(id_col),
+        F.col("_n").alias("n_tokens"),
+        F.when(F.col("_n") > 0, F.size("_b"))
+        .cast("bigint").alias("n_runs"),
+        F.when(F.col("_n") > 0, (best / F.lit(1 << 20)).cast("bigint"))
+        .alias("max_run"),
+        F.when(
+            F.col("_n") > 0, F.element_at("_a", best_start.cast("int"))
+        ).alias("max_run_token"),
+        F.col("_chk").alias("_guard"),
+    ).drop("_guard")
+
+
+def token_runs_sql(
+    src: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """DuckDB twin of :func:`token_runs` (standalone; tr_*
+    namespaced).  Structurally DIFFERENT execution: the twin explodes
+    positions and finds boundaries/next-boundaries with window LEAD
+    per doc, so the Spark side's packed-integer row-local algebra is
+    verified against a plain windowed formulation."""
+    return f"""
+        WITH tr_arr AS (
+            SELECT {id_col} AS id,
+                   list_filter(string_split_regex(lower({text_col}),
+                               '\\s+'), x -> x <> '') AS a
+            FROM {src}
+        ),
+        tr_pos AS (
+            SELECT id, a, i, a[i] AS tok
+            FROM tr_arr, LATERAL UNNEST(range(1, len(a) + 1)) AS r(i)
+        ),
+        tr_bound AS (
+            SELECT id, i AS start, tok,
+                   COALESCE(LEAD(i) OVER (PARTITION BY id ORDER BY i),
+                            len(a) + 1) - i AS run_len
+            FROM tr_pos
+            WHERE i = 1 OR a[i] <> a[i - 1]
+        ),
+        tr_win AS (
+            SELECT id, start, tok, run_len,
+                   MAX(run_len) OVER (PARTITION BY id) AS mx
+            FROM tr_bound
+        ),
+        tr_best AS (
+            SELECT id,
+                   CAST(COUNT(*) AS BIGINT) AS n_runs,
+                   MAX(run_len) AS max_run,
+                   MIN(CASE WHEN run_len = mx THEN start END) AS bstart
+            FROM tr_win GROUP BY id
+        )
+        SELECT r.id AS {id_col},
+               CAST(len(r.a) AS BIGINT) AS n_tokens,
+               b.n_runs,
+               CAST(b.max_run AS BIGINT) AS max_run,
+               tb.tok AS max_run_token
+        FROM tr_arr r
+        LEFT JOIN tr_best b ON b.id = r.id
+        LEFT JOIN tr_bound tb ON tb.id = b.id AND tb.start = b.bstart
+    """
