@@ -2444,6 +2444,33 @@ def q_cube_rollup(spark, sf_dir):
     )
 
 
+def q_events_gap_fill(spark, sf_dir):
+    """Densified per-type hourly series with forward carry
+    (temporal.gap_fill): every hour in each event_type's own
+    [first, last] span exists as a row — absent hours emit zero
+    counts, NULL cents, and the last OBSERVED hour's total as the
+    as-of carry (exact, never interpolated).  One (type, hour)
+    partial agg touches the events; densify + the per-key ffill
+    window run on the aggregate; spans beyond max_buckets fail loud
+    via an assert riding the span column."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return temporal_mod.gap_fill(ev, key_col="event_type")
+
+
+def q_emerging_hotspots(spark, sf_dir):
+    """Space-time emerging-hotspot classification
+    (spatial.emerging_hotspots): Gi* hot/cold flags on the all-time
+    tile rollup joined with the per-cell Mann-Kendall version trend,
+    labelled over the 3×3 (spot × trend) state space — the ArcGIS
+    space-time-cube readout as a pure composition of the two
+    exact-integer statistics.  The twin composes tile_hotspots_ctes
+    and tile_trend_ctes verbatim, so the COMPOSITION is what the
+    driver hash-verifies."""
+    flagged = _pages_flagged(spark, sf_dir)
+    cells = spatial.assign_cells(flagged)
+    return spatial.emerging_hotspots(cells.select("cell", "version"))
+
+
 def q_bpe_pairs(spark, sf_dir):
     """First BPE merge round (textops.bpe_pair_counts): adjacent-
     symbol pair counts over the documents corpus, word-frequency
@@ -4724,6 +4751,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_divergence": q_lang_divergence,
         "token_runs": q_token_runs,
         "cube_rollup": q_cube_rollup,
+        "events_gap_fill": q_events_gap_fill,
+        "emerging_hotspots": q_emerging_hotspots,
         "kn_bigrams": q_kn_bigrams,
         "vocab_drift": q_vocab_drift,
         "token_burstiness": q_token_burstiness,
@@ -7968,6 +7997,16 @@ def oracle_sql() -> dict[str, str]:
         "token_runs": textops.token_runs_sql("documents"),
         "cube_rollup": profile_mod.cube_rollup_sql(
             "documents", ["lang", "source"], sum_col="n_chars"
+        ),
+        "events_gap_fill": temporal_mod.gap_fill_sql(
+            "events", key_col="event_type"
+        ),
+        "emerging_hotspots": _with_pages(
+            ", eh_src AS (SELECT "
+            + spatial.grid_cell_sql("lon", "lat")
+            + " AS cell, version FROM pages p "
+            + "JOIN cs_status s USING (changeset_id)), "
+            + spatial.emerging_hotspots_ctes("eh_src")
         ),
         "kn_bigrams": textops.kn_bigram_model_sql("documents", min_count=3),
         "token_burstiness": textops.token_burstiness_sql(

@@ -2754,9 +2754,28 @@ def tile_trend_sql(
 
 
 def tile_trend_ctes(
-    src: str, time_col: str = "version", n_bins: int = 4, min_s: int = 2
+    src: str, time_col: str = "version", n_bins: int = 4, min_s: int = 2,
+    final_cte: str | None = None,
 ) -> str:
-    """The twin without the leading WITH (oracle-prelude appendable)."""
+    """The twin without the leading WITH (oracle-prelude appendable).
+    With ``final_cte`` the trailing SELECT is wrapped as one more CTE
+    of that name so the block composes into larger twins
+    (emerging_hotspots)."""
+    body = _tile_trend_body(src, time_col, n_bins, min_s)
+    if final_cte is None:
+        return body
+    head, _, tail = body.rpartition("SELECT cell, s_stat,")
+    return (
+        head
+        + f", {final_cte} AS (\n            SELECT cell, s_stat,"
+        + tail
+        + "\n        )"
+    )
+
+
+def _tile_trend_body(
+    src: str, time_col: str, n_bins: int, min_s: int
+) -> str:
     return f"""
         mk_counts AS (
             SELECT cell, CAST({time_col} AS INTEGER) AS b,
@@ -7206,3 +7225,180 @@ def frechet_pairs_sql(
         WHERE t.i = ca._n - 1 AND t.j = cb._n - 1
     """
     )
+
+
+def tile_hotspots_ctes(
+    rollup_src: str,
+    value_col: str = "n_pages",
+    res_deg: float = DEFAULT_RES_DEG,
+    z_num: int = 2,
+    z_den: int = 1,
+    final_cte: str | None = None,
+) -> str:
+    """Twin CTE block for :func:`tile_hotspots` over an existing
+    rollup CTE exposing (cell, value_col) — the inline oracle body
+    factored so composed twins (emerging_hotspots) replay the exact
+    same Gi* arithmetic.  gi_* namespaced; no leading WITH.  With
+    ``final_cte`` the output select is wrapped as a CTE of that
+    name."""
+    cols = int(360 / res_deg)
+    rows_n = int(180 / res_deg)
+    zn2 = int(z_num) * int(z_num)
+    zd2 = int(z_den) * int(z_den)
+    out = f"""
+        SELECT cell, n_nbrs, nbr_sum,
+               CAST(A AS BIGINT) AS gi_num,
+               (A > 0 AND A*A*(n_cells-1)*{zd2} >= {zn2}*X*Y) AS hot,
+               (A < 0 AND A*A*(n_cells-1)*{zd2} >= {zn2}*X*Y) AS cold
+        FROM gi_z"""
+    if final_cte is not None:
+        out = f", {final_cte} AS ({out}\n        )"
+    return f"""
+        gi_fan AS (
+            SELECT r.{value_col} AS v,
+                   (((r.cell // {cols}) + d.dy) * {cols}
+                    + ((r.cell % {cols}) + d.dx + {cols}) % {cols})
+                       AS t_cell
+            FROM {rollup_src} r CROSS JOIN (VALUES
+                 (-1,-1),(-1,0),(-1,1),(0,-1),(0,0),(0,1),
+                 (1,-1),(1,0),(1,1)) d(dy, dx)
+            WHERE (r.cell // {cols}) + d.dy >= 0
+              AND (r.cell // {cols}) + d.dy < {rows_n}
+        ),
+        gi_agg AS (
+            SELECT t_cell AS cell,
+                   COUNT(*) AS n_nbrs,
+                   CAST(SUM(v) AS BIGINT) AS nbr_sum
+            FROM gi_fan GROUP BY 1
+        ),
+        gi_tot AS (
+            SELECT COUNT(*) AS n_cells,
+                   CAST(SUM({value_col}) AS BIGINT) AS tot_v,
+                   SUM(CAST({value_col} AS HUGEINT) * {value_col})
+                       AS tot_sq
+            FROM {rollup_src}
+        ),
+        gi_z AS (
+            SELECT r.cell, a.n_nbrs, a.nbr_sum,
+                   CAST(t.n_cells AS HUGEINT) * a.nbr_sum
+                     - CAST(t.tot_v AS HUGEINT) * a.n_nbrs AS A,
+                   CAST(t.n_cells AS HUGEINT) * t.tot_sq
+                     - CAST(t.tot_v AS HUGEINT) * t.tot_v AS X,
+                   CAST(t.n_cells AS HUGEINT) * a.n_nbrs
+                     - CAST(a.n_nbrs AS HUGEINT) * a.n_nbrs AS Y,
+                   t.n_cells
+            FROM {rollup_src} r JOIN gi_agg a ON a.cell = r.cell
+            CROSS JOIN gi_tot t
+        ){out}
+    """
+
+
+EMERGING_LABELS = {
+    ("hot", "up"): "intensifying-hot",
+    ("hot", "flat"): "persistent-hot",
+    ("hot", "down"): "diminishing-hot",
+    ("cold", "up"): "diminishing-cold",
+    ("cold", "flat"): "persistent-cold",
+    ("cold", "down"): "intensifying-cold",
+    ("none", "up"): "emerging",
+    ("none", "down"): "receding",
+    ("none", "flat"): "none",
+}
+
+
+def emerging_hotspots(
+    pages_with_cells: DataFrame,
+    time_col: str = "version",
+    n_bins: int = 4,
+    min_s: int = 2,
+    res_deg: float = DEFAULT_RES_DEG,
+    z_num: int = 2,
+    z_den: int = 1,
+) -> DataFrame:
+    """Emerging-hotspot analysis — the space-time classification
+    joining WHERE activity is anomalously dense (:func:`tile_hotspots`
+    Gi* on the all-time rollup) with WHETHER it is rising or falling
+    (:func:`tile_trend` Mann-Kendall S over time bins): the ArcGIS
+    space-time-cube headline readout, here as a pure composition of
+    the two exact-integer statistics — no new arithmetic, so the
+    twin replays both components and the join.
+
+    Label algebra (one CASE over the 3×3 state space, see
+    ``EMERGING_LABELS``): a significant hotspot is 'intensifying-',
+    'persistent-' or 'diminishing-hot' by trend; cold spots mirror
+    ('intensifying-cold' = cooling FURTHER, i.e. trend down); cells
+    significant in neither direction are 'emerging' (trend up),
+    'receding' (down) or 'none'.
+
+    Plan: the rollup and the trend's (cell, bin) counts are two
+    partial-agg groupBys of the SAME point pass; everything after
+    runs on aggregate rasters (fan ×9, bins ×C(n,2)); the final join
+    is cell-keyed between two cell-sized tables.  Input:
+    (cell, time_col) rows, one per point.
+
+    Returns (cell, n_pages, gi_num, hot, cold, s_stat, trend,
+    label)."""
+    rollup = pages_with_cells.groupBy("cell").agg(
+        F.count(F.lit(1)).alias("n_pages")
+    )
+    hs = tile_hotspots(rollup, "n_pages", res_deg, z_num, z_den)
+    tr = tile_trend(
+        pages_with_cells.select("cell", time_col),
+        time_col=time_col, n_bins=n_bins, min_s=min_s,
+    )
+    spot = (
+        F.when(F.col("hot"), F.lit("hot"))
+        .when(F.col("cold"), F.lit("cold"))
+        .otherwise(F.lit("none"))
+    )
+    label = F.lit(None).cast("string")
+    for (sp, t), lab in EMERGING_LABELS.items():
+        label = F.when(
+            (spot == sp) & (F.col("trend") == t), F.lit(lab)
+        ).otherwise(label)
+    return (
+        rollup.join(hs.select("cell", "gi_num", "hot", "cold"), "cell")
+        .join(tr, "cell")
+        .select(
+            "cell", "n_pages", "gi_num", "hot", "cold",
+            "s_stat", "trend", label.alias("label"),
+        )
+    )
+
+
+def emerging_hotspots_ctes(
+    src: str,
+    time_col: str = "version",
+    n_bins: int = 4,
+    min_s: int = 2,
+    res_deg: float = DEFAULT_RES_DEG,
+    z_num: int = 2,
+    z_den: int = 1,
+) -> str:
+    """Twin CTE block + final SELECT for :func:`emerging_hotspots`
+    over a CTE ``src`` exposing (cell, time_col) point rows; composes
+    :func:`tile_hotspots_ctes` and :func:`tile_trend_ctes` verbatim —
+    the composition itself is what this twin hash-verifies."""
+    labels = " ".join(
+        f"WHEN spot = '{sp}' AND trend = '{t}' THEN '{lab}'"
+        for (sp, t), lab in EMERGING_LABELS.items()
+    )
+    return f"""
+        eh_rollup AS (
+            SELECT cell, COUNT(*) AS n_pages FROM {src} GROUP BY 1
+        ),
+        {tile_hotspots_ctes('eh_rollup', 'n_pages', res_deg,
+                            z_num, z_den, final_cte='eh_hs')[1:]},
+        {tile_trend_ctes(src, time_col, n_bins, min_s,
+                         final_cte='eh_tr')[1:]}
+        SELECT r.cell, r.n_pages, h.gi_num, h.hot, h.cold,
+               t.s_stat, t.trend,
+               CASE {labels} END AS label
+        FROM eh_rollup r
+        JOIN (SELECT cell, gi_num, hot, cold,
+                     CASE WHEN hot THEN 'hot'
+                          WHEN cold THEN 'cold'
+                          ELSE 'none' END AS spot
+              FROM eh_hs) h ON h.cell = r.cell
+        JOIN eh_tr t ON t.cell = r.cell
+    """

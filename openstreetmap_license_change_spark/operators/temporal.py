@@ -2348,3 +2348,136 @@ def holt_smoothing_sql(
         SELECT g AS {group_col}, t, x_q, level_q, trend_q, resid_q
         FROM hs_walk
     """
+
+
+def gap_fill(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    bucket_s: int = 3600,
+    max_buckets: int = 100_000,
+) -> DataFrame:
+    """Densify each key's bucketed series over its OWN [first, last]
+    span and forward-fill the value — the gap-filling every
+    time-series consumer needs before a window/rate computation
+    (:func:`rolling_rollup`'s RANGE frame dodges densification for
+    trailing sums; anything reading "the value AS OF each hour" —
+    rates, diffs, charts, feature matrices — needs the grid rows to
+    exist).  Absent buckets emit n_events = 0, NULL cents, is_gap =
+    true, and cents_ffill = the last OBSERVED bucket's total (the
+    as-of carry; never an interpolation — exact by construction).
+
+    Scale design: one (key, bucket) partial-agg groupBy touches the
+    events; the span and the densify fan run per key on the
+    AGGREGATE; per-key spans beyond ``max_buckets`` fail LOUD via an
+    assert riding the span column (a dormant key spanning years would
+    otherwise silently explode the grid ×10⁵).  The forward-fill
+    window partitions by key over ≤ span rows — never a global
+    window.
+
+    Returns (key, bucket, n_events, cents, cents_ffill, is_gap);
+    bucket = epoch_micros DIV (bucket_s·10⁶), values cent-quantized
+    exact int64."""
+    if bucket_s <= 0 or max_buckets <= 0:
+        raise ValueError("bucket_s and max_buckets must be positive")
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    agg = (
+        events.select(
+            F.col(key_col).alias("key"),
+            us.alias("_us"),
+            F.round(F.col(value_col) * 100).cast("bigint").alias("_c"),
+        )
+        .withColumn(
+            "bucket", F.expr(f"_us DIV {int(bucket_s) * 1_000_000}")
+        )
+        .groupBy("key", "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("_c").alias("cents"),
+        )
+    )
+    span = agg.groupBy("key").agg(
+        F.min("bucket").alias("_b0"), F.max("bucket").alias("_b1")
+    ).select(
+        "key",
+        "_b0",
+        F.when(
+            F.col("_b1") - F.col("_b0") >= F.lit(int(max_buckets)),
+            F.assert_true(
+                F.lit(False),
+                F.lit(f"gap_fill: key span exceeds {max_buckets} buckets"),
+            ).cast("bigint"),
+        ).otherwise(F.col("_b1")).alias("_b1"),
+    )
+    dense = span.select(
+        "key",
+        F.explode(F.sequence(F.col("_b0"), F.col("_b1"))).alias("bucket"),
+    )
+    w = (
+        W.partitionBy("key")
+        .orderBy("bucket")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        dense.join(agg, ["key", "bucket"], "left")
+        .select(
+            F.col("key").alias(key_col),
+            "bucket",
+            F.coalesce(F.col("n_events"), F.lit(0))
+            .cast("bigint").alias("n_events"),
+            "cents",
+            F.last("cents", ignorenulls=True).over(w)
+            .alias("cents_ffill"),
+            F.col("n_events").isNull().alias("is_gap"),
+        )
+    )
+
+
+def gap_fill_sql(
+    src: str,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    bucket_s: int = 3600,
+    max_buckets: int = 100_000,
+) -> str:
+    """DuckDB twin of :func:`gap_fill` (standalone; gf_*
+    namespaced).  Same densify + carry; the span guard is an
+    error() CASE riding the emitted _b1 (DuckDB prunes standalone
+    guard columns — the cube_rollup lesson)."""
+    bus = int(bucket_s) * 1_000_000
+    return f"""
+        WITH gf_agg AS (
+            SELECT {key_col} AS key,
+                   epoch_us({ts_col}) // {bus} AS bucket,
+                   CAST(COUNT(*) AS BIGINT) AS n_events,
+                   CAST(SUM(CAST(ROUND({value_col} * 100) AS BIGINT))
+                        AS BIGINT) AS cents
+            FROM {src} GROUP BY 1, 2
+        ),
+        gf_span AS (
+            SELECT key, MIN(bucket) AS b0,
+                   CASE WHEN MAX(bucket) - MIN(bucket)
+                             >= {int(max_buckets)}
+                        THEN CAST(error(
+                            'gap_fill: key span exceeds {int(max_buckets)} buckets'
+                        ) AS BIGINT)
+                        ELSE MAX(bucket) END AS b1
+            FROM gf_agg GROUP BY 1
+        ),
+        gf_dense AS (
+            SELECT key, UNNEST(range(b0, b1 + 1)) AS bucket
+            FROM gf_span
+        )
+        SELECT d.key AS {key_col}, d.bucket,
+               COALESCE(a.n_events, 0) AS n_events,
+               a.cents,
+               LAST_VALUE(a.cents IGNORE NULLS) OVER (
+                   PARTITION BY d.key ORDER BY d.bucket
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS cents_ffill,
+               a.n_events IS NULL AS is_gap
+        FROM gf_dense d
+        LEFT JOIN gf_agg a ON a.key = d.key AND a.bucket = d.bucket
+    """
