@@ -2471,6 +2471,36 @@ def q_emerging_hotspots(spark, sf_dir):
     return spatial.emerging_hotspots(cells.select("cell", "version"))
 
 
+def q_neighbor_jaccard(spark, sf_dir):
+    """Neighborhood-Jaccard link prediction
+    (graph.neighbor_jaccard_pairs) over the deterministic doc link
+    graph: |Γa∩Γb| DIV |Γa∪Γb| in exact ppm per candidate pair —
+    the set-overlap companion of link_prediction's resource
+    allocation (Jaccard discounts hubs by BOTH endpoints' degree);
+    one distinct symmetrization, C(d,2) wedge fan behind the loud
+    max_degree assert, degree join on the pair aggregate."""
+    _, edges = _doc_link_graph(spark, sf_dir)
+    return graph.neighbor_jaccard_pairs(edges, min_common=2)
+
+
+PPR_SEED_MOD = 97
+
+
+def q_doc_ppr(spark, sf_dir):
+    """Personalized PageRank (graph.ppr_quantized) from the
+    deterministic doc_id % 97 == 0 seed set: restart AND dangling
+    mass route to seeds, exact quantized-integer recurrence (total
+    mass |S|·scale — a LOOSER overflow bound than global PageRank's
+    n·scale), 2 shuffles/round + a broadcast seed flag; the DuckDB
+    oracle (graph.ppr_sql) unrolls the identical seeded recurrence,
+    so every round of quantization is hash-verified."""
+    nodes, edges = _doc_link_graph(spark, sf_dir)
+    seeds = nodes.where(F.col("node") % PPR_SEED_MOD == 0)
+    out = graph.ppr_quantized(nodes, seeds, edges,
+                              iterations=PR_ITERATIONS)
+    return out.select(F.col("node").alias("doc_id"), "rank_q")
+
+
 def q_bpe_pairs(spark, sf_dir):
     """First BPE merge round (textops.bpe_pair_counts): adjacent-
     symbol pair counts over the documents corpus, word-frequency
@@ -4753,6 +4783,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cube_rollup": q_cube_rollup,
         "events_gap_fill": q_events_gap_fill,
         "emerging_hotspots": q_emerging_hotspots,
+        "neighbor_jaccard": q_neighbor_jaccard,
+        "doc_ppr": q_doc_ppr,
         "kn_bigrams": q_kn_bigrams,
         "vocab_drift": q_vocab_drift,
         "token_burstiness": q_token_burstiness,
@@ -8001,6 +8033,19 @@ def oracle_sql() -> dict[str, str]:
         "events_gap_fill": temporal_mod.gap_fill_sql(
             "events", key_col="event_type"
         ),
+        "neighbor_jaccard": graph.neighbor_jaccard_sql(
+            _PR_EDGES_SQL, min_common=2
+        ),
+        "doc_ppr": f"""
+            SELECT node AS doc_id, rank_q
+            FROM ({graph.ppr_sql(
+                '(SELECT doc_id AS node FROM documents)',
+                f'(SELECT doc_id AS node FROM documents '
+                f'WHERE doc_id % {PPR_SEED_MOD} = 0)',
+                _PR_EDGES_SQL,
+                iterations=PR_ITERATIONS,
+            )})
+        """,
         "emerging_hotspots": _with_pages(
             ", eh_src AS (SELECT "
             + spatial.grid_cell_sql("lon", "lat")

@@ -1742,3 +1742,261 @@ def hits_sql(
         + f"\nSELECT a.node, a.auth_q, h.hub_q "
         f"FROM hx_a{iterations} a JOIN hx_h{iterations} h USING (node)"
     )
+
+
+def neighbor_jaccard_pairs(
+    edges: DataFrame,
+    min_common: int = 1,
+    max_degree: int = 10_000,
+) -> DataFrame:
+    """Neighborhood-Jaccard link prediction over the undirected
+    simplification — score each candidate pair by |Γ(a)∩Γ(b)| /
+    |Γ(a)∪Γ(b)| in exact ppm: the set-overlap member of the
+    link-prediction family (:func:`resource_allocation_pairs` weights
+    witnesses by rarity; Jaccard normalizes by BOTH endpoints' total
+    degree, so a hub sharing 3 of its 10⁴ neighbors scores near zero
+    where RA still accumulates).  Candidates are pairs with ≥
+    ``min_common`` common neighbors — exactly the pairs the wedge fan
+    emits, so "no common neighbor → score 0" costs nothing.
+
+    Exact arithmetic: jac_ppm = (n_common·10⁶) DIV
+    (deg_a + deg_b − n_common); all counts int64 over the DISTINCT
+    symmetrized edge list (self-loops excluded — the assortativity
+    lesson).
+
+    Plan: one distinct symmetrization shuffle; the wedge self-join on
+    the shared neighbor fans C(d,2) per node — LOUD ``max_degree``
+    assert riding the emitted neighbor column (the
+    resource_allocation discipline: pre-filter hubs explicitly or
+    raise the cap, never silently); the degree join back runs on the
+    |candidate-pair| aggregate.  Returns (id_a, id_b, n_common,
+    deg_a, deg_b, jac_ppm), id_a < id_b."""
+    fwd = edges.select("src", "dst").where(F.col("src") != F.col("dst"))
+    sym = fwd.unionByName(
+        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    deg = sym.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("deg")
+    )
+    guard = F.assert_true(
+        F.col("deg") <= F.lit(int(max_degree)),
+        F.lit(
+            f"node degree exceeds max_degree={max_degree} in "
+            "neighbor_jaccard_pairs; wedge fan-out is C(d,2) — "
+            "pre-filter hub nodes explicitly or raise the cap"
+        ),
+    )
+    by_nbr = sym.join(
+        deg.withColumnRenamed("node", "src"), "src"
+    ).select(
+        F.col("src").alias("_w"),
+        F.when(guard.isNull(), F.col("dst")).alias("_id"),
+    )
+    a = by_nbr.select(F.col("_w"), F.col("_id").alias("id_a"))
+    b = by_nbr.select(F.col("_w"), F.col("_id").alias("id_b"))
+    common = (
+        a.join(b, "_w")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+        .where(F.col("n_common") >= int(min_common))
+    )
+    return (
+        common.join(
+            deg.select(F.col("node").alias("id_a"),
+                       F.col("deg").alias("deg_a")), "id_a"
+        )
+        .join(
+            deg.select(F.col("node").alias("id_b"),
+                       F.col("deg").alias("deg_b")), "id_b"
+        )
+        .select(
+            "id_a", "id_b", "n_common", "deg_a", "deg_b",
+            F.expr(
+                "CAST((n_common * 1000000) "
+                "DIV (deg_a + deg_b - n_common) AS BIGINT)"
+            ).alias("jac_ppm"),
+        )
+    )
+
+
+def neighbor_jaccard_sql(edges_src: str, min_common: int = 1) -> str:
+    """DuckDB twin of :func:`neighbor_jaccard_pairs` (standalone;
+    nj_* namespaced; no degree guard — the operator owns the loud
+    failure)."""
+    return f"""
+        WITH nj_sym AS MATERIALIZED (
+            SELECT DISTINCT src, dst FROM (
+                SELECT src, dst FROM {edges_src} WHERE src <> dst
+                UNION ALL
+                SELECT dst AS src, src AS dst FROM {edges_src}
+                WHERE src <> dst
+            )
+        ),
+        nj_deg AS (
+            SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS deg
+            FROM nj_sym GROUP BY 1
+        ),
+        nj_common AS (
+            SELECT a.dst AS id_a, b.dst AS id_b,
+                   CAST(COUNT(*) AS BIGINT) AS n_common
+            FROM nj_sym a JOIN nj_sym b
+              ON a.src = b.src AND a.dst < b.dst
+            GROUP BY 1, 2
+            HAVING COUNT(*) >= {int(min_common)}
+        )
+        SELECT c.id_a, c.id_b, c.n_common,
+               da.deg AS deg_a, db.deg AS deg_b,
+               CAST((c.n_common * 1000000)
+                    // (da.deg + db.deg - c.n_common) AS BIGINT)
+                   AS jac_ppm
+        FROM nj_common c
+        JOIN nj_deg da ON da.node = c.id_a
+        JOIN nj_deg db ON db.node = c.id_b
+    """
+
+
+def ppr_quantized(
+    nodes: DataFrame,
+    seeds: DataFrame,
+    edges: DataFrame,
+    iterations: int = 8,
+    damping_pct: int = 85,
+    scale: int = PR_SCALE,
+) -> DataFrame:
+    """Personalized PageRank in the same EXACT quantized-integer
+    arithmetic as :func:`pagerank_quantized`, with the restart mass
+    (and the dangling re-injection) routed to a SEED SET instead of
+    uniformly — relevance-to-these-pages authority: rank the crawl
+    frontier from known-good hubs, expand a topic corpus from a seed
+    list, score "how reachable from the trusted set" per document.
+
+    Recurrence (d = damping_pct, S = seeds, quantum 1/scale):
+
+        r'(v) = [v∈S]·((100−d)·scale DIV 100)
+              + d·( Σ_{u→v} r(u) DIV outdeg(u)
+                    + [v∈S]·(dangling DIV |S|) ) DIV 100
+
+    with r₀ = scale on seeds, 0 elsewhere — total mass ≤ |S|·scale,
+    so the overflow bound is |S|·scale < 2⁶³ (LOOSER than global
+    PageRank's n·scale: PPR scales to graphs where uniform restart
+    would overflow).  Integer division quantizes identically across
+    engines; the oracle (:func:`ppr_sql`) unrolls the same recurrence.
+
+    Plan: identical to pagerank_quantized (2 shuffles/round on the
+    pre-partitioned edges, 1-row dangling broadcast, per-round
+    localCheckpoint) plus one broadcast seed-flag join per round —
+    the seed table is small by definition.  The only driver action
+    is the bounded |S| count.  ``seeds``: one column ``node`` (must
+    be non-empty and a subset of nodes).  Returns (node, rank_q)."""
+    if not 0 <= damping_pct <= 100:
+        raise ValueError(f"damping_pct must be in [0, 100]: {damping_pct}")
+    edges = edges.select("src", "dst").repartition("src").localCheckpoint(
+        eager=True
+    )
+    outdeg = edges.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("outdeg")
+    )
+    seed_flag = seeds.select("node").distinct().withColumn(
+        "_seed", F.lit(True)
+    ).localCheckpoint(eager=True)
+    n_s = seed_flag.count()
+    if n_s == 0:
+        raise ValueError("ppr_quantized: empty seed set")
+    base = (100 - damping_pct) * scale // 100
+    ranks = nodes.join(F.broadcast(seed_flag), "node", "left").select(
+        "node",
+        F.when(F.col("_seed"), F.lit(scale))
+        .otherwise(F.lit(0)).cast("bigint").alias("rank_q"),
+    )
+    for _ in range(iterations):
+        with_deg = ranks.join(outdeg, "node", "left")
+        dangling = (
+            with_deg.where(F.col("outdeg").isNull())
+            .agg(F.coalesce(F.sum("rank_q"), F.lit(0)).alias("_dang"))
+        )
+        contrib = (
+            edges.join(
+                with_deg.where(F.col("outdeg").isNotNull()),
+                edges.src == F.col("node"),
+            )
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum(F.expr("rank_q DIV outdeg")).alias("_in"))
+        )
+        ranks = (
+            nodes.join(contrib, "node", "left")
+            .join(F.broadcast(seed_flag), "node", "left")
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "node",
+                F.expr(
+                    f"CAST(CASE WHEN _seed THEN {base} ELSE 0 END "
+                    f"+ ({damping_pct} * (COALESCE(_in, 0) "
+                    f"+ CASE WHEN _seed THEN _dang DIV {n_s} "
+                    f"ELSE 0 END)) DIV 100 AS BIGINT)"
+                ).alias("rank_q"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks
+
+
+def ppr_sql(
+    nodes_src: str,
+    seeds_src: str,
+    edges_src: str,
+    iterations: int = 8,
+    damping_pct: int = 85,
+    scale: int = PR_SCALE,
+) -> str:
+    """DuckDB twin of :func:`ppr_quantized`: the identical seeded
+    integer recurrence unrolled as chained CTEs (the pagerank_sql
+    pattern; dangling + seed-count CTEs per round).  ``seeds_src``
+    must yield one column ``node``.  Standalone statement."""
+    base = (100 - damping_pct) * scale // 100
+    ctes = [
+        f"pp_nd AS (SELECT node FROM {nodes_src})",
+        f"pp_sd AS (SELECT DISTINCT node FROM {seeds_src})",
+        f"pp_eg AS (SELECT src, dst FROM {edges_src})",
+        "pp_odeg AS (SELECT src AS node, COUNT(*) AS outdeg "
+        "FROM pp_eg GROUP BY 1)",
+        "pp_ns AS (SELECT COUNT(*) AS ns FROM pp_sd)",
+        f"""pp_r0 AS (
+            SELECT pp_nd.node,
+                   CAST(CASE WHEN pp_sd.node IS NOT NULL
+                        THEN {scale} ELSE 0 END AS BIGINT) AS rank_q
+            FROM pp_nd LEFT JOIN pp_sd ON pp_sd.node = pp_nd.node
+        )""",
+    ]
+    for i in range(1, iterations + 1):
+        p = f"pp_r{i - 1}"
+        ctes.append(f"""pp_r{i} AS (
+            SELECT pp_nd.node,
+                   CAST(CASE WHEN pp_sd.node IS NOT NULL
+                             THEN {base} ELSE 0 END
+                        + ({damping_pct} * (COALESCE(c._in, 0)
+                           + CASE WHEN pp_sd.node IS NOT NULL
+                                  THEN dg._dang // pp_ns.ns
+                                  ELSE 0 END)) // 100
+                        AS BIGINT) AS rank_q
+            FROM pp_nd
+            LEFT JOIN pp_sd ON pp_sd.node = pp_nd.node
+            LEFT JOIN (
+                SELECT pp_eg.dst AS node,
+                       SUM(r.rank_q // o.outdeg) AS _in
+                FROM pp_eg
+                JOIN {p} r ON pp_eg.src = r.node
+                JOIN pp_odeg o ON o.node = pp_eg.src
+                GROUP BY pp_eg.dst
+            ) c ON c.node = pp_nd.node
+            CROSS JOIN (
+                SELECT COALESCE(SUM(rank_q), 0) AS _dang
+                FROM {p} LEFT JOIN pp_odeg USING (node)
+                WHERE pp_odeg.outdeg IS NULL
+            ) dg
+            CROSS JOIN pp_ns
+        )""")
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT node, rank_q FROM pp_r{iterations}"
+    )
