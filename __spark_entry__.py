@@ -2501,6 +2501,22 @@ def q_doc_ppr(spark, sf_dir):
     return out.select(F.col("node").alias("doc_id"), "rank_q")
 
 
+def q_morans_correlogram(spark, sf_dir):
+    """Spatial correlogram (spatial.morans_correlogram): Moran's I
+    per Chebyshev ring band 1..3 over the SAME tile rollup as
+    q_morans_i — band 1 is exactly the global statistic's queen ring
+    (pinned by test), the decay across bands is the autocorrelation
+    RANGE.  One forward fan at the largest ring on the aggregate
+    raster, per-band aggregation from one pair stream, never k
+    passes; decimal(38)/HUGEINT ratios with shared truncation."""
+    flagged = _pages_flagged(spark, sf_dir)
+    cells = spatial.assign_cells(flagged).withColumn(
+        "tainted", ~F.col("accepted")
+    )
+    rollup = spatial.tile_rollup(cells).select("cell", "n_pages")
+    return spatial.morans_correlogram(rollup, "n_pages", max_band=3)
+
+
 def q_bpe_pairs(spark, sf_dir):
     """First BPE merge round (textops.bpe_pair_counts): adjacent-
     symbol pair counts over the documents corpus, word-frequency
@@ -4785,6 +4801,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emerging_hotspots": q_emerging_hotspots,
         "neighbor_jaccard": q_neighbor_jaccard,
         "doc_ppr": q_doc_ppr,
+        "morans_correlogram": q_morans_correlogram,
         "kn_bigrams": q_kn_bigrams,
         "vocab_drift": q_vocab_drift,
         "token_burstiness": q_token_burstiness,
@@ -8033,6 +8050,15 @@ def oracle_sql() -> dict[str, str]:
         "events_gap_fill": temporal_mod.gap_fill_sql(
             "events", key_col="event_type"
         ),
+        "morans_correlogram": _with_pages(f"""
+            , mc_rollup AS (
+                SELECT {cell} AS cell, COUNT(*) AS n_pages
+                FROM pages p JOIN cs_status s USING (changeset_id)
+                GROUP BY 1
+            ),
+            {spatial.morans_correlogram_ctes('mc_rollup', 'n_pages',
+                                             max_band=3)}
+        """),
         "neighbor_jaccard": graph.neighbor_jaccard_sql(
             _PR_EDGES_SQL, min_common=2
         ),

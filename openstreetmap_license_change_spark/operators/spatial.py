@@ -7402,3 +7402,190 @@ def emerging_hotspots_ctes(
               FROM eh_hs) h ON h.cell = r.cell
         JOIN eh_tr t ON t.cell = r.cell
     """
+
+
+def _correlogram_offsets(max_band: int) -> "list[tuple[int, int, int]]":
+    """Forward half-plane (dy, dx, band) offsets for Chebyshev rings
+    1..max_band: dy > 0 with dx ∈ [−b, b], plus dy = 0 with dx ∈
+    [1, b] — each unordered pair visited from exactly one side
+    (the morans_i forward-adjacency rule generalized to ring k)."""
+    out = []
+    b = int(max_band)
+    for dy in range(0, b + 1):
+        for dx in range(-b if dy > 0 else 1, b + 1):
+            out.append((dy, dx, max(dy, abs(dx))))
+    return out
+
+
+def morans_correlogram(
+    cells: DataFrame,
+    value_col: str,
+    max_band: int = 3,
+    res_deg: float = DEFAULT_RES_DEG,
+) -> DataFrame:
+    """Spatial correlogram — Moran's I per Chebyshev ring distance
+    band k = 1..``max_band`` over the occupied-cell raster: I(1) is
+    :func:`morans_i` restricted to its queen ring; the decay of I(k)
+    with k is the autocorrelation RANGE (how far the clustering
+    reaches), the grid-statistics sibling of :func:`semivariogram`
+    (which sums squared value differences; the correlogram correlates
+    N-scaled deviations, so the two disagree exactly where outlier
+    magnitude matters).  Non-cumulative bands: ring k only.
+
+    Exact arithmetic inherited from morans_i: d_i = N·x_i − S,
+    num_k = Σ_{ring k} w·d_i·d_j (directed = 2× forward sum),
+    den = Σd², i_ppm(k) = (N·num_k·10⁶) DIV (w_sum_k·den) in
+    decimal(38,0)/HUGEINT with shared truncation; empty bands and
+    den = 0 emit NULL.
+
+    Plan: ONE forward fan at the largest ring (≈ 2·max_band² + max_band
+    offsets per cell, on the AGGREGATE raster), each unordered pair
+    emitted once with its band; per-band aggregation from the same
+    pair stream — never k passes (the ripley_k sweep discipline);
+    the band axis densifies from a literal sequence so every k
+    appears.  Grid: lon wrap + lat clamp; cols ≥ 2·max_band + 3
+    enforced so forward fan targets stay distinct under wrap.
+
+    Returns (band, n_cells, w_sum, num, den, i_ppm), band ascending."""
+    if max_band < 1:
+        raise ValueError(f"max_band must be ≥ 1, got {max_band}")
+    cols = int(360 / res_deg)
+    rows_n = int(180 / res_deg)
+    if cols < 2 * max_band + 3:
+        raise ValueError(
+            f"res_deg {res_deg} gives {cols} grid columns; need ≥ "
+            f"{2 * max_band + 3} for once-per-pair ring-{max_band} "
+            "adjacency under lon wrap"
+        )
+    vals = cells.select(
+        "cell", F.col(value_col).cast("bigint").alias("_x")
+    )
+    stats = vals.agg(
+        F.count(F.lit(1)).alias("_n"), F.sum("_x").alias("_s")
+    )
+    dev = vals.crossJoin(F.broadcast(stats)).select(
+        "cell",
+        "_n",
+        (F.col("_n") * F.col("_x") - F.col("_s")).alias("_d"),
+    )
+    lat_b = F.floor(F.col("cell") / F.lit(cols))
+    lon_b = F.col("cell") % F.lit(cols)
+    fwd = []
+    for dy, dx, band in _correlogram_offsets(max_band):
+        t_lat = lat_b + F.lit(dy)
+        t_lon = (lon_b + F.lit(dx) + F.lit(cols)) % F.lit(cols)
+        fwd.append(
+            F.when(
+                (t_lat >= 0) & (t_lat < rows_n),
+                F.struct(
+                    (t_lat * F.lit(cols) + t_lon)
+                    .cast("bigint").alias("nbr"),
+                    F.lit(band).cast("int").alias("band"),
+                ),
+            )
+        )
+    fan = dev.select(
+        F.col("_d").alias("_d1"),
+        F.explode(F.array_compact(F.array(*fwd))).alias("_t"),
+    ).select("_d1", F.col("_t.nbr").alias("_nbr"),
+             F.col("_t.band").alias("band"))
+    dec = "decimal(38,0)"
+    paired = fan.join(
+        dev.select(F.col("cell").alias("_nbr"), F.col("_d").alias("_d2")),
+        "_nbr",
+    )
+    per_band = paired.groupBy("band").agg(
+        (F.count(F.lit(1)) * 2).alias("w_sum"),
+        (F.sum(F.expr(f"CAST(_d1 AS {dec}) * _d2")) * 2).alias("_num"),
+    )
+    dev_agg = dev.agg(
+        F.max("_n").alias("n_cells"),
+        F.sum(F.expr(f"CAST(_d AS {dec}) * _d")).alias("_den"),
+    )
+    bands = cells.sparkSession.range(1, max_band + 1).select(
+        F.col("id").cast("int").alias("band")
+    )
+    return (
+        bands.join(per_band, "band", "left")
+        .crossJoin(F.broadcast(dev_agg))
+        .select(
+            "band",
+            "n_cells",
+            F.coalesce("w_sum", F.lit(0)).cast("bigint").alias("w_sum"),
+            F.col("_num").cast("bigint").alias("num"),
+            F.col("_den").cast("bigint").alias("den"),
+            F.expr(
+                f"CAST(CASE WHEN _den = 0 OR COALESCE(w_sum, 0) = 0 "
+                f"THEN NULL ELSE "
+                f"(CAST(n_cells AS {dec}) * _num * 1000000) DIV "
+                f"(CAST(w_sum AS {dec}) * _den) END AS BIGINT)"
+            ).alias("i_ppm"),
+        )
+        .orderBy("band")
+    )
+
+
+def morans_correlogram_ctes(
+    src: str,
+    value_col: str,
+    max_band: int = 3,
+    res_deg: float = DEFAULT_RES_DEG,
+) -> str:
+    """Twin CTE block + final SELECT for :func:`morans_correlogram`
+    over a CTE ``src`` exposing (cell, value_col) — mc_* namespaced,
+    HUGEINT mirror of the decimal(38,0) path, identical offset table
+    generated from the same Python enumeration so the two cannot
+    drift."""
+    cols = int(360 / res_deg)
+    rows_n = int(180 / res_deg)
+    offs = ", ".join(
+        f"({dy},{dx},{band})"
+        for dy, dx, band in _correlogram_offsets(max_band)
+    )
+    return f"""
+        mc_vals AS (
+            SELECT cell, CAST({value_col} AS BIGINT) AS x FROM {src}
+        ),
+        mc_stats AS (
+            SELECT COUNT(*) AS n, CAST(SUM(x) AS BIGINT) AS s
+            FROM mc_vals
+        ),
+        mc_dev AS (
+            SELECT cell, t.n, t.n * v.x - t.s AS d
+            FROM mc_vals v CROSS JOIN mc_stats t
+        ),
+        mc_fan AS (
+            SELECT v.d AS d1, o.band,
+                   (((v.cell // {cols}) + o.dy) * {cols}
+                    + ((v.cell % {cols}) + o.dx + {cols}) % {cols})
+                       AS nbr
+            FROM mc_dev v CROSS JOIN (VALUES {offs}) o(dy, dx, band)
+            WHERE (v.cell // {cols}) + o.dy >= 0
+              AND (v.cell // {cols}) + o.dy < {rows_n}
+        ),
+        mc_pair AS (
+            SELECT f.band,
+                   CAST(COUNT(*) * 2 AS BIGINT) AS w_sum,
+                   SUM(CAST(f.d1 AS HUGEINT) * w.d) * 2 AS num
+            FROM mc_fan f JOIN mc_dev w ON w.cell = f.nbr
+            GROUP BY 1
+        ),
+        mc_glob AS (
+            SELECT MAX(n) AS n_cells,
+                   SUM(CAST(d AS HUGEINT) * d) AS den
+            FROM mc_dev
+        )
+        SELECT CAST(b.band AS INTEGER) AS band,
+               CAST(g.n_cells AS BIGINT) AS n_cells,
+               CAST(COALESCE(p.w_sum, 0) AS BIGINT) AS w_sum,
+               CAST(p.num AS BIGINT) AS num,
+               CAST(g.den AS BIGINT) AS den,
+               CAST(CASE WHEN g.den = 0 OR COALESCE(p.w_sum, 0) = 0
+                    THEN NULL ELSE
+                    (CAST(g.n_cells AS HUGEINT) * p.num * 1000000)
+                    // (CAST(p.w_sum AS HUGEINT) * g.den)
+               END AS BIGINT) AS i_ppm
+        FROM (SELECT UNNEST(range(1, {int(max_band)} + 1)) AS band) b
+        LEFT JOIN mc_pair p ON p.band = b.band
+        CROSS JOIN mc_glob g
+    """
