@@ -2517,6 +2517,35 @@ def q_morans_correlogram(spark, sf_dir):
     return spatial.morans_correlogram(rollup, "n_pages", max_band=3)
 
 
+def q_audio_zcr(spark, sf_dir):
+    """Per-frame zero-crossing + peak stats
+    (multimodal.audio_zcr_frames) over the gated PCM synth: the
+    spectral-content proxy beside audio_silence's energy — the
+    planted quiet bursts are period-7 sawtooths whose ZCR is ~18×
+    the loud ramp's (structural regime separation).  Crossings are
+    strict sign flips counted frame-locally; the oracle replays
+    every sample via LAG inside the (clip, frame) partition."""
+    from openstreetmap_license_change_spark.operators import multimodal
+
+    media = multimodal.synthetic_gated_pcm_media(
+        spark, n=8, n_samples=2048, burst=256
+    )
+    return multimodal.audio_zcr_frames(media, frame_samples=256)
+
+
+def q_image_gradients(spark, sf_dir):
+    """Exact Sobel gradient rollup (multimodal.image_gradients) over
+    the deterministic raw-RGB images: channel-sum luma, the standard
+    3×3 kernel pair on interior pixels, L1 magnitudes (no sqrt),
+    per-image interior count / total energy / max / edge count.  The
+    oracle regenerates every pixel and replays the kernel as a 3×3
+    VALUES join — decode, kernel, and rollup all hash-verified."""
+    from openstreetmap_license_change_spark.operators import multimodal
+
+    media = multimodal.synthetic_raw_rgb_media(spark, n=16, w=48, h=32)
+    return multimodal.image_gradients(media)
+
+
 def q_bpe_pairs(spark, sf_dir):
     """First BPE merge round (textops.bpe_pair_counts): adjacent-
     symbol pair counts over the documents corpus, word-frequency
@@ -4802,6 +4831,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neighbor_jaccard": q_neighbor_jaccard,
         "doc_ppr": q_doc_ppr,
         "morans_correlogram": q_morans_correlogram,
+        "audio_zcr": q_audio_zcr,
+        "image_gradients": q_image_gradients,
         "kn_bigrams": q_kn_bigrams,
         "vocab_drift": q_vocab_drift,
         "token_burstiness": q_token_burstiness,
@@ -8049,6 +8080,10 @@ def oracle_sql() -> dict[str, str]:
         ),
         "events_gap_fill": temporal_mod.gap_fill_sql(
             "events", key_col="event_type"
+        ),
+        "audio_zcr": multimodal_mod.audio_zcr_sql(8),
+        "image_gradients": multimodal_mod.image_gradients_sql(
+            16, 48, 32
         ),
         "morans_correlogram": _with_pages(f"""
             , mc_rollup AS (

@@ -1437,3 +1437,242 @@ def video_keyframes_sql(fh_src: str, threshold: int = 10) -> str:
                CAST(sum_ham AS BIGINT) AS sum_hamming
         FROM vk_best WHERE rk = 1
     """
+
+
+AUDIO_ZCR_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("n_samples", LongType()),
+        StructField("n_zc", LongType()),
+        StructField("peak", LongType()),
+    ]
+)
+
+
+def audio_zcr_frames(
+    media: DataFrame, frame_samples: int = 256
+) -> DataFrame:
+    """Per-frame zero-crossing count + peak amplitude over PCM16
+    payloads — the spectral-content proxy that energy alone can't
+    see (:func:`audio_frame_energy` separates loud from quiet; ZCR
+    separates tonal/low-frequency from noisy/high-frequency at ANY
+    level): voice-activity detection gates on the (energy, zcr)
+    pair, and on the gated synth the quiet bursts are period-7
+    sawtooths whose ZCR is ~18× the loud ramp's — structural
+    separation, not threshold tuning.
+
+    Exactness: a crossing is x_{j−1}·x_j < 0 (strict sign flip;
+    zeros never cross — the portable convention with no ±0
+    ambiguity), counted FRAME-LOCALLY between consecutive samples of
+    the same frame (boundary pairs belong to no frame — stated, so
+    the twin's pair grouping is unambiguous).  peak = max |x| exact
+    int64.  Tail frame kept with its true length (the
+    audio_frame_energy rule).
+
+    Python only decodes and vectorizes the product-sign scan
+    (np reshape + slice); Returns (media_id, frame_idx, n_samples,
+    n_zc, peak)."""
+    if frame_samples < 1:
+        raise ValueError(
+            f"audio_zcr_frames: frame_samples must be >= 1, got "
+            f"{frame_samples}"
+        )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            recs = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                x = np.frombuffer(payload or b"", dtype="<i2").astype(
+                    np.int64
+                )
+                n = x.size
+                if n == 0:
+                    continue
+                nf = (n + frame_samples - 1) // frame_samples
+                for f in range(nf):
+                    seg = x[f * frame_samples:(f + 1) * frame_samples]
+                    zc = int(((seg[:-1] * seg[1:]) < 0).sum())
+                    recs.append(
+                        (int(mid), f, int(seg.size), zc,
+                         int(np.abs(seg).max()))
+                    )
+            yield pd.DataFrame(
+                recs,
+                columns=[
+                    "media_id", "frame_idx", "n_samples", "n_zc", "peak",
+                ],
+            )
+
+    return (
+        media.where(F.col("media_type") == "audio")
+        .repartition("media_id")
+        .mapInPandas(run, schema=AUDIO_ZCR_SCHEMA)
+    )
+
+
+IMAGE_GRADIENT_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("n_interior", LongType()),
+        StructField("grad_l1", LongType()),
+        StructField("grad_max", LongType()),
+        StructField("n_edges", LongType()),
+    ]
+)
+
+
+def image_gradients(
+    media: DataFrame, edge_threshold: int = 512
+) -> DataFrame:
+    """Exact Sobel gradient statistics per raw-RGB image — the
+    sharpness/edge-density quality gate of an image curation
+    pipeline (blurry/blank frames score near zero; screenshots and
+    text-heavy images score high): channel-sum luma g = r+g+b
+    (0..765, no division), the standard Sobel pair on INTERIOR
+    pixels
+
+        gx = (g[y−1,x+1]+2g[y,x+1]+g[y+1,x+1])
+           − (g[y−1,x−1]+2g[y,x−1]+g[y+1,x−1]),   gy = transpose,
+
+    magnitude in L1 (|gx|+|gy| — exact int64, no sqrt), rolled up per
+    image: interior count, total L1 energy, max magnitude, and the
+    count of pixels ≥ ``edge_threshold`` (an EMITTED parameter of
+    the report, not a hidden tune).
+
+    Python only decodes and runs the vectorized shift arithmetic
+    (nine numpy slices); per-pixel magnitudes never leave the
+    executor — the rollup ships 1 row per image.  The oracle
+    regenerates every pixel and replays the same kernel via a 3×3
+    VALUES join, so decode + kernel + rollup are all hash-verified.
+
+    Returns (media_id, n_interior, grad_l1, grad_max, n_edges)."""
+    thr = int(edge_threshold)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            recs = []
+            for mid, payload, w, h in zip(
+                pdf["media_id"], pdf["payload"],
+                pdf["meta_width"], pdf["meta_height"],
+            ):
+                w, h = int(w), int(h)
+                if w < 3 or h < 3 or not payload:
+                    continue
+                img = np.frombuffer(payload, dtype=np.uint8).reshape(
+                    h, w, 3
+                )
+                g = img.sum(axis=2, dtype=np.int64)
+                gx = (
+                    (g[:-2, 2:] + 2 * g[1:-1, 2:] + g[2:, 2:])
+                    - (g[:-2, :-2] + 2 * g[1:-1, :-2] + g[2:, :-2])
+                )
+                gy = (
+                    (g[2:, :-2] + 2 * g[2:, 1:-1] + g[2:, 2:])
+                    - (g[:-2, :-2] + 2 * g[:-2, 1:-1] + g[:-2, 2:])
+                )
+                mag = np.abs(gx) + np.abs(gy)
+                recs.append(
+                    (
+                        int(mid),
+                        int(mag.size),
+                        int(mag.sum()),
+                        int(mag.max()),
+                        int((mag >= thr).sum()),
+                    )
+                )
+            yield pd.DataFrame(
+                recs,
+                columns=[
+                    "media_id", "n_interior", "grad_l1", "grad_max",
+                    "n_edges",
+                ],
+            )
+
+    return (
+        media.where(F.col("media_type") == "image")
+        .repartition("media_id")
+        .mapInPandas(run, schema=IMAGE_GRADIENT_SCHEMA)
+    )
+
+
+def image_gradients_sql(
+    n: int, w: int, h: int, edge_threshold: int = 512
+) -> str:
+    """DuckDB twin of :func:`image_gradients` over the
+    synthetic_raw_rgb_media closed form (pixel (x,y,c) =
+    (3x+7y+11c+13·id) mod 256): regenerates the luma grid and
+    replays the Sobel pair as a 3×3 VALUES join with the kernel
+    weights — a structurally different execution of the same
+    arithmetic.  Standalone statement."""
+    return f"""
+        WITH ig_px AS (
+            SELECT m.id AS media_id, y.y, x.x,
+                   CAST((x.x*3 + y.y*7 + 0  + m.id*13) % 256
+                      + (x.x*3 + y.y*7 + 11 + m.id*13) % 256
+                      + (x.x*3 + y.y*7 + 22 + m.id*13) % 256
+                      AS BIGINT) AS g
+            FROM (SELECT UNNEST(range(0, {int(n)})) AS id) m,
+                 range(0, {int(h)}) y(y), range(0, {int(w)}) x(x)
+        ),
+        ig_k AS (
+            SELECT * FROM (VALUES
+                (-1,-1,-1,-1), (-1,0,0,-2), (-1,1,1,-1),
+                ( 0,-1,-2, 0), ( 0,1,2, 0),
+                ( 1,-1,-1, 1), ( 1,0,0, 2), ( 1,1,1, 1)
+            ) k(dy, dx, wx, wy)
+        ),
+        ig_grad AS (
+            SELECT p.media_id, p.y, p.x,
+                   ABS(SUM(q.g * k.wx)) + ABS(SUM(q.g * k.wy)) AS mag
+            FROM ig_px p
+            JOIN ig_k k ON TRUE
+            JOIN ig_px q ON q.media_id = p.media_id
+                        AND q.y = p.y + k.dy AND q.x = p.x + k.dx
+            WHERE p.y BETWEEN 1 AND {int(h)} - 2
+              AND p.x BETWEEN 1 AND {int(w)} - 2
+            GROUP BY 1, 2, 3
+        )
+        SELECT media_id,
+               CAST(COUNT(*) AS BIGINT) AS n_interior,
+               CAST(SUM(mag) AS BIGINT) AS grad_l1,
+               CAST(MAX(mag) AS BIGINT) AS grad_max,
+               CAST(SUM(CASE WHEN mag >= {int(edge_threshold)}
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_edges
+        FROM ig_grad GROUP BY 1
+    """
+
+
+def audio_zcr_sql(
+    n: int, n_samples: int = 2048, burst: int = 256,
+    frame_samples: int = 256,
+) -> str:
+    """DuckDB twin of :func:`audio_zcr_frames` over the
+    synthetic_gated_pcm_media closed form — every sample replayed;
+    crossings counted frame-locally via LAG inside the (clip, frame)
+    partition.  Standalone statement."""
+    return f"""
+        WITH az_samp AS (
+            SELECT c.id AS media_id, i.i,
+                   CAST(i.i // {int(frame_samples)} AS INTEGER)
+                       AS frame_idx,
+                   CASE WHEN ((i.i // {int(burst)}) + c.id) % 3 = 1
+                        THEN (i.i * 3) % 21 - 10
+                        ELSE (i.i * 7 + c.id * 13) % 2001 - 1000
+                   END AS s
+            FROM (SELECT UNNEST(range(0, {int(n)})) AS id) c,
+                 range(0, {int(n_samples)}) i(i)
+        ),
+        az_lag AS (
+            SELECT media_id, frame_idx, s,
+                   LAG(s) OVER (PARTITION BY media_id, frame_idx
+                                ORDER BY i) AS prev
+            FROM az_samp
+        )
+        SELECT media_id, frame_idx,
+               CAST(COUNT(*) AS BIGINT) AS n_samples,
+               CAST(SUM(CASE WHEN prev * s < 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_zc,
+               CAST(MAX(ABS(s)) AS BIGINT) AS peak
+        FROM az_lag GROUP BY 1, 2
+    """
