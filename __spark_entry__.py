@@ -2546,6 +2546,18 @@ def q_image_gradients(spark, sf_dir):
     return multimodal.image_gradients(media)
 
 
+def q_curation_verdict(spark, sf_dir):
+    """End-to-end curation verdict (textops.curation_verdict): the
+    gopher rule battery, the published repetition drop rule, the
+    hapax-gibberish ratio, and the per-lang median/MAD length
+    outlier, composed into one keep/drop row with a reason bitmask —
+    the table a pretraining run materializes before dedup.  Pure
+    composition; the twin joins the four component oracles, so the
+    driver hash-verifies the composition itself."""
+    docs = pages_src.documents(spark, sf_dir)
+    return textops.curation_verdict(docs)
+
+
 def q_bpe_pairs(spark, sf_dir):
     """First BPE merge round (textops.bpe_pair_counts): adjacent-
     symbol pair counts over the documents corpus, word-frequency
@@ -4833,6 +4845,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "morans_correlogram": q_morans_correlogram,
         "audio_zcr": q_audio_zcr,
         "image_gradients": q_image_gradients,
+        "curation_verdict": q_curation_verdict,
         "kn_bigrams": q_kn_bigrams,
         "vocab_drift": q_vocab_drift,
         "token_burstiness": q_token_burstiness,
@@ -5137,6 +5150,59 @@ def _fold_restriction_sql(
         UNION ALL SELECT * FROM deletes
         UNION ALL SELECT * FROM edits
     """)
+
+
+_RARE_TOKEN_SQL = """
+            WITH toks AS (
+                SELECT DISTINCT doc_id, tok AS token
+                FROM documents,
+                     LATERAL UNNEST(string_split_regex(lower(text), '\\s+'))
+                         AS u(tok)
+                WHERE tok <> ''
+            ),
+            dfq AS (SELECT token, COUNT(*) AS df FROM toks GROUP BY 1)
+            SELECT doc_id,
+                   COUNT(*) AS n_distinct,
+                   CAST(SUM(CASE WHEN df <= 1 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_rare,
+                   CAST((SUM(CASE WHEN df <= 1 THEN 1 ELSE 0 END)
+                         * 1000000) // COUNT(*) AS BIGINT) AS rare_ppm
+            FROM toks JOIN dfq USING (token)
+            GROUP BY doc_id
+        """
+
+_REPETITION_SQL = """
+            WITH g AS (
+                SELECT doc_id, array_to_string(ts[i:i+1], ' ') AS gram
+                FROM (SELECT doc_id,
+                             string_split_regex(lower(text), '\\s+') AS ts
+                      FROM documents) t,
+                     LATERAL (SELECT UNNEST(
+                                  range(1, GREATEST(len(ts) - 1, 1) + 1))
+                              AS i) u
+                WHERE length(array_to_string(ts[i:i+1], ' ')) > 0
+            ),
+            counts AS (
+                SELECT doc_id, gram, COUNT(*) AS c FROM g GROUP BY 1, 2
+            ),
+            agg AS (
+                SELECT doc_id,
+                       CAST(SUM(c) AS BIGINT) AS n_ngrams,
+                       MAX(c) AS top_ngram_count,
+                       CAST(COALESCE(SUM(CASE WHEN c >= 2 THEN c END), 0)
+                            AS BIGINT) AS dup_ngram_occurrences
+                FROM counts GROUP BY 1
+            )
+            SELECT doc_id, n_ngrams, top_ngram_count,
+                   dup_ngram_occurrences,
+                   (top_ngram_count * 1000000) // n_ngrams AS top_share_m,
+                   (dup_ngram_occurrences * 1000000) // n_ngrams
+                       AS dup_share_m,
+                   ((top_ngram_count * 1000000) // n_ngrams > 200000
+                    OR (dup_ngram_occurrences * 1000000) // n_ngrams
+                       > 600000) AS repetitive
+            FROM agg
+        """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -8081,6 +8147,30 @@ def oracle_sql() -> dict[str, str]:
         "events_gap_fill": temporal_mod.gap_fill_sql(
             "events", key_col="event_type"
         ),
+        "curation_verdict": f"""
+            SELECT d.doc_id, d.lang, g.flags AS gopher_flags,
+                   COALESCE(r.repetitive, FALSE) AS repetitive,
+                   rt.rare_ppm,
+                   m.is_outlier AS len_outlier,
+                   CAST(CASE WHEN g.flags <> 0 THEN 1 ELSE 0 END
+                      + CASE WHEN COALESCE(r.repetitive, FALSE)
+                             THEN 2 ELSE 0 END
+                      + CASE WHEN COALESCE(rt.rare_ppm > 500000, FALSE)
+                             THEN 4 ELSE 0 END
+                      + CASE WHEN m.is_outlier THEN 8 ELSE 0 END
+                      AS BIGINT) AS reasons,
+                   (g.flags = 0 AND NOT COALESCE(r.repetitive, FALSE)
+                    AND NOT COALESCE(rt.rare_ppm > 500000, FALSE)
+                    AND NOT m.is_outlier) AS keep
+            FROM documents d
+            JOIN ({textops.gopher_filter_sql("documents")}) g
+                USING (doc_id)
+            LEFT JOIN ({_REPETITION_SQL}) r USING (doc_id)
+            LEFT JOIN ({_RARE_TOKEN_SQL}) rt USING (doc_id)
+            JOIN ({profile_mod.mad_outliers_sql(
+                "documents", "lang", "doc_id", "n_chars")}) m
+                ON m.doc_id = d.doc_id
+        """,
         "audio_zcr": multimodal_mod.audio_zcr_sql(8),
         "image_gradients": multimodal_mod.image_gradients_sql(
             16, 48, 32
@@ -8506,24 +8596,7 @@ def oracle_sql() -> dict[str, str]:
             )
             + ")"
         ),
-        "rare_token_ratio": """
-            WITH toks AS (
-                SELECT DISTINCT doc_id, tok AS token
-                FROM documents,
-                     LATERAL UNNEST(string_split_regex(lower(text), '\\s+'))
-                         AS u(tok)
-                WHERE tok <> ''
-            ),
-            dfq AS (SELECT token, COUNT(*) AS df FROM toks GROUP BY 1)
-            SELECT doc_id,
-                   COUNT(*) AS n_distinct,
-                   CAST(SUM(CASE WHEN df <= 1 THEN 1 ELSE 0 END)
-                        AS BIGINT) AS n_rare,
-                   CAST((SUM(CASE WHEN df <= 1 THEN 1 ELSE 0 END)
-                         * 1000000) // COUNT(*) AS BIGINT) AS rare_ppm
-            FROM toks JOIN dfq USING (token)
-            GROUP BY doc_id
-        """,
+        "rare_token_ratio": _RARE_TOKEN_SQL,
         "passage_dedup": """
             WITH corp AS (
                 SELECT doc_id, text FROM documents
@@ -8701,38 +8774,7 @@ def oracle_sql() -> dict[str, str]:
             FROM pages p JOIN cs_status s USING (changeset_id)
             GROUP BY 1
         """),
-        "repetition_stats": """
-            WITH g AS (
-                SELECT doc_id, array_to_string(ts[i:i+1], ' ') AS gram
-                FROM (SELECT doc_id,
-                             string_split_regex(lower(text), '\\s+') AS ts
-                      FROM documents) t,
-                     LATERAL (SELECT UNNEST(
-                                  range(1, GREATEST(len(ts) - 1, 1) + 1))
-                              AS i) u
-                WHERE length(array_to_string(ts[i:i+1], ' ')) > 0
-            ),
-            counts AS (
-                SELECT doc_id, gram, COUNT(*) AS c FROM g GROUP BY 1, 2
-            ),
-            agg AS (
-                SELECT doc_id,
-                       CAST(SUM(c) AS BIGINT) AS n_ngrams,
-                       MAX(c) AS top_ngram_count,
-                       CAST(COALESCE(SUM(CASE WHEN c >= 2 THEN c END), 0)
-                            AS BIGINT) AS dup_ngram_occurrences
-                FROM counts GROUP BY 1
-            )
-            SELECT doc_id, n_ngrams, top_ngram_count,
-                   dup_ngram_occurrences,
-                   (top_ngram_count * 1000000) // n_ngrams AS top_share_m,
-                   (dup_ngram_occurrences * 1000000) // n_ngrams
-                       AS dup_share_m,
-                   ((top_ngram_count * 1000000) // n_ngrams > 200000
-                    OR (dup_ngram_occurrences * 1000000) // n_ngrams
-                       > 600000) AS repetitive
-            FROM agg
-        """,
+        "repetition_stats": _REPETITION_SQL,
         # classify_actions (full, all element types) stays rows-only by
         # design (golden-tested in tests/); the nodes-only restriction
         # below oracle-verifies the same fold at data scale.

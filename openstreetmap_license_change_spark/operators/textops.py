@@ -3714,3 +3714,90 @@ def token_runs_sql(
         LEFT JOIN tr_best b ON b.id = r.id
         LEFT JOIN tr_bound tb ON tb.id = b.id AND tb.start = b.bstart
     """
+
+
+CURATION_REASONS = ("gopher", "repetition", "gibberish", "length_outlier")
+
+
+def curation_verdict(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str = "lang",
+    len_col: str = "n_chars",
+    max_rare_ppm: int = 500_000,
+    mad_threshold_ppm: int = 3_500_000,
+) -> DataFrame:
+    """The end-to-end per-document curation verdict — the four
+    quality families this engine ships, composed into ONE keep/drop
+    row with a reason bitmask (``CURATION_REASONS`` order): the table
+    a 100-TB pretraining run actually materializes before dedup, and
+    the per-shard "which rule ate my corpus" report.
+
+        bit 0  gopher    — any :func:`gopher_filter` rule violated
+        bit 1  repetition — :func:`repetition_stats` published drop rule
+        bit 2  gibberish — :func:`rare_token_ratio` above ``max_rare_ppm``
+                           (more than half its distinct tokens corpus-
+                           unique at the default: OCR noise / serials)
+        bit 3  length_outlier — per-``lang_col`` median/MAD flag on
+                           ``len_col`` (:func:`profile.mad_outliers`)
+
+    keep ⟺ reasons = 0.  Pure composition — no new arithmetic, so
+    the twin joins the component twins and the driver hash-verifies
+    the COMPOSITION (the emerging_hotspots discipline).  Documents
+    the token stages never see (empty text) carry no repetition/
+    gibberish evidence: those bits coalesce to false, while gopher's
+    own min_words rule still fires — stated, pinned by test.
+
+    Plan: the four stages share the scan but aggregate independently
+    (gopher 2 shuffles, repetition 2, rare 3, MAD 2 window passes on
+    the lang key); the verdict join is id-keyed on four |docs|-sized
+    aggregates.  At 100 TB run the stages as one pass each and
+    checkpoint — the operator's deliberate structure.
+
+    Returns (id, lang, gopher_flags, repetitive, rare_ppm,
+    len_outlier, reasons, keep)."""
+    from openstreetmap_license_change_spark.operators.profile import (
+        mad_outliers,
+    )
+
+    g = gopher_filter(docs, id_col=id_col, text_col=text_col).select(
+        id_col, F.col("flags").alias("gopher_flags")
+    )
+    r = repetition_stats(docs, id_col=id_col, text_col=text_col).select(
+        id_col, "repetitive"
+    )
+    rt = rare_token_ratio(docs, id_col=id_col, text_col=text_col).select(
+        id_col, "rare_ppm"
+    )
+    mo = mad_outliers(docs, lang_col, id_col, len_col,
+                      threshold_ppm=mad_threshold_ppm).select(
+        id_col, F.col("is_outlier").alias("len_outlier")
+    )
+    rep = F.coalesce(F.col("repetitive"), F.lit(False))
+    gib = F.coalesce(
+        F.col("rare_ppm") > F.lit(int(max_rare_ppm)), F.lit(False)
+    )
+    reasons = (
+        (F.col("gopher_flags") != 0).cast("int")
+        + rep.cast("int") * 2
+        + gib.cast("int") * 4
+        + F.col("len_outlier").cast("int") * 8
+    ).cast("bigint")
+    return (
+        docs.select(id_col, lang_col)
+        .join(g, id_col)
+        .join(r, id_col, "left")
+        .join(rt, id_col, "left")
+        .join(mo, id_col)
+        .select(
+            id_col,
+            lang_col,
+            "gopher_flags",
+            rep.alias("repetitive"),
+            "rare_ppm",
+            "len_outlier",
+            reasons.alias("reasons"),
+            (reasons == 0).alias("keep"),
+        )
+    )
