@@ -2558,6 +2558,54 @@ def q_curation_verdict(spark, sf_dir):
     return textops.curation_verdict(docs)
 
 
+def q_embedding_silhouette(spark, sf_dir):
+    """Centroid silhouette of the labeled embedding set
+    (evaluation.silhouette_centroid): per point the exact quantized
+    cohesion/separation pair and the (b−a)·10⁶ DIV max(a,b) score in
+    decimal(38)/HUGEINT — the clustering report card (negative =
+    closer to a foreign centroid).  One posexplode + broadcast
+    centroid join + two conditional aggregates; the oracle inlines
+    the M-step exactly like the k-means round."""
+    from openstreetmap_license_change_spark.operators import evaluation
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return evaluation.silhouette_centroid(emb)
+
+
+def q_quality_calibration(spark, sf_dir):
+    """Reliability bins (evaluation.calibration_bins): does the
+    within-lang length percentile (quality_calibrate's pct_m) predict
+    the gopher keep verdict?  Per equal-width score decile the count,
+    mean predicted ppm, and observed keep rate — exact ints,
+    densified bins, loud out-of-range guard on BOTH engines.  The
+    twin composes the percentile and gopher oracles under the same
+    binning."""
+    from openstreetmap_license_change_spark.operators import evaluation
+
+    docs = pages_src.documents(spark, sf_dir)
+    pc = textops.percentile_calibrate(
+        docs, "n_chars", ["lang"], ["doc_id"]
+    ).select("doc_id", "pct_m")
+    gf = textops.gopher_filter(docs).select("doc_id", "keep")
+    return evaluation.calibration_bins(
+        pc.join(gf, "doc_id"), "pct_m", "keep"
+    )
+
+
+def q_bootstrap_doclen(spark, sf_dir):
+    """Poisson-bootstrap replicate means of document length
+    (evaluation.bootstrap_means): 20 deterministic replicates — each
+    row reweighted by the frozen Poisson(1) inverse-CDF of the
+    avalanche-mixed (id, rep) hash — giving the error bar on the
+    corpus mean; one literal fan + one tiny groupBy, identical
+    replicates on any engine/parallelism."""
+    from openstreetmap_license_change_spark.operators import evaluation
+
+    docs = pages_src.documents(spark, sf_dir)
+    return evaluation.bootstrap_means(docs, "doc_id", "n_chars",
+                                      n_reps=20)
+
+
 def q_bpe_pairs(spark, sf_dir):
     """First BPE merge round (textops.bpe_pair_counts): adjacent-
     symbol pair counts over the documents corpus, word-frequency
@@ -4846,6 +4894,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_zcr": q_audio_zcr,
         "image_gradients": q_image_gradients,
         "curation_verdict": q_curation_verdict,
+        "embedding_silhouette": q_embedding_silhouette,
+        "quality_calibration": q_quality_calibration,
+        "bootstrap_doclen": q_bootstrap_doclen,
         "kn_bigrams": q_kn_bigrams,
         "vocab_drift": q_vocab_drift,
         "token_burstiness": q_token_burstiness,
@@ -8146,6 +8197,22 @@ def oracle_sql() -> dict[str, str]:
         ),
         "events_gap_fill": temporal_mod.gap_fill_sql(
             "events", key_col="event_type"
+        ),
+        "embedding_silhouette": evaluation.silhouette_centroid_sql(
+            "embeddings"
+        ),
+        "quality_calibration": evaluation.calibration_bins_sql(
+            "(SELECT p.doc_id, p.pct_m, g.keep FROM ("
+            + textops.percentile_calibrate_sql(
+                "documents", "n_chars", ["lang"], ["doc_id"]
+            )
+            + ") p JOIN ("
+            + textops.gopher_filter_sql("documents")
+            + ") g USING (doc_id))",
+            "pct_m", "keep",
+        ),
+        "bootstrap_doclen": evaluation.bootstrap_means_sql(
+            "documents", "doc_id", "n_chars", n_reps=20
         ),
         "curation_verdict": f"""
             SELECT d.doc_id, d.lang, g.flags AS gopher_flags,

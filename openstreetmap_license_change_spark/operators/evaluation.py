@@ -790,3 +790,344 @@ def ranking_eval_sql(runs_src: str, qrels_src: str, k: int) -> str:
                     p._ap_num // n.n_rel END AS BIGINT) AS ap_ppm
         FROM re_perq p LEFT JOIN re_nrel n USING (query_id)
     """
+
+
+def silhouette_centroid(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    group_col: str = "label",
+    scale: int = 10**6,
+) -> DataFrame:
+    """Simplified (centroid-based) silhouette of a LABELED embedding
+    set — per point, cohesion a = squared quantized distance to its
+    OWN label's centroid, separation b = the min over OTHER labels'
+    centroids, score s = (b − a)/max(a, b) ∈ [−1, 1] in exact ppm:
+    the clustering report card (s < 0 ⟺ the point sits closer to a
+    foreign centroid — mislabeled or boundary).  The classic
+    silhouette's O(n²) point-pair means are replaced by the standard
+    centroid surrogate, which is what makes it a one-pass aggregate
+    at corpus scale (and exactly reproducible — the M-step's
+    quantized means, :func:`similarity.embedding_centroids`, are the
+    only inputs).
+
+    Exactness: distances are Σ(q_v − mean_q)² in int64 (the
+    nearest_centroid_assign bound), sil_ppm = ((b−a)·10⁶) DIV
+    max(a,b) with the ·10⁶ product in decimal(38,0)/HUGEINT — a
+    far-from-home distance times the ppm scale clears int64 already
+    at ~10¹³, i.e. 64 dims of unit-range vectors (caught by the
+    planted mislabeled-point test, not by the happy-path corpus).
+    a = b = 0 (a point EXACTLY on two centroids) is the genuine
+    undefined case → NULL.  A label with a single centroid
+    and no others (k = 1) yields NULL b — also NULL score.
+
+    Plan: one posexplode → broadcast centroid join → per-(point,
+    label) partial sums (the E-step shape); own/other split is two
+    conditional aggregates on the same (point)-keyed stream — no
+    window, no second scan.  Returns (id, group, a_q, b_q,
+    sil_ppm)."""
+    from openstreetmap_license_change_spark.operators.similarity import (
+        embedding_centroids,
+    )
+
+    cents = embedding_centroids(embeddings, group_col=group_col,
+                                vec_col=vec_col, scale=scale)
+    vlong = embeddings.select(
+        id_col,
+        F.col(group_col).alias("_own"),
+        F.posexplode(vec_col).alias("dim", "_v"),
+    ).withColumn(
+        "_q", F.round(F.col("_v") * F.lit(float(scale))).cast("bigint")
+    )
+    j = vlong.join(
+        F.broadcast(
+            cents.select(F.col(group_col).alias("_g"), "dim", "mean_q")
+        ),
+        "dim",
+    )
+    d = F.col("_q") - F.col("mean_q")
+    per = j.groupBy(id_col, "_own", "_g").agg(
+        F.sum(d * d).alias("_dist")
+    )
+    agg = per.groupBy(id_col, "_own").agg(
+        F.max(F.when(F.col("_g") == F.col("_own"), F.col("_dist")))
+        .alias("a_q"),
+        F.min(F.when(F.col("_g") != F.col("_own"), F.col("_dist")))
+        .alias("b_q"),
+    )
+    return agg.select(
+        id_col,
+        F.col("_own").alias(group_col),
+        "a_q",
+        "b_q",
+        F.expr(
+            "CAST(CASE WHEN b_q IS NULL OR GREATEST(a_q, b_q) = 0 "
+            "THEN NULL ELSE "
+            "(CAST(b_q - a_q AS decimal(38,0)) * 1000000) "
+            "DIV CAST(GREATEST(a_q, b_q) AS decimal(38,0)) "
+            "END AS BIGINT)"
+        ).alias("sil_ppm"),
+    )
+
+
+def silhouette_centroid_sql(
+    emb_src: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    group_col: str = "label",
+    scale: int = 10**6,
+) -> str:
+    """DuckDB twin of :func:`silhouette_centroid` (standalone; sc_*
+    namespaced; inlines the M-step like nearest_centroid_assign_sql,
+    float32 widened before scaling — the documented promotion
+    trap)."""
+    return f"""
+        WITH sc_long AS (
+            SELECT {id_col}, {group_col} AS own,
+                   CAST(u.i - 1 AS INTEGER) AS dim,
+                   CAST(ROUND(CAST({vec_col}[u.i] AS DOUBLE) * {scale})
+                        AS BIGINT) AS q
+            FROM {emb_src},
+                 LATERAL (SELECT UNNEST(range(1, len({vec_col}) + 1))
+                          AS i) u
+        ),
+        sc_cent AS (
+            SELECT own AS g, dim,
+                   CAST(SUM(q) // COUNT(*) AS BIGINT) AS mean_q
+            FROM sc_long GROUP BY 1, 2
+        ),
+        sc_per AS (
+            SELECT v.{id_col}, v.own, c.g,
+                   CAST(SUM((v.q - c.mean_q) * (v.q - c.mean_q))
+                        AS BIGINT) AS dist
+            FROM sc_long v JOIN sc_cent c USING (dim)
+            GROUP BY 1, 2, 3
+        ),
+        sc_agg AS (
+            SELECT {id_col}, own,
+                   MAX(CASE WHEN g = own THEN dist END) AS a_q,
+                   MIN(CASE WHEN g <> own THEN dist END) AS b_q
+            FROM sc_per GROUP BY 1, 2
+        )
+        SELECT {id_col}, own AS {group_col}, a_q, b_q,
+               CAST(CASE WHEN b_q IS NULL OR GREATEST(a_q, b_q) = 0
+                    THEN NULL ELSE
+                    (CAST(b_q - a_q AS HUGEINT) * 1000000)
+                    // CAST(GREATEST(a_q, b_q) AS HUGEINT)
+                    END AS BIGINT) AS sil_ppm
+        FROM sc_agg
+    """
+
+
+def calibration_bins(
+    scored: DataFrame,
+    score_col: str,
+    label_col: str,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Reliability-diagram bins for a [0, 10⁶]-ppm score against a
+    boolean outcome — the calibration report card next to
+    :func:`roc_auc`'s discrimination (AUC says the ranking is right;
+    calibration says the NUMBERS are): per equal-width score bin, the
+    count, the mean predicted score, and the observed positive rate,
+    all in exact ppm (|observed − predicted| per bin is the ECE
+    summand — presentation-layer, the bins carry the exact parts).
+
+    Binning: bin = min(score·n_bins DIV 10⁶, n_bins−1) — equal-width
+    with the right edge CLOSED on the last bin (score = 10⁶ lands in
+    bin n−1, stated); scores outside [0, 10⁶] fail loud via an
+    assert riding the bin column.  Bins the data never hits densify
+    to zero-count rows so the diagram axis is stable.
+
+    One partial-agg groupBy; n_bins ≤ 10⁴ loudly (a reliability
+    diagram beyond that is a scatter plot).  Returns (bin, lo_ppm,
+    n, mean_score_ppm, observed_ppm) — the ratio columns NULL on
+    empty bins."""
+    if not 1 <= int(n_bins) <= 10_000:
+        raise ValueError(f"n_bins out of range: {n_bins}")
+    nb = int(n_bins)
+    guard = F.when(
+        (F.col("_s") < 0) | (F.col("_s") > 1_000_000),
+        F.assert_true(
+            F.lit(False),
+            F.lit("calibration_bins: score outside [0, 1e6] ppm"),
+        ).cast("bigint"),
+    ).otherwise(F.lit(0))
+    binned = scored.select(
+        F.col(score_col).cast("bigint").alias("_s"),
+        F.col(label_col).cast("boolean").alias("_y"),
+    ).select(
+        (F.least(
+            F.expr(f"_s * {nb} DIV 1000000"), F.lit(nb - 1)
+        ) + guard).cast("int").alias("bin"),
+        "_s",
+        "_y",
+    )
+    agg = binned.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("_s").alias("_sum_s"),
+        F.sum(F.col("_y").cast("bigint")).alias("_pos"),
+    )
+    bins = scored.sparkSession.range(0, nb).select(
+        F.col("id").cast("int").alias("bin")
+    )
+    return bins.join(agg, "bin", "left").select(
+        "bin",
+        (F.col("bin").cast("bigint") * F.lit(1_000_000 // nb))
+        .alias("lo_ppm"),
+        F.coalesce("n", F.lit(0)).cast("bigint").alias("n"),
+        F.expr("CAST(_sum_s DIV n AS BIGINT)").alias("mean_score_ppm"),
+        F.expr(
+            "CAST((_pos * 1000000) DIV n AS BIGINT)"
+        ).alias("observed_ppm"),
+    ).orderBy("bin")
+
+
+def calibration_bins_sql(
+    src: str, score_col: str, label_col: str, n_bins: int = 10
+) -> str:
+    """DuckDB twin of :func:`calibration_bins` (standalone; cb_*
+    namespaced; the range guard is an error() arm riding the bin —
+    the cube_rollup lesson)."""
+    nb = int(n_bins)
+    return f"""
+        WITH cb_rows AS (
+            SELECT CAST({score_col} AS BIGINT) AS s,
+                   CAST({label_col} AS BOOLEAN) AS y
+            FROM {src}
+        ),
+        cb_bin AS (
+            SELECT LEAST(s * {nb} // 1000000, {nb} - 1)
+                   + CASE WHEN s < 0 OR s > 1000000
+                          THEN CAST(error(
+                    'calibration_bins: score outside [0, 1e6] ppm'
+                          ) AS BIGINT) ELSE 0 END AS bin,
+                   s, y
+            FROM cb_rows
+        ),
+        cb_agg AS (
+            SELECT bin, CAST(COUNT(*) AS BIGINT) AS n,
+                   SUM(s) AS sum_s,
+                   SUM(CASE WHEN y THEN 1 ELSE 0 END) AS pos
+            FROM cb_bin GROUP BY 1
+        )
+        SELECT CAST(b.bin AS INTEGER) AS bin,
+               CAST(b.bin * {1_000_000 // nb} AS BIGINT) AS lo_ppm,
+               CAST(COALESCE(a.n, 0) AS BIGINT) AS n,
+               CAST(a.sum_s // a.n AS BIGINT) AS mean_score_ppm,
+               CAST((a.pos * 1000000) // a.n AS BIGINT) AS observed_ppm
+        FROM (SELECT UNNEST(range(0, {nb})) AS bin) b
+        LEFT JOIN cb_agg a ON a.bin = b.bin
+        ORDER BY bin
+    """
+
+
+# cumulative Poisson(1) CDF in ppm — e^{-1}·Σ 1/k!, rounded half-up
+# once and FROZEN (the table IS the spec; both engines read the same
+# integers, so bootstrap replicate weights are deterministic)
+POISSON1_CDF_PPM = (367879, 735759, 919699, 981012, 996340, 999406)
+
+
+def bootstrap_means(
+    rows: DataFrame,
+    id_col: str,
+    value_col: str,
+    n_reps: int = 20,
+) -> DataFrame:
+    """Poisson-bootstrap replicate means — the error bar every corpus
+    metric needs before a mixture decision ("is en's mean doc length
+    REALLY above de's, or is that three big documents?"): each
+    replicate r reweights every row by a deterministic Poisson(1)
+    draw w = CDF⁻¹(hash(id, r) mod 10⁶) (``POISSON1_CDF_PPM``, tail
+    clamped at 6) — the streaming-safe surrogate for resampling n
+    rows with replacement, exact in expectation.
+
+    Determinism: the draw routes through the house KMV avalanche mix
+    (sequential ids would otherwise correlate across replicates —
+    the mixture_resample lesson), so both engines and any
+    parallelism produce identical replicates.
+
+    Exactness: each replicate emits n_eff = Σw, sum_w = Σw·x, and
+    mean_ppm = (Σw·x·10⁶) DIV Σw (NULL on an all-zero replicate —
+    possible only for tiny corpora).  The replicate spread IS the
+    standard error; quantiles of 20 rows are presentation-layer.
+
+    Plan: one ×n_reps literal-array explode on the scan, one
+    partial-agg groupBy on ≤ n_reps groups — no shuffle of the raw
+    rows beyond the map-side combine.  Returns (rep, n_rows, n_eff,
+    sum_wx, mean_ppm)."""
+    if not 1 <= int(n_reps) <= 1000:
+        raise ValueError(f"n_reps out of range: {n_reps}")
+    from openstreetmap_license_change_spark.operators.sketches import (
+        kmv_hash,
+    )
+
+    reps = F.explode(
+        F.array(*[F.lit(r) for r in range(int(n_reps))])
+    ).alias("rep")
+    h = kmv_hash(
+        F.col(id_col).cast("bigint") * F.lit(1009) + F.col("rep")
+    ) % F.lit(1_000_000)
+    w = F.lit(len(POISSON1_CDF_PPM))
+    for i, thr in reversed(list(enumerate(POISSON1_CDF_PPM))):
+        w = F.when(h < thr, F.lit(i)).otherwise(w)
+    return (
+        rows.select(
+            F.col(id_col), F.col(value_col).cast("bigint").alias("_x"),
+            reps,
+        )
+        .withColumn("_w", w.cast("bigint"))
+        .groupBy("rep")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("_w").alias("n_eff"),
+            F.sum(F.col("_w") * F.col("_x")).alias("sum_wx"),
+        )
+        .select(
+            "rep", "n_rows", "n_eff", "sum_wx",
+            F.expr(
+                "CAST(CASE WHEN n_eff = 0 THEN NULL ELSE "
+                "(sum_wx * 1000000) DIV n_eff END AS BIGINT)"
+            ).alias("mean_ppm"),
+        )
+    )
+
+
+def bootstrap_means_sql(
+    src: str, id_col: str, value_col: str, n_reps: int = 20
+) -> str:
+    """DuckDB twin of :func:`bootstrap_means` (standalone; same
+    avalanche mix via kmv_hash_sql, same frozen CDF table)."""
+    from openstreetmap_license_change_spark.operators.sketches import (
+        kmv_hash_sql,
+    )
+
+    hexpr = kmv_hash_sql(
+        f"CAST({id_col} AS BIGINT) * 1009 + r.rep"
+    ) + f" % 1000000"
+    cdf = " ".join(
+        f"WHEN h < {thr} THEN {i}"
+        for i, thr in enumerate(POISSON1_CDF_PPM)
+    )
+    return f"""
+        WITH bm_rows AS (
+            SELECT r.rep, {hexpr} AS h,
+                   CAST({value_col} AS BIGINT) AS x
+            FROM {src},
+                 (SELECT UNNEST(range(0, {int(n_reps)})) AS rep) r
+        ),
+        bm_w AS (
+            SELECT rep, x,
+                   CAST(CASE {cdf} ELSE {len(POISSON1_CDF_PPM)} END
+                        AS BIGINT) AS w
+            FROM bm_rows
+        )
+        SELECT CAST(rep AS INTEGER) AS rep,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(w) AS BIGINT) AS n_eff,
+               CAST(SUM(w * x) AS BIGINT) AS sum_wx,
+               CAST(CASE WHEN SUM(w) = 0 THEN NULL ELSE
+                    (SUM(w * x) * 1000000) // SUM(w) END AS BIGINT)
+                   AS mean_ppm
+        FROM bm_w GROUP BY 1
+    """
