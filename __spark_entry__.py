@@ -2606,6 +2606,31 @@ def q_bootstrap_doclen(spark, sf_dir):
                                       n_reps=20)
 
 
+def q_contact_episodes(spark, sf_dir):
+    """Contact episodes (spatial.contact_episodes) over the same
+    drift geocode as q_colocation_pairs: maximal runs of consecutive
+    same-bucket 3×3-cell contacts per user pair — exposure duration
+    and separate-encounter counts, which bare moment totals can't
+    distinguish.  Exactly-once fan + loud occupancy guard inherited;
+    the islands window runs inside each pair's own partition on the
+    (pair, bucket) aggregate."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    rn = F.row_number().over(
+        W.partitionBy("user_id").orderBy("ts", "event_id")
+    )
+    pts = ev.select("user_id", "ts", "event_id", rn.alias("rn")).select(
+        "user_id", "ts",
+        (F.lit(-45.0) + (F.col("user_id") % 120) * F.lit(0.5)
+         + F.lit(0.001) * F.col("rn")
+         + F.lit(1.0) * F.floor(F.col("rn") / 25)).alias("lat"),
+        (F.lit(-100.0) + (F.col("user_id") % 140) * F.lit(1.0)
+         + F.lit(0.002) * F.col("rn")).alias("lon"),
+    )
+    return spatial.contact_episodes(
+        pts, "user_id", "ts", res_deg=COLOC_RES, window_s=COLOC_WIN_S
+    )
+
+
 def q_bpe_pairs(spark, sf_dir):
     """First BPE merge round (textops.bpe_pair_counts): adjacent-
     symbol pair counts over the documents corpus, word-frequency
@@ -4897,6 +4922,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_silhouette": q_embedding_silhouette,
         "quality_calibration": q_quality_calibration,
         "bootstrap_doclen": q_bootstrap_doclen,
+        "contact_episodes": q_contact_episodes,
         "kn_bigrams": q_kn_bigrams,
         "vocab_drift": q_vocab_drift,
         "token_burstiness": q_token_burstiness,
@@ -8413,6 +8439,10 @@ def oracle_sql() -> dict[str, str]:
                 FROM events
             ) GROUP BY event_type
         """,
+        "contact_episodes": spatial.contact_episodes_sql(
+            _STAY_PTS_SQL, "user_id", "ts",
+            res_deg=COLOC_RES, window_s=COLOC_WIN_S,
+        ),
         "colocation_pairs": spatial.colocation_pairs_sql(
             _STAY_PTS_SQL, "user_id", "ts",
             res_deg=COLOC_RES, window_s=COLOC_WIN_S,

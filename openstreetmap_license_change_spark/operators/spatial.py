@@ -7589,3 +7589,184 @@ def morans_correlogram_ctes(
         LEFT JOIN mc_pair p ON p.band = b.band
         CROSS JOIN mc_glob g
     """
+
+
+def contact_episodes(
+    points: DataFrame,
+    id_col: str,
+    ts_col: str,
+    lon: str = "lon",
+    lat: str = "lat",
+    res_deg: float = DEFAULT_RES_DEG,
+    window_s: int = 3600,
+    max_cell_bucket: int = 10_000,
+) -> DataFrame:
+    """Contact EPISODES — :func:`colocation_pairs` upgraded from pair
+    totals to maximal runs of consecutive contact buckets: the
+    exposure-duration readout (how LONG were these two entities
+    co-present, how many separate encounters) that epidemiology /
+    convoy / shared-session analyses need, where a bare moment count
+    can't distinguish one 8-hour convoy from eight scattered pings.
+
+    Contact definition (crisper than colocation_pairs, stated): a
+    pair is in contact in bucket b iff BOTH have an event in b (bucket
+    width = ``window_s``) within the 3×3 wrapped cell neighborhood —
+    the ±1-bucket slack is dropped so each bucket is an unambiguous
+    episode atom.  Episodes are maximal runs of consecutive contact
+    buckets (gap ≥ 1 empty bucket splits).
+
+    Exactly-once per (pair, bucket, event-pair): only the left side
+    fans (9 spatial probes, same bucket), right side raw, id_a <
+    id_b — the colocation_pairs argument verbatim.  The quadratic
+    cell×bucket risk carries the same LOUD occupancy guard.
+
+    Plan: one (cell, bucket) equi-join → per-(pair, bucket) partial
+    agg → the gaps-and-islands window INSIDE the pair's own
+    partition (bucket − row_number island key; ≤ one row per contact
+    bucket, never raw events).  Returns (id_a, id_b, episode,
+    start_bucket, end_bucket, n_buckets, n_moments), episode 1-based
+    per pair in bucket order."""
+    cols = int(360 / res_deg)
+    rows_n = int(180 / res_deg)
+    if cols < 5:
+        raise ValueError(
+            f"res_deg {res_deg} gives {cols} grid columns; need ≥ 5 "
+            "for wrap-unambiguous 3×3 probing"
+        )
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    win_us = int(window_s) * 1_000_000
+    base = points.select(
+        F.col(id_col).alias("_id"),
+        grid_cell(F.col(lon), F.col(lat), res_deg).alias("_cell"),
+        F.expr(f"unix_micros(CAST({ts_col} AS TIMESTAMP)) "
+               f"DIV {win_us}").alias("_bk"),
+    )
+    right = base.select(
+        F.col("_id").alias("id_b"),
+        F.col("_cell").alias("_rcell"),
+        F.col("_bk").alias("_rbk"),
+    )
+    occ = right.groupBy("_rcell", "_rbk").agg(
+        F.count(F.lit(1)).alias("_occ")
+    )
+    guard = F.assert_true(
+        F.col("_occ") <= F.lit(int(max_cell_bucket)),
+        F.lit(
+            f"cell×bucket occupancy exceeds max_cell_bucket="
+            f"{max_cell_bucket} in contact_episodes; the pair join is "
+            "quadratic per key — thin hot cells explicitly or raise "
+            "the cap"
+        ),
+    )
+    right = right.join(occ, ["_rcell", "_rbk"]).select(
+        F.when(guard.isNull(), F.col("id_b")).alias("id_b"),
+        "_rcell", "_rbk",
+    )
+    lat_b = F.floor(F.col("_cell") / F.lit(cols))
+    lon_b = F.col("_cell") % F.lit(cols)
+    probes = []
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            t_lat = lat_b + F.lit(dy)
+            t_lon = (lon_b + F.lit(dx) + F.lit(cols)) % F.lit(cols)
+            probes.append(
+                F.when(
+                    (t_lat >= 0) & (t_lat < rows_n),
+                    (t_lat * F.lit(cols) + t_lon).cast("bigint"),
+                )
+            )
+    fan = base.select(
+        F.col("_id").alias("id_a"),
+        F.explode(
+            F.array_distinct(F.array_compact(F.array(*probes)))
+        ).alias("_rcell"),
+        F.col("_bk").alias("_rbk"),
+    )
+    moments = (
+        fan.join(right, ["_rcell", "_rbk"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b", F.col("_rbk").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n_moments"))
+    )
+    w = W.partitionBy("id_a", "id_b").orderBy("bucket")
+    islands = moments.withColumn(
+        "_isl", F.col("bucket") - F.row_number().over(w)
+    )
+    we = W.partitionBy("id_a", "id_b").orderBy("start_bucket")
+    return (
+        islands.groupBy("id_a", "id_b", "_isl")
+        .agg(
+            F.min("bucket").alias("start_bucket"),
+            F.max("bucket").alias("end_bucket"),
+            F.count(F.lit(1)).alias("n_buckets"),
+            F.sum("n_moments").alias("n_moments"),
+        )
+        .select(
+            "id_a", "id_b",
+            F.row_number().over(we).cast("bigint").alias("episode"),
+            "start_bucket", "end_bucket", "n_buckets", "n_moments",
+        )
+    )
+
+
+def contact_episodes_sql(
+    src: str,
+    id_col: str,
+    ts_col: str,
+    lon: str = "lon",
+    lat: str = "lat",
+    res_deg: float = DEFAULT_RES_DEG,
+    window_s: int = 3600,
+) -> str:
+    """DuckDB twin of :func:`contact_episodes` (standalone; ce_*
+    namespaced; no occupancy guard — the operator owns the loud
+    failure)."""
+    cols = int(360 / res_deg)
+    rows_n = int(180 / res_deg)
+    win_us = int(window_s) * 1_000_000
+    return f"""
+        WITH ce_base AS (
+            SELECT {id_col} AS id,
+                   {grid_cell_sql(lon, lat, res_deg)} AS cell,
+                   epoch_us(CAST({ts_col} AS TIMESTAMP)) // {win_us}
+                       AS bk
+            FROM {src}
+        ),
+        ce_fan AS (
+            SELECT b.id AS id_a, b.bk,
+                   (((b.cell // {cols}) + d.dy) * {cols}
+                    + ((b.cell % {cols}) + d.dx + {cols}) % {cols})
+                       AS rcell
+            FROM ce_base b CROSS JOIN (VALUES
+                 (-1,-1),(-1,0),(-1,1),(0,-1),(0,0),(0,1),
+                 (1,-1),(1,0),(1,1)) d(dy, dx)
+            WHERE (b.cell // {cols}) + d.dy >= 0
+              AND (b.cell // {cols}) + d.dy < {rows_n}
+        ),
+        ce_moments AS (
+            SELECT f.id_a, r.id AS id_b, f.bk AS bucket,
+                   CAST(COUNT(*) AS BIGINT) AS n_moments
+            FROM ce_fan f
+            JOIN ce_base r ON r.cell = f.rcell AND r.bk = f.bk
+            WHERE f.id_a < r.id
+            GROUP BY 1, 2, 3
+        ),
+        ce_isl AS (
+            SELECT *, bucket - ROW_NUMBER() OVER (
+                       PARTITION BY id_a, id_b ORDER BY bucket) AS isl
+            FROM ce_moments
+        ),
+        ce_ep AS (
+            SELECT id_a, id_b,
+                   MIN(bucket) AS start_bucket,
+                   MAX(bucket) AS end_bucket,
+                   CAST(COUNT(*) AS BIGINT) AS n_buckets,
+                   CAST(SUM(n_moments) AS BIGINT) AS n_moments
+            FROM ce_isl GROUP BY id_a, id_b, isl
+        )
+        SELECT id_a, id_b,
+               CAST(ROW_NUMBER() OVER (PARTITION BY id_a, id_b
+                    ORDER BY start_bucket) AS BIGINT) AS episode,
+               start_bucket, end_bucket, n_buckets, n_moments
+        FROM ce_ep
+    """
