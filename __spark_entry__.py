@@ -1241,6 +1241,56 @@ def q_link_components(spark, sf_dir):
     return out.select(F.col("id").alias("doc_id"), "label")
 
 
+# Redirect map over the documents corpus (the link-graph convention:
+# arithmetic-derived so the twin replays it exactly): every doc_id not
+# divisible by 5 redirects one step down toward its multiple-of-5
+# canonical (chains of length ≤ 4), EXCEPT two planted pathologies per
+# 50-id block — doc_id ≡ 3 redirects UP to ≡ 4 (whose base rule points
+# back at 3: a 2-cycle redirect loop), and doc_id ≡ 23 redirects into
+# that loop (a tail that must inherit the cycle verdict, not hang).
+_REDIRECT_EDGES_SQL = """(
+    SELECT doc_id AS src,
+           CASE WHEN doc_id % 50 = 3  THEN doc_id + 1
+                WHEN doc_id % 50 = 23 THEN doc_id - 20
+                WHEN doc_id % 5 <> 0  THEN doc_id - 1
+           END AS dst
+    FROM documents
+    WHERE doc_id % 5 <> 0 OR doc_id % 50 = 3 OR doc_id % 50 = 23
+)"""
+
+
+def _redirect_edges(spark, sf_dir):
+    docs = pages_src.documents(spark, sf_dir).select("doc_id")
+    d = F.col("doc_id")
+    return docs.select(
+        d.alias("src"),
+        F.when(d % 50 == 3, d + 1)
+        .when(d % 50 == 23, d - 20)
+        .when(d % 5 != 0, d - 1)
+        .alias("dst"),
+    ).where(F.col("dst").isNotNull())
+
+
+def q_redirect_resolve(spark, sf_dir):
+    """Redirect-chain canonicalization (graph.redirect_resolve):
+    pointer doubling with hop accumulation over the functional
+    redirect map — ⌈log₂|V|⌉+1 rounds saturate every acyclic chain,
+    one self-equi-join per round with per-round lineage cuts; nodes
+    that never land on a terminal are redirect LOOPS (canonical/hops
+    NULL, is_cycle true) — decided exactly, not by a hop budget.  The
+    DuckDB twin walks one hop per recursion step bounded by |V|, so
+    the doubling shortcut is hash-verified against the definitional
+    walk, including the planted 2-cycle and its feeder tail."""
+    docs = pages_src.documents(spark, sf_dir)
+    out = graph.redirect_resolve(
+        docs.select(F.col("doc_id").alias("id")),
+        _redirect_edges(spark, sf_dir),
+    )
+    return out.select(
+        F.col("id").alias("doc_id"), "canonical", "hops", "is_cycle"
+    )
+
+
 HITS_ITERATIONS = 4
 
 
@@ -4974,6 +5024,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangle_counts": q_triangle_counts,
         "clustering_coeff": q_clustering_coeff,
         "link_components": q_link_components,
+        "redirect_resolve": q_redirect_resolve,
         "hits": q_hits,
         "kcore": q_kcore,
         "pq_encode": q_pq_encode,
@@ -8498,6 +8549,13 @@ def oracle_sql() -> dict[str, str]:
             FROM ({graph.components_sql(
                 '(SELECT doc_id AS node FROM documents)',
                 _PR_EDGES_SQL,
+            )})
+        """,
+        "redirect_resolve": f"""
+            SELECT id AS doc_id, canonical, hops, is_cycle
+            FROM ({graph.redirect_resolve_sql(
+                '(SELECT doc_id AS id FROM documents)',
+                _REDIRECT_EDGES_SQL,
             )})
         """,
         "kcore": f"""

@@ -2000,3 +2000,154 @@ def ppr_sql(
         "WITH " + ",\n".join(ctes)
         + f"\nSELECT node, rank_q FROM pp_r{iterations}"
     )
+
+
+# ---------------------------------------------------------------------------
+# redirect-chain resolution (functional graph with cycles)
+# ---------------------------------------------------------------------------
+
+def redirect_resolve(
+    nodes: DataFrame,
+    edges: DataFrame,
+    op_name: str = "redirect_resolve",
+) -> DataFrame:
+    """Resolve HTTP-redirect chains to their canonical terminal — the
+    crawl-normalization step a Common-Crawl-style corpus needs before
+    any url-keyed dedup or lineage join (the reference keys every
+    element history on a stable id; a crawl's "stable id" is the url
+    AFTER its 301/302 chain is followed, change_bot.rb's candidate
+    keying re-expressed for web pages).
+
+    Input: ``nodes`` (one column ``id`` — the urls to resolve) and
+    ``edges`` (``src``, ``dst``) with AT MOST one outgoing redirect
+    per src (a functional graph; duplicate srcs fail loud).  A node
+    with no outgoing edge is canonical (terminal), including
+    off-corpus targets that appear only as ``dst``.
+
+    Algorithm: pointer doubling with hop accumulation — state
+    (id, p, s) starts at p = redirect target (s = 1) or self
+    (terminal, s = 0); each round composes p ← p∘p, s ← s + s[p],
+    covering 2^k hops after k rounds, so ⌈log₂ |V|⌉ + 1 rounds
+    saturate every acyclic chain (tail length < |V| by pigeonhole).
+    Nodes whose pointer still rests on a NON-terminal after that are
+    on (or drain into) a redirect LOOP: canonical/hops are NULL and
+    ``is_cycle`` is true — exactly the curl-style "max redirects
+    exceeded" verdict, but decided exactly rather than by budget.
+
+    Plan per round: ONE self-equi-join on the pointer + a round-end
+    lineage cut (localCheckpoint — the basin_label/min_label house
+    pattern); terminals self-loop with s = 0, so saturated rows pass
+    through composition unchanged.  No driver collect; the only
+    driver-side value is the vertex count that fixes the round
+    budget.  The DuckDB twin (:func:`redirect_resolve_sql`) WALKS
+    one hop per recursion step, so the doubling shortcut itself is
+    hash-verified against the definitional walk.
+
+    Returns (id, canonical, hops, is_cycle)."""
+    ids = nodes.select("id")
+    e = edges.select("src", "dst")
+    # loud functional-graph guard: >1 outgoing edge per src would make
+    # "the" redirect target ambiguous — refuse rather than pick one
+    dup = (
+        e.groupBy("src").count().where(F.col("count") > 1)
+    )
+    if not dup.isEmpty():
+        raise ValueError(
+            f"{op_name}: multiple outgoing redirects for at least one "
+            "src — the redirect map must be functional (dedupe or "
+            "resolve the conflict upstream)"
+        )
+    universe = (
+        ids.unionByName(e.select(F.col("src").alias("id")))
+        .unionByName(e.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    n = universe.count()
+    state = (
+        universe.join(e, universe["id"] == e["src"], "left")
+        .select(
+            "id",
+            F.coalesce("dst", F.col("id")).alias("_p"),
+            F.when(F.col("dst").isNull(), F.lit(0))
+            .otherwise(F.lit(1))
+            .cast("bigint")
+            .alias("_s"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    terminals = state.where(F.col("_s") == 0).select(
+        F.col("id").alias("_t")
+    )
+    rounds = max(1, int(n - 1).bit_length())
+    for _ in range(rounds):
+        live = state.join(
+            terminals, state["_p"] == F.col("_t"), "left_anti"
+        )
+        if live.isEmpty():
+            break
+        jump = state.select(
+            F.col("id").alias("_jid"),
+            F.col("_p").alias("_jp"),
+            F.col("_s").alias("_js"),
+        )
+        state = (
+            state.join(jump, state["_p"] == F.col("_jid"))
+            .select(
+                "id",
+                F.col("_jp").alias("_p"),
+                (F.col("_s") + F.col("_js")).alias("_s"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    resolved = state.join(
+        terminals, state["_p"] == F.col("_t"), "left"
+    ).select(
+        "id",
+        F.when(F.col("_t").isNotNull(), F.col("_p")).alias("canonical"),
+        F.when(F.col("_t").isNotNull(), F.col("_s")).alias("hops"),
+        F.col("_t").isNull().alias("is_cycle"),
+    )
+    return ids.join(resolved, "id")
+
+
+def redirect_resolve_sql(nodes_src: str, edges_src: str) -> str:
+    """DuckDB twin of :func:`redirect_resolve` — the definitional
+    one-hop recursive walk (vs the engine's doubling), bounded by the
+    vertex count so redirect loops terminate the recursion instead of
+    spinning; a walk that never lands on a terminal IS the cycle
+    verdict."""
+    return f"""
+        WITH RECURSIVE
+        rr_ids AS (SELECT id FROM {nodes_src}),
+        rr_eg AS (SELECT src, dst FROM {edges_src}),
+        rr_uni AS (
+            -- explicit DISTINCT over UNION ALL: inside WITH RECURSIVE
+            -- DuckDB gives a plain chained UNION the recursive-union
+            -- append semantics and does NOT fully dedupe (measured)
+            SELECT DISTINCT id FROM (
+                SELECT id FROM rr_ids
+                UNION ALL SELECT src FROM rr_eg
+                UNION ALL SELECT dst FROM rr_eg
+            )
+        ),
+        rr_n AS (SELECT COUNT(*) AS n FROM rr_uni),
+        rr_walk AS (
+            SELECT id, id AS cur, CAST(0 AS BIGINT) AS hops
+            FROM rr_uni
+            UNION ALL
+            SELECT w.id, e.dst AS cur, w.hops + 1 AS hops
+            FROM rr_walk w
+            JOIN rr_eg e ON e.src = w.cur
+            WHERE w.hops < (SELECT n FROM rr_n)
+        ),
+        rr_done AS (
+            SELECT w.id, w.cur AS canonical, w.hops
+            FROM rr_walk w
+            WHERE NOT EXISTS (
+                SELECT 1 FROM rr_eg e WHERE e.src = w.cur
+            )
+        )
+        SELECT i.id, d.canonical, d.hops,
+               d.id IS NULL AS is_cycle
+        FROM rr_ids i LEFT JOIN rr_done d ON d.id = i.id
+    """
