@@ -2454,6 +2454,18 @@ def q_zipf_buckets(spark, sf_dir):
     return textops.zipf_buckets(docs, ngram=2)
 
 
+def q_chi2_tokens(spark, sf_dir):
+    """χ² token–slice association (textops.chi2_tokens): top-15
+    tokens per lang by the exact document-level χ² in ppm —
+    feature-selection / slice-fingerprint ranking with degenerate
+    margins excluded (χ² undefined, not zero) and a min-df floor.
+    Presence is row-local array_distinct (one map-side-combinable
+    shuffle); wide products decimal(38)/HUGEINT with truncating
+    division on non-negative operands; WindowGroupLimit top-k."""
+    docs = pages_src.documents(spark, sf_dir)
+    return textops.chi2_tokens(docs)
+
+
 def q_lang_divergence(spark, sf_dir):
     """Slice-vs-rest total-variation divergence
     (textops.slice_divergence): each lang's unigram distribution
@@ -4959,6 +4971,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_growth": q_vocab_growth,
         "zipf_buckets": q_zipf_buckets,
         "lang_divergence": q_lang_divergence,
+        "chi2_tokens": q_chi2_tokens,
         "token_runs": q_token_runs,
         "cube_rollup": q_cube_rollup,
         "events_gap_fill": q_events_gap_fill,
@@ -8268,6 +8281,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "zipf_buckets": textops.zipf_buckets_sql("documents", ngram=2),
         "lang_divergence": textops.slice_divergence_sql("documents"),
+        "chi2_tokens": textops.chi2_tokens_sql("documents"),
         "token_runs": textops.token_runs_sql("documents"),
         "cube_rollup": profile_mod.cube_rollup_sql(
             "documents", ["lang", "source"], sum_col="n_chars"

@@ -3801,3 +3801,169 @@ def curation_verdict(
             (reasons == 0).alias("keep"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# χ² token–slice association (feature selection / slice fingerprints)
+# ---------------------------------------------------------------------------
+
+def chi2_tokens(
+    docs: DataFrame,
+    k: int = 15,
+    min_df: int = 2,
+    slice_col: str = "lang",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-k tokens most ASSOCIATED with each corpus slice by the
+    exact document-level χ² statistic — the classic feature-selection
+    / slice-fingerprint table (which tokens make `lang=de` de, which
+    tokens make a boilerplate source that source).  Complements
+    :func:`slice_divergence` (one number per slice) with the per-token
+    WHY, and :func:`vocab_drift` (same token table, df-ratio over
+    snapshots) with a significance-ranked contrast.
+
+    Per (slice s, token t) the 2×2 presence table is n11 = |docs in s
+    containing t|, n10 = df_t − n11, n01 = N_s − n11, n00 = N − df_t
+    − N_s + n11, and
+
+        χ² = N·(n11·n00 − n10·n01)² / (df_t·(N−df_t)·N_s·(N−N_s))
+
+    — every factor an integer, so chi2_ppm = 10⁶·χ² is exactly
+    rational: the square and the 10⁶ scaling run in decimal(38,0)
+    (HUGEINT in the twin) with truncating division (all factors
+    non-negative, so floor = trunc across engines).  Degenerate
+    margins (a token in EVERY doc, a slice covering the whole corpus)
+    have zero denominators and are excluded — χ² is undefined there,
+    not zero.  Tokens under ``min_df`` document frequency are dropped
+    before ranking (a df-1 token is a perfect but useless separator).
+
+    Plan shape at 100 TB: per-doc `array_distinct` makes presence
+    row-local, so ONE map-side-combinable shuffle produces the
+    (slice, token) counts; token df re-aggregates that already
+    reduced table (vocab×slices rows, never the raw stream); slice
+    sizes and N broadcast; the top-k window partitions by slice over
+    vocab-sized input (WindowGroupLimit prunes to k per partition).
+
+    Returns (slice, token, n11, df_t, chi2_ppm, rnk), rnk 1..k by
+    chi2_ppm DESC with token ASC tie-break."""
+    from pyspark.sql import Window
+
+    dec = "decimal(38,0)"
+    toks = F.array_distinct(
+        F.filter(
+            F.split(F.lower(F.col(text_col)), r"\s+"), lambda x: x != ""
+        )
+    )
+    pres = (
+        docs.select(
+            F.col(slice_col).alias("slice"),
+            F.explode(toks).alias("token"),
+        )
+        .groupBy("slice", "token")
+        .agg(F.count(F.lit(1)).alias("n11"))
+    )
+    df_t = pres.groupBy("token").agg(F.sum("n11").alias("df_t"))
+    n_s = docs.groupBy(F.col(slice_col).alias("slice")).agg(
+        F.count(F.lit(1)).alias("n_s")
+    )
+    n_tot = docs.agg(F.count(F.lit(1)).alias("n_tot"))
+    scored = (
+        pres.join(df_t, "token")
+        .join(F.broadcast(n_s), "slice")
+        .crossJoin(F.broadcast(n_tot))
+        .where(
+            (F.col("df_t") >= int(min_df))
+            & (F.col("df_t") < F.col("n_tot"))
+            & (F.col("n_s") < F.col("n_tot"))
+        )
+        .select(
+            "slice",
+            "token",
+            "n11",
+            "df_t",
+            F.expr(
+                f"CAST(CAST(n_tot AS {dec}) * 1000000 "
+                f"* CAST(n11 * (n_tot - df_t - n_s + n11) "
+                f"       - (df_t - n11) * (n_s - n11) AS {dec}) "
+                f"* CAST(n11 * (n_tot - df_t - n_s + n11) "
+                f"       - (df_t - n11) * (n_s - n11) AS {dec}) "
+                f"DIV (CAST(df_t AS {dec}) * (n_tot - df_t) "
+                f"     * n_s * (n_tot - n_s)) AS BIGINT)"
+            ).alias("chi2_ppm"),
+        )
+    )
+    w = Window.partitionBy("slice").orderBy(
+        F.desc("chi2_ppm"), F.asc("token")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= int(k))
+        .select("slice", "token", "n11", "df_t", "chi2_ppm", "rnk")
+    )
+
+
+def chi2_tokens_sql(
+    src: str,
+    k: int = 15,
+    min_df: int = 2,
+    slice_col: str = "lang",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """DuckDB twin of :func:`chi2_tokens` (standalone; x2_*
+    namespaced).  HUGEINT wide products; // floors = Spark DIV on the
+    non-negative operands."""
+    return f"""
+        WITH x2_pres AS (
+            SELECT {slice_col} AS slice,
+                   UNNEST(list_distinct(list_filter(
+                       string_split_regex(lower({text_col}), '\\s+'),
+                       t -> t <> ''))) AS token
+            FROM {src}
+        ),
+        x2_cnt AS (
+            SELECT slice, token, CAST(COUNT(*) AS BIGINT) AS n11
+            FROM x2_pres GROUP BY 1, 2
+        ),
+        x2_df AS (
+            SELECT token, CAST(SUM(n11) AS BIGINT) AS df_t
+            FROM x2_cnt GROUP BY 1
+        ),
+        x2_ns AS (
+            SELECT {slice_col} AS slice,
+                   CAST(COUNT(*) AS BIGINT) AS n_s
+            FROM {src} GROUP BY 1
+        ),
+        x2_n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_tot FROM {src}),
+        x2_scored AS (
+            SELECT c.slice, c.token, c.n11, d.df_t,
+                   CAST(CAST(n.n_tot AS HUGEINT) * 1000000
+                        * CAST(c.n11 * (n.n_tot - d.df_t - s.n_s + c.n11)
+                               - (d.df_t - c.n11) * (s.n_s - c.n11)
+                               AS HUGEINT)
+                        * CAST(c.n11 * (n.n_tot - d.df_t - s.n_s + c.n11)
+                               - (d.df_t - c.n11) * (s.n_s - c.n11)
+                               AS HUGEINT)
+                        // (CAST(d.df_t AS HUGEINT) * (n.n_tot - d.df_t)
+                            * s.n_s * (n.n_tot - s.n_s))
+                        AS BIGINT) AS chi2_ppm
+            FROM x2_cnt c
+            JOIN x2_df d ON d.token = c.token
+            JOIN x2_ns s ON s.slice = c.slice
+            CROSS JOIN x2_n n
+            WHERE d.df_t >= {int(min_df)}
+              AND d.df_t < n.n_tot
+              AND s.n_s < n.n_tot
+        ),
+        x2_rk AS (
+            SELECT slice, token, n11, df_t, chi2_ppm,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY slice
+                       ORDER BY chi2_ppm DESC, token ASC
+                   ) AS rnk
+            FROM x2_scored
+        )
+        SELECT slice, token, n11, df_t, chi2_ppm, CAST(rnk AS INT) AS rnk
+        FROM x2_rk WHERE rnk <= {int(k)}
+    """
