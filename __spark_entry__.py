@@ -882,6 +882,21 @@ def q_image_equalize(spark, sf_dir):
     return multimodal.image_equalize(media)
 
 
+def q_image_otsu(spark, sf_dir):
+    """Exact Otsu binarization threshold (multimodal.image_otsu):
+    per-image argmax of the integer between-class objective
+    (sumB·W − S·wB)²/(wB·(W−wB)) over present gray levels, ranked by
+    the identically-quantized num·2²⁰ DIV den score with the
+    lowest-threshold tie-break — bit-stable across engines and
+    parallelism.  The oracle regenerates every pixel and replays
+    prefix masses as window sums, so decode, score, and argmax all
+    hash-verify."""
+    from openstreetmap_license_change_spark.operators import multimodal
+
+    media = multimodal.synthetic_raw_rgb_media(spark, n=16, w=48, h=32)
+    return multimodal.image_otsu(media)
+
+
 MASK_N, MASK_W, MASK_H = 16, 48, 32
 
 _MASK_FGPX_SQL = f"""(
@@ -4908,6 +4923,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cell_compact": q_cell_compact,
         "rake_keywords": q_rake_keywords,
         "image_equalize": q_image_equalize,
+        "image_otsu": q_image_otsu,
         "mask_rle": q_mask_rle,
         "mask_iou": q_mask_iou,
         "mad_outliers": q_mad_outliers,
@@ -6429,6 +6445,7 @@ def oracle_sql() -> dict[str, str]:
             "documents", "lang", "doc_id", "n_chars"
         ),
         "mask_rle": multimodal_mod.mask_rle_runs_sql(_MASK_FGPX_SQL),
+        "image_otsu": multimodal_mod.image_otsu_sql(16, 48, 32),
         "mask_iou": multimodal_mod.mask_iou_sql(_MASK_FGPX_SQL),
         "image_equalize": """
             WITH eq_imgs AS (SELECT UNNEST(range(0, 16)) AS media_id),

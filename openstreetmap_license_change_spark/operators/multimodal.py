@@ -1676,3 +1676,157 @@ def audio_zcr_sql(
                CAST(MAX(ABS(s)) AS BIGINT) AS peak
         FROM az_lag GROUP BY 1, 2
     """
+
+
+# ---------------------------------------------------------------------------
+# Otsu binarization threshold — exact integer between-class variance
+# ---------------------------------------------------------------------------
+
+OTSU_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("threshold", LongType()),
+        StructField("w_below", LongType()),
+        StructField("sum_below", LongType()),
+        StructField("score_q", LongType()),
+    ]
+)
+
+_OTSU_SHIFT = 20  # score quantization: q = num·2²⁰ DIV den
+
+
+def image_otsu(media: DataFrame) -> DataFrame:
+    """Exact Otsu binarization threshold per image — the foreground/
+    background split a document-scan or mask-extraction pipeline runs
+    before OCR or RLE masking (:func:`mask_rle_encode` consumes what
+    this binarizes).  Works on the dHash luma convention (channel sum
+    r+g+b ∈ [0, 765]).
+
+    Otsu maximizes the between-class variance σ_b²(t) = w₀w₁(μ₀−μ₁)²
+    over thresholds t (class 0 = gray ≤ t).  With integer pixel
+    counts that objective is the exact rational
+
+        num(t) / den(t) = (sumB·W − S·wB)² / (wB·(W − wB))
+
+    (W total pixels, S total luma mass, wB/sumB the ≤t prefix count/
+    mass) — W·σ_b²(t) up to the constant W, so the argmax is
+    unchanged.  Both engines rank by the IDENTICALLY-quantized score
+    q = num·2²⁰ DIV den (num/den ≤ W·(765/2)² keeps q far inside
+    int64; the wide num itself exceeds int64, so it runs in Python
+    ints here and HUGEINT in the twin) with the LOWEST-threshold
+    tie-break, so the selected threshold is bit-stable across engines
+    and parallelism.  Degenerate prefixes (wB = 0 or W — constant
+    images have ONLY those and emit no row) are excluded: σ_b² is
+    undefined there, not zero.  The argmax-minimal t is always a
+    PRESENT gray level (the score is a step function that only
+    changes at present levels), so only present levels are scored —
+    ≤766 candidates per image regardless of payload size.
+
+    Arrow-batched mapInPandas over the raw-RGB path (np.bincount +
+    cumsum per image; the ≤766-step argmax loop runs on the
+    histogram, never the pixels).  The DuckDB twin regenerates every
+    pixel from the synthetic closed form and replays prefix masses as
+    window sums — decode, score, and argmax all hash-verified.
+
+    Returns (media_id, threshold, w_below, sum_below, score_q)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            recs = []
+            for mid, payload, w, h in zip(
+                pdf["media_id"], pdf["payload"],
+                pdf["meta_width"], pdf["meta_height"],
+            ):
+                img = _decode_rgb(payload, int(w), int(h)).astype(
+                    np.int64
+                )
+                gray = img.sum(axis=2).ravel()
+                counts = np.bincount(gray, minlength=766)
+                cum = np.cumsum(counts)
+                mass = np.cumsum(counts * np.arange(766))
+                big_w = int(gray.size)
+                big_s = int(mass[-1])
+                best = None
+                for g in np.nonzero(counts)[0]:
+                    wb = int(cum[g])
+                    if wb == 0 or wb == big_w:
+                        continue
+                    sb = int(mass[g])
+                    d = sb * big_w - big_s * wb
+                    q = (d * d << _OTSU_SHIFT) // (wb * (big_w - wb))
+                    # strict > keeps the LOWEST threshold on ties
+                    if best is None or q > best[3]:
+                        best = (int(g), wb, sb, q)
+                if best is not None:
+                    recs.append((int(mid),) + best)
+            yield pd.DataFrame(
+                recs,
+                columns=[
+                    "media_id", "threshold", "w_below", "sum_below",
+                    "score_q",
+                ],
+            )
+
+    return (
+        media.where(F.col("media_type") == "image")
+        .repartition("media_id")
+        .mapInPandas(run, schema=OTSU_SCHEMA)
+    )
+
+
+def image_otsu_sql(n: int, w: int, h: int) -> str:
+    """DuckDB twin of :func:`image_otsu` over the
+    synthetic_raw_rgb_media closed form: pixels regenerated, prefix
+    count/mass as window sums over present gray levels, the identical
+    q = num·2²⁰ // den quantized score in HUGEINT, ROW_NUMBER argmax
+    with the same lowest-threshold tie-break.  Standalone."""
+    return f"""
+        WITH ot_px AS (
+            SELECT m.id AS media_id,
+                   CAST((x.x*3 + y.y*7 + 0  + m.id*13) % 256
+                      + (x.x*3 + y.y*7 + 11 + m.id*13) % 256
+                      + (x.x*3 + y.y*7 + 22 + m.id*13) % 256
+                      AS BIGINT) AS g
+            FROM (SELECT UNNEST(range(0, {int(n)})) AS id) m,
+                 range(0, {int(h)}) y(y), range(0, {int(w)}) x(x)
+        ),
+        ot_hist AS (
+            SELECT media_id, g, CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM ot_px GROUP BY 1, 2
+        ),
+        ot_cum AS (
+            SELECT media_id, g,
+                   SUM(cnt) OVER (PARTITION BY media_id ORDER BY g)
+                       AS w_below,
+                   SUM(cnt * g) OVER (PARTITION BY media_id ORDER BY g)
+                       AS sum_below,
+                   SUM(cnt) OVER (PARTITION BY media_id) AS big_w,
+                   SUM(cnt * g) OVER (PARTITION BY media_id) AS big_s
+            FROM ot_hist
+        ),
+        ot_scored AS (
+            SELECT media_id, g,
+                   CAST(w_below AS BIGINT) AS w_below,
+                   CAST(sum_below AS BIGINT) AS sum_below,
+                   CAST(CAST(sum_below * big_w - big_s * w_below
+                             AS HUGEINT)
+                        * CAST(sum_below * big_w - big_s * w_below
+                               AS HUGEINT)
+                        * {1 << _OTSU_SHIFT}
+                        // (CAST(w_below AS HUGEINT)
+                            * (big_w - w_below))
+                        AS BIGINT) AS score_q
+            FROM ot_cum
+            WHERE w_below > 0 AND w_below < big_w
+        ),
+        ot_best AS (
+            SELECT media_id, g, w_below, sum_below, score_q,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY media_id
+                       ORDER BY score_q DESC, g ASC
+                   ) AS rn
+            FROM ot_scored
+        )
+        SELECT media_id, g AS threshold, w_below, sum_below, score_q
+        FROM ot_best WHERE rn = 1
+    """
