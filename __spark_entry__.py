@@ -2610,6 +2610,24 @@ def q_audio_zcr(spark, sf_dir):
     return multimodal.audio_zcr_frames(media, frame_samples=256)
 
 
+def q_audio_pitch(spark, sf_dir):
+    """Per-frame autocorrelation pitch (multimodal.audio_pitch_frames)
+    over square-wave PCM with STRUCTURAL planted periods: clip id has
+    period P = 16 + (id mod 5)*8, and exact integer R(tau) peaks at
+    tau = P among lags 8..64 with a smallest-lag tie-break.  The
+    oracle regenerates every sample from the closed form and computes
+    R(tau) as a frame-local lag self-join — decode, window algebra,
+    and argmax all hash-verified."""
+    from openstreetmap_license_change_spark.operators import multimodal
+
+    media = multimodal.synthetic_square_pcm_media(
+        spark, n=8, n_samples=1024
+    )
+    return multimodal.audio_pitch_frames(
+        media, frame_samples=256, min_lag=8, max_lag=64
+    )
+
+
 def q_image_gradients(spark, sf_dir):
     """Exact Sobel gradient rollup (multimodal.image_gradients) over
     the deterministic raw-RGB images: channel-sum luma, the standard
@@ -4996,6 +5014,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_ppr": q_doc_ppr,
         "morans_correlogram": q_morans_correlogram,
         "audio_zcr": q_audio_zcr,
+        "audio_pitch": q_audio_pitch,
         "image_gradients": q_image_gradients,
         "curation_verdict": q_curation_verdict,
         "embedding_silhouette": q_embedding_silhouette,
@@ -8347,6 +8366,9 @@ def oracle_sql() -> dict[str, str]:
                 ON m.doc_id = d.doc_id
         """,
         "audio_zcr": multimodal_mod.audio_zcr_sql(8),
+        "audio_pitch": multimodal_mod.audio_pitch_sql(
+            8, 1024, 256, 8, 64
+        ),
         "image_gradients": multimodal_mod.image_gradients_sql(
             16, 48, 32
         ),

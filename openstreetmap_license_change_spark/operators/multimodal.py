@@ -1830,3 +1830,191 @@ def image_otsu_sql(n: int, w: int, h: int) -> str:
         SELECT media_id, g AS threshold, w_below, sum_below, score_q
         FROM ot_best WHERE rn = 1
     """
+
+
+# ---------------------------------------------------------------------------
+# autocorrelation pitch estimation over PCM16 frames
+# ---------------------------------------------------------------------------
+
+AUDIO_PITCH_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("frame_idx", LongType()),
+        StructField("n_samples", LongType()),
+        StructField("r0", LongType()),
+        StructField("best_lag", LongType()),
+        StructField("best_r", LongType()),
+    ]
+)
+
+
+def synthetic_square_pcm_media(
+    spark, n: int = 8, n_samples: int = 1024
+) -> DataFrame:
+    """Deterministic square-wave PCM16 clips for the pitch path:
+    clip id has period P = 16 + (id mod 5)·8 (16..48 samples) and
+    amplitude A = 500 + (id·37 mod 400); sample i is +A when
+    (i DIV (P/2)) is even else −A.  The planted period makes the
+    autocorrelation argmax STRUCTURAL (R(τ) peaks exactly at τ = P,
+    the smallest in-band multiple), not threshold-tuned — and the
+    closed form replays in one CASE expression in the twin."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            recs = []
+            for mid in pdf["id"]:
+                half = 8 + (int(mid) % 5) * 4
+                amp = 500 + (int(mid) * 37) % 400
+                i = np.arange(n_samples, dtype=np.int64)
+                x = np.where((i // half) % 2 == 0, amp, -amp).astype(
+                    "<i2"
+                )
+                recs.append(
+                    (int(mid), f"media://audio/sq{mid}", "audio",
+                     x.tobytes(), 0, 0, n_samples * 1000 // 8000,
+                     "pcm_s16le/raw")
+                )
+            yield pd.DataFrame(
+                recs,
+                columns=[
+                    "media_id", "url", "media_type", "payload",
+                    "meta_width", "meta_height", "meta_duration_ms",
+                    "meta_codec",
+                ],
+            )
+
+    return spark.range(0, n).mapInPandas(gen, schema=MEDIA_SCHEMA)
+
+
+def audio_pitch_frames(
+    media: DataFrame,
+    frame_samples: int = 256,
+    min_lag: int = 8,
+    max_lag: int = 64,
+) -> DataFrame:
+    """Per-frame fundamental-period estimate by EXACT integer
+    autocorrelation — the pitch tracker of the PCM16 family
+    (:func:`audio_frame_energy` = loudness, :func:`audio_zcr_frames`
+    = spectral proxy, this = periodicity): per frame,
+
+        R(τ) = Σ_{j<n−τ} x_j · x_{j+τ},   τ ∈ [min_lag, max_lag]
+
+    unnormalized (int16 products over ≤4096-sample frames stay under
+    2³⁹ — far inside int64), best_lag = argmax R with the SMALLEST-τ
+    tie-break, so a period-P tone reports P itself rather than an
+    arbitrary multiple; r0 = Σ x² is the energy reference the caller
+    normalizes by if it wants a periodicity score (r_best/r0 ≤ 1 by
+    Cauchy-Schwarz — left rational, never divided here).  Frames are
+    the audio_zcr convention (tail kept at true length, pairs frame-
+    local); frames shorter than min_lag+1 have NO valid lag and emit
+    NULL best_lag/best_r.  Lags beyond n−1 of a short frame are
+    skipped (an empty sum is no evidence, not R = 0).
+
+    Python only decodes and runs one vectorized dot per (frame, lag)
+    on the sample array (≤ max_lag slices, no per-sample Python).
+    The DuckDB twin replays every sample from
+    the synthetic closed form and computes R(τ) as a lag self-join —
+    decode, window algebra, and argmax all hash-verified.
+
+    Returns (media_id, frame_idx, n_samples, r0, best_lag, best_r)."""
+    if not (1 <= min_lag <= max_lag):
+        raise ValueError(
+            f"audio_pitch_frames: need 1 <= min_lag <= max_lag, got "
+            f"{min_lag}..{max_lag}"
+        )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            recs = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                x = np.frombuffer(payload or b"", dtype="<i2").astype(
+                    np.int64
+                )
+                n = x.size
+                if n == 0:
+                    continue
+                nf = (n + frame_samples - 1) // frame_samples
+                for f in range(nf):
+                    seg = x[f * frame_samples:(f + 1) * frame_samples]
+                    m = seg.size
+                    r0 = int(np.dot(seg, seg))
+                    best = None
+                    for tau in range(min_lag, min(max_lag, m - 1) + 1):
+                        r = int(np.dot(seg[:-tau], seg[tau:]))
+                        if best is None or r > best[1]:
+                            best = (tau, r)   # strict >: smallest τ wins
+                    recs.append(
+                        (int(mid), f, m, r0,
+                         None if best is None else best[0],
+                         None if best is None else best[1])
+                    )
+            yield pd.DataFrame(
+                recs,
+                columns=[
+                    "media_id", "frame_idx", "n_samples", "r0",
+                    "best_lag", "best_r",
+                ],
+            )
+
+    return (
+        media.where(F.col("media_type") == "audio")
+        .repartition("media_id")
+        .mapInPandas(run, schema=AUDIO_PITCH_SCHEMA)
+    )
+
+
+def audio_pitch_sql(
+    n: int,
+    n_samples: int = 1024,
+    frame_samples: int = 256,
+    min_lag: int = 8,
+    max_lag: int = 64,
+) -> str:
+    """DuckDB twin of :func:`audio_pitch_frames` over the
+    synthetic_square_pcm_media closed form: samples regenerated from
+    the CASE expression, R(τ) as a frame-local lag self-join, argmax
+    via ROW_NUMBER with the same smallest-τ tie-break.  Standalone."""
+    return f"""
+        WITH ap_samp AS (
+            SELECT c.id AS media_id, i.i,
+                   CAST(i.i // {int(frame_samples)} AS BIGINT)
+                       AS frame_idx,
+                   i.i % {int(frame_samples)} AS j,
+                   CAST(CASE WHEN (i.i // (8 + (c.id % 5) * 4)) % 2 = 0
+                             THEN 500 + (c.id * 37) % 400
+                             ELSE -(500 + (c.id * 37) % 400)
+                        END AS BIGINT) AS s
+            FROM (SELECT UNNEST(range(0, {int(n)})) AS id) c,
+                 range(0, {int(n_samples)}) i(i)
+        ),
+        ap_frame AS (
+            SELECT media_id, frame_idx,
+                   CAST(COUNT(*) AS BIGINT) AS n_fr,
+                   CAST(SUM(s * s) AS BIGINT) AS r0
+            FROM ap_samp GROUP BY 1, 2
+        ),
+        ap_r AS (
+            SELECT a.media_id, a.frame_idx, l.tau,
+                   CAST(SUM(a.s * b.s) AS BIGINT) AS r
+            FROM ap_samp a
+            JOIN (SELECT UNNEST(range({int(min_lag)}, {int(max_lag)} + 1))
+                      AS tau) l ON TRUE
+            JOIN ap_samp b ON b.media_id = a.media_id
+                          AND b.frame_idx = a.frame_idx
+                          AND b.j = a.j + l.tau
+            GROUP BY 1, 2, 3
+        ),
+        ap_best AS (
+            SELECT media_id, frame_idx, tau, r,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY media_id, frame_idx
+                       ORDER BY r DESC, tau ASC
+                   ) AS rn
+            FROM ap_r
+        )
+        SELECT f.media_id, f.frame_idx, f.n_fr AS n_samples, f.r0,
+               b.tau AS best_lag, b.r AS best_r
+        FROM ap_frame f
+        LEFT JOIN ap_best b ON b.media_id = f.media_id
+                           AND b.frame_idx = f.frame_idx AND b.rn = 1
+    """
