@@ -2701,6 +2701,21 @@ def q_bootstrap_doclen(spark, sf_dir):
                                       n_reps=20)
 
 
+def q_ks_lang_lengths(spark, sf_dir):
+    """Two-sample Kolmogorov–Smirnov drift test
+    (evaluation.ks_two_sample): per-language one-vs-rest D over the
+    document-length distribution — the exact cross-multiplied integer
+    form evaluated at every pooled distinct length (a rest-side jump
+    between group points can carry the max), smallest-v argmax
+    tie-break, d_ppm by non-negative truncating division.  Histogram
+    collapse + broadcast group grid + one window per group — never a
+    pair join or permutation job."""
+    from openstreetmap_license_change_spark.operators import evaluation
+
+    docs = pages_src.documents(spark, sf_dir)
+    return evaluation.ks_two_sample(docs, "lang", "n_chars")
+
+
 def q_contact_episodes(spark, sf_dir):
     """Contact episodes (spatial.contact_episodes) over the same
     drift geocode as q_colocation_pairs: maximal runs of consecutive
@@ -5020,6 +5035,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_silhouette": q_embedding_silhouette,
         "quality_calibration": q_quality_calibration,
         "bootstrap_doclen": q_bootstrap_doclen,
+        "ks_lang_lengths": q_ks_lang_lengths,
         "contact_episodes": q_contact_episodes,
         "kn_bigrams": q_kn_bigrams,
         "vocab_drift": q_vocab_drift,
@@ -8340,6 +8356,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "bootstrap_doclen": evaluation.bootstrap_means_sql(
             "documents", "doc_id", "n_chars", n_reps=20
+        ),
+        "ks_lang_lengths": evaluation.ks_two_sample_sql(
+            "documents", "lang", "n_chars"
         ),
         "curation_verdict": f"""
             SELECT d.doc_id, d.lang, g.flags AS gopher_flags,

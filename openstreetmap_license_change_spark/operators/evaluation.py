@@ -1131,3 +1131,197 @@ def bootstrap_means_sql(
                    AS mean_ppm
         FROM bm_w GROUP BY 1
     """
+
+
+def ks_two_sample(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    max_groups: int = 1024,
+) -> DataFrame:
+    """Exact two-sample Kolmogorov–Smirnov statistic, one-vs-rest per
+    group — the distribution-drift detector of the evaluation layer
+    (does THIS slice's length/quality/score distribution differ from
+    the rest of the corpus?), with the engine's integer discipline:
+
+        D = max_v |F_in(v) − F_rest(v)|
+          = max_v |n_rest·cum_in(v) − n_in·cum_rest(v)| / (n_in·n_rest)
+
+    evaluated at every distinct pooled value (the max of a pair of
+    step functions is attained at a jump of either — evaluating only
+    at the group's own points UNDERSTATES D when the rest jumps
+    between them).  The cross-multiplied numerator keeps every
+    comparison an exact integer; products ride decimal(38)/HUGEINT so
+    n up to 10¹² rows is exact; d_ppm = (d_num·10⁶) DIV
+    (n_in·n_rest) — all operands non-negative, so Spark's truncating
+    DIV and DuckDB's flooring ``//`` agree.  The argmax value uses the
+    SMALLEST-v tie-break (deterministic across engines and
+    partitionings).
+
+    Physical plan — never a per-pair or per-permutation job: one
+    groupBy((group, value)) collapses the corpus to its histogram;
+    the (group × distinct-value) evaluation grid is a broadcast
+    cross-join of the ≤``max_groups`` group list onto the value
+    histogram (guard raises LOUDLY above the cap, riding the used
+    n_rest column so Catalyst can't prune it); one window per group
+    ordered by value produces both cumulatives.  Grid size is
+    G·|distinct v| — for unbounded-cardinality value columns, bucket
+    upstream.
+
+    A single-group input has n_rest = 0: D is undefined → d_ppm NULL
+    (not 0 — "no rest sample" is absence of evidence).
+
+    Output: one row per group
+    (``group_col``, n_in, n_rest, d_ppm, d_at)."""
+    cnt = df.groupBy(group_col, value_col).agg(
+        F.count(F.lit(1)).cast("long").alias("c_in")
+    )
+    vals = cnt.groupBy(value_col).agg(
+        F.sum("c_in").cast("long").alias("tot")
+    )
+    grps = cnt.groupBy(group_col).agg(
+        F.sum("c_in").cast("long").alias("n_in")
+    )
+    tots = grps.agg(
+        F.sum("n_in").cast("long").alias("n_all"),
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+    )
+    grps_g = grps.crossJoin(F.broadcast(tots)).select(
+        group_col,
+        "n_in",
+        F.when(
+            F.col("n_groups") > int(max_groups),
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        f"ks_two_sample: {group_col} cardinality "
+                    ),
+                    F.col("n_groups").cast("string"),
+                    F.lit(
+                        f" exceeds max_groups={int(max_groups)}; "
+                        "bucket the group column or raise the cap"
+                    ),
+                )
+            ).cast("long"),
+        )
+        .otherwise(F.col("n_all") - F.col("n_in"))
+        .alias("n_rest"),
+    )
+    grid = (
+        vals.crossJoin(F.broadcast(grps_g))
+        .join(cnt, on=[group_col, value_col], how="left")
+        .select(
+            group_col,
+            value_col,
+            "n_in",
+            "n_rest",
+            "tot",
+            F.coalesce(F.col("c_in"), F.lit(0)).alias("c_in"),
+        )
+    )
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(value_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    scored = grid.select(
+        group_col,
+        value_col,
+        "n_in",
+        "n_rest",
+        F.sum("c_in").over(w).alias("cum_in"),
+        F.sum("tot").over(w).alias("cum_tot"),
+    ).select(
+        group_col,
+        value_col,
+        "n_in",
+        "n_rest",
+        F.abs(
+            F.col("n_rest").cast(_DEC) * F.col("cum_in")
+            - F.col("n_in").cast(_DEC)
+            * (F.col("cum_tot") - F.col("cum_in"))
+        ).alias("d_num"),
+    )
+    pick = Window.partitionBy(group_col).orderBy(
+        F.col("d_num").desc(), F.col(value_col).asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(pick))
+        .where(F.col("rn") == 1)
+        .select(
+            group_col,
+            "n_in",
+            "n_rest",
+            F.expr(
+                f"CAST(CASE WHEN n_rest > 0 THEN "
+                f"(d_num * 1000000) DIV "
+                f"(CAST(n_in AS {_DEC}) * n_rest) END AS BIGINT)"
+            ).alias("d_ppm"),
+            F.col(value_col).cast("long").alias("d_at"),
+        )
+    )
+
+
+def ks_two_sample_sql(
+    src: str, group_col: str, value_col: str
+) -> str:
+    """DuckDB twin of :func:`ks_two_sample` (histogram collapse,
+    full-pooled-value grid, HUGEINT cross-multiplied numerator,
+    smallest-v argmax tie-break).  Standalone."""
+    return f"""
+        WITH ks_cnt AS (
+            SELECT {group_col} AS g, {value_col} AS v,
+                   CAST(COUNT(*) AS BIGINT) AS c_in
+            FROM {src} GROUP BY 1, 2
+        ),
+        ks_vals AS (
+            SELECT v, CAST(SUM(c_in) AS BIGINT) AS tot
+            FROM ks_cnt GROUP BY 1
+        ),
+        ks_grp AS (
+            SELECT g, CAST(SUM(c_in) AS BIGINT) AS n_in
+            FROM ks_cnt GROUP BY 1
+        ),
+        ks_tot AS (
+            SELECT CAST(SUM(n_in) AS BIGINT) AS n_all FROM ks_grp
+        ),
+        ks_grid AS (
+            SELECT gr.g, va.v, gr.n_in,
+                   t.n_all - gr.n_in AS n_rest,
+                   va.tot, COALESCE(c.c_in, 0) AS c_in
+            FROM ks_vals va
+            CROSS JOIN ks_grp gr
+            CROSS JOIN ks_tot t
+            LEFT JOIN ks_cnt c ON c.g = gr.g AND c.v = va.v
+        ),
+        ks_cum AS (
+            SELECT g, v, n_in, n_rest,
+                   CAST(SUM(c_in) OVER w AS BIGINT) AS cum_in,
+                   CAST(SUM(tot) OVER w AS BIGINT) AS cum_tot
+            FROM ks_grid
+            WINDOW w AS (PARTITION BY g ORDER BY v
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND CURRENT ROW)
+        ),
+        ks_d AS (
+            SELECT g, v, n_in, n_rest,
+                   ABS(CAST(n_rest AS HUGEINT) * cum_in
+                       - CAST(n_in AS HUGEINT)
+                         * (cum_tot - cum_in)) AS d_num
+            FROM ks_cum
+        ),
+        ks_best AS (
+            SELECT g, v, n_in, n_rest, d_num,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY g ORDER BY d_num DESC, v ASC
+                   ) AS rn
+            FROM ks_d
+        )
+        SELECT g AS {group_col}, n_in, n_rest,
+               CAST(CASE WHEN n_rest > 0 THEN
+                    (d_num * 1000000)
+                    // (CAST(n_in AS HUGEINT) * n_rest)
+               END AS BIGINT) AS d_ppm,
+               CAST(v AS BIGINT) AS d_at
+        FROM ks_best WHERE rn = 1
+    """
