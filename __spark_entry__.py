@@ -1418,19 +1418,6 @@ def q_weighted_sample(spark, sf_dir):
     )
 
 
-HITS_ITERATIONS = 4
-
-
-def q_doc_hits(spark, sf_dir):
-    """Quantized HITS hubs/authorities (graph.hits_quantized) over the
-    doc link graph: L1-normalized integer mutual recursion, 4 rounds,
-    pre-partitioned edges, per-round lineage cuts; the DuckDB twin
-    unrolls the identical recurrence, so both score vectors are
-    hash-verified every round."""
-    nodes, edges = _doc_link_graph(spark, sf_dir)
-    out = graph.hits_quantized(nodes, edges, iterations=HITS_ITERATIONS)
-    return out.select(F.col("node").alias("doc_id"), "auth_q", "hub_q")
-
 
 PQ_M, PQ_CODES = 4, 8
 
@@ -5081,7 +5068,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snap_to_segments": q_snap_to_segments,
         "inverted_index": q_inverted_index,
         "bloom_membership": q_bloom_membership,
-        "doc_hits": q_doc_hits,
         "weighted_sample": q_weighted_sample,
         "cocitation_pairs": q_cocitation_pairs,
         "link_prediction": q_link_prediction,
@@ -8647,14 +8633,6 @@ def oracle_sql() -> dict[str, str]:
         "link_prediction": graph.resource_allocation_sql(
             _PR_EDGES_SQL, "cocitation", min_count=2
         ),
-        "doc_hits": f"""
-            SELECT node AS doc_id, auth_q, hub_q
-            FROM ({graph.hits_sql(
-                '(SELECT doc_id AS node FROM documents)',
-                _PR_EDGES_SQL,
-                iterations=HITS_ITERATIONS,
-            )})
-        """,
         "link_distance": f"""
             SELECT node AS doc_id, dist
             FROM ({graph.link_distance_sql(

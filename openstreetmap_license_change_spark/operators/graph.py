@@ -466,152 +466,6 @@ def label_spread_sql(
     )
 
 
-HITS_SCALE = 10**6
-
-
-def hits_quantized(
-    nodes: DataFrame,
-    edges: DataFrame,
-    iterations: int = 4,
-    scale: int = HITS_SCALE,
-) -> DataFrame:
-    """Fixed-iteration HITS (hubs & authorities) in exact quantized
-    integers — the bidirectional link-quality signal (a page is a good
-    HUB if it points at good authorities, a good AUTHORITY if good
-    hubs point at it; Kleinberg's mutual recursion), completing the
-    engine's link-analysis pair with :func:`pagerank_quantized`.
-
-    The classic L2 normalization is float-divergent, so each half-step
-    normalizes by the L1 TOTAL with integer division instead —
-    a'(v) = Σ_{u→v} h(u), then a(v) = a'(v)·scale DIV Σa'; same for
-    h via out-edges against the fresh a — which preserves ranking
-    order exactly and keeps every value an int64 multiple of 1/scale,
-    so the DuckDB twin (:func:`hits_sql`) hash-matches all rounds.
-    Overflow bound: Σa' ≤ n·scale and the normalize product needs
-    a'(v)·scale ≤ n·scale² < 2⁶³ — at 10⁹ nodes drop ``scale`` to
-    10⁴ (the pagerank rule: the quantum grows, the plan doesn't).
-    Zero-sum degenerate rounds (no edges) keep the previous vector.
-
-    Scale design: per round two src/dst-keyed join+partial-agg pairs
-    over the pre-partitioned edge list (4 shuffles — the price of the
-    mutual recursion's data dependency), 1-row broadcast totals,
-    lineage cut per round.  Returns (node, auth_q, hub_q)."""
-    edges = edges.select("src", "dst").repartition("src").localCheckpoint(
-        eager=True
-    )
-    state = nodes.select(
-        "node",
-        F.lit(scale).cast("bigint").alias("auth_q"),
-        F.lit(scale).cast("bigint").alias("hub_q"),
-    ).localCheckpoint(eager=True)
-    for _ in range(iterations):
-        raw_a = (
-            edges.join(
-                state.select(F.col("node").alias("src"), "hub_q"), "src"
-            )
-            .groupBy(F.col("dst").alias("node"))
-            .agg(F.sum("hub_q").alias("_ra"))
-        )
-        tot_a = raw_a.agg(
-            F.coalesce(F.sum("_ra"), F.lit(0)).alias("_ta")
-        )
-        auth = (
-            state.join(raw_a, "node", "left")
-            .crossJoin(F.broadcast(tot_a))
-            .select(
-                "node",
-                F.when(
-                    F.col("_ta") > 0,
-                    F.expr(f"COALESCE(_ra, 0) * {scale} DIV _ta"),
-                )
-                .otherwise(F.col("auth_q"))
-                .cast("bigint")
-                .alias("auth_q"),
-                "hub_q",
-            )
-        )
-        raw_h = (
-            edges.join(
-                auth.select(F.col("node").alias("dst"), "auth_q"), "dst"
-            )
-            .groupBy(F.col("src").alias("node"))
-            .agg(F.sum("auth_q").alias("_rh"))
-        )
-        tot_h = raw_h.agg(
-            F.coalesce(F.sum("_rh"), F.lit(0)).alias("_th")
-        )
-        state = (
-            auth.join(raw_h, "node", "left")
-            .crossJoin(F.broadcast(tot_h))
-            .select(
-                "node",
-                "auth_q",
-                F.when(
-                    F.col("_th") > 0,
-                    F.expr(f"COALESCE(_rh, 0) * {scale} DIV _th"),
-                )
-                .otherwise(F.col("hub_q"))
-                .cast("bigint")
-                .alias("hub_q"),
-            )
-            .localCheckpoint(eager=True)
-        )
-    return state
-
-
-def hits_sql(
-    nodes_src: str,
-    edges_src: str,
-    iterations: int = 4,
-    scale: int = HITS_SCALE,
-) -> str:
-    """DuckDB twin of :func:`hits_quantized`: the identical L1-
-    normalized integer recurrence unrolled as chained CTEs."""
-    ctes = [
-        f"ht_nd AS MATERIALIZED (SELECT node FROM {nodes_src})",
-        f"ht_eg AS MATERIALIZED (SELECT src, dst FROM {edges_src})",
-        f"ht_s0 AS MATERIALIZED (SELECT node, CAST({scale} AS BIGINT) AS auth_q, "
-        f"CAST({scale} AS BIGINT) AS hub_q FROM ht_nd)",
-    ]
-    for i in range(1, iterations + 1):
-        p = f"ht_s{i - 1}"
-        ctes.append(f"""ht_a{i} AS MATERIALIZED (
-            SELECT {p}.node,
-                   CAST(CASE WHEN t._ta > 0
-                        THEN COALESCE(r._ra, 0) * {scale} // t._ta
-                        ELSE {p}.auth_q END AS BIGINT) AS auth_q,
-                   {p}.hub_q
-            FROM {p}
-            LEFT JOIN (
-                SELECT ht_eg.dst AS node, SUM(s.hub_q) AS _ra
-                FROM ht_eg JOIN {p} s ON ht_eg.src = s.node
-                GROUP BY ht_eg.dst
-            ) r ON r.node = {p}.node
-            CROSS JOIN (
-                SELECT COALESCE(SUM(s.hub_q), 0) AS _ta
-                FROM ht_eg JOIN {p} s ON ht_eg.src = s.node
-            ) t
-        )""")
-        ctes.append(f"""ht_s{i} AS MATERIALIZED (
-            SELECT a.node, a.auth_q,
-                   CAST(CASE WHEN t._th > 0
-                        THEN COALESCE(r._rh, 0) * {scale} // t._th
-                        ELSE a.hub_q END AS BIGINT) AS hub_q
-            FROM ht_a{i} a
-            LEFT JOIN (
-                SELECT ht_eg.src AS node, SUM(s.auth_q) AS _rh
-                FROM ht_eg JOIN ht_a{i} s ON ht_eg.dst = s.node
-                GROUP BY ht_eg.src
-            ) r ON r.node = a.node
-            CROSS JOIN (
-                SELECT COALESCE(SUM(s.auth_q), 0) AS _th
-                FROM ht_eg JOIN ht_a{i} s ON ht_eg.dst = s.node
-            ) t
-        )""")
-    return (
-        "WITH " + ",\n".join(ctes)
-        + f"\nSELECT node, auth_q, hub_q FROM ht_s{iterations}"
-    )
 
 
 def common_neighbor_pairs(

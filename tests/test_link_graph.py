@@ -202,81 +202,6 @@ def test_spread_random_vs_python_and_duckdb(spark):
 
 
 # ---------------------------------------------------------------------------
-# hits_quantized
-# ---------------------------------------------------------------------------
-
-def _hits_python(nodes, edges, rounds, scale=graph.HITS_SCALE):
-    a = {v: scale for v in nodes}
-    h = {v: scale for v in nodes}
-    for _ in range(rounds):
-        ra = {v: 0 for v in nodes}
-        for s, d in edges:
-            ra[d] += h[s]
-        ta = sum(ra.values())
-        if ta > 0:
-            a = {v: ra[v] * scale // ta for v in nodes}
-        rh = {v: 0 for v in nodes}
-        for s, d in edges:
-            rh[s] += a[d]
-        th = sum(rh.values())
-        if th > 0:
-            h = {v: rh[v] * scale // th for v in nodes}
-    return {v: (a[v], h[v]) for v in nodes}
-
-
-def _spark_hits(spark, nodes, edges, rounds):
-    ndf = spark.createDataFrame([(v,) for v in nodes], "node bigint")
-    edf = spark.createDataFrame(edges, "src bigint, dst bigint")
-    return {
-        r.node: (r.auth_q, r.hub_q)
-        for r in graph.hits_quantized(ndf, edf, iterations=rounds).collect()
-    }
-
-
-def test_hits_star_roles(spark):
-    """Spokes → hub: the hub is the sole authority, spokes are the
-    hubs, and the hub's own hub score collapses to 0."""
-    nodes = list(range(5))
-    edges = [(i, 0) for i in range(1, 5)]
-    got = _spark_hits(spark, nodes, edges, rounds=3)
-    assert got[0][0] == graph.HITS_SCALE          # all authority mass
-    assert got[0][1] == 0
-    assert all(got[i][0] == 0 for i in range(1, 5))
-    assert all(got[i][1] == graph.HITS_SCALE // 4 for i in range(1, 5))
-
-
-def test_hits_no_edges_keeps_initial(spark):
-    got = _spark_hits(spark, [1, 2, 3], [], rounds=3)
-    assert all(v == (graph.HITS_SCALE, graph.HITS_SCALE)
-               for v in got.values())
-
-
-def test_hits_random_vs_python_and_duckdb(spark):
-    rng = random.Random(88)
-    nodes = list(range(30))
-    edges = sorted({
-        (rng.randrange(30), rng.randrange(30)) for _ in range(90)
-    })
-    edges = [e for e in edges if e[0] != e[1]]
-    want = _hits_python(nodes, edges, rounds=4)
-    got = _spark_hits(spark, nodes, edges, rounds=4)
-    assert got == want
-
-    con = duckdb.connect()
-    con.execute("CREATE TABLE nd (node BIGINT)")
-    con.executemany("INSERT INTO nd VALUES (?)", [(v,) for v in nodes])
-    con.execute("CREATE TABLE eg (src BIGINT, dst BIGINT)")
-    con.executemany("INSERT INTO eg VALUES (?, ?)", edges)
-    twin = {
-        r[0]: (r[1], r[2])
-        for r in con.execute(
-            graph.hits_sql("nd", "eg", iterations=4)
-        ).fetchall()
-    }
-    assert twin == want
-
-
-# ---------------------------------------------------------------------------
 # common_neighbor_pairs
 # ---------------------------------------------------------------------------
 
