@@ -1320,6 +1320,25 @@ def q_hits(spark, sf_dir):
     return out.select(F.col("node").alias("doc_id"), "auth_q", "hub_q")
 
 
+def q_modularity(spark, sf_dir):
+    """Newman modularity of the language partition over the doc link
+    graph (graph.modularity): the A²-cleared exact integer form with
+    sign-decomposed ppm division — grades whether links concentrate
+    within languages against the degree-preserving null model
+    (negative q_ppm = a slice SPARSER than chance).  Symmetrize +
+    two label joins + three partial aggs; the twin replays the same
+    algebra over the shared edge closed form."""
+    docs = pages_src.documents(spark, sf_dir)
+    _, edges = _doc_link_graph(spark, sf_dir)
+    labels = docs.select(
+        F.col("doc_id").alias("node"), F.col("lang").alias("label")
+    )
+    return graph.modularity(labels, edges).select(
+        F.col("label").alias("lang"), "n_nodes", "deg_sum", "e_in",
+        "q_ppm",
+    )
+
+
 RE_K = 10
 RE_QUERIES = 8
 
@@ -5076,6 +5095,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_components": q_link_components,
         "redirect_resolve": q_redirect_resolve,
         "hits": q_hits,
+        "modularity": q_modularity,
         "kcore": q_kcore,
         "pq_encode": q_pq_encode,
         "pq_search": q_pq_search,
@@ -6545,6 +6565,14 @@ def oracle_sql() -> dict[str, str]:
                 '(SELECT doc_id AS node FROM documents)',
                 _PR_EDGES_SQL,
                 iterations=HITS_ITERATIONS,
+            )})
+        """,
+        "modularity": f"""
+            SELECT label AS lang, n_nodes, deg_sum, e_in, q_ppm
+            FROM ({graph.modularity_sql(
+                '(SELECT doc_id AS node, lang AS label '
+                'FROM documents)',
+                _PR_EDGES_SQL,
             )})
         """,
         "annotator_kappa": f"""
