@@ -1117,6 +1117,37 @@ def q_areal_interp(spark, sf_dir):
     return spatial.areal_interp(srcs, tgts, res_udeg=Z)
 
 
+def q_rect_union(spark, sf_dir):
+    """Dissolved per-language footprint (spatial.rect_union_area):
+    every latest page gets a deterministic doc_id-sized µdeg extent
+    around its position (the areal_interp layer recipe, scaled up so
+    extents genuinely overlap), and the per-language UNION area — not
+    the double-counting SUM — is computed by the exact slab sweep +
+    gaps-and-islands windows, never inclusion–exclusion and never a
+    per-group geometry kernel."""
+    latest = lineage.latest_version(
+        _pages(spark, sf_dir), cols=["lang", "lon", "lat", "doc_id"]
+    )
+    base = latest.select(
+        "lang",
+        F.floor(F.col("lon") * 1_000_000.0).cast("bigint").alias("_x"),
+        F.floor(F.col("lat") * 1_000_000.0).cast("bigint").alias("_y"),
+        "doc_id",
+    )
+    rects = base.select(
+        "lang",
+        (F.col("_x") - (F.col("doc_id") % 9973) * 100).alias("minx"),
+        (F.col("_y") - ((F.col("doc_id") * 3) % 9973) * 100).alias("miny"),
+        (F.col("_x") + ((F.col("doc_id") * 7) % 9973) * 100 + 1)
+        .alias("maxx"),
+        (F.col("_y") + ((F.col("doc_id") * 11) % 9973) * 100 + 1)
+        .alias("maxy"),
+    )
+    return spatial.rect_union_area(
+        rects, group_col="lang", max_rects_per_group=200_000
+    )
+
+
 def q_flow_accum(spark, sf_dir):
     """D8 flow accumulation (spatial.flow_accumulation) over the page
     raster as a terrain surface: strict-descent steepest-neighbor
@@ -4957,6 +4988,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "local_morans": q_local_morans,
         "flow_accum": q_flow_accum,
         "areal_interp": q_areal_interp,
+        "rect_union": q_rect_union,
         "ripley_k": q_ripley_k,
         "semivariogram": q_semivariogram,
         "cell_compact": q_cell_compact,
@@ -6659,6 +6691,27 @@ def oracle_sql() -> dict[str, str]:
             SELECT * FROM (
                 {spatial.areal_interp_sql('ai_src', 'ai_tgt')}
             )
+        """),
+        "rect_union": _with_pages(f"""
+            , ru_latest AS (
+                SELECT lang, doc_id,
+                       CAST(FLOOR(lon * 1000000.0) AS BIGINT) AS _x,
+                       CAST(FLOOR(lat * 1000000.0) AS BIGINT) AS _y
+                FROM (
+                    SELECT p.*, ROW_NUMBER() OVER (
+                        PARTITION BY url ORDER BY version DESC) AS rn
+                    FROM pages p
+                ) t WHERE rn = 1
+            ),
+            ru_src AS (
+                SELECT lang,
+                       _x - (doc_id % 9973) * 100 AS minx,
+                       _y - ((doc_id * 3) % 9973) * 100 AS miny,
+                       _x + ((doc_id * 7) % 9973) * 100 + 1 AS maxx,
+                       _y + ((doc_id * 11) % 9973) * 100 + 1 AS maxy
+                FROM ru_latest
+            ),
+            {spatial.rect_union_area_ctes('ru_src', 'lang')}
         """),
         "flow_accum": _with_pages(f"""
             , fa_rollup AS (

@@ -7770,3 +7770,231 @@ def contact_episodes_sql(
                start_bucket, end_bucket, n_buckets, n_moments
         FROM ce_ep
     """
+
+
+def rect_union_area(
+    rects: DataFrame,
+    group_col: str = "gid",
+    max_rects_per_group: int = 10_000,
+) -> DataFrame:
+    """Exact union (dissolved-footprint) area of axis-aligned
+    rectangles per group — the GIS *dissolve* the reference's region
+    bookkeeping never needs (its 1° cells are disjoint by
+    construction, run_regions.rb:37-55) but any layer of per-document
+    extents does: overlapping bboxes double-count under plain
+    SUM(area), and "how much of the map does this language/domain
+    actually cover" is a union question.
+
+    Classic sweep, re-expressed as three window passes — never a
+    per-group Python geometry kernel and never inclusion–exclusion
+    (exponential in overlap depth):
+
+      1. the group's distinct x bounds become vertical SLABS
+         [x_i, x_{i+1}) via one LEAD window; inside a slab the union's
+         cross-section is constant;
+      2. each rect joins the slabs it fully spans (group-key hash
+         equi-join + range residual — per-group fan is O(R·S) ≤ O(R²),
+         guarded LOUDLY by ``max_rects_per_group`` with the raise
+         riding the slab key every downstream row consumes);
+      3. per (group, slab) the y-interval union length is
+         gaps-and-islands: ordered by (miny, maxy), a row opens a new
+         island iff its miny exceeds the running MAX(maxy) of all
+         preceding rows (strict >, so half-open touching intervals
+         merge seamlessly); island length = MAX(maxy) − MIN(miny).
+
+    Island assignment is tie-order-insensitive: equal-miny rows can
+    never open an island against each other (miny ≤ the other's maxy
+    ≤ running max), so the result is partitioning- and
+    parallelism-deterministic.
+
+    EXACT integer geometry end-to-end: bounds are integer µdeg
+    (half-open [min, max) — degenerate zero-width/height rects
+    contribute nothing and empty y-intervals never bridge a real gap,
+    both tested), slab_width · y_len ≤ 360e6 · 180e6 ≈ 6.5·10¹⁶ fits
+    int64 even for world-sized groups, and the coverage ratio
+    union·10⁶ DIV bbox_area rides decimal(38) (numerator up to
+    6.5·10²²).  All DIV operands non-negative, so Spark's truncating
+    DIV and DuckDB's flooring // agree.
+
+    Inverted rects (maxx < minx or maxy < miny) fail loud — a silent
+    abs() would hide an upstream coordinate bug.
+
+    Output: one row per group
+    (``group_col``, n_rects, bbox_area, union_area, covered_ppm);
+    groups whose rects are all degenerate keep a zero-area row with
+    covered_ppm NULL (0/0 is undefined, not zero)."""
+    g = group_col
+    valid = F.assert_true(
+        (F.col("minx") <= F.col("maxx")) & (F.col("miny") <= F.col("maxy")),
+        F.lit("rect_union_area: inverted rect (max < min); fix the layer"),
+    )
+    pad0 = F.coalesce(valid.cast("bigint"), F.lit(0))
+    r = rects.select(
+        g,
+        (F.col("minx").cast("bigint") + pad0).alias("minx"),
+        F.col("miny").cast("bigint").alias("miny"),
+        F.col("maxx").cast("bigint").alias("maxx"),
+        F.col("maxy").cast("bigint").alias("maxy"),
+    )
+    grp = r.groupBy(g).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rects"),
+        F.min("minx").alias("_bx0"),
+        F.min("miny").alias("_by0"),
+        F.max("maxx").alias("_bx1"),
+        F.max("maxy").alias("_by1"),
+    )
+    size_guard = F.when(
+        F.col("n_rects") > int(max_rects_per_group),
+        F.raise_error(
+            F.concat(
+                F.lit(f"rect_union_area: group {g}="),
+                F.col(g).cast("string"),
+                F.lit(
+                    f" has more rects than max_rects_per_group="
+                    f"{int(max_rects_per_group)}; pre-aggregate or "
+                    "raise the cap"
+                ),
+            )
+        ).cast("bigint"),
+    ).otherwise(F.lit(0))
+    edges = r.select(g, F.col("minx").alias("x")).unionByName(
+        r.select(g, F.col("maxx").alias("x"))
+    ).groupBy(g, "x").agg(F.count(F.lit(1)).alias("_e"))
+    wx = W.partitionBy(g).orderBy("x")
+    slabs = (
+        edges.select(g, F.col("x").alias("x0"),
+                     F.lead("x").over(wx).alias("x1"))
+        .where(F.col("x1").isNotNull())
+        # the guard rides x0 — the slab key every downstream join,
+        # window and aggregate consumes (dead-column-assert lesson)
+        .join(F.broadcast(grp.select(g, size_guard.alias("_pad"))), g)
+        .select(g, (F.col("x0") + F.col("_pad")).alias("x0"), "x1")
+    )
+    act = slabs.join(r, g).where(
+        (F.col("minx") <= F.col("x0")) & (F.col("x1") <= F.col("maxx"))
+    )
+    w_isl = W.partitionBy(g, "x0").orderBy("miny", "maxy")
+    prev_max = F.max("maxy").over(
+        w_isl.rowsBetween(W.unboundedPreceding, -1)
+    )
+    flagged = act.select(
+        g, "x0", "x1", "miny", "maxy",
+        F.when(
+            prev_max.isNull() | (F.col("miny") > prev_max), F.lit(1)
+        ).otherwise(F.lit(0)).alias("_new"),
+    ).select(
+        g, "x0", "x1", "miny", "maxy",
+        F.sum("_new").over(
+            w_isl.rowsBetween(W.unboundedPreceding, 0)
+        ).alias("_isl"),
+    )
+    ylen = flagged.groupBy(g, "x0", "x1", "_isl").agg(
+        (F.max("maxy") - F.min("miny")).alias("_len")
+    )
+    area = (
+        ylen.groupBy(g)
+        .agg(
+            F.sum((F.col("x1") - F.col("x0")) * F.col("_len"))
+            .cast("bigint").alias("union_area")
+        )
+    )
+    dec = "decimal(38,0)"
+    return (
+        grp.join(area, g, "left")
+        .select(
+            g,
+            "n_rects",
+            ((F.col("_bx1") - F.col("_bx0"))
+             * (F.col("_by1") - F.col("_by0"))).alias("bbox_area"),
+            F.coalesce("union_area", F.lit(0)).cast("bigint")
+            .alias("union_area"),
+        )
+        .select(
+            g, "n_rects", "bbox_area", "union_area",
+            F.expr(
+                f"CAST(CASE WHEN bbox_area > 0 THEN "
+                f"(CAST(union_area AS {dec}) * 1000000) DIV bbox_area "
+                f"END AS BIGINT)"
+            ).alias("covered_ppm"),
+        )
+    )
+
+
+def rect_union_area_sql(src: str, group_col: str = "gid") -> str:
+    """DuckDB twin of :func:`rect_union_area` (standalone statement)."""
+    return "WITH " + rect_union_area_ctes(src, group_col)
+
+
+def rect_union_area_ctes(src: str, group_col: str = "gid") -> str:
+    """The twin without the leading WITH (oracle-prelude appendable) —
+    the identical slab sweep + gaps-and-islands in window SQL (the
+    *definition* is verified separately by the test suite's
+    compressed-grid rasterization mirror, a structurally different
+    algorithm)."""
+    g = group_col
+    return f"""
+        ru_r AS (
+            SELECT {g} AS g, CAST(minx AS BIGINT) AS minx,
+                   CAST(miny AS BIGINT) AS miny,
+                   CAST(maxx AS BIGINT) AS maxx,
+                   CAST(maxy AS BIGINT) AS maxy
+            FROM {src}
+        ),
+        ru_grp AS (
+            SELECT g, CAST(COUNT(*) AS BIGINT) AS n_rects,
+                   MIN(minx) AS bx0, MIN(miny) AS by0,
+                   MAX(maxx) AS bx1, MAX(maxy) AS by1
+            FROM ru_r GROUP BY 1
+        ),
+        ru_edges AS (
+            SELECT g, x FROM (
+                SELECT g, minx AS x FROM ru_r
+                UNION ALL SELECT g, maxx FROM ru_r
+            ) GROUP BY 1, 2
+        ),
+        ru_slabs AS (
+            SELECT g, x AS x0, LEAD(x) OVER (
+                       PARTITION BY g ORDER BY x) AS x1
+            FROM ru_edges
+        ),
+        ru_act AS (
+            SELECT s.g, s.x0, s.x1, r.miny, r.maxy
+            FROM ru_slabs s JOIN ru_r r ON s.g = r.g
+            WHERE s.x1 IS NOT NULL
+              AND r.minx <= s.x0 AND s.x1 <= r.maxx
+        ),
+        ru_flag AS (
+            SELECT g, x0, x1, miny, maxy,
+                   CASE WHEN MAX(maxy) OVER w IS NULL
+                          OR miny > MAX(maxy) OVER w
+                        THEN 1 ELSE 0 END AS nw
+            FROM ru_act
+            WINDOW w AS (PARTITION BY g, x0 ORDER BY miny, maxy
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND 1 PRECEDING)
+        ),
+        ru_isl AS (
+            SELECT g, x0, x1, miny, maxy,
+                   SUM(nw) OVER (PARTITION BY g, x0
+                                 ORDER BY miny, maxy
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW) AS isl
+            FROM ru_flag
+        ),
+        ru_len AS (
+            SELECT g, x0, x1, MAX(maxy) - MIN(miny) AS len
+            FROM ru_isl GROUP BY g, x0, x1, isl
+        ),
+        ru_area AS (
+            SELECT g, CAST(SUM((x1 - x0) * len) AS BIGINT) AS ua
+            FROM ru_len GROUP BY 1
+        )
+        SELECT gr.g AS {g}, gr.n_rects,
+               (gr.bx1 - gr.bx0) * (gr.by1 - gr.by0) AS bbox_area,
+               CAST(COALESCE(a.ua, 0) AS BIGINT) AS union_area,
+               CAST(CASE WHEN (gr.bx1 - gr.bx0) * (gr.by1 - gr.by0) > 0
+                    THEN (CAST(COALESCE(a.ua, 0) AS HUGEINT) * 1000000)
+                         // ((gr.bx1 - gr.bx0) * (gr.by1 - gr.by0))
+               END AS BIGINT) AS covered_ppm
+        FROM ru_grp gr LEFT JOIN ru_area a USING (g)
+    """
