@@ -1337,6 +1337,21 @@ def q_redirect_resolve(spark, sf_dir):
     )
 
 
+def q_scc_components(spark, sf_dir):
+    """Strongly connected components (graph.scc_components) of the
+    DIRECTED doc link graph — the mutual-reachability structure the
+    undirected link_components can't see (link rings vs one-way
+    citation tails): forward–backward frontier-only min-label peeling,
+    membership decided exactly, both convergence budgets loud.  The
+    DuckDB twin is a different algorithm family — the full recursive
+    transitive closure joined with its own transpose — so the peeling
+    shortcut itself is hash-verified against the mutual-reachability
+    definition."""
+    nodes, edges = _doc_link_graph(spark, sf_dir)
+    out = graph.scc_components(nodes, edges)
+    return out.select(F.col("node").alias("doc_id"), "scc", "scc_size")
+
+
 HITS_ITERATIONS = 4
 
 
@@ -5125,6 +5140,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangle_counts": q_triangle_counts,
         "clustering_coeff": q_clustering_coeff,
         "link_components": q_link_components,
+        "scc_components": q_scc_components,
         "redirect_resolve": q_redirect_resolve,
         "hits": q_hits,
         "modularity": q_modularity,
@@ -8686,6 +8702,13 @@ def oracle_sql() -> dict[str, str]:
         "link_components": f"""
             SELECT node AS doc_id, label
             FROM ({graph.components_sql(
+                '(SELECT doc_id AS node FROM documents)',
+                _PR_EDGES_SQL,
+            )})
+        """,
+        "scc_components": f"""
+            SELECT node AS doc_id, scc, scc_size
+            FROM ({graph.scc_sql(
                 '(SELECT doc_id AS node FROM documents)',
                 _PR_EDGES_SQL,
             )})

@@ -2173,3 +2173,191 @@ def modularity_sql(labels_src: str, edges_src: str) -> str:
                END AS BIGINT) AS q_ppm
         FROM mq_q
     """
+
+
+def scc_components(
+    nodes: DataFrame,
+    edges: DataFrame,
+    max_peels: int = 16,
+    max_hops: int = 64,
+    op_name: str = "scc_components",
+) -> DataFrame:
+    """Strongly connected components of a DIRECTED graph — the
+    structure pass undirected components can't replace on a web
+    corpus: mutual-reachability cores (link rings, mirror farms,
+    template circular-nav clusters) vs one-way citation tails, and the
+    condensation order any incremental recrawl scheduler needs.
+
+    Forward–backward min-label PEELING (the hash-min building block of
+    Pregel-style SCC), never a transitive closure:
+
+      per peel round, over the still-active subgraph,
+        F(v) = min node id forward-reachable from v,
+        B(v) = min node id that reaches v,
+      each computed by FRONTIER-ONLY min-label relaxation: only nodes
+      whose label improved last round send along the (reversed) edges,
+      so a round's shuffle is proportional to the improvement
+      frontier, not the graph.  A node with F(v) = B(v) = m has m
+      reachable from v AND v reachable from m, i.e. v ∈ SCC(m), and
+      membership is decided EXACTLY (labels only ever carry real
+      reachability witnesses).  Finalized nodes leave; the loop
+      repeats on the residue.
+
+    Rounds per relaxation = the distance min labels travel — the
+    active subgraph's diameter (web graphs: tens), NOT log n; pointer
+    jumping is deliberately absent because it is UNSOUND as an
+    accelerator here: f[f] only leapfrogs along improvement gradients,
+    and a directed cycle with ids running against the edges (the
+    64-ring test) degrades it to 1 hop/round anyway — transitive-
+    closure doubling would fix the round count but explodes to
+    closure-sized intermediates on a giant SCC.  The budget is LOUD:
+    ``max_hops`` exhaustion raises rather than risk a split SCC (an
+    unconverged F is a valid witness but possibly non-canonical — two
+    members could finalize under different reps).
+
+    Progress per peel is guaranteed: the active minimum m has
+    F(m) = B(m) = m (every label ≥ m), so SCC(m) — and any SCC whose
+    own minimum dominates both its reach sets — finalizes each round;
+    worst case is the condensation's chain length (adversarial id
+    order), bounded LOUDLY by ``max_peels``.  Neither failure mode can
+    return wrong rows.
+
+    Self-loops and duplicate edges are harmless; edges touching nodes
+    outside ``nodes`` are dropped (the vertex set is the contract).
+    One localCheckpoint per relax round and per peel bounds lineage.
+
+    Input: ``nodes`` (node), ``edges`` (src, dst).  Output: one row
+    per node (node, scc, scc_size) where scc is the component's
+    minimum node id."""
+    def _minreach(active, eg, fwd: bool, peel: int):
+        s, d = ("src", "dst") if fwd else ("dst", "src")
+        lab = active.select(
+            "node", F.col("node").alias("f")
+        ).localCheckpoint(eager=True)
+        frontier = lab
+        for _ in range(max_hops):
+            msgs = (
+                eg.join(
+                    frontier.withColumnRenamed("node", d),
+                    d,
+                )
+                .groupBy(s)
+                .agg(F.min("f").alias("nf"))
+            )
+            improved = (
+                lab.join(msgs.withColumnRenamed(s, "node"), "node")
+                .where(F.col("nf") < F.col("f"))
+                .select("node", F.col("nf").alias("f"))
+                .localCheckpoint(eager=True)
+            )
+            if improved.isEmpty():
+                return lab
+            lab = (
+                lab.join(
+                    improved.select(
+                        "node", F.col("f").alias("_if")
+                    ),
+                    "node",
+                    "left",
+                )
+                .select(
+                    "node",
+                    F.least(
+                        F.col("f"), F.coalesce("_if", F.col("f"))
+                    ).alias("f"),
+                )
+                .localCheckpoint(eager=True)
+            )
+            frontier = improved
+        raise ValueError(
+            f"{op_name}: min-label relaxation did not converge within "
+            f"max_hops={max_hops} (peel {peel}, "
+            f"{'forward' if fwd else 'backward'}); raise max_hops "
+            "(rounds needed ~ the active subgraph's diameter)"
+        )
+
+    active = nodes.select("node").distinct().localCheckpoint(eager=True)
+    done_parts = []
+    for peel in range(max_peels):
+        if active.isEmpty():
+            break
+        eg = (
+            edges.select("src", "dst")
+            .join(active.select(F.col("node").alias("src")), "src", "semi")
+            .join(active.select(F.col("node").alias("dst")), "dst", "semi")
+            .where(F.col("src") != F.col("dst"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        fw = _minreach(active, eg, True, peel)
+        bw = _minreach(active, eg, False, peel)
+        done = (
+            fw.join(
+                bw.select("node", F.col("f").alias("b")), "node"
+            )
+            .where(F.col("f") == F.col("b"))
+            .select("node", F.col("f").alias("scc"))
+            .localCheckpoint(eager=True)
+        )
+        done_parts.append(done)
+        active = active.join(done, "node", "anti").localCheckpoint(
+            eager=True
+        )
+    else:
+        if not active.isEmpty():
+            raise ValueError(
+                f"{op_name}: peeling did not exhaust the graph within "
+                f"max_peels={max_peels}; raise max_peels (rounds "
+                "needed ~ the condensation chain length)"
+            )
+    if not done_parts:  # empty vertex set
+        return nodes.select(
+            "node",
+            F.col("node").alias("scc"),
+            F.lit(1).cast("bigint").alias("scc_size"),
+        ).where(F.lit(False))
+    out = done_parts[0]
+    for p in done_parts[1:]:
+        out = out.unionByName(p)
+    sizes = out.groupBy("scc").agg(
+        F.count(F.lit(1)).cast("bigint").alias("scc_size")
+    )
+    return out.join(F.broadcast(sizes), "scc").select(
+        "node", "scc", "scc_size"
+    )
+
+
+def scc_sql(nodes_src: str, edges_src: str) -> str:
+    """DuckDB oracle for :func:`scc_components` — deliberately a
+    different algorithm family: the full recursive transitive closure
+    (one hop per recursion step, UNION-dedup fixpoint), then
+    rep(v) = MIN over the mutual pairs closure ⋈ closureᵀ.  O(n·reach)
+    intermediates — an oracle-scale cost, which is exactly why the
+    distributed side peels with frontier min labels instead.
+    Standalone statement."""
+    return f"""
+        WITH RECURSIVE
+        scc_nd AS (SELECT DISTINCT node FROM {nodes_src}),
+        scc_eg AS (
+            SELECT DISTINCT e.src, e.dst FROM {edges_src} e
+            JOIN scc_nd a ON a.node = e.src
+            JOIN scc_nd b ON b.node = e.dst
+            WHERE e.src <> e.dst
+        ),
+        scc_fw(a, b) AS (
+            SELECT node, node FROM scc_nd
+            UNION
+            SELECT f.a, e.dst FROM scc_fw f
+            JOIN scc_eg e ON e.src = f.b
+        ),
+        scc_rep AS (
+            SELECT f.a AS node, MIN(f.b) AS scc
+            FROM scc_fw f
+            JOIN scc_fw g ON g.a = f.b AND g.b = f.a
+            GROUP BY 1
+        )
+        SELECT node, scc,
+               CAST(COUNT(*) OVER (PARTITION BY scc) AS BIGINT)
+                   AS scc_size
+        FROM scc_rep
+    """
