@@ -3024,16 +3024,11 @@ _FRECHET_PAIRS_SQL = f"""(
 )"""
 
 
-def q_frechet_tracks(spark, sf_dir):
-    """Discrete Fréchet distance between user trajectories
-    (spatial.frechet_pairs) — the ORDER-AWARE sibling of
-    hausdorff_tracks over the same drift geocode, capped at 16 points
-    per track (the DuckDB twin unrolls the DP by anti-diagonals into
-    2·16−1 chained CTEs, so the contract cap is the twin's unroll
-    budget; the operator itself takes up to 4096).  Candidate pairs
-    are users sharing a 2° cell; each pair carries two ≤16-point
-    ordered arrays into one Arrow-batched DP — the leash walk stays
-    local, pairs parallelize."""
+def _drift_track_inputs(spark, sf_dir):
+    """Shared (pts, pairs) build for the ordered track-DP contract
+    entries (frechet_tracks / dtw_tracks): ≤16-point drift-geocode
+    trajectories per user, candidate pairs = users sharing a 2° cell
+    (mirrors _FRECHET_PTS_SQL / _FRECHET_PAIRS_SQL)."""
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     rn = F.row_number().over(
         W.partitionBy("user_id").orderBy("ts", "event_id")
@@ -3070,7 +3065,37 @@ def q_frechet_tracks(spark, sf_dir):
         )
         .distinct()
     )
+    return pts, pairs
+
+
+def q_frechet_tracks(spark, sf_dir):
+    """Discrete Fréchet distance between user trajectories
+    (spatial.frechet_pairs) — the ORDER-AWARE sibling of
+    hausdorff_tracks over the same drift geocode, capped at 16 points
+    per track (the DuckDB twin unrolls the DP by anti-diagonals into
+    2·16−1 chained CTEs, so the contract cap is the twin's unroll
+    budget; the operator itself takes up to 4096).  Candidate pairs
+    are users sharing a 2° cell; each pair carries two ≤16-point
+    ordered arrays into one Arrow-batched DP — the leash walk stays
+    local, pairs parallelize."""
+    pts, pairs = _drift_track_inputs(spark, sf_dir)
     return spatial.frechet_pairs(
+        pts, pairs, entity_col="entity", max_points=FRECHET_MAX_RN
+    )
+
+
+def q_dtw_tracks(spark, sf_dir):
+    """Dynamic-time-warping distance between user trajectories
+    (spatial.dtw_pairs) — the ACCUMULATING sibling of frechet_tracks
+    over the identical drift-geocode inputs: Fréchet scores the worst
+    leash on the optimal monotone walk, DTW the TOTAL squared
+    deviation, so consistent small offsets (and the rn/25 lat jumps)
+    add up instead of being dominated by one extremum.  Same
+    per-pair Arrow-batched DP, same anti-diagonal DuckDB twin with
+    the sum recurrence; the int64 path-sum bound is loud in both
+    engines (operator raises, BIGINT twin raises)."""
+    pts, pairs = _drift_track_inputs(spark, sf_dir)
+    return spatial.dtw_pairs(
         pts, pairs, entity_col="entity", max_points=FRECHET_MAX_RN
     )
 
@@ -5112,6 +5137,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stay_points": q_stay_points,
         "hausdorff_tracks": q_hausdorff_tracks,
         "frechet_tracks": q_frechet_tracks,
+        "dtw_tracks": q_dtw_tracks,
         "turn_stats": q_turn_stats,
         "resample_track": q_resample_track,
         "cusum_split": q_cusum_split,
@@ -8620,6 +8646,10 @@ def oracle_sql() -> dict[str, str]:
             _HAUS_PTS_SQL, _HAUS_PAIRS_SQL
         ),
         "frechet_tracks": spatial.frechet_pairs_sql(
+            _FRECHET_PTS_SQL, _FRECHET_PAIRS_SQL,
+            max_points=FRECHET_MAX_RN,
+        ),
+        "dtw_tracks": spatial.dtw_pairs_sql(
             _FRECHET_PTS_SQL, _FRECHET_PAIRS_SQL,
             max_points=FRECHET_MAX_RN,
         ),

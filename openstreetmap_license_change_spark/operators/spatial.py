@@ -7002,6 +7002,71 @@ def hausdorff_pairs_sql(
     """
 
 
+def _paired_tracks(
+    points: DataFrame,
+    pairs: DataFrame,
+    entity_col: str,
+    lon_col: str,
+    lat_col: str,
+    order_col: str,
+    scale: int,
+    max_points: int,
+    op_name: str,
+) -> DataFrame:
+    """Shared candidate-pair track materialization for the ordered
+    track-DP family (frechet_pairs / dtw_pairs): quantize once, build
+    per-entity ordered coordinate arrays behind a LOUD ``max_points``
+    guard (every DP is O(|A|·|B|) per pair — a monster track would go
+    quadratic silently), attach both arrays to each candidate pair.
+    Returns (id_a, id_b, _ax, _ay, _bx, _by)."""
+    if scale > 1_000_000:
+        raise ValueError("scale > 1e6 overflows the int64 d² bound")
+    if not 2 <= max_points <= 4_096:
+        raise ValueError(f"max_points out of range: {max_points}")
+    sc = F.lit(float(scale))
+    pts = points.select(
+        F.col(entity_col).alias("_e"),
+        F.col(order_col).alias("_o"),
+        F.round(F.col(lon_col) * sc).cast("bigint").alias("_x"),
+        F.round(F.col(lat_col) * sc).cast("bigint").alias("_y"),
+    )
+    ok = F.assert_true(
+        F.size("_trk") <= F.lit(int(max_points)),
+        F.lit(
+            f"{op_name}: an entity exceeds max_points="
+            f"{max_points}; segment or downsample tracks first"
+        ),
+    )
+    tracks = (
+        pts.groupBy("_e")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("_o", "_x", "_y"))
+            ).alias("_trk")
+        )
+        .select("_e", F.when(ok.isNull(), F.col("_trk")).alias("_trk"))
+    )
+    return (
+        pairs.select("id_a", "id_b")
+        .join(
+            tracks.select(
+                F.col("_e").alias("id_a"),
+                F.col("_trk._x").alias("_ax"),
+                F.col("_trk._y").alias("_ay"),
+            ),
+            "id_a",
+        )
+        .join(
+            tracks.select(
+                F.col("_e").alias("id_b"),
+                F.col("_trk._x").alias("_bx"),
+                F.col("_trk._y").alias("_by"),
+            ),
+            "id_b",
+        )
+    )
+
+
 def frechet_pairs(
     points: DataFrame,
     pairs: DataFrame,
@@ -7028,15 +7093,15 @@ def frechet_pairs(
 
     Scale design: the DP is inherently sequential per pair, so tracks
     materialize ONCE as per-entity ordered arrays (one groupBy; LOUD
-    ``max_points`` guard — the DP is O(|A|·|B|) per pair and a
-    monster track would go quadratic silently) and candidate pairs
-    each carry two ≤ max_points arrays into an Arrow-batched
-    ``mapInPandas`` DP — pairs parallelize, the walk stays local,
-    nothing shuffles per DP cell.  The DuckDB twin unrolls the SAME
-    recurrence by ANTI-DIAGONALS (dp cells with i+j = k as the k-th
-    chained CTE — the pagerank-unroll pattern applied to dynamic
-    programming), a different execution shape, so the recurrence is
-    what gets verified.
+    ``max_points`` guard — shared with :func:`dtw_pairs` via
+    ``_paired_tracks``) and candidate pairs each carry two
+    ≤ max_points arrays into an Arrow-batched ``mapInPandas`` DP —
+    pairs parallelize, the walk stays local, nothing shuffles per DP
+    cell.  The DuckDB twin unrolls the SAME recurrence by
+    ANTI-DIAGONALS (dp cells with i+j = k as the k-th chained CTE —
+    the pagerank-unroll pattern applied to dynamic programming), a
+    different execution shape, so the recurrence is what gets
+    verified.
 
     ``order_col`` must totally order each track (ties would make the
     walk ambiguous; quantized duplicates are fine — unlike Hausdorff
@@ -7044,51 +7109,9 @@ def frechet_pairs(
     (id_a, id_b, n_a, n_b, frechet_q)."""
     import pandas as _pd
 
-    if scale > 1_000_000:
-        raise ValueError("scale > 1e6 overflows the int64 d² bound")
-    if not 2 <= max_points <= 4_096:
-        raise ValueError(f"max_points out of range: {max_points}")
-    sc = F.lit(float(scale))
-    pts = points.select(
-        F.col(entity_col).alias("_e"),
-        F.col(order_col).alias("_o"),
-        F.round(F.col(lon_col) * sc).cast("bigint").alias("_x"),
-        F.round(F.col(lat_col) * sc).cast("bigint").alias("_y"),
-    )
-    ok = F.assert_true(
-        F.size("_trk") <= F.lit(int(max_points)),
-        F.lit(
-            f"frechet_pairs: an entity exceeds max_points="
-            f"{max_points}; segment or downsample tracks first"
-        ),
-    )
-    tracks = (
-        pts.groupBy("_e")
-        .agg(
-            F.array_sort(
-                F.collect_list(F.struct("_o", "_x", "_y"))
-            ).alias("_trk")
-        )
-        .select("_e", F.when(ok.isNull(), F.col("_trk")).alias("_trk"))
-    )
-    joined = (
-        pairs.select("id_a", "id_b")
-        .join(
-            tracks.select(
-                F.col("_e").alias("id_a"),
-                F.col("_trk._x").alias("_ax"),
-                F.col("_trk._y").alias("_ay"),
-            ),
-            "id_a",
-        )
-        .join(
-            tracks.select(
-                F.col("_e").alias("id_b"),
-                F.col("_trk._x").alias("_bx"),
-                F.col("_trk._y").alias("_by"),
-            ),
-            "id_b",
-        )
+    joined = _paired_tracks(
+        points, pairs, entity_col, lon_col, lat_col, order_col,
+        scale, max_points, "frechet_pairs",
     )
 
     def run(batches):
@@ -7139,24 +7162,115 @@ def frechet_pairs(
     return joined.mapInPandas(run, schema=schema)
 
 
-def frechet_pairs_sql(
-    points_src: str,
-    pairs_src: str,
+def dtw_pairs(
+    points: DataFrame,
+    pairs: DataFrame,
     entity_col: str = "entity",
     lon_col: str = "lon",
     lat_col: str = "lat",
     order_col: str = "seq",
     scale: int = 1_000_000,
-    max_points: int = 16,
+    max_points: int = 64,
+) -> DataFrame:
+    """Dynamic-time-warping distance (sum of squared deviations,
+    fixed-point) between ORDERED tracks for candidate pairs — the
+    accumulating sibling of :func:`frechet_pairs`: Fréchet scores a
+    walk by its WORST leash (one outlier fix dominates), DTW by the
+    TOTAL squared deviation along the optimal monotone alignment, so
+    consistent small offsets and time-axis stretching are what it
+    measures:
+
+        dtw(i,j) = d²(i,j) + min(dp(i−1,j), dp(i,j−1), dp(i−1,j−1))
+
+    Exact integers with an OVERFLOW-LOUD bound: unlike the max-based
+    Fréchet, DTW *sums* up to n+m−1 cells, so the kernel checks
+    (n+m−1)·max d² < 2⁶³ per pair and raises rather than let numpy
+    wrap silently (the DuckDB twin's BIGINT arithmetic raises on its
+    own, so both engines fail loud instead of diverging).  Same
+    track materialization, guard, and Arrow-batched per-pair DP as
+    Fréchet (``_paired_tracks``); the twin unrolls by anti-diagonals
+    with the sum recurrence.  Returns
+    (id_a, id_b, n_a, n_b, dtw_q)."""
+    import pandas as _pd
+
+    joined = _paired_tracks(
+        points, pairs, entity_col, lon_col, lat_col, order_col,
+        scale, max_points, "dtw_pairs",
+    )
+
+    def run(batches):
+        import numpy as np
+
+        for pdf in batches:
+            recs = []
+            for ida, idb, ax, ay, bx, by in zip(
+                pdf["id_a"], pdf["id_b"], pdf["_ax"], pdf["_ay"],
+                pdf["_bx"], pdf["_by"],
+            ):
+                ax = np.asarray(ax, dtype=np.int64)
+                ay = np.asarray(ay, dtype=np.int64)
+                bx = np.asarray(bx, dtype=np.int64)
+                by = np.asarray(by, dtype=np.int64)
+                n, m = len(ax), len(bx)
+                d = (
+                    (ax[:, None] - bx[None, :]) ** 2
+                    + (ay[:, None] - by[None, :]) ** 2
+                )
+                if (n + m - 1) * int(d.max()) >= 2**63:
+                    raise ValueError(
+                        "dtw_pairs: path-sum bound (n+m-1)*max_d2 "
+                        "overflows int64; shrink scale or track span"
+                    )
+                dp = np.empty((n, m), dtype=np.int64)
+                dp[0, 0] = d[0, 0]
+                for i in range(1, n):
+                    dp[i, 0] = dp[i - 1, 0] + d[i, 0]
+                for j in range(1, m):
+                    dp[0, j] = dp[0, j - 1] + d[0, j]
+                for i in range(1, n):
+                    row_d, prev, cur = d[i], dp[i - 1], dp[i]
+                    for j in range(1, m):
+                        best = prev[j]
+                        if prev[j - 1] < best:
+                            best = prev[j - 1]
+                        if cur[j - 1] < best:
+                            best = cur[j - 1]
+                        cur[j] = best + row_d[j]
+                recs.append(
+                    (int(ida), int(idb), n, m, int(dp[n - 1, m - 1]))
+                )
+            yield _pd.DataFrame(
+                recs,
+                columns=["id_a", "id_b", "n_a", "n_b", "dtw_q"],
+            )
+
+    schema = (
+        "id_a bigint, id_b bigint, n_a bigint, n_b bigint, "
+        "dtw_q bigint"
+    )
+    return joined.mapInPandas(run, schema=schema)
+
+
+def _track_dp_sql(
+    points_src: str,
+    pairs_src: str,
+    entity_col: str,
+    lon_col: str,
+    lat_col: str,
+    order_col: str,
+    scale: int,
+    max_points: int,
+    cell_fmt: str,
+    base_fmt: str,
+    out_col: str,
 ) -> str:
-    """DuckDB twin of :func:`frechet_pairs`, the DP unrolled by
-    ANTI-DIAGONALS: chained CTE k holds dp cells with i+j = k,
-    computed from diagonals k−1 (left, up) and k−2 (diagonal) — out-
-    of-range predecessors are NULL and LEAST ignores them (both
-    engines' semantics).  2·max_points−1 CTEs; tracks longer than
-    ``max_points`` would silently lose cells, so size the parameter
-    to the corpus (the operator's guard is the loud one).
-    Standalone statement; fp_*-namespaced CTEs."""
+    """Shared anti-diagonal DP unroll for the ordered track-DP twins:
+    chained CTE k holds dp cells with i+j = k, computed from diagonals
+    k−1 (left, up) and k−2 (diagonal) — out-of-range predecessors are
+    NULL and LEAST ignores them (both engines' semantics).
+    ``cell_fmt`` interpolates {d2} and {least} into the recurrence
+    cell; 2·max_points−1 CTEs.  Standalone statement; fp_*-namespaced
+    CTEs."""
     if scale > 1_000_000:
         raise ValueError("scale > 1e6 overflows the int64 d² bound")
     if not 2 <= max_points <= 64:
@@ -7182,9 +7296,9 @@ def frechet_pairs_sql(
             JOIN fp_pts a ON a._e = p.id_a
             JOIN fp_pts b ON b._e = p.id_b
         )""",
-        """fp_dp0 AS MATERIALIZED (
-            SELECT id_a, id_b, i, j, d2 AS v FROM fp_d
-            WHERE i = 0 AND j = 0
+        f"""fp_dp0 AS MATERIALIZED (
+            SELECT id_a, id_b, i, j, {base_fmt.format(d2='d2')} AS v
+            FROM fp_d WHERE i = 0 AND j = 0
         )""",
     ]
     for k in range(1, kmax + 1):
@@ -7198,9 +7312,12 @@ def frechet_pairs_sql(
             else ""
         )
         diag_val = "dg.v" if p2 else "NULL"
+        cell = cell_fmt.format(
+            d2="c.d2", least=f"LEAST(up.v, lf.v, {diag_val})"
+        )
         ctes.append(f"""fp_dp{k} AS MATERIALIZED (
             SELECT c.id_a, c.id_b, c.i, c.j,
-                   GREATEST(c.d2, LEAST(up.v, lf.v, {diag_val})) AS v
+                   {cell} AS v
             FROM fp_d c
             LEFT JOIN {p1} up ON up.id_a = c.id_a
                 AND up.id_b = c.id_b AND up.i = c.i - 1 AND up.j = c.j
@@ -7218,12 +7335,59 @@ def frechet_pairs_sql(
         SELECT t.id_a, t.id_b,
                CAST(ca._n AS BIGINT) AS n_a,
                CAST(cb._n AS BIGINT) AS n_b,
-               CAST(t.v AS BIGINT) AS frechet_q
+               CAST(t.v AS BIGINT) AS {out_col}
         FROM fp_all t
         JOIN fp_cnt ca ON ca._e = t.id_a
         JOIN fp_cnt cb ON cb._e = t.id_b
         WHERE t.i = ca._n - 1 AND t.j = cb._n - 1
     """
+    )
+
+
+def frechet_pairs_sql(
+    points_src: str,
+    pairs_src: str,
+    entity_col: str = "entity",
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    order_col: str = "seq",
+    scale: int = 1_000_000,
+    max_points: int = 16,
+) -> str:
+    """DuckDB twin of :func:`frechet_pairs` (anti-diagonal unroll of
+    the max/min leash recurrence via ``_track_dp_sql``).  Tracks
+    longer than ``max_points`` would silently lose cells, so size the
+    parameter to the corpus (the operator's guard is the loud one).
+    Standalone statement."""
+    return _track_dp_sql(
+        points_src, pairs_src, entity_col, lon_col, lat_col,
+        order_col, scale, max_points,
+        cell_fmt="GREATEST({d2}, {least})",
+        base_fmt="{d2}",
+        out_col="frechet_q",
+    )
+
+
+def dtw_pairs_sql(
+    points_src: str,
+    pairs_src: str,
+    entity_col: str = "entity",
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    order_col: str = "seq",
+    scale: int = 1_000_000,
+    max_points: int = 16,
+) -> str:
+    """DuckDB twin of :func:`dtw_pairs` (anti-diagonal unroll of the
+    accumulating recurrence via ``_track_dp_sql``; BIGINT sums raise
+    on overflow, mirroring the operator's loud path-sum bound).
+    Standalone statement."""
+    return _track_dp_sql(
+        points_src, pairs_src, entity_col, lon_col, lat_col,
+        order_col, scale, max_points,
+        cell_fmt="{d2} + {least}",
+        base_fmt="{d2}",
+        out_col="dtw_q",
     )
 
 
