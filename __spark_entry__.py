@@ -3100,6 +3100,26 @@ def q_dtw_tracks(spark, sf_dir):
     )
 
 
+EDR_EPS_DEG = 0.6
+
+
+def q_edr_tracks(spark, sf_dir):
+    """Edit Distance on Real sequences between user trajectories
+    (spatial.edr_pairs) — the OUTLIER-ROBUST closer of the track-DP
+    trio over the identical drift-geocode inputs: a fix either
+    matches within 0.6° (cost 0) or costs exactly one edit, so the
+    drift geocode's half-degree lat neighbors alignment-match while
+    integer-degree lon offsets substitute — the result is a small
+    edit count, not a distance a single extremum can dominate.  The
+    ε-match compares quantized int64 d² against round(ε·10⁶)² in both
+    engines — no float tolerance can drift between them."""
+    pts, pairs = _drift_track_inputs(spark, sf_dir)
+    return spatial.edr_pairs(
+        pts, pairs, entity_col="entity", eps=EDR_EPS_DEG,
+        max_points=FRECHET_MAX_RN,
+    )
+
+
 RESAMPLE_STEP_S = 900
 
 
@@ -5138,6 +5158,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hausdorff_tracks": q_hausdorff_tracks,
         "frechet_tracks": q_frechet_tracks,
         "dtw_tracks": q_dtw_tracks,
+        "edr_tracks": q_edr_tracks,
         "turn_stats": q_turn_stats,
         "resample_track": q_resample_track,
         "cusum_split": q_cusum_split,
@@ -8652,6 +8673,10 @@ def oracle_sql() -> dict[str, str]:
         "dtw_tracks": spatial.dtw_pairs_sql(
             _FRECHET_PTS_SQL, _FRECHET_PAIRS_SQL,
             max_points=FRECHET_MAX_RN,
+        ),
+        "edr_tracks": spatial.edr_pairs_sql(
+            _FRECHET_PTS_SQL, _FRECHET_PAIRS_SQL,
+            eps=EDR_EPS_DEG, max_points=FRECHET_MAX_RN,
         ),
         "stay_points": spatial.stay_points_sql(
             _STAY_PTS_SQL, "user_id", "ts",

@@ -7268,8 +7268,10 @@ def _track_dp_sql(
     chained CTE k holds dp cells with i+j = k, computed from diagonals
     k−1 (left, up) and k−2 (diagonal) — out-of-range predecessors are
     NULL and LEAST ignores them (both engines' semantics).
-    ``cell_fmt`` interpolates {d2} and {least} into the recurrence
-    cell; 2·max_points−1 CTEs.  Standalone statement; fp_*-namespaced
+    ``cell_fmt`` interpolates {d2}, {up}, {lf}, {dg} into the
+    recurrence cell (the cell's own ``c.i``/``c.j`` are in scope for
+    recurrences with virtual edge terms, e.g. EDR's dp(i,−1)=i+1);
+    2·max_points−1 CTEs.  Standalone statement; fp_*-namespaced
     CTEs."""
     if scale > 1_000_000:
         raise ValueError("scale > 1e6 overflows the int64 d² bound")
@@ -7313,7 +7315,7 @@ def _track_dp_sql(
         )
         diag_val = "dg.v" if p2 else "NULL"
         cell = cell_fmt.format(
-            d2="c.d2", least=f"LEAST(up.v, lf.v, {diag_val})"
+            d2="c.d2", up="up.v", lf="lf.v", dg=diag_val
         )
         ctes.append(f"""fp_dp{k} AS MATERIALIZED (
             SELECT c.id_a, c.id_b, c.i, c.j,
@@ -7362,7 +7364,7 @@ def frechet_pairs_sql(
     return _track_dp_sql(
         points_src, pairs_src, entity_col, lon_col, lat_col,
         order_col, scale, max_points,
-        cell_fmt="GREATEST({d2}, {least})",
+        cell_fmt="GREATEST({d2}, LEAST({up}, {lf}, {dg}))",
         base_fmt="{d2}",
         out_col="frechet_q",
     )
@@ -7385,9 +7387,137 @@ def dtw_pairs_sql(
     return _track_dp_sql(
         points_src, pairs_src, entity_col, lon_col, lat_col,
         order_col, scale, max_points,
-        cell_fmt="{d2} + {least}",
+        cell_fmt="{d2} + LEAST({up}, {lf}, {dg})",
         base_fmt="{d2}",
         out_col="dtw_q",
+    )
+
+
+def edr_pairs(
+    points: DataFrame,
+    pairs: DataFrame,
+    entity_col: str = "entity",
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    order_col: str = "seq",
+    eps: float = 1e-4,
+    scale: int = 1_000_000,
+    max_points: int = 64,
+) -> DataFrame:
+    """Edit Distance on Real sequences between ORDERED tracks for
+    candidate pairs — the OUTLIER-ROBUST member of the track-DP trio:
+    Fréchet scores the worst leash (one GPS glitch dominates), DTW
+    sums every deviation (a glitch still pays its full squared cost),
+    EDR counts EDITS — a point either matches within ``eps`` (cost 0)
+    or costs exactly 1 (substitute/insert/delete), so a single wild
+    fix costs 1 regardless of how far it jumped:
+
+        dp(i,j) = min(dp(i−1,j−1) + [d²(i,j) > ε²],
+                      dp(i−1,j) + 1, dp(i,j−1) + 1)
+        dp(i,−1) = i+1,  dp(−1,j) = j+1  (virtual empty-prefix edges)
+
+    Exact integers throughout: the match test compares quantized
+    int64 d² against round(eps·scale)² — no floats, no tolerance
+    drift between engines — and dp values are bounded by n+m, so
+    overflow is impossible (unlike DTW's loud path-sum bound).
+
+    Same track materialization, guard, and Arrow-batched per-pair DP
+    as its siblings (``_paired_tracks``); the DuckDB twin unrolls the
+    SAME recurrence by anti-diagonals with the virtual edge terms
+    expressed as COALESCE over the out-of-range diagonal.  Returns
+    (id_a, id_b, n_a, n_b, edr_q)."""
+    import pandas as _pd
+
+    if eps <= 0:
+        raise ValueError("eps must be positive")
+    eps_q2 = int(round(eps * scale)) ** 2
+    joined = _paired_tracks(
+        points, pairs, entity_col, lon_col, lat_col, order_col,
+        scale, max_points, "edr_pairs",
+    )
+
+    def run(batches):
+        import numpy as np
+
+        for pdf in batches:
+            recs = []
+            for ida, idb, ax, ay, bx, by in zip(
+                pdf["id_a"], pdf["id_b"], pdf["_ax"], pdf["_ay"],
+                pdf["_bx"], pdf["_by"],
+            ):
+                ax = np.asarray(ax, dtype=np.int64)
+                ay = np.asarray(ay, dtype=np.int64)
+                bx = np.asarray(bx, dtype=np.int64)
+                by = np.asarray(by, dtype=np.int64)
+                n, m = len(ax), len(bx)
+                cost = (
+                    (ax[:, None] - bx[None, :]) ** 2
+                    + (ay[:, None] - by[None, :]) ** 2
+                    > eps_q2
+                ).astype(np.int64)
+                dp = np.empty((n, m), dtype=np.int64)
+                dp[0, 0] = cost[0, 0]
+                for i in range(1, n):
+                    dp[i, 0] = min(dp[i - 1, 0] + 1, i + cost[i, 0])
+                for j in range(1, m):
+                    dp[0, j] = min(dp[0, j - 1] + 1, j + cost[0, j])
+                for i in range(1, n):
+                    row_c, prev, cur = cost[i], dp[i - 1], dp[i]
+                    for j in range(1, m):
+                        best = prev[j - 1] + row_c[j]
+                        if prev[j] + 1 < best:
+                            best = prev[j] + 1
+                        if cur[j - 1] + 1 < best:
+                            best = cur[j - 1] + 1
+                        cur[j] = best
+                recs.append(
+                    (int(ida), int(idb), n, m, int(dp[n - 1, m - 1]))
+                )
+            yield _pd.DataFrame(
+                recs,
+                columns=["id_a", "id_b", "n_a", "n_b", "edr_q"],
+            )
+
+    schema = (
+        "id_a bigint, id_b bigint, n_a bigint, n_b bigint, "
+        "edr_q bigint"
+    )
+    return joined.mapInPandas(run, schema=schema)
+
+
+def edr_pairs_sql(
+    points_src: str,
+    pairs_src: str,
+    entity_col: str = "entity",
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    order_col: str = "seq",
+    eps: float = 1e-4,
+    scale: int = 1_000_000,
+    max_points: int = 16,
+) -> str:
+    """DuckDB twin of :func:`edr_pairs` (anti-diagonal unroll via
+    ``_track_dp_sql``).  The virtual empty-prefix edges dp(i,−1)=i+1
+    / dp(−1,j)=j+1 surface only through the DIAGONAL term of border
+    cells — dp(i,0)'s diagonal predecessor is the virtual dp(i−1,−1)
+    = i — so the cell expression COALESCEs the missing diagonal onto
+    CASE i=0 → j, else i (exactly those virtual values); up/left
+    border terms are NULL and LEAST ignores them, matching the
+    operator's explicit border recurrence.  Standalone statement."""
+    if eps <= 0:
+        raise ValueError("eps must be positive")
+    eps_q2 = int(round(eps * scale)) ** 2
+    edge = "CASE WHEN c.i = 0 THEN c.j ELSE c.i END"
+    return _track_dp_sql(
+        points_src, pairs_src, entity_col, lon_col, lat_col,
+        order_col, scale, max_points,
+        cell_fmt=(
+            "LEAST({up} + 1, {lf} + 1, "
+            f"COALESCE({{dg}}, {edge}) + "
+            f"(CASE WHEN {{d2}} > {eps_q2} THEN 1 ELSE 0 END))"
+        ),
+        base_fmt=f"CASE WHEN {{d2}} > {eps_q2} THEN 1 ELSE 0 END",
+        out_col="edr_q",
     )
 
 
