@@ -2768,6 +2768,21 @@ def q_ks_lang_lengths(spark, sf_dir):
     return evaluation.ks_two_sample(docs, "lang", "n_chars")
 
 
+def q_rank_sum_lengths(spark, sf_dir):
+    """Mann–Whitney rank-sum drift test (evaluation.rank_sum_test):
+    per-language one-vs-rest over document lengths — the DIRECTIONAL
+    companion of ks_lang_lengths (KS detects any CDF gap; the rank
+    sum asks whether the slice sits above or below the rest, which is
+    what 'slice X got shorter' means).  Doubled-U midranks, staged
+    truncating divisions sized for Spark's int64 DIV quotients,
+    tie-corrected z² with the T=0 NULL guard; the pooled cumulative
+    rides the two-level bucket prefix — no unpartitioned window."""
+    from openstreetmap_license_change_spark.operators import evaluation
+
+    docs = pages_src.documents(spark, sf_dir)
+    return evaluation.rank_sum_test(docs, "lang", "n_chars")
+
+
 def q_contact_episodes(spark, sf_dir):
     """Contact episodes (spatial.contact_episodes) over the same
     drift geocode as q_colocation_pairs: maximal runs of consecutive
@@ -5134,6 +5149,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_calibration": q_quality_calibration,
         "bootstrap_doclen": q_bootstrap_doclen,
         "ks_lang_lengths": q_ks_lang_lengths,
+        "rank_sum_lengths": q_rank_sum_lengths,
         "contact_episodes": q_contact_episodes,
         "kn_bigrams": q_kn_bigrams,
         "vocab_drift": q_vocab_drift,
@@ -8488,6 +8504,9 @@ def oracle_sql() -> dict[str, str]:
             "documents", "doc_id", "n_chars", n_reps=20
         ),
         "ks_lang_lengths": evaluation.ks_two_sample_sql(
+            "documents", "lang", "n_chars"
+        ),
+        "rank_sum_lengths": evaluation.rank_sum_test_sql(
             "documents", "lang", "n_chars"
         ),
         "curation_verdict": f"""

@@ -1325,3 +1325,258 @@ def ks_two_sample_sql(
                CAST(v AS BIGINT) AS d_at
         FROM ks_best WHERE rn = 1
     """
+
+
+def rank_sum_test(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    n_buckets: int = 1024,
+) -> DataFrame:
+    """Exact Mann–Whitney rank-sum test, one-vs-rest per group — the
+    LOCATION-drift companion of :func:`ks_two_sample`: KS asks "does
+    this slice's distribution differ ANYWHERE" (supremum of CDF gap),
+    the rank-sum asks the sharper directional question "does this
+    slice's values tend to sit ABOVE or BELOW the rest" — which is
+    what a curation pipeline usually means by drift (slice X's docs
+    got shorter / lower-quality than the corpus).
+
+    Integer discipline — U doubled so midrank ties stay integral
+    (``value_col`` must be integral: lengths, counts, scaled scores —
+    the house discipline; cast upstream):
+
+        2U = Σ_v c_in(v) · (2·rest_below(v) + rest_at(v))
+        rest_below(v) = cum_tot(<v) − cum_in(<v)
+
+    plus the common-language effect size auc_ppm = U/(n_in·n_rest)
+    (= P(in > rest) + ½P(=), exactly roc_auc's quantity with the
+    rest-of-corpus as the negative class) and the tie-corrected
+    normal-approximation z² in ppm:
+
+        Var(U) = n_in·n_rest·T / (12·N·(N−1)),
+        T = (N+1)·N·(N−1) − Σ_v(t_v³−t_v)
+        z² = (U − n_in·n_rest/2)² / Var(U)
+
+    computed as STAGED truncating divisions,
+
+        q2 = (2U − n·m)² DIV (n·m)          (≈ z²·4N/3, exact-ish)
+        tt = T DIV (N·(N−1))                 (tie-corrected N+1 term)
+        z2_ppm = (3·q2·10⁶) DIV (4·tt)
+
+    staged this way because Spark's decimal DIV returns a SILENTLY
+    WRAPPING int64 quotient (measured: decimal(38) DIV produces
+    garbage past 2⁶³) — every quotient above is ≤ n·m, so the test is
+    exact-to-staging for pooled N ≤ 6·10⁹ rows per test (u2 as BIGINT
+    has the same bound); the staging truncation error is sub-ppm
+    (≤ 3/(4N) absolute in z²) and IDENTICAL in both engines.  tt = 0
+    (every pooled value tied, which subsumes N = 1, or ties so heavy
+    the corrected variance rounds to zero at integer precision) makes
+    z2_ppm NULL in BOTH engines by an explicit guard — Spark's
+    DIV-by-zero yields NULL but DuckDB's ``//`` raises, so an
+    unguarded twin would diverge loudly on a degenerate corpus.
+
+    Physical plan — CHEAPER than KS: no group×value grid.  One
+    groupBy((group, value)) histogram; cum_tot(<v) over the pooled
+    distinct values via the house TWO-LEVEL prefix (value-bucket
+    histogram + broadcast triangular offsets + bucket-local window —
+    never an unpartitioned window, the round-1 dense_rank lesson); a
+    per-group window over the group's OWN values for cum_in(<v); one
+    final groupBy(group).  The statistic only jumps at the group's
+    own points, so group cardinality never fans out a grid.
+
+    Single-group inputs have n_rest = 0: auc_ppm/z2_ppm NULL (absence
+    of evidence), u2 = 0 naturally.
+
+    Output: one row per group
+    (``group_col``, n_in, n_rest, u2, auc_ppm, z2_ppm)."""
+    if n_buckets < 2:
+        raise ValueError(f"n_buckets must be ≥ 2, got {n_buckets}")
+    cnt = df.groupBy(group_col, value_col).agg(
+        F.count(F.lit(1)).cast("long").alias("c_in")
+    )
+    vals = cnt.groupBy(value_col).agg(
+        F.sum("c_in").cast("long").alias("tot")
+    )
+    bounds = vals.agg(
+        F.min(value_col).cast("long").alias("_lo"),
+        F.max(value_col).cast("long").alias("_hi"),
+    )
+    vals_b = vals.crossJoin(F.broadcast(bounds)).withColumn(
+        "_rb",
+        F.expr(
+            f"CAST(((CAST({value_col} AS BIGINT) - _lo) "
+            f"* {int(n_buckets)}) "
+            f"DIV (GREATEST(_hi - _lo, 0) + 1) AS BIGINT)"
+        ),
+    )
+    bhist = vals_b.groupBy("_rb").agg(F.sum("tot").alias("_bn"))
+    earlier = bhist.select(
+        F.col("_rb").alias("_prb"), F.col("_bn").alias("_pbn")
+    )
+    prefix = (
+        bhist.join(
+            F.broadcast(earlier), F.col("_prb") < F.col("_rb"), "left"
+        )
+        .groupBy("_rb")
+        .agg(F.coalesce(F.sum("_pbn"), F.lit(0)).alias("_off"))
+    )
+    wb = (
+        Window.partitionBy("_rb")
+        .orderBy(value_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    vals_c = (
+        vals_b.join(F.broadcast(prefix), "_rb")
+        .withColumn(
+            "cumtot_lt",
+            F.col("_off")
+            + F.coalesce(F.sum("tot").over(wb), F.lit(0)),
+        )
+        .select(value_col, "tot", "cumtot_lt")
+    )
+    ties = vals.agg(
+        F.sum(
+            F.col("tot").cast(_DEC) * F.col("tot") * F.col("tot")
+            - F.col("tot")
+        ).alias("tie_cubes"),
+        F.sum("tot").cast("long").alias("n_all"),
+    )
+    wg = (
+        Window.partitionBy(group_col)
+        .orderBy(value_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    scored = (
+        cnt.withColumn(
+            "cumin_lt",
+            F.coalesce(F.sum("c_in").over(wg), F.lit(0)),
+        )
+        .join(vals_c, on=value_col)
+        .groupBy(group_col)
+        .agg(
+            F.sum("c_in").cast("long").alias("n_in"),
+            F.sum(
+                F.col("c_in").cast(_DEC)
+                * (
+                    F.lit(2)
+                    * (F.col("cumtot_lt") - F.col("cumin_lt"))
+                    + (F.col("tot") - F.col("c_in"))
+                )
+            ).alias("u2"),
+        )
+    )
+    t_term = (
+        f"((CAST(n_all AS {_DEC}) + 1) * n_all * (n_all - 1) "
+        f"- tie_cubes)"
+    )
+    r_term = (
+        f"(CAST(u2 AS {_DEC}) "
+        f"- CAST(n_in AS {_DEC}) * (n_all - n_in))"
+    )
+    # GREATEST(·,1): at N=1, T=0 → tt=0 → guard-false — without it the
+    # twin's HUGEINT // would raise on the zero divisor (AND does not
+    # short-circuit in SQL), diverging from Spark's NULL
+    tt_term = (
+        f"({t_term} DIV (CAST(n_all AS {_DEC}) "
+        f"* GREATEST(n_all - 1, 1)))"
+    )
+    return scored.crossJoin(F.broadcast(ties)).selectExpr(
+        group_col,
+        "n_in",
+        "CAST(n_all - n_in AS BIGINT) AS n_rest",
+        "CAST(u2 AS BIGINT) AS u2",
+        f"""CAST(CASE WHEN n_all > n_in THEN
+            (CAST(u2 AS {_DEC}) * 1000000)
+            DIV (CAST(2 AS {_DEC}) * n_in * (n_all - n_in))
+        END AS BIGINT) AS auc_ppm""",
+        f"""CAST(CASE WHEN n_all > n_in AND {tt_term} > 0 THEN
+            (CAST(3 AS {_DEC})
+             * ({r_term} * {r_term}
+                DIV (CAST(n_in AS {_DEC}) * (n_all - n_in)))
+             * 1000000)
+            DIV (CAST(4 AS {_DEC}) * {tt_term})
+        END AS BIGINT) AS z2_ppm""",
+    )
+
+
+def rank_sum_test_sql(src: str, group_col: str, value_col: str) -> str:
+    """DuckDB twin of :func:`rank_sum_test` (histogram collapse,
+    global + per-group below-cumulatives, HUGEINT doubled-U, the
+    identical staged truncating divisions and the identical T = 0
+    NULL guard — DuckDB's ``//`` raises on zero where Spark's DIV is
+    NULL, so the guard is what keeps a degenerate corpus from
+    DIVERGING instead of matching).  The twin's cumulative is a plain
+    window — the two-level prefix is the OPERATOR's physical plan,
+    not part of the semantics being verified.  Standalone."""
+    t_term = (
+        "((CAST(t.n_all AS HUGEINT) + 1) * t.n_all * (t.n_all - 1) "
+        "- t.tie_cubes)"
+    )
+    tt_term = (
+        f"({t_term} // (CAST(t.n_all AS HUGEINT) "
+        f"* GREATEST(t.n_all - 1, 1)))"
+    )
+    return f"""
+        WITH rs_cnt AS (
+            SELECT {group_col} AS g, {value_col} AS v,
+                   CAST(COUNT(*) AS BIGINT) AS c_in
+            FROM {src} GROUP BY 1, 2
+        ),
+        rs_vals AS (
+            SELECT v, CAST(SUM(c_in) AS BIGINT) AS tot
+            FROM rs_cnt GROUP BY 1
+        ),
+        rs_vcum AS (
+            SELECT v, tot,
+                   CAST(COALESCE(SUM(tot) OVER (
+                       ORDER BY v
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND 1 PRECEDING), 0) AS BIGINT) AS cumtot_lt
+            FROM rs_vals
+        ),
+        rs_ties AS (
+            SELECT SUM(CAST(tot AS HUGEINT) * tot * tot - tot)
+                       AS tie_cubes,
+                   CAST(SUM(tot) AS BIGINT) AS n_all
+            FROM rs_vals
+        ),
+        rs_g AS (
+            SELECT g, v, c_in,
+                   CAST(COALESCE(SUM(c_in) OVER (
+                       PARTITION BY g ORDER BY v
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND 1 PRECEDING), 0) AS BIGINT) AS cumin_lt
+            FROM rs_cnt
+        ),
+        rs_u AS (
+            SELECT a.g, CAST(SUM(a.c_in) AS BIGINT) AS n_in,
+                   SUM(CAST(a.c_in AS HUGEINT)
+                       * (2 * (vc.cumtot_lt - a.cumin_lt)
+                          + (vc.tot - a.c_in))) AS u2
+            FROM rs_g a JOIN rs_vcum vc ON vc.v = a.v
+            GROUP BY 1
+        )
+        SELECT u.g AS {group_col}, u.n_in,
+               CAST(t.n_all - u.n_in AS BIGINT) AS n_rest,
+               CAST(u.u2 AS BIGINT) AS u2,
+               CAST(CASE WHEN t.n_all > u.n_in THEN
+                   (CAST(u.u2 AS HUGEINT) * 1000000)
+                   // (CAST(2 AS HUGEINT) * u.n_in
+                       * (t.n_all - u.n_in))
+               END AS BIGINT) AS auc_ppm,
+               CAST(CASE WHEN t.n_all > u.n_in
+                         AND {tt_term} > 0 THEN
+                   (CAST(3 AS HUGEINT)
+                    * ((CAST(u.u2 AS HUGEINT)
+                        - CAST(u.n_in AS HUGEINT)
+                          * (t.n_all - u.n_in))
+                       * (CAST(u.u2 AS HUGEINT)
+                          - CAST(u.n_in AS HUGEINT)
+                            * (t.n_all - u.n_in))
+                       // (CAST(u.n_in AS HUGEINT)
+                           * (t.n_all - u.n_in)))
+                    * 1000000)
+                   // (CAST(4 AS HUGEINT) * {tt_term})
+               END AS BIGINT) AS z2_ppm
+        FROM rs_u u CROSS JOIN rs_ties t
+    """
