@@ -2808,6 +2808,26 @@ def q_contact_episodes(spark, sf_dir):
     )
 
 
+def q_theil_sen_hourly(spark, sf_dir):
+    """Theil–Sen robust activity trend (temporal.theil_sen) per event
+    type over hourly counts — the ESTIMATION companion of tile_trend's
+    Mann–Kendall direction test: the slope is the MEDIAN pairwise
+    slope (ppm/hour), so a single incident hour can't reprice the
+    trend the way it would an OLS fit.  Truncating ppm division
+    (engine-agreed toward-zero), lower medians, loud O(n²) guard on
+    series length (~686 hourly points per type here)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    hourly = (
+        ev.groupBy(
+            "event_type",
+            (F.date_trunc("hour", "ts").cast("long") / 3600)
+            .cast("long").alias("h"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    return temporal_mod.theil_sen(hourly, "event_type", "h", "n")
+
+
 def q_bpe_pairs(spark, sf_dir):
     """First BPE merge round (textops.bpe_pair_counts): adjacent-
     symbol pair counts over the documents corpus, word-frequency
@@ -5150,6 +5170,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bootstrap_doclen": q_bootstrap_doclen,
         "ks_lang_lengths": q_ks_lang_lengths,
         "rank_sum_lengths": q_rank_sum_lengths,
+        "theil_sen_hourly": q_theil_sen_hourly,
         "contact_episodes": q_contact_episodes,
         "kn_bigrams": q_kn_bigrams,
         "vocab_drift": q_vocab_drift,
@@ -8508,6 +8529,14 @@ def oracle_sql() -> dict[str, str]:
         ),
         "rank_sum_lengths": evaluation.rank_sum_test_sql(
             "documents", "lang", "n_chars"
+        ),
+        "theil_sen_hourly": temporal_mod.theil_sen_sql(
+            """(SELECT event_type,
+                       CAST(epoch(date_trunc('hour', ts)) AS BIGINT)
+                           // 3600 AS h,
+                       CAST(COUNT(*) AS BIGINT) AS n
+                FROM events GROUP BY 1, 2)""",
+            "event_type", "h", "n",
         ),
         "curation_verdict": f"""
             SELECT d.doc_id, d.lang, g.flags AS gopher_flags,

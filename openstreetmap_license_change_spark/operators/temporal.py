@@ -2481,3 +2481,186 @@ def gap_fill_sql(
         FROM gf_dense d
         LEFT JOIN gf_agg a ON a.key = d.key AND a.bucket = d.bucket
     """
+
+
+def theil_sen(
+    df: DataFrame,
+    key_col: str,
+    order_col: str,
+    value_col: str,
+    max_points: int = 2_048,
+) -> DataFrame:
+    """Theil–Sen robust line fit per key — the ESTIMATION companion
+    of spatial.tile_trend's Mann–Kendall DIRECTION test: MK says "is
+    there a monotone trend"; Theil–Sen says "how steep is it", with
+    the same outlier immunity (the slope is the MEDIAN of all pairwise
+    slopes, so up to ~29% wild points move it not at all — an OLS
+    slope chases every spike, which on event-rate series means every
+    incident reprices the trend):
+
+        slope_ppm     = median over i<j of (y_j−y_i)·10⁶ DIV (t_j−t_i)
+        intercept_ppm = median over i of (y_i·10⁶ − slope_ppm·t_i)
+
+    Exact integers: DIV truncates toward zero in BOTH engines
+    (measured: Spark DIV and DuckDB // agree at −7/2 = −3; Python
+    mirrors must use trunc, not floor //); medians are LOWER medians
+    (rank (k+1) DIV 2 under slope value order) so no averaging of the
+    two middle elements can reintroduce halves; quotients fit int64
+    for |slope| ≤ 9·10¹².
+
+    Scale design: the pairwise fan is O(n²) per key — inherent to the
+    estimator, NOT hidden: a LOUD ``max_points`` guard raises on any
+    key longer than the cap (default 2048 → ≤ ~2M pairs/key; segment
+    or bucket longer series upstream).  ONE shuffle on the key serves
+    the self-join (both sides share the hash partitioning) and the
+    two median windows; nothing crosses keys.  ``order_col`` must be
+    unique per key (duplicate t would make dt = 0: division by zero
+    in DuckDB, NULL in Spark — the guard raises first).
+
+    Keys with a single point have no pairs: emitted with n_pairs = 0
+    and NULL slope/intercept (absence of evidence).
+
+    Returns (key, n_pts, n_pairs, slope_ppm, intercept_ppm)."""
+    if not 2 <= int(max_points) <= 100_000:
+        raise ValueError(f"max_points out of range: {max_points}")
+    dec = "decimal(38,0)"
+    base = df.select(
+        F.col(key_col).alias("_k"),
+        F.col(order_col).cast("long").alias("_t"),
+        F.col(value_col).cast("long").alias("_y"),
+    )
+    wall = W.partitionBy("_k")
+    guarded = base.withColumn("_n", F.count(F.lit(1)).over(wall)) \
+        .withColumn("_dup", F.count(F.lit(1)).over(
+            W.partitionBy("_k", "_t")))
+    ok = F.when(
+        F.col("_n") > int(max_points),
+        F.raise_error(F.concat(
+            F.lit("theil_sen: key holds "),
+            F.col("_n").cast("string"),
+            F.lit(f" points > max_points={int(max_points)}; "
+                  "segment the series upstream"),
+        )).cast("long"),
+    ).when(
+        F.col("_dup") > 1,
+        F.raise_error(F.concat(
+            F.lit(f"theil_sen: duplicate {order_col} within a key "),
+            F.lit("(dt=0 would divide by zero); aggregate first"),
+        )).cast("long"),
+    ).otherwise(F.lit(0).cast("long"))
+    pts = guarded.select(
+        "_k", (F.col("_t") + ok).alias("_t"), "_y", "_n"
+    )
+    a = pts.select("_k", F.col("_t").alias("_ta"),
+                   F.col("_y").alias("_ya"))
+    b = pts.select("_k", F.col("_t").alias("_tb"),
+                   F.col("_y").alias("_yb"))
+    slopes = (
+        a.join(b, on="_k")
+        .where(F.col("_ta") < F.col("_tb"))
+        .selectExpr(
+            "_k",
+            "_ta", "_tb",
+            f"CAST((CAST(_yb AS {dec}) - _ya) * 1000000 "
+            f"DIV (_tb - _ta) AS BIGINT) AS _s",
+        )
+    )
+    wsl = W.partitionBy("_k").orderBy("_s", "_ta", "_tb")
+    med = (
+        slopes
+        .withColumn("_rn", F.row_number().over(wsl))
+        .withColumn("_np", F.count(F.lit(1)).over(W.partitionBy("_k")))
+        .where(F.col("_rn") == F.expr("(_np + 1) DIV 2"))
+        .select("_k", "_np", F.col("_s").alias("slope_ppm"))
+    )
+    with_slope = pts.join(med, on="_k", how="left")
+    wic = W.partitionBy("_k").orderBy("_b", "_t")
+    icept = (
+        with_slope
+        .where(F.col("slope_ppm").isNotNull())
+        .selectExpr(
+            "_k", "_t",
+            f"CAST(CAST(_y AS {dec}) * 1000000 "
+            f"- CAST(slope_ppm AS {dec}) * _t AS BIGINT) AS _b",
+        )
+        .withColumn("_rn", F.row_number().over(wic))
+        .withColumn("_nn", F.count(F.lit(1)).over(W.partitionBy("_k")))
+        .where(F.col("_rn") == F.expr("(_nn + 1) DIV 2"))
+        .select("_k", F.col("_b").alias("intercept_ppm"))
+    )
+    heads = pts.groupBy("_k").agg(
+        F.max("_n").cast("long").alias("n_pts")
+    )
+    return (
+        heads.join(med, on="_k", how="left")
+        .join(icept, on="_k", how="left")
+        .select(
+            F.col("_k").alias(key_col),
+            "n_pts",
+            F.coalesce(F.col("_np"), F.lit(0))
+            .cast("long").alias("n_pairs"),
+            "slope_ppm",
+            "intercept_ppm",
+        )
+    )
+
+
+def theil_sen_sql(
+    src: str,
+    key_col: str,
+    order_col: str,
+    value_col: str,
+) -> str:
+    """DuckDB twin of :func:`theil_sen` (pairwise-slope self-join,
+    lower-median row_number picks, HUGEINT ppm arithmetic, the same
+    truncating division).  The operator's guards are the loud ones;
+    the twin assumes valid input.  Standalone."""
+    return f"""
+        WITH ts_pts AS (
+            SELECT {key_col} AS k,
+                   CAST({order_col} AS BIGINT) AS t,
+                   CAST({value_col} AS BIGINT) AS y
+            FROM {src}
+        ),
+        ts_slopes AS (
+            SELECT a.k, a.t AS ta, b.t AS tb,
+                   CAST((CAST(b.y AS HUGEINT) - a.y) * 1000000
+                        // (b.t - a.t) AS BIGINT) AS s
+            FROM ts_pts a JOIN ts_pts b
+              ON b.k = a.k AND a.t < b.t
+        ),
+        ts_med AS (
+            SELECT k, np, s AS slope_ppm FROM (
+                SELECT k, s,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY k ORDER BY s, ta, tb) AS rn,
+                       COUNT(*) OVER (PARTITION BY k) AS np
+                FROM ts_slopes
+            ) WHERE rn = (np + 1) // 2
+        ),
+        ts_icept AS (
+            SELECT k, b AS intercept_ppm FROM (
+                SELECT p.k,
+                       CAST(CAST(p.y AS HUGEINT) * 1000000
+                            - CAST(m.slope_ppm AS HUGEINT) * p.t
+                            AS BIGINT) AS b,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY p.k
+                           ORDER BY CAST(p.y AS HUGEINT) * 1000000
+                                    - CAST(m.slope_ppm AS HUGEINT)
+                                      * p.t, p.t) AS rn,
+                       COUNT(*) OVER (PARTITION BY p.k) AS nn
+                FROM ts_pts p JOIN ts_med m ON m.k = p.k
+            ) WHERE rn = (nn + 1) // 2
+        ),
+        ts_heads AS (
+            SELECT k, CAST(COUNT(*) AS BIGINT) AS n_pts
+            FROM ts_pts GROUP BY 1
+        )
+        SELECT h.k AS {key_col}, h.n_pts,
+               CAST(COALESCE(m.np, 0) AS BIGINT) AS n_pairs,
+               m.slope_ppm, i.intercept_ppm
+        FROM ts_heads h
+        LEFT JOIN ts_med m ON m.k = h.k
+        LEFT JOIN ts_icept i ON i.k = h.k
+    """
