@@ -2586,6 +2586,24 @@ def q_events_gap_fill(spark, sf_dir):
     return temporal_mod.gap_fill(ev, key_col="event_type")
 
 
+def q_seasonal_hourly(spark, sf_dir):
+    """Classical additive decomposition of per-type hourly activity
+    (temporal.seasonal_decompose over temporal.gap_fill): the dense
+    hourly grid from gap_fill feeds the 2×24 centered MA, the daily
+    seasonal shape is the per-phase mean of the ×48-scaled detrended
+    series, remainder isolates anomalies — trend/season/anomaly split
+    as one exact-integer composition, gaps carrying explicit zero
+    counts rather than smearing the MA window.  The twin nests
+    gap_fill_sql verbatim as the decompose twin's source, so the
+    COMPOSITION is what the driver hash-verifies."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    dense = temporal_mod.gap_fill(ev, key_col="event_type")
+    return temporal_mod.seasonal_decompose(
+        dense.select("event_type", "bucket", "n_events"),
+        "event_type", "bucket", "n_events", period=24,
+    )
+
+
 def q_emerging_hotspots(spark, sf_dir):
     """Space-time emerging-hotspot classification
     (spatial.emerging_hotspots): Gi* hot/cold flags on the all-time
@@ -5171,6 +5189,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ks_lang_lengths": q_ks_lang_lengths,
         "rank_sum_lengths": q_rank_sum_lengths,
         "theil_sen_hourly": q_theil_sen_hourly,
+        "seasonal_hourly": q_seasonal_hourly,
         "contact_episodes": q_contact_episodes,
         "kn_bigrams": q_kn_bigrams,
         "vocab_drift": q_vocab_drift,
@@ -8529,6 +8548,12 @@ def oracle_sql() -> dict[str, str]:
         ),
         "rank_sum_lengths": evaluation.rank_sum_test_sql(
             "documents", "lang", "n_chars"
+        ),
+        "seasonal_hourly": temporal_mod.seasonal_decompose_sql(
+            "(" + temporal_mod.gap_fill_sql(
+                "events", key_col="event_type"
+            ) + ")",
+            "event_type", "bucket", "n_events", period=24,
         ),
         "theil_sen_hourly": temporal_mod.theil_sen_sql(
             """(SELECT event_type,

@@ -2664,3 +2664,231 @@ def theil_sen_sql(
         LEFT JOIN ts_med m ON m.k = h.k
         LEFT JOIN ts_icept i ON i.k = h.k
     """
+
+
+def seasonal_decompose(
+    df: DataFrame,
+    key_col: str,
+    order_col: str,
+    value_col: str,
+    period: int = 24,
+) -> DataFrame:
+    """Classical additive seasonal decomposition per key — the
+    STRUCTURE-splitting companion of :func:`holt_smoothing` (Holt
+    tracks level+trend forward; this factors a whole regular series
+    into trend + repeating seasonal shape + remainder, which is how
+    an hourly event series separates its daily rhythm from genuine
+    growth and from anomalies):
+
+        trend_t    = centered MA over one period (half-weight ends
+                     when ``period`` is even — the textbook 2×p MA)
+        seasonal_φ = mean of (y − trend) per phase φ = t mod p,
+                     re-centered so the p phase effects sum to ~0
+        remainder  = y − trend − seasonal
+
+    Exact integers: the MA rides a ×2p scaling (trend_2p = ends +
+    2·interior for even p; 2·window for odd), so no division happens
+    until the final ppm projections; every division is a truncating
+    DIV with engine-agreed toward-zero semantics.  Trend (hence
+    remainder) is NULL on the first/last half-period — edge
+    extrapolation is a modeling choice this operator refuses to make
+    silently.
+
+    The series must be REGULAR per key: consecutive ``order_col``
+    with no gaps or duplicates (loud guard — run events_gap_fill
+    first; a silent gap would smear the MA window across missing
+    hours).  Plan: one shuffle on the key serves the lag/lead/window
+    family; the seasonal means are a (key, phase) groupBy re-joined
+    on phase — never a second key-wide pass.
+
+    Returns (key, t, phase, y, trend_ppm, seasonal_ppm,
+    remainder_ppm); seasonal_ppm is present on every row (phases
+    learn from interior rows), trend/remainder NULL at edges."""
+    p = int(period)
+    if not 2 <= p <= 10_000:
+        raise ValueError(f"period out of range: {period}")
+    dec = "decimal(38,0)"
+    h = p // 2
+    base = df.select(
+        F.col(key_col).alias("_k"),
+        F.col(order_col).cast("long").alias("_t"),
+        F.col(value_col).cast("long").alias("_y"),
+    )
+    wall = W.partitionBy("_k")
+    g = (
+        base
+        .withColumn("_n", F.count(F.lit(1)).over(wall))
+        .withColumn("_lo", F.min("_t").over(wall))
+        .withColumn("_hi", F.max("_t").over(wall))
+        .withColumn("_dup", F.count(F.lit(1)).over(
+            W.partitionBy("_k", "_t")))
+    )
+    ok = F.when(
+        (F.col("_hi") - F.col("_lo") + 1 != F.col("_n"))
+        | (F.col("_dup") > 1),
+        F.raise_error(F.concat(
+            F.lit("seasonal_decompose: irregular series for a key "
+                  "(gaps or duplicate "),
+            F.lit(order_col),
+            F.lit("); densify with events_gap_fill first"),
+        )).cast("long"),
+    ).otherwise(F.lit(0).cast("long"))
+    pts = g.select("_k", (F.col("_t") + ok).alias("_t"), "_y")
+    wo = W.partitionBy("_k").orderBy("_t")
+    if p % 2 == 0:
+        interior = (
+            F.sum("_y").over(wo.rowsBetween(-(h - 1), h - 1))
+        )
+        trend2p = F.when(
+            F.lag("_y", h).over(wo).isNotNull()
+            & F.lead("_y", h).over(wo).isNotNull(),
+            F.lag("_y", h).over(wo)
+            + F.lit(2) * interior
+            + F.lead("_y", h).over(wo),
+        )
+    else:
+        cnt_w = F.count("_y").over(wo.rowsBetween(-h, h))
+        trend2p = F.when(
+            cnt_w == F.lit(2 * h + 1),
+            F.lit(2) * F.sum("_y").over(wo.rowsBetween(-h, h)),
+        )
+    t2p = pts.withColumn("_tr2p", trend2p).withColumn(
+        "_phase", F.pmod(F.col("_t"), F.lit(p)).cast("long")
+    )
+    det = t2p.withColumn(
+        "_det2p",
+        F.when(
+            F.col("_tr2p").isNotNull(),
+            F.lit(2 * p) * F.col("_y") - F.col("_tr2p"),
+        ),
+    )
+    seas_raw = (
+        det.where(F.col("_det2p").isNotNull())
+        .groupBy("_k", "_phase")
+        .agg(
+            F.sum(F.col("_det2p").cast(dec)).alias("_sd"),
+            F.count(F.lit(1)).cast("long").alias("_cd"),
+        )
+        .selectExpr(
+            "_k", "_phase",
+            f"CAST((_sd * 1000000) DIV (CAST({2 * p} AS {dec}) * _cd)"
+            f" AS BIGINT) AS _sraw",
+        )
+    )
+    wk = W.partitionBy("_k")
+    seas = seas_raw.select(
+        "_k", "_phase",
+        (
+            F.col("_sraw")
+            - F.expr(
+                f"CAST(SUM(CAST(_sraw AS {dec})) "
+                f"OVER (PARTITION BY _k) DIV "
+                f"COUNT(*) OVER (PARTITION BY _k) AS BIGINT)"
+            )
+        ).alias("seasonal_ppm"),
+    )
+    out = (
+        det.join(seas, on=["_k", "_phase"], how="left")
+        .selectExpr(
+            "_k", "_t", "_phase", "_y",
+            f"CAST((CAST(_tr2p AS {dec}) * 1000000) "
+            f"DIV {2 * p} AS BIGINT) AS trend_ppm",
+            "seasonal_ppm",
+        )
+        .selectExpr(
+            f"_k AS {key_col}",
+            f"_t AS {order_col}",
+            "_phase AS phase",
+            f"_y AS {value_col}",
+            "trend_ppm",
+            "seasonal_ppm",
+            f"CAST(CASE WHEN trend_ppm IS NOT NULL THEN "
+            f"CAST(_y AS {dec}) * 1000000 - trend_ppm "
+            f"- COALESCE(seasonal_ppm, 0) END AS BIGINT)"
+            f" AS remainder_ppm",
+        )
+    )
+    return out
+
+
+def seasonal_decompose_sql(
+    src: str,
+    key_col: str,
+    order_col: str,
+    value_col: str,
+    period: int = 24,
+) -> str:
+    """DuckDB twin of :func:`seasonal_decompose` (2×p centered MA via
+    lag/lead + interior window sum, per-phase HUGEINT means, the same
+    truncating divisions and re-centering).  Assumes regular series —
+    the operator's guard is the loud one.  Standalone."""
+    p = int(period)
+    if not 2 <= p <= 10_000:
+        raise ValueError(f"period out of range: {period}")
+    h = p // 2
+    if p % 2 == 0:
+        tr = f"""CASE WHEN LAG(y, {h}) OVER wo IS NOT NULL
+                      AND LEAD(y, {h}) OVER wo IS NOT NULL THEN
+                 LAG(y, {h}) OVER wo
+                 + 2 * SUM(y) OVER (PARTITION BY k ORDER BY t
+                       ROWS BETWEEN {h - 1} PRECEDING
+                       AND {h - 1} FOLLOWING)
+                 + LEAD(y, {h}) OVER wo END"""
+    else:
+        tr = f"""CASE WHEN COUNT(y) OVER ww = {2 * h + 1} THEN
+                 2 * SUM(y) OVER ww END"""
+    return f"""
+        WITH sd_pts AS (
+            SELECT {key_col} AS k,
+                   CAST({order_col} AS BIGINT) AS t,
+                   CAST({value_col} AS BIGINT) AS y
+            FROM {src}
+        ),
+        sd_tr AS (
+            SELECT k, t, y,
+                   CAST(t % {p} + CASE WHEN t % {p} < 0
+                        THEN {p} ELSE 0 END AS BIGINT) AS phase,
+                   {tr} AS tr2p
+            FROM sd_pts
+            WINDOW wo AS (PARTITION BY k ORDER BY t),
+                   ww AS (PARTITION BY k ORDER BY t
+                          ROWS BETWEEN {h} PRECEDING
+                          AND {h} FOLLOWING)
+        ),
+        sd_det AS (
+            SELECT k, t, y, phase,
+                   tr2p,
+                   CASE WHEN tr2p IS NOT NULL
+                        THEN {2 * p} * y - tr2p END AS det2p
+            FROM sd_tr
+        ),
+        sd_seas_raw AS (
+            SELECT k, phase,
+                   CAST((SUM(CAST(det2p AS HUGEINT)) * 1000000)
+                        // (CAST({2 * p} AS HUGEINT) * COUNT(*))
+                        AS BIGINT) AS sraw
+            FROM sd_det WHERE det2p IS NOT NULL
+            GROUP BY 1, 2
+        ),
+        sd_seas AS (
+            SELECT k, phase,
+                   CAST(sraw - SUM(CAST(sraw AS HUGEINT))
+                        OVER (PARTITION BY k)
+                        // COUNT(*) OVER (PARTITION BY k)
+                        AS BIGINT) AS seasonal_ppm
+            FROM sd_seas_raw
+        )
+        SELECT d.k AS {key_col}, d.t AS {order_col}, d.phase,
+               d.y AS {value_col},
+               CAST((CAST(d.tr2p AS HUGEINT) * 1000000)
+                    // {2 * p} AS BIGINT) AS trend_ppm,
+               s.seasonal_ppm,
+               CAST(CASE WHEN d.tr2p IS NOT NULL THEN
+                    CAST(d.y AS HUGEINT) * 1000000
+                    - (CAST(d.tr2p AS HUGEINT) * 1000000)
+                      // {2 * p}
+                    - COALESCE(s.seasonal_ppm, 0)
+               END AS BIGINT) AS remainder_ppm
+        FROM sd_det d
+        LEFT JOIN sd_seas s ON s.k = d.k AND s.phase = d.phase
+    """
