@@ -1709,6 +1709,57 @@ def q_idw_cells(spark, sf_dir):
     )
 
 
+POLY_VALID_MAX_RN = 8
+
+
+def q_polygon_validity(spark, sf_dir):
+    """OGC-style validity report (spatial.polygon_validity) over
+    per-user rings built from each user's first ≤8 events: lon walks
+    forward; lat is a concave parabola for user_id % 4 == 0 — a
+    SIMPLE valid ring closed under its chain — and a residue-stride
+    zigzag otherwise (bowties/spikes/degenerates), so the layer
+    structurally mixes all four verdict classes — exactly the dirty layer the pip_*/polygon_stats
+    operators silently assume away.  Exact quantized orientation
+    predicates; proper crossings by SIGN comparison (a product of two
+    cross terms would overflow int64); closing-vertex normalization;
+    adjacent-pair spike test."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    rn = F.row_number().over(
+        W.partitionBy("user_id").orderBy("ts", "event_id")
+    )
+    pts = (
+        ev.select("user_id", "ts", "event_id", rn.alias("rn"))
+        .where(F.col("rn") <= POLY_VALID_MAX_RN)
+        .select(
+            F.col("user_id").alias("polygon_id"),
+            F.col("rn").alias("seq"),
+            (F.lit(0.002) * F.col("rn")).alias("lon"),
+            (F.lit(0.001) * F.when(
+                F.pmod(F.col("user_id"), F.lit(4)) == 0,
+                F.col("rn") * (F.lit(8) - F.col("rn")),
+            ).otherwise(F.pmod(
+                F.col("rn") * (F.lit(1) + F.pmod(F.col("user_id"),
+                                                 F.lit(4))),
+                F.lit(7),
+            ))).alias("lat"),
+        )
+    )
+    return spatial.polygon_validity(pts)
+
+
+_POLY_VALID_PTS_SQL = """(
+    SELECT user_id AS polygon_id, rn AS seq,
+           0.002 * rn AS lon,
+           0.001 * (CASE WHEN user_id % 4 = 0 THEN rn * (8 - rn)
+                    ELSE (rn * (1 + user_id % 4)) % 7 END) AS lat
+    FROM (SELECT user_id,
+                 ROW_NUMBER() OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS rn
+          FROM events) t
+    WHERE rn <= 8
+)"""
+
+
 def q_convex_hull(spark, sf_dir):
     """Exact minimal convex hull per 30° supercell
     (hull.convex_hull): Arrow-batched monotone chain over integer-
@@ -5190,6 +5241,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rank_sum_lengths": q_rank_sum_lengths,
         "theil_sen_hourly": q_theil_sen_hourly,
         "seasonal_hourly": q_seasonal_hourly,
+        "polygon_validity_report": q_polygon_validity,
         "contact_episodes": q_contact_episodes,
         "kn_bigrams": q_kn_bigrams,
         "vocab_drift": q_vocab_drift,
@@ -8548,6 +8600,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "rank_sum_lengths": evaluation.rank_sum_test_sql(
             "documents", "lang", "n_chars"
+        ),
+        "polygon_validity_report": spatial.polygon_validity_sql(
+            _POLY_VALID_PTS_SQL
         ),
         "seasonal_hourly": temporal_mod.seasonal_decompose_sql(
             "(" + temporal_mod.gap_fill_sql(

@@ -8292,3 +8292,345 @@ def rect_union_area_ctes(src: str, group_col: str = "gid") -> str:
                END AS BIGINT) AS covered_ppm
         FROM ru_grp gr LEFT JOIN ru_area a USING (g)
     """
+
+
+def polygon_validity(
+    points: DataFrame,
+    id_col: str = "polygon_id",
+    order_col: str = "seq",
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    scale: int = 1_000_000,
+    max_vertices: int = 1_024,
+) -> DataFrame:
+    """OGC-style simple-polygon validity report per ring — the
+    ingest gate the polygon layer operators (pip_*, polygon_stats,
+    areal_interp) all silently assume: a bowtie ring still HAS a
+    well-defined shoelace value, so nothing downstream errors — the
+    answers are just wrong.  This operator makes the assumption
+    checkable, in exact quantized-integer geometry:
+
+    * ``n_vertices`` — after normalizing an explicitly-closed ring
+      (last vertex == first is dropped, the common GeoJSON shape);
+    * ``area2_q`` — twice the signed shoelace area in scale² units
+      (positive = counter-clockwise), exact int64;
+    * ``orientation`` — 'ccw' / 'cw' / 'degenerate' (area2 = 0);
+    * ``n_zero_edges`` — consecutive duplicate vertices;
+    * ``n_cross_pairs`` — edge pairs that intersect where they may
+      not: NON-adjacent pairs failing the exact segment-intersection
+      predicate (proper crossing via orientation signs — sign
+      comparison, never a product of two cross terms, which would
+      overflow int64 — plus the four collinear/on-segment touches);
+      ADJACENT pairs whose free endpoints fold back collinearly past
+      the shared vertex (orient = 0 and positive dot — the spike);
+    * ``is_valid`` — n ≥ 3, no zero edges, no cross pairs, area ≠ 0.
+
+    Cross products are bounded by 2·(360·scale)² — scale ≤ 10⁶ keeps
+    them < 2.6·10¹⁷, safely int64 (guarded).  The O(k²) edge-pair fan
+    is per ring behind a LOUD ``max_vertices`` guard; the self-join
+    and every window share one hash partitioning on the ring id, so
+    rings parallelize and nothing crosses rings.
+
+    Returns (id_col, n_vertices, area2_q, orientation, n_zero_edges,
+    n_cross_pairs, is_valid)."""
+    if scale > 1_000_000:
+        raise ValueError("scale > 1e6 overflows the int64 cross bound")
+    if not 3 <= int(max_vertices) <= 8_192:
+        raise ValueError(f"max_vertices out of range: {max_vertices}")
+    wo = W.partitionBy("_id").orderBy(order_col)
+    wall = W.partitionBy("_id")
+    raw = (
+        points.select(
+            F.col(id_col).alias("_id"),
+            F.col(order_col),
+            F.round(F.col(lon_col) * scale).cast("long").alias("x"),
+            F.round(F.col(lat_col) * scale).cast("long").alias("y"),
+        )
+        .withColumn("_i", F.row_number().over(wo) - 1)
+        .withColumn("_n0", F.count(F.lit(1)).over(wall))
+        .withColumn(
+            "_x0",
+            F.first("x").over(
+                wo.rowsBetween(W.unboundedPreceding, W.currentRow)
+            ),
+        )
+        .withColumn(
+            "_y0",
+            F.first("y").over(
+                wo.rowsBetween(W.unboundedPreceding, W.currentRow)
+            ),
+        )
+    )
+    opened = (
+        raw.withColumn(
+            "_closing",
+            (F.col("_i") == F.col("_n0") - 1)
+            & (F.col("x") == F.col("_x0"))
+            & (F.col("y") == F.col("_y0"))
+            & (F.col("_n0") > 1),
+        )
+        .where(~F.col("_closing"))
+        .withColumn("_n", F.count(F.lit(1)).over(wall))
+    )
+    guard = F.when(
+        F.col("_n") > int(max_vertices),
+        F.raise_error(F.concat(
+            F.lit("polygon_validity: ring holds "),
+            F.col("_n").cast("string"),
+            F.lit(f" vertices > max_vertices={int(max_vertices)}; "
+                  "simplify or split the ring first"),
+        )).cast("long"),
+    ).otherwise(F.lit(0).cast("long"))
+    verts = opened.select(
+        "_id", "_i", (F.col("x") + guard).alias("x"), "y", "_n"
+    )
+    b = verts.select(
+        F.col("_id").alias("_id2"), F.col("_i").alias("_j"),
+        F.col("x").alias("bx"), F.col("y").alias("by"),
+    )
+    edges = (
+        verts.join(
+            b,
+            (F.col("_id") == F.col("_id2"))
+            & (F.col("_j") == F.pmod(F.col("_i") + 1, F.col("_n"))),
+        )
+        .select(
+            "_id", "_i", "_n",
+            F.col("x").alias("ax"), F.col("y").alias("ay"),
+            "bx", "by",
+        )
+    )
+    heads = edges.groupBy("_id").agg(
+        F.max("_n").cast("long").alias("n_vertices"),
+        F.sum(
+            F.col("ax") * F.col("by") - F.col("bx") * F.col("ay")
+        ).cast("long").alias("area2_q"),
+        F.sum(
+            F.when(
+                (F.col("ax") == F.col("bx"))
+                & (F.col("ay") == F.col("by")),
+                1,
+            ).otherwise(0)
+        ).cast("long").alias("n_zero_edges"),
+    )
+    e2 = edges.select(
+        F.col("_id").alias("_idr"), F.col("_i").alias("_k"),
+        F.col("ax").alias("cx"), F.col("ay").alias("cy"),
+        F.col("bx").alias("dx"), F.col("by").alias("dy"),
+    )
+    pairs = edges.join(
+        e2,
+        (F.col("_id") == F.col("_idr"))
+        & (F.col("_i") < F.col("_k"))
+        & (F.col("_n") >= 3),
+    )
+
+    def _sgn(c):
+        return (
+            F.when(c > 0, 1).when(c < 0, -1).otherwise(0)
+        )
+
+    def _orient(px, py, qx, qy, rx, ry):
+        return (
+            (qx - px) * (ry - py) - (qy - py) * (rx - px)
+        )
+
+    d1 = _orient(F.col("cx"), F.col("cy"), F.col("dx"), F.col("dy"),
+                 F.col("ax"), F.col("ay"))
+    d2 = _orient(F.col("cx"), F.col("cy"), F.col("dx"), F.col("dy"),
+                 F.col("bx"), F.col("by"))
+    d3 = _orient(F.col("ax"), F.col("ay"), F.col("bx"), F.col("by"),
+                 F.col("cx"), F.col("cy"))
+    d4 = _orient(F.col("ax"), F.col("ay"), F.col("bx"), F.col("by"),
+                 F.col("dx"), F.col("dy"))
+
+    def _onseg(px, py, qx, qy, rx, ry):
+        return (
+            (rx >= F.least(px, qx)) & (rx <= F.greatest(px, qx))
+            & (ry >= F.least(py, qy)) & (ry <= F.greatest(py, qy))
+        )
+
+    proper = (
+        (_sgn(d1) * _sgn(d2) < 0) & (_sgn(d3) * _sgn(d4) < 0)
+    )
+    touches = (
+        ((d1 == 0) & _onseg(F.col("cx"), F.col("cy"), F.col("dx"),
+                            F.col("dy"), F.col("ax"), F.col("ay")))
+        | ((d2 == 0) & _onseg(F.col("cx"), F.col("cy"), F.col("dx"),
+                              F.col("dy"), F.col("bx"), F.col("by")))
+        | ((d3 == 0) & _onseg(F.col("ax"), F.col("ay"), F.col("bx"),
+                              F.col("by"), F.col("cx"), F.col("cy")))
+        | ((d4 == 0) & _onseg(F.col("ax"), F.col("ay"), F.col("bx"),
+                              F.col("by"), F.col("dx"), F.col("dy")))
+    )
+    adj_next = F.col("_k") == F.col("_i") + 1
+    adj_wrap = (F.col("_i") == 0) & (F.col("_k") == F.col("_n") - 1)
+
+    def _spike(sx, sy, ux, uy, vx, vy):
+        return (
+            (_orient(sx, sy, ux, uy, vx, vy) == 0)
+            & (
+                (ux - sx) * (vx - sx) + (uy - sy) * (vy - sy) > 0
+            )
+        )
+
+    bad = F.when(
+        adj_next,
+        _spike(F.col("bx"), F.col("by"), F.col("ax"), F.col("ay"),
+               F.col("dx"), F.col("dy")),
+    ).when(
+        adj_wrap,
+        _spike(F.col("ax"), F.col("ay"), F.col("bx"), F.col("by"),
+               F.col("cx"), F.col("cy")),
+    ).otherwise(proper | touches)
+    crossings = pairs.groupBy("_id").agg(
+        F.sum(F.when(bad, 1).otherwise(0)).cast("long")
+        .alias("n_cross_pairs")
+    )
+    return (
+        heads.join(crossings, on="_id", how="left")
+        .select(
+            F.col("_id").alias(id_col),
+            "n_vertices",
+            "area2_q",
+            F.when(F.col("area2_q") > 0, F.lit("ccw"))
+            .when(F.col("area2_q") < 0, F.lit("cw"))
+            .otherwise(F.lit("degenerate")).alias("orientation"),
+            "n_zero_edges",
+            F.coalesce(F.col("n_cross_pairs"), F.lit(0))
+            .cast("long").alias("n_cross_pairs"),
+            (
+                (F.col("n_vertices") >= 3)
+                & (F.col("n_zero_edges") == 0)
+                & (F.coalesce(F.col("n_cross_pairs"), F.lit(0)) == 0)
+                & (F.col("area2_q") != 0)
+            ).alias("is_valid"),
+        )
+    )
+
+
+def polygon_validity_sql(
+    src: str,
+    id_col: str = "polygon_id",
+    order_col: str = "seq",
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    scale: int = 1_000_000,
+) -> str:
+    """DuckDB twin of :func:`polygon_validity` (same quantization,
+    closing-vertex normalization, exact orientation-sign intersection
+    predicate, spike test on adjacent pairs).  The operator's vertex
+    cap is the loud one; the twin assumes bounded rings.
+    Standalone; pv_*-namespaced CTEs."""
+    if scale > 1_000_000:
+        raise ValueError("scale > 1e6 overflows the int64 cross bound")
+    o = ("(({qx}) - ({px})) * (({ry}) - ({py})) "
+         "- (({qy}) - ({py})) * (({rx}) - ({px}))")
+
+    def orient(px, py, qx, qy, rx, ry):
+        return o.format(px=px, py=py, qx=qx, qy=qy, rx=rx, ry=ry)
+
+    def onseg(px, py, qx, qy, rx, ry):
+        return (
+            f"({rx} >= LEAST({px}, {qx}) AND {rx} <= "
+            f"GREATEST({px}, {qx}) AND {ry} >= LEAST({py}, {qy}) "
+            f"AND {ry} <= GREATEST({py}, {qy}))"
+        )
+
+    d1 = orient("cx", "cy", "dx", "dy", "ax", "ay")
+    d2 = orient("cx", "cy", "dx", "dy", "bx", "by")
+    d3 = orient("ax", "ay", "bx", "by", "cx", "cy")
+    d4 = orient("ax", "ay", "bx", "by", "dx", "dy")
+
+    def spike(sx, sy, ux, uy, vx, vy):
+        return (
+            f"({orient(sx, sy, ux, uy, vx, vy)}) = 0 AND "
+            f"(({ux}) - ({sx})) * (({vx}) - ({sx})) "
+            f"+ (({uy}) - ({sy})) * (({vy}) - ({sy})) > 0"
+        )
+
+    return f"""
+        WITH pv_raw AS (
+            SELECT {id_col} AS id,
+                   ROW_NUMBER() OVER (PARTITION BY {id_col}
+                       ORDER BY {order_col}) - 1 AS i,
+                   COUNT(*) OVER (PARTITION BY {id_col}) AS n0,
+                   CAST(ROUND({lon_col} * {scale}) AS BIGINT) AS x,
+                   CAST(ROUND({lat_col} * {scale}) AS BIGINT) AS y,
+                   FIRST_VALUE(CAST(ROUND({lon_col} * {scale})
+                       AS BIGINT)) OVER (PARTITION BY {id_col}
+                       ORDER BY {order_col}) AS x0,
+                   FIRST_VALUE(CAST(ROUND({lat_col} * {scale})
+                       AS BIGINT)) OVER (PARTITION BY {id_col}
+                       ORDER BY {order_col}) AS y0
+            FROM {src}
+        ),
+        pv_open AS (
+            SELECT id, i, x, y,
+                   COUNT(*) OVER (PARTITION BY id) AS n
+            FROM pv_raw
+            WHERE NOT (i = n0 - 1 AND x = x0 AND y = y0 AND n0 > 1)
+        ),
+        pv_edges AS (
+            SELECT a.id, a.i, a.n,
+                   a.x AS ax, a.y AS ay, b.x AS bx, b.y AS by
+            FROM pv_open a JOIN pv_open b
+              ON b.id = a.id AND b.i = (a.i + 1) % a.n
+        ),
+        pv_heads AS (
+            SELECT id, CAST(MAX(n) AS BIGINT) AS n_vertices,
+                   CAST(SUM(ax * by - bx * ay) AS BIGINT) AS area2_q,
+                   CAST(SUM(CASE WHEN ax = bx AND ay = by
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_zero_edges
+            FROM pv_edges GROUP BY 1
+        ),
+        pv_pairs AS (
+            SELECT e1.id, e1.i, e2.i AS k, e1.n,
+                   e1.ax, e1.ay, e1.bx, e1.by,
+                   e2.ax AS cx, e2.ay AS cy, e2.bx AS dx, e2.by AS dy
+            FROM pv_edges e1 JOIN pv_edges e2
+              ON e2.id = e1.id AND e1.i < e2.i AND e1.n >= 3
+        ),
+        pv_bad AS (
+            SELECT id,
+                   CASE
+                     WHEN k = i + 1 THEN
+                       CASE WHEN {spike('bx', 'by', 'ax', 'ay',
+                                        'dx', 'dy')}
+                            THEN 1 ELSE 0 END
+                     WHEN i = 0 AND k = n - 1 THEN
+                       CASE WHEN {spike('ax', 'ay', 'bx', 'by',
+                                        'cx', 'cy')}
+                            THEN 1 ELSE 0 END
+                     ELSE CASE WHEN
+                       (SIGN({d1}) * SIGN({d2}) < 0
+                        AND SIGN({d3}) * SIGN({d4}) < 0)
+                       OR (({d1}) = 0 AND {onseg('cx', 'cy', 'dx',
+                                                 'dy', 'ax', 'ay')})
+                       OR (({d2}) = 0 AND {onseg('cx', 'cy', 'dx',
+                                                 'dy', 'bx', 'by')})
+                       OR (({d3}) = 0 AND {onseg('ax', 'ay', 'bx',
+                                                 'by', 'cx', 'cy')})
+                       OR (({d4}) = 0 AND {onseg('ax', 'ay', 'bx',
+                                                 'by', 'dx', 'dy')})
+                       THEN 1 ELSE 0 END
+                   END AS bad
+            FROM pv_pairs
+        ),
+        pv_cross AS (
+            SELECT id, CAST(SUM(bad) AS BIGINT) AS n_cross_pairs
+            FROM pv_bad GROUP BY 1
+        )
+        SELECT h.id AS {id_col}, h.n_vertices, h.area2_q,
+               CASE WHEN h.area2_q > 0 THEN 'ccw'
+                    WHEN h.area2_q < 0 THEN 'cw'
+                    ELSE 'degenerate' END AS orientation,
+               h.n_zero_edges,
+               CAST(COALESCE(c.n_cross_pairs, 0) AS BIGINT)
+                   AS n_cross_pairs,
+               (h.n_vertices >= 3 AND h.n_zero_edges = 0
+                AND COALESCE(c.n_cross_pairs, 0) = 0
+                AND h.area2_q <> 0) AS is_valid
+        FROM pv_heads h
+        LEFT JOIN pv_cross c ON c.id = h.id
+    """
