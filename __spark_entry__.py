@@ -2762,6 +2762,19 @@ def q_image_gradients(spark, sf_dir):
     return multimodal.image_gradients(media)
 
 
+def q_image_box_contrast(spark, sf_dir):
+    """Integral-image local contrast (multimodal.image_box_contrast)
+    over the deterministic raw-RGB images: per-pixel |A·g − boxsum|
+    against the (2r+1)² neighborhood via ONE 2-D prefix sum (O(1) per
+    pixel), rolled to per-image blur/blank stats.  The oracle
+    regenerates every pixel and computes the same boxes by the DIRECT
+    25-tap join, so the integral-image shortcut is what's verified."""
+    from openstreetmap_license_change_spark.operators import multimodal
+
+    media = multimodal.synthetic_raw_rgb_media(spark, n=16, w=48, h=32)
+    return multimodal.image_box_contrast(media)
+
+
 def q_curation_verdict(spark, sf_dir):
     """End-to-end curation verdict (textops.curation_verdict): the
     gopher rule battery, the published repetition drop rule, the
@@ -5242,6 +5255,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "theil_sen_hourly": q_theil_sen_hourly,
         "seasonal_hourly": q_seasonal_hourly,
         "polygon_validity_report": q_polygon_validity,
+        "image_box_contrast": q_image_box_contrast,
         "contact_episodes": q_contact_episodes,
         "kn_bigrams": q_kn_bigrams,
         "vocab_drift": q_vocab_drift,
@@ -8647,6 +8661,9 @@ def oracle_sql() -> dict[str, str]:
             8, 1024, 256, 8, 64
         ),
         "image_gradients": multimodal_mod.image_gradients_sql(
+            16, 48, 32
+        ),
+        "image_box_contrast": multimodal_mod.image_box_contrast_sql(
             16, 48, 32
         ),
         "morans_correlogram": _with_pages(f"""

@@ -2018,3 +2018,152 @@ def audio_pitch_sql(
         LEFT JOIN ap_best b ON b.media_id = f.media_id
                            AND b.frame_idx = f.frame_idx AND b.rn = 1
     """
+
+
+BOX_CONTRAST_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("n_interior", LongType()),
+        StructField("contrast_sum", LongType()),
+        StructField("contrast_max", LongType()),
+        StructField("n_flat", LongType()),
+    ]
+)
+
+
+def image_box_contrast(
+    media: DataFrame, radius: int = 2, flat_threshold: int = 8
+) -> DataFrame:
+    """Exact local-contrast statistics per raw-RGB image via the
+    INTEGRAL IMAGE — the blur/blank-frame gate complementing
+    :func:`image_gradients` (Sobel fires on edges; this measures how
+    far each pixel sits from its whole (2r+1)² neighborhood MEAN, so
+    smooth gradients that fool an edge count still read as flat):
+
+        box(y,x)      = Σ luma over the (2r+1)² window (integral
+                        image: ONE 2-D prefix sum, O(1) per pixel —
+                        not O(r²); the operator exists to exercise
+                        exactly this trick at pixel scale)
+        contrast(y,x) = |A·g(y,x) − box(y,x)|,  A = (2r+1)²
+                        (the mean comparison ×A, so no division)
+        n_flat        = #{contrast ≤ flat_threshold·A}
+                        (≈ "center within flat_threshold luma levels
+                        of its neighborhood mean" — the parameter is
+                        part of the report, not a hidden tune)
+
+    All integers are exact: luma ≤ 765, A ≤ 25 at the r ≤ 7 guard, a
+    48×32 image's contrast_sum < 2²⁵.  Python only decodes and runs
+    the cumsum arithmetic; per-pixel values never leave the executor —
+    1 row per image ships.  The DuckDB twin regenerates every pixel
+    and computes the SAME box sums by a (2r+1)² VALUES-join — the
+    O(r²) direct form — so the integral-image shortcut itself is what
+    gets verified.
+
+    Returns (media_id, n_interior, contrast_sum, contrast_max,
+    n_flat)."""
+    r = int(radius)
+    if not 1 <= r <= 7:
+        raise ValueError(f"radius out of range: {radius}")
+    thr = int(flat_threshold)
+    area = (2 * r + 1) ** 2
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            recs = []
+            for mid, payload, w, h in zip(
+                pdf["media_id"], pdf["payload"],
+                pdf["meta_width"], pdf["meta_height"],
+            ):
+                w, h = int(w), int(h)
+                if w < 2 * r + 1 or h < 2 * r + 1 or not payload:
+                    continue
+                img = np.frombuffer(payload, dtype=np.uint8).reshape(
+                    h, w, 3
+                )
+                g = img.sum(axis=2, dtype=np.int64)
+                ii = np.zeros((h + 1, w + 1), dtype=np.int64)
+                ii[1:, 1:] = g.cumsum(axis=0).cumsum(axis=1)
+                # box sums for interior centers y in [r, h-r), x same
+                y0, y1 = 0, h - 2 * r
+                x0, x1 = 0, w - 2 * r
+                box = (
+                    ii[y0 + 2 * r + 1: y1 + 2 * r + 1,
+                       x0 + 2 * r + 1: x1 + 2 * r + 1]
+                    - ii[y0: y1, x0 + 2 * r + 1: x1 + 2 * r + 1]
+                    - ii[y0 + 2 * r + 1: y1 + 2 * r + 1, x0: x1]
+                    + ii[y0: y1, x0: x1]
+                )
+                center = g[r: h - r, r: w - r]
+                contrast = np.abs(area * center - box)
+                recs.append(
+                    (
+                        int(mid),
+                        int(contrast.size),
+                        int(contrast.sum()),
+                        int(contrast.max()),
+                        int((contrast <= thr * area).sum()),
+                    )
+                )
+            yield pd.DataFrame(
+                recs,
+                columns=[
+                    "media_id", "n_interior", "contrast_sum",
+                    "contrast_max", "n_flat",
+                ],
+            )
+
+    return (
+        media.where(F.col("media_type") == "image")
+        .repartition("media_id")
+        .mapInPandas(run, schema=BOX_CONTRAST_SCHEMA)
+    )
+
+
+def image_box_contrast_sql(
+    n: int, w: int, h: int, radius: int = 2, flat_threshold: int = 8
+) -> str:
+    """DuckDB twin of :func:`image_box_contrast` over the
+    synthetic_raw_rgb_media closed form: regenerates the luma grid
+    and computes each interior box sum by the DIRECT (2r+1)²-tap
+    neighborhood join — the O(r²) execution shape the operator's
+    integral image shortcut replaces, so the shortcut is what gets
+    verified.  Standalone statement."""
+    r = int(radius)
+    if not 1 <= r <= 7:
+        raise ValueError(f"radius out of range: {radius}")
+    area = (2 * r + 1) ** 2
+    thr = int(flat_threshold)
+    return f"""
+        WITH bc_px AS (
+            SELECT m.id AS media_id, y.y, x.x,
+                   CAST((x.x*3 + y.y*7 + 0  + m.id*13) % 256
+                      + (x.x*3 + y.y*7 + 11 + m.id*13) % 256
+                      + (x.x*3 + y.y*7 + 22 + m.id*13) % 256
+                      AS BIGINT) AS g
+            FROM (SELECT UNNEST(range(0, {int(n)})) AS id) m,
+                 range(0, {int(h)}) y(y), range(0, {int(w)}) x(x)
+        ),
+        bc_off AS (
+            SELECT dy.dy, dx.dx
+            FROM range(-{r}, {r + 1}) dy(dy),
+                 range(-{r}, {r + 1}) dx(dx)
+        ),
+        bc_box AS (
+            SELECT p.media_id, p.y, p.x,
+                   ABS({area} * p.g - SUM(q.g)) AS contrast
+            FROM bc_px p
+            JOIN bc_off o ON TRUE
+            JOIN bc_px q ON q.media_id = p.media_id
+                        AND q.y = p.y + o.dy AND q.x = p.x + o.dx
+            WHERE p.y BETWEEN {r} AND {int(h)} - {r + 1}
+              AND p.x BETWEEN {r} AND {int(w)} - {r + 1}
+            GROUP BY 1, 2, 3, p.g
+        )
+        SELECT media_id,
+               CAST(COUNT(*) AS BIGINT) AS n_interior,
+               CAST(SUM(contrast) AS BIGINT) AS contrast_sum,
+               CAST(MAX(contrast) AS BIGINT) AS contrast_max,
+               CAST(SUM(CASE WHEN contrast <= {thr * area}
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_flat
+        FROM bc_box GROUP BY 1
+    """
