@@ -2910,6 +2910,26 @@ def q_theil_sen_hourly(spark, sf_dir):
     return temporal_mod.theil_sen(hourly, "event_type", "h", "n")
 
 
+def q_pettitt_hourly(spark, sf_dir):
+    """Pettitt rank change-point (temporal.pettitt_split) per event
+    type over hourly counts — the RANK-ROBUST companion of
+    cusum_split: a single incident hour is one discordant rank, not
+    an unbounded mean lever.  Never the O(n²) pair sum: the
+    antisymmetric identity U_t = Σ_{i≤t} V_i reduces it to a value-
+    histogram cumulative plus one time-order prefix sum, two windows
+    on one key shuffle."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    hourly = (
+        ev.groupBy(
+            "event_type",
+            (F.date_trunc("hour", "ts").cast("long") / 3600)
+            .cast("long").alias("h"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    return temporal_mod.pettitt_split(hourly, "event_type", "h", "n")
+
+
 def q_bpe_pairs(spark, sf_dir):
     """First BPE merge round (textops.bpe_pair_counts): adjacent-
     symbol pair counts over the documents corpus, word-frequency
@@ -5253,6 +5273,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ks_lang_lengths": q_ks_lang_lengths,
         "rank_sum_lengths": q_rank_sum_lengths,
         "theil_sen_hourly": q_theil_sen_hourly,
+        "pettitt_hourly": q_pettitt_hourly,
         "seasonal_hourly": q_seasonal_hourly,
         "polygon_validity_report": q_polygon_validity,
         "image_box_contrast": q_image_box_contrast,
@@ -8623,6 +8644,14 @@ def oracle_sql() -> dict[str, str]:
                 "events", key_col="event_type"
             ) + ")",
             "event_type", "bucket", "n_events", period=24,
+        ),
+        "pettitt_hourly": temporal_mod.pettitt_split_sql(
+            """(SELECT event_type,
+                       CAST(epoch(date_trunc('hour', ts)) AS BIGINT)
+                           // 3600 AS h,
+                       CAST(COUNT(*) AS BIGINT) AS n
+                FROM events GROUP BY 1, 2)""",
+            "event_type", "h", "n",
         ),
         "theil_sen_hourly": temporal_mod.theil_sen_sql(
             """(SELECT event_type,

@@ -2892,3 +2892,155 @@ def seasonal_decompose_sql(
         FROM sd_det d
         LEFT JOIN sd_seas s ON s.k = d.k AND s.phase = d.phase
     """
+
+
+def pettitt_split(
+    df: DataFrame,
+    key_col: str,
+    order_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Pettitt rank change-point per key — the RANK-ROBUST companion
+    of :func:`cusum_split`: CUSUM finds the strongest MEAN shift, so
+    one monster outlier can claim the split; Pettitt maximizes the
+    Mann–Whitney statistic between the two sides,
+
+        U_t = Σ_{i≤t} Σ_{j>t} sgn(x_j − x_i),   t = 1..n−1
+        split = argmax_t |U_t|  (earliest tie)
+
+    so only the ORDERING of values matters — a spike is one rank, not
+    an unbounded lever.  Never the O(n²) pair sum: the antisymmetric
+    identity U_t = Σ_{i≤t} V_i with V_i = #{x_j > x_i} − #{x_j < x_i}
+    turns it into a per-key VALUE-histogram cumulative (V from one
+    ordered window over the key's distinct values) plus one prefix
+    sum in time order — two windows sharing one hash shuffle on the
+    key, O(n log n) per key, exact integers throughout (|U| < n²/2
+    keeps int64 to ~4·10⁹ points per key).
+
+    Argmax ties break to the EARLIEST t via max_by on (|U|, −t) — a
+    total order, deterministic at any parallelism.  ``order_col``
+    must be unique per key (duplicate positions would make the
+    prefix ambiguous — loud guard).  Keys with n < 2 have no
+    admissible split and are absent.
+
+    Output: (key, n, split_k, split_t, u_abs, u_signed)."""
+    base = df.select(
+        F.col(key_col).alias("_k"),
+        F.col(order_col).cast("long").alias("_t"),
+        F.col(value_col).cast("long").alias("_y"),
+    )
+    wall = W.partitionBy("_k")
+    wdup = W.partitionBy("_k", "_t")
+    g = base.withColumn("_n", F.count(F.lit(1)).over(wall)) \
+        .withColumn("_dup", F.count(F.lit(1)).over(wdup))
+    ok = F.when(
+        F.col("_dup") > 1,
+        F.raise_error(F.lit(
+            f"pettitt_split: duplicate {order_col} within a key; "
+            "aggregate to unique positions first"
+        )).cast("long"),
+    ).otherwise(F.lit(0).cast("long"))
+    rows = g.select("_k", (F.col("_t") + ok).alias("_t"), "_y", "_n")
+    hist = rows.groupBy("_k", "_y").agg(
+        F.count(F.lit(1)).cast("long").alias("_c"),
+        F.max("_n").alias("_n"),
+    )
+    wv = (
+        W.partitionBy("_k").orderBy("_y")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    vmap = hist.select(
+        "_k", "_y",
+        (
+            F.col("_n")
+            - F.lit(2) * F.coalesce(F.sum("_c").over(wv), F.lit(0))
+            - F.col("_c")
+        ).alias("_v"),
+    )
+    wt = (
+        W.partitionBy("_k").orderBy("_t")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    wrn = W.partitionBy("_k").orderBy("_t")
+    scored = (
+        rows.join(vmap, on=["_k", "_y"])
+        .withColumn("_u", F.sum("_v").over(wt))
+        .withColumn("_i", F.row_number().over(wrn))
+        .where(F.col("_i") <= F.col("_n") - 1)
+    )
+    pick = F.struct(
+        F.abs(F.col("_u")).alias("a"),
+        (-F.col("_i")).alias("negi"),
+        F.col("_u").alias("u"),
+        F.col("_i").alias("i"),
+        F.col("_t").alias("t"),
+    )
+    return (
+        scored.groupBy("_k")
+        .agg(
+            F.max("_n").cast("long").alias("n"),
+            F.max(pick).alias("_best"),
+        )
+        .select(
+            F.col("_k").alias(key_col),
+            "n",
+            F.col("_best.i").cast("long").alias("split_k"),
+            F.col("_best.t").cast("long").alias("split_t"),
+            F.col("_best.a").cast("long").alias("u_abs"),
+            F.col("_best.u").cast("long").alias("u_signed"),
+        )
+    )
+
+
+def pettitt_split_sql(
+    src: str,
+    key_col: str,
+    order_col: str,
+    value_col: str,
+) -> str:
+    """DuckDB twin of :func:`pettitt_split` (histogram V-map, time
+    prefix sum, earliest-tie argmax via the same (|U|, −t) struct
+    order expressed as ORDER BY).  Standalone; pt_*-namespaced."""
+    return f"""
+        WITH pt_rows AS (
+            SELECT {key_col} AS k,
+                   CAST({order_col} AS BIGINT) AS t,
+                   CAST({value_col} AS BIGINT) AS y,
+                   COUNT(*) OVER (PARTITION BY {key_col}) AS n
+            FROM {src}
+        ),
+        pt_hist AS (
+            SELECT k, y, CAST(COUNT(*) AS BIGINT) AS c,
+                   MAX(n) AS n
+            FROM pt_rows GROUP BY 1, 2
+        ),
+        pt_v AS (
+            SELECT k, y,
+                   n - 2 * COALESCE(SUM(c) OVER (
+                       PARTITION BY k ORDER BY y
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND 1 PRECEDING), 0) - c AS v
+            FROM pt_hist
+        ),
+        pt_u AS (
+            SELECT r.k, r.t, r.n,
+                   SUM(v.v) OVER (PARTITION BY r.k ORDER BY r.t
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND CURRENT ROW) AS u,
+                   ROW_NUMBER() OVER (PARTITION BY r.k
+                       ORDER BY r.t) AS i
+            FROM pt_rows r JOIN pt_v v ON v.k = r.k AND v.y = r.y
+        ),
+        pt_rank AS (
+            SELECT k, n, i, t, u,
+                   ROW_NUMBER() OVER (PARTITION BY k
+                       ORDER BY ABS(u) DESC, i ASC) AS rn
+            FROM pt_u WHERE i <= n - 1
+        )
+        SELECT k AS {key_col}, CAST(n AS BIGINT) AS n,
+               CAST(i AS BIGINT) AS split_k,
+               CAST(t AS BIGINT) AS split_t,
+               CAST(ABS(u) AS BIGINT) AS u_abs,
+               CAST(u AS BIGINT) AS u_signed
+        FROM pt_rank WHERE rn = 1
+    """
