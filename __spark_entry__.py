@@ -3596,6 +3596,28 @@ def q_gopher_filter(spark, sf_dir):
     return textops.gopher_filter(docs, min_stop_hits=1)
 
 
+def q_mcnemar_filters(spark, sf_dir):
+    """McNemar paired-filter comparison (evaluation.mcnemar_paired):
+    does the Gopher composite filter keep DIFFERENT documents than a
+    bare length window (150–400 chars), per language?  Only the
+    discordant cells carry evidence; Edwards continuity correction
+    clamped at zero; b+c = 0 → NULL in both engines.  The gopher twin
+    is NESTED verbatim in the oracle, so the comparison's input
+    classifier — not just the cell arithmetic — is hash-verified."""
+    from openstreetmap_license_change_spark.operators import evaluation
+
+    docs = pages_src.documents(spark, sf_dir)
+    goph = textops.gopher_filter(docs, min_stop_hits=1).select(
+        "doc_id", "keep"
+    )
+    paired = docs.select(
+        "doc_id", "lang",
+        F.col("n_chars").between(150, 400).alias("len_keep"),
+    ).join(goph, "doc_id")
+    return evaluation.mcnemar_paired(paired, "lang", "keep",
+                                     "len_keep")
+
+
 def q_bm25_topk(spark, sf_dir):
     """Global BM25 top-k retrieval (textops.bm25_topk): exact-integer
     Okapi scoring (k1=6/5, b=3/4 as cleared rationals, log-free odds
@@ -5274,6 +5296,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rank_sum_lengths": q_rank_sum_lengths,
         "theil_sen_hourly": q_theil_sen_hourly,
         "pettitt_hourly": q_pettitt_hourly,
+        "mcnemar_filters": q_mcnemar_filters,
         "seasonal_hourly": q_seasonal_hourly,
         "polygon_validity_report": q_polygon_validity,
         "image_box_contrast": q_image_box_contrast,
@@ -8786,6 +8809,14 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk": textops.bm25_topk_sql("documents", BM25_QUERY, k=BM25_K),
         "gopher_filter": textops.gopher_filter_sql(
             "documents", min_stop_hits=1
+        ),
+        "mcnemar_filters": evaluation.mcnemar_paired_sql(
+            "(SELECT d.lang, g.keep AS keep, "
+            "d.n_chars BETWEEN 150 AND 400 AS len_keep "
+            "FROM documents d JOIN ("
+            + textops.gopher_filter_sql("documents", min_stop_hits=1)
+            + ") g ON g.doc_id = d.doc_id)",
+            "lang", "keep", "len_keep",
         ),
         "cell_gini": _with_pages(f"""
             , cg_latest AS (

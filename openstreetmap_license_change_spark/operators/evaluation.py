@@ -1580,3 +1580,93 @@ def rank_sum_test_sql(src: str, group_col: str, value_col: str) -> str:
                END AS BIGINT) AS z2_ppm
         FROM rs_u u CROSS JOIN rs_ties t
     """
+
+
+def mcnemar_paired(
+    df: DataFrame,
+    group_col: str,
+    a_col: str,
+    b_col: str,
+) -> DataFrame:
+    """Exact McNemar paired-classifier comparison per group — the
+    missing third leg of the evaluation layer: :func:`roc_auc` grades
+    ONE scorer, :func:`cohen_kappa` grades agreement as a symmetric
+    quantity, McNemar answers the decision question "is filter A
+    actually keeping DIFFERENT documents than filter B, beyond what
+    their shared verdicts explain" — only the DISCORDANT pairs carry
+    evidence (both-keep and both-drop cells cancel by design):
+
+        b = #{A ∧ ¬B},  c = #{¬A ∧ B}
+        χ²_ppm = (max(|b−c|−1, 0))²·10⁶ DIV (b+c)
+
+    with Edwards' continuity correction clamped at zero (the raw
+    (|b−c|−1)² would manufacture evidence from b = c) and NULL when
+    b + c = 0 — no discordant pairs is absence of evidence, and the
+    guard is also what keeps DuckDB's raising ``//`` aligned with
+    Spark's NULL DIV.  All counts int64-exact; the ppm quotient is
+    bounded by (b+c)·10⁶ so it fits Spark's int64 DIV to ~9·10¹²
+    discordant pairs per group.
+
+    One map-side-combined groupBy — the four cells are conditional
+    counts, nothing joins, nothing fans out.
+
+    Output: (group, n, n_both, n_neither, n_a_only, n_b_only,
+    chi2_ppm)."""
+    a = F.col(a_col).cast("boolean")
+    b = F.col(b_col).cast("boolean")
+    cnt = lambda c: F.sum(F.when(c, 1).otherwise(0)).cast("long")
+    return (
+        df.groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            cnt(a & b).alias("n_both"),
+            cnt(~a & ~b).alias("n_neither"),
+            cnt(a & ~b).alias("n_a_only"),
+            cnt(~a & b).alias("n_b_only"),
+        )
+        .selectExpr(
+            group_col,
+            "n", "n_both", "n_neither", "n_a_only", "n_b_only",
+            """CAST(CASE WHEN n_a_only + n_b_only > 0 THEN
+                (GREATEST(ABS(n_a_only - n_b_only) - 1, 0)
+                 * GREATEST(ABS(n_a_only - n_b_only) - 1, 0)
+                 * CAST(1000000 AS DECIMAL(38,0)))
+                DIV (n_a_only + n_b_only)
+            END AS BIGINT) AS chi2_ppm""",
+        )
+    )
+
+
+def mcnemar_paired_sql(
+    src: str, group_col: str, a_expr: str, b_expr: str
+) -> str:
+    """DuckDB twin of :func:`mcnemar_paired` (same four conditional
+    counts, clamped continuity correction, b+c = 0 NULL guard).
+    ``a_expr``/``b_expr`` are boolean SQL expressions over ``src``.
+    Standalone."""
+    return f"""
+        WITH mc_cells AS (
+            SELECT {group_col} AS g,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(CASE WHEN ({a_expr}) AND ({b_expr})
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_both,
+                   CAST(SUM(CASE WHEN NOT ({a_expr})
+                        AND NOT ({b_expr})
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_neither,
+                   CAST(SUM(CASE WHEN ({a_expr})
+                        AND NOT ({b_expr})
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_a_only,
+                   CAST(SUM(CASE WHEN NOT ({a_expr}) AND ({b_expr})
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_b_only
+            FROM {src} GROUP BY 1
+        )
+        SELECT g AS {group_col},
+               n, n_both, n_neither, n_a_only, n_b_only,
+               CAST(CASE WHEN n_a_only + n_b_only > 0 THEN
+                   (GREATEST(ABS(n_a_only - n_b_only) - 1, 0)
+                    * GREATEST(ABS(n_a_only - n_b_only) - 1, 0)
+                    * CAST(1000000 AS HUGEINT))
+                   // (n_a_only + n_b_only)
+               END AS BIGINT) AS chi2_ppm
+        FROM mc_cells
+    """
