@@ -1228,6 +1228,25 @@ def q_tile_dilate(spark, sf_dir):
 KCORE_K = 5
 
 
+KTRUSS_K = 3
+
+
+def q_ktruss_links(spark, sf_dir):
+    """k-truss extraction (graph.ktruss, k=3): iterative edge peeling
+    of the doc link graph to the subgraph where every edge closes a
+    triangle among survivors — the edge-level strengthening of kcore
+    (spokes of well-connected hubs fall away; what remains is
+    community structure).  Per round, support is the Suri–
+    Vassilvitskii degree-oriented two-join recomputed on survivors;
+    order-independent peel, loud non-convergence.  The twin unrolls
+    the identical peel, fixpoint rounds no-ops."""
+    _, edges = _doc_link_graph(spark, sf_dir)
+    return graph.ktruss(edges, k=KTRUSS_K).select(
+        F.col("src").alias("doc_a"), F.col("dst").alias("doc_b"),
+        "support",
+    )
+
+
 def q_kcore(spark, sf_dir):
     """k-core extraction (graph.kcore, k=5): iterative order-
     independent peeling of the undirected doc link graph down to the
@@ -5358,6 +5377,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hits": q_hits,
         "modularity": q_modularity,
         "kcore": q_kcore,
+        "ktruss_links": q_ktruss_links,
         "pq_encode": q_pq_encode,
         "pq_search": q_pq_search,
         "pca_top": q_pca_top,
@@ -8979,6 +8999,10 @@ def oracle_sql() -> dict[str, str]:
                 '(SELECT doc_id AS id FROM documents)',
                 _REDIRECT_EDGES_SQL,
             )})
+        """,
+        "ktruss_links": f"""
+            SELECT src AS doc_a, dst AS doc_b, support
+            FROM ({graph.ktruss_sql(_PR_EDGES_SQL, k=KTRUSS_K)})
         """,
         "kcore": f"""
             SELECT node AS doc_id, degree

@@ -2361,3 +2361,224 @@ def scc_sql(nodes_src: str, edges_src: str) -> str:
                    AS scc_size
         FROM scc_rep
     """
+
+
+def ktruss(
+    edges: DataFrame,
+    k: int,
+    max_rounds: int = 8,
+) -> DataFrame:
+    """k-truss extraction over the undirected simplification: the
+    maximal subgraph where every EDGE closes ≥ k−2 triangles within
+    the subgraph — the edge-level strengthening of :func:`kcore`
+    (a k-core keeps well-connected NODES; a truss keeps edges whose
+    endpoints share witnesses, so loosely-attached spokes of a hub
+    fall away and what survives is genuinely cohesive community
+    structure — the standard link-farm/community core detector).
+
+    Peeling is ORDER-INDEPENDENT (dropping an under-supported edge
+    only lowers other supports; the fixpoint is unique), so the
+    operator is deterministic and twin-verifiable: the DuckDB twin
+    unrolls the identical peel ``max_rounds`` times; fixpoint rounds
+    are no-ops.  Non-convergence raises (the kcore contract — never
+    a silently-wrong truss).
+
+    Per round, support counting is the Suri–Vassilvitskii oriented
+    two-join re-run on the SURVIVING edges: recompute degrees, orient
+    every edge from the lower (deg, id) endpoint so a hub's wedge fan
+    collapses from C(d_hub,2) to C(d_eff,2) with d_eff ≤ √(2|E|);
+    wedges close against the canonical edge list; each triangle then
+    fans support to its THREE canonical edges (one explode).  Three
+    shuffles per round (degree agg, wedge join, support agg), lineage
+    cut per round, empty/fixpoint short-circuit.
+
+    Returns surviving canonical edges (src < dst) with their final
+    in-truss ``support``."""
+    if k < 3:
+        raise ValueError(f"k must be ≥ 3 for a k-truss: {k}")
+    fwd = edges.select("src", "dst").where(F.col("src") != F.col("dst"))
+    cur = (
+        fwd.select(
+            F.least("src", "dst").alias("src"),
+            F.greatest("src", "dst").alias("dst"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n_cur = cur.count()
+    for _ in range(max_rounds):
+        if n_cur == 0:
+            return cur.withColumn("support", F.lit(0).cast("long"))
+        sym = cur.unionByName(
+            cur.select(F.col("dst").alias("src"),
+                       F.col("src").alias("dst"))
+        )
+        deg = sym.groupBy(F.col("src").alias("node")).agg(
+            F.count(F.lit(1)).alias("deg")
+        )
+        oriented = (
+            sym.join(deg.select(F.col("node").alias("src"),
+                                F.col("deg").alias("deg_s")), "src")
+            .join(deg.select(F.col("node").alias("dst"),
+                             F.col("deg").alias("deg_d")), "dst")
+            .where(
+                (F.col("deg_s") < F.col("deg_d"))
+                | ((F.col("deg_s") == F.col("deg_d"))
+                   & (F.col("src") < F.col("dst")))
+            )
+            .select("src", "dst", "deg_d")
+        )
+        o2 = oriented.select(
+            F.col("src").alias("src"),
+            F.col("dst").alias("dst2"),
+            F.col("deg_d").alias("deg_d2"),
+        )
+        wedges = (
+            oriented.join(o2, on="src")
+            .where(
+                (F.col("deg_d") < F.col("deg_d2"))
+                | ((F.col("deg_d") == F.col("deg_d2"))
+                   & (F.col("dst") < F.col("dst2")))
+            )
+            .select(
+                F.col("src").alias("a"),
+                F.col("dst").alias("b"),
+                F.col("dst2").alias("c"),
+            )
+        )
+        tri = wedges.join(
+            cur.select(
+                F.least("src", "dst").alias("_bu"),
+                F.greatest("src", "dst").alias("_bv"),
+            ),
+            (F.least("b", "c") == F.col("_bu"))
+            & (F.greatest("b", "c") == F.col("_bv")),
+            "left_semi",
+        )
+        support = (
+            tri.select(F.array(
+                F.struct(F.least("a", "b").alias("u"),
+                         F.greatest("a", "b").alias("v")),
+                F.struct(F.least("a", "c").alias("u"),
+                         F.greatest("a", "c").alias("v")),
+                F.struct(F.least("b", "c").alias("u"),
+                         F.greatest("b", "c").alias("v")),
+            ).alias("_es"))
+            .select(F.explode("_es").alias("e"))
+            .groupBy(F.col("e.u").alias("src"),
+                     F.col("e.v").alias("dst"))
+            .agg(F.count(F.lit(1)).cast("long").alias("support"))
+        )
+        keep = support.where(F.col("support") >= k - 2)
+        n_keep = keep.count()
+        if n_keep == n_cur:
+            return keep.localCheckpoint(eager=True)
+        cur = keep.select("src", "dst").localCheckpoint(eager=True)
+        n_cur = n_keep
+        if n_cur == 0:
+            return cur.withColumn("support", F.lit(0).cast("long"))
+    raise RuntimeError(
+        f"ktruss(k={k}) did not converge within max_rounds="
+        f"{max_rounds}; raise max_rounds (needed ≈ peel depth)"
+    )
+
+
+def ktruss_sql(edges_src: str, k: int, max_rounds: int = 8) -> str:
+    """DuckDB twin of :func:`ktruss`: the identical degree-oriented
+    support peel unrolled ``max_rounds`` times (fixpoint rounds are
+    no-ops).  Standalone; kt_*-namespaced CTEs."""
+    if k < 3:
+        raise ValueError(f"k must be ≥ 3 for a k-truss: {k}")
+    ctes = [
+        f"""kt_e0 AS MATERIALIZED (
+            SELECT DISTINCT LEAST(src, dst) AS src,
+                   GREATEST(src, dst) AS dst
+            FROM {edges_src} WHERE src <> dst
+        )"""
+    ]
+    for i in range(1, max_rounds + 1):
+        p = f"kt_e{i - 1}"
+        ctes.append(f"""kt_e{i} AS MATERIALIZED (
+            WITH sym AS (
+                SELECT src, dst FROM {p}
+                UNION ALL SELECT dst, src FROM {p}
+            ),
+            deg AS (
+                SELECT src AS node, COUNT(*) AS deg
+                FROM sym GROUP BY 1
+            ),
+            ori AS (
+                SELECT s.src, s.dst, dd.deg AS deg_d
+                FROM sym s
+                JOIN deg ds ON ds.node = s.src
+                JOIN deg dd ON dd.node = s.dst
+                WHERE ds.deg < dd.deg
+                   OR (ds.deg = dd.deg AND s.src < s.dst)
+            ),
+            tri AS (
+                SELECT o1.src AS a, o1.dst AS b, o2.dst AS c
+                FROM ori o1
+                JOIN ori o2 ON o2.src = o1.src
+                 AND (o1.deg_d < o2.deg_d
+                      OR (o1.deg_d = o2.deg_d AND o1.dst < o2.dst))
+                WHERE EXISTS (
+                    SELECT 1 FROM {p} e
+                    WHERE e.src = LEAST(o1.dst, o2.dst)
+                      AND e.dst = GREATEST(o1.dst, o2.dst)
+                )
+            ),
+            sup AS (
+                SELECT u AS src, v AS dst, COUNT(*) AS support
+                FROM (
+                    SELECT LEAST(a, b) AS u, GREATEST(a, b) AS v
+                    FROM tri
+                    UNION ALL
+                    SELECT LEAST(a, c), GREATEST(a, c) FROM tri
+                    UNION ALL
+                    SELECT LEAST(b, c), GREATEST(b, c) FROM tri
+                ) GROUP BY 1, 2
+            )
+            SELECT src, dst FROM sup WHERE support >= {int(k) - 2}
+        )""")
+    last = f"kt_e{max_rounds}"
+    return f"""
+        WITH {",".join(ctes)},
+        kt_sym AS (
+            SELECT src, dst FROM {last}
+            UNION ALL SELECT dst, src FROM {last}
+        ),
+        kt_deg AS (
+            SELECT src AS node, COUNT(*) AS deg
+            FROM kt_sym GROUP BY 1
+        ),
+        kt_ori AS (
+            SELECT s.src, s.dst, dd.deg AS deg_d
+            FROM kt_sym s
+            JOIN kt_deg ds ON ds.node = s.src
+            JOIN kt_deg dd ON dd.node = s.dst
+            WHERE ds.deg < dd.deg
+               OR (ds.deg = dd.deg AND s.src < s.dst)
+        ),
+        kt_tri AS (
+            SELECT o1.src AS a, o1.dst AS b, o2.dst AS c
+            FROM kt_ori o1
+            JOIN kt_ori o2 ON o2.src = o1.src
+             AND (o1.deg_d < o2.deg_d
+                  OR (o1.deg_d = o2.deg_d AND o1.dst < o2.dst))
+            WHERE EXISTS (
+                SELECT 1 FROM {last} e
+                WHERE e.src = LEAST(o1.dst, o2.dst)
+                  AND e.dst = GREATEST(o1.dst, o2.dst)
+            )
+        )
+        SELECT u AS src, v AS dst,
+               CAST(COUNT(*) AS BIGINT) AS support
+        FROM (
+            SELECT LEAST(a, b) AS u, GREATEST(a, b) AS v FROM kt_tri
+            UNION ALL
+            SELECT LEAST(a, c), GREATEST(a, c) FROM kt_tri
+            UNION ALL
+            SELECT LEAST(b, c), GREATEST(b, c) FROM kt_tri
+        ) GROUP BY 1, 2
+        HAVING COUNT(*) >= {int(k) - 2}
+    """
