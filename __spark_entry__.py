@@ -2099,6 +2099,21 @@ def q_ngram_jaccard_capped(spark, sf_dir):
     )
 
 
+def q_jaccard_prefix(spark, sf_dir):
+    """EXACT Jaccard ≥ 0.2 pairs via PPJoin-style prefix filtering
+    (dedup.jaccard_prefix_join): tokens ordered rarest-first, each doc
+    contributes only its s − ⌈τ·s⌉ + 1 rarest shingles to the
+    candidate join, so stop-shingle buckets never blow up AND no pair
+    is lost (any τ-similar pair must collide in the prefix).  The
+    DuckDB twin verifies over the UNFILTERED shared-any-shingle
+    candidate superset — structurally different execution, so the
+    hash match proves the prefix filter's completeness, not just its
+    arithmetic."""
+    docs = pages_src.documents(spark, sf_dir)
+    toks = dedup.shingles(docs, n=3)
+    return dedup.jaccard_prefix_join(toks, threshold_ppm=200_000)
+
+
 def q_containment_pairs(spark, sf_dir):
     """Asymmetric shingle containment ≥ 0.4 either direction
     (dedup.containment_pairs): the quote/subset detector Jaccard
@@ -5276,6 +5291,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "ngram_jaccard_capped": q_ngram_jaccard_capped,
         "containment_pairs": q_containment_pairs,
+        "jaccard_prefix": q_jaccard_prefix,
         "minhash_signatures": q_minhash_signatures,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "minhash_lsh_pairs_capped": q_minhash_lsh_pairs_capped,
@@ -7599,6 +7615,19 @@ def oracle_sql() -> dict[str, str]:
         """,
         "containment_pairs": dedup.containment_pairs_sql(
             "documents", n=3, threshold_ppm=400_000
+        ),
+        "jaccard_prefix": dedup.jaccard_prefix_join_sql(
+            """(
+                SELECT DISTINCT doc_id,
+                       concat_ws(' ', ts[i], ts[i+1], ts[i+2]) AS shingle
+                FROM (SELECT doc_id,
+                             string_split_regex(lower(text), '\\s+') AS ts
+                      FROM documents) jp_toks,
+                     LATERAL (SELECT UNNEST(range(1,
+                         GREATEST(len(ts) - 2, 1) + 1)) AS i) g
+                WHERE length(concat_ws(' ', ts[i], ts[i+1], ts[i+2])) > 0
+            ) jp_src""",
+            threshold_ppm=200_000,
         ),
         "ngram_jaccard_capped": """
             WITH toks AS (

@@ -32,7 +32,7 @@ from __future__ import annotations
 import logging
 import warnings
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
 
 _LOG = logging.getLogger(__name__)
@@ -1131,4 +1131,145 @@ def cluster_audit_sql(
                    AS mean_jaccard_ppm
         FROM ca_jac j JOIN ca_sizes s USING (cluster_id)
         GROUP BY 1, 2
+    """
+
+
+def jaccard_prefix_join(
+    tokens: DataFrame,
+    threshold_ppm: int = 500_000,
+    id_col: str = "doc_id",
+    token_col: str = "shingle",
+) -> DataFrame:
+    """EXACT Jaccard-threshold similarity join via PPJoin-style
+    PREFIX FILTERING — the provably-complete scale path this module's
+    candidate schemes bracket from both sides: minhash/LSH is
+    probabilistic (misses pairs), the shared-any-shingle join of
+    :func:`ngram_jaccard_pairs` is complete but quadratic in every
+    stop-shingle's document frequency (its ``max_doc_freq`` cap
+    trades completeness back away).  Prefix filtering keeps BOTH:
+    order all tokens by ascending (df, token) — rarest first, a TOTAL
+    order — and take from each size-s set only its first
+
+        prefix_len(s) = s − ⌈τ·s⌉ + 1
+
+    tokens; any two sets with Jaccard ≥ τ MUST share a prefix token
+    under the same global order (if they disagreed on all prefix
+    tokens, the overlap is confined to the ⌈τ·s⌉−1 suffix, too small
+    to reach τ) — so candidates come only from the RARE end of the
+    vocabulary and the boilerplate-token blowup term never joins.
+    A length filter (τ·s_a ≤ 10⁶·s_b and vice versa, cross-
+    multiplied) prunes before verification; verification is the exact
+    intersection count, and the Jaccard test is the integer
+    cross-multiplication inter·10⁶ ≥ τ_ppm·(s_a+s_b−inter) — no
+    float, no approximation anywhere.
+
+    Plan: one (doc, token) distinct + df agg; per-doc prefix rank is
+    a window inside the doc partition; the candidate join touches
+    only prefix tokens; verification is one equi-join on token
+    semi-restricted to candidates + a pair groupBy.  The DuckDB twin
+    verifies over the UNFILTERED shared-any-token candidates — a
+    superset execution — so the prefix filter's completeness is
+    exactly what hash-verification proves.
+
+    Returns (doc_a, doc_b, size_a, size_b, inter, jaccard_ppm) with
+    doc_a < doc_b and jaccard_ppm ≥ threshold_ppm."""
+    tau = int(threshold_ppm)
+    if not 1 <= tau <= 1_000_000:
+        raise ValueError(f"threshold_ppm out of range: {tau}")
+    tok = tokens.select(
+        F.col(id_col).alias("doc"), F.col(token_col).alias("token")
+    ).distinct()
+    dfreq = tok.groupBy("token").agg(
+        F.count(F.lit(1)).cast("long").alias("_df")
+    )
+    wd = W.partitionBy("doc").orderBy("_df", "token")
+    ranked = (
+        tok.join(dfreq, "token")
+        .withColumn("_rk", F.row_number().over(wd))
+        .withColumn("_s", F.count(F.lit(1)).over(W.partitionBy("doc")))
+    )
+    prefix = ranked.where(
+        F.col("_rk")
+        <= F.col("_s")
+        - F.expr(f"CAST(({tau} * _s + 999999) DIV 1000000 AS BIGINT)")
+        + 1
+    ).select("doc", "token", "_s")
+    pa = prefix.select(
+        F.col("doc").alias("doc_a"), "token",
+        F.col("_s").alias("size_a"),
+    )
+    pb = prefix.select(
+        F.col("doc").alias("doc_b"), F.col("token"),
+        F.col("_s").alias("size_b"),
+    )
+    cands = (
+        pa.join(pb, "token")
+        .where(
+            (F.col("doc_a") < F.col("doc_b"))
+            & (F.lit(tau) * F.col("size_a")
+               <= F.lit(1_000_000) * F.col("size_b"))
+            & (F.lit(tau) * F.col("size_b")
+               <= F.lit(1_000_000) * F.col("size_a"))
+        )
+        .select("doc_a", "doc_b", "size_a", "size_b")
+        .distinct()
+    )
+    ta = tok.select(F.col("doc").alias("doc_a"), "token")
+    tb = tok.select(F.col("doc").alias("doc_b"), F.col("token"))
+    inter = (
+        cands.join(ta, "doc_a")
+        .join(tb, ["doc_b", "token"])
+        .groupBy("doc_a", "doc_b", "size_a", "size_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("inter"))
+    )
+    return inter.where(
+        F.col("inter") * F.lit(1_000_000)
+        >= F.lit(tau)
+        * (F.col("size_a") + F.col("size_b") - F.col("inter"))
+    ).selectExpr(
+        "doc_a", "doc_b", "size_a", "size_b", "inter",
+        "CAST((inter * CAST(1000000 AS DECIMAL(38,0)))"
+        " DIV (size_a + size_b - inter) AS BIGINT) AS jaccard_ppm",
+    )
+
+
+def jaccard_prefix_join_sql(
+    tokens_src: str,
+    threshold_ppm: int = 500_000,
+    id_col: str = "doc_id",
+    token_col: str = "shingle",
+) -> str:
+    """DuckDB twin of :func:`jaccard_prefix_join` over the UNFILTERED
+    shared-any-token candidate set (any pair with Jaccard ≥ τ > 0
+    shares ≥ 1 token, so this superset is trivially complete) — a
+    structurally different execution whose agreement proves the
+    prefix filter dropped nothing.  Standalone; jp_*-namespaced."""
+    tau = int(threshold_ppm)
+    if not 1 <= tau <= 1_000_000:
+        raise ValueError(f"threshold_ppm out of range: {tau}")
+    return f"""
+        WITH jp_tok AS (
+            SELECT DISTINCT {id_col} AS doc, {token_col} AS token
+            FROM {tokens_src}
+        ),
+        jp_sz AS (
+            SELECT doc, CAST(COUNT(*) AS BIGINT) AS s
+            FROM jp_tok GROUP BY 1
+        ),
+        jp_inter AS (
+            SELECT a.doc AS doc_a, b.doc AS doc_b,
+                   CAST(COUNT(*) AS BIGINT) AS inter
+            FROM jp_tok a JOIN jp_tok b
+              ON b.token = a.token AND a.doc < b.doc
+            GROUP BY 1, 2
+        )
+        SELECT i.doc_a, i.doc_b,
+               sa.s AS size_a, sb.s AS size_b, i.inter,
+               CAST((i.inter * CAST(1000000 AS HUGEINT))
+                    // (sa.s + sb.s - i.inter) AS BIGINT)
+                   AS jaccard_ppm
+        FROM jp_inter i
+        JOIN jp_sz sa ON sa.doc = i.doc_a
+        JOIN jp_sz sb ON sb.doc = i.doc_b
+        WHERE i.inter * 1000000 >= {tau} * (sa.s + sb.s - i.inter)
     """
