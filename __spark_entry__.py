@@ -490,6 +490,24 @@ def q_collocations(spark, sf_dir):
     return textops.collocations(docs, min_count=3)
 
 
+_GAZETTEER = [
+    "hash value", "table part", "row scan", "fast merge batch",
+    "sort table window", "big table", "hash", "window", "table",
+]
+
+
+def q_gazetteer_tag(spark, sf_dir):
+    """Dictionary phrase tagging (textops.gazetteer_tag): multi-token
+    gazetteer occurrences via one broadcast token join +
+    COUNT(DISTINCT idx) full-match vote, maximal-occurrence
+    suppression (unigram 'table' inside 'big table' is dropped, that
+    drop being live in this fixture — the gazetteer mixes unigrams
+    with their covering bigrams/trigrams) as an order-free containment
+    anti-join."""
+    docs = pages_src.documents(spark, sf_dir)
+    return textops.gazetteer_tag(docs, _GAZETTEER)
+
+
 def q_segment_cells_rollup(spark, sf_dir):
     """Supercover segment→tile rollup (spatial.segment_cells): every
     5° grid cell each per-lang polyline segment TOUCHES — the rigorous
@@ -5267,6 +5285,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_dilate": q_tile_dilate,
         "tile_erode": q_tile_erode,
         "collocations": q_collocations,
+        "gazetteer_tag": q_gazetteer_tag,
         "hex_rollup": q_hex_rollup,
         "hex_focal_mean": q_hex_focal_mean,
         "polygon_stats": q_polygon_stats,
@@ -6312,6 +6331,9 @@ def oracle_sql() -> dict[str, str]:
         """),
         "collocations": textops.collocations_sql(
             "documents", min_count=3
+        ),
+        "gazetteer_tag": textops.gazetteer_tag_sql(
+            "documents", _GAZETTEER
         ),
         "od_gravity": _with_pages(f"""
             , latest AS (

@@ -3967,3 +3967,171 @@ def chi2_tokens_sql(
         SELECT slice, token, n11, df_t, chi2_ppm, CAST(rnk AS INT) AS rnk
         FROM x2_rk WHERE rnk <= {int(k)}
     """
+
+
+def gazetteer_tag(
+    docs: DataFrame,
+    phrases: list,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_phrase_tokens: int = 16,
+) -> DataFrame:
+    """Dictionary phrase tagging (gazetteer / entity-list matching) —
+    the multi-pattern string-matching stage of a webtext pipeline
+    (place-name extraction, brand lists, blocked-phrase screens),
+    re-expressed as one broadcast token join instead of a per-row
+    Aho-Corasick automaton: an occurrence of phrase P at token
+    position s exists iff for EVERY index i of P the document token
+    at s+i equals P[i], so candidates are (doc, phrase, s = pos − i)
+    rows from a single token equi-join against the exploded phrase
+    list and a full match is the group with COUNT(DISTINCT i) = len(P)
+    (distinct, because a repeated token inside P hits several i per
+    document position, each voting for a DIFFERENT s).
+
+    Match semantics: MAXIMAL occurrences — an occurrence strictly
+    contained in a longer occurrence (any phrase) is suppressed
+    (unigram "hash" inside "hash value" doesn't double-report), while
+    overlapping non-nested occurrences both stand; this is the
+    standard gazetteer longest-match rule made order-free, hence
+    expressible as one containment anti-join instead of a sequential
+    left-to-right scan.  Distinct phrases can never share a span
+    (same span ⇒ same token sequence), so "longest wins" is
+    unambiguous.
+
+    Scale: the phrase list is a broadcast dim by construction (it is
+    validated driver-side); the token join costs Σ_t df(t)·gaz(t) —
+    linear in corpus tokens for any fixed gazetteer, with Zipf-head
+    fan-out on stop tokens being AQE's skew case; the maximality
+    anti-join is doc-keyed (matches per doc are bounded by tokens per
+    doc).  No Python runs per row.
+
+    Reference parity: the same member-list screening role as the
+    reference's whitelist/blacklist scans (`change_bot.rb:30-51`)
+    generalized from whole-key equality to in-text phrase positions.
+
+    Returns (doc_id, phrase, n_hits, first_pos, n_tokens) —
+    occurrences after suppression, earliest 0-based token position,
+    phrase length in tokens."""
+    norm = []
+    for p in phrases:
+        q = " ".join(str(p).lower().split())
+        if not q:
+            raise ValueError(f"empty gazetteer phrase: {p!r}")
+        if len(q.split()) > max_phrase_tokens:
+            raise ValueError(
+                f"gazetteer phrase over {max_phrase_tokens} tokens: {q!r}"
+            )
+        norm.append(q)
+    if len(set(norm)) != len(norm):
+        raise ValueError("duplicate gazetteer phrases after normalization")
+    spark = docs.sparkSession
+    gaz = spark.createDataFrame([(p,) for p in norm], "phrase string")
+    gtok = gaz.select(
+        "phrase",
+        F.size(F.split("phrase", " ")).alias("glen"),
+        F.posexplode(F.split(F.col("phrase"), " ")).alias("gidx", "gtok"),
+    )
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(
+            F.split(F.lower(F.col(text_col)), r"\s+")
+        ).alias("pos", "token"),
+    ).where(F.col("token") != "")
+    cand = (
+        toks.join(F.broadcast(gtok), toks.token == gtok.gtok)
+        .select(
+            "doc_id", "phrase", "glen", "gidx",
+            (F.col("pos") - F.col("gidx")).cast("long").alias("m_start"),
+        )
+        .where(F.col("m_start") >= 0)
+    )
+    matches = (
+        cand.groupBy("doc_id", "phrase", "glen", "m_start")
+        .agg(F.countDistinct("gidx").alias("_nidx"))
+        .where(F.col("_nidx") == F.col("glen"))
+        .drop("_nidx")
+    )
+    other = matches.select(
+        F.col("doc_id").alias("_d"),
+        F.col("glen").alias("_g"),
+        F.col("m_start").alias("_s"),
+    )
+    kept = matches.join(
+        other,
+        (F.col("doc_id") == F.col("_d"))
+        & (F.col("_s") <= F.col("m_start"))
+        & (F.col("_s") + F.col("_g") >= F.col("m_start") + F.col("glen"))
+        & (F.col("_g") > F.col("glen")),
+        "left_anti",
+    )
+    return kept.groupBy("doc_id", "phrase").agg(
+        F.count(F.lit(1)).cast("long").alias("n_hits"),
+        F.min("m_start").alias("first_pos"),
+        F.min("glen").cast("long").alias("n_tokens"),
+    )
+
+
+def gazetteer_tag_sql(
+    src: str,
+    phrases: list,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """DuckDB twin of :func:`gazetteer_tag` (standalone statement,
+    gz_*-namespaced; the gazetteer rides along as a VALUES list).
+    Positions are 0-based on both engines (DuckDB's 1-based array
+    index is shifted before the start arithmetic)."""
+    norm = [" ".join(str(p).lower().split()) for p in phrases]
+    if len(set(norm)) != len(norm) or any(not p for p in norm):
+        raise ValueError("invalid gazetteer phrase list")
+    vals = ", ".join("('" + p.replace("'", "''") + "')" for p in norm)
+    return f"""
+        WITH gz_gaz(phrase) AS (VALUES {vals}),
+        gz_sp AS (
+            SELECT phrase, string_split(phrase, ' ') AS gs FROM gz_gaz
+        ),
+        gz_gt AS (
+            SELECT phrase, len(gs) AS glen, u.i - 1 AS gidx,
+                   gs[u.i] AS gtok
+            FROM gz_sp,
+                 LATERAL (SELECT UNNEST(range(1, len(gs) + 1)) AS i) u
+        ),
+        gz_ws AS (
+            SELECT {id_col} AS doc_id,
+                   string_split_regex(lower({text_col}), '\\s+') AS ws
+            FROM {src}
+        ),
+        gz_tok AS (
+            SELECT doc_id, u.i - 1 AS pos, ws[u.i] AS token
+            FROM gz_ws,
+                 LATERAL (SELECT UNNEST(range(1, len(ws) + 1)) AS i) u
+            WHERE ws[u.i] <> ''
+        ),
+        gz_cand AS (
+            SELECT t.doc_id, g.phrase, g.glen, g.gidx,
+                   CAST(t.pos - g.gidx AS BIGINT) AS m_start
+            FROM gz_tok t JOIN gz_gt g ON g.gtok = t.token
+            WHERE t.pos - g.gidx >= 0
+        ),
+        gz_match AS (
+            SELECT doc_id, phrase, glen, m_start
+            FROM gz_cand
+            GROUP BY 1, 2, 3, 4
+            HAVING COUNT(DISTINCT gidx) = glen
+        ),
+        gz_keep AS (
+            SELECT m.* FROM gz_match m
+            WHERE NOT EXISTS (
+                SELECT 1 FROM gz_match o
+                WHERE o.doc_id = m.doc_id
+                  AND o.m_start <= m.m_start
+                  AND o.m_start + o.glen >= m.m_start + m.glen
+                  AND o.glen > m.glen
+            )
+        )
+        SELECT doc_id, phrase,
+               CAST(COUNT(*) AS BIGINT) AS n_hits,
+               MIN(m_start) AS first_pos,
+               CAST(MIN(glen) AS BIGINT) AS n_tokens
+        FROM gz_keep GROUP BY 1, 2
+    """
