@@ -2873,6 +2873,26 @@ def q_quality_calibration(spark, sf_dir):
     )
 
 
+def q_isotonic_calibration(spark, sf_dir):
+    """Isotonic (PAVA) calibration fit per lang
+    (evaluation.isotonic_calibrate): the monotone repair of the
+    quality_calibration reliability curve, computed by the order-free
+    min-max closed form over ppm-floored block rates (floor commutes
+    with min/max, so the integer nest equals ⌊10⁶·exact fit⌋); same
+    percentile-score → gopher-keep pairing as quality_calibration,
+    keyed by lang so the per-key joins stay bounded."""
+    from openstreetmap_license_change_spark.operators import evaluation
+
+    docs = pages_src.documents(spark, sf_dir)
+    pc = textops.percentile_calibrate(
+        docs, "n_chars", ["lang"], ["doc_id"]
+    ).select("doc_id", "lang", "pct_m")
+    gf = textops.gopher_filter(docs).select("doc_id", "keep")
+    return evaluation.isotonic_calibrate(
+        pc.join(gf, "doc_id"), "pct_m", "keep", ["lang"], n_bins=10
+    )
+
+
 def q_bootstrap_doclen(spark, sf_dir):
     """Poisson-bootstrap replicate means of document length
     (evaluation.bootstrap_means): 20 deterministic replicates — each
@@ -5345,6 +5365,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_verdict": q_curation_verdict,
         "embedding_silhouette": q_embedding_silhouette,
         "quality_calibration": q_quality_calibration,
+        "isotonic_calibration": q_isotonic_calibration,
         "bootstrap_doclen": q_bootstrap_doclen,
         "ks_lang_lengths": q_ks_lang_lengths,
         "rank_sum_lengths": q_rank_sum_lengths,
@@ -8720,6 +8741,16 @@ def oracle_sql() -> dict[str, str]:
             + textops.gopher_filter_sql("documents")
             + ") g USING (doc_id))",
             "pct_m", "keep",
+        ),
+        "isotonic_calibration": evaluation.isotonic_calibrate_sql(
+            "(SELECT p.doc_id, p.lang, p.pct_m, g.keep FROM ("
+            + textops.percentile_calibrate_sql(
+                "documents", "n_chars", ["lang"], ["doc_id"]
+            )
+            + ") p JOIN ("
+            + textops.gopher_filter_sql("documents")
+            + ") g USING (doc_id))",
+            "pct_m", "keep", ["lang"], n_bins=10,
         ),
         "bootstrap_doclen": evaluation.bootstrap_means_sql(
             "documents", "doc_id", "n_chars", n_reps=20

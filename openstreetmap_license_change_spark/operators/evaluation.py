@@ -1670,3 +1670,198 @@ def mcnemar_paired_sql(
                END AS BIGINT) AS chi2_ppm
         FROM mc_cells
     """
+
+
+def isotonic_calibrate(
+    scored: DataFrame,
+    score_col: str,
+    label_col: str,
+    key_cols: list,
+    n_bins: int = 10,
+    max_bins: int = 64,
+) -> DataFrame:
+    """Per-key ISOTONIC calibration (pool-adjacent-violators fit) of a
+    [0, 10⁶]-ppm score against a boolean outcome — the monotone
+    repair step after :func:`calibration_bins` diagnoses
+    miscalibration: the best monotone-non-decreasing fit (L2, hence
+    also the canonical calibration map) of observed positive rate
+    as a function of score bin.
+
+    PAVA is a sequential pooling scan — useless shape for a shuffle
+    engine — but its fixpoint has the order-free MIN-MAX closed form
+
+        iso_k = max_{i ≤ k} min_{j ≥ k} rate(i..j),
+        rate(i..j) = Σ pos / Σ n over nonempty bins i..j
+
+    so the fit is three bounded joins instead of a loop.  Exactness:
+    each block rate is floor-quantized to ppm FIRST, and floor is
+    monotone non-decreasing, so min∘floor = floor∘min and
+    max∘floor = floor∘max — the nested integer result is exactly
+    ⌊10⁶·(true isotonic fit)⌋, no float anywhere (verified against a
+    Fraction-exact stack PAVA in tests — a different algorithm
+    family).
+
+    Scale: per key the expansion is ≤ B³/2 rows for B nonempty bins
+    (B ≤ ``max_bins``, loud assert riding the bin column — beyond
+    that an isotonic diagram is the wrong tool; raise n_bins
+    consciously), all three joins are key-local (one shuffle by key,
+    AQE handles key skew), counts are map-side partial aggs.  Empty
+    bins carry no weight and no fit row (PAVA is undefined there;
+    interpolate presentation-side if needed).
+
+    Returns (key..., bin, n, observed_ppm, iso_ppm), nonempty bins
+    only; iso_ppm is non-decreasing in bin within every key by
+    construction."""
+    if not 1 <= int(n_bins) <= 10_000:
+        raise ValueError(f"n_bins out of range: {n_bins}")
+    if not isinstance(key_cols, (list, tuple)) or not key_cols:
+        raise ValueError("key_cols must be a non-empty list")
+    nb, keys = int(n_bins), [str(k) for k in key_cols]
+    guard_rng = F.when(
+        (F.col("_s") < 0) | (F.col("_s") > 1_000_000),
+        F.assert_true(
+            F.lit(False),
+            F.lit("isotonic_calibrate: score outside [0, 1e6] ppm"),
+        ).cast("bigint"),
+    ).otherwise(F.lit(0))
+    binned = scored.select(
+        *keys,
+        F.col(score_col).cast("bigint").alias("_s"),
+        F.col(label_col).cast("boolean").alias("_y"),
+    ).select(
+        *keys,
+        (F.least(F.expr(f"_s * {nb} DIV 1000000"), F.lit(nb - 1))
+         + guard_rng).cast("int").alias("bin"),
+        "_y",
+    )
+    bins = binned.groupBy(*keys, "bin").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("_y").cast("bigint")).alias("_pos"),
+    )
+    wk = Window.partitionBy(*keys)
+    guard_nb = F.when(
+        F.count(F.lit(1)).over(wk) > int(max_bins),
+        F.assert_true(
+            F.lit(False),
+            F.lit(f"isotonic_calibrate: more than {int(max_bins)} "
+                  "nonempty bins per key"),
+        ).cast("int"),
+    ).otherwise(F.lit(0))
+    bins = bins.select(
+        *keys, (F.col("bin") + guard_nb).alias("bin"), "n", "_pos"
+    )
+    lo = bins.select(*keys, F.col("bin").alias("_i"))
+    hi = bins.select(*keys, F.col("bin").alias("_j"))
+    mem = bins.select(*keys, F.col("bin").alias("_m"),
+                      F.col("n").alias("_mn"), F.col("_pos").alias("_mp"))
+    blocks = (
+        lo.join(hi, keys).where(F.col("_i") <= F.col("_j"))
+        .join(mem, keys)
+        .where(F.col("_m").between(F.col("_i"), F.col("_j")))
+        .groupBy(*keys, "_i", "_j")
+        .agg(F.expr(
+            "CAST((SUM(_mp) * 1000000) DIV SUM(_mn) AS BIGINT)"
+        ).alias("_rate"))
+    )
+    at_k = (
+        bins.select(*keys, F.col("bin").alias("_k"))
+        .join(blocks, keys)
+        .where((F.col("_i") <= F.col("_k")) & (F.col("_j") >= F.col("_k")))
+    )
+    inner = at_k.groupBy(*keys, "_k", "_i").agg(
+        F.min("_rate").alias("_minr")
+    )
+    iso = inner.groupBy(*keys, "_k").agg(
+        F.max("_minr").alias("iso_ppm")
+    )
+    return (
+        bins.join(iso, [*keys, *[]], "inner")
+        .where(F.col("bin") == F.col("_k"))
+        .select(
+            *keys, "bin", F.col("n").cast("bigint").alias("n"),
+            F.expr(
+                "CAST((_pos * 1000000) DIV n AS BIGINT)"
+            ).alias("observed_ppm"),
+            "iso_ppm",
+        )
+    )
+
+
+def isotonic_calibrate_sql(
+    src: str,
+    score_col: str,
+    label_col: str,
+    key_cols: list,
+    n_bins: int = 10,
+    max_bins: int = 64,
+) -> str:
+    """DuckDB twin of :func:`isotonic_calibrate` (standalone,
+    iso_*-namespaced): same binning, same min-max nest over
+    ppm-floored block rates, error() guards riding used columns."""
+    if not 1 <= int(n_bins) <= 10_000:
+        raise ValueError(f"n_bins out of range: {n_bins}")
+    nb, keys = int(n_bins), [str(k) for k in key_cols]
+    kl = ", ".join(keys)
+    ja = " AND ".join(f"b.{k} = a.{k}" for k in keys)
+    jm = " AND ".join(f"m.{k} = p.{k}" for k in keys)
+    jk = " AND ".join(f"t.{k} = z.{k}" for k in keys)
+    jo = " AND ".join(f"o.{k} = t.{k}" for k in keys)
+    return f"""
+        WITH iso_rows AS (
+            SELECT {kl},
+                   LEAST(CAST({score_col} AS BIGINT) * {nb} // 1000000,
+                         {nb} - 1)
+                   + CASE WHEN CAST({score_col} AS BIGINT) < 0
+                            OR CAST({score_col} AS BIGINT) > 1000000
+                          THEN CAST(error(
+                    'isotonic_calibrate: score outside [0, 1e6] ppm'
+                          ) AS BIGINT) ELSE 0 END AS bin,
+                   CAST({label_col} AS BOOLEAN) AS y
+            FROM {src}
+        ),
+        iso_bins0 AS (
+            SELECT {kl}, bin, CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT)
+                       AS pos
+            FROM iso_rows GROUP BY ALL
+        ),
+        iso_bins AS (
+            SELECT {kl},
+                   bin + CASE WHEN COUNT(*) OVER
+                                   (PARTITION BY {kl}) > {int(max_bins)}
+                              THEN CAST(error(
+                    'isotonic_calibrate: more than {int(max_bins)} '
+                    'nonempty bins per key'
+                              ) AS BIGINT) ELSE 0 END AS bin,
+                   n, pos
+            FROM iso_bins0
+        ),
+        iso_blocks AS (
+            SELECT a.{', a.'.join(keys)}, a.bin AS i, b.bin AS j,
+                   CAST((SUM(m.pos) * 1000000) // SUM(m.n) AS BIGINT)
+                       AS rate
+            FROM iso_bins a
+            JOIN iso_bins b ON {ja} AND b.bin >= a.bin
+            JOIN iso_bins m
+              ON {" AND ".join(f"m.{k} = a.{k}" for k in keys)}
+             AND m.bin BETWEEN a.bin AND b.bin
+            GROUP BY ALL
+        ),
+        iso_inner AS (
+            SELECT p.{', p.'.join(keys)}, m.bin AS k, p.i,
+                   MIN(p.rate) AS minr
+            FROM iso_bins m
+            JOIN iso_blocks p
+              ON {jm} AND p.i <= m.bin AND p.j >= m.bin
+            GROUP BY ALL
+        ),
+        iso_fit AS (
+            SELECT {kl}, k, MAX(minr) AS iso_ppm
+            FROM iso_inner GROUP BY ALL
+        )
+        SELECT t.{', t.'.join(keys)}, t.bin, t.n,
+               CAST((t.pos * 1000000) // t.n AS BIGINT) AS observed_ppm,
+               z.iso_ppm
+        FROM iso_bins t
+        JOIN iso_fit z ON {jk} AND z.k = t.bin
+    """
