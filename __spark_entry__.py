@@ -900,6 +900,20 @@ def q_image_equalize(spark, sf_dir):
     return multimodal.image_equalize(media)
 
 
+def q_hist_emd(spark, sf_dir):
+    """Perceptual near-duplicate image pairs by exact 1-D earth-mover
+    distance over ppm-quantized luma histograms
+    (multimodal.hist_emd_pairs): band join on width-T mean buckets
+    (complete because |Σ prefix diffs| ≤ Σ|prefix diffs| = emd), the
+    twin running UNFILTERED all-pairs over the regenerated pixel
+    closed form — parity proves the prefilter dropped nothing."""
+    from openstreetmap_license_change_spark.operators import multimodal
+
+    media = multimodal.synthetic_raw_rgb_media(spark, n=16, w=48, h=32)
+    return multimodal.hist_emd_pairs(media, n_bins=16,
+                                     max_emd_ppm=300_000)
+
+
 def q_image_otsu(spark, sf_dir):
     """Exact Otsu binarization threshold (multimodal.image_otsu):
     per-image argmax of the integer between-class objective
@@ -5286,6 +5300,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rake_keywords": q_rake_keywords,
         "image_equalize": q_image_equalize,
         "image_otsu": q_image_otsu,
+        "hist_emd": q_hist_emd,
         "mask_rle": q_mask_rle,
         "mask_iou": q_mask_iou,
         "mad_outliers": q_mad_outliers,
@@ -6827,6 +6842,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "mask_rle": multimodal_mod.mask_rle_runs_sql(_MASK_FGPX_SQL),
         "image_otsu": multimodal_mod.image_otsu_sql(16, 48, 32),
+        "hist_emd": multimodal_mod.hist_emd_sql(
+            16, 48, 32, n_bins=16, max_emd_ppm=300_000
+        ),
         "mask_iou": multimodal_mod.mask_iou_sql(_MASK_FGPX_SQL),
         "image_equalize": """
             WITH eq_imgs AS (SELECT UNNEST(range(0, 16)) AS media_id),

@@ -2167,3 +2167,202 @@ def image_box_contrast_sql(
                     THEN 1 ELSE 0 END) AS BIGINT) AS n_flat
         FROM bc_box GROUP BY 1
     """
+
+
+# ---------------------------------------------------------------------------
+# luma-histogram earth-mover similarity: perceptual near-duplicate
+# pairs by exact 1-D EMD over quantized histograms, with a provably
+# complete mean-bucket band join (never all-pairs on the engine side).
+# ---------------------------------------------------------------------------
+
+IMAGE_HIST_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("bin", LongType()),
+        StructField("cnt", LongType()),
+    ]
+)
+
+
+def image_luma_hist(media: DataFrame, n_bins: int = 16) -> DataFrame:
+    """Per-image luma histogram: gray = r+g+b ∈ [0, 765] (the dHash /
+    equalize luma convention), bin = gray·n_bins DIV 766.  One
+    vectorized bincount per image inside Arrow batches; output is
+    metadata-scale (≤ n_bins rows per image), present bins only.
+    Returns (media_id, bin, cnt)."""
+    if not 2 <= int(n_bins) <= 766:
+        raise ValueError(f"n_bins out of range: {n_bins}")
+    nb = int(n_bins)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, bins, cnts = [], [], []
+            for mid, payload, w, h in zip(
+                pdf["media_id"], pdf["payload"],
+                pdf["meta_width"], pdf["meta_height"],
+            ):
+                img = _decode_rgb(payload, int(w), int(h)).astype(
+                    np.int64
+                )
+                gray = img.sum(axis=2).ravel()
+                counts = np.bincount(gray * nb // 766, minlength=nb)
+                present = np.nonzero(counts)[0]
+                ids.extend([int(mid)] * len(present))
+                bins.extend(int(b) for b in present)
+                cnts.extend(int(counts[b]) for b in present)
+            yield pd.DataFrame(
+                {"media_id": ids, "bin": bins, "cnt": cnts}
+            )
+
+    return (
+        media.where(F.col("media_type") == "image")
+        .repartition("media_id")
+        .mapInPandas(run, schema=IMAGE_HIST_SCHEMA)
+    )
+
+
+def hist_emd_pairs(
+    media: DataFrame,
+    n_bins: int = 16,
+    max_emd_ppm: int = 250_000,
+) -> DataFrame:
+    """Perceptual near-duplicate image pairs by exact 1-D earth-mover
+    distance over ppm-quantized luma histograms:
+
+        emd_ppm(a, b) = Σ_{k<B−1} |P_a(k) − P_b(k)|,
+        P_x(k) = Σ_{j≤k} h_x(j),  h_x(j) = cnt_j·10⁶ DIV N_x
+
+    — the classic transport cost of the 1-D histogram metric (move
+    one ppm of mass one bin = one unit), exact integers end-to-end
+    (the ppm floor-quantized histograms ARE the declared inputs, so
+    both engines see identical masses; unequal floor remainders
+    < B ppm ride inside the stated metric).
+
+    Scale path — never an all-pairs join: with m_x = Σ_{k<B−1} P_x(k),
+    |m_a − m_b| = |Σ(P_a−P_b)| ≤ Σ|P_a−P_b| = emd, so any pair at
+    emd ≤ T has |Δm| ≤ T and lands in the same or adjacent
+    width-T m-bucket; each image fans to exactly 2 probe buckets and
+    candidates come from one equi-join (the followed_by bucket-fan
+    discipline).  The DuckDB twin verifies over UNFILTERED all-pairs
+    — a superset execution, so the hash match proves the band join
+    dropped nothing.  A bucket packed with near-identical images
+    goes quadratic because the RESULT is quadratic there (every such
+    pair qualifies) — output-bound, not a blowup.
+
+    Returns (media_a, media_b, emd_ppm) with media_a < media_b and
+    emd_ppm ≤ max_emd_ppm."""
+    T = int(max_emd_ppm)
+    if not 1 <= T <= 32_000_000:
+        raise ValueError(f"max_emd_ppm out of range: {T}")
+    nb = int(n_bins)
+    hist = image_luma_hist(media, n_bins=nb)
+    tot = hist.groupBy("media_id").agg(F.sum("cnt").alias("_n"))
+    spark = media.sparkSession
+    grid = tot.crossJoin(
+        F.broadcast(spark.range(0, nb).select(F.col("id").alias("bin")))
+    )
+    dens = grid.join(hist, ["media_id", "bin"], "left").select(
+        "media_id", "bin",
+        F.expr(
+            "CAST(COALESCE(cnt, 0) * 1000000 DIV _n AS BIGINT)"
+        ).alias("h_ppm"),
+    )
+    pre = dens.select(
+        "media_id", "bin",
+        F.sum("h_ppm").over(
+            W.partitionBy("media_id").orderBy("bin")
+        ).alias("p"),
+    ).where(F.col("bin") < nb - 1)
+    mm = pre.groupBy("media_id").agg(F.sum("p").alias("_m"))
+    fan = mm.select(
+        F.col("media_id").alias("id_a"), F.col("_m").alias("m_a"),
+        F.explode(
+            F.array(F.expr(f"_m DIV {T}"), F.expr(f"_m DIV {T} + 1"))
+        ).alias("_bkt"),
+    )
+    cand = (
+        fan.join(
+            mm.select(
+                F.col("media_id").alias("id_b"),
+                F.col("_m").alias("m_b"),
+                F.expr(f"_m DIV {T}").alias("_bkt"),
+            ),
+            "_bkt",
+        )
+        .where(
+            (F.abs(F.col("m_a") - F.col("m_b")) <= T)
+            & (
+                (F.expr(f"m_a DIV {T}") < F.col("_bkt"))
+                | (F.col("id_a") < F.col("id_b"))
+            )
+        )
+        .select(
+            F.least("id_a", "id_b").alias("media_a"),
+            F.greatest("id_a", "id_b").alias("media_b"),
+        )
+    )
+    pa = pre.select(F.col("media_id").alias("media_a"), "bin",
+                    F.col("p").alias("_pa"))
+    pb = pre.select(F.col("media_id").alias("media_b"), F.col("bin"),
+                    F.col("p").alias("_pb"))
+    return (
+        cand.join(pa, "media_a")
+        .join(pb, ["media_b", "bin"])
+        .groupBy("media_a", "media_b")
+        .agg(F.sum(F.abs(F.col("_pa") - F.col("_pb"))).alias("emd_ppm"))
+        .where(F.col("emd_ppm") <= T)
+    )
+
+
+def hist_emd_sql(
+    n: int, w: int, h: int, n_bins: int = 16, max_emd_ppm: int = 250_000
+) -> str:
+    """DuckDB twin of :func:`hist_emd_pairs` over the
+    synthetic_raw_rgb_media closed form, evaluated over UNFILTERED
+    all-pairs (complete by construction — the band join's
+    completeness is exactly what parity proves).  Standalone,
+    em_*-namespaced."""
+    T, nb = int(max_emd_ppm), int(n_bins)
+    if not 1 <= T <= 32_000_000:
+        raise ValueError(f"max_emd_ppm out of range: {T}")
+    return f"""
+        WITH em_px AS (
+            SELECT m.id AS media_id,
+                   CAST((x.x*3 + y.y*7 + 0  + m.id*13) % 256
+                      + (x.x*3 + y.y*7 + 11 + m.id*13) % 256
+                      + (x.x*3 + y.y*7 + 22 + m.id*13) % 256
+                      AS BIGINT) AS g
+            FROM (SELECT UNNEST(range(0, {int(n)})) AS id) m,
+                 range(0, {int(h)}) y(y), range(0, {int(w)}) x(x)
+        ),
+        em_hist AS (
+            SELECT media_id, g * {nb} // 766 AS bin,
+                   CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM em_px GROUP BY 1, 2
+        ),
+        em_tot AS (
+            SELECT media_id, SUM(cnt) AS n FROM em_hist GROUP BY 1
+        ),
+        em_dens AS (
+            SELECT t.media_id, b.bin,
+                   CAST(COALESCE(hh.cnt, 0) * 1000000 // t.n AS BIGINT)
+                       AS h_ppm
+            FROM em_tot t
+            CROSS JOIN (SELECT UNNEST(range(0, {nb})) AS bin) b
+            LEFT JOIN em_hist hh
+              ON hh.media_id = t.media_id AND hh.bin = b.bin
+        ),
+        em_pre AS (
+            SELECT media_id, bin,
+                   SUM(h_ppm) OVER (PARTITION BY media_id
+                                    ORDER BY bin) AS p
+            FROM em_dens
+            QUALIFY bin < {nb} - 1
+        )
+        SELECT a.media_id AS media_a, b.media_id AS media_b,
+               CAST(SUM(ABS(a.p - b.p)) AS BIGINT) AS emd_ppm
+        FROM em_pre a
+        JOIN em_pre b ON b.bin = a.bin AND a.media_id < b.media_id
+        GROUP BY 1, 2
+        HAVING SUM(ABS(a.p - b.p)) <= {T}
+    """
