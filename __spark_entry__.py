@@ -4051,6 +4051,17 @@ def q_contamination(spark, sf_dir):
     return dedup.contamination_check(corpus, bench, n=8)
 
 
+def q_readability(spark, sf_dir):
+    """Flesch reading-ease + Flesch–Kincaid grade
+    (textops.readability): exact floored-milli integer scores from
+    whitespace words, [.!?]+ sentence runs, and the max(1,
+    vowel-group) syllable heuristic — map-only native projection, no
+    UDF, no shuffle; non-negative operands by construction so DIV
+    vs // can't diverge even on negative FRE."""
+    docs = pages_src.documents(spark, sf_dir)
+    return textops.readability(docs)
+
+
 def q_text_quality(spark, sf_dir):
     """Quality features: token count, punct ratio, stopword hits."""
     docs = pages_src.documents(spark, sf_dir)
@@ -5471,6 +5482,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geotag_cells": q_geotag_cells,
         "domain_rollup": q_domain_rollup,
         "text_quality": q_text_quality,
+        "readability": q_readability,
         "lang_id": q_lang_id,
         "ann_cosine_topk": q_ann_cosine_topk,
         "embedding_centroids": q_embedding_centroids,
@@ -7754,6 +7766,7 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, {mh_aggs} FROM joined GROUP BY doc_id
         """,
+        "readability": textops.readability_sql("documents"),
         "text_quality": f"""
             SELECT doc_id,
                    CASE WHEN length(trim(text)) = 0 THEN 0

@@ -4135,3 +4135,101 @@ def gazetteer_tag_sql(
                CAST(MIN(glen) AS BIGINT) AS n_tokens
         FROM gz_keep GROUP BY 1, 2
     """
+
+
+def readability(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Flesch reading-ease and Flesch–Kincaid grade per document —
+    the classic readability axis of a webtext quality panel (low FRE
+    = academic/boilerplate, implausibly high = listicle/spam), in the
+    engine's exact-integer form:
+
+        fre_milli = 206835 − (1015·W) DIV S − (84600·Y) DIV W
+        fkg_milli = (390·W) DIV S + (11800·Y) DIV W − 15590
+
+    with W = whitespace tokens, S = sentence-ending punctuation runs
+    ([.!?]+, min 1), Y = syllables as Σ_w max(1, vowel-group runs of
+    [aeiouy]+ in w) — the standard heuristic counted identically on
+    both engines.  The two DIV terms floor independently (stated —
+    the scores are DEFINED over floored milli-units); every operand
+    is non-negative, so trunc-vs-floor divergence can't arise even
+    though fre itself goes negative on dense text.
+
+    All native column arithmetic (regexp_extract_all + aggregate over
+    the token array — no UDF, no shuffle; this is a map-only
+    projection).  W = 0 → NULL scores (declared; nothing to read).
+
+    Returns (doc_id, n_words, n_sentences, n_syllables, fre_milli,
+    fkg_milli)."""
+    toks = F.expr(
+        f"filter(split(lower({text_col}), '\\\\s+'), t -> t <> '')"
+    )
+    syl = (
+        "aggregate(filter(split(lower({t}), '\\\\s+'), t -> t <> ''), "
+        "CAST(0 AS BIGINT), (acc, w) -> acc + greatest(1, "
+        "size(regexp_extract_all(w, '[aeiouy]+', 0))))"
+    ).format(t=text_col)
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(toks).cast("bigint").alias("n_words"),
+        F.greatest(
+            F.lit(1),
+            F.size(F.expr(f"regexp_extract_all({text_col}, '[.!?]+', 0)")),
+        ).cast("bigint").alias("n_sentences"),
+        F.expr(syl).alias("n_syllables"),
+    ).select(
+        "doc_id", "n_words", "n_sentences", "n_syllables",
+        F.when(
+            F.col("n_words") > 0,
+            F.lit(206835)
+            - F.expr("(1015 * n_words) DIV n_sentences")
+            - F.expr("(84600 * n_syllables) DIV n_words"),
+        ).alias("fre_milli"),
+        F.when(
+            F.col("n_words") > 0,
+            F.expr("(390 * n_words) DIV n_sentences")
+            + F.expr("(11800 * n_syllables) DIV n_words")
+            - F.lit(15590),
+        ).alias("fkg_milli"),
+    )
+
+
+def readability_sql(
+    src: str, id_col: str = "doc_id", text_col: str = "text"
+) -> str:
+    """DuckDB twin of :func:`readability` (standalone,
+    rd_*-namespaced).  list_aggregate-free: syllables via the same
+    per-token max(1, runs) fold expressed as a LATERAL unnest sum."""
+    return f"""
+        WITH rd_toks AS (
+            SELECT {id_col} AS doc_id,
+                   list_filter(
+                       string_split_regex(lower({text_col}), '\\s+'),
+                       t -> t <> ''
+                   ) AS ws,
+                   CAST(len(regexp_extract_all({text_col}, '[.!?]+'))
+                        AS BIGINT) AS raw_sent
+            FROM {src}
+        ),
+        rd_cnt AS (
+            SELECT doc_id,
+                   CAST(len(ws) AS BIGINT) AS n_words,
+                   GREATEST(CAST(1 AS BIGINT), raw_sent) AS n_sentences,
+                   CAST(COALESCE(list_sum(list_transform(ws, w ->
+                       GREATEST(1, len(regexp_extract_all(
+                           w, '[aeiouy]+'))))), 0) AS BIGINT)
+                       AS n_syllables
+            FROM rd_toks
+        )
+        SELECT doc_id, n_words, n_sentences, n_syllables,
+               CASE WHEN n_words > 0 THEN
+                   206835 - (1015 * n_words) // n_sentences
+                          - (84600 * n_syllables) // n_words
+               END AS fre_milli,
+               CASE WHEN n_words > 0 THEN
+                   (390 * n_words) // n_sentences
+                   + (11800 * n_syllables) // n_words - 15590
+               END AS fkg_milli
+        FROM rd_cnt
+    """
