@@ -3016,6 +3016,26 @@ def q_pettitt_hourly(spark, sf_dir):
     return temporal_mod.pettitt_split(hourly, "event_type", "h", "n")
 
 
+def q_ols_hourly(spark, sf_dir):
+    """Exact OLS activity trend (temporal.ols_fit) per event type
+    over hourly counts — the efficient-estimator A/B row beside
+    theil_sen_hourly on the SAME series (disagreement between the two
+    slopes is itself the robustness diagnostic).  One hash
+    aggregation, cleared-integer slope/intercept/R² in ppm,
+    sign-decomposed truncating division, algebraic rebase to the
+    key's own first hour."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    hourly = (
+        ev.groupBy(
+            "event_type",
+            (F.date_trunc("hour", "ts").cast("long") / 3600)
+            .cast("long").alias("h"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    return temporal_mod.ols_fit(hourly, "event_type", "h", "n")
+
+
 def q_bpe_pairs(spark, sf_dir):
     """First BPE merge round (textops.bpe_pair_counts): adjacent-
     symbol pair counts over the documents corpus, word-frequency
@@ -5396,6 +5416,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ks_lang_lengths": q_ks_lang_lengths,
         "rank_sum_lengths": q_rank_sum_lengths,
         "theil_sen_hourly": q_theil_sen_hourly,
+        "ols_hourly": q_ols_hourly,
         "pettitt_hourly": q_pettitt_hourly,
         "mcnemar_filters": q_mcnemar_filters,
         "seasonal_hourly": q_seasonal_hourly,
@@ -8810,6 +8831,14 @@ def oracle_sql() -> dict[str, str]:
             "event_type", "h", "n",
         ),
         "theil_sen_hourly": temporal_mod.theil_sen_sql(
+            """(SELECT event_type,
+                       CAST(epoch(date_trunc('hour', ts)) AS BIGINT)
+                           // 3600 AS h,
+                       CAST(COUNT(*) AS BIGINT) AS n
+                FROM events GROUP BY 1, 2)""",
+            "event_type", "h", "n",
+        ),
+        "ols_hourly": temporal_mod.ols_fit_sql(
             """(SELECT event_type,
                        CAST(epoch(date_trunc('hour', ts)) AS BIGINT)
                            // 3600 AS h,

@@ -3044,3 +3044,159 @@ def pettitt_split_sql(
                CAST(u AS BIGINT) AS u_signed
         FROM pt_rank WHERE rn = 1
     """
+
+
+def ols_fit(
+    series: DataFrame,
+    key_col: str,
+    t_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Exact ordinary-least-squares trend per key — the ESTIMATION
+    twin of :func:`theil_sen` from the other end of the robustness
+    spectrum (OLS is the efficient fit under well-behaved noise;
+    Theil–Sen is the one an incident hour can't reprice — shipping
+    both makes the disagreement itself a diagnostic):
+
+        slope     = (n·Σty − Σt·Σy) / (n·Σt² − (Σt)²)
+        intercept = (Σy·Σt² − Σt·Σty) / (n·Σt² − (Σt)²)   at t = t₀
+        R²        = (n·Σty − Σt·Σy)² / ((n·Σt² − (Σt)²)·(n·Σy² − (Σy)²))
+
+    evaluated EXACTLY in cleared-integer form: ppm quantities are the
+    cross-multiplied rationals under one declared trunc-toward-zero
+    division each (sign-decomposed in the twin — the cohen_kappa
+    discipline, since slope and intercept go negative).  t is rebased
+    to the key's own min ALGEBRAICALLY from the raw sums
+    (Σ(t−m) = Σt − n·m etc.), so the rebase costs no second pass and
+    the intercept is defined at t₀ = min(t) — raw epoch hours never
+    enter a product.
+
+    Physical plan: ONE hash aggregation over (key) — six sums and a
+    min, map-side partial — then pure per-key arithmetic.  No window,
+    no self-join (Theil–Sen's O(n²) pair join is exactly what this
+    avoids), no float.
+
+    Exactness bounds (stated): per-key products are exact while
+    |n·Σ′ty| < 10¹⁶ (then Nm² < 10³²·10⁶ fits DECIMAL(38)) — hourly
+    rollup scales sit orders of magnitude inside this.
+
+    Degenerate cases: n = 1 or all-equal t → D = 0 → all three
+    outputs NULL; constant y (Dy = 0) → slope/intercept exact,
+    r2_ppm NULL (0/0 is undefined, not 1).
+
+    Output: (key, n, t0, slope_ppm, intercept_ppm, r2_ppm)."""
+    dec = "DECIMAL(38,0)"
+    agg = (
+        series.select(
+            F.col(key_col).alias("k"),
+            F.col(t_col).cast("bigint").alias("t"),
+            F.col(value_col).cast("bigint").alias("y"),
+        )
+        .groupBy("k")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.min("t").alias("m"),
+            F.sum(F.col("t").cast(dec)).alias("st"),
+            F.sum(F.col("y").cast(dec)).alias("sy"),
+            F.sum((F.col("t") * F.col("t")).cast(dec)).alias("stt"),
+            F.sum((F.col("t") * F.col("y")).cast(dec)).alias("sty"),
+            F.sum((F.col("y") * F.col("y")).cast(dec)).alias("syy"),
+        )
+    )
+    # algebraic rebase to s = t − m (shift-invariant D and Nm; the
+    # intercept becomes the fitted value at t₀ = m)
+    reb = agg.select(
+        "k", "n", "m", "sy", "syy",
+        F.expr("st - CAST(n AS DECIMAL(38,0)) * m").alias("st_r"),
+        F.expr(
+            "stt - 2 * CAST(m AS DECIMAL(38,0)) * st"
+            " + CAST(n AS DECIMAL(38,0)) * m * m"
+        ).alias("stt_r"),
+        F.expr("sty - CAST(m AS DECIMAL(38,0)) * sy").alias("sty_r"),
+    )
+    def _trunc(num: str, den: str) -> str:
+        return (
+            f"CAST(CASE WHEN {den} = 0 THEN NULL "
+            f"WHEN ({num}) < 0 THEN -(((-({num})) * 1000000) DIV ({den})) "
+            f"ELSE (({num}) * 1000000) DIV ({den}) END AS BIGINT)"
+        )
+    d = "(n * stt_r - st_r * st_r)"
+    nm = "(n * sty_r - st_r * sy)"
+    dy = "(n * syy - sy * sy)"
+    return reb.select(
+        F.col("k").alias(key_col),
+        "n",
+        F.col("m").alias("t0"),
+        F.expr(_trunc(nm, d)).alias("slope_ppm"),
+        F.expr(_trunc("sy * stt_r - st_r * sty_r", d)).alias(
+            "intercept_ppm"
+        ),
+        F.expr(
+            f"CAST(CASE WHEN {d} = 0 OR {dy} = 0 THEN NULL "
+            f"ELSE ({nm} * {nm} * 1000000) DIV ({d} * {dy}) "
+            f"END AS BIGINT)"
+        ).alias("r2_ppm"),
+    )
+
+
+def ols_fit_sql(
+    src: str,
+    key_col: str,
+    t_col: str,
+    value_col: str,
+) -> str:
+    """DuckDB twin of :func:`ols_fit` — identical cleared-integer
+    closed form over HUGEINT sums, sign-decomposed truncating
+    divisions.  Standalone statement."""
+    return f"""
+        WITH ols_pts AS (
+            SELECT {key_col} AS k,
+                   CAST({t_col} AS BIGINT) AS t,
+                   CAST({value_col} AS BIGINT) AS y
+            FROM {src}
+        ),
+        ols_agg AS (
+            SELECT k,
+                   CAST(COUNT(*) AS HUGEINT) AS n,
+                   MIN(t) AS m,
+                   SUM(CAST(t AS HUGEINT)) AS st,
+                   SUM(CAST(y AS HUGEINT)) AS sy,
+                   SUM(CAST(t AS HUGEINT) * t) AS stt,
+                   SUM(CAST(t AS HUGEINT) * y) AS sty,
+                   SUM(CAST(y AS HUGEINT) * y) AS syy
+            FROM ols_pts GROUP BY 1
+        ),
+        ols_reb AS (
+            SELECT k, n, m, sy, syy,
+                   st - n * m AS st_r,
+                   stt - 2 * CAST(m AS HUGEINT) * st + n * m * m
+                       AS stt_r,
+                   sty - CAST(m AS HUGEINT) * sy AS sty_r
+            FROM ols_agg
+        )
+        SELECT k AS {key_col},
+               CAST(n AS BIGINT) AS n,
+               CAST(m AS BIGINT) AS t0,
+               CAST(CASE WHEN n * stt_r - st_r * st_r = 0 THEN NULL
+                 WHEN n * sty_r - st_r * sy < 0 THEN
+                   -(((-(n * sty_r - st_r * sy)) * 1000000)
+                     // (n * stt_r - st_r * st_r))
+                 ELSE ((n * sty_r - st_r * sy) * 1000000)
+                      // (n * stt_r - st_r * st_r)
+               END AS BIGINT) AS slope_ppm,
+               CAST(CASE WHEN n * stt_r - st_r * st_r = 0 THEN NULL
+                 WHEN sy * stt_r - st_r * sty_r < 0 THEN
+                   -(((-(sy * stt_r - st_r * sty_r)) * 1000000)
+                     // (n * stt_r - st_r * st_r))
+                 ELSE ((sy * stt_r - st_r * sty_r) * 1000000)
+                      // (n * stt_r - st_r * st_r)
+               END AS BIGINT) AS intercept_ppm,
+               CAST(CASE WHEN n * stt_r - st_r * st_r = 0
+                         OR n * syy - sy * sy = 0 THEN NULL
+                 ELSE ((n * sty_r - st_r * sy) * (n * sty_r - st_r * sy)
+                       * 1000000)
+                      // ((n * stt_r - st_r * st_r)
+                          * (n * syy - sy * sy))
+               END AS BIGINT) AS r2_ppm
+        FROM ols_reb
+    """
