@@ -3036,6 +3036,25 @@ def q_ols_hourly(spark, sf_dir):
     return temporal_mod.ols_fit(hourly, "event_type", "h", "n")
 
 
+def q_runs_test_hourly(spark, sf_dir):
+    """Wald–Wolfowitz runs test (temporal.runs_test) per event type
+    over hourly counts — the randomness-of-sequence axis beside
+    pettitt (single break) and cusum (mean drift): clumping or
+    alternation around the series' own median, exact n-cleared z² in
+    ppm with the cross-multiplied χ²₁ 0.05 verdict.  One key shuffle
+    serves the median window, the join-back, and the flip window."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    hourly = (
+        ev.groupBy(
+            "event_type",
+            (F.date_trunc("hour", "ts").cast("long") / 3600)
+            .cast("long").alias("h"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    return temporal_mod.runs_test(hourly, "event_type", "h", "n")
+
+
 def q_bpe_pairs(spark, sf_dir):
     """First BPE merge round (textops.bpe_pair_counts): adjacent-
     symbol pair counts over the documents corpus, word-frequency
@@ -5417,6 +5436,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rank_sum_lengths": q_rank_sum_lengths,
         "theil_sen_hourly": q_theil_sen_hourly,
         "ols_hourly": q_ols_hourly,
+        "runs_test_hourly": q_runs_test_hourly,
         "pettitt_hourly": q_pettitt_hourly,
         "mcnemar_filters": q_mcnemar_filters,
         "seasonal_hourly": q_seasonal_hourly,
@@ -8831,6 +8851,14 @@ def oracle_sql() -> dict[str, str]:
             "event_type", "h", "n",
         ),
         "theil_sen_hourly": temporal_mod.theil_sen_sql(
+            """(SELECT event_type,
+                       CAST(epoch(date_trunc('hour', ts)) AS BIGINT)
+                           // 3600 AS h,
+                       CAST(COUNT(*) AS BIGINT) AS n
+                FROM events GROUP BY 1, 2)""",
+            "event_type", "h", "n",
+        ),
+        "runs_test_hourly": temporal_mod.runs_test_sql(
             """(SELECT event_type,
                        CAST(epoch(date_trunc('hour', ts)) AS BIGINT)
                            // 3600 AS h,

@@ -3200,3 +3200,185 @@ def ols_fit_sql(
                END AS BIGINT) AS r2_ppm
         FROM ols_reb
     """
+
+
+RUNS_CHI2_05_PPM = 3_841_459  # χ²₁ 0.05 critical value, ppm (declared)
+
+
+def runs_test(
+    series: DataFrame,
+    key_col: str,
+    t_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Wald–Wolfowitz runs test per key — is the series RANDOM around
+    its own median, or does it clump (regimes, weekly waves) / flip
+    (overdispersed alternation)?  The third change-detection axis
+    beside pettitt_split (single break) and cusum_split (mean drift):
+    a series can pass both and still fail runs.
+
+    Exact integer form: signs are y > median (median = the
+    deterministic lower nearest-rank element, the mad_outliers
+    convention; ties AT the median are excluded — standard, declared),
+    R = sign-change count + 1 in t order, and with n = n₁+n₂,
+    A = R·n − 2n₁n₂ − n (the n-cleared R − μ):
+
+        z² = A²·(n−1) / (2n₁n₂·(2n₁n₂ − n))
+
+    emitted as z2_ppm under ONE declared floor division
+    (non-negative operands — no sign decomposition needed), with
+    `significant` = the exact cross-multiplied z² > 3.841459
+    comparison (the ab_test discipline; no float, no sqrt).
+    Degenerate variance (n₁ = 0, n₂ = 0, or 2n₁n₂ ≤ n) → NULL z²,
+    NULL significant.
+
+    Physical plan: one key shuffle serves everything — the median
+    rank window (order by y), the median join back (same key), and
+    the LAG sign-change window (order by t).  Exactness bound
+    (stated): A²·(n−1)·10⁶ fits DECIMAL(38) for n ≲ 3·10⁶ points per
+    key.
+
+    Output: (key, n_above, n_below, runs, z2_ppm, significant)."""
+    base = series.select(
+        F.col(key_col).alias("k"),
+        F.col(t_col).cast("bigint").alias("t"),
+        F.col(value_col).cast("bigint").alias("y"),
+    )
+    kw = W.partitionBy("k")
+    med = (
+        base.withColumn("rn", F.row_number().over(kw.orderBy("y", "t")))
+        .withColumn("cnt", F.count(F.lit(1)).over(kw))
+        .where(F.expr("rn = (cnt + 1) DIV 2"))
+        .select("k", F.col("y").alias("med"))
+    )
+    signed = (
+        base.join(med, "k")
+        .where(F.col("y") != F.col("med"))
+        .select("k", "t", (F.col("y") > F.col("med")).alias("s"))
+    )
+    flips = signed.withColumn(
+        "chg",
+        F.when(
+            F.lag("s").over(kw.orderBy("t")).isNull()
+            | (F.lag("s").over(kw.orderBy("t")) == F.col("s")),
+            F.lit(0),
+        ).otherwise(F.lit(1)),
+    )
+    agg = flips.groupBy("k").agg(
+        F.sum(F.when(F.col("s"), 1).otherwise(0)).cast("bigint")
+        .alias("n_above"),
+        F.sum(F.when(F.col("s"), 0).otherwise(1)).cast("bigint")
+        .alias("n_below"),
+        (F.sum("chg") + 1).cast("bigint").alias("runs"),
+    )
+    dec = "DECIMAL(38,0)"
+    a = (
+        f"(CAST(runs AS {dec}) * (n_above + n_below)"
+        " - 2 * CAST(n_above AS DECIMAL(38,0)) * n_below"
+        " - (n_above + n_below))"
+    )
+    den = (
+        f"(2 * CAST(n_above AS {dec}) * n_below"
+        f" * (2 * CAST(n_above AS {dec}) * n_below"
+        " - (n_above + n_below)))"
+    )
+    z2 = (
+        f"CASE WHEN n_above = 0 OR n_below = 0 OR {den} <= 0 THEN NULL "
+        f"ELSE CAST(({a} * {a} * (n_above + n_below - 1) * 1000000) "
+        f"DIV {den} AS BIGINT) END"
+    )
+    sig = (
+        f"CASE WHEN n_above = 0 OR n_below = 0 OR {den} <= 0 THEN NULL "
+        f"ELSE {a} * {a} * (n_above + n_below - 1) * 1000000 "
+        f"> CAST({RUNS_CHI2_05_PPM} AS {dec}) * {den} END"
+    )
+    return agg.select(
+        F.col("k").alias(key_col),
+        "n_above", "n_below", "runs",
+        F.expr(z2).alias("z2_ppm"),
+        F.expr(sig).alias("significant"),
+    )
+
+
+def runs_test_sql(
+    src: str,
+    key_col: str,
+    t_col: str,
+    value_col: str,
+) -> str:
+    """DuckDB twin of :func:`runs_test` — identical lower nearest-rank
+    median, tie exclusion, LAG flip count, HUGEINT cleared z², and
+    the same ppm critical-value comparison.  Standalone."""
+    return f"""
+        WITH rt_pts AS (
+            SELECT {key_col} AS k,
+                   CAST({t_col} AS BIGINT) AS t,
+                   CAST({value_col} AS BIGINT) AS y
+            FROM {src}
+        ),
+        rt_med AS (
+            SELECT k, y AS med FROM (
+                SELECT k, y,
+                       ROW_NUMBER() OVER (PARTITION BY k
+                           ORDER BY y, t) AS rn,
+                       COUNT(*) OVER (PARTITION BY k) AS cnt
+                FROM rt_pts
+            ) WHERE rn = (cnt + 1) // 2
+        ),
+        rt_signed AS (
+            SELECT p.k, p.t, p.y > m.med AS s
+            FROM rt_pts p JOIN rt_med m USING (k)
+            WHERE p.y <> m.med
+        ),
+        rt_flips AS (
+            SELECT k, s,
+                   CASE WHEN LAG(s) OVER (PARTITION BY k ORDER BY t)
+                             IS NULL
+                         OR LAG(s) OVER (PARTITION BY k ORDER BY t) = s
+                        THEN 0 ELSE 1 END AS chg
+            FROM rt_signed
+        ),
+        rt_agg AS (
+            SELECT k,
+                   CAST(SUM(CASE WHEN s THEN 1 ELSE 0 END) AS HUGEINT)
+                       AS n_above,
+                   CAST(SUM(CASE WHEN s THEN 0 ELSE 1 END) AS HUGEINT)
+                       AS n_below,
+                   CAST(SUM(chg) + 1 AS HUGEINT) AS runs
+            FROM rt_flips GROUP BY 1
+        )
+        SELECT k AS {key_col},
+               CAST(n_above AS BIGINT) AS n_above,
+               CAST(n_below AS BIGINT) AS n_below,
+               CAST(runs AS BIGINT) AS runs,
+               CASE WHEN n_above = 0 OR n_below = 0
+                     OR 2 * n_above * n_below
+                        * (2 * n_above * n_below - (n_above + n_below))
+                        <= 0 THEN NULL
+                 ELSE CAST(((runs * (n_above + n_below)
+                             - 2 * n_above * n_below
+                             - (n_above + n_below))
+                            * (runs * (n_above + n_below)
+                               - 2 * n_above * n_below
+                               - (n_above + n_below))
+                            * (n_above + n_below - 1) * 1000000)
+                      // (2 * n_above * n_below
+                          * (2 * n_above * n_below
+                             - (n_above + n_below))) AS BIGINT)
+               END AS z2_ppm,
+               CASE WHEN n_above = 0 OR n_below = 0
+                     OR 2 * n_above * n_below
+                        * (2 * n_above * n_below - (n_above + n_below))
+                        <= 0 THEN NULL
+                 ELSE (runs * (n_above + n_below)
+                       - 2 * n_above * n_below - (n_above + n_below))
+                      * (runs * (n_above + n_below)
+                         - 2 * n_above * n_below - (n_above + n_below))
+                      * (n_above + n_below - 1) * 1000000
+                      > {RUNS_CHI2_05_PPM}
+                        * (2 * n_above * n_below
+                           * (2 * n_above * n_below
+                              - (n_above + n_below)))
+               END AS significant
+        FROM rt_agg
+    """
