@@ -2936,6 +2936,20 @@ def q_ks_lang_lengths(spark, sf_dir):
     return evaluation.ks_two_sample(docs, "lang", "n_chars")
 
 
+def q_anova_doclen(spark, sf_dir):
+    """One-way ANOVA (evaluation.anova_oneway): does language explain
+    document-length variance within each source slice?  The
+    PARAMETRIC third axis beside ks_lang_lengths (shape) and
+    rank_sum_lengths (robust location) on the same corpus — exact
+    totals-form SSB/SSW in once-floored micro-units, F and η² each
+    under one declared division, two nested map-side-partial
+    aggregations and nothing else."""
+    from openstreetmap_license_change_spark.operators import evaluation
+
+    docs = pages_src.documents(spark, sf_dir)
+    return evaluation.anova_oneway(docs, "source", "lang", "n_chars")
+
+
 def q_rank_sum_lengths(spark, sf_dir):
     """Mann–Whitney rank-sum drift test (evaluation.rank_sum_test):
     per-language one-vs-rest over document lengths — the DIRECTIONAL
@@ -5433,6 +5447,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "isotonic_calibration": q_isotonic_calibration,
         "bootstrap_doclen": q_bootstrap_doclen,
         "ks_lang_lengths": q_ks_lang_lengths,
+        "anova_doclen": q_anova_doclen,
         "rank_sum_lengths": q_rank_sum_lengths,
         "theil_sen_hourly": q_theil_sen_hourly,
         "ols_hourly": q_ols_hourly,
@@ -8829,6 +8844,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "ks_lang_lengths": evaluation.ks_two_sample_sql(
             "documents", "lang", "n_chars"
+        ),
+        "anova_doclen": evaluation.anova_oneway_sql(
+            "documents", "source", "lang", "n_chars"
         ),
         "rank_sum_lengths": evaluation.rank_sum_test_sql(
             "documents", "lang", "n_chars"

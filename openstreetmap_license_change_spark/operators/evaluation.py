@@ -1865,3 +1865,133 @@ def isotonic_calibrate_sql(
         FROM iso_bins t
         JOIN iso_fit z ON {jk} AND z.k = t.bin
     """
+
+
+def anova_oneway(
+    rows: DataFrame,
+    slice_col: str,
+    group_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Exact one-way ANOVA per slice — the PARAMETRIC cross-group
+    spread test beside ks (distribution shape) and rank_sum
+    (location, robust): does the group factor explain variance in the
+    value at all?  With per-group totals T_g, sizes n_g, grand total
+    T, grand size N, and raw square sum S:
+
+        SSB = Σ_g T_g²/n_g − T²/N        SSW = S − Σ_g T_g²/n_g
+        F   = (N−k)/(k−1) · SSB/SSW      η²  = SSB/(SSB+SSW)
+
+    evaluated in micro-units with ONE declared floor per group term
+    ((T_g²·10⁶) DIV n_g — the readability discipline of independent
+    non-negative floors; ssb is clamped at 0 because the k
+    independent floors can push an exactly-zero SSB to −k µ-units),
+    then one declared division each for f_ppm and eta2_ppm.  No
+    float, no mean subtraction (the totals form), products in
+    DECIMAL(38)/HUGEINT.
+
+    Degenerate slices: k < 2 or N ≤ k → NULL F and η²; SSW = 0 with
+    SSB > 0 (perfect separation) → NULL F (infinite), η² = 10⁶.
+
+    Physical plan: two nested hash aggregations (slice, group) →
+    (slice), both map-side partial — never a window, never a join.
+
+    Output: (slice, k_groups, n, ssb_micro, ssw_micro, f_ppm,
+    eta2_ppm)."""
+    g = (
+        rows.select(
+            F.col(slice_col).alias("sl"),
+            F.col(group_col).alias("g"),
+            F.col(value_col).cast("bigint").alias("y"),
+        )
+        .groupBy("sl", "g")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("ng"),
+            F.sum(F.col("y").cast(_DEC)).alias("tg"),
+            F.sum((F.col("y") * F.col("y")).cast(_DEC)).alias("sg"),
+        )
+    )
+    agg = g.groupBy("sl").agg(
+        F.count(F.lit(1)).cast("bigint").alias("k_groups"),
+        F.sum("ng").cast("bigint").alias("n"),
+        F.sum("tg").alias("t"),
+        F.sum("sg").alias("s"),
+        F.sum(F.expr("(tg * tg * 1000000) DIV ng")).alias("bsum"),
+    )
+    ssb = "greatest(CAST(0 AS DECIMAL(38,0)), bsum - (t * t * 1000000) DIV n)"
+    ssw = "(s * 1000000 - bsum)"
+    return agg.select(
+        F.col("sl").alias(slice_col),
+        "k_groups",
+        "n",
+        F.expr(f"CAST({ssb} AS BIGINT)").alias("ssb_micro"),
+        F.expr(f"CAST({ssw} AS BIGINT)").alias("ssw_micro"),
+        F.expr(
+            f"CAST(CASE WHEN k_groups < 2 OR n <= k_groups "
+            f"OR {ssw} = 0 THEN NULL "
+            f"ELSE ((n - k_groups) * {ssb} * 1000000) "
+            f"DIV ((k_groups - 1) * {ssw}) END AS BIGINT)"
+        ).alias("f_ppm"),
+        F.expr(
+            f"CAST(CASE WHEN k_groups < 2 OR n <= k_groups THEN NULL "
+            f"WHEN {ssb} + {ssw} = 0 THEN NULL "
+            f"ELSE ({ssb} * 1000000) DIV ({ssb} + {ssw}) "
+            f"END AS BIGINT)"
+        ).alias("eta2_ppm"),
+    )
+
+
+def anova_oneway_sql(
+    src: str,
+    slice_col: str,
+    group_col: str,
+    value_col: str,
+) -> str:
+    """DuckDB twin of :func:`anova_oneway` — identical totals form,
+    once-per-group floored micro-units, HUGEINT products, the same
+    declared divisions.  Standalone."""
+    return f"""
+        WITH av_g AS (
+            SELECT {slice_col} AS sl, {group_col} AS g,
+                   CAST(COUNT(*) AS HUGEINT) AS ng,
+                   SUM(CAST({value_col} AS HUGEINT)) AS tg,
+                   SUM(CAST({value_col} AS HUGEINT) * {value_col})
+                       AS sg
+            FROM {src} GROUP BY 1, 2
+        ),
+        av_a AS (
+            SELECT sl,
+                   CAST(COUNT(*) AS HUGEINT) AS k_groups,
+                   SUM(ng) AS n,
+                   SUM(tg) AS t,
+                   SUM(sg) AS s,
+                   SUM((tg * tg * 1000000) // ng) AS bsum
+            FROM av_g GROUP BY 1
+        )
+        SELECT sl AS {slice_col},
+               CAST(k_groups AS BIGINT) AS k_groups,
+               CAST(n AS BIGINT) AS n,
+               CAST(GREATEST(CAST(0 AS HUGEINT),
+                    bsum - (t * t * 1000000) // n) AS BIGINT)
+                   AS ssb_micro,
+               CAST(s * 1000000 - bsum AS BIGINT) AS ssw_micro,
+               CAST(CASE WHEN k_groups < 2 OR n <= k_groups
+                         OR s * 1000000 - bsum = 0 THEN NULL
+                 ELSE ((n - k_groups)
+                       * GREATEST(CAST(0 AS HUGEINT),
+                             bsum - (t * t * 1000000) // n)
+                       * 1000000)
+                      // ((k_groups - 1) * (s * 1000000 - bsum))
+               END AS BIGINT) AS f_ppm,
+               CAST(CASE WHEN k_groups < 2 OR n <= k_groups THEN NULL
+                 WHEN GREATEST(CAST(0 AS HUGEINT),
+                          bsum - (t * t * 1000000) // n)
+                      + (s * 1000000 - bsum) = 0 THEN NULL
+                 ELSE (GREATEST(CAST(0 AS HUGEINT),
+                           bsum - (t * t * 1000000) // n) * 1000000)
+                      // (GREATEST(CAST(0 AS HUGEINT),
+                              bsum - (t * t * 1000000) // n)
+                          + (s * 1000000 - bsum))
+               END AS BIGINT) AS eta2_ppm
+        FROM av_a
+    """
