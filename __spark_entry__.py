@@ -2950,6 +2950,39 @@ def q_anova_doclen(spark, sf_dir):
     return evaluation.anova_oneway(docs, "source", "lang", "n_chars")
 
 
+def q_fleiss_raters(spark, sf_dir):
+    """Fleiss' kappa (evaluation.fleiss_kappa) per language over a
+    3-rater keep/drop panel — three independent curation heuristics
+    (length window 150–400, whitespace-token window 30–80, ' the '
+    stopword presence) treated as anonymous annotators: do the repo's
+    cheap filters agree beyond chance, per language?  Cleared-integer
+    κ, sign-decomposed division, rectangular panel by construction
+    (every doc gets exactly three ratings)."""
+    from openstreetmap_license_change_spark.operators import evaluation
+
+    docs = pages_src.documents(spark, sf_dir)
+    verd = docs.select(
+        "doc_id", "lang",
+        F.col("n_chars").between(150, 400).alias("v_len"),
+        F.expr(
+            "size(filter(split(text, '\\\\s+'), t -> t <> ''))"
+        ).between(30, 80).alias("v_tok"),
+        (F.concat(F.lit(" "), F.lower("text"), F.lit(" "))
+         .like("% the %")).alias("v_stop"),
+    )
+    long = verd.select(
+        F.col("lang").alias("grp"), F.col("doc_id").alias("it"),
+        F.explode(
+            F.array(
+                F.when(F.col("v_len"), "keep").otherwise("drop"),
+                F.when(F.col("v_tok"), "keep").otherwise("drop"),
+                F.when(F.col("v_stop"), "keep").otherwise("drop"),
+            )
+        ).alias("cat"),
+    )
+    return evaluation.fleiss_kappa(long, "grp", "it", "cat")
+
+
 def q_rank_sum_lengths(spark, sf_dir):
     """Mann–Whitney rank-sum drift test (evaluation.rank_sum_test):
     per-language one-vs-rest over document lengths — the DIRECTIONAL
@@ -5448,6 +5481,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bootstrap_doclen": q_bootstrap_doclen,
         "ks_lang_lengths": q_ks_lang_lengths,
         "anova_doclen": q_anova_doclen,
+        "fleiss_raters": q_fleiss_raters,
         "rank_sum_lengths": q_rank_sum_lengths,
         "theil_sen_hourly": q_theil_sen_hourly,
         "ols_hourly": q_ols_hourly,
@@ -8847,6 +8881,23 @@ def oracle_sql() -> dict[str, str]:
         ),
         "anova_doclen": evaluation.anova_oneway_sql(
             "documents", "source", "lang", "n_chars"
+        ),
+        "fleiss_raters": evaluation.fleiss_kappa_sql(
+            """(SELECT lang AS grp, doc_id AS it,
+                       CASE WHEN v THEN 'keep' ELSE 'drop' END AS cat
+                FROM (
+                    SELECT doc_id, lang,
+                           unnest([
+                               n_chars BETWEEN 150 AND 400,
+                               len(list_filter(
+                                   string_split_regex(text, '\\s+'),
+                                   t -> t <> '')) BETWEEN 30 AND 80,
+                               (' ' || lower(text) || ' ')
+                                   LIKE '% the %'
+                           ]) AS v
+                    FROM documents
+                ))""",
+            "grp", "it", "cat",
         ),
         "rank_sum_lengths": evaluation.rank_sum_test_sql(
             "documents", "lang", "n_chars"

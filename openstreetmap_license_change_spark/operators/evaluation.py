@@ -1995,3 +1995,132 @@ def anova_oneway_sql(
                END AS BIGINT) AS eta2_ppm
         FROM av_a
     """
+
+
+def fleiss_kappa(
+    ratings: DataFrame,
+    group_col: str,
+    item_col: str,
+    cat_col: str,
+) -> DataFrame:
+    """Exact Fleiss' kappa per group — chance-corrected agreement
+    among r ANONYMOUS raters per item (the r > 2 generalization of
+    :func:`cohen_kappa`, which identifies its two raters).  With
+    n_ij = ratings of item i in category j, T_j = Σ_i n_ij,
+    A = Σ_ij n_ij², M = N·r:
+
+        κ = ((A − M)·M − B·(r−1)) / ((r−1)·(M² − B)),   B = Σ_j T_j²
+
+    — the cleared-integer rational of (P̄ₒ − P̄ₑ)/(1 − P̄ₑ), evaluated
+    exactly; kappa_ppm under one sign-decomposed trunc-toward-zero
+    division (κ < 0 = worse than chance, real and representable).
+
+    Every item in a group MUST carry the same rating count r: the
+    operator fails LOUDLY (assert_true riding the output column —
+    Catalyst cannot prune it) on ragged panels rather than averaging
+    them silently; r = 1 (no pair to agree) and P̄ₑ = 1 (degenerate
+    marginals) emit NULL.
+
+    Physical plan: contingency groupBy(group, item, cat), re-aggregate
+    per item then per group, marginal groupBy(group, cat) → per group,
+    one group-keyed join of two TINY aggregates.  Never a pairwise
+    rater join — raters are anonymous counts, so the r² pair space of
+    the Cohen form never materializes.
+
+    Output: (group, n_items, n_raters, kappa_ppm)."""
+    cont = (
+        ratings.select(
+            F.col(group_col).alias("grp"),
+            F.col(item_col).alias("it"),
+            F.col(cat_col).alias("cat"),
+        )
+        .groupBy("grp", "it", "cat")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("nij"))
+    )
+    per_item = cont.groupBy("grp", "it").agg(
+        F.sum("nij").cast("bigint").alias("ri"),
+        F.sum(F.expr(f"CAST(nij AS {_DEC}) * nij")).alias("ai"),
+    )
+    per_grp = per_item.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_items"),
+        F.min("ri").alias("rmin"),
+        F.max("ri").alias("rmax"),
+        F.sum("ai").alias("a"),
+    )
+    marg = (
+        cont.groupBy("grp", "cat")
+        .agg(F.sum("nij").cast("bigint").alias("tj"))
+        .groupBy("grp")
+        .agg(F.sum(F.expr(f"CAST(tj AS {_DEC}) * tj")).alias("b"))
+    )
+    j = per_grp.join(marg, "grp")
+    m = f"(CAST(n_items AS {_DEC}) * rmin)"
+    num = f"((a - {m}) * {m} - b * (rmin - 1))"
+    den = f"((rmin - 1) * ({m} * {m} - b))"
+    return j.select(
+        F.col("grp").alias(group_col),
+        "n_items",
+        # ragged-panel guard rides the emitted rater count
+        F.when(
+            F.expr("assert_true(rmin = rmax, "
+                   "'fleiss_kappa: ragged panel — items with "
+                   "differing rating counts')").isNull(),
+            F.col("rmin"),
+        ).alias("n_raters"),
+        F.expr(
+            f"CAST(CASE WHEN rmin < 2 OR {den} = 0 THEN NULL "
+            f"WHEN {num} < 0 THEN -(((-{num}) * 1000000) DIV {den}) "
+            f"ELSE ({num} * 1000000) DIV {den} END AS BIGINT)"
+        ).alias("kappa_ppm"),
+    )
+
+
+def fleiss_kappa_sql(
+    src: str, group_col: str, item_col: str, cat_col: str
+) -> str:
+    """DuckDB twin of :func:`fleiss_kappa` (HUGEINT cleared form,
+    sign-decomposed truncating division; assumes a rectangular panel
+    — the operator's guard is the loud one).  Standalone."""
+    return f"""
+        WITH fk_cont AS (
+            SELECT {group_col} AS grp, {item_col} AS it,
+                   {cat_col} AS cat, COUNT(*) AS nij
+            FROM {src} GROUP BY 1, 2, 3
+        ),
+        fk_item AS (
+            SELECT grp, it, CAST(SUM(nij) AS HUGEINT) AS ri,
+                   SUM(CAST(nij AS HUGEINT) * nij) AS ai
+            FROM fk_cont GROUP BY 1, 2
+        ),
+        fk_grp AS (
+            SELECT grp, CAST(COUNT(*) AS HUGEINT) AS n_items,
+                   MIN(ri) AS r, SUM(ai) AS a
+            FROM fk_item GROUP BY 1
+        ),
+        fk_marg AS (
+            SELECT grp, SUM(CAST(tj AS HUGEINT) * tj) AS b
+            FROM (
+                SELECT grp, cat, CAST(SUM(nij) AS HUGEINT) AS tj
+                FROM fk_cont GROUP BY 1, 2
+            ) GROUP BY 1
+        )
+        SELECT g.grp AS {group_col},
+               CAST(g.n_items AS BIGINT) AS n_items,
+               CAST(g.r AS BIGINT) AS n_raters,
+               CAST(CASE
+                 WHEN g.r < 2
+                   OR (g.r - 1) * (g.n_items * g.r * g.n_items * g.r
+                                   - m.b) = 0 THEN NULL
+                 WHEN (g.a - g.n_items * g.r) * g.n_items * g.r
+                      - m.b * (g.r - 1) < 0 THEN
+                   -(((-((g.a - g.n_items * g.r) * g.n_items * g.r
+                         - m.b * (g.r - 1))) * 1000000)
+                     // ((g.r - 1)
+                         * (g.n_items * g.r * g.n_items * g.r - m.b)))
+                 ELSE (((g.a - g.n_items * g.r) * g.n_items * g.r
+                        - m.b * (g.r - 1)) * 1000000)
+                      // ((g.r - 1)
+                          * (g.n_items * g.r * g.n_items * g.r - m.b))
+               END AS BIGINT) AS kappa_ppm
+        FROM fk_grp g JOIN fk_marg m USING (grp)
+    """
