@@ -2983,6 +2983,16 @@ def q_fleiss_raters(spark, sf_dir):
     return evaluation.fleiss_kappa(long, "grp", "it", "cat")
 
 
+def q_benford_chars(spark, sf_dir):
+    """Benford first-digit audit (profile.benford_profile) of the
+    document-length column per language — the forensic
+    synthetic-data detector as a dense 9-digit grid with exact
+    floored obs/dev/TVD ppm against the declared log10(1+1/d)
+    constants; non-positive rows counted, never silently dropped."""
+    docs = pages_src.documents(spark, sf_dir)
+    return profile_mod.benford_profile(docs, "lang", "n_chars")
+
+
 def q_rank_sum_lengths(spark, sf_dir):
     """Mann–Whitney rank-sum drift test (evaluation.rank_sum_test):
     per-language one-vs-rest over document lengths — the DIRECTIONAL
@@ -5482,6 +5492,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ks_lang_lengths": q_ks_lang_lengths,
         "anova_doclen": q_anova_doclen,
         "fleiss_raters": q_fleiss_raters,
+        "benford_chars": q_benford_chars,
         "rank_sum_lengths": q_rank_sum_lengths,
         "theil_sen_hourly": q_theil_sen_hourly,
         "ols_hourly": q_ols_hourly,
@@ -8881,6 +8892,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "anova_doclen": evaluation.anova_oneway_sql(
             "documents", "source", "lang", "n_chars"
+        ),
+        "benford_chars": profile_mod.benford_profile_sql(
+            "documents", "lang", "n_chars"
         ),
         "fleiss_raters": evaluation.fleiss_kappa_sql(
             """(SELECT lang AS grp, doc_id AS it,

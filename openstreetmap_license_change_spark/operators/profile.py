@@ -290,3 +290,149 @@ def cube_rollup_sql(
         FROM {src}
         GROUP BY CUBE ({dl})
     """
+
+
+# log10(1 + 1/d) in ppm, d = 1..9 — the Benford expectation (declared
+# constants; they sum to exactly 10⁶)
+BENFORD_PPM = (301030, 176091, 124939, 96910, 79181,
+               66947, 57992, 51153, 45757)
+
+assert sum(BENFORD_PPM) == 1_000_000
+
+
+def benford_profile(
+    rows: DataFrame,
+    slice_col: str,
+    value_col: str,
+) -> DataFrame:
+    """First-significant-digit profile per slice vs Benford's law —
+    the forensic audit for any positive count-like column (synthetic
+    or templated data rarely survives it; organically-growing counts
+    usually do).  Output is DENSE: all nine digits per slice (zero
+    counts included — a missing digit is the strongest possible
+    signal and must appear as a row, not an absence), with
+
+        obs_ppm = (n_digit·10⁶) DIV n_total          (one floor)
+        dev_ppm = obs_ppm − exp_ppm                  (signed)
+        tvd_ppm = (Σ_d |dev_ppm|) DIV 2              (per slice)
+
+    against the declared log10(1+1/d) ppm constants.  Non-positive
+    values can't carry a first significant digit; they are excluded
+    and COUNTED (n_excluded per slice — never silent).  The first
+    digit comes from the engine-portable decimal rendering of a
+    BIGINT (both engines print integers identically; no float ever
+    enters).
+
+    Physical plan: one (slice, digit) hash aggregation, re-aggregated
+    per slice, dense 9-digit grid via explode(sequence) on the TINY
+    per-slice row, left join of counts back, one 9-row window for the
+    TVD.  Everything after the first aggregation is 9·|slices|-sized.
+
+    Output: (slice, digit, n_digit, n_total, n_excluded, obs_ppm,
+    exp_ppm, dev_ppm, tvd_ppm)."""
+    from pyspark.sql import Window as W
+
+    base = rows.select(
+        F.col(slice_col).alias("sl"),
+        F.col(value_col).cast("bigint").alias("y"),
+    )
+    cnt = (
+        base.where(F.col("y") > 0)
+        .select(
+            "sl",
+            F.substring(F.col("y").cast("string"), 1, 1)
+            .cast("int").alias("digit"),
+        )
+        .groupBy("sl", "digit")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_digit"))
+    )
+    tot = base.groupBy("sl").agg(
+        F.sum(F.when(F.col("y") > 0, 1).otherwise(0))
+        .cast("bigint").alias("n_total"),
+        F.sum(F.when((F.col("y") <= 0) | F.col("y").isNull(), 1)
+              .otherwise(0)).cast("bigint").alias("n_excluded"),
+    )
+    exp_arr = "array({})".format(
+        ", ".join(str(v) for v in BENFORD_PPM)
+    )
+    grid = tot.select(
+        "sl", "n_total", "n_excluded",
+        F.explode(F.expr("sequence(1, 9)")).alias("digit"),
+    )
+    j = (
+        grid.join(cnt, ["sl", "digit"], "left")
+        .withColumn("n_digit", F.coalesce("n_digit", F.lit(0)))
+        .withColumn(
+            "obs_ppm",
+            F.when(F.col("n_total") > 0,
+                   F.expr("(n_digit * 1000000) DIV n_total")),
+        )
+        .withColumn("exp_ppm",
+                    F.expr(f"element_at({exp_arr}, digit)")
+                    .cast("bigint"))
+        .withColumn("dev_ppm", F.col("obs_ppm") - F.col("exp_ppm"))
+    )
+    return j.withColumn(
+        "tvd_ppm",
+        F.expr(
+            "CAST(sum(abs(dev_ppm)) OVER (PARTITION BY sl) "
+            "DIV 2 AS BIGINT)"
+        ),
+    ).select(
+        F.col("sl").alias(slice_col),
+        "digit", "n_digit", "n_total", "n_excluded",
+        "obs_ppm", "exp_ppm", "dev_ppm", "tvd_ppm",
+    )
+
+
+def benford_profile_sql(
+    src: str, slice_col: str, value_col: str
+) -> str:
+    """DuckDB twin of :func:`benford_profile` — identical dense grid,
+    string-rendered first digit, floored obs_ppm, window TVD.
+    Standalone."""
+    exp_list = ", ".join(str(v) for v in BENFORD_PPM)
+    return f"""
+        WITH bf_base AS (
+            SELECT {slice_col} AS sl,
+                   CAST({value_col} AS BIGINT) AS y
+            FROM {src}
+        ),
+        bf_cnt AS (
+            SELECT sl,
+                   CAST(substr(CAST(y AS VARCHAR), 1, 1) AS INTEGER)
+                       AS digit,
+                   CAST(COUNT(*) AS BIGINT) AS n_digit
+            FROM bf_base WHERE y > 0 GROUP BY 1, 2
+        ),
+        bf_tot AS (
+            SELECT sl,
+                   CAST(SUM(CASE WHEN y > 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_total,
+                   CAST(SUM(CASE WHEN y <= 0 OR y IS NULL
+                            THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_excluded
+            FROM bf_base GROUP BY 1
+        ),
+        bf_grid AS (
+            SELECT t.sl, t.n_total, t.n_excluded, d.digit
+            FROM bf_tot t, (SELECT unnest(range(1, 10)) AS digit) d
+        ),
+        bf_j AS (
+            SELECT g.sl, CAST(g.digit AS INTEGER) AS digit,
+                   COALESCE(c.n_digit, 0) AS n_digit,
+                   g.n_total, g.n_excluded,
+                   CASE WHEN g.n_total > 0 THEN
+                       (COALESCE(c.n_digit, 0) * 1000000) // g.n_total
+                   END AS obs_ppm,
+                   CAST([{exp_list}][g.digit] AS BIGINT) AS exp_ppm
+            FROM bf_grid g LEFT JOIN bf_cnt c
+              ON c.sl = g.sl AND c.digit = g.digit
+        )
+        SELECT sl AS {slice_col}, digit, n_digit, n_total, n_excluded,
+               obs_ppm, exp_ppm,
+               obs_ppm - exp_ppm AS dev_ppm,
+               CAST(SUM(ABS(obs_ppm - exp_ppm)) OVER
+                        (PARTITION BY sl) // 2 AS BIGINT) AS tvd_ppm
+        FROM bf_j
+    """
