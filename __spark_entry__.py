@@ -971,6 +971,27 @@ def q_mask_iou(spark, sf_dir):
     return multimodal.mask_iou_pairs(runs, bucket=256)
 
 
+def q_mask_components(spark, sf_dir):
+    """Blob extraction (multimodal.mask_components): 4-connectivity
+    connected components of the deterministic masks straight from
+    their RLE runs — row-segment split by bounded explode, interval-
+    residual adjacency join, shared min-label pointer-jumping kit;
+    areas/bboxes per component without re-materializing pixels.  The
+    oracle walks a recursive ONE-HOP closure over per-row
+    gaps-and-islands segments from the closed-form pixel set — a
+    different algorithm family, so the pointer doubling is what gets
+    hash-verified."""
+    from openstreetmap_license_change_spark.operators import multimodal
+
+    media = multimodal.synthetic_masks(
+        spark, n=MASK_N, w=MASK_W, h=MASK_H
+    )
+    runs = multimodal.mask_rle_encode(media)
+    return multimodal.mask_components(
+        runs, width=MASK_W, height=MASK_H
+    )
+
+
 def q_rake_keywords(spark, sf_dir):
     """RAKE keyword extraction (textops.rake_keywords): per-document
     top-3 keyphrases by the exact deg/freq ppm score — stopword/
@@ -5410,6 +5431,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hist_emd": q_hist_emd,
         "mask_rle": q_mask_rle,
         "mask_iou": q_mask_iou,
+        "mask_components": q_mask_components,
         "mad_outliers": q_mad_outliers,
         "bivariate_morans": q_bivariate_morans,
         "negative_samples": q_negative_samples,
@@ -6959,6 +6981,9 @@ def oracle_sql() -> dict[str, str]:
             16, 48, 32, n_bins=16, max_emd_ppm=300_000
         ),
         "mask_iou": multimodal_mod.mask_iou_sql(_MASK_FGPX_SQL),
+        "mask_components": multimodal_mod.mask_components_sql(
+            _MASK_FGPX_SQL, width=MASK_W
+        ),
         "image_equalize": """
             WITH eq_imgs AS (SELECT UNNEST(range(0, 16)) AS media_id),
             eq_pix AS (

@@ -2366,3 +2366,162 @@ def hist_emd_sql(
         GROUP BY 1, 2
         HAVING SUM(ABS(a.p - b.p)) <= {T}
     """
+
+
+def mask_components(
+    runs: DataFrame,
+    width: int,
+    height: int,
+    max_iters: int = 24,
+) -> DataFrame:
+    """Connected-component labeling (4-connectivity) of binary masks
+    from their RLE runs — the blob extractor that turns a
+    segmentation mask into countable objects with areas and bboxes,
+    computed WITHOUT ever re-materializing pixels.
+
+    Pipeline: flat scanline runs (the :func:`mask_rle_encode` output
+    — a run may wrap across row boundaries) split into per-ROW
+    segments by one bounded explode(sequence) over the covered rows;
+    4-adjacency = segments in consecutive rows whose column intervals
+    intersect (a (mask, row+1) equi-join with the interval residual —
+    never a pixel join); components via the shared
+    :func:`graph.min_label_components` min-label + pointer-jumping
+    kit (O(log diameter) rounds — a serpentine one-component mask
+    converges in ~log₂(w·h) rounds, not w·h).  Segment node ids are
+    the segment-start flat offsets, globalized as
+    mask_id·(width·height) + offset, so one graph pass serves the
+    whole corpus and the final label DECODES back to a deterministic
+    per-mask component id (the component's smallest flat offset).
+
+    Output: (mask_id, comp_px, area_px, n_segs, x_min, x_max, y_min,
+    y_max) — one row per component, comp_px = the component's
+    top-left-most segment start offset."""
+    from .graph import min_label_components
+
+    plane = width * height
+    segs = (
+        runs.select(
+            "mask_id",
+            F.expr("start_px DIV {w}".format(w=width)).alias("y0"),
+            F.expr(
+                "(start_px + run_len - 1) DIV {w}".format(w=width)
+            ).alias("y1"),
+            "start_px", "run_len",
+        )
+        .select(
+            "mask_id", "start_px", "run_len",
+            F.explode(F.expr("sequence(y0, y1)")).alias("y"),
+        )
+        .select(
+            "mask_id", "y",
+            F.greatest(
+                F.expr(f"start_px - y * {width}"), F.lit(0)
+            ).alias("xs"),
+            F.least(
+                F.expr(f"start_px + run_len - 1 - y * {width}"),
+                F.lit(width - 1),
+            ).alias("xe"),
+        )
+        .withColumn(
+            "gid",
+            F.expr(f"mask_id * {plane} + y * {width} + xs")
+            .cast("bigint"),
+        )
+    )
+    a = segs.select(
+        F.col("mask_id").alias("m"), F.col("y").alias("ya"),
+        F.col("xs").alias("xsa"), F.col("xe").alias("xea"),
+        F.col("gid").alias("id_a"),
+    )
+    b = segs.select(
+        F.col("mask_id").alias("mb"), F.col("y").alias("yb"),
+        F.col("xs").alias("xsb"), F.col("xe").alias("xeb"),
+        F.col("gid").alias("id_b"),
+    )
+    edges = a.join(
+        b,
+        (F.col("m") == F.col("mb"))
+        & (F.col("ya") + 1 == F.col("yb"))
+        & (F.col("xsa") <= F.col("xeb"))
+        & (F.col("xsb") <= F.col("xea")),
+    ).select("id_a", "id_b")
+    labels = min_label_components(
+        segs.select(F.col("gid").alias("id")),
+        edges,
+        max_iters=max_iters,
+        op_name="mask_components",
+    )
+    return (
+        segs.join(labels, segs.gid == labels.id)
+        .groupBy("mask_id", "label")
+        .agg(
+            F.sum(F.col("xe") - F.col("xs") + 1).cast("bigint")
+            .alias("area_px"),
+            F.count(F.lit(1)).cast("bigint").alias("n_segs"),
+            F.min("xs").cast("bigint").alias("x_min"),
+            F.max("xe").cast("bigint").alias("x_max"),
+            F.min("y").cast("bigint").alias("y_min"),
+            F.max("y").cast("bigint").alias("y_max"),
+        )
+        .select(
+            "mask_id",
+            (F.col("label") % plane).cast("bigint").alias("comp_px"),
+            "area_px", "n_segs", "x_min", "x_max", "y_min", "y_max",
+        )
+    )
+
+
+def mask_components_sql(fgpx_src: str, width: int) -> str:
+    """DuckDB twin of :func:`mask_components` from a foreground pixel
+    set (mask_id, px) — per-row gaps-and-islands segments, then a
+    recursive one-hop min-label closure over the interval adjacency
+    (the :func:`graph.components_sql` family: a DIFFERENT algorithm
+    from the operator's pointer doubling, so the doubling shortcut is
+    what gets verified).  Standalone."""
+    return f"""
+        WITH RECURSIVE mc_px AS (
+            SELECT mask_id, px // {width} AS y, px % {width} AS x
+            FROM {fgpx_src}
+        ),
+        mc_seg AS (
+            SELECT mask_id, y, MIN(x) AS xs, MAX(x) AS xe,
+                   mask_id * 1000000 + y * {width} + MIN(x) AS gid
+            FROM (
+                SELECT mask_id, y, x,
+                       x - ROW_NUMBER() OVER (PARTITION BY mask_id, y
+                                              ORDER BY x) AS isl
+                FROM mc_px
+            ) GROUP BY mask_id, y, isl
+        ),
+        mc_eg AS (
+            SELECT a.gid AS src, b.gid AS dst
+            FROM mc_seg a JOIN mc_seg b
+              ON a.mask_id = b.mask_id AND a.y + 1 = b.y
+             AND a.xs <= b.xe AND b.xs <= a.xe
+        ),
+        mc_sym AS (
+            SELECT src, dst FROM mc_eg
+            UNION
+            SELECT dst AS src, src AS dst FROM mc_eg
+        ),
+        mc_reach(gid, lbl) AS (
+            SELECT gid, gid AS lbl FROM mc_seg
+            UNION
+            SELECT e.dst AS gid, r.lbl
+            FROM mc_reach r JOIN mc_sym e ON e.src = r.gid
+            WHERE r.lbl < e.dst
+        ),
+        mc_lbl AS (
+            SELECT gid, MIN(lbl) AS label FROM mc_reach GROUP BY gid
+        )
+        SELECT s.mask_id,
+               CAST(MIN(l.label % 1000000) AS BIGINT) AS comp_px,
+               CAST(SUM(s.xe - s.xs + 1) AS BIGINT) AS area_px,
+               CAST(COUNT(*) AS BIGINT) AS n_segs,
+               CAST(MIN(s.xs) AS BIGINT) AS x_min,
+               CAST(MAX(s.xe) AS BIGINT) AS x_max,
+               CAST(MIN(s.y) AS BIGINT) AS y_min,
+               CAST(MAX(s.y) AS BIGINT) AS y_max
+        FROM mc_seg s JOIN mc_lbl l USING (gid)
+        GROUP BY s.mask_id, l.label
+    """
