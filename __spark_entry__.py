@@ -3054,6 +3054,30 @@ def q_contact_episodes(spark, sf_dir):
     )
 
 
+def q_flock_groups(spark, sf_dir):
+    """Flock detection (spatial.flock_groups) over the same drift
+    geocode: maximal consecutive-bucket runs of one cell holding an
+    IDENTICAL user set (≥2 users, ≥2 buckets) — the group-level
+    convoy readout pairwise contact_episodes structurally can't see.
+    Roster built once per (bucket, cell) with numeric sort + loud
+    size cap; gaps-and-islands on (cell, roster)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    rn = F.row_number().over(
+        W.partitionBy("user_id").orderBy("ts", "event_id")
+    )
+    pts = ev.select("user_id", "ts", "event_id", rn.alias("rn")).select(
+        "user_id", "ts",
+        (F.lit(-45.0) + (F.col("user_id") % 120) * F.lit(0.5)
+         + F.lit(0.001) * F.col("rn")
+         + F.lit(1.0) * F.floor(F.col("rn") / 25)).alias("lat"),
+        (F.lit(-100.0) + (F.col("user_id") % 140) * F.lit(1.0)
+         + F.lit(0.002) * F.col("rn")).alias("lon"),
+    )
+    return spatial.flock_groups(
+        pts, "user_id", "ts", res_deg=COLOC_RES, window_s=COLOC_WIN_S
+    )
+
+
 def q_theil_sen_hourly(spark, sf_dir):
     """Theil–Sen robust activity trend (temporal.theil_sen) per event
     type over hourly counts — the ESTIMATION companion of tile_trend's
@@ -5525,6 +5549,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "polygon_validity_report": q_polygon_validity,
         "image_box_contrast": q_image_box_contrast,
         "contact_episodes": q_contact_episodes,
+        "flock_groups": q_flock_groups,
         "kn_bigrams": q_kn_bigrams,
         "vocab_drift": q_vocab_drift,
         "token_burstiness": q_token_burstiness,
@@ -9208,6 +9233,10 @@ def oracle_sql() -> dict[str, str]:
             res_deg=COLOC_RES, window_s=COLOC_WIN_S,
         ),
         "colocation_pairs": spatial.colocation_pairs_sql(
+            _STAY_PTS_SQL, "user_id", "ts",
+            res_deg=COLOC_RES, window_s=COLOC_WIN_S,
+        ),
+        "flock_groups": spatial.flock_groups_sql(
             _STAY_PTS_SQL, "user_id", "ts",
             res_deg=COLOC_RES, window_s=COLOC_WIN_S,
         ),

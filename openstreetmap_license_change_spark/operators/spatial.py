@@ -8634,3 +8634,142 @@ def polygon_validity_sql(
         FROM pv_heads h
         LEFT JOIN pv_cross c ON c.id = h.id
     """
+
+
+def flock_groups(
+    points: DataFrame,
+    id_col: str,
+    ts_col: str,
+    lon: str = "lon",
+    lat: str = "lat",
+    res_deg: float = DEFAULT_RES_DEG,
+    window_s: int = 3600,
+    min_size: int = 2,
+    min_buckets: int = 2,
+    max_members: int = 4096,
+) -> DataFrame:
+    """Flock detection — maximal runs of consecutive time buckets in
+    which the SAME grid cell holds the IDENTICAL entity set: the
+    group-level sibling of :func:`contact_episodes` (pairs can't see
+    a convoy of five; the set-identity run can).  Definition (stated,
+    crisper than disc flocks): entity e is present in (bucket, cell)
+    iff it has ≥1 event there; a flock is a maximal consecutive-bucket
+    run of one cell whose presence SET is identical throughout, with
+    ≥ ``min_size`` members and ≥ ``min_buckets`` buckets.  Same cell,
+    not 3×3 — flocks are tight by construction; membership change
+    (anyone joins or leaves) ENDS the run and may start another.
+
+    Physical plan: distinct (entity, bucket, cell) → one
+    (bucket, cell) aggregation building the SORTED member roster
+    (numeric sort, then rendered — both engines render BIGINT
+    identically) → gaps-and-islands window partitioned by
+    (cell, roster) — island key = bucket − row_number — → one run
+    aggregation.  Everything after the first aggregation is one row
+    per (bucket, cell), never per event.  Hot cells are bounded by a
+    LOUD roster cap (``max_members``, assert_true riding the emitted
+    member count — Catalyst cannot prune it): a 10⁶-entity stadium
+    cell fails with a message, not a 10-MB roster string per bucket.
+
+    Output: (cell, members, n_members, start_bucket, end_bucket,
+    n_buckets)."""
+    win_us = int(window_s) * 1_000_000
+    base = (
+        points.select(
+            F.col(id_col).alias("_id"),
+            grid_cell(F.col(lon), F.col(lat), res_deg).alias("_cell"),
+            F.expr(
+                f"unix_micros(CAST({ts_col} AS TIMESTAMP)) "
+                f"DIV {win_us}"
+            ).alias("_bk"),
+        )
+        .distinct()
+    )
+    roster = (
+        base.groupBy("_bk", "_cell")
+        .agg(F.array_sort(F.collect_set("_id")).alias("_mem"))
+        .select(
+            "_bk", "_cell",
+            F.expr(
+                "array_join(transform(_mem, "
+                "x -> CAST(x AS STRING)), ',')"
+            ).alias("members"),
+            F.when(
+                F.expr(
+                    f"assert_true(size(_mem) <= {int(max_members)}, "
+                    f"'flock_groups: cell roster exceeds "
+                    f"max_members={int(max_members)} — raise the cap "
+                    f"or coarsen res_deg')"
+                ).isNull(),
+                F.size("_mem"),
+            ).cast("bigint").alias("n_members"),
+        )
+        .where(F.col("n_members") >= int(min_size))
+    )
+    isl = roster.withColumn(
+        "_isl",
+        F.col("_bk")
+        - F.row_number().over(
+            W.partitionBy("_cell", "members").orderBy("_bk")
+        ),
+    )
+    return (
+        isl.groupBy("_cell", "members", "n_members", "_isl")
+        .agg(
+            F.min("_bk").cast("bigint").alias("start_bucket"),
+            F.max("_bk").cast("bigint").alias("end_bucket"),
+            F.count(F.lit(1)).cast("bigint").alias("n_buckets"),
+        )
+        .where(F.col("n_buckets") >= int(min_buckets))
+        .select(
+            F.col("_cell").cast("bigint").alias("cell"),
+            "members", "n_members",
+            "start_bucket", "end_bucket", "n_buckets",
+        )
+    )
+
+
+def flock_groups_sql(
+    src: str,
+    id_col: str,
+    ts_col: str,
+    lon: str = "lon",
+    lat: str = "lat",
+    res_deg: float = DEFAULT_RES_DEG,
+    window_s: int = 3600,
+    min_size: int = 2,
+    min_buckets: int = 2,
+) -> str:
+    """DuckDB twin of :func:`flock_groups` (standalone, fl_*
+    namespaced; no roster cap — the operator owns the loud
+    failure)."""
+    win_us = int(window_s) * 1_000_000
+    return f"""
+        WITH fl_base AS (
+            SELECT DISTINCT {id_col} AS id,
+                   {grid_cell_sql(lon, lat, res_deg)} AS cell,
+                   epoch_us(CAST({ts_col} AS TIMESTAMP)) // {win_us}
+                       AS bk
+            FROM {src}
+        ),
+        fl_roster AS (
+            SELECT bk, cell,
+                   array_to_string(list_transform(
+                       list_sort(list(DISTINCT id)),
+                       x -> CAST(x AS VARCHAR)), ',') AS members,
+                   CAST(COUNT(DISTINCT id) AS BIGINT) AS n_members
+            FROM fl_base GROUP BY 1, 2
+            HAVING COUNT(DISTINCT id) >= {int(min_size)}
+        ),
+        fl_isl AS (
+            SELECT *, bk - ROW_NUMBER() OVER (
+                       PARTITION BY cell, members ORDER BY bk) AS isl
+            FROM fl_roster
+        )
+        SELECT CAST(cell AS BIGINT) AS cell, members, n_members,
+               CAST(MIN(bk) AS BIGINT) AS start_bucket,
+               CAST(MAX(bk) AS BIGINT) AS end_bucket,
+               CAST(COUNT(*) AS BIGINT) AS n_buckets
+        FROM fl_isl
+        GROUP BY cell, members, n_members, isl
+        HAVING COUNT(*) >= {int(min_buckets)}
+    """
