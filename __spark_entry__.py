@@ -3157,6 +3157,24 @@ def q_runs_test_hourly(spark, sf_dir):
     return temporal_mod.runs_test(hourly, "event_type", "h", "n")
 
 
+def q_twa_value(spark, sf_dir):
+    """Time-weighted average (temporal.time_weighted_avg) of the
+    event value signal per event type — the irregular-sampling-safe
+    state aggregate (LOCF over exact µs durations, ×10⁴-quantized
+    values, one sign-decomposed division) that a row-average gets
+    wrong whenever reporting cadence correlates with level.  One key
+    shuffle serves the LEAD window and the aggregation."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    pts = ev.select(
+        "event_type",
+        F.expr("unix_micros(CAST(ts AS TIMESTAMP))").alias("t_us"),
+        F.round(F.col("value") * 10000).cast("bigint").alias("v_q"),
+    )
+    return temporal_mod.time_weighted_avg(
+        pts, "event_type", "t_us", "v_q"
+    )
+
+
 def q_bpe_pairs(spark, sf_dir):
     """First BPE merge round (textops.bpe_pair_counts): adjacent-
     symbol pair counts over the documents corpus, word-frequency
@@ -5543,6 +5561,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "theil_sen_hourly": q_theil_sen_hourly,
         "ols_hourly": q_ols_hourly,
         "runs_test_hourly": q_runs_test_hourly,
+        "twa_value": q_twa_value,
         "pettitt_hourly": q_pettitt_hourly,
         "mcnemar_filters": q_mcnemar_filters,
         "seasonal_hourly": q_seasonal_hourly,
@@ -8990,6 +9009,13 @@ def oracle_sql() -> dict[str, str]:
                        CAST(COUNT(*) AS BIGINT) AS n
                 FROM events GROUP BY 1, 2)""",
             "event_type", "h", "n",
+        ),
+        "twa_value": temporal_mod.time_weighted_avg_sql(
+            """(SELECT event_type,
+                       epoch_us(CAST(ts AS TIMESTAMP)) AS t_us,
+                       CAST(round(value * 10000) AS BIGINT) AS v_q
+                FROM events)""",
+            "event_type", "t_us", "v_q",
         ),
         "runs_test_hourly": temporal_mod.runs_test_sql(
             """(SELECT event_type,

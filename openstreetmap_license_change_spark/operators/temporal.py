@@ -3382,3 +3382,100 @@ def runs_test_sql(
                END AS significant
         FROM rt_agg
     """
+
+
+def time_weighted_avg(
+    series: DataFrame,
+    key_col: str,
+    t_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Exact time-weighted average per key — the state-signal
+    aggregate plain AVG gets WRONG whenever sampling is irregular
+    (a sensor that reports rarely while healthy and rapidly while
+    failing would drag a row-average toward the failure value; the
+    TWA weights each reading by how long it was the live state):
+
+        twa = Σᵢ vᵢ·(tᵢ₊₁ − tᵢ) / (t_max − t_min)
+
+    last-observation-carried-forward over [t_min, t_max], the final
+    reading carrying no duration (standard, stated).  t is integer
+    microseconds, v an integer (pre-quantized upstream); the weighted
+    sum is exact in DECIMAL(38)/HUGEINT and the single division is
+    sign-decomposed trunc-toward-zero (values may be negative).
+    Ordering is the TOTAL order (t, v): duplicate timestamps
+    contribute zero duration deterministically.
+
+    Single-reading keys (span 0) emit NULL twa (nothing was held for
+    any time), with n and the raw value still reported via v_last.
+
+    Physical plan: one key shuffle serves the LEAD window and the
+    final aggregation.  Output: (key, n, t_span_us, v_last, twa_q)
+    — twa_q in the value's own quantized units."""
+    base = series.select(
+        F.col(key_col).alias("k"),
+        F.col(t_col).cast("bigint").alias("t"),
+        F.col(value_col).cast("bigint").alias("v"),
+    )
+    kw = W.partitionBy("k").orderBy("t", "v")
+    stepped = base.select(
+        "k", "t", "v",
+        (F.lead("t").over(kw) - F.col("t")).alias("dt"),
+    )
+    agg = stepped.groupBy("k").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        (F.max("t") - F.min("t")).cast("bigint").alias("t_span_us"),
+        F.max_by("v", F.struct("t", "v")).cast("bigint")
+        .alias("v_last"),
+        F.sum(
+            F.expr("CAST(v AS DECIMAL(38,0)) * coalesce(dt, 0)")
+        ).alias("wsum"),
+    )
+    return agg.select(
+        F.col("k").alias(key_col),
+        "n", "t_span_us", "v_last",
+        F.expr(
+            "CAST(CASE WHEN t_span_us = 0 THEN NULL "
+            "WHEN wsum < 0 THEN -((-wsum) DIV t_span_us) "
+            "ELSE wsum DIV t_span_us END AS BIGINT)"
+        ).alias("twa_q"),
+    )
+
+
+def time_weighted_avg_sql(
+    src: str,
+    key_col: str,
+    t_col: str,
+    value_col: str,
+) -> str:
+    """DuckDB twin of :func:`time_weighted_avg` — identical (t, v)
+    total order, LOCF durations, HUGEINT weighted sum,
+    sign-decomposed truncating division.  Standalone."""
+    return f"""
+        WITH twa_pts AS (
+            SELECT {key_col} AS k,
+                   CAST({t_col} AS BIGINT) AS t,
+                   CAST({value_col} AS BIGINT) AS v
+            FROM {src}
+        ),
+        twa_step AS (
+            SELECT k, t, v,
+                   LEAD(t) OVER (PARTITION BY k ORDER BY t, v) - t
+                       AS dt
+            FROM twa_pts
+        ),
+        twa_agg AS (
+            SELECT k,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(MAX(t) - MIN(t) AS BIGINT) AS t_span_us,
+                   CAST((MAX({{'t': t, 'v': v}})).v AS BIGINT)
+                       AS v_last,
+                   SUM(CAST(v AS HUGEINT) * COALESCE(dt, 0)) AS wsum
+            FROM twa_step GROUP BY 1
+        )
+        SELECT k AS {key_col}, n, t_span_us, v_last,
+               CAST(CASE WHEN t_span_us = 0 THEN NULL
+                 WHEN wsum < 0 THEN -((-wsum) // t_span_us)
+                 ELSE wsum // t_span_us END AS BIGINT) AS twa_q
+        FROM twa_agg
+    """
