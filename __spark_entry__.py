@@ -3014,6 +3014,18 @@ def q_benford_chars(spark, sf_dir):
     return profile_mod.benford_profile(docs, "lang", "n_chars")
 
 
+def q_gini_gain_tokens(spark, sf_dir):
+    """Decision-split token scoring (textops.gini_gain_tokens): top
+    tokens by exact ppm Gini-impurity gain of their presence split
+    against the language label — the purity-delta companion of
+    chi2_tokens' significance ranking (they disagree on
+    rare-but-perfect separators by design).  Per-branch declared
+    floors in DECIMAL(38), absent branch from the ΣC²−2ΣCp+Σp²
+    identity (never densified), TakeOrderedAndProject top-k."""
+    docs = pages_src.documents(spark, sf_dir)
+    return textops.gini_gain_tokens(docs, k=25, min_df=2)
+
+
 def q_rank_sum_lengths(spark, sf_dir):
     """Mann–Whitney rank-sum drift test (evaluation.rank_sum_test):
     per-language one-vs-rest over document lengths — the DIRECTIONAL
@@ -5557,6 +5569,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anova_doclen": q_anova_doclen,
         "fleiss_raters": q_fleiss_raters,
         "benford_chars": q_benford_chars,
+        "gini_gain_tokens": q_gini_gain_tokens,
         "rank_sum_lengths": q_rank_sum_lengths,
         "theil_sen_hourly": q_theil_sen_hourly,
         "ols_hourly": q_ols_hourly,
@@ -8964,6 +8977,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "benford_chars": profile_mod.benford_profile_sql(
             "documents", "lang", "n_chars"
+        ),
+        "gini_gain_tokens": textops.gini_gain_tokens_sql(
+            "documents", k=25, min_df=2
         ),
         "fleiss_raters": evaluation.fleiss_kappa_sql(
             """(SELECT lang AS grp, doc_id AS it,

@@ -4233,3 +4233,161 @@ def readability_sql(
                END AS fkg_milli
         FROM rd_cnt
     """
+
+
+def gini_gain_tokens(
+    docs: DataFrame,
+    k: int = 25,
+    min_df: int = 2,
+    label_col: str = "lang",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-k tokens by Gini-impurity gain of their presence split
+    against the label — the DECISION-TREE split criterion beside
+    :func:`chi2_tokens`' significance ranking (χ² asks "is the
+    association real?", Gini gain asks "how much purer would the
+    corpus be if we split on this token?" — the two rankings disagree
+    exactly on rare-but-perfect separators, which is why a curation
+    pipeline wants both):
+
+        gain = G(labels) − (n_p·G(present) + n_a·G(absent))/N
+        G(·) = 1 − Σ (share)²
+
+    in integer ppm with ONE declared floor per branch impurity
+    ((Σc²·10⁶) DIV n² — the anova_oneway discipline; every operand
+    stays ≤ N²·10⁶ in DECIMAL(38)/HUGEINT, so the form is exact at
+    ANY corpus size — no N⁴ cleared product) plus one floor for the weighted average;
+    gain clamped at 0 (the ≤3 independent floors can push an
+    exactly-zero gain a few ppm negative).  Σa² comes from the
+    identity Σ(C_l−p_l)² = ΣC² − 2ΣC_l·p_l + Σp² — absent-branch
+    label counts are never densified.  Tokens present in EVERY doc
+    split nothing: gain 0 by the same formula (n_a = 0 branch
+    contributes nothing, declared).
+
+    Plan shape: per-doc array_distinct presence → one map-side
+    (label, token) aggregation → one token aggregation (label sizes
+    broadcast into it) → global top-k via orderBy+limit
+    (TakeOrderedAndProject — no single-partition window), ties broken
+    (gain DESC, token ASC).
+
+    Returns (token, df_t, gain_ppm)."""
+    toks = F.array_distinct(
+        F.filter(
+            F.split(F.lower(F.col(text_col)), r"\s+"), lambda x: x != ""
+        )
+    )
+    pres = (
+        docs.select(
+            F.col(label_col).alias("lbl"),
+            F.explode(toks).alias("token"),
+        )
+        .groupBy("lbl", "token")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("pl"))
+    )
+    sizes = docs.groupBy(F.col(label_col).alias("lbl")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("cl")
+    )
+    tot = sizes.agg(
+        F.sum("cl").cast("bigint").alias("n"),
+        F.sum(F.expr("cl * cl")).cast("bigint").alias("sc2"),
+    )
+    per_tok = (
+        pres.join(F.broadcast(sizes), "lbl")
+        .groupBy("token")
+        .agg(
+            F.sum("pl").cast("bigint").alias("np"),
+            F.sum(F.expr("pl * pl")).cast("bigint").alias("sp2"),
+            F.sum(F.expr("cl * pl")).cast("bigint").alias("scp"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .where(F.col("np") >= int(min_df))
+    )
+    g = per_tok.select(
+        "token",
+        F.col("np").alias("df_t"),
+        F.expr(
+            """
+            CAST(greatest(0,
+                (1000000 - (CAST(sc2 AS DECIMAL(38,0)) * 1000000)
+                           DIV (CAST(n AS DECIMAL(38,0)) * n))
+                - (  np * (1000000 -
+                        (CAST(sp2 AS DECIMAL(38,0)) * 1000000)
+                        DIV (CAST(np AS DECIMAL(38,0)) * np))
+                   + CASE WHEN n - np = 0 THEN 0
+                     ELSE (n - np) * (1000000 -
+                        (CAST(sc2 - 2 * scp + sp2 AS DECIMAL(38,0))
+                         * 1000000)
+                        DIV (CAST(n - np AS DECIMAL(38,0))
+                             * (n - np)))
+                     END
+                  ) DIV n
+            ) AS BIGINT)
+            """
+        ).alias("gain_ppm"),
+    )
+    return g.orderBy(
+        F.col("gain_ppm").desc(), F.col("token").asc()
+    ).limit(int(k))
+
+
+def gini_gain_tokens_sql(
+    src: str,
+    k: int = 25,
+    min_df: int = 2,
+    label_col: str = "lang",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """DuckDB twin of :func:`gini_gain_tokens` — identical presence
+    model, per-branch floors, clamp, and (gain DESC, token ASC)
+    top-k.  Standalone."""
+    return f"""
+        WITH gg_pres AS (
+            SELECT {label_col} AS lbl, token,
+                   CAST(COUNT(*) AS BIGINT) AS pl
+            FROM (
+                SELECT {label_col}, unnest(list_distinct(list_filter(
+                    string_split_regex(lower({text_col}), '\\s+'),
+                    x -> x <> ''))) AS token
+                FROM {src}
+            ) GROUP BY 1, 2
+        ),
+        gg_sizes AS (
+            SELECT {label_col} AS lbl,
+                   CAST(COUNT(*) AS BIGINT) AS cl
+            FROM {src} GROUP BY 1
+        ),
+        gg_tot AS (
+            SELECT CAST(SUM(cl) AS BIGINT) AS n,
+                   CAST(SUM(cl * cl) AS BIGINT) AS sc2
+            FROM gg_sizes
+        ),
+        gg_tok AS (
+            SELECT p.token,
+                   CAST(SUM(p.pl) AS BIGINT) AS np,
+                   CAST(SUM(p.pl * p.pl) AS BIGINT) AS sp2,
+                   CAST(SUM(s.cl * p.pl) AS BIGINT) AS scp
+            FROM gg_pres p JOIN gg_sizes s USING (lbl)
+            GROUP BY 1
+            HAVING SUM(p.pl) >= {int(min_df)}
+        )
+        SELECT token, np AS df_t,
+               CAST(GREATEST(0,
+                   (1000000 - (CAST(sc2 AS HUGEINT) * 1000000)
+                              // (CAST(n AS HUGEINT) * n))
+                   - (  np * (1000000 -
+                           (CAST(sp2 AS HUGEINT) * 1000000)
+                           // (CAST(np AS HUGEINT) * np))
+                      + CASE WHEN n - np = 0 THEN 0
+                        ELSE (n - np) * (1000000 -
+                           (CAST(sc2 - 2 * scp + sp2 AS HUGEINT)
+                            * 1000000)
+                           // (CAST(n - np AS HUGEINT) * (n - np)))
+                        END
+                     ) // n
+               ) AS BIGINT) AS gain_ppm
+        FROM gg_tok, gg_tot
+        ORDER BY gain_ppm DESC, token ASC
+        LIMIT {int(k)}
+    """
