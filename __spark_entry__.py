@@ -3899,6 +3899,22 @@ def q_link_distance(spark, sf_dir):
     return out.select(F.col("node").alias("doc_id"), "dist")
 
 
+def q_dag_levels(spark, sf_dir):
+    """DAG scheduling depth (graph.dag_levels): longest-chain level
+    per node over the CITATION restriction of the doc link graph
+    (src < dst — edges point at newer ids, a DAG by construction),
+    the max-plus dual of link_distance with the same bounded-rounds
+    honesty contract: exact level within 6 rounds, NULL (never a
+    wrong number) for deeper nodes; frontier-only propagation, one
+    probe round buys the NULL.  The oracle enumerates bounded chains
+    recursively — a different execution shape, so the relaxation is
+    what gets verified."""
+    nodes, edges = _doc_link_graph(spark, sf_dir)
+    dag = edges.where(F.col("src") < F.col("dst"))
+    out = graph.dag_levels(nodes, dag, rounds=BFS_ROUNDS)
+    return out.select(F.col("node").alias("doc_id"), "level")
+
+
 WD_ROUNDS = 6
 
 
@@ -5595,6 +5611,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_resample": q_mixture_resample,
         "doc_pagerank": q_doc_pagerank,
         "link_distance": q_link_distance,
+        "dag_levels": q_dag_levels,
         "weighted_distance": q_weighted_distance,
         "rrf_hybrid": q_rrf_hybrid,
         "skyline_docs": q_skyline_docs,
@@ -9377,6 +9394,15 @@ def oracle_sql() -> dict[str, str]:
                 '(SELECT doc_id AS node FROM documents '
                 'WHERE doc_id % 97 = 0)',
                 _PR_EDGES_SQL,
+                rounds=BFS_ROUNDS,
+            )})
+        """,
+        "dag_levels": f"""
+            SELECT node AS doc_id, level
+            FROM ({graph.dag_levels_sql(
+                '(SELECT doc_id AS node FROM documents)',
+                f'(SELECT src, dst FROM {_PR_EDGES_SQL} '
+                'WHERE src < dst)',
                 rounds=BFS_ROUNDS,
             )})
         """,

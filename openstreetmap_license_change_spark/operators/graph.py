@@ -2582,3 +2582,111 @@ def ktruss_sql(edges_src: str, k: int, max_rounds: int = 8) -> str:
         ) GROUP BY 1, 2
         HAVING COUNT(*) >= {int(k) - 2}
     """
+
+
+def dag_levels(
+    nodes: DataFrame,
+    edges: DataFrame,
+    rounds: int,
+) -> DataFrame:
+    """Longest-path depth (DAG level) per node within a hop budget —
+    the MAX-plus dual of :func:`link_distance` and the scheduling
+    readout of a dependency/citation graph: level(v) = length of the
+    longest edge chain ENDING at v, the earliest stage at which v can
+    run when every edge is a happens-before.
+
+    Bounded-rounds contract (the link_distance convention, inverted
+    for max-plus): after R rounds the reported level is THE exact
+    longest-chain length for every node whose longest chain is ≤ R;
+    a node still improvable at round R+1 — deeper than R, or on/below
+    a CYCLE, where "level" is undefined — reports NULL, never a
+    wrong number.  (Max-plus can't settle early the way min-plus
+    does, so the one extra probe round is what buys the honest NULL.)
+
+    Scale design mirrors link_distance: frontier-only propagation
+    (only nodes whose level rose last round can raise a successor),
+    pre-partitioned edges, 2 shuffles/round, per-round lineage cuts,
+    empty-frontier short-circuit (then every level is exact and no
+    NULLs exist).
+
+    ``nodes``: one column ``node``; ``edges``: (src, dst) directed.
+    Returns (node, level) with level NULL when the longest chain
+    exceeds ``rounds`` (or a cycle feeds the node)."""
+    edges = edges.select("src", "dst").repartition("src").localCheckpoint(
+        eager=True
+    )
+    lvl = nodes.select(
+        "node", F.lit(0).cast("bigint").alias("level")
+    ).localCheckpoint(eager=True)
+    frontier = lvl
+    exhausted = False
+    for _ in range(rounds):
+        if frontier.isEmpty():
+            exhausted = True
+            break
+        cand = (
+            edges.join(frontier, edges.src == frontier.node)
+            .groupBy(F.col("dst").alias("node"))
+            .agg((F.max("level") + 1).alias("_nl"))
+        )
+        relaxed = lvl.join(cand, "node", "left").select(
+            "node",
+            F.greatest(
+                F.col("level"), F.coalesce(F.col("_nl"), F.col("level"))
+            ).alias("level"),
+        ).localCheckpoint(eager=True)
+        frontier = (
+            relaxed.alias("r")
+            .join(lvl.alias("l"), "node")
+            .where(F.col("r.level") > F.col("l.level"))
+            .select("node", F.col("r.level").alias("level"))
+            .localCheckpoint(eager=True)
+        )
+        lvl = relaxed
+    if exhausted or frontier.isEmpty():
+        return lvl
+    # probe round: anything still improvable is deeper than the
+    # budget (or cycle-fed) — NULL, never a wrong level
+    probe = (
+        edges.join(frontier, edges.src == frontier.node)
+        .groupBy(F.col("dst").alias("node"))
+        .agg((F.max("level") + 1).alias("_nl"))
+    )
+    return (
+        lvl.join(probe, "node", "left")
+        .select(
+            "node",
+            F.when(
+                F.col("_nl").isNotNull()
+                & (F.col("_nl") > F.col("level")),
+                F.lit(None).cast("bigint"),
+            )
+            .otherwise(F.col("level"))
+            .alias("level"),
+        )
+    )
+
+
+def dag_levels_sql(
+    nodes_src: str, edges_src: str, rounds: int
+) -> str:
+    """DuckDB twin of :func:`dag_levels` — bounded recursive chain
+    enumeration (node, depth ≤ rounds+1) UNION-deduped, then max per
+    node with depth = rounds+1 collapsing to NULL.  A different
+    execution shape from the operator's frontier relaxation (chain
+    enumeration vs level propagation), so the relaxation is what
+    gets verified.  Standalone."""
+    r1 = int(rounds) + 1
+    return f"""
+        WITH RECURSIVE dl_chain(node, d) AS (
+            SELECT node, 0 AS d FROM {nodes_src}
+            UNION
+            SELECT e.dst AS node, c.d + 1 AS d
+            FROM dl_chain c JOIN {edges_src} e ON e.src = c.node
+            WHERE c.d < {r1}
+        )
+        SELECT node,
+               CASE WHEN MAX(d) > {int(rounds)} THEN NULL
+                    ELSE CAST(MAX(d) AS BIGINT) END AS level
+        FROM dl_chain GROUP BY node
+    """
