@@ -2275,6 +2275,19 @@ def q_minhash_lsh_clusters(spark, sf_dir):
     return dedup.minhash_lsh_clusters(docs)
 
 
+def q_golden_records(spark, sf_dir):
+    """Survivorship over the REAL minhash clusters
+    (dedup.golden_records): one canonical row per near-dup cluster
+    with stated deterministic rules — longest text wins (ties to the
+    smallest id, one max(struct) argmax), modal lang (ties
+    lexicographic), disagreement counts kept as audit columns.  The
+    oracle nests the full clusters twin, so the survivorship verifies
+    on top of the verified clustering, end to end."""
+    docs = pages_src.documents(spark, sf_dir)
+    clusters = dedup.minhash_lsh_clusters(docs)
+    return dedup.golden_records(docs, clusters)
+
+
 def q_cluster_audit(spark, sf_dir):
     """Dedup-cluster QUALITY audit (dedup.cluster_audit): exact
     pairwise token-Jaccard floor/mean per minhash_lsh_clusters
@@ -5549,6 +5562,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "minhash_lsh_pairs_capped": q_minhash_lsh_pairs_capped,
         "minhash_lsh_clusters": q_minhash_lsh_clusters,
+        "golden_records": q_golden_records,
         "cluster_audit": q_cluster_audit,
         "minhash_dedup_apply": q_minhash_dedup_apply,
         "sample_hash": q_sample_hash,
@@ -8749,6 +8763,8 @@ def oracle_sql() -> dict[str, str]:
         "minhash_lsh_clusters": lsh_clusters_prelude + """
             SELECT doc_id, cluster_id FROM clusters
         """,
+        "golden_records": lsh_clusters_prelude
+        + dedup.golden_records_sql("documents", "clusters"),
         "cluster_audit": lsh_clusters_prelude.replace(
             "FROM documents",
             "FROM (SELECT * FROM documents WHERE doc_id % 2 = 0)",

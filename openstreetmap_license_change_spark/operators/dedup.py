@@ -1273,3 +1273,121 @@ def jaccard_prefix_join_sql(
         JOIN jp_sz sb ON sb.doc = i.doc_b
         WHERE i.inter * 1000000 >= {tau} * (sa.s + sb.s - i.inter)
     """
+
+
+def golden_records(
+    docs: DataFrame,
+    clusters: DataFrame,
+    id_col: str = "doc_id",
+    text_len_col: str = "n_chars",
+    cat_col: str = "lang",
+) -> DataFrame:
+    """Survivorship / golden-record construction over dedup clusters
+    — the step AFTER clustering that entity resolution actually ships:
+    one canonical row per cluster with STATED, deterministic
+    survivorship rules (silent "first()" survivorship is the classic
+    nondeterminism bug this engine bans):
+
+    * representative = the member with the LONGEST text, ties to the
+      SMALLEST id — one max(struct(len, −id)) aggregation, so the
+      argmax crosses the shuffle as one struct, never a sort;
+    * canonical category = the MODAL value, ties to the
+      lexicographically smallest — (cluster, cat) counts then a
+      row_number window inside the cluster's own partition;
+    * conflict visibility: n_members, distinct-category count, and
+      the total char mass survive as audit columns (a golden record
+      that hides its disagreement count is a silent merge).
+
+    Plan: one id-keyed join (docs × cluster assignment), one cluster
+    aggregation + one (cluster, cat) aggregation re-aggregated by the
+    window, one cluster-keyed join of two cluster-sized tables —
+    everything after the first join is |clusters|-bounded.
+
+    Returns (cluster_id, n_members, rep_doc_id, canonical_len,
+    canonical_cat, n_cats, total_chars)."""
+    j = clusters.select(
+        F.col(id_col), F.col("cluster_id")
+    ).join(
+        docs.select(
+            id_col,
+            F.col(text_len_col).cast("bigint").alias("_len"),
+            F.col(cat_col).alias("_cat"),
+        ),
+        id_col,
+    )
+    base = j.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_members"),
+        F.max(F.struct(F.col("_len"), (-F.col(id_col)).alias("_nid")))
+        .alias("_rep"),
+        F.countDistinct("_cat").cast("bigint").alias("n_cats"),
+        F.sum("_len").cast("bigint").alias("total_chars"),
+    ).select(
+        "cluster_id", "n_members",
+        (-F.col("_rep._nid")).cast("bigint").alias("rep_doc_id"),
+        F.col("_rep._len").cast("bigint").alias("canonical_len"),
+        "n_cats", "total_chars",
+    )
+    modal = (
+        j.groupBy("cluster_id", "_cat")
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+        .withColumn(
+            "_rn",
+            F.row_number().over(
+                W.partitionBy("cluster_id")
+                .orderBy(F.col("_cnt").desc(), F.col("_cat").asc())
+            ),
+        )
+        .where(F.col("_rn") == 1)
+        .select("cluster_id", F.col("_cat").alias("canonical_cat"))
+    )
+    return base.join(modal, "cluster_id").select(
+        "cluster_id", "n_members", "rep_doc_id", "canonical_len",
+        "canonical_cat", "n_cats", "total_chars",
+    )
+
+
+def golden_records_sql(
+    docs_src: str,
+    clusters_src: str,
+    id_col: str = "doc_id",
+    text_len_col: str = "n_chars",
+    cat_col: str = "lang",
+) -> str:
+    """DuckDB twin of :func:`golden_records` — identical survivorship
+    rules (max(struct) representative, modal-with-lexicographic-tie
+    category).  A plain SELECT over derived tables (no WITH), so it
+    composes after a clusters-producing prelude."""
+    return f"""
+        SELECT g.cluster_id, g.n_members, g.rep_doc_id,
+               g.canonical_len, m.canonical_cat, g.n_cats,
+               g.total_chars
+        FROM (
+            SELECT c.cluster_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_members,
+                   CAST(-((MAX({{'l': d.{text_len_col},
+                                 'nid': -d.{id_col}}})).nid)
+                        AS BIGINT) AS rep_doc_id,
+                   CAST((MAX({{'l': d.{text_len_col},
+                               'nid': -d.{id_col}}})).l
+                        AS BIGINT) AS canonical_len,
+                   CAST(COUNT(DISTINCT d.{cat_col}) AS BIGINT)
+                       AS n_cats,
+                   CAST(SUM(d.{text_len_col}) AS BIGINT)
+                       AS total_chars
+            FROM {clusters_src} c
+            JOIN {docs_src} d USING ({id_col})
+            GROUP BY 1
+        ) g
+        JOIN (
+            SELECT cluster_id, cat AS canonical_cat FROM (
+                SELECT c.cluster_id, d.{cat_col} AS cat,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY c.cluster_id
+                           ORDER BY COUNT(*) DESC, d.{cat_col} ASC
+                       ) AS rn
+                FROM {clusters_src} c
+                JOIN {docs_src} d USING ({id_col})
+                GROUP BY 1, 2
+            ) WHERE rn = 1
+        ) m USING (cluster_id)
+    """
