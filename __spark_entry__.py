@@ -695,6 +695,27 @@ def q_tile_hotspots(spark, sf_dir):
     return spatial.tile_hotspots(rollup, "n_pages")
 
 
+def q_tile_majority(spark, sf_dir):
+    """3×3 majority filter (spatial.tile_majority) over a 3-class
+    density classification of the tile_rollup raster — categorical
+    salt-and-pepper cleanup (an isolated 'dense' tile inside a
+    'sparse' field re-labels), ties to the smallest class; same
+    wrap/clamp id-algebra topology and non-dilating support contract
+    as the focal kit, everything |cells|-bounded."""
+    flagged = _pages_flagged(spark, sf_dir)
+    cells = spatial.assign_cells(flagged).withColumn(
+        "tainted", ~F.col("accepted")
+    )
+    rollup = spatial.tile_rollup(cells).select("cell", "n_pages")
+    classed = rollup.select(
+        "cell",
+        F.when(F.col("n_pages") >= 20, "dense")
+        .when(F.col("n_pages") >= 5, "mid")
+        .otherwise("sparse").alias("density"),
+    )
+    return spatial.tile_majority(classed, "density")
+
+
 def q_tile_trend(spark, sf_dir):
     """Mann-Kendall per-cell activity trend (spatial.tile_trend) over
     the version axis — rank-based S in pure integers, zero-densified
@@ -5538,6 +5559,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "polygon_stats": q_polygon_stats,
         "tile_rollup": q_tile_rollup,
         "tile_focal_mean": q_tile_focal_mean,
+        "tile_majority": q_tile_majority,
         "tile_kde": q_tile_kde,
         "idw_cells": q_idw_cells,
         "convex_hull": q_convex_hull,
@@ -6806,6 +6828,20 @@ def oracle_sql() -> dict[str, str]:
             SELECT r.cell, a.n_nbrs, a.nbr_sum,
                    (a.nbr_sum * 1000000) // a.n_nbrs AS focal_mean_m
             FROM rollup r JOIN agg a ON a.cell = r.cell
+        """),
+        "tile_majority": _with_pages(f"""
+            , tm_classed AS (
+                SELECT cell,
+                       CASE WHEN n_pages >= 20 THEN 'dense'
+                            WHEN n_pages >= 5 THEN 'mid'
+                            ELSE 'sparse' END AS density
+                FROM (
+                    SELECT {cell} AS cell, COUNT(*) AS n_pages
+                    FROM pages p JOIN cs_status s USING (changeset_id)
+                    GROUP BY 1
+                )
+            )
+            {spatial.tile_majority_sql('tm_classed', 'density')}
         """),
         "tile_trend": _with_pages(
             ", " + spatial.tile_trend_ctes(

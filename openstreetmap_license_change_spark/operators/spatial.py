@@ -8773,3 +8773,118 @@ def flock_groups_sql(
         GROUP BY cell, members, n_members, isl
         HAVING COUNT(*) >= {int(min_buckets)}
     """
+
+
+def tile_majority(
+    cells: DataFrame,
+    class_col: str,
+    res_deg: float = DEFAULT_RES_DEG,
+) -> DataFrame:
+    """3×3 majority (modal) filter over a CLASSIFIED raster — the
+    categorical sibling of :func:`tile_focal_stats`: each occupied
+    cell is re-labeled with the most common class among its up-to-9
+    occupied neighbors (itself included), the standard salt-and-pepper
+    cleanup for classification rasters (an isolated 'dense' tile
+    inside a 'sparse' field is usually noise, not signal).  Ties
+    break to the SMALLEST class value (stated, deterministic).
+
+    Same topology as the focal kit: neighbors from the cell id by
+    integer div/mod, lon wrap, lat clamp; same support contract: the
+    raster does not dilate (output keys semi-join back to input),
+    absent cells cast no vote.
+
+    Plan: ×9 fan of the AGGREGATE raster carrying the class, one
+    (cell, class) vote count, the argmax row_number inside the
+    cell's own partition, one cell-keyed join back for the old
+    class.  Everything is |cells|-bounded.
+
+    Returns (cell, old_class, new_class, n_votes, n_nbrs)."""
+    cols = int(360 / res_deg)
+    rows_n = int(180 / res_deg)
+    lat_b = F.floor(F.col("cell") / F.lit(cols))
+    lon_b = F.col("cell") % F.lit(cols)
+    targets = []
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            t_lat = lat_b + F.lit(dy)
+            t_lon = (lon_b + F.lit(dx) + F.lit(cols)) % F.lit(cols)
+            targets.append(
+                F.when(
+                    (t_lat >= 0) & (t_lat < rows_n),
+                    (t_lat * F.lit(cols) + t_lon).cast("bigint"),
+                )
+            )
+    fan = cells.select(
+        F.col(class_col).alias("_cls"),
+        F.explode(
+            F.array_distinct(F.array_compact(F.array(*targets)))
+        ).alias("t_cell"),
+    )
+    votes = fan.groupBy("t_cell", "_cls").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_votes")
+    )
+    pick = (
+        votes.withColumn(
+            "n_nbrs",
+            F.sum("n_votes").over(W.partitionBy("t_cell")),
+        )
+        .withColumn(
+            "_rn",
+            F.row_number().over(
+                W.partitionBy("t_cell")
+                .orderBy(F.col("n_votes").desc(), F.col("_cls").asc())
+            ),
+        )
+        .where(F.col("_rn") == 1)
+    )
+    return (
+        cells.select("cell", F.col(class_col).alias("old_class"))
+        .join(pick, cells.cell == pick.t_cell)
+        .select(
+            "cell",
+            "old_class",
+            F.col("_cls").alias("new_class"),
+            "n_votes",
+            F.col("n_nbrs").cast("bigint").alias("n_nbrs"),
+        )
+    )
+
+
+def tile_majority_sql(
+    src: str,
+    class_col: str,
+    res_deg: float = DEFAULT_RES_DEG,
+) -> str:
+    """DuckDB twin of :func:`tile_majority`; ``src`` exposes
+    (cell, {class_col}) one row per occupied cell.  Standalone
+    statement (nested subselects, composes after any prelude)."""
+    cols = int(360 / res_deg)
+    rows_n = int(180 / res_deg)
+    fan = f"""
+        SELECT s.{class_col} AS cls,
+               (((s.cell // {cols}) + d.dy) * {cols}
+                + ((s.cell % {cols}) + d.dx + {cols}) % {cols})
+                   AS t_cell
+        FROM {src} s CROSS JOIN (VALUES
+             (-1,-1),(-1,0),(-1,1),(0,-1),(0,0),(0,1),
+             (1,-1),(1,0),(1,1)) d(dy, dx)
+        WHERE (s.cell // {cols}) + d.dy >= 0
+          AND (s.cell // {cols}) + d.dy < {rows_n}
+    """
+    return f"""
+        SELECT o.cell, o.{class_col} AS old_class,
+               p.cls AS new_class, p.n_votes, p.n_nbrs
+        FROM {src} o
+        JOIN (
+            SELECT t_cell, cls, n_votes,
+                   CAST(SUM(n_votes) OVER (PARTITION BY t_cell)
+                        AS BIGINT) AS n_nbrs,
+                   ROW_NUMBER() OVER (PARTITION BY t_cell
+                       ORDER BY n_votes DESC, cls ASC) AS rn
+            FROM (
+                SELECT t_cell, cls,
+                       CAST(COUNT(*) AS BIGINT) AS n_votes
+                FROM ({fan}) GROUP BY 1, 2
+            )
+        ) p ON p.t_cell = o.cell AND p.rn = 1
+    """
