@@ -1238,6 +1238,22 @@ def q_flow_accum(spark, sf_dir):
     return spatial.flow_accumulation(rollup, "n_pages")
 
 
+def q_drainage_length(spark, sf_dir):
+    """Longest flow path (spatial.drainage_length): the MAX-plus
+    member of the D8 trio — Wyllie doubling with a CONSTANT 2ʳ carry
+    (each round's pointers span exactly 2ʳ hops, so band delivery
+    holds with max in place of sum), O(log L) rounds; the oracle's
+    recursive one-hop walk over the same strict-descent pointers is a
+    different algorithm family, so the constant-carry induction is
+    what gets hash-verified."""
+    flagged = _pages_flagged(spark, sf_dir)
+    cells = spatial.assign_cells(flagged).withColumn(
+        "tainted", ~F.col("accepted")
+    )
+    rollup = spatial.tile_rollup(cells).select("cell", "n_pages")
+    return spatial.drainage_length(rollup, "n_pages")
+
+
 def q_local_morans(spark, sf_dir):
     """Local Moran's I (spatial.local_morans) of page intensity —
     Anselin's LISA decomposition of q_morans_i's global statistic:
@@ -5560,6 +5576,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_rollup": q_tile_rollup,
         "tile_focal_mean": q_tile_focal_mean,
         "tile_majority": q_tile_majority,
+        "drainage_length": q_drainage_length,
         "tile_kde": q_tile_kde,
         "idw_cells": q_idw_cells,
         "convex_hull": q_convex_hull,
@@ -7300,6 +7317,16 @@ def oracle_sql() -> dict[str, str]:
                 FROM ru_latest
             ),
             {spatial.rect_union_area_ctes('ru_src', 'lang')}
+        """),
+        "drainage_length": _with_pages(f"""
+            , dl_rollup AS (
+                SELECT {cell} AS cell, COUNT(*) AS n_pages
+                FROM pages p JOIN cs_status s USING (changeset_id)
+                GROUP BY 1
+            )
+            SELECT * FROM (
+                {spatial.drainage_length_sql('dl_rollup', 'n_pages')}
+            )
         """),
         "flow_accum": _with_pages(f"""
             , fa_rollup AS (

@@ -8888,3 +8888,101 @@ def tile_majority_sql(
             )
         ) p ON p.t_cell = o.cell AND p.rn = 1
     """
+
+
+def drainage_length(
+    cells: DataFrame,
+    value_col: str,
+    res_deg: float = DEFAULT_RES_DEG,
+    max_rounds: int = 40,
+) -> DataFrame:
+    """Longest flow-path length per cell — the MAX-plus member of the
+    D8 trio (:func:`flow_accumulation` counts the catchment,
+    :func:`basin_label` names it, this measures its longest drainage
+    chain in hops): path_len(v) = the most pointer hops any upstream
+    ridge takes to reach v; 0 at ridges, the basin's main-stem length
+    at its mouth.
+
+    Algorithm — Wyllie doubling with a CONSTANT carry: after round r
+    every live pointer spans exactly 2ʳ hops, so the band-delivery
+    induction of flow_accumulation holds with max in place of sum and
+    2ʳ in place of the weighted count: val_{r+1}(v) =
+    max(val_r(v), max over u with s^(2ʳ)(u)=v of val_r(u) + 2ʳ)
+    captures precisely the longest upstream path of length ≤ 2ʳ⁺¹−1
+    (the d-hop start w routes through the unique u = s^(d−2ʳ)(w)).
+    O(log L) rounds on the strict-descent forest; non-convergence
+    after ``max_rounds`` raises loudly.
+
+    Plan per round mirrors flow_accumulation: one succ-keyed delivery
+    join (max partial agg), one doubling self-join, lineage cut.
+
+    Output: (cell, v, d8_cell, path_len)."""
+    d8 = flow_direction(cells, value_col, res_deg).localCheckpoint(
+        eager=True
+    )
+    state = d8.select(
+        "cell",
+        F.col("d8_cell").alias("_succ"),
+        F.lit(0).cast("bigint").alias("_val"),
+    ).localCheckpoint(eager=True)
+    hop = 1  # pointer span this round = 2^r
+    for _ in range(max_rounds):
+        live = state.where(F.col("_succ").isNotNull())
+        if live.isEmpty():
+            break
+        recv = live.groupBy(F.col("_succ").alias("cell")).agg(
+            F.max(F.col("_val") + F.lit(hop)).alias("_in")
+        )
+        jump = state.select(
+            F.col("cell").alias("_jc"), F.col("_succ").alias("_js")
+        )
+        state = (
+            state.join(recv, "cell", "left")
+            .join(jump, F.col("_succ") == F.col("_jc"), "left")
+            .select(
+                "cell",
+                F.col("_js").alias("_succ"),
+                F.greatest(
+                    F.col("_val"), F.coalesce("_in", F.col("_val"))
+                ).alias("_val"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        hop *= 2
+    else:
+        raise RuntimeError(
+            f"drainage_length: pointers still live after "
+            f"max_rounds={max_rounds} (flow path longer than "
+            f"2^{max_rounds} cells, or a cycle — which strict descent "
+            "forbids). Raise max_rounds."
+        )
+    return d8.join(
+        state.select("cell", F.col("_val").alias("path_len")), "cell"
+    ).select("cell", "v", "d8_cell", "path_len")
+
+
+def drainage_length_sql(
+    src: str, value_col: str, res_deg: float = DEFAULT_RES_DEG
+) -> str:
+    """DuckDB twin of :func:`drainage_length` — the structurally
+    different recursive one-hop walk (every (start, node, hops)
+    triple), max hops per node, so the constant-carry doubling
+    induction is what gets hash-verified.  Standalone."""
+    return f"""
+        WITH RECURSIVE {_flow_d8_ctes(src, value_col, res_deg)},
+        dl_walk(u, v, d) AS (
+            SELECT cell AS u, d8_cell AS v, 1 AS d FROM fd_best
+            UNION ALL
+            SELECT w.u, p.d8_cell, w.d + 1
+            FROM dl_walk w JOIN fd_best p ON p.cell = w.v
+        ),
+        dl_len AS (
+            SELECT v AS cell, CAST(MAX(d) AS BIGINT) AS path_len
+            FROM dl_walk GROUP BY 1
+        )
+        SELECT s.cell, s.v, b.d8_cell,
+               COALESCE(l.path_len, 0) AS path_len
+        FROM fd_src s
+        LEFT JOIN fd_best b USING (cell)
+        LEFT JOIN dl_len l USING (cell)
+    """
