@@ -4326,6 +4326,16 @@ def q_embedding_centroids(spark, sf_dir):
     return similarity.embedding_centroids(emb)
 
 
+def q_embedding_dim_stats(spark, sf_dir):
+    """Per-dimension embedding health profile
+    (similarity.embedding_dim_stats): dead/constant/imbalanced
+    channel detection over the quantized components — exact n_zero /
+    n_distinct / trunc mean / min / max / floored variance in q²
+    units, one posexplode + one dim-keyed aggregation."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return similarity.embedding_dim_stats(emb)
+
+
 def q_kmeans_assign(spark, sf_dir):
     """One full quantized k-means round, hash-verified end-to-end:
     M-step centroids (similarity.embedding_centroids) feed the E-step
@@ -5736,6 +5746,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "ann_cosine_topk": q_ann_cosine_topk,
         "embedding_centroids": q_embedding_centroids,
+        "embedding_dim_stats": q_embedding_dim_stats,
         "kmeans_assign": q_kmeans_assign,
         "pip_multipolygons": q_pip_multipolygons,
         "pip_multipolygons_prefiltered": q_pip_multipolygons_prefiltered,
@@ -8315,6 +8326,9 @@ def oracle_sql() -> dict[str, str]:
             SELECT relation, CAST(COUNT(*) AS BIGINT) AS n_pairs
             FROM al_pairs GROUP BY relation
         """,
+        "embedding_dim_stats": similarity.embedding_dim_stats_sql(
+            "embeddings"
+        ),
         "embedding_centroids": similarity.embedding_centroids_sql(
             "embeddings"
         ),

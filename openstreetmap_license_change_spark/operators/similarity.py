@@ -818,3 +818,101 @@ def pca_power_top_sql(
         "WITH " + ",\n".join(ctes)
         + f"\nSELECT dim, v_q FROM pc_v{rounds}"
     )
+
+
+def embedding_dim_stats(
+    embeddings: DataFrame,
+    vec_col: str = "embedding",
+    scale: int = 10**6,
+) -> DataFrame:
+    """Per-dimension embedding health profile — the pre-training
+    feature audit of the embedding family (centroids train, PCA finds
+    the variance axis, THIS finds the broken inputs: dead dimensions,
+    scale-imbalanced dimensions, constant or near-constant channels
+    that silently waste model capacity or break cosine geometry).
+
+    Components snap once to ``scale`` ints (the
+    :func:`embedding_centroids` convention — deterministic, engine-
+    identical; every statistic is DEFINED over the quantized values)
+    and per dimension the profile reports:
+
+    * n_vecs, n_zero (exact zero after quantization — the dead-dim
+      counter), n_distinct (exact; a 1-distinct dim is constant),
+    * mean_q (sum DIV n, trunc-toward-zero — both engines agree on
+      negatives), min_q / max_q,
+    * var_q2 = (n·Σq² − (Σq)²) DIV n² — the exact variance in q²
+      units under one non-negative floor; products in DECIMAL(38)
+      (n·Σq² ≤ n²·scale² — headroom past 10¹² vectors).
+
+    Plan: ONE posexplode + one (dim) hash aggregation, map-side
+    combined — dim-bounded output, no window, no join.
+
+    Returns (dim, n_vecs, n_zero, n_distinct, mean_q, min_q, max_q,
+    var_q2)."""
+    dec = "decimal(38,0)"
+    q = F.round(F.col("_v") * F.lit(float(scale))).cast("bigint")
+    exploded = embeddings.select(
+        F.posexplode(vec_col).alias("dim", "_v")
+    ).withColumn("_q", q)
+    agg = exploded.groupBy("dim").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+        F.sum(F.when(F.col("_q") == 0, 1).otherwise(0))
+        .cast("bigint").alias("n_zero"),
+        F.countDistinct("_q").cast("bigint").alias("n_distinct"),
+        F.sum(F.col("_q").cast(dec)).alias("_s"),
+        F.sum(F.expr(f"CAST(_q AS {dec}) * _q")).alias("_s2"),
+        F.min("_q").cast("bigint").alias("min_q"),
+        F.max("_q").cast("bigint").alias("max_q"),
+    )
+    return agg.select(
+        "dim", "n_vecs", "n_zero", "n_distinct",
+        F.expr(
+            "CAST(CASE WHEN _s < 0 THEN -((-_s) DIV n_vecs) "
+            "ELSE _s DIV n_vecs END AS BIGINT)"
+        ).alias("mean_q"),
+        "min_q", "max_q",
+        F.expr(
+            "CAST((n_vecs * _s2 - _s * _s) "
+            "DIV (CAST(n_vecs AS DECIMAL(38,0)) * n_vecs) AS BIGINT)"
+        ).alias("var_q2"),
+    )
+
+
+def embedding_dim_stats_sql(
+    src: str,
+    vec_col: str = "embedding",
+    scale: int = 10**6,
+) -> str:
+    """DuckDB twin of :func:`embedding_dim_stats` (standalone;
+    0-based dim, HUGEINT products, identical trunc/floor choices)."""
+    return f"""
+        WITH eds_long AS (
+            SELECT CAST(u.i - 1 AS INTEGER) AS dim,
+                   CAST(ROUND(CAST({vec_col}[u.i] AS DOUBLE) * {scale})
+                        AS BIGINT) AS q
+            FROM {src},
+                 LATERAL (SELECT UNNEST(range(1, len({vec_col}) + 1))
+                          AS i) u
+        ),
+        eds_agg AS (
+            SELECT dim,
+                   CAST(COUNT(*) AS HUGEINT) AS n_vecs,
+                   CAST(SUM(CASE WHEN q = 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_zero,
+                   CAST(COUNT(DISTINCT q) AS BIGINT) AS n_distinct,
+                   SUM(CAST(q AS HUGEINT)) AS s,
+                   SUM(CAST(q AS HUGEINT) * q) AS s2,
+                   CAST(MIN(q) AS BIGINT) AS min_q,
+                   CAST(MAX(q) AS BIGINT) AS max_q
+            FROM eds_long GROUP BY 1
+        )
+        SELECT dim,
+               CAST(n_vecs AS BIGINT) AS n_vecs,
+               n_zero, n_distinct,
+               CAST(CASE WHEN s < 0 THEN -((-s) // n_vecs)
+                    ELSE s // n_vecs END AS BIGINT) AS mean_q,
+               min_q, max_q,
+               CAST((n_vecs * s2 - s * s) // (n_vecs * n_vecs)
+                    AS BIGINT) AS var_q2
+        FROM eds_agg
+    """
