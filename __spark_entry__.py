@@ -3237,6 +3237,19 @@ def q_twa_value(spark, sf_dir):
     )
 
 
+def q_session_matrix(spark, sf_dir):
+    """Session entry→exit matrix (temporal.session_entry_exit) over
+    the 30-minute gap sessionization: where sessions start, where
+    they end, and the bounce diagonal — first/last picked by ONE
+    min/max(struct) pair under the (ts, event_id) total order; one
+    user shuffle serves the gap window, the running session sum, and
+    the per-session aggregation."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return temporal_mod.session_entry_exit(
+        ev, "user_id", "ts", "event_type", "event_id", gap_s=1800
+    )
+
+
 def q_bpe_pairs(spark, sf_dir):
     """First BPE merge round (textops.bpe_pair_counts): adjacent-
     symbol pair counts over the documents corpus, word-frequency
@@ -5654,6 +5667,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ols_hourly": q_ols_hourly,
         "runs_test_hourly": q_runs_test_hourly,
         "twa_value": q_twa_value,
+        "session_matrix": q_session_matrix,
         "pettitt_hourly": q_pettitt_hourly,
         "mcnemar_filters": q_mcnemar_filters,
         "seasonal_hourly": q_seasonal_hourly,
@@ -9135,6 +9149,10 @@ def oracle_sql() -> dict[str, str]:
                        CAST(COUNT(*) AS BIGINT) AS n
                 FROM events GROUP BY 1, 2)""",
             "event_type", "h", "n",
+        ),
+        "session_matrix": temporal_mod.session_entry_exit_sql(
+            "events", "user_id", "ts", "event_type", "event_id",
+            gap_s=1800,
         ),
         "twa_value": temporal_mod.time_weighted_avg_sql(
             """(SELECT event_type,

@@ -3479,3 +3479,122 @@ def time_weighted_avg_sql(
                  ELSE wsum // t_span_us END AS BIGINT) AS twa_q
         FROM twa_agg
     """
+
+
+def session_entry_exit(
+    events: DataFrame,
+    key_col: str,
+    ts_col: str,
+    type_col: str,
+    tiebreak_col: str,
+    gap_s: int = 1800,
+) -> DataFrame:
+    """Entry→exit session matrix with bounce accounting — the classic
+    web-analytics rollup the sessionizer feeds (where do sessions
+    START, where do they END, how many never get past the first
+    event), as one table: per (entry_type, exit_type) the session
+    count, bounce count (single-event sessions — necessarily on the
+    diagonal), and total event volume.
+
+    Sessions are gap-split (> ``gap_s`` seconds of silence starts a
+    new one — the events_sessionize convention); entry/exit are the
+    first/last events under the TOTAL order (ts, tiebreak), so
+    same-timestamp edges are deterministic, and both ride ONE
+    min/max(struct) pair per session — the argmax crosses the shuffle
+    as a struct, never a second sort.
+
+    Plan: one key shuffle serves the gap window, the running session
+    sum, and the per-session aggregation (same partitioning); the
+    final (entry, exit) rollup is a |types|²-bounded aggregate.
+
+    Returns (entry_type, exit_type, n_sessions, n_bounces,
+    total_events)."""
+    kw = W.partitionBy("_k").orderBy("_t", "_tb")
+    base = events.select(
+        F.col(key_col).alias("_k"),
+        F.expr(f"unix_micros(CAST({ts_col} AS TIMESTAMP))").alias("_t"),
+        F.col(type_col).alias("_ty"),
+        F.col(tiebreak_col).alias("_tb"),
+    )
+    gap_us = int(gap_s) * 1_000_000
+    sess = base.withColumn(
+        "_new",
+        F.when(
+            F.lag("_t").over(kw).isNull()
+            | (F.col("_t") - F.lag("_t").over(kw) > gap_us),
+            1,
+        ).otherwise(0),
+    ).withColumn(
+        "_sid",
+        F.sum("_new").over(
+            kw.rowsBetween(W.unboundedPreceding, W.currentRow)
+        ),
+    )
+    per = sess.groupBy("_k", "_sid").agg(
+        F.min(F.struct("_t", "_tb", "_ty")).alias("_first"),
+        F.max(F.struct("_t", "_tb", "_ty")).alias("_last"),
+        F.count(F.lit(1)).cast("bigint").alias("_n"),
+    )
+    return (
+        per.groupBy(
+            F.col("_first._ty").alias("entry_type"),
+            F.col("_last._ty").alias("exit_type"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_sessions"),
+            F.sum(F.when(F.col("_n") == 1, 1).otherwise(0))
+            .cast("bigint").alias("n_bounces"),
+            F.sum("_n").cast("bigint").alias("total_events"),
+        )
+    )
+
+
+def session_entry_exit_sql(
+    src: str,
+    key_col: str,
+    ts_col: str,
+    type_col: str,
+    tiebreak_col: str,
+    gap_s: int = 1800,
+) -> str:
+    """DuckDB twin of :func:`session_entry_exit` (standalone; the
+    identical gap split, (ts, tiebreak) total order, and struct
+    min/max entry/exit picks)."""
+    gap_us = int(gap_s) * 1_000_000
+    return f"""
+        WITH se_base AS (
+            SELECT {key_col} AS k,
+                   epoch_us(CAST({ts_col} AS TIMESTAMP)) AS t,
+                   {type_col} AS ty,
+                   {tiebreak_col} AS tb
+            FROM {src}
+        ),
+        se_gap AS (
+            SELECT *,
+                   CASE WHEN LAG(t) OVER w IS NULL
+                         OR t - LAG(t) OVER w > {gap_us}
+                        THEN 1 ELSE 0 END AS new_s
+            FROM se_base
+            WINDOW w AS (PARTITION BY k ORDER BY t, tb)
+        ),
+        se_sess AS (
+            SELECT *,
+                   SUM(new_s) OVER (PARTITION BY k ORDER BY t, tb
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND CURRENT ROW) AS sid
+            FROM se_gap
+        ),
+        se_per AS (
+            SELECT k, sid,
+                   (MIN({{'t': t, 'tb': tb, 'ty': ty}})).ty AS entry,
+                   (MAX({{'t': t, 'tb': tb, 'ty': ty}})).ty AS exit,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM se_sess GROUP BY 1, 2
+        )
+        SELECT entry AS entry_type, exit AS exit_type,
+               CAST(COUNT(*) AS BIGINT) AS n_sessions,
+               CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_bounces,
+               CAST(SUM(n) AS BIGINT) AS total_events
+        FROM se_per GROUP BY 1, 2
+    """
