@@ -4912,6 +4912,17 @@ def q_attribution(spark, sf_dir):
     return temporal.attribution_credits(ev, "purchase", 3600)
 
 
+def q_attribution_decay(spark, sf_dir):
+    """Time-decay attribution (temporal.attribution_decay): the
+    fourth standard model beside q_attribution's first/last/linear —
+    credit halves per 15-minute half-life within the 1-hour lookback
+    (exact power-of-two bucket weights, the decayed_rollup
+    convention), remainder to the latest touch so every purchase
+    distributes exactly 10⁶ ppm."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return temporal_mod.attribution_decay(ev, "purchase", 3600, 900)
+
+
 def q_peak_concurrency(spark, sf_dir):
     """Peak interval concurrency (temporal.peak_overlap): every event
     opens a half-open 30-minute activity window; per event type,
@@ -5797,6 +5808,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "peak_concurrency": q_peak_concurrency,
         "session_rules": q_session_rules,
         "attribution": q_attribution,
+        "attribution_decay": q_attribution_decay,
         "active_users": q_active_users,
         "events_overlap_join": q_events_overlap_join,
         "allen_relations": q_allen_relations,
@@ -8214,6 +8226,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "active_users": temporal.rolling_active_users_sql(
             "events", short_days=7, long_days=28
+        ),
+        "attribution_decay": temporal_mod.attribution_decay_sql(
+            "events", "purchase", 3600, 900
         ),
         "attribution": temporal_mod.attribution_credits_sql(
             "events", "purchase", 3600

@@ -3598,3 +3598,185 @@ def session_entry_exit_sql(
                CAST(SUM(n) AS BIGINT) AS total_events
         FROM se_per GROUP BY 1, 2
     """
+
+
+def attribution_decay(
+    events: DataFrame,
+    conversion_type: str,
+    lookback_s: int,
+    halflife_s: int,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Time-decay multi-touch attribution — the fourth standard model
+    beside :func:`attribution_credits`' first/last/linear: a touch's
+    credit halves with every ``halflife_s`` of age at conversion
+    time, so recent touches dominate without the last-touch model's
+    winner-take-all cliff.
+
+    Exact-integer weights, the decayed_rollup convention: age
+    quantizes to half-life buckets k = (conv_ts − ts) DIV halflife
+    (one declared floor; non-negative) and the weight is the
+    power-of-two  w = 2^(K − k),  K = lookback DIV halflife — integer
+    by construction, no float exp.  Per conversion, touch i earns
+
+        credit_i = (10⁶·wᵢ) DIV Σw,   remainder → the LATEST touch
+
+    so every conversion distributes EXACTLY 10⁶ ppm (mass conserving
+    — property-tested).  K is validated ≤ 40 loudly: Σw ≤ n·2^K must
+    stay far inside int64 at any per-conversion touch count.
+
+    Group assignment, total order, and lookback semantics are
+    attribution_credits' verbatim (reverse-cumulative conversion
+    count, (ts, event_id) order).  One extra per-(user, conversion)
+    aggregation carries the floored-credit sum for the remainder.
+
+    Returns (channel, n_touches, n_conversions, decay_ppm)."""
+    if lookback_s <= 0 or halflife_s <= 0:
+        raise ValueError(
+            f"lookback_s and halflife_s must be > 0: "
+            f"{lookback_s}, {halflife_s}"
+        )
+    k_max = int(lookback_s) // int(halflife_s)
+    if k_max > 40:
+        raise ValueError(
+            f"attribution_decay: lookback/halflife = {k_max} buckets "
+            "> 40 — weights 2^K would risk int64 overflow; coarsen "
+            "halflife_s or shorten lookback_s"
+        )
+    lb_us = int(lookback_s) * 1_000_000
+    hl_us = int(halflife_s) * 1_000_000
+    ev = events.select(
+        F.col(user_col).alias("_u"),
+        F.col(type_col).alias("_t"),
+        F.unix_micros(F.col(ts_col).cast("timestamp")).alias("_us"),
+        F.col(id_col).alias("_id"),
+        (F.col(type_col) == conversion_type).cast("int").alias("_c"),
+    )
+    wrev = W.partitionBy("_u").orderBy(
+        F.col("_us").desc(), F.col("_id").desc()
+    )
+    grouped = ev.withColumn("_grp", F.sum("_c").over(wrev))
+    convs = grouped.where(F.col("_c") == 1).select(
+        "_u", "_grp", F.col("_us").alias("_conv_us")
+    )
+    touches = (
+        grouped.where((F.col("_c") == 0) & (F.col("_grp") > 0))
+        .join(convs, ["_u", "_grp"])
+        .where(F.col("_conv_us") - F.col("_us") <= lb_us)
+        .withColumn(
+            "_w",
+            F.expr(
+                f"CAST(shiftleft(CAST(1 AS BIGINT), "
+                f"{k_max} - CAST((_conv_us - _us) DIV {hl_us} AS INT))"
+                f" AS BIGINT)"
+            ),
+        )
+    )
+    wasc = W.partitionBy("_u", "_grp").orderBy("_us", "_id")
+    ranked = touches.withColumn("_rk", F.row_number().over(wasc))
+    sizes = ranked.groupBy("_u", "_grp").agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum("_w").alias("_sw"),
+    )
+    based = ranked.join(sizes, ["_u", "_grp"]).withColumn(
+        "_base", F.expr("(1000000 * _w) DIV _sw")
+    )
+    rems = based.groupBy("_u", "_grp").agg(
+        (F.lit(1_000_000) - F.sum("_base")).alias("_rem")
+    )
+    credited = based.join(rems, ["_u", "_grp"]).select(
+        "_u", "_grp", "_t",
+        (F.col("_base")
+         + F.when(F.col("_rk") == F.col("_n"), F.col("_rem"))
+         .otherwise(F.lit(0))).alias("_credit"),
+    )
+    return (
+        credited.groupBy(F.col("_t").alias("channel"))
+        .agg(
+            F.count(F.lit(1)).alias("n_touches"),
+            F.count_distinct(F.struct("_u", "_grp")).alias(
+                "n_conversions"
+            ),
+            F.sum("_credit").cast("bigint").alias("decay_ppm"),
+        )
+    )
+
+
+def attribution_decay_sql(
+    src: str,
+    conversion_type: str,
+    lookback_s: int,
+    halflife_s: int,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> str:
+    """DuckDB twin of :func:`attribution_decay` (standalone;
+    ad_*-namespaced; identical bucket floors, power-of-two weights,
+    remainder-to-latest)."""
+    if lookback_s <= 0 or halflife_s <= 0:
+        raise ValueError(
+            f"lookback_s and halflife_s must be > 0: "
+            f"{lookback_s}, {halflife_s}"
+        )
+    k_max = int(lookback_s) // int(halflife_s)
+    lb_us = int(lookback_s) * 1_000_000
+    hl_us = int(halflife_s) * 1_000_000
+    return f"""
+        WITH ad_ev AS (
+            SELECT {user_col} AS _u, {type_col} AS _t,
+                   epoch_us({ts_col}) AS _us, {id_col} AS _id,
+                   CASE WHEN {type_col} = '{conversion_type}'
+                        THEN 1 ELSE 0 END AS _c
+            FROM {src}
+        ),
+        ad_grp AS MATERIALIZED (
+            SELECT *, SUM(_c) OVER (PARTITION BY _u
+                                    ORDER BY _us DESC, _id DESC)
+                          AS _grp
+            FROM ad_ev
+        ),
+        ad_conv AS (
+            SELECT _u, _grp, _us AS _conv_us
+            FROM ad_grp WHERE _c = 1
+        ),
+        ad_touch AS MATERIALIZED (
+            SELECT t._u, t._grp, t._t, t._us, t._id,
+                   CAST(1 AS BIGINT) << ({k_max} -
+                       CAST((c._conv_us - t._us) // {hl_us} AS INT))
+                       AS _w
+            FROM ad_grp t JOIN ad_conv c USING (_u, _grp)
+            WHERE t._c = 0 AND t._grp > 0
+              AND c._conv_us - t._us <= {lb_us}
+        ),
+        ad_ranked AS (
+            SELECT _u, _grp, _t, _w,
+                   ROW_NUMBER() OVER (PARTITION BY _u, _grp
+                                      ORDER BY _us, _id) AS _rk,
+                   COUNT(*) OVER (PARTITION BY _u, _grp) AS _n,
+                   SUM(_w) OVER (PARTITION BY _u, _grp) AS _sw
+            FROM ad_touch
+        ),
+        ad_based AS (
+            SELECT *, (1000000 * _w) // _sw AS _base
+            FROM ad_ranked
+        ),
+        ad_credit AS (
+            SELECT _u, _grp, _t,
+                   _base + CASE WHEN _rk = _n THEN
+                       1000000 - SUM(_base) OVER
+                           (PARTITION BY _u, _grp)
+                       ELSE 0 END AS _credit
+            FROM ad_based
+        )
+        SELECT _t AS channel,
+               CAST(COUNT(*) AS BIGINT) AS n_touches,
+               CAST(COUNT(DISTINCT (_u, _grp)) AS BIGINT)
+                   AS n_conversions,
+               CAST(SUM(_credit) AS BIGINT) AS decay_ppm
+        FROM ad_credit GROUP BY _t
+    """
