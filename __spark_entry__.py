@@ -3076,6 +3076,20 @@ def q_gini_gain_tokens(spark, sf_dir):
     return textops.gini_gain_tokens(docs, k=25, min_df=2)
 
 
+def q_quantile_normalize(spark, sf_dir):
+    """Cross-language quantile normalization
+    (profile.quantile_normalize) of document lengths: per-lang
+    nearest-rank 20-point grids mapped onto the cross-slice reference
+    mean — the mapping table that makes a per-slice score comparable
+    corpus-wide (quality_calibrate ranks WITHIN a slice; this aligns
+    scales ACROSS slices).  (value, id) total order; sign-decomposed
+    reference floor; Q·|slices|-bounded after the one window pass."""
+    docs = pages_src.documents(spark, sf_dir)
+    return profile_mod.quantile_normalize(
+        docs, "lang", "doc_id", "n_chars", q_bins=20
+    )
+
+
 def q_rank_sum_lengths(spark, sf_dir):
     """Mann–Whitney rank-sum drift test (evaluation.rank_sum_test):
     per-language one-vs-rest over document lengths — the DIRECTIONAL
@@ -5673,6 +5687,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fleiss_raters": q_fleiss_raters,
         "benford_chars": q_benford_chars,
         "gini_gain_tokens": q_gini_gain_tokens,
+        "quantile_normalize": q_quantile_normalize,
         "rank_sum_lengths": q_rank_sum_lengths,
         "theil_sen_hourly": q_theil_sen_hourly,
         "ols_hourly": q_ols_hourly,
@@ -9119,6 +9134,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "gini_gain_tokens": textops.gini_gain_tokens_sql(
             "documents", k=25, min_df=2
+        ),
+        "quantile_normalize": profile_mod.quantile_normalize_sql(
+            "documents", "lang", "doc_id", "n_chars", q_bins=20
         ),
         "fleiss_raters": evaluation.fleiss_kappa_sql(
             """(SELECT lang AS grp, doc_id AS it,

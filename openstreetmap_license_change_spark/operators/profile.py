@@ -436,3 +436,134 @@ def benford_profile_sql(
                         (PARTITION BY sl) // 2 AS BIGINT) AS tvd_ppm
         FROM bf_j
     """
+
+
+def quantile_normalize(
+    rows: DataFrame,
+    slice_col: str,
+    id_col: str,
+    value_col: str,
+    q_bins: int = 20,
+) -> DataFrame:
+    """Cross-slice quantile-normalization mapping table — the feature
+    -prep transform that makes a score comparable ACROSS slices by
+    replacing each slice's value scale with a shared reference
+    distribution (the bioinformatics/array-normalization classic,
+    here for per-language quality scores whose raw scales differ):
+
+        slice s's q-th grid quantile  v_s[q] = value at nearest rank
+                                      r = ⌈q·n_s/Q⌉   (exact integer)
+        reference                     ref[q] = ⌊mean_s v_s[q]⌋
+                                      (one sign-decomposed floor)
+
+    A row in slice s whose within-slice percentile falls in bin q is
+    re-scored to ref[q]; this emits the (slice, q) MAPPING TABLE —
+    the small, verifiable artifact — rather than re-materializing the
+    corpus (apply is a broadcast join downstream).
+
+    Ranks use the TOTAL order (value, id): duplicate values rank
+    deterministically.  Slices smaller than Q simply repeat rows
+    across grid points (nearest-rank, stated).
+
+    Plan: one slice-keyed window pass (row_number + count), the
+    Q-point grid exploded from the TINY per-slice row, an equi-join
+    on the computed nearest rank, one Q-sized reference aggregation
+    joined back — everything after the window is Q·|slices|-bounded.
+
+    Returns (slice, q, q_value, ref_value)."""
+    from pyspark.sql import Window as W
+
+    if q_bins < 1:
+        raise ValueError(f"q_bins must be ≥ 1: {q_bins}")
+    ranked = rows.select(
+        F.col(slice_col).alias("sl"),
+        F.col(id_col).alias("_id"),
+        F.col(value_col).cast("bigint").alias("v"),
+    ).select(
+        "sl", "v",
+        F.row_number().over(
+            W.partitionBy("sl").orderBy("v", "_id")
+        ).alias("rn"),
+        F.count(F.lit(1)).over(W.partitionBy("sl")).alias("n_s"),
+    )
+    grid = (
+        ranked.groupBy("sl").agg(F.max("n_s").alias("n_s"))
+        .select(
+            "sl", "n_s",
+            F.explode(F.expr(f"sequence(1, {int(q_bins)})")).alias("q"),
+        )
+        .withColumn(
+            "r",
+            F.expr(f"(q * n_s + {int(q_bins)} - 1) DIV {int(q_bins)}"),
+        )
+    )
+    grid = grid.select(
+        F.col("sl").alias("_gsl"), "q", "r"
+    )
+    quants = grid.join(
+        ranked,
+        (F.col("_gsl") == ranked.sl) & (F.col("r") == ranked.rn),
+    ).select(
+        F.col("_gsl").alias("slice_"), "q",
+        F.col("v").alias("q_value"),
+    )
+    ref = quants.groupBy("q").agg(
+        F.sum(F.col("q_value").cast("decimal(38,0)")).alias("_s"),
+        F.count(F.lit(1)).alias("_n"),
+    ).select(
+        "q",
+        F.expr(
+            "CAST(CASE WHEN _s < 0 THEN -((-_s) DIV _n) "
+            "ELSE _s DIV _n END AS BIGINT)"
+        ).alias("ref_value"),
+    )
+    return quants.join(ref, "q").select(
+        F.col("slice_").alias(slice_col), "q", "q_value", "ref_value"
+    )
+
+
+def quantile_normalize_sql(
+    src: str,
+    slice_col: str,
+    id_col: str,
+    value_col: str,
+    q_bins: int = 20,
+) -> str:
+    """DuckDB twin of :func:`quantile_normalize` — identical
+    nearest-rank grid, (value, id) total order, sign-decomposed
+    reference floor.  Standalone."""
+    q = int(q_bins)
+    return f"""
+        WITH qn_ranked AS (
+            SELECT {slice_col} AS sl,
+                   CAST({value_col} AS BIGINT) AS v,
+                   ROW_NUMBER() OVER (PARTITION BY {slice_col}
+                       ORDER BY CAST({value_col} AS BIGINT),
+                                {id_col}) AS rn,
+                   COUNT(*) OVER (PARTITION BY {slice_col}) AS n_s
+            FROM {src}
+        ),
+        qn_grid AS (
+            SELECT sl, n_s, g.q,
+                   (g.q * n_s + {q} - 1) // {q} AS r
+            FROM (SELECT sl, MAX(n_s) AS n_s FROM qn_ranked
+                  GROUP BY 1) t,
+                 (SELECT UNNEST(range(1, {q} + 1)) AS q) g
+        ),
+        qn_quants AS (
+            SELECT g.sl, g.q, r.v AS q_value
+            FROM qn_grid g
+            JOIN qn_ranked r ON r.sl = g.sl AND r.rn = g.r
+        ),
+        qn_ref AS (
+            SELECT q,
+                   CAST(CASE WHEN SUM(CAST(q_value AS HUGEINT)) < 0
+                     THEN -((-SUM(CAST(q_value AS HUGEINT)))
+                            // COUNT(*))
+                     ELSE SUM(CAST(q_value AS HUGEINT)) // COUNT(*)
+                   END AS BIGINT) AS ref_value
+            FROM qn_quants GROUP BY 1
+        )
+        SELECT s.sl AS {slice_col}, s.q, s.q_value, r.ref_value
+        FROM qn_quants s JOIN qn_ref r USING (q)
+    """
