@@ -1541,6 +1541,19 @@ def q_ranking_eval(spark, sf_dir):
     return evaluation.ranking_eval(runs, qrels, k=RE_K)
 
 
+def q_ndcg_eval(spark, sf_dir):
+    """Per-query nDCG@k (evaluation.ndcg_eval) over the same planted
+    runs/qrels as q_ranking_eval — the position-discounted metric the
+    flat report card lacks, with the irrational log discount frozen
+    as DECLARED ppm constants (the Benford-table discipline) so every
+    value is exactly rational; IDCG is one prefix-sum array lookup,
+    never a join."""
+    from openstreetmap_license_change_spark.operators import evaluation
+
+    runs, qrels = _ranking_runs_qrels(spark, sf_dir)
+    return evaluation.ndcg_eval(runs, qrels, k=RE_K)
+
+
 def q_cocitation_pairs(spark, sf_dir):
     """Co-citation pair counts (graph.common_neighbor_pairs): for each
     unordered doc pair, how many docs link to BOTH — the second-order
@@ -5613,6 +5626,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "auc_eval": q_auc_eval,
         "annotator_kappa": q_annotator_kappa,
         "ranking_eval": q_ranking_eval,
+        "ndcg_eval": q_ndcg_eval,
         "tile_rollup_incremental": q_tile_rollup_incremental,
         "tile_dilate": q_tile_dilate,
         "tile_erode": q_tile_erode,
@@ -7224,6 +7238,31 @@ def oracle_sql() -> dict[str, str]:
             )})
         """,
         "ranking_eval": evaluation.ranking_eval_sql(
+            f"""(
+            SELECT query_id, doc_id, rank FROM (
+                SELECT q.query_id, d.doc_id,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY q.query_id
+                           ORDER BY (d.doc_id * (q.query_id * 2 + 3)
+                                     + q.query_id) % 997, d.doc_id
+                       ) AS rank
+                FROM documents d
+                CROSS JOIN (SELECT range AS query_id
+                            FROM range({RE_QUERIES})) q
+            ) WHERE rank <= {RE_K}
+        )""",
+            f"""(
+            SELECT q.query_id, d.doc_id
+            FROM documents d
+            CROSS JOIN (SELECT range AS query_id
+                        FROM range({RE_QUERIES})) q
+            WHERE (d.doc_id * (q.query_id * 2 + 3) + q.query_id) % 997
+                      < 150
+                  AND d.doc_id % 3 <> 0
+        )""",
+            k=RE_K,
+        ),
+        "ndcg_eval": evaluation.ndcg_eval_sql(
             f"""(
             SELECT query_id, doc_id, rank FROM (
                 SELECT q.query_id, d.doc_id,

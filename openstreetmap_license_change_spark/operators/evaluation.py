@@ -2124,3 +2124,167 @@ def fleiss_kappa_sql(
                END AS BIGINT) AS kappa_ppm
         FROM fk_grp g JOIN fk_marg m USING (grp)
     """
+
+
+# quantized DCG discounts: round(10⁹ / log2(i+1)) for rank i —
+# declared constants (the Benford-table trick: the irrational log is
+# frozen ONCE here, both engines consume identical integers)
+import math as _math
+
+NDCG_DISC_U = tuple(
+    round(1_000_000_000 / _math.log2(i + 1)) for i in range(1, 41)
+)
+assert NDCG_DISC_U[0] == 1_000_000_000
+
+
+def ndcg_eval(
+    runs: DataFrame,
+    qrels: DataFrame,
+    k: int,
+    query_col: str = "query_id",
+    doc_col: str = "doc_id",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Per-query nDCG@k over binary relevance — the position-
+    discounted member of the retrieval report card
+    (:func:`ranking_eval` covers MRR/MAP/P@k/recall; nDCG is the one
+    that credits a relevant doc at rank 3 more than rank 9 even when
+    both are "found"):
+
+        DCG  = Σ_{hits} disc[rank]        disc[i] = ⌊10⁹/log2(i+1)⌉
+        IDCG = Σ_{i ≤ min(R, k)} disc[i]  (all R relevants up front)
+        nDCG = (DCG·10⁶) DIV IDCG
+
+    The irrational log discount is frozen as DECLARED integer
+    constants (NDCG_DISC_U — module-level, consumed identically by
+    both engines; the Benford-table discipline), so the statistic is
+    exactly rational and hash-stable.  R counts the query's FULL
+    relevance set (a query with more relevants than k can still reach
+    nDCG = 10⁶ by filling its window); R = 0 → NULL.
+
+    Plan: one left-semi-style join marking hits, one query
+    aggregation with element_at into the broadcast constant arrays
+    (discounts AND their prefix sums are literals — IDCG is one
+    array lookup, not a join).
+
+    Returns (query_id, n_rel_in_k, n_rel_total, dcg_u, idcg_u,
+    ndcg_ppm)."""
+    if not (1 <= int(k) <= len(NDCG_DISC_U)):
+        raise ValueError(
+            f"k must be in [1, {len(NDCG_DISC_U)}]: {k}"
+        )
+    disc = list(NDCG_DISC_U[: int(k)])
+    prefix = []
+    s = 0
+    for d in disc:
+        s += d
+        prefix.append(s)
+    disc_arr = "array({})".format(", ".join(map(str, disc)))
+    pref_arr = "array({})".format(", ".join(map(str, prefix)))
+    rel_counts = qrels.groupBy(
+        F.col(query_col).alias("_q")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_rel_total"))
+    marked = runs.where(F.col(rank_col) <= int(k)).join(
+        qrels.select(
+            F.col(query_col).alias("_mq"),
+            F.col(doc_col).alias("_md"),
+            F.lit(1).alias("_rel"),
+        ),
+        (F.col(query_col) == F.col("_mq"))
+        & (F.col(doc_col) == F.col("_md")),
+        "left",
+    )
+    agg = marked.groupBy(F.col(query_col)).agg(
+        F.sum(F.coalesce("_rel", F.lit(0))).cast("bigint")
+        .alias("n_rel_in_k"),
+        F.sum(
+            F.when(
+                F.col("_rel").isNotNull(),
+                F.expr(
+                    f"element_at({disc_arr}, "
+                    f"CAST({rank_col} AS INT))"
+                ),
+            ).otherwise(F.lit(0))
+        ).cast("bigint").alias("dcg_u"),
+    )
+    j = agg.join(
+        rel_counts, agg[query_col] == rel_counts._q, "left"
+    ).withColumn(
+        "n_rel_total", F.coalesce("n_rel_total", F.lit(0))
+    ).withColumn(
+        "idcg_u",
+        F.when(
+            F.col("n_rel_total") > 0,
+            F.expr(
+                f"element_at({pref_arr}, "
+                f"CAST(least(n_rel_total, {int(k)}) AS INT))"
+            ),
+        ).cast("bigint"),
+    )
+    return j.select(
+        query_col, "n_rel_in_k", "n_rel_total", "dcg_u", "idcg_u",
+        F.expr(
+            "CAST(CASE WHEN idcg_u IS NULL THEN NULL "
+            "ELSE (CAST(dcg_u AS DECIMAL(38,0)) * 1000000) "
+            "DIV idcg_u END AS BIGINT)"
+        ).alias("ndcg_ppm"),
+    )
+
+
+def ndcg_eval_sql(
+    runs_src: str,
+    qrels_src: str,
+    k: int,
+    query_col: str = "query_id",
+    doc_col: str = "doc_id",
+    rank_col: str = "rank",
+) -> str:
+    """DuckDB twin of :func:`ndcg_eval` — the identical frozen
+    discount table and prefix sums as SQL literals.  Standalone."""
+    disc = list(NDCG_DISC_U[: int(k)])
+    prefix = []
+    s = 0
+    for d in disc:
+        s += d
+        prefix.append(s)
+    disc_l = "[" + ", ".join(map(str, disc)) + "]"
+    pref_l = "[" + ", ".join(map(str, prefix)) + "]"
+    return f"""
+        WITH nd_marked AS (
+            SELECT r.{query_col} AS q, r.{rank_col} AS rnk,
+                   CASE WHEN g.{doc_col} IS NOT NULL
+                        THEN 1 ELSE 0 END AS rel
+            FROM {runs_src} r
+            LEFT JOIN {qrels_src} g
+              ON g.{query_col} = r.{query_col}
+             AND g.{doc_col} = r.{doc_col}
+            WHERE r.{rank_col} <= {int(k)}
+        ),
+        nd_agg AS (
+            SELECT q,
+                   CAST(SUM(rel) AS BIGINT) AS n_rel_in_k,
+                   CAST(SUM(CASE WHEN rel = 1
+                        THEN {disc_l}[rnk] ELSE 0 END) AS BIGINT)
+                       AS dcg_u
+            FROM nd_marked GROUP BY 1
+        ),
+        nd_rel AS (
+            SELECT {query_col} AS q,
+                   CAST(COUNT(*) AS BIGINT) AS n_rel_total
+            FROM {qrels_src} GROUP BY 1
+        )
+        SELECT a.q AS {query_col}, a.n_rel_in_k,
+               COALESCE(r.n_rel_total, 0) AS n_rel_total,
+               a.dcg_u,
+               CASE WHEN COALESCE(r.n_rel_total, 0) > 0 THEN
+                   CAST({pref_l}[CAST(LEAST(r.n_rel_total, {int(k)})
+                                 AS INT)] AS BIGINT)
+               END AS idcg_u,
+               CASE WHEN COALESCE(r.n_rel_total, 0) > 0 THEN
+                   CAST((CAST(a.dcg_u AS HUGEINT) * 1000000)
+                        // {pref_l}[CAST(LEAST(r.n_rel_total,
+                                              {int(k)}) AS INT)]
+                        AS BIGINT)
+               END AS ndcg_ppm
+        FROM nd_agg a LEFT JOIN nd_rel r USING (q)
+    """
