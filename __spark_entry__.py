@@ -2971,6 +2971,25 @@ def q_quality_calibration(spark, sf_dir):
     )
 
 
+def q_brier_quality(spark, sf_dir):
+    """Brier score (evaluation.brier_score) per language: how well
+    does the within-lang length percentile PREDICT the gopher keep
+    verdict, as the single proper-scoring number (confident wrongness
+    punished) beside q_quality_calibration's bin table — exact ppm²
+    square sums, one declared floor each for the score and the
+    no-skill uncertainty floor."""
+    from openstreetmap_license_change_spark.operators import evaluation
+
+    docs = pages_src.documents(spark, sf_dir)
+    pc = textops.percentile_calibrate(
+        docs, "n_chars", ["lang"], ["doc_id"]
+    ).select("doc_id", "lang", "pct_m")
+    gf = textops.gopher_filter(docs).select("doc_id", "keep")
+    return evaluation.brier_score(
+        pc.join(gf, "doc_id"), "lang", "pct_m", "keep"
+    )
+
+
 def q_isotonic_calibration(spark, sf_dir):
     """Isotonic (PAVA) calibration fit per lang
     (evaluation.isotonic_calibrate): the monotone repair of the
@@ -5694,6 +5713,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_verdict": q_curation_verdict,
         "embedding_silhouette": q_embedding_silhouette,
         "quality_calibration": q_quality_calibration,
+        "brier_quality": q_brier_quality,
         "isotonic_calibration": q_isotonic_calibration,
         "bootstrap_doclen": q_bootstrap_doclen,
         "ks_lang_lengths": q_ks_lang_lengths,
@@ -9138,6 +9158,16 @@ def oracle_sql() -> dict[str, str]:
         ),
         "embedding_silhouette": evaluation.silhouette_centroid_sql(
             "embeddings"
+        ),
+        "brier_quality": evaluation.brier_score_sql(
+            "(SELECT p.doc_id, p.lang, p.pct_m, g.keep FROM ("
+            + textops.percentile_calibrate_sql(
+                "documents", "n_chars", ["lang"], ["doc_id"]
+            )
+            + ") p JOIN ("
+            + textops.gopher_filter_sql("documents")
+            + ") g USING (doc_id))",
+            "lang", "pct_m", "keep",
         ),
         "quality_calibration": evaluation.calibration_bins_sql(
             "(SELECT p.doc_id, p.pct_m, g.keep FROM ("

@@ -2288,3 +2288,102 @@ def ndcg_eval_sql(
                END AS ndcg_ppm
         FROM nd_agg a LEFT JOIN nd_rel r USING (q)
     """
+
+
+def brier_score(
+    scored: DataFrame,
+    group_col: str,
+    prob_col: str,
+    outcome_col: str,
+) -> DataFrame:
+    """Per-group Brier score — the PROPER scoring rule of the
+    calibration family (:func:`calibration_bins` shows WHERE a
+    predictor lies; the Brier score is the single number a model
+    comparison sorts on, and unlike accuracy it punishes confident
+    wrongness):
+
+        brier     = Σ (p − y)² / n        p, y ∈ [0, 1]
+        uncert    = ȳ·(1 − ȳ)             (the no-skill floor)
+
+    in exact ppm² integers: ``prob_col`` is a ppm prediction
+    (0..10⁶, the percentile_calibrate convention — validated loudly,
+    assert_true riding the emitted n), y·10⁶ the outcome, the square
+    sum exact in DECIMAL(38)/HUGEINT, ONE declared floor each for
+    brier_ppm2 = Σ(p−y·10⁶)² DIV n and uncertainty_ppm2 =
+    (n_pos·(n−n_pos)·10¹²) DIV n².  brier < uncert ⟺ the predictor
+    beats the base rate — both emitted, the skill is the reader's
+    subtraction.
+
+    Plan: one group aggregation, map-side partial — nothing else.
+
+    Returns (group, n, n_pos, brier_ppm2, uncertainty_ppm2)."""
+    dec = "DECIMAL(38,0)"
+    base = scored.select(
+        F.col(group_col).alias("grp"),
+        F.col(prob_col).cast("bigint").alias("p"),
+        F.col(outcome_col).cast("boolean").cast("int").alias("y"),
+    )
+    agg = base.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("bigint").alias("_n"),
+        F.sum("y").cast("bigint").alias("n_pos"),
+        F.sum(
+            F.expr(
+                f"CAST(p - y * 1000000 AS {dec})"
+                f" * (p - y * 1000000)"
+            )
+        ).alias("_sq"),
+        F.max(
+            (F.col("p") < 0) | (F.col("p") > 1_000_000)
+        ).alias("_bad"),
+    )
+    return agg.select(
+        F.col("grp").alias(group_col),
+        F.when(
+            F.expr(
+                "assert_true(NOT _bad, 'brier_score: prob_col out of "
+                "[0, 1000000] ppm range')"
+            ).isNull(),
+            F.col("_n"),
+        ).alias("n"),
+        "n_pos",
+        F.expr("CAST(_sq DIV _n AS BIGINT)").alias("brier_ppm2"),
+        F.expr(
+            f"CAST((CAST(n_pos AS {dec}) * (_n - n_pos) * "
+            f"1000000000000) DIV (CAST(_n AS {dec}) * _n) AS BIGINT)"
+        ).alias("uncertainty_ppm2"),
+    )
+
+
+def brier_score_sql(
+    src: str,
+    group_col: str,
+    prob_col: str,
+    outcome_col: str,
+) -> str:
+    """DuckDB twin of :func:`brier_score` (HUGEINT square sums, same
+    declared floors; assumes in-range ppm — the operator owns the
+    loud guard).  Standalone."""
+    return f"""
+        WITH bs_base AS (
+            SELECT {group_col} AS grp,
+                   CAST({prob_col} AS BIGINT) AS p,
+                   CASE WHEN {outcome_col} THEN 1 ELSE 0 END AS y
+            FROM {src}
+        ),
+        bs_agg AS (
+            SELECT grp,
+                   CAST(COUNT(*) AS HUGEINT) AS n,
+                   CAST(SUM(y) AS BIGINT) AS n_pos,
+                   SUM(CAST(p - y * 1000000 AS HUGEINT)
+                       * (p - y * 1000000)) AS sq
+            FROM bs_base GROUP BY 1
+        )
+        SELECT grp AS {group_col},
+               CAST(n AS BIGINT) AS n,
+               n_pos,
+               CAST(sq // n AS BIGINT) AS brier_ppm2,
+               CAST((CAST(n_pos AS HUGEINT) * (n - n_pos)
+                     * 1000000000000) // (n * n) AS BIGINT)
+                   AS uncertainty_ppm2
+        FROM bs_agg
+    """
