@@ -1776,6 +1776,33 @@ def q_raster_distance(spark, sf_dir):
     )
 
 
+def q_raster_cost_distance(spark, sf_dir):
+    """Cost-surface corridor routing (spatial.raster_cost_distance):
+    the weighted upgrade of q_raster_distance over the SAME occupied
+    support — entering a cell costs 1 + its tainted-page count, so
+    corridors detour around contaminated tiles; the tile_dilate fan
+    feeds graph.weighted_distance (a cell re-enters the frontier when
+    a longer-but-cheaper detour arrives), twins composed
+    identically."""
+    flagged = _pages_flagged(spark, sf_dir)
+    pts = spatial.assign_cells(flagged, res_deg=RD_RES).withColumn(
+        "tainted", ~F.col("accepted")
+    )
+    cost = pts.groupBy("cell").agg(
+        (F.lit(1) + F.sum(F.col("tainted").cast("long")))
+        .cast("long").alias("cost")
+    )
+    lat_b = F.floor(F.col("cell") / RD_COLS)
+    lon_b = F.col("cell") % RD_COLS
+    la0, la1, lo0, lo1 = RD_BANDS
+    seeds = cost.where(
+        (lat_b >= la0) & (lat_b < la1) & (lon_b >= lo0) & (lon_b < lo1)
+    ).select("cell")
+    return spatial.raster_cost_distance(
+        cost, seeds, rounds=RD_ROUNDS, res_deg=RD_RES
+    )
+
+
 def q_tile_contours(spark, sf_dir):
     """Marching-squares contour topology (spatial.tile_contours) over
     the occupied-cell support: sparse ×4 corner fan → per-block case
@@ -5777,6 +5804,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy_url_pairs": q_fuzzy_url_pairs,
         "concordance": q_concordance,
         "raster_distance": q_raster_distance,
+        "raster_cost_distance": q_raster_cost_distance,
         "tile_contours": q_tile_contours,
         "adaptive_tiles": q_adaptive_tiles,
         "snap_to_segments": q_snap_to_segments,
@@ -7059,6 +7087,27 @@ def oracle_sql() -> dict[str, str]:
             )
             {spatial.raster_distance_sql(
                 'morph_src', 'rd_seeds', rounds=RD_ROUNDS, res_deg=RD_RES,
+            )}
+        """),
+        "raster_cost_distance": _with_pages(f"""
+            , rcd_cost AS (
+                SELECT {spatial.grid_cell_sql('lon', 'lat', 5.0)}
+                           AS cell,
+                       1 + CAST(SUM(CASE WHEN s.accepted THEN 0
+                                    ELSE 1 END) AS BIGINT) AS cost
+                FROM pages p JOIN cs_status s USING (changeset_id)
+                GROUP BY 1
+            ),
+            rcd_seeds AS (
+                SELECT cell FROM rcd_cost
+                WHERE cell // {RD_COLS} >= {RD_BANDS[0]}
+                  AND cell // {RD_COLS} < {RD_BANDS[1]}
+                  AND cell % {RD_COLS} >= {RD_BANDS[2]}
+                  AND cell % {RD_COLS} < {RD_BANDS[3]}
+            )
+            {spatial.raster_cost_distance_sql(
+                'rcd_cost', 'rcd_seeds', rounds=RD_ROUNDS,
+                res_deg=RD_RES,
             )}
         """),
         "tile_contours": _with_pages(f"""

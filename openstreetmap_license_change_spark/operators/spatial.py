@@ -8986,3 +8986,109 @@ def drainage_length_sql(
         LEFT JOIN fd_best b USING (cell)
         LEFT JOIN dl_len l USING (cell)
     """
+
+
+def raster_cost_distance(
+    cells: DataFrame,
+    seeds: DataFrame,
+    rounds: int,
+    cost_col: str = "cost",
+    res_deg: float = DEFAULT_RES_DEG,
+) -> DataFrame:
+    """Grid cost-distance over a COST surface — the weighted upgrade
+    of :func:`raster_distance` (queen steps all cost 1 there; here
+    entering a cell costs that cell's own integer cost — the standard
+    cost-surface convention, stated — so corridors route AROUND
+    expensive terrain instead of through it).  Same composition-of-
+    verified-pieces design: the tile_dilate queen fan builds edges
+    (src → dst weighted by dst's cost, restricted to the occupied
+    support), :func:`graph.weighted_distance` runs the frontier
+    min-plus relaxation — a node re-enters the frontier when a
+    longer-but-cheaper detour arrives, which is exactly the
+    cost-surface behavior unit BFS can't express.
+
+    Costs must be ≥ 0 (validated loudly — Bellman–Ford's negative
+    rejection riding the edge build).  ``rounds`` bounds path EDGES,
+    not cost: after R rounds dist is exact over ≤ R-step corridors,
+    NULL beyond (the link_distance honesty contract).
+
+    ``cells``: (cell, cost); ``seeds``: rows with ``cell`` (dist
+    counts the seed's own cost as 0 — you start there).  Returns
+    (cell, dist)."""
+    from . import graph
+
+    cols = int(360 / res_deg)
+    rows_n = int(180 / res_deg)
+    lat_b = F.floor(F.col("cell") / F.lit(cols))
+    lon_b = F.col("cell") % F.lit(cols)
+    nbrs = []
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            if dy == 0 and dx == 0:
+                continue
+            t_lat = lat_b + F.lit(dy)
+            t_lon = (lon_b + F.lit(dx) + F.lit(cols)) % F.lit(cols)
+            nbrs.append(
+                F.when(
+                    (t_lat >= 0) & (t_lat < rows_n),
+                    (t_lat * F.lit(cols) + t_lon).cast("bigint"),
+                )
+            )
+    fan = cells.select(
+        F.col("cell").alias("src"),
+        F.explode(F.array_compact(F.array(*nbrs))).alias("dst"),
+    )
+    costed = cells.select(
+        F.col("cell").alias("dst"),
+        F.when(
+            F.expr(
+                f"assert_true({cost_col} >= 0, 'raster_cost_distance:"
+                f" negative cell cost — min-plus requires ≥ 0')"
+            ).isNull(),
+            F.col(cost_col),
+        ).cast("bigint").alias("w"),
+    )
+    edges = fan.join(costed, "dst")
+    return graph.weighted_distance(
+        cells.select(F.col("cell").alias("node")),
+        seeds.select(F.col("cell").alias("node")),
+        edges,
+        rounds,
+    ).select(F.col("node").alias("cell"), "dist")
+
+
+def raster_cost_distance_sql(
+    cells_src: str,
+    seeds_src: str,
+    rounds: int,
+    cost_col: str = "cost",
+    res_deg: float = DEFAULT_RES_DEG,
+) -> str:
+    """DuckDB twin of :func:`raster_cost_distance`: the morphology
+    fan weighted by the destination cell's cost feeding
+    graph.weighted_distance_sql."""
+    from . import graph
+
+    cols = int(360 / res_deg)
+    rows_n = int(180 / res_deg)
+    edges = f"""(
+        SELECT f.src, f.dst, c.{cost_col} AS w FROM (
+            SELECT s.cell AS src,
+                   (((s.cell // {cols}) + d.dy) * {cols}
+                    + ((s.cell % {cols}) + d.dx + {cols}) % {cols})
+                       AS dst
+            FROM {cells_src} s CROSS JOIN (VALUES
+                 (-1,-1),(-1,0),(-1,1),(0,-1),(0,1),
+                 (1,-1),(1,0),(1,1)) d(dy, dx)
+            WHERE (s.cell // {cols}) + d.dy >= 0
+              AND (s.cell // {cols}) + d.dy < {rows_n}
+        ) f
+        JOIN {cells_src} c ON c.cell = f.dst
+    )"""
+    inner = graph.weighted_distance_sql(
+        f"(SELECT cell AS node FROM {cells_src})",
+        f"(SELECT cell AS node FROM {seeds_src})",
+        edges,
+        rounds,
+    )
+    return f"SELECT node AS cell, dist FROM ({inner})"
