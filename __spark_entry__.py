@@ -3149,6 +3149,19 @@ def q_quantile_normalize(spark, sf_dir):
     )
 
 
+def q_trimmed_mean(spark, sf_dir):
+    """Per-language 10% trimmed mean of document length
+    (profile.trimmed_mean): the robust location estimate between the
+    mean (one 100 MB doc wrecks it) and the median (one rank) —
+    positional nearest-rank trim (k = (n·ppm) DIV 10⁶ each side,
+    stated), exact sums, one sign-decomposed division, one key
+    shuffle for rank window + filtered aggregation."""
+    docs = pages_src.documents(spark, sf_dir)
+    return profile_mod.trimmed_mean(
+        docs, "lang", "n_chars", trim_ppm=100_000
+    )
+
+
 def q_rank_sum_lengths(spark, sf_dir):
     """Mann–Whitney rank-sum drift test (evaluation.rank_sum_test):
     per-language one-vs-rest over document lengths — the DIRECTIONAL
@@ -5749,6 +5762,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "benford_chars": q_benford_chars,
         "gini_gain_tokens": q_gini_gain_tokens,
         "quantile_normalize": q_quantile_normalize,
+        "trimmed_mean": q_trimmed_mean,
         "rank_sum_lengths": q_rank_sum_lengths,
         "theil_sen_hourly": q_theil_sen_hourly,
         "ols_hourly": q_ols_hourly,
@@ -9255,6 +9269,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "quantile_normalize": profile_mod.quantile_normalize_sql(
             "documents", "lang", "doc_id", "n_chars", q_bins=20
+        ),
+        "trimmed_mean": profile_mod.trimmed_mean_sql(
+            "documents", "lang", "n_chars", trim_ppm=100_000
         ),
         "fleiss_raters": evaluation.fleiss_kappa_sql(
             """(SELECT lang AS grp, doc_id AS it,

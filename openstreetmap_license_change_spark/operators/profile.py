@@ -567,3 +567,104 @@ def quantile_normalize_sql(
         SELECT s.sl AS {slice_col}, s.q, s.q_value, r.ref_value
         FROM qn_quants s JOIN qn_ref r USING (q)
     """
+
+
+def trimmed_mean(
+    rows: DataFrame,
+    group_col: str,
+    value_col: str,
+    trim_ppm: int = 100_000,
+) -> DataFrame:
+    """Per-group trimmed mean — the robust LOCATION estimate between
+    the mean (wrecked by one 100 MB document) and the median (throws
+    away everything but one rank): drop the lowest and highest
+    ``trim_ppm`` fraction by NEAREST RANK and average the rest
+    exactly.
+
+    Trim bounds (stated): with n rows, k = (n·trim_ppm) DIV 10⁶ rows
+    are dropped from EACH side (nearest-rank floor — never a
+    fractional-weight interpolation, so the kept multiset is
+    integer-exact and engine-identical); n − 2k ≤ 0 can't happen for
+    trim_ppm < 500 000, which the operator validates loudly.  Kept
+    mean ships as one sign-decomposed trunc division of exact sums.
+
+    Plan: one group-keyed rank window (value order, row_number — the
+    duplicate-value trim is positional, stated), one filtered group
+    aggregation on the same key shuffle.
+
+    Returns (group, n, n_trimmed_each, kept_sum, mean_q)."""
+    from pyspark.sql import Window as W
+
+    if not (0 <= int(trim_ppm) < 500_000):
+        raise ValueError(
+            f"trim_ppm must be in [0, 500000): {trim_ppm}"
+        )
+    ranked = rows.select(
+        F.col(group_col).alias("grp"),
+        F.col(value_col).cast("bigint").alias("v"),
+    ).select(
+        "grp", "v",
+        F.row_number().over(
+            W.partitionBy("grp").orderBy("v")
+        ).alias("rn"),
+        F.count(F.lit(1)).over(W.partitionBy("grp")).alias("n"),
+    ).withColumn(
+        "k", F.expr(f"(n * {int(trim_ppm)}) DIV 1000000")
+    )
+    agg = (
+        ranked.where(
+            (F.col("rn") > F.col("k")) & (F.col("rn") <= F.col("n") - F.col("k"))
+        )
+        .groupBy("grp")
+        .agg(
+            F.max("n").cast("bigint").alias("n"),
+            F.max("k").cast("bigint").alias("n_trimmed_each"),
+            F.sum(F.col("v").cast("decimal(38,0)")).alias("_s"),
+            F.count(F.lit(1)).alias("_kept"),
+        )
+    )
+    return agg.select(
+        F.col("grp").alias(group_col),
+        "n", "n_trimmed_each",
+        F.expr("CAST(_s AS BIGINT)").alias("kept_sum"),
+        F.expr(
+            "CAST(CASE WHEN _s < 0 THEN -((-_s) DIV _kept) "
+            "ELSE _s DIV _kept END AS BIGINT)"
+        ).alias("mean_q"),
+    )
+
+
+def trimmed_mean_sql(
+    src: str,
+    group_col: str,
+    value_col: str,
+    trim_ppm: int = 100_000,
+) -> str:
+    """DuckDB twin of :func:`trimmed_mean` — identical positional
+    nearest-rank trim and sign-decomposed division.  Standalone."""
+    return f"""
+        WITH tm_ranked AS (
+            SELECT {group_col} AS grp,
+                   CAST({value_col} AS BIGINT) AS v,
+                   ROW_NUMBER() OVER (PARTITION BY {group_col}
+                       ORDER BY CAST({value_col} AS BIGINT)) AS rn,
+                   COUNT(*) OVER (PARTITION BY {group_col}) AS n
+            FROM {src}
+        ),
+        tm_kept AS (
+            SELECT grp, v, n,
+                   (n * {int(trim_ppm)}) // 1000000 AS k
+            FROM tm_ranked
+            WHERE rn > (n * {int(trim_ppm)}) // 1000000
+              AND rn <= n - (n * {int(trim_ppm)}) // 1000000
+        )
+        SELECT grp AS {group_col},
+               CAST(MAX(n) AS BIGINT) AS n,
+               CAST(MAX(k) AS BIGINT) AS n_trimmed_each,
+               CAST(SUM(CAST(v AS HUGEINT)) AS BIGINT) AS kept_sum,
+               CAST(CASE WHEN SUM(CAST(v AS HUGEINT)) < 0
+                 THEN -((-SUM(CAST(v AS HUGEINT))) // COUNT(*))
+                 ELSE SUM(CAST(v AS HUGEINT)) // COUNT(*)
+               END AS BIGINT) AS mean_q
+        FROM tm_kept GROUP BY 1
+    """
