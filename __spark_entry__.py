@@ -2365,6 +2365,20 @@ def q_golden_records(spark, sf_dir):
     return dedup.golden_records(docs, clusters)
 
 
+def q_sorted_neighborhood(spark, sf_dir):
+    """Sorted-neighborhood blocking (dedup.sorted_neighborhood_pairs)
+    on document length — the third candidate-generation family beside
+    LSH banding and PPJoin prefixes: exact two-level global rank (the
+    str_pack kit, never a single-partition window, loud skew guard),
+    width-5 window pairs via the exactly-once forward block fan (no
+    distinct).  The twin IS the definition — one plain global
+    ROW_NUMBER — so both the rank decomposition and the fan verify."""
+    docs = pages_src.documents(spark, sf_dir)
+    return dedup.sorted_neighborhood_pairs(
+        docs, "doc_id", "n_chars", window=5
+    )
+
+
 def q_cluster_audit(spark, sf_dir):
     """Dedup-cluster QUALITY audit (dedup.cluster_audit): exact
     pairwise token-Jaccard floor/mean per minhash_lsh_clusters
@@ -5723,6 +5737,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_pairs_capped": q_minhash_lsh_pairs_capped,
         "minhash_lsh_clusters": q_minhash_lsh_clusters,
         "golden_records": q_golden_records,
+        "sorted_neighborhood": q_sorted_neighborhood,
         "cluster_audit": q_cluster_audit,
         "minhash_dedup_apply": q_minhash_dedup_apply,
         "sample_hash": q_sample_hash,
@@ -9008,6 +9023,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "golden_records": lsh_clusters_prelude
         + dedup.golden_records_sql("documents", "clusters"),
+        "sorted_neighborhood": dedup.sorted_neighborhood_sql(
+            "documents", "doc_id", "n_chars", window=5
+        ),
         "cluster_audit": lsh_clusters_prelude.replace(
             "FROM documents",
             "FROM (SELECT * FROM documents WHERE doc_id % 2 = 0)",
