@@ -4078,6 +4078,17 @@ def q_dag_levels(spark, sf_dir):
     return out.select(F.col("node").alias("doc_id"), "level")
 
 
+def q_graph_profile(spark, sf_dir):
+    """One-row structural audit of the doc link graph
+    (graph.link_graph_profile): edge/dup/self-loop counts, exact
+    reciprocity over distinct non-loop edges, source/sink/isolate
+    counts against the node table, and the max in/out degree that
+    decides salting — the pre-flight the iterative operators run
+    before spending rounds."""
+    nodes, edges = _doc_link_graph(spark, sf_dir)
+    return graph.link_graph_profile(nodes, edges)
+
+
 WD_ROUNDS = 6
 
 
@@ -5805,6 +5816,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_pagerank": q_doc_pagerank,
         "link_distance": q_link_distance,
         "dag_levels": q_dag_levels,
+        "graph_profile": q_graph_profile,
         "weighted_distance": q_weighted_distance,
         "rrf_hybrid": q_rrf_hybrid,
         "skyline_docs": q_skyline_docs,
@@ -9694,6 +9706,9 @@ def oracle_sql() -> dict[str, str]:
                 rounds=BFS_ROUNDS,
             )})
         """,
+        "graph_profile": graph.link_graph_profile_sql(
+            "(SELECT doc_id AS node FROM documents)", _PR_EDGES_SQL
+        ),
         "dag_levels": f"""
             SELECT node AS doc_id, level
             FROM ({graph.dag_levels_sql(

@@ -2690,3 +2690,168 @@ def dag_levels_sql(
                     ELSE CAST(MAX(d) AS BIGINT) END AS level
         FROM dl_chain GROUP BY node
     """
+
+
+def link_graph_profile(
+    nodes: DataFrame,
+    edges: DataFrame,
+) -> DataFrame:
+    """One-row structural profile of a directed graph — the pre-flight
+    audit the graph family's iterative operators deserve (the
+    :func:`~..operators.profile.column_profile` of link tables):
+    before spending rounds on PageRank or components, know the shape —
+    edge count, self-loop count, duplicate-edge count, reciprocity
+    (both directions present), source/sink counts, isolate count, and
+    max in/out degree (the skew number that decides salting).
+
+    Exact definitions (stated): n_dup_edges counts rows beyond the
+    first per (src, dst); self-loops are counted separately and
+    EXCLUDED from reciprocity (a self-loop is trivially its own
+    reverse); reciprocity_ppm = (10⁶ · |distinct pairs with both
+    directions|·2) DIV |distinct non-loop edges| — the fraction of
+    directed edges whose reverse exists; sources/sinks/isolates are
+    judged against the NODE table (an id that never appears in edges
+    is an isolate, not invisible).
+
+    Plan: one (src, dst) dedup aggregation, one hash-join for
+    reciprocity (canonical u<v pair counts — never a second pass over
+    raw edges), two degree aggregations joined to nodes. Output is
+    ONE row; every aggregate is map-side partial.
+
+    Returns (n_nodes, n_edges, n_self_loops, n_dup_edges,
+    n_distinct_edges, reciprocity_ppm, n_sources, n_sinks,
+    n_isolates, max_out_deg, max_in_deg)."""
+    e = edges.select("src", "dst")
+    dedup = e.groupBy("src", "dst").agg(
+        F.count(F.lit(1)).alias("_m")
+    ).localCheckpoint(eager=True)
+    base = dedup.agg(
+        F.sum("_m").cast("bigint").alias("n_edges"),
+        F.sum(F.col("_m") - 1).cast("bigint").alias("n_dup_edges"),
+        F.count(F.lit(1)).cast("bigint").alias("n_distinct_edges"),
+        F.sum(F.when(F.col("src") == F.col("dst"), F.col("_m"))
+              .otherwise(0)).cast("bigint").alias("n_self_loops"),
+        F.sum(F.when(F.col("src") == F.col("dst"), 1).otherwise(0))
+        .cast("bigint").alias("n_distinct_loops"),
+    )
+    # reciprocity over distinct non-loop edges: canonical pair counts
+    pairs = (
+        dedup.where(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("u"),
+            F.greatest("src", "dst").alias("v"),
+        )
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("_dirs"))
+        .agg(
+            F.sum(F.when(F.col("_dirs") == 2, 1).otherwise(0))
+            .cast("bigint").alias("n_recip_pairs")
+        )
+    )
+    outd = dedup.groupBy("src").agg(F.sum("_m").alias("_od"))
+    ind = dedup.groupBy("dst").agg(F.sum("_m").alias("_id"))
+    nd = (
+        nodes.select("node")
+        .join(outd, nodes.node == outd.src, "left")
+        .join(ind, nodes.node == ind.dst, "left")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
+            F.sum(
+                F.when(
+                    F.col("_od").isNull() & F.col("_id").isNotNull(), 1
+                ).otherwise(0)
+            ).cast("bigint").alias("n_sinks"),
+            F.sum(
+                F.when(
+                    F.col("_id").isNull() & F.col("_od").isNotNull(), 1
+                ).otherwise(0)
+            ).cast("bigint").alias("n_sources"),
+            F.sum(
+                F.when(
+                    F.col("_id").isNull() & F.col("_od").isNull(), 1
+                ).otherwise(0)
+            ).cast("bigint").alias("n_isolates"),
+            F.max(F.coalesce("_od", F.lit(0))).cast("bigint")
+            .alias("max_out_deg"),
+            F.max(F.coalesce("_id", F.lit(0))).cast("bigint")
+            .alias("max_in_deg"),
+        )
+    )
+    out = base.crossJoin(pairs).crossJoin(nd)
+    return out.select(
+        "n_nodes", "n_edges", "n_self_loops", "n_dup_edges",
+        "n_distinct_edges",
+        F.expr(
+            "CAST(CASE WHEN n_distinct_edges - n_distinct_loops = 0 "
+            "THEN NULL ELSE (n_recip_pairs * 2 * 1000000) "
+            "DIV (n_distinct_edges - n_distinct_loops) END AS BIGINT)"
+        ).alias("reciprocity_ppm"),
+        "n_sources", "n_sinks", "n_isolates",
+        "max_out_deg", "max_in_deg",
+    )
+
+
+def link_graph_profile_sql(nodes_src: str, edges_src: str) -> str:
+    """DuckDB twin of :func:`link_graph_profile` — identical
+    definitions, one row.  Standalone."""
+    return f"""
+        WITH gp_dedup AS (
+            SELECT src, dst, COUNT(*) AS m
+            FROM (SELECT src, dst FROM {edges_src}) GROUP BY 1, 2
+        ),
+        gp_base AS (
+            SELECT CAST(SUM(m) AS BIGINT) AS n_edges,
+                   CAST(SUM(m - 1) AS BIGINT) AS n_dup_edges,
+                   CAST(COUNT(*) AS BIGINT) AS n_distinct_edges,
+                   CAST(COALESCE(SUM(CASE WHEN src = dst THEN m END),
+                        0) AS BIGINT) AS n_self_loops,
+                   CAST(SUM(CASE WHEN src = dst THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_distinct_loops
+            FROM gp_dedup
+        ),
+        gp_recip AS (
+            SELECT CAST(COALESCE(SUM(CASE WHEN dirs = 2 THEN 1 END),
+                        0) AS BIGINT) AS n_recip_pairs
+            FROM (
+                SELECT LEAST(src, dst) AS u, GREATEST(src, dst) AS v,
+                       COUNT(*) AS dirs
+                FROM gp_dedup WHERE src <> dst GROUP BY 1, 2
+            )
+        ),
+        gp_out AS (
+            SELECT src, SUM(m) AS od FROM gp_dedup GROUP BY 1
+        ),
+        gp_in AS (
+            SELECT dst, SUM(m) AS idg FROM gp_dedup GROUP BY 1
+        ),
+        gp_nodes AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes,
+                   CAST(SUM(CASE WHEN o.od IS NULL
+                                  AND i.idg IS NOT NULL
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_sinks,
+                   CAST(SUM(CASE WHEN i.idg IS NULL
+                                  AND o.od IS NOT NULL
+                            THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_sources,
+                   CAST(SUM(CASE WHEN i.idg IS NULL AND o.od IS NULL
+                            THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_isolates,
+                   CAST(MAX(COALESCE(o.od, 0)) AS BIGINT)
+                       AS max_out_deg,
+                   CAST(MAX(COALESCE(i.idg, 0)) AS BIGINT)
+                       AS max_in_deg
+            FROM {nodes_src} n
+            LEFT JOIN gp_out o ON o.src = n.node
+            LEFT JOIN gp_in i ON i.dst = n.node
+        )
+        SELECT n_nodes, n_edges, n_self_loops, n_dup_edges,
+               n_distinct_edges,
+               CAST(CASE WHEN n_distinct_edges - n_distinct_loops = 0
+                 THEN NULL
+                 ELSE (n_recip_pairs * 2 * 1000000)
+                      // (n_distinct_edges - n_distinct_loops)
+               END AS BIGINT) AS reciprocity_ppm,
+               n_sources, n_sinks, n_isolates,
+               max_out_deg, max_in_deg
+        FROM gp_base, gp_recip, gp_nodes
+    """
