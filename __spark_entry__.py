@@ -817,6 +817,30 @@ def q_semivariogram(spark, sf_dir):
     )
 
 
+def q_semivariogram_directional(spark, sf_dir):
+    """Anisotropic semivariogram
+    (spatial.semivariogram_directional): q_semivariogram's pair sweep
+    decomposed into four exact-boundary 45° axial sectors (named by
+    angular range — exact |Δlat|-vs-Δlon comparisons instead of the
+    irrational tan 22.5° tolerance; signed shortest-arc Δlon keeps
+    sectors wrap-correct) — does the page-intensity field decorrelate
+    faster across the grid's axes than along them?  Densified: every
+    (band, sector) emits a row."""
+    flagged = _pages_flagged(spark, sf_dir)
+    cells = spatial.assign_cells(flagged).withColumn(
+        "tainted", ~F.col("accepted")
+    )
+    rollup = spatial.tile_rollup(cells).select("cell", "n_pages")
+    lon_c, lat_c = spatial.grid_cell_center("cell")
+    pts = rollup.select(
+        "cell", lon_c.alias("lon"), lat_c.alias("lat"), "n_pages"
+    )
+    return spatial.semivariogram_directional(
+        pts, [500_000, 1_000_000, 2_000_000], "n_pages",
+        id_col="cell", res_deg=2.0,
+    )
+
+
 def q_ab_test(spark, sf_dir):
     """Exact 2×2 chi-square per event type (evaluation.chi2_2x2):
     split users into deterministic A/B halves (user_id parity) and
@@ -5689,6 +5713,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rect_union": q_rect_union,
         "ripley_k": q_ripley_k,
         "semivariogram": q_semivariogram,
+        "semivariogram_directional": q_semivariogram_directional,
         "cell_compact": q_cell_compact,
         "rake_keywords": q_rake_keywords,
         "image_equalize": q_image_equalize,
@@ -7466,6 +7491,26 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT * FROM ({spatial.semivariogram_sql(
                 'sv_src',
+                [500_000, 1_000_000, 2_000_000],
+                'n_pages',
+                id_col='cell',
+            )})
+        """),
+        "semivariogram_directional": _with_pages(f"""
+            , svd_rollup AS (
+                SELECT {cell} AS cell, COUNT(*) AS n_pages
+                FROM pages p JOIN cs_status s USING (changeset_id)
+                GROUP BY 1
+            ),
+            svd_src AS (
+                SELECT cell,
+                       (cell % 1440 + 0.5) * 0.25 - 180.0 AS lon,
+                       (cell // 1440 + 0.5) * 0.25 - 90.0 AS lat,
+                       n_pages
+                FROM svd_rollup
+            )
+            SELECT * FROM ({spatial.semivariogram_directional_sql(
+                'svd_src',
                 [500_000, 1_000_000, 2_000_000],
                 'n_pages',
                 id_col='cell',

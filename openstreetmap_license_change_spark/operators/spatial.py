@@ -9092,3 +9092,237 @@ def raster_cost_distance_sql(
         rounds,
     )
     return f"SELECT node AS cell, dist FROM ({inner})"
+
+
+SV_SECTORS = ("D0_45", "D45_90", "D90_135", "D135_180")
+
+
+def _sv_sector_expr(dlon_s, dlat):
+    """Axial 45°-sector classification with EXACT boundaries: only
+    |dlat|-vs-dlon comparisons, no tangent constants.  Assumes the
+    pair is canonically flipped to dlon ≥ 0; sector semantics are
+    documented on :func:`semivariogram_directional`."""
+    # after the flip dlon_s ≥ 0; θ ∈ [−90°, 90°] from the east axis
+    return (
+        F.when((dlat >= 0) & (dlat < dlon_s), F.lit("D0_45"))
+        .when((dlat >= 0) & (dlat >= dlon_s), F.lit("D45_90"))
+        .when((dlat < 0) & (-dlat >= dlon_s), F.lit("D90_135"))
+        .otherwise(F.lit("D135_180"))
+    )
+
+
+def semivariogram_directional(
+    points: DataFrame,
+    band_edges_udeg: "Sequence[int]",
+    value_col: str,
+    id_col: str = "url",
+    res_deg: float | None = None,
+    join_hint: str | None = "shuffle_hash",
+) -> DataFrame:
+    """Directional (anisotropic) semivariogram — the
+    direction-decomposed upgrade of :func:`semivariogram_counts`:
+    geostatistical fields are routinely anisotropic (coastlines,
+    valleys, road grids decorrelate faster across than along), and a
+    single isotropic γ̂(h) averages that structure away.  Every pair
+    lands in one of four AXIAL 45°-wide sectors with EXACT integer-
+    free boundaries (no tan 22.5° constant — boundaries sit at 0°/45°
+    multiples where the test is |Δlat| vs Δlon):
+
+        canonical flip to Δlon ≥ 0 (axial direction), then
+        'D0_45'    = θ ∈ [0°, 45°)    (Δlat ≥ 0, Δlat < Δlon)
+        'D45_90'   = θ ∈ [45°, 90°]   (Δlat ≥ 0, Δlat ≥ Δlon)
+        'D90_135'  = θ ∈ (90°, 135°]  (Δlat < 0, −Δlat ≥ Δlon)
+        'D135_180' = θ ∈ (135°, 180°) (Δlat < 0, −Δlat < Δlon)
+
+    — sectors are NAMED by their exact angular range because exact
+    boundaries at 45° multiples put no sector center on a compass
+    axis (the classic compass-centered sectors need the irrational
+    tan 22.5° tolerance; this engine trades the familiar centers for
+    hash-exact boundaries, declared).  A pure-north pair (Δlon = 0)
+    lands in 'D45_90' via the inclusive θ = 90° edge (declared;
+    (coincident pairs land there too by the ≥ rules; the
+    exact-antimeridian pair's sector follows the deterministic
+    canonical orientation, declared).  Δlon is the SIGNED shortest
+    arc, so the sector is wrap-correct.
+
+    Same single-sweep plan as the isotropic operator: ONE 3×3-probe
+    pair stream at the largest edge (res_deg soundness enforced
+    there), then a 4-row sector aggregation carrying every band's
+    conditional count/Σ(vᵢ−vⱼ)² — never k×4 passes.
+
+    Output: (band_udeg, sector, n_pairs, sum_sq_diff), one row per
+    (edge, sector) — zero rows densified so absent structure is a
+    visible 0, not a missing row."""
+    edges = [int(r) for r in band_edges_udeg]
+    if not edges:
+        raise ValueError(
+            "semivariogram_directional: need at least one edge"
+        )
+    if any(r <= 0 for r in edges) or sorted(set(edges)) != edges:
+        raise ValueError(
+            "semivariogram_directional: band edges must be positive, "
+            f"strictly ascending, got {edges}"
+        )
+    max_deg = edges[-1] / 1_000_000.0
+    if res_deg is None:
+        res_deg = max_deg
+    if res_deg < max_deg:
+        raise ValueError(
+            f"res_deg={res_deg} < max band edge {max_deg}: the 3x3 "
+            "probe cannot see all pairs; use res_deg >= the largest "
+            "band edge"
+        )
+    probes = points.select(
+        F.col(id_col).alias("id_a"),
+        F.col("lon"),
+        F.col("lat"),
+        F.col(value_col).cast("bigint").alias("v_a"),
+        F.explode(
+            neighbor_cells(F.col("lon"), F.col("lat"), res_deg)
+        ).alias("probe_cell"),
+    )
+    cand = points.select(
+        grid_cell(F.col("lon"), F.col("lat"), res_deg).alias("c_cell"),
+        F.col(id_col).alias("id_b"),
+        F.col("lon").alias("c_lon"),
+        F.col("lat").alias("c_lat"),
+        F.col(value_col).cast("bigint").alias("v_b"),
+    )
+    if join_hint:
+        cand = cand.hint(join_hint)
+    raw = F.col("c_lon") - F.col("lon")
+    dlon_s = (
+        F.when(raw > 180.0, raw - 360.0)
+        .when(raw < -180.0, raw + 360.0)
+        .otherwise(raw)
+    )
+    dlat_raw = F.col("c_lat") - F.col("lat")
+    # canonical axial flip: dlon ≥ 0
+    flip = dlon_s < 0
+    dlon_c = F.when(flip, -dlon_s).otherwise(dlon_s)
+    dlat_c = F.when(flip, -dlat_raw).otherwise(dlat_raw)
+    d2_expr = dlon_c * dlon_c + dlat_c * dlat_c
+    dv = F.col("v_a") - F.col("v_b")
+    pairs = (
+        probes.join(cand, probes.probe_cell == cand.c_cell)
+        .where(
+            (F.col("id_a") < F.col("id_b"))
+            & (d2_expr <= F.lit(max_deg * max_deg))
+        )
+        .select(
+            d2_expr.alias("d2"),
+            (dv * dv).alias("sq"),
+            _sv_sector_expr(dlon_c, dlat_c).alias("sector"),
+        )
+    )
+    lo = [0.0] + [(r / 1_000_000.0) ** 2 for r in edges[:-1]]
+    hi = [(r / 1_000_000.0) ** 2 for r in edges]
+    aggs = []
+    for i, (a, b) in enumerate(zip(lo, hi)):
+        in_band = (
+            (F.col("d2") <= F.lit(b))
+            if i == 0
+            else (F.col("d2") > F.lit(a)) & (F.col("d2") <= F.lit(b))
+        )
+        aggs.append(F.count_if(in_band).alias(f"_n_{i}"))
+        aggs.append(
+            F.coalesce(
+                F.sum(F.when(in_band, F.col("sq"))), F.lit(0)
+            ).cast("bigint").alias(f"_s_{i}")
+        )
+    per_sector = pairs.groupBy("sector").agg(*aggs)
+    # densify: all 4 sectors × all edges, zeros where absent
+    grid = points.sparkSession.createDataFrame(
+        [(s,) for s in SV_SECTORS], "sector string"
+    )
+    per_sector = grid.join(per_sector, "sector", "left")
+    stack_args = ", ".join(
+        f"CAST({r} AS BIGINT), coalesce(_n_{i}, CAST(0 AS BIGINT)), "
+        f"coalesce(_s_{i}, CAST(0 AS BIGINT))"
+        for i, r in enumerate(edges)
+    )
+    return per_sector.select(
+        F.expr(
+            f"stack({len(edges)}, {stack_args}) AS "
+            "(band_udeg, n_pairs, sum_sq_diff)"
+        ),
+        "sector",
+    ).select(
+        "band_udeg", "sector",
+        F.col("n_pairs").cast("bigint").alias("n_pairs"),
+        "sum_sq_diff",
+    )
+
+
+def semivariogram_directional_sql(
+    src: str,
+    band_edges_udeg: "Sequence[int]",
+    value_col: str,
+    id_col: str = "url",
+) -> str:
+    """DuckDB twin of :func:`semivariogram_directional` — the naive
+    O(n²) pair join with the identical canonical flip and exact
+    sector comparisons, densified over a sector×edge constant grid.
+    Standalone."""
+    edges = [int(r) for r in band_edges_udeg]
+    lo = ["0.0"] + [
+        f"({r} / 1000000.0) * ({r} / 1000000.0)" for r in edges[:-1]
+    ]
+    hi = [f"({r} / 1000000.0) * ({r} / 1000000.0)" for r in edges]
+    conds = [f"p.d2 <= {hi[0]}"] + [
+        f"p.d2 > {a} AND p.d2 <= {b}"
+        for a, b in zip(lo[1:], hi[1:])
+    ]
+    branches = " UNION ALL ".join(
+        f"""
+        SELECT CAST({r} AS BIGINT) AS band_udeg, g.sector,
+               CAST(COALESCE(SUM(CASE WHEN {cond}
+                    AND p.sector = g.sector THEN 1 END), 0)
+                    AS BIGINT) AS n_pairs,
+               CAST(COALESCE(SUM(CASE WHEN {cond}
+                    AND p.sector = g.sector THEN p.sq END), 0)
+                    AS BIGINT) AS sum_sq_diff
+        FROM (SELECT UNNEST(['D0_45', 'D45_90', 'D90_135',
+                             'D135_180']) AS sector) g
+        LEFT JOIN svd_pairs p ON TRUE
+        GROUP BY 1, 2
+        """
+        for r, cond in zip(edges, conds)
+    )
+    max_deg_sq = hi[-1]
+    return f"""
+        WITH svd_pts AS (
+            SELECT {id_col} AS pid, lon, lat,
+                   CAST({value_col} AS BIGINT) AS v
+            FROM {src}
+        ),
+        svd_d AS (
+            SELECT CASE WHEN b.lon - a.lon > 180.0
+                        THEN b.lon - a.lon - 360.0
+                        WHEN b.lon - a.lon < -180.0
+                        THEN b.lon - a.lon + 360.0
+                        ELSE b.lon - a.lon END AS dlon_s,
+                   b.lat - a.lat AS dlat_raw,
+                   (a.v - b.v) * (a.v - b.v) AS sq
+            FROM svd_pts a JOIN svd_pts b ON a.pid < b.pid
+        ),
+        svd_pairs AS (
+            SELECT dlon_c * dlon_c + dlat_c * dlat_c AS d2, sq,
+                   CASE WHEN dlat_c >= 0 AND dlat_c < dlon_c
+                        THEN 'D0_45'
+                        WHEN dlat_c >= 0 THEN 'D45_90'
+                        WHEN -dlat_c >= dlon_c THEN 'D90_135'
+                        ELSE 'D135_180' END AS sector
+            FROM (
+                SELECT CASE WHEN dlon_s < 0 THEN -dlon_s
+                       ELSE dlon_s END AS dlon_c,
+                       CASE WHEN dlon_s < 0 THEN -dlat_raw
+                       ELSE dlat_raw END AS dlat_c,
+                       sq
+                FROM svd_d
+            )
+            WHERE dlon_c * dlon_c + dlat_c * dlat_c <= {max_deg_sq}
+        )
+        SELECT band_udeg, sector, n_pairs, sum_sq_diff
+        FROM ({branches})
+    """
