@@ -3200,6 +3200,20 @@ def q_trimmed_mean(spark, sf_dir):
     )
 
 
+def q_k_anonymity(spark, sf_dir):
+    """k-anonymity generalization ladder (profile.k_anonymity_ladder)
+    over (lang, source) × length quasi-identifiers: per level the
+    class count, violating-class count, and exact row-suppression
+    cost — the privacy gate a dataset release runs, as one table
+    instead of k manual queries.  Fixed |levels| passes, each one
+    map-side-partial aggregation."""
+    docs = pages_src.documents(spark, sf_dir)
+    return profile_mod.k_anonymity_ladder(
+        docs, ["lang", "source"], "n_chars", k=5,
+        dividers=(1, 100, 0),
+    )
+
+
 def q_rank_sum_lengths(spark, sf_dir):
     """Mann–Whitney rank-sum drift test (evaluation.rank_sum_test):
     per-language one-vs-rest over document lengths — the DIRECTIONAL
@@ -5814,6 +5828,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gini_gain_tokens": q_gini_gain_tokens,
         "quantile_normalize": q_quantile_normalize,
         "trimmed_mean": q_trimmed_mean,
+        "k_anonymity": q_k_anonymity,
         "rank_sum_lengths": q_rank_sum_lengths,
         "theil_sen_hourly": q_theil_sen_hourly,
         "ols_hourly": q_ols_hourly,
@@ -9347,6 +9362,10 @@ def oracle_sql() -> dict[str, str]:
         ),
         "trimmed_mean": profile_mod.trimmed_mean_sql(
             "documents", "lang", "n_chars", trim_ppm=100_000
+        ),
+        "k_anonymity": profile_mod.k_anonymity_ladder_sql(
+            "documents", ["lang", "source"], "n_chars", k=5,
+            dividers=(1, 100, 0),
         ),
         "fleiss_raters": evaluation.fleiss_kappa_sql(
             """(SELECT lang AS grp, doc_id AS it,

@@ -668,3 +668,105 @@ def trimmed_mean_sql(
                END AS BIGINT) AS mean_q
         FROM tm_kept GROUP BY 1
     """
+
+
+def k_anonymity_ladder(
+    rows: DataFrame,
+    cat_cols: "Sequence[str]",
+    num_col: str,
+    k: int,
+    dividers: "Sequence[int]" = (1, 200, 1000, 0),
+) -> DataFrame:
+    """k-anonymity audit over a generalization ladder — the privacy
+    gate a dataset release runs before shipping quasi-identifiers:
+    at each generalization level the numeric QI is coarsened
+    (bucket = value DIV d; d = 0 drops the column entirely) and the
+    report says how many equivalence classes exist, how many violate
+    (fewer than k members), and how many ROWS would need suppression
+    to fix the level — so the release picks the finest level whose
+    suppression cost it can afford, from one table instead of k
+    manual queries.
+
+    Exact and deterministic throughout: classes are plain groupBys,
+    a class violates iff n < k, suppression cost = Σ n over violating
+    classes.  Dividers must be non-negative with d=1 meaning "exact
+    value" (validated); levels report in the given order with their
+    divider echoed.
+
+    Plan: one (cats, bucket) aggregation per level re-aggregated to
+    ONE row per level — each map-side partial; |levels| is a
+    constant, so this is a fixed small number of passes (a lattice
+    walk, not a per-class loop).
+
+    Returns (level, divider, n_classes, n_violating, rows_suppressed,
+    k_anonymous)."""
+    if k < 2:
+        raise ValueError(f"k must be ≥ 2: {k}")
+    divs = [int(d) for d in dividers]
+    if any(d < 0 for d in divs):
+        raise ValueError(f"dividers must be ≥ 0: {divs}")
+    cats = list(cat_cols)
+    outs = []
+    for lvl, d in enumerate(divs):
+        if d == 0:
+            keys = [F.col(c) for c in cats]
+        else:
+            keys = [F.col(c) for c in cats] + [
+                F.expr(f"CAST({num_col} AS BIGINT) DIV {d}")
+                .alias("_b")
+            ]
+        classes = rows.groupBy(*keys).agg(
+            F.count(F.lit(1)).cast("bigint").alias("_n")
+        )
+        outs.append(
+            classes.agg(
+                F.lit(lvl).cast("bigint").alias("level"),
+                F.lit(d).cast("bigint").alias("divider"),
+                F.count(F.lit(1)).cast("bigint").alias("n_classes"),
+                F.sum(F.when(F.col("_n") < int(k), 1).otherwise(0))
+                .cast("bigint").alias("n_violating"),
+                F.sum(F.when(F.col("_n") < int(k), F.col("_n"))
+                      .otherwise(0)).cast("bigint")
+                .alias("rows_suppressed"),
+            ).withColumn(
+                "k_anonymous", F.col("n_violating") == 0
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
+
+
+def k_anonymity_ladder_sql(
+    src: str,
+    cat_cols: "Sequence[str]",
+    num_col: str,
+    k: int,
+    dividers: "Sequence[int]" = (1, 200, 1000, 0),
+) -> str:
+    """DuckDB twin of :func:`k_anonymity_ladder` — one UNION ALL
+    branch per level, identical bucketing and suppression
+    accounting.  Standalone."""
+    cats = ", ".join(cat_cols)
+    branches = []
+    for lvl, d in enumerate(int(x) for x in dividers):
+        if d == 0:
+            key = cats
+        else:
+            key = f"{cats}, CAST({num_col} AS BIGINT) // {d}"
+        branches.append(f"""
+            SELECT CAST({lvl} AS BIGINT) AS level,
+                   CAST({d} AS BIGINT) AS divider,
+                   CAST(COUNT(*) AS BIGINT) AS n_classes,
+                   CAST(SUM(CASE WHEN n < {int(k)} THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_violating,
+                   CAST(SUM(CASE WHEN n < {int(k)} THEN n ELSE 0 END)
+                        AS BIGINT) AS rows_suppressed,
+                   SUM(CASE WHEN n < {int(k)} THEN 1 ELSE 0 END) = 0
+                       AS k_anonymous
+            FROM (
+                SELECT COUNT(*) AS n FROM {src} GROUP BY {key}
+            )
+        """)
+    return " UNION ALL ".join(branches)
