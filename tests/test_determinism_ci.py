@@ -16,6 +16,8 @@ representative per nondeterminism-risk class at sf0.001:
 - log-depth weighted pointer jumping → flow_accum (round 4m)
 - frame-min position encoding        → winnow_fingerprints (round 4m)
 - sweep-level running sum + argmax   → peak_concurrency (round 4m)
+- max-plus frontier + probe round    → dag_levels (round 4r)
+- two-level rank + forward block fan → sorted_neighborhood (round 4r)
 
 Each runs under local[3]/sp=7 AND local[8]/sp=32 in fresh subprocesses
 (the script's own machinery — same code path as the on-demand sweep);
@@ -43,6 +45,8 @@ REPRESENTATIVES = [
     "flow_accum",
     "winnow_fingerprints",
     "peak_concurrency",
+    "dag_levels",
+    "sorted_neighborhood",
 ]
 
 
