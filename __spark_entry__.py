@@ -3214,6 +3214,40 @@ def q_k_anonymity(spark, sf_dir):
     )
 
 
+def q_l_diversity(spark, sf_dir):
+    """Distinct l-diversity ladder (profile.l_diversity_ladder) over
+    the k_anonymity quasi-identifiers with `source` as the SENSITIVE
+    attribute: per generalization level the classes whose sensitive
+    diversity falls below l and the exact suppression cost — the
+    homogeneity-attack gate k-anonymity cannot see (a k-anonymous
+    class that is all one source still leaks provenance).  Fixed
+    |levels| passes, each one aggregation with a single-Expand exact
+    count(DISTINCT)."""
+    docs = pages_src.documents(spark, sf_dir)
+    return profile_mod.l_diversity_ladder(
+        docs, ["lang"], "n_chars", "source", l=3,
+        dividers=(1, 100, 0),
+    )
+
+
+def q_t_closeness(spark, sf_dir):
+    """t-closeness report (profile.t_closeness_report): per
+    (lang, length-bucket) equivalence class the EXACT total-variation
+    distance between the class's source distribution and the
+    corpus-wide one, in cross-multiplied decimal(38) integers with the
+    absent-flavor tail folded to one closed term (the class × value
+    grid is never densified).  The third privacy gate: l-diversity is
+    satisfied by ANY l flavors even when a class's distribution
+    screams.  One (cats, v) aggregation + keyed window + broadcast
+    global histogram."""
+    docs = pages_src.documents(spark, sf_dir).withColumn(
+        "len_b", F.expr("CAST(n_chars AS BIGINT) DIV 200")
+    )
+    return profile_mod.t_closeness_report(
+        docs, ["lang", "len_b"], "source", t_ppm=250_000,
+    )
+
+
 def q_rank_sum_lengths(spark, sf_dir):
     """Mann–Whitney rank-sum drift test (evaluation.rank_sum_test):
     per-language one-vs-rest over document lengths — the DIRECTIONAL
@@ -5829,6 +5863,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantile_normalize": q_quantile_normalize,
         "trimmed_mean": q_trimmed_mean,
         "k_anonymity": q_k_anonymity,
+        "l_diversity": q_l_diversity,
+        "t_closeness": q_t_closeness,
         "rank_sum_lengths": q_rank_sum_lengths,
         "theil_sen_hourly": q_theil_sen_hourly,
         "ols_hourly": q_ols_hourly,
@@ -9366,6 +9402,15 @@ def oracle_sql() -> dict[str, str]:
         "k_anonymity": profile_mod.k_anonymity_ladder_sql(
             "documents", ["lang", "source"], "n_chars", k=5,
             dividers=(1, 100, 0),
+        ),
+        "l_diversity": profile_mod.l_diversity_ladder_sql(
+            "documents", ["lang"], "n_chars", "source", l=3,
+            dividers=(1, 100, 0),
+        ),
+        "t_closeness": profile_mod.t_closeness_report_sql(
+            "(SELECT *, CAST(n_chars AS BIGINT) // 200 AS len_b"
+            " FROM documents)",
+            ["lang", "len_b"], "source", t_ppm=250_000,
         ),
         "fleiss_raters": evaluation.fleiss_kappa_sql(
             """(SELECT lang AS grp, doc_id AS it,

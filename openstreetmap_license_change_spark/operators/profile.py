@@ -770,3 +770,242 @@ def k_anonymity_ladder_sql(
             )
         """)
     return " UNION ALL ".join(branches)
+
+
+def l_diversity_ladder(
+    rows: DataFrame,
+    cat_cols: "Sequence[str]",
+    num_col: str,
+    sens_col: str,
+    l: int,
+    dividers: "Sequence[int]" = (1, 200, 1000, 0),
+) -> DataFrame:
+    """Distinct l-diversity audit over the same generalization ladder
+    as :func:`k_anonymity_ladder` — the second privacy gate: a class
+    can be k-anonymous yet leak the sensitive attribute outright when
+    every member shares one sensitive value (the homogeneity attack
+    k-anonymity cannot see).  Per level the report counts equivalence
+    classes whose DISTINCT sensitive-value count falls below ``l``
+    and the exact row-suppression cost to fix the level.
+
+    Distinct counts follow the SQL ``COUNT(DISTINCT …)`` convention
+    (NULL sensitive values do not contribute a flavor); a class of
+    only-NULL sensitive rows has diversity 0 and always violates.
+
+    Plan: per level one (cats, bucket) aggregation with an exact
+    count(DISTINCT) (Spark plans it as one Expand — no second
+    shuffle), re-aggregated to ONE row per level; |levels| is a small
+    constant.
+
+    Returns (level, divider, n_classes, n_violating, rows_suppressed,
+    l_diverse)."""
+    if l < 2:
+        raise ValueError(f"l must be ≥ 2: {l}")
+    divs = [int(d) for d in dividers]
+    if any(d < 0 for d in divs):
+        raise ValueError(f"dividers must be ≥ 0: {divs}")
+    cats = list(cat_cols)
+    outs = []
+    for lvl, d in enumerate(divs):
+        if d == 0:
+            keys = [F.col(c) for c in cats]
+        else:
+            keys = [F.col(c) for c in cats] + [
+                F.expr(f"CAST({num_col} AS BIGINT) DIV {d}")
+                .alias("_b")
+            ]
+        classes = rows.groupBy(*keys).agg(
+            F.count(F.lit(1)).cast("bigint").alias("_n"),
+            F.countDistinct(F.col(sens_col)).cast("bigint")
+            .alias("_s"),
+        )
+        outs.append(
+            classes.agg(
+                F.lit(lvl).cast("bigint").alias("level"),
+                F.lit(d).cast("bigint").alias("divider"),
+                F.count(F.lit(1)).cast("bigint").alias("n_classes"),
+                F.sum(F.when(F.col("_s") < int(l), 1).otherwise(0))
+                .cast("bigint").alias("n_violating"),
+                F.sum(F.when(F.col("_s") < int(l), F.col("_n"))
+                      .otherwise(0)).cast("bigint")
+                .alias("rows_suppressed"),
+            ).withColumn(
+                "l_diverse", F.col("n_violating") == 0
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
+
+
+def l_diversity_ladder_sql(
+    src: str,
+    cat_cols: "Sequence[str]",
+    num_col: str,
+    sens_col: str,
+    l: int,
+    dividers: "Sequence[int]" = (1, 200, 1000, 0),
+) -> str:
+    """DuckDB twin of :func:`l_diversity_ladder` — one UNION ALL
+    branch per level, identical distinct-flavor accounting.
+    Standalone."""
+    cats = ", ".join(cat_cols)
+    branches = []
+    for lvl, d in enumerate(int(x) for x in dividers):
+        if d == 0:
+            key = cats
+        else:
+            key = f"{cats}, CAST({num_col} AS BIGINT) // {d}"
+        branches.append(f"""
+            SELECT CAST({lvl} AS BIGINT) AS level,
+                   CAST({d} AS BIGINT) AS divider,
+                   CAST(COUNT(*) AS BIGINT) AS n_classes,
+                   CAST(SUM(CASE WHEN s < {int(l)} THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_violating,
+                   CAST(SUM(CASE WHEN s < {int(l)} THEN n ELSE 0 END)
+                        AS BIGINT) AS rows_suppressed,
+                   SUM(CASE WHEN s < {int(l)} THEN 1 ELSE 0 END) = 0
+                       AS l_diverse
+            FROM (
+                SELECT COUNT(*) AS n,
+                       COUNT(DISTINCT {sens_col}) AS s
+                FROM {src} GROUP BY {key}
+            )
+        """)
+    return " UNION ALL ".join(branches)
+
+
+def t_closeness_report(
+    rows: DataFrame,
+    cat_cols: "Sequence[str]",
+    sens_col: str,
+    t_ppm: int = 250_000,
+) -> DataFrame:
+    """t-closeness audit — the third privacy gate: l-diversity is
+    satisfied by ANY l flavors, even when a class's sensitive-value
+    distribution screams (99% of one rare value); t-closeness instead
+    bounds the total-variation distance between each equivalence
+    class's sensitive distribution and the corpus-wide one.
+
+    Exact cross-multiplied integers throughout (the house
+    tile_hotspots discipline): with class counts c_v (n = Σc_v) and
+    global counts g_v (N = Σg_v),
+
+        TVD = ½ Σ_v |c_v/n − g_v/N|
+            = [ Σ_{v∈class} |c_v·N − g_v·n| + n·(N − Σ_{v∈class} g_v) ]
+              / (2·n·N)
+
+    — the absent-value tail folds to one closed term, so the class ×
+    value grid is never densified.  Products ride decimal(38,0)
+    (|c_v·N| ≤ N² ≤ 10²⁴ at 10¹² rows); the single division is the
+    final ppm floor whose quotient is ≤ 10⁶, inside the int64-quotient
+    bound Spark's decimal DIV silently wraps past.  Rows with NULL
+    sensitive values are excluded from BOTH distributions (they carry
+    no flavor); NULL quasi-identifier values form their own class (the
+    per-class n rides a keyed window, never a NULL-dropping equi-join).
+
+    Plan: one (cats, v) aggregation, per-class n via a window keyed by
+    the same cats, global histogram broadcast (|values| is small by
+    definition of a sensitive CATEGORY), one final groupBy(cats).
+
+    Returns one row per equivalence class:
+    (cats…, n, tvd_ppm, t_close)."""
+    if not (0 < int(t_ppm) <= 1_000_000):
+        raise ValueError(f"t_ppm must be in (0, 10⁶]: {t_ppm}")
+    from pyspark.sql import Window
+
+    cats = list(cat_cols)
+    dec = "decimal(38,0)"
+    nn = rows.filter(F.col(sens_col).isNotNull())
+    g = (
+        nn.groupBy(F.col(sens_col).alias("_v"))
+        .agg(F.count(F.lit(1)).cast(dec).alias("_g"))
+    )
+    tot = nn.agg(F.count(F.lit(1)).cast(dec).alias("_tN"))
+    cv = (
+        nn.groupBy(*[F.col(c) for c in cats],
+                   F.col(sens_col).alias("_v"))
+        .agg(F.count(F.lit(1)).cast(dec).alias("_c"))
+        .withColumn(
+            "_n", F.sum("_c").over(Window.partitionBy(*cats))
+        )
+    )
+    dev = (
+        cv.alias("c")
+        .join(F.broadcast(g.alias("g")), "_v")
+        .crossJoin(F.broadcast(tot.alias("t")))
+        .withColumn(
+            "_dev",
+            F.abs(F.col("c._c") * F.col("t._tN")
+                  - F.col("g._g") * F.col("c._n")),
+        )
+    )
+    return (
+        dev.groupBy(*cats)
+        .agg(
+            F.max("_n").alias("_mn"),
+            F.max("_tN").alias("_mtN"),
+            F.sum("_dev").alias("_sp"),
+            F.sum("_g").alias("_gp"),
+        )
+        .select(
+            *cats,
+            F.col("_mn").cast("bigint").alias("n"),
+            F.expr(
+                "CAST(((_sp + _mn * (_mtN - _gp)) * 1000000)"
+                " DIV (2 * _mn * _mtN) AS BIGINT)"
+            ).alias("tvd_ppm"),
+        )
+        .withColumn("t_close", F.col("tvd_ppm") <= int(t_ppm))
+    )
+
+
+def t_closeness_report_sql(
+    src: str,
+    cat_cols: "Sequence[str]",
+    sens_col: str,
+    t_ppm: int = 250_000,
+) -> str:
+    """DuckDB twin of :func:`t_closeness_report` — identical
+    absent-tail closed form over HUGEINT, identical NULL handling
+    (sensitive NULLs excluded, QI NULLs keep their class via the
+    window).  Standalone."""
+    cats = ", ".join(cat_cols)
+    return f"""
+        WITH tc_rows AS (
+            SELECT {cats}, {sens_col} AS _v FROM {src}
+            WHERE {sens_col} IS NOT NULL
+        ),
+        tc_tot AS (
+            SELECT CAST(COUNT(*) AS HUGEINT) AS _tN FROM tc_rows
+        ),
+        tc_g AS (
+            SELECT _v, CAST(COUNT(*) AS HUGEINT) AS _g
+            FROM tc_rows GROUP BY _v
+        ),
+        tc_c AS (
+            SELECT {cats}, _v, CAST(COUNT(*) AS HUGEINT) AS _c
+            FROM tc_rows GROUP BY {cats}, _v
+        ),
+        tc_n AS (
+            SELECT *, SUM(_c) OVER (PARTITION BY {cats}) AS _n
+            FROM tc_c
+        ),
+        tc_dev AS (
+            SELECT {cats}, _n,
+                   ABS(c._c * t._tN - g._g * c._n) AS _dev,
+                   g._g AS _g, t._tN AS _tN
+            FROM tc_n c JOIN tc_g g USING (_v) CROSS JOIN tc_tot t
+        )
+        SELECT {cats},
+               CAST(MAX(_n) AS BIGINT) AS n,
+               CAST(((SUM(_dev) + MAX(_n) * (MAX(_tN) - SUM(_g)))
+                     * 1000000)
+                    // (2 * MAX(_n) * MAX(_tN)) AS BIGINT) AS tvd_ppm,
+               CAST(((SUM(_dev) + MAX(_n) * (MAX(_tN) - SUM(_g)))
+                     * 1000000)
+                    // (2 * MAX(_n) * MAX(_tN)) AS BIGINT)
+                   <= {int(t_ppm)} AS t_close
+        FROM tc_dev GROUP BY {cats}
+    """
