@@ -3151,6 +3151,41 @@ def q_fleiss_raters(spark, sf_dir):
     return evaluation.fleiss_kappa(long, "grp", "it", "cat")
 
 
+def q_krippendorff(spark, sf_dir):
+    """Krippendorff's alpha (evaluation.krippendorff_alpha) per
+    language over a RAGGED version of the fleiss_raters panel — the
+    same three curation heuristics, but each rater skips a
+    deterministic residue class of documents (rater availability in a
+    real annotation job), producing items with 3, 2, 1, or 0 ratings.
+    α handles exactly the panels fleiss_kappa refuses loudly:
+    single-rating items drop per the definition, the rest clear to
+    one exact rational via the shared LCM(1..12) constant."""
+    from openstreetmap_license_change_spark.operators import evaluation
+
+    docs = pages_src.documents(spark, sf_dir)
+    verd = docs.select(
+        "doc_id", "lang",
+        F.col("n_chars").between(150, 400).alias("v_len"),
+        F.expr(
+            "size(filter(split(text, '\\\\s+'), t -> t <> ''))"
+        ).between(30, 80).alias("v_tok"),
+        (F.concat(F.lit(" "), F.lower("text"), F.lit(" "))
+         .like("% the %")).alias("v_stop"),
+    )
+    cat = (lambda v: F.when(F.col(v), "keep").otherwise("drop"))
+    long = verd.select(
+        F.col("lang").alias("grp"), F.col("doc_id").alias("it"),
+        F.explode(
+            F.array(
+                F.when(F.expr("doc_id % 5 <> 0"), cat("v_len")),
+                F.when(F.expr("doc_id % 3 <> 0"), cat("v_tok")),
+                F.when(F.expr("doc_id % 7 <> 2"), cat("v_stop")),
+            )
+        ).alias("cat"),
+    ).where(F.col("cat").isNotNull())
+    return evaluation.krippendorff_alpha(long, "grp", "it", "cat")
+
+
 def q_benford_chars(spark, sf_dir):
     """Benford first-digit audit (profile.benford_profile) of the
     document-length column per language — the forensic
@@ -5858,6 +5893,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ks_lang_lengths": q_ks_lang_lengths,
         "anova_doclen": q_anova_doclen,
         "fleiss_raters": q_fleiss_raters,
+        "krippendorff": q_krippendorff,
         "benford_chars": q_benford_chars,
         "gini_gain_tokens": q_gini_gain_tokens,
         "quantile_normalize": q_quantile_normalize,
@@ -9426,6 +9462,27 @@ def oracle_sql() -> dict[str, str]:
                                    LIKE '% the %'
                            ]) AS v
                     FROM documents
+                ))""",
+            "grp", "it", "cat",
+        ),
+        "krippendorff": evaluation.krippendorff_alpha_sql(
+            """(SELECT lang AS grp, doc_id AS it,
+                       CASE WHEN v THEN 'keep' ELSE 'drop' END AS cat
+                FROM (
+                    SELECT doc_id, lang,
+                           n_chars BETWEEN 150 AND 400 AS v
+                    FROM documents WHERE doc_id % 5 <> 0
+                    UNION ALL
+                    SELECT doc_id, lang,
+                           len(list_filter(
+                               string_split_regex(text, '\\s+'),
+                               t -> t <> '')) BETWEEN 30 AND 80 AS v
+                    FROM documents WHERE doc_id % 3 <> 0
+                    UNION ALL
+                    SELECT doc_id, lang,
+                           (' ' || lower(text) || ' ')
+                               LIKE '% the %' AS v
+                    FROM documents WHERE doc_id % 7 <> 2
                 ))""",
             "grp", "it", "cat",
         ),

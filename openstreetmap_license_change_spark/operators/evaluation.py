@@ -2387,3 +2387,167 @@ def brier_score_sql(
                    AS uncertainty_ppm2
         FROM bs_agg
     """
+
+
+# lcm(1..12): every pairable-item denominator (n_u − 1) ≤ 12 divides
+# it, so Krippendorff's per-item disagreement terms clear to EXACT
+# integers under one shared constant (the Benford-table discipline:
+# the only "hard" number is frozen once, identically in both engines)
+KRIPP_LCM = 27_720
+KRIPP_MAX_RATINGS = 13
+
+
+def krippendorff_alpha(
+    ratings: DataFrame,
+    group_col: str,
+    item_col: str,
+    cat_col: str,
+) -> DataFrame:
+    """Exact nominal Krippendorff's alpha per group — the agreement
+    coefficient for RAGGED panels, which is precisely the case
+    :func:`fleiss_kappa` refuses loudly: real annotation jobs have
+    items with 2 raters and items with 5, and alpha is the standard
+    statistic that handles missing ratings instead of failing on them
+    (items with a single rating carry no pair and are dropped, per
+    Krippendorff's definition).
+
+    With per-item category counts n_uc (n_u = Σ_c n_uc, pairable
+    items have n_u ≥ 2), marginals n_c over pairable items, and
+    n = Σ n_u:
+
+        α = 1 − (n−1)·Σ_u [(n_u² − Σ_c n_uc²)/(n_u−1)] / (n² − Σ_c n_c²)
+
+    The per-item denominators (n_u − 1) vary — the trap that pushes
+    implementations to floats.  They are also BOUNDED: n_u ≤ 13 is
+    enforced loudly (assert_true riding the output), so multiplying
+    every term by LCM(1..12) = 27 720 clears each to an exact integer
+    and α becomes one cleared rational, alpha_ppm under one
+    sign-decomposed truncating division (α < 0 — disagreement worse
+    than chance — is real and representable).  Bounds: the widest
+    product (n−1)·Σ_u t_u ≤ 12·27 720·n² rides decimal(38,0)
+    comfortably to n ~ 10¹⁶ pairable ratings.
+
+    Degenerate cases emit NULL: n < 2, or every pairable rating in
+    one category (De = 0).  Groups with NO pairable item vanish from
+    the output (there is nothing to estimate), documented.
+
+    Physical plan: contingency groupBy(group, item, cat); n_u via a
+    (group, item)-keyed window (no self-join); pairable filter; one
+    re-aggregation per item, one per group, one marginal groupBy
+    joined group-keyed.  Raters stay anonymous counts — no rater-pair
+    join ever materializes.
+
+    Output: (group, n_items, n_ratings, alpha_ppm)."""
+    from pyspark.sql import Window as W
+
+    cont = (
+        ratings.select(
+            F.col(group_col).alias("grp"),
+            F.col(item_col).alias("it"),
+            F.col(cat_col).alias("cat"),
+        )
+        .groupBy("grp", "it", "cat")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("nij"))
+        .withColumn(
+            "ri",
+            F.sum("nij").over(W.partitionBy("grp", "it")),
+        )
+        .where(F.col("ri") >= 2)
+    )
+    per_item = cont.groupBy("grp", "it").agg(
+        F.max("ri").cast("bigint").alias("ru"),
+        F.sum(F.expr(f"CAST(nij AS {_DEC}) * nij")).alias("au"),
+    ).select(
+        "grp", "ru",
+        # (n_u² − Σ_c n_uc²) · L / (n_u − 1) — exact: (n_u−1) | L
+        F.expr(
+            f"(CAST(ru AS {_DEC}) * ru - au) * {KRIPP_LCM}"
+            " DIV (ru - 1)"
+        ).alias("tu"),
+    )
+    per_grp = per_item.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_items"),
+        F.max("ru").alias("rumax"),
+        F.sum(F.expr(f"CAST(ru AS {_DEC})")).alias("n"),
+        F.sum(F.expr(f"CAST(tu AS {_DEC})")).alias("t"),
+    )
+    marg = (
+        cont.groupBy("grp", "cat")
+        .agg(F.sum("nij").cast("bigint").alias("tj"))
+        .groupBy("grp")
+        .agg(F.sum(F.expr(f"CAST(tj AS {_DEC}) * tj")).alias("b"))
+    )
+    j = per_grp.join(marg, "grp")
+    den = f"(CAST({KRIPP_LCM} AS {_DEC}) * (n * n - b))"
+    num = f"({den} - (n - 1) * t)"
+    return j.select(
+        F.col("grp").alias(group_col),
+        "n_items",
+        # loud bound guard rides the emitted ratings count
+        F.when(
+            F.expr(
+                f"assert_true(rumax <= {KRIPP_MAX_RATINGS}, "
+                "'krippendorff_alpha: an item carries more than "
+                f"{KRIPP_MAX_RATINGS} ratings — raise KRIPP_LCM')"
+            ).isNull(),
+            F.col("n").cast("bigint"),
+        ).alias("n_ratings"),
+        F.expr(
+            f"CAST(CASE WHEN n < 2 OR {den} = 0 THEN NULL "
+            f"WHEN {num} < 0 THEN -(((-{num}) * 1000000) DIV {den}) "
+            f"ELSE ({num} * 1000000) DIV {den} END AS BIGINT)"
+        ).alias("alpha_ppm"),
+    )
+
+
+def krippendorff_alpha_sql(
+    src: str, group_col: str, item_col: str, cat_col: str
+) -> str:
+    """DuckDB twin of :func:`krippendorff_alpha` — identical cleared
+    rational over HUGEINT, identical pairable filter and NULL cases
+    (assumes the rating-count bound holds; the operator's guard is
+    the loud one).  Standalone."""
+    L = KRIPP_LCM
+    return f"""
+        WITH ka_cont AS (
+            SELECT {group_col} AS grp, {item_col} AS it,
+                   {cat_col} AS cat, COUNT(*) AS nij
+            FROM {src} GROUP BY 1, 2, 3
+        ),
+        ka_pair AS (
+            SELECT *, SUM(nij) OVER (PARTITION BY grp, it) AS ri
+            FROM ka_cont
+        ),
+        ka_kept AS (SELECT * FROM ka_pair WHERE ri >= 2),
+        ka_item AS (
+            SELECT grp, it, CAST(MAX(ri) AS HUGEINT) AS ru,
+                   SUM(CAST(nij AS HUGEINT) * nij) AS au
+            FROM ka_kept GROUP BY 1, 2
+        ),
+        ka_grp AS (
+            SELECT grp, CAST(COUNT(*) AS BIGINT) AS n_items,
+                   SUM(ru) AS n,
+                   SUM((ru * ru - au) * {L} // (ru - 1)) AS t
+            FROM ka_item GROUP BY 1
+        ),
+        ka_marg AS (
+            SELECT grp, SUM(CAST(tj AS HUGEINT) * tj) AS b
+            FROM (
+                SELECT grp, cat, SUM(nij) AS tj
+                FROM ka_kept GROUP BY 1, 2
+            ) GROUP BY 1
+        )
+        SELECT g.grp AS {group_col}, g.n_items,
+               CAST(g.n AS BIGINT) AS n_ratings,
+               CAST(CASE
+                 WHEN g.n < 2 OR {L} * (g.n * g.n - m.b) = 0 THEN NULL
+                 WHEN {L} * (g.n * g.n - m.b) - (g.n - 1) * g.t < 0
+                   THEN -(((-({L} * (g.n * g.n - m.b)
+                             - (g.n - 1) * g.t)) * 1000000)
+                          // ({L} * (g.n * g.n - m.b)))
+                 ELSE (({L} * (g.n * g.n - m.b) - (g.n - 1) * g.t)
+                       * 1000000)
+                      // ({L} * (g.n * g.n - m.b))
+               END AS BIGINT) AS alpha_ppm
+        FROM ka_grp g JOIN ka_marg m USING (grp)
+    """
