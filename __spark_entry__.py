@@ -3531,6 +3531,20 @@ def q_doc_pagerank(spark, sf_dir):
     return out.select(F.col("node").alias("doc_id"), "rank_q")
 
 
+def q_katz_centrality(spark, sf_dir):
+    """Katz centrality (graph.katz_quantized) over the shared doc
+    link graph: attenuated-path-count authority as the structural
+    contrast to doc_pagerank — every in-link delivers its source's
+    FULL attenuated score (no outdegree split, no dangling mass), so
+    hubs amplify instead of diluting.  Exact quantized int64 after 6
+    rounds, 2 shuffles/round, loud 2^55 growth guard; the oracle
+    unrolls the identical recurrence as chained CTEs, so every
+    round's quantization is hash-verified."""
+    nodes, edges = _doc_link_graph(spark, sf_dir)
+    out = graph.katz_quantized(nodes, edges, iterations=PR_ITERATIONS)
+    return out.select(F.col("node").alias("doc_id"), "katz_q")
+
+
 BFS_ROUNDS = 6
 LS_ROUNDS = 5
 
@@ -5926,6 +5940,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "length_batches": q_length_batches,
         "mixture_resample": q_mixture_resample,
         "doc_pagerank": q_doc_pagerank,
+        "katz_centrality": q_katz_centrality,
         "link_distance": q_link_distance,
         "dag_levels": q_dag_levels,
         "graph_profile": q_graph_profile,
@@ -9658,6 +9673,14 @@ def oracle_sql() -> dict[str, str]:
         "doc_pagerank": f"""
             SELECT node AS doc_id, rank_q
             FROM ({graph.pagerank_sql(
+                '(SELECT doc_id AS node FROM documents)',
+                _PR_EDGES_SQL,
+                iterations=PR_ITERATIONS,
+            )})
+        """,
+        "katz_centrality": f"""
+            SELECT node AS doc_id, katz_q
+            FROM ({graph.katz_sql(
                 '(SELECT doc_id AS node FROM documents)',
                 _PR_EDGES_SQL,
                 iterations=PR_ITERATIONS,

@@ -2855,3 +2855,124 @@ def link_graph_profile_sql(nodes_src: str, edges_src: str) -> str:
                max_out_deg, max_in_deg
         FROM gp_base, gp_recip, gp_nodes
     """
+
+
+# per-round Katz cap: values past this fail LOUDLY before int64
+# arithmetic can wrap (wrap point 2⁶³; the cap leaves 2⁸ headroom per
+# round, i.e. safe while attenuation·max_indegree ≤ 256 — far past
+# any α anyone would run)
+KATZ_CAP = 1 << 55
+
+
+def katz_quantized(
+    nodes: DataFrame,
+    edges: DataFrame,
+    iterations: int = 6,
+    atten_num: int = 5,
+    atten_den: int = 100,
+    scale: int = 10**9,
+) -> DataFrame:
+    """Fixed-iteration Katz centrality in EXACT quantized-integer
+    arithmetic — the attenuated-path-count authority score.  Distinct
+    from :func:`pagerank_quantized` by construction, not parameterage:
+    PageRank SPLITS a node's mass across its out-links (outdegree
+    division + dangling redistribution), Katz DOESN'T — every in-link
+    delivers its source's full attenuated score, so a hub with many
+    links amplifies rather than dilutes.  The truncation of
+    x = Σ_k α^k·(Aᵀ)^k·1 at k = ``iterations``:
+
+        x₀(v) = scale
+        x'(v) = scale + (atten_num · Σ_{u→v} x(u)) DIV atten_den
+
+    Integer division quantizes identically in Spark and DuckDB, so a
+    fixed round count is bit-reproducible across engines — the oracle
+    (:func:`katz_sql`) unrolls the same recurrence as chained CTEs.
+
+    Convergence/growth: the truncated series is exact as stated for
+    any α; it approximates the Katz limit only under α·λ_max < 1
+    (caller's choice of ``atten_num/atten_den``).  When the graph
+    amplifies instead (α·λ_max > 1) scores grow geometrically — every
+    round therefore rides a LOUD assert (values ≤ 2⁵⁵) that fires
+    before int64 wrap can corrupt a result silently.
+
+    Scale design: identical to pagerank — per round one src-keyed
+    join of the pre-partitioned edge list + one dst-keyed partial-agg
+    sum (2 shuffles/round, hub fan-in is AQE's skew case), in-round
+    sums ride decimal(38,0), lineage cut per round.
+
+    ``nodes``: one column ``node``; ``edges``: (src, dst), assumed
+    deduplicated.  Returns (node, katz_q)."""
+    if not (0 < atten_num < atten_den):
+        raise ValueError(
+            f"attenuation must satisfy 0 < num < den: "
+            f"{atten_num}/{atten_den}"
+        )
+    edges = edges.select("src", "dst").repartition("src").localCheckpoint(
+        eager=True
+    )
+    ranks = nodes.withColumn("katz_q", F.lit(int(scale)).cast("bigint"))
+    new_q = (
+        f"CAST({int(scale)} + ({int(atten_num)} * "
+        f"COALESCE(_in, CAST(0 AS decimal(38,0)))) "
+        f"DIV {int(atten_den)} AS BIGINT)"
+    )
+    guarded = (
+        f"CASE WHEN assert_true({new_q} <= {KATZ_CAP}, "
+        f"'katz_quantized: score exceeded 2^55 — attenuation too "
+        f"large for this graph (geometric growth); lower "
+        f"atten_num/atten_den') IS NULL THEN {new_q} END"
+    )
+    for _ in range(iterations):
+        contrib = (
+            edges.join(ranks, edges.src == ranks.node)
+            .groupBy(F.col("dst").alias("node"))
+            .agg(
+                F.sum(F.expr("CAST(katz_q AS decimal(38,0))"))
+                .alias("_in")
+            )
+        )
+        ranks = (
+            nodes.join(contrib, "node", "left")
+            .select("node", F.expr(guarded).alias("katz_q"))
+            .localCheckpoint(eager=True)
+        )
+    return ranks
+
+
+def katz_sql(
+    nodes_src: str,
+    edges_src: str,
+    iterations: int = 6,
+    atten_num: int = 5,
+    atten_den: int = 100,
+    scale: int = 10**9,
+) -> str:
+    """DuckDB twin of :func:`katz_quantized`: the identical integer
+    recurrence unrolled as chained CTEs (HUGEINT sums, ``//``
+    truncation on non-negative operands ≡ Spark's DIV).  Standalone
+    statement returning (node, katz_q)."""
+    ctes = [
+        f"kz_nd AS (SELECT node FROM {nodes_src})",
+        f"kz_eg AS (SELECT src, dst FROM {edges_src})",
+        f"kz_r0 AS (SELECT node, CAST({int(scale)} AS BIGINT) "
+        "AS katz_q FROM kz_nd)",
+    ]
+    for i in range(1, iterations + 1):
+        p = f"kz_r{i - 1}"
+        ctes.append(f"""kz_r{i} AS (
+            SELECT kz_nd.node,
+                   CAST({int(scale)} + ({int(atten_num)}
+                        * COALESCE(c._in, CAST(0 AS HUGEINT)))
+                        // {int(atten_den)} AS BIGINT) AS katz_q
+            FROM kz_nd
+            LEFT JOIN (
+                SELECT kz_eg.dst AS node,
+                       SUM(CAST(r.katz_q AS HUGEINT)) AS _in
+                FROM kz_eg JOIN {p} r ON kz_eg.src = r.node
+                GROUP BY kz_eg.dst
+            ) c ON c.node = kz_nd.node
+        )""")
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT node, katz_q FROM kz_r{iterations}"
+    )
