@@ -3151,6 +3151,31 @@ def q_fleiss_raters(spark, sf_dir):
     return evaluation.fleiss_kappa(long, "grp", "it", "cat")
 
 
+def q_dq_orders(spark, sf_dir):
+    """Declarative data-quality suite (profile.dq_checks) over the
+    orders table — the pre-ingest expectation gate as one verdict
+    table: null/range/accepted checks fold into a SINGLE scan
+    (stack-unpivoted aggregate row), uniqueness is one key-hash
+    aggregation counting the full blast radius, and referential
+    integrity is a distinct-build anti-join against customer.  The
+    price range is deliberately biting so the exact violation COUNT
+    (not just the flag) is hash-verified."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    return profile_mod.dq_checks(
+        orders, _DQ_ORDERS_SUITE, refs={"customer": customer}
+    )
+
+
+_DQ_ORDERS_SUITE = [
+    ("not_null", "o_custkey"),
+    ("range", "o_totalprice", 0, 200000),
+    ("accepted", "o_orderstatus", ["O", "F", "P"]),
+    ("unique", ("o_orderkey",)),
+    ("subset", "o_custkey", ("customer", "c_custkey")),
+]
+
+
 def q_krippendorff(spark, sf_dir):
     """Krippendorff's alpha (evaluation.krippendorff_alpha) per
     language over a RAGGED version of the fleiss_raters panel — the
@@ -5913,6 +5938,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantile_normalize": q_quantile_normalize,
         "trimmed_mean": q_trimmed_mean,
         "k_anonymity": q_k_anonymity,
+        "dq_orders": q_dq_orders,
         "l_diversity": q_l_diversity,
         "t_closeness": q_t_closeness,
         "rank_sum_lengths": q_rank_sum_lengths,
@@ -9453,6 +9479,10 @@ def oracle_sql() -> dict[str, str]:
         "k_anonymity": profile_mod.k_anonymity_ladder_sql(
             "documents", ["lang", "source"], "n_chars", k=5,
             dividers=(1, 100, 0),
+        ),
+        "dq_orders": profile_mod.dq_checks_sql(
+            "orders", _DQ_ORDERS_SUITE,
+            refs={"customer": "customer"},
         ),
         "l_diversity": profile_mod.l_diversity_ladder_sql(
             "documents", ["lang"], "n_chars", "source", l=3,

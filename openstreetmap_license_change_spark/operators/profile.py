@@ -1009,3 +1009,240 @@ def t_closeness_report_sql(
                    <= {int(t_ppm)} AS t_close
         FROM tc_dev GROUP BY {cats}
     """
+
+
+def dq_checks(
+    df: DataFrame,
+    checks: "Sequence[tuple]",
+    refs: "dict[str, DataFrame] | None" = None,
+) -> DataFrame:
+    """Declarative data-quality expectation suite — the pre-ingest
+    gate (the Deequ / Great-Expectations role) as ONE verdict table: a
+    10¹²-row load runs the suite first and ships only when every row
+    of the report says passed, with exact violation counts for the
+    ones that don't (a count, not a sample — triage needs to know
+    whether 3 rows or 3 billion are bad).
+
+    ``checks`` is a list of declarative specs, each a tuple:
+
+      ("not_null", col)              — NULLs are violations
+      ("range", col, lo, hi)         — non-NULL values outside the
+                                       closed interval violate (NULL
+                                       handling belongs to not_null:
+                                       stacking both is the idiom)
+      ("accepted", col, [v, …])      — non-NULL values off the list
+      ("unique", (col, …))           — every row whose key tuple
+                                       occurs more than once violates
+                                       (all of them, not n−1: triage
+                                       sees the full blast radius)
+      ("subset", col, (ref, refcol)) — non-NULL values with no match
+                                       in refs[ref].refcol violate
+                                       (referential integrity)
+
+    Physical plan — the point of declaring the suite instead of
+    running k ad-hoc queries: every SCALAR check (not_null / range /
+    accepted) folds into a single aggregation row, so the base table
+    is scanned ONCE for all of them; each unique check adds one
+    key-hash aggregation, each subset check one distinct-build
+    left-anti join against a (typically broadcast-sized) reference
+    key column.  Violation counts are exact int64.
+
+    Output: one row per check, in suite order —
+    (check_id, check_type, target, n_rows, n_violations, passed)."""
+    refs = refs or {}
+    scalar_aggs = []
+    scalar_meta = []
+    extra_outs = []
+    n_rows = F.count(F.lit(1)).cast("bigint")
+
+    def _q(v) -> str:
+        if isinstance(v, str):
+            return "'" + v.replace("'", "''") + "'"
+        return str(v)
+
+    for cid, spec in enumerate(checks):
+        kind = spec[0]
+        if kind == "not_null":
+            _, col = spec
+            scalar_aggs.append(
+                F.count_if(F.col(col).isNull()).cast("bigint")
+                .alias(f"_v{cid}")
+            )
+            scalar_meta.append((cid, kind, col))
+        elif kind == "range":
+            _, col, lo, hi = spec
+            scalar_aggs.append(
+                F.count_if(
+                    F.col(col).isNotNull()
+                    & ~F.col(col).between(lo, hi)
+                ).cast("bigint").alias(f"_v{cid}")
+            )
+            scalar_meta.append((cid, kind, col))
+        elif kind == "accepted":
+            _, col, vals = spec
+            lst = ", ".join(_q(v) for v in vals)
+            scalar_aggs.append(
+                F.count_if(F.expr(
+                    f"{col} IS NOT NULL AND {col} NOT IN ({lst})"
+                )).cast("bigint").alias(f"_v{cid}")
+            )
+            scalar_meta.append((cid, kind, col))
+        elif kind == "unique":
+            _, cols = spec
+            cols = [cols] if isinstance(cols, str) else list(cols)
+            dup = (
+                df.groupBy(*cols)
+                .agg(F.count(F.lit(1)).alias("_n"))
+                .agg(
+                    F.coalesce(
+                        F.sum(F.when(F.col("_n") > 1, F.col("_n"))),
+                        F.lit(0),
+                    ).cast("bigint").alias("n_violations"),
+                    F.coalesce(F.sum("_n"), F.lit(0)).cast("bigint")
+                    .alias("n_rows"),
+                )
+            )
+            extra_outs.append(dup.select(
+                F.lit(cid).cast("bigint").alias("check_id"),
+                F.lit(kind).alias("check_type"),
+                F.lit(",".join(cols)).alias("target"),
+                "n_rows", "n_violations",
+            ))
+        elif kind == "subset":
+            _, col, (ref_name, ref_col) = spec
+            if ref_name not in refs:
+                raise ValueError(
+                    f"dq_checks: subset check references unknown "
+                    f"table {ref_name!r}; pass it via refs="
+                )
+            ref_keys = refs[ref_name].select(
+                F.col(ref_col).alias("_rk")
+            ).distinct()
+            miss = (
+                df.select(F.col(col).alias("_ck"))
+                .where(F.col("_ck").isNotNull())
+                .join(ref_keys, F.col("_ck") == F.col("_rk"),
+                      "left_anti")
+                .agg(F.count(F.lit(1)).cast("bigint")
+                     .alias("n_violations"))
+            )
+            tot = df.agg(n_rows.alias("n_rows"))
+            extra_outs.append(
+                miss.crossJoin(F.broadcast(tot)).select(
+                    F.lit(cid).cast("bigint").alias("check_id"),
+                    F.lit(kind).alias("check_type"),
+                    F.lit(f"{col}⊆{ref_name}.{ref_col}")
+                    .alias("target"),
+                    "n_rows", "n_violations",
+                )
+            )
+        else:
+            raise ValueError(f"dq_checks: unknown check kind {kind!r}")
+
+    outs = []
+    if scalar_meta:
+        # ONE aggregate row unpivoted with stack() (the
+        # column_profile pattern) — a per-check select would make
+        # Catalyst replay the scan once per scalar check
+        row = df.agg(n_rows.alias("n_rows"), *scalar_aggs)
+        stack_args = ", ".join(
+            f"CAST({cid} AS BIGINT), '{kind}', '{col}', _v{cid}"
+            for cid, kind, col in scalar_meta
+        )
+        outs.append(row.select(
+            F.expr(
+                f"stack({len(scalar_meta)}, {stack_args}) AS "
+                "(check_id, check_type, target, n_violations)"
+            ),
+            F.col("n_rows"),
+        ).select("check_id", "check_type", "target", "n_rows",
+                 "n_violations"))
+    outs.extend(extra_outs)
+    if not outs:
+        raise ValueError("dq_checks: empty suite")
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out.withColumn(
+        "passed", F.col("n_violations") == 0
+    ).orderBy("check_id")
+
+
+def dq_checks_sql(
+    src: str,
+    checks: "Sequence[tuple]",
+    refs: "dict[str, str] | None" = None,
+) -> str:
+    """DuckDB twin of :func:`dq_checks` — one UNION ALL branch per
+    check with identical violation semantics (``refs`` maps reference
+    names to source expressions).  Standalone."""
+    refs = refs or {}
+
+    def _q(v) -> str:
+        if isinstance(v, str):
+            return "'" + v.replace("'", "''") + "'"
+        return str(v)
+
+    branches = []
+    for cid, spec in enumerate(checks):
+        kind = spec[0]
+        if kind == "not_null":
+            _, col = spec
+            cond, target = f"{col} IS NULL", col
+        elif kind == "range":
+            _, col, lo, hi = spec
+            cond = (f"{col} IS NOT NULL AND "
+                    f"{col} NOT BETWEEN {_q(lo)} AND {_q(hi)}")
+            target = col
+        elif kind == "accepted":
+            _, col, vals = spec
+            lst = ", ".join(_q(v) for v in vals)
+            cond = f"{col} IS NOT NULL AND {col} NOT IN ({lst})"
+            target = col
+        elif kind == "unique":
+            _, cols = spec
+            cols = [cols] if isinstance(cols, str) else list(cols)
+            key = ", ".join(cols)
+            branches.append(f"""
+                SELECT CAST({cid} AS BIGINT) AS check_id,
+                       'unique' AS check_type,
+                       '{",".join(cols)}' AS target,
+                       CAST(COALESCE(SUM(n), 0) AS BIGINT) AS n_rows,
+                       CAST(COALESCE(SUM(CASE WHEN n > 1 THEN n END),
+                                     0) AS BIGINT) AS n_violations
+                FROM (SELECT COUNT(*) AS n FROM {src}
+                      GROUP BY {key})
+            """)
+            continue
+        elif kind == "subset":
+            _, col, (ref_name, ref_col) = spec
+            ref_src = refs[ref_name]
+            branches.append(f"""
+                SELECT CAST({cid} AS BIGINT) AS check_id,
+                       'subset' AS check_type,
+                       '{col}⊆{ref_name}.{ref_col}' AS target,
+                       (SELECT CAST(COUNT(*) AS BIGINT) FROM {src})
+                           AS n_rows,
+                       (SELECT CAST(COUNT(*) AS BIGINT) FROM {src} s
+                        WHERE s.{col} IS NOT NULL
+                          AND NOT EXISTS (
+                              SELECT 1 FROM {ref_src} r
+                              WHERE r.{ref_col} = s.{col}))
+                           AS n_violations
+            """)
+            continue
+        else:
+            raise ValueError(f"dq_checks_sql: unknown kind {kind!r}")
+        branches.append(f"""
+            SELECT CAST({cid} AS BIGINT) AS check_id,
+                   '{kind}' AS check_type, '{target}' AS target,
+                   CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   CAST(COUNT(*) FILTER ({cond}) AS BIGINT)
+                       AS n_violations
+            FROM {src}
+        """)
+    return (
+        "SELECT *, n_violations = 0 AS passed FROM ("
+        + " UNION ALL ".join(branches)
+        + ") ORDER BY check_id"
+    )
