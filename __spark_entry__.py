@@ -3176,6 +3176,50 @@ _DQ_ORDERS_SUITE = [
 ]
 
 
+_LINE_MERGE_SEGS_SQL = """(
+    SELECT doc_id AS seg_id,
+           CAST((doc_id // 10) % 50 AS DOUBLE)
+               + (doc_id % 10) * CAST(0.0625 AS DOUBLE) AS lon1,
+           CAST(((doc_id // 10) // 50) % 80 AS DOUBLE) AS lat1,
+           CASE WHEN (doc_id // 10) % 5 = 0 AND doc_id % 10 = 9
+                THEN CAST((doc_id // 10) % 50 AS DOUBLE)
+                ELSE CAST((doc_id // 10) % 50 AS DOUBLE)
+                     + (doc_id % 10 + 1) * CAST(0.0625 AS DOUBLE)
+           END AS lon2,
+           CAST(((doc_id // 10) // 50) % 80 AS DOUBLE) AS lat2
+    FROM documents
+)"""
+
+
+def q_line_merge(spark, sf_dir):
+    """Segment stitching (spatial.line_merge): deterministic
+    10-segment chains from the documents table (every 5th chain
+    closed into a ring) dissolve back into whole polylines — star
+    adjacency at shared fixed-point endpoints (never the C(d,2)
+    junction pairs), components by min-label pointer jumping, and the
+    oracle re-derives them with a recursive one-hop closure, so the
+    doubling shortcut itself is hash-verified along with the
+    ring/open-end readout.  All endpoint coords are 1/16° lattice
+    points — double-exact in both engines."""
+    docs = pages_src.documents(spark, sf_dir).select("doc_id")
+    g = F.expr("doc_id DIV 10")
+    pp = F.expr("doc_id % 10")
+    lon_base = (g % 50).cast("double")
+    lat = ((g / F.lit(50)).cast("long") % 80).cast("double")
+    segs = docs.select(
+        F.col("doc_id").alias("seg_id"),
+        (lon_base + pp * F.lit(0.0625)).alias("lon1"),
+        lat.alias("lat1"),
+        F.when(
+            (g % 5 == 0) & (pp == 9), lon_base
+        ).otherwise(
+            lon_base + (pp + 1) * F.lit(0.0625)
+        ).alias("lon2"),
+        lat.alias("lat2"),
+    )
+    return spatial.line_merge(segs)
+
+
 def q_krippendorff(spark, sf_dir):
     """Krippendorff's alpha (evaluation.krippendorff_alpha) per
     language over a RAGGED version of the fleiss_raters panel — the
@@ -5939,6 +5983,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trimmed_mean": q_trimmed_mean,
         "k_anonymity": q_k_anonymity,
         "dq_orders": q_dq_orders,
+        "line_merge": q_line_merge,
         "l_diversity": q_l_diversity,
         "t_closeness": q_t_closeness,
         "rank_sum_lengths": q_rank_sum_lengths,
@@ -9480,6 +9525,7 @@ def oracle_sql() -> dict[str, str]:
             "documents", ["lang", "source"], "n_chars", k=5,
             dividers=(1, 100, 0),
         ),
+        "line_merge": spatial.line_merge_sql(_LINE_MERGE_SEGS_SQL),
         "dq_orders": profile_mod.dq_checks_sql(
             "orders", _DQ_ORDERS_SUITE,
             refs={"customer": "customer"},

@@ -9326,3 +9326,123 @@ def semivariogram_directional_sql(
         SELECT band_udeg, sector, n_pairs, sum_sq_diff
         FROM ({branches})
     """
+
+
+def line_merge(
+    segs: DataFrame,
+    scale: int = 10_000,
+    max_iters: int = 20,
+) -> DataFrame:
+    """Stitch segments that share endpoints into maximal connected
+    chains — the ST_LineMerge / GIS-dissolve operator (reference
+    parity: the reverse of geom.rb's way→segment decomposition; a
+    region export wants whole roads back, not the per-edit fragments
+    run_candidates.rb processes).
+
+    Endpoints snap to fixed-point ``scale`` (×10⁴ — the pages
+    geocode's native precision, the segment_crossing_join convention)
+    and pack to one int64 key, so "shares an endpoint" is an EXACT
+    integer equality — no float epsilon, no engine divergence.
+
+    Segment adjacency never materializes the C(d,2) pairs of a
+    d-way junction: every segment at an endpoint links to the MIN
+    segment id there (a star — same components, linear edge count),
+    and components resolve by min-label propagation with pointer
+    jumping (:func:`~.graph.min_label_components`, O(log diameter)
+    rounds — chains are the diameter worst case, exactly why the
+    doubling kit exists).  The oracle walks the same star edges with
+    a recursive one-hop closure (components_sql — a different
+    algorithm family, so the doubling shortcut is what's verified).
+
+    Output (one row per chain): chain_id (min segment id), n_segments,
+    n_points (distinct endpoints), n_open_ends (endpoints used by
+    exactly one segment-end), is_ring (no open ends — a closed loop;
+    a lollipop has 1, a simple path 2, a Y junction 3).  All counts
+    exact int64; zero-length segments are legal (both ends one point).
+    """
+    off_x, off_y = 180 * scale, 90 * scale
+    span = 361 * scale
+
+    def ep_key(lon_c: str, lat_c: str):
+        px = F.round(F.col(lon_c) * scale).cast("bigint") + off_x
+        py = F.round(F.col(lat_c) * scale).cast("bigint") + off_y
+        return px * span + py
+
+    pts = segs.select(
+        F.col("seg_id"), ep_key("lon1", "lat1").alias("ep")
+    ).unionByName(
+        segs.select(
+            F.col("seg_id"), ep_key("lon2", "lat2").alias("ep")
+        )
+    ).localCheckpoint(eager=True)
+    star = pts.groupBy("ep").agg(F.min("seg_id").alias("_m"))
+    edges = (
+        pts.join(star, "ep")
+        .where(F.col("seg_id") != F.col("_m"))
+        .select(F.col("seg_id").alias("id_a"), F.col("_m").alias("id_b"))
+    )
+    ids = segs.select(F.col("seg_id").alias("id")).distinct()
+    labels = _min_label_components(ids, edges, max_iters, "line_merge")
+    deg = pts.groupBy("ep").agg(F.count(F.lit(1)).alias("_deg"))
+    return (
+        pts.join(labels, pts.seg_id == labels.id)
+        .join(deg, "ep")
+        .groupBy(F.col("label").alias("chain_id"))
+        .agg(
+            F.countDistinct("seg_id").cast("bigint").alias("n_segments"),
+            F.countDistinct("ep").cast("bigint").alias("n_points"),
+            F.sum(F.when(F.col("_deg") == 1, 1).otherwise(0))
+            .cast("bigint").alias("n_open_ends"),
+        )
+        .withColumn("is_ring", F.col("n_open_ends") == 0)
+    )
+
+
+def line_merge_sql(segs_src: str, scale: int = 10_000) -> str:
+    """DuckDB twin of :func:`line_merge` — identical endpoint
+    packing and star edges; components come from the RECURSIVE
+    one-hop closure (:func:`~.graph.components_sql`), a different
+    algorithm family than the operator's pointer doubling.
+    Standalone statement."""
+    from .graph import components_sql
+
+    off_x, off_y = 180 * scale, 90 * scale
+    span = 361 * scale
+    pts = f"""(
+        SELECT seg_id,
+               (CAST(ROUND(lon1 * {scale}) AS BIGINT) + {off_x})
+                   * {span}
+               + (CAST(ROUND(lat1 * {scale}) AS BIGINT) + {off_y})
+                   AS ep
+        FROM {segs_src}
+        UNION ALL
+        SELECT seg_id,
+               (CAST(ROUND(lon2 * {scale}) AS BIGINT) + {off_x})
+                   * {span}
+               + (CAST(ROUND(lat2 * {scale}) AS BIGINT) + {off_y})
+                   AS ep
+        FROM {segs_src}
+    )"""
+    edges = f"""(
+        SELECT p.seg_id AS src, s._m AS dst
+        FROM {pts} p
+        JOIN (SELECT ep, MIN(seg_id) AS _m FROM {pts} GROUP BY ep) s
+            USING (ep)
+        WHERE p.seg_id <> s._m
+    )"""
+    nodes = f"(SELECT DISTINCT seg_id AS node FROM {segs_src})"
+    return f"""
+        SELECT lab.label AS chain_id,
+               CAST(COUNT(DISTINCT p.seg_id) AS BIGINT) AS n_segments,
+               CAST(COUNT(DISTINCT p.ep) AS BIGINT) AS n_points,
+               CAST(SUM(CASE WHEN d.deg = 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_open_ends,
+               SUM(CASE WHEN d.deg = 1 THEN 1 ELSE 0 END) = 0
+                   AS is_ring
+        FROM {pts} p
+        JOIN ({components_sql(nodes, edges)}) lab
+            ON lab.node = p.seg_id
+        JOIN (SELECT ep, COUNT(*) AS deg FROM {pts} GROUP BY ep) d
+            USING (ep)
+        GROUP BY 1
+    """
