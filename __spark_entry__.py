@@ -4631,6 +4631,20 @@ def q_lang_id(spark, sf_dir):
     )
 
 
+def q_kcenter_seeds(spark, sf_dir):
+    """Farthest-first k-center seeding (similarity.kcenter_seeds)
+    over the embeddings table: the deterministic diversity sampler —
+    greedy 2-approximate k-center cover with a declared min-id start
+    and (distance, smallest-id) argmax, in the shared quantized
+    embedding integers.  k−1 broadcast-join rounds over a
+    checkpointed long form (the O(n·k) incremental), k bounded
+    single-row collects; the oracle unrolls the identical greedy
+    recurrence as chained CTEs, so every pick AND its coverage
+    radius is hash-verified."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return similarity.kcenter_seeds(emb, k=5)
+
+
 def q_embedding_centroids(spark, sf_dir):
     """Per-label embedding centroids in exact quantized integers
     (similarity.embedding_centroids) — the k-means M-step / IVF
@@ -6087,6 +6101,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "ann_cosine_topk": q_ann_cosine_topk,
         "embedding_centroids": q_embedding_centroids,
+        "kcenter_seeds": q_kcenter_seeds,
         "embedding_dim_stats": q_embedding_dim_stats,
         "kmeans_assign": q_kmeans_assign,
         "pip_multipolygons": q_pip_multipolygons,
@@ -8739,6 +8754,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "embedding_dim_stats": similarity.embedding_dim_stats_sql(
             "embeddings"
+        ),
+        "kcenter_seeds": similarity.kcenter_seeds_sql(
+            "embeddings", k=5
         ),
         "embedding_centroids": similarity.embedding_centroids_sql(
             "embeddings"

@@ -916,3 +916,147 @@ def embedding_dim_stats_sql(
                     AS BIGINT) AS var_q2
         FROM eds_agg
     """
+
+
+def kcenter_seeds(
+    embeddings: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 10**6,
+) -> DataFrame:
+    """Greedy k-center seeding (Gonzalez farthest-first traversal) —
+    the deterministic diversity sampler: each round picks the vector
+    FARTHEST from everything chosen so far, giving the classic
+    2-approximation of the k-center cover and the spread-out seed set
+    k-means++ randomizes (training-data curation wants the coverage
+    without the RNG: the same corpus must yield the same seeds on any
+    cluster).
+
+    Same quantized arithmetic as :func:`embedding_centroids`
+    (components snapped to ``scale`` ints, distances Σ(Δq)² in
+    int64); seed 0 is the MIN id (declared start — farthest-first is
+    start-dependent, so the tie rule is part of the contract), later
+    rounds argmax by (distance, then smallest id) via one
+    max(struct) aggregate.
+
+    Plan: the vector long form is checkpointed once; each of the k−1
+    rounds is one BROADCAST join against the newly chosen seed's
+    dims (a |dims|-row frame), a map-side-combining per-point sum,
+    and a least() update of the running min-distance column — the
+    O(n·k) incremental form, never an n×k² rescan.  Driver actions
+    are k single-row argmax collects (bounded by construction, the
+    IVF-codebook precedent).
+
+    Returns k rows: (seed_rank, id, dist_q) where dist_q is the
+    point's distance to the PREVIOUSLY chosen set at selection time
+    (NULL for seed 0) — the monotone non-increasing coverage-radius
+    schedule."""
+    if not 2 <= int(k) <= 64:
+        raise ValueError(f"k must be in [2, 64]: {k}")
+    head = embeddings.agg(
+        F.min(F.col(id_col)).alias("_first"),
+        F.count(F.lit(1)).alias("_n"),
+    ).collect()[0]
+    if head["_n"] < k:
+        raise ValueError(
+            f"kcenter_seeds: k={k} exceeds corpus size {head['_n']}"
+        )
+    first_id = head["_first"]
+    vlong = embeddings.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(vec_col).alias("dim", "_v"),
+    ).withColumn(
+        "_q", F.round(F.col("_v") * F.lit(float(scale))).cast("bigint")
+    ).select("_id", "dim", "_q").localCheckpoint(eager=True)
+
+    def dist_to(seed_id) -> DataFrame:
+        s = vlong.where(F.col("_id") == F.lit(seed_id)).select(
+            "dim", F.col("_q").alias("_sq")
+        )
+        d = F.col("_q") - F.col("_sq")
+        return vlong.join(F.broadcast(s), "dim").groupBy("_id").agg(
+            F.sum(d * d).alias("_d")
+        )
+
+    chosen = [(0, first_id, None)]
+    mind = dist_to(first_id).withColumnRenamed("_d", "_mind") \
+        .localCheckpoint(eager=True)
+    for t in range(1, int(k)):
+        pick = mind.agg(
+            F.max(F.struct(F.col("_mind"), (-F.col("_id")).alias("_n")))
+            .alias("_b")
+        ).select(
+            (-F.col("_b._n")).alias("pid"), F.col("_b._mind").alias("pd")
+        ).collect()[0]
+        chosen.append((t, pick["pid"], pick["pd"]))
+        if t < int(k) - 1:
+            nd = dist_to(pick["pid"])
+            mind = mind.join(nd, "_id").select(
+                "_id",
+                F.least(F.col("_mind"), F.col("_d")).alias("_mind"),
+            ).localCheckpoint(eager=True)
+    spark = embeddings.sparkSession
+    return spark.createDataFrame(
+        chosen, f"seed_rank long, {id_col} long, dist_q long"
+    )
+
+
+def kcenter_seeds_sql(
+    src: str,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 10**6,
+) -> str:
+    """DuckDB twin of :func:`kcenter_seeds` — the identical greedy
+    recurrence unrolled as chained CTEs (one min-distance table and
+    one ORDER BY dist DESC, id LIMIT 1 argmax per round).
+    Standalone statement."""
+    vlong = f"""(
+        SELECT {id_col} AS _id, CAST(u.i - 1 AS INTEGER) AS dim,
+               CAST(ROUND(CAST({vec_col}[u.i] AS DOUBLE) * {scale})
+                    AS BIGINT) AS _q
+        FROM {src},
+             LATERAL (SELECT UNNEST(range(1, len({vec_col}) + 1)) AS i) u
+    )"""
+    ctes = [
+        f"kc_v AS MATERIALIZED {vlong}",
+        f"kc_s0 AS (SELECT MIN({id_col}) AS sid FROM {src})",
+        """kc_m1 AS MATERIALIZED (
+            SELECT v._id, SUM((v._q - s._q) * (v._q - s._q)) AS mind
+            FROM kc_v v
+            JOIN kc_v s ON s._id = (SELECT sid FROM kc_s0)
+                       AND s.dim = v.dim
+            GROUP BY v._id
+        )""",
+    ]
+    picks = ["SELECT CAST(0 AS BIGINT) AS seed_rank, "
+             f"(SELECT sid FROM kc_s0) AS {id_col}, "
+             "CAST(NULL AS BIGINT) AS dist_q"]
+    for t in range(1, int(k)):
+        ctes.append(f"""kc_p{t} AS MATERIALIZED (
+            SELECT _id, mind FROM kc_m{t}
+            ORDER BY mind DESC, _id LIMIT 1
+        )""")
+        picks.append(
+            f"SELECT CAST({t} AS BIGINT), _id, CAST(mind AS BIGINT) "
+            f"FROM kc_p{t}"
+        )
+        if t < int(k) - 1:
+            ctes.append(f"""kc_m{t + 1} AS MATERIALIZED (
+                SELECT m._id, LEAST(m.mind, d.d) AS mind
+                FROM kc_m{t} m
+                JOIN (
+                    SELECT v._id,
+                           SUM((v._q - s._q) * (v._q - s._q)) AS d
+                    FROM kc_v v
+                    JOIN kc_v s ON s._id = (SELECT _id FROM kc_p{t})
+                               AND s.dim = v.dim
+                    GROUP BY v._id
+                ) d USING (_id)
+            )""")
+    return (
+        "WITH " + ",\n".join(ctes) + "\n"
+        + " UNION ALL ".join(picks)
+    )
