@@ -2930,6 +2930,26 @@ def q_morans_correlogram(spark, sf_dir):
     return spatial.morans_correlogram(rollup, "n_pages", max_band=3)
 
 
+def q_audio_haar(spark, sf_dir):
+    """Haar wavelet band energies (multimodal.audio_haar_energy) over
+    the gated PCM synth: the float-free spectral profile — an FFT's
+    irrational twiddles can never hash-match across engines, but the
+    unnormalized Haar ladder is pure integer adds/subtracts, and its
+    band energies still separate the planted regimes (the quiet
+    sawtooth's energy concentrates in band 1; the loud ramp's in the
+    band-0 trend).  The oracle replays every sample through the
+    CLOSED-FORM ±1 sign pattern — grouped sums, no recursion — so the
+    operator's reshape ladder is what's verified."""
+    from openstreetmap_license_change_spark.operators import multimodal
+
+    media = multimodal.synthetic_gated_pcm_media(
+        spark, n=8, n_samples=2048, burst=256
+    )
+    return multimodal.audio_haar_energy(
+        media, frame_samples=256, levels=3
+    )
+
+
 def q_audio_zcr(spark, sf_dir):
     """Per-frame zero-crossing + peak stats
     (multimodal.audio_zcr_frames) over the gated PCM synth: the
@@ -5979,6 +5999,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_ppr": q_doc_ppr,
         "morans_correlogram": q_morans_correlogram,
         "audio_zcr": q_audio_zcr,
+        "audio_haar": q_audio_haar,
         "audio_pitch": q_audio_pitch,
         "image_gradients": q_image_gradients,
         "curation_verdict": q_curation_verdict,
@@ -9675,6 +9696,7 @@ def oracle_sql() -> dict[str, str]:
                 ON m.doc_id = d.doc_id
         """,
         "audio_zcr": multimodal_mod.audio_zcr_sql(8),
+        "audio_haar": multimodal_mod.audio_haar_sql(8),
         "audio_pitch": multimodal_mod.audio_pitch_sql(
             8, 1024, 256, 8, 64
         ),

@@ -2525,3 +2525,156 @@ def mask_components_sql(fgpx_src: str, width: int) -> str:
         FROM mc_seg s JOIN mc_lbl l USING (gid)
         GROUP BY s.mask_id, l.label
     """
+
+
+HAAR_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("band", IntegerType()),
+        StructField("n_coeffs", LongType()),
+        StructField("sum_sq", LongType()),
+    ]
+)
+
+
+def audio_haar_energy(
+    media: DataFrame, frame_samples: int = 256, levels: int = 3
+) -> DataFrame:
+    """Per-frame Haar wavelet band energies over PCM16 payloads — the
+    float-free spectral profile: an FFT's irrational twiddle factors
+    can never hash-match across engines, but the UNNORMALIZED Haar
+    transform is pure integer adds/subtracts, so band energies are
+    exact int64 and still separate frequency regimes (band 1 = the
+    finest details ≈ high frequency, higher bands ≈ progressively
+    lower frequency, band 0 = the residual approximation / DC trend).
+    The (energy, zcr, haar-band) triple is the voice-activity /
+    content-type feature row of the audio curation pipeline.
+
+    Definition (unnormalized): level-k detail coefficient j over a
+    frame is  Σ_{i∈[j·2ᵏ,(j+1)·2ᵏ)} x_i · (+1 if i mod 2ᵏ < 2ᵏ⁻¹
+    else −1)  — equivalently the recursive pairwise a/d ladder, but
+    this CLOSED FORM is what the oracle replays as grouped sums (a
+    structurally different execution, no recursion).  Band k emits
+    (n_coeffs, Σ coeff²); band 0 is the level-``levels``
+    approximation (plain 2^levels-block sums).
+
+    Exactness bounds: |coeff| ≤ 2^levels · max|x| ≤ 2³·32767 ≈ 2.6e5;
+    Σ over frame_samples coeffs² ≤ 2⁴⁴ — int64 with 2¹⁹ headroom.
+
+    Convention: only FULL frames decompose (a Haar ladder needs the
+    power-of-two length; the tail partial frame is DROPPED for this
+    operator — stated loudly, unlike audio_frame_energy which keeps
+    it, because a zero-padded tail would fabricate a phantom
+    high-energy edge at the pad boundary).  ``frame_samples`` must be
+    a power of two with at least ``levels`` halvings.
+
+    Python only decodes and runs the vectorized reshape ladder;
+    per-coefficient values never leave the executor.  Returns
+    (media_id, frame_idx, band, n_coeffs, sum_sq)."""
+    fs, lv = int(frame_samples), int(levels)
+    if fs < 2 or (fs & (fs - 1)) != 0:
+        raise ValueError(
+            f"audio_haar_energy: frame_samples must be a power of "
+            f"two ≥ 2: {fs}"
+        )
+    if not 1 <= lv or (1 << lv) > fs:
+        raise ValueError(
+            f"audio_haar_energy: need 1 ≤ levels and 2^levels ≤ "
+            f"frame_samples: levels={lv}, frame_samples={fs}"
+        )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            recs = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                x = np.frombuffer(payload or b"", dtype="<i2").astype(
+                    np.int64
+                )
+                nf = x.size // fs
+                if nf == 0:
+                    continue
+                a = x[: nf * fs].reshape(nf, fs)
+                for band in range(1, lv + 1):
+                    pairs = a.reshape(nf, -1, 2)
+                    d = pairs[:, :, 0] - pairs[:, :, 1]
+                    a = pairs[:, :, 0] + pairs[:, :, 1]
+                    for f in range(nf):
+                        recs.append(
+                            (int(mid), f, band, d.shape[1],
+                             int((d[f] * d[f]).sum()))
+                        )
+                for f in range(nf):
+                    recs.append(
+                        (int(mid), f, 0, a.shape[1],
+                         int((a[f] * a[f]).sum()))
+                    )
+            yield pd.DataFrame(
+                recs,
+                columns=[
+                    "media_id", "frame_idx", "band", "n_coeffs",
+                    "sum_sq",
+                ],
+            )
+
+    return (
+        media.where(F.col("media_type") == "audio")
+        .repartition("media_id")
+        .mapInPandas(run, schema=HAAR_SCHEMA)
+    )
+
+
+def audio_haar_sql(
+    n: int, n_samples: int = 2048, burst: int = 256,
+    frame_samples: int = 256, levels: int = 3,
+) -> str:
+    """DuckDB twin of :func:`audio_haar_energy` over the
+    synthetic_gated_pcm_media closed form — every sample regenerated,
+    every band computed from the CLOSED-FORM sign pattern
+    (grouped ±1 sums, no recursion: a different execution shape of
+    the same arithmetic, so the reshape ladder itself is what's
+    verified).  Standalone statement."""
+    fs, lv = int(frame_samples), int(levels)
+    nf = int(n_samples) // fs
+    samples = f"""(
+        SELECT m.id AS media_id, i.i,
+               CAST(CASE WHEN ((i.i // {int(burst)}) + m.id) % 3 = 1
+                    THEN (i.i * 3) % 21 - 10
+                    ELSE (i.i * 7 + m.id * 13) % 2001 - 1000
+               END AS BIGINT) AS x
+        FROM (SELECT UNNEST(range(0, {int(n)})) AS id) m,
+             range(0, {nf * fs}) i(i)
+    )"""
+    branches = []
+    for band in range(1, lv + 1):
+        blk = 1 << band
+        half = blk >> 1
+        branches.append(f"""
+            SELECT media_id,
+                   CAST(frame_idx AS INTEGER) AS frame_idx,
+                   CAST({band} AS INTEGER) AS band,
+                   CAST(COUNT(*) AS BIGINT) AS n_coeffs,
+                   CAST(SUM(c * c) AS BIGINT) AS sum_sq
+            FROM (
+                SELECT media_id, i // {fs} AS frame_idx,
+                       (i % {fs}) // {blk} AS j,
+                       SUM(x * (CASE WHEN (i % {blk}) < {half}
+                                THEN 1 ELSE -1 END)) AS c
+                FROM {samples} GROUP BY 1, 2, 3
+            ) GROUP BY 1, 2
+        """)
+    blk = 1 << lv
+    branches.append(f"""
+        SELECT media_id,
+               CAST(frame_idx AS INTEGER) AS frame_idx,
+               CAST(0 AS INTEGER) AS band,
+               CAST(COUNT(*) AS BIGINT) AS n_coeffs,
+               CAST(SUM(c * c) AS BIGINT) AS sum_sq
+        FROM (
+            SELECT media_id, i // {fs} AS frame_idx,
+                   (i % {fs}) // {blk} AS j,
+                   SUM(x) AS c
+            FROM {samples} GROUP BY 1, 2, 3
+        ) GROUP BY 1, 2
+    """)
+    return " UNION ALL ".join(branches)
