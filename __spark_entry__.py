@@ -2930,6 +2930,24 @@ def q_morans_correlogram(spark, sf_dir):
     return spatial.morans_correlogram(rollup, "n_pages", max_band=3)
 
 
+def q_video_ssim(spark, sf_dir):
+    """Exact per-block SSIM between consecutive frames
+    (multimodal.video_block_ssim) over the cut-video synth: float
+    SSIM is engine-divergent, so the formula clears by n⁴ into one
+    integer rational (declared C1/C2 luma constants, sign-decomposed
+    ppm division) — a static block scores exactly 10⁶ by algebra and
+    the planted cuts drop every body block below it.  The oracle
+    regenerates every pixel and rebuilds the cross term from a
+    consecutive-frame pixel self-join, so decode, block sums and
+    every ratio are hash-verified."""
+    from openstreetmap_license_change_spark.operators import multimodal
+
+    media = multimodal.synthetic_cut_video_media(
+        spark, n=8, w=16, h=12, n_frames=24, scene_len=8
+    )
+    return multimodal.video_block_ssim(media, block=4)
+
+
 def q_audio_haar(spark, sf_dir):
     """Haar wavelet band energies (multimodal.audio_haar_energy) over
     the gated PCM synth: the float-free spectral profile — an FFT's
@@ -6000,6 +6018,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "morans_correlogram": q_morans_correlogram,
         "audio_zcr": q_audio_zcr,
         "audio_haar": q_audio_haar,
+        "video_ssim": q_video_ssim,
         "audio_pitch": q_audio_pitch,
         "image_gradients": q_image_gradients,
         "curation_verdict": q_curation_verdict,
@@ -9697,6 +9716,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "audio_zcr": multimodal_mod.audio_zcr_sql(8),
         "audio_haar": multimodal_mod.audio_haar_sql(8),
+        "video_ssim": multimodal_mod.video_block_ssim_sql(
+            8, w=16, h=12, n_frames=24, scene_len=8, block=4
+        ),
         "audio_pitch": multimodal_mod.audio_pitch_sql(
             8, 1024, 256, 8, 64
         ),

@@ -2678,3 +2678,195 @@ def audio_haar_sql(
         ) GROUP BY 1, 2
     """)
     return " UNION ALL ".join(branches)
+
+
+# SSIM stability constants in the channel-sum luma domain (L = 765):
+# C1 = round((0.01·L)²), C2 = round((0.03·L)²) — the irrational-free
+# declared-integer-constant discipline (Benford/NDCG tables): both
+# engines consume these exact integers, nothing is re-derived.
+SSIM_C1_Q = 59
+SSIM_C2_Q = 527
+
+SSIM_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("pair_idx", IntegerType()),
+        StructField("yb", IntegerType()),
+        StructField("xb", IntegerType()),
+        StructField("ssim_ppm", LongType()),
+    ]
+)
+
+
+def video_block_ssim(media: DataFrame, block: int = 4) -> DataFrame:
+    """Exact per-block SSIM between CONSECUTIVE frames of rawvideo
+    payloads — the perceptual-similarity score as one cleared
+    integer rational.  Float SSIM is engine-divergent (means,
+    variances and the final ratio all accumulate differently); with
+    per-block sums S₁,S₂,Q₁,Q₂,P (Σa, Σb, Σa², Σb², Σab over the
+    n-pixel block in channel-sum luma) the standard formula clears by
+    n⁴ into
+
+        NUM = (2·S₁·S₂ + C1·n²) · (2·(n·P − S₁·S₂) + C2·n²)
+        DEN = (S₁² + S₂² + C1·n²)
+            · ((n·Q₁ − S₁²) + (n·Q₂ − S₂²) + C2·n²)
+
+    and ssim_ppm = NUM·10⁶ / DEN under the house sign-decomposed
+    truncating division (NUM < 0 — anti-correlated blocks — is real;
+    DEN > 0 always since C1,C2 > 0).  A static block scores exactly
+    10⁶ by algebra, not by epsilon.  The big products run in
+    arbitrary-precision Python ints executor-side (block rows are
+    |pairs|·|blocks|, tiny) and HUGEINT in the twin, so nothing
+    wraps at any pixel depth.
+
+    Frame count derives from payload length (len DIV w·h·3); ``w``
+    and ``h`` must be multiples of ``block`` — enforced loudly.
+
+    The curation read: per-pair MIN/mean over blocks is the shot-cut
+    / duplicate-frame signal (video_shots' dHash sees structure;
+    SSIM grades degradation) — kept long-form per block so the twin
+    hash-verifies every ratio.
+
+    Returns (media_id, pair_idx, yb, xb, ssim_ppm); pair_idx f
+    compares frames f and f+1."""
+    blk = int(block)
+    if blk < 2:
+        raise ValueError(f"video_block_ssim: block must be ≥ 2: {blk}")
+    c1, c2 = SSIM_C1_Q, SSIM_C2_Q
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            recs = []
+            for mid, payload, w, h in zip(
+                pdf["media_id"], pdf["payload"],
+                pdf["meta_width"], pdf["meta_height"],
+            ):
+                w, h = int(w), int(h)
+                if not payload:
+                    continue
+                if w % blk or h % blk:
+                    raise ValueError(
+                        f"video_block_ssim: frame {w}×{h} not a "
+                        f"multiple of block={blk} (media_id={mid})"
+                    )
+                nf = len(payload) // (w * h * 3)
+                if nf < 2:
+                    continue
+                g = (
+                    np.frombuffer(payload, dtype=np.uint8, count=nf * w * h * 3)
+                    .reshape(nf, h, w, 3)
+                    .sum(axis=3, dtype=np.int64)
+                )
+                hb, wb = h // blk, w // blk
+                tiles = g.reshape(nf, hb, blk, wb, blk)
+                s = tiles.sum(axis=(2, 4))
+                q = (tiles * tiles).sum(axis=(2, 4))
+                p = (tiles[:-1] * tiles[1:]).sum(axis=(2, 4))
+                n = blk * blk
+                for f in range(nf - 1):
+                    for yb in range(hb):
+                        for xb in range(wb):
+                            s1 = int(s[f, yb, xb])
+                            s2 = int(s[f + 1, yb, xb])
+                            q1 = int(q[f, yb, xb])
+                            q2 = int(q[f + 1, yb, xb])
+                            pp = int(p[f, yb, xb])
+                            num = (2 * s1 * s2 + c1 * n * n) * (
+                                2 * (n * pp - s1 * s2) + c2 * n * n
+                            )
+                            den = (s1 * s1 + s2 * s2 + c1 * n * n) * (
+                                (n * q1 - s1 * s1)
+                                + (n * q2 - s2 * s2) + c2 * n * n
+                            )
+                            scaled = num * 1_000_000
+                            ppm = (
+                                -((-scaled) // den) if scaled < 0
+                                else scaled // den
+                            )
+                            recs.append((int(mid), f, yb, xb, ppm))
+            yield pd.DataFrame(
+                recs,
+                columns=["media_id", "pair_idx", "yb", "xb",
+                         "ssim_ppm"],
+            )
+
+    return (
+        media.where(F.col("media_type") == "video")
+        .repartition("media_id")
+        .mapInPandas(run, schema=SSIM_SCHEMA)
+    )
+
+
+def video_block_ssim_sql(
+    n: int, w: int = 16, h: int = 12, n_frames: int = 24,
+    scene_len: int = 8, block: int = 4,
+) -> str:
+    """DuckDB twin of :func:`video_block_ssim` over the
+    synthetic_cut_video_media closed form — every pixel regenerated,
+    the cross term P from a pixel-level consecutive-frame self-join,
+    the cleared rational in HUGEINT with the same sign-decomposed
+    division.  Standalone statement."""
+    blk = int(block)
+    c1, c2 = SSIM_C1_Q, SSIM_C2_Q
+    nn = blk * blk
+    pix = f"""(
+        SELECT cl.media_id, CAST(f.f AS INTEGER) AS frame_idx,
+               y.y // {blk} AS yb, x.x // {blk} AS xb, y.y, x.x,
+               CAST(CASE WHEN y.y = 0 THEN
+                     (x.x*3 + 0  + cl.media_id*13 + f.f*29) % 256
+                   + (x.x*3 + 11 + cl.media_id*13 + f.f*29) % 256
+                   + (x.x*3 + 22 + cl.media_id*13 + f.f*29) % 256
+               ELSE
+                     (x.x*3 + y.y*7 + 0  + cl.media_id*13
+                      + (f.f//{int(scene_len)})*41*x.x) % 256
+                   + (x.x*3 + y.y*7 + 11 + cl.media_id*13
+                      + (f.f//{int(scene_len)})*41*x.x) % 256
+                   + (x.x*3 + y.y*7 + 22 + cl.media_id*13
+                      + (f.f//{int(scene_len)})*41*x.x) % 256
+               END AS BIGINT) AS g
+        FROM (SELECT UNNEST(range(0, {int(n)})) AS media_id) cl,
+             range(0, {int(n_frames)}) f(f),
+             range(0, {int(w)}) x(x), range(0, {int(h)}) y(y)
+    )"""
+    return f"""
+        WITH bs_px AS MATERIALIZED {pix},
+        bs_s AS MATERIALIZED (
+            SELECT media_id, frame_idx, yb, xb,
+                   CAST(SUM(g) AS HUGEINT) AS s,
+                   CAST(SUM(g * g) AS HUGEINT) AS q
+            FROM bs_px GROUP BY 1, 2, 3, 4
+        ),
+        bs_p AS (
+            SELECT a.media_id, a.frame_idx AS pair_idx, a.yb, a.xb,
+                   CAST(SUM(a.g * b.g) AS HUGEINT) AS p
+            FROM bs_px a
+            JOIN bs_px b ON b.media_id = a.media_id
+                        AND b.frame_idx = a.frame_idx + 1
+                        AND b.y = a.y AND b.x = a.x
+            GROUP BY 1, 2, 3, 4
+        ),
+        bs_terms AS (
+            SELECT p.media_id, p.pair_idx, p.yb, p.xb,
+                   (2 * s1.s * s2.s + {c1} * {nn * nn})
+                   * (2 * ({nn} * p.p - s1.s * s2.s)
+                      + {c2} * {nn * nn}) AS num,
+                   (s1.s * s1.s + s2.s * s2.s + {c1} * {nn * nn})
+                   * (({nn} * s1.q - s1.s * s1.s)
+                      + ({nn} * s2.q - s2.s * s2.s)
+                      + {c2} * {nn * nn}) AS den
+            FROM bs_p p
+            JOIN bs_s s1 ON s1.media_id = p.media_id
+                        AND s1.frame_idx = p.pair_idx
+                        AND s1.yb = p.yb AND s1.xb = p.xb
+            JOIN bs_s s2 ON s2.media_id = p.media_id
+                        AND s2.frame_idx = p.pair_idx + 1
+                        AND s2.yb = p.yb AND s2.xb = p.xb
+        )
+        SELECT media_id, pair_idx,
+               CAST(yb AS INTEGER) AS yb, CAST(xb AS INTEGER) AS xb,
+               CAST(CASE WHEN num < 0
+                    THEN -(((-num) * 1000000) // den)
+                    ELSE (num * 1000000) // den
+               END AS BIGINT) AS ssim_ppm
+        FROM bs_terms
+    """
