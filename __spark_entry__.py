@@ -3239,12 +3239,19 @@ def q_line_merge(spark, sf_dir):
     doubling shortcut itself is hash-verified along with the
     ring/open-end readout.  All endpoint coords are 1/16° lattice
     points — double-exact in both engines."""
+    return spatial.line_merge(_line_merge_segs(spark, sf_dir))
+
+
+def _line_merge_segs(spark, sf_dir):
+    """Deterministic chain/ring segment corpus shared by q_line_merge
+    (dissolve) and q_route_corridor (buffered-line filter) — one
+    derivation, one SQL twin (_LINE_MERGE_SEGS_SQL)."""
     docs = pages_src.documents(spark, sf_dir).select("doc_id")
     g = F.expr("doc_id DIV 10")
     pp = F.expr("doc_id % 10")
     lon_base = (g % 50).cast("double")
     lat = ((g / F.lit(50)).cast("long") % 80).cast("double")
-    segs = docs.select(
+    return docs.select(
         F.col("doc_id").alias("seg_id"),
         (lon_base + pp * F.lit(0.0625)).alias("lon1"),
         lat.alias("lat1"),
@@ -3255,7 +3262,38 @@ def q_line_merge(spark, sf_dir):
         ).alias("lon2"),
         lat.alias("lat2"),
     )
-    return spatial.line_merge(segs)
+
+
+_CORRIDOR_PTS_SQL = """(
+    SELECT doc_id AS point_id,
+           CAST(doc_id % 50 AS DOUBLE)
+               + (doc_id % 16) * CAST(0.0625 AS DOUBLE) AS lon,
+           CAST(((doc_id // 10) // 50) % 80 AS DOUBLE)
+               + (doc_id % 3) * CAST(0.046875 AS DOUBLE) AS lat
+    FROM documents
+)"""
+
+
+def q_route_corridor(spark, sf_dir):
+    """Corridor query (spatial.route_corridor): documents geotagged
+    within 0.0625° of the chain/ring route network — the buffered-
+    line filter WITHOUT a buffer polygon, as the verified composition
+    of snap_to_segments (bbox-fan × 3×3 probe, exact rational d²) and
+    one integer threshold; radius ≤ res is enforced so the one-cell
+    nearest guarantee makes membership provably exact.  The planted
+    point offsets (0 / 0.046875° in, 0.09375° out — binary-exact
+    doubles) give the threshold real work at every sf."""
+    docs = pages_src.documents(spark, sf_dir).select("doc_id")
+    pts = docs.select(
+        F.col("doc_id").alias("point_id"),
+        ((F.col("doc_id") % 50).cast("double")
+         + (F.col("doc_id") % 16) * F.lit(0.0625)).alias("lon"),
+        ((F.expr("(doc_id DIV 10) DIV 50") % 80).cast("double")
+         + (F.col("doc_id") % 3) * F.lit(0.046875)).alias("lat"),
+    )
+    return spatial.route_corridor(
+        pts, _line_merge_segs(spark, sf_dir), 0.25, 0.0625
+    )
 
 
 def q_krippendorff(spark, sf_dir):
@@ -6038,6 +6076,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "k_anonymity": q_k_anonymity,
         "dq_orders": q_dq_orders,
         "line_merge": q_line_merge,
+        "route_corridor": q_route_corridor,
         "l_diversity": q_l_diversity,
         "t_closeness": q_t_closeness,
         "rank_sum_lengths": q_rank_sum_lengths,
@@ -9584,6 +9623,9 @@ def oracle_sql() -> dict[str, str]:
             dividers=(1, 100, 0),
         ),
         "line_merge": spatial.line_merge_sql(_LINE_MERGE_SEGS_SQL),
+        "route_corridor": spatial.route_corridor_sql(
+            _CORRIDOR_PTS_SQL, _LINE_MERGE_SEGS_SQL, 0.25, 0.0625
+        ),
         "dq_orders": profile_mod.dq_checks_sql(
             "orders", _DQ_ORDERS_SUITE,
             refs={"customer": "customer"},

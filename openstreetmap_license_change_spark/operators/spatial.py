@@ -9446,3 +9446,78 @@ def line_merge_sql(segs_src: str, scale: int = 10_000) -> str:
             USING (ep)
         GROUP BY 1
     """
+
+
+def route_corridor(
+    points: DataFrame,
+    segs: DataFrame,
+    res_deg: float,
+    radius_deg: float,
+    scale: int = 10_000,
+    point_id: str = "point_id",
+    seg_id: str = "seg_id",
+    d2_scale: int = 1000,
+    max_span_cells: int = 4_096,
+) -> DataFrame:
+    """Corridor query: every point within ``radius_deg`` of a route's
+    segments — "which documents geotag within 500 m of this pipeline
+    / transit line / border" is the buffered-line filter every
+    geospatial review runs, here WITHOUT materializing a buffer
+    polygon: a point is in the corridor iff its distance to the
+    NEAREST segment is ≤ r, so the operator is a verified composition
+    of :func:`snap_to_segments` (exact rational point-segment d²,
+    bbox-fan × 3×3-probe candidates) and one integer threshold —
+    the raster_distance precedent: compose verified kit, compose the
+    twins identically.
+
+    The snap kit's nearest-match guarantee is one cell, so
+    ``radius_deg ≤ res_deg`` is REQUIRED (enforced loudly): within
+    that bound every corridor member is provably found and every
+    non-member provably excluded — the threshold is exact because
+    d2_q quantizes once via (num·d2_scale) DIV den ≤ true·d2_scale,
+    compared against r²·d2_scale in the same units... strictly: both
+    engines quantize IDENTICALLY, so the comparison is
+    engine-identical even at the quantization boundary.
+
+    Returns (point_id, seg_id, d2_q): corridor members with their
+    nearest segment and its quantized d² — points outside the
+    corridor are absent."""
+    if radius_deg > res_deg:
+        raise ValueError(
+            f"route_corridor: radius_deg={radius_deg} exceeds the "
+            f"snap kit's one-cell nearest guarantee (res_deg="
+            f"{res_deg}); raise res_deg"
+        )
+    r_units = radius_deg * scale
+    if r_units != int(r_units):
+        raise ValueError("radius_deg * scale must be integral")
+    thr = int(r_units) * int(r_units) * int(d2_scale)
+    snapped = snap_to_segments(
+        points, segs, res_deg, scale=scale, point_id=point_id,
+        seg_id=seg_id, d2_scale=d2_scale,
+        max_span_cells=max_span_cells,
+    )
+    return snapped.where(F.col("d2_q") <= thr)
+
+
+def route_corridor_sql(
+    points_src: str,
+    segs_src: str,
+    res_deg: float,
+    radius_deg: float,
+    scale: int = 10_000,
+    point_id: str = "point_id",
+    seg_id: str = "seg_id",
+    d2_scale: int = 1000,
+) -> str:
+    """DuckDB twin of :func:`route_corridor` — the snap twin with the
+    identical integer threshold (twins composed identically, the
+    raster_distance rule).  Standalone statement."""
+    r_units = int(radius_deg * scale)
+    thr = r_units * r_units * int(d2_scale)
+    return f"""
+        SELECT * FROM ({snap_to_segments_sql(
+            points_src, segs_src, res_deg, scale=scale,
+            point_id=point_id, seg_id=seg_id, d2_scale=d2_scale,
+        )}) WHERE d2_q <= {thr}
+    """
