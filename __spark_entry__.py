@@ -3189,6 +3189,19 @@ def q_fleiss_raters(spark, sf_dir):
     return evaluation.fleiss_kappa(long, "grp", "it", "cat")
 
 
+def q_graph_diameter(spark, sf_dir):
+    """Double-sweep diameter bound (graph.graph_diameter) over the
+    shared doc link graph (undirected): BFS from the min node, BFS
+    again from the farthest node found — the crawl-width health
+    metric without an all-pairs matrix, exact-within-rounds by the
+    link_distance honesty contract.  Both sweeps are frontier-only
+    (2 shuffles/round); the twin inlines two unrolled BFS chains with
+    the identical (dist DESC, node) argmax, so the sweep composition
+    itself is hash-verified."""
+    nodes, edges = _doc_link_graph(spark, sf_dir)
+    return graph.graph_diameter(nodes, edges, rounds=BFS_ROUNDS)
+
+
 def q_dq_orders(spark, sf_dir):
     """Declarative data-quality suite (profile.dq_checks) over the
     orders table — the pre-ingest expectation gate as one verdict
@@ -6105,6 +6118,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_resample": q_mixture_resample,
         "doc_pagerank": q_doc_pagerank,
         "katz_centrality": q_katz_centrality,
+        "graph_diameter": q_graph_diameter,
         "link_distance": q_link_distance,
         "dag_levels": q_dag_levels,
         "graph_profile": q_graph_profile,
@@ -9866,6 +9880,11 @@ def oracle_sql() -> dict[str, str]:
                 iterations=PR_ITERATIONS,
             )})
         """,
+        "graph_diameter": graph.graph_diameter_sql(
+            "(SELECT doc_id AS node FROM documents)",
+            _PR_EDGES_SQL,
+            rounds=BFS_ROUNDS,
+        ),
         "bm25_topk": textops.bm25_topk_sql("documents", BM25_QUERY, k=BM25_K),
         "gopher_filter": textops.gopher_filter_sql(
             "documents", min_stop_hits=1

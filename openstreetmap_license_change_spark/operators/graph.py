@@ -2976,3 +2976,106 @@ def katz_sql(
         "WITH " + ",\n".join(ctes)
         + f"\nSELECT node, katz_q FROM kz_r{iterations}"
     )
+
+
+def graph_diameter(
+    nodes: DataFrame, edges: DataFrame, rounds: int
+) -> DataFrame:
+    """Double-sweep diameter lower bound over the UNDIRECTED
+    simplification of a link graph — the classic 2-BFS estimate (BFS
+    from an arbitrary node, then BFS from the farthest node found;
+    the second eccentricity is a lower bound on the true diameter
+    that is exact on trees and empirically tight on web graphs) —
+    the "how many hops wide is this crawl" health metric computed
+    without the all-pairs matrix no 10¹²-node graph can afford.
+
+    Deterministic contract: the first sweep starts at the MIN node id
+    (declared, like kcenter_seeds' start rule); each sweep's far node
+    is the (max dist, then smallest id) argmax over REACHED nodes.
+    Distances come from :func:`link_distance`, so within ``rounds``
+    hops every reported distance is the true min-hop distance —
+    ``rounds`` is the honesty bound: the reported figures are exact
+    eccentricities-within-R (a lower bound on both the true
+    eccentricity and the diameter), and n_reached says how much of
+    the start's component the radius saw.  Both sweeps are frontier-
+    only BFS (2 shuffles/round); the two argmax collects are
+    single-row, bounded by construction.
+
+    Returns ONE row: (start_node, far_node, end_node, sweep1_ecc,
+    diameter_lb, n_reached)."""
+    sym = edges.select("src", "dst").unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    spark = nodes.sparkSession
+    start = nodes.agg(F.min("node").alias("_s")).collect()[0]["_s"]
+    if start is None:
+        raise ValueError("graph_diameter: empty node set")
+    seeds1 = spark.createDataFrame([(int(start),)], "node long")
+    d1 = link_distance(nodes, seeds1, sym, rounds)
+    far = (
+        d1.where(F.col("dist").isNotNull())
+        .agg(F.max(F.struct(F.col("dist"), (-F.col("node")).alias("_n")))
+             .alias("_b"))
+        .select((-F.col("_b._n")).alias("u"),
+                F.col("_b.dist").alias("ecc1"))
+        .collect()[0]
+    )
+    seeds2 = spark.createDataFrame([(int(far["u"]),)], "node long")
+    d2 = link_distance(nodes, seeds2, sym, rounds)
+    return (
+        d2.where(F.col("dist").isNotNull())
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_reached"),
+            F.max(F.struct(F.col("dist"), (-F.col("node")).alias("_n")))
+            .alias("_b"),
+        )
+        .select(
+            F.lit(int(start)).cast("bigint").alias("start_node"),
+            F.lit(int(far["u"])).cast("bigint").alias("far_node"),
+            (-F.col("_b._n")).cast("bigint").alias("end_node"),
+            F.lit(int(far["ecc1"])).cast("bigint").alias("sweep1_ecc"),
+            F.col("_b.dist").cast("bigint").alias("diameter_lb"),
+            "n_reached",
+        )
+    )
+
+
+def graph_diameter_sql(
+    nodes_src: str, edges_src: str, rounds: int
+) -> str:
+    """DuckDB twin of :func:`graph_diameter` — two inlined
+    :func:`link_distance_sql` sweeps over the identical
+    symmetrization, identical (dist DESC, node) argmax rules.  Each
+    sweep is AS MATERIALIZED and referenced from the final row —
+    inlining an unrolled BFS chain once per output column re-executes
+    it (and re-opens its parquet scans) once per reference.
+    Standalone statement."""
+    sym = f"""(
+        SELECT src, dst FROM {edges_src}
+        UNION ALL
+        SELECT dst AS src, src AS dst FROM {edges_src}
+    )"""
+    seeds1 = f"(SELECT MIN(node) AS node FROM {nodes_src})"
+    d1 = link_distance_sql(nodes_src, seeds1, sym, rounds)
+    d2 = link_distance_sql(
+        nodes_src, "(SELECT node FROM gd_far1)", sym, rounds
+    )
+    return f"""
+        WITH gd_d1 AS MATERIALIZED (SELECT * FROM ({d1})),
+        gd_far1 AS MATERIALIZED (
+            SELECT node, dist FROM gd_d1 WHERE dist IS NOT NULL
+            ORDER BY dist DESC, node LIMIT 1
+        ),
+        gd_d2 AS MATERIALIZED (SELECT * FROM ({d2})),
+        gd_far2 AS (
+            SELECT node, dist FROM gd_d2 WHERE dist IS NOT NULL
+            ORDER BY dist DESC, node LIMIT 1
+        )
+        SELECT (SELECT MIN(node) FROM {nodes_src}) AS start_node,
+               (SELECT node FROM gd_far1) AS far_node,
+               (SELECT node FROM gd_far2) AS end_node,
+               (SELECT dist FROM gd_far1) AS sweep1_ecc,
+               (SELECT dist FROM gd_far2) AS diameter_lb,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM gd_d2
+                WHERE dist IS NOT NULL) AS n_reached
+    """
