@@ -3525,6 +3525,38 @@ def q_theil_sen_hourly(spark, sf_dir):
     return temporal_mod.theil_sen(hourly, "event_type", "h", "n")
 
 
+def q_event_xcorr(spark, sf_dir):
+    """Lag-scan cross-correlation (temporal.series_crosscorr):
+    click-rate vs purchase-rate per user shard over the DENSIFIED
+    hourly grid — the lead/lag question autocorr structurally can't
+    ask, scored as signed squared correlation under the staged
+    sign-decomposed division (two denominators would square past
+    decimal(38) at scale).  Zeros are values, not missing: the grid
+    is the global [hmin, hmax] hour range per shard, so both engines
+    correlate the same aligned series."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    h = (F.date_trunc("hour", "ts").cast("long") / 3600).cast("long")
+    cnt = ev.groupBy(
+        (F.col("user_id") % 8).alias("shard"), h.alias("h")
+    ).agg(
+        F.count_if(F.col("event_type") == "click").alias("x"),
+        F.count_if(F.col("event_type") == "purchase").alias("y"),
+    )
+    grid = (
+        ev.agg(F.min(h).alias("_h0"), F.max(h).alias("_h1"))
+        .selectExpr("explode(sequence(_h0, _h1)) AS h")
+        .crossJoin(spark.range(8).select(F.col("id").alias("shard")))
+    )
+    series = grid.join(cnt, ["shard", "h"], "left").select(
+        "shard", "h",
+        F.coalesce("x", F.lit(0)).alias("x"),
+        F.coalesce("y", F.lit(0)).alias("y"),
+    )
+    return temporal_mod.series_crosscorr(
+        series, "shard", "h", "x", "y", lags=(-3, -2, -1, 0, 1, 2, 3)
+    )
+
+
 def q_pettitt_hourly(spark, sf_dir):
     """Pettitt rank change-point (temporal.pettitt_split) per event
     type over hourly counts — the RANK-ROBUST companion of
@@ -6094,6 +6126,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_closeness": q_t_closeness,
         "rank_sum_lengths": q_rank_sum_lengths,
         "theil_sen_hourly": q_theil_sen_hourly,
+        "event_xcorr": q_event_xcorr,
         "ols_hourly": q_ols_hourly,
         "runs_test_hourly": q_runs_test_hourly,
         "twa_value": q_twa_value,
@@ -9710,6 +9743,35 @@ def oracle_sql() -> dict[str, str]:
                        CAST(COUNT(*) AS BIGINT) AS n
                 FROM events GROUP BY 1, 2)""",
             "event_type", "h", "n",
+        ),
+        "event_xcorr": temporal_mod.series_crosscorr_sql(
+            """(
+            WITH xb AS (
+                SELECT MIN(CAST(epoch(date_trunc('hour', ts)) AS BIGINT)
+                           // 3600) AS h0,
+                       MAX(CAST(epoch(date_trunc('hour', ts)) AS BIGINT)
+                           // 3600) AS h1
+                FROM events
+            ),
+            xg AS (
+                SELECT s.range AS shard, g.h
+                FROM range(0, 8) s,
+                     (SELECT UNNEST(generate_series(h0, h1)) AS h
+                      FROM xb) g
+            ),
+            xc AS (
+                SELECT user_id % 8 AS shard,
+                       CAST(epoch(date_trunc('hour', ts)) AS BIGINT)
+                           // 3600 AS h,
+                       COUNT(*) FILTER (event_type = 'click') AS x,
+                       COUNT(*) FILTER (event_type = 'purchase') AS y
+                FROM events GROUP BY 1, 2
+            )
+            SELECT xg.shard, xg.h,
+                   COALESCE(xc.x, 0) AS x, COALESCE(xc.y, 0) AS y
+            FROM xg LEFT JOIN xc USING (shard, h)
+            )""",
+            "shard", "h", "x", "y", lags=(-3, -2, -1, 0, 1, 2, 3),
         ),
         "theil_sen_hourly": temporal_mod.theil_sen_sql(
             """(SELECT event_type,

@@ -3780,3 +3780,175 @@ def attribution_decay_sql(
                CAST(SUM(_credit) AS BIGINT) AS decay_ppm
         FROM ad_credit GROUP BY _t
     """
+
+
+def series_crosscorr(
+    df: DataFrame,
+    key_col: str,
+    order_col: str,
+    x_col: str,
+    y_col: str,
+    lags: "tuple[int, ...]" = (-2, -1, 0, 1, 2),
+) -> DataFrame:
+    """Per-key lag-scan CROSS-correlation between two aligned integer
+    series — the lead/lag detector :func:`series_autocorr`
+    structurally can't ask ("do clicks LEAD purchases, and by how
+    many hours?"): correlate x_t against y_{t+k} over a symmetric
+    lag window and read the argmax lag.
+
+    Same exact-integer discipline as the autocorr sibling (N-scaled
+    deviations dˣ = n·x_t − Sₓ, dʸ likewise; no float means), but the
+    Pearson normalization has TWO denominators and their product
+    squares past decimal(38) at scale — so the score is the SIGNED
+    SQUARED correlation under the rank_sum staged-division precedent:
+
+        a = (|num_k|·10⁶) DIV denₓ,  b = (|num_k|·10⁶) DIV den_y
+        xcf2_ppm = sign(num_k) · (a·b DIV 10⁶)
+
+    |a|,|b| ≤ 10⁶ by Cauchy–Schwarz, every stage fits int64 quotients
+    inside decimal(38) operands, staging truncation is sub-ppm and
+    IDENTICAL in both engines, and the |·|/sign decomposition dodges
+    the DIV-truncates / //-floors divergence on negatives.  NULL when
+    either series is constant (den = 0) or the lag leaves no pairs.
+
+    ``order_col`` must be unique per key (duplicate positions raise —
+    the autocorr guard); rows align the two series on one grid, the
+    caller densifies gaps (zeros are values, not missing — a
+    half-densified series would correlate a permutation).
+
+    Plan: one key shuffle serves the ranking windows; each lag is a
+    (key, pos) equi-join on the same partitioning; |lags| is a
+    constant fan.  Returns (key, lag, n, n_pairs, num, xcf2_ppm)."""
+    if not lags:
+        raise ValueError("lags must be non-empty")
+    lags = tuple(sorted(set(int(k) for k in lags)))
+    dec = "decimal(38,0)"
+    wk = W.partitionBy("_k").orderBy("_o")
+    wall = W.partitionBy("_k")
+    dup_guard = F.when(
+        F.count(F.lit(1)).over(W.partitionBy("_k", "_o")) > 1,
+        F.raise_error(
+            F.concat(
+                F.lit("series_crosscorr: duplicate order value within "
+                      "key at "),
+                F.col("_o").cast("string"),
+            )
+        ).cast("long"),
+    )
+    dev = df.select(
+        F.col(key_col).alias("_k"),
+        F.col(order_col).alias("_o"),
+        F.col(x_col).cast("bigint").alias("_x"),
+        F.col(y_col).cast("bigint").alias("_y"),
+    ).select(
+        "_k",
+        F.coalesce(dup_guard, F.row_number().over(wk)).alias("_pos"),
+        F.count(F.lit(1)).over(wall).alias("_n"),
+        (F.count(F.lit(1)).over(wall) * F.col("_x")
+         - F.sum("_x").over(wall)).alias("_dx"),
+        (F.count(F.lit(1)).over(wall) * F.col("_y")
+         - F.sum("_y").over(wall)).alias("_dy"),
+    )
+    den = dev.groupBy("_k").agg(
+        F.max("_n").alias("n"),
+        F.sum(F.expr(f"CAST(_dx AS {dec}) * _dx")).alias("_denx"),
+        F.sum(F.expr(f"CAST(_dy AS {dec}) * _dy")).alias("_deny"),
+    )
+    shifted = None
+    for k in lags:
+        part = dev.select(
+            "_k",
+            F.lit(k).alias("lag"),
+            (F.col("_pos") + F.lit(k)).alias("_tpos"),
+            F.col("_dx").alias("_d1"),
+        )
+        shifted = part if shifted is None else shifted.unionByName(part)
+    pairs = shifted.join(
+        dev.select("_k", F.col("_pos").alias("_tpos"),
+                   F.col("_dy").alias("_d2")),
+        ["_k", "_tpos"],
+    ).groupBy("_k", "lag").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum(F.expr(f"CAST(_d1 AS {dec}) * _d2")).alias("_num"),
+    )
+    lag_lit = F.explode(F.array(*[F.lit(k) for k in lags])).alias("lag")
+    frame = den.select("_k", "n", "_denx", "_deny", lag_lit)
+    score = (
+        "CASE WHEN _denx = 0 OR _deny = 0 OR n_pairs IS NULL THEN NULL "
+        "ELSE (CASE WHEN _num < 0 THEN -1 ELSE 1 END) * ("
+        "((ABS(_num) * 1000000) DIV _denx)"
+        " * ((ABS(_num) * 1000000) DIV _deny)"
+        " DIV 1000000) END"
+    )
+    return (
+        frame.join(pairs, ["_k", "lag"], "left")
+        .select(
+            F.col("_k").alias(key_col),
+            "lag",
+            "n",
+            F.coalesce("n_pairs", F.lit(0)).alias("n_pairs"),
+            F.coalesce(F.col("_num"), F.lit(0).cast(dec))
+            .cast("bigint").alias("num"),
+            F.expr(f"CAST({score} AS BIGINT)").alias("xcf2_ppm"),
+        )
+    )
+
+
+def series_crosscorr_sql(
+    src: str,
+    key_col: str,
+    order_col: str,
+    x_col: str,
+    y_col: str,
+    lags: "tuple[int, ...]" = (-2, -1, 0, 1, 2),
+) -> str:
+    """DuckDB twin of :func:`series_crosscorr` (sx_*-namespaced;
+    HUGEINT, identical staged sign-decomposed score)."""
+    lags = tuple(sorted(set(int(k) for k in lags)))
+    lag_vals = ", ".join(f"({k})" for k in lags)
+    return f"""
+        WITH sx_dev AS (
+            SELECT {key_col} AS _k,
+                   ROW_NUMBER() OVER (PARTITION BY {key_col}
+                                      ORDER BY {order_col}) AS _pos,
+                   COUNT(*) OVER (PARTITION BY {key_col}) AS _n,
+                   COUNT(*) OVER (PARTITION BY {key_col})
+                       * CAST({x_col} AS BIGINT)
+                   - SUM(CAST({x_col} AS BIGINT))
+                       OVER (PARTITION BY {key_col}) AS _dx,
+                   COUNT(*) OVER (PARTITION BY {key_col})
+                       * CAST({y_col} AS BIGINT)
+                   - SUM(CAST({y_col} AS BIGINT))
+                       OVER (PARTITION BY {key_col}) AS _dy
+            FROM {src}
+        ),
+        sx_den AS (
+            SELECT _k, MAX(_n) AS n,
+                   SUM(CAST(_dx AS HUGEINT) * _dx) AS _denx,
+                   SUM(CAST(_dy AS HUGEINT) * _dy) AS _deny
+            FROM sx_dev GROUP BY _k
+        ),
+        sx_pairs AS (
+            SELECT a._k, l.lag,
+                   COUNT(*) AS n_pairs,
+                   SUM(CAST(a._dx AS HUGEINT) * b._dy) AS _num
+            FROM sx_dev a
+            CROSS JOIN (VALUES {lag_vals}) l(lag)
+            JOIN sx_dev b
+              ON b._k = a._k AND b._pos = a._pos + l.lag
+            GROUP BY a._k, l.lag
+        )
+        SELECT d._k AS {key_col}, l.lag, d.n,
+               CAST(COALESCE(p.n_pairs, 0) AS BIGINT) AS n_pairs,
+               CAST(COALESCE(p._num, 0) AS BIGINT) AS num,
+               CAST(CASE WHEN d._denx = 0 OR d._deny = 0
+                         OR p.n_pairs IS NULL THEN NULL
+                    ELSE (CASE WHEN p._num < 0 THEN -1 ELSE 1 END) * (
+                        ((ABS(p._num) * 1000000) // d._denx)
+                        * ((ABS(p._num) * 1000000) // d._deny)
+                        // 1000000)
+               END AS BIGINT) AS xcf2_ppm
+        FROM sx_den d
+        CROSS JOIN (VALUES {lag_vals}) l(lag)
+        LEFT JOIN sx_pairs p ON p._k = d._k AND p.lag = l.lag
+    """
