@@ -3074,6 +3074,26 @@ def q_quality_calibration(spark, sf_dir):
     )
 
 
+def q_ece_quality(spark, sf_dir):
+    """Expected/maximum calibration error (evaluation.ece_eval) of
+    the length-percentile score against the gopher keep verdict —
+    the single thresholdable number over q_quality_calibration's
+    diagram.  The bin weights cancel the bin denominators
+    (ECE·N = Σ_b |p_b·10⁶ − s_b|), so ECE is ONE floored division of
+    an exact integer sum; MCE keeps one bounded division per
+    occupied bin."""
+    from openstreetmap_license_change_spark.operators import evaluation
+
+    docs = pages_src.documents(spark, sf_dir)
+    pc = textops.percentile_calibrate(
+        docs, "n_chars", ["lang"], ["doc_id"]
+    ).select("doc_id", "pct_m")
+    gf = textops.gopher_filter(docs).select("doc_id", "keep")
+    return evaluation.ece_eval(
+        pc.join(gf, "doc_id"), "pct_m", "keep"
+    )
+
+
 def q_brier_quality(spark, sf_dir):
     """Brier score (evaluation.brier_score) per language: how well
     does the within-lang length percentile PREDICT the gopher keep
@@ -6107,6 +6127,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_verdict": q_curation_verdict,
         "embedding_silhouette": q_embedding_silhouette,
         "quality_calibration": q_quality_calibration,
+        "ece_quality": q_ece_quality,
         "brier_quality": q_brier_quality,
         "isotonic_calibration": q_isotonic_calibration,
         "bootstrap_doclen": q_bootstrap_doclen,
@@ -9623,6 +9644,16 @@ def oracle_sql() -> dict[str, str]:
             + textops.gopher_filter_sql("documents")
             + ") g USING (doc_id))",
             "lang", "pct_m", "keep",
+        ),
+        "ece_quality": evaluation.ece_eval_sql(
+            "(SELECT p.doc_id, p.pct_m, g.keep FROM ("
+            + textops.percentile_calibrate_sql(
+                "documents", "n_chars", ["lang"], ["doc_id"]
+            )
+            + ") p JOIN ("
+            + textops.gopher_filter_sql("documents")
+            + ") g USING (doc_id))",
+            "pct_m", "keep",
         ),
         "quality_calibration": evaluation.calibration_bins_sql(
             "(SELECT p.doc_id, p.pct_m, g.keep FROM ("

@@ -2551,3 +2551,108 @@ def krippendorff_alpha_sql(
                END AS BIGINT) AS alpha_ppm
         FROM ka_grp g JOIN ka_marg m USING (grp)
     """
+
+
+def ece_eval(
+    scored: DataFrame,
+    score_col: str,
+    label_col: str,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Expected + maximum calibration error — the single-number
+    verdict over :func:`calibration_bins`' diagram (the diagram says
+    WHERE the numbers lie; ECE says HOW MUCH, the figure a model
+    gate thresholds on).  Same binning contract (equal-width ppm
+    bins, closed right edge, loud out-of-range guard).
+
+    The exactness win that makes this one division instead of one
+    per bin: with per-bin positives p_b and score sums s_b,
+
+        ECE = Σ_b (n_b/N)·|p_b·10⁶/n_b − s_b/n_b|
+            = ( Σ_b |p_b·10⁶ − s_b| ) / N
+
+    — the bin weights cancel the bin denominators, so ece_ppm is ONE
+    floored division of an exact integer sum.  MCE (the worst bin)
+    keeps one floored division per occupied bin, quotient ≤ 10⁶.
+    Empty bins contribute nothing to either (no 0/0).
+
+    One partial-agg groupBy + one 1-row reduce.  Returns one row:
+    (n, n_bins, ece_ppm, mce_ppm)."""
+    if not 1 <= int(n_bins) <= 10_000:
+        raise ValueError(f"n_bins out of range: {n_bins}")
+    nb = int(n_bins)
+    guard = F.when(
+        (F.col("_s") < 0) | (F.col("_s") > 1_000_000),
+        F.assert_true(
+            F.lit(False),
+            F.lit("ece_eval: score outside [0, 1e6] ppm"),
+        ).cast("bigint"),
+    ).otherwise(F.lit(0))
+    binned = scored.select(
+        F.col(score_col).cast("bigint").alias("_s"),
+        F.col(label_col).cast("boolean").alias("_y"),
+    ).select(
+        (F.least(
+            F.expr(f"_s * {nb} DIV 1000000"), F.lit(nb - 1)
+        ) + guard).cast("int").alias("bin"),
+        "_s",
+        "_y",
+    )
+    dec = "decimal(38,0)"
+    agg = binned.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(F.expr(f"CAST(_s AS {dec})")).alias("_sum_s"),
+        F.sum(F.col("_y").cast("bigint")).alias("_pos"),
+    )
+    dev = F.expr(f"ABS(_pos * CAST(1000000 AS {dec}) - _sum_s)")
+    return agg.agg(
+        F.sum("_n").cast("bigint").alias("n"),
+        F.lit(nb).cast("bigint").alias("n_bins"),
+        F.expr(
+            f"CAST(SUM(ABS(_pos * CAST(1000000 AS {dec}) - _sum_s))"
+            " DIV SUM(_n) AS BIGINT)"
+        ).alias("ece_ppm"),
+        F.max(
+            F.expr(
+                f"ABS(_pos * CAST(1000000 AS {dec}) - _sum_s) DIV _n"
+            )
+        ).cast("bigint").alias("mce_ppm"),
+    )
+
+
+def ece_eval_sql(
+    src: str, score_col: str, label_col: str, n_bins: int = 10
+) -> str:
+    """DuckDB twin of :func:`ece_eval` (HUGEINT, identical
+    cancelled-weights identity and floored divisions).
+    Standalone."""
+    nb = int(n_bins)
+    return f"""
+        WITH ee_rows AS (
+            SELECT CAST({score_col} AS BIGINT) AS s,
+                   CAST({label_col} AS BOOLEAN) AS y
+            FROM {src}
+        ),
+        ee_bin AS (
+            SELECT LEAST(s * {nb} // 1000000, {nb} - 1)
+                   + CASE WHEN s < 0 OR s > 1000000
+                          THEN CAST(error(
+                        'ece_eval: score outside [0, 1e6] ppm'
+                          ) AS BIGINT) ELSE 0 END AS bin,
+                   s, y
+            FROM ee_rows
+        ),
+        ee_agg AS (
+            SELECT bin, COUNT(*) AS n,
+                   SUM(CAST(s AS HUGEINT)) AS sum_s,
+                   SUM(CASE WHEN y THEN 1 ELSE 0 END) AS pos
+            FROM ee_bin GROUP BY 1
+        )
+        SELECT CAST(SUM(n) AS BIGINT) AS n,
+               CAST({nb} AS BIGINT) AS n_bins,
+               CAST(SUM(ABS(pos * CAST(1000000 AS HUGEINT) - sum_s))
+                    // SUM(n) AS BIGINT) AS ece_ppm,
+               CAST(MAX(ABS(pos * CAST(1000000 AS HUGEINT) - sum_s)
+                        // n) AS BIGINT) AS mce_ppm
+        FROM ee_agg
+    """
