@@ -3262,6 +3262,18 @@ _LINE_MERGE_SEGS_SQL = """(
 )"""
 
 
+def q_cell_polyfill(spark, sf_dir):
+    """Polyfill (spatial.cell_polyfill): the complete center-in cell
+    cover of the shared PIP polygon layer — the geometry→index
+    materialization that turns later point-in-region queries into
+    plain cell equi-joins.  Fully native: bbox enumeration from the
+    broadcast layer constants (loud fan guard), exact dyadic centers,
+    and the pip twins' even-odd crossing predicate as one broadcast
+    edge join + parity aggregation — whole-stage codegen end to end,
+    no Python ray cast."""
+    return spatial.cell_polyfill(spark, PIP_POLYGONS, res_deg=0.25)
+
+
 def q_line_merge(spark, sf_dir):
     """Segment stitching (spatial.line_merge): deterministic
     10-segment chains from the documents table (every 5th chain
@@ -6142,6 +6154,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "k_anonymity": q_k_anonymity,
         "dq_orders": q_dq_orders,
         "line_merge": q_line_merge,
+        "cell_polyfill": q_cell_polyfill,
         "route_corridor": q_route_corridor,
         "l_diversity": q_l_diversity,
         "t_closeness": q_t_closeness,
@@ -9701,6 +9714,9 @@ def oracle_sql() -> dict[str, str]:
             dividers=(1, 100, 0),
         ),
         "line_merge": spatial.line_merge_sql(_LINE_MERGE_SEGS_SQL),
+        "cell_polyfill": spatial.cell_polyfill_sql(
+            PIP_POLYGONS, res_deg=0.25
+        ),
         "route_corridor": spatial.route_corridor_sql(
             _CORRIDOR_PTS_SQL, _LINE_MERGE_SEGS_SQL, 0.25, 0.0625
         ),

@@ -9521,3 +9521,160 @@ def route_corridor_sql(
             point_id=point_id, seg_id=seg_id, d2_scale=d2_scale,
         )}) WHERE d2_q <= {thr}
     """
+
+
+def cell_polyfill(
+    spark,
+    polygons: "Sequence[tuple[int, Sequence[tuple[float, float]]]]",
+    res_deg: float = DEFAULT_RES_DEG,
+    max_cells_per_poly: int = 200_000,
+) -> DataFrame:
+    """Polyfill — the complete cell cover of each polygon (H3
+    `polyfill` / S2 `RegionCoverer` interior analogue on the
+    row-major grid): every cell whose CENTER lies inside the polygon,
+    by the same center-containment convention as :func:`zonal_stats`.
+    This is the geometry→index materialization step: a polygon layer
+    polyfilled ONCE turns every later point-in-region query into a
+    plain cell equi-join (the pip_rect_prefiltered strategy, with an
+    exact cover instead of a bbox overestimate).
+
+    Unlike the pip assignment operators (first polygon wins),
+    polyfill emits EVERY (polygon, cell) membership — overlapping
+    polygons each get their full cover, which is what an index wants.
+
+    Execution is fully native — no Python ray cast: candidate cells
+    enumerate from each polygon's bbox (driver arithmetic on the
+    broadcast layer constants; fan guarded LOUDLY by
+    ``max_cells_per_poly``), centers are the exact dyadic
+    :func:`grid_cell_center` arithmetic, and the even-odd parity is
+    the SAME crossing predicate as the pip twins, evaluated as one
+    broadcast edge join + one (pid, cell) aggregation — so the whole
+    operator is whole-stage codegen and the DuckDB twin is
+    character-identical arithmetic.
+
+    Layer contract (the pip family's): closed rings, no exactly-
+    horizontal edges (keeps the crossing division safe), small enough
+    to broadcast.  Returns (polygon_id, cell)."""
+    cols = int(360 / res_deg)
+    rows_n = int(180 / res_deg)
+    cand_rows = []
+    edge_rows = []
+    for pid, ring in polygons:
+        xs = [float(p[0]) for p in ring]
+        ys = [float(p[1]) for p in ring]
+        x0 = max(0, int(math.floor((min(xs) + 180.0) / res_deg)))
+        x1 = min(cols - 1, int(math.floor((max(xs) + 180.0) / res_deg)))
+        y0 = max(0, int(math.floor((min(ys) + 90.0) / res_deg)))
+        y1 = min(rows_n - 1, int(math.floor((max(ys) + 90.0) / res_deg)))
+        n = (x1 - x0 + 1) * (y1 - y0 + 1)
+        if n > int(max_cells_per_poly):
+            raise ValueError(
+                f"cell_polyfill: polygon {pid} bbox covers {n} cells "
+                f"at res_deg={res_deg} > max_cells_per_poly="
+                f"{max_cells_per_poly}; coarsen the grid or raise "
+                "the guard"
+            )
+        cand_rows.append((int(pid), x0, x1, y0, y1))
+        j = len(ring) - 1
+        for i in range(len(ring)):
+            edge_rows.append(
+                (int(pid), xs[j], ys[j], xs[i], ys[i])
+            )
+            j = i
+    cand = (
+        spark.createDataFrame(
+            cand_rows, "pid long, x0 long, x1 long, y0 long, y1 long"
+        )
+        .select(
+            "pid", "x0", "x1",
+            F.explode(F.expr("sequence(y0, y1)")).alias("yb"),
+        )
+        .select(
+            "pid", "yb",
+            F.explode(F.expr("sequence(x0, x1)")).alias("xb"),
+        )
+        .select(
+            "pid",
+            (F.col("yb") * F.lit(cols) + F.col("xb"))
+            .cast("bigint").alias("cell"),
+        )
+    )
+    lon_c, lat_c = grid_cell_center("cell", res_deg)
+    cand = cand.withColumn("_clon", lon_c).withColumn("_clat", lat_c)
+    edges = spark.createDataFrame(
+        edge_rows, "pid long, xi double, yi double, xj double, yj double"
+    )
+    crossing = F.when(
+        ((F.col("yi") > F.col("_clat")) != (F.col("yj") > F.col("_clat")))
+        & (
+            F.col("_clon")
+            < (F.col("xj") - F.col("xi"))
+            * (F.col("_clat") - F.col("yi"))
+            / (F.col("yj") - F.col("yi"))
+            + F.col("xi")
+        ),
+        1,
+    ).otherwise(0)
+    return (
+        cand.join(F.broadcast(edges), "pid")
+        .groupBy(F.col("pid").alias("polygon_id"), "cell")
+        .agg(F.sum(crossing).alias("_x"))
+        .where(F.col("_x") % 2 == 1)
+        .select("polygon_id", "cell")
+    )
+
+
+def cell_polyfill_sql(
+    polygons: "Sequence[tuple[int, Sequence[tuple[float, float]]]]",
+    res_deg: float = DEFAULT_RES_DEG,
+) -> str:
+    """DuckDB twin of :func:`cell_polyfill` — identical bbox cell
+    enumeration (generate_series), identical dyadic centers and
+    crossing predicate over VALUES edge lists.  Standalone."""
+    cols = int(360 / res_deg)
+    rows_n = int(180 / res_deg)
+    bbox_vals = []
+    edge_vals = []
+    for pid, ring in polygons:
+        xs = [float(p[0]) for p in ring]
+        ys = [float(p[1]) for p in ring]
+        x0 = max(0, int(math.floor((min(xs) + 180.0) / res_deg)))
+        x1 = min(cols - 1, int(math.floor((max(xs) + 180.0) / res_deg)))
+        y0 = max(0, int(math.floor((min(ys) + 90.0) / res_deg)))
+        y1 = min(rows_n - 1, int(math.floor((max(ys) + 90.0) / res_deg)))
+        bbox_vals.append(f"({int(pid)}, {x0}, {x1}, {y0}, {y1})")
+        j = len(ring) - 1
+        for i in range(len(ring)):
+            edge_vals.append(
+                f"({int(pid)}, {xs[j]!r}::DOUBLE, {ys[j]!r}::DOUBLE, "
+                f"{xs[i]!r}::DOUBLE, {ys[i]!r}::DOUBLE)"
+            )
+            j = i
+    return f"""
+        WITH pf_bbox(pid, x0, x1, y0, y1) AS (
+            VALUES {", ".join(bbox_vals)}
+        ),
+        pf_edges(pid, xi, yi, xj, yj) AS (
+            VALUES {", ".join(edge_vals)}
+        ),
+        pf_cand AS (
+            SELECT b.pid,
+                   CAST(yy.yb * {cols} + xx.xb AS BIGINT) AS cell,
+                   (CAST(xx.xb AS DOUBLE) + 0.5) * {res_deg!r}
+                       - 180.0 AS clon,
+                   (CAST(yy.yb AS DOUBLE) + 0.5) * {res_deg!r}
+                       - 90.0 AS clat
+            FROM pf_bbox b,
+                 LATERAL (SELECT UNNEST(generate_series(b.y0, b.y1))
+                          AS yb) yy,
+                 LATERAL (SELECT UNNEST(generate_series(b.x0, b.x1))
+                          AS xb) xx
+        )
+        SELECT c.pid AS polygon_id, c.cell
+        FROM pf_cand c JOIN pf_edges e USING (pid)
+        GROUP BY 1, 2
+        HAVING SUM(CASE WHEN (e.yi > c.clat) <> (e.yj > c.clat)
+                         AND c.clon < (e.xj - e.xi) * (c.clat - e.yi)
+                                      / (e.yj - e.yi) + e.xi
+                        THEN 1 ELSE 0 END) % 2 = 1
+    """
