@@ -255,6 +255,19 @@ def q_cell_assignment(spark, sf_dir):
     return spatial.assign_cells(pages).select("url", "lon", "lat", "cell", "tile")
 
 
+def q_point_dispersion(spark, sf_dir):
+    """Centrographics (spatial.point_dispersion): per-language mean
+    center + squared standard distance over latest page versions —
+    the two numbers a spatial profile leads with (compact cluster vs
+    continent-wide scatter), exact via the N-scaling identity with
+    one non-negative truncating division; one map-side-combining
+    aggregation."""
+    pages = lineage.latest_version(
+        _pages(spark, sf_dir), cols=["lon", "lat", "lang"]
+    )
+    return spatial.point_dispersion(pages, "lang")
+
+
 def q_spatial_eps_clusters(spark, sf_dir):
     """Density-connectivity clustering (spatial.eps_clusters): the
     DBSCAN ε-graph (min_pts=1) over ALL page versions — versions of a
@@ -6018,6 +6031,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "local_supplier_volume": q_local_supplier_volume,
         "promo_revenue": q_promo_revenue,
         "cell_assignment": q_cell_assignment,
+        "point_dispersion": q_point_dispersion,
         "spatial_eps_clusters": q_spatial_eps_clusters,
         "spatial_dbscan": q_spatial_dbscan,
         "radius_join": q_radius_join,
@@ -6838,6 +6852,19 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem JOIN part ON l_partkey = p_partkey
             GROUP BY 1
         """,
+        "point_dispersion": _with_pages(
+            """, pd_latest AS (
+                SELECT lang, lon, lat FROM (
+                    SELECT p.*,
+                           ROW_NUMBER() OVER (PARTITION BY url
+                                              ORDER BY version DESC)
+                               AS rn
+                    FROM pages p
+                ) WHERE rn = 1
+            )
+            """
+            + spatial.point_dispersion_sql("pd_latest", "lang")
+        ),
         "cell_assignment": _with_pages(f"""
             SELECT url, lon, lat,
                    {cell} AS cell,

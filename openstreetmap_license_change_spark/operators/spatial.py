@@ -9678,3 +9678,93 @@ def cell_polyfill_sql(
                                       / (e.yj - e.yi) + e.xi
                         THEN 1 ELSE 0 END) % 2 = 1
     """
+
+
+def point_dispersion(
+    points: DataFrame,
+    group_col: str,
+    lon: str = "lon",
+    lat: str = "lat",
+    scale: int = 10_000,
+) -> DataFrame:
+    """Mean center + squared standard distance per group — the
+    centrographic pair (the crime-mapping / market-area classic):
+    WHERE is a group's activity centered and HOW spread is it, the
+    two numbers a per-entity spatial profile leads with (compact
+    cluster vs continent-wide scatter separates a local business from
+    a CDN in the crawl corpus).
+
+    Exact-integer form via the N-scaling identity: with coordinates
+    quantized to ``scale`` units (the house ×10⁴ fixed point),
+
+        Σᵢ (xᵢ − x̄)² = (n·Σx² − (Σx)²) / n
+
+    so  disp2_q = ((n·Σx² − Sx²) + (n·Σy² − Sy²)) DIV n²  — the mean
+    squared distance from the centroid (the squared standard
+    distance) with ONE non-negative truncating division; the mean
+    center itself is Sx DIV n / Sy DIV n (integer DIV truncates
+    toward zero identically in both engines — verified for DuckDB's
+    integer ``//``).  Bounds: n·Σx² ≤ n²·(3.6·10⁶)² rides
+    decimal(38,0) to n ~ 10¹² points per group.
+
+    Planar in quantized degree units (the kNN family's convention;
+    no lon wrap — groups spanning the antimeridian read wide,
+    stated).  One map-side-combining aggregation; output one row per
+    group: (group, n, cx_q, cy_q, disp2_q)."""
+    dec = "decimal(38,0)"
+    sc = F.lit(float(scale))
+    q = points.select(
+        F.col(group_col).alias("_g"),
+        F.round(F.col(lon) * sc).cast("bigint").alias("_x"),
+        F.round(F.col(lat) * sc).cast("bigint").alias("_y"),
+    )
+    agg = q.groupBy("_g").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.expr(f"CAST(_x AS {dec})")).alias("_sx"),
+        F.sum(F.expr(f"CAST(_y AS {dec})")).alias("_sy"),
+        F.sum(F.expr(f"CAST(_x AS {dec}) * _x")).alias("_qx"),
+        F.sum(F.expr(f"CAST(_y AS {dec}) * _y")).alias("_qy"),
+    )
+    return agg.select(
+        F.col("_g").alias(group_col),
+        "n",
+        F.expr("CAST(_sx DIV n AS BIGINT)").alias("cx_q"),
+        F.expr("CAST(_sy DIV n AS BIGINT)").alias("cy_q"),
+        F.expr(
+            "CAST(((n * _qx - _sx * _sx) + (n * _qy - _sy * _sy))"
+            " DIV (CAST(n AS decimal(38,0)) * n) AS BIGINT)"
+        ).alias("disp2_q"),
+    )
+
+
+def point_dispersion_sql(
+    src: str,
+    group_col: str,
+    lon: str = "lon",
+    lat: str = "lat",
+    scale: int = 10_000,
+) -> str:
+    """DuckDB twin of :func:`point_dispersion` (HUGEINT, identical
+    N-scaling identity and truncating divisions).  Deliberately
+    CTE-free (nested subqueries only) so it composes inside callers'
+    own WITH chains — e.g. after the pages CTE prefix."""
+    return f"""
+        SELECT _g AS {group_col}, n,
+               CAST(sx // n AS BIGINT) AS cx_q,
+               CAST(sy // n AS BIGINT) AS cy_q,
+               CAST(((n * qx - sx * sx) + (n * qy - sy * sy))
+                    // (CAST(n AS HUGEINT) * n) AS BIGINT) AS disp2_q
+        FROM (
+            SELECT _g, CAST(COUNT(*) AS BIGINT) AS n,
+                   SUM(CAST(_x AS HUGEINT)) AS sx,
+                   SUM(CAST(_y AS HUGEINT)) AS sy,
+                   SUM(CAST(_x AS HUGEINT) * _x) AS qx,
+                   SUM(CAST(_y AS HUGEINT) * _y) AS qy
+            FROM (
+                SELECT {group_col} AS _g,
+                       CAST(ROUND({lon} * {scale}) AS BIGINT) AS _x,
+                       CAST(ROUND({lat} * {scale}) AS BIGINT) AS _y
+                FROM {src}
+            ) GROUP BY _g
+        )
+    """
