@@ -681,6 +681,25 @@ def q_tile_rollup(spark, sf_dir):
     return spatial.tile_rollup(cells)
 
 
+def q_raster_viewshed(spark, sf_dir):
+    """8-ray viewshed (spatial.raster_viewshed) from the three
+    densest cells of the page raster: the classic DEM line-of-sight
+    sweep with n_pages as the height field — max-slope-along-ray as
+    a once-quantized integer ordinal (the diagonal √2 cancels within
+    a ray), strict running-max visibility, pole clamp + lon wrap.
+    |observers|·8·radius probe rows, one broadcast height join, one
+    keyed window."""
+    cells = spatial.assign_cells(_pages(spark, sf_dir))
+    raster = cells.groupBy("cell").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pages")
+    )
+    observers = (
+        raster.orderBy(F.desc("n_pages"), "cell").limit(3)
+        .select("cell")
+    )
+    return spatial.raster_viewshed(raster, observers, radius=10)
+
+
 def q_tile_focal_mean(spark, sf_dir):
     """3×3 focal mean over the tile_rollup raster
     (spatial.tile_focal_stats): neighborhood page-count smoothing on
@@ -6092,6 +6111,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hex_focal_mean": q_hex_focal_mean,
         "polygon_stats": q_polygon_stats,
         "tile_rollup": q_tile_rollup,
+        "raster_viewshed": q_raster_viewshed,
         "tile_focal_mean": q_tile_focal_mean,
         "tile_majority": q_tile_majority,
         "drainage_length": q_drainage_length,
@@ -7360,6 +7380,16 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN clab cl ON cl.pid = p.pid
             LEFT JOIN border b ON b.pid = p.pid
         """),
+        "raster_viewshed": _with_pages(
+            ", vw_raster AS (SELECT " + cell + " AS cell, "
+            "CAST(COUNT(*) AS BIGINT) AS n_pages FROM pages "
+            "GROUP BY 1), "
+            "vw_top AS (SELECT cell FROM vw_raster "
+            "ORDER BY n_pages DESC, cell LIMIT 3), "
+            + spatial.raster_viewshed_ctes(
+                "vw_raster", "vw_top", radius=10
+            )
+        ),
         "tile_rollup": _with_pages(f"""
             SELECT cell, n_pages, n_tainted,
                    ROUND(CAST(n_tainted AS DOUBLE) / n_pages, 6)

@@ -9768,3 +9768,183 @@ def point_dispersion_sql(
             ) GROUP BY _g
         )
     """
+
+
+VIEWSHED_DIRS = (
+    (1, 0), (1, 1), (0, 1), (-1, 1),
+    (-1, 0), (-1, -1), (0, -1), (1, -1),
+)
+
+
+def raster_viewshed(
+    raster: DataFrame,
+    observers: DataFrame,
+    height_col: str = "n_pages",
+    radius: int = 10,
+    res_deg: float = DEFAULT_RES_DEG,
+    slope_scale: int = 1 << 20,
+) -> DataFrame:
+    """Eight-ray line-of-sight viewshed over a cell raster — the
+    classic DEM visibility sweep (which cells can a tower/observer
+    see?), run on the AGGREGATE raster with any integral column as
+    the height field (on the taint raster it reads as "which hotspots
+    does this hotspot dominate" — the same max-slope-along-ray
+    algebra as terrain).
+
+    Semantics (D8 viewshed-lite, declared): along each of the 8
+    cardinal/diagonal rays out to ``radius`` steps, a target cell is
+    visible iff its elevation angle strictly exceeds every PRIOR
+    angle on the ray.  Within a ray the distance is proportional to
+    the step count (the diagonal √2 cancels), so the angle ordinal is
+    slope_q = ((h_t − h_obs)·slope_scale) DIV step — quantized ONCE
+    (truncation toward zero, identical in both engines; ties at the
+    quantization boundary are therefore deterministic and DECLARED),
+    then visibility is a plain running-max window comparison.  Cells
+    absent from the raster have height 0 (a sparse web raster is
+    mostly empty — stated).  Rays clamp at the poles and wrap in
+    longitude (the focal-stats topology).
+
+    Plan: |observers|·8·radius probe rows (observers are a small
+    broadcast set by construction — this is a per-site analysis, not
+    an all-cells pass), one broadcast height join, one
+    (observer, dir)-keyed window.  Returns (observer_cell, dir, step,
+    target_cell, height, slope_q, visible)."""
+    if radius < 1:
+        raise ValueError(f"radius must be ≥ 1: {radius}")
+    cols = int(360 / res_deg)
+    rows_n = int(180 / res_deg)
+    offs = [
+        (d, s, dx * s, dy * s)
+        for d, (dx, dy) in enumerate(VIEWSHED_DIRS)
+        for s in range(1, int(radius) + 1)
+    ]
+    spark = raster.sparkSession
+    off_df = spark.createDataFrame(
+        offs, "dir int, step int, dx long, dy long"
+    )
+    hs = raster.select(
+        F.col("cell").alias("_hc"),
+        F.col(height_col).cast("bigint").alias("_h"),
+    )
+    obs = observers.select(
+        F.col("cell").alias("observer_cell")
+    ).join(
+        hs, F.col("observer_cell") == F.col("_hc"), "left"
+    ).select(
+        "observer_cell",
+        F.coalesce("_h", F.lit(0)).alias("_ho"),
+        (F.col("observer_cell") % cols).alias("_xb"),
+        F.floor(F.col("observer_cell") / cols).alias("_yb"),
+    )
+    probes = (
+        obs.crossJoin(F.broadcast(off_df))
+        .withColumn("_ty", F.col("_yb") + F.col("dy"))
+        .where((F.col("_ty") >= 0) & (F.col("_ty") < rows_n))
+        .withColumn(
+            "_tx", F.pmod(F.col("_xb") + F.col("dx"), F.lit(cols))
+        )
+        .withColumn(
+            "target_cell",
+            (F.col("_ty") * cols + F.col("_tx")).cast("bigint"),
+        )
+        .join(hs, F.col("target_cell") == F.col("_hc"), "left")
+        .withColumn("height", F.coalesce("_h", F.lit(0)))
+        .withColumn(
+            "slope_q",
+            F.expr(
+                f"((height - _ho) * {int(slope_scale)}) DIV step"
+            ),
+        )
+    )
+    w = (
+        W.partitionBy("observer_cell", "dir")
+        .orderBy("step")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    return probes.select(
+        "observer_cell", "dir", "step", "target_cell", "height",
+        "slope_q",
+        (
+            F.max("slope_q").over(w).isNull()
+            | (F.col("slope_q") > F.max("slope_q").over(w))
+        ).alias("visible"),
+    )
+
+
+def raster_viewshed_ctes(
+    raster_src: str,
+    observers_src: str,
+    height_col: str = "n_pages",
+    radius: int = 10,
+    res_deg: float = DEFAULT_RES_DEG,
+    slope_scale: int = 1 << 20,
+) -> str:
+    """Twin CTE chain + final select WITHOUT the leading WITH (the
+    local_morans_ctes pattern), so callers can append it to their own
+    CTE lists — e.g. after the pages prefix.  ``raster_src`` exposes
+    (cell, height_col); ``observers_src`` (cell)."""
+    cols = int(360 / res_deg)
+    rows_n = int(180 / res_deg)
+    offs = ", ".join(
+        f"({d}, {s}, {dx * s}, {dy * s})"
+        for d, (dx, dy) in enumerate(VIEWSHED_DIRS)
+        for s in range(1, int(radius) + 1)
+    )
+    return f"""
+        vw_h AS (
+            SELECT cell AS hc, CAST({height_col} AS BIGINT) AS h
+            FROM {raster_src}
+        ),
+        vw_obs AS (
+            SELECT o.cell AS observer_cell,
+                   COALESCE(h.h, 0) AS ho,
+                   o.cell % {cols} AS xb,
+                   o.cell // {cols} AS yb
+            FROM {observers_src} o
+            LEFT JOIN vw_h h ON h.hc = o.cell
+        ),
+        vw_off(dir, step, dx, dy) AS (VALUES {offs}),
+        vw_probe AS (
+            SELECT ob.observer_cell, f.dir, f.step,
+                   CAST((ob.yb + f.dy) * {cols}
+                        + ((ob.xb + f.dx) % {cols} + {cols}) % {cols}
+                        AS BIGINT) AS target_cell,
+                   ob.ho
+            FROM vw_obs ob CROSS JOIN vw_off f
+            WHERE ob.yb + f.dy >= 0 AND ob.yb + f.dy < {rows_n}
+        ),
+        vw_sc AS (
+            SELECT p.observer_cell,
+                   CAST(p.dir AS INTEGER) AS dir,
+                   CAST(p.step AS INTEGER) AS step,
+                   p.target_cell,
+                   COALESCE(h.h, 0) AS height,
+                   CAST(((COALESCE(h.h, 0) - p.ho)
+                         * {int(slope_scale)}) // p.step AS BIGINT)
+                       AS slope_q
+            FROM vw_probe p LEFT JOIN vw_h h ON h.hc = p.target_cell
+        )
+        SELECT observer_cell, dir, step, target_cell, height, slope_q,
+               (MAX(slope_q) OVER w IS NULL OR slope_q > MAX(slope_q)
+                   OVER w) AS visible
+        FROM vw_sc
+        WINDOW w AS (PARTITION BY observer_cell, dir ORDER BY step
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    """
+
+
+def raster_viewshed_sql(
+    raster_src: str,
+    observers_src: str,
+    height_col: str = "n_pages",
+    radius: int = 10,
+    res_deg: float = DEFAULT_RES_DEG,
+    slope_scale: int = 1 << 20,
+) -> str:
+    """DuckDB twin of :func:`raster_viewshed` — identical offset
+    table (VALUES), wrap/clamp, once-quantized slope and running-max
+    window.  Standalone statement."""
+    return "WITH " + raster_viewshed_ctes(
+        raster_src, observers_src, height_col=height_col,
+        radius=radius, res_deg=res_deg, slope_scale=slope_scale,
+    )
