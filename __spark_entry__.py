@@ -5042,6 +5042,21 @@ def q_media_decode_stats(spark, sf_dir):
 DHASH_HAMMING, DHASH_BANDS = 7, 8
 
 
+def q_image_phash(spark, sf_dir):
+    """Perceptual DCT hash (multimodal.image_phash) per synthetic
+    raw-RGB image: the frequency-domain near-dup hash beside dHash —
+    block SUMS (8-aligned grid makes the mean denominators cancel),
+    two integer matmuls against the FROZEN round(DCT·2¹⁴) constants,
+    one bit per AC coefficient vs the exact rank-32 median.  The
+    oracle replays every pixel and the same matmul through a VALUES
+    join of the identical 64 integers with a rank-window median — a
+    different execution shape of the same arithmetic."""
+    from openstreetmap_license_change_spark.operators import multimodal
+
+    media = multimodal.synthetic_raw_rgb_media(spark, n=16, w=48, h=32)
+    return multimodal.image_phash(media)
+
+
 def q_media_dhash(spark, sf_dir):
     """Perceptual image dHash (multimodal.image_dhash): raw-RGB decode
     → exact integer equal-area block means → cross-multiplied
@@ -6313,6 +6328,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "osmchange_render": q_osmchange_render,
         "media_decode_stats": q_media_decode_stats,
         "media_dhash": q_media_dhash,
+        "image_phash": q_image_phash,
         "dhash_pairs": q_dhash_pairs,
         "audio_decode_stats": q_audio_decode_stats,
         "video_frame_stats": q_video_frame_stats,
@@ -9938,6 +9954,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "audio_zcr": multimodal_mod.audio_zcr_sql(8),
         "audio_haar": multimodal_mod.audio_haar_sql(8),
+        "image_phash": multimodal_mod.image_phash_sql(16, w=48, h=32),
         "video_ssim": multimodal_mod.video_block_ssim_sql(
             8, w=16, h=12, n_frames=24, scene_len=8, block=4
         ),

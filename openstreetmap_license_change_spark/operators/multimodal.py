@@ -16,6 +16,7 @@ features land in a separate table keyed by content hash.
 
 from __future__ import annotations
 
+import math as _math
 from typing import Iterator
 
 import numpy as np
@@ -2869,4 +2870,157 @@ def video_block_ssim_sql(
                     ELSE (num * 1000000) // den
                END AS BIGINT) AS ssim_ppm
         FROM bs_terms
+    """
+
+
+# 8×8 DCT-II basis, frozen ONCE as integers (round(α(u)·cos((2x+1)uπ/16)
+# ·2¹⁴) — the NDCG/Benford declared-constant discipline: the irrational
+# cosines never re-derive; both engines consume these exact integers)
+PHASH_DCT_SCALE = 1 << 14
+PHASH_DCT_M = tuple(
+    tuple(
+        round(
+            (1.0 / (8 ** 0.5) if u == 0 else 0.5)
+            * _math.cos((2 * x + 1) * u * _math.pi / 16)
+            * PHASH_DCT_SCALE
+        )
+        for x in range(8)
+    )
+    for u in range(8)
+)
+
+PHASH_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("phash", LongType()),
+        StructField("median_coef", LongType()),
+    ]
+)
+
+
+def image_phash(media: DataFrame) -> DataFrame:
+    """Perceptual DCT hash (pHash) per raw-RGB image, exact integer
+    end-to-end — the frequency-domain member of the near-dup family
+    beside :func:`image_dhash` (dHash sees local gradient flips and
+    is cheap; pHash projects the image onto the 8×8 low-frequency
+    DCT subspace and survives blur/noise/gamma edits that scramble
+    neighboring block means).
+
+    Exactness chain: channel-sum luma → 8×8 grid of BLOCK SUMS
+    (w, h must be multiples of 8 — enforced loudly: equal block
+    pixel counts are what let the mean denominators cancel, so sums
+    replace means with zero division), then S = M·B·Mᵀ with the
+    FROZEN integer DCT matrix ``PHASH_DCT_M`` (round(basis·2¹⁴) —
+    declared constants, never re-derived), then one bit per AC
+    coefficient: 1 iff it strictly exceeds the lower nearest-rank
+    MEDIAN of the 63 AC coefficients.  63 bits — int64-positive, the
+    simhash63 sizing.  Bounds: |S| ≤ 64·2²⁸·8·765·64 < 2⁵³.
+
+    Python only decodes and runs two 8×8 integer matmuls per image;
+    the oracle replays every pixel and the same matmul through a
+    VALUES join of the identical 64 constants, with the median as a
+    rank window — a different execution shape of the same integers.
+
+    Returns (media_id, phash, median_coef)."""
+    m = np.asarray(PHASH_DCT_M, dtype=np.int64)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            recs = []
+            for mid, payload, w, h in zip(
+                pdf["media_id"], pdf["payload"],
+                pdf["meta_width"], pdf["meta_height"],
+            ):
+                w, h = int(w), int(h)
+                if not payload:
+                    continue
+                if w % 8 or h % 8:
+                    raise ValueError(
+                        f"image_phash: image {w}×{h} not a multiple "
+                        f"of 8 (media_id={mid}); pad or crop upstream"
+                    )
+                img = np.frombuffer(
+                    payload, dtype=np.uint8
+                ).reshape(h, w, 3)
+                gray = img.sum(axis=2, dtype=np.int64)
+                bw, bh = w // 8, h // 8
+                blocks = gray.reshape(8, bh, 8, bw).sum(axis=(1, 3))
+                coef = m @ blocks @ m.T
+                ac = np.delete(coef.reshape(-1), 0)
+                med = int(np.sort(ac)[(len(ac) - 1) // 2])
+                hv = 0
+                for i, v in enumerate(ac):
+                    if int(v) > med:
+                        hv |= 1 << i
+                recs.append((int(mid), hv, med))
+            yield pd.DataFrame(
+                recs, columns=["media_id", "phash", "median_coef"]
+            )
+
+    return (
+        media.where(F.col("media_type") == "image")
+        .repartition("media_id")
+        .mapInPandas(run, schema=PHASH_SCHEMA)
+    )
+
+
+def image_phash_sql(n: int, w: int = 48, h: int = 32) -> str:
+    """DuckDB twin of :func:`image_phash` over the
+    synthetic_raw_rgb_media closed form (pixel (x,y,c) =
+    (3x+7y+11c+13·id) mod 256): regenerates every pixel, applies the
+    SAME frozen DCT integers via a VALUES join (two grouped matmul
+    passes), takes the rank-window median, and assembles the 63 bits
+    with shifts.  Standalone statement."""
+    if w % 8 or h % 8:
+        raise ValueError("twin requires 8-aligned dimensions")
+    mvals = ", ".join(
+        f"({u}, {x}, {PHASH_DCT_M[u][x]})"
+        for u in range(8) for x in range(8)
+    )
+    return f"""
+        WITH ph_px AS MATERIALIZED (
+            SELECT m.id AS media_id,
+                   (y.y * 8) // {h} AS by, (x.x * 8) // {w} AS bx,
+                   CAST((x.x*3 + y.y*7 + 0  + m.id*13) % 256
+                      + (x.x*3 + y.y*7 + 11 + m.id*13) % 256
+                      + (x.x*3 + y.y*7 + 22 + m.id*13) % 256
+                      AS BIGINT) AS g
+            FROM (SELECT UNNEST(range(0, {int(n)})) AS id) m,
+                 range(0, {w}) x(x), range(0, {h}) y(y)
+        ),
+        ph_blk AS (
+            SELECT media_id, by, bx, SUM(g) AS b
+            FROM ph_px GROUP BY 1, 2, 3
+        ),
+        ph_m(u, x, c) AS (VALUES {mvals}),
+        ph_rows AS (
+            -- left multiply: R[u][bx] = Σ_by M[u][by]·B[by][bx]
+            SELECT blk.media_id, mm.u, blk.bx,
+                   SUM(mm.c * blk.b) AS r
+            FROM ph_blk blk JOIN ph_m mm ON mm.x = blk.by
+            GROUP BY 1, 2, 3
+        ),
+        ph_coef AS (
+            -- right multiply: S[u][v] = Σ_bx R[u][bx]·M[v][bx]
+            SELECT rr.media_id, rr.u, mm.u AS v,
+                   SUM(rr.r * mm.c) AS s
+            FROM ph_rows rr JOIN ph_m mm ON mm.x = rr.bx
+            GROUP BY 1, 2, 3
+        ),
+        ph_ac AS (
+            SELECT media_id, u * 8 + v - 1 AS bit_idx, s,
+                   ROW_NUMBER() OVER (PARTITION BY media_id
+                                      ORDER BY s) AS rk
+            FROM ph_coef WHERE NOT (u = 0 AND v = 0)
+        ),
+        ph_med AS (
+            SELECT media_id, s AS med FROM ph_ac WHERE rk = 32
+        )
+        SELECT a.media_id,
+               CAST(SUM(CASE WHEN a.s > d.med
+                    THEN CAST(1 AS BIGINT) << a.bit_idx
+                    ELSE 0 END) AS BIGINT) AS phash,
+               CAST(MAX(d.med) AS BIGINT) AS median_coef
+        FROM ph_ac a JOIN ph_med d USING (media_id)
+        GROUP BY 1
     """
