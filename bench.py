@@ -397,6 +397,32 @@ def run_queries(spark, sf_dir):
             lambda: _noop_write(_entry4n.q_kn_score(spark, sf_dir)),
         )
 
+    if _wants("cell_polyfill", "line_merge", "image_phash"):
+        # round-4s family representatives: native polygon polyfill
+        # (broadcast edge join + parity aggregation over the bbox cell
+        # fan), pointer-jumping segment dissolve, and the integer-DCT
+        # perceptual hash over the image synth.
+        import __spark_entry__ as _entry4s
+        from openstreetmap_license_change_spark.operators import (
+            multimodal as mm_ops,
+        )
+
+        timed(
+            "cell_polyfill",
+            lambda: _noop_write(_entry4s.q_cell_polyfill(spark, sf_dir)),
+        )
+        timed(
+            "line_merge",
+            lambda: _noop_write(_entry4s.q_line_merge(spark, sf_dir)),
+        )
+        _ph_media = mm_ops.synthetic_raw_rgb_media(
+            spark, n=256, w=48, h=32
+        )
+        timed(
+            "image_phash",
+            lambda: _noop_write(mm_ops.image_phash(_ph_media)),
+        )
+
     timings = run_rounds()
     if not shared:
         shutil.rmtree(stage_dir, ignore_errors=True)
