@@ -3589,6 +3589,22 @@ def q_theil_sen_hourly(spark, sf_dir):
     return temporal_mod.theil_sen(hourly, "event_type", "h", "n")
 
 
+def q_session_paths(spark, sf_dir):
+    """Top-k session journeys (temporal.session_paths): the full
+    ordered event-type path per session ranked by frequency — the
+    navigation table between session_matrix's endpoints and
+    event_transitions' memoryless pairs.  Same sessionizer and
+    (ts, event_id) total order as the session family; per-session
+    ordered collect bounded by a loud bot guard; the global rank
+    window runs over a k-th-count pre-cut, never the full path
+    vocabulary."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return temporal_mod.session_paths(
+        ev, "user_id", "ts", "event_type", "event_id",
+        gap_s=1800, k=25,
+    )
+
+
 def q_event_xcorr(spark, sf_dir):
     """Lag-scan cross-correlation (temporal.series_crosscorr):
     click-rate vs purchase-rate per user shard over the DENSIFIED
@@ -6210,6 +6226,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rank_sum_lengths": q_rank_sum_lengths,
         "theil_sen_hourly": q_theil_sen_hourly,
         "event_xcorr": q_event_xcorr,
+        "session_paths": q_session_paths,
         "ols_hourly": q_ols_hourly,
         "runs_test_hourly": q_runs_test_hourly,
         "twa_value": q_twa_value,
@@ -9863,6 +9880,10 @@ def oracle_sql() -> dict[str, str]:
                        CAST(COUNT(*) AS BIGINT) AS n
                 FROM events GROUP BY 1, 2)""",
             "event_type", "h", "n",
+        ),
+        "session_paths": temporal_mod.session_paths_sql(
+            "events", "user_id", "ts", "event_type", "event_id",
+            gap_s=1800, k=25,
         ),
         "event_xcorr": temporal_mod.series_crosscorr_sql(
             """(

@@ -3952,3 +3952,159 @@ def series_crosscorr_sql(
         CROSS JOIN (VALUES {lag_vals}) l(lag)
         LEFT JOIN sx_pairs p ON p._k = d._k AND p.lag = l.lag
     """
+
+
+def session_paths(
+    events: DataFrame,
+    key_col: str,
+    ts_col: str,
+    type_col: str,
+    tiebreak_col: str,
+    gap_s: int = 1800,
+    k: int = 20,
+    max_path_len: int = 64,
+) -> DataFrame:
+    """Top-k session JOURNEYS — the full ordered event-type path per
+    session, ranked by frequency: the navigation-pattern table
+    between :func:`session_entry_exit`'s endpoints-only matrix and
+    :func:`event_transitions`' memoryless pairs (a path is the whole
+    Markov trajectory, so "view→click→view→purchase beats
+    view→purchase 3:1" is readable directly).
+
+    Same sessionizer as the session family (gap > ``gap_s`` splits;
+    the events_sessionize convention) and the same TOTAL order
+    (ts, tiebreak), so same-timestamp events serialize
+    deterministically and the assembled path string is
+    parallelism-independent.  Paths assemble as
+    ``array_join(array_agg ... within the session sort)`` — one
+    collect_list over the already-keyed window, bounded LOUDLY by
+    ``max_path_len`` (assert_true riding the path column: an
+    unbounded per-session array is the collect-blowup trap; a
+    64-event session is a bot signature, not a journey).
+
+    Rank is dense by (count DESC, path ASC) — a total order, so the
+    top-k cut is deterministic; ties share counts but not ranks.
+
+    Plan: one key shuffle serves the gap window, the running session
+    id and the per-session ordered collect (same partitioning); the
+    path rollup is one hash aggregate over |sessions| rows; the final
+    cut is TakeOrderedAndProject-shaped (ORDER BY + LIMIT after a
+    rank filter keeps ties intact instead).
+
+    Returns (rank, path, n_sessions) — ≤ k rows plus count-ties."""
+    if k < 1:
+        raise ValueError(f"k must be ≥ 1: {k}")
+    kw = W.partitionBy("_k").orderBy("_t", "_tb")
+    base = events.select(
+        F.col(key_col).alias("_k"),
+        F.expr(f"unix_micros(CAST({ts_col} AS TIMESTAMP))").alias("_t"),
+        F.col(type_col).alias("_ty"),
+        F.col(tiebreak_col).alias("_tb"),
+    )
+    gap_us = int(gap_s) * 1_000_000
+    sess = base.withColumn(
+        "_new",
+        F.when(
+            F.lag("_t").over(kw).isNull()
+            | (F.col("_t") - F.lag("_t").over(kw) > gap_us),
+            1,
+        ).otherwise(0),
+    ).withColumn(
+        "_sid",
+        F.sum("_new").over(
+            kw.rowsBetween(W.unboundedPreceding, W.currentRow)
+        ),
+    )
+    paths = sess.groupBy("_k", "_sid").agg(
+        F.expr(
+            "array_join(transform(array_sort(collect_list("
+            "struct(_t, _tb, _ty))), s -> s._ty), '>')"
+        ).alias("path"),
+        F.count(F.lit(1)).alias("_len"),
+    )
+    guarded = paths.select(
+        F.when(
+            F.expr(
+                f"assert_true(_len <= {int(max_path_len)}, "
+                "'session_paths: a session exceeds max_path_len="
+                f"{int(max_path_len)} events — raise the bound or "
+                "pre-filter bot keys')"
+            ).isNull(),
+            F.col("path"),
+        ).alias("path")
+    )
+    counted = guarded.groupBy("path").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sessions")
+    )
+    wrank = W.orderBy(F.desc("n_sessions"), "path")
+    # the global rank window runs over |distinct paths| rows AFTER a
+    # pre-cut: keep only paths whose count reaches the k-th largest
+    # count (a broadcast threshold), so the unpartitioned window sees
+    # a k-bounded frame, not the full path vocabulary
+    thresh = (
+        counted.select("n_sessions")
+        .orderBy(F.desc("n_sessions"))
+        .limit(int(k))
+        .agg(F.min("n_sessions").alias("_thr"))
+    )
+    trimmed = counted.crossJoin(F.broadcast(thresh)).where(
+        F.col("n_sessions") >= F.col("_thr")
+    )
+    return (
+        trimmed.select(
+            F.row_number().over(wrank).alias("rank"),
+            "path", "n_sessions",
+        )
+        .where(F.col("rank") <= int(k))
+    )
+
+
+def session_paths_sql(
+    src: str,
+    key_col: str,
+    ts_col: str,
+    type_col: str,
+    tiebreak_col: str,
+    gap_s: int = 1800,
+    k: int = 20,
+) -> str:
+    """DuckDB twin of :func:`session_paths` — identical sessionizer,
+    string_agg under the identical (ts, tiebreak) total order,
+    identical (count DESC, path) rank cut.  Standalone."""
+    gap_us = int(gap_s) * 1_000_000
+    return f"""
+        WITH sp_base AS (
+            SELECT {key_col} AS _k,
+                   CAST(epoch_us(CAST({ts_col} AS TIMESTAMP))
+                        AS BIGINT) AS _t,
+                   {type_col} AS _ty, {tiebreak_col} AS _tb
+            FROM {src}
+        ),
+        sp_sess AS (
+            SELECT *,
+                   SUM(CASE WHEN _prev IS NULL
+                             OR _t - _prev > {gap_us}
+                            THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY _k ORDER BY _t, _tb
+                             ROWS UNBOUNDED PRECEDING) AS _sid
+            FROM (
+                SELECT *, LAG(_t) OVER (PARTITION BY _k
+                                        ORDER BY _t, _tb) AS _prev
+                FROM sp_base
+            )
+        ),
+        sp_paths AS (
+            SELECT _k, _sid,
+                   STRING_AGG(_ty, '>' ORDER BY _t, _tb) AS path
+            FROM sp_sess GROUP BY 1, 2
+        ),
+        sp_counts AS (
+            SELECT path, CAST(COUNT(*) AS BIGINT) AS n_sessions
+            FROM sp_paths GROUP BY 1
+        )
+        SELECT CAST(ROW_NUMBER() OVER (ORDER BY n_sessions DESC, path)
+                    AS INTEGER) AS rank,
+               path, n_sessions
+        FROM sp_counts
+        ORDER BY 1 LIMIT {int(k)}
+    """
