@@ -3605,6 +3605,21 @@ def q_session_paths(spark, sf_dir):
     )
 
 
+def q_survival_km(spark, sf_dir):
+    """Kaplan–Meier survival with right-censoring
+    (temporal.survival_km): the churn curve event_retention can't
+    ask — users whose fate is unknown at corpus end leave the risk
+    set without counting as churn.  Lifetime = hourly-bucket
+    activity span; churn iff the corpus outlives the last activity
+    by > 24 buckets.  Exact quantized floor ladder over the
+    |distinct lifetimes| step table via ONE aggregate() fold — no
+    windows, no Python, corpus-size-independent sequential part."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return temporal_mod.survival_km(
+        ev, "user_id", "ts", bucket_s=3600, horizon=24,
+    )
+
+
 def q_event_xcorr(spark, sf_dir):
     """Lag-scan cross-correlation (temporal.series_crosscorr):
     click-rate vs purchase-rate per user shard over the DENSIFIED
@@ -6227,6 +6242,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "theil_sen_hourly": q_theil_sen_hourly,
         "event_xcorr": q_event_xcorr,
         "session_paths": q_session_paths,
+        "survival_km": q_survival_km,
         "ols_hourly": q_ols_hourly,
         "runs_test_hourly": q_runs_test_hourly,
         "twa_value": q_twa_value,
@@ -9884,6 +9900,9 @@ def oracle_sql() -> dict[str, str]:
         "session_paths": temporal_mod.session_paths_sql(
             "events", "user_id", "ts", "event_type", "event_id",
             gap_s=1800, k=25,
+        ),
+        "survival_km": temporal_mod.survival_km_sql(
+            "events", "user_id", "ts", bucket_s=3600, horizon=24,
         ),
         "event_xcorr": temporal_mod.series_crosscorr_sql(
             """(

@@ -4108,3 +4108,211 @@ def session_paths_sql(
         FROM sp_counts
         ORDER BY 1 LIMIT {int(k)}
     """
+
+
+def survival_km(
+    events: DataFrame,
+    key_col: str,
+    ts_col: str,
+    bucket_s: int = 3600,
+    horizon: int = 24,
+    max_steps: int = 4096,
+) -> DataFrame:
+    """Kaplan–Meier survival curve with right-censoring — the churn
+    question :func:`event_retention` structurally can't answer: a
+    cohort table counts RETURNS per offset, but "what fraction of
+    subjects is still alive at lifetime t" needs subjects whose fate
+    is UNKNOWN (still active when the corpus ends) to leave the risk
+    set without being counted as churn.  KM is the standard estimator
+    for exactly that (Kaplan & Meier 1958), and its product form has
+    an exact integer ladder.
+
+    Subject model over an event stream: lifetime = last-activity
+    bucket − first-activity bucket (``bucket_s``-second integer
+    buckets: ``unix_micros DIV (bucket_s·10⁶)`` — no calendar
+    functions to diverge on); a subject CHURNED (death observed at
+    its lifetime) iff the corpus outlives its last activity by
+    strictly more than ``horizon`` buckets, else it is censored at
+    its lifetime (the trailing-window subjects may still be alive).
+
+    Estimator, quantized exactly: at each distinct lifetime t with
+    d_t observed deaths and n_t = |{lifetime ≥ t}| at risk
+    (censored-at-t subjects count in n_t — the standard convention),
+
+        S_ppm(t) = floor( S_ppm(prev) · (n_t − d_t) / n_t ),
+        H_ppm(t) = H_ppm(prev) + floor( d_t·10⁶ / n_t ),
+
+    S_ppm(start) = 10⁶.  Every operand is a non-negative int64, so
+    both engines truncate identically; bound: S·n ≤ 10⁶·N — exact up
+    to ~9·10¹² subjects.  H is the Nelson–Aalen cumulative hazard
+    with per-term flooring (stated; terms are summed, never
+    compounded, so the error is < 1 ppm per death time).
+
+    The ladder is inherently sequential, but it runs over the
+    |distinct lifetimes| step table — corpus-size-INDEPENDENT (≤
+    span/bucket_s rows), never over subjects.  Plan: one key shuffle
+    (per-subject min/max), a broadcast 1-row corpus-end join, one
+    map-side-combinable rollup to the step table, then ONE
+    sort_array + aggregate() higher-order fold in a single row —
+    no windows, no Python, no driver collect.  ``max_steps`` bounds
+    the collected step array LOUDLY (a blowup means bucket_s is too
+    fine for the span, not more data).
+
+    Returns one row per distinct lifetime with observed deaths:
+    (dur_buckets, n_at_risk, deaths, surv_ppm, cumhaz_ppm), in
+    lifetime order.  Reference anchor: the reference grades per-user
+    edit eligibility over whole histories (change_bot.rb); this is
+    the population-level lifetime view of the same user-activity
+    stream."""
+    if bucket_s < 1:
+        raise ValueError(f"bucket_s must be >= 1: {bucket_s}")
+    if horizon < 0:
+        raise ValueError(f"horizon must be >= 0: {horizon}")
+    unit_us = int(bucket_s) * 1_000_000
+    per_user = (
+        events.select(
+            F.col(key_col).alias("_u"),
+            F.expr(
+                f"CAST(unix_micros(CAST({ts_col} AS TIMESTAMP)) "
+                f"DIV {unit_us} AS BIGINT)"
+            ).alias("_b"),
+        )
+        .groupBy("_u")
+        .agg(F.min("_b").alias("_f"), F.max("_b").alias("_l"))
+    )
+    corpus_end = per_user.agg(F.max("_l").alias("_end"))
+    durs = per_user.crossJoin(F.broadcast(corpus_end)).select(
+        (F.col("_l") - F.col("_f")).alias("dur"),
+        F.when(
+            F.col("_end") - F.col("_l") > int(horizon), F.lit(1)
+        ).otherwise(F.lit(0)).cast("bigint").alias("ch"),
+    )
+    steps = durs.groupBy("dur").agg(
+        F.count(F.lit(1)).cast("bigint").alias("m"),
+        F.sum("ch").cast("bigint").alias("dths"),
+    )
+    one = steps.agg(
+        F.sort_array(
+            F.collect_list(F.struct("dur", "m", "dths"))
+        ).alias("_steps"),
+        F.coalesce(F.sum("m"), F.lit(0)).cast("bigint").alias("_n"),
+    )
+    guarded = one.select(
+        F.when(
+            F.expr(
+                f"assert_true(size(_steps) <= {int(max_steps)}, "
+                f"'survival_km: step table exceeds max_steps="
+                f"{int(max_steps)} distinct lifetimes — coarsen "
+                f"bucket_s or raise the bound')"
+            ).isNull(),
+            F.col("_steps"),
+        ).alias("_steps"),
+        "_n",
+    )
+    out_t = (
+        "ARRAY<STRUCT<dur_buckets: BIGINT, n_at_risk: BIGINT, "
+        "deaths: BIGINT, surv_ppm: BIGINT, cumhaz_ppm: BIGINT>>"
+    )
+    folded = guarded.select(
+        F.expr(
+            "aggregate(_steps, "
+            "named_struct('seen', 0L, 's', 1000000L, 'h', 0L, "
+            f"  'out', CAST(array() AS {out_t})), "
+            "(acc, x) -> named_struct("
+            "  'seen', acc.seen + x.m, "
+            "  's', CASE WHEN x.dths > 0 THEN "
+            "    (acc.s * ((_n - acc.seen) - x.dths)) "
+            "      DIV (_n - acc.seen) "
+            "    ELSE acc.s END, "
+            "  'h', CASE WHEN x.dths > 0 THEN "
+            "    acc.h + (x.dths * 1000000L) DIV (_n - acc.seen) "
+            "    ELSE acc.h END, "
+            "  'out', CASE WHEN x.dths > 0 THEN array_append("
+            "    acc.out, named_struct("
+            "      'dur_buckets', x.dur, "
+            "      'n_at_risk', _n - acc.seen, "
+            "      'deaths', x.dths, "
+            "      'surv_ppm', (acc.s * ((_n - acc.seen) - x.dths)) "
+            "        DIV (_n - acc.seen), "
+            "      'cumhaz_ppm', acc.h + (x.dths * 1000000L) "
+            "        DIV (_n - acc.seen))) "
+            "    ELSE acc.out END), "
+            "acc -> acc.out)"
+        ).alias("_curve")
+    )
+    return folded.select(F.explode("_curve").alias("_r")).select(
+        F.col("_r.dur_buckets").alias("dur_buckets"),
+        F.col("_r.n_at_risk").alias("n_at_risk"),
+        F.col("_r.deaths").alias("deaths"),
+        F.col("_r.surv_ppm").alias("surv_ppm"),
+        F.col("_r.cumhaz_ppm").alias("cumhaz_ppm"),
+    )
+
+
+def survival_km_sql(
+    src: str,
+    key_col: str,
+    ts_col: str,
+    bucket_s: int = 3600,
+    horizon: int = 24,
+) -> str:
+    """DuckDB twin of :func:`survival_km` — identical bucketing,
+    churn rule, at-risk suffix counts, and floor ladder; the
+    sequential product runs as a recursive CTE over the step index
+    (a DIFFERENT mechanism than Spark's aggregate() fold, so the
+    ladder itself is cross-verified).  Standalone."""
+    unit_us = int(bucket_s) * 1_000_000
+    return f"""
+        WITH RECURSIVE
+        km_user AS MATERIALIZED (
+            SELECT {key_col} AS _u,
+                   MIN(CAST(epoch_us(CAST({ts_col} AS TIMESTAMP))
+                            // {unit_us} AS BIGINT)) AS _f,
+                   MAX(CAST(epoch_us(CAST({ts_col} AS TIMESTAMP))
+                            // {unit_us} AS BIGINT)) AS _l
+            FROM {src} GROUP BY 1
+        ),
+        km_dur AS MATERIALIZED (
+            SELECT _l - _f AS dur,
+                   CASE WHEN (SELECT MAX(_l) FROM km_user) - _l
+                             > {int(horizon)}
+                        THEN 1 ELSE 0 END AS ch
+            FROM km_user
+        ),
+        km_steps AS MATERIALIZED (
+            SELECT dur, CAST(COUNT(*) AS BIGINT) AS m,
+                   CAST(SUM(ch) AS BIGINT) AS dths
+            FROM km_dur GROUP BY 1
+        ),
+        km_rn AS MATERIALIZED (
+            SELECT dur, m, dths,
+                   CAST(ROW_NUMBER() OVER (ORDER BY dur)
+                        AS BIGINT) AS rn,
+                   CAST((SELECT SUM(m) FROM km_steps)
+                        - COALESCE(SUM(m) OVER (ORDER BY dur
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND 1 PRECEDING), 0)
+                        AS BIGINT) AS n_at_risk
+            FROM km_steps
+        ),
+        km_fold AS (
+            SELECT CAST(0 AS BIGINT) AS rn,
+                   CAST(1000000 AS BIGINT) AS s,
+                   CAST(0 AS BIGINT) AS h
+            UNION ALL
+            SELECT r.rn,
+                   CAST(CASE WHEN r.dths > 0
+                        THEN (f.s * (r.n_at_risk - r.dths))
+                             // r.n_at_risk
+                        ELSE f.s END AS BIGINT),
+                   CAST(CASE WHEN r.dths > 0
+                        THEN f.h + (r.dths * 1000000) // r.n_at_risk
+                        ELSE f.h END AS BIGINT)
+            FROM km_fold f JOIN km_rn r ON r.rn = f.rn + 1
+        )
+        SELECT r.dur AS dur_buckets, r.n_at_risk, r.dths AS deaths,
+               f.s AS surv_ppm, f.h AS cumhaz_ppm
+        FROM km_rn r JOIN km_fold f ON f.rn = r.rn
+        WHERE r.dths > 0
+        ORDER BY 1
+    """
