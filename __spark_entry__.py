@@ -4861,6 +4861,48 @@ def q_kcenter_seeds(spark, sf_dir):
     return similarity.kcenter_seeds(emb, k=5)
 
 
+def q_mmr_rerank(spark, sf_dir):
+    """MMR diversity reranking (similarity.mmr_rerank) of the 64
+    candidates nearest the min-id probe vector: rel_q = −dist², the
+    brute-force retrieval stage, then the greedy
+    w_rel·rel + w_div·min-dist²-to-picked argmax at k=10 — the
+    relevance/diversity trade-off between ann_cosine_topk's pure
+    top-k and kcenter_seeds' pure spread.  Exact quantized integers
+    throughout; the oracle reruns the candidate stage AND unrolls
+    the identical greedy recurrence, so every pick, its diversity
+    margin, and its winning score are hash-verified."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    pid = emb.agg(F.min("vec_id").alias("pid"))
+    vlong = emb.select(
+        F.col("vec_id").alias("_id"),
+        F.posexplode("embedding").alias("dim", "_v"),
+    ).withColumn(
+        "_q",
+        F.round(F.col("_v").cast("double") * F.lit(1e6)).cast("bigint"),
+    ).select("_id", "dim", "_q")
+    pdims = vlong.join(
+        F.broadcast(pid), F.col("_id") == F.col("pid")
+    ).select("dim", F.col("_q").alias("_pq"))
+    d = F.col("_q") - F.col("_pq")
+    dists = (
+        vlong.join(F.broadcast(pdims), "dim")
+        .groupBy("_id")
+        .agg(F.sum(d * d).alias("_d"))
+    )
+    cands = (
+        dists.crossJoin(F.broadcast(pid))
+        .where(F.col("_id") != F.col("pid"))
+        .orderBy("_d", "_id")
+        .limit(64)
+        .select(
+            F.col("_id").alias("vec_id"),
+            (-F.col("_d")).cast("bigint").alias("rel_q"),
+        )
+        .join(emb.select("vec_id", "embedding"), "vec_id")
+    )
+    return similarity.mmr_rerank(cands, k=10, w_rel=2, w_div=1)
+
+
 def q_embedding_centroids(spark, sf_dir):
     """Per-label embedding centroids in exact quantized integers
     (similarity.embedding_centroids) — the k-means M-step / IVF
@@ -6344,6 +6386,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": q_ann_cosine_topk,
         "embedding_centroids": q_embedding_centroids,
         "kcenter_seeds": q_kcenter_seeds,
+        "mmr_rerank": q_mmr_rerank,
         "embedding_dim_stats": q_embedding_dim_stats,
         "kmeans_assign": q_kmeans_assign,
         "pip_multipolygons": q_pip_multipolygons,
@@ -9023,6 +9066,35 @@ def oracle_sql() -> dict[str, str]:
         ),
         "kcenter_seeds": similarity.kcenter_seeds_sql(
             "embeddings", k=5
+        ),
+        "mmr_rerank": similarity.mmr_rerank_sql(
+            """(
+            WITH mmq_v AS MATERIALIZED (
+                SELECT vec_id AS _id, u.i AS dim,
+                       CAST(ROUND(CAST(embedding[u.i] AS DOUBLE)
+                                  * 1000000) AS BIGINT) AS _q
+                FROM embeddings,
+                     LATERAL (SELECT UNNEST(range(1,
+                              len(embedding) + 1)) AS i) u
+            ),
+            mmq_p AS (SELECT MIN(vec_id) AS pid FROM embeddings),
+            mmq_d AS MATERIALIZED (
+                SELECT v._id, SUM((v._q - s._q) * (v._q - s._q)) AS d
+                FROM mmq_v v
+                JOIN mmq_v s ON s._id = (SELECT pid FROM mmq_p)
+                            AND s.dim = v.dim
+                WHERE v._id <> (SELECT pid FROM mmq_p)
+                GROUP BY v._id
+            ),
+            mmq_c AS (
+                SELECT _id, CAST(-d AS BIGINT) AS rel_q
+                FROM mmq_d ORDER BY d, _id LIMIT 64
+            )
+            SELECT e.vec_id AS vec_id, e.embedding AS embedding,
+                   c.rel_q AS rel_q
+            FROM embeddings e JOIN mmq_c c ON c._id = e.vec_id
+            )""",
+            k=10, w_rel=2, w_div=1,
         ),
         "embedding_centroids": similarity.embedding_centroids_sql(
             "embeddings"

@@ -1060,3 +1060,229 @@ def kcenter_seeds_sql(
         "WITH " + ",\n".join(ctes) + "\n"
         + " UNION ALL ".join(picks)
     )
+
+
+def mmr_rerank(
+    cands: DataFrame,
+    k: int,
+    w_rel: int = 1,
+    w_div: int = 1,
+    id_col: str = "vec_id",
+    rel_col: str = "rel_q",
+    vec_col: str = "embedding",
+    scale: int = 10**6,
+) -> DataFrame:
+    """Maximal-marginal-relevance reranking (Carbonell & Goldstein
+    1998) — the deterministic diversity/relevance trade-off every
+    retrieval pipeline needs between "top-k by score" and "k-center
+    spread": each round picks the remaining candidate maximizing
+
+        score = w_rel·rel_q + w_div·min_dist²_to_selected
+
+    (the distance form of MMR: instead of subtracting a max-
+    similarity term, ADD the min squared quantized distance to the
+    already-picked set — monotone-equivalent diversity pressure in
+    pure int64, no cosine division, no floats).  The first pick is
+    pure relevance, argmax (rel_q, smallest id) — the declared-start
+    contract :func:`kcenter_seeds` uses; later rounds break score
+    ties by smallest id.  ``w_rel``/``w_div`` are integer weights
+    (the caller owns the unit mix — relevance and dist² live on
+    different scales, exactly as λ does in float MMR).
+
+    Same quantized arithmetic as :func:`kcenter_seeds` (components
+    snapped to ``scale`` ints, distances Σ(Δq)² in int64); overflow
+    bound: w_rel·|rel| + w_div·4·scale²·dim per term — at scale 10⁶,
+    dim 64, unit-ish vectors that is ~10¹⁵·max(w), nine bits of
+    int64 headroom at w ≤ 100 (validated).
+
+    Plan: O(n·k) incremental — the candidate long form is
+    checkpointed once; each round is one broadcast |dims|-row join,
+    a map-side-combining per-point sum, and a least() update of the
+    running min-distance; picked rows leave the state (unlike
+    k-center, a picked row's zero distance would NOT sink its score
+    — high relevance could re-win — so exclusion is explicit).
+    Driver actions are k bounded single-row argmax collects.
+
+    Returns k rows: (pick_rank, id, rel_q, div_q, score_q) — div_q
+    is the min squared distance to the previously-picked set at
+    selection time (NULL for rank 0), score_q the winning score
+    (rank 0: w_rel·rel_q)."""
+    if not 2 <= int(k) <= 64:
+        raise ValueError(f"k must be in [2, 64]: {k}")
+    if not (0 <= int(w_rel) <= 100 and 0 <= int(w_div) <= 100):
+        raise ValueError(
+            f"weights must be in [0, 100]: w_rel={w_rel} w_div={w_div}"
+        )
+    if int(w_rel) + int(w_div) < 1:
+        raise ValueError("w_rel + w_div must be >= 1")
+    w_rel, w_div = int(w_rel), int(w_div)
+    first = cands.agg(
+        F.max(
+            F.struct(
+                F.col(rel_col).cast("bigint").alias("_r"),
+                (-F.col(id_col)).alias("_n"),
+            )
+        ).alias("_b"),
+        F.count(F.lit(1)).alias("_n_all"),
+    ).select(
+        (-F.col("_b._n")).alias("pid"),
+        F.col("_b._r").alias("prel"),
+        "_n_all",
+    ).collect()[0]
+    if first["_n_all"] < k:
+        raise ValueError(
+            f"mmr_rerank: k={k} exceeds candidate count "
+            f"{first['_n_all']}"
+        )
+    vlong = cands.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(vec_col).alias("dim", "_v"),
+    ).withColumn(
+        "_q", F.round(F.col("_v").cast("double") * F.lit(float(scale)))
+        .cast("bigint")
+    ).select("_id", "dim", "_q").localCheckpoint(eager=True)
+    rels = cands.select(
+        F.col(id_col).alias("_id"),
+        F.col(rel_col).cast("bigint").alias("_rel"),
+    ).localCheckpoint(eager=True)
+
+    def dist_to(seed_id) -> DataFrame:
+        s = vlong.where(F.col("_id") == F.lit(seed_id)).select(
+            "dim", F.col("_q").alias("_sq")
+        )
+        d = F.col("_q") - F.col("_sq")
+        return vlong.join(F.broadcast(s), "dim").groupBy("_id").agg(
+            F.sum(d * d).alias("_d")
+        )
+
+    picked = [(0, first["pid"], first["prel"], None,
+               w_rel * first["prel"])]
+    state = (
+        dist_to(first["pid"])
+        .where(F.col("_id") != F.lit(first["pid"]))
+        .withColumnRenamed("_d", "_mind")
+        .join(rels, "_id")
+        .localCheckpoint(eager=True)
+    )
+    for t in range(1, int(k)):
+        score = (F.lit(w_rel) * F.col("_rel")
+                 + F.lit(w_div) * F.col("_mind"))
+        pick = state.agg(
+            F.max(
+                F.struct(
+                    score.alias("_s"),
+                    (-F.col("_id")).alias("_n"),
+                    F.col("_rel").alias("_r"),
+                    F.col("_mind").alias("_m"),
+                )
+            ).alias("_b")
+        ).select(
+            (-F.col("_b._n")).alias("pid"),
+            F.col("_b._r").alias("prel"),
+            F.col("_b._m").alias("pdiv"),
+            F.col("_b._s").alias("pscore"),
+        ).collect()[0]
+        picked.append(
+            (t, pick["pid"], pick["prel"], pick["pdiv"],
+             pick["pscore"])
+        )
+        if t < int(k) - 1:
+            nd = dist_to(pick["pid"])
+            state = (
+                state.where(F.col("_id") != F.lit(pick["pid"]))
+                .join(nd, "_id")
+                .select(
+                    "_id", "_rel",
+                    F.least(F.col("_mind"), F.col("_d"))
+                    .alias("_mind"),
+                )
+                .localCheckpoint(eager=True)
+            )
+    spark = cands.sparkSession
+    return spark.createDataFrame(
+        picked,
+        f"pick_rank long, {id_col} long, rel_q long, div_q long, "
+        "score_q long",
+    )
+
+
+def mmr_rerank_sql(
+    src: str,
+    k: int,
+    w_rel: int = 1,
+    w_div: int = 1,
+    id_col: str = "vec_id",
+    rel_col: str = "rel_q",
+    vec_col: str = "embedding",
+    scale: int = 10**6,
+) -> str:
+    """DuckDB twin of :func:`mmr_rerank` — the identical greedy
+    recurrence unrolled as chained CTEs (every per-round CTE
+    MATERIALIZED: the kcenter lesson — naive inlining re-executes
+    the whole chain per reference).  Standalone; ``src`` may be a
+    parenthesized derived table."""
+    w_rel, w_div = int(w_rel), int(w_div)
+    vlong = f"""(
+        SELECT {id_col} AS _id, CAST(u.i - 1 AS INTEGER) AS dim,
+               CAST(ROUND(CAST({vec_col}[u.i] AS DOUBLE) * {scale})
+                    AS BIGINT) AS _q
+        FROM {src} AS mm_src,
+             LATERAL (SELECT UNNEST(range(1, len({vec_col}) + 1)) AS i) u
+    )"""
+    ctes = [
+        f"mm_v AS MATERIALIZED {vlong}",
+        f"""mm_r AS MATERIALIZED (
+            SELECT {id_col} AS _id, CAST({rel_col} AS BIGINT) AS _rel
+            FROM {src} AS mm_src2
+        )""",
+        """mm_p0 AS MATERIALIZED (
+            SELECT _id, _rel FROM mm_r
+            ORDER BY _rel DESC, _id LIMIT 1
+        )""",
+        """mm_m1 AS MATERIALIZED (
+            SELECT v._id, r._rel,
+                   SUM((v._q - s._q) * (v._q - s._q)) AS mind
+            FROM mm_v v
+            JOIN mm_v s ON s._id = (SELECT _id FROM mm_p0)
+                       AND s.dim = v.dim
+            JOIN mm_r r ON r._id = v._id
+            WHERE v._id <> (SELECT _id FROM mm_p0)
+            GROUP BY v._id, r._rel
+        )""",
+    ]
+    picks = [
+        "SELECT CAST(0 AS BIGINT) AS pick_rank, "
+        f"_id AS {id_col}, CAST(_rel AS BIGINT) AS rel_q, "
+        "CAST(NULL AS BIGINT) AS div_q, "
+        f"CAST({w_rel} * _rel AS BIGINT) AS score_q FROM mm_p0"
+    ]
+    for t in range(1, int(k)):
+        ctes.append(f"""mm_p{t} AS MATERIALIZED (
+            SELECT _id, _rel, mind,
+                   {w_rel} * _rel + {w_div} * mind AS score
+            FROM mm_m{t}
+            ORDER BY score DESC, _id LIMIT 1
+        )""")
+        picks.append(
+            f"SELECT CAST({t} AS BIGINT), _id, CAST(_rel AS BIGINT), "
+            "CAST(mind AS BIGINT), CAST(score AS BIGINT) "
+            f"FROM mm_p{t}"
+        )
+        if t < int(k) - 1:
+            ctes.append(f"""mm_m{t + 1} AS MATERIALIZED (
+                SELECT m._id, m._rel, LEAST(m.mind, d.d) AS mind
+                FROM mm_m{t} m
+                JOIN (
+                    SELECT v._id,
+                           SUM((v._q - s._q) * (v._q - s._q)) AS d
+                    FROM mm_v v
+                    JOIN mm_v s ON s._id = (SELECT _id FROM mm_p{t})
+                               AND s.dim = v.dim
+                    GROUP BY v._id
+                ) d USING (_id)
+                WHERE m._id <> (SELECT _id FROM mm_p{t})
+            )""")
+    return (
+        "WITH " + ",\n".join(ctes) + "\n"
+        + " UNION ALL ".join(picks)
+    )
