@@ -4064,6 +4064,23 @@ def q_dtw_tracks(spark, sf_dir):
 
 
 EDR_EPS_DEG = 0.6
+LCSS_DELTA = 4
+
+
+def q_lcss_tracks(spark, sf_dir):
+    """LCSS similarity between user trajectories
+    (spatial.lcss_pairs) — the REWARD-side closer of the track-DP
+    family over the identical drift-geocode inputs: Fréchet takes
+    the worst leash, DTW sums deviations, EDR counts edits, LCSS
+    counts the longest order-preserving chain of 0.6°-matched fixes
+    under the Vlachos |i−j| ≤ 4 warp window and skips everything
+    else — detours are ignored, not charged.  sim_ppm normalizes by
+    min(n,m); exact quantized match test shared with EDR."""
+    pts, pairs = _drift_track_inputs(spark, sf_dir)
+    return spatial.lcss_pairs(
+        pts, pairs, entity_col="entity", eps=EDR_EPS_DEG,
+        delta=LCSS_DELTA, max_points=FRECHET_MAX_RN,
+    )
 
 
 def q_edr_tracks(spark, sf_dir):
@@ -6324,6 +6341,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frechet_tracks": q_frechet_tracks,
         "dtw_tracks": q_dtw_tracks,
         "edr_tracks": q_edr_tracks,
+        "lcss_tracks": q_lcss_tracks,
         "turn_stats": q_turn_stats,
         "resample_track": q_resample_track,
         "cusum_split": q_cusum_split,
@@ -10256,6 +10274,11 @@ def oracle_sql() -> dict[str, str]:
         "edr_tracks": spatial.edr_pairs_sql(
             _FRECHET_PTS_SQL, _FRECHET_PAIRS_SQL,
             eps=EDR_EPS_DEG, max_points=FRECHET_MAX_RN,
+        ),
+        "lcss_tracks": spatial.lcss_pairs_sql(
+            _FRECHET_PTS_SQL, _FRECHET_PAIRS_SQL,
+            eps=EDR_EPS_DEG, delta=LCSS_DELTA,
+            max_points=FRECHET_MAX_RN,
         ),
         "stay_points": spatial.stay_points_sql(
             _STAY_PTS_SQL, "user_id", "ts",

@@ -7521,6 +7521,159 @@ def edr_pairs_sql(
     )
 
 
+def lcss_pairs(
+    points: DataFrame,
+    pairs: DataFrame,
+    entity_col: str = "entity",
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    order_col: str = "seq",
+    eps: float = 1e-4,
+    delta: int | None = None,
+    scale: int = 1_000_000,
+    max_points: int = 64,
+) -> DataFrame:
+    """Longest Common SubSequence similarity between ORDERED tracks
+    for candidate pairs (Vlachos et al. 2002) — the fourth member of
+    the track-DP family and the only one that REWARDS agreement
+    instead of charging disagreement: Fréchet takes the worst leash,
+    DTW sums every deviation, EDR counts edits, LCSS counts the
+    longest order-preserving chain of ε-matched fixes and simply
+    SKIPS everything else — so two tracks that share a common
+    corridor score high even when one detours wildly in between
+    (the noise mode that still costs EDR one edit per junk fix):
+
+        lcss(i,j) = max( lcss(i−1,j−1) + match(i,j),
+                         lcss(i−1,j), lcss(i,j−1) ),     borders 0
+        match(i,j) = [ d²(i,j) ≤ ε² ]  ∧  [ |i−j| ≤ δ ]
+
+    (the single GREATEST form is valid because adding one element
+    raises an LCS by at most 1, so the diagonal term dominates both
+    neighbors whenever it matches).  ``delta`` is the optional
+    Vlachos time-warp window — matches farther than δ positions
+    apart are forbidden, the standard guard against pathological
+    alignments between tracks sampled at different rates; None
+    disables it.
+
+    Exact integers: the match test compares quantized int64 d²
+    against round(ε·scale)² — no float tolerance can drift between
+    engines — and dp values are bounded by min(n,m), so overflow is
+    impossible.  sim_ppm = lcss·10⁶ DIV min(n,m), the standard
+    normalization.
+
+    Same track materialization, loud ``max_points`` guard, and
+    Arrow-batched per-pair DP as its siblings (``_paired_tracks``);
+    the DuckDB twin unrolls the same recurrence by anti-diagonals.
+    Returns (id_a, id_b, n_a, n_b, lcss_q, sim_ppm)."""
+    import pandas as _pd
+
+    if eps <= 0:
+        raise ValueError("eps must be positive")
+    if delta is not None and int(delta) < 0:
+        raise ValueError(f"delta must be None or >= 0: {delta}")
+    eps_q2 = int(round(eps * scale)) ** 2
+    dlt = None if delta is None else int(delta)
+    joined = _paired_tracks(
+        points, pairs, entity_col, lon_col, lat_col, order_col,
+        scale, max_points, "lcss_pairs",
+    )
+
+    def run(batches):
+        import numpy as np
+
+        for pdf in batches:
+            recs = []
+            for ida, idb, ax, ay, bx, by in zip(
+                pdf["id_a"], pdf["id_b"], pdf["_ax"], pdf["_ay"],
+                pdf["_bx"], pdf["_by"],
+            ):
+                ax = np.asarray(ax, dtype=np.int64)
+                ay = np.asarray(ay, dtype=np.int64)
+                bx = np.asarray(bx, dtype=np.int64)
+                by = np.asarray(by, dtype=np.int64)
+                n, m = len(ax), len(bx)
+                match = (
+                    (ax[:, None] - bx[None, :]) ** 2
+                    + (ay[:, None] - by[None, :]) ** 2
+                    <= eps_q2
+                )
+                if dlt is not None:
+                    ii = np.arange(n)[:, None]
+                    jj = np.arange(m)[None, :]
+                    match &= np.abs(ii - jj) <= dlt
+                match = match.astype(np.int64)
+                dp = np.zeros((n + 1, m + 1), dtype=np.int64)
+                for i in range(1, n + 1):
+                    row_m, prev, cur = match[i - 1], dp[i - 1], dp[i]
+                    for j in range(1, m + 1):
+                        best = prev[j - 1] + row_m[j - 1]
+                        if prev[j] > best:
+                            best = prev[j]
+                        if cur[j - 1] > best:
+                            best = cur[j - 1]
+                        cur[j] = best
+                lc = int(dp[n, m])
+                recs.append(
+                    (int(ida), int(idb), n, m, lc,
+                     (lc * 1_000_000) // min(n, m))
+                )
+            yield _pd.DataFrame(
+                recs,
+                columns=["id_a", "id_b", "n_a", "n_b", "lcss_q",
+                         "sim_ppm"],
+            )
+
+    schema = (
+        "id_a bigint, id_b bigint, n_a bigint, n_b bigint, "
+        "lcss_q bigint, sim_ppm bigint"
+    )
+    return joined.mapInPandas(run, schema=schema)
+
+
+def lcss_pairs_sql(
+    points_src: str,
+    pairs_src: str,
+    entity_col: str = "entity",
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    order_col: str = "seq",
+    eps: float = 1e-4,
+    delta: int | None = None,
+    scale: int = 1_000_000,
+    max_points: int = 16,
+) -> str:
+    """DuckDB twin of :func:`lcss_pairs` (anti-diagonal unroll of the
+    maximizing recurrence via ``_track_dp_sql``; missing borders
+    COALESCE to 0 — the empty-prefix LCS).  Standalone statement."""
+    if eps <= 0:
+        raise ValueError("eps must be positive")
+    if delta is not None and int(delta) < 0:
+        raise ValueError(f"delta must be None or >= 0: {delta}")
+    eps_q2 = int(round(eps * scale)) ** 2
+    win = (
+        f" AND ABS(c.i - c.j) <= {int(delta)}"
+        if delta is not None
+        else ""
+    )
+    inner = _track_dp_sql(
+        points_src, pairs_src, entity_col, lon_col, lat_col,
+        order_col, scale, max_points,
+        cell_fmt=(
+            f"GREATEST(COALESCE({{dg}}, 0) + (CASE WHEN "
+            f"{{d2}} <= {eps_q2}{win} THEN 1 ELSE 0 END), "
+            "COALESCE({up}, 0), COALESCE({lf}, 0))"
+        ),
+        base_fmt=f"CASE WHEN {{d2}} <= {eps_q2} THEN 1 ELSE 0 END",
+        out_col="lcss_q",
+    )
+    return f"""
+        SELECT id_a, id_b, n_a, n_b, lcss_q,
+               CAST((lcss_q * 1000000) // LEAST(n_a, n_b)
+                    AS BIGINT) AS sim_ppm
+        FROM ({inner})
+    """
+
+
 def tile_hotspots_ctes(
     rollup_src: str,
     value_col: str = "n_pages",
