@@ -5528,6 +5528,28 @@ def q_attribution_decay(spark, sf_dir):
     return temporal_mod.attribution_decay(ev, "purchase", 3600, 900)
 
 
+MARKOV_CHANNELS = ["click", "error", "signup", "view"]
+
+
+def q_markov_attribution(spark, sf_dir):
+    """Markov removal-effect attribution
+    (temporal.markov_attribution): the data-driven fifth model next
+    to the positional/decay rules — a first-order chain over
+    purchase-split user journeys, absorption probability
+    P(CONV|START) as a 12-round exact ppm floor ladder, and each
+    channel's effect = the drop in that probability when the channel
+    is removed (transitions into it lead nowhere).  The data-sized
+    work is one lag window + one transition-count aggregate; the
+    chain solve runs on the ≤ 6×6 count matrix.  The oracle unrolls
+    all five absorption chains (full + four removals) as
+    MATERIALIZED CTE rounds, so every probability, effect, and share
+    is hash-verified."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return temporal_mod.markov_attribution(
+        ev, MARKOV_CHANNELS, "purchase", rounds=12
+    )
+
+
 def q_peak_concurrency(spark, sf_dir):
     """Peak interval concurrency (temporal.peak_overlap): every event
     opens a half-open 30-minute activity window; per event type,
@@ -6444,6 +6466,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_rules": q_session_rules,
         "attribution": q_attribution,
         "attribution_decay": q_attribution_decay,
+        "markov_attribution": q_markov_attribution,
         "active_users": q_active_users,
         "events_overlap_join": q_events_overlap_join,
         "allen_relations": q_allen_relations,
@@ -8956,6 +8979,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "attribution": temporal_mod.attribution_credits_sql(
             "events", "purchase", 3600
+        ),
+        "markov_attribution": temporal_mod.markov_attribution_sql(
+            "events", MARKOV_CHANNELS, "purchase", rounds=12
         ),
         "session_rules": temporal.session_rules_sql(
             "events", gap_s=1800, min_support=2

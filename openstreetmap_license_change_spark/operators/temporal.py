@@ -4316,3 +4316,295 @@ def survival_km_sql(
         WHERE r.dths > 0
         ORDER BY 1
     """
+
+
+def markov_attribution(
+    events: DataFrame,
+    channels: list[str],
+    conv_type: str,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    tiebreak_col: str = "event_id",
+    rounds: int = 12,
+) -> DataFrame:
+    """Markov removal-effect attribution — the data-driven
+    alternative to :func:`attribution_credits`' positional rules
+    (first/last/linear are DECLARED splits; the removal effect asks
+    the model: how much does conversion probability DROP if channel
+    c stopped existing?).  First-order chain over journeys:
+
+        START → touch → … → CONV (absorbing)  or  NULL (absorbing)
+
+    A journey is a user's touch sequence up to each conversion
+    (conversions split journeys; a trailing unconverted sequence
+    ends in NULL).  Transition probabilities are the exact count
+    ratios; the absorption probability P(reach CONV | START) is the
+    ``rounds``-truncated iteration
+
+        P_k(s) = floor( Σ_t n(s→t)·P_{k−1}(t) / n_out(s) )
+
+    in exact ppm integers (P counts conversion paths of ≤ rounds
+    hops — exact as stated, the link_distance honesty contract; the
+    per-round floor is engine-identical).  Removal of channel c pins
+    P(c) = 0 every round — transitions into c lead nowhere, the
+    standard removal semantics — and
+
+        effect_ppm(c) = 10⁶ − P_removed·10⁶ DIV P_full
+        share_ppm(c)  = effect·10⁶ DIV Σ effects   (NULL if Σ = 0)
+
+    (removal can only lower P, preserved under flooring by
+    induction, so effects are non-negative by construction).
+
+    Scale: the data-sized work is ONE (ts, tiebreak)-ordered lag
+    window per user plus a transition-count aggregate — the chain
+    itself is a ≤ (|channels|+2)² count matrix, collected bounded
+    (channels are DECLARED, ≤ 16, validated loudly against the
+    corpus) and solved in exact Python ints on the driver; at 10¹²
+    events the collect is still ≤ 18×18 rows.  A type outside
+    channels ∪ {conv_type} raises (assert_true) rather than
+    silently folding into a phantom state.
+
+    Returns one row per declared channel: (channel, n_touches,
+    conv_full_ppm, conv_removed_ppm, effect_ppm, share_ppm)."""
+    if not 1 <= len(channels) <= 16:
+        raise ValueError(
+            f"channels must list 1..16 states: {len(channels)}"
+        )
+    if len(set(channels)) != len(channels):
+        raise ValueError("channels must be distinct")
+    if conv_type in channels:
+        raise ValueError("conv_type must not be a channel")
+    reserved = {"START", "CONV", "NULL"}
+    if reserved & set(channels) or conv_type in reserved:
+        raise ValueError(f"reserved state names: {reserved}")
+    if not 1 <= int(rounds) <= 32:
+        raise ValueError(f"rounds must be in [1, 32]: {rounds}")
+    ch_list = ", ".join(f"'{c}'" for c in channels)
+    state = (
+        f"CASE WHEN {type_col} = '{conv_type}' THEN 'CONV' "
+        f"WHEN {type_col} IN ({ch_list}) THEN {type_col} "
+        f"ELSE CAST(assert_true(false, CONCAT("
+        f"'markov_attribution: event_type outside declared "
+        f"channels: ', {type_col})) AS STRING) END"
+    )
+    uw = W.partitionBy("_u").orderBy("_t", "_tb")
+    base = events.select(
+        F.col(user_col).alias("_u"),
+        F.col(ts_col).alias("_t"),
+        F.col(tiebreak_col).alias("_tb"),
+        F.expr(state).alias("_s"),
+    ).select(
+        "_u", "_s",
+        F.row_number().over(uw).alias("_rn"),
+        F.coalesce(
+            F.sum(F.when(F.col("_s") == "CONV", 1).otherwise(0)).over(
+                uw.rowsBetween(W.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ).alias("_jid"),
+    )
+    jw = W.partitionBy("_u", "_jid").orderBy("_rn")
+    steps = base.select(
+        F.coalesce(F.lag("_s").over(jw), F.lit("START")).alias("_src"),
+        F.col("_s").alias("_dst"),
+    )
+    jwd = W.partitionBy("_u", "_jid").orderBy(F.desc("_rn"))
+    tails = (
+        base.withColumn("_rd", F.row_number().over(jwd))
+        .where((F.col("_rd") == 1) & (F.col("_s") != "CONV"))
+        .select(
+            F.col("_s").alias("_src"), F.lit("NULL").alias("_dst")
+        )
+    )
+    cnt_rows = (
+        steps.unionAll(tails)
+        .groupBy("_src", "_dst")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .collect()
+    )
+    cnt = {(r["_src"], r["_dst"]): r["n"] for r in cnt_rows}
+    n_out: dict[str, int] = {}
+    for (s, _), n in cnt.items():
+        n_out[s] = n_out.get(s, 0) + n
+    transient = ["START"] + list(channels)
+
+    def absorb(pin: str | None) -> int:
+        p = {s: 0 for s in transient}
+
+        def pval(t: str) -> int:
+            if t == "CONV":
+                return 1_000_000
+            if t == "NULL":
+                return 0
+            return p[t]
+
+        for _ in range(int(rounds)):
+            nxt = {}
+            for s in transient:
+                if (pin is not None and s == pin) or not n_out.get(s):
+                    nxt[s] = 0
+                    continue
+                acc = sum(
+                    n * pval(t)
+                    for (src, t), n in cnt.items()
+                    if src == s
+                )
+                nxt[s] = acc // n_out[s]
+            p = nxt
+        return p["START"]
+
+    full = absorb(None)
+    rows = []
+    effects = {}
+    for c in channels:
+        removed = absorb(c)
+        eff = (
+            0 if full == 0
+            else 1_000_000 - (removed * 1_000_000) // full
+        )
+        effects[c] = eff
+        rows.append((c, n_out.get(c, 0), full, removed, eff))
+    total = sum(effects.values())
+    out = [
+        (c, nt, fu, rm, ef,
+         None if total == 0 else (ef * 1_000_000) // total)
+        for c, nt, fu, rm, ef in rows
+    ]
+    spark = events.sparkSession
+    return spark.createDataFrame(
+        out,
+        "channel string, n_touches long, conv_full_ppm long, "
+        "conv_removed_ppm long, effect_ppm long, share_ppm long",
+    )
+
+
+def markov_attribution_sql(
+    src: str,
+    channels: list[str],
+    conv_type: str,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    tiebreak_col: str = "event_id",
+    rounds: int = 12,
+) -> str:
+    """DuckDB twin of :func:`markov_attribution` — identical journey
+    split, transition counts, and per-round floor ladder; the
+    (1 + |channels|) absorption chains unroll as MATERIALIZED CTE
+    rounds (the graph-twin discipline).  Standalone."""
+    ch_list = ", ".join(f"'{c}'" for c in channels)
+    states_vals = ", ".join(
+        f"('{s}')" for s in ["START", *channels, "CONV", "NULL"]
+    )
+    ctes = [
+        f"""mk_ord AS MATERIALIZED (
+            SELECT {user_col} AS _u,
+                   CASE WHEN {type_col} = '{conv_type}' THEN 'CONV'
+                        ELSE {type_col} END AS _s,
+                   ROW_NUMBER() OVER (PARTITION BY {user_col}
+                       ORDER BY {ts_col}, {tiebreak_col}) AS _rn,
+                   COALESCE(SUM(CASE WHEN {type_col} = '{conv_type}'
+                                THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY {user_col}
+                             ORDER BY {ts_col}, {tiebreak_col}
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND 1 PRECEDING), 0) AS _jid
+            FROM {src}
+            WHERE {type_col} IN ({ch_list}, '{conv_type}')
+        )""",
+        """mk_tr AS MATERIALIZED (
+            SELECT COALESCE(LAG(_s) OVER (PARTITION BY _u, _jid
+                       ORDER BY _rn), 'START') AS _src,
+                   _s AS _dst
+            FROM mk_ord
+            UNION ALL
+            SELECT _s, 'NULL'
+            FROM (SELECT _s,
+                         ROW_NUMBER() OVER (PARTITION BY _u, _jid
+                             ORDER BY _rn DESC) AS _rd
+                  FROM mk_ord)
+            WHERE _rd = 1 AND _s <> 'CONV'
+        )""",
+        """mk_cnt AS MATERIALIZED (
+            SELECT _src, _dst, CAST(COUNT(*) AS BIGINT) AS n
+            FROM mk_tr GROUP BY 1, 2
+        )""",
+        """mk_out AS MATERIALIZED (
+            SELECT _src, CAST(SUM(n) AS BIGINT) AS n_out
+            FROM mk_cnt GROUP BY 1
+        )""",
+        f"mk_states AS (SELECT * FROM (VALUES {states_vals}) "
+        "s(state))",
+    ]
+
+    def chain(tag: str, pin: str | None) -> None:
+        pin_case = (
+            f"WHEN st.state = '{pin}' THEN CAST(0 AS BIGINT)"
+            if pin is not None else ""
+        )
+        ctes.append(f"""mk_{tag}_0 AS (
+            SELECT state,
+                   CASE WHEN state = 'CONV'
+                        THEN CAST(1000000 AS BIGINT)
+                        ELSE CAST(0 AS BIGINT) END AS p
+            FROM mk_states
+        )""")
+        for r in range(1, int(rounds) + 1):
+            ctes.append(f"""mk_{tag}_{r} AS MATERIALIZED (
+                SELECT st.state,
+                       CASE WHEN st.state = 'CONV'
+                                THEN CAST(1000000 AS BIGINT)
+                            WHEN st.state = 'NULL'
+                                THEN CAST(0 AS BIGINT)
+                            {pin_case}
+                            WHEN o.n_out IS NULL
+                                THEN CAST(0 AS BIGINT)
+                            ELSE CAST(COALESCE(a.acc, 0) // o.n_out
+                                      AS BIGINT) END AS p
+                FROM mk_states st
+                LEFT JOIN mk_out o ON o._src = st.state
+                LEFT JOIN (
+                    SELECT c._src AS state, SUM(c.n * p.p) AS acc
+                    FROM mk_cnt c
+                    JOIN mk_{tag}_{r - 1} p ON p.state = c._dst
+                    GROUP BY 1
+                ) a ON a.state = st.state
+            )""")
+
+    chain("full", None)
+    eff_rows = []
+    for i, c in enumerate(channels):
+        chain(f"rm{i}", c)
+        eff_rows.append(f"""
+            SELECT '{c}' AS channel,
+                   CAST(COALESCE(
+                       (SELECT n_out FROM mk_out WHERE _src = '{c}'),
+                       0) AS BIGINT) AS n_touches,
+                   (SELECT p FROM mk_full_{rounds}
+                    WHERE state = 'START') AS conv_full_ppm,
+                   (SELECT p FROM mk_rm{i}_{rounds}
+                    WHERE state = 'START') AS conv_removed_ppm
+        """)
+    return (
+        "WITH " + ",\n".join(ctes) + f""",
+        mk_base AS ({" UNION ALL ".join(eff_rows)}),
+        mk_eff AS (
+            SELECT channel, n_touches, conv_full_ppm,
+                   conv_removed_ppm,
+                   CAST(CASE WHEN conv_full_ppm = 0 THEN 0
+                        ELSE 1000000 - (conv_removed_ppm * 1000000)
+                             // conv_full_ppm END AS BIGINT)
+                       AS effect_ppm
+            FROM mk_base
+        )
+        SELECT channel, n_touches, conv_full_ppm, conv_removed_ppm,
+               effect_ppm,
+               CAST(CASE WHEN (SELECT SUM(effect_ppm) FROM mk_eff)
+                              = 0 THEN NULL
+                    ELSE (effect_ppm * 1000000)
+                         // (SELECT SUM(effect_ppm) FROM mk_eff)
+                    END AS BIGINT) AS share_ppm
+        FROM mk_eff
+    """
+    )
