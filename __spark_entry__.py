@@ -3761,6 +3761,24 @@ def q_tfidf_topk(spark, sf_dir):
     return textops.tfidf_topk(docs, k=5)
 
 
+def q_textrank(spark, sf_dir):
+    """TextRank corpus keywords (textops.textrank_keywords):
+    PageRank over the token co-occurrence graph — the
+    graph-structural counterweight to tfidf_topk (centrality among
+    travel-companion tokens, not rarity).  Window-2 raw-position
+    edges built by offset-explode + (doc, position) equi-join (fan
+    ≤ window per token — never the per-doc quadratic self-join),
+    then the exact quantized pagerank_quantized recurrence; top-25
+    cut is a total-order ORDER BY + LIMIT, no unpartitioned window.
+    The oracle splices the UNMODIFIED pagerank_sql rounds over
+    MATERIALIZED token/edge CTEs, so the whole composition
+    hash-verifies."""
+    docs = pages_src.documents(spark, sf_dir)
+    return textops.textrank_keywords(
+        docs, window=2, min_len=4, iterations=6, k=25
+    )
+
+
 # deterministic doc-level link graph for q_doc_pagerank: 3 modular
 # out-edges per doc (self-loops removed), docs ≡ 0 (mod 5) emit none —
 # so the dangling-mass path is exercised at every sf.  A stand-in for
@@ -6279,6 +6297,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_clusters": q_simhash_clusters,
         "contamination": q_contamination,
         "tfidf_topk": q_tfidf_topk,
+        "textrank_keywords": q_textrank,
         "bpe_pairs": q_bpe_pairs,
         "lexical_diversity": q_lexical_diversity,
         "vocab_growth": q_vocab_growth,
@@ -10164,6 +10183,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "winnow_fingerprints": textops.winnow_fingerprints_sql(
             "documents", k=8, window=4
+        ),
+        "textrank_keywords": textops.textrank_keywords_sql(
+            "documents", window=2, min_len=4, iterations=6, k=25
         ),
         "quality_calibrate": textops.percentile_calibrate_sql(
             "documents", "n_chars", ["lang"], ["doc_id"]

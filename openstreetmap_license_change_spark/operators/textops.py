@@ -4391,3 +4391,145 @@ def gini_gain_tokens_sql(
         ORDER BY gain_ppm DESC, token ASC
         LIMIT {int(k)}
     """
+
+
+def textrank_keywords(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 2,
+    min_len: int = 4,
+    iterations: int = 6,
+    damping_pct: int = 85,
+    k: int = 25,
+) -> DataFrame:
+    """TextRank keyword extraction (Mihalcea & Tarau 2004) — corpus
+    keywords as PageRank over the token CO-OCCURRENCE graph, the
+    graph-structural counterweight to tfidf_topk's frequency view
+    (TF-IDF scores a token by rarity; TextRank scores it by how
+    central it sits among the tokens it travels with, so a
+    mid-frequency hub term can outrank a rare-but-isolated one).
+
+    Graph construction, declared exactly: tokens are lowercased
+    whitespace splits with RAW positions (the window is measured on
+    the original sequence); candidates keep length ≥ ``min_len``
+    (the deterministic stand-in for the reference algorithm's POS
+    filter); an undirected unweighted edge links two distinct
+    surviving tokens whenever they co-occur within ``window`` raw
+    positions in any document.  Ranks come from
+    :func:`graph.pagerank_quantized` — exact quantized int64 after a
+    fixed round count, so the whole composition hash-verifies.
+
+    Scale: the co-occurrence build is offset-explode + equi-join on
+    (doc, position) — fan-out ≤ ``window`` per token, NEVER the
+    per-document quadratic self-join (a 10⁵-token page would
+    otherwise emit 10¹⁰ pairs before any filter); edges dedupe once
+    corpus-wide.  PageRank is 2 shuffles/round on the pre-partitioned
+    edge list.  The final cut is a total-order ORDER BY
+    (rank_q DESC, token) LIMIT k — no unpartitioned window.
+
+    Returns ≤ k rows: (token, rank_q)."""
+    from .graph import pagerank_quantized
+
+    if not 1 <= int(window) <= 16:
+        raise ValueError(f"window must be in [1, 16]: {window}")
+    if k < 1:
+        raise ValueError(f"k must be >= 1: {k}")
+    toks = docs.select(
+        F.col(id_col).alias("_d"),
+        F.posexplode(
+            F.split(F.lower(F.col(text_col)), r"\s+")
+        ).alias("_p", "_t"),
+    ).where(
+        (F.col("_t") != "") & (F.length("_t") >= int(min_len))
+    )
+    left = toks.select(
+        "_d",
+        F.col("_p").alias("_pa"),
+        F.col("_t").alias("_ts"),
+        F.explode(F.expr(f"sequence(1, {int(window)})")).alias("_o"),
+    ).select(
+        "_d", (F.col("_pa") + F.col("_o")).alias("_p"), "_ts"
+    )
+    pair = (
+        left.join(toks, ["_d", "_p"])
+        .where(F.col("_ts") != F.col("_t"))
+        .select(F.col("_ts").alias("_s"), F.col("_t").alias("_x"))
+        .distinct()
+    )
+    edges = (
+        pair.select(F.col("_s").alias("src"), F.col("_x").alias("dst"))
+        .unionAll(
+            pair.select(
+                F.col("_x").alias("src"), F.col("_s").alias("dst")
+            )
+        )
+        .distinct()
+    )
+    nodes = toks.select(F.col("_t").alias("node")).distinct()
+    pr = pagerank_quantized(
+        nodes, edges, iterations=int(iterations),
+        damping_pct=int(damping_pct),
+    )
+    return (
+        pr.orderBy(F.desc("rank_q"), "node")
+        .limit(int(k))
+        .select(F.col("node").alias("token"), "rank_q")
+    )
+
+
+def textrank_keywords_sql(
+    src: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 2,
+    min_len: int = 4,
+    iterations: int = 6,
+    damping_pct: int = 85,
+    k: int = 25,
+) -> str:
+    """DuckDB twin of :func:`textrank_keywords` — identical
+    tokenization (string_split_regex over the house '\\s+' twin),
+    identical raw-position window edges, and the UNMODIFIED
+    :func:`graph.pagerank_sql` recurrence spliced over MATERIALIZED
+    token/edge CTEs (tr_tok is read by both join sides — plain-CTE
+    inlining would re-explode the corpus per reference).
+    Standalone."""
+    from .graph import pagerank_sql
+
+    ctes = f"""tr_tok AS MATERIALIZED (
+            SELECT _d, u.i AS _p, ts[u.i] AS _t
+            FROM (SELECT {id_col} AS _d,
+                         string_split_regex(lower({text_col}),
+                                            '\\s+') AS ts
+                  FROM {src}) b,
+                 LATERAL (SELECT UNNEST(range(1, len(ts) + 1)) AS i) u
+            WHERE ts[u.i] <> '' AND length(ts[u.i]) >= {int(min_len)}
+        ),
+        tr_pair AS MATERIALIZED (
+            SELECT DISTINCT a._t AS _s, b._t AS _x
+            FROM tr_tok a
+            JOIN tr_tok b ON b._d = a._d
+                 AND b._p > a._p AND b._p <= a._p + {int(window)}
+                 AND b._t <> a._t
+        ),
+        tr_eg AS MATERIALIZED (
+            SELECT _s AS src, _x AS dst FROM tr_pair
+            UNION
+            SELECT _x, _s FROM tr_pair
+        ),
+        tr_nd AS MATERIALIZED (
+            SELECT DISTINCT _t AS node FROM tr_tok
+        )"""
+    inner = pagerank_sql(
+        "tr_nd", "tr_eg", iterations=int(iterations),
+        damping_pct=int(damping_pct),
+    )
+    stripped = inner.lstrip()
+    assert stripped.startswith("WITH ")
+    inner = "WITH " + ctes + ",\n" + stripped[len("WITH "):]
+    return f"""
+        SELECT node AS token, rank_q
+        FROM ({inner})
+        ORDER BY rank_q DESC, token LIMIT {int(k)}
+    """
