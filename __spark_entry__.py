@@ -3605,6 +3605,39 @@ def q_session_paths(spark, sf_dir):
     )
 
 
+def q_sax_hourly(spark, sf_dir):
+    """SAX symbolization (temporal.sax_words) of each event type's
+    hourly-count series over the densified global hour grid: PAA
+    segment means z-scored by the exact cross-multiplied comparison
+    (no σ, no floats) against the frozen N(0,1) quartile table,
+    12-letter words at a=4 — the motif index for series similarity.
+    Zeros are values, not missing (the xcorr grid convention), so
+    both engines symbolize the same aligned series."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    h = (F.date_trunc("hour", "ts").cast("long") / 3600).cast("long")
+    cnt = ev.groupBy(F.col("event_type"), h.alias("h")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    span = ev.agg(
+        F.min(h).alias("h0"), F.max(h).alias("h1")
+    )
+    grid = (
+        ev.select("event_type").distinct()
+        .crossJoin(F.broadcast(span))
+        .select(
+            "event_type",
+            F.explode(F.expr("sequence(h0, h1)")).alias("h"),
+        )
+    )
+    dense = grid.join(cnt, ["event_type", "h"], "left").select(
+        "event_type", "h",
+        F.coalesce("n", F.lit(0)).cast("bigint").alias("n"),
+    )
+    return temporal_mod.sax_words(
+        dense, "event_type", "h", "n", segments=12, alphabet=4
+    )
+
+
 def q_survival_km(spark, sf_dir):
     """Kaplan–Meier survival with right-censoring
     (temporal.survival_km): the churn curve event_retention can't
@@ -6343,6 +6376,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_xcorr": q_event_xcorr,
         "session_paths": q_session_paths,
         "survival_km": q_survival_km,
+        "sax_hourly": q_sax_hourly,
         "ols_hourly": q_ols_hourly,
         "runs_test_hourly": q_runs_test_hourly,
         "twa_value": q_twa_value,
@@ -10038,6 +10072,35 @@ def oracle_sql() -> dict[str, str]:
         ),
         "survival_km": temporal_mod.survival_km_sql(
             "events", "user_id", "ts", bucket_s=3600, horizon=24,
+        ),
+        "sax_hourly": temporal_mod.sax_words_sql(
+            """(
+            WITH sxq_b AS (
+                SELECT MIN(epoch_us(ts) // 3600000000) AS h0,
+                       MAX(epoch_us(ts) // 3600000000) AS h1
+                FROM events
+            ),
+            sxq_ty AS (SELECT DISTINCT event_type FROM events),
+            sxq_cnt AS (
+                SELECT event_type,
+                       epoch_us(ts) // 3600000000 AS h,
+                       CAST(COUNT(*) AS BIGINT) AS n
+                FROM events GROUP BY 1, 2
+            ),
+            sxq_grid AS MATERIALIZED (
+                SELECT t.event_type, g.h
+                FROM sxq_ty t, sxq_b b,
+                     LATERAL (SELECT
+                              UNNEST(generate_series(b.h0, b.h1))
+                              AS h) g
+            )
+            SELECT gr.event_type, gr.h,
+                   CAST(COALESCE(c.n, 0) AS BIGINT) AS n
+            FROM sxq_grid gr
+            LEFT JOIN sxq_cnt c ON c.event_type = gr.event_type
+                               AND c.h = gr.h
+            )""",
+            "event_type", "h", "n", segments=12, alphabet=4,
         ),
         "event_xcorr": temporal_mod.series_crosscorr_sql(
             """(

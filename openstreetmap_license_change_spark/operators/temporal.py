@@ -4608,3 +4608,215 @@ def markov_attribution_sql(
         FROM mk_eff
     """
     )
+
+
+# Frozen N(0,1) quantile breakpoints in ppm (round(Φ⁻¹(i/a)·10⁶)) —
+# the SAX alphabet tables, frozen at import like the DCT constants:
+# engine arithmetic never touches a transcendental at runtime.
+SAX_BREAKPOINTS_PPM = {
+    4: [-674490, 0, 674490],
+    8: [-1150349, -674490, -318639, 0, 318639, 674490, 1150349],
+}
+_SAX_LETTERS = "abcdefgh"
+
+
+def sax_words(
+    series: DataFrame,
+    key_col: str,
+    t_col: str,
+    value_col: str,
+    segments: int = 12,
+    alphabet: int = 4,
+) -> DataFrame:
+    """SAX symbolization (Lin, Keogh et al. 2003) — each key's
+    numeric series becomes a short SYMBOLIC word: PAA segment means,
+    z-scored against the series' own mean/variance, bucketed by the
+    frozen N(0,1) quantile breakpoints.  The word is the
+    motif/novelty index every series-similarity pipeline builds on
+    (two keys with the same word have the same coarse shape
+    regardless of level or spread — exactly what raw counts can't
+    say).
+
+    Exactness: z-normalization needs σ = √(nQ−S²)/n, so instead of
+    computing σ the symbol test evaluates the EQUIVALENT
+    cross-multiplied comparison (the tile_hotspots discipline).
+    With L = (Sseg·n − w·S)·10⁶ and D = nQ − S² (both exact in
+    decimal(38)), PAA z > β ⟺
+
+        β = 0:  L > 0
+        β > 0:  L > 0  ∧  L² > b²·w²·D
+        β < 0:  L ≥ 0  ∨  L² < b²·w²·D        (b = round(β·10⁶))
+
+    symbol index = #{breakpoints strictly below the segment} — the
+    STRICT rule, so a constant series (D = 0, every L = 0) maps to
+    the letter just above the midpoint's lower half ('b' at a=4),
+    stated.  Bounds: L² ≤ (2·|x|max·n·10⁶)² must stay inside
+    decimal(38) — |x| ≤ 10⁶ with n ≤ 10⁴ leaves two digits spare;
+    re-check per corpus like the other decimal operators.
+
+    Segmentation, declared: w = n DIV segments points per segment;
+    the tail n − w·segments points are DROPPED (the audio_haar
+    convention — zero-padding would fabricate a phantom level), and
+    mean/variance are computed over the USED prefix so the word is
+    self-consistent; keys with n < segments cannot form a word and
+    are dropped.
+
+    Plan: one key shuffle serves the order window, the per-segment
+    rollup and the per-key stats; symbols are pure per-row decimal
+    arithmetic; the word is one bounded (≤ segments) ordered
+    collect.  Returns (key, n_used, sax_word)."""
+    if alphabet not in SAX_BREAKPOINTS_PPM:
+        raise ValueError(
+            f"alphabet must be one of "
+            f"{sorted(SAX_BREAKPOINTS_PPM)}: {alphabet}"
+        )
+    if not 1 <= int(segments) <= 64:
+        raise ValueError(f"segments must be in [1, 64]: {segments}")
+    segs = int(segments)
+    kw = W.partitionBy("_k").orderBy("_t", "_x")
+    base = series.select(
+        F.col(key_col).alias("_k"),
+        F.col(t_col).alias("_t"),
+        F.col(value_col).cast("bigint").alias("_x"),
+    ).select("_k", "_x", F.row_number().over(kw).alias("_rn"))
+    cnt = base.groupBy("_k").agg(F.count(F.lit(1)).alias("_n"))
+    used = (
+        base.join(cnt, "_k")
+        .withColumn("_w", F.expr(f"_n DIV {segs}"))
+        .where(
+            (F.col("_n") >= segs)
+            & (F.col("_rn") <= F.col("_w") * segs)
+        )
+    )
+    stats = used.groupBy("_k").agg(
+        F.count(F.lit(1)).cast("bigint").alias("_nu"),
+        F.max("_w").cast("bigint").alias("_wp"),
+        F.sum("_x").cast("bigint").alias("_s"),
+        F.sum(
+            F.expr("CAST(_x AS DECIMAL(38,0)) * _x")
+        ).alias("_q"),
+    )
+    per_seg = (
+        used.withColumn("_seg", F.expr("CAST((_rn - 1) DIV _w AS INT)"))
+        .groupBy("_k", "_seg")
+        .agg(F.sum("_x").cast("bigint").alias("_sseg"))
+        .join(stats, "_k")
+    )
+    dec = "DECIMAL(38,0)"
+    l_expr = (
+        f"(CAST(_sseg AS {dec}) * _nu - CAST(_wp AS {dec}) * _s) "
+        f"* 1000000"
+    )
+    d_expr = (
+        f"(CAST(_nu AS {dec}) * _q - CAST(_s AS {dec}) * _s)"
+    )
+    terms = []
+    for b in SAX_BREAKPOINTS_PPM[alphabet]:
+        if b == 0:
+            terms.append("(CASE WHEN _l > 0 THEN 1 ELSE 0 END)")
+        elif b > 0:
+            terms.append(
+                f"(CASE WHEN _l > 0 AND _l * _l > "
+                f"CAST({b * b} AS {dec}) * _wp * _wp * _d "
+                f"THEN 1 ELSE 0 END)"
+            )
+        else:
+            terms.append(
+                f"(CASE WHEN _l >= 0 OR _l * _l < "
+                f"CAST({b * b} AS {dec}) * _wp * _wp * _d "
+                f"THEN 1 ELSE 0 END)"
+            )
+    sym = (
+        f"substr('{_SAX_LETTERS[:alphabet]}', "
+        f"({' + '.join(terms)}) + 1, 1)"
+    )
+    symbols = per_seg.select(
+        "_k", "_seg", "_nu", "_wp",
+        F.expr(l_expr).alias("_l"),
+        F.expr(d_expr).alias("_d"),
+    ).select("_k", "_seg", "_nu", F.expr(sym).alias("_sym"))
+    return symbols.groupBy("_k").agg(
+        F.max("_nu").alias("n_used"),
+        F.expr(
+            "array_join(transform(array_sort(collect_list("
+            "struct(_seg, _sym))), s -> s._sym), '')"
+        ).alias("sax_word"),
+    ).select(F.col("_k").alias(key_col), "n_used", "sax_word")
+
+
+def sax_words_sql(
+    src: str,
+    key_col: str,
+    t_col: str,
+    value_col: str,
+    segments: int = 12,
+    alphabet: int = 4,
+) -> str:
+    """DuckDB twin of :func:`sax_words` — identical prefix
+    truncation, PAA rollup, frozen breakpoints, and cross-multiplied
+    strict symbol rule (HUGEINT products ≡ Spark's decimal(38)).
+    Standalone."""
+    if alphabet not in SAX_BREAKPOINTS_PPM:
+        raise ValueError(f"alphabet: {alphabet}")
+    segs = int(segments)
+    terms = []
+    for b in SAX_BREAKPOINTS_PPM[alphabet]:
+        if b == 0:
+            terms.append("(CASE WHEN _l > 0 THEN 1 ELSE 0 END)")
+        elif b > 0:
+            terms.append(
+                f"(CASE WHEN _l > 0 AND _l * _l > "
+                f"CAST({b * b} AS HUGEINT) * _wp * _wp * _d "
+                f"THEN 1 ELSE 0 END)"
+            )
+        else:
+            terms.append(
+                f"(CASE WHEN _l >= 0 OR _l * _l < "
+                f"CAST({b * b} AS HUGEINT) * _wp * _wp * _d "
+                f"THEN 1 ELSE 0 END)"
+            )
+    sym = (
+        f"substr('{_SAX_LETTERS[:alphabet]}', "
+        f"CAST(({' + '.join(terms)}) + 1 AS INT), 1)"
+    )
+    return f"""
+        WITH sx_base AS MATERIALIZED (
+            SELECT {key_col} AS _k,
+                   CAST({value_col} AS BIGINT) AS _x,
+                   ROW_NUMBER() OVER (PARTITION BY {key_col}
+                       ORDER BY {t_col}, CAST({value_col} AS BIGINT))
+                       AS _rn
+            FROM {src}
+        ),
+        sx_cnt AS (
+            SELECT _k, COUNT(*) AS _n FROM sx_base GROUP BY 1
+        ),
+        sx_used AS MATERIALIZED (
+            SELECT b._k, b._x, b._rn, c._n // {segs} AS _w
+            FROM sx_base b JOIN sx_cnt c USING (_k)
+            WHERE c._n >= {segs}
+              AND b._rn <= (c._n // {segs}) * {segs}
+        ),
+        sx_stats AS MATERIALIZED (
+            SELECT _k, CAST(COUNT(*) AS BIGINT) AS _nu,
+                   CAST(MAX(_w) AS HUGEINT) AS _wp,
+                   CAST(SUM(_x) AS HUGEINT) AS _s,
+                   SUM(CAST(_x AS HUGEINT) * _x) AS _q
+            FROM sx_used GROUP BY 1
+        ),
+        sx_seg AS MATERIALIZED (
+            SELECT u._k, CAST((u._rn - 1) // u._w AS INT) AS _seg,
+                   CAST(SUM(u._x) AS HUGEINT) AS _sseg
+            FROM sx_used u GROUP BY 1, 2
+        ),
+        sx_sym AS (
+            SELECT g._k, g._seg, s._nu, s._wp, s._s, s._q,
+                   (g._sseg * s._nu - s._wp * s._s) * 1000000 AS _l,
+                   (s._nu * s._q - s._s * s._s) AS _d
+            FROM sx_seg g JOIN sx_stats s USING (_k)
+        )
+        SELECT _k AS {key_col},
+               CAST(MAX(_nu) AS BIGINT) AS n_used,
+               STRING_AGG({sym}, '' ORDER BY _seg) AS sax_word
+        FROM sx_sym GROUP BY 1
+    """
