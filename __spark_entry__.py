@@ -3373,6 +3373,37 @@ def q_route_corridor(spark, sf_dir):
     )
 
 
+VITERBI_PENS = dict(pen_adj=20_000_000, pen_far=4_000_000_000)
+
+
+def q_viterbi_match(spark, sf_dir):
+    """HMM map-matching (spatial.viterbi_match): tracks wobbling
+    ±0.03125° around the chain/ring lattice network match JOINTLY
+    via Viterbi — emission = the snap kit's exact rational d²,
+    transition = the two-tier switch penalty (same segment free,
+    endpoint-adjacent cheap, jump expensive), so the matched path
+    hugs each chain through the junctions instead of flip-flopping.
+    Candidate generation is the snap cell equi-join; the DP is
+    Arrow-batched per track; the oracle unrolls the DP per step with
+    min(STRUCT) argmins and a carried path string, so every match
+    and distance is hash-verified."""
+    docs = pages_src.documents(spark, sf_dir).select("doc_id")
+    g = F.expr("doc_id DIV 10")
+    j = F.expr("doc_id % 10")
+    pts = docs.select(
+        g.alias("entity"),
+        j.alias("seq"),
+        ((g % 50).cast("double") + j * F.lit(0.0625)
+         + F.lit(0.03125)).alias("lon"),
+        (((g / F.lit(50)).cast("long") % 80).cast("double")
+         + ((j % 3) - 1) * F.lit(0.03125)).alias("lat"),
+    )
+    return spatial.viterbi_match(
+        pts, _line_merge_segs(spark, sf_dir), 0.25,
+        max_points=16, **VITERBI_PENS,
+    )
+
+
 def q_krippendorff(spark, sf_dir):
     """Krippendorff's alpha (evaluation.krippendorff_alpha) per
     language over a RAGGED version of the fleiss_raters panel — the
@@ -6369,6 +6400,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_merge": q_line_merge,
         "cell_polyfill": q_cell_polyfill,
         "route_corridor": q_route_corridor,
+        "viterbi_match": q_viterbi_match,
         "l_diversity": q_l_diversity,
         "t_closeness": q_t_closeness,
         "rank_sum_lengths": q_rank_sum_lengths,
@@ -9994,6 +10026,20 @@ def oracle_sql() -> dict[str, str]:
         ),
         "route_corridor": spatial.route_corridor_sql(
             _CORRIDOR_PTS_SQL, _LINE_MERGE_SEGS_SQL, 0.25, 0.0625
+        ),
+        "viterbi_match": spatial.viterbi_match_sql(
+            """(
+            SELECT doc_id // 10 AS entity, doc_id % 10 AS seq,
+                   CAST((doc_id // 10) % 50 AS DOUBLE)
+                     + (doc_id % 10) * CAST(0.0625 AS DOUBLE)
+                     + CAST(0.03125 AS DOUBLE) AS lon,
+                   CAST(((doc_id // 10) // 50) % 80 AS DOUBLE)
+                     + ((doc_id % 10) % 3 - 1)
+                       * CAST(0.03125 AS DOUBLE) AS lat
+            FROM documents
+            )""",
+            _LINE_MERGE_SEGS_SQL, 0.25, max_points=16,
+            **VITERBI_PENS,
         ),
         "dq_orders": profile_mod.dq_checks_sql(
             "orders", _DQ_ORDERS_SUITE,

@@ -10101,3 +10101,426 @@ def raster_viewshed_sql(
         raster_src, observers_src, height_col=height_col,
         radius=radius, res_deg=res_deg, slope_scale=slope_scale,
     )
+
+
+def viterbi_match(
+    points: DataFrame,
+    segs: DataFrame,
+    res_deg: float,
+    pen_adj: int,
+    pen_far: int,
+    scale: int = 10_000,
+    d2_scale: int = 1000,
+    entity_col: str = "entity",
+    order_col: str = "seq",
+    seg_id: str = "seg_id",
+    k_candidates: int = 4,
+    max_points: int = 64,
+) -> DataFrame:
+    """HMM map-matching (the Newson–Krumm shape, exact-integer cost
+    model): each track's points match to road segments JOINTLY via
+    Viterbi, instead of :func:`snap_to_segments`' independent
+    per-point argmin — the upgrade that stops a noisy trace from
+    flip-flopping between parallel roads, because switching segments
+    costs something:
+
+        path cost = Σᵢ d²_q(pᵢ, sᵢ)  +  Σᵢ trans(sᵢ₋₁, sᵢ)
+        trans(a, b) = 0        if a = b
+                      pen_adj  if a, b share a quantized endpoint
+                      pen_far  otherwise
+
+    (the two-tier switch penalty is the road-topology prior: staying
+    on the same polyline is free, crossing a junction is cheap,
+    teleporting across the network is expensive; penalties are in
+    the same (1/scale°)²·d2_scale units as the emission distances).
+
+    Emission d²_q and the candidate rule are EXACTLY
+    snap_to_segments' (bbox-fan × 3×3-probe, exact rational
+    point-to-segment distance quantized once — see
+    spatial.py:4012); each point keeps its ``k_candidates`` best by
+    (d2_q, seg_id).  Points with no candidate within the cell
+    radius are DROPPED and the chain continues across the gap
+    (stated — the bounded-radius non-match).  Tie rules, declared:
+    the best predecessor per state minimizes (cost + trans,
+    predecessor seg_id); the final state minimizes (cost, seg_id) —
+    a total order, so the matched path is unique.
+
+    Cost bound: ≤ max_points·(max d2_q + pen_far) ≈ 10¹²·max_points
+    at the defaults — int64 with room; penalties validated
+    non-negative with pen_far ≥ pen_adj.
+
+    Scale: candidate generation is the snap kit's cell equi-join;
+    the DP is Arrow-batched per track (the track-DP family pattern)
+    over a LOUD ``max_points`` guard, O(len·K²) per track.  The
+    DuckDB twin unrolls the DP per step with min(STRUCT) argmins and
+    a carried path string, so every match is hash-verified.
+
+    Returns (entity, seq, seg_id, d2_q) — one row per MATCHED
+    point."""
+    import pandas as _pd
+
+    if res_deg * scale != int(res_deg * scale):
+        raise ValueError("res_deg * scale must be integral")
+    if scale > 1_000_000:
+        raise ValueError("scale > 1e6 overflows the int64 cross bound")
+    if not (0 <= int(pen_adj) <= int(pen_far)):
+        raise ValueError(
+            f"penalties must satisfy 0 <= pen_adj <= pen_far: "
+            f"{pen_adj}, {pen_far}"
+        )
+    if not 1 <= int(k_candidates) <= 8:
+        raise ValueError(f"k_candidates in [1, 8]: {k_candidates}")
+    if not 2 <= int(max_points) <= 4_096:
+        raise ValueError(f"max_points out of range: {max_points}")
+    g = int(res_deg * scale)
+    offx, offy = 180 * scale, 90 * scale
+    sc = F.lit(float(scale))
+    kc = int(k_candidates)
+    p_adj, p_far = int(pen_adj), int(pen_far)
+
+    sq = segs.select(
+        F.col(seg_id).alias("_sid"),
+        (F.round(F.col("lon1") * sc).cast("bigint") + offx).alias("sx1"),
+        (F.round(F.col("lat1") * sc).cast("bigint") + offy).alias("sy1"),
+        (F.round(F.col("lon2") * sc).cast("bigint") + offx).alias("sx2"),
+        (F.round(F.col("lat2") * sc).cast("bigint") + offy).alias("sy2"),
+    )
+    x0 = _idiv(F.least("sx1", "sx2"), g)
+    x1 = _idiv(F.greatest("sx1", "sx2"), g)
+    y0 = _idiv(F.least("sy1", "sy2"), g)
+    y1 = _idiv(F.greatest("sy1", "sy2"), g)
+    cells = F.flatten(
+        F.transform(
+            F.sequence(y0, y1),
+            lambda yy: F.transform(
+                F.sequence(x0, x1),
+                lambda xx: yy * F.lit(1_000_000) + xx,
+            ),
+        )
+    )
+    seg_fan = sq.withColumn("_cell", F.explode(cells))
+
+    pq = points.select(
+        F.col(entity_col).alias("_e"),
+        F.col(order_col).alias("_o"),
+        (F.round(F.col("lon") * sc).cast("bigint") + offx).alias("px"),
+        (F.round(F.col("lat") * sc).cast("bigint") + offy).alias("py"),
+    )
+    probes = F.array(
+        *[
+            (_idiv(F.col("py"), g) + F.lit(dy)) * F.lit(1_000_000)
+            + (_idiv(F.col("px"), g) + F.lit(dx))
+            for dy in (-1, 0, 1)
+            for dx in (-1, 0, 1)
+        ]
+    )
+    pt_fan = pq.withColumn("_cell", F.explode(probes))
+    cand = (
+        pt_fan.join(seg_fan, "_cell")
+        .select(
+            "_e", "_o", "px", "py", "_sid",
+            "sx1", "sy1", "sx2", "sy2",
+        )
+        .distinct()
+    )
+    apx = F.col("px") - F.col("sx1")
+    apy = F.col("py") - F.col("sy1")
+    abx = F.col("sx2") - F.col("sx1")
+    aby = F.col("sy2") - F.col("sy1")
+    bpx = F.col("px") - F.col("sx2")
+    bpy = F.col("py") - F.col("sy2")
+    dot = apx * abx + apy * aby
+    ab2 = abx * abx + aby * aby
+    ap2 = apx * apx + apy * apy
+    bp2 = bpx * bpx + bpy * bpy
+    d = F.lit(int(d2_scale))
+    dec = "decimal(38,0)"
+    interior = (
+        (ap2.cast(dec) * ab2.cast(dec) - dot.cast(dec) * dot.cast(dec))
+        * d
+    )
+    d2_q = (
+        F.when(ab2 == 0, ap2 * d)
+        .when(dot <= 0, ap2 * d)
+        .when(dot >= ab2, bp2 * d)
+        .otherwise(F.expr("CAST(_num DIV _den AS BIGINT)"))
+    )
+    scored = (
+        cand.withColumn("_num", interior)
+        .withColumn("_den", ab2.cast(dec))
+        .withColumn("d2_q", d2_q)
+        .select("_e", "_o", "_sid", "d2_q", "sx1", "sy1", "sx2", "sy2")
+    )
+    pw = W.partitionBy("_e", "_o").orderBy("d2_q", "_sid")
+    topk = scored.withColumn("_rk", F.row_number().over(pw)).where(
+        F.col("_rk") <= kc
+    )
+    per_pt = topk.groupBy("_e", "_o").agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct("d2_q", "_sid", "sx1", "sy1", "sx2", "sy2")
+            )
+        ).alias("_cands")
+    )
+    ok = F.assert_true(
+        F.size("_steps") <= F.lit(int(max_points)),
+        F.lit(
+            f"viterbi_match: a track exceeds max_points={max_points} "
+            "matched points; segment tracks first"
+        ),
+    )
+    tracks = (
+        per_pt.groupBy("_e")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("_o", "_cands"))
+            ).alias("_steps")
+        )
+        .select("_e", F.when(ok.isNull(), F.col("_steps")).alias("_steps"))
+    )
+
+    def run(batches):
+        for pdf in batches:
+            recs = []
+            for ent, steps in zip(pdf["_e"], pdf["_steps"]):
+                seqs = [s["_o"] for s in steps]
+                cands = [
+                    [
+                        (
+                            int(c["d2_q"]), c["_sid"],
+                            (int(c["sx1"]), int(c["sy1"])),
+                            (int(c["sx2"]), int(c["sy2"])),
+                        )
+                        for c in s["_cands"]
+                    ]
+                    for s in steps
+                ]
+
+                def trans(a, b):
+                    if a[1] == b[1]:
+                        return 0
+                    if a[2] in (b[2], b[3]) or a[3] in (b[2], b[3]):
+                        return p_adj
+                    return p_far
+
+                n = len(cands)
+                dp = [[c[0] for c in cands[0]]]
+                back = [[None] * len(cands[0])]
+                for t in range(1, n):
+                    row, brow = [], []
+                    for c in cands[t]:
+                        best = None
+                        for j, cp in enumerate(cands[t - 1]):
+                            key = (dp[t - 1][j] + trans(cp, c), cp[1])
+                            if best is None or key < best[0]:
+                                best = (key, j)
+                        row.append(c[0] + best[0][0])
+                        brow.append(best[1])
+                    dp.append(row)
+                    back.append(brow)
+                bi, bkey = None, None
+                for i, c in enumerate(cands[n - 1]):
+                    key = (dp[n - 1][i], c[1])
+                    if bkey is None or key < bkey:
+                        bkey, bi = key, i
+                path = [None] * n
+                i = bi
+                for t in range(n - 1, -1, -1):
+                    path[t] = i
+                    i = back[t][i] if t > 0 else None
+                for t in range(n):
+                    c = cands[t][path[t]]
+                    recs.append((ent, seqs[t], c[1], c[0]))
+            yield _pd.DataFrame(
+                recs, columns=["_e", "_o", "_sid", "d2_q"]
+            )
+
+    schema = (
+        f"_e {dict(tracks.dtypes)['_e']}, _o bigint, "
+        f"_sid bigint, d2_q bigint"
+    )
+    out = tracks.mapInPandas(run, schema=schema)
+    return out.select(
+        F.col("_e").alias(entity_col),
+        F.col("_o").alias(order_col),
+        F.col("_sid").alias(seg_id),
+        "d2_q",
+    )
+
+
+def viterbi_match_sql(
+    points_src: str,
+    segs_src: str,
+    res_deg: float,
+    pen_adj: int,
+    pen_far: int,
+    scale: int = 10_000,
+    d2_scale: int = 1000,
+    entity_col: str = "entity",
+    order_col: str = "seq",
+    seg_id: str = "seg_id",
+    k_candidates: int = 4,
+    max_points: int = 16,
+) -> str:
+    """DuckDB twin of :func:`viterbi_match` — identical candidate
+    arithmetic (the snap twin's cell fans and rational d²), then the
+    DP unrolled per step: min(STRUCT_PACK(cost, prev_sid, path))
+    argmins reproduce the operator's declared tie rules exactly, and
+    the winning path rides along as a '>'-joined string that the
+    final select re-explodes.  ``seg_id`` values must be integers
+    (the path string round-trips through CAST).  Tracks longer than
+    ``max_points`` matched points would silently truncate — the
+    operator's guard is the loud one (the frechet-twin convention).
+    Standalone statement."""
+    g = int(res_deg * scale)
+    offx, offy = 180 * scale, 90 * scale
+    kc = int(k_candidates)
+    p_adj, p_far = int(pen_adj), int(pen_far)
+    trans = f"""CASE
+        WHEN p._sid = c2._sid THEN 0
+        WHEN (p.sx1 = c2.sx1 AND p.sy1 = c2.sy1)
+          OR (p.sx1 = c2.sx2 AND p.sy1 = c2.sy2)
+          OR (p.sx2 = c2.sx1 AND p.sy2 = c2.sy1)
+          OR (p.sx2 = c2.sx2 AND p.sy2 = c2.sy2) THEN {p_adj}
+        ELSE {p_far} END"""
+    ctes = [
+        f"""vm_sq AS (
+            SELECT {seg_id} AS _sid,
+                   CAST(ROUND(lon1 * {scale}) AS BIGINT) + {offx} AS sx1,
+                   CAST(ROUND(lat1 * {scale}) AS BIGINT) + {offy} AS sy1,
+                   CAST(ROUND(lon2 * {scale}) AS BIGINT) + {offx} AS sx2,
+                   CAST(ROUND(lat2 * {scale}) AS BIGINT) + {offy} AS sy2
+            FROM {segs_src}
+        )""",
+        f"""vm_segfan AS MATERIALIZED (
+            SELECT *,
+                   UNNEST(flatten(list_transform(
+                       generate_series(
+                           (LEAST(sy1, sy2) - LEAST(sy1, sy2) % {g}) // {g},
+                           (GREATEST(sy1, sy2)
+                            - GREATEST(sy1, sy2) % {g}) // {g}),
+                       yy -> list_transform(
+                           generate_series(
+                               (LEAST(sx1, sx2)
+                                - LEAST(sx1, sx2) % {g}) // {g},
+                               (GREATEST(sx1, sx2)
+                                - GREATEST(sx1, sx2) % {g}) // {g}),
+                           xx -> yy * 1000000 + xx)))) AS _cell
+            FROM vm_sq
+        )""",
+        f"""vm_pq AS (
+            SELECT {entity_col} AS _e, {order_col} AS _o,
+                   CAST(ROUND(lon * {scale}) AS BIGINT) + {offx} AS px,
+                   CAST(ROUND(lat * {scale}) AS BIGINT) + {offy} AS py
+            FROM {points_src}
+        )""",
+        f"""vm_ptfan AS MATERIALIZED (
+            SELECT *,
+                   ((py - py % {g}) // {g} + d.dy) * 1000000
+                   + ((px - px % {g}) // {g} + d.dx) AS _cell
+            FROM vm_pq CROSS JOIN (VALUES
+                 (-1,-1),(-1,0),(-1,1),(0,-1),(0,0),(0,1),
+                 (1,-1),(1,0),(1,1)) d(dy, dx)
+        )""",
+        """vm_cand AS MATERIALIZED (
+            SELECT DISTINCT p._e, p._o, p.px, p.py,
+                   s._sid, s.sx1, s.sy1, s.sx2, s.sy2
+            FROM vm_ptfan p JOIN vm_segfan s USING (_cell)
+        )""",
+        f"""vm_scored AS MATERIALIZED (
+            SELECT _e, _o, _sid, sx1, sy1, sx2, sy2,
+                   CASE
+                     WHEN (sx2-sx1)*(sx2-sx1) + (sy2-sy1)*(sy2-sy1) = 0
+                       THEN ((px-sx1)*(px-sx1) + (py-sy1)*(py-sy1))
+                            * {d2_scale}
+                     WHEN (px-sx1)*(sx2-sx1) + (py-sy1)*(sy2-sy1) <= 0
+                       THEN ((px-sx1)*(px-sx1) + (py-sy1)*(py-sy1))
+                            * {d2_scale}
+                     WHEN (px-sx1)*(sx2-sx1) + (py-sy1)*(sy2-sy1)
+                          >= (sx2-sx1)*(sx2-sx1) + (sy2-sy1)*(sy2-sy1)
+                       THEN ((px-sx2)*(px-sx2) + (py-sy2)*(py-sy2))
+                            * {d2_scale}
+                     ELSE CAST(
+                       ((CAST((px-sx1)*(px-sx1) + (py-sy1)*(py-sy1)
+                              AS HUGEINT)
+                         * ((sx2-sx1)*(sx2-sx1) + (sy2-sy1)*(sy2-sy1))
+                         - CAST((px-sx1)*(sx2-sx1) + (py-sy1)*(sy2-sy1)
+                                AS HUGEINT)
+                           * ((px-sx1)*(sx2-sx1) + (py-sy1)*(sy2-sy1)))
+                        * {d2_scale})
+                       // ((sx2-sx1)*(sx2-sx1) + (sy2-sy1)*(sy2-sy1))
+                       AS BIGINT)
+                   END AS d2_q
+            FROM vm_cand
+        )""",
+        f"""vm_topk AS MATERIALIZED (
+            SELECT * FROM (
+                SELECT _e, _o, _sid, d2_q, sx1, sy1, sx2, sy2,
+                       ROW_NUMBER() OVER (PARTITION BY _e, _o
+                           ORDER BY d2_q, _sid) AS _rk
+                FROM vm_scored
+            ) WHERE _rk <= {kc}
+        )""",
+        """vm_seqs AS MATERIALIZED (
+            SELECT _e, _o,
+                   ROW_NUMBER() OVER (PARTITION BY _e ORDER BY _o)
+                       AS t
+            FROM (SELECT DISTINCT _e, _o FROM vm_topk)
+        )""",
+        """vm_c AS MATERIALIZED (
+            SELECT k.*, s.t
+            FROM vm_topk k JOIN vm_seqs s USING (_e, _o)
+        )""",
+        """vm_s1 AS MATERIALIZED (
+            SELECT _e, _sid, sx1, sy1, sx2, sy2,
+                   d2_q AS cost, CAST(_sid AS VARCHAR) AS path
+            FROM vm_c WHERE t = 1
+        )""",
+    ]
+    for t in range(2, int(max_points) + 1):
+        ctes.append(f"""vm_s{t} AS MATERIALIZED (
+            SELECT c._e, c._sid, c.sx1, c.sy1, c.sx2, c.sy2,
+                   c.d2_q + b._b.ct AS cost,
+                   b._b.pth || '>' || CAST(c._sid AS VARCHAR) AS path
+            FROM vm_c c
+            JOIN (
+                SELECT c2._e, c2._sid AS sid,
+                       MIN(STRUCT_PACK(
+                           ct := p.cost + {trans},
+                           ps := p._sid,
+                           pth := p.path)) AS _b
+                FROM vm_c c2
+                JOIN vm_s{t - 1} p ON p._e = c2._e
+                WHERE c2.t = {t}
+                GROUP BY 1, 2
+            ) b ON b._e = c._e AND b.sid = c._sid
+            WHERE c.t = {t}
+        )""")
+    union = "\nUNION ALL\n".join(
+        f"SELECT _e, {t} AS t, _sid, cost, path FROM vm_s{t}"
+        for t in range(1, int(max_points) + 1)
+    )
+    return (
+        "WITH " + ",\n".join(ctes) + f""",
+        vm_all AS ({union}),
+        vm_len AS (SELECT _e, MAX(t) AS tmax FROM vm_c GROUP BY 1),
+        vm_best AS (
+            SELECT a._e,
+                   MIN(STRUCT_PACK(cost := a.cost, sid := a._sid,
+                                   pth := a.path)) AS _b
+            FROM vm_all a JOIN vm_len l ON l._e = a._e
+                                       AND a.t = l.tmax
+            GROUP BY 1
+        )
+        SELECT b._e AS {entity_col},
+               CAST(s._o AS BIGINT) AS {order_col},
+               CAST(b.els[u.i] AS BIGINT) AS {seg_id},
+               k.d2_q
+        FROM (SELECT _e, string_split(_b.pth, '>') AS els
+              FROM vm_best) b,
+             LATERAL (SELECT UNNEST(range(1, len(b.els) + 1)) AS i) u
+        JOIN vm_seqs s ON s._e = b._e AND s.t = u.i
+        JOIN vm_topk k ON k._e = b._e AND k._o = s._o
+                      AND k._sid = CAST(b.els[u.i] AS BIGINT)
+    """
+    )
