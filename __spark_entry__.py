@@ -3373,6 +3373,41 @@ def q_route_corridor(spark, sf_dir):
     )
 
 
+KNOX_ARGS = dict(delta_deg=0.25, tau=3_600)
+
+
+def q_knox(spark, sf_dir):
+    """Knox space–time interaction test (spatial.knox_test) over the
+    drift-geocoded event stream: are events close on the map
+    (≤ 0.25°) also close in time (≤ 1 h)?  Same-user tracks cluster
+    tightly in space while their events spread across the corpus
+    window, so interaction is real but partial (ratio ≈ 2.8·10⁶ —
+    every branch of the statistic carries nonzero mass at every sf).
+    Pure exact pair counts — the space side via the house cell
+    equi-join (3×3 probe, id< order), the time side via the 1-D
+    τ-bucket analogue, the independence expectation cleared in
+    decimal(38).  The loud max_bucket guard rides the output row
+    (the assert multiplies n), so column pruning can never silence
+    it."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    rn = F.row_number().over(
+        W.partitionBy("user_id").orderBy("ts", "event_id")
+    )
+    pts = ev.select("user_id", "ts", "event_id", rn.alias("rn")).select(
+        F.col("event_id").alias("doc_id"),
+        (F.lit(-100.0) + (F.col("user_id") % 140) * F.lit(1.0)
+         + F.lit(0.002) * F.col("rn")).alias("lon"),
+        (F.lit(-45.0) + (F.col("user_id") % 120) * F.lit(0.5)
+         + F.lit(0.001) * F.col("rn")
+         + F.lit(1.0) * F.floor(F.col("rn") / 25)).alias("lat"),
+        F.expr(
+            "CAST(unix_micros(CAST(ts AS TIMESTAMP)) "
+            "DIV 1000000 AS BIGINT)"
+        ).alias("t"),
+    )
+    return spatial.knox_test(pts, **KNOX_ARGS)
+
+
 VITERBI_PENS = dict(pen_adj=20_000_000, pen_far=4_000_000_000)
 
 
@@ -6401,6 +6436,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cell_polyfill": q_cell_polyfill,
         "route_corridor": q_route_corridor,
         "viterbi_match": q_viterbi_match,
+        "knox_events": q_knox,
         "l_diversity": q_l_diversity,
         "t_closeness": q_t_closeness,
         "rank_sum_lengths": q_rank_sum_lengths,
@@ -10026,6 +10062,25 @@ def oracle_sql() -> dict[str, str]:
         ),
         "route_corridor": spatial.route_corridor_sql(
             _CORRIDOR_PTS_SQL, _LINE_MERGE_SEGS_SQL, 0.25, 0.0625
+        ),
+        "knox_events": spatial.knox_test_sql(
+            """(
+            SELECT event_id AS doc_id,
+                   CAST(-100.0 AS DOUBLE)
+                     + (user_id % 140) * CAST(1.0 AS DOUBLE)
+                     + CAST(0.002 AS DOUBLE) * rn AS lon,
+                   CAST(-45.0 AS DOUBLE)
+                     + (user_id % 120) * CAST(0.5 AS DOUBLE)
+                     + CAST(0.001 AS DOUBLE) * rn
+                     + CAST(1.0 AS DOUBLE) * (rn // 25) AS lat,
+                   CAST(epoch_us(CAST(ts AS TIMESTAMP)) // 1000000
+                        AS BIGINT) AS t
+            FROM (SELECT *, ROW_NUMBER() OVER (
+                      PARTITION BY user_id
+                      ORDER BY ts, event_id) AS rn
+                  FROM events)
+            )""",
+            **KNOX_ARGS,
         ),
         "viterbi_match": spatial.viterbi_match_sql(
             """(

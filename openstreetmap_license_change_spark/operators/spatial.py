@@ -10524,3 +10524,241 @@ def viterbi_match_sql(
                       AND k._sid = CAST(b.els[u.i] AS BIGINT)
     """
     )
+
+
+def knox_test(
+    points: DataFrame,
+    delta_deg: float,
+    tau: int,
+    id_col: str = "doc_id",
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    t_col: str = "t",
+    scale: int = 10_000,
+    max_bucket: int = 65_536,
+) -> DataFrame:
+    """Knox space–time interaction test (Knox 1964) — ARE events
+    that happen close together in space also close together in
+    time?  The question behind outbreak detection, coordinated-edit
+    forensics, and burst-locality audits, answered with pure pair
+    counts (no distribution assumptions):
+
+        ns = #{pairs with d² ≤ δ²},  nt = #{pairs with |Δt| ≤ τ},
+        x  = #{pairs close in BOTH},  P = n(n−1)/2
+        E[x | independence] = ns·nt / P
+        ratio_ppm = x·P·10⁶ DIV (ns·nt)   (10⁶ ⇒ no interaction)
+
+    All exact integers: coordinates quantize to ×``scale``
+    fixed-point, the space test compares int64 d² against
+    round(δ·scale)², the time test |Δt| ≤ τ on integer timestamps;
+    the expectation clears in decimal(38)/HUGEINT (bound:
+    ns·nt·10⁶ < 10³⁸ — fine to ~10⁹ points, stated).
+
+    Pair counting NEVER goes quadratic in n: space pairs come from
+    the house cell equi-join (grid at δ, 3×3 probe on one side, home
+    cell on the other, id< order — each unordered pair meets exactly
+    once), time pairs from the 1-D analogue (τ-buckets, ±1 probe).
+    The fan is bounded by the densest cell/bucket — guarded LOUDLY
+    by ``max_bucket`` (a denser instance needs a smaller δ/τ or a
+    pre-aggregation, not silence).
+
+    Returns ONE row: (n, n_pairs, ns, nt, x_obs, exp_x_ppm,
+    ratio_ppm) — exp_x_ppm is E[x]·10⁶; ratio NULL when ns·nt = 0."""
+    if delta_deg * scale != int(delta_deg * scale):
+        raise ValueError("delta_deg * scale must be integral")
+    if scale > 1_000_000:
+        raise ValueError("scale > 1e6 overflows the int64 d2 bound")
+    if tau < 1:
+        raise ValueError(f"tau must be >= 1: {tau}")
+    g = int(delta_deg * scale)
+    d2max = g * g
+    offx, offy = 180 * scale, 90 * scale
+    sc = F.lit(float(scale))
+    pq = points.select(
+        F.col(id_col).alias("_i"),
+        (F.round(F.col(lon_col) * sc).cast("bigint") + offx)
+        .alias("_x"),
+        (F.round(F.col(lat_col) * sc).cast("bigint") + offy)
+        .alias("_y"),
+        F.col(t_col).cast("bigint").alias("_t"),
+    ).localCheckpoint(eager=True)
+
+    cell = (_idiv(F.col("_y"), g) * F.lit(1_000_000)
+            + _idiv(F.col("_x"), g))
+    home = pq.select("_i", "_x", "_y", "_t", cell.alias("_cell"))
+    probes = F.array(
+        *[
+            (_idiv(F.col("_y"), g) + F.lit(dy)) * F.lit(1_000_000)
+            + (_idiv(F.col("_x"), g) + F.lit(dx))
+            for dy in (-1, 0, 1)
+            for dx in (-1, 0, 1)
+        ]
+    )
+    fan = pq.select(
+        F.col("_i").alias("_ia"), F.col("_x").alias("_xa"),
+        F.col("_y").alias("_ya"), F.col("_t").alias("_ta"),
+        F.explode(probes).alias("_cell"),
+    )
+    dd = (
+        (F.col("_xa") - F.col("_x")) * (F.col("_xa") - F.col("_x"))
+        + (F.col("_ya") - F.col("_y")) * (F.col("_ya") - F.col("_y"))
+    )
+    close_s = (
+        fan.join(home, "_cell")
+        .where(F.col("_ia") < F.col("_i"))
+        .where(dd <= F.lit(d2max))
+    )
+    s_counts = close_s.agg(
+        F.count(F.lit(1)).cast("bigint").alias("ns"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.abs(F.col("_ta") - F.col("_t")) <= F.lit(int(tau)),
+                    1,
+                ).otherwise(0)
+            ),
+            F.lit(0),
+        ).cast("bigint").alias("x_obs"),
+    )
+
+    tb = _idiv(F.col("_t"), int(tau))
+    t_home = pq.select("_i", "_t", tb.alias("_tb"))
+    t_fan = pq.select(
+        F.col("_i").alias("_ia"), F.col("_t").alias("_ta"),
+        F.explode(
+            F.array(*[tb + F.lit(d) for d in (-1, 0, 1)])
+        ).alias("_tb"),
+    )
+    close_t = (
+        t_fan.join(t_home, "_tb")
+        .where(F.col("_ia") < F.col("_i"))
+        .where(F.abs(F.col("_ta") - F.col("_t")) <= F.lit(int(tau)))
+    )
+    t_count = close_t.agg(
+        F.count(F.lit(1)).cast("bigint").alias("nt")
+    )
+
+    guard = (
+        home.groupBy("_cell").agg(F.count(F.lit(1)).alias("_nc"))
+        .agg(F.coalesce(F.max("_nc"), F.lit(0)).alias("_mc"))
+        .crossJoin(
+            t_home.groupBy("_tb").agg(F.count(F.lit(1)).alias("_nb"))
+            .agg(F.coalesce(F.max("_nb"), F.lit(0)).alias("_mb"))
+        )
+        .select(
+            F.when(
+                F.expr(
+                    f"assert_true(_mc <= {int(max_bucket)} AND "
+                    f"_mb <= {int(max_bucket)}, 'knox_test: a "
+                    f"cell/bucket exceeds max_bucket={max_bucket} "
+                    "points — shrink delta/tau or pre-aggregate')"
+                ).isNull(),
+                F.lit(1),
+            ).alias("_g")
+        )
+    )
+    n_row = pq.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    dec = "decimal(38,0)"
+    return (
+        n_row.crossJoin(s_counts)
+        .crossJoin(t_count)
+        .crossJoin(guard)
+        .select(
+            # n rides the guard product (×1 when the assert passes),
+            # so column pruning can never drop the loud bucket check
+            F.expr("CAST(n * _g AS BIGINT)").alias("n"),
+            F.expr("CAST(n * (n - 1) DIV 2 AS BIGINT)")
+            .alias("n_pairs"),
+            "ns", "nt", "x_obs",
+            F.expr(
+                f"CAST(CASE WHEN n < 2 THEN NULL ELSE "
+                f"(CAST(ns AS {dec}) * nt * 1000000) "
+                f"DIV (n * (n - 1) DIV 2) END AS BIGINT)"
+            ).alias("exp_x_ppm"),
+            F.expr(
+                f"CAST(CASE WHEN ns = 0 OR nt = 0 THEN NULL ELSE "
+                f"(CAST(x_obs AS {dec}) * (n * (n - 1) DIV 2) "
+                f"* 1000000) DIV (CAST(ns AS {dec}) * nt) "
+                f"END AS BIGINT)"
+            ).alias("ratio_ppm"),
+        )
+    )
+
+
+def knox_test_sql(
+    src: str,
+    delta_deg: float,
+    tau: int,
+    id_col: str = "doc_id",
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    t_col: str = "t",
+    scale: int = 10_000,
+) -> str:
+    """DuckDB twin of :func:`knox_test` — identical quantization,
+    cell/bucket pair joins, id< order, and cleared HUGEINT
+    expectation arithmetic.  Standalone."""
+    g = int(delta_deg * scale)
+    d2max = g * g
+    offx, offy = 180 * scale, 90 * scale
+    return f"""
+        WITH kx_p AS MATERIALIZED (
+            SELECT {id_col} AS _i,
+                   CAST(ROUND({lon_col} * {scale}) AS BIGINT)
+                       + {offx} AS _x,
+                   CAST(ROUND({lat_col} * {scale}) AS BIGINT)
+                       + {offy} AS _y,
+                   CAST({t_col} AS BIGINT) AS _t
+            FROM {src}
+        ),
+        kx_s AS MATERIALIZED (
+            SELECT a._i AS ia, b._i AS ib,
+                   ABS(a._t - b._t) <= {int(tau)} AS tclose
+            FROM (SELECT *,
+                         ((_y - _y % {g}) // {g} + d.dy) * 1000000
+                         + ((_x - _x % {g}) // {g} + d.dx) AS _cell
+                  FROM kx_p CROSS JOIN (VALUES
+                       (-1,-1),(-1,0),(-1,1),(0,-1),(0,0),(0,1),
+                       (1,-1),(1,0),(1,1)) d(dy, dx)) a
+            JOIN (SELECT *,
+                         ((_y - _y % {g}) // {g}) * 1000000
+                         + ((_x - _x % {g}) // {g}) AS _cell
+                  FROM kx_p) b USING (_cell)
+            WHERE a._i < b._i
+              AND (a._x - b._x) * (a._x - b._x)
+                  + (a._y - b._y) * (a._y - b._y) <= {d2max}
+        ),
+        kx_t AS MATERIALIZED (
+            SELECT COUNT(*) AS nt
+            FROM (SELECT *,
+                         (_t - _t % {int(tau)}) // {int(tau)} + d.o
+                             AS _tb
+                  FROM kx_p CROSS JOIN (VALUES (-1),(0),(1)) d(o)) a
+            JOIN (SELECT _i, _t,
+                         (_t - _t % {int(tau)}) // {int(tau)} AS _tb
+                  FROM kx_p) b USING (_tb)
+            WHERE a._i < b._i AND ABS(a._t - b._t) <= {int(tau)}
+        ),
+        kx_agg AS (
+            SELECT (SELECT COUNT(*) FROM kx_p) AS n,
+                   (SELECT COUNT(*) FROM kx_s) AS ns,
+                   (SELECT COALESCE(SUM(CASE WHEN tclose THEN 1
+                                        ELSE 0 END), 0)
+                    FROM kx_s) AS x_obs,
+                   (SELECT nt FROM kx_t) AS nt
+        )
+        SELECT CAST(n AS BIGINT) AS n,
+               CAST(n * (n - 1) // 2 AS BIGINT) AS n_pairs,
+               CAST(ns AS BIGINT) AS ns,
+               CAST(nt AS BIGINT) AS nt,
+               CAST(x_obs AS BIGINT) AS x_obs,
+               CAST(CASE WHEN n < 2 THEN NULL ELSE
+                    (CAST(ns AS HUGEINT) * nt * 1000000)
+                    // (n * (n - 1) // 2) END AS BIGINT)
+                   AS exp_x_ppm,
+               CAST(CASE WHEN ns = 0 OR nt = 0 THEN NULL ELSE
+                    (CAST(x_obs AS HUGEINT) * (n * (n - 1) // 2)
+                     * 1000000) // (CAST(ns AS HUGEINT) * nt)
+                    END AS BIGINT) AS ratio_ppm
+        FROM kx_agg
+    """
