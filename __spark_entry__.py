@@ -3933,6 +3933,23 @@ def q_doc_pagerank(spark, sf_dir):
     return out.select(F.col("node").alias("doc_id"), "rank_q")
 
 
+def q_hyperball(spark, sf_dir):
+    """HyperBall neighborhood function + harmonic centrality
+    (graph.hyperball_centrality) over the shared doc link graph —
+    the all-pairs-BFS answer at one-sketch-per-node cost, with the
+    engine's deterministic KMV bottom-k sketch standing in for the
+    published HLL so both engines are bit-identical (exact below
+    k=16 reachable, KMV-estimated above).  4 rounds, LCM-cleared
+    1/d weights; 2 shuffles/round on the pre-partitioned edge list.
+    The oracle unrolls the identical merge/estimate/ladder rounds,
+    so every ball estimate and harmonic score hash-verifies."""
+    nodes, edges = _doc_link_graph(spark, sf_dir)
+    out = graph.hyperball_centrality(nodes, edges, rounds=4, k=16)
+    return out.select(
+        F.col("node").alias("doc_id"), "ball_est", "harm_q"
+    )
+
+
 def q_katz_centrality(spark, sf_dir):
     """Katz centrality (graph.katz_quantized) over the shared doc
     link graph: attenuated-path-count authority as the structural
@@ -6469,6 +6486,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_resample": q_mixture_resample,
         "doc_pagerank": q_doc_pagerank,
         "katz_centrality": q_katz_centrality,
+        "hyperball_harmonic": q_hyperball,
         "graph_diameter": q_graph_diameter,
         "link_distance": q_link_distance,
         "dag_levels": q_dag_levels,
@@ -10395,6 +10413,14 @@ def oracle_sql() -> dict[str, str]:
                 '(SELECT doc_id AS node FROM documents)',
                 _PR_EDGES_SQL,
                 iterations=PR_ITERATIONS,
+            )})
+        """,
+        "hyperball_harmonic": f"""
+            SELECT node AS doc_id, ball_est, harm_q
+            FROM ({graph.hyperball_sql(
+                '(SELECT doc_id AS node FROM documents)',
+                _PR_EDGES_SQL,
+                rounds=4, k=16,
             )})
         """,
         "katz_centrality": f"""

@@ -3079,3 +3079,176 @@ def graph_diameter_sql(
                (SELECT CAST(COUNT(*) AS BIGINT) FROM gd_d2
                 WHERE dist IS NOT NULL) AS n_reached
     """
+
+
+def hyperball_centrality(
+    nodes: DataFrame,
+    edges: DataFrame,
+    rounds: int = 4,
+    k: int = 32,
+) -> DataFrame:
+    """HyperBall (Boldi & Vigna 2013) with DETERMINISTIC bottom-k
+    sketches — per-node neighborhood function |B_d(v)| and harmonic
+    centrality within a hop radius, the per-node companion of
+    :func:`graph_diameter`'s global bound.  All-pairs BFS is O(n²)
+    state; HyperBall keeps ONE mergeable ball sketch per node and
+    relaxes it along edges, so round d costs the same 2 shuffles as
+    a PageRank round.  The published algorithm uses HLL (engine-
+    private, unverifiable); this engine substitutes the house KMV
+    bottom-k sketch (operators/sketches.py) — same union-merge
+    algebra, bit-reproducible in both engines, EXACT below k
+    distinct:
+
+        sk₀(v) = {h(v)},   sk_d(v) = bottom-k( sk_{d-1}(v) ∪
+                                      ⋃_{v→w} sk_{d-1}(w) )
+        est_d  = |sk| if |sk| < k else (k−1)·2³² DIV kth
+        harm_q = Σ_d (est_d − est_{d−1}) · (L DIV d),  L = lcm(1..r)
+
+    (est is monotone nondecreasing — the sketch only gains elements
+    and the kth hash only shrinks — so the per-ring deltas are ≥ 0;
+    the LCM clearing makes the 1/d weights exact integers, the
+    krippendorff discipline).  est_d counts the OUT-ball of v —
+    feed reversed edges for the in-ball/authority flavor.  Within
+    the exact regime (< k reachable) harm_q IS L·harmonic
+    centrality truncated at radius r; beyond it the sketch error is
+    the KMV ±1/√k, stated.
+
+    Scale: per round one dst-keyed join of the pre-partitioned edge
+    list (pulling each out-neighbor's sketch) + one src-keyed merge
+    aggregate (arrays ≤ k ints — the shuffle payload is bounded by
+    construction), lineage cut per round.  Returns (node, ball_est,
+    harm_q)."""
+    from math import gcd
+
+    from .sketches import kmv_hash
+
+    if not 1 <= int(rounds) <= 8:
+        raise ValueError(f"rounds must be in [1, 8]: {rounds}")
+    if not 2 <= int(k) <= 256:
+        raise ValueError(f"k must be in [2, 256]: {k}")
+    lcm = 1
+    for d in range(1, int(rounds) + 1):
+        lcm = lcm * d // gcd(lcm, d)
+    kk = int(k)
+    edges = edges.select("src", "dst").repartition("dst").localCheckpoint(
+        eager=True
+    )
+    est_expr = (
+        f"CAST(CASE WHEN size(sk) < {kk} THEN size(sk) "
+        f"ELSE ({kk - 1} * 4294967296) "
+        f"DIV GREATEST(element_at(sk, {kk}), 1) END AS BIGINT)"
+    )
+    state = nodes.select(
+        "node",
+        F.array(kmv_hash(F.col("node"))).alias("sk"),
+        F.lit(1).cast("bigint").alias("est"),
+        F.lit(0).cast("bigint").alias("hq"),
+    ).localCheckpoint(eager=True)
+    for d in range(1, int(rounds) + 1):
+        nbr = (
+            edges.join(
+                state.select(
+                    F.col("node").alias("dst"),
+                    F.col("sk").alias("_nsk"),
+                ),
+                "dst",
+            )
+            .groupBy(F.col("src").alias("node"))
+            .agg(F.flatten(F.collect_list("_nsk")).alias("_nbrs"))
+        )
+        state = (
+            state.join(nbr, "node", "left")
+            .select(
+                "node", "est", "hq",
+                F.expr(
+                    f"slice(array_sort(array_distinct(concat(sk, "
+                    f"coalesce(_nbrs, array())))), 1, {kk})"
+                ).alias("sk"),
+            )
+            .select(
+                "node", "sk", "hq",
+                F.col("est").alias("_pe"),
+                F.expr(est_expr).alias("est"),
+            )
+            .select(
+                "node", "sk", "est",
+                (
+                    F.col("hq")
+                    + (F.col("est") - F.col("_pe"))
+                    * F.lit(lcm // d)
+                ).cast("bigint").alias("hq"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return state.select(
+        "node",
+        F.col("est").alias("ball_est"),
+        F.col("hq").alias("harm_q"),
+    )
+
+
+def hyperball_sql(
+    nodes_src: str,
+    edges_src: str,
+    rounds: int = 4,
+    k: int = 32,
+) -> str:
+    """DuckDB twin of :func:`hyperball_centrality` — identical KMV
+    hash, bottom-k union merge, estimator, and LCM-cleared harmonic
+    ladder, unrolled as MATERIALIZED CTE rounds.  Standalone,
+    returns (node, ball_est, harm_q)."""
+    from math import gcd
+
+    from .sketches import kmv_hash_sql
+
+    if not 1 <= int(rounds) <= 8:
+        raise ValueError(f"rounds: {rounds}")
+    lcm = 1
+    for d in range(1, int(rounds) + 1):
+        lcm = lcm * d // gcd(lcm, d)
+    kk = int(k)
+    h = kmv_hash_sql("node")
+    est = (
+        f"CAST(CASE WHEN len(sk) < {kk} THEN len(sk) "
+        f"ELSE ({kk - 1} * 4294967296) "
+        f"// GREATEST(sk[{kk}], 1) END AS BIGINT)"
+    )
+    ctes = [
+        f"hb_nd AS (SELECT node FROM {nodes_src})",
+        f"hb_eg AS (SELECT src, dst FROM {edges_src})",
+        f"""hb_s0 AS MATERIALIZED (
+            SELECT node, [{h}] AS sk,
+                   CAST(1 AS BIGINT) AS est,
+                   CAST(0 AS BIGINT) AS hq
+            FROM hb_nd
+        )""",
+    ]
+    for d in range(1, int(rounds) + 1):
+        p = f"hb_s{d - 1}"
+        ctes.append(f"""hb_m{d} AS MATERIALIZED (
+            SELECT s.node,
+                   list_sort(list_distinct(s.sk ||
+                       COALESCE(n._nbrs, [])))[1:{kk}] AS sk,
+                   s.est AS _pe, s.hq AS _ph
+            FROM {p} s
+            LEFT JOIN (
+                SELECT e.src AS node,
+                       flatten(list(r.sk)) AS _nbrs
+                FROM hb_eg e JOIN {p} r ON e.dst = r.node
+                GROUP BY 1
+            ) n ON n.node = s.node
+        )""")
+        ctes.append(f"""hb_s{d} AS MATERIALIZED (
+            SELECT node, sk, est,
+                   CAST(_ph + (est - _pe) * {lcm // d} AS BIGINT)
+                       AS hq
+            FROM (SELECT node, sk, _pe, _ph, {est} AS est
+                  FROM hb_m{d})
+        )""")
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"""
+        SELECT node, est AS ball_est, hq AS harm_q
+        FROM hb_s{rounds}
+    """
+    )
