@@ -255,6 +255,22 @@ def q_cell_assignment(spark, sf_dir):
     return spatial.assign_cells(pages).select("url", "lon", "lat", "cell", "tile")
 
 
+def q_dispersion_ellipse(spark, sf_dir):
+    """Standard deviational ellipse (spatial.dispersion_ellipse):
+    the directional upgrade of point_dispersion — per-language
+    centered moment matrix in exact cleared integers, the
+    major-axis bearing as sign-decomposed tan(2θ) ppm and the
+    scale-free anisotropy score (λmax−λmin)²/(λmax+λmin)² — WHERE a
+    language's crawl footprint points, not just how wide it is.
+    One map-side-combining aggregation; σ/θ equivalents reported as
+    the exact cross-multiplied quantities (the tile_hotspots
+    discipline)."""
+    pages = lineage.latest_version(
+        _pages(spark, sf_dir), cols=["lon", "lat", "lang"]
+    )
+    return spatial.dispersion_ellipse(pages, "lang")
+
+
 def q_point_dispersion(spark, sf_dir):
     """Centrographics (spatial.point_dispersion): per-language mean
     center + squared standard distance over latest page versions —
@@ -6312,6 +6328,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "promo_revenue": q_promo_revenue,
         "cell_assignment": q_cell_assignment,
         "point_dispersion": q_point_dispersion,
+        "dispersion_ellipse": q_dispersion_ellipse,
         "spatial_eps_clusters": q_spatial_eps_clusters,
         "spatial_dbscan": q_spatial_dbscan,
         "radius_join": q_radius_join,
@@ -7156,6 +7173,20 @@ def oracle_sql() -> dict[str, str]:
             )
             """
             + spatial.point_dispersion_sql("pd_latest", "lang")
+        ),
+        "dispersion_ellipse": _with_pages(
+            """, de_latest AS (
+                SELECT lang, lon, lat FROM (
+                    SELECT p.*,
+                           ROW_NUMBER() OVER (PARTITION BY url
+                                              ORDER BY version DESC)
+                               AS rn
+                    FROM pages p
+                ) WHERE rn = 1
+            ),
+            """
+            + spatial.dispersion_ellipse_sql("de_latest", "lang")
+            .lstrip()[len("WITH"):]
         ),
         "cell_assignment": _with_pages(f"""
             SELECT url, lon, lat,

@@ -10762,3 +10762,169 @@ def knox_test_sql(
                     END AS BIGINT) AS ratio_ppm
         FROM kx_agg
     """
+
+
+def dispersion_ellipse(
+    points: DataFrame,
+    group_col: str,
+    lon: str = "lon",
+    lat: str = "lat",
+    scale: int = 10_000,
+) -> DataFrame:
+    """Standard deviational ellipse per group — the DIRECTIONAL
+    upgrade of :func:`point_dispersion`'s scalar spread (the ArcGIS
+    centrographic trio's third member): not just HOW spread a
+    group's activity is but ALONG WHICH AXIS (a coastline crawl, a
+    highway corridor, and a city blob all share a disp2 but not an
+    orientation).
+
+    The ellipse is the eigendecomposition of the 2×2 centered
+    moment matrix, reported in EXACT cleared integers (σ and θ
+    themselves need √/atan, so the operator reports the equivalent
+    exact quantities, the tile_hotspots discipline):
+
+        vxx = (n·Σx² − Sx²) DIV n,  vyy analogous,
+        vxy = (n·Σxy − Sx·Sy) tdiv n       (per-point central
+              moments — ONE stated truncating division each, so the
+              squared terms below shrink by n² and stay in range)
+        tan2t_ppm = 2·vxy·10⁶ DIV (vxx − vyy)    (trunc toward 0;
+              NULL when vxx = vyy — θ is ±45° by sign(vxy), or the
+              distribution is circular when vxy = 0 too, stated)
+        elong_ppm = ((vxx−vyy)² + 4·vxy²)·10⁶ DIV (vxx+vyy)²
+
+    elong_ppm is (λmax−λmin)²/(λmax+λmin)² — 0 for a perfect
+    circle, 10⁶ for a degenerate line — the scale-free anisotropy
+    score; tan(2θ) pins the major-axis bearing.  Bounds: vxx ≤
+    n·spread²·scale², so the squared-times-10⁶ terms need
+    n·spread²·scale² < 10¹⁶ — ~10³ points per group at worst-case
+    GLOBAL spread, ~10⁹ at city spread (re-check per corpus,
+    stated); groups with n < 3 or zero spread return NULL
+    analytics.
+
+    One map-side-combining aggregation, planar quantized degrees
+    (the kNN convention, no lon wrap).  Returns (group, n, cx_q,
+    cy_q, vxx, vyy, vxy, tan2t_ppm, elong_ppm)."""
+    dec = "decimal(38,0)"
+    sc = F.lit(float(scale))
+    q = points.select(
+        F.col(group_col).alias("_g"),
+        F.round(F.col(lon) * sc).cast("bigint").alias("_x"),
+        F.round(F.col(lat) * sc).cast("bigint").alias("_y"),
+    )
+    agg = q.groupBy("_g").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.expr(f"CAST(_x AS {dec})")).alias("_sx"),
+        F.sum(F.expr(f"CAST(_y AS {dec})")).alias("_sy"),
+        F.sum(F.expr(f"CAST(_x AS {dec}) * _x")).alias("_qx"),
+        F.sum(F.expr(f"CAST(_y AS {dec}) * _y")).alias("_qy"),
+        F.sum(F.expr(f"CAST(_x AS {dec}) * _y")).alias("_qxy"),
+    )
+    c = agg.select(
+        F.col("_g"),
+        "n",
+        F.expr("CAST(_sx DIV n AS BIGINT)").alias("cx_q"),
+        F.expr("CAST(_sy DIV n AS BIGINT)").alias("cy_q"),
+        F.expr("(n * _qx - _sx * _sx) DIV n").alias("_cxx"),
+        F.expr("(n * _qy - _sy * _sy) DIV n").alias("_cyy"),
+        F.expr("(n * _qxy - _sx * _sy) DIV n").alias("_cxy"),
+    )
+    # DIV yields BIGINT, so re-lift to decimal(38) before squaring
+    dx = "CAST(_cxx AS DECIMAL(38,0))"
+    dy_ = "CAST(_cyy AS DECIMAL(38,0))"
+    dxy = "CAST(_cxy AS DECIMAL(38,0))"
+    tan2t = (
+        f"CASE WHEN _cxx = _cyy THEN NULL "
+        f"WHEN 2 * {dxy} * 1000000 >= 0 AND _cxx - _cyy > 0 "
+        f"  THEN (2 * {dxy} * 1000000) DIV ({dx} - _cyy) "
+        f"WHEN 2 * {dxy} * 1000000 < 0 AND _cxx - _cyy > 0 "
+        f"  THEN -((-(2 * {dxy} * 1000000)) DIV ({dx} - _cyy)) "
+        f"WHEN 2 * {dxy} * 1000000 >= 0 "
+        f"  THEN -((2 * {dxy} * 1000000) DIV ({dy_} - _cxx)) "
+        f"ELSE ((-(2 * {dxy} * 1000000)) DIV ({dy_} - _cxx)) END"
+    )
+    elong = (
+        f"CASE WHEN _cxx + _cyy = 0 THEN NULL ELSE "
+        f"((({dx} - _cyy) * ({dx} - _cyy) + 4 * {dxy} * _cxy) "
+        f"* 1000000) DIV (({dx} + _cyy) * ({dx} + _cyy)) END"
+    )
+    return c.select(
+        F.col("_g").alias(group_col),
+        "n", "cx_q", "cy_q",
+        F.expr("CAST(_cxx AS BIGINT)").alias("vxx"),
+        F.expr("CAST(_cyy AS BIGINT)").alias("vyy"),
+        F.expr("CAST(_cxy AS BIGINT)").alias("vxy"),
+        F.expr(
+            f"CAST(CASE WHEN n < 3 THEN NULL ELSE {tan2t} END "
+            "AS BIGINT)"
+        ).alias("tan2t_ppm"),
+        F.expr(
+            f"CAST(CASE WHEN n < 3 THEN NULL ELSE {elong} END "
+            "AS BIGINT)"
+        ).alias("elong_ppm"),
+    )
+
+
+def dispersion_ellipse_sql(
+    src: str,
+    group_col: str,
+    lon: str = "lon",
+    lat: str = "lat",
+    scale: int = 10_000,
+) -> str:
+    """DuckDB twin of :func:`dispersion_ellipse` (HUGEINT, identical
+    cleared moments, sign-decomposed truncation).  Standalone."""
+    tan2t = (
+        "CASE WHEN _cxx = _cyy THEN NULL "
+        "WHEN 2 * _cxy * 1000000 >= 0 AND _cxx - _cyy > 0 "
+        "  THEN (2 * _cxy * 1000000) // (_cxx - _cyy) "
+        "WHEN 2 * _cxy * 1000000 < 0 AND _cxx - _cyy > 0 "
+        "  THEN -((-(2 * _cxy * 1000000)) // (_cxx - _cyy)) "
+        "WHEN 2 * _cxy * 1000000 >= 0 "
+        "  THEN -((2 * _cxy * 1000000) // (_cyy - _cxx)) "
+        "ELSE ((-(2 * _cxy * 1000000)) // (_cyy - _cxx)) END"
+    )
+    elong = (
+        "CASE WHEN _cxx + _cyy = 0 THEN NULL ELSE "
+        "(((_cxx - _cyy) * (_cxx - _cyy) + 4 * _cxy * _cxy) "
+        "* 1000000) // ((_cxx + _cyy) * (_cxx + _cyy)) END"
+    )
+    return f"""
+        WITH de_q AS (
+            SELECT {group_col} AS _g,
+                   CAST(ROUND({lon} * {scale}) AS BIGINT) AS _x,
+                   CAST(ROUND({lat} * {scale}) AS BIGINT) AS _y
+            FROM {src}
+        ),
+        de_agg AS (
+            SELECT _g, CAST(COUNT(*) AS BIGINT) AS n,
+                   SUM(CAST(_x AS HUGEINT)) AS _sx,
+                   SUM(CAST(_y AS HUGEINT)) AS _sy,
+                   SUM(CAST(_x AS HUGEINT) * _x) AS _qx,
+                   SUM(CAST(_y AS HUGEINT) * _y) AS _qy,
+                   SUM(CAST(_x AS HUGEINT) * _y) AS _qxy
+            FROM de_q GROUP BY 1
+        ),
+        de_c AS (
+            SELECT _g, n,
+                   CAST(CASE WHEN _sx >= 0 THEN _sx // n
+                        ELSE -((-_sx) // n) END AS BIGINT) AS cx_q,
+                   CAST(CASE WHEN _sy >= 0 THEN _sy // n
+                        ELSE -((-_sy) // n) END AS BIGINT) AS cy_q,
+                   (n * _qx - _sx * _sx) // n AS _cxx,
+                   (n * _qy - _sy * _sy) // n AS _cyy,
+                   CASE WHEN n * _qxy - _sx * _sy >= 0
+                        THEN (n * _qxy - _sx * _sy) // n
+                        ELSE -((-(n * _qxy - _sx * _sy)) // n)
+                   END AS _cxy
+            FROM de_agg
+        )
+        SELECT _g AS {group_col}, n, cx_q, cy_q,
+               CAST(_cxx AS BIGINT) AS vxx,
+               CAST(_cyy AS BIGINT) AS vyy,
+               CAST(_cxy AS BIGINT) AS vxy,
+               CAST(CASE WHEN n < 3 THEN NULL ELSE {tan2t} END
+                    AS BIGINT) AS tan2t_ppm,
+               CAST(CASE WHEN n < 3 THEN NULL ELSE {elong} END
+                    AS BIGINT) AS elong_ppm
+        FROM de_c
+    """
