@@ -255,6 +255,22 @@ def q_cell_assignment(spark, sf_dir):
     return spatial.assign_cells(pages).select("url", "lon", "lat", "cell", "tile")
 
 
+def q_quadrat(spark, sf_dir):
+    """Quadrat CSR test (spatial.quadrat_test) over latest pages on
+    the global 10° grid (648 quadrats, empties entering through C —
+    never materialized): clustered, random, or uniform?  The
+    synthetic corpus geocode is a low-discrepancy spread, so
+    VMR ≪ 10⁶ (more uniform than random) — the χ² identity
+    (C·Σn² − N²)/N clears exactly in decimal(38)/HUGEINT and the
+    out-of-frame count is reported, not swallowed."""
+    pages = lineage.latest_version(
+        _pages(spark, sf_dir), cols=["lon", "lat"]
+    )
+    return spatial.quadrat_test(
+        pages, (-180.0, -90.0, 180.0, 90.0), 10.0
+    )
+
+
 def q_dispersion_ellipse(spark, sf_dir):
     """Standard deviational ellipse (spatial.dispersion_ellipse):
     the directional upgrade of point_dispersion — per-language
@@ -6329,6 +6345,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cell_assignment": q_cell_assignment,
         "point_dispersion": q_point_dispersion,
         "dispersion_ellipse": q_dispersion_ellipse,
+        "quadrat_csr": q_quadrat,
         "spatial_eps_clusters": q_spatial_eps_clusters,
         "spatial_dbscan": q_spatial_dbscan,
         "radius_join": q_radius_join,
@@ -7187,6 +7204,21 @@ def oracle_sql() -> dict[str, str]:
             """
             + spatial.dispersion_ellipse_sql("de_latest", "lang")
             .lstrip()[len("WITH"):]
+        ),
+        "quadrat_csr": _with_pages(
+            """, qt_latest AS (
+                SELECT lon, lat FROM (
+                    SELECT p.*,
+                           ROW_NUMBER() OVER (PARTITION BY url
+                                              ORDER BY version DESC)
+                               AS rn
+                    FROM pages p
+                ) WHERE rn = 1
+            ),
+            """
+            + spatial.quadrat_test_sql(
+                "qt_latest", (-180.0, -90.0, 180.0, 90.0), 10.0
+            ).lstrip()[len("WITH"):]
         ),
         "cell_assignment": _with_pages(f"""
             SELECT url, lon, lat,

@@ -10928,3 +10928,170 @@ def dispersion_ellipse_sql(
                     AS BIGINT) AS elong_ppm
         FROM de_c
     """
+
+
+def quadrat_test(
+    points: DataFrame,
+    bbox: tuple[float, float, float, float],
+    res_deg: float,
+    lon: str = "lon",
+    lat: str = "lat",
+    scale: int = 10_000,
+) -> DataFrame:
+    """Quadrat test of complete spatial randomness — the FIRST
+    question of point-pattern analysis (clustered, random, or
+    uniform?), answered by cell counts over a declared grid with the
+    classic χ² identity so EMPTY cells count without ever being
+    materialized:
+
+        χ² = Σ_c (n_c − N/C)² / (N/C) = (C·Σn_c² − N²) / N
+        VMR = χ² / (C − 1)        (the index of dispersion)
+
+    VMR ≈ 1 under CSR, > 1 clustered (σ² > μ: hot quadrats), < 1
+    more-uniform-than-random (a low-discrepancy layout — exactly
+    what a sharded crawl's round-robin geocode looks like).  Exact
+    ppm integers: counts are integers, the single division clears
+    through decimal(38)/HUGEINT (bound: C·N²·10⁶ < 10³⁸ — fine to
+    N ~ 10¹² at C ~ 10⁶ cells, stated).
+
+    Grid, declared: ``bbox`` = (lon0, lat0, lon1, lat1) with spans
+    integral multiples of ``res_deg``; cells are half-open
+    [edge, edge+res) so boundary points land in exactly one cell;
+    points outside the bbox are EXCLUDED and reported (n_out) — an
+    unnoticed out-of-frame mass would silently deflate χ².
+
+    One filter + one cell groupBy + one global aggregate — all
+    map-side combinable; C comes from arithmetic, not a scan.
+    Returns ONE row: (n_in, n_out, n_cells, occupied, chi2_ppm,
+    vmr_ppm) — NULLs when N = 0 or C < 2."""
+    lon0, lat0, lon1, lat1 = bbox
+    for v in (lon0, lat0, lon1, lat1):
+        if v * scale != int(v * scale):
+            raise ValueError("bbox * scale must be integral")
+    if res_deg * scale != int(res_deg * scale):
+        raise ValueError("res_deg * scale must be integral")
+    g = int(res_deg * scale)
+    qx0, qy0 = int(lon0 * scale), int(lat0 * scale)
+    qx1, qy1 = int(lon1 * scale), int(lat1 * scale)
+    if qx1 <= qx0 or qy1 <= qy0:
+        raise ValueError("bbox must have positive spans")
+    if (qx1 - qx0) % g or (qy1 - qy0) % g:
+        raise ValueError("bbox spans must be multiples of res_deg")
+    cols = (qx1 - qx0) // g
+    rows_n = (qy1 - qy0) // g
+    n_cells = cols * rows_n
+    sc = F.lit(float(scale))
+    q = points.select(
+        (F.round(F.col(lon) * sc).cast("bigint")).alias("_x"),
+        (F.round(F.col(lat) * sc).cast("bigint")).alias("_y"),
+    )
+    inside = (
+        (F.col("_x") >= qx0) & (F.col("_x") < qx1)
+        & (F.col("_y") >= qy0) & (F.col("_y") < qy1)
+    )
+    tagged = q.select(inside.cast("int").alias("_in"), "_x", "_y")
+    outs = tagged.agg(
+        F.coalesce(
+            F.sum(F.lit(1) - F.col("_in")), F.lit(0)
+        ).cast("bigint").alias("n_out")
+    )
+    cells = (
+        tagged.where(F.col("_in") == 1)
+        .select(
+            (
+                _idiv(F.col("_y") - qy0, g) * F.lit(cols)
+                + _idiv(F.col("_x") - qx0, g)
+            ).alias("_cell")
+        )
+        .groupBy("_cell")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("_nc"))
+    )
+    dec = "decimal(38,0)"
+    agg = cells.agg(
+        F.coalesce(F.sum("_nc"), F.lit(0)).cast("bigint").alias("n_in"),
+        F.count(F.lit(1)).cast("bigint").alias("occupied"),
+        F.coalesce(
+            F.sum(F.expr(f"CAST(_nc AS {dec}) * _nc")),
+            F.expr(f"CAST(0 AS {dec})"),
+        ).alias("_sq"),
+    )
+    return (
+        agg.crossJoin(F.broadcast(outs))
+        .select(
+            "n_in", "n_out",
+            F.lit(int(n_cells)).cast("bigint").alias("n_cells"),
+            "occupied",
+            F.expr(
+                f"CAST(CASE WHEN n_in = 0 THEN NULL ELSE "
+                f"(({n_cells} * _sq - CAST(n_in AS {dec}) * n_in) "
+                f"* 1000000) DIV n_in END AS BIGINT)"
+            ).alias("chi2_ppm"),
+            F.expr(
+                f"CAST(CASE WHEN n_in = 0 OR {n_cells} < 2 THEN NULL "
+                f"ELSE (({n_cells} * _sq - CAST(n_in AS {dec}) * n_in)"
+                f" * 1000000) DIV (CAST(n_in AS {dec}) "
+                f"* {n_cells - 1}) END AS BIGINT)"
+            ).alias("vmr_ppm"),
+        )
+    )
+
+
+def quadrat_test_sql(
+    src: str,
+    bbox: tuple[float, float, float, float],
+    res_deg: float,
+    lon: str = "lon",
+    lat: str = "lat",
+    scale: int = 10_000,
+) -> str:
+    """DuckDB twin of :func:`quadrat_test` (HUGEINT clearing,
+    identical half-open grid).  Standalone."""
+    lon0, lat0, lon1, lat1 = bbox
+    g = int(res_deg * scale)
+    qx0, qy0 = int(lon0 * scale), int(lat0 * scale)
+    qx1, qy1 = int(lon1 * scale), int(lat1 * scale)
+    cols = (qx1 - qx0) // g
+    rows_n = (qy1 - qy0) // g
+    n_cells = cols * rows_n
+    return f"""
+        WITH qt_q AS (
+            SELECT CAST(ROUND({lon} * {scale}) AS BIGINT) AS _x,
+                   CAST(ROUND({lat} * {scale}) AS BIGINT) AS _y
+            FROM {src}
+        ),
+        qt_out AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_out FROM qt_q
+            WHERE NOT (_x >= {qx0} AND _x < {qx1}
+                       AND _y >= {qy0} AND _y < {qy1})
+        ),
+        qt_cells AS (
+            SELECT ((_y - {qy0}) - (_y - {qy0}) % {g}) // {g}
+                       * {cols}
+                   + ((_x - {qx0}) - (_x - {qx0}) % {g}) // {g}
+                       AS _cell,
+                   CAST(COUNT(*) AS BIGINT) AS _nc
+            FROM qt_q
+            WHERE _x >= {qx0} AND _x < {qx1}
+              AND _y >= {qy0} AND _y < {qy1}
+            GROUP BY 1
+        ),
+        qt_agg AS (
+            SELECT CAST(COALESCE(SUM(_nc), 0) AS BIGINT) AS n_in,
+                   CAST(COUNT(*) AS BIGINT) AS occupied,
+                   COALESCE(SUM(CAST(_nc AS HUGEINT) * _nc),
+                            CAST(0 AS HUGEINT)) AS _sq
+            FROM qt_cells
+        )
+        SELECT n_in, (SELECT n_out FROM qt_out) AS n_out,
+               CAST({n_cells} AS BIGINT) AS n_cells, occupied,
+               CAST(CASE WHEN n_in = 0 THEN NULL ELSE
+                    (({n_cells} * _sq - CAST(n_in AS HUGEINT) * n_in)
+                     * 1000000) // n_in END AS BIGINT) AS chi2_ppm,
+               CAST(CASE WHEN n_in = 0 OR {n_cells} < 2 THEN NULL
+                    ELSE (({n_cells} * _sq
+                           - CAST(n_in AS HUGEINT) * n_in)
+                          * 1000000) // (CAST(n_in AS HUGEINT)
+                                         * {n_cells - 1})
+                    END AS BIGINT) AS vmr_ppm
+        FROM qt_agg
+    """
