@@ -255,6 +255,22 @@ def q_cell_assignment(spark, sf_dir):
     return spatial.assign_cells(pages).select("url", "lon", "lat", "cell", "tile")
 
 
+def q_clark_evans(spark, sf_dir):
+    """Squared Clark–Evans NN index (spatial.clark_evans2) over
+    latest pages — the distance-scale CSR reading beside
+    quadrat_csr's grid-scale one.  NN² via the 20° cell equi-join
+    (every point matched at every sf), CSR expectation 1/(πλ) with
+    π frozen at round(π·10⁶); out-of-radius isolates would be
+    reported, never swallowed.  Exact cleared integers end-to-end."""
+    pages = lineage.latest_version(
+        _pages(spark, sf_dir), cols=["doc_id", "lon", "lat"]
+    )
+    return spatial.clark_evans2(
+        pages.select("doc_id", "lon", "lat"),
+        20.0, (-180.0, -90.0, 180.0, 90.0),
+    )
+
+
 def q_quadrat(spark, sf_dir):
     """Quadrat CSR test (spatial.quadrat_test) over latest pages on
     the global 10° grid (648 quadrats, empties entering through C —
@@ -6346,6 +6362,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "point_dispersion": q_point_dispersion,
         "dispersion_ellipse": q_dispersion_ellipse,
         "quadrat_csr": q_quadrat,
+        "clark_evans": q_clark_evans,
         "spatial_eps_clusters": q_spatial_eps_clusters,
         "spatial_dbscan": q_spatial_dbscan,
         "radius_join": q_radius_join,
@@ -7218,6 +7235,21 @@ def oracle_sql() -> dict[str, str]:
             """
             + spatial.quadrat_test_sql(
                 "qt_latest", (-180.0, -90.0, 180.0, 90.0), 10.0
+            ).lstrip()[len("WITH"):]
+        ),
+        "clark_evans": _with_pages(
+            """, ce_latest AS (
+                SELECT doc_id, lon, lat FROM (
+                    SELECT p.*,
+                           ROW_NUMBER() OVER (PARTITION BY url
+                                              ORDER BY version DESC)
+                               AS rn
+                    FROM pages p
+                ) WHERE rn = 1
+            ),
+            """
+            + spatial.clark_evans2_sql(
+                "ce_latest", 20.0, (-180.0, -90.0, 180.0, 90.0)
             ).lstrip()[len("WITH"):]
         ),
         "cell_assignment": _with_pages(f"""

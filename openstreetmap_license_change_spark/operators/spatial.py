@@ -11095,3 +11095,179 @@ def quadrat_test_sql(
                     END AS BIGINT) AS vmr_ppm
         FROM qt_agg
     """
+
+
+CE_PI_PPM = 3_141_593  # round(π·10⁶), frozen at import
+
+
+def clark_evans2(
+    points: DataFrame,
+    delta_deg: float,
+    bbox: tuple[float, float, float, float],
+    id_col: str = "doc_id",
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    scale: int = 10_000,
+) -> DataFrame:
+    """Squared Clark–Evans nearest-neighbour index — the
+    DISTANCE-based CSR companion of :func:`quadrat_test`'s counts
+    (quadrats see density variation at the grid scale; CE sees
+    repulsion/attraction at the point scale — a lattice passes
+    quadrats yet screams "uniform" here).  Classic R uses mean NN
+    distance (a √ per point); this engine reports the SQUARED
+    variant, whose CSR expectation is exactly rational — for a 2-D
+    Poisson process the NN² is exponential with rate πλ, so
+
+        E[d²_NN] = 1/(πλ),   λ = n / A   (A = declared bbox area)
+        ce2_ppm  = Σd²_NN · π_ppm · n  DIV  (n_matched · A)
+
+    with π frozen at round(π·10⁶) (the DCT/SAX constant
+    discipline).  ce2 ≈ 10⁶ under CSR, < 10⁶ clustered, > 10⁶
+    regular/repulsed.
+
+    NN search is the house cell equi-join (grid at ``delta_deg``,
+    3×3 probe), so a point's nearest neighbour is EXACT whenever it
+    lies within one cell; points with nothing inside the radius are
+    EXCLUDED from Σd² and REPORTED (n_far) — the bounded-radius
+    bias is visible, never silent (their true NN² > δ², so dropping
+    them biases ce2 DOWN; a large n_far means δ is too small for
+    the density).  Edge effects are the classic CE caveat, stated.
+    Bound: Σd²·π_ppm·n ≤ n²·(2δ·scale)²·10⁷ — decimal(38) to
+    n ~ 10¹⁰ at δ = 10°, stated.
+
+    Returns ONE row: (n, n_matched, n_far, sum_d2, ce2_ppm) —
+    NULL ce2 when n < 2 or nothing matched."""
+    if delta_deg * scale != int(delta_deg * scale):
+        raise ValueError("delta_deg * scale must be integral")
+    lon0, lat0, lon1, lat1 = bbox
+    ax = int(round((lon1 - lon0) * scale))
+    ay = int(round((lat1 - lat0) * scale))
+    if ax <= 0 or ay <= 0:
+        raise ValueError("bbox must have positive spans")
+    area_q = ax * ay
+    g = int(delta_deg * scale)
+    d2max = g * g
+    offx, offy = 180 * scale, 90 * scale
+    sc = F.lit(float(scale))
+    pq = points.select(
+        F.col(id_col).alias("_i"),
+        (F.round(F.col(lon_col) * sc).cast("bigint") + offx)
+        .alias("_x"),
+        (F.round(F.col(lat_col) * sc).cast("bigint") + offy)
+        .alias("_y"),
+    ).localCheckpoint(eager=True)
+    cell = (_idiv(F.col("_y"), g) * F.lit(1_000_000)
+            + _idiv(F.col("_x"), g))
+    home = pq.select("_i", "_x", "_y", cell.alias("_cell"))
+    probes = F.array(
+        *[
+            (_idiv(F.col("_y"), g) + F.lit(dy)) * F.lit(1_000_000)
+            + (_idiv(F.col("_x"), g) + F.lit(dx))
+            for dy in (-1, 0, 1)
+            for dx in (-1, 0, 1)
+        ]
+    )
+    fan = pq.select(
+        F.col("_i").alias("_ia"), F.col("_x").alias("_xa"),
+        F.col("_y").alias("_ya"), F.explode(probes).alias("_cell"),
+    )
+    dd = (
+        (F.col("_xa") - F.col("_x")) * (F.col("_xa") - F.col("_x"))
+        + (F.col("_ya") - F.col("_y")) * (F.col("_ya") - F.col("_y"))
+    )
+    nn = (
+        fan.join(home, "_cell")
+        .where(F.col("_ia") != F.col("_i"))
+        .select("_ia", dd.alias("_d2"))
+        .where(F.col("_d2") <= F.lit(d2max))
+        .groupBy("_ia")
+        .agg(F.min("_d2").alias("_nn2"))
+    )
+    dec = "decimal(38,0)"
+    stats = nn.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_matched"),
+        F.coalesce(
+            F.sum(F.expr(f"CAST(_nn2 AS {dec})")),
+            F.expr(f"CAST(0 AS {dec})"),
+        ).alias("_sd2"),
+    )
+    n_row = pq.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    return (
+        n_row.crossJoin(F.broadcast(stats))
+        .select(
+            "n", "n_matched",
+            (F.col("n") - F.col("n_matched")).cast("bigint")
+            .alias("n_far"),
+            F.expr("CAST(_sd2 AS BIGINT)").alias("sum_d2"),
+            F.expr(
+                f"CAST(CASE WHEN n < 2 OR n_matched = 0 THEN NULL "
+                f"ELSE (_sd2 * {CE_PI_PPM} * n) "
+                f"DIV (CAST(n_matched AS {dec}) * {area_q}) "
+                f"END AS BIGINT)"
+            ).alias("ce2_ppm"),
+        )
+    )
+
+
+def clark_evans2_sql(
+    src: str,
+    delta_deg: float,
+    bbox: tuple[float, float, float, float],
+    id_col: str = "doc_id",
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    scale: int = 10_000,
+) -> str:
+    """DuckDB twin of :func:`clark_evans2` (HUGEINT clearing,
+    identical cell probe and frozen π).  Standalone."""
+    lon0, lat0, lon1, lat1 = bbox
+    area_q = int(round((lon1 - lon0) * scale)) * int(
+        round((lat1 - lat0) * scale)
+    )
+    g = int(delta_deg * scale)
+    d2max = g * g
+    offx, offy = 180 * scale, 90 * scale
+    return f"""
+        WITH ce_p AS MATERIALIZED (
+            SELECT {id_col} AS _i,
+                   CAST(ROUND({lon_col} * {scale}) AS BIGINT)
+                       + {offx} AS _x,
+                   CAST(ROUND({lat_col} * {scale}) AS BIGINT)
+                       + {offy} AS _y
+            FROM {src}
+        ),
+        ce_nn AS MATERIALIZED (
+            SELECT a._i AS _ia, MIN((a._x - b._x) * (a._x - b._x)
+                   + (a._y - b._y) * (a._y - b._y)) AS _nn2
+            FROM (SELECT *,
+                         ((_y - _y % {g}) // {g} + d.dy) * 1000000
+                         + ((_x - _x % {g}) // {g} + d.dx) AS _cell
+                  FROM ce_p CROSS JOIN (VALUES
+                       (-1,-1),(-1,0),(-1,1),(0,-1),(0,0),(0,1),
+                       (1,-1),(1,0),(1,1)) d(dy, dx)) a
+            JOIN (SELECT *,
+                         ((_y - _y % {g}) // {g}) * 1000000
+                         + ((_x - _x % {g}) // {g}) AS _cell
+                  FROM ce_p) b USING (_cell)
+            WHERE a._i <> b._i
+              AND (a._x - b._x) * (a._x - b._x)
+                  + (a._y - b._y) * (a._y - b._y) <= {d2max}
+            GROUP BY 1
+        ),
+        ce_agg AS (
+            SELECT (SELECT COUNT(*) FROM ce_p) AS n,
+                   (SELECT COUNT(*) FROM ce_nn) AS n_matched,
+                   (SELECT COALESCE(SUM(CAST(_nn2 AS HUGEINT)),
+                                    CAST(0 AS HUGEINT))
+                    FROM ce_nn) AS _sd2
+        )
+        SELECT CAST(n AS BIGINT) AS n,
+               CAST(n_matched AS BIGINT) AS n_matched,
+               CAST(n - n_matched AS BIGINT) AS n_far,
+               CAST(_sd2 AS BIGINT) AS sum_d2,
+               CAST(CASE WHEN n < 2 OR n_matched = 0 THEN NULL
+                    ELSE (_sd2 * {CE_PI_PPM} * n)
+                         // (CAST(n_matched AS HUGEINT) * {area_q})
+                    END AS BIGINT) AS ce2_ppm
+        FROM ce_agg
+    """
