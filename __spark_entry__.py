@@ -528,6 +528,32 @@ def q_od_flows(spark, sf_dir):
     return spatial.od_flows(latest, id_col="lang", order_col="doc_id")
 
 
+def q_ipf_balance(spark, sf_dir):
+    """IPF / RAS balancing (spatial.ipf_balance): project one OD
+    matrix onto another period's margins — seed = the even-doc
+    half's per-lang track flows at 4°, targets = the odd half's
+    out/in margins; 6 quantized floor half-rounds keep the seed's
+    interaction pattern while matching the new totals (the
+    Deming–Stephan trip-table update, the third member of the OD
+    family).  Structural zeros stay zero, absent targets empty a
+    row/column loudly-by-design; the oracle unrolls the identical
+    half-rounds, so every balanced cell hash-verifies."""
+    latest = lineage.latest_version(
+        _pages(spark, sf_dir), cols=["lang", "lon", "lat", "doc_id"]
+    )
+    even = latest.where(F.col("doc_id") % 2 == 0)
+    odd = latest.where(F.col("doc_id") % 2 == 1)
+    seed = spatial.od_flows(even, id_col="lang", order_col="doc_id")
+    tgt = spatial.od_flows(odd, id_col="lang", order_col="doc_id")
+    rt = tgt.groupBy("cell_from").agg(
+        F.sum("n_flows").cast("bigint").alias("target")
+    )
+    ct = tgt.groupBy("cell_to").agg(
+        F.sum("n_flows").cast("bigint").alias("target")
+    )
+    return spatial.ipf_balance(seed, rt, ct, rounds=6)
+
+
 def q_od_gravity(spark, sf_dir):
     """Gravity-model OD residuals (spatial.od_gravity_residuals) over
     the od_flows matrix: (n·total·10⁶) DIV (out_o·in_d) in
@@ -6381,6 +6407,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_trend": q_tile_trend,
         "od_flows": q_od_flows,
         "od_gravity": q_od_gravity,
+        "ipf_balance": q_ipf_balance,
         "tile_join_counts": q_tile_join_counts,
         "morans_i": q_morans_i,
         "gearys_c": q_gearys_c,
@@ -7559,6 +7586,38 @@ def oracle_sql() -> dict[str, str]:
             SELECT cell_x, cell_y, COUNT(*) AS n_segments
             FROM cells GROUP BY 1, 2
         """),
+        "ipf_balance": _with_pages(
+            f"""
+            , latest AS (
+                SELECT url, lang, lon, lat, doc_id FROM (
+                    SELECT p.*, ROW_NUMBER() OVER (
+                        PARTITION BY url ORDER BY version DESC) AS rn
+                    FROM pages p
+                ) t WHERE rn = 1
+            ),
+            ipf_le AS (SELECT * FROM latest WHERE doc_id % 2 = 0),
+            ipf_lo AS (SELECT * FROM latest WHERE doc_id % 2 = 1),
+            ipf_seed AS MATERIALIZED (
+                {spatial.od_flows_sql('ipf_le', 'lang', 'doc_id')}
+            ),
+            ipf_tgt AS MATERIALIZED (
+                {spatial.od_flows_sql('ipf_lo', 'lang', 'doc_id')}
+            ),
+            ipf_rt0 AS (
+                SELECT cell_from,
+                       CAST(SUM(n_flows) AS BIGINT) AS target
+                FROM ipf_tgt GROUP BY 1
+            ),
+            ipf_ct0 AS (
+                SELECT cell_to,
+                       CAST(SUM(n_flows) AS BIGINT) AS target
+                FROM ipf_tgt GROUP BY 1
+            ),
+            """
+            + spatial.ipf_balance_sql(
+                "ipf_seed", "ipf_rt0", "ipf_ct0", rounds=6
+            ).lstrip()[len("WITH"):]
+        ),
         "od_flows": _with_pages(f"""
             , latest AS (
                 SELECT url, lang, lon, lat, doc_id FROM (

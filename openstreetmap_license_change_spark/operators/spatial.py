@@ -11271,3 +11271,153 @@ def clark_evans2_sql(
                     END AS BIGINT) AS ce2_ppm
         FROM ce_agg
     """
+
+
+def ipf_balance(
+    seed: DataFrame,
+    row_targets: DataFrame,
+    col_targets: DataFrame,
+    rounds: int = 6,
+    scale: int = 10**6,
+) -> DataFrame:
+    """Iterative proportional fitting (RAS balancing) of an OD
+    matrix — update yesterday's flow structure to today's margins:
+    the standard small-area/trip-table estimator (Deming–Stephan
+    1940) that keeps the seed's interaction PATTERN while matching
+    new row (outflow) and column (inflow) totals.  The missing
+    third of the OD family: :func:`od_flows` observes a matrix,
+    :func:`od_gravity_residuals` scores it, IPF PROJECTS it onto
+    new margins.
+
+    Quantized exactly: weights live in ×``scale`` integers; each
+    half-round rescales one axis by target/current-sum with ONE
+    floor per cell,
+
+        w' = (w · t·scale) DIV rowsum(w)      (then columns)
+
+    so a fixed round count is bit-reproducible (the pagerank/katz
+    discipline; floors leak ≤ 1/scale per cell per half-round,
+    stated).  Declared zero semantics: a cell's row (or column)
+    with zero current sum stays zero — the classic IPF structural-
+    zero rule (mass cannot be created where the seed has none); a
+    row/column ABSENT from the targets is target 0 and empties
+    (silently inventing "no change" would un-balance the other
+    axis).
+
+    Scale: per round 2 margin aggregates + 2 broadcast-size joins
+    keyed by the margin cells — the matrix itself shuffles on
+    cell_from then cell_to, the natural partitioning; lineage cut
+    per round.  Bound: w·t·scale ≤ total²·scale² — decimal(38) to
+    ~10¹³ total flow at scale 10⁶.
+
+    ``seed``: (cell_from, cell_to, n_flows);  ``row_targets``:
+    (cell_from, target);  ``col_targets``: (cell_to, target).
+    Returns (cell_from, cell_to, w_ppm) — balanced flows ×scale."""
+    if not 1 <= int(rounds) <= 32:
+        raise ValueError(f"rounds must be in [1, 32]: {rounds}")
+    dec = "decimal(38,0)"
+    w = seed.select(
+        "cell_from", "cell_to",
+        F.expr(f"CAST(n_flows AS {dec}) * {int(scale)}").alias("_w"),
+    ).localCheckpoint(eager=True)
+    rt = row_targets.select(
+        "cell_from", F.col("target").cast("bigint").alias("_tr")
+    ).localCheckpoint(eager=True)
+    ct = col_targets.select(
+        "cell_to", F.col("target").cast("bigint").alias("_tc")
+    ).localCheckpoint(eager=True)
+    for _ in range(int(rounds)):
+        rs = w.groupBy("cell_from").agg(F.sum("_w").alias("_rs"))
+        w = (
+            w.join(rs, "cell_from")
+            .join(rt, "cell_from", "left")
+            .select(
+                "cell_from", "cell_to",
+                F.expr(
+                    f"CASE WHEN _rs = 0 OR _tr IS NULL "
+                    f"THEN CAST(0 AS {dec}) ELSE "
+                    f"(_w * (CAST(_tr AS {dec}) * {int(scale)})) "
+                    f"DIV _rs END"
+                ).alias("_w"),
+            )
+        )
+        cs = w.groupBy("cell_to").agg(F.sum("_w").alias("_cs"))
+        w = (
+            w.join(cs, "cell_to")
+            .join(ct, "cell_to", "left")
+            .select(
+                "cell_from", "cell_to",
+                F.expr(
+                    f"CASE WHEN _cs = 0 OR _tc IS NULL "
+                    f"THEN CAST(0 AS {dec}) ELSE "
+                    f"(_w * (CAST(_tc AS {dec}) * {int(scale)})) "
+                    f"DIV _cs END"
+                ).alias("_w"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return w.select(
+        "cell_from", "cell_to",
+        F.expr("CAST(_w AS BIGINT)").alias("w_ppm"),
+    )
+
+
+def ipf_balance_sql(
+    seed_src: str,
+    row_targets_src: str,
+    col_targets_src: str,
+    rounds: int = 6,
+    scale: int = 10**6,
+) -> str:
+    """DuckDB twin of :func:`ipf_balance` — identical half-round
+    floor rescales unrolled as MATERIALIZED CTEs (HUGEINT).
+    Standalone; sources expose (cell_from, cell_to, n_flows) /
+    (cell_from, target) / (cell_to, target)."""
+    ctes = [
+        f"""ipf_w0 AS MATERIALIZED (
+            SELECT cell_from, cell_to,
+                   CAST(n_flows AS HUGEINT) * {int(scale)} AS _w
+            FROM {seed_src}
+        )""",
+        f"""ipf_rt AS (
+            SELECT cell_from, CAST(target AS BIGINT) AS _tr
+            FROM {row_targets_src}
+        )""",
+        f"""ipf_ct AS (
+            SELECT cell_to, CAST(target AS BIGINT) AS _tc
+            FROM {col_targets_src}
+        )""",
+    ]
+    for r in range(1, int(rounds) + 1):
+        p = f"ipf_w{r - 1}" if r == 1 else f"ipf_c{r - 1}"
+        ctes.append(f"""ipf_r{r} AS MATERIALIZED (
+            SELECT w.cell_from, w.cell_to,
+                   CASE WHEN s._rs = 0 OR t._tr IS NULL
+                        THEN CAST(0 AS HUGEINT)
+                        ELSE (w._w * (CAST(t._tr AS HUGEINT)
+                                      * {int(scale)})) // s._rs
+                   END AS _w
+            FROM {p} w
+            JOIN (SELECT cell_from, SUM(_w) AS _rs FROM {p}
+                  GROUP BY 1) s USING (cell_from)
+            LEFT JOIN ipf_rt t USING (cell_from)
+        )""")
+        ctes.append(f"""ipf_c{r} AS MATERIALIZED (
+            SELECT w.cell_from, w.cell_to,
+                   CASE WHEN s._cs = 0 OR t._tc IS NULL
+                        THEN CAST(0 AS HUGEINT)
+                        ELSE (w._w * (CAST(t._tc AS HUGEINT)
+                                      * {int(scale)})) // s._cs
+                   END AS _w
+            FROM ipf_r{r} w
+            JOIN (SELECT cell_to, SUM(_w) AS _cs FROM ipf_r{r}
+                  GROUP BY 1) s USING (cell_to)
+            LEFT JOIN ipf_ct t USING (cell_to)
+        )""")
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"""
+        SELECT cell_from, cell_to, CAST(_w AS BIGINT) AS w_ppm
+        FROM ipf_c{rounds}
+    """
+    )
