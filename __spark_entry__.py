@@ -3778,6 +3778,18 @@ def q_sax_hourly(spark, sf_dir):
     )
 
 
+def q_rfm(spark, sf_dir):
+    """RFM segmentation (temporal.rfm_segments): every user scored
+    1..5 on recency / frequency / monetary with GLOBAL quantile
+    bins built on the declared-bucket frequency tables (hourly R
+    buckets, cent-snapped dollar-unit M) — a window over distinct
+    buckets per dimension, never over the user table, so the
+    ranking survives 10⁹ users.  R reverses (recent = high);
+    segment string "rfm" names the cell."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return temporal_mod.rfm_segments(ev)
+
+
 def q_survival_km(spark, sf_dir):
     """Kaplan–Meier survival with right-censoring
     (temporal.survival_km): the churn curve event_retention can't
@@ -6540,6 +6552,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_paths": q_session_paths,
         "survival_km": q_survival_km,
         "sax_hourly": q_sax_hourly,
+        "rfm_segments": q_rfm,
         "ols_hourly": q_ols_hourly,
         "runs_test_hourly": q_runs_test_hourly,
         "twa_value": q_twa_value,
@@ -10343,6 +10356,7 @@ def oracle_sql() -> dict[str, str]:
             "events", "user_id", "ts", "event_type", "event_id",
             gap_s=1800, k=25,
         ),
+        "rfm_segments": temporal_mod.rfm_segments_sql("events"),
         "survival_km": temporal_mod.survival_km_sql(
             "events", "user_id", "ts", bucket_s=3600, horizon=24,
         ),

@@ -4820,3 +4820,219 @@ def sax_words_sql(
                STRING_AGG({sym}, '' ORDER BY _seg) AS sax_word
         FROM sx_sym GROUP BY 1
     """
+
+
+def rfm_segments(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    n_bins: int = 5,
+    r_bucket_s: int = 3600,
+    m_unit: int = 100,
+    cents: int = 100,
+) -> DataFrame:
+    """RFM segmentation — the marketing-analytics classic: score
+    every user 1..``n_bins`` on Recency (time since last activity,
+    recent = high), Frequency (event count), and Monetary (summed
+    value), and name the segment "rfm" (a "555" is a champion, a
+    "155" a lapsing whale).  The event-stream counterpart of the
+    static quality-percentile calibrators.
+
+    Exactness + scale, the two usual traps solved together: bins
+    are GLOBAL quantiles, but ranking users globally would be a
+    single-partition window over the user table.  Instead each
+    metric is DECLARED-bucketed first (R into ``r_bucket_s``-second
+    buckets, M into ``m_unit`` cent-units after a ×``cents`` snap,
+    F raw — quantization stated, engine-identical), and the bin
+    map is built on the DISTINCT-bucKET frequency table:
+
+        bin(v) = min(n_bins, 1 + cum_users_below(v)·n_bins DIV n)
+
+    — a window over |distinct buckets| rows per dimension, never
+    over users; ties share a bucket hence a bin (the
+    percentile_calibrate tie discipline); users join the broadcast
+    bin map back.  R scores REVERSE (smaller gap ⇒ higher score).
+
+    Plan: one user aggregate (3 metrics in one pass + a broadcast
+    corpus-end), one melt to (dim, bucket), one tiny frequency
+    window, one map-back join, one pivot aggregate.  Returns
+    (user, r_buckets, f_raw, m_units, r_score, f_score, m_score,
+    segment)."""
+    if not 2 <= int(n_bins) <= 9:
+        raise ValueError(f"n_bins must be in [2, 9]: {n_bins}")
+    if r_bucket_s < 1 or m_unit < 1 or cents < 1:
+        raise ValueError("r_bucket_s, m_unit, cents must be >= 1")
+    nb = int(n_bins)
+    per_user = (
+        events.select(
+            F.col(user_col).alias("_u"),
+            F.expr(
+                f"unix_micros(CAST({ts_col} AS TIMESTAMP))"
+            ).alias("_t"),
+            F.expr(
+                f"CAST(ROUND({value_col} * {int(cents)}) AS BIGINT)"
+            ).alias("_v"),
+        )
+        .groupBy("_u")
+        .agg(
+            F.max("_t").alias("_last"),
+            F.count(F.lit(1)).cast("bigint").alias("_f"),
+            F.coalesce(F.sum("_v"), F.lit(0)).cast("bigint")
+            .alias("_m"),
+        )
+    )
+    end = per_user.agg(F.max("_last").alias("_end"))
+    metrics = (
+        per_user.crossJoin(F.broadcast(end))
+        .select(
+            "_u",
+            F.expr(
+                f"CAST((_end - _last) DIV {int(r_bucket_s) * 1_000_000}"
+                " AS BIGINT)"
+            ).alias("r"),
+            F.col("_f").alias("f"),
+            F.expr(
+                f"CAST(CASE WHEN _m >= 0 THEN _m DIV {int(m_unit)} "
+                f"ELSE -((-_m) DIV {int(m_unit)}) END AS BIGINT)"
+            ).alias("m"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    melted = metrics.selectExpr(
+        "_u", "stack(3, 'r', r, 'f', f, 'm', m) AS (dim, v)"
+    )
+    freq = melted.groupBy("dim", "v").agg(
+        F.count(F.lit(1)).cast("bigint").alias("_nat")
+    )
+    wd = (
+        W.partitionBy("dim").orderBy("v")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    tot = freq.groupBy("dim").agg(F.sum("_nat").alias("_n"))
+    binmap = (
+        freq.withColumn(
+            "_below", F.coalesce(F.sum("_nat").over(wd), F.lit(0))
+        )
+        .join(tot, "dim")
+        .select(
+            "dim", "v",
+            F.least(
+                F.lit(nb),
+                F.lit(1)
+                + F.expr(f"(_below * {nb}) DIV _n").cast("int"),
+            ).alias("_bin"),
+        )
+    )
+    scored = (
+        melted.join(binmap, ["dim", "v"])
+        .groupBy("_u")
+        .agg(
+            F.max(F.when(F.col("dim") == "r", F.col("v")))
+            .alias("r_buckets"),
+            F.max(F.when(F.col("dim") == "f", F.col("v")))
+            .alias("f_raw"),
+            F.max(F.when(F.col("dim") == "m", F.col("v")))
+            .alias("m_units"),
+            F.max(F.when(F.col("dim") == "r", F.col("_bin")))
+            .alias("_rb"),
+            F.max(F.when(F.col("dim") == "f", F.col("_bin")))
+            .alias("f_score"),
+            F.max(F.when(F.col("dim") == "m", F.col("_bin")))
+            .alias("m_score"),
+        )
+    )
+    return scored.select(
+        F.col("_u").alias(user_col),
+        "r_buckets", "f_raw", "m_units",
+        (F.lit(nb + 1) - F.col("_rb")).cast("int").alias("r_score"),
+        F.col("f_score").cast("int").alias("f_score"),
+        F.col("m_score").cast("int").alias("m_score"),
+        F.expr(
+            f"CONCAT(CAST({nb + 1} - _rb AS STRING), "
+            "CAST(f_score AS STRING), CAST(m_score AS STRING))"
+        ).alias("segment"),
+    )
+
+
+def rfm_segments_sql(
+    src: str,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    n_bins: int = 5,
+    r_bucket_s: int = 3600,
+    m_unit: int = 100,
+    cents: int = 100,
+) -> str:
+    """DuckDB twin of :func:`rfm_segments` — identical bucketing,
+    distinct-bucket cumulative bin map, reversed R.  Standalone."""
+    nb = int(n_bins)
+    ru = int(r_bucket_s) * 1_000_000
+    return f"""
+        WITH rfm_u AS MATERIALIZED (
+            SELECT {user_col} AS _u,
+                   MAX(epoch_us(CAST({ts_col} AS TIMESTAMP)))
+                       AS _last,
+                   CAST(COUNT(*) AS BIGINT) AS _f,
+                   CAST(COALESCE(SUM(CAST(ROUND({value_col}
+                        * {int(cents)}) AS BIGINT)), 0) AS BIGINT)
+                       AS _m
+            FROM {src} GROUP BY 1
+        ),
+        rfm_met AS MATERIALIZED (
+            SELECT _u,
+                   CAST(((SELECT MAX(_last) FROM rfm_u) - _last)
+                        // {ru} AS BIGINT) AS r,
+                   _f AS f,
+                   CAST(CASE WHEN _m >= 0 THEN _m // {int(m_unit)}
+                        ELSE -((-_m) // {int(m_unit)}) END
+                        AS BIGINT) AS m
+            FROM rfm_u
+        ),
+        rfm_melt AS MATERIALIZED (
+            SELECT _u, 'r' AS dim, r AS v FROM rfm_met
+            UNION ALL
+            SELECT _u, 'f', f FROM rfm_met
+            UNION ALL
+            SELECT _u, 'm', m FROM rfm_met
+        ),
+        rfm_freq AS (
+            SELECT dim, v, CAST(COUNT(*) AS BIGINT) AS _nat
+            FROM rfm_melt GROUP BY 1, 2
+        ),
+        rfm_bin AS MATERIALIZED (
+            SELECT dim, v,
+                   LEAST({nb}, 1 + CAST(
+                       (COALESCE(SUM(_nat) OVER (PARTITION BY dim
+                            ORDER BY v ROWS BETWEEN UNBOUNDED
+                            PRECEDING AND 1 PRECEDING), 0) * {nb})
+                       // (SUM(_nat) OVER (PARTITION BY dim))
+                       AS INT)) AS _bin
+            FROM rfm_freq
+        ),
+        rfm_scored AS (
+            SELECT m._u,
+                   MAX(CASE WHEN m.dim = 'r' THEN m.v END)
+                       AS r_buckets,
+                   MAX(CASE WHEN m.dim = 'f' THEN m.v END) AS f_raw,
+                   MAX(CASE WHEN m.dim = 'm' THEN m.v END)
+                       AS m_units,
+                   MAX(CASE WHEN m.dim = 'r' THEN b._bin END)
+                       AS _rb,
+                   MAX(CASE WHEN m.dim = 'f' THEN b._bin END)
+                       AS f_score,
+                   MAX(CASE WHEN m.dim = 'm' THEN b._bin END)
+                       AS m_score
+            FROM rfm_melt m JOIN rfm_bin b USING (dim, v)
+            GROUP BY 1
+        )
+        SELECT _u AS {user_col}, r_buckets, f_raw, m_units,
+               CAST({nb + 1} - _rb AS INT) AS r_score,
+               CAST(f_score AS INT) AS f_score,
+               CAST(m_score AS INT) AS m_score,
+               CAST({nb + 1} - _rb AS VARCHAR)
+                   || CAST(f_score AS VARCHAR)
+                   || CAST(m_score AS VARCHAR) AS segment
+        FROM rfm_scored
+    """
