@@ -528,6 +528,38 @@ def q_od_flows(spark, sf_dir):
     return spatial.od_flows(latest, id_col="lang", order_col="doc_id")
 
 
+def q_huff(spark, sf_dir):
+    """Huff gravity market shares (spatial.huff_shares): the top-20
+    densest 4° cells act as service sites (attractiveness = their
+    page count) and every latest page splits its patronage across
+    in-radius sites by attractiveness over exact squared distance —
+    the demand-allocation layer between knn's winner-take-all and
+    od_gravity's after-the-fact scoring.  β = 2 exactly (integer
+    d², no float powers); utilities ride decimal with u_scale ≥
+    radius² so the denominator provably never floors to zero;
+    out-of-radius mass is truncated visibly via n_sites."""
+    latest = lineage.latest_version(
+        _pages(spark, sf_dir), cols=["doc_id", "lon", "lat"]
+    )
+    pts = latest.select("doc_id", "lon", "lat")
+    cx = F.floor(F.col("lon") / 4).cast("bigint")
+    cy = F.floor(F.col("lat") / 4).cast("bigint")
+    sites = (
+        latest.groupBy(cx.alias("_cx"), cy.alias("_cy"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("attract"))
+        .orderBy(F.desc("attract"), "_cy", "_cx")
+        .limit(20)
+        .select(
+            ((F.col("_cy") + 90) * 1000 + F.col("_cx") + 180)
+            .alias("site_id"),
+            (F.col("_cx") * 4 + F.lit(2.0)).alias("lon"),
+            (F.col("_cy") * 4 + F.lit(2.0)).alias("lat"),
+            "attract",
+        )
+    )
+    return spatial.huff_shares(pts, sites, 4.0)
+
+
 def q_ipf_balance(spark, sf_dir):
     """IPF / RAS balancing (spatial.ipf_balance): project one OD
     matrix onto another period's margins — seed = the even-doc
@@ -6420,6 +6452,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "od_flows": q_od_flows,
         "od_gravity": q_od_gravity,
         "ipf_balance": q_ipf_balance,
+        "huff_shares": q_huff,
         "tile_join_counts": q_tile_join_counts,
         "morans_i": q_morans_i,
         "gearys_c": q_gearys_c,
@@ -7599,6 +7632,32 @@ def oracle_sql() -> dict[str, str]:
             SELECT cell_x, cell_y, COUNT(*) AS n_segments
             FROM cells GROUP BY 1, 2
         """),
+        "huff_shares": _with_pages(
+            """, hf_latest AS (
+                SELECT doc_id, lon, lat FROM (
+                    SELECT p.*, ROW_NUMBER() OVER (
+                        PARTITION BY url ORDER BY version DESC) AS rn
+                    FROM pages p
+                ) t WHERE rn = 1
+            ),
+            hf_sites AS MATERIALIZED (
+                SELECT (_cy + 90) * 1000 + _cx + 180 AS site_id,
+                       CAST(_cx * 4 + 2.0 AS DOUBLE) AS lon,
+                       CAST(_cy * 4 + 2.0 AS DOUBLE) AS lat,
+                       attract
+                FROM (
+                    SELECT CAST(FLOOR(lon / 4) AS BIGINT) AS _cx,
+                           CAST(FLOOR(lat / 4) AS BIGINT) AS _cy,
+                           CAST(COUNT(*) AS BIGINT) AS attract
+                    FROM hf_latest GROUP BY 1, 2
+                    ORDER BY attract DESC, _cy, _cx LIMIT 20
+                )
+            ),
+            """
+            + spatial.huff_shares_sql(
+                "hf_latest", "hf_sites", 4.0
+            ).lstrip()[len("WITH"):]
+        ),
         "ipf_balance": _with_pages(
             f"""
             , latest AS (

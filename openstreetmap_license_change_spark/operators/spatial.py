@@ -11421,3 +11421,198 @@ def ipf_balance_sql(
         FROM ipf_c{rounds}
     """
     )
+
+
+def huff_shares(
+    points: DataFrame,
+    sites: DataFrame,
+    radius_deg: float,
+    point_id: str = "doc_id",
+    site_id: str = "site_id",
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    scale: int = 10_000,
+    u_scale: int = 10**12,
+) -> DataFrame:
+    """Huff gravity market shares (Huff 1964) — the probabilistic
+    catchment model: each point splits its patronage across nearby
+    sites in proportion to attractiveness over squared distance,
+
+        u_ij      = (A_j · u_scale) DIV max(d²_ij, 1)
+        share_ppm = u_ij · 10⁶ DIV Σ_k u_ik
+
+    — the demand-allocation layer between :func:`knn_neighborhood`'s
+    winner-take-all nearest and :func:`od_gravity_residuals`'
+    after-the-fact scoring (Huff PREDICTS the flow split before any
+    flow exists; retail siting, service catchments, recrawl load
+    allocation across mirrors).  β = 2 exactly so the deterrence is
+    the exact integer d² — no float power anywhere; the utility
+    floor and the share floor are the only two quantizations,
+    stated; a point sitting ON a site (d² = 0) clamps to one
+    quantum and dominates, stated.  ``u_scale`` must be ≥ radius²
+    in quantized units (validated) so every in-radius utility is ≥
+    its attractiveness ≥ 1 (asserted in-plan) — the per-point
+    denominator can never floor to zero.
+
+    Candidate sites come from the house cell equi-join at
+    ``radius_deg`` (3×3 probe) — mass beyond one cell is TRUNCATED
+    from the choice set (stated; n_sites in the output makes thin
+    choice sets visible); points with no site in radius are absent.
+    Utilities and the denominator ride decimal(38)/HUGEINT — no
+    int64 ceiling on attractiveness.
+
+    ``sites``: (site_id, lon, lat, attract ≥ 1).  Returns one row
+    per (point, candidate site): (point, site, d2_q, n_sites,
+    share_ppm); shares per point sum to ≤ 10⁶ (floor loss < n_sites
+    ppm)."""
+    if radius_deg * scale != int(radius_deg * scale):
+        raise ValueError("radius_deg * scale must be integral")
+    if scale > 1_000_000:
+        raise ValueError("scale > 1e6 overflows the int64 d2 bound")
+    g = int(radius_deg * scale)
+    d2max = g * g
+    if int(u_scale) < d2max:
+        raise ValueError(
+            f"u_scale must be >= radius^2 in quantized units "
+            f"({d2max}) so utilities cannot floor to zero: {u_scale}"
+        )
+    offx, offy = 180 * scale, 90 * scale
+    sc = F.lit(float(scale))
+    pq = points.select(
+        F.col(point_id).alias("_i"),
+        (F.round(F.col(lon_col) * sc).cast("bigint") + offx)
+        .alias("_px"),
+        (F.round(F.col(lat_col) * sc).cast("bigint") + offy)
+        .alias("_py"),
+    )
+    sq = sites.select(
+        F.col(site_id).alias("_s"),
+        (F.round(F.col(lon_col) * sc).cast("bigint") + offx)
+        .alias("_sx"),
+        (F.round(F.col(lat_col) * sc).cast("bigint") + offy)
+        .alias("_sy"),
+        F.expr(
+            "CASE WHEN assert_true(attract >= 1, 'huff_shares: "
+            "attract must be >= 1') IS NULL "
+            "THEN CAST(attract AS BIGINT) END"
+        ).alias("_a"),
+    )
+    cell = (_idiv(F.col("_sy"), g) * F.lit(1_000_000)
+            + _idiv(F.col("_sx"), g))
+    s_home = sq.select("_s", "_sx", "_sy", "_a", cell.alias("_cell"))
+    probes = F.array(
+        *[
+            (_idiv(F.col("_py"), g) + F.lit(dy)) * F.lit(1_000_000)
+            + (_idiv(F.col("_px"), g) + F.lit(dx))
+            for dy in (-1, 0, 1)
+            for dx in (-1, 0, 1)
+        ]
+    )
+    p_fan = pq.withColumn("_cell", F.explode(probes))
+    dd = (
+        (F.col("_px") - F.col("_sx")) * (F.col("_px") - F.col("_sx"))
+        + (F.col("_py") - F.col("_sy")) * (F.col("_py") - F.col("_sy"))
+    )
+    cand = (
+        p_fan.join(s_home, "_cell")
+        .select("_i", "_s", dd.alias("_d2"), "_a")
+        .where(F.col("_d2") <= F.lit(d2max))
+        .withColumn(
+            "_u",
+            F.expr(
+                f"(CAST(_a AS decimal(38,0)) * {int(u_scale)}) "
+                f"DIV GREATEST(_d2, 1)"
+            ),
+        )
+    )
+    dec = "decimal(38,0)"
+    denom = cand.groupBy("_i").agg(
+        F.sum(F.expr(f"CAST(_u AS {dec})")).alias("_du"),
+        F.count(F.lit(1)).cast("bigint").alias("n_sites"),
+    )
+    return (
+        cand.join(denom, "_i")
+        .select(
+            F.col("_i").alias(point_id),
+            F.col("_s").alias(site_id),
+            F.col("_d2").alias("d2_q"),
+            "n_sites",
+            F.expr(
+                f"CAST((CAST(_u AS {dec}) * 1000000) DIV _du "
+                "AS BIGINT)"
+            ).alias("share_ppm"),
+        )
+    )
+
+
+def huff_shares_sql(
+    points_src: str,
+    sites_src: str,
+    radius_deg: float,
+    point_id: str = "doc_id",
+    site_id: str = "site_id",
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    scale: int = 10_000,
+    u_scale: int = 10**12,
+) -> str:
+    """DuckDB twin of :func:`huff_shares` — identical quantization,
+    cell probe, clamped deterrence, and floor shares (HUGEINT
+    denominator).  ``sites_src`` exposes (site_id, lon, lat,
+    attract).  Standalone."""
+    g = int(radius_deg * scale)
+    d2max = g * g
+    offx, offy = 180 * scale, 90 * scale
+    return f"""
+        WITH hf_p AS (
+            SELECT {point_id} AS _i,
+                   CAST(ROUND({lon_col} * {scale}) AS BIGINT)
+                       + {offx} AS _px,
+                   CAST(ROUND({lat_col} * {scale}) AS BIGINT)
+                       + {offy} AS _py
+            FROM {points_src}
+        ),
+        hf_s AS (
+            SELECT {site_id} AS _s,
+                   CAST(ROUND({lon_col} * {scale}) AS BIGINT)
+                       + {offx} AS _sx,
+                   CAST(ROUND({lat_col} * {scale}) AS BIGINT)
+                       + {offy} AS _sy,
+                   CAST(attract AS BIGINT) AS _a
+            FROM {sites_src}
+        ),
+        hf_cand AS MATERIALIZED (
+            SELECT p._i, s._s,
+                   (p._px - s._sx) * (p._px - s._sx)
+                   + (p._py - s._sy) * (p._py - s._sy) AS _d2,
+                   s._a
+            FROM (SELECT *,
+                         ((_py - _py % {g}) // {g} + d.dy) * 1000000
+                         + ((_px - _px % {g}) // {g} + d.dx) AS _cell
+                  FROM hf_p CROSS JOIN (VALUES
+                       (-1,-1),(-1,0),(-1,1),(0,-1),(0,0),(0,1),
+                       (1,-1),(1,0),(1,1)) d(dy, dx)) p
+            JOIN (SELECT *,
+                         ((_sy - _sy % {g}) // {g}) * 1000000
+                         + ((_sx - _sx % {g}) // {g}) AS _cell
+                  FROM hf_s) s USING (_cell)
+            WHERE (p._px - s._sx) * (p._px - s._sx)
+                  + (p._py - s._sy) * (p._py - s._sy) <= {d2max}
+        ),
+        hf_u AS MATERIALIZED (
+            SELECT _i, _s, _d2,
+                   (CAST(_a AS HUGEINT) * {int(u_scale)})
+                       // GREATEST(_d2, 1) AS _u
+            FROM hf_cand
+        ),
+        hf_den AS (
+            SELECT _i, SUM(CAST(_u AS HUGEINT)) AS _du,
+                   CAST(COUNT(*) AS BIGINT) AS n_sites
+            FROM hf_u GROUP BY 1
+        )
+        SELECT u._i AS {point_id}, u._s AS {site_id},
+               u._d2 AS d2_q, d.n_sites,
+               CAST((CAST(u._u AS HUGEINT) * 1000000) // d._du
+                    AS BIGINT) AS share_ppm
+        FROM hf_u u JOIN hf_den d USING (_i)
+    """
