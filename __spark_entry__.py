@@ -4051,6 +4051,20 @@ def q_doc_pagerank(spark, sf_dir):
     return out.select(F.col("node").alias("doc_id"), "rank_q")
 
 
+RICH_CLUB_KS = [1, 2, 4, 6, 8]
+
+
+def q_rich_club(spark, sf_dir):
+    """Rich-club coefficients (graph.rich_club) over the shared doc
+    link graph: do the high-degree docs link preferentially to each
+    other?  The hub-collusion audit beside link_assortativity's
+    global correlation — φ(k) = 2E/(N(N−1)) over the undirected
+    simplification at five declared degree thresholds, computed by
+    ONE conditional-sum pass (never a rescan per k), exact ppm."""
+    nodes, edges = _doc_link_graph(spark, sf_dir)
+    return graph.rich_club(nodes, edges, RICH_CLUB_KS)
+
+
 def q_hyperball(spark, sf_dir):
     """HyperBall neighborhood function + harmonic centrality
     (graph.hyperball_centrality) over the shared doc link graph —
@@ -6611,6 +6625,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_pagerank": q_doc_pagerank,
         "katz_centrality": q_katz_centrality,
         "hyperball_harmonic": q_hyperball,
+        "rich_club": q_rich_club,
         "graph_diameter": q_graph_diameter,
         "link_distance": q_link_distance,
         "dag_levels": q_dag_levels,
@@ -10642,6 +10657,11 @@ def oracle_sql() -> dict[str, str]:
                 iterations=PR_ITERATIONS,
             )})
         """,
+        "rich_club": graph.rich_club_sql(
+            "(SELECT doc_id AS node FROM documents)",
+            _PR_EDGES_SQL,
+            RICH_CLUB_KS,
+        ),
         "hyperball_harmonic": f"""
             SELECT node AS doc_id, ball_est, harm_q
             FROM ({graph.hyperball_sql(

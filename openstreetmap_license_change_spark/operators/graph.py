@@ -3252,3 +3252,150 @@ def hyperball_sql(
         FROM hb_s{rounds}
     """
     )
+
+
+def rich_club(
+    nodes: DataFrame,
+    edges: DataFrame,
+    k_list: "list[int]",
+) -> DataFrame:
+    """Rich-club coefficient φ(k) (Zhou & Mondragón 2004) — do the
+    high-degree nodes link preferentially to EACH OTHER?  The
+    elite-interconnection audit of a link graph (hub collusion /
+    link-farm signal next to :func:`degree_assortativity`'s global
+    correlation — assortativity averages over everyone, the rich
+    club looks only at the top):
+
+        φ(k) = 2·E_{>k} / (N_{>k}·(N_{>k}−1))
+
+    over the UNDIRECTED simplification (distinct endpoint pairs,
+    self-loops dropped; degree = distinct neighbours).  Exact ppm
+    integers — counts and one cleared division per declared k; NULL
+    when fewer than two nodes qualify.
+
+    Plan: one dedup pass for the undirected edge set, one degree
+    aggregate, one broadcast-degree join back to edges, then ONE
+    conditional-sum aggregate produces every declared k (|k_list| ≤
+    16, validated) — the grid never rescans the graph per k.
+    Returns one row per k: (k, n_rich, e_rich, phi_ppm)."""
+    ks = sorted(set(int(k) for k in k_list))
+    if not 1 <= len(ks) <= 16:
+        raise ValueError(f"k_list must hold 1..16 values: {k_list}")
+    if any(k < 0 for k in ks):
+        raise ValueError(f"k values must be >= 0: {k_list}")
+    und = (
+        edges.select(
+            F.least("src", "dst").alias("_a"),
+            F.greatest("src", "dst").alias("_b"),
+        )
+        .where(F.col("_a") != F.col("_b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    deg = (
+        und.select(F.col("_a").alias("node"))
+        .unionAll(und.select(F.col("_b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("_deg"))
+    )
+    n_cols = [
+        F.coalesce(
+            F.sum(F.when(F.col("_deg") > k, 1)), F.lit(0)
+        ).cast("bigint").alias(f"_n{k}")
+        for k in ks
+    ]
+    n_row = deg.agg(*n_cols)
+    ed = (
+        und.join(
+            deg.select(F.col("node").alias("_a"),
+                       F.col("_deg").alias("_da")),
+            "_a",
+        )
+        .join(
+            deg.select(F.col("node").alias("_b"),
+                       F.col("_deg").alias("_db")),
+            "_b",
+        )
+    )
+    e_cols = [
+        F.coalesce(
+            F.sum(
+                F.when((F.col("_da") > k) & (F.col("_db") > k), 1)
+            ),
+            F.lit(0),
+        ).cast("bigint").alias(f"_e{k}")
+        for k in ks
+    ]
+    e_row = ed.agg(*e_cols)
+    stacked = ", ".join(
+        f"{k}L, _n{k}, _e{k}" for k in ks
+    )
+    return (
+        n_row.crossJoin(F.broadcast(e_row))
+        .selectExpr(
+            f"stack({len(ks)}, {stacked}) AS (k, n_rich, e_rich)"
+        )
+        .select(
+            "k", "n_rich", "e_rich",
+            F.expr(
+                "CAST(CASE WHEN n_rich < 2 THEN NULL ELSE "
+                "(2 * e_rich * 1000000) DIV (n_rich * (n_rich - 1)) "
+                "END AS BIGINT)"
+            ).alias("phi_ppm"),
+        )
+    )
+
+
+def rich_club_sql(
+    nodes_src: str,
+    edges_src: str,
+    k_list: "list[int]",
+) -> str:
+    """DuckDB twin of :func:`rich_club` (identical undirected
+    dedup, degree grid, cleared φ).  Standalone."""
+    ks = sorted(set(int(k) for k in k_list))
+    sel_n = ", ".join(
+        f"CAST(COALESCE(SUM(CASE WHEN _deg > {k} THEN 1 END), 0) "
+        f"AS BIGINT) AS _n{k}"
+        for k in ks
+    )
+    sel_e = ", ".join(
+        f"CAST(COALESCE(SUM(CASE WHEN _da > {k} AND _db > {k} "
+        f"THEN 1 END), 0) AS BIGINT) AS _e{k}"
+        for k in ks
+    )
+    rows = " UNION ALL ".join(
+        f"SELECT {k} AS k, _n{k} AS n_rich, _e{k} AS e_rich "
+        f"FROM rc_n, rc_e"
+        for k in ks
+    )
+    return f"""
+        WITH rc_und AS MATERIALIZED (
+            SELECT DISTINCT LEAST(src, dst) AS _a,
+                   GREATEST(src, dst) AS _b
+            FROM {edges_src}
+            WHERE src <> dst
+        ),
+        rc_deg AS MATERIALIZED (
+            SELECT node, CAST(COUNT(*) AS BIGINT) AS _deg
+            FROM (SELECT _a AS node FROM rc_und
+                  UNION ALL SELECT _b FROM rc_und)
+            GROUP BY 1
+        ),
+        rc_n AS (SELECT {sel_n} FROM rc_deg),
+        rc_e AS (
+            SELECT {sel_e} FROM (
+                SELECT a._deg AS _da, b._deg AS _db
+                FROM rc_und u
+                JOIN rc_deg a ON a.node = u._a
+                JOIN rc_deg b ON b.node = u._b
+            )
+        ),
+        rc_rows AS ({rows})
+        SELECT CAST(k AS BIGINT) AS k, n_rich, e_rich,
+               CAST(CASE WHEN n_rich < 2 THEN NULL ELSE
+                    (2 * e_rich * 1000000)
+                    // (n_rich * (n_rich - 1)) END AS BIGINT)
+                   AS phi_ppm
+        FROM rc_rows
+    """
