@@ -4051,6 +4051,21 @@ def q_doc_pagerank(spark, sf_dir):
     return out.select(F.col("node").alias("doc_id"), "rank_q")
 
 
+def q_bowtie(spark, sf_dir):
+    """Bow-tie decomposition (graph.bowtie_classify) of the shared
+    doc link graph — the Broder web atlas: every doc classified
+    core / in / out / tube / tendril_in / tendril_out /
+    disconnected around the giant SCC.  The core is exact (the SCC
+    peel raises rather than split); the four region BFS passes are
+    hop-bounded at 6 rounds under link_distance's honesty contract.
+    One SCC peel + four frontier BFS passes, 2 shuffles/round; the
+    oracle composes the transitive-closure SCC twin with four
+    scoped link_distance chains, so every class hash-verifies."""
+    nodes, edges = _doc_link_graph(spark, sf_dir)
+    out = graph.bowtie_classify(nodes, edges, rounds=6)
+    return out.select(F.col("node").alias("doc_id"), "cls")
+
+
 RICH_CLUB_KS = [1, 2, 4, 6, 8]
 
 
@@ -6626,6 +6641,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "katz_centrality": q_katz_centrality,
         "hyperball_harmonic": q_hyperball,
         "rich_club": q_rich_club,
+        "bowtie_regions": q_bowtie,
         "graph_diameter": q_graph_diameter,
         "link_distance": q_link_distance,
         "dag_levels": q_dag_levels,
@@ -10655,6 +10671,14 @@ def oracle_sql() -> dict[str, str]:
                 '(SELECT doc_id AS node FROM documents)',
                 _PR_EDGES_SQL,
                 iterations=PR_ITERATIONS,
+            )})
+        """,
+        "bowtie_regions": f"""
+            SELECT node AS doc_id, cls
+            FROM ({graph.bowtie_sql(
+                '(SELECT doc_id AS node FROM documents)',
+                _PR_EDGES_SQL,
+                rounds=6,
             )})
         """,
         "rich_club": graph.rich_club_sql(

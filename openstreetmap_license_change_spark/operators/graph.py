@@ -3399,3 +3399,180 @@ def rich_club_sql(
                    AS phi_ppm
         FROM rc_rows
     """
+
+
+def bowtie_classify(
+    nodes: DataFrame,
+    edges: DataFrame,
+    rounds: int = 8,
+    max_peels: int = 16,
+    max_hops: int = 64,
+) -> DataFrame:
+    """Bow-tie decomposition of a directed graph (Broder et al.
+    2000) — THE web-graph structure map: every node lands in one of
+    the seven classic regions around the giant strongly connected
+    core,
+
+        core          the largest SCC (ties: smallest member id)
+        in            reaches the core, not reached from it
+        out           reached from the core, not reaching it
+        tube          on an in→out path that bypasses the core
+        tendril_in    hangs forward off IN  (reachable from IN only)
+        tendril_out   feeds into OUT        (reaches OUT only)
+        disconnected  none of the above
+
+    — the crawl-frontier atlas (IN = pages that link toward the web's
+    center but nothing links back; OUT = link sinks; tubes/tendrils
+    = the periphery a frontier scheduler deprioritizes).
+
+    Reachability is hop-bounded by ``rounds`` via
+    :func:`link_distance`'s honesty contract — every classification
+    is exact FOR PATHS OF ≤ rounds HOPS (a node whose only path to
+    the core is longer reads as its periphery class; stated, the
+    same truncation the published crawls used).  The core itself is
+    exact (:func:`scc_components` raises rather than split an SCC).
+    A non-core node can never show BOTH in- and out-reachability:
+    real paths both ways would place it inside the core's SCC.
+
+    Cost: one SCC peel + four frontier BFS passes (forward/backward
+    from the core, forward from IN, backward from OUT) — each 2
+    shuffles/round with frontier-only relaxation.  Returns
+    (node, cls)."""
+    sccs = scc_components(
+        nodes, edges, max_peels=max_peels, max_hops=max_hops,
+        op_name="bowtie_classify",
+    )
+    giant = sccs.agg(
+        F.max(
+            F.struct(
+                F.col("scc_size").alias("_n"),
+                (-F.col("scc")).alias("_neg"),
+            )
+        ).alias("_b")
+    ).select((-F.col("_b._neg")).alias("_giant"))
+    core = (
+        sccs.crossJoin(F.broadcast(giant))
+        .where(F.col("scc") == F.col("_giant"))
+        .select("node")
+        .localCheckpoint(eager=True)
+    )
+    rev = edges.select(
+        F.col("dst").alias("src"), F.col("src").alias("dst")
+    )
+    fwd = link_distance(nodes, core, edges, rounds).select(
+        "node", F.col("dist").alias("_df")
+    )
+    bwd = link_distance(nodes, core, rev, rounds).select(
+        "node", F.col("dist").alias("_db")
+    )
+    marked = (
+        nodes.join(core.withColumn("_c", F.lit(1)), "node", "left")
+        .join(fwd, "node")
+        .join(bwd, "node")
+        .localCheckpoint(eager=True)
+    )
+    in_set = marked.where(
+        F.col("_c").isNull() & F.col("_db").isNotNull()
+    ).select("node")
+    out_set = marked.where(
+        F.col("_c").isNull() & F.col("_df").isNotNull()
+    ).select("node")
+    from_in = link_distance(nodes, in_set, edges, rounds).select(
+        "node", F.col("dist").alias("_fi")
+    )
+    to_out = link_distance(nodes, out_set, rev, rounds).select(
+        "node", F.col("dist").alias("_to")
+    )
+    return (
+        marked.join(from_in, "node")
+        .join(to_out, "node")
+        .select(
+            "node",
+            F.expr(
+                "CASE WHEN _c IS NOT NULL THEN 'core' "
+                "WHEN _db IS NOT NULL THEN 'in' "
+                "WHEN _df IS NOT NULL THEN 'out' "
+                "WHEN _fi IS NOT NULL AND _to IS NOT NULL "
+                "  THEN 'tube' "
+                "WHEN _fi IS NOT NULL THEN 'tendril_in' "
+                "WHEN _to IS NOT NULL THEN 'tendril_out' "
+                "ELSE 'disconnected' END"
+            ).alias("cls"),
+        )
+    )
+
+
+def bowtie_sql(
+    nodes_src: str,
+    edges_src: str,
+    rounds: int = 8,
+) -> str:
+    """DuckDB twin of :func:`bowtie_classify` — the transitive-
+    closure SCC oracle picks the identical giant core, then four
+    :func:`link_distance_sql` chains (each scoped inside its own
+    derived table, so the bf_* CTE names never collide) replay the
+    bounded reachability; the final CASE mirrors the operator's
+    precedence.  Standalone, returns (node, cls)."""
+    rev = f"(SELECT dst AS src, src AS dst FROM {edges_src})"
+    return f"""
+        WITH bt_scc AS MATERIALIZED (
+            SELECT * FROM ({scc_sql(nodes_src, edges_src)})
+        ),
+        bt_giant AS (
+            SELECT scc FROM bt_scc
+            GROUP BY scc ORDER BY COUNT(*) DESC, scc LIMIT 1
+        ),
+        bt_core AS MATERIALIZED (
+            SELECT node FROM bt_scc
+            WHERE scc = (SELECT scc FROM bt_giant)
+        ),
+        bt_fwd AS MATERIALIZED (
+            SELECT * FROM (
+                {link_distance_sql(nodes_src, 'bt_core',
+                                   edges_src, rounds)}
+            )
+        ),
+        bt_bwd AS MATERIALIZED (
+            SELECT * FROM (
+                {link_distance_sql(nodes_src, 'bt_core',
+                                   rev, rounds)}
+            )
+        ),
+        bt_in AS MATERIALIZED (
+            SELECT b.node FROM bt_bwd b
+            LEFT JOIN bt_core c USING (node)
+            WHERE b.dist IS NOT NULL AND c.node IS NULL
+        ),
+        bt_out AS MATERIALIZED (
+            SELECT f.node FROM bt_fwd f
+            LEFT JOIN bt_core c USING (node)
+            WHERE f.dist IS NOT NULL AND c.node IS NULL
+        ),
+        bt_fi AS MATERIALIZED (
+            SELECT * FROM (
+                {link_distance_sql(nodes_src, 'bt_in',
+                                   edges_src, rounds)}
+            )
+        ),
+        bt_to AS MATERIALIZED (
+            SELECT * FROM (
+                {link_distance_sql(nodes_src, 'bt_out',
+                                   rev, rounds)}
+            )
+        )
+        SELECT n.node,
+               CASE WHEN c.node IS NOT NULL THEN 'core'
+                    WHEN b.dist IS NOT NULL THEN 'in'
+                    WHEN f.dist IS NOT NULL THEN 'out'
+                    WHEN fi.dist IS NOT NULL
+                         AND t.dist IS NOT NULL THEN 'tube'
+                    WHEN fi.dist IS NOT NULL THEN 'tendril_in'
+                    WHEN t.dist IS NOT NULL THEN 'tendril_out'
+                    ELSE 'disconnected' END AS cls
+        FROM (SELECT node FROM {nodes_src}) n
+        LEFT JOIN bt_core c USING (node)
+        LEFT JOIN bt_fwd f USING (node)
+        LEFT JOIN bt_bwd b USING (node)
+        LEFT JOIN bt_fi fi USING (node)
+        LEFT JOIN bt_to t USING (node)
+    """
