@@ -3106,6 +3106,25 @@ def q_audio_haar(spark, sf_dir):
     )
 
 
+def q_audio_onsets(spark, sf_dir):
+    """Spectral-flux onsets (multimodal.audio_onsets) over the gated
+    PCM synth: half-wave-rectified Haar-band energy flux,
+    thresholded against 1.5× the clip's own mean flux with the
+    comparison cross-multiplied — onsets land exactly on the
+    planted quiet→loud burst attacks while the releases stay
+    silent.  Composes on the verified float-free haar layer; the
+    oracle feeds the haar twin's grouped ±1 sums through the
+    identical flux + threshold."""
+    from openstreetmap_license_change_spark.operators import multimodal
+
+    media = multimodal.synthetic_gated_pcm_media(
+        spark, n=8, n_samples=2048, burst=256
+    )
+    return multimodal.audio_onsets(
+        media, frame_samples=256, levels=3, thr_num=3, thr_den=2
+    )
+
+
 def q_audio_zcr(spark, sf_dir):
     """Per-frame zero-crossing + peak stats
     (multimodal.audio_zcr_frames) over the gated PCM synth: the
@@ -6581,6 +6600,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "morans_correlogram": q_morans_correlogram,
         "audio_zcr": q_audio_zcr,
         "audio_haar": q_audio_haar,
+        "audio_onsets": q_audio_onsets,
         "video_ssim": q_video_ssim,
         "audio_pitch": q_audio_pitch,
         "image_gradients": q_image_gradients,
@@ -10569,6 +10589,10 @@ def oracle_sql() -> dict[str, str]:
         """,
         "audio_zcr": multimodal_mod.audio_zcr_sql(8),
         "audio_haar": multimodal_mod.audio_haar_sql(8),
+        "audio_onsets": multimodal_mod.audio_onsets_sql(
+            8, n_samples=2048, burst=256, frame_samples=256,
+            levels=3, thr_num=3, thr_den=2,
+        ),
         "image_phash": multimodal_mod.image_phash_sql(16, w=48, h=32),
         "video_ssim": multimodal_mod.video_block_ssim_sql(
             8, w=16, h=12, n_frames=24, scene_len=8, block=4

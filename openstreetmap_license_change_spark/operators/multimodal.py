@@ -3024,3 +3024,112 @@ def image_phash_sql(n: int, w: int = 48, h: int = 32) -> str:
         FROM ph_ac a JOIN ph_med d USING (media_id)
         GROUP BY 1
     """
+
+
+def audio_onsets(
+    media: DataFrame,
+    frame_samples: int = 256,
+    levels: int = 3,
+    thr_num: int = 3,
+    thr_den: int = 2,
+) -> DataFrame:
+    """Spectral-flux onset detection over the Haar band energies —
+    WHERE does the audio change?  The event segmenter of the audio
+    curation pipeline (beat/speech-burst boundaries for clip
+    sampling), composed on top of :func:`audio_haar_energy` so the
+    spectral layer is the already-verified float-free one:
+
+        flux(t) = Σ_{detail bands} max(0, E_b(t) − E_b(t−1))
+        onset(t) ⟺ flux(t) > 0  ∧
+                    flux(t)·(n_flux)·thr_den > thr_num·Σflux
+
+    — positive band-energy increases only (energy RELEASES don't
+    fire, the standard half-wave rectification), thresholded
+    against thr_num/thr_den × the clip's own mean flux with the
+    comparison CROSS-MULTIPLIED (no division anywhere; the
+    tile_hotspots discipline).  Band 0 (the DC/trend residual) is
+    EXCLUDED — a loudness drift is not an onset, stated.
+
+    Bounds: flux ≤ levels·2⁴⁴ (the haar energy bound), ×n_frames
+    ×thr_den stays far inside int64.  Plan: the haar rollup's
+    shuffle, one (media, band)-keyed lag window, one frame rollup,
+    one per-media total broadcast back — all keyed, no Python
+    beyond the verified decode ladder.
+
+    Returns one row per ONSET: (media_id, frame_idx, flux)."""
+    if thr_num < 0 or thr_den < 1:
+        raise ValueError(
+            f"need thr_num >= 0, thr_den >= 1: {thr_num}/{thr_den}"
+        )
+    bands = audio_haar_energy(
+        media, frame_samples=frame_samples, levels=levels
+    ).where(F.col("band") >= 1)
+    bw = W.partitionBy("media_id", "band").orderBy("frame_idx")
+    flux = (
+        bands.withColumn(
+            "_d", F.col("sum_sq") - F.lag("sum_sq").over(bw)
+        )
+        .where(F.col("_d").isNotNull())
+        .groupBy("media_id", "frame_idx")
+        .agg(
+            F.sum(F.greatest(F.col("_d"), F.lit(0)))
+            .cast("bigint").alias("flux")
+        )
+    )
+    tot = flux.groupBy("media_id").agg(
+        F.sum("flux").alias("_total"),
+        F.count(F.lit(1)).alias("_nfl"),
+    )
+    return (
+        flux.join(tot, "media_id")
+        .where(
+            (F.col("flux") > 0)
+            & (
+                F.col("flux") * F.col("_nfl") * F.lit(int(thr_den))
+                > F.lit(int(thr_num)) * F.col("_total")
+            )
+        )
+        .select("media_id", "frame_idx", "flux")
+    )
+
+
+def audio_onsets_sql(
+    n: int, n_samples: int = 2048, burst: int = 256,
+    frame_samples: int = 256, levels: int = 3,
+    thr_num: int = 3, thr_den: int = 2,
+) -> str:
+    """DuckDB twin of :func:`audio_onsets` over the
+    synthetic_gated_pcm_media closed form — the haar twin's grouped
+    ±1 sums feed the identical rectified-flux + cross-multiplied
+    threshold.  Standalone."""
+    inner = audio_haar_sql(
+        n, n_samples=n_samples, burst=burst,
+        frame_samples=frame_samples, levels=levels,
+    )
+    return f"""
+        WITH ao_bands AS MATERIALIZED (
+            SELECT * FROM ({inner}) WHERE band >= 1
+        ),
+        ao_flux AS MATERIALIZED (
+            SELECT media_id, frame_idx,
+                   CAST(SUM(GREATEST(_d, 0)) AS BIGINT) AS flux
+            FROM (
+                SELECT media_id, band, frame_idx,
+                       sum_sq - LAG(sum_sq) OVER (
+                           PARTITION BY media_id, band
+                           ORDER BY frame_idx) AS _d
+                FROM ao_bands
+            ) WHERE _d IS NOT NULL
+            GROUP BY 1, 2
+        ),
+        ao_tot AS (
+            SELECT media_id, SUM(flux) AS _total,
+                   COUNT(*) AS _nfl
+            FROM ao_flux GROUP BY 1
+        )
+        SELECT f.media_id, f.frame_idx, f.flux
+        FROM ao_flux f JOIN ao_tot t USING (media_id)
+        WHERE f.flux > 0
+          AND f.flux * t._nfl * {int(thr_den)}
+              > {int(thr_num)} * t._total
+    """
