@@ -4070,6 +4070,23 @@ def q_doc_pagerank(spark, sf_dir):
     return out.select(F.col("node").alias("doc_id"), "rank_q")
 
 
+ATTACK_KS = [0, 2, 8, 32]
+
+
+def q_attack_robustness(spark, sf_dir):
+    """Attack-tolerance curve (graph.attack_robustness) of the doc
+    link graph: remove the top-k undirected hubs (deterministic
+    kill list — degree desc, id) and re-measure the giant
+    component at k ∈ {0, 2, 8, 32} — the scale-free
+    shatter-under-targeting signature (Albert–Jeong–Barabási), and
+    the mirror-farm dependency question for a crawl corpus.
+    Components from the verified pointer-doubling kit per residual;
+    the oracle replays each k through the transitive-closure twin
+    in its own scope."""
+    nodes, edges = _doc_link_graph(spark, sf_dir)
+    return graph.attack_robustness(nodes, edges, ATTACK_KS)
+
+
 def q_bowtie(spark, sf_dir):
     """Bow-tie decomposition (graph.bowtie_classify) of the shared
     doc link graph — the Broder web atlas: every doc classified
@@ -6662,6 +6679,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hyperball_harmonic": q_hyperball,
         "rich_club": q_rich_club,
         "bowtie_regions": q_bowtie,
+        "attack_robustness": q_attack_robustness,
         "graph_diameter": q_graph_diameter,
         "link_distance": q_link_distance,
         "dag_levels": q_dag_levels,
@@ -10697,6 +10715,11 @@ def oracle_sql() -> dict[str, str]:
                 iterations=PR_ITERATIONS,
             )})
         """,
+        "attack_robustness": graph.attack_robustness_sql(
+            "(SELECT doc_id AS node FROM documents)",
+            _PR_EDGES_SQL,
+            ATTACK_KS,
+        ),
         "bowtie_regions": f"""
             SELECT node AS doc_id, cls
             FROM ({graph.bowtie_sql(

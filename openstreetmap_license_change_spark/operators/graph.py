@@ -3576,3 +3576,168 @@ def bowtie_sql(
         LEFT JOIN bt_fi fi USING (node)
         LEFT JOIN bt_to t USING (node)
     """
+
+
+def attack_robustness(
+    nodes: DataFrame,
+    edges: DataFrame,
+    k_list: "list[int]",
+    max_iters: int = 16,
+) -> DataFrame:
+    """Attack-tolerance audit (Albert, Jeong & Barabási 2000) — how
+    fast does the graph fall apart when its top hubs are removed?
+    Scale-free link graphs survive random failure but shatter under
+    targeted hub removal; this measures exactly that curve: for
+    each declared k, delete the k highest-degree nodes (undirected
+    degree, ties to the smaller id — a deterministic kill list) and
+    re-measure the giant component:
+
+        giant_ppm = giant_size · 10⁶ DIV n_remaining
+
+    — the mirror-farm/CDN dependency question for a crawl corpus
+    (if the top hub hosts vanish, does the link structure still
+    cohere?).  k = 0 rows give the baseline.
+
+    Components come from the verified min-label pointer-doubling
+    kit per residual graph (|k_list| ≤ 6 declared runs, validated —
+    the curve is the product, not a per-k rescan surprise).
+    Returns one row per k: (k_removed, n_remaining, n_components,
+    giant_size, giant_ppm)."""
+    ks = sorted(set(int(k) for k in k_list))
+    if not 1 <= len(ks) <= 6:
+        raise ValueError(f"k_list must hold 1..6 values: {k_list}")
+    if any(k < 0 for k in ks):
+        raise ValueError(f"k values must be >= 0: {k_list}")
+    und = (
+        edges.select(
+            F.least("src", "dst").alias("id_a"),
+            F.greatest("src", "dst").alias("id_b"),
+        )
+        .where(F.col("id_a") != F.col("id_b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    deg = (
+        und.select(F.col("id_a").alias("id"))
+        .unionAll(und.select(F.col("id_b").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("_deg"))
+    )
+    ids_all = nodes.select(F.col("node").alias("id"))
+    ranked = (
+        ids_all.join(deg, "id", "left")
+        .select(
+            "id", F.coalesce("_deg", F.lit(0)).alias("_deg")
+        )
+        .localCheckpoint(eager=True)
+    )
+    spark = nodes.sparkSession
+    rows = []
+    for k in ks:
+        # orderBy immediately before limit → TakeOrderedAndProject,
+        # deterministic regardless of the checkpoint's partitioning
+        victims = (
+            ranked.orderBy(F.desc("_deg"), "id").limit(k)
+            .select("id")
+        )
+        alive = ids_all.join(victims, "id", "left_anti")
+        live_edges = (
+            und.join(
+                victims.select(F.col("id").alias("id_a")), "id_a",
+                "left_anti",
+            )
+            .join(
+                victims.select(F.col("id").alias("id_b")), "id_b",
+                "left_anti",
+            )
+        )
+        comp = min_label_components(
+            alive, live_edges, max_iters, f"attack_robustness_k{k}"
+        )
+        stat = (
+            comp.groupBy("label")
+            .agg(F.count(F.lit(1)).alias("_sz"))
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_components"),
+                F.coalesce(F.max("_sz"), F.lit(0)).cast("bigint")
+                .alias("giant_size"),
+                F.coalesce(F.sum("_sz"), F.lit(0)).cast("bigint")
+                .alias("n_remaining"),
+            )
+            .collect()[0]
+        )
+        n_rem = stat["n_remaining"]
+        rows.append(
+            (
+                k, n_rem, stat["n_components"], stat["giant_size"],
+                None if n_rem == 0
+                else (stat["giant_size"] * 1_000_000) // n_rem,
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "k_removed long, n_remaining long, n_components long, "
+        "giant_size long, giant_ppm long",
+    )
+
+
+def attack_robustness_sql(
+    nodes_src: str,
+    edges_src: str,
+    k_list: "list[int]",
+) -> str:
+    """DuckDB twin of :func:`attack_robustness` — identical kill
+    lists and per-k residual components via the transitive-closure
+    oracle, each scoped in its own derived table (the bowtie
+    idiom).  Standalone."""
+    ks = sorted(set(int(k) for k in k_list))
+    parts = []
+    for k in ks:
+        nodes_k = (
+            f"(SELECT id AS node FROM ar_rank "
+            f"WHERE _rk > {k})"
+        )
+        edges_k = (
+            f"(SELECT a.id_a AS src, a.id_b AS dst FROM ar_und a "
+            f"JOIN ar_rank r1 ON r1.id = a.id_a AND r1._rk > {k} "
+            f"JOIN ar_rank r2 ON r2.id = a.id_b AND r2._rk > {k})"
+        )
+        parts.append(f"""
+            SELECT CAST({k} AS BIGINT) AS k_removed,
+                   CAST(SUM(_sz) AS BIGINT) AS n_remaining,
+                   CAST(COUNT(*) AS BIGINT) AS n_components,
+                   CAST(MAX(_sz) AS BIGINT) AS giant_size,
+                   CAST(CASE WHEN SUM(_sz) = 0 THEN NULL ELSE
+                        (MAX(_sz) * 1000000) // SUM(_sz) END
+                        AS BIGINT) AS giant_ppm
+            FROM (
+                SELECT label, COUNT(*) AS _sz
+                FROM ({components_sql(nodes_k, edges_k)})
+                GROUP BY 1
+            )
+        """)
+    return f"""
+        WITH ar_und AS MATERIALIZED (
+            SELECT DISTINCT LEAST(src, dst) AS id_a,
+                   GREATEST(src, dst) AS id_b
+            FROM {edges_src} WHERE src <> dst
+        ),
+        ar_rank AS MATERIALIZED (
+            SELECT id,
+                   ROW_NUMBER() OVER (ORDER BY _deg DESC, id)
+                       AS _rk
+            FROM (
+                SELECT n.node AS id,
+                       COALESCE(d._deg, 0) AS _deg
+                FROM {nodes_src} n
+                LEFT JOIN (
+                    SELECT id, COUNT(*) AS _deg
+                    FROM (SELECT id_a AS id FROM ar_und
+                          UNION ALL SELECT id_b FROM ar_und)
+                    GROUP BY 1
+                ) d ON d.id = n.node
+            )
+        )
+        {" UNION ALL ".join(parts)}
+        ORDER BY k_removed
+    """
