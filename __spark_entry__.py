@@ -4070,6 +4070,21 @@ def q_doc_pagerank(spark, sf_dir):
     return out.select(F.col("node").alias("doc_id"), "rank_q")
 
 
+def q_betweenness(spark, sf_dir):
+    """Sampled Brandes betweenness (graph.betweenness_sampled) over
+    the doc link graph: the brokerage centrality none of the others
+    see — 4 deterministic kmv-ranked pivots run the full forward-σ /
+    backward-δ dependency accumulation at 6 hop-bounded rounds,
+    one floor per DAG edge (stated), σ under a loud 2⁵⁰ cap.  The
+    oracle unrolls every pivot's layers and folds, so every
+    dependency quantum hash-verifies."""
+    nodes, edges = _doc_link_graph(spark, sf_dir)
+    out = graph.betweenness_sampled(
+        nodes, edges, n_sources=4, rounds=6
+    )
+    return out.select(F.col("node").alias("doc_id"), "bc_q")
+
+
 ATTACK_KS = [0, 2, 8, 32]
 
 
@@ -6680,6 +6695,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rich_club": q_rich_club,
         "bowtie_regions": q_bowtie,
         "attack_robustness": q_attack_robustness,
+        "betweenness": q_betweenness,
         "graph_diameter": q_graph_diameter,
         "link_distance": q_link_distance,
         "dag_levels": q_dag_levels,
@@ -10713,6 +10729,14 @@ def oracle_sql() -> dict[str, str]:
                 '(SELECT doc_id AS node FROM documents)',
                 _PR_EDGES_SQL,
                 iterations=PR_ITERATIONS,
+            )})
+        """,
+        "betweenness": f"""
+            SELECT node AS doc_id, bc_q
+            FROM ({graph.betweenness_sql(
+                '(SELECT doc_id AS node FROM documents)',
+                _PR_EDGES_SQL,
+                n_sources=4, rounds=6,
             )})
         """,
         "attack_robustness": graph.attack_robustness_sql(

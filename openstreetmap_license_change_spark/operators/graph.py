@@ -3741,3 +3741,244 @@ def attack_robustness_sql(
         {" UNION ALL ".join(parts)}
         ORDER BY k_removed
     """
+
+
+BC_SCALE = 10**6
+BC_SIGMA_CAP = 1 << 50
+
+
+def betweenness_sampled(
+    nodes: DataFrame,
+    edges: DataFrame,
+    n_sources: int = 4,
+    rounds: int = 6,
+) -> DataFrame:
+    """Source-sampled betweenness centrality (Brandes 2001 with the
+    standard pivot sampling) — WHO sits on the shortest paths?  The
+    brokerage/chokepoint signal none of the other centralities see
+    (degree counts friends, PageRank counts endorsements, harmonic
+    counts proximity; betweenness counts being UNAVOIDABLE).  Exact
+    all-pairs Brandes is O(nm); the sampled estimator runs the full
+    dependency accumulation from ``n_sources`` DETERMINISTIC pivots
+    — the smallest ``n_sources`` nodes by (kmv_hash(node), node),
+    the engine's RNG-free stand-in for uniform pivots — and reports
+    the EXACT sampled quantity (the estimate's variance is the
+    published one; which pivots were used is reproducible, stated).
+
+    Per pivot: forward frontier BFS accumulates shortest-path
+    counts σ (layer by layer, ≤ ``rounds`` hops — the link_distance
+    honesty contract), then the backward pass folds dependencies
+    top layer down:
+
+        δ(v) = Σ_{v→w, d(w)=d(v)+1} (σ_v · (10⁶ + δ_w)) DIV σ_w
+
+    — one floor per DAG edge (stated), products in decimal(38); σ
+    rides a LOUD 2⁵⁰ cap (path counts explode on dense graphs —
+    silence would wrap, the katz discipline).  bc_q(v) = Σ over
+    pivots of δ(v), v never its own pivot; ppm units of "paths
+    through v per source pair".
+
+    Cost: n_sources × (≤ rounds forward + ≤ rounds backward)
+    frontier steps, each 2 shuffles, lineage cut per step.
+    Returns (node, bc_q) for every node (0 where untouched)."""
+    from .sketches import kmv_hash
+
+    if not 1 <= int(n_sources) <= 16:
+        raise ValueError(f"n_sources must be in [1, 16]: {n_sources}")
+    if not 1 <= int(rounds) <= 16:
+        raise ValueError(f"rounds must be in [1, 16]: {rounds}")
+    dec = "decimal(38,0)"
+    edges = edges.select("src", "dst").distinct().repartition(
+        "src"
+    ).localCheckpoint(eager=True)
+    pivots = [
+        r["node"]
+        for r in nodes.select(
+            "node", kmv_hash(F.col("node")).alias("_h")
+        )
+        .orderBy("_h", "node")
+        .limit(int(n_sources))
+        .collect()
+    ]
+    acc = None
+    sig_guard = (
+        f"CASE WHEN assert_true(_sig <= {BC_SIGMA_CAP}, "
+        f"'betweenness_sampled: sigma exceeded 2^50 — path counts "
+        f"explode on this graph; reduce rounds') IS NULL "
+        f"THEN _sig END"
+    )
+    for s in pivots:
+        assigned = nodes.sparkSession.createDataFrame(
+            [(s, 0, 1)], "node long, dist int, sigma long"
+        ).localCheckpoint(eager=True)
+        frontier = assigned
+        layers = [assigned]
+        for d in range(1, int(rounds) + 1):
+            nxt = (
+                edges.join(
+                    frontier.select(
+                        F.col("node").alias("src"),
+                        F.col("sigma").alias("_ps"),
+                    ),
+                    "src",
+                )
+                .groupBy(F.col("dst").alias("node"))
+                .agg(F.sum("_ps").alias("_sig"))
+                .join(assigned.select("node"), "node", "left_anti")
+                .select(
+                    "node",
+                    F.lit(d).cast("int").alias("dist"),
+                    F.expr(sig_guard).cast("long").alias("sigma"),
+                )
+                .localCheckpoint(eager=True)
+            )
+            if nxt.isEmpty():
+                break
+            layers.append(nxt)
+            assigned = assigned.unionByName(nxt).localCheckpoint(
+                eager=True
+            )
+            frontier = nxt
+        # backward dependency fold, deepest layer first
+        deltas = {}  # dist -> df(node, delta)
+        dmax = len(layers) - 1
+        for d in range(dmax, 0, -1):
+            w = layers[d].select(
+                F.col("node").alias("dst"),
+                F.col("sigma").alias("_sw"),
+            )
+            wd = deltas.get(d)
+            if wd is not None:
+                w = w.join(
+                    wd.select(
+                        F.col("node").alias("dst"),
+                        F.col("delta").alias("_dw"),
+                    ),
+                    "dst",
+                    "left",
+                )
+            else:
+                w = w.withColumn("_dw", F.lit(None).cast("long"))
+            v = layers[d - 1].select(
+                F.col("node").alias("src"),
+                F.col("sigma").alias("_sv"),
+            )
+            terms = (
+                edges.join(w, "dst")
+                .join(v, "src")
+                .select(
+                    F.col("src").alias("node"),
+                    F.expr(
+                        f"CAST((CAST(_sv AS {dec}) * "
+                        f"(1000000 + COALESCE(_dw, 0))) DIV _sw "
+                        f"AS BIGINT)"
+                    ).alias("_t"),
+                )
+                .groupBy("node")
+                .agg(F.sum("_t").cast("long").alias("delta"))
+                .localCheckpoint(eager=True)
+            )
+            deltas[d - 1] = terms
+        per_src = None
+        for d, df in deltas.items():
+            part = df.where(F.col("node") != F.lit(s))
+            per_src = part if per_src is None else per_src.unionByName(
+                part
+            )
+        if per_src is not None:
+            acc = per_src if acc is None else acc.unionByName(per_src)
+    base = nodes.select("node")
+    if acc is None:
+        return base.withColumn("bc_q", F.lit(0).cast("bigint"))
+    summed = acc.groupBy("node").agg(
+        F.sum("delta").cast("bigint").alias("bc_q")
+    )
+    return base.join(summed, "node", "left").select(
+        "node",
+        F.coalesce("bc_q", F.lit(0)).cast("bigint").alias("bc_q"),
+    )
+
+
+def betweenness_sql(
+    nodes_src: str,
+    edges_src: str,
+    n_sources: int = 4,
+    rounds: int = 6,
+) -> str:
+    """DuckDB twin of :func:`betweenness_sampled` — identical pivot
+    rank (kmv_hash order), per-pivot forward σ layers and backward
+    dependency folds unrolled as MATERIALIZED CTEs (HUGEINT
+    products, // floors).  Standalone, returns (node, bc_q)."""
+    from .sketches import kmv_hash_sql
+
+    ns, rd = int(n_sources), int(rounds)
+    h = kmv_hash_sql("node")
+    ctes = [
+        f"bc_nd AS (SELECT node FROM {nodes_src})",
+        f"""bc_eg AS MATERIALIZED (
+            SELECT DISTINCT src, dst FROM {edges_src}
+        )""",
+        f"""bc_piv AS MATERIALIZED (
+            SELECT node,
+                   ROW_NUMBER() OVER (ORDER BY {h}, node) AS rk
+            FROM bc_nd
+        )""",
+    ]
+    delta_refs = []
+    for i in range(ns):
+        ctes.append(f"""bc{i}_f0 AS MATERIALIZED (
+            SELECT node, 0 AS dist, CAST(1 AS BIGINT) AS sigma
+            FROM bc_piv WHERE rk = {i + 1}
+        )""")
+        ctes.append(f"bc{i}_a0 AS (SELECT * FROM bc{i}_f0)")
+        for d in range(1, rd + 1):
+            ctes.append(f"""bc{i}_f{d} AS MATERIALIZED (
+                SELECT e.dst AS node, {d} AS dist,
+                       CAST(SUM(p.sigma) AS BIGINT) AS sigma
+                FROM bc_eg e
+                JOIN bc{i}_f{d - 1} p ON e.src = p.node
+                LEFT JOIN bc{i}_a{d - 1} a ON a.node = e.dst
+                WHERE a.node IS NULL
+                GROUP BY 1
+            )""")
+            ctes.append(f"""bc{i}_a{d} AS MATERIALIZED (
+                SELECT * FROM bc{i}_a{d - 1}
+                UNION ALL SELECT * FROM bc{i}_f{d}
+            )""")
+        for d in range(rd, 0, -1):
+            dw_join = (
+                f"LEFT JOIN bc{i}_d{d} dw ON dw.node = e.dst"
+                if d < rd else ""
+            )
+            dw_val = (
+                "COALESCE(dw.delta, 0)" if d < rd else "0"
+            )
+            ctes.append(f"""bc{i}_d{d - 1} AS MATERIALIZED (
+                SELECT e.src AS node,
+                       CAST(SUM((CAST(v.sigma AS HUGEINT)
+                            * (1000000 + {dw_val})) // w.sigma)
+                            AS BIGINT) AS delta
+                FROM bc_eg e
+                JOIN bc{i}_f{d} w ON w.node = e.dst
+                {dw_join}
+                JOIN bc{i}_f{d - 1} v ON v.node = e.src
+                GROUP BY 1
+            )""")
+            delta_refs.append(
+                f"SELECT node, delta FROM bc{i}_d{d - 1} "
+                f"WHERE node <> (SELECT node FROM bc_piv "
+                f"WHERE rk = {i + 1})"
+            )
+    union = "\nUNION ALL\n".join(delta_refs)
+    return (
+        "WITH " + ",\n".join(ctes) + f""",
+        bc_all AS ({union})
+        SELECT n.node,
+               CAST(COALESCE(s.bc_q, 0) AS BIGINT) AS bc_q
+        FROM bc_nd n
+        LEFT JOIN (
+            SELECT node, SUM(delta) AS bc_q
+            FROM bc_all GROUP BY 1
+        ) s ON s.node = n.node
+    """
+    )
