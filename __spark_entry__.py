@@ -3997,6 +3997,19 @@ def q_tfidf_topk(spark, sf_dir):
     return textops.tfidf_topk(docs, k=5)
 
 
+def q_text_tiles(spark, sf_dir):
+    """TextTiling segmentation (textops.text_tiles): where does a
+    document change subject?  Squared-cosine similarity between
+    adjacent 20-token term-count blocks (the √-free exact form,
+    cross-multiplied in decimal/HUGEINT), boundaries at strict
+    valleys below ⅘ of the document's own mean gap similarity —
+    the topic-aware cut chunk_documents' size-based splitter can't
+    see.  Adjacent-block dot via a (doc, token)-keyed join, never
+    block×block; one doc-keyed gap window."""
+    docs = pages_src.documents(spark, sf_dir)
+    return textops.text_tiles(docs, block_tokens=20)
+
+
 def q_textrank(spark, sf_dir):
     """TextRank corpus keywords (textops.textrank_keywords):
     PageRank over the token co-occurrence graph — the
@@ -6617,6 +6630,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination": q_contamination,
         "tfidf_topk": q_tfidf_topk,
         "textrank_keywords": q_textrank,
+        "text_tiles": q_text_tiles,
         "bpe_pairs": q_bpe_pairs,
         "lexical_diversity": q_lexical_diversity,
         "vocab_growth": q_vocab_growth,
@@ -10684,6 +10698,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "textrank_keywords": textops.textrank_keywords_sql(
             "documents", window=2, min_len=4, iterations=6, k=25
+        ),
+        "text_tiles": textops.text_tiles_sql(
+            "documents", block_tokens=20
         ),
         "quality_calibrate": textops.percentile_calibrate_sql(
             "documents", "n_chars", ["lang"], ["doc_id"]

@@ -4533,3 +4533,210 @@ def textrank_keywords_sql(
         FROM ({inner})
         ORDER BY rank_q DESC, token LIMIT {int(k)}
     """
+
+
+def text_tiles(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    block_tokens: int = 20,
+    thr_num: int = 4,
+    thr_den: int = 5,
+) -> DataFrame:
+    """TextTiling topic segmentation (Hearst 1997) — WHERE does a
+    document change subject?  The intra-document boundary detector
+    of the chunking pipeline (chunk_documents cuts by SIZE; this
+    cuts by TOPIC, so a chunk never straddles a subject change):
+
+        block b = tokens [b·w, (b+1)·w)      (tail dropped, stated)
+        sim(g)  = dot²·10⁶ DIV (‖a‖²·‖b‖²)   (squared cosine of the
+                  adjacent blocks' term-count vectors — the √-free
+                  exact form, cross-multiplied)
+        boundary(g) ⟺ sim(g) strictly below BOTH neighbours
+                      ∧ sim(g)·n_gaps·thr_den < thr_num·Σsim
+
+    (a valley that is also below thr_num/thr_den × the document's
+    own mean gap similarity — Hearst's depth cut reduced to its
+    exact-integer core; documents with < 3 gaps have no interior
+    valley and emit nothing).
+
+    Exact integers end-to-end: counts are integers, dot² ≤
+    (w²)²·10⁶ rides decimal(38)/HUGEINT; zero-overlap gaps score 0
+    (a shared-vocabulary-free cut is the strongest boundary).
+
+    Plan: one posexplode, one (doc, block, token) count, one
+    (doc, token)-keyed self-join of ADJACENT blocks for the dot
+    (never block×block), one (doc)-keyed gap window for the valley
+    test.  Returns boundary rows: (doc, gap_idx, sim_ppm) — a
+    boundary after block gap_idx."""
+    if block_tokens < 2:
+        raise ValueError(f"block_tokens must be >= 2: {block_tokens}")
+    if thr_num < 0 or thr_den < 1:
+        raise ValueError(
+            f"need thr_num >= 0, thr_den >= 1: {thr_num}/{thr_den}"
+        )
+    w = int(block_tokens)
+    toks = docs.select(
+        F.col(id_col).alias("_d"),
+        F.posexplode(
+            F.filter(
+                F.split(F.lower(F.col(text_col)), r"\s+"),
+                lambda t: t != "",
+            )
+        ).alias("_p", "_t"),
+    )
+    nblk = toks.groupBy("_d").agg(
+        F.expr(f"CAST(COUNT(*) DIV {w} AS INT)").alias("_nb")
+    )
+    counts = (
+        toks.withColumn("_b", F.expr(f"CAST(_p DIV {w} AS INT)"))
+        .join(nblk, "_d")
+        .where(F.col("_b") < F.col("_nb"))
+        .groupBy("_d", "_b", "_t")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("_c"))
+        .localCheckpoint(eager=True)
+    )
+    norms = counts.groupBy("_d", "_b").agg(
+        F.sum(F.expr("CAST(_c AS DECIMAL(38,0)) * _c")).alias("_n2")
+    )
+    dots = (
+        counts.alias("a")
+        .join(
+            counts.select(
+                F.col("_d"),
+                (F.col("_b") - 1).alias("_b"),
+                F.col("_t"),
+                F.col("_c").alias("_cb"),
+            ).alias("b"),
+            ["_d", "_b", "_t"],
+        )
+        .groupBy("_d", "_b")
+        .agg(
+            F.sum(
+                F.expr("CAST(_c AS DECIMAL(38,0)) * _cb")
+            ).alias("_dot")
+        )
+    )
+    gaps = (
+        norms.alias("na")
+        .join(
+            norms.select(
+                F.col("_d"), (F.col("_b") - 1).alias("_b"),
+                F.col("_n2").alias("_n2b"),
+            ).alias("nb"),
+            ["_d", "_b"],
+        )
+        .join(dots, ["_d", "_b"], "left")
+        .select(
+            "_d",
+            F.col("_b").alias("gap_idx"),
+            F.expr(
+                "CAST((COALESCE(_dot, 0) * COALESCE(_dot, 0) "
+                "* 1000000) DIV (_n2 * _n2b) AS BIGINT)"
+            ).alias("sim_ppm"),
+        )
+    )
+    from pyspark.sql import Window as W
+
+    gw = W.partitionBy("_d").orderBy("gap_idx")
+    tot = gaps.groupBy("_d").agg(
+        F.sum("sim_ppm").alias("_tot"),
+        F.count(F.lit(1)).alias("_ng"),
+    )
+    return (
+        gaps.withColumn("_lhs", F.lag("sim_ppm").over(gw))
+        .withColumn("_rhs", F.lead("sim_ppm").over(gw))
+        .join(tot, "_d")
+        .where(
+            F.col("_lhs").isNotNull()
+            & F.col("_rhs").isNotNull()
+            & (F.col("sim_ppm") < F.col("_lhs"))
+            & (F.col("sim_ppm") < F.col("_rhs"))
+            & (
+                F.col("sim_ppm") * F.col("_ng") * F.lit(int(thr_den))
+                < F.lit(int(thr_num)) * F.col("_tot")
+            )
+        )
+        .select(F.col("_d").alias(id_col), "gap_idx", "sim_ppm")
+    )
+
+
+def text_tiles_sql(
+    src: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    block_tokens: int = 20,
+    thr_num: int = 4,
+    thr_den: int = 5,
+) -> str:
+    """DuckDB twin of :func:`text_tiles` — identical tokenization
+    (the house string_split_regex twin), block counts, adjacent
+    dot/norm algebra, and valley + cross-multiplied mean cut.
+    Standalone."""
+    w = int(block_tokens)
+    return f"""
+        WITH tt_tok AS MATERIALIZED (
+            SELECT _d, u.i - 1 AS _p, ts[u.i] AS _t
+            FROM (SELECT {id_col} AS _d,
+                         string_split_regex(lower({text_col}),
+                                            '\\s+') AS ts
+                  FROM {src}) b,
+                 LATERAL (SELECT UNNEST(range(1, len(ts) + 1)) AS i) u
+            WHERE ts[u.i] <> ''
+        ),
+        tt_pos AS MATERIALIZED (
+            SELECT _d, _t,
+                   ROW_NUMBER() OVER (PARTITION BY _d
+                                      ORDER BY _p) - 1 AS _rp
+            FROM tt_tok
+        ),
+        tt_nb AS (
+            SELECT _d, CAST(COUNT(*) // {w} AS INT) AS _nb
+            FROM tt_pos GROUP BY 1
+        ),
+        tt_cnt AS MATERIALIZED (
+            SELECT p._d, CAST(p._rp // {w} AS INT) AS _b, p._t,
+                   CAST(COUNT(*) AS BIGINT) AS _c
+            FROM tt_pos p JOIN tt_nb n USING (_d)
+            WHERE p._rp // {w} < n._nb
+            GROUP BY 1, 2, 3
+        ),
+        tt_norm AS MATERIALIZED (
+            SELECT _d, _b, SUM(CAST(_c AS HUGEINT) * _c) AS _n2
+            FROM tt_cnt GROUP BY 1, 2
+        ),
+        tt_dot AS (
+            SELECT a._d, a._b,
+                   SUM(CAST(a._c AS HUGEINT) * b._c) AS _dot
+            FROM tt_cnt a
+            JOIN tt_cnt b ON b._d = a._d AND b._b = a._b + 1
+                         AND b._t = a._t
+            GROUP BY 1, 2
+        ),
+        tt_gap AS MATERIALIZED (
+            SELECT na._d, na._b AS gap_idx,
+                   CAST((COALESCE(d._dot, 0) * COALESCE(d._dot, 0)
+                        * 1000000) // (na._n2 * nb._n2) AS BIGINT)
+                       AS sim_ppm
+            FROM tt_norm na
+            JOIN tt_norm nb ON nb._d = na._d AND nb._b = na._b + 1
+            LEFT JOIN tt_dot d ON d._d = na._d AND d._b = na._b
+        ),
+        tt_tot AS (
+            SELECT _d, SUM(sim_ppm) AS _tot, COUNT(*) AS _ng
+            FROM tt_gap GROUP BY 1
+        )
+        SELECT g._d AS {id_col}, g.gap_idx, g.sim_ppm
+        FROM (
+            SELECT *,
+                   LAG(sim_ppm) OVER (PARTITION BY _d
+                                      ORDER BY gap_idx) AS _lhs,
+                   LEAD(sim_ppm) OVER (PARTITION BY _d
+                                       ORDER BY gap_idx) AS _rhs
+            FROM tt_gap
+        ) g JOIN tt_tot t USING (_d)
+        WHERE g._lhs IS NOT NULL AND g._rhs IS NOT NULL
+          AND g.sim_ppm < g._lhs AND g.sim_ppm < g._rhs
+          AND g.sim_ppm * t._ng * {int(thr_den)}
+              < {int(thr_num)} * t._tot
+    """
