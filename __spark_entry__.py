@@ -3841,6 +3841,36 @@ def q_rfm(spark, sf_dir):
     return temporal_mod.rfm_segments(ev)
 
 
+def q_mase_hourly(spark, sf_dir):
+    """Seasonal MASE (temporal.seasonal_mase) of each event type's
+    densified hourly counts at period 24 — the go/no-go seasonality
+    certificate before fitting anything fancier: MASE < 10⁶ means
+    "same hour yesterday" genuinely beats "same as last hour".
+    Cross-multiplied exactly, zeros are values (the shared hourly
+    grid), NULL only for constant series."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    h = (F.date_trunc("hour", "ts").cast("long") / 3600).cast("long")
+    cnt = ev.groupBy(F.col("event_type"), h.alias("h")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    span = ev.agg(F.min(h).alias("h0"), F.max(h).alias("h1"))
+    grid = (
+        ev.select("event_type").distinct()
+        .crossJoin(F.broadcast(span))
+        .select(
+            "event_type",
+            F.explode(F.expr("sequence(h0, h1)")).alias("h"),
+        )
+    )
+    dense = grid.join(cnt, ["event_type", "h"], "left").select(
+        "event_type", "h",
+        F.coalesce("n", F.lit(0)).cast("bigint").alias("n"),
+    )
+    return temporal_mod.seasonal_mase(
+        dense, "event_type", "h", "n", season=24
+    )
+
+
 def q_survival_km(spark, sf_dir):
     """Kaplan–Meier survival with right-censoring
     (temporal.survival_km): the churn curve event_retention can't
@@ -6681,6 +6711,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "survival_km": q_survival_km,
         "sax_hourly": q_sax_hourly,
         "rfm_segments": q_rfm,
+        "mase_hourly": q_mase_hourly,
         "ols_hourly": q_ols_hourly,
         "runs_test_hourly": q_runs_test_hourly,
         "twa_value": q_twa_value,
@@ -10515,6 +10546,35 @@ def oracle_sql() -> dict[str, str]:
             gap_s=1800, k=25,
         ),
         "rfm_segments": temporal_mod.rfm_segments_sql("events"),
+        "mase_hourly": temporal_mod.seasonal_mase_sql(
+            """(
+            WITH msq_b AS (
+                SELECT MIN(epoch_us(ts) // 3600000000) AS h0,
+                       MAX(epoch_us(ts) // 3600000000) AS h1
+                FROM events
+            ),
+            msq_ty AS (SELECT DISTINCT event_type FROM events),
+            msq_cnt AS (
+                SELECT event_type,
+                       epoch_us(ts) // 3600000000 AS h,
+                       CAST(COUNT(*) AS BIGINT) AS n
+                FROM events GROUP BY 1, 2
+            ),
+            msq_grid AS MATERIALIZED (
+                SELECT t.event_type, g.h
+                FROM msq_ty t, msq_b b,
+                     LATERAL (SELECT
+                              UNNEST(generate_series(b.h0, b.h1))
+                              AS h) g
+            )
+            SELECT gr.event_type, gr.h,
+                   CAST(COALESCE(c.n, 0) AS BIGINT) AS n
+            FROM msq_grid gr
+            LEFT JOIN msq_cnt c ON c.event_type = gr.event_type
+                               AND c.h = gr.h
+            )""",
+            "event_type", "h", "n", season=24,
+        ),
         "survival_km": temporal_mod.survival_km_sql(
             "events", "user_id", "ts", bucket_s=3600, horizon=24,
         ),

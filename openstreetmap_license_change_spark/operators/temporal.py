@@ -5036,3 +5036,113 @@ def rfm_segments_sql(
                    || CAST(m_score AS VARCHAR) AS segment
         FROM rfm_scored
     """
+
+
+def seasonal_mase(
+    series: DataFrame,
+    key_col: str,
+    t_col: str,
+    value_col: str,
+    season: int = 24,
+) -> DataFrame:
+    """Mean Absolute Scaled Error of the seasonal-naive forecast
+    (Hyndman & Koehler 2006) — the scale-free forecast-skill number:
+    how much better is "same as one season ago" than "same as one
+    step ago"?  MASE < 1 means the seasonal structure is REAL
+    (exploitable by any forecaster); ≥ 1 means the series has no
+    usable seasonality at that period — the go/no-go audit before
+    fitting anything fancier (holt_smoothing / seasonal_decompose
+    model the structure; this certifies it exists):
+
+        MASE = mean|x_t − x_{t−m}|  /  mean|x_t − x_{t−1}|
+        mase_ppm = Σ|e_m|·n₁·10⁶ DIV (n_m·Σ|e₁|)
+
+    cross-multiplied exactly (integer values, no division until the
+    single ppm floor); NULL when the naive denominator is zero (a
+    constant series has no scale to measure against).  The series
+    must be DENSE per key (the gap_fill/xcorr grid convention —
+    missing slots would silently shrink the lags); positions are
+    whatever ``t_col`` orders, seasonality ``season`` positions.
+
+    One key shuffle serves both lag windows and the rollup.
+    Returns (key, n_season, sum_abs_season, n_naive, sum_abs_naive,
+    mase_ppm)."""
+    if season < 2:
+        raise ValueError(f"season must be >= 2: {season}")
+    kw = W.partitionBy("_k").orderBy("_t")
+    base = series.select(
+        F.col(key_col).alias("_k"),
+        F.col(t_col).alias("_t"),
+        F.col(value_col).cast("bigint").alias("_x"),
+    ).select(
+        "_k", "_x",
+        F.lag("_x", 1).over(kw).alias("_l1"),
+        F.lag("_x", int(season)).over(kw).alias("_lm"),
+    )
+    agg = base.groupBy("_k").agg(
+        F.count(F.when(F.col("_lm").isNotNull(), 1))
+        .cast("bigint").alias("n_season"),
+        F.coalesce(
+            F.sum(F.abs(F.col("_x") - F.col("_lm"))), F.lit(0)
+        ).cast("bigint").alias("sum_abs_season"),
+        F.count(F.when(F.col("_l1").isNotNull(), 1))
+        .cast("bigint").alias("n_naive"),
+        F.coalesce(
+            F.sum(F.abs(F.col("_x") - F.col("_l1"))), F.lit(0)
+        ).cast("bigint").alias("sum_abs_naive"),
+    )
+    dec = "decimal(38,0)"
+    return agg.select(
+        F.col("_k").alias(key_col),
+        "n_season", "sum_abs_season", "n_naive", "sum_abs_naive",
+        F.expr(
+            f"CAST(CASE WHEN sum_abs_naive = 0 OR n_season = 0 "
+            f"THEN NULL ELSE "
+            f"(CAST(sum_abs_season AS {dec}) * n_naive * 1000000) "
+            f"DIV (CAST(n_season AS {dec}) * sum_abs_naive) "
+            f"END AS BIGINT)"
+        ).alias("mase_ppm"),
+    )
+
+
+def seasonal_mase_sql(
+    src: str,
+    key_col: str,
+    t_col: str,
+    value_col: str,
+    season: int = 24,
+) -> str:
+    """DuckDB twin of :func:`seasonal_mase` (HUGEINT clearing,
+    identical lags).  Standalone."""
+    return f"""
+        WITH ms_b AS (
+            SELECT {key_col} AS _k,
+                   CAST({value_col} AS BIGINT) AS _x,
+                   LAG(CAST({value_col} AS BIGINT), 1) OVER (
+                       PARTITION BY {key_col} ORDER BY {t_col})
+                       AS _l1,
+                   LAG(CAST({value_col} AS BIGINT), {int(season)})
+                       OVER (PARTITION BY {key_col}
+                             ORDER BY {t_col}) AS _lm
+            FROM {src}
+        ),
+        ms_a AS (
+            SELECT _k,
+                   CAST(COUNT(_lm) AS BIGINT) AS n_season,
+                   CAST(COALESCE(SUM(ABS(_x - _lm)), 0) AS BIGINT)
+                       AS sum_abs_season,
+                   CAST(COUNT(_l1) AS BIGINT) AS n_naive,
+                   CAST(COALESCE(SUM(ABS(_x - _l1)), 0) AS BIGINT)
+                       AS sum_abs_naive
+            FROM ms_b GROUP BY 1
+        )
+        SELECT _k AS {key_col}, n_season, sum_abs_season, n_naive,
+               sum_abs_naive,
+               CAST(CASE WHEN sum_abs_naive = 0 OR n_season = 0
+                    THEN NULL ELSE
+                    (CAST(sum_abs_season AS HUGEINT) * n_naive
+                     * 1000000)
+                    // (CAST(n_season AS HUGEINT) * sum_abs_naive)
+                    END AS BIGINT) AS mase_ppm
+        FROM ms_a
+    """
