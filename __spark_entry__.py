@@ -4145,6 +4145,20 @@ def q_attack_robustness(spark, sf_dir):
     return graph.attack_robustness(nodes, edges, ATTACK_KS)
 
 
+def q_random_failure(spark, sf_dir):
+    """Random-failure tolerance (graph.attack_robustness with the
+    hash kill order — the deterministic stand-in for uniform node
+    failure) over the same doc graph and k grid as
+    attack_robustness: the classic Albert–Jeong–Barabási contrast
+    measured as a pair — scale-free structure shrugs at random
+    failure and shatters under targeting, and both curves
+    hash-verify."""
+    nodes, edges = _doc_link_graph(spark, sf_dir)
+    return graph.attack_robustness(
+        nodes, edges, ATTACK_KS, strategy="hash"
+    )
+
+
 def q_bowtie(spark, sf_dir):
     """Bow-tie decomposition (graph.bowtie_classify) of the shared
     doc link graph — the Broder web atlas: every doc classified
@@ -6740,6 +6754,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rich_club": q_rich_club,
         "bowtie_regions": q_bowtie,
         "attack_robustness": q_attack_robustness,
+        "random_failure": q_random_failure,
         "betweenness": q_betweenness,
         "graph_diameter": q_graph_diameter,
         "link_distance": q_link_distance,
@@ -10820,6 +10835,12 @@ def oracle_sql() -> dict[str, str]:
             "(SELECT doc_id AS node FROM documents)",
             _PR_EDGES_SQL,
             ATTACK_KS,
+        ),
+        "random_failure": graph.attack_robustness_sql(
+            "(SELECT doc_id AS node FROM documents)",
+            _PR_EDGES_SQL,
+            ATTACK_KS,
+            strategy="hash",
         ),
         "bowtie_regions": f"""
             SELECT node AS doc_id, cls

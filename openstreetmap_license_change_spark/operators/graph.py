@@ -3283,6 +3283,10 @@ def rich_club(
         raise ValueError(f"k_list must hold 1..16 values: {k_list}")
     if any(k < 0 for k in ks):
         raise ValueError(f"k values must be >= 0: {k_list}")
+    if strategy not in ("degree", "hash"):
+        raise ValueError(
+            f"strategy must be 'degree' or 'hash': {strategy}"
+        )
     und = (
         edges.select(
             F.least("src", "dst").alias("_a"),
@@ -3583,6 +3587,7 @@ def attack_robustness(
     edges: DataFrame,
     k_list: "list[int]",
     max_iters: int = 16,
+    strategy: str = "degree",
 ) -> DataFrame:
     """Attack-tolerance audit (Albert, Jeong & Barabási 2000) — how
     fast does the graph fall apart when its top hubs are removed?
@@ -3598,16 +3603,28 @@ def attack_robustness(
     (if the top hub hosts vanish, does the link structure still
     cohere?).  k = 0 rows give the baseline.
 
+    ``strategy`` picks the kill order: ``"degree"`` (the targeted
+    attack above) or ``"hash"`` — kmv_hash order, the engine's
+    deterministic stand-in for uniform RANDOM failure, so the
+    classic contrast (scale-free graphs shrug at random failure,
+    shatter under targeting) is measurable as two entries over the
+    same graph.
+
     Components come from the verified min-label pointer-doubling
     kit per residual graph (|k_list| ≤ 6 declared runs, validated —
     the curve is the product, not a per-k rescan surprise).
     Returns one row per k: (k_removed, n_remaining, n_components,
     giant_size, giant_ppm)."""
+    from .sketches import kmv_hash
     ks = sorted(set(int(k) for k in k_list))
     if not 1 <= len(ks) <= 6:
         raise ValueError(f"k_list must hold 1..6 values: {k_list}")
     if any(k < 0 for k in ks):
         raise ValueError(f"k values must be >= 0: {k_list}")
+    if strategy not in ("degree", "hash"):
+        raise ValueError(
+            f"strategy must be 'degree' or 'hash': {strategy}"
+        )
     und = (
         edges.select(
             F.least("src", "dst").alias("id_a"),
@@ -3636,10 +3653,13 @@ def attack_robustness(
     for k in ks:
         # orderBy immediately before limit → TakeOrderedAndProject,
         # deterministic regardless of the checkpoint's partitioning
-        victims = (
-            ranked.orderBy(F.desc("_deg"), "id").limit(k)
-            .select("id")
-        )
+        if strategy == "degree":
+            ordered = ranked.orderBy(F.desc("_deg"), "id")
+        else:
+            ordered = ranked.orderBy(
+                kmv_hash(F.col("id")), "id"
+            )
+        victims = ordered.limit(k).select("id")
         alive = ids_all.join(victims, "id", "left_anti")
         live_edges = (
             und.join(
@@ -3685,11 +3705,20 @@ def attack_robustness_sql(
     nodes_src: str,
     edges_src: str,
     k_list: "list[int]",
+    strategy: str = "degree",
 ) -> str:
     """DuckDB twin of :func:`attack_robustness` — identical kill
     lists and per-k residual components via the transitive-closure
     oracle, each scoped in its own derived table (the bowtie
     idiom).  Standalone."""
+    from .sketches import kmv_hash_sql
+
+    if strategy not in ("degree", "hash"):
+        raise ValueError(f"strategy: {strategy}")
+    order = (
+        "_deg DESC, id" if strategy == "degree"
+        else kmv_hash_sql("id") + ", id"
+    )
     ks = sorted(set(int(k) for k in k_list))
     parts = []
     for k in ks:
@@ -3724,7 +3753,7 @@ def attack_robustness_sql(
         ),
         ar_rank AS MATERIALIZED (
             SELECT id,
-                   ROW_NUMBER() OVER (ORDER BY _deg DESC, id)
+                   ROW_NUMBER() OVER (ORDER BY {order})
                        AS _rk
             FROM (
                 SELECT n.node AS id,

@@ -106,3 +106,47 @@ def test_random_vs_mirror_and_twin(spark):
         graph.attack_robustness_sql("nd", "eg", ks)
     ).fetchall()
     assert {r[0]: tuple(r[1:]) for r in out} == got
+
+
+def _kmv(v):
+    h = (v % 2**31) * 2654435761 % 2**32
+    return (h ^ (h >> 16)) % 2**32
+
+
+def test_hash_failure_vs_targeted_attack(spark):
+    # a star: targeted k=1 kills the hub; hash-ordered "random"
+    # failure almost surely removes a leaf and the giant survives
+    star = [(0, i) for i in range(1, 9)]
+    hash_first = min(range(9), key=lambda v: (_kmv(v), v))
+    tgt = _run(spark, 9, star, [1])
+    nd = spark.createDataFrame([(i,) for i in range(9)], "node long")
+    eg = spark.createDataFrame(star, "src long, dst long")
+    rnd = {
+        r.k_removed: (r.n_remaining, r.n_components, r.giant_size,
+                      r.giant_ppm)
+        for r in graph.attack_robustness(
+            nd, eg, [1], strategy="hash"
+        ).collect()
+    }
+    assert tgt[1][2] == 1                  # attack shatters
+    if hash_first != 0:
+        assert rnd[1][2] == 7              # failure only nicks it
+    con = duckdb.connect()
+    con.execute("CREATE TABLE nd(node BIGINT)")
+    con.execute("CREATE TABLE eg(src BIGINT, dst BIGINT)")
+    con.executemany("INSERT INTO nd VALUES (?)",
+                    [(i,) for i in range(9)])
+    con.executemany("INSERT INTO eg VALUES (?, ?)", star)
+    out = con.execute(graph.attack_robustness_sql(
+        "nd", "eg", [1], strategy="hash"
+    )).fetchall()
+    assert {r[0]: tuple(r[1:]) for r in out} == rnd
+
+
+def test_strategy_validation(spark):
+    with pytest.raises(ValueError, match="strategy"):
+        graph.attack_robustness(
+            spark.createDataFrame([(0,)], "node long"),
+            spark.createDataFrame([(0, 0)], "src long, dst long"),
+            [1], strategy="bogus",
+        )
