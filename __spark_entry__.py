@@ -4145,6 +4145,23 @@ def q_attack_robustness(spark, sf_dir):
     return graph.attack_robustness(nodes, edges, ATTACK_KS)
 
 
+def q_onion(spark, sf_dir):
+    """Onion decomposition (graph.onion_layers) of the doc link
+    graph: coreness + peel layer per doc — the layered refinement
+    of kcore that separates a shell's periphery (peels in its first
+    pass) from its inner skeleton (peels last).  One degree
+    aggregate + one anti-join per pass with a loud depth bound
+    (exhaustion raises rather than emit wrong coreness); the twin
+    unrolls the identical passes with the running k carried as
+    single-reference MATERIALIZED 1-row CTEs (the exponential
+    k-chain inlining was caught by the gate)."""
+    nodes, edges = _doc_link_graph(spark, sf_dir)
+    out = graph.onion_layers(nodes, edges, max_layers=32)
+    return out.select(
+        F.col("node").alias("doc_id"), "coreness", "layer"
+    )
+
+
 def q_random_failure(spark, sf_dir):
     """Random-failure tolerance (graph.attack_robustness with the
     hash kill order — the deterministic stand-in for uniform node
@@ -6755,6 +6772,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bowtie_regions": q_bowtie,
         "attack_robustness": q_attack_robustness,
         "random_failure": q_random_failure,
+        "onion_layers": q_onion,
         "betweenness": q_betweenness,
         "graph_diameter": q_graph_diameter,
         "link_distance": q_link_distance,
@@ -10836,6 +10854,14 @@ def oracle_sql() -> dict[str, str]:
             _PR_EDGES_SQL,
             ATTACK_KS,
         ),
+        "onion_layers": f"""
+            SELECT node AS doc_id, coreness, layer
+            FROM ({graph.onion_layers_sql(
+                '(SELECT doc_id AS node FROM documents)',
+                _PR_EDGES_SQL,
+                max_layers=32,
+            )})
+        """,
         "random_failure": graph.attack_robustness_sql(
             "(SELECT doc_id AS node FROM documents)",
             _PR_EDGES_SQL,

@@ -4011,3 +4011,154 @@ def betweenness_sql(
         ) s ON s.node = n.node
     """
     )
+
+
+def onion_layers(
+    nodes: DataFrame,
+    edges: DataFrame,
+    max_layers: int = 32,
+) -> DataFrame:
+    """Onion decomposition (Hébert-Dufresne, Grochow & Allard 2016)
+    — the LAYERED refinement of :func:`kcore`: coreness says which
+    shell a node survives to, the onion layer says how DEEP inside
+    its shell it sits (peripheral 2-core nodes peel in the shell's
+    first pass, its inner skeleton peels last), separating tree-like
+    and densely-knit regions that share a coreness.
+
+    The standard peel, one LAYER per pass:
+
+        k ← max(k, min residual degree);  layer ← layer + 1;
+        remove every residual node with degree ≤ k,
+        recording (node, coreness = k, layer)
+
+    over the undirected simplification (distinct pairs, self-loops
+    dropped; isolated nodes peel in pass 1 with coreness 0).  The
+    pass count is the graph's onion depth — bounded LOUDLY by
+    ``max_layers``: exhaustion RAISES rather than emit wrong
+    coreness for the survivors (the scc max_peels discipline).
+
+    Cost: one degree aggregate + one anti-join per pass, lineage
+    cut per pass; the per-pass driver action is a single-row min.
+    Returns (node, coreness, layer)."""
+    if not 1 <= int(max_layers) <= 64:
+        raise ValueError(f"max_layers in [1, 64]: {max_layers}")
+    und = (
+        edges.select(
+            F.least("src", "dst").alias("_a"),
+            F.greatest("src", "dst").alias("_b"),
+        )
+        .where(F.col("_a") != F.col("_b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    residual = nodes.select(F.col("node")).localCheckpoint(eager=True)
+    spark = nodes.sparkSession
+    out = None
+    k = 0
+    for layer in range(1, int(max_layers) + 1):
+        if residual.isEmpty():
+            break
+        live = (
+            und.join(
+                residual.select(F.col("node").alias("_a")), "_a"
+            )
+            .join(residual.select(F.col("node").alias("_b")), "_b")
+        )
+        deg = (
+            residual.join(
+                live.select(F.col("_a").alias("node"))
+                .unionAll(live.select(F.col("_b").alias("node")))
+                .groupBy("node")
+                .agg(F.count(F.lit(1)).alias("_d")),
+                "node",
+                "left",
+            )
+            .select("node", F.coalesce("_d", F.lit(0)).alias("_d"))
+            .localCheckpoint(eager=True)
+        )
+        kmin = deg.agg(F.min("_d").alias("_m")).collect()[0]["_m"]
+        k = max(k, int(kmin))
+        peel = deg.where(F.col("_d") <= k).select(
+            "node",
+            F.lit(k).cast("bigint").alias("coreness"),
+            F.lit(layer).cast("bigint").alias("layer"),
+        ).localCheckpoint(eager=True)
+        out = peel if out is None else out.unionByName(peel)
+        residual = residual.join(
+            peel.select("node"), "node", "left_anti"
+        ).localCheckpoint(eager=True)
+    if not residual.isEmpty():
+        raise RuntimeError(
+            f"onion_layers: residual nodes remain after "
+            f"max_layers={max_layers} passes — raise the bound "
+            f"(onion depth exceeds it)"
+        )
+    if out is None:
+        return nodes.select("node").withColumn(
+            "coreness", F.lit(0).cast("bigint")
+        ).withColumn("layer", F.lit(0).cast("bigint"))
+    return out
+
+
+def onion_layers_sql(
+    nodes_src: str,
+    edges_src: str,
+    max_layers: int = 32,
+) -> str:
+    """DuckDB twin of :func:`onion_layers` — identical peel passes
+    unrolled as MATERIALIZED CTEs, the running k carried as a 1-row
+    CTE per pass (GREATEST of the previous k and the pass's min
+    residual degree).  Layers beyond convergence are empty; the
+    OPERATOR's loud bound guarantees convergence within
+    ``max_layers`` wherever the pair runs.  Standalone."""
+    ml = int(max_layers)
+    ctes = [
+        f"""on_und AS MATERIALIZED (
+            SELECT DISTINCT LEAST(src, dst) AS _a,
+                   GREATEST(src, dst) AS _b
+            FROM {edges_src} WHERE src <> dst
+        )""",
+        f"on_r0 AS (SELECT node FROM {nodes_src})",
+        "on_k0 AS (SELECT CAST(0 AS BIGINT) AS k)",
+    ]
+    peels = []
+    for l in range(1, ml + 1):
+        p = l - 1
+        ctes.append(f"""on_d{l} AS MATERIALIZED (
+            SELECT r.node, COALESCE(d._d, 0) AS _d
+            FROM on_r{p} r
+            LEFT JOIN (
+                SELECT node, COUNT(*) AS _d FROM (
+                    SELECT u._a AS node FROM on_und u
+                    JOIN on_r{p} x ON x.node = u._a
+                    JOIN on_r{p} y ON y.node = u._b
+                    UNION ALL
+                    SELECT u._b FROM on_und u
+                    JOIN on_r{p} x ON x.node = u._a
+                    JOIN on_r{p} y ON y.node = u._b
+                ) GROUP BY 1
+            ) d ON d.node = r.node
+        )""")
+        ctes.append(f"""on_k{l} AS MATERIALIZED (
+            SELECT GREATEST(k, COALESCE(
+                       (SELECT MIN(_d) FROM on_d{l}), k)) AS k
+            FROM on_k{p}
+        )""")
+        ctes.append(f"""on_p{l} AS MATERIALIZED (
+            SELECT node,
+                   (SELECT k FROM on_k{l}) AS coreness,
+                   CAST({l} AS BIGINT) AS layer
+            FROM on_d{l}
+            WHERE _d <= (SELECT k FROM on_k{l})
+        )""")
+        ctes.append(f"""on_r{l} AS MATERIALIZED (
+            SELECT d.node FROM on_d{l} d
+            LEFT JOIN on_p{l} p ON p.node = d.node
+            WHERE p.node IS NULL
+        )""")
+        peels.append(f"SELECT node, CAST(coreness AS BIGINT) "
+                     f"AS coreness, layer FROM on_p{l}")
+    return (
+        "WITH " + ",\n".join(ctes)
+        + "\n" + "\nUNION ALL\n".join(peels)
+    )
