@@ -18,6 +18,10 @@ representative per nondeterminism-risk class at sf0.001:
 - sweep-level running sum + argmax   → peak_concurrency (round 4m)
 - max-plus frontier + probe round    → dag_levels (round 4r)
 - two-level rank + forward block fan → sorted_neighborhood (round 4r)
+- aggregate() struct-accumulator fold → survival_km (round 4t)
+- per-track path-string Viterbi DP    → viterbi_match (round 4t)
+- mergeable-sketch relaxation         → hyperball_harmonic (round 4t)
+- σ-layer + backward δ-fold two-sweep → betweenness (round 4t)
 
 Each runs under local[3]/sp=7 AND local[8]/sp=32 in fresh subprocesses
 (the script's own machinery — same code path as the on-demand sweep);
@@ -47,6 +51,10 @@ REPRESENTATIVES = [
     "peak_concurrency",
     "dag_levels",
     "sorted_neighborhood",
+    "survival_km",
+    "viterbi_match",
+    "hyperball_harmonic",
+    "betweenness",
 ]
 
 
