@@ -3886,6 +3886,25 @@ def q_survival_km(spark, sf_dir):
     )
 
 
+def q_event_bursts(spark, sf_dir):
+    """Kleinberg burst detection (temporal.kleinberg_bursts): every
+    per-user inter-event gap labeled base/burst by the two-state
+    Viterbi automaton — the "is this activity spike a burst?"
+    question slot_anomalies answers only per calendar bucket.  All
+    path costs are exact integers (gaps in ms, emission and switch
+    costs cleared by T·1e6, ln 2 as the frozen LN2_PPM constant,
+    burst rate 2× base), and the declared predecessor/final tie
+    rules make the path unique, so every state label hash-verifies
+    against the DuckDB unrolled-DP twin (MIN(STRUCT) argmins with a
+    carried path string).  The per-key DP is O(n) over 2 states,
+    Arrow-batched, behind a loud max_events guard."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return temporal_mod.kleinberg_bursts(
+        ev, "user_id", "ts",
+        s_exp=1, switch_ppm=temporal_mod.LN2_PPM, max_events=128,
+    )
+
+
 def q_event_xcorr(spark, sf_dir):
     """Lag-scan cross-correlation (temporal.series_crosscorr):
     click-rate vs purchase-rate per user shard over the DENSIFIED
@@ -6737,6 +6756,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_closeness": q_t_closeness,
         "rank_sum_lengths": q_rank_sum_lengths,
         "theil_sen_hourly": q_theil_sen_hourly,
+        "event_bursts": q_event_bursts,
         "event_xcorr": q_event_xcorr,
         "session_paths": q_session_paths,
         "survival_km": q_survival_km,
@@ -10639,6 +10659,10 @@ def oracle_sql() -> dict[str, str]:
                                AND c.h = gr.h
             )""",
             "event_type", "h", "n", segments=12, alphabet=4,
+        ),
+        "event_bursts": temporal_mod.kleinberg_bursts_sql(
+            "events", "user_id", "ts",
+            s_exp=1, switch_ppm=temporal_mod.LN2_PPM, max_events=128,
         ),
         "event_xcorr": temporal_mod.series_crosscorr_sql(
             """(

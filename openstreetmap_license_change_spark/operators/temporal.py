@@ -5146,3 +5146,263 @@ def seasonal_mase_sql(
                     END AS BIGINT) AS mase_ppm
         FROM ms_a
     """
+
+
+LN2_PPM = 693_147  # frozen round(ln 2 * 1e6) — the declared-constant
+# discipline (the Benford/NDCG table pattern): never call ln() on
+# either engine.
+
+
+def kleinberg_bursts(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    s_exp: int = 1,
+    switch_ppm: int = 2 * LN2_PPM,
+    max_events: int = 128,
+) -> DataFrame:
+    """Kleinberg burst detection (Kleinberg 2002, the two-state
+    automaton) over per-key event streams: label every inter-event
+    gap with the Viterbi-optimal state — 0 (base rate) or 1 (burst,
+    rate ``s = 2**s_exp`` times base) — the "is this activity spike a
+    burst or noise?" question that slot_anomalies answers only
+    per-calendar-bucket and event_rate_autocorr only in aggregate.
+
+    Exact-integer cost model (every path cost is an integer, so the
+    argmin is engine-portable):  gaps quantize to integer
+    milliseconds ``g = (us_next - us) DIV 1000``; with ``m = n - 1``
+    gaps spanning ``T = sum(g)`` ms, the exponential-NLL costs are
+    multiplied through by ``T * 1e6`` and the per-gap constant
+    ``-T*1e6*ln(base_rate)`` (equal on every path) is dropped:
+
+        E0(g) = m * g * 1e6
+        E1(g) = s * m * g * 1e6  -  T * s_exp * LN2_PPM
+        enter-burst transition (0 -> 1): B = switch_ppm * T
+
+    ``ln s = s_exp * ln 2`` is exact because ``s`` is restricted to
+    powers of two, so the only logarithm is the FROZEN ``LN2_PPM``
+    constant; ``switch_ppm`` is the declared stand-in for
+    Kleinberg's ``gamma * ln n`` (a deterministic parameter instead
+    of a data-dependent float log — stated deviation).  Declared tie
+    rules make the path unique: the best predecessor per state
+    minimizes ``(cost + trans, prev_state)`` and the final state
+    minimizes ``(cost, state)``.
+
+    Keys with fewer than 3 events or zero total span are DROPPED
+    (stated: one gap cannot burst; a zero span has no rate); a key
+    with more than ``max_events`` events fails LOUDLY (pre-segment
+    upstream).  Costs accumulate in arbitrary-precision Python ints
+    (the twin uses HUGEINT), so no overflow at any gap scale.
+
+    Scale: candidate state space is 2, so the DP is O(n) per key;
+    the only shuffle is the per-key groupBy, Arrow-batched per key
+    (the track-DP family pattern, spatial.py viterbi_match).  The
+    DuckDB twin (:func:`kleinberg_bursts_sql`) unrolls the DP per
+    step with MIN(STRUCT) argmins and a carried path string, so
+    every state label is hash-verified.
+
+    Returns (key, seq, gap_ms, state) — one row per gap, seq
+    1-based in time order."""
+    import pandas as _pd
+
+    if not 1 <= int(s_exp) <= 6:
+        raise ValueError(f"s_exp in [1, 6]: {s_exp}")
+    if int(switch_ppm) < 0:
+        raise ValueError(f"switch_ppm must be >= 0: {switch_ppm}")
+    if not 3 <= int(max_events) <= 4_096:
+        raise ValueError(f"max_events out of range: {max_events}")
+    s = 2 ** int(s_exp)
+    lns = int(s_exp) * LN2_PPM
+    sw = int(switch_ppm)
+
+    per_key = (
+        events.select(
+            F.col(key_col).alias("_k"),
+            F.unix_micros(F.col(ts_col).cast("timestamp")).alias("_us"),
+        )
+        .groupBy("_k")
+        .agg(F.sort_array(F.collect_list("_us")).alias("_ts"))
+        .where(F.size("_ts") >= 3)
+    )
+    ok = F.assert_true(
+        F.size("_ts") <= F.lit(int(max_events)),
+        F.lit(
+            f"kleinberg_bursts: a key exceeds max_events={max_events} "
+            "events; segment keys first"
+        ),
+    )
+    per_key = per_key.select(
+        "_k", F.when(ok.isNull(), F.col("_ts")).alias("_ts")
+    )
+
+    def run(batches):
+        for pdf in batches:
+            recs = []
+            for k, ts in zip(pdf["_k"], pdf["_ts"]):
+                us = [int(t) for t in ts]
+                gaps = [
+                    (us[i + 1] - us[i]) // 1000
+                    for i in range(len(us) - 1)
+                ]
+                m = len(gaps)
+                tt = sum(gaps)
+                if tt == 0:
+                    continue
+
+                def e_cost(q, g):
+                    if q == 0:
+                        return m * g * 1_000_000
+                    return s * m * g * 1_000_000 - tt * lns
+
+                b_cost = sw * tt
+                # dp[q] = (cost, path list ending in state q)
+                dp = {
+                    0: (e_cost(0, gaps[0]), [0]),
+                    1: (b_cost + e_cost(1, gaps[0]), [1]),
+                }
+                for i in range(1, m):
+                    nxt = {}
+                    for q in (0, 1):
+                        best = min(
+                            (
+                                dp[p][0]
+                                + (b_cost if p == 0 and q == 1 else 0),
+                                p,
+                            )
+                            for p in (0, 1)
+                        )
+                        nxt[q] = (
+                            best[0] + e_cost(q, gaps[i]),
+                            dp[best[1]][1] + [q],
+                        )
+                    dp = nxt
+                _, state = min((dp[q][0], q) for q in (0, 1))
+                path = dp[state][1]
+                for i in range(m):
+                    recs.append((k, i + 1, gaps[i], path[i]))
+            yield _pd.DataFrame(
+                recs, columns=["_k", "seq", "gap_ms", "state"]
+            )
+
+    ktype = dict(per_key.dtypes)["_k"]
+    out = per_key.mapInPandas(
+        run, schema=f"_k {ktype}, seq int, gap_ms bigint, state int"
+    )
+    return out.select(
+        F.col("_k").alias(key_col), "seq", "gap_ms", "state"
+    )
+
+
+def kleinberg_bursts_sql(
+    src: str,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    s_exp: int = 1,
+    switch_ppm: int = 2 * LN2_PPM,
+    max_events: int = 128,
+) -> str:
+    """DuckDB twin of :func:`kleinberg_bursts` — identical gap
+    quantization and HUGEINT cost arithmetic, the DP unrolled per
+    step (two states per key per step) with MIN(STRUCT_PACK(...))
+    argmins reproducing the declared tie rules, the winning path
+    carried as a '0'/'1' string the final SELECT re-explodes (the
+    viterbi_match twin convention).  Keys longer than ``max_events``
+    would silently truncate here — the operator's guard is the loud
+    one.  Standalone statement."""
+    s = 2 ** int(s_exp)
+    lns = int(s_exp) * LN2_PPM
+    sw = int(switch_ppm)
+    max_gaps = int(max_events) - 1
+    ctes = [
+        f"""kb_us AS (
+            SELECT {key_col} AS k,
+                   epoch_us(CAST({ts_col} AS TIMESTAMP)) AS us
+            FROM {src}
+        )""",
+        """kb_seq AS MATERIALIZED (
+            SELECT k, us,
+                   ROW_NUMBER() OVER (PARTITION BY k ORDER BY us)
+                       AS rn,
+                   COUNT(*) OVER (PARTITION BY k) AS n
+            FROM kb_us
+        )""",
+        """kb_gaps AS MATERIALIZED (
+            SELECT k, t, g FROM (
+                SELECT k, rn AS t,
+                       (LEAD(us) OVER (PARTITION BY k ORDER BY rn)
+                        - us) // 1000 AS g
+                FROM kb_seq WHERE n >= 3
+            ) WHERE g IS NOT NULL
+        )""",
+        f"""kb_keys AS MATERIALIZED (
+            SELECT k, CAST(COUNT(*) AS HUGEINT) AS m,
+                   CAST(SUM(g) AS HUGEINT) AS tt
+            FROM kb_gaps GROUP BY 1
+            HAVING SUM(g) > 0
+        )""",
+        f"""kb_em AS MATERIALIZED (
+            SELECT g.k, g.t,
+                   y.m * g.g * 1000000 AS e0,
+                   {s} * y.m * g.g * 1000000 - y.tt * {lns} AS e1,
+                   {sw} * y.tt AS b
+            FROM kb_gaps g JOIN kb_keys y ON y.k = g.k
+        )""",
+        """kb_s1 AS MATERIALIZED (
+            SELECT e.k, v.st,
+                   CASE WHEN v.st = 0 THEN e.e0
+                        ELSE e.b + e.e1 END AS cost,
+                   CAST(v.st AS VARCHAR) AS path
+            FROM kb_em e CROSS JOIN (VALUES (0), (1)) v(st)
+            WHERE e.t = 1
+        )""",
+    ]
+    for t in range(2, max_gaps + 1):
+        ctes.append(f"""kb_s{t} AS MATERIALIZED (
+            SELECT e.k, v.st,
+                   b._b.ct + CASE WHEN v.st = 0 THEN e.e0
+                                  ELSE e.e1 END AS cost,
+                   b._b.pth || CAST(v.st AS VARCHAR) AS path
+            FROM kb_em e
+            CROSS JOIN (VALUES (0), (1)) v(st)
+            JOIN (
+                SELECT p.k, v2.st AS st,
+                       MIN(STRUCT_PACK(
+                           ct := p.cost
+                                 + CASE WHEN p.st = 0 AND v2.st = 1
+                                        THEN e2.b
+                                        ELSE CAST(0 AS HUGEINT) END,
+                           ps := p.st,
+                           pth := p.path)) AS _b
+                FROM kb_s{t - 1} p
+                CROSS JOIN (VALUES (0), (1)) v2(st)
+                JOIN (SELECT k, b FROM kb_em WHERE t = {t}) e2
+                     ON e2.k = p.k
+                GROUP BY 1, 2
+            ) b ON b.k = e.k AND b.st = v.st
+            WHERE e.t = {t}
+        )""")
+    union = "\nUNION ALL\n".join(
+        f"SELECT k, {t} AS t, st, cost, path FROM kb_s{t}"
+        for t in range(1, max_gaps + 1)
+    )
+    return (
+        "WITH " + ",\n".join(ctes) + f""",
+        kb_all AS ({union}),
+        kb_best AS (
+            SELECT a.k,
+                   MIN(STRUCT_PACK(c := a.cost, s := a.st,
+                                   pth := a.path)) AS _b
+            FROM kb_all a
+            JOIN kb_keys y ON y.k = a.k AND a.t = CAST(y.m AS BIGINT)
+            GROUP BY 1
+        )
+        SELECT b.k AS {key_col}, CAST(u.i AS INTEGER) AS seq,
+               CAST(g.g AS BIGINT) AS gap_ms,
+               CAST(substr(b.pth, CAST(u.i AS INTEGER), 1)
+                    AS INTEGER) AS state
+        FROM (SELECT k, _b.pth AS pth FROM kb_best) b,
+             LATERAL (SELECT UNNEST(range(1, length(b.pth) + 1))
+                      AS i) u
+        JOIN kb_gaps g ON g.k = b.k AND g.t = u.i
+    """
+    )
