@@ -3886,6 +3886,70 @@ def q_survival_km(spark, sf_dir):
     )
 
 
+EMST_SCALE = 10_000
+EMST_RES = 30 * EMST_SCALE
+EMST_CAP = 12
+
+
+def q_emst_tiles(spark, sf_dir):
+    """Per-tile Euclidean minimum spanning forest
+    (graph.boruvka_msf): the latest page positions, capped at 12
+    per 30° tile by a declared deterministic rule (smallest doc_id
+    — a bounded planning sample, stated), pair up within their tile
+    with exact fixed-point d² weights, and the GLOBAL parallel
+    Borůvka operator extracts the unique minimum spanning forest
+    under the (w, a, b) total order — the single-linkage backbone /
+    minimal-backhaul answer per region.  The oracle re-derives the
+    forest from Kruskal's cut-property invariant via a recursive
+    smaller-edge closure — a different algorithm family — so the
+    hooking + pointer-jumping rounds are what the hash verifies."""
+    latest = lineage.latest_version(
+        _pages(spark, sf_dir), cols=["doc_id", "lon", "lat"]
+    )
+    sc = EMST_SCALE
+    pts = latest.select(
+        F.col("doc_id").alias("pid"),
+        (F.round(F.col("lon") * sc).cast("bigint") + 180 * sc)
+        .alias("x"),
+        (F.round(F.col("lat") * sc).cast("bigint") + 90 * sc)
+        .alias("y"),
+    ).withColumn(
+        "cell",
+        F.expr(f"(y DIV {EMST_RES}) * 1000000 + (x DIV {EMST_RES})"),
+    )
+    capped = (
+        pts.withColumn(
+            "rn",
+            F.row_number().over(W.partitionBy("cell").orderBy("pid")),
+        )
+        .where(F.col("rn") <= EMST_CAP)
+        .select("pid", "x", "y", "cell")
+    )
+    a = capped.select(
+        F.col("pid").alias("_pa"), F.col("x").alias("_xa"),
+        F.col("y").alias("_ya"), "cell",
+    )
+    b = capped.select(
+        F.col("pid").alias("_pb"), F.col("x").alias("_xb"),
+        F.col("y").alias("_yb"), "cell",
+    )
+    edges = (
+        a.join(b, "cell")
+        .where(F.col("_pa") < F.col("_pb"))
+        .select(
+            F.col("_pa").alias("id_a"),
+            F.col("_pb").alias("id_b"),
+            (
+                (F.col("_xa") - F.col("_xb"))
+                * (F.col("_xa") - F.col("_xb"))
+                + (F.col("_ya") - F.col("_yb"))
+                * (F.col("_ya") - F.col("_yb"))
+            ).alias("w"),
+        )
+    )
+    return graph.boruvka_msf(edges)
+
+
 def q_event_bursts(spark, sf_dir):
     """Kleinberg burst detection (temporal.kleinberg_bursts): every
     per-user inter-event gap labeled base/burst by the two-state
@@ -6756,6 +6820,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_closeness": q_t_closeness,
         "rank_sum_lengths": q_rank_sum_lengths,
         "theil_sen_hourly": q_theil_sen_hourly,
+        "emst_tiles": q_emst_tiles,
         "event_bursts": q_event_bursts,
         "event_xcorr": q_event_xcorr,
         "session_paths": q_session_paths,
@@ -10660,6 +10725,41 @@ def oracle_sql() -> dict[str, str]:
             )""",
             "event_type", "h", "n", segments=12, alphabet=4,
         ),
+        "emst_tiles": _with_pages(f"""
+            , em_latest AS (
+                SELECT doc_id, lon, lat FROM (
+                    SELECT p.*, ROW_NUMBER() OVER (
+                        PARTITION BY url ORDER BY version DESC) AS rn
+                    FROM pages p
+                ) t WHERE rn = 1
+            ),
+            em_pts AS (
+                SELECT pid, x, y,
+                       (y // {EMST_RES}) * 1000000
+                       + (x // {EMST_RES}) AS cell
+                FROM (
+                    SELECT doc_id AS pid,
+                           CAST(ROUND(lon * {EMST_SCALE}) AS BIGINT)
+                               + {180 * EMST_SCALE} AS x,
+                           CAST(ROUND(lat * {EMST_SCALE}) AS BIGINT)
+                               + {90 * EMST_SCALE} AS y
+                    FROM em_latest)
+            ),
+            em_cap AS (
+                SELECT pid, x, y, cell FROM (
+                    SELECT *, ROW_NUMBER() OVER (
+                        PARTITION BY cell ORDER BY pid) AS rn
+                    FROM em_pts) WHERE rn <= {EMST_CAP}
+            ),
+            em_edges AS (
+                SELECT a.pid AS id_a, b.pid AS id_b,
+                       (a.x - b.x) * (a.x - b.x)
+                       + (a.y - b.y) * (a.y - b.y) AS w
+                FROM em_cap a JOIN em_cap b
+                  ON a.cell = b.cell AND a.pid < b.pid
+            )
+            SELECT * FROM ({graph.boruvka_msf_sql('em_edges')})
+        """),
         "event_bursts": temporal_mod.kleinberg_bursts_sql(
             "events", "user_id", "ts",
             s_exp=1, switch_ppm=temporal_mod.LN2_PPM, max_events=128,

@@ -4162,3 +4162,172 @@ def onion_layers_sql(
         "WITH " + ",\n".join(ctes)
         + "\n" + "\nUNION ALL\n".join(peels)
     )
+
+
+def boruvka_msf(
+    edges: DataFrame,
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+    w_col: str = "w",
+    max_rounds: int = 20,
+    component_iters: int = 24,
+) -> DataFrame:
+    """Minimum spanning forest by parallel Borůvka — the classic
+    distributed MST algorithm, and the backbone of single-linkage
+    clustering (the MSF's edges sorted by weight ARE the
+    single-linkage dendrogram merges).  Each round every component
+    hooks its minimum incident edge (which provably belongs to the
+    MSF — the cut property), so the component count at least halves:
+    O(log V) rounds, never an edge sort and never a sequential
+    union-find.
+
+    Uniqueness/determinism: edge weights are compared under the
+    TOTAL order ``(w, a, b)``, so the MSF is unique — the argmin per
+    component is deterministic, and the result is independent of
+    round structure, partitioning, and merge order (the determinism
+    audit's contract).  Self-loops are dropped and parallel edges
+    keep their lightest weight (both stated).
+
+    Each round is: two label joins + a per-component min(struct) —
+    map-side-combinable, never a pairwise blow-up — followed by the
+    house pointer-jumping merge (:func:`min_label_components`) on
+    the CONTRACTED component graph (≤ one chosen edge per component,
+    so the merge input shrinks with the component count, not the
+    edge count).  Rounds cut lineage via localCheckpoint (the staged
+    cascade pattern).  Loud non-convergence: if cross-component
+    edges survive ``max_rounds`` the operator raises rather than
+    return a partial forest.
+
+    The DuckDB twin (:func:`boruvka_msf_sql`) is a STRUCTURALLY
+    DIFFERENT characterization — Kruskal's invariant, ``e = (a,b)``
+    is in the MSF iff ``b`` is NOT reachable from ``a`` using only
+    edges strictly smaller under the total order (recursive-CTE
+    closure per probe edge) — so the hash match verifies the
+    algorithm against the definition, not the same code twice.
+
+    Returns the forest edges (a_col, b_col, w_col), canonicalized
+    ``a < b``."""
+    e = (
+        edges.select(
+            F.least(F.col(a_col), F.col(b_col)).alias("_a"),
+            F.greatest(F.col(a_col), F.col(b_col)).alias("_b"),
+            F.col(w_col).alias("_w"),
+        )
+        .where(F.col("_a") != F.col("_b"))
+        .groupBy("_a", "_b")
+        .agg(F.min("_w").alias("_w"))
+        .localCheckpoint(eager=True)
+    )
+    comp = (
+        e.select(F.col("_a").alias("id"))
+        .union(e.select("_b"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+        .localCheckpoint(eager=True)
+    )
+    msf = None
+    for _ in range(int(max_rounds)):
+        la = comp.select(
+            F.col("id").alias("_ja"), F.col("label").alias("_ca")
+        )
+        lb = comp.select(
+            F.col("id").alias("_jb"), F.col("label").alias("_cb")
+        )
+        cross = (
+            e.join(la, e._a == la._ja)
+            .join(lb, e._b == lb._jb)
+            .where(F.col("_ca") != F.col("_cb"))
+            .select("_a", "_b", "_w", "_ca", "_cb")
+            .localCheckpoint(eager=True)
+        )
+        if cross.count() == 0:
+            break
+        st = F.struct("_w", "_a", "_b", "_ca", "_cb").alias("_e")
+        chosen = (
+            cross.select(F.col("_ca").alias("_c"), st)
+            .union(cross.select(F.col("_cb").alias("_c"), st))
+            .groupBy("_c")
+            .agg(F.min("_e").alias("_e"))
+            .select("_e.*")
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        picked = chosen.select("_a", "_b", "_w")
+        msf = picked if msf is None else msf.unionByName(picked)
+        msf = msf.localCheckpoint(eager=True)
+        mapping = min_label_components(
+            comp.select(F.col("label").alias("id")).distinct(),
+            chosen.select(
+                F.col("_ca").alias("id_a"), F.col("_cb").alias("id_b")
+            ),
+            max_iters=int(component_iters),
+            op_name="boruvka_msf.merge",
+        ).select(
+            F.col("id").alias("_ml"), F.col("label").alias("_nl")
+        )
+        comp = (
+            comp.join(mapping, comp.label == mapping._ml, "left")
+            .select(
+                "id",
+                F.coalesce(F.col("_nl"), F.col("label")).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    else:
+        raise RuntimeError(
+            f"boruvka_msf: cross-component edges remain after "
+            f"max_rounds={max_rounds}; raise max_rounds "
+            "(rounds needed ~ log2 of the largest component)"
+        )
+    if msf is None:
+        msf = e.limit(0).select("_a", "_b", "_w")
+    return msf.select(
+        F.col("_a").alias(a_col),
+        F.col("_b").alias(b_col),
+        F.col("_w").alias(w_col),
+    )
+
+
+def boruvka_msf_sql(
+    edges_src: str,
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+    w_col: str = "w",
+) -> str:
+    """DuckDB twin of :func:`boruvka_msf` by Kruskal's invariant
+    (cut/cycle property under the total order ``(w, a, b)``): an
+    edge is in the unique MSF iff its endpoints are NOT connected
+    using only strictly-smaller edges.  The recursive closure walks,
+    per probe edge, the nodes reachable from the probe's ``a`` side
+    through smaller edges; the probe survives iff its ``b`` is never
+    reached — a different algorithm family from the operator's
+    Borůvka hooking, so the hash match verifies the forest against
+    the definition.  Standalone statement."""
+    smaller = (
+        "(e.w < r.pw OR (e.w = r.pw AND (e.a < r.pa "
+        "OR (e.a = r.pa AND e.b < r.pb))))"
+    )
+    return f"""
+        WITH RECURSIVE
+        bmsf_e AS MATERIALIZED (
+            SELECT LEAST(a, b) AS a, GREATEST(a, b) AS b,
+                   MIN(w) AS w
+            FROM (SELECT {a_col} AS a, {b_col} AS b, {w_col} AS w
+                  FROM {edges_src})
+            WHERE a <> b GROUP BY 1, 2
+        ),
+        bmsf_reach AS (
+            SELECT a AS pa, b AS pb, w AS pw, a AS node FROM bmsf_e
+            UNION
+            SELECT r.pa, r.pb, r.pw,
+                   CASE WHEN e.a = r.node THEN e.b ELSE e.a END
+            FROM bmsf_reach r JOIN bmsf_e e
+              ON (e.a = r.node OR e.b = r.node) AND {smaller}
+        )
+        SELECT m.a AS {a_col}, m.b AS {b_col}, m.w AS {w_col}
+        FROM bmsf_e m
+        WHERE NOT EXISTS (
+            SELECT 1 FROM bmsf_reach r
+            WHERE r.pa = m.a AND r.pb = m.b AND r.node = m.b
+        )
+    """
