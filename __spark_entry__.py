@@ -916,6 +916,24 @@ def q_raster_aspect(spark, sf_dir):
     return spatial.raster_aspect(rollup, "n_pages")
 
 
+def q_raster_hillshade(spark, sf_dir):
+    """Analytic hillshade (spatial.raster_hillshade) of the page-
+    intensity surface — the cartographic readout of the terrain
+    family: cosine of the angle between the surface normal (from
+    raster_aspect's exact central-difference gradients) and the
+    frozen 315°/45° light vector, as sign(n·L)·isqrt((n·L)²·10¹²
+    DIV (|n|²·|L|²)) — no trig, no float normalization, the
+    declared-constant + exact-isqrt discipline, so every shade value
+    hash-verifies against the twin that nests the identical aspect
+    CTEs (the composition itself is verified)."""
+    flagged = _pages_flagged(spark, sf_dir)
+    cells = spatial.assign_cells(flagged).withColumn(
+        "tainted", ~F.col("accepted")
+    )
+    rollup = spatial.tile_rollup(cells).select("cell", "n_pages")
+    return spatial.raster_hillshade(rollup, "n_pages", z_scale=2)
+
+
 def q_ripley_k(spark, sf_dir):
     """Ripley's K pair counts (spatial.ripley_k_counts) over the
     latest page positions at 0.25°/0.5°/1°/2° radii — the multi-scale
@@ -6698,6 +6716,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "flow_accum": q_flow_accum,
         "areal_interp": q_areal_interp,
         "rect_union": q_rect_union,
+        "raster_hillshade": q_raster_hillshade,
         "ripley_k": q_ripley_k,
         "semivariogram": q_semivariogram,
         "semivariogram_directional": q_semivariogram_directional,
@@ -8376,6 +8395,15 @@ def oracle_sql() -> dict[str, str]:
                 GROUP BY 1
             )
             , {spatial.raster_aspect_ctes('ra_rollup', 'n_pages')}
+        """),
+        "raster_hillshade": _with_pages(f"""
+            , rh_rollup AS (
+                SELECT {cell} AS cell, COUNT(*) AS n_pages
+                FROM pages p JOIN cs_status s USING (changeset_id)
+                GROUP BY 1
+            )
+            SELECT * FROM ({spatial.raster_hillshade_sql(
+                'rh_rollup', 'n_pages', z_scale=2)})
         """),
         "ripley_k": _with_pages(f"""
             , rk_latest AS (

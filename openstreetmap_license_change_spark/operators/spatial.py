@@ -11616,3 +11616,123 @@ def huff_shares_sql(
                     AS BIGINT) AS share_ppm
         FROM hf_u u JOIN hf_den d USING (_i)
     """
+
+
+# Light vector for hillshading, frozen at import (the Benford/NDCG
+# declared-constant discipline): azimuth 315° (NW), altitude 45° —
+# the cartographic default — as round(1e6 · (cos alt · sin az,
+# cos alt · cos az, sin alt)).  |L|² is NOT exactly 1e12 (707107² =
+# 500000307449); both engines divide by the same declared square.
+HILLSHADE_LIGHT = (-500_000, 500_000, 707_107)
+
+
+def raster_hillshade(
+    cells: DataFrame,
+    value_col: str,
+    res_deg: float = DEFAULT_RES_DEG,
+    z_scale: int = 1,
+    light: tuple[int, int, int] = HILLSHADE_LIGHT,
+) -> DataFrame:
+    """Analytic hillshade of a per-cell raster — the cartographic
+    rendering of the terrain family (aspect's direction labels and
+    viewshed's visibility verdicts, but as a continuous illumination
+    value): the cosine of the angle between the surface normal and a
+    frozen light vector,
+
+        n = (-gx, -gy, z_scale)          (unnormalized normal)
+        shade_ppm = 1e6 · (n · L) / (|n| · |L|)   ∈ [-1e6, 1e6]
+
+    computed EXACTLY: gradients are :func:`raster_aspect`'s integer
+    central differences (this operator is a verified composition —
+    the twin nests the identical aspect CTEs), the light vector is a
+    declared integer-ppm constant (no trig on either engine), and
+    the normalization runs as sign(n·L) · isqrt((n·L)²·10¹² DIV
+    (|n|²·|L|²)) with the exact integer sqrt (float seed − 2, three
+    upward corrections — the spearman pattern), so every shade value
+    is engine-identical.  ``z_scale`` (declared, ≥ 1) is the
+    vertical exaggeration: how many value units span one cell width;
+    a flat cell shades to ≈ cos(45°)·10⁶ by the algebra, no special
+    case.  Bounds: (n·L)²·10¹² ≤ 10³⁵ for |g| ≤ 10¹³ — decimal(38)/
+    HUGEINT with room (stated).
+
+    Plan: raster_aspect's ×4 fan + groupBy on the aggregate raster,
+    then pure per-row column arithmetic — no extra shuffle.
+    Output: (cell, gx, gy, shade_ppm)."""
+    lx, ly, lz = (int(v) for v in light)
+    if int(z_scale) < 1:
+        raise ValueError(f"z_scale must be >= 1: {z_scale}")
+    if lz <= 0:
+        raise ValueError("light altitude must be positive (lz > 0)")
+    z = int(z_scale)
+    l2 = lx * lx + ly * ly + lz * lz
+    g = raster_aspect(cells, value_col, res_deg).select(
+        "cell", "gx", "gy"
+    )
+    dec = "decimal(38,0)"
+    dot = f"(CAST(-gx AS {dec}) * {lx} + CAST(-gy AS {dec}) * {ly} " \
+          f"+ CAST({z * lz} AS {dec}))"
+    n2 = f"(CAST(gx AS {dec}) * gx + CAST(gy AS {dec}) * gy " \
+         f"+ {z * z})"
+    q = (
+        f"CAST(({dot} * {dot} * 1000000000000) "
+        f"DIV ({n2} * {l2}) AS BIGINT)"
+    )
+    s0 = f"GREATEST(CAST(SQRT(CAST({q} AS DOUBLE)) AS BIGINT) - 2, 0)"
+    isq = (
+        f"({s0} + IF(({s0}+1)*({s0}+1) <= {q}, 1, 0)"
+        f" + IF(({s0}+2)*({s0}+2) <= {q}, 1, 0)"
+        f" + IF(({s0}+3)*({s0}+3) <= {q}, 1, 0))"
+    )
+    return g.select(
+        "cell", "gx", "gy",
+        F.expr(
+            f"CAST(CASE WHEN {dot} < 0 THEN -{isq} ELSE {isq} END "
+            "AS BIGINT)"
+        ).alias("shade_ppm"),
+    )
+
+
+def raster_hillshade_sql(
+    src: str,
+    value_col: str,
+    res_deg: float = DEFAULT_RES_DEG,
+    z_scale: int = 1,
+    light: tuple[int, int, int] = HILLSHADE_LIGHT,
+) -> str:
+    """DuckDB twin of :func:`raster_hillshade` — the identical
+    raster_aspect gradient CTEs (the composition is what's verified)
+    with the same declared light constants, HUGEINT clearing and the
+    same seeded-isqrt.  Standalone statement."""
+    lx, ly, lz = (int(v) for v in light)
+    z = int(z_scale)
+    l2 = lx * lx + ly * ly + lz * lz
+    dot = f"(CAST(-gx AS HUGEINT) * {lx} + CAST(-gy AS HUGEINT) " \
+          f"* {ly} + CAST({z * lz} AS HUGEINT))"
+    n2 = f"(CAST(gx AS HUGEINT) * gx + CAST(gy AS HUGEINT) * gy " \
+         f"+ {z * z})"
+    q = (
+        f"CAST(({dot} * {dot} * 1000000000000::HUGEINT) "
+        f"// ({n2} * {l2}) AS BIGINT)"
+    )
+    s0 = (
+        f"GREATEST(CAST(SQRT(CAST({q} AS DOUBLE)) AS BIGINT) - 2, "
+        "0::BIGINT)"
+    )
+    isq = (
+        f"({s0} + CASE WHEN ({s0}+1)*({s0}+1) <= {q} THEN 1 ELSE 0 END"
+        f" + CASE WHEN ({s0}+2)*({s0}+2) <= {q} THEN 1 ELSE 0 END"
+        f" + CASE WHEN ({s0}+3)*({s0}+3) <= {q} THEN 1 ELSE 0 END)"
+    )
+    # reuse the aspect twin's CTE chain up to ra_out (drop its final
+    # SELECT — the last 'SELECT cell,' marks it), append our readout
+    return (
+        "WITH "
+        + raster_aspect_ctes(src, value_col, res_deg)
+        .rsplit("SELECT cell,", 1)[0]
+        + f"""
+        SELECT cell, gx, gy,
+               CAST(CASE WHEN {dot} < 0 THEN -{isq} ELSE {isq} END
+                    AS BIGINT) AS shade_ppm
+        FROM ra_out
+    """
+    )
