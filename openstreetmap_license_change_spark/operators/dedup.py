@@ -1494,3 +1494,111 @@ def sorted_neighborhood_sql(
         FROM sn_ranked a JOIN sn_ranked b
           ON b.r > a.r AND b.r - a.r <= {int(window) - 1}
     """
+
+
+def fellegi_sunter(
+    pairs: DataFrame,
+    fields: list[tuple[str, int, int]],
+    upper_odds_ppm: int,
+    lower_odds_ppm: int,
+    id_cols: tuple[str, str] = ("id_a", "id_b"),
+) -> DataFrame:
+    """Fellegi–Sunter probabilistic record linkage (1969) — the
+    decision layer of the ER stack: blocking generates candidates
+    (sorted_neighborhood / LSH / PPJoin), survivorship merges
+    clusters (golden_records), and THIS operator scores each
+    candidate pair and routes it match / possible / non_match.
+
+    Each entry of ``fields`` is ``(agree_col, m_ppm, u_ppm)``: a
+    boolean agreement column already on ``pairs`` plus the DECLARED
+    conditional agreement rates in ppm — m = P(agree | same entity),
+    u = P(agree | different entities).  (Declared weights instead of
+    EM-estimated ones — the deterministic, auditable form; stated.)
+    Under conditional independence the match odds are
+
+        odds = prod_i (agree_i ? m_i : 1e6-m_i)
+             / prod_i (agree_i ? u_i : 1e6-u_i)
+
+    computed EXACTLY: both products are integers (ppm factors,
+    decimal(38) accumulation), ``odds_ppm = num*1e6 DIV den``, and
+    the verdict comparisons are cross-multiplied (num·1e6 ≥ θ·den),
+    so no division error can flip a verdict.  Bounds enforced
+    loudly: ≤ 5 fields and weights in [1e4, 99e4] with m > u keep
+    every ratio ≤ 99 per field, so odds_ppm ≤ 1e6·99⁵ < 2⁶³ and
+    num·1e6 ≤ 1e36 < decimal(38).
+
+    Returns pairs' id columns + ``pattern`` (bit i set = field i
+    agreed), ``odds_ppm`` and ``verdict`` — all native column
+    arithmetic, no shuffle beyond what ``pairs`` already carries."""
+    if not 1 <= len(fields) <= 5:
+        raise ValueError(f"1..5 fields required: got {len(fields)}")
+    for name, m_ppm, u_ppm in fields:
+        if not (10_000 <= u_ppm < m_ppm <= 990_000):
+            raise ValueError(
+                f"field {name}: need 1e4 <= u < m <= 99e4, got "
+                f"m={m_ppm} u={u_ppm}"
+            )
+    if not 0 <= int(lower_odds_ppm) <= int(upper_odds_ppm):
+        raise ValueError(
+            "need 0 <= lower_odds_ppm <= upper_odds_ppm"
+        )
+    dec = "decimal(38,0)"
+    num = f"CAST(1 AS {dec})"
+    den = f"CAST(1 AS {dec})"
+    pat = "0"
+    for i, (name, m_ppm, u_ppm) in enumerate(fields):
+        num = f"({num} * IF({name}, {m_ppm}, {10**6 - m_ppm}))"
+        den = f"({den} * IF({name}, {u_ppm}, {10**6 - u_ppm}))"
+        pat = f"({pat} + IF({name}, {2 ** i}, 0))"
+    up, lo = int(upper_odds_ppm), int(lower_odds_ppm)
+    return pairs.select(
+        id_cols[0],
+        id_cols[1],
+        F.expr(f"CAST({pat} AS INT)").alias("pattern"),
+        F.expr(
+            f"CAST(({num} * 1000000) DIV {den} AS BIGINT)"
+        ).alias("odds_ppm"),
+        F.expr(
+            f"CASE WHEN {num} * 1000000 >= CAST({up} AS {dec}) * {den} "
+            f"THEN 'match' "
+            f"WHEN {num} * 1000000 >= CAST({lo} AS {dec}) * {den} "
+            f"THEN 'possible' ELSE 'non_match' END"
+        ).alias("verdict"),
+    )
+
+
+def fellegi_sunter_sql(
+    pairs_src: str,
+    fields: list[tuple[str, int, int]],
+    upper_odds_ppm: int,
+    lower_odds_ppm: int,
+    id_cols: tuple[str, str] = ("id_a", "id_b"),
+) -> str:
+    """DuckDB twin of :func:`fellegi_sunter` (HUGEINT products,
+    identical cross-multiplied verdicts).  Standalone statement."""
+    num = "CAST(1 AS HUGEINT)"
+    den = "CAST(1 AS HUGEINT)"
+    pat = "0"
+    for i, (name, m_ppm, u_ppm) in enumerate(fields):
+        num = (
+            f"({num} * CASE WHEN {name} THEN {m_ppm} "
+            f"ELSE {10**6 - m_ppm} END)"
+        )
+        den = (
+            f"({den} * CASE WHEN {name} THEN {u_ppm} "
+            f"ELSE {10**6 - u_ppm} END)"
+        )
+        pat = f"({pat} + CASE WHEN {name} THEN {2 ** i} ELSE 0 END)"
+    up, lo = int(upper_odds_ppm), int(lower_odds_ppm)
+    return f"""
+        SELECT {id_cols[0]}, {id_cols[1]},
+               CAST({pat} AS INTEGER) AS pattern,
+               CAST(({num} * 1000000) // {den} AS BIGINT) AS odds_ppm,
+               CASE WHEN {num} * 1000000
+                         >= CAST({up} AS HUGEINT) * {den}
+                    THEN 'match'
+                    WHEN {num} * 1000000
+                         >= CAST({lo} AS HUGEINT) * {den}
+                    THEN 'possible' ELSE 'non_match' END AS verdict
+        FROM {pairs_src}
+    """
