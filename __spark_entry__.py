@@ -4306,6 +4306,32 @@ def q_onion(spark, sf_dir):
     )
 
 
+LT_THETA, LT_ROUNDS, LT_SEEDS = 300_000, 24, 8
+
+
+def q_lt_influence(spark, sf_dir):
+    """Linear-threshold influence cascade (graph.lt_influence) from
+    the top-8 out-degree hubs of the doc link graph — the
+    Kempe–Kleinberg–Tardos LT model with declared uniform
+    thresholds: a doc adopts when ≥ 30% of its in-link weight
+    (1e6 DIV in_degree per link, exact) is already active.  The
+    operator propagates frontier-only with incremental received-
+    weight sums; the oracle recomputes every round's sums from the
+    FULL active set — structurally different — so the incremental
+    maintenance is what the hash verifies.  A 10-round cascade with
+    mass in every round at sf0.01 (probed: 8 seeds → 498 active)."""
+    _, edges = _doc_link_graph(spark, sf_dir)
+    seeds = (
+        edges.groupBy("src").count()
+        .orderBy(F.desc("count"), "src")
+        .limit(LT_SEEDS)
+        .select(F.col("src").alias("node"))
+    )
+    return graph.lt_influence(
+        edges, seeds, theta_ppm=LT_THETA, max_rounds=LT_ROUNDS
+    )
+
+
 def q_random_failure(spark, sf_dir):
     """Random-failure tolerance (graph.attack_robustness with the
     hash kill order — the deterministic stand-in for uniform node
@@ -6920,6 +6946,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bowtie_regions": q_bowtie,
         "attack_robustness": q_attack_robustness,
         "random_failure": q_random_failure,
+        "lt_influence": q_lt_influence,
         "onion_layers": q_onion,
         "betweenness": q_betweenness,
         "graph_diameter": q_graph_diameter,
@@ -7061,6 +7088,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # ---------------------------------------------------------------------------
 # oracles
 # ---------------------------------------------------------------------------
+
+def lt_influence_oracle() -> str:
+    """Seeds (top out-degree hubs, deterministic order) + the
+    unrolled full-recompute LT twin over the shared link graph."""
+    return f"""
+        WITH lts_deg AS (
+            SELECT src, COUNT(*) AS cnt FROM {_PR_EDGES_SQL} e
+            GROUP BY 1
+        ),
+        lts_seeds AS (
+            SELECT src AS node FROM lts_deg
+            ORDER BY cnt DESC, src LIMIT {LT_SEEDS}
+        )
+        SELECT * FROM ({graph.lt_influence_sql(
+            _PR_EDGES_SQL, 'lts_seeds',
+            theta_ppm=LT_THETA, max_rounds=LT_ROUNDS)})
+    """
+
 
 def _with_pages(body: str) -> str:
     return pages_src.oracle_prelude() + "\n" + body
@@ -11069,6 +11114,7 @@ def oracle_sql() -> dict[str, str]:
             _PR_EDGES_SQL,
             ATTACK_KS,
         ),
+        "lt_influence": lt_influence_oracle(),
         "onion_layers": f"""
             SELECT node AS doc_id, coreness, layer
             FROM ({graph.onion_layers_sql(

@@ -4331,3 +4331,141 @@ def boruvka_msf_sql(
             WHERE r.pa = m.a AND r.pb = m.b AND r.node = m.b
         )
     """
+
+
+def lt_influence(
+    edges: DataFrame,
+    seeds: DataFrame,
+    theta_ppm: int = 500_000,
+    max_rounds: int = 8,
+) -> DataFrame:
+    """Linear-threshold influence cascade (the Kempe–Kleinberg–Tardos
+    LT model with DECLARED uniform thresholds — deterministic, no
+    sampled thresholds): an inactive node activates when the summed
+    weight of its ACTIVE in-neighbors reaches ``theta_ppm``, with the
+    classic uniform weights ``w = 1e6 DIV in_degree`` (so a node's
+    in-weights sum to ≤ 1e6 exactly).  The "how far does adoption
+    spread from these seeds?" question — the dynamic counterpart of
+    attack_robustness' static reachability.
+
+    Exact and monotone: activation sums are integers and activation
+    is irreversible, so the cascade has a unique fixpoint and the
+    per-node activation ROUND is well-defined — no tie rules needed,
+    parallelism-independent by construction.  Self-loops are dropped
+    and parallel edges collapse (distinct in-neighbors; both stated).
+
+    Scale: frontier-only propagation — each round joins the edge
+    list against the NEWLY active nodes only and folds the delta
+    into a cumulative received-weight table (monotone sums make the
+    increment exact), so total work is O(E) across all rounds, not
+    O(E · rounds); per-round lineage cuts via localCheckpoint.  The
+    DuckDB twin (:func:`lt_influence_sql`) recomputes each round's
+    activation sums from the FULL active set — a structurally
+    different evaluation — so the incremental maintenance is what
+    the hash verifies.  If the cascade is still growing after
+    ``max_rounds`` the operator raises LOUDLY rather than return a
+    truncated spread.
+
+    Returns (node, round) for activated nodes; round 0 = seed."""
+    if not 1 <= int(theta_ppm) <= 10**6:
+        raise ValueError(f"theta_ppm in [1, 1e6]: {theta_ppm}")
+    if int(max_rounds) < 1:
+        raise ValueError(f"max_rounds must be >= 1: {max_rounds}")
+    e = (
+        edges.select("src", "dst")
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    deg = e.groupBy("dst").agg(F.count(F.lit(1)).alias("_d"))
+    we = e.join(deg, "dst").select(
+        "src", "dst",
+        F.expr("CAST(1000000 DIV _d AS BIGINT)").alias("_w"),
+    ).localCheckpoint(eager=True)
+    active = (
+        seeds.select("node").distinct()
+        .withColumn("round", F.lit(0))
+        .localCheckpoint(eager=True)
+    )
+    frontier = active.select("node")
+    recv = None
+    for r in range(1, int(max_rounds) + 2):
+        contrib = (
+            we.join(frontier, we.src == frontier.node)
+            .groupBy("dst")
+            .agg(F.sum("_w").alias("_t"))
+            .select(F.col("dst").alias("node"), "_t")
+        )
+        recv = (
+            contrib if recv is None
+            else recv.unionByName(contrib)
+            .groupBy("node")
+            .agg(F.sum("_t").alias("_t"))
+        ).localCheckpoint(eager=True)
+        newly = (
+            recv.where(F.col("_t") >= F.lit(int(theta_ppm)))
+            .join(active, "node", "left_anti")
+            .select("node")
+            .localCheckpoint(eager=True)
+        )
+        if newly.count() == 0:
+            break
+        if r > int(max_rounds):
+            raise RuntimeError(
+                f"lt_influence: cascade still growing after "
+                f"max_rounds={max_rounds}; raise max_rounds "
+                "(a cascade can take up to |V| rounds on a chain)"
+            )
+        active = active.unionByName(
+            newly.withColumn("round", F.lit(r))
+        ).localCheckpoint(eager=True)
+        frontier = newly
+    return active.select("node", F.col("round").cast("int"))
+
+
+def lt_influence_sql(
+    edges_src: str,
+    seeds_src: str,
+    theta_ppm: int = 500_000,
+    max_rounds: int = 8,
+) -> str:
+    """DuckDB twin of :func:`lt_influence` — identical weights and
+    threshold, but each round's activation sums recomputed from the
+    FULL active set (vs the operator's frontier-delta maintenance),
+    unrolled as MATERIALIZED per-round CTEs.  Standalone."""
+    th = int(theta_ppm)
+    ctes = [
+        f"""lt_e AS MATERIALIZED (
+            SELECT DISTINCT src, dst FROM {edges_src}
+            WHERE src <> dst
+        )""",
+        """lt_we AS MATERIALIZED (
+            SELECT e.src, e.dst,
+                   CAST(1000000 // d.d AS BIGINT) AS w
+            FROM lt_e e JOIN (
+                SELECT dst, COUNT(*) AS d FROM lt_e GROUP BY 1
+            ) d USING (dst)
+        )""",
+        f"""lt_a0 AS MATERIALIZED (
+            SELECT DISTINCT node, 0 AS round FROM {seeds_src}
+        )""",
+    ]
+    for r in range(1, int(max_rounds) + 1):
+        ctes.append(f"""lt_n{r} AS MATERIALIZED (
+            SELECT e.dst AS node, {r} AS round
+            FROM lt_we e JOIN lt_a{r - 1} a ON a.node = e.src
+            WHERE NOT EXISTS (SELECT 1 FROM lt_a{r - 1} x
+                              WHERE x.node = e.dst)
+            GROUP BY e.dst
+            HAVING SUM(e.w) >= {th}
+        )""")
+        ctes.append(f"""lt_a{r} AS MATERIALIZED (
+            SELECT * FROM lt_a{r - 1}
+            UNION ALL SELECT * FROM lt_n{r}
+        )""")
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"""
+        SELECT node, CAST(round AS INTEGER) AS round
+        FROM lt_a{int(max_rounds)}
+    """
+    )
