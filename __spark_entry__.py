@@ -1130,6 +1130,22 @@ def q_image_otsu(spark, sf_dir):
     return multimodal.image_otsu(media)
 
 
+def q_image_moments(spark, sf_dir):
+    """Exact image moments (multimodal.image_moments): centroid in
+    micro-pixels, M00²-cleared central second moments, the sqrt-free
+    eigenvalue anisotropy ((λmax−λmin)²/(λmax+λmin)² as one exact
+    ppm ratio — the dispersion_ellipse algebra on pixel mass) and
+    the D8-sector principal-axis orientation in 2θ space, all pure
+    integer arithmetic behind the raw-RGB Arrow decode.  The oracle
+    regenerates every pixel from the synthetic closed form and
+    aggregates the same HUGEINT sums, so decode, clearing, and
+    sector rule hash-verify."""
+    from openstreetmap_license_change_spark.operators import multimodal
+
+    media = multimodal.synthetic_raw_rgb_media(spark, n=16, w=48, h=32)
+    return multimodal.image_moments(media)
+
+
 MASK_N, MASK_W, MASK_H = 16, 48, 32
 
 _MASK_FGPX_SQL = f"""(
@@ -6792,6 +6808,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cell_compact": q_cell_compact,
         "rake_keywords": q_rake_keywords,
         "image_equalize": q_image_equalize,
+        "image_moments": q_image_moments,
         "image_otsu": q_image_otsu,
         "hist_emd": q_hist_emd,
         "mask_rle": q_mask_rle,
@@ -8586,6 +8603,7 @@ def oracle_sql() -> dict[str, str]:
             "documents", "lang", "doc_id", "n_chars"
         ),
         "mask_rle": multimodal_mod.mask_rle_runs_sql(_MASK_FGPX_SQL),
+        "image_moments": multimodal_mod.image_moments_sql(16, 48, 32),
         "image_otsu": multimodal_mod.image_otsu_sql(16, 48, 32),
         "hist_emd": multimodal_mod.hist_emd_sql(
             16, 48, 32, n_bins=16, max_emd_ppm=300_000

@@ -3133,3 +3133,178 @@ def audio_onsets_sql(
           AND f.flux * t._nfl * {int(thr_den)}
               > {int(thr_num)} * t._total
     """
+
+
+MOMENTS_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("m00", LongType()),
+        StructField("cx_micro", LongType()),
+        StructField("cy_micro", LongType()),
+        StructField("mu20_c", LongType()),
+        StructField("mu11_c", LongType()),
+        StructField("mu02_c", LongType()),
+        StructField("ecc_ppm", LongType()),
+        StructField("theta2_sector", StringType()),
+    ]
+)
+
+
+def image_moments(media: DataFrame) -> DataFrame:
+    """Exact image moments per image — centroid, the M00²-cleared
+    central second moments, principal-axis anisotropy and an exact
+    orientation sector: the shape summary a vision-curation pipeline
+    keys blur/crop/duplicate heuristics on (the pixel-domain sibling
+    of dispersion_ellipse's point-set centrographics, same algebra).
+
+    On the dHash luma convention (I = r+g+b ∈ [0, 765]):
+    raw moments M00/M10/M01/M20/M11/M02 are exact integer sums;
+    centroid = (M10·10⁶ DIV M00, M01·10⁶ DIV M00) micro-pixels;
+    the central moments enter CLEARED by M00² (so no division
+    happens before them):
+
+        mu20_c = M00·M20 − M10²   (= M00²·μ20, ≥ 0)
+        mu11_c = M00·M11 − M10·M01
+        mu02_c = M00·M02 − M01²
+
+    anisotropy = (λmax−λmin)²/(λmax+λmin)² of the covariance
+    eigenvalues is EXACTLY rational — ((mu20_c−mu02_c)² +
+    4·mu11_c²)·10⁶ DIV (mu20_c+mu02_c)² — no sqrt (the
+    dispersion_ellipse move), NULL when the mass sits on one pixel;
+    orientation is the D8-style sector of the (mu20_c−mu02_c,
+    2·mu11_c) vector in 2θ space (strict dominant-axis win, exact
+    tie → diagonal, both zero → 'iso'; θ = sector angle / 2, so 'E'
+    = horizontal axis, 'W' = vertical, 'N' = the y=x diagonal) —
+    pure integer comparisons, no atan2.
+
+    Bounds, enforced LOUDLY: ``w·h·max(w,h) ≤ 100_000`` keeps
+    mu ≤ ~7·10¹⁵ (int64 outputs) and the anisotropy clear ≤ ~10³⁷
+    (HUGEINT twin) — tile bigger images first (image_patches).
+    All-zero images emit no row (every moment degenerate; stated).
+
+    Arrow-batched over the raw-RGB path; the DuckDB twin
+    (:func:`image_moments_sql`) regenerates every pixel from the
+    synthetic closed form and aggregates the same sums in HUGEINT —
+    decode, clearing, and sector rule all hash-verify."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            recs = []
+            for mid, payload, w, h in zip(
+                pdf["media_id"], pdf["payload"],
+                pdf["meta_width"], pdf["meta_height"],
+            ):
+                w, h = int(w), int(h)
+                if w * h * max(w, h) > 100_000:
+                    raise ValueError(
+                        "image_moments: w*h*max(w,h) > 100000 "
+                        f"({w}x{h}); tile large images first "
+                        "(image_patches)"
+                    )
+                img = _decode_rgb(payload, w, h).astype(np.int64)
+                gray = img.sum(axis=2)
+                xs = np.arange(w, dtype=np.int64)
+                ys = np.arange(h, dtype=np.int64)
+                m00 = int(gray.sum())
+                if m00 == 0:
+                    continue
+                colm = gray.sum(axis=0)   # per-x mass
+                rowm = gray.sum(axis=1)   # per-y mass
+                m10 = int((colm * xs).sum())
+                m01 = int((rowm * ys).sum())
+                m20 = int((colm * xs * xs).sum())
+                m02 = int((rowm * ys * ys).sum())
+                m11 = int((gray * ys[:, None] * xs[None, :]).sum())
+                mu20 = m00 * m20 - m10 * m10
+                mu11 = m00 * m11 - m10 * m01
+                mu02 = m00 * m02 - m01 * m01
+                a, b = 2 * mu11, mu20 - mu02
+                tr = mu20 + mu02
+                ecc = (
+                    ((b * b + a * a) * 10**6) // (tr * tr)
+                    if tr > 0 else None
+                )
+                if a == 0 and b == 0:
+                    sect = "iso"
+                elif abs(b) > abs(a):
+                    sect = "E" if b > 0 else "W"
+                elif abs(a) > abs(b):
+                    sect = "N" if a > 0 else "S"
+                else:
+                    sect = ("N" if a > 0 else "S") + \
+                        ("E" if b > 0 else "W")
+                recs.append((
+                    int(mid), m00,
+                    (m10 * 10**6) // m00, (m01 * 10**6) // m00,
+                    mu20, mu11, mu02, ecc, sect,
+                ))
+            yield pd.DataFrame(
+                recs,
+                columns=[
+                    "media_id", "m00", "cx_micro", "cy_micro",
+                    "mu20_c", "mu11_c", "mu02_c", "ecc_ppm",
+                    "theta2_sector",
+                ],
+            )
+
+    return (
+        media.where(F.col("media_type") == "image")
+        .repartition("media_id")
+        .mapInPandas(run, schema=MOMENTS_SCHEMA)
+    )
+
+
+def image_moments_sql(n: int, w: int, h: int) -> str:
+    """DuckDB twin of :func:`image_moments` over the
+    synthetic_raw_rgb_media closed form — pixels regenerated, the
+    same integer sums in HUGEINT, identical clearing / anisotropy /
+    sector rules.  Standalone."""
+    return f"""
+        WITH im_px AS (
+            SELECT m.id AS media_id, x.x AS x, y.y AS y,
+                   CAST((x.x*3 + y.y*7 + 0  + m.id*13) % 256
+                      + (x.x*3 + y.y*7 + 11 + m.id*13) % 256
+                      + (x.x*3 + y.y*7 + 22 + m.id*13) % 256
+                      AS HUGEINT) AS g
+            FROM (SELECT UNNEST(range(0, {int(n)})) AS id) m,
+                 range(0, {int(h)}) y(y), range(0, {int(w)}) x(x)
+        ),
+        im_m AS (
+            SELECT media_id,
+                   SUM(g) AS m00,
+                   SUM(x * g) AS m10, SUM(y * g) AS m01,
+                   SUM(x * x * g) AS m20, SUM(y * y * g) AS m02,
+                   SUM(x * y * g) AS m11
+            FROM im_px GROUP BY 1 HAVING SUM(g) > 0
+        ),
+        im_c AS (
+            SELECT media_id, m00, m10, m01,
+                   m00 * m20 - m10 * m10 AS mu20,
+                   m00 * m11 - m10 * m01 AS mu11,
+                   m00 * m02 - m01 * m01 AS mu02
+            FROM im_m
+        )
+        SELECT media_id,
+               CAST(m00 AS BIGINT) AS m00,
+               CAST((m10 * 1000000) // m00 AS BIGINT) AS cx_micro,
+               CAST((m01 * 1000000) // m00 AS BIGINT) AS cy_micro,
+               CAST(mu20 AS BIGINT) AS mu20_c,
+               CAST(mu11 AS BIGINT) AS mu11_c,
+               CAST(mu02 AS BIGINT) AS mu02_c,
+               CAST(CASE WHEN mu20 + mu02 > 0 THEN
+                   (((mu20 - mu02) * (mu20 - mu02)
+                     + 4 * mu11 * mu11) * 1000000)
+                   // ((mu20 + mu02) * (mu20 + mu02))
+               END AS BIGINT) AS ecc_ppm,
+               CASE
+                   WHEN 2 * mu11 = 0 AND mu20 - mu02 = 0 THEN 'iso'
+                   WHEN abs(mu20 - mu02) > abs(2 * mu11) THEN
+                       CASE WHEN mu20 - mu02 > 0 THEN 'E' ELSE 'W' END
+                   WHEN abs(2 * mu11) > abs(mu20 - mu02) THEN
+                       CASE WHEN mu11 > 0 THEN 'N' ELSE 'S' END
+                   ELSE (CASE WHEN mu11 > 0 THEN 'N' ELSE 'S' END)
+                        || (CASE WHEN mu20 - mu02 > 0
+                            THEN 'E' ELSE 'W' END)
+               END AS theta2_sector
+        FROM im_c
+    """
