@@ -5596,6 +5596,21 @@ def q_ivf_topk(spark, sf_dir):
     return similarity.ivf_topk(emb, qvec, k=10, n_centroids=16, n_probe=2)
 
 
+def q_mutual_knn(spark, sf_dir):
+    """Mutual-kNN graph (similarity.mutual_knn) over the embeddings
+    table, blocked by the label partition: reciprocal top-4
+    neighbours under the exact quantized Σ(Δq)² metric (in-engine
+    ROUND of the DOUBLE-cast float32 — the embedding_centroids
+    discipline), so the edge set is a total-order ranking with no
+    cosine floats.  Reciprocity filters hub vectors — the
+    high-precision edge set graph clustering consumes.  The twin
+    scores on the UNNESTED long form vs the operator's array
+    zip_with, so the quantization and ranking verify across two
+    evaluation shapes."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return similarity.mutual_knn(emb, k=4, bucket_col="label")
+
+
 def q_embedding_near_dup(spark, sf_dir):
     """Embedding-cosine near-dup: all-pairs cosine *within* LSH buckets
     (bounded quadratic — the 100-TB shape), top-3 neighbours per
@@ -7054,6 +7069,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_recall": q_ann_recall,
         "ivf_topk": q_ivf_topk,
         "embedding_near_dup": q_embedding_near_dup,
+        "mutual_knn": q_mutual_knn,
         "pip_rect_prefiltered": q_pip_rect_prefiltered,
         "regions_available": q_regions_available,
         "doc_fingerprint": q_doc_fingerprint,
@@ -9962,6 +9978,7 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY cos_sim DESC, vec_id
             LIMIT 10
         """,
+        "mutual_knn": similarity.mutual_knn_sql("embeddings", k=4),
         "embedding_near_dup": f"""
             WITH bucketed AS (
                 SELECT vec_id, embedding, {bucket_sql} AS bucket

@@ -1286,3 +1286,141 @@ def mmr_rerank_sql(
         "WITH " + ",\n".join(ctes) + "\n"
         + " UNION ALL ".join(picks)
     )
+
+
+def mutual_knn(
+    embeddings: DataFrame,
+    k: int = 4,
+    bucket_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 10**6,
+    max_bucket_rows: int = 4_096,
+) -> DataFrame:
+    """Mutual k-nearest-neighbour graph over embeddings — the
+    reciprocal-kNN edge set (a→b AND b→a both in the top-k) that
+    graph-based clustering and near-dup mining key on: reciprocity
+    filters out hub vectors that appear in everyone's neighbour list
+    without being anyone's true peer (the asymmetric-kNN failure
+    mode), so the surviving edges are high-precision similarity
+    links ready for the pointer-jumping components kit.
+
+    Exact arithmetic: components snap to ``scale`` ints IN-ENGINE
+    (ROUND of the DOUBLE-cast float — the embedding_centroids
+    quantization discipline) and distances are exact integer
+    Σ(Δq)², so the (d2_q, id) neighbour ranking is a total order —
+    bit-stable across engines and parallelism, no cosine floats.
+
+    Scale design: candidate pairs come from a REQUIRED blocking
+    column (``bucket_col`` — an IVF cluster, LSH bucket, or label
+    partition), never a corpus self-join; per-bucket row counts are
+    guarded LOUDLY (``max_bucket_rows``, the mega-bucket pattern)
+    with the assert riding the distance column so pruning cannot
+    silence it.  Within buckets: one equi-join, one window top-k
+    (WindowGroupLimit), and the mutual check is a self-join of the
+    directed top-k list with itself — O(n·k), not O(n²).
+
+    Returns mutual pairs (id_a < id_b, d2_q, rank_ab, rank_ba):
+    rank_ab = b's position in a's neighbour list."""
+    if not 1 <= int(k) <= 64:
+        raise ValueError(f"k must be in [1, 64]: {k}")
+    qv = F.expr(
+        f"transform({vec_col}, v -> "
+        f"CAST(round(CAST(v AS DOUBLE) * {int(scale)}) AS BIGINT))"
+    )
+    base = embeddings.select(
+        F.col(id_col).alias("_id"),
+        F.col(bucket_col).alias("_bk"),
+        qv.alias("_q"),
+    )
+    cnt = base.groupBy("_bk").agg(F.count(F.lit(1)).alias("_n"))
+    ok = F.assert_true(
+        F.col("_n") <= F.lit(int(max_bucket_rows)),
+        F.lit(
+            f"mutual_knn: a bucket exceeds max_bucket_rows="
+            f"{max_bucket_rows}; refine the blocking first"
+        ),
+    )
+    base = base.join(F.broadcast(cnt), "_bk").select(
+        "_bk", "_id", F.when(ok.isNull(), F.col("_q")).alias("_q")
+    )
+    a = base.select(
+        "_bk", F.col("_id").alias("_ia"), F.col("_q").alias("_qa")
+    )
+    b = base.select(
+        "_bk", F.col("_id").alias("_ib"), F.col("_q").alias("_qb")
+    )
+    d2 = F.expr(
+        "aggregate(zip_with(_qa, _qb, (x, y) -> (x - y) * (x - y)), "
+        "0L, (acc, v) -> acc + v)"
+    )
+    scored = (
+        a.join(b, "_bk")
+        .where(F.col("_ia") != F.col("_ib"))
+        .select("_ia", "_ib", d2.alias("d2_q"))
+    )
+    w = W.partitionBy("_ia").orderBy("d2_q", "_ib")
+    topk = scored.withColumn("_rk", F.row_number().over(w)).where(
+        F.col("_rk") <= int(k)
+    )
+    fwd = topk.select(
+        F.col("_ia").alias("id_a"), F.col("_ib").alias("id_b"),
+        "d2_q", F.col("_rk").alias("rank_ab"),
+    )
+    rev = topk.select(
+        F.col("_ib").alias("id_a"), F.col("_ia").alias("id_b"),
+        F.col("_rk").alias("rank_ba"),
+    )
+    return (
+        fwd.join(rev, ["id_a", "id_b"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "d2_q", "rank_ab", "rank_ba")
+    )
+
+
+def mutual_knn_sql(
+    src: str,
+    k: int = 4,
+    bucket_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 10**6,
+) -> str:
+    """DuckDB twin of :func:`mutual_knn` — the same quantization on
+    the UNNESTED long form (vs the operator's array zip_with — a
+    different evaluation shape), window top-k, and reciprocal
+    self-join.  Standalone statement."""
+    return f"""
+        WITH mk_v AS MATERIALIZED (
+            SELECT {id_col} AS _id, {bucket_col} AS _bk,
+                   CAST(u.i AS INTEGER) AS dim,
+                   CAST(ROUND(CAST({vec_col}[u.i] AS DOUBLE)
+                        * {int(scale)}) AS BIGINT) AS _q
+            FROM {src},
+                 LATERAL (SELECT UNNEST(range(1, len({vec_col}) + 1))
+                          AS i) u
+        ),
+        mk_d AS MATERIALIZED (
+            SELECT a._id AS _ia, b._id AS _ib,
+                   SUM((a._q - b._q) * (a._q - b._q)) AS d2_q
+            FROM mk_v a
+            JOIN mk_v b ON a._bk = b._bk AND a.dim = b.dim
+                       AND a._id <> b._id
+            GROUP BY 1, 2
+        ),
+        mk_topk AS MATERIALIZED (
+            SELECT * FROM (
+                SELECT _ia, _ib, d2_q,
+                       ROW_NUMBER() OVER (PARTITION BY _ia
+                           ORDER BY d2_q, _ib) AS _rk
+                FROM mk_d
+            ) WHERE _rk <= {int(k)}
+        )
+        SELECT f._ia AS id_a, f._ib AS id_b,
+               CAST(f.d2_q AS BIGINT) AS d2_q,
+               CAST(f._rk AS INTEGER) AS rank_ab,
+               CAST(r._rk AS INTEGER) AS rank_ba
+        FROM mk_topk f
+        JOIN mk_topk r ON r._ia = f._ib AND r._ib = f._ia
+        WHERE f._ia < f._ib
+    """
