@@ -4027,6 +4027,54 @@ def q_emst_tiles(spark, sf_dir):
     return graph.boruvka_msf(edges)
 
 
+def q_best_streak(spark, sf_dir):
+    """Peak demand window (temporal.max_subarray): per event type,
+    the maximum-sum contiguous run of hourly count deviations
+    (count − floor-mean) over the DENSIFIED global hour grid —
+    Kadane's scan as one aggregate() struct fold with the declared
+    restart/first-maximal tie rules, hash-verified against the
+    prefix-sum + latest-argmin characterization (a different
+    mechanism).  Zeros are values, not missing — the event_xcorr
+    densify convention."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    hb = ev.select(
+        "event_type",
+        F.expr(
+            "CAST(unix_micros(CAST(ts AS TIMESTAMP)) "
+            "DIV 3600000000 AS BIGINT)"
+        ).alias("h"),
+    )
+    span = hb.agg(
+        F.min("h").alias("_h0"), F.max("h").alias("_h1")
+    )
+    grid = (
+        hb.select("event_type").distinct()
+        .crossJoin(F.broadcast(span))
+        .select(
+            "event_type", "_h0", "_h1",
+            F.explode(F.sequence("_h0", "_h1")).alias("h"),
+        )
+    )
+    cnt = hb.groupBy("event_type", "h").agg(
+        F.count(F.lit(1)).alias("_n")
+    )
+    tot = hb.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("_tot")
+    )
+    x = (
+        grid.join(cnt, ["event_type", "h"], "left")
+        .join(tot, "event_type")
+        .select(
+            "event_type", F.col("h").alias("t"),
+            (
+                F.coalesce("_n", F.lit(0))
+                - F.expr("_tot DIV (_h1 - _h0 + 1)")
+            ).alias("x"),
+        )
+    )
+    return temporal_mod.max_subarray(x, "event_type", "t", "x")
+
+
 def q_event_bursts(spark, sf_dir):
     """Kleinberg burst detection (temporal.kleinberg_bursts): every
     per-user inter-event gap labeled base/burst by the two-state
@@ -6940,6 +6988,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_closeness": q_t_closeness,
         "rank_sum_lengths": q_rank_sum_lengths,
         "theil_sen_hourly": q_theil_sen_hourly,
+        "best_streak": q_best_streak,
         "emst_tiles": q_emst_tiles,
         "fs_linkage": q_fs_linkage,
         "event_bursts": q_event_bursts,
@@ -10877,6 +10926,40 @@ def oracle_sql() -> dict[str, str]:
             )""",
             "event_type", "h", "n", segments=12, alphabet=4,
         ),
+        "best_streak": f"""
+            WITH eb_h AS (
+                SELECT event_type,
+                       CAST(epoch_us(CAST(ts AS TIMESTAMP))
+                            // 3600000000 AS BIGINT) AS h
+                FROM events
+            ),
+            eb_span AS (SELECT MIN(h) AS h0, MAX(h) AS h1 FROM eb_h),
+            eb_grid AS (
+                SELECT t.event_type, g.h, s.h0, s.h1
+                FROM (SELECT DISTINCT event_type FROM eb_h) t
+                CROSS JOIN eb_span s,
+                LATERAL (SELECT UNNEST(generate_series(s.h0, s.h1))
+                         AS h) g
+            ),
+            eb_cnt AS (
+                SELECT event_type, h, CAST(COUNT(*) AS BIGINT) AS n
+                FROM eb_h GROUP BY 1, 2
+            ),
+            eb_tot AS (
+                SELECT event_type, CAST(COUNT(*) AS BIGINT) AS tot
+                FROM eb_h GROUP BY 1
+            ),
+            eb_x AS (
+                SELECT g.event_type, g.h AS t,
+                       COALESCE(c.n, 0)
+                       - (t.tot // (g.h1 - g.h0 + 1)) AS x
+                FROM eb_grid g
+                LEFT JOIN eb_cnt c USING (event_type, h)
+                JOIN eb_tot t USING (event_type)
+            )
+            SELECT * FROM ({temporal_mod.max_subarray_sql(
+                'eb_x', 'event_type', 't', 'x')})
+        """,
         "fs_linkage": f"""
             WITH fsq_cand AS (
                 SELECT id_a, id_b

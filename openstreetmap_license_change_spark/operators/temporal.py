@@ -5406,3 +5406,151 @@ def kleinberg_bursts_sql(
         JOIN kb_gaps g ON g.k = b.k AND g.t = u.i
     """
     )
+
+
+def max_subarray(
+    series: DataFrame,
+    key_col: str,
+    t_col: str,
+    x_col: str,
+    max_points: int = 100_000,
+) -> DataFrame:
+    """Maximum-sum contiguous run (Kadane 1984) per key — the "best
+    streak" question over a signed series (peak demand window,
+    longest net-positive momentum, worst drawdown via negation)
+    that the window family can't ask without an O(n²) frame scan.
+
+    Declared scan semantics make the answer unique: process points
+    in (t) order with the restart-on-nonpositive rule — the running
+    sum restarts at x when the carried sum is ≤ 0 (so an exactly-
+    zero carry restarts: the base moves to the LATEST prefix
+    minimum) — and the reported run is the FIRST one to achieve the
+    maximal sum (best updates only on strict improvement).  Exact
+    integer sums, so the argmax is engine-portable; every key
+    yields exactly one row (a 1-point series reports that point).
+
+    The fold runs as ONE sort_array + aggregate() struct
+    accumulator per key (the survival_km mechanism — no Python, no
+    window, the sequential part is per-key and corpus-size-
+    independent) behind a loud ``max_points`` guard.  The DuckDB
+    twin (:func:`max_subarray_sql`) derives the same answer from
+    the PREFIX-SUM characterization — cur_i = S_i − min_{j<i} S_j
+    with the (S asc, j desc) argmin reproducing the latest-minimum
+    base rule — a different mechanism, so the fold's restart/tie
+    algebra is what the hash verifies.
+
+    Returns (key, best_sum, t_start, t_end, n_points)."""
+    one = (
+        series.select(
+            F.col(key_col).alias("_k"),
+            F.struct(
+                F.col(t_col).cast("bigint").alias("_t"),
+                F.col(x_col).cast("bigint").alias("_x"),
+            ).alias("_p"),
+        )
+        .groupBy("_k")
+        .agg(F.sort_array(F.collect_list("_p")).alias("_s"))
+    )
+    guarded = one.select(
+        "_k",
+        F.when(
+            F.expr(
+                f"assert_true(size(_s) <= {int(max_points)}, "
+                f"'max_subarray: a key exceeds max_points="
+                f"{int(max_points)}; bucket the series first')"
+            ).isNull(),
+            F.col("_s"),
+        ).alias("_s"),
+    )
+    cur = (
+        "CASE WHEN acc.i = 0 OR acc.cur <= 0 THEN p._x "
+        "ELSE acc.cur + p._x END"
+    )
+    cs = (
+        "CASE WHEN acc.i = 0 OR acc.cur <= 0 THEN acc.i + 1 "
+        "ELSE acc.cs END"
+    )
+    better = f"(acc.best IS NULL OR ({cur}) > acc.best)"
+    folded = guarded.select(
+        "_k",
+        F.col("_s").alias("_arr"),
+        F.expr(
+            "aggregate(_s, "
+            "named_struct('i', 0, 'cur', CAST(0 AS BIGINT), "
+            "  'cs', 1, 'best', CAST(NULL AS BIGINT), "
+            "  'bs', 1, 'be', 1), "
+            "(acc, p) -> named_struct("
+            f"  'i', acc.i + 1, "
+            f"  'cur', {cur}, "
+            f"  'cs', {cs}, "
+            f"  'best', CASE WHEN {better} THEN ({cur}) "
+            "     ELSE acc.best END, "
+            f"  'bs', CASE WHEN {better} THEN ({cs}) ELSE acc.bs END, "
+            f"  'be', CASE WHEN {better} THEN acc.i + 1 "
+            "     ELSE acc.be END), "
+            "acc -> acc)"
+        ).alias("_f"),
+    )
+    return folded.where(F.col("_f.i") > 0).select(
+        F.col("_k").alias(key_col),
+        F.col("_f.best").alias("best_sum"),
+        F.expr("_arr[_f.bs - 1]._t").alias("t_start"),
+        F.expr("_arr[_f.be - 1]._t").alias("t_end"),
+        F.col("_f.i").cast("bigint").alias("n_points"),
+    )
+
+
+def max_subarray_sql(
+    src: str,
+    key_col: str,
+    t_col: str,
+    x_col: str,
+) -> str:
+    """DuckDB twin of :func:`max_subarray` via the prefix-sum
+    characterization (see operator docstring): a synthetic S_0 = 0
+    row per key, base = argmin (S asc, index desc) over the strict
+    prefix, cur = S_i − base, winner = (cur DESC, i ASC) first.
+    Standalone statement."""
+    return f"""
+        WITH msx_s AS MATERIALIZED (
+            SELECT {key_col} AS k, CAST({t_col} AS BIGINT) AS t,
+                   CAST({x_col} AS BIGINT) AS x,
+                   ROW_NUMBER() OVER (PARTITION BY {key_col}
+                       ORDER BY {t_col}) AS i
+            FROM {src}
+        ),
+        msx_p AS MATERIALIZED (
+            SELECT k, t, i,
+                   SUM(x) OVER (PARTITION BY k ORDER BY i) AS s
+            FROM msx_s
+            UNION ALL
+            SELECT DISTINCT k, NULL, 0, 0 FROM msx_s
+        ),
+        msx_cur AS MATERIALIZED (
+            SELECT * FROM (
+                SELECT i.k, i.i, i.t,
+                       i.s - j.s AS cur, j.i + 1 AS bs,
+                       ROW_NUMBER() OVER (PARTITION BY i.k, i.i
+                           ORDER BY j.s ASC, j.i DESC) AS _r
+                FROM msx_p i
+                JOIN msx_p j ON j.k = i.k AND j.i < i.i
+                WHERE i.i >= 1
+            ) WHERE _r = 1
+        ),
+        msx_best AS (
+            SELECT * FROM (
+                SELECT k, cur, bs, i,
+                       ROW_NUMBER() OVER (PARTITION BY k
+                           ORDER BY cur DESC, i ASC) AS _r
+                FROM msx_cur
+            ) WHERE _r = 1
+        )
+        SELECT b.k AS {key_col},
+               CAST(b.cur AS BIGINT) AS best_sum,
+               ts.t AS t_start, te.t AS t_end,
+               (SELECT CAST(MAX(i) AS BIGINT) FROM msx_s m
+                WHERE m.k = b.k) AS n_points
+        FROM msx_best b
+        JOIN msx_s ts ON ts.k = b.k AND ts.i = b.bs
+        JOIN msx_s te ON te.k = b.k AND te.i = b.i
+    """
