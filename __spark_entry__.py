@@ -5175,6 +5175,27 @@ def q_weighted_distance(spark, sf_dir):
     return out.select(F.col("node").alias("doc_id"), "dist")
 
 
+def q_bottleneck_width(spark, sf_dir):
+    """Widest-path bottleneck capacity (graph.widest_path) from the
+    trusted-seed set over the doc link graph with deterministic
+    integer capacities (w = 1 + (src + 5·dst) mod 13): the (max,
+    min) semiring sibling of weighted_distance — how much trust can
+    flow to each doc through its weakest link, exact within the
+    ≤ 6-edge honesty bound.  Frontier-only with re-entry on
+    later-but-wider paths; the oracle unrolls the identical
+    recurrence with NO frontier cut, so the frontier optimization is
+    what the hash verifies.  Seeds are excluded from the output —
+    the query, not the answer."""
+    nodes, edges = _doc_link_graph(spark, sf_dir)
+    seeds = nodes.where(F.col("node") % 97 == 0)
+    cedges = edges.select(
+        "src", "dst",
+        (F.lit(1) + (F.col("src") + F.col("dst") * 5) % 13).alias("w"),
+    )
+    out = graph.widest_path(nodes, seeds, cedges, rounds=WD_ROUNDS)
+    return out.select(F.col("node").alias("doc_id"), "width")
+
+
 RRF_RUN_K = 50
 
 
@@ -7034,6 +7055,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_distance": q_link_distance,
         "dag_levels": q_dag_levels,
         "graph_profile": q_graph_profile,
+        "bottleneck_width": q_bottleneck_width,
         "weighted_distance": q_weighted_distance,
         "rrf_hybrid": q_rrf_hybrid,
         "skyline_docs": q_skyline_docs,
@@ -11539,6 +11561,17 @@ def oracle_sql() -> dict[str, str]:
                 FROM sky_raw
             )
             {ranking.skyline_sql('sky_pts', 'n_tokens', 'cpt_m')}
+        """,
+        "bottleneck_width": f"""
+            SELECT node AS doc_id, width
+            FROM ({graph.widest_path_sql(
+                '(SELECT doc_id AS node FROM documents)',
+                '(SELECT doc_id AS node FROM documents '
+                'WHERE doc_id % 97 = 0)',
+                f'(SELECT src, dst, 1 + (src + dst * 5) % 13 AS w '
+                f'FROM {_PR_EDGES_SQL})',
+                rounds=WD_ROUNDS,
+            )})
         """,
         "weighted_distance": f"""
             SELECT node AS doc_id, dist

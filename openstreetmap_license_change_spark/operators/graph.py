@@ -4469,3 +4469,149 @@ def lt_influence_sql(
         FROM lt_a{int(max_rounds)}
     """
     )
+
+
+_WP_INF = (1 << 62)  # internal seed-capacity sentinel (> any edge w)
+
+
+def widest_path(
+    nodes: DataFrame,
+    seeds: DataFrame,
+    edges: DataFrame,
+    rounds: int,
+) -> DataFrame:
+    """Widest-path (bottleneck / maximum-capacity) distance from a
+    seed set — the (max, min) semiring sibling of
+    :func:`weighted_distance`'s min-plus: width(v) = the best
+    achievable bottleneck, max over paths of the minimum edge
+    capacity along the path.  The "how much can flow from the
+    trusted set to v through its weakest link?" question — trust
+    propagation, route capacity, quality-floor reachability — which
+    min-plus cost structurally can't ask.
+
+    Exact and bounded-honest: capacities are integers and max-min
+    relaxation is monotone in path length, so after round k,
+    width(v) is THE true optimum over paths of ≤ k edges (``rounds``
+    is a path-length bound, not an approximation), NULL = no ≤
+    k-edge path.  Seeds carry infinite source capacity internally
+    (a sentinel > any edge; capacities are validated < 2⁶² loudly)
+    and are EXCLUDED from the output — they are the query, not the
+    answer (stated).
+
+    Scale: the weighted_distance frontier pattern verbatim under
+    the swapped semiring — only nodes whose width IMPROVED last
+    round propagate (a better ≤ k+1-edge bottleneck must extend an
+    improved ≤ k-edge one), 2 shuffles/round, re-entry on
+    narrower-but-later-wider paths handled by the improvement test,
+    lineage cut per round, empty frontier short-circuits.  The
+    DuckDB twin (:func:`widest_path_sql`) unrolls the identical
+    recurrence with no frontier cut, so the frontier optimization
+    is what the hash verifies.
+
+    ``edges``: (src, dst, w) BIGINT-castable capacities in
+    [0, 2⁶²).  Returns (node, width) for non-seed nodes."""
+    edges = (
+        edges.select("src", "dst", F.col("w").cast("bigint").alias("w"))
+        .repartition("src")
+        .localCheckpoint(eager=True)
+    )
+    n_bad = edges.where(
+        (F.col("w") < 0) | (F.col("w") >= F.lit(_WP_INF))
+    ).count()
+    if n_bad:
+        raise ValueError(
+            f"widest_path requires capacities in [0, 2^62); "
+            f"found {n_bad} out-of-range edges"
+        )
+    seed_marked = nodes.join(
+        seeds.select("node").distinct().withColumn("_s", F.lit(1)),
+        "node",
+        "left",
+    )
+    width = seed_marked.select(
+        "node",
+        F.when(F.col("_s").isNotNull(), F.lit(_WP_INF))
+        .cast("bigint")
+        .alias("width"),
+    ).localCheckpoint(eager=True)
+    frontier = width.where(F.col("width").isNotNull()).localCheckpoint(
+        eager=True
+    )
+    for _ in range(rounds):
+        if frontier.isEmpty():
+            break
+        nd = (
+            edges.join(frontier, edges.src == frontier.node)
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.max(F.least(F.col("width"), F.col("w"))).alias("_nw"))
+        )
+        relaxed = width.join(nd, "node", "left").select(
+            "node",
+            F.when(F.col("width").isNull(), F.col("_nw"))
+            .when(F.col("_nw").isNull(), F.col("width"))
+            .otherwise(F.greatest("width", "_nw"))
+            .alias("width"),
+        ).localCheckpoint(eager=True)
+        frontier = (
+            relaxed.alias("r")
+            .join(width.alias("d"), "node")
+            .where(
+                F.col("r.width").isNotNull()
+                & (
+                    F.col("d.width").isNull()
+                    | (F.col("r.width") > F.col("d.width"))
+                )
+            )
+            .select("node", F.col("r.width").alias("width"))
+            .localCheckpoint(eager=True)
+        )
+        width = relaxed
+    return (
+        width.join(seeds.select("node").distinct(), "node", "left_anti")
+        .select("node", "width")
+    )
+
+
+def widest_path_sql(
+    nodes_src: str, seeds_src: str, edges_src: str, rounds: int
+) -> str:
+    """DuckDB twin of :func:`widest_path`: the identical max-min
+    relaxation unrolled as chained CTEs with NO frontier cut, same
+    seed sentinel, seeds excluded at the end.  Standalone."""
+    ctes = [
+        f"wp_nd AS (SELECT node FROM {nodes_src})",
+        f"wp_eg AS (SELECT src, dst, CAST(w AS BIGINT) AS w "
+        f"FROM {edges_src})",
+        f"wp_sd AS (SELECT DISTINCT node FROM {seeds_src})",
+        f"""wp_d0 AS (
+            SELECT wp_nd.node,
+                   CASE WHEN s.node IS NOT NULL
+                        THEN CAST({_WP_INF} AS BIGINT) END AS width
+            FROM wp_nd
+            LEFT JOIN wp_sd s ON s.node = wp_nd.node
+        )""",
+    ]
+    for i in range(1, rounds + 1):
+        p = f"wp_d{i - 1}"
+        ctes.append(f"""wp_d{i} AS MATERIALIZED (
+            SELECT {p}.node,
+                   CASE WHEN {p}.width IS NULL THEN c._nw
+                        WHEN c._nw IS NULL THEN {p}.width
+                        ELSE GREATEST({p}.width, c._nw) END AS width
+            FROM {p}
+            LEFT JOIN (
+                SELECT wp_eg.dst AS node,
+                       MAX(LEAST(r.width, wp_eg.w)) AS _nw
+                FROM wp_eg
+                JOIN {p} r ON wp_eg.src = r.node
+                WHERE r.width IS NOT NULL
+                GROUP BY wp_eg.dst
+            ) c ON c.node = {p}.node
+        )""")
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"""
+        SELECT d.node, d.width FROM wp_d{rounds} d
+        WHERE NOT EXISTS (SELECT 1 FROM wp_sd s WHERE s.node = d.node)
+    """
+    )
