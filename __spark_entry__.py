@@ -4027,6 +4027,33 @@ def q_emst_tiles(spark, sf_dir):
     return graph.boruvka_msf(edges)
 
 
+SPRT_C1, SPRT_C0 = 200_671, -200_671   # ln(.55/.45) ppm, frozen
+SPRT_A, SPRT_B = 2_944_439, -2_944_439  # ln(19) ppm (α=β=0.05)
+
+
+def q_sprt_decision(spark, sf_dir):
+    """Wald sequential probability ratio test
+    (evaluation.sprt_decision) per event type — the sequential
+    sibling of ab_test's fixed-horizon chi-square: conversion trials
+    (success = even (user_id + event_id), a deterministic balanced
+    Bernoulli) scanned in event order, stopping at the FIRST exit
+    from the Wald band under frozen ln-constants (H0 p=.45 vs H1
+    p=.55 at α=β=.05 — no engine calls ln()).  One keyed window
+    cumsum + one min(struct) argmin; the uniqueness of the trial
+    order is loudly guarded."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    trials = ev.select(
+        "event_type",
+        F.col("event_id").alias("t"),
+        ((F.col("user_id") + F.col("event_id")) % 2 == 0)
+        .alias("s"),
+    )
+    return evaluation.sprt_decision(
+        trials, "event_type", "t", "s",
+        SPRT_C1, SPRT_C0, SPRT_A, SPRT_B,
+    )
+
+
 def q_best_streak(spark, sf_dir):
     """Peak demand window (temporal.max_subarray): per event type,
     the maximum-sum contiguous run of hourly count deviations
@@ -7010,6 +7037,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rank_sum_lengths": q_rank_sum_lengths,
         "theil_sen_hourly": q_theil_sen_hourly,
         "best_streak": q_best_streak,
+        "sprt_decision": q_sprt_decision,
         "emst_tiles": q_emst_tiles,
         "fs_linkage": q_fs_linkage,
         "event_bursts": q_event_bursts,
@@ -10947,6 +10975,12 @@ def oracle_sql() -> dict[str, str]:
                                AND c.h = gr.h
             )""",
             "event_type", "h", "n", segments=12, alphabet=4,
+        ),
+        "sprt_decision": evaluation.sprt_decision_sql(
+            "(SELECT event_type, event_id AS t, "
+            "(user_id + event_id) % 2 = 0 AS s FROM events)",
+            "event_type", "t", "s",
+            SPRT_C1, SPRT_C0, SPRT_A, SPRT_B,
         ),
         "best_streak": f"""
             WITH eb_h AS (

@@ -2656,3 +2656,155 @@ def ece_eval_sql(
                         // n) AS BIGINT) AS mce_ppm
         FROM ee_agg
     """
+
+
+def sprt_decision(
+    trials: DataFrame,
+    key_col: str,
+    t_col: str,
+    success_col: str,
+    llr_pos_ppm: int,
+    llr_neg_ppm: int,
+    a_ppm: int,
+    b_ppm: int,
+) -> DataFrame:
+    """Wald's sequential probability ratio test (SPRT, 1945) per key
+    — the SEQUENTIAL sibling of :func:`chi2_2x2`'s fixed-horizon
+    A/B verdict: scan Bernoulli trials in order and stop at the
+    FIRST time the cumulative log-likelihood ratio leaves (b, a) —
+    the earliest-possible decision at the declared error rates,
+    and the "when could we have stopped?" audit for experiments
+    that ran to the end anyway.
+
+    Frozen-constant discipline (Benford/NDCG): the caller declares
+    the per-outcome LLR increments in ppm — ``llr_pos_ppm`` =
+    round(ln(p1/p0)·1e6) > 0 for a success, ``llr_neg_ppm`` =
+    round(ln((1−p1)/(1−p0))·1e6) < 0 for a failure — and the Wald
+    bounds ``a_ppm`` ≈ round(ln((1−β)/α)·1e6) > 0 >
+    ``b_ppm`` ≈ round(ln(β/(1−α))·1e6); no engine ever calls ln(),
+    so LLR_n = k_n·c1 + (n−k_n)·c0 is an exact integer and the
+    first-crossing index is engine- and parallelism-exact.
+
+    ``t_col`` must be UNIQUE per key (a trial sequence, not a
+    timestamp with ties) — duplicates make "first crossing"
+    order-dependent, so they fail LOUDLY.  Decision per key:
+    'accept_h1' (LLR ≥ a first), 'accept_h0' (LLR ≤ b first), or
+    'continue' (never left the band; n_decide NULL).
+
+    Plan: one keyed window cumsum + one min(struct) argmin per key
+    — no iteration, no Python.  Returns (key, n_total, k_total,
+    llr_final_ppm, decision, n_decide, llr_decide_ppm)."""
+    c1, c0 = int(llr_pos_ppm), int(llr_neg_ppm)
+    if not (c0 < 0 < c1):
+        raise ValueError(
+            f"need llr_neg_ppm < 0 < llr_pos_ppm: {c0}, {c1}"
+        )
+    if not (int(b_ppm) < 0 < int(a_ppm)):
+        raise ValueError(
+            f"need b_ppm < 0 < a_ppm: {b_ppm}, {a_ppm}"
+        )
+    a_v, b_v = int(a_ppm), int(b_ppm)
+    base = trials.select(
+        F.col(key_col).alias("_k"),
+        F.col(t_col).alias("_t"),
+        F.col(success_col).cast("int").alias("_s"),
+    )
+    dups = (
+        base.groupBy("_k", "_t").count().where(F.col("count") > 1)
+        .count()
+    )
+    if dups:
+        raise ValueError(
+            f"sprt_decision: {dups} duplicate (key, t) trial "
+            "positions — the crossing order would be undefined; "
+            "disambiguate the sequence first"
+        )
+    w = Window.partitionBy("_k").orderBy("_t")
+    scanned = base.select(
+        "_k", "_t", "_s",
+        F.row_number().over(w).alias("_n"),
+        (
+            F.sum("_s").over(w) * F.lit(c1)
+            + (F.row_number().over(w) - F.sum("_s").over(w))
+            * F.lit(c0)
+        ).cast("bigint").alias("_llr"),
+    )
+    crossing = scanned.where(
+        (F.col("_llr") >= a_v) | (F.col("_llr") <= b_v)
+    )
+    first = crossing.groupBy("_k").agg(
+        F.min(F.struct("_n", "_llr")).alias("_c")
+    ).select(
+        "_k",
+        F.col("_c._n").alias("_nd"),
+        F.col("_c._llr").alias("_ld"),
+    )
+    totals = scanned.groupBy("_k").agg(
+        F.max("_n").alias("n_total"),
+        F.sum("_s").cast("bigint").alias("k_total"),
+        F.max_by("_llr", "_n").alias("llr_final_ppm"),
+    )
+    return totals.join(first, "_k", "left").select(
+        F.col("_k").alias(key_col),
+        "n_total", "k_total", "llr_final_ppm",
+        F.when(F.col("_ld") >= a_v, F.lit("accept_h1"))
+        .when(F.col("_ld") <= b_v, F.lit("accept_h0"))
+        .otherwise(F.lit("continue"))
+        .alias("decision"),
+        F.col("_nd").cast("bigint").alias("n_decide"),
+        F.col("_ld").alias("llr_decide_ppm"),
+    )
+
+
+def sprt_decision_sql(
+    src: str,
+    key_col: str,
+    t_col: str,
+    success_col: str,
+    llr_pos_ppm: int,
+    llr_neg_ppm: int,
+    a_ppm: int,
+    b_ppm: int,
+) -> str:
+    """DuckDB twin of :func:`sprt_decision` (identical windows and
+    constants; the operator's duplicate guard is the loud one).
+    Standalone statement."""
+    c1, c0 = int(llr_pos_ppm), int(llr_neg_ppm)
+    a_v, b_v = int(a_ppm), int(b_ppm)
+    return f"""
+        WITH sp_s AS MATERIALIZED (
+            SELECT {key_col} AS k, {t_col} AS t,
+                   CAST({success_col} AS INTEGER) AS s,
+                   ROW_NUMBER() OVER (PARTITION BY {key_col}
+                       ORDER BY {t_col}) AS n,
+                   CAST(SUM(CAST({success_col} AS INTEGER)) OVER (
+                           PARTITION BY {key_col} ORDER BY {t_col})
+                        * {c1}
+                      + (ROW_NUMBER() OVER (PARTITION BY {key_col}
+                             ORDER BY {t_col})
+                         - SUM(CAST({success_col} AS INTEGER)) OVER (
+                               PARTITION BY {key_col}
+                               ORDER BY {t_col}))
+                        * {c0} AS BIGINT) AS llr
+            FROM {src}
+        ),
+        sp_first AS (
+            SELECT k, MIN(STRUCT_PACK(n := n, llr := llr)) AS c
+            FROM sp_s WHERE llr >= {a_v} OR llr <= {b_v}
+            GROUP BY 1
+        ),
+        sp_tot AS (
+            SELECT k, CAST(MAX(n) AS BIGINT) AS n_total,
+                   CAST(SUM(s) AS BIGINT) AS k_total,
+                   CAST(MAX_BY(llr, n) AS BIGINT) AS llr_final_ppm
+            FROM sp_s GROUP BY 1
+        )
+        SELECT t.k AS {key_col}, t.n_total, t.k_total,
+               t.llr_final_ppm,
+               CASE WHEN f.c.llr >= {a_v} THEN 'accept_h1'
+                    WHEN f.c.llr <= {b_v} THEN 'accept_h0'
+                    ELSE 'continue' END AS decision,
+               CAST(f.c.n AS BIGINT) AS n_decide,
+               CAST(f.c.llr AS BIGINT) AS llr_decide_ppm
+        FROM sp_tot t LEFT JOIN sp_first f USING (k)
+    """
