@@ -4027,6 +4027,23 @@ def q_emst_tiles(spark, sf_dir):
     return graph.boruvka_msf(edges)
 
 
+def q_conformal_bounds(spark, sf_dir):
+    """Split-conformal length bounds (evaluation.conformal_thresholds)
+    per language: the even-doc half calibrates the exact
+    ceil((n+1)(1−α)) nearest-rank threshold on n_chars at α = 0.1
+    (abstain = NULL when the rank exceeds n — the honest branch),
+    the odd-doc half audits the finite-sample coverage with exact
+    counts — the distribution-free certificate for a length-based
+    curation filter.  One window rank + one conditional count; every
+    value integer."""
+    docs = pages_src.documents(spark, sf_dir)
+    calib = docs.where(F.col("doc_id") % 2 == 0)
+    test = docs.where(F.col("doc_id") % 2 == 1)
+    return evaluation.conformal_thresholds(
+        calib, test, "lang", "n_chars", alpha_ppm=100_000
+    )
+
+
 SPRT_C1, SPRT_C0 = 200_671, -200_671   # ln(.55/.45) ppm, frozen
 SPRT_A, SPRT_B = 2_944_439, -2_944_439  # ln(19) ppm (α=β=0.05)
 
@@ -7037,6 +7054,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rank_sum_lengths": q_rank_sum_lengths,
         "theil_sen_hourly": q_theil_sen_hourly,
         "best_streak": q_best_streak,
+        "conformal_bounds": q_conformal_bounds,
         "sprt_decision": q_sprt_decision,
         "emst_tiles": q_emst_tiles,
         "fs_linkage": q_fs_linkage,
@@ -10975,6 +10993,13 @@ def oracle_sql() -> dict[str, str]:
                                AND c.h = gr.h
             )""",
             "event_type", "h", "n", segments=12, alphabet=4,
+        ),
+        "conformal_bounds": evaluation.conformal_thresholds_sql(
+            "(SELECT lang, n_chars FROM documents "
+            "WHERE doc_id % 2 = 0)",
+            "(SELECT lang, n_chars FROM documents "
+            "WHERE doc_id % 2 = 1)",
+            "lang", "n_chars", alpha_ppm=100_000,
         ),
         "sprt_decision": evaluation.sprt_decision_sql(
             "(SELECT event_type, event_id AS t, "

@@ -2808,3 +2808,146 @@ def sprt_decision_sql(
                CAST(f.c.llr AS BIGINT) AS llr_decide_ppm
         FROM sp_tot t LEFT JOIN sp_first f USING (k)
     """
+
+
+def conformal_thresholds(
+    calib: DataFrame,
+    test: DataFrame,
+    group_col: str,
+    score_col: str,
+    alpha_ppm: int = 100_000,
+) -> DataFrame:
+    """Split conformal prediction (Vovk et al.; the Angelopoulos–
+    Bates split recipe) per group: from a CALIBRATION set of
+    integer nonconformity scores, the finite-sample threshold
+
+        q̂ = the r-th smallest calibration score,
+        r = ceil((n+1)·(1−α))   (exact integer ceiling division)
+
+    guarantees P(test score ≤ q̂) ≥ 1−α for exchangeable data — the
+    distribution-free coverage certificate a curation pipeline wants
+    before trusting a model filter at a declared risk level.  When
+    r > n (tiny calibration sets) the method must ABSTAIN — q̂ is
+    NULL, not the max score (stated; the honest branch).
+
+    Everything is exact: the rank is ((n+1)·(1e6−α)) ceiling-divided
+    by 1e6 in integers, q̂ is a nearest-rank order statistic (ties
+    included naturally — scores are integers), and the TEST-side
+    audit counts are exact (n_covered = #{score ≤ q̂},
+    cover_ppm = n_covered·1e6 DIV n_test, NULL when abstaining) —
+    the empirical check of the guarantee runs in the same pass.
+
+    Plan: one per-group window rank on the calibration side + one
+    broadcast-joinable threshold row per group + one conditional
+    count on the test side — no Python, no iteration.
+
+    Returns (group, n_cal, r_rank, qhat, n_test, n_covered,
+    cover_ppm)."""
+    if not 1 <= int(alpha_ppm) < 10**6:
+        raise ValueError(f"alpha_ppm in [1, 1e6): {alpha_ppm}")
+    keep = 10**6 - int(alpha_ppm)
+    cb = calib.select(
+        F.col(group_col).alias("_g"),
+        F.col(score_col).cast("bigint").alias("_s"),
+    )
+    w = Window.partitionBy("_g").orderBy("_s")
+    ranked = cb.select(
+        "_g", "_s", F.row_number().over(w).alias("_r")
+    )
+    n_cal = cb.groupBy("_g").agg(F.count(F.lit(1)).alias("n_cal"))
+    rank = n_cal.select(
+        "_g", "n_cal",
+        F.expr(
+            f"CAST(((n_cal + 1) * {keep} + {10**6 - 1}) "
+            f"DIV {10**6} AS BIGINT)"
+        ).alias("r_rank"),
+    )
+    rk = rank.select(
+        F.col("_g").alias("_rg"), "n_cal", "r_rank"
+    )
+    qhat = (
+        rk.join(
+            ranked,
+            (rk._rg == ranked._g) & (rk.r_rank == ranked._r),
+            "left",
+        )
+        .select(F.col("_rg").alias("_g"), "n_cal", "r_rank",
+                F.col("_s").alias("qhat"))
+    )
+    ts = test.select(
+        F.col(group_col).alias("_g"),
+        F.col(score_col).cast("bigint").alias("_t"),
+    )
+    audit = qhat.join(ts, "_g", "left").groupBy(
+        "_g", "n_cal", "r_rank", "qhat"
+    ).agg(
+        F.count(F.col("_t")).alias("n_test"),
+        F.coalesce(
+            F.sum(
+                F.when(F.col("_t") <= F.col("qhat"), 1).otherwise(0)
+            ),
+            F.lit(0),
+        ).cast("bigint").alias("n_covered"),
+    )
+    return audit.select(
+        F.col("_g").alias(group_col),
+        "n_cal", "r_rank", "qhat", "n_test",
+        F.when(F.col("qhat").isNull(), F.lit(None).cast("bigint"))
+        .otherwise(F.col("n_covered")).alias("n_covered"),
+        F.expr(
+            "CAST(CASE WHEN qhat IS NULL OR n_test = 0 THEN NULL "
+            "ELSE (n_covered * 1000000) DIV n_test END AS BIGINT)"
+        ).alias("cover_ppm"),
+    )
+
+
+def conformal_thresholds_sql(
+    calib_src: str,
+    test_src: str,
+    group_col: str,
+    score_col: str,
+    alpha_ppm: int = 100_000,
+) -> str:
+    """DuckDB twin of :func:`conformal_thresholds` (identical
+    ceiling rank, nearest-rank order statistic, audit counts).
+    Standalone statement."""
+    keep = 10**6 - int(alpha_ppm)
+    return f"""
+        WITH cf_c AS (
+            SELECT {group_col} AS g,
+                   CAST({score_col} AS BIGINT) AS s,
+                   ROW_NUMBER() OVER (PARTITION BY {group_col}
+                       ORDER BY CAST({score_col} AS BIGINT)) AS r
+            FROM {calib_src}
+        ),
+        cf_n AS (
+            SELECT g, CAST(COUNT(*) AS BIGINT) AS n_cal,
+                   CAST(((COUNT(*) + 1) * {keep} + {10**6 - 1})
+                        // {10**6} AS BIGINT) AS r_rank
+            FROM cf_c GROUP BY 1
+        ),
+        cf_q AS (
+            SELECT n.g, n.n_cal, n.r_rank, c.s AS qhat
+            FROM cf_n n
+            LEFT JOIN cf_c c ON c.g = n.g AND c.r = n.r_rank
+        ),
+        cf_t AS (
+            SELECT {group_col} AS g,
+                   CAST({score_col} AS BIGINT) AS t
+            FROM {test_src}
+        )
+        SELECT q.g AS {group_col}, q.n_cal, q.r_rank, q.qhat,
+               CAST(COUNT(t.t) AS BIGINT) AS n_test,
+               CAST(CASE WHEN q.qhat IS NULL THEN NULL ELSE
+                   COALESCE(SUM(CASE WHEN t.t <= q.qhat
+                                     THEN 1 ELSE 0 END), 0)
+               END AS BIGINT) AS n_covered,
+               CAST(CASE WHEN q.qhat IS NULL OR COUNT(t.t) = 0
+                    THEN NULL ELSE
+                   (COALESCE(SUM(CASE WHEN t.t <= q.qhat
+                                      THEN 1 ELSE 0 END), 0)
+                    * 1000000) // COUNT(t.t)
+               END AS BIGINT) AS cover_ppm
+        FROM cf_q q LEFT JOIN cf_t t ON t.g = q.g
+        GROUP BY 1, 2, 3, 4
+    """
