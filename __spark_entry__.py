@@ -4027,6 +4027,27 @@ def q_emst_tiles(spark, sf_dir):
     return graph.boruvka_msf(edges)
 
 
+def q_kfold_assign(spark, sf_dir):
+    """Stratified k-fold assignment (sampling.kfold_assign): 5-fold
+    cross-validation folds per language with GROUP atomicity (the
+    source/id-bundle stands in for a near-dup cluster — a group
+    never straddles folds) and EXACT ±1 per-stratum balance — the
+    property grouped_split's hash-ratio routing cannot give.  Rank
+    runs over the distinct-group table by the avalanche-mixed hash
+    with a total-order tie-break, so folds are deterministic and
+    parallelism-exact."""
+    docs = pages_src.documents(spark, sf_dir)
+    grouped = docs.select(
+        "doc_id", "lang",
+        F.concat(
+            F.col("source"), F.lit("/"),
+            (F.col("doc_id") / 20).cast("bigint").cast("string"),
+        ).alias("bundle"),
+    )
+    out = sampling.kfold_assign(grouped, "lang", "bundle", k=5)
+    return out.select("doc_id", "lang", "bundle", "fold")
+
+
 def q_conformal_bounds(spark, sf_dir):
     """Split-conformal length bounds (evaluation.conformal_thresholds)
     per language: the even-doc half calibrates the exact
@@ -7055,6 +7076,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "theil_sen_hourly": q_theil_sen_hourly,
         "best_streak": q_best_streak,
         "conformal_bounds": q_conformal_bounds,
+        "kfold_assign": q_kfold_assign,
         "sprt_decision": q_sprt_decision,
         "emst_tiles": q_emst_tiles,
         "fs_linkage": q_fs_linkage,
@@ -10993,6 +11015,11 @@ def oracle_sql() -> dict[str, str]:
                                AND c.h = gr.h
             )""",
             "event_type", "h", "n", segments=12, alphabet=4,
+        ),
+        "kfold_assign": sampling.kfold_assign_sql(
+            "(SELECT doc_id, lang, source || '/' || "
+            "CAST(doc_id // 20 AS VARCHAR) AS bundle FROM documents)",
+            "lang", "bundle", k=5,
         ),
         "conformal_bounds": evaluation.conformal_thresholds_sql(
             "(SELECT lang, n_chars FROM documents "

@@ -384,3 +384,82 @@ def grouped_split_sql(
         "CASE " + " ".join(cases) + f" ELSE '{splits[-1][0]}' END"
     )
     return f"SELECT *, {case} AS split FROM {src}"
+
+
+def kfold_assign(
+    df: DataFrame,
+    stratum_col: str,
+    group_col: str,
+    k: int = 5,
+) -> DataFrame:
+    """Leakage-safe stratified k-fold assignment — the
+    cross-validation complement of :func:`grouped_split`: every
+    GROUP lands wholly in one fold (no near-dup leakage across the
+    boundary), and within every STRATUM the folds are EXACTLY
+    balanced in group count (±1) — the property hash-ratio splitting
+    cannot give and k-fold evaluation needs.
+
+    Mechanism: distinct (stratum, group) pairs are ranked inside
+    their stratum by the avalanche-mixed group hash with the group
+    key as the total-order tie-break (the mixture_resample lesson —
+    the raw polynomial hash is near-identity on short keys), and
+    fold = (rank − 1) mod k.  The rank window runs over the GROUP
+    table (|groups| rows, not |rows|), then one hash join assigns
+    rows.  Deterministic and parallelism-exact; the complementary
+    contract to grouped_split is stated: balance is exact, but
+    adding groups to a stratum MAY renumber existing folds (use
+    grouped_split when subset-stability matters more than balance).
+
+    Returns ``df`` + a ``fold`` column in [0, k)."""
+    from .sketches import kmv_hash
+
+    if not 2 <= int(k) <= 1000:
+        raise ValueError(f"k must be in [2, 1000]: {k}")
+    groups = df.select(
+        F.col(stratum_col).alias("_st"),
+        F.col(group_col).alias("_gr"),
+    ).distinct()
+    mixed = groups.withColumn(
+        "_h", kmv_hash(sample_hash_col(F.col("_gr")))
+    )
+    w = W.partitionBy("_st").orderBy("_h", "_gr")
+    folds = mixed.select(
+        "_st", "_gr",
+        ((F.row_number().over(w) - 1) % int(k))
+        .cast("int").alias("fold"),
+    )
+    return df.join(
+        folds,
+        (df[stratum_col] == folds._st) & (df[group_col] == folds._gr),
+    ).drop("_st", "_gr")
+
+
+def kfold_assign_sql(
+    src: str,
+    stratum_col: str,
+    group_col: str,
+    k: int = 5,
+) -> str:
+    """DuckDB twin of :func:`kfold_assign` (identical mix, rank, and
+    modulus).  Standalone; emits SELECT *, fold FROM src."""
+    from .dedup import token_hash_sql
+    from .sketches import kmv_hash_sql
+
+    h = kmv_hash_sql(token_hash_sql("CAST(_gr AS VARCHAR)"))
+    return f"""
+        WITH kf_g AS (
+            SELECT DISTINCT {stratum_col} AS _st, {group_col} AS _gr
+            FROM {src}
+        ),
+        kf_f AS (
+            SELECT _st, _gr,
+                   CAST((ROW_NUMBER() OVER (PARTITION BY _st
+                       ORDER BY ({h}), _gr)
+                       - 1) % {int(k)} AS INTEGER) AS fold
+            FROM kf_g
+        )
+        SELECT s.*, f.fold
+        FROM {src} s
+        JOIN kf_f f ON f._st = s.{stratum_col}
+                   AND f._gr = s.{group_col}
+    """
