@@ -22,6 +22,9 @@ representative per nondeterminism-risk class at sf0.001:
 - per-track path-string Viterbi DP    → viterbi_match (round 4t)
 - mergeable-sketch relaxation         → hyperball_harmonic (round 4t)
 - σ-layer + backward δ-fold two-sweep → betweenness (round 4t)
+- min-struct hooking + contracted merge → emst_tiles (round 5)
+- frontier-incremental threshold sums   → lt_influence (round 5)
+- per-key two-state backpointer DP      → event_bursts (round 5)
 
 Each runs under local[3]/sp=7 AND local[8]/sp=32 in fresh subprocesses
 (the script's own machinery — same code path as the on-demand sweep);
@@ -55,6 +58,9 @@ REPRESENTATIVES = [
     "viterbi_match",
     "hyperball_harmonic",
     "betweenness",
+    "emst_tiles",
+    "lt_influence",
+    "event_bursts",
 ]
 
 
