@@ -3283,10 +3283,6 @@ def rich_club(
         raise ValueError(f"k_list must hold 1..16 values: {k_list}")
     if any(k < 0 for k in ks):
         raise ValueError(f"k values must be >= 0: {k_list}")
-    if strategy not in ("degree", "hash"):
-        raise ValueError(
-            f"strategy must be 'degree' or 'hash': {strategy}"
-        )
     und = (
         edges.select(
             F.least("src", "dst").alias("_a"),
