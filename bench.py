@@ -423,6 +423,27 @@ def run_queries(spark, sf_dir):
             lambda: _noop_write(mm_ops.image_phash(_ph_media)),
         )
 
+    if _wants("event_bursts", "lt_influence", "emst_tiles"):
+        # round-5 family representatives: the two-state burst Viterbi
+        # (Arrow per-key DP over event gaps), the linear-threshold
+        # cascade (frontier-incremental iterative graph with per-round
+        # checkpoints), and the parallel Borůvka forest (min-struct
+        # hooking + contracted pointer-jump merges).
+        import __spark_entry__ as _entry5
+
+        timed(
+            "event_bursts",
+            lambda: _noop_write(_entry5.q_event_bursts(spark, sf_dir)),
+        )
+        timed(
+            "lt_influence",
+            lambda: _noop_write(_entry5.q_lt_influence(spark, sf_dir)),
+        )
+        timed(
+            "emst_tiles",
+            lambda: _noop_write(_entry5.q_emst_tiles(spark, sf_dir)),
+        )
+
     timings = run_rounds()
     if not shared:
         shutil.rmtree(stage_dir, ignore_errors=True)
