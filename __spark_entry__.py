@@ -1130,6 +1130,36 @@ def q_image_otsu(spark, sf_dir):
     return multimodal.image_otsu(media)
 
 
+AUDIO_TEMPO_ARGS = dict(
+    n=12, n_samples=8192, burst=256, frame_samples=256,
+    levels=3, lag_min=2, lag_max=8, flux_shift=20,
+)
+
+
+def q_audio_tempo(spark, sf_dir):
+    """Tempo induction (multimodal.audio_tempo): the autocorrelation
+    argmax of the spectral-flux envelope over a declared lag band —
+    the periodicity readout that completes the audio ladder (energy
+    → Haar bands → onsets → period).  The gated PCM synth repeats
+    its loud/quiet pattern every 3 frames, and every clip's detected
+    period is exactly 3; the declared flux-quantization shift keeps
+    every product-sum in int64, and the (R desc, k asc) tie rule
+    picks the fundamental over its harmonics.  The oracle replays
+    every sample through the haar twin's ±1 grouped sums and the
+    identical lag self-join."""
+    from openstreetmap_license_change_spark.operators import multimodal
+
+    a = AUDIO_TEMPO_ARGS
+    media = multimodal.synthetic_gated_pcm_media(
+        spark, n=a["n"], n_samples=a["n_samples"], burst=a["burst"]
+    )
+    return multimodal.audio_tempo(
+        media, frame_samples=a["frame_samples"], levels=a["levels"],
+        lag_min=a["lag_min"], lag_max=a["lag_max"],
+        flux_shift=a["flux_shift"],
+    )
+
+
 def q_image_moments(spark, sf_dir):
     """Exact image moments (multimodal.image_moments): centroid in
     micro-pixels, M00²-cleared central second moments, the sqrt-free
@@ -6957,6 +6987,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cell_compact": q_cell_compact,
         "rake_keywords": q_rake_keywords,
         "image_equalize": q_image_equalize,
+        "audio_tempo": q_audio_tempo,
         "image_moments": q_image_moments,
         "image_otsu": q_image_otsu,
         "hist_emd": q_hist_emd,
@@ -8758,6 +8789,9 @@ def oracle_sql() -> dict[str, str]:
             "documents", "lang", "doc_id", "n_chars"
         ),
         "mask_rle": multimodal_mod.mask_rle_runs_sql(_MASK_FGPX_SQL),
+        "audio_tempo": multimodal_mod.audio_tempo_sql(
+            **AUDIO_TEMPO_ARGS
+        ),
         "image_moments": multimodal_mod.image_moments_sql(16, 48, 32),
         "image_otsu": multimodal_mod.image_otsu_sql(16, 48, 32),
         "hist_emd": multimodal_mod.hist_emd_sql(

@@ -3308,3 +3308,152 @@ def image_moments_sql(n: int, w: int, h: int) -> str:
                END AS theta2_sector
         FROM im_c
     """
+
+
+def audio_tempo(
+    media: DataFrame,
+    frame_samples: int = 256,
+    levels: int = 3,
+    lag_min: int = 2,
+    lag_max: int = 8,
+    flux_shift: int = 20,
+) -> DataFrame:
+    """Tempo induction per clip — the periodicity readout that
+    completes the audio ladder (energy → bands → onsets → WHAT
+    period do the onsets repeat at?): the autocorrelation argmax of
+    the spectral-flux envelope over a declared lag band,
+
+        R(k) = Σ_t fq(t)·fq(t+k),   fq = flux DIV 2^flux_shift
+        period = argmax over k ∈ [lag_min, lag_max] by (R desc, k)
+
+    — the classic onset-envelope tempo estimator (Scheirer-style),
+    float-free: flux is the verified Haar-band rectified flux
+    (:func:`audio_onsets`' envelope), the DECLARED quantization
+    shift keeps every product-sum in int64 (flux ≤ levels·2⁴⁴ ⇒
+    fq ≤ ~2²⁶ at the default shift; R ≤ n_frames·2⁵² is stated per
+    output), and the argmax tie rule (largest R, then SMALLEST lag)
+    picks the fundamental period over its multiples when aligned
+    pair counts tie down the harmonics.  Clips whose band has no
+    positive R emit NO row (silence / aperiodic — stated, the
+    honest branch).
+
+    Plan: the haar rollup's shuffle, one lag window, one ×|lags|
+    literal fan + one (media, frame+k) equi-join, one argmax —
+    no Python beyond the verified decode ladder.
+
+    Returns (media_id, period_frames, r_q, n_pairs)."""
+    if not 1 <= int(lag_min) < int(lag_max) <= 64:
+        raise ValueError(
+            f"need 1 <= lag_min < lag_max <= 64: {lag_min}, {lag_max}"
+        )
+    if not 0 <= int(flux_shift) <= 40:
+        raise ValueError(f"flux_shift in [0, 40]: {flux_shift}")
+    bands = audio_haar_energy(
+        media, frame_samples=frame_samples, levels=levels
+    ).where(F.col("band") >= 1)
+    bw = W.partitionBy("media_id", "band").orderBy("frame_idx")
+    flux = (
+        bands.withColumn(
+            "_d", F.col("sum_sq") - F.lag("sum_sq").over(bw)
+        )
+        .where(F.col("_d").isNotNull())
+        .groupBy("media_id", "frame_idx")
+        .agg(
+            F.expr(
+                f"CAST(SUM(GREATEST(_d, 0)) DIV {2 ** int(flux_shift)}"
+                " AS BIGINT)"
+            ).alias("_fq")
+        )
+    )
+    a = flux.select(
+        "media_id", F.col("frame_idx").alias("_t"),
+        F.col("_fq").alias("_fa"),
+        F.explode(
+            F.sequence(F.lit(int(lag_min)), F.lit(int(lag_max)))
+        ).alias("_k"),
+    )
+    b = flux.select(
+        F.col("media_id").alias("_mb"),
+        F.col("frame_idx").alias("_tb"),
+        F.col("_fq").alias("_fb"),
+    )
+    r = (
+        a.join(
+            b,
+            (a.media_id == b._mb) & (b._tb == a._t + a._k),
+        )
+        .groupBy("media_id", "_k")
+        .agg(
+            F.sum(F.col("_fa") * F.col("_fb")).cast("bigint")
+            .alias("r_q"),
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        )
+        .where(F.col("r_q") > 0)
+    )
+    w = W.partitionBy("media_id").orderBy(F.desc("r_q"), F.col("_k"))
+    return (
+        r.withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") == 1)
+        .select(
+            "media_id",
+            F.col("_k").cast("int").alias("period_frames"),
+            "r_q", "n_pairs",
+        )
+    )
+
+
+def audio_tempo_sql(
+    n: int,
+    n_samples: int = 2048,
+    burst: int = 256,
+    frame_samples: int = 256,
+    levels: int = 3,
+    lag_min: int = 2,
+    lag_max: int = 8,
+    flux_shift: int = 20,
+) -> str:
+    """DuckDB twin of :func:`audio_tempo` over the
+    synthetic_gated_pcm_media closed form — the haar twin's grouped
+    ±1 sums feed the identical flux quantization, lag self-join and
+    (R desc, k) argmax.  Standalone."""
+    inner = audio_haar_sql(
+        n, n_samples=n_samples, burst=burst,
+        frame_samples=frame_samples, levels=levels,
+    )
+    return f"""
+        WITH at_bands AS MATERIALIZED (
+            SELECT * FROM ({inner}) WHERE band >= 1
+        ),
+        at_flux AS MATERIALIZED (
+            SELECT media_id, frame_idx,
+                   CAST(SUM(GREATEST(_d, 0))
+                        // {2 ** int(flux_shift)} AS BIGINT) AS fq
+            FROM (
+                SELECT media_id, band, frame_idx,
+                       sum_sq - LAG(sum_sq) OVER (
+                           PARTITION BY media_id, band
+                           ORDER BY frame_idx) AS _d
+                FROM at_bands
+            ) WHERE _d IS NOT NULL
+            GROUP BY 1, 2
+        ),
+        at_r AS (
+            SELECT a.media_id, l.k,
+                   CAST(SUM(a.fq * b.fq) AS BIGINT) AS r_q,
+                   CAST(COUNT(*) AS BIGINT) AS n_pairs
+            FROM at_flux a
+            CROSS JOIN (SELECT UNNEST(range({int(lag_min)},
+                        {int(lag_max)} + 1)) AS k) l
+            JOIN at_flux b ON b.media_id = a.media_id
+                          AND b.frame_idx = a.frame_idx + l.k
+            GROUP BY 1, 2
+            HAVING SUM(a.fq * b.fq) > 0
+        )
+        SELECT media_id, CAST(k AS INTEGER) AS period_frames,
+               r_q, n_pairs
+        FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY media_id
+                       ORDER BY r_q DESC, k) AS _rk
+            FROM at_r
+        ) WHERE _rk = 1
+    """
