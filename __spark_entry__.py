@@ -2648,6 +2648,24 @@ def q_fs_linkage(spark, sf_dir):
     return dedup.fellegi_sunter(j, FS_FIELDS, FS_UP, FS_LO)
 
 
+def q_match_assignment(spark, sf_dir):
+    """One-to-one match assignment (graph.greedy_matching) over the
+    Fellegi–Sunter-scored candidates — the ER stack's final layer
+    (blocking → scoring → THIS assignment → survivorship): each doc
+    pairs with at most one partner, best odds first, as the exact
+    lexicographically-first maximal matching under the
+    (−odds, id_a, id_b) total order.  Computed by parallel
+    locally-minimal-edge rounds that provably equal sequential
+    best-first greedy (the mirror test IS sequential greedy); the
+    twin unrolls the identical rounds.  Returns matched pairs with
+    their (negated) odds weight."""
+    fs = q_fs_linkage(spark, sf_dir)
+    edges = fs.select(
+        "id_a", "id_b", (-F.col("odds_ppm")).alias("w")
+    )
+    return graph.greedy_matching(edges, max_rounds=24)
+
+
 def q_cluster_audit(spark, sf_dir):
     """Dedup-cluster QUALITY audit (dedup.cluster_audit): exact
     pairwise token-Jaccard floor/mean per minhash_lsh_clusters
@@ -7111,6 +7129,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sprt_decision": q_sprt_decision,
         "emst_tiles": q_emst_tiles,
         "fs_linkage": q_fs_linkage,
+        "match_assignment": q_match_assignment,
         "event_bursts": q_event_bursts,
         "event_xcorr": q_event_xcorr,
         "session_paths": q_session_paths,
@@ -11101,6 +11120,30 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT * FROM ({temporal_mod.max_subarray_sql(
                 'eb_x', 'event_type', 't', 'x')})
+        """,
+        "match_assignment": f"""
+            WITH msq_cand AS (
+                SELECT id_a, id_b
+                FROM ({dedup.sorted_neighborhood_sql(
+                    'documents', 'doc_id', 'n_chars', window=5)})
+            ),
+            msq_pairs AS (
+                SELECT c.id_a, c.id_b,
+                       a.lang = b.lang AS f_lang,
+                       a.source = b.source AS f_src,
+                       substr(a.text, 1, 16) = substr(b.text, 1, 16)
+                           AS f_pre
+                FROM msq_cand c
+                JOIN documents a ON a.doc_id = c.id_a
+                JOIN documents b ON b.doc_id = c.id_b
+            ),
+            msq_edges AS (
+                SELECT id_a, id_b, -odds_ppm AS w
+                FROM ({dedup.fellegi_sunter_sql(
+                    'msq_pairs', FS_FIELDS, FS_UP, FS_LO)})
+            )
+            SELECT * FROM ({graph.greedy_matching_sql(
+                'msq_edges', max_rounds=24)})
         """,
         "fs_linkage": f"""
             WITH fsq_cand AS (

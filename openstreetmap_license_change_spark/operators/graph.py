@@ -4611,3 +4611,174 @@ def widest_path_sql(
         WHERE NOT EXISTS (SELECT 1 FROM wp_sd s WHERE s.node = d.node)
     """
     )
+
+
+def greedy_matching(
+    edges: DataFrame,
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+    w_col: str = "w",
+    max_rounds: int = 24,
+) -> DataFrame:
+    """Greedy maximal matching under the total order ``(w, a, b)`` —
+    the one-to-one assignment layer of the ER stack: after blocking
+    generates candidates and Fellegi–Sunter scores them, each record
+    may match AT MOST ONE partner, best-score-first.  The result is
+    exactly the LEXICOGRAPHICALLY FIRST maximal matching (what
+    sequential best-first greedy produces), computed in parallel by
+    the classic locally-minimal-edge rounds: an edge matches in a
+    round iff it is the minimum incident edge of BOTH its endpoints
+    among still-alive edges — precisely the edges sequential greedy
+    would take before any conflicting neighbour — then matched
+    nodes' edges drop out and the next layer becomes locally
+    minimal.  Equivalence to sequential greedy is exact (standard
+    result; the mirror test IS sequential greedy), so the output is
+    deterministic and parallelism-independent.
+
+    Self-loops are dropped, parallel edges keep their lightest
+    weight (both stated).  Rounds: expected O(log E) on scored/
+    hashed weights; the adversarial worst case (a monotone chain)
+    is linear, so exhaustion raises LOUDLY rather than return a
+    partial matching (stated; raise ``max_rounds`` or break chains
+    upstream).  Each round is two per-node min aggregates + one
+    anti-join, lineage cut per round.
+
+    Returns matched edges (a_col, b_col, w_col), ``a < b``."""
+    alive = (
+        edges.select(
+            F.least(F.col(a_col), F.col(b_col)).alias("_a"),
+            F.greatest(F.col(a_col), F.col(b_col)).alias("_b"),
+            F.col(w_col).cast("bigint").alias("_w"),
+        )
+        .where(F.col("_a") != F.col("_b"))
+        .groupBy("_a", "_b")
+        .agg(F.min("_w").alias("_w"))
+        .localCheckpoint(eager=True)
+    )
+    matched = None
+    for _ in range(int(max_rounds)):
+        if alive.isEmpty():
+            break
+        st = F.struct("_w", "_a", "_b").alias("_e")
+        node_min = (
+            alive.select(F.col("_a").alias("_n"), st)
+            .union(alive.select(F.col("_b").alias("_n"), st))
+            .groupBy("_n")
+            .agg(F.min("_e").alias("_m"))
+        )
+        ma = node_min.select(
+            F.col("_n").alias("_na"),
+            F.col("_m._w").alias("_wa"),
+            F.col("_m._a").alias("_aa"),
+            F.col("_m._b").alias("_ba"),
+        )
+        mb = node_min.select(
+            F.col("_n").alias("_nb"),
+            F.col("_m._w").alias("_wb"),
+            F.col("_m._a").alias("_ab"),
+            F.col("_m._b").alias("_bb"),
+        )
+        local = (
+            alive.join(ma, alive._a == ma._na)
+            .where(
+                (F.col("_wa") == F.col("_w"))
+                & (F.col("_aa") == F.col("_a"))
+                & (F.col("_ba") == F.col("_b"))
+            )
+            .join(mb, alive._b == mb._nb)
+            .where(
+                (F.col("_wb") == F.col("_w"))
+                & (F.col("_ab") == F.col("_a"))
+                & (F.col("_bb") == F.col("_b"))
+            )
+            .select("_a", "_b", "_w")
+            .localCheckpoint(eager=True)
+        )
+        matched = local if matched is None else matched.unionByName(
+            local
+        )
+        matched = matched.localCheckpoint(eager=True)
+        used = (
+            local.select(F.col("_a").alias("_n"))
+            .union(local.select("_b"))
+            .distinct()
+        )
+        alive = (
+            alive.join(used, alive._a == used._n, "left_anti")
+            .join(used, alive._b == used._n, "left_anti")
+            .localCheckpoint(eager=True)
+        )
+    else:
+        raise RuntimeError(
+            f"greedy_matching: alive edges remain after "
+            f"max_rounds={max_rounds} (adversarial weight chains "
+            "need up to |V|/2 rounds); raise max_rounds"
+        )
+    if matched is None:
+        matched = alive.limit(0)
+    return matched.select(
+        F.col("_a").alias(a_col),
+        F.col("_b").alias(b_col),
+        F.col("_w").alias(w_col),
+    )
+
+
+def greedy_matching_sql(
+    edges_src: str,
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+    w_col: str = "w",
+    max_rounds: int = 24,
+) -> str:
+    """DuckDB twin of :func:`greedy_matching` — the identical
+    locally-minimal-edge rounds unrolled as MATERIALIZED CTEs (the
+    cross-family leg is the tests' sequential-greedy mirror, which
+    the rounds provably equal).  Standalone statement."""
+    ctes = [
+        f"""gm_a0 AS MATERIALIZED (
+            SELECT LEAST(a, b) AS a, GREATEST(a, b) AS b,
+                   MIN(w) AS w
+            FROM (SELECT {a_col} AS a, {b_col} AS b,
+                         CAST({w_col} AS BIGINT) AS w
+                  FROM {edges_src})
+            WHERE a <> b GROUP BY 1, 2
+        )""",
+    ]
+    for r in range(1, int(max_rounds) + 1):
+        p = f"gm_a{r - 1}"
+        ctes.append(f"""gm_nm{r} AS MATERIALIZED (
+            SELECT n, MIN(STRUCT_PACK(w := w, a := a, b := b)) AS m
+            FROM (
+                SELECT a AS n, a, b, w FROM {p}
+                UNION ALL
+                SELECT b AS n, a, b, w FROM {p}
+            ) GROUP BY 1
+        )""")
+        ctes.append(f"""gm_m{r} AS MATERIALIZED (
+            SELECT e.a, e.b, e.w
+            FROM {p} e
+            JOIN gm_nm{r} x ON x.n = e.a
+                           AND x.m.w = e.w AND x.m.a = e.a
+                           AND x.m.b = e.b
+            JOIN gm_nm{r} y ON y.n = e.b
+                           AND y.m.w = e.w AND y.m.a = e.a
+                           AND y.m.b = e.b
+        )""")
+        ctes.append(f"""gm_a{r} AS MATERIALIZED (
+            SELECT e.a, e.b, e.w FROM {p} e
+            WHERE NOT EXISTS (
+                SELECT 1 FROM gm_m{r} m
+                WHERE m.a IN (e.a, e.b) OR m.b IN (e.a, e.b)
+            )
+        )""")
+    union = "\nUNION ALL\n".join(
+        f"SELECT a, b, w FROM gm_m{r}"
+        for r in range(1, int(max_rounds) + 1)
+    )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"""
+        SELECT a AS {a_col}, b AS {b_col}, w AS {w_col}
+        FROM ({union})
+    """
+    )
