@@ -271,6 +271,26 @@ def q_clark_evans(spark, sf_dir):
     )
 
 
+NN_G_RADII = [25_000, 50_000, 100_000, 200_000]
+
+
+def q_nn_g_function(spark, sf_dir):
+    """Empirical G function (spatial.nn_g_counts) over latest pages
+    — the NN-distance CDF completing the point-pattern trio beside
+    ripley_k (pair counts) and clark_evans (one-number NN index):
+    exact band counts at 2.5°/5°/10°/20° radii via the same 20°
+    cell kit, with the bounded-radius censoring EXACT by
+    construction (radii ≤ the probe radius, so a censored point's
+    NN provably exceeds every band).  One NN pass, conditional
+    counts per band."""
+    pages = lineage.latest_version(
+        _pages(spark, sf_dir), cols=["doc_id", "lon", "lat"]
+    )
+    return spatial.nn_g_counts(
+        pages.select("doc_id", "lon", "lat"), 20.0, NN_G_RADII
+    )
+
+
 def q_quadrat(spark, sf_dir):
     """Quadrat CSR test (spatial.quadrat_test) over latest pages on
     the global 10° grid (648 quadrats, empties entering through C —
@@ -6970,6 +6990,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dispersion_ellipse": q_dispersion_ellipse,
         "quadrat_csr": q_quadrat,
         "clark_evans": q_clark_evans,
+        "nn_g_function": q_nn_g_function,
         "spatial_eps_clusters": q_spatial_eps_clusters,
         "spatial_dbscan": q_spatial_dbscan,
         "radius_join": q_radius_join,
@@ -7887,6 +7908,20 @@ def oracle_sql() -> dict[str, str]:
             + spatial.quadrat_test_sql(
                 "qt_latest", (-180.0, -90.0, 180.0, 90.0), 10.0
             ).lstrip()[len("WITH"):]
+        ),
+        "nn_g_function": _with_pages(
+            """, gfq_latest AS (
+                SELECT doc_id, lon, lat FROM (
+                    SELECT p.*,
+                           ROW_NUMBER() OVER (PARTITION BY url
+                                              ORDER BY version DESC)
+                               AS rn
+                    FROM pages p
+                ) WHERE rn = 1
+            )
+            SELECT * FROM ("""
+            + spatial.nn_g_counts_sql("gfq_latest", 20.0, NN_G_RADII)
+            + ")"
         ),
         "clark_evans": _with_pages(
             """, ce_latest AS (

@@ -11736,3 +11736,170 @@ def raster_hillshade_sql(
         FROM ra_out
     """
     )
+
+
+def nn_g_counts(
+    points: DataFrame,
+    delta_deg: float,
+    radii_q: "list[int]",
+    id_col: str = "doc_id",
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    scale: int = 10_000,
+) -> DataFrame:
+    """Empirical G function — the nearest-neighbour distance CDF,
+    completing the classical point-pattern trio (Ripley's K counts
+    pairs at all ranges, Clark–Evans summarizes NN² to one index,
+    G shows the whole NN distribution): per declared radius r,
+
+        G(r) = #{points with NN distance ≤ r} · 1e6 DIV n
+
+    in exact integers (squared comparison NN² ≤ r² — no sqrt).  The
+    bounded-radius censoring is EXACT here, not a bias: radii are
+    validated ≤ the cell radius δ, and a point whose 3×3 probe finds
+    no neighbour has true NN > δ ≥ r, so it contributes 0 to every
+    band — the censored tail lands in n_far, reported.  One NN pass
+    (the clark_evans2 cell kit: grid at δ, 3×3 probe, exact min d²),
+    then every band is a conditional count over the same stream (the
+    ripley_k shape).
+
+    Returns one row per radius: (radius_q, n, n_matched, n_far,
+    n_le, g_ppm); NULL g when n = 0."""
+    if delta_deg * scale != int(delta_deg * scale):
+        raise ValueError("delta_deg * scale must be integral")
+    g = int(delta_deg * scale)
+    rs = sorted(set(int(r) for r in radii_q))
+    if not 1 <= len(rs) <= 16:
+        raise ValueError(f"radii_q must hold 1..16 values: {radii_q}")
+    if any(r < 1 or r > g for r in rs):
+        raise ValueError(
+            f"every radius must be in [1, delta*scale={g}] so the "
+            f"3x3-probe NN is exact at that range: {radii_q}"
+        )
+    offx, offy = 180 * scale, 90 * scale
+    sc = F.lit(float(scale))
+    pq = points.select(
+        F.col(id_col).alias("_i"),
+        (F.round(F.col(lon_col) * sc).cast("bigint") + offx)
+        .alias("_x"),
+        (F.round(F.col(lat_col) * sc).cast("bigint") + offy)
+        .alias("_y"),
+    ).localCheckpoint(eager=True)
+    cell = (_idiv(F.col("_y"), g) * F.lit(1_000_000)
+            + _idiv(F.col("_x"), g))
+    home = pq.select("_i", "_x", "_y", cell.alias("_cell"))
+    probes = F.array(
+        *[
+            (_idiv(F.col("_y"), g) + F.lit(dy)) * F.lit(1_000_000)
+            + (_idiv(F.col("_x"), g) + F.lit(dx))
+            for dy in (-1, 0, 1)
+            for dx in (-1, 0, 1)
+        ]
+    )
+    fan = pq.select(
+        F.col("_i").alias("_ia"), F.col("_x").alias("_xa"),
+        F.col("_y").alias("_ya"), F.explode(probes).alias("_cell"),
+    )
+    dd = (
+        (F.col("_xa") - F.col("_x")) * (F.col("_xa") - F.col("_x"))
+        + (F.col("_ya") - F.col("_y")) * (F.col("_ya") - F.col("_y"))
+    )
+    nn = (
+        fan.join(home, "_cell")
+        .where(F.col("_ia") != F.col("_i"))
+        .select("_ia", dd.alias("_d2"))
+        .where(F.col("_d2") <= F.lit(g * g))
+        .groupBy("_ia")
+        .agg(F.min("_d2").alias("_nn2"))
+    )
+    counts = nn.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_matched"),
+        *[
+            F.sum(
+                F.when(F.col("_nn2") <= F.lit(r * r), 1).otherwise(0)
+            ).cast("bigint").alias(f"_le{r}")
+            for r in rs
+        ],
+    )
+    n_row = pq.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    base = n_row.crossJoin(F.broadcast(counts))
+    rows = None
+    for r in rs:
+        one = base.select(
+            F.lit(r).cast("bigint").alias("radius_q"),
+            "n", "n_matched",
+            (F.col("n") - F.col("n_matched")).cast("bigint")
+            .alias("n_far"),
+            F.col(f"_le{r}").alias("n_le"),
+            F.expr(
+                f"CAST(CASE WHEN n = 0 THEN NULL ELSE "
+                f"(_le{r} * 1000000) DIV n END AS BIGINT)"
+            ).alias("g_ppm"),
+        )
+        rows = one if rows is None else rows.unionByName(one)
+    return rows
+
+
+def nn_g_counts_sql(
+    src: str,
+    delta_deg: float,
+    radii_q: "list[int]",
+    id_col: str = "doc_id",
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    scale: int = 10_000,
+) -> str:
+    """DuckDB twin of :func:`nn_g_counts` (identical cell kit, NN
+    min, conditional band counts).  Standalone statement."""
+    g = int(delta_deg * scale)
+    rs = sorted(set(int(r) for r in radii_q))
+    offx, offy = 180 * scale, 90 * scale
+    les = ", ".join(
+        f"CAST(COALESCE(SUM(CASE WHEN nn2 <= {r * r} THEN 1 END), 0)"
+        f" AS BIGINT) AS le{r}"
+        for r in rs
+    )
+    rows = " UNION ALL ".join(
+        f"SELECT CAST({r} AS BIGINT) AS radius_q, n, n_matched, "
+        f"n - n_matched AS n_far, le{r} AS n_le, "
+        f"CAST(CASE WHEN n = 0 THEN NULL ELSE (le{r} * 1000000) // n "
+        f"END AS BIGINT) AS g_ppm "
+        f"FROM gf_n, gf_c"
+        for r in rs
+    )
+    return f"""
+        WITH gf_p AS MATERIALIZED (
+            SELECT {id_col} AS i,
+                   CAST(ROUND({lon_col} * {scale}) AS BIGINT)
+                       + {offx} AS x,
+                   CAST(ROUND({lat_col} * {scale}) AS BIGINT)
+                       + {offy} AS y
+            FROM {src}
+        ),
+        gf_nn AS MATERIALIZED (
+            SELECT a.i AS ia, MIN((a.x - b.x) * (a.x - b.x)
+                   + (a.y - b.y) * (a.y - b.y)) AS nn2
+            FROM (
+                SELECT p.*, ((p.y // {g}) + d.dy) * 1000000
+                       + ((p.x // {g}) + d.dx) AS cell
+                FROM gf_p p CROSS JOIN (VALUES
+                     (-1,-1),(-1,0),(-1,1),(0,-1),(0,0),(0,1),
+                     (1,-1),(1,0),(1,1)) d(dy, dx)
+            ) a
+            JOIN (
+                SELECT p.*, (p.y // {g}) * 1000000 + (p.x // {g})
+                       AS cell
+                FROM gf_p p
+            ) b USING (cell)
+            WHERE a.i <> b.i
+              AND (a.x - b.x) * (a.x - b.x)
+                  + (a.y - b.y) * (a.y - b.y) <= {g * g}
+            GROUP BY 1
+        ),
+        gf_n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM gf_p),
+        gf_c AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_matched, {les}
+            FROM gf_nn
+        )
+        {rows}
+    """
