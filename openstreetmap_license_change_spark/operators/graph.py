@@ -142,38 +142,64 @@ def pagerank_quantized(
     outdeg = edges.groupBy(F.col("src").alias("node")).agg(
         F.count(F.lit(1)).alias("outdeg")
     )
+    # nodes is consumed twice below (count + state build); checkpoint it
+    # so an expensive upstream (e.g. a distinct over the page table) runs
+    # once, not once per consumer
+    nodes = nodes.select("node").localCheckpoint(eager=True)
     n = nodes.count()
     if n == 0:
         return nodes.withColumn("rank_q", F.lit(0).cast("bigint"))
     base = (100 - damping_pct) * scale // 100
-    ranks = nodes.withColumn("rank_q", F.lit(scale).cast("bigint"))
+    # r06 plan shape: the per-round state carries (node, outdeg, rank_q)
+    # hash-partitioned by node, so each round is exactly ONE exchange
+    # (the dst-keyed contribution aggregate) —
+    #  * outdeg rides the checkpointed state instead of being re-derived
+    #    from the edge list twice per round (a groupBy shuffle each time);
+    #  * the dangling mass is a bounded 1-row aggregate collected to a
+    #    Python int and baked into the update expression as a literal,
+    #    replacing the per-round BroadcastExchange+crossJoin (whose build
+    #    re-ran the ranks⋈outdeg join a second time per round);
+    #  * edges are pre-partitioned by src and the state by node, so the
+    #    src-keyed contribution join and the node-keyed update join both
+    #    reuse their children's hash partitioning (zero extra exchanges).
+    # Arithmetic is unchanged — same recurrence, same integer division —
+    # so ranks stay bit-identical to pagerank_sql round by round.
+    state = (
+        nodes.join(outdeg, "node", "left")
+        .withColumn("rank_q", F.lit(scale).cast("bigint"))
+        .repartition("node")
+        .localCheckpoint(eager=True)
+    )
     for _ in range(iterations):
-        with_deg = ranks.join(outdeg, "node", "left")
-        dangling = (
-            with_deg.where(F.col("outdeg").isNull())
-            .agg(F.coalesce(F.sum("rank_q"), F.lit(0)).alias("_dang"))
-        )
+        dang = state.where(F.col("outdeg").isNull()).agg(
+            F.coalesce(F.sum("rank_q"), F.lit(0)).alias("_dang")
+        ).collect()[0]["_dang"]
+        dd = int(dang) // n  # rank_q ≥ 0 always, so floor == SQL DIV
+        # shuffled-hash builds (neither join output needs ordering —
+        # the aggregate re-hashes and the checkpoint is order-free), so
+        # the per-round SMJ sorts of the edge list / state are waste
         contrib = (
             edges.join(
-                with_deg.where(F.col("outdeg").isNotNull()),
+                state.where(F.col("outdeg").isNotNull()).hint("shuffle_hash"),
                 edges.src == F.col("node"),
             )
             .groupBy(F.col("dst").alias("node"))
             .agg(F.sum(F.expr("rank_q DIV outdeg")).alias("_in"))
         )
-        ranks = (
-            nodes.join(contrib, "node", "left")
-            .crossJoin(F.broadcast(dangling))
+        state = (
+            state.select("node", "outdeg")
+            .join(contrib.hint("shuffle_hash"), "node", "left")
             .select(
                 "node",
+                "outdeg",
                 F.expr(
                     f"CAST({base} + ({damping_pct} * (COALESCE(_in, 0) "
-                    f"+ _dang DIV {n})) DIV 100 AS BIGINT)"
+                    f"+ {dd})) DIV 100 AS BIGINT)"
                 ).alias("rank_q"),
             )
             .localCheckpoint(eager=True)
         )
-    return ranks
+    return state.select("node", "rank_q")
 
 
 def pagerank_sql(

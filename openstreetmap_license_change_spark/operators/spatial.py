@@ -40,6 +40,31 @@ DEFAULT_RES_DEG = 0.25
 GRID_COLS = int(360 / DEFAULT_RES_DEG)  # 1440
 
 
+def _broadcast_threshold_bytes(spark) -> int:
+    """The session's own autoBroadcastJoinThreshold in bytes (−1 → 0).
+
+    Used where a localCheckpoint has erased Catalyst's size estimate
+    (LogicalRDD defaults to 'huge') and an operator re-derives the
+    broadcast-vs-shuffle decision from the REAL materialized row count
+    — the same policy knob Catalyst itself would have consulted."""
+    raw = str(
+        spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    ).strip().lower()
+    mult = 1
+    for suf, m in (("kb", 1024), ("mb", 1024**2), ("gb", 1024**3),
+                   ("k", 1024), ("m", 1024**2), ("g", 1024**3),
+                   ("b", 1)):
+        if raw.endswith(suf):
+            raw = raw[: -len(suf)]
+            mult = m
+            break
+    try:
+        val = int(float(raw)) * mult
+    except ValueError:
+        val = 10 * 1024**2
+    return max(val, 0)
+
+
 def grid_cell(
     lon: Column, lat: Column, res_deg: float = DEFAULT_RES_DEG
 ) -> Column:
@@ -5289,21 +5314,17 @@ def colocation_pairs(
         )
     us = F.unix_micros(F.col(ts_col).cast("timestamp"))
     win_us = int(window_s) * 1_000_000
+    # base is consumed twice (fan + right side); checkpoint it so an
+    # expensive upstream (the typical per-entity window geocode) runs
+    # once per execution instead of once per consumer
     base = points.select(
         F.col(id_col).alias("_id"),
         us.alias("_us"),
         grid_cell(F.col(lon), F.col(lat), res_deg).alias("_cell"),
         (us - F.pmod(us, F.lit(win_us))).alias("_bk0"),
-    ).withColumn("_bk", (F.col("_bk0") / F.lit(win_us)).cast("bigint"))
-    right = base.select(
-        F.col("_id").alias("id_b"),
-        F.col("_us").alias("us_b"),
-        F.col("_cell").alias("_rcell"),
-        F.col("_bk").alias("_rbk"),
-    )
-    occ = right.groupBy("_rcell", "_rbk").agg(
-        F.count(F.lit(1)).alias("_occ")
-    )
+    ).withColumn(
+        "_bk", (F.col("_bk0") / F.lit(win_us)).cast("bigint")
+    ).localCheckpoint(eager=True)
     guard = F.assert_true(
         F.col("_occ") <= F.lit(int(max_cell_bucket)),
         F.lit(
@@ -5313,7 +5334,18 @@ def colocation_pairs(
             "the cap"
         ),
     )
-    right = right.join(occ, ["_rcell", "_rbk"]).select(
+    # occupancy as a window count over the join key the right side must
+    # shuffle on anyway — replaces the former groupBy + join-back (one
+    # exchange and one whole extra pass over the right side removed);
+    # identical _occ per row, identical guard semantics
+    right = base.select(
+        F.col("_id").alias("id_b"),
+        F.col("_us").alias("us_b"),
+        F.col("_cell").alias("_rcell"),
+        F.col("_bk").alias("_rbk"),
+    ).withColumn(
+        "_occ", F.count(F.lit(1)).over(W.partitionBy("_rcell", "_rbk"))
+    ).select(
         "id_b",
         F.when(guard.isNull(), F.col("us_b")).alias("us_b"),
         "_rcell", "_rbk",
@@ -5344,6 +5376,21 @@ def colocation_pairs(
             F.array(F.col("_bk") - 1, F.col("_bk"), F.col("_bk") + 1)
         ).alias("_rbk"),
     )
+    # join-side choice, size-adaptive at runtime: the checkpoint above
+    # erases Catalyst's size estimate (LogicalRDD defaults to "huge"),
+    # which would silently force a sort-merge join here — so re-derive
+    # the decision from the REAL row count (a bounded single-value
+    # action on the already-materialized base).  Small right side →
+    # broadcast (the 27× fan side is then never shuffled at all);
+    # otherwise shuffled-hash with the un-fanned side as build (the
+    # pair stream feeds a hash aggregate, so an SMJ sort could never
+    # be reused; build memory per partition is bounded by the
+    # occupancy guard).  Same rows either way — strategy only.
+    thresh = _broadcast_threshold_bytes(points.sparkSession)
+    if base.count() * 48 <= thresh:  # ~48 B/row of 4 int64 + overhead
+        right = F.broadcast(right)
+    else:
+        right = right.hint("shuffle_hash")
     paired = (
         fan.join(right, ["_rcell", "_rbk"])
         .where(
