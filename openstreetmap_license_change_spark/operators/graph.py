@@ -18,10 +18,22 @@ self-reference.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 
 PR_SCALE = 10**12
+
+
+def _iter_width(df: DataFrame) -> int:
+    """Partition width for checkpointed iterative state: the cluster's
+    core count (defaultParallelism).  A keyless ``repartition(key)``
+    lets AQE coalesce small-at-the-moment state to 1-2 partitions of
+    advisoryPartitionSizeInBytes, which then caps EVERY later round's
+    scan parallelism at those few partitions — right-sized for shuffle
+    IO, wrong for the CPU-bound per-round joins.  Pinning to the core
+    count keeps rounds wide locally and on a cluster alike (the value
+    scales with the allocation, never a hard-coded constant)."""
+    return df.sparkSession.sparkContext.defaultParallelism
 
 
 def min_label_components(
@@ -136,8 +148,10 @@ def pagerank_quantized(
     deduplicated.  Returns (node, rank_q)."""
     if not 0 <= damping_pct <= 100:
         raise ValueError(f"damping_pct must be in [0, 100]: {damping_pct}")
-    edges = edges.select("src", "dst").repartition("src").localCheckpoint(
-        eager=True
+    edges = (
+        edges.select("src", "dst")
+        .repartition(_iter_width(edges), "src")
+        .localCheckpoint(eager=True)
     )
     outdeg = edges.groupBy(F.col("src").alias("node")).agg(
         F.count(F.lit(1)).alias("outdeg")
@@ -167,7 +181,7 @@ def pagerank_quantized(
     state = (
         nodes.join(outdeg, "node", "left")
         .withColumn("rank_q", F.lit(scale).cast("bigint"))
-        .repartition("node")
+        .repartition(_iter_width(nodes), "node")
         .localCheckpoint(eager=True)
     )
     for _ in range(iterations):
@@ -4393,43 +4407,70 @@ def lt_influence(
         raise ValueError(f"theta_ppm in [1, 1e6]: {theta_ppm}")
     if int(max_rounds) < 1:
         raise ValueError(f"max_rounds must be >= 1: {max_rounds}")
-    e = (
+    # ONE pass builds the weighted edge list: the in-degree is a window
+    # count over dst (the former groupBy+join-back recomputed the
+    # distinct-edge shuffle twice), and the result is pre-partitioned
+    # by src so the per-round frontier join never re-shuffles the edge
+    # list — only the (small) frontier moves each round.
+    we = (
         edges.select("src", "dst")
         .where(F.col("src") != F.col("dst"))
         .distinct()
-    )
-    deg = e.groupBy("dst").agg(F.count(F.lit(1)).alias("_d"))
-    we = e.join(deg, "dst").select(
-        "src", "dst",
-        F.expr("CAST(1000000 DIV _d AS BIGINT)").alias("_w"),
-    ).localCheckpoint(eager=True)
-    active = (
-        seeds.select("node").distinct()
-        .withColumn("round", F.lit(0))
+        .withColumn(
+            "_d", F.count(F.lit(1)).over(W.partitionBy("dst"))
+        )
+        .select(
+            "src", "dst",
+            F.expr("CAST(1000000 DIV _d AS BIGINT)").alias("_w"),
+        )
+        .repartition("src")
         .localCheckpoint(eager=True)
     )
-    frontier = active.select("node")
-    recv = None
-    for r in range(1, int(max_rounds) + 2):
-        contrib = (
-            we.join(frontier, we.src == frontier.node)
-            .groupBy("dst")
-            .agg(F.sum("_w").alias("_t"))
-            .select(F.col("dst").alias("node"), "_t")
+    # ONE state table instead of three (received-weight, newly, active):
+    # (node, _t, round) with round NULL while inactive — the full-outer
+    # merge below folds the round's contributions in, sets round on the
+    # rows crossing theta, and is the loop's single checkpoint; the
+    # former separate recv-union groupBy + anti-join pass disappear.
+    # Monotonicity makes this exactly equivalent: activation is
+    # irreversible and sums only grow, so "crossed theta and not yet
+    # active" ⟺ "round IS NULL and new _t ≥ theta".
+    state = (
+        seeds.select("node").distinct()
+        .select(
+            "node",
+            F.lit(0).cast("bigint").alias("_t"),
+            F.lit(0).alias("round"),
         )
-        recv = (
-            contrib if recv is None
-            else recv.unionByName(contrib)
-            .groupBy("node")
-            .agg(F.sum("_t").alias("_t"))
-        ).localCheckpoint(eager=True)
-        newly = (
-            recv.where(F.col("_t") >= F.lit(int(theta_ppm)))
-            .join(active, "node", "left_anti")
-            .select("node")
+        .localCheckpoint(eager=True)
+    )
+    for r in range(1, int(max_rounds) + 2):
+        frontier = state.where(F.col("round") == r - 1).select("node")
+        # shuffled-hash build over the bounded frontier: downstream is
+        # a hash aggregate, so an SMJ sort of the edge list is waste
+        contrib = (
+            we.join(
+                frontier.hint("shuffle_hash"), we.src == frontier.node
+            )
+            .groupBy("dst")
+            .agg(F.sum("_w").alias("_ct"))
+            .select(F.col("dst").alias("node"), "_ct")
+        )
+        nt = F.coalesce(F.col("_t"), F.lit(0)) + F.coalesce(
+            F.col("_ct"), F.lit(0)
+        )
+        state = (
+            state.join(contrib, "node", "full_outer")
+            .select(
+                "node",
+                nt.alias("_t"),
+                F.coalesce(
+                    F.col("round"),
+                    F.when(nt >= F.lit(int(theta_ppm)), F.lit(r)),
+                ).alias("round"),
+            )
             .localCheckpoint(eager=True)
         )
-        if newly.count() == 0:
+        if state.where(F.col("round") == r).isEmpty():
             break
         if r > int(max_rounds):
             raise RuntimeError(
@@ -4437,11 +4478,9 @@ def lt_influence(
                 f"max_rounds={max_rounds}; raise max_rounds "
                 "(a cascade can take up to |V| rounds on a chain)"
             )
-        active = active.unionByName(
-            newly.withColumn("round", F.lit(r))
-        ).localCheckpoint(eager=True)
-        frontier = newly
-    return active.select("node", F.col("round").cast("int"))
+    return state.where(F.col("round").isNotNull()).select(
+        "node", F.col("round").cast("int")
+    )
 
 
 def lt_influence_sql(
