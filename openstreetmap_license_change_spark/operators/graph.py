@@ -61,16 +61,20 @@ def min_label_components(
             .groupBy("src")
             .agg(F.min("label").alias("nl"))
         )
-        relaxed = labels.join(
-            nbr_min, labels.id == nbr_min.src, "left"
-        ).select(
+        relaxed = labels.select(
+            "id", F.col("label").alias("_old")
+        ).join(nbr_min, F.col("id") == nbr_min.src, "left").select(
             "id",
+            "_old",
             F.least(
-                F.col("label"), F.coalesce(F.col("nl"), F.col("label"))
+                F.col("_old"), F.coalesce(F.col("nl"), F.col("_old"))
             ).alias("label"),
         )
         # pointer jump: label ← label[label]; min-propagation keeps
-        # every label a live point id, so the self-join always hits
+        # every label a live point id, so the self-join always hits.
+        # The change flag rides the jumped row (carried _old), so
+        # convergence needs no extra join-and-count pass per round —
+        # one checkpoint + an early-exit emptiness probe instead.
         jumped = (
             relaxed.alias("a")
             .join(
@@ -79,22 +83,25 @@ def min_label_components(
                 ),
                 F.col("a.label") == F.col("_jid"),
             )
-            .select(F.col("a.id").alias("id"), F.col("_jl").alias("label"))
+            .select(
+                F.col("a.id").alias("id"),
+                F.col("_jl").alias("label"),
+                (F.col("_jl") != F.col("a._old")).alias("_chg"),
+            )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            jumped.alias("u")
-            .join(labels.alias("l"), "id")
-            .where(F.col("u.label") != F.col("l.label"))
-            .count()
-        )
-        labels = jumped
+        changed = 0 if jumped.where(F.col("_chg")).isEmpty() else 1
+        labels = jumped.select("id", "label")
         if changed == 0:
             break
     else:
+        # warn path only (never taken when the loop broke early)
+        n_chg = (
+            jumped.where(F.col("_chg")).count() if max_iters > 0 else -1
+        )
         msg = (
             f"{op_name}: propagation did NOT converge after "
-            f"max_iters={max_iters} ({changed} labels still changing); "
+            f"max_iters={max_iters} ({n_chg} labels still changing); "
             "cluster ids may split true components. Raise max_iters "
             "(rounds needed ~ log2 of the longest chain)."
         )
@@ -4262,7 +4269,11 @@ def boruvka_msf(
         .localCheckpoint(eager=True)
     )
     msf = None
-    for _ in range(int(max_rounds)):
+    # max_rounds+1 probes of the cross-component edge set: the LAST
+    # probe exists only to certify convergence, so a forest finished in
+    # exactly max_rounds rounds completes instead of raising (the
+    # former for/else raised before looking — off-by-one)
+    for rnd in range(int(max_rounds) + 1):
         la = comp.select(
             F.col("id").alias("_ja"), F.col("label").alias("_ca")
         )
@@ -4276,30 +4287,93 @@ def boruvka_msf(
             .select("_a", "_b", "_w", "_ca", "_cb")
             .localCheckpoint(eager=True)
         )
-        if cross.count() == 0:
+        # early-exit probe on the materialized checkpoint, not a full
+        # count — mid-cascade rounds answer from the first hit
+        if cross.isEmpty():
             break
+        if rnd == int(max_rounds):
+            raise RuntimeError(
+                f"boruvka_msf: cross-component edges remain after "
+                f"max_rounds={max_rounds}; raise max_rounds "
+                "(rounds needed ~ log2 of the largest component)"
+            )
         st = F.struct("_w", "_a", "_b", "_ca", "_cb").alias("_e")
-        chosen = (
+        # one row PER COMPONENT: its minimum incident cross edge under
+        # the (w, a, b) total order — kept before the edge-level
+        # distinct because it doubles as the merge's hook pointer
+        perc = (
             cross.select(F.col("_ca").alias("_c"), st)
             .union(cross.select(F.col("_cb").alias("_c"), st))
             .groupBy("_c")
             .agg(F.min("_e").alias("_e"))
-            .select("_e.*")
-            .distinct()
             .localCheckpoint(eager=True)
         )
-        picked = chosen.select("_a", "_b", "_w")
+        picked = perc.select("_e.*").distinct().select("_a", "_b", "_w")
+        # msf is a union of ≤max_rounds checkpointed chosen-sets —
+        # linear lineage, no per-round checkpoint needed
         msf = picked if msf is None else msf.unionByName(picked)
-        msf = msf.localCheckpoint(eager=True)
-        mapping = min_label_components(
-            comp.select(F.col("label").alias("id")).distinct(),
-            chosen.select(
-                F.col("_ca").alias("id_a"), F.col("_cb").alias("id_b")
-            ),
-            max_iters=int(component_iters),
-            op_name="boruvka_msf.merge",
-        ).select(
-            F.col("id").alias("_ml"), F.col("label").alias("_nl")
+        # merge by hook + pointer doubling on the FUNCTIONAL pointer
+        # graph parent(c) = other endpoint of c's min edge.  Under a
+        # total edge order every pointer cycle is a mutual-min 2-cycle
+        # (the cycle's lightest edge is chosen from both ends), so
+        # rooting each 2-cycle at its smaller label and then doubling
+        # parent ← parent[parent] converges to one representative per
+        # merge tree in O(log depth) one-self-join rounds — strictly
+        # lighter than the generic min_label_components call this
+        # replaces (no neighbor-min groupBy, no vertex-set distinct,
+        # no symmetrized edge checkpoint).  Label VALUES differ from
+        # min-label's (root = 2-cycle min, not component min) but are
+        # deterministic and consistent, which is all the next round's
+        # grouping uses — the chosen edges and the forest are
+        # unchanged (struct order decides on (w, a, b) alone).
+        parent = (
+            perc.select(
+                F.col("_c").alias("id"),
+                F.when(F.col("_e._ca") == F.col("_c"), F.col("_e._cb"))
+                .otherwise(F.col("_e._ca"))
+                .alias("par"),
+            )
+        )
+        pj = parent.select(
+            F.col("id").alias("_q"), F.col("par").alias("_qp")
+        )
+        parent = (
+            parent.join(pj, parent.par == pj._q)
+            .select(
+                "id",
+                F.when(
+                    (F.col("_qp") == F.col("id"))
+                    & (F.col("id") < F.col("par")),
+                    F.col("id"),
+                )
+                .otherwise(F.col("par"))
+                .alias("par"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        for _ in range(int(component_iters)):
+            pj = parent.select(
+                F.col("id").alias("_q"), F.col("par").alias("_qp")
+            )
+            parent = (
+                parent.join(pj, parent.par == pj._q)
+                .select(
+                    "id",
+                    F.col("_qp").alias("par"),
+                    (F.col("_qp") != F.col("par")).alias("_chg"),
+                )
+                .localCheckpoint(eager=True)
+            )
+            if parent.where(F.col("_chg")).isEmpty():
+                break
+        else:
+            raise RuntimeError(
+                "boruvka_msf.merge: pointer doubling did not converge "
+                f"after component_iters={component_iters}; raise it "
+                "(rounds needed ~ log2 of the merge-tree depth)"
+            )
+        mapping = parent.select(
+            F.col("id").alias("_ml"), F.col("par").alias("_nl")
         )
         comp = (
             comp.join(mapping, comp.label == mapping._ml, "left")
@@ -4308,12 +4382,6 @@ def boruvka_msf(
                 F.coalesce(F.col("_nl"), F.col("label")).alias("label"),
             )
             .localCheckpoint(eager=True)
-        )
-    else:
-        raise RuntimeError(
-            f"boruvka_msf: cross-component edges remain after "
-            f"max_rounds={max_rounds}; raise max_rounds "
-            "(rounds needed ~ log2 of the largest component)"
         )
     if msf is None:
         msf = e.limit(0).select("_a", "_b", "_w")
@@ -4721,9 +4789,18 @@ def greedy_matching(
         .localCheckpoint(eager=True)
     )
     matched = None
-    for _ in range(int(max_rounds)):
+    # max_rounds+1 probes: the LAST probe exists only to certify that
+    # alive is empty, so a matching finished in exactly max_rounds
+    # rounds completes instead of raising (former for/else off-by-one)
+    for rnd in range(int(max_rounds) + 1):
         if alive.isEmpty():
             break
+        if rnd == int(max_rounds):
+            raise RuntimeError(
+                f"greedy_matching: alive edges remain after "
+                f"max_rounds={max_rounds} (adversarial weight chains "
+                "need up to |V|/2 rounds); raise max_rounds"
+            )
         st = F.struct("_w", "_a", "_b").alias("_e")
         node_min = (
             alive.select(F.col("_a").alias("_n"), st)
@@ -4759,10 +4836,11 @@ def greedy_matching(
             .select("_a", "_b", "_w")
             .localCheckpoint(eager=True)
         )
+        # matched is a union of ≤max_rounds checkpointed local-min sets
+        # — linear lineage, no per-round checkpoint needed
         matched = local if matched is None else matched.unionByName(
             local
         )
-        matched = matched.localCheckpoint(eager=True)
         used = (
             local.select(F.col("_a").alias("_n"))
             .union(local.select("_b"))
@@ -4772,12 +4850,6 @@ def greedy_matching(
             alive.join(used, alive._a == used._n, "left_anti")
             .join(used, alive._b == used._n, "left_anti")
             .localCheckpoint(eager=True)
-        )
-    else:
-        raise RuntimeError(
-            f"greedy_matching: alive edges remain after "
-            f"max_rounds={max_rounds} (adversarial weight chains "
-            "need up to |V|/2 rounds); raise max_rounds"
         )
     if matched is None:
         matched = alive.limit(0)

@@ -713,6 +713,8 @@ def pca_power_top(
     means = vlong.groupBy("dim").agg(
         F.expr("CAST(SUM(_q) AS BIGINT) DIV COUNT(*)").alias("_mq")
     )
+    # (r06 note: pre-partitioning ylong by id was A/B-measured a wash —
+    # the per-round aggregates re-hash anyway; kept un-partitioned)
     ylong = (
         vlong.join(F.broadcast(means), "dim")
         .select(

@@ -2660,6 +2660,12 @@ def tile_hotspots(
 
     Returns (cell, n_nbrs, nbr_sum, gi_num=A, hot, cold)."""
     dec = "decimal(38,0)"
+    # the aggregate raster is consumed THREE times below (focal fan,
+    # focal's support semi-join, global moments) — without a checkpoint
+    # the upstream rollup (a full pass over the point table) runs once
+    # per consumer; the raster is |cells| rows, so materializing it is
+    # the cheap side of that trade at any scale
+    cells = cells.localCheckpoint(eager=True)
     focal = tile_focal_stats(cells, value_col, res_deg).select(
         "cell", "n_nbrs", "nbr_sum"
     )
