@@ -65,6 +65,26 @@ def _broadcast_threshold_bytes(spark) -> int:
     return max(val, 0)
 
 
+
+def _auto_join_hint(df, join_hint):
+    """Resolve the kNN family's ``join_hint="auto"`` default.
+
+    With AQE on, the right move is NO static hint: the runtime planner
+    broadcast-converts the candidate side whenever its real size fits
+    (a static shuffle_hash hint pins the plan and was A/B-measured 4×
+    slower at density-matched bench scale), and the session's
+    maxShuffledHashJoinLocalMapThreshold still gives shuffled-hash
+    (sort-free) when the side is too big to broadcast.  With AQE off —
+    the pinned scaling protocol — the static shuffled-hash build is
+    kept (measured best there; see knn_in_cell's docstring)."""
+    if join_hint != "auto":
+        return join_hint
+    aqe = str(
+        df.sparkSession.conf.get("spark.sql.adaptive.enabled", "true")
+    ).lower()
+    return None if aqe == "true" else "shuffle_hash"
+
+
 def grid_cell(
     lon: Column, lat: Column, res_deg: float = DEFAULT_RES_DEG
 ) -> Column:
@@ -1580,7 +1600,7 @@ def knn_in_cell(
     k: int = 3,
     point_id: str = "url",
     cand_id: str = "cand_url",
-    join_hint: str | None = "shuffle_hash",
+    join_hint: str | None = "auto",
 ) -> DataFrame:
     """Cell-local kNN: join points to candidates sharing a cell, rank by
     squared distance (exact arithmetic — reproducible in SQL) with a
@@ -1598,7 +1618,10 @@ def knn_in_cell(
     One shuffle on cell for each side; salting for hot cells is the
     caller's choice via ``salt_hot_cells``.
 
-    ``join_hint="shuffle_hash"`` (default) builds a per-partition hash
+    ``join_hint="auto"`` (default) resolves per session: no static
+    hint under AQE (runtime broadcast/shuffled-hash conversion — see
+    :func:`_auto_join_hint`), shuffled-hash when AQE is off.  A
+    shuffled-hash build makes a per-partition hash
     map over the candidate side instead of sort-merging: the pair join
     needs no ordering (the window's partial top-k sorts its OWN output
     anyway), so the two join-input sorts are pure waste.  The build
@@ -1624,6 +1647,7 @@ def _knn_pairs(points, candidates, cand_id, join_hint=None):
         F.col("lon").alias("c_lon"),
         F.col("lat").alias("c_lat"),
     )
+    join_hint = _auto_join_hint(c, join_hint)
     if join_hint:
         c = c.hint(join_hint)
     return points.join(c, points.cell == c.c_cell, "inner").withColumn(
@@ -1680,7 +1704,7 @@ def knn_neighborhood(
     point_id: str = "url",
     cand_id: str = "cand_url",
     strategy: str = "window",
-    join_hint: str | None = "shuffle_hash",
+    join_hint: str | None = "auto",
     payload_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """kNN with 3×3 neighbor-cell probing: like :func:`knn_in_cell`
@@ -1741,12 +1765,13 @@ def knn_neighborhood(
         F.col("lat").alias("c_lat"),
         *[F.col(p) for p in payload_cols],
     )
+    join_hint = _auto_join_hint(c, join_hint)
     if join_hint:
         # the pair join needs no ordering (the partial WindowGroupLimit
         # sorts its own output anyway): a shuffled-hash build over the
         # density-bounded candidate side skips both join-input sorts —
-        # measured 4.1 → 3.1 s at ×512/8 cores; see knn_in_cell's
-        # docstring for the build-side bound + AQE skew argument
+        # measured 4.1 → 3.1 s at ×512/8 cores (AQE-off protocol); see
+        # knn_in_cell's docstring + _auto_join_hint for the AQE-on path
         c = c.hint(join_hint)
     dlon_raw = F.abs(F.col("lon") - F.col("c_lon"))
     dlon = F.least(dlon_raw, F.lit(360.0) - dlon_raw)
@@ -1770,7 +1795,7 @@ def knn_neighborhood_agg(
     res_deg: float = DEFAULT_RES_DEG,
     point_id: str = "url",
     cand_id: str = "cand_url",
-    join_hint: str | None = "shuffle_hash",
+    join_hint: str | None = "auto",
     payload_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """:func:`knn_neighborhood` semantics (3×3 probing, wrapped-lon
@@ -1825,6 +1850,7 @@ def knn_neighborhood_agg(
             *[c[p].alias(p) for p in payload_cols],
         )
 
+    join_hint = _auto_join_hint(cand_cells, join_hint)
     if join_hint:
         cand_cells = cand_cells.hint(join_hint)
     point_cols = [c2 for c2 in points.columns]
@@ -1856,7 +1882,7 @@ def eps_neighbor_edges(
     eps_deg: float,
     id_col: str = "url",
     res_deg: float | None = None,
-    join_hint: str | None = "shuffle_hash",
+    join_hint: str | None = "auto",
 ) -> DataFrame:
     """All point pairs within ``eps_deg`` (equirectangular degrees,
     wrapped lon — the kNN family's metric), found by the 3×3
@@ -1891,6 +1917,7 @@ def eps_neighbor_edges(
         F.col("lon").alias("c_lon"),
         F.col("lat").alias("c_lat"),
     )
+    join_hint = _auto_join_hint(cand, join_hint)
     if join_hint:
         cand = cand.hint(join_hint)
     dlon_raw = F.abs(F.col("lon") - F.col("c_lon"))
@@ -1913,7 +1940,7 @@ def radius_join(
     point_id: str = "url",
     cand_id: str = "cand_url",
     res_deg: float | None = None,
-    join_hint: str | None = "shuffle_hash",
+    join_hint: str | None = "auto",
 ) -> DataFrame:
     """Two-table spatial radius join: every (point, candidate) pair
     within ``radius_deg`` (wrapped-lon equirectangular degrees — the
@@ -1950,6 +1977,7 @@ def radius_join(
         F.col("lon").alias("c_lon"),
         F.col("lat").alias("c_lat"),
     )
+    join_hint = _auto_join_hint(c, join_hint)
     if join_hint:
         c = c.hint(join_hint)
     dlon_raw = F.abs(F.col("lon") - F.col("c_lon"))
@@ -2031,7 +2059,7 @@ def extent_overlap_join(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_cells: int | None = 256,
-    join_hint: str | None = "shuffle_hash",
+    join_hint: str | None = "auto",
 ) -> DataFrame:
     """Rectangle×rectangle overlap join (closed intervals, shared-edge
     touch counts) — the extent analogue of :func:`radius_join`, via
@@ -2081,6 +2109,7 @@ def extent_overlap_join(
             )
         ).alias("b_cell"),
     )
+    join_hint = _auto_join_hint(b, join_hint)
     if join_hint:
         b = b.hint(join_hint)
     inter_lon_min = F.greatest("a_lon_min", "b_lon_min")
@@ -2123,7 +2152,7 @@ def segment_crossing_join(
     id_b: str = "id_b",
     scale: int = 10_000,
     max_cells: int | None = 256,
-    join_hint: str | None = "shuffle_hash",
+    join_hint: str | None = "auto",
 ) -> DataFrame:
     """Segment×segment PROPER-crossing join (road/way intersection
     detection — the line-layer analogue of :func:`extent_overlap_join`)
@@ -2206,6 +2235,7 @@ def segment_crossing_join(
 
     a = prep(segs_a, "a", id_a)
     b = prep(segs_b, "b", id_b)
+    join_hint = _auto_join_hint(b, join_hint)
     if join_hint:
         b = b.hint(join_hint)
 
@@ -2255,7 +2285,7 @@ def nearest_attribution(
     point_id: str = "url",
     cand_id: str = "cand_url",
     payload_cols: tuple[str, ...] = (),
-    join_hint: str | None = "shuffle_hash",
+    join_hint: str | None = "auto",
 ) -> DataFrame:
     """Nearest-clean-version attribution: for each point, the SINGLE
     nearest candidate within the 3×3 cell neighborhood (wrapped-lon
@@ -2293,6 +2323,7 @@ def nearest_attribution(
         F.col("lat").alias("c_lat"),
         *[F.col(p) for p in payload_cols],
     )
+    join_hint = _auto_join_hint(c, join_hint)
     if join_hint:
         c = c.hint(join_hint)
     dlon_raw = F.abs(F.col("lon") - F.col("c_lon"))
@@ -2329,7 +2360,7 @@ def knn_attribute_mode(
     point_id: str = "url",
     cand_id: str = "cand_url",
     strategy: str = "window",
-    join_hint: str | None = "shuffle_hash",
+    join_hint: str | None = "auto",
 ) -> DataFrame:
     """Majority-vote attribution: each point takes the MODAL value of
     ``attr_col`` among its k nearest candidates (3×3-probed, wrapped
@@ -6181,7 +6212,7 @@ def ripley_k_counts(
     radii_udeg: "Sequence[int]",
     id_col: str = "url",
     res_deg: float | None = None,
-    join_hint: str | None = "shuffle_hash",
+    join_hint: str | None = "auto",
 ) -> DataFrame:
     """Ripley's K point-pattern statistic, the exact-count core: for
     each radius r, the number of unordered point pairs within r
@@ -6234,6 +6265,7 @@ def ripley_k_counts(
         F.col("lon").alias("c_lon"),
         F.col("lat").alias("c_lat"),
     )
+    join_hint = _auto_join_hint(cand, join_hint)
     if join_hint:
         cand = cand.hint(join_hint)
     dlon_raw = F.abs(F.col("lon") - F.col("c_lon"))
@@ -6313,7 +6345,7 @@ def semivariogram_counts(
     value_col: str,
     id_col: str = "url",
     res_deg: float | None = None,
-    join_hint: str | None = "shuffle_hash",
+    join_hint: str | None = "auto",
 ) -> DataFrame:
     """Empirical semivariogram, the exact-count core — the VALUE-field
     companion of :func:`ripley_k_counts` (where Ripley asks "do the
@@ -6376,6 +6408,7 @@ def semivariogram_counts(
         F.col("lat").alias("c_lat"),
         F.col(value_col).cast("bigint").alias("v_b"),
     )
+    join_hint = _auto_join_hint(cand, join_hint)
     if join_hint:
         cand = cand.hint(join_hint)
     dlon_raw = F.abs(F.col("lon") - F.col("c_lon"))
@@ -9323,7 +9356,7 @@ def semivariogram_directional(
     value_col: str,
     id_col: str = "url",
     res_deg: float | None = None,
-    join_hint: str | None = "shuffle_hash",
+    join_hint: str | None = "auto",
 ) -> DataFrame:
     """Directional (anisotropic) semivariogram — the
     direction-decomposed upgrade of :func:`semivariogram_counts`:
@@ -9394,6 +9427,7 @@ def semivariogram_directional(
         F.col("lat").alias("c_lat"),
         F.col(value_col).cast("bigint").alias("v_b"),
     )
+    join_hint = _auto_join_hint(cand, join_hint)
     if join_hint:
         cand = cand.hint(join_hint)
     raw = F.col("c_lon") - F.col("lon")

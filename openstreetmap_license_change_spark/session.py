@@ -46,6 +46,15 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", aqe)
         .config("spark.sql.adaptive.coalescePartitions.enabled", aqe)
         .config("spark.sql.adaptive.skewJoin.enabled", aqe)
+        # let AQE rewrite a planned sort-merge join into a shuffled-hash
+        # join at runtime when every post-shuffle build partition fits
+        # (default 0 = off): the kNN/pair joins feed hash aggregates or
+        # window group-limits, so SMJ's input sorts are pure waste; the
+        # per-partition bound keeps it OOM-safe at any scale
+        .config(
+            "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+            "64m",
+        )
         # DisableUnnecessaryBucketedScan (autoBucketedScan, default on)
         # demotes a bucketed read to a plain merged-file scan whenever
         # no operator above it declares a hash-distribution requirement

@@ -306,13 +306,25 @@ def test_segment_crossing_join_shape(spark):
         .withColumnRenamed("sid", "id_a")
     b = spark.createDataFrame([("b", 0.0, 1.0, 1.0, 0.0)], ddl) \
         .withColumnRenamed("sid", "id_b")
-    df = spatial.segment_crossing_join(a, b, res_deg=1.0)
+    # static-hint path (the AQE-off scaling protocol): one shuffled-hash
+    # join on the cell key, exact predicate residual, no dedup aggregate
+    # after the join (reference-point rule)
+    df = spatial.segment_crossing_join(
+        a, b, res_deg=1.0, join_hint="shuffle_hash"
+    )
     plan = plan_of(df)
-    # one shuffled-hash join on the cell key, exact predicate residual,
-    # no dedup aggregate after the join (reference-point rule)
     assert "ShuffledHashJoin" in plan, plan
     assert "HashAggregate" not in plan, plan
     assert "ArrowEvalPython" not in plan
+    # default "auto" path: no static hint pinned, so AQE may broadcast-
+    # or shuffled-hash-convert at runtime — the invariants that must
+    # hold regardless of strategy: an equi-join on the cell key exists,
+    # and still no dedup aggregate / no Python
+    df_auto = spatial.segment_crossing_join(a, b, res_deg=1.0)
+    plan_auto = plan_of(df_auto)
+    assert "Join" in plan_auto, plan_auto
+    assert "HashAggregate" not in plan_auto, plan_auto
+    assert "ArrowEvalPython" not in plan_auto
 
 
 def test_geocode_rollups_stay_native(spark):
