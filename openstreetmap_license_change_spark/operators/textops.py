@@ -2253,7 +2253,12 @@ def kn_bigram_model(
         F.col("token").alias("w1"),
         F.lead("token").over(w).alias("w2"),
     ).where(F.col("w2").isNotNull())
-    c_ab = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c"))
+    # the bigram-count table feeds FOUR consumers (left/right marginals,
+    # type total, final join) — checkpoint it so the corpus tokenize +
+    # window + count pipeline runs once, not once per consumer
+    c_ab = bi.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).alias("c")
+    ).localCheckpoint(eager=True)
     left = c_ab.groupBy("w1").agg(
         F.sum("c").alias("c_w1"),
         F.count(F.lit(1)).alias("cont_right"),
@@ -2862,10 +2867,25 @@ def kn_score_docs(
         F.col("token").alias("w1"),
         F.lead("token").over(w).alias("w2"),
     ).where(F.col("w2").isNotNull())
-    left = model.select("w1", "c_w1", "cont_right").distinct()
-    right = model.select("w2", "cont_left").distinct()
+    # the model plan feeds FOUR consumers below; materialize it once
+    # (vocab²-scale rows) instead of re-running its whole build per
+    # consumer — the former plan re-scanned the training corpus 4×.
+    # The checkpoint erases Catalyst's size estimate, so re-derive the
+    # broadcast decision from the REAL row count (the colocation_pairs
+    # policy): model tables under the session threshold broadcast as
+    # before; bigger ones fall back to AQE's runtime join choice.
+    from .spatial import _broadcast_threshold_bytes as _bthresh
+
+    model = model.localCheckpoint(eager=True)
+    _bc = (
+        model.count() * 64  # ~64 B/row: two short tokens + 5 int64s
+        <= _bthresh(model.sparkSession)
+    )
+    _b = F.broadcast if _bc else (lambda df: df)
+    left = _b(model.select("w1", "c_w1", "cont_right").distinct())
+    right = _b(model.select("w2", "cont_left").distinct())
     tot = model.agg(F.count(F.lit(1)).alias("_t"))
-    big = model.select("w1", "w2", F.col("c").alias("_c"))
+    big = _b(model.select("w1", "w2", F.col("c").alias("_c")))
     dec = "decimal(38,0)"
     p = (
         f"CAST(CASE WHEN c_w1 IS NULL OR cont_left IS NULL THEN NULL "
