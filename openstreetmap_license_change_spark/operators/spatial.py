@@ -5878,21 +5878,33 @@ def basin_label(
         F.col("cell").alias("_fc"),
         F.col("d8_cell").isNull().alias("_fsink"),
     )
-    state = d8.select(
-        "cell", F.coalesce("d8_cell", F.col("cell")).alias("_p")
-    ).localCheckpoint(eager=True)
+    # the state carries "does my pointer rest on a sink" (_ps) — the
+    # jump join hands over the target's flag for free, so the per-round
+    # convergence test is an isEmpty probe on the checkpoint instead of
+    # a separate sink-flag join job; same rounds, same final pointers
+    state = (
+        d8.select(
+            "cell", F.coalesce("d8_cell", F.col("cell")).alias("_p")
+        )
+        .join(flags, F.col("_p") == flags["_fc"])
+        .select("cell", "_p", F.col("_fsink").alias("_ps"))
+        .localCheckpoint(eager=True)
+    )
     for _ in range(max_rounds):
-        live = state.join(
-            flags, state["_p"] == flags["_fc"]
-        ).where(~F.col("_fsink"))
-        if live.isEmpty():
+        if state.where(~F.col("_ps")).isEmpty():
             break
         jump = state.select(
-            F.col("cell").alias("_jc"), F.col("_p").alias("_jp")
+            F.col("cell").alias("_jc"),
+            F.col("_p").alias("_jp"),
+            F.col("_ps").alias("_jps"),
         )
         state = (
             state.join(jump, state["_p"] == F.col("_jc"))
-            .select("cell", F.col("_jp").alias("_p"))
+            .select(
+                "cell",
+                F.col("_jp").alias("_p"),
+                F.col("_jps").alias("_ps"),
+            )
             .localCheckpoint(eager=True)
         )
     else:

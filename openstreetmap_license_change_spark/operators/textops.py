@@ -2701,11 +2701,20 @@ def rake_keywords(
     )
     plen = F.count(F.lit(1)).over(W.partitionBy("doc", "isl"))
     occ = isl.select("doc", "pos", "tok", "isl", plen.alias("plen"))
-    words = occ.groupBy("doc", "tok").agg(
-        F.count(F.lit(1)).alias("freq"),
-        F.sum("plen").alias("deg"),
-    )
-    scored = occ.join(words, ["doc", "tok"]).select(
+    # per-(doc, word) stats as WINDOW aggregates instead of a groupBy
+    # + join-back: hash(doc) from the first window already satisfies
+    # every (doc, …)-keyed clustering below, so the whole operator runs
+    # on ONE exchange — the former plan re-shuffled for the word
+    # groupBy and again for the join (6 exchanges total)
+    ww = W.partitionBy("doc", "tok")
+    scored = occ.select(
+        "doc",
+        "pos",
+        "tok",
+        "isl",
+        F.sum("plen").over(ww).alias("deg"),
+        F.count(F.lit(1)).over(ww).alias("freq"),
+    ).select(
         "doc",
         "pos",
         "tok",
