@@ -65,9 +65,12 @@ def skyline(
     the partitioned-window contract at 10¹² rows."""
     if n_buckets < 1:
         raise ValueError(f"n_buckets must be ≥ 1: {n_buckets}")
+    # pts feeds THREE consumers (bounds, the per-x aggregate, and the
+    # final join-back); checkpoint it so an expensive upstream (e.g. a
+    # regex token count over the text corpus) runs once per execution
     pts = df.withColumn("_sx", F.col(x).cast("bigint")).withColumn(
         "_sy", F.col(y).cast("bigint")
-    )
+    ).localCheckpoint(eager=True)
     bounds = pts.agg(
         F.min("_sx").alias("lo"), F.max("_sx").alias("hi")
     ).head()

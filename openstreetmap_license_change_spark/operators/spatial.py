@@ -11751,8 +11751,13 @@ def raster_hillshade(
     is engine-identical.  ``z_scale`` (declared, ≥ 1) is the
     vertical exaggeration: how many value units span one cell width;
     a flat cell shades to ≈ cos(45°)·10⁶ by the algebra, no special
-    case.  Bounds: (n·L)²·10¹² ≤ 10³⁵ for |g| ≤ 10¹³ — decimal(38)/
-    HUGEINT with room (stated).
+    case.  Bounds: the cleared numerator is (n·L)²·10¹², so staying
+    inside decimal(38)/HUGEINT needs |n·L| ≤ 10¹³, i.e. |g| ≲
+    (10¹³ − z·lz)/(|lx|+|ly|) ≈ 10⁷ at the default light — NOT the
+    10¹³ an earlier revision claimed (that would clear ~10⁵⁰ and
+    overflow asymmetrically: Spark nulls, DuckDB errors).  A LOUD
+    guard enforces the derived per-light limit on |gx|,|gy| so an
+    out-of-envelope raster raises here instead of silently nulling.
 
     Plan: raster_aspect's ×4 fan + groupBy on the aggregate raster,
     then pure per-row column arithmetic — no extra shuffle.
@@ -11764,8 +11769,25 @@ def raster_hillshade(
         raise ValueError("light altitude must be positive (lz > 0)")
     z = int(z_scale)
     l2 = lx * lx + ly * ly + lz * lz
+    # derived overflow envelope (see docstring): |n·L| must stay ≤ 10¹³
+    # so the cleared numerator (n·L)²·10¹² fits decimal(38); guard the
+    # gradient magnitude loudly instead of letting Spark null on
+    # overflow where DuckDB would error
+    g_lim = (10**13 - z * lz) // max(abs(lx) + abs(ly), 1)
+    g_guard = F.assert_true(
+        (F.abs(F.col("gx")) <= F.lit(g_lim))
+        & (F.abs(F.col("gy")) <= F.lit(g_lim)),
+        F.lit(
+            f"raster_hillshade: |gradient| exceeds the overflow-safe "
+            f"envelope {g_lim} for this light vector — the cleared "
+            "(n·L)²·10¹² term would leave decimal(38); rescale the "
+            "raster or lower z_scale"
+        ),
+    )
     g = raster_aspect(cells, value_col, res_deg).select(
-        "cell", "gx", "gy"
+        "cell",
+        F.when(g_guard.isNull(), F.col("gx")).alias("gx"),
+        "gy",
     )
     dec = "decimal(38,0)"
     dot = f"(CAST(-gx AS {dec}) * {lx} + CAST(-gy AS {dec}) * {ly} " \
@@ -11914,8 +11936,16 @@ def nn_g_counts(
     counts = nn.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_matched"),
         *[
-            F.sum(
-                F.when(F.col("_nn2") <= F.lit(r * r), 1).otherwise(0)
+            # COALESCE to 0 on the empty-nn degenerate case (no point
+            # has a neighbour within delta): SUM over zero rows is
+            # NULL, which would break 'censored points contribute 0 to
+            # every band' and hash-diverge from the twin's
+            # COALESCE(SUM(...), 0)
+            F.coalesce(
+                F.sum(
+                    F.when(F.col("_nn2") <= F.lit(r * r), 1).otherwise(0)
+                ),
+                F.lit(0),
             ).cast("bigint").alias(f"_le{r}")
             for r in rs
         ],

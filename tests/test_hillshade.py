@@ -123,3 +123,26 @@ def test_random_vs_mirror_and_twin(spark):
         "r", "v", res_deg=RES, z_scale=2
     )).fetchall()
     assert {r[0]: (r[1], r[2], r[3]) for r in out} == got
+
+
+def test_gradient_overflow_guard_raises(spark):
+    """Round-6 fix: a gradient outside the derived decimal(38)
+    envelope (~1e7 at the default light) raises loudly instead of
+    silently nulling where DuckDB would error."""
+    import pytest as _pytest
+
+    # central difference over neighbours: a huge value step produces
+    # |g| beyond the guard ((1e13 - z*lz) / (|lx|+|ly|) ≈ 1e7)
+    cells = [(30, 0), (31, 4 * 10**13), (29, -4 * 10**13),
+             (18, 0), (42, 0)]
+    with _pytest.raises(Exception, match="overflow-safe envelope"):
+        _run(spark, cells)
+
+
+def test_gradient_inside_envelope_passes_guard(spark):
+    """Values just inside the envelope still shade (guard is not
+    over-tight)."""
+    cells = [(30, 0), (31, 10**6), (29, -(10**6)),
+             (18, 0), (42, 0)]
+    got = _run(spark, cells)
+    assert 30 in got

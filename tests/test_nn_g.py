@@ -101,3 +101,16 @@ def test_random_vs_mirror_and_twin(spark):
         spatial.nn_g_counts_sql("p", 1.0, radii)
     ).fetchall()
     assert {r[0]: tuple(r[1:]) for r in out} == got
+
+
+def test_all_censored_bands_are_zero_not_null(spark):
+    """Degenerate case (round-6 fix): no point has a neighbour within
+    delta — every band count must be 0 (matching the twin's
+    COALESCE(SUM(...), 0)), never NULL."""
+    pts = [(1, 0.0, 0.0), (2, 50.0, 0.0), (3, -50.0, 40.0)]
+    got = _run(spark, pts, [2500, 5000])
+    for r in (2500, 5000):
+        n, n_matched, n_far, n_le, g_ppm = got[r]
+        assert (n, n_matched, n_far) == (3, 0, 3)
+        assert n_le == 0          # was NULL before the coalesce fix
+        assert g_ppm == 0         # 0 * 1e6 DIV 3
