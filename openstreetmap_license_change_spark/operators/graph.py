@@ -186,7 +186,7 @@ def pagerank_quantized(
     # Arithmetic is unchanged — same recurrence, same integer division —
     # so ranks stay bit-identical to pagerank_sql round by round.
     state = (
-        nodes.join(outdeg, "node", "left")
+        nodes.join(outdeg.hint("shuffle_hash"), "node", "left")
         .withColumn("rank_q", F.lit(scale).cast("bigint"))
         .repartition(_iter_width(nodes), "node")
         .localCheckpoint(eager=True)
