@@ -700,6 +700,13 @@ def pca_power_top(
     Plan per round: one broadcast join (v is d rows) + id-keyed agg,
     one id-keyed join + dim-keyed agg — 2 shuffles, map-side
     combined, lineage cut per round (the pagerank_quantized pattern).
+    The round state checkpointed is ``contrib`` (d rows) and the L1
+    normalizer is a bounded 1-row collect baked into the requantize
+    expression as a decimal literal (the pagerank dangling-mass
+    pattern): a ``crossJoin(broadcast(l1))`` formulation instead
+    re-executes the whole dots→contrib pipeline inside the broadcast
+    build (no exchange reuse across the two subtrees — r06 measured
+    plan), doubling every round.
 
     Returns (dim, v_q) with Σ|v_q| ≈ 2²⁰ (L1-quantized loadings)."""
     if rounds < 1:
@@ -723,7 +730,12 @@ def pca_power_top(
         .localCheckpoint(eager=True)
     )
     spark = embeddings.sparkSession
-    dims = [r["dim"] for r in means.select("dim").collect()]
+    # dims from the checkpointed deviations (the mean join is keyed on
+    # dim, so the sets are identical) — avoids re-running the parquet
+    # scan + explode + groupBy that means.collect() would cost
+    dims = [
+        r["dim"] for r in ylong.select("dim").distinct().collect()
+    ]
     v = spark.createDataFrame(
         [(d, PCA_NORM) for d in sorted(dims)], "dim int, v_q bigint"
     )
@@ -741,27 +753,27 @@ def pca_power_top(
                     F.col("_dot").cast(dec) * F.col("_y")
                 ).alias("_c")
             )
+            .localCheckpoint(eager=True)
         )
-        l1 = contrib.agg(
-            F.sum(F.abs(F.col("_c"))).alias("_l1"),
-        )
-        guard = F.assert_true(
-            F.col("_l1") > 0,
-            F.lit(
+        # bounded 1-row collect over the d checkpointed contrib rows;
+        # Σ|contrib| as a decimal(38,0) literal keeps the requantize
+        # DIV byte-identical to the column form the twin unrolls
+        l1_val = contrib.agg(
+            F.sum(F.abs(F.col("_c"))).alias("_l1")
+        ).collect()[0]["_l1"]
+        if l1_val is None or l1_val <= 0:
+            raise RuntimeError(
                 "pca_power_top: zero covariance action (constant "
                 "input?) — the top component is undefined"
-            ),
-        )
-        v = (
-            contrib.crossJoin(F.broadcast(l1))
-            .select(
-                "dim",
-                F.when(
-                    guard.isNull(),
-                    F.expr(f"CAST((_c * {PCA_NORM}) DIV _l1 AS BIGINT)"),
-                ).alias("v_q"),
             )
-            .localCheckpoint(eager=True)
+        v = contrib.select(
+            "dim",
+            F.expr(
+                f"CAST((_c * {PCA_NORM}) DIV "
+                # int() renders the scale-0 decimal in plain digits
+                # (Decimal repr may use exponent notation)
+                f"CAST('{int(l1_val)}' AS DECIMAL(38,0)) AS BIGINT)"
+            ).alias("v_q"),
         )
     return v.select("dim", "v_q")
 

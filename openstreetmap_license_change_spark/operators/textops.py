@@ -1139,41 +1139,73 @@ def gopher_filter(
     division, no float, so the DuckDB twin (:func:`gopher_filter_sql`)
     hash-matches flag-for-flag.
 
-    Plan shape: char-level features are plain string expressions on
-    the scan (no shuffle); token-level features come from ONE explode
-    → (doc, token) partial-agg → per-doc re-agg (top-token max, the
-    distinct-stopword count over the already-unique tf rows, numeric
-    token sum) — two shuffles total, joined back on the id.
+    Plan shape (r06): ZERO shuffles — every token-level feature is a
+    higher-order-function expression over the split-token array on the
+    scan itself (guide §2.4/§4.1: built-in array HOFs remove the
+    explode → (doc, token) partial-agg → per-doc re-agg → join-back
+    pipeline, which cost two exchanges and re-keyed the whole token
+    stream).  top_tf is the longest equal-run of the SORTED token
+    array (identical to max term frequency); stop_hits is
+    |array_intersect(distinct tokens, stopset)| (identical to the
+    distinct-stopword hit count); numeric density is a filtered size.
 
     flags bit i = rule i violated (GOPHER_FLAG_NAMES order);
     keep = flags == 0.  Returns (id, n_words, n_wchars, top_tf,
     stop_hits, n_numeric, n_symbols, flags, keep)."""
     stopset = sorted({w for ws in STOPWORDS.values() for w in ws})
     t = F.col(text_col)
-    base = df.select(
+    toks = F.filter(
+        F.split(F.lower(t), r"\s+"), lambda x: x != F.lit("")
+    )
+    # max term frequency == longest run of equal values in the sorted
+    # token array (bigint state to match the old SUM/MAX output types)
+    one = F.lit(1).cast("bigint")
+    top_tf = F.aggregate(
+        F.array_sort(toks),
+        F.struct(
+            F.lit(0).cast("bigint").alias("best"),
+            F.lit(0).cast("bigint").alias("run"),
+            F.lit(None).cast("string").alias("prev"),
+        ),
+        lambda acc, x: F.struct(
+            F.greatest(
+                acc["best"],
+                F.when(x == acc["prev"], acc["run"] + 1).otherwise(one),
+            ).alias("best"),
+            F.when(x == acc["prev"], acc["run"] + 1)
+            .otherwise(one)
+            .alias("run"),
+            x.alias("prev"),
+        ),
+        lambda acc: acc["best"],
+    )
+    j = df.select(
         id_col,
         F.length(F.regexp_replace(t, r"\s", "")).alias("n_nospace"),
         (
             F.length(t) - F.length(F.regexp_replace(t, r"[^\w\s]", ""))
         ).alias("n_symbols"),
-    )
-    raw = df.select(
-        id_col,
-        F.explode(F.split(F.lower(t), r"\s+")).alias("token"),
-    ).where(F.col("token") != "")
-    tf = raw.groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("tf"))
-    per_doc = tf.groupBy(id_col).agg(
-        F.sum("tf").alias("n_words"),
-        F.max("tf").alias("top_tf"),
-        F.sum(
-            F.when(F.col("token").isin(stopset), 1).otherwise(0)
+        # coalesce(...) keeps the NULL-text contract of the old
+        # left-join + na.fill path (token features 0, char features NULL)
+        F.coalesce(F.size(toks).cast("bigint"), F.lit(0)).alias(
+            "n_words"
+        ),
+        F.coalesce(top_tf, F.lit(0).cast("bigint")).alias("top_tf"),
+        F.coalesce(
+            F.size(
+                F.array_intersect(
+                    F.array_distinct(toks),
+                    F.array(*[F.lit(w) for w in stopset]),
+                )
+            ).cast("bigint"),
+            F.lit(0),
         ).alias("stop_hits"),
-        F.sum(
-            F.when(F.col("token").rlike("^[0-9]+$"), F.col("tf")).otherwise(0)
+        F.coalesce(
+            F.size(
+                F.filter(toks, lambda x: x.rlike("^[0-9]+$"))
+            ).cast("bigint"),
+            F.lit(0),
         ).alias("n_numeric"),
-    )
-    j = base.join(per_doc, id_col, "left").na.fill(
-        {"n_words": 0, "top_tf": 0, "stop_hits": 0, "n_numeric": 0}
     )
     # word chars = non-space chars minus symbol chars (mean word length
     # counts letters/digits/underscore, the \w class both engines share)

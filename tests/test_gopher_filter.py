@@ -101,3 +101,31 @@ def test_duckdb_twin_parity(spark):
         ).fetchall()
     )
     assert got == twin
+
+
+def test_top_tf_run_length_equals_term_frequency(spark):
+    """r06 internals: top_tf is computed as the longest equal-run of
+    the SORTED token array — interleaved repeats (never adjacent in
+    the raw text) must still count as one frequency, and case folds."""
+    docs = [
+        (0, "dog cat dog bird dog cat Dog the and"),  # dog×4 interleaved
+        (1, "a b a b a b a b c the and of"),          # a×4 b×4 tie
+    ]
+    got = _run(spark, docs, min_words=1, min_stop_hits=1,
+               max_top_token_pct=100, min_mean_wordlen=1)
+    assert got[0].top_tf == 4      # dog + Dog, never adjacent
+    assert got[0].n_words == 9
+    assert got[1].top_tf == 4      # tied runs pick the max, not last
+
+
+def test_null_text_matches_left_join_contract(spark):
+    """NULL text: token features 0 (old na.fill path), char features
+    NULL → no rule fires except too_short; keep stays False."""
+    got = _run(spark, [(0, None)], min_words=1)
+    assert got[0].n_words == 0
+    assert got[0].top_tf == 0
+    assert got[0].stop_hits == 0
+    assert got[0].n_numeric == 0
+    assert got[0].n_symbols is None
+    assert got[0].flags & BIT["too_short"]
+    assert not got[0].keep
