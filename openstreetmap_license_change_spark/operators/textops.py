@@ -996,55 +996,94 @@ def bm25_topk(
     corpora of 10⁵ docs; beyond that drop BM25_IDF_SCALE (the quantum
     grows, the plan doesn't change).
 
-    Plan shape: ONE explode pass → (doc,token) tf partial-agg; dl and
-    the (N, L) corpus stats re-aggregate the already-unique tf rows;
-    per-term df likewise — the query-term filter is a broadcast IN on
-    a literal list, so the scored join touches only |Q| terms per doc;
-    the final global top-k is orderBy+limit, which Spark executes as
+    Plan shape (r06): ZERO wide shuffles — the query-term set is a
+    small literal list, so per-doc term frequencies and doc length are
+    array higher-order-function expressions on the scan (the
+    gopher_filter move; the old explode → (doc,token) groupBy ran the
+    token-stream shuffle once per consumer subtree, 3-4× per query,
+    because broadcast builds share no exchanges with the main plan).
+    The narrow (id, dl, tf…) projection is checkpointed once — ONE
+    pass over the corpus text; the (N, L, df_t) corpus stats are a
+    bounded 1-row collect baked into the scoring expression as
+    integer literals (the pagerank dangling-mass pattern); the final
+    global top-k is orderBy+limit, which Spark executes as
     TakeOrderedAndProject (per-partition heaps, no single-partition
     window, no full sort).  Ties break by ``id_col`` ascending.
+    Per-doc cost is |Q| array scans, the right trade for the literal
+    query lists this operator declares (|Q| ≲ dozens).
 
     Returns (id, score_m) for the top ``k`` docs, highest first."""
-    raw = df.select(
+    qt = sorted({t.lower() for t in query_terms})
+    t = F.col(text_col)
+    toks = F.filter(
+        F.split(F.lower(t), r"\s+"), lambda x: x != F.lit("")
+    )
+    def _eq(term):
+        # single-arg lambda via closure: a 2-arg lambda would be read
+        # by the HOF machinery as (element, index)
+        lit = F.lit(term)
+        return lambda x: x == lit
+
+    tf_cols = [
+        F.coalesce(
+            F.size(F.filter(toks, _eq(w))).cast("bigint"),
+            F.lit(0),
+        ).alias(f"_tf_{i}")
+        for i, w in enumerate(qt)
+    ]
+    per_doc = df.select(
         id_col,
-        F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("token"),
-    ).where(F.col("token") != "")
-    tf = raw.groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("tf"))
-    dl = tf.groupBy(id_col).agg(F.sum("tf").alias("dl"))
-    stats = dl.agg(
-        F.count(F.lit(1)).alias("n_docs"),
+        F.coalesce(F.size(toks).cast("bigint"), F.lit(0)).alias("dl"),
+        *tf_cols,
+    ).localCheckpoint(eager=True)
+    stats = per_doc.agg(
+        # docs with ≥1 token, exactly the old dl-table membership
+        F.sum(F.when(F.col("dl") > 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_docs"),
         F.sum("dl").alias("total_len"),
-    ).withColumn(
-        "avgdl_m", F.expr("1000 * total_len DIV n_docs")
-    )
-    qt = [t.lower() for t in query_terms]
-    dfreq = (
-        tf.where(F.col("token").isin(qt))
-        .groupBy("token")
-        .agg(F.count(F.lit(1)).alias("df"))
-    )
-    scored = (
-        tf.where(F.col("token").isin(qt))
-        .join(F.broadcast(dfreq), "token")
-        .join(dl, id_col)
-        .crossJoin(F.broadcast(stats))
-        .withColumn(
-            "idf_m",
-            F.expr(
-                f"(2 * n_docs - 2 * df + 1) * {BM25_IDF_SCALE} "
-                "DIV (2 * df + 1)"
-            ),
+        *[
+            F.sum(F.when(F.col(f"_tf_{i}") > 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias(f"_df_{i}")
+            for i in range(len(qt))
+        ],
+    ).collect()[0]
+    n_docs = int(stats["n_docs"] or 0)
+    total_len = int(stats["total_len"] or 0)
+    if not qt or n_docs == 0:
+        return (
+            per_doc.where(F.lit(False))
+            .select(id_col, F.lit(0).cast("bigint").alias("score_m"))
         )
-        .withColumn(
-            "term_score",
-            F.expr(
-                "(idf_m * 44 * tf * avgdl_m) DIV "
-                "(20 * tf * avgdl_m + 6 * avgdl_m + 18000 * dl)"
-            ),
+    # all operands non-negative, so Python // == Spark/DuckDB trunc DIV
+    avgdl_m = 1000 * total_len // n_docs
+    term_scores = []
+    matched = None
+    for i in range(len(qt)):
+        dfreq = int(stats[f"_df_{i}"] or 0)
+        idf_m = (
+            (2 * n_docs - 2 * dfreq + 1) * BM25_IDF_SCALE
+            // (2 * dfreq + 1)
         )
-    )
-    totals = scored.groupBy(id_col).agg(
-        F.sum("term_score").alias("score_m")
+        hit = F.col(f"_tf_{i}") > 0
+        matched = hit if matched is None else (matched | hit)
+        term_scores.append(
+            F.when(
+                hit,
+                F.expr(
+                    f"(CAST({idf_m} AS BIGINT) * 44 * _tf_{i} "
+                    f"* CAST({avgdl_m} AS BIGINT)) DIV "
+                    f"(20 * _tf_{i} * CAST({avgdl_m} AS BIGINT) "
+                    f"+ 6 * CAST({avgdl_m} AS BIGINT) + 18000 * dl)"
+                ),
+            ).otherwise(F.lit(0).cast("bigint"))
+        )
+    score = term_scores[0]
+    for ts in term_scores[1:]:
+        score = score + ts
+    totals = per_doc.where(matched).select(
+        id_col, score.cast("bigint").alias("score_m")
     )
     return totals.orderBy(
         F.col("score_m").desc(), F.col(id_col).asc()
