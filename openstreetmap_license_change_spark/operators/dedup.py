@@ -230,15 +230,38 @@ def token_ids(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
 def minhash_signatures(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """16 MinHash values per doc: min((a·token_id + b) mod p) per perm.
 
-    Single groupBy straight off the local token-id derivation;
-    permutations unroll as columns so the whole signature is one
-    aggregation pass — exactly ONE shuffle end to end."""
-    t = token_ids(df, id_col=id_col)
-    aggs = [
-        F.min((F.col("token_id") * a + b) % MINHASH_PRIME).alias(f"mh_{i}")
-        for i, (a, b) in enumerate(MINHASH_PERMS)
-    ]
-    return t.groupBy(id_col).agg(*aggs)
+    ZERO shuffles (r06): the whole signature is per-row array
+    arithmetic — token ids are one ``transform`` over the distinct
+    token array (hashed ONCE into a carried ``_ids`` column; the
+    projections stay split so CollapseProject cannot re-inline the
+    expensive hash 16×), and each permutation is an ``array_min`` over
+    a cheap transform of that array.  The former explode → groupBy
+    formulation paid a (doc, token_id) exchange for what is a purely
+    local min; min over the distinct-token multiset is identical
+    either way.  Docs with no non-empty token are absent, exactly the
+    old groupBy's membership."""
+    raw = F.split(F.lower(F.col("text")), r"\s+")
+    toks = F.filter(
+        F.array_distinct(raw), lambda x: x != F.lit("")
+    )
+    with_ids = df.where(
+        F.exists(raw, lambda x: x != F.lit(""))
+    ).select(id_col, F.transform(toks, token_hash).alias("_ids"))
+
+    def _perm(a: int, b: int):
+        # closure-bound constants: a 2-arg lambda would be read by the
+        # HOF machinery as (element, index)
+        return lambda v: (v * a + b) % MINHASH_PRIME
+
+    return with_ids.select(
+        id_col,
+        *[
+            F.array_min(
+                F.transform(F.col("_ids"), _perm(a, b))
+            ).alias(f"mh_{i}")
+            for i, (a, b) in enumerate(MINHASH_PERMS)
+        ],
+    )
 
 
 def minhash_lsh_pairs(
