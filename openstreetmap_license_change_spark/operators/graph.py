@@ -155,9 +155,37 @@ def pagerank_quantized(
     deduplicated.  Returns (node, rank_q)."""
     if not 0 <= damping_pct <= 100:
         raise ValueError(f"damping_pct must be in [0, 100]: {damping_pct}")
+    # r06 measured gotcha: under AQE, ``localCheckpoint`` captures the
+    # ADAPTIVE plan's outputPartitioning — UnknownPartitioning — so the
+    # carefully pre-partitioned edge/state checkpoints were re-shuffled
+    # by EVERY round's join anyway (4 Exchanges/round observed, not the
+    # intended 1).  The fixed-iteration loop therefore runs with AQE
+    # off and shuffle.partitions pinned to the iteration width (scoped
+    # to this call, restored after): checkpoints then preserve their
+    # hash partitioning and every round is exactly the one dst-keyed
+    # aggregate exchange.  Trade, stated: inside the loop there is no
+    # runtime skew-splitting — per-edge work is uniform (ranks are
+    # pre-divided by outdeg) and hub out-edges spread only as well as
+    # hash(src) spreads, the same contract as a bucketed edge table.
+    spark = edges.sparkSession
+    w = _iter_width(edges)
+    prev_aqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.shuffle.partitions", str(w))
+    try:
+        return _pagerank_rounds(
+            nodes, edges, iterations, damping_pct, scale, w
+        )
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
+        spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
+
+
+def _pagerank_rounds(nodes, edges, iterations, damping_pct, scale, w):
     edges = (
         edges.select("src", "dst")
-        .repartition(_iter_width(edges), "src")
+        .repartition(w, "src")
         .localCheckpoint(eager=True)
     )
     outdeg = edges.groupBy(F.col("src").alias("node")).agg(
@@ -171,7 +199,7 @@ def pagerank_quantized(
     if n == 0:
         return nodes.withColumn("rank_q", F.lit(0).cast("bigint"))
     base = (100 - damping_pct) * scale // 100
-    # r06 plan shape: the per-round state carries (node, outdeg, rank_q)
+    # plan shape: the per-round state carries (node, outdeg, rank_q)
     # hash-partitioned by node, so each round is exactly ONE exchange
     # (the dst-keyed contribution aggregate) —
     #  * outdeg rides the checkpointed state instead of being re-derived
@@ -188,7 +216,7 @@ def pagerank_quantized(
     state = (
         nodes.join(outdeg.hint("shuffle_hash"), "node", "left")
         .withColumn("rank_q", F.lit(scale).cast("bigint"))
-        .repartition(_iter_width(nodes), "node")
+        .repartition(w, "node")
         .localCheckpoint(eager=True)
     )
     for _ in range(iterations):
