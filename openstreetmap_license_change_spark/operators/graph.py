@@ -4503,6 +4503,14 @@ def lt_influence(
         raise ValueError(f"theta_ppm in [1, 1e6]: {theta_ppm}")
     if int(max_rounds) < 1:
         raise ValueError(f"max_rounds must be >= 1: {max_rounds}")
+    # (r06 second-pass note: the pagerank_quantized AQE-scoped loop was
+    # tried here too — AQE erases the checkpointed partitioning, so the
+    # edge list does re-shuffle per round — but A/B at both bench
+    # scales showed the doc-graph is too small to pay AQE-off's static
+    # task fan-out: old min 3.92 s vs scoped 4.60 s at sf0.1, parity at
+    # 10×.  The scoped loop wins only when per-round shuffled bytes
+    # dominate task-scheduling overhead (pagerank's pages-scale graph);
+    # kept ambient-AQE here, negative result recorded.)
     # ONE pass builds the weighted edge list: the in-degree is a window
     # count over dst (the former groupBy+join-back recomputed the
     # distinct-edge shuffle twice), and the result is pre-partitioned
