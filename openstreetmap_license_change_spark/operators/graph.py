@@ -183,18 +183,29 @@ def pagerank_quantized(
 
 
 def _pagerank_rounds(nodes, edges, iterations, damping_pct, scale, w):
-    edges = (
-        edges.select("src", "dst")
-        .repartition(w, "src")
-        .localCheckpoint(eager=True)
-    )
-    outdeg = edges.groupBy(F.col("src").alias("node")).agg(
-        F.count(F.lit(1)).alias("outdeg")
-    )
-    # nodes is consumed twice below (count + state build); checkpoint it
-    # so an expensive upstream (e.g. a distinct over the page table) runs
-    # once, not once per consumer
-    nodes = nodes.select("node").localCheckpoint(eager=True)
+    # Callers routinely derive the edge list FROM the node table (the
+    # doc-link graph does), so the expensive node derivation (a
+    # distinct over the page table) appears as a subtree of BOTH
+    # checkpoints below.  Caching the caller's node frame lets the
+    # CacheManager substitute the shared subtree in the edge plan, so
+    # the derivation runs once; the cache lives strictly inside this
+    # call (filled by the first checkpoint's action, dropped in the
+    # finally) — no state survives the invocation.
+    nodes_in = nodes.persist()
+    try:
+        edges = (
+            edges.select("src", "dst")
+            .repartition(w, "src")
+            .localCheckpoint(eager=True)
+        )
+        outdeg = edges.groupBy(F.col("src").alias("node")).agg(
+            F.count(F.lit(1)).alias("outdeg")
+        )
+        # nodes is consumed twice below (count + state build);
+        # checkpoint it so later rounds never touch the cache
+        nodes = nodes_in.select("node").localCheckpoint(eager=True)
+    finally:
+        nodes_in.unpersist()
     n = nodes.count()
     if n == 0:
         return nodes.withColumn("rank_q", F.lit(0).cast("bigint"))
