@@ -116,3 +116,23 @@ def test_damping_validated(spark):
     edf = spark.createDataFrame([], "src bigint, dst bigint")
     with pytest.raises(ValueError):
         graph.pagerank_quantized(ndf, edf, damping_pct=101)
+
+
+def test_session_confs_restored_after_call(spark):
+    """r06 internals: the iteration loop scopes AQE off and pins
+    shuffle.partitions; both must be restored after the call — and
+    after a FAILING call (the damping guard fires before the scope,
+    the empty-graph path returns through the finally)."""
+    prev_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    ndf = spark.createDataFrame([(1,), (2,)], "node bigint")
+    edf = spark.createDataFrame([(1, 2)], "src bigint, dst bigint")
+    graph.pagerank_quantized(ndf, edf, iterations=1)
+    assert spark.conf.get("spark.sql.adaptive.enabled") == prev_aqe
+    assert spark.conf.get("spark.sql.shuffle.partitions") == prev_sp
+    # empty graph exits through the early-return path inside the scope
+    e_n = spark.createDataFrame([], "node bigint")
+    e_e = spark.createDataFrame([], "src bigint, dst bigint")
+    graph.pagerank_quantized(e_n, e_e, iterations=1).count()
+    assert spark.conf.get("spark.sql.adaptive.enabled") == prev_aqe
+    assert spark.conf.get("spark.sql.shuffle.partitions") == prev_sp
